@@ -1,0 +1,85 @@
+"""Query registry: the engine's declared query surface.
+
+Every operator the engine claims (SURVEY.md §2 + the training-data
+extension ops) is declared here as a :class:`QuerySpec`: a Spark
+callable ``(spark, sf_dir) -> DataFrame`` plus, where SQL-expressible,
+an equivalent ANSI-SQL oracle string for DuckDB.  The driver (and our
+own ``tests/test_parity.py``) runs both sides and compares row count,
+schema, and order-insensitive values — so every computed column is
+aliased identically on both sides.
+
+Float determinism: aggregate sums are computed over ``decimal`` casts
+(exact arithmetic, identical in Spark and DuckDB) and cast back to
+``double`` at the end; averages are exact-sum / count in double.  This
+makes value-hash comparisons bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    bench: bool = False,
+):
+    """Register a query implementation under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description, bench)
+        return fn
+
+    return deco
+
+
+# ---- shared expression helpers (exact decimal aggregation) ----
+
+DEC = "decimal(18,2)"
+
+
+def dec(col: str):
+    """Exact 2-decimal view of a stored double column."""
+    return F.col(col).cast(DEC)
+
+
+def dsum(expr, alias: str):
+    """Exact decimal sum, surfaced as double (bit-stable across engines)."""
+    return F.sum(expr).cast("double").alias(alias)
+
+
+def davg(expr, alias: str):
+    """Exact-sum / count average in double (bit-stable across engines)."""
+    return (F.sum(expr).cast("double") / F.count(F.lit(1)).cast("double")).alias(alias)
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    import os
+
+    return [spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names]
+
+
+# Import modules for their registration side effects.
+from clickbom_spark.queries import relational  # noqa: E402,F401
+from clickbom_spark.queries import analytics  # noqa: E402,F401
+from clickbom_spark.queries import sbom_mapped  # noqa: E402,F401
+from clickbom_spark.queries import text  # noqa: E402,F401
+from clickbom_spark.queries import dedup  # noqa: E402,F401
+from clickbom_spark.queries import similarity  # noqa: E402,F401

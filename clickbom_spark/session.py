@@ -1,0 +1,85 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the same configs are what we would
+set cluster-side at 100 TB (AQE, skew-join handling, partition coalescing,
+Arrow for the few Pandas-UDF code paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "clickbom_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Configuration rationale, scale-first:
+
+    - ``spark.sql.adaptive.enabled`` — runtime re-planning: coalesce
+      post-shuffle partitions, convert sort-merge to broadcast joins when
+      runtime stats allow, split skewed partitions.  At 100 TB this is the
+      difference between a 200-partition straggler and an even plan.
+    - ``spark.sql.adaptive.skewJoin.enabled`` — skewed key handling for
+      the big fact-fact joins without manual salting.
+    - ``spark.sql.execution.arrow.pyspark.enabled`` — Arrow batch
+      transfer for the Pandas-UDF extension operators (similarity
+      kernels, multimodal decode).
+    - ``spark.sql.shuffle.partitions`` — sized to the test box by
+      default; on a real cluster size to ~128 MB per post-shuffle
+      partition (AQE coalescing makes the exact number less critical).
+    - ``spark.sql.files.maxPartitionBytes`` default 128m is kept: scan
+      parallelism at 100 TB comes from file splits, not from us.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Load the synthetic corpus tables as DataFrames and register temp views.
+
+    One parquet per table (TESTDATA.md).  Reads are lazy; Catalyst prunes
+    columns and pushes filters into the parquet scans.
+    """
+    names = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(n)
+            out[n] = df
+    return out
