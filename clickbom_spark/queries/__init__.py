@@ -71,9 +71,9 @@ def davg(expr, alias: str):
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    import os
+    from clickbom_spark.session import read_table
 
-    return [spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names]
+    return [read_table(spark, sf_dir, n) for n in names]
 
 
 # Import modules for their registration side effects.

@@ -1,1 +1,520 @@
-"""Placeholder — filled in as operators land."""
+"""Window functions, multi-dim aggregation, set ops, scalar functions.
+
+Covers the general engine surface SURVEY.md §2.9 declares (windows,
+sorts, limits, top-k), §2.5's grouping extensions (rollup/cube/
+grouping-id), §2.7 set operations, and §2.4's scalar-function families
+(string/date/JSON) re-expressed over the synthetic corpus.
+
+Scale notes:
+- Window functions shuffle once on the partition key and sort within
+  partitions; partition keys here (custkey/user_id) are high-cardinality,
+  so no single-partition bottleneck (no global ORDER BY without
+  partitioning in any window spec).
+- Running/window sums use exact decimal accumulation so results are
+  order-of-evaluation independent (DuckDB's segment-tree window agg vs
+  Spark's running accumulation would drift in float).
+- The band join is a broadcast nested-loop against a 4-row dimension —
+  constant cost regardless of fact size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickbom_spark.queries import dec, dsum, load, query
+
+
+@query(
+    "q_window_rank_orders",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, rnk, drnk
+FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WINDOW w AS (PARTITION BY c_custkey ORDER BY o_totalprice DESC)
+) t
+WHERE rn <= 3
+ORDER BY c_custkey, rn
+""",
+    description="Ranking windows (rank/dense_rank/row_number) + top-N per "
+    "group (SURVEY §2.9).",
+    bench=True,
+)
+def q_window_rank_orders(spark, sf_dir):
+    orders, cust = load(spark, sf_dir, "orders", "customer")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"))
+    wn = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "rnk", "drnk")
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@query(
+    "q_window_running_value",
+    oracle="""
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / CAST(COUNT(*)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS moving_avg_5
+FROM events
+ORDER BY user_id, ts, event_id
+""",
+    description="Running sum + sliding frame (ROWS BETWEEN) — exact decimal "
+    "accumulation for cross-engine determinism (SURVEY §2.9).",
+)
+def q_window_running_value(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(dec("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        (
+            F.sum(dec("value"))
+            .over(w.rowsBetween(-4, Window.currentRow))
+            .cast("double")
+            / F.count(F.lit(1))
+            .over(w.rowsBetween(-4, Window.currentRow))
+            .cast("double")
+        ).alias("moving_avg_5"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "q_window_lag_gaps",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+FROM (
+  SELECT user_id,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+) t
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="lag() inter-event gaps per user — the sessionization "
+    "primitive (SURVEY §2.9, §2.10).",
+)
+def q_window_lag_gaps(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        events.select("user_id", gap.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_rollup_region_nation",
+    oracle="""
+SELECT r_name, n_name,
+       GROUPING(r_name, n_name) AS grp_id,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY grp_id, r_name, n_name
+""",
+    description="ROLLUP hierarchy totals + grouping_id (SURVEY §2.5 general "
+    "surface).",
+)
+def q_rollup_region_nation(spark, sf_dir):
+    cust, nation, region = load(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(dec("c_acctbal"), "total_bal"),
+        )
+        .orderBy("grp_id", "r_name", "n_name")
+    )
+
+
+@query(
+    "q_cube_flags",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS grp_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY grp_id, l_returnflag, l_linestatus
+""",
+    description="CUBE over flag dimensions (SURVEY §2.5 general surface).",
+)
+def q_cube_flags(spark, sf_dir):
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(dec("l_quantity"), "total_qty"),
+        )
+        .orderBy("grp_id", "l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_set_ops_custkeys",
+    oracle="""
+SELECT 'only_1996' AS bucket, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  EXCEPT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+) a
+UNION ALL
+SELECT 'both_years' AS bucket, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+) b
+UNION ALL
+SELECT 'either_year' AS bucket, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  UNION
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+) c
+ORDER BY bucket
+""",
+    description="EXCEPT / INTERSECT / UNION-distinct over yearly customer "
+    "sets (SURVEY §2.7).",
+)
+def q_set_ops_custkeys(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+
+    def year(y):
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    y96, y97 = year(1996), year(1997)
+    only = y96.exceptAll(y97).distinct().agg(F.count(F.lit(1)).alias("n"))
+    # exceptAll then distinct != EXCEPT (set) in general; use subtract:
+    only = y96.distinct().subtract(y97.distinct()).agg(F.count(F.lit(1)).alias("n"))
+    both = y96.intersect(y97).agg(F.count(F.lit(1)).alias("n"))
+    either = y96.union(y97).distinct().agg(F.count(F.lit(1)).alias("n"))
+    return (
+        only.select(F.lit("only_1996").alias("bucket"), "n")
+        .unionByName(both.select(F.lit("both_years").alias("bucket"), "n"))
+        .unionByName(either.select(F.lit("either_year").alias("bucket"), "n"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_string_functions",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_name, 1, 10) AS name_prefix,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       REPLACE(p_type, ' ', '_') AS type_snake,
+       TRIM(LPAD(p_brand, 12, ' ')) AS brand_trim
+FROM part
+WHERE p_name LIKE '%re%' AND p_size BETWEEN 5 AND 40
+ORDER BY p_partkey
+""",
+    description="String function suite — the sanitizer-family primitives "
+    "(SURVEY §2.4 F1-F9) over part names.",
+)
+def q_string_functions(spark, sf_dir):
+    (part,) = load(spark, sf_dir, "part")
+    return (
+        part.where(
+            F.col("p_name").like("%re%")
+            & (F.col("p_size") >= 5)
+            & (F.col("p_size") <= 40)
+        )
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 10).alias("name_prefix"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.trim(F.lpad("p_brand", 12, " ")).alias("brand_trim"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q_date_functions",
+    oracle="""
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY 1, 2, 3
+ORDER BY order_month
+""",
+    description="Temporal bucketing: date_trunc/year/quarter monthly revenue "
+    "(SURVEY §2.4 F14 family).",
+)
+def q_date_functions(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "month_revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@query(
+    "q_json_extract_events",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="Semi-structured JSON column access — the engine's "
+    "schema-on-read primitive (SURVEY §1.2, jq-path equivalent).",
+)
+def q_json_extract_events(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_case_when_bands",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 250000 THEN 'medium'
+            WHEN o_totalprice < 400000 THEN 'large'
+            ELSE 'jumbo' END AS price_band,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+FROM orders
+GROUP BY 1, 2
+ORDER BY price_band, o_orderstatus
+""",
+    description="CASE WHEN bucketing + aggregate (SURVEY §2.3 P4 "
+    "format-detection analog: conditional classification).",
+)
+def q_case_when_bands(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 250000, "medium")
+        .when(F.col("o_totalprice") < 400000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        orders.groupBy(band.alias("price_band"), F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "band_total"),
+        )
+        .orderBy("price_band", "o_orderstatus")
+    )
+
+
+@query(
+    "q_band_range_join",
+    oracle="""
+SELECT v.band_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_revenue
+FROM orders
+JOIN (VALUES ('p0_low', 0.0, 150000.0),
+             ('p1_mid', 150000.0, 300000.0),
+             ('p2_high', 300000.0, 450000.0),
+             ('p3_top', 450000.0, 1000000.0)) AS v(band_name, lo, hi)
+  ON o_totalprice >= v.lo AND o_totalprice < v.hi
+GROUP BY v.band_name
+ORDER BY v.band_name
+""",
+    description="Non-equi (range/band) join against a tiny broadcast "
+    "dimension — broadcast nested loop (SURVEY §2.6 general surface).",
+)
+def q_band_range_join(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("p0_low", 0.0, 150000.0),
+            ("p1_mid", 150000.0, 300000.0),
+            ("p2_high", 300000.0, 450000.0),
+            ("p3_top", 450000.0, 1000000.0),
+        ],
+        T.StructType(
+            [
+                T.StructField("band_name", T.StringType()),
+                T.StructField("lo", T.DoubleType()),
+                T.StructField("hi", T.DoubleType()),
+            ]
+        ),
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "band_revenue"),
+        )
+        .orderBy("band_name")
+    )
+
+
+@query(
+    "q_theta_join_event_pairs",
+    oracle="""
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.ts < b.ts
+ AND b.ts <= a.ts + INTERVAL 2 MINUTE
+ AND a.event_id <> b.event_id
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+""",
+    description="Self theta-join: event pairs within a 2-minute window per "
+    "user — equi on user_id (shuffle key) + range residual; the as-of/"
+    "interval-join building block.",
+    bench=True,
+)
+def q_theta_join_event_pairs(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    a = events.alias("a")
+    b = events.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.ts") < F.col("b.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTE"))
+            & (F.col("a.event_id") != F.col("b.event_id")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_first_order_per_customer",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(first_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_first_price
+FROM (
+  SELECT c_mktsegment, o_totalprice AS first_price,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rn = 1
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    description="First-event-per-key via row_number (deduplicate-to-first, "
+    "the reference's 'first JSON in archive' pattern §2.9 generalized).",
+)
+def q_first_order_per_customer(spark, sf_dir):
+    orders, cust = load(spark, sf_dir, "orders", "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(dec("o_totalprice"), "sum_first_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

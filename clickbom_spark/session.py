@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) (the events table) is read as long ns;
+        # read_table() converts to microsecond timestamps (floor, matching
+        # DuckDB's ns→µs semantics).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -54,7 +58,31 @@ def get_spark(
         builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # If we attached to a pre-existing session (e.g. the driver's), make
+    # sure the nanos read path is still on.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one corpus table, normalizing physical quirks.
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark reads (under ``nanosAsLong``) as a raw ns long; convert to a
+    microsecond timestamp with floor semantics — identical to DuckDB's
+    ns→µs coercion, so oracle comparisons stay exact.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
@@ -79,7 +107,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = read_table(spark, sf_dir, n)
             df.createOrReplaceTempView(n)
             out[n] = df
     return out
