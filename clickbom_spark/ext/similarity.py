@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns.
+
+- ``cosine`` / ``brute_force_topk``: exact cosine top-k — the baseline
+  and the oracle for approximate paths.  Query set × corpus via
+  broadcast join (queries are small by construction); per-query top-k
+  by window rank.  At 100 TB-scale corpora the corpus side stays
+  partitioned; only the query set broadcasts.
+- ``rp_lsh_topk``: random-hyperplane LSH — deterministic hyperplanes
+  derived from xxhash (no RNG state to ship), signature = sign bits,
+  candidates = bucket equi-join on signature prefix, verified by exact
+  cosine within buckets.  The scale path: cost O(n) hashing + bucketed
+  verification instead of O(n·q) full scan.
+
+All arithmetic in double, left-fold order, so results are reproducible
+and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos, rank), rank 1..k, self-match
+    excluded, ties broken by neighbor id (fully deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane_sign(vec: Column, table: Column, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: weight of dimension d in
+    (table t, plane p) is ±1 from the parity of xxhash64(t, p, d).  The
+    signed projection's sign is one signature bit."""
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, d: F.when(
+                F.xxhash64(table, F.lit(plane), d).bitwiseAND(F.lit(1)) == 1, x
+            ).otherwise(-x),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def rp_signature(vec: Column, planes: int = 8, table: Column | int = 0) -> Column:
+    """planes-bit random-hyperplane signature as an int column.
+
+    ``table`` may be a lambda variable (used from inside the posting
+    transform) or a plain int."""
+    t = table if isinstance(table, Column) else F.lit(table)
+    sig = F.lit(0)
+    for p in range(planes):
+        sig = sig + _hyperplane_sign(vec, t, p) * F.lit(1 << p)
+    return sig
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    L independent hash tables; a corpus vector is a candidate for a
+    query if it shares a full signature with it in ANY table (a single
+    (table, sig) equi-join after posting each vector once per table).
+    Candidates are deduped and verified with exact cosine.  Recall for
+    a neighbor with bit-collision prob p is 1-(1-p^planes)^tables —
+    tunable; pytest measures it against brute_force_topk.  Scale: the
+    corpus posting list is tables× the corpus (linear), the join is an
+    equi-shuffle on (table, sig) — never a cross product.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+
+    def posted(df, vcol):
+        # One explode over an array of (tbl, sig) structs — not a
+        # union of per-table plans (which would copy the signature
+        # expression tree `tables` times and blow up analysis).
+        tblarr = F.transform(
+            F.sequence(F.lit(0), F.lit(tables - 1)),
+            lambda t: F.struct(
+                t.alias("tbl"),
+                rp_signature(F.col(vcol), planes, t).alias("sig"),
+            ),
+        )
+        return df.select("*", F.explode(tblarr).alias("ts")).select(
+            *df.columns, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+        )
+
+    cands = (
+        posted(c, "cv")
+        .join(F.broadcast(posted(q, "qv")), ["tbl", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,143 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly): at 100 TB a
+Python UDF here would be the bottleneck; none is used.
+
+Operators:
+- tokens / token_count      — whitespace + regex tokenization
+- fingerprint               — normalized md5 document fingerprint
+- quality_features / score  — length, punctuation/stopword ratios
+- lang_scores / lang_id     — stopword-hit language heuristic
+- shingles                  — word n-gram sets for Jaccard/MinHash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram heuristic.  Chosen for
+# mutual exclusivity, not linguistic completeness.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "es", "una", "y"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty tokens dropped)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_and_punct_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: words and single punctuation marks as
+    separate tokens (an upper bound on subword token counts)."""
+    return F.regexp_extract_all(text, F.lit(r"(\w+|[^\w\s])"), 1)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace, strip non-alphanumerics."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint over the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def stopword_hits(text: Column, stopwords: list[str]) -> Column:
+    """Count (non-deduplicated) tokens that are in the stopword list."""
+    lits = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(
+        F.filter(tokens(F.lower(text)), lambda t: F.array_contains(lits, t))
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_STOPWORDS["en"]
+    return stopword_hits(text, sw).cast("double") / F.greatest(
+        token_count(text), F.lit(1)
+    ).cast("double")
+
+
+def mean_word_length(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(
+        F.transform(t, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.greatest(F.size(t), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punctuation
+    soup, reasonable word lengths.  Deterministic double arithmetic."""
+    n_tokens = token_count(text).cast("double")
+    length_term = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    mwl = mean_word_length(text)
+    word_term = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (length_term + punct_term + word_term) / F.lit(3.0)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over language stopword hits; deterministic tie-break by
+    fixed language order; 'und' (undetermined) when nothing hits."""
+    scores = lang_scores(text)
+    order = list(LANG_STOPWORDS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # strict-> comparison folding over a fixed order: on ties the
+    # earliest-folded language is kept (deterministic)
+    for lang in reversed(order):
+        s = scores[lang]
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(s, best_score)
+    return best
+
+
+def let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE and
+    feed it to ``body`` as a lambda variable.
+
+    Spark evaluates a repeated Column subtree once per *reference*, so
+    an expression that mentions e.g. a tokenization five times does 5×
+    the work (O(n²) when the mentions are inside a per-element lambda).
+    ``transform(array(x), v -> body(v))[0]`` materializes x exactly
+    once as a NamedLambdaVariable.
+    """
+    return F.transform(F.array(bound), body)[0]
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram set (the MinHash/Jaccard input unit)."""
+
+    def grams_of(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+        grams = F.when(
+            F.size(t) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+        return F.array_distinct(grams)
+
+    return let(tokens(normalize_text(text)), grams_of)

@@ -1,1 +1,173 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over the documents table (north-star ops).
+
+Thin registry wrappers around clickbom_spark.ext.text; oracle SQL
+replicates the exact same formulas so value-hashes match bit-for-bit
+(per-row doubles use identical IEEE operation order; cross-row sums go
+through rounded decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickbom_spark.ext import text as X
+from clickbom_spark.queries import load, query
+
+# DuckDB equivalent of normalize_text()
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def _sw_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" x -> x <> ''), x -> list_contains([{words}], x)))"
+    )
+
+
+@query(
+    "q_token_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len({_TOKENS})) AS total_tokens,
+       SUM(len(regexp_extract_all(text, '(\\w+|[^\\w\\s])'))) AS total_pieces,
+       MIN(len({_TOKENS})) AS min_tokens,
+       MAX(len({_TOKENS})) AS max_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    description="Token counting (whitespace + word/punct regex pieces) per "
+    "language — training-data token accounting.",
+)
+def q_token_stats(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    tc = X.token_count(F.col("text"))
+    pieces = F.size(X.word_and_punct_tokens(F.col("text")))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tc).alias("total_tokens"),
+            F.sum(pieces).alias("total_pieces"),
+            F.min(tc).alias("min_tokens"),
+            F.max(tc).alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_quality_scores",
+    oracle="""
+WITH toks AS (
+  SELECT source, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+), feats AS (
+  SELECT source,
+         CAST(len(w) AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+         CAST(length(list_aggregate(w, 'string_agg', '')) AS DOUBLE)
+           / CAST(greatest(len(w), 1) AS DOUBLE) AS mwl
+  FROM toks
+), scored AS (
+  SELECT source,
+         ( least(n_tokens / 64.0, 1.0)
+         + (1.0 - least(pr * 4.0, 1.0))
+         + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+         ) / 3.0 AS q
+  FROM feats
+)
+SELECT source,
+       CAST(SUM(CAST(round(q, 6) AS DECIMAL(12,6))) AS DOUBLE) AS total_quality,
+       COUNT(*) AS n_docs
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+    description="Composite quality score (length/punct/word-length terms) "
+    "summed per source via rounded decimals for cross-engine stability.",
+)
+def q_quality_scores(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    q = X.quality_score(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.round(q, 6).cast("decimal(12,6)"))
+            .cast("double")
+            .alias("total_quality"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+WITH scores AS (
+  SELECT lang AS labeled,
+         {_sw_hits("en")} AS s_en, {_sw_hits("de")} AS s_de,
+         {_sw_hits("fr")} AS s_fr, {_sw_hits("es")} AS s_es
+  FROM documents
+)
+SELECT labeled,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            ELSE 'en' END AS predicted,
+       COUNT(*) AS n_docs
+FROM scores
+GROUP BY labeled, predicted
+ORDER BY labeled, predicted
+""",
+    description="Language-ID heuristic (stopword-hit argmax with "
+    "deterministic tie-break) vs. the labeled lang.",
+)
+def q_lang_id(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"),
+            X.lang_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+@query(
+    "q_fingerprints",
+    oracle=f"""
+SELECT source,
+       COUNT(DISTINCT md5({_NORM})) AS n_distinct_fingerprints,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    description="Normalized-md5 document fingerprinting (rolling-hash "
+    "analog) — the near-exact dedup key.",
+)
+def q_fingerprints(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.countDistinct(X.fingerprint(F.col("text"))).alias(
+                "n_distinct_fingerprints"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )

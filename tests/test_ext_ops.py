@@ -1,0 +1,137 @@
+"""Validation of the approximate (scale-path) operators against their
+exact oracles — recall/precision on the planted near-duplicates, plus
+unit checks on the text operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickbom_spark.ext import dedup as D
+from clickbom_spark.ext import similarity as S
+from clickbom_spark.ext import text as X
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    from clickbom_spark.session import read_table
+
+    return read_table(spark, SF_CORRECT, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    from clickbom_spark.session import read_table
+
+    return read_table(spark, SF_CORRECT, "embeddings").cache()
+
+
+def pairs_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, documents):
+    """LSH candidates + exact verify must equal the exact all-pairs
+    result at threshold 0.8 on this corpus (25 planted pairs); the
+    verify step guarantees precision, banding must deliver recall."""
+    exact = pairs_set(D.ngram_jaccard_pairs(documents, threshold=0.8))
+    lsh = pairs_set(D.minhash_lsh_pairs(documents, threshold=0.8))
+    assert len(exact) == 25
+    assert lsh == exact
+
+
+def test_minhash_signatures_vary_by_seed(spark, documents):
+    sigs = D.minhash_signatures(documents.limit(5)).collect()
+    for r in sigs:
+        assert len(set(r["sig"])) > 1, "seeded min-hashes must differ across seeds"
+
+
+def test_simhash_separates_planted_dups(spark, documents):
+    """Planted near-dup pairs should have much smaller Hamming distance
+    than random pairs."""
+    exact = pairs_set(D.ngram_jaccard_pairs(documents, threshold=0.8))
+    sh = documents.select(
+        "doc_id", D.simhash(F.col("text")).alias("sig")
+    ).collect()
+    sig = {r["doc_id"]: r["sig"] for r in sh}
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+
+    dup_d = [ham(a, b) for a, b in exact]
+    assert max(dup_d) <= 8, f"planted dups too far apart: {dup_d}"
+    # sampled non-dup pairs should be far
+    ids = sorted(sig)[:40]
+    rand_d = [
+        ham(a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (a, b) not in exact
+    ]
+    assert min(rand_d) > max(dup_d)  # clean separation on this corpus
+    assert sum(d > 8 for d in rand_d) / len(rand_d) > 0.98
+
+
+def test_simhash_pairs_blocking_matches_direct(spark, documents):
+    """The banded simhash join must find every pair within the distance
+    bound (pigeonhole guarantee: dist<=8 < 4 chunks)."""
+    out = D.simhash_pairs(documents, max_distance=8)
+    got = pairs_set(out)
+    exact = pairs_set(D.ngram_jaccard_pairs(documents, threshold=0.8))
+    assert exact <= got  # all planted dups found
+
+
+def test_rp_lsh_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(embeddings, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.rp_lsh_topk(
+            embeddings, queries, k=10, planes=4, tables=16
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall collapsed: {recall}"
+
+
+def test_brute_force_topk_excludes_self_and_ranks(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 3)
+    out = S.brute_force_topk(embeddings, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == [1, 2, 3, 4, 5]
+        cosines = [c for _, c in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_fingerprint_ignores_case_punct_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    out = D.fingerprint_dedup(df)
+    assert out.count() == 2
+
+
+def test_quality_score_ranges(spark, documents):
+    rows = documents.select(X.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_lang_id_und_on_no_stopwords(spark):
+    df = spark.createDataFrame([(1, "zzz qqq xxx")], "doc_id long, text string")
+    assert df.select(X.lang_id(F.col("text")).alias("l")).collect()[0]["l"] == "und"
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    out = df.select(X.shingles(F.col("text")).alias("g")).collect()[0]["g"]
+    assert out == ["one two"]
