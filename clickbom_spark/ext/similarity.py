@@ -75,6 +75,77 @@ def brute_force_topk(
     )
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs embedding near-dup: (id_a, id_b, cos) with
+    cos >= threshold, id_a < id_b.  O(n²) — the oracle path; the LSH
+    variant below is the scale path.  Norms are computed once per row
+    before the join, not per pair."""
+    v = corpus.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 4,
+    tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup at scale: multi-table RP-LSH self-join on
+    (table, signature) for candidates — an equi-shuffle, no cross
+    product — then exact-cosine verification.  Recall measured in
+    pytest against cosine_neardup_pairs."""
+    v = corpus.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    tblarr = F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: F.struct(
+            t.alias("tbl"), rp_signature(F.col("v"), planes, t).alias("sig")
+        ),
+    )
+    posted = v.select("id", "v", "nrm", F.explode(tblarr).alias("ts")).select(
+        "id", "v", "nrm", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+    )
+    a = posted.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "tbl", "sig",
+    )
+    b = posted.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "tbl", "sig",
+    )
+    cands = (
+        a.join(b, ["tbl", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return cands.select("id_a", "id_b", cos.alias("cos")).where(
+        F.col("cos") >= threshold
+    )
+
+
 def _hyperplane_sign(vec: Column, table: Column, plane: int) -> Column:
     """Deterministic pseudo-random hyperplane: weight of dimension d in
     (table t, plane p) is ±1 from the parity of xxhash64(t, p, d).  The

@@ -83,3 +83,5 @@ from clickbom_spark.queries import sbom_mapped  # noqa: E402,F401
 from clickbom_spark.queries import text  # noqa: E402,F401
 from clickbom_spark.queries import dedup  # noqa: E402,F401
 from clickbom_spark.queries import similarity  # noqa: E402,F401
+from clickbom_spark.queries import event_windows  # noqa: E402,F401
+from clickbom_spark.queries import multimodal  # noqa: E402,F401

@@ -1,0 +1,103 @@
+"""Event-time window queries over the events table.
+
+These run the SAME transformations as the streaming package
+(clickbom_spark/streaming/windows.py) in batch mode, which makes the
+window arithmetic DuckDB-oracle-checkable; tests/test_streaming.py then
+proves stream-mode output (watermark + availableNow) equals the batch
+output row-for-row.
+
+Oracle notes:
+- Spark tumbling/sliding windows are epoch-aligned; the DuckDB side
+  reproduces them with floor(epoch/size)*size arithmetic (make_timestamp
+  keeps plain-TIMESTAMP typing, matching Spark's UTC session).
+- Spark session windows are [ts, ts+gap) intervals merged while
+  overlapping, i.e. a NEW session starts when ts - prev_ts >= gap;
+  the oracle is the classic gaps-and-islands formulation.
+"""
+
+from __future__ import annotations
+
+from clickbom_spark.queries import load, query
+from clickbom_spark.streaming.windows import (
+    session_stats,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_BUCKET10 = "make_timestamp(CAST(floor(epoch(ts)/600)*600*1000000 AS BIGINT))"
+_BUCKET5 = "make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT))"
+
+
+@query(
+    "q_tumbling_window_events",
+    oracle=f"""
+SELECT {_BUCKET10} AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    description="Tumbling 10-minute event-time windows per event_type — "
+    "the streaming aggregation's batch twin.",
+    bench=True,
+)
+def q_tumbling_window_events(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    return tumbling_counts(events, "10 minutes").orderBy("window_start", "event_type")
+
+
+@query(
+    "q_sliding_window_events",
+    oracle=f"""
+WITH posted AS (
+  SELECT value,
+         UNNEST([{_BUCKET5}, {_BUCKET5} - INTERVAL 5 MINUTE]) AS ws
+  FROM events
+)
+SELECT ws AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM posted
+GROUP BY ws
+ORDER BY window_start
+""",
+    description="Sliding 10-minute windows hopping every 5 — each event "
+    "posts to exactly size/slide windows.",
+)
+def q_sliding_window_events(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    return sliding_counts(events, "10 minutes", "5 minutes").orderBy("window_start")
+
+
+@query(
+    "q_session_window_events",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    description="Per-user session windows (30-minute inactivity gap) — "
+    "Spark session_window vs the gaps-and-islands SQL oracle.",
+)
+def q_session_window_events(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    return session_stats(events, "30 minutes").orderBy("user_id", "session_start")

@@ -47,6 +47,99 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+NEARDUP_COS = 0.4  # this corpus has no planted high-cos pairs (max 0.51)
+
+
+@query(
+    "q_embedding_neardup",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4)
+         AS cos_r
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      >= {NEARDUP_COS}
+ORDER BY id_a, id_b
+""",
+    description="Exact all-pairs embedding-cosine near-dup detection "
+    "(the dedup family's embedding member; O(n²) oracle path).",
+)
+def q_embedding_neardup(spark, sf_dir):
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return (
+        S.cosine_neardup_pairs(emb, threshold=NEARDUP_COS)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q_embedding_neardup_lsh",
+    oracle=None,  # approximate by construction; recall measured in pytest
+    description="Embedding near-dup at scale: RP-LSH bucket self-join "
+    "candidates + exact cosine verify (no cross product).",
+)
+def q_embedding_neardup_lsh(spark, sf_dir):
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return (
+        S.cosine_neardup_pairs_lsh(emb, threshold=NEARDUP_COS)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q_label_centroid_stats",
+    oracle="""
+WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ex AS (
+  SELECT label, i.range AS pos, e[CAST(i.range AS INT) + 1] AS val
+  FROM v, range(64) i
+),
+per_dim AS (
+  SELECT label, pos, COUNT(*) AS n,
+         round(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM ex GROUP BY label, pos
+)
+SELECT label,
+       MAX(n) AS n_vectors,
+       COUNT(*) FILTER (abs(m) > 0.01) AS n_active_dims,
+       CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS total_mean
+FROM per_dim GROUP BY label ORDER BY label
+""",
+    description="Per-label centroid aggregation via posexplode + two-level "
+    "re-aggregate (exact decimal means for cross-engine parity).",
+)
+def q_label_centroid_stats(spark, sf_dir):
+    (emb,) = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    per_dim = ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.count(F.when(F.abs("m") > 0.01, 1)).alias("n_active_dims"),
+            F.sum(F.col("m").cast("decimal(18,6)")).cast("double").alias("total_mean"),
+        )
+        .orderBy("label")
+    )
+
+
 @query(
     "q_rp_lsh_ann",
     oracle=None,  # approximate by construction; recall measured in pytest

@@ -98,6 +98,15 @@ def test_rp_lsh_recall_vs_brute_force(spark, embeddings):
     assert recall >= 0.8, f"LSH recall collapsed: {recall}"
 
 
+def test_neardup_lsh_recall_vs_exact(spark, embeddings):
+    exact = pairs_set(S.cosine_neardup_pairs(embeddings, threshold=0.4))
+    approx = pairs_set(S.cosine_neardup_pairs_lsh(embeddings, threshold=0.4))
+    assert len(exact) > 0
+    assert approx <= exact  # verify step guarantees precision
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, f"near-dup LSH recall collapsed: {recall}"
+
+
 def test_brute_force_topk_excludes_self_and_ranks(spark, embeddings):
     queries = embeddings.where(F.col("vec_id") < 3)
     out = S.brute_force_topk(embeddings, queries, k=5).collect()

@@ -1,0 +1,74 @@
+"""Multimodal plumbing: the mapInPandas batch path must agree with a
+local (numpy) recomputation byte-for-byte, frame slicing must be
+deterministic, and the codec stub must fail fast."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from clickbom_spark.ext import multimodal as M
+from clickbom_spark.session import read_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    return M.synth_media(docs).cache()
+
+
+def test_synth_media_schema(media):
+    # simpleString ignores nullability (literals come out non-nullable)
+    assert media.schema.simpleString() == M.MEDIA_SCHEMA.simpleString()
+
+
+def test_decode_matches_local_numpy(spark, media):
+    sample = media.orderBy("media_id").limit(20).collect()
+    got = {
+        r["media_id"]: r
+        for r in M.decode_media(media.orderBy("media_id").limit(20)).collect()
+    }
+    assert len(got) == 20
+    for row in sample:
+        arr = np.frombuffer(row["content"], dtype=np.uint8)
+        g = got[row["media_id"]]
+        assert g["n_bytes"] == len(row["content"])
+        assert g["byte_mean"] == pytest.approx(float(arr.mean()))
+        hist = np.bincount(arr >> 4, minlength=M.FEATURE_DIM) / arr.size
+        assert np.allclose(g["features"], hist)
+
+
+def test_decode_distributed_batches(spark, media):
+    """Partitioned input must produce identical results to single batch
+    (the mapInPandas kernel is per-batch stateless)."""
+    def key(r):
+        return (r["media_id"], r["modality"], r["n_bytes"], r["byte_mean"], tuple(r["features"]))
+
+    one = {key(r) for r in M.decode_media(media.coalesce(1)).collect()}
+    many = {key(r) for r in M.decode_media(media.repartition(8)).collect()}
+    assert one == many
+
+
+def test_sample_frames_deterministic_slices(spark, media):
+    videos = {r["media_id"]: r for r in media.where(F.col("modality") == "video").collect()}
+    frames = M.sample_frames(media, k=2).collect()
+    assert len(frames) > 0
+    by_media = {}
+    for fr in frames:
+        by_media.setdefault(fr["media_id"], []).append(fr)
+    for mid, frs in by_media.items():
+        row = videos[mid]
+        n_frames = row["meta"]["n_frames"]
+        assert len(frs) == min(2, n_frames)
+        frame_len = max(len(row["content"]) // n_frames, 1)
+        for fr in frs:
+            start = fr["frame_idx"] * frame_len
+            assert bytes(fr["frame_bytes"]) == row["content"][start : start + frame_len]
+
+
+def test_resize_stub_fails_fast(media):
+    with pytest.raises(NotImplementedError):
+        M.resize_media(media, 32, 32)

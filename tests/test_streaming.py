@@ -1,0 +1,73 @@
+"""Structured Streaming: stream-mode output must equal the (oracle-
+checked) batch output of the same transformations, plus watermark dedup
+and the foreachBatch sink path."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from clickbom_spark.session import read_table
+from clickbom_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory_sink,
+    tumbling_counts,
+    write_foreach_batch,
+)
+from clickbom_spark.streaming.windows import session_stats
+from tests.conftest import SF_SMOKE
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_tumbling_equals_batch(spark):
+    batch = tumbling_counts(read_table(spark, SF_SMOKE, "events"))
+    stream = tumbling_counts(
+        read_events_stream(spark, SF_SMOKE).withWatermark("ts", "1 hour")
+    )
+    run_to_memory_sink(stream, "t_tumbling")
+    got = spark.table("t_tumbling")
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+
+
+def test_stream_session_equals_batch(spark):
+    batch = session_stats(read_table(spark, SF_SMOKE, "events"))
+    stream = session_stats(
+        read_events_stream(spark, SF_SMOKE).withWatermark("ts", "1 hour")
+    )
+    run_to_memory_sink(stream, "t_session")
+    got = spark.table("t_session")
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+
+
+def test_stream_dedup_within_watermark(spark):
+    events = read_table(spark, SF_SMOKE, "events")
+    batch_n = events.dropDuplicates(["user_id", "event_type"]).count()
+    stream = dedup_within_watermark(
+        read_events_stream(spark, SF_SMOKE), ["user_id", "event_type"]
+    )
+    run_to_memory_sink(stream, "t_dedup")
+    assert spark.table("t_dedup").count() == batch_n
+
+
+def test_foreach_batch_parquet_sink(spark):
+    batch = tumbling_counts(read_table(spark, SF_SMOKE, "events"))
+    stream = tumbling_counts(
+        read_events_stream(spark, SF_SMOKE).withWatermark("ts", "1 hour")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        out = f"{tmp}/out"
+
+        def write_batch(df, epoch_id):
+            df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+        write_foreach_batch(stream, write_batch, f"{tmp}/ckpt")
+        got = spark.read.parquet(out).drop("epoch")
+        cols = ["window_start", "event_type", "n_events", "total_value"]
+        assert rows_set(got, cols) == rows_set(batch, cols)
