@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from clickbom_spark.ext.text import normalize_text, shingles, tokens
+from clickbom_spark.ext.text import fan_out, normalize_text, shingles, tokens
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -71,7 +71,7 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jac) for id_a < id_b with jac >= threshold.
     """
-    g = df.select(
+    g = fan_out(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("grams")
     ).withColumn("sz", F.size("grams"))
     a = g.select(
@@ -103,15 +103,25 @@ def minhash_signatures(
     A single nested higher-order expression (not k separate columns):
     k column-expressions would make the analyzed plan O(k·|expr|) and
     Catalyst analysis itself becomes the bottleneck.
+
+    The shingle set is LET-BOUND outside the per-seed lambda: Catalyst's
+    CollapseProject inlines column references, and a plain
+    ``F.col("grams")`` inside ``transform(sequence(0,k-1), ...)`` would
+    re-evaluate the whole tokenize+shingle pipeline once per seed
+    (measured 30×+ slowdowns).
     """
-    g = df.select(
+    from clickbom_spark.ext.text import let
+
+    def sig_of(gr: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(gr, lambda s: F.xxhash64(i, s))),
+        )
+
+    g = fan_out(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("grams")
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(F.col("grams"), lambda s: F.xxhash64(i, s))),
-    )
-    return g.select("id", "grams", sig.alias("sig"))
+    return g.select("id", "grams", let(F.col("grams"), sig_of).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -135,7 +145,11 @@ def minhash_lsh_pairs(
 
     Banding is one explode over an array of (band, bucket) structs —
     NOT a union of per-band plans, which would duplicate the whole
-    signature expression tree per band.
+    signature expression tree per band.  The posting list carries only
+    (id, band, bucket): shipping each doc's shingle array through the
+    8×-exploded shuffle would dominate the stage; instead the (far
+    smaller) deduped candidate set joins the shingle table back by id
+    for verification.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
@@ -149,27 +163,36 @@ def minhash_lsh_pairs(
             ).alias("bucket"),
         ),
     )
-    banded = sigs.select("id", "grams", F.explode(bandarr).alias("bb")).select(
-        "id", "grams", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = sigs.select("id", F.explode(bandarr).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), "band", "bucket"
-    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "grams_a", "grams_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = _jaccard_sized(
-        F.col("grams_a"), F.col("grams_b"), F.size("grams_a"), F.size("grams_b")
+
+    g = fan_out(df).select(
+        F.col(id_col).alias("gid"), shingles(F.col(text_col), n).alias("grams")
+    ).withColumn("sz", F.size("grams"))
+    ga = g.select(
+        F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"), F.col("sz").alias("sz_a")
     )
-    return cands.select("id_a", "id_b", jac.alias("jac")).where(
-        F.col("jac") >= threshold
+    gb = g.select(
+        F.col("gid").alias("id_b"), F.col("grams").alias("grams_b"), F.col("sz").alias("sz_b")
+    )
+    jac = _jaccard_sized(
+        F.col("grams_a"), F.col("grams_b"), F.col("sz_a"), F.col("sz_b")
+    )
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jac.alias("jac"))
+        .where(F.col("jac") >= threshold)
     )
 
 
@@ -243,24 +266,33 @@ def simhash_pairs(
     base, rem = divmod(64, nblocks)
     widths = [base + 1 if i < rem else base for i in range(nblocks)]
     offsets = [sum(widths[:i]) for i in range(nblocks)]
+    off_arr = F.array(*[F.lit(o) for o in offsets])
+    mask_arr = F.array(*[F.lit((1 << w) - 1).cast("bigint") for w in widths])
 
-    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
-    chunks = []
-    for c in range(nblocks):
-        mask = (1 << widths[c]) - 1
-        chunks.append(
-            s.select(
-                "id",
-                "sig",
-                F.lit(c).alias("chunk"),
-                F.shiftright(F.col("sig"), offsets[c])
-                .bitwiseAND(F.lit(mask))
+    from clickbom_spark.ext.text import let
+
+    def sig_and_chunks(sg: Column) -> Column:
+        # sg is a lambda variable: the simhash expression evaluates ONCE
+        # per row here, not once per chunk (CollapseProject would inline
+        # a plain column reference into the per-chunk lambda).
+        chunkarr = F.transform(
+            F.sequence(F.lit(0), F.lit(nblocks - 1)),
+            lambda c: F.struct(
+                c.alias("chunk"),
+                F.call_function("shiftright", sg, F.element_at(off_arr, c + 1))
+                .bitwiseAND(F.element_at(mask_arr, c + 1))
                 .alias("cval"),
-            )
+            ),
         )
-    banded = chunks[0]
-    for extra in chunks[1:]:
-        banded = banded.unionByName(extra)
+        return F.struct(sg.alias("sig"), chunkarr.alias("chunks"))
+
+    s = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        let(simhash(F.col(text_col)), sig_and_chunks).alias("sc"),
+    )
+    banded = s.select(
+        "id", F.col("sc.sig").alias("sig"), F.explode("sc.chunks").alias("cc")
+    ).select("id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.cval").alias("cval"))
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk", "cval")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk", "cval")
     return (

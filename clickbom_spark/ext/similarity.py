@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from clickbom_spark.ext.text import fan_out, let
+
 
 def _to_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -57,7 +59,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
     )
     scored = (
@@ -85,7 +87,7 @@ def cosine_neardup_pairs(
     cos >= threshold, id_a < id_b.  O(n²) — the oracle path; the LSH
     variant below is the scale path.  Norms are computed once per row
     before the join, not per pair."""
-    v = corpus.select(
+    v = fan_out(corpus).select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
     a = v.select(
@@ -114,18 +116,7 @@ def cosine_neardup_pairs_lsh(
     (table, signature) for candidates — an equi-shuffle, no cross
     product — then exact-cosine verification.  Recall measured in
     pytest against cosine_neardup_pairs."""
-    v = corpus.select(
-        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    tblarr = F.transform(
-        F.sequence(F.lit(0), F.lit(tables - 1)),
-        lambda t: F.struct(
-            t.alias("tbl"), rp_signature(F.col("v"), planes, t).alias("sig")
-        ),
-    )
-    posted = v.select("id", "v", "nrm", F.explode(tblarr).alias("ts")).select(
-        "id", "v", "nrm", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
-    )
+    posted = _posted_with_norm(corpus, id_col, vec_col, planes, tables)
     a = posted.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "tbl", "sig",
@@ -143,6 +134,39 @@ def cosine_neardup_pairs_lsh(
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return cands.select("id_a", "id_b", cos.alias("cos")).where(
         F.col("cos") >= threshold
+    )
+
+
+def _posted_with_norm(
+    df: DataFrame, id_col: str, vec_col: str, planes: int, tables: int
+) -> DataFrame:
+    """(id, v, nrm, tbl, sig) posting list: one row per (vector, table).
+
+    The double-cast vector is let-bound so the cast + norm + all
+    tables×planes hyperplane folds evaluate over ONE materialized copy
+    per row (a plain column reference would re-cast the vector inside
+    every fold after CollapseProject inlining)."""
+
+    def fields_of(v: Column) -> Column:
+        tblarr = F.transform(
+            F.sequence(F.lit(0), F.lit(tables - 1)),
+            lambda t: F.struct(
+                t.alias("tbl"), rp_signature(v, planes, t).alias("sig")
+            ),
+        )
+        return F.struct(v.alias("v"), norm(v).alias("nrm"), tblarr.alias("tbls"))
+
+    packed = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        let(_to_double(F.col(vec_col)), fields_of).alias("p"),
+    )
+    return packed.select(
+        "id",
+        F.col("p.v").alias("v"),
+        F.col("p.nrm").alias("nrm"),
+        F.explode("p.tbls").alias("ts"),
+    ).select(
+        "id", "v", "nrm", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
     )
 
 
@@ -196,37 +220,29 @@ def rp_lsh_topk(
     corpus posting list is tables× the corpus (linear), the join is an
     equi-shuffle on (table, sig) — never a cross product.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _to_double(F.col(vec_col)).alias("cv"),
+    c = _posted_with_norm(corpus, id_col, vec_col, planes, tables).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "tbl",
+        "sig",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    q = _posted_with_norm(queries, id_col, vec_col, planes, tables).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "tbl",
+        "sig",
     )
-
-    def posted(df, vcol):
-        # One explode over an array of (tbl, sig) structs — not a
-        # union of per-table plans (which would copy the signature
-        # expression tree `tables` times and blow up analysis).
-        tblarr = F.transform(
-            F.sequence(F.lit(0), F.lit(tables - 1)),
-            lambda t: F.struct(
-                t.alias("tbl"),
-                rp_signature(F.col(vcol), planes, t).alias("sig"),
-            ),
-        )
-        return df.select("*", F.explode(tblarr).alias("ts")).select(
-            *df.columns, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
-        )
-
     cands = (
-        posted(c, "cv")
-        .join(F.broadcast(posted(q, "qv")), ["tbl", "sig"])
+        c.join(F.broadcast(q), ["tbl", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -116,6 +116,22 @@ def lang_id(text: Column) -> Column:
     return best
 
 
+def fan_out(df):
+    """Repartition a DataFrame up to the cluster's default parallelism
+    when the source scan under-partitions (e.g. one small unsplittable
+    parquet file → one task doing ALL the per-row CPU work).
+
+    No-op when the input already has enough partitions — at real scale
+    file splits provide parallelism and this adds nothing.  For the
+    CPU-bound signature operators (minhash/simhash/LSH/decode) the tiny
+    exchange is repaid ~Ncores× over.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def let(bound: Column, body) -> Column:
     """Let-binding for Column expressions: evaluate ``bound`` ONCE and
     feed it to ``body`` as a lambda variable.
