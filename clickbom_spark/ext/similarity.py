@@ -170,6 +170,78 @@ def _posted_with_norm(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization + probe-limited search.
+
+    Deterministic coarse centroids: every ``ceil(n/n_lists)``-th corpus
+    vector by id (a data-independent sample standing in for k-means —
+    swap in ``pyspark.ml.clustering.KMeans`` centers for trained lists;
+    the partition/probe dataflow is identical).  Index side: each corpus
+    vector is assigned to its nearest centroid (one broadcast of
+    n_lists centroids, argmin over cosine).  Query side: each query
+    probes its ``n_probe`` nearest lists; candidates are the corpus
+    vectors in those lists (equi-join on list id — the scan is limited
+    to n_probe/n_lists of the corpus), verified by exact cosine.
+    """
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+
+    cents = (
+        c.orderBy("id")
+        .limit(n_lists)
+        .select(
+            F.row_number().over(Window.orderBy("id")).alias("list_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+
+    def assign(df, vcol, ncol, keep, n_best):
+        scored = df.join(F.broadcast(cents)).select(
+            *keep,
+            "list_id",
+            (dot(F.col(vcol), F.col("cv")) / (F.col(ncol) * F.col("cnrm"))).alias(
+                "csim"
+            ),
+        )
+        w = Window.partitionBy(*keep).orderBy(F.desc("csim"), "list_id")
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n_best)
+            .drop("csim", "crank")
+        )
+
+    indexed = assign(c, "v", "nrm", ["id", "v", "nrm"], 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qnrm", norm(F.col("qv")))
+    probes = assign(q, "qv", "qnrm", ["query_id", "qv", "qnrm"], n_probe)
+
+    scored = (
+        indexed.join(F.broadcast(probes), "list_id")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def _hyperplane_sign(vec: Column, table: Column, plane: int) -> Column:
     """Deterministic pseudo-random hyperplane: weight of dimension d in
     (table t, plane p) is ±1 from the parity of xxhash64(t, p, d).  The

@@ -1,0 +1,339 @@
+"""Second wave of relational coverage: correlated-subquery patterns,
+conditional aggregation, pivot, grouping sets, exact percentiles, and
+SQL-surface queries (spark.sql over temp views).
+
+The reference has no query language (SURVEY.md §3) — this is the
+general OLAP surface the engine adds, expressed Spark-first and
+oracle-checked value-for-value against DuckDB.  Decimal-cast sums per
+clickbom_spark.queries for cross-engine float stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clickbom_spark.queries import DEC, dec, dsum, load, query
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey, AVG(l_quantity) AS aq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE)
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'BRAND#1' AND l.l_quantity < 0.5 * a.aq
+""",
+    description="TPC-H Q17 pattern: correlated scalar subquery "
+    "(per-part average) decorrelated into an aggregate+join.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    avg_qty = lineitem.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    return (
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, "l_partkey")
+        .where((F.col("p_brand") == "BRAND#1") & (F.col("l_quantity") < 0.5 * F.col("aq")))
+        .agg(
+            (F.sum(dec("l_extendedprice")) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="TPC-H Q12 pattern: join + conditional (CASE-guarded) "
+    "counting per group.",
+)
+def q12_priority_shipping(spark, sf_dir):
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q14_promo_revenue_pct",
+    oracle="""
+SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END)
+       / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+    description="TPC-H Q14 pattern: conditional-revenue ratio over a "
+    "join (exact decimal numerator/denominator).",
+)
+def q14_promo_revenue_pct(spark, sf_dir):
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev))
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q10_returned_item_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    description="TPC-H Q10 pattern: 4-way join, revenue aggregation, "
+    "top-20 (TakeOrderedAndProject).",
+    bench=True,
+)
+def q10_returned_item_customers(spark, sf_dir):
+    customer, orders, lineitem, nation = load(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .where(F.col("l_returnflag") == "R")
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS min_unit
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+), ranked AS (
+  SELECT l_partkey, l_suppkey, min_unit,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY min_unit, l_suppkey) AS rn
+  FROM unit
+)
+SELECT r.l_partkey AS partkey, s.s_name, round(r.min_unit, 4) AS unit_price_r
+FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rn = 1 AND r.l_partkey < 100
+ORDER BY partkey
+""",
+    description="TPC-H Q2 pattern: cheapest supplier per part — "
+    "correlated-min decorrelated into a window rank.",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    lineitem, supplier = load(spark, sf_dir, "lineitem", "supplier")
+    unit = (
+        lineitem.where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_unit", "l_suppkey")
+    return (
+        unit.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("l_partkey") < 100))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "s_name",
+            F.round("min_unit", 4).alias("unit_price_r"),
+        )
+        .orderBy("partkey")
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH threshold AS (
+  SELECT AVG(c_acctbal) AS t FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, threshold
+WHERE c.c_acctbal > threshold.t
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+    description="TPC-H Q22 pattern: global scalar subquery threshold + "
+    "NOT EXISTS anti-join.",
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    threshold = (
+        customer.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("t"))
+    )
+    return (
+        customer.join(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("t"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(dec("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+       GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey
+""",
+    description="GROUPING SETS beyond rollup/cube, with GROUPING() "
+    "markers — via the SQL surface (spark.sql over temp views).",
+)
+def q_grouping_sets(spark, sf_dir):
+    (customer,) = load(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey
+        """
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_discount, 0.25), 4) AS p25_discount
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Exact interpolated percentiles per group (Spark "
+    "percentile == DuckDB quantile_cont).",
+)
+def q_percentiles(spark, sf_dir):
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_pivot_returnflag",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN l_returnflag = 'A'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_A,
+       CAST(SUM(CASE WHEN l_returnflag = 'N'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_N,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_R
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="Pivot (wide conditional aggregation) on return flag "
+    "with explicit value list — no extra pass for value discovery.",
+)
+def q_pivot_returnflag(spark, sf_dir):
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    pivoted = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(dec("l_extendedprice")).cast("double"))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.col("A").alias("rev_A"),
+        F.col("N").alias("rev_N"),
+        F.col("R").alias("rev_R"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "q_array_agg_stats",
+    oracle="""
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+       COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    description="Array aggregation: collect_set -> sort_array -> join "
+    "(deterministic canonical form of a set-valued aggregate).",
+)
+def q_array_agg_stats(spark, sf_dir):
+    (customer,) = load(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -92,6 +92,22 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
 
 @query(
+    "q_ivf_ann",
+    oracle=None,  # approximate by construction; recall measured in pytest
+    description="IVF ANN (scale path): coarse-quantized inverted lists, "
+    "n_probe-limited search + exact cosine verify.",
+)
+def q_ivf_ann(spark, sf_dir):
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECTORS)
+    return (
+        S.ivf_topk(emb, queries, k=TOP_K, n_lists=16, n_probe=8)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_r"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
     "q_label_centroid_stats",
     oracle="""
 WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

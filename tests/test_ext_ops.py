@@ -107,6 +107,24 @@ def test_neardup_lsh_recall_vs_exact(spark, embeddings):
     assert recall >= 0.8, f"near-dup LSH recall collapsed: {recall}"
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(embeddings, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(
+            embeddings, queries, k=10, n_lists=16, n_probe=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing half the lists of untrained (sampled) centroids: recall
+    # well above the n_probe/n_lists=0.5 random-scan floor
+    assert recall >= 0.6, f"IVF recall collapsed: {recall}"
+
+
 def test_brute_force_topk_excludes_self_and_ranks(spark, embeddings):
     queries = embeddings.where(F.col("vec_id") < 3)
     out = S.brute_force_topk(embeddings, queries, k=5).collect()
