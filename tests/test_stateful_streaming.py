@@ -1,0 +1,60 @@
+"""applyInPandasWithState: keyed state must accumulate across real
+micro-batch boundaries (multiple files, maxFilesPerTrigger=1) and the
+final running totals must equal the batch aggregation exactly."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickbom_spark.session import read_table
+from clickbom_spark.streaming.stateful import running_user_totals
+from tests.conftest import SF_SMOKE
+
+
+def test_state_accumulates_across_microbatches(spark):
+    events = read_table(spark, SF_SMOKE, "events")
+    expected = {
+        (r["user_id"], r["n_events"], r["total_cents"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .collect()
+    }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+        events.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        totals = running_user_totals(stream)
+
+        final: dict[int, tuple] = {}
+        n_batches = 0
+
+        def collect_batch(df, epoch_id):
+            nonlocal n_batches
+            n_batches += 1
+            for r in df.collect():
+                # later epochs overwrite: the running total is monotone
+                final[r["user_id"]] = (r["user_id"], r["n_events"], r["total_cents"])
+
+        q = (
+            totals.writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    assert set(final.values()) == expected
