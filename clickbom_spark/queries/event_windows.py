@@ -17,6 +17,9 @@ Oracle notes:
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from clickbom_spark.ext.asof import asof_join
 from clickbom_spark.queries import load, query
 from clickbom_spark.streaming.windows import (
     session_stats,
@@ -69,6 +72,42 @@ ORDER BY window_start
 def q_sliding_window_events(spark, sf_dir):
     (events,) = load(spark, sf_dir, "events")
     return sliding_counts(events, "10 minutes", "5 minutes").orderBy("window_start")
+
+
+@query(
+    "q_asof_join_events",
+    oracle="""
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+views AS (SELECT * FROM events WHERE event_type = 'view'),
+matched AS (
+  SELECT c.user_id, c.ts, c.value,
+         v.ts AS ts_r, v.value AS value_r
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+)
+SELECT COUNT(*) AS n_clicks,
+       COUNT(ts_r) AS n_matched,
+       SUM(epoch_us(ts) - epoch_us(ts_r)) AS total_lag_us,
+       CAST(SUM(CAST(value_r AS DECIMAL(18,2))) AS DOUBLE) AS total_view_value
+FROM matched
+""",
+    description="As-of (point-in-time) join: each click matched to the "
+    "user's latest prior-or-equal view — union+window plan (one shuffle, "
+    "no candidate blow-up) vs DuckDB's native ASOF JOIN.",
+)
+def q_asof_join_events(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    views = events.where(F.col("event_type") == "view")
+    m = asof_join(clicks, views, by=["user_id"], right_payload=["value"])
+    return m.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("ts_r").alias("n_matched"),
+        F.sum(F.unix_micros("ts") - F.unix_micros("ts_r")).alias("total_lag_us"),
+        F.sum(F.col("value_r").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_view_value"),
+    )
 
 
 @query(
