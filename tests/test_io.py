@@ -330,3 +330,30 @@ def test_clickhouse_insert_tsv_end_to_end(spark, tmp_path):
         assert "a\\tb" in body and "L\\n2" in body  # TSV escaping
     finally:
         srv.shutdown()
+
+
+def test_lake_schema_evolution_merge(spark, tmp_path):
+    """K3's probe-then-ALTER migration, lake-side: old parquet without
+    the source column and new parquet with it must read as one unified
+    schema (mergeSchema), with the reference's DEFAULT 'unknown'
+    semantics applied via coalesce (entrypoint.sh:130-161 analog)."""
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [("lodash", "4.17.21", "MIT")], "name string, version string, license string"
+    )
+    new = spark.createDataFrame(
+        [("react", "18.2.0", "MIT", "github")],
+        "name string, version string, license string, source string",
+    )
+    old.write.parquet(f"{tmp_path}/lake/v1")
+    new.write.parquet(f"{tmp_path}/lake/v2")
+
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{tmp_path}/lake/v1", f"{tmp_path}/lake/v2")
+        .withColumn("source", F.coalesce(F.col("source"), F.lit("unknown")))
+    )
+    rows = {(r["name"], r["source"]) for r in merged.collect()}
+    assert rows == {("lodash", "unknown"), ("react", "github")}
+    assert set(merged.columns) == {"name", "version", "license", "source"}
