@@ -73,6 +73,50 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @query(
+    "q_neardup_components",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), grams AS (
+  SELECT doc_id, {_SHINGLES} AS g FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(id, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.id
+  ) SELECT id, MIN(comp) AS component FROM r GROUP BY id
+)
+SELECT component, COUNT(*) AS cluster_size,
+       array_to_string(list_sort(list(id)), ',') AS members
+FROM reach GROUP BY component ORDER BY component
+""",
+    description="Near-dup clustering: connected components over the "
+    "exact-Jaccard pair graph (iterative min-label propagation vs "
+    "DuckDB recursive CTE), the keep-one-representative dedup step.",
+)
+def q_neardup_components(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    comps = D.connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(F.sort_array(F.collect_list("id")), ",").alias("members"),
+        )
+        .orderBy("component")
+    )
+
+
+@query(
     "q_minhash_lsh_dedup",
     oracle=None,  # xxhash64-based — validated against the exact path in pytest
     description="MinHash+LSH banding near-dup detection — the 100 TB scale "

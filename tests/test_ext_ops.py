@@ -82,6 +82,44 @@ def test_simhash_pairs_blocking_matches_direct(spark, documents):
     assert exact <= got  # all planted dups found
 
 
+def test_connected_components_match_union_find(spark, documents):
+    pairs = D.ngram_jaccard_pairs(documents, threshold=0.8)
+    pair_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+
+    # local union-find ground truth
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    got = {
+        r["id"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_keep_cluster_representatives(spark, documents):
+    pairs = D.ngram_jaccard_pairs(documents, threshold=0.8)
+    kept = D.keep_cluster_representatives(documents, pairs)
+    comps = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    n_dropped = sum(1 for i, c in comps.items() if i != c)
+    assert kept.count() == documents.count() - n_dropped
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for i, c in comps.items():
+        assert (i in kept_ids) == (i == c)
+
+
 def test_rp_lsh_recall_vs_brute_force(spark, embeddings):
     queries = embeddings.where(F.col("vec_id") < 10)
     exact = {
