@@ -145,6 +145,50 @@ def let(bound: Column, body) -> Column:
     return F.transform(F.array(bound), body)[0]
 
 
+def md5_gram_hash(gram: Column) -> Column:
+    """Engine-portable 32-bit gram hash: first 8 hex chars of md5 as an
+    integer — identical in any engine with md5 (used by the winnowing
+    oracle); xxhash64 is the faster default for production runs."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+
+
+def winnowing_fingerprints(
+    text: Column, k: int = 8, window: int = 4, hash_fn=None
+) -> Column:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme).
+
+    normalize → character k-grams → hash each → take the min hash of
+    every ``window`` consecutive gram hashes → distinct mins.  The
+    guarantee: any shared substring of length >= k + window - 1 between
+    two documents yields at least one shared fingerprint, so overlap
+    detection needs only fingerprint-set intersection (|fps| ≈ 2n/(w+1),
+    a fixed compression of the document).
+
+    Pure expressions; both the normalized text and the gram-hash array
+    are let-bound (each is referenced per-element downstream).
+    """
+    hash_fn = hash_fn or F.xxhash64
+
+    def windows_of(h: Column) -> Column:
+        n_win = F.greatest(F.size(h) - (window - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(h, j, window)),
+            )
+        )
+
+    def of_norm(s: Column) -> Column:
+        n_grams = F.greatest(F.length(s) - (k - 1), F.lit(1))
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: hash_fn(F.call_function("substring", s, i, F.lit(k))),
+        )
+        return let(hashes, windows_of)
+
+    return let(normalize_text(text), of_norm)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram set (the MinHash/Jaccard input unit)."""
 

@@ -225,6 +225,76 @@ def q22_idle_rich_customers(spark, sf_dir):
 
 
 @query(
+    "q9_nation_year_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS profit
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY nation, o_year
+ORDER BY nation, o_year
+""",
+    description="TPC-H Q9 pattern: fact-to-fact + dimension joins, "
+    "profit rolled up by (nation, year).",
+    bench=True,
+)
+def q9_nation_year_profit(spark, sf_dir):
+    lineitem, supplier, orders, nation = load(
+        spark, sf_dir, "lineitem", "supplier", "orders", "nation"
+    )
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit, "profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+SELECT source, COUNT(*) AS n_sampled,
+       SUM(n_chars) AS sampled_chars
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 = 0
+GROUP BY source
+ORDER BY source
+""",
+    description="Deterministic hash sampling (stable ~10% of documents "
+    "by md5 of id) — the reproducible subset primitive for training "
+    "pipelines; identical membership in any engine.",
+)
+def q_hash_sample(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        docs.where(bucket % 10 == 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
 SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,

@@ -147,6 +147,45 @@ def q_lang_id(spark, sf_dir):
 
 
 @query(
+    "q_winnowing_fingerprints",
+    oracle=f"""
+WITH norm AS (
+  SELECT source, {_NORM} AS t FROM documents
+), h AS (
+  SELECT source,
+         [CAST(('0x' || substring(md5(substring(t, CAST(i AS INT), 8)), 1, 8))
+               AS BIGINT)
+          for i in range(1, greatest(length(t) - 7, 1) + 1)] AS hs
+  FROM norm
+), fp AS (
+  SELECT source,
+         list_distinct([list_min(hs[CAST(j AS INT):CAST(j AS INT) + 3])
+                        for j in range(1, greatest(len(hs) - 3, 1) + 1)]) AS fps
+  FROM h
+)
+SELECT source, COUNT(*) AS n_docs, SUM(len(fps)) AS total_fps
+FROM fp GROUP BY source ORDER BY source
+""",
+    description="Winnowing (MOSS rolling-hash) fingerprints: char "
+    "8-grams, window-4 min sampling — full algorithm replicated in the "
+    "oracle via an engine-portable md5 gram hash.",
+)
+def q_winnowing_fingerprints(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    fps = X.winnowing_fingerprints(
+        F.col("text"), k=8, window=4, hash_fn=X.md5_gram_hash
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(fps)).alias("total_fps"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q_fingerprints",
     oracle=f"""
 SELECT source,

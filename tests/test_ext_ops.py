@@ -186,6 +186,40 @@ def test_fingerprint_ignores_case_punct_whitespace(spark):
     assert out.count() == 2
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k + window - 1 must share
+    at least one fingerprint; disjoint docs share none."""
+    common = "the quick brown fox jumps over the lazy dog repeatedly"
+    df = spark.createDataFrame(
+        [
+            (1, "PREFIX one " + common + " SUFFIX alpha"),
+            (2, "other opening words " + common + " different tail"),
+            (3, "completely unrelated content with no overlap whatsoever xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id", X.winnowing_fingerprints(F.col("text")).alias("fps")
+    ).collect()
+    fps = {r["doc_id"]: set(r["fps"]) for r in rows}
+    assert fps[1] & fps[2], "shared substring must produce shared fingerprints"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnowing_compression(spark, documents):
+    """Fingerprint count must be a small fraction of gram count
+    (density ~2/(window+1)) — the point of winnowing at scale."""
+    out = documents.limit(50).select(
+        F.length(X.normalize_text(F.col("text"))).alias("n_chars"),
+        F.size(X.winnowing_fingerprints(F.col("text"))).alias("n_fps"),
+    ).collect()
+    for r in out:
+        if r["n_chars"] > 100:
+            assert r["n_fps"] <= 0.7 * r["n_chars"]
+            assert r["n_fps"] >= 1
+
+
 def test_quality_score_ranges(spark, documents):
     rows = documents.select(X.quality_score(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
