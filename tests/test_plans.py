@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the plans we designed for must be the
+plans Catalyst actually produces.  These tests freeze the scale-
+relevant properties — pushdown, pruning, join strategy, top-k operator,
+codegen — so a regression in plan shape fails CI even while results
+stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickbom_spark.queries import REGISTRY
+from tests.conftest import SF_CORRECT
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # the selective predicates must reach the parquet reader, not sit
+    # in a post-scan Filter only
+    pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed or "GreaterThan" in pushed, pushed
+
+
+def test_q6_column_pruning(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # q6 needs only 4 of lineitem's 11 columns; a full-width scan is a bug
+    scan = [ln for ln in plan.split("\n") if "FileScan parquet" in ln][0]
+    cols = scan.split("[", 1)[1].split("]", 1)[0].split(",")
+    assert len(cols) <= 4, scan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_uses_topk_operator(spark):
+    plan = plan_of(spark, "q10_returned_item_customers")
+    assert "TakeOrderedAndProject" in plan, (
+        "orderBy().limit() must compile to the top-k operator, "
+        "not a global sort"
+    )
+
+
+def test_q1_single_agg_exchange(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # partial agg -> one shuffle -> final agg (plus at most a sort
+    # exchange for the orderBy)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_minhash_no_cross_product(spark):
+    plan = plan_of(spark, "q_minhash_lsh_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_CORRECT)
+    df.collect()  # finalize the AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages appear as "*(n)" operator prefixes in the final plan
+    assert "*(" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_rp_lsh_ann", "q_embedding_neardup_lsh", "q_simhash_pairs"],
+)
+def test_lsh_paths_join_on_derived_keys(spark, name):
+    """Every approximate-similarity path must generate candidates via
+    equi-joins (hash-partitionable), never a nested-loop scan."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
