@@ -147,6 +147,62 @@ def q_lang_id(spark, sf_dir):
 
 
 @query(
+    "q_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKENS.replace("text", _NORM)}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+           AS tfidf_r
+  FROM tf JOIN df USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tfidf_r,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_r DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf_r, rnk
+FROM ranked WHERE rnk <= 3 AND doc_id < 50
+ORDER BY doc_id, rnk
+""",
+    description="TF-IDF with smoothed idf: per-doc term frequency x "
+    "corpus document frequency (one broadcastable df table), top-3 "
+    "terms per doc by window rank.",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+        ).alias("tfidf_r"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tfidf_r", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@query(
     "q_winnowing_fingerprints",
     oracle=f"""
 WITH norm AS (

@@ -177,6 +177,43 @@ def test_brute_force_topk_excludes_self_and_ranks(spark, embeddings):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_apply_in_pandas_centroids_match_expressions(spark, embeddings):
+    """applyInPandas (grouped Arrow batches + numpy) must agree with
+    the pure-expression posexplode aggregation — validates the grouped
+    Pandas-UDF surface against the JVM path."""
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64").mean(axis=0)
+        return pd.DataFrame(
+            {"label": [int(pdf["label"].iloc[0])], "centroid": [m.tolist()]}
+        )
+
+    udf_rows = {
+        r["label"]: r["centroid"]
+        for r in embeddings.groupBy("label")
+        .applyInPandas(centroid, schema="label int, centroid array<double>")
+        .collect()
+    }
+
+    expr_rows = (
+        embeddings.select(
+            "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    expr = {}
+    for r in expr_rows:
+        expr.setdefault(r["label"], {})[r["pos"]] = r["m"]
+
+    for label, cent in udf_rows.items():
+        want = [expr[label][i] for i in range(len(cent))]
+        assert cent == pytest.approx(want, rel=1e-9)
+
+
 def test_fingerprint_ignores_case_punct_whitespace(spark):
     df = spark.createDataFrame(
         [(1, "Hello,  World!"), (2, "hello world"), (3, "different text")],
