@@ -40,8 +40,14 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _safe_div(num: Column, den: Column) -> Column:
+    """NULL (excluded by any threshold/rank) instead of an ANSI
+    divide-by-zero error for zero-norm vectors."""
+    return F.when(den != 0, num / den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return _safe_div(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -96,7 +102,7 @@ def cosine_neardup_pairs(
     b = v.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _safe_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos"))
@@ -131,7 +137,7 @@ def cosine_neardup_pairs_lsh(
         .select("id_a", "id_b", "va", "vb", "na", "nb")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _safe_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return cands.select("id_a", "id_b", cos.alias("cos")).where(
         F.col("cos") >= threshold
     )
@@ -209,9 +215,9 @@ def ivf_topk(
         scored = df.join(F.broadcast(cents)).select(
             *keep,
             "list_id",
-            (dot(F.col(vcol), F.col("cv")) / (F.col(ncol) * F.col("cnrm"))).alias(
-                "csim"
-            ),
+            _safe_div(
+                dot(F.col(vcol), F.col("cv")), F.col(ncol) * F.col("cnrm")
+            ).alias("csim"),
         )
         w = Window.partitionBy(*keep).orderBy(F.desc("csim"), "list_id")
         return (
@@ -232,9 +238,9 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            (dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
-                "cos"
-            ),
+            _safe_div(
+                dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")
+            ).alias("cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -314,7 +320,9 @@ def rp_lsh_topk(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        _safe_div(dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -177,6 +177,29 @@ def test_brute_force_topk_excludes_self_and_ranks(spark, embeddings):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_similarity_ops_survive_degenerate_vectors(spark):
+    """Null and zero-norm vectors must yield NULL cosine (excluded by
+    thresholds/ranks), not an ANSI divide-by-zero error."""
+    emb = spark.createDataFrame(
+        [(1, None), (2, [0.0] * 4), (3, [1.0, 0.0, 0.0, 0.0]), (4, [0.5, 0.5, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert S.cosine_neardup_pairs(emb, threshold=0.0).count() == 1  # (3,4)
+    assert S.brute_force_topk(emb, emb, k=2).count() > 0
+    assert S.ivf_topk(emb, emb, k=2, n_lists=2, n_probe=2).count() > 0
+
+
+def test_text_ops_survive_degenerate_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one")],
+        "doc_id long, text string",
+    )
+    assert df.select(X.quality_score(F.col("text"))).count() == 4
+    assert df.select(X.winnowing_fingerprints(F.col("text"))).count() == 4
+    assert D.fingerprint_dedup(df).count() >= 2
+    assert D.ngram_jaccard_pairs(df, threshold=0.0).count() == 6  # all pairs
+
+
 def test_apply_in_pandas_centroids_match_expressions(spark, embeddings):
     """applyInPandas (grouped Arrow batches + numpy) must agree with
     the pure-expression posexplode aggregation — validates the grouped
