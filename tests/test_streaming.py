@@ -46,6 +46,19 @@ def test_stream_session_equals_batch(spark):
     assert rows_set(got, cols) == rows_set(batch, cols)
 
 
+def test_stream_sliding_equals_batch(spark):
+    from clickbom_spark.streaming import sliding_counts
+
+    batch = sliding_counts(read_table(spark, SF_SMOKE, "events"))
+    stream = sliding_counts(
+        read_events_stream(spark, SF_SMOKE).withWatermark("ts", "1 hour")
+    )
+    run_to_memory_sink(stream, "t_sliding")
+    got = spark.table("t_sliding")
+    cols = ["window_start", "n_events", "total_value"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+
+
 def test_stream_dedup_within_watermark(spark):
     events = read_table(spark, SF_SMOKE, "events")
     batch_n = events.dropDuplicates(["user_id", "event_type"]).count()
