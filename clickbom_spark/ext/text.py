@@ -145,6 +145,31 @@ def let(bound: Column, body) -> Column:
     return F.transform(F.array(bound), body)[0]
 
 
+def passage_chunks(
+    text: Column, size: int = 64, stride: int = 48
+) -> Column:
+    """Context-window chunking: overlapping token windows of ``size``
+    tokens every ``stride`` tokens (overlap = size - stride) — the
+    passage/chunking primitive of an LLM training/RAG pipeline.
+
+    Returns array<string> of passages; a short document yields one
+    passage.  Pure expressions (tokens let-bound; slice per chunk),
+    so chunking stays JVM-side and splittable at any scale.
+    """
+
+    def of_toks(t: Column) -> Column:
+        n = F.size(t)
+        last_start = F.greatest(
+            F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int"), F.lit(0)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), last_start),
+            lambda c: F.concat_ws(" ", F.slice(t, c * stride + 1, size)),
+        )
+
+    return let(tokens(normalize_text(text)), of_toks)
+
+
 def md5_gram_hash(gram: Column) -> Column:
     """Engine-portable 32-bit gram hash: first 8 hex chars of md5 as an
     integer — identical in any engine with md5 (used by the winnowing

@@ -147,6 +147,47 @@ def q_lang_id(spark, sf_dir):
 
 
 @query(
+    "q_passage_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.replace("text", _NORM)} AS w FROM documents
+  WHERE doc_id < 100
+), chunked AS (
+  SELECT doc_id,
+         [{{'idx': c, 'p': array_to_string(w[CAST(c*48+1 AS INT):CAST(c*48+64 AS INT)], ' ')}}
+          for c in range(0, greatest(CAST(ceil((len(w) - 64) / 48.0) AS INT), 0) + 1)]
+           AS chunks
+  FROM toks
+)
+SELECT doc_id, u.s.idx AS passage_idx,
+       len(string_split(u.s.p, ' ')) AS n_tokens,
+       md5(u.s.p) AS passage_md5
+FROM chunked, UNNEST(chunks) AS u(s)
+ORDER BY doc_id, passage_idx
+""",
+    description="Context-window chunking: overlapping 64-token passages "
+    "every 48 tokens (the LLM training/RAG passage primitive), "
+    "passage-exact via md5.",
+)
+def q_passage_chunks(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.posexplode(X.passage_chunks(F.col("text"))).alias("passage_idx", "p"),
+        )
+        .select(
+            "doc_id",
+            F.col("passage_idx").cast("bigint").alias("passage_idx"),
+            F.size(F.split("p", " ")).alias("n_tokens"),
+            F.md5("p").alias("passage_md5"),
+        )
+        .orderBy("doc_id", "passage_idx")
+    )
+
+
+@query(
     "q_tfidf_top_terms",
     oracle=f"""
 WITH toks AS (
