@@ -383,6 +383,70 @@ def q_pivot_returnflag(spark, sf_dir):
 
 
 @query(
+    "q_stats_aggregates",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+       round(stddev_samp(l_extendedprice), 3) AS sd_price,
+       round(var_samp(l_discount), 6) AS var_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Statistical aggregates (corr/covar/stddev/variance) per "
+    "group — rounded past the accumulation-order noise floor.",
+)
+def q_stats_aggregates(spark, sf_dir):
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qp"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 3).alias("sd_price"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_price_histogram",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000 THEN 13
+            ELSE CAST(FLOOR(o_totalprice / 50000) + 1 AS BIGINT) END AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+""",
+    description="Fixed-width histogram via width_bucket (oracle uses the "
+    "equivalent floor arithmetic) — distribution profiling without a sort.",
+)
+def q_price_histogram(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "bucket_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "q_array_agg_stats",
     oracle="""
 SELECT c_nationkey,
