@@ -69,6 +69,31 @@ def test_stream_dedup_within_watermark(spark):
     assert spark.table("t_dedup").count() == batch_n
 
 
+def test_stream_static_join_equals_batch(spark):
+    """Stream-static join: the static dimension is re-read per micro-
+    batch and joined without streaming state — enrichment-at-ingest."""
+    events = read_table(spark, SF_SMOKE, "events")
+    dim = events.select("user_id").distinct().withColumn(
+        "segment", F.pmod("user_id", F.lit(5))
+    )
+    batch = (
+        events.join(dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stream = (
+        read_events_stream(spark, SF_SMOKE)
+        .withWatermark("ts", "1 hour")
+        .join(dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    run_to_memory_sink(stream, "t_stream_static")
+    got = spark.table("t_stream_static")
+    cols = ["segment", "n_events"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+
+
 def test_foreach_batch_parquet_sink(spark):
     batch = tumbling_counts(read_table(spark, SF_SMOKE, "events"))
     stream = tumbling_counts(
