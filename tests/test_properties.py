@@ -1,0 +1,108 @@
+"""Property tests for the text/dedup operator algebra.
+
+200 adversarial pseudo-random strings (fixed seed: unicode, punctuation
+soup, whitespace runs, empty/short edge shapes) are pushed through the
+operators in ONE DataFrame; each law is asserted as a zero-violations
+count, so the whole suite costs a handful of Spark jobs rather than a
+JVM round-trip per example."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickbom_spark.ext import text as X
+
+
+ALPHABETS = [
+    string.ascii_letters + string.digits + "  ",
+    string.printable,
+    "àéîöü ñçßعربي中文字 🙂🙃 ",
+    " \t\n" + string.punctuation,
+]
+
+
+def make_corpus():
+    rng = random.Random(20260813)
+    texts = ["", " ", "one", "a  b", "x.y,z!"]
+    for _ in range(195):
+        alpha = rng.choice(ALPHABETS)
+        n = rng.randint(0, 300)
+        texts.append("".join(rng.choice(alpha) for _ in range(n)))
+    return texts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    texts = make_corpus()
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    ).cache()
+
+
+def violations(df, cond):
+    return df.where(~F.coalesce(cond, F.lit(False))).count()
+
+
+def test_normalize_idempotent(corpus):
+    norm1 = X.normalize_text(F.col("text"))
+    norm2 = X.normalize_text(X.normalize_text(F.col("text")))
+    assert violations(corpus, norm1 == norm2) == 0
+
+
+def test_normalize_output_charset(corpus):
+    norm = X.normalize_text(F.col("text"))
+    assert violations(corpus, norm.rlike(r"^[a-z0-9 ]*$")) == 0
+    assert violations(corpus, ~norm.rlike("  ")) == 0  # no double spaces
+
+
+def test_token_count_consistency(corpus):
+    assert (
+        violations(
+            corpus, X.token_count(F.col("text")) == F.size(X.tokens(F.col("text")))
+        )
+        == 0
+    )
+
+
+def test_fingerprint_case_and_trailing_punct_invariant(corpus):
+    base = X.fingerprint(F.col("text"))
+    upper = X.fingerprint(F.upper(F.col("text")))
+    punct = X.fingerprint(F.concat(F.col("text"), F.lit("!!! ")))
+    assert violations(corpus, base == upper) == 0
+    assert violations(corpus, base == punct) == 0
+
+
+def test_shingle_count_law(corpus):
+    toks = X.tokens(X.normalize_text(F.col("text")))
+    n = F.size(toks)
+    grams = X.shingles(F.col("text"), 3)
+    short = (n < 3) & (F.size(grams) == 1)
+    long = (n >= 3) & (F.size(grams) >= 1) & (F.size(grams) <= n - 2)
+    assert violations(corpus, short | long) == 0
+
+
+def test_passage_chunks_cover_all_tokens(corpus):
+    toks = X.tokens(X.normalize_text(F.col("text")))
+    chunks = X.passage_chunks(F.col("text"), size=16, stride=8)
+    rejoined = F.array_distinct(
+        F.flatten(F.transform(chunks, lambda c: F.split(c, " ")))
+    )
+    missing = F.size(F.array_except(F.array_distinct(toks), rejoined))
+    # every distinct token must appear in at least one passage
+    assert violations(corpus, missing == 0) == 0
+
+
+def test_winnowing_fingerprints_nonempty_and_bounded(corpus):
+    norm_len = F.length(X.normalize_text(F.col("text")))
+    fps = X.winnowing_fingerprints(F.col("text"))
+    assert violations(corpus, (F.size(fps) >= 1)) == 0
+    assert violations(corpus, F.size(fps) <= F.greatest(norm_len, F.lit(1))) == 0
+
+
+def test_quality_score_bounded(corpus):
+    q = X.quality_score(F.col("text"))
+    assert violations(corpus, (q >= 0.0) & (q <= 1.0)) == 0
