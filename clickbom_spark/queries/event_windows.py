@@ -111,6 +111,77 @@ def q_asof_join_events(spark, sf_dir):
 
 
 @query(
+    "q_funnel_conversion",
+    oracle="""
+WITH views AS (
+  SELECT event_id AS vid, user_id, ts AS vts FROM events WHERE event_type = 'view'
+), first_click AS (
+  SELECT v.vid, v.user_id, v.vts, MIN(c.ts) AS cts
+  FROM views v JOIN events c
+    ON c.user_id = v.user_id AND c.event_type = 'click'
+   AND c.ts > v.vts AND c.ts <= v.vts + INTERVAL 10 MINUTE
+  GROUP BY v.vid, v.user_id, v.vts
+), full_funnel AS (
+  SELECT f.vid, MIN(p.ts) AS pts, f.cts, f.vts
+  FROM first_click f JOIN events p
+    ON p.user_id = f.user_id AND p.event_type = 'purchase'
+   AND p.ts > f.cts AND p.ts <= f.cts + INTERVAL 30 MINUTE
+  GROUP BY f.vid, f.cts, f.vts
+)
+SELECT (SELECT COUNT(*) FROM views) AS n_views,
+       (SELECT COUNT(*) FROM first_click) AS n_view_click,
+       COUNT(*) AS n_full_funnel,
+       SUM(epoch_us(pts) - epoch_us(vts)) AS total_funnel_us
+FROM full_funnel
+""",
+    description="Funnel analysis: view -> click (<=10 min) -> purchase "
+    "(<=30 min after click), first-match semantics via range join + "
+    "min-aggregate at each stage.",
+)
+def q_funnel_conversion(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("vts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    first_click = (
+        views.join(
+            clicks,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("c_ts") > F.col("vts"))
+            & (F.col("c_ts") <= F.col("vts") + F.expr("INTERVAL 10 MINUTE")),
+        )
+        .groupBy("vid", "v_user", "vts")
+        .agg(F.min("c_ts").alias("cts"))
+    )
+    full = (
+        first_click.join(
+            purchases,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_ts") > F.col("cts"))
+            & (F.col("p_ts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTE")),
+        )
+        .groupBy("vid", "vts", "cts")
+        .agg(F.min("p_ts").alias("pts"))
+    )
+    n_views = views.count()
+    n_view_click = first_click.count()
+    return full.agg(
+        F.lit(n_views).cast("bigint").alias("n_views"),
+        F.lit(n_view_click).cast("bigint").alias("n_view_click"),
+        F.count(F.lit(1)).alias("n_full_funnel"),
+        F.sum(F.unix_micros("pts") - F.unix_micros("vts")).alias("total_funnel_us"),
+    )
+
+
+@query(
     "q_session_window_events",
     oracle="""
 WITH marked AS (
