@@ -86,4 +86,5 @@ from clickbom_spark.queries import similarity  # noqa: E402,F401
 from clickbom_spark.queries import event_windows  # noqa: E402,F401
 from clickbom_spark.queries import multimodal  # noqa: E402,F401
 from clickbom_spark.queries import relational2  # noqa: E402,F401
+from clickbom_spark.queries import relational3  # noqa: E402,F401
 from clickbom_spark.queries import scale_ops  # noqa: E402,F401
