@@ -216,6 +216,56 @@ def q13_customer_order_distribution(spark, sf_dir):
 
 
 @query(
+    "q15_top_supplier_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY supplier_no
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN rev r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+    description="TPC-H Q15 pattern: quarterly revenue view, top supplier "
+    "selected by an uncorrelated scalar-max subquery over the same view "
+    "(the view is computed once; the max is a broadcast one-row join).",
+)
+def q15_top_supplier_revenue(spark, sf_dir):
+    lineitem, supplier = load(spark, sf_dir, "lineitem", "supplier")
+    rev_expr = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_expr).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "q16_supplier_part_counts",
     oracle="""
 SELECT p.p_brand, p.p_type, p.p_size,
