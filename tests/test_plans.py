@@ -80,3 +80,40 @@ def test_lsh_paths_join_on_derived_keys(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_semi_join_reduction(spark):
+    """Q18's large-order filter must be a semi-join against the
+    HAVING-filtered aggregate (small set), not a rejoin of two full
+    fact scans followed by a late filter."""
+    plan = plan_of(spark, "q18_large_orders")
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q19_single_join_disjunction(spark):
+    """Q19's three-branch OR predicate must evaluate inside ONE join of
+    lineitem with part — not a union of three separate scans."""
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Union" not in plan, plan
+
+
+def test_q21_no_correlated_subplans(spark):
+    """Q21's EXISTS/NOT-EXISTS semantics are decorrelated into aggregate
+    joins: no nested-loop joins, and lineitem is scanned at most twice
+    (once per aggregate level), never per-row."""
+    plan = plan_of(spark, "q21_sole_latest_shipper")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    lineitem_scans = [ln for ln in scans if "lineitem" in ln]
+    assert len(lineitem_scans) <= 2, plan
+
+
+def test_q16_pruned_dimension_scan(spark):
+    """Q16's part-side predicates (brand != / size <=) must be pushed
+    into the part scan feeding the broadcast."""
+    plan = plan_of(spark, "q16_supplier_part_counts")
+    pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln and "p_size" in ln]
+    assert pushed, plan
