@@ -211,3 +211,48 @@ ORDER BY user_id, session_start
 def q_session_window_events(spark, sf_dir):
     (events,) = load(spark, sf_dir, "events")
     return session_stats(events, "30 minutes").orderBy("user_id", "session_start")
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+WITH f AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+  FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.active_day) // 7 AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT a.user_id) AS active_users
+FROM a JOIN f ON f.user_id = a.user_id
+GROUP BY f.cohort_day, week_offset
+ORDER BY cohort_day, week_offset
+""",
+    description="Cohort retention triangle: users grouped by first-seen "
+    "day, distinct-active counts per (cohort, week offset).  Both the "
+    "first-seen aggregate and the distinct-activity set shuffle on "
+    "user_id, so the join between them is co-partitioned; the final "
+    "rollup is tiny (days x offsets).",
+)
+def q_cohort_retention(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    cohort = events.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = events.select(
+        "user_id", F.col("ts").cast("date").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(F.datediff("active_day", "cohort_day") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
