@@ -471,3 +471,40 @@ def q_array_agg_stats(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+        % 100
+      < CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             THEN 50 ELSE 10 END
+GROUP BY source
+ORDER BY source
+""",
+    description="Stratified deterministic sampling: per-source rates "
+    "(50% for the head sources, 10% for the tail) via md5 hash buckets "
+    "— reproducible downsampling with per-stratum quotas, membership "
+    "identical in any engine; a pure scan-side filter, no shuffle "
+    "before the final rollup.",
+)
+def q_stratified_sample(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    rate = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 50
+    ).otherwise(10)
+    return (
+        docs.where(bucket % 100 < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
