@@ -452,3 +452,69 @@ def q21_sole_latest_shipper(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q_exists_subqueries",
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+ORDER BY c.c_custkey
+""",
+    description="Correlated EXISTS + uncorrelated IN through the SQL "
+    "surface — Catalyst decorrelates both into semi-joins (no per-row "
+    "subplan execution).",
+)
+def q_exists_subqueries(spark, sf_dir):
+    customer, orders, nation = load(spark, sf_dir, "customer", "orders", "nation")
+    customer.createOrReplaceTempView("customer")
+    orders.createOrReplaceTempView("orders")
+    nation.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey = 2)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@query(
+    "q_rolling_time_window",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_7d
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+""",
+    description="Time-based RANGE window frame: per-user 7-day rolling "
+    "purchase value — the frame is bounded by event time, not row "
+    "count (exact decimal accumulation for cross-engine parity).",
+)
+def q_rolling_time_window(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_7d
+        FROM events
+        WHERE event_type = 'purchase'
+        ORDER BY user_id, event_id
+        """
+    )
