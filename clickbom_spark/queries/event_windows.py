@@ -256,3 +256,36 @@ def q_cohort_retention(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_day", "week_offset")
     )
+
+
+@query(
+    "q_keep_latest_event",
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    description="CDC compaction primitive: latest record per "
+    "(user_id, event_type) key via a descending row_number — the "
+    "changelog-to-snapshot op; one hash shuffle on the key, "
+    "deterministic tie-break on event_id.",
+)
+def q_keep_latest_event(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )
