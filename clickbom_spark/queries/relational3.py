@@ -518,3 +518,57 @@ def q_rolling_time_window(spark, sf_dir):
         ORDER BY user_id, event_id
         """
     )
+
+
+@query(
+    "q_fk_integrity_audit",
+    oracle="""
+SELECT 'lineitem.l_orderkey' AS fk, COUNT(*) AS n_rows,
+       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphans
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey', COUNT(*),
+       SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey', COUNT(*),
+       SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+UNION ALL
+SELECT 'orders.o_custkey', COUNT(*),
+       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY fk
+""",
+    description="Referential-integrity audit: orphan counts per FK edge "
+    "in ONE pass per edge (left join + conditional count — no separate "
+    "anti-join scan), unioned into a QA report.  The probe side is the "
+    "PK column only; join strategy is left to AQE (broadcast when the "
+    "key set is small, shuffle join when the referenced table is itself "
+    "fact-sized — a forced broadcast would not survive 100 TB).",
+)
+def q_fk_integrity_audit(spark, sf_dir):
+    lineitem, orders, part, supplier, customer = load(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer"
+    )
+
+    def edge(label, fact, fk, dim, pk):
+        probe = dim.select(F.col(pk))
+        return (
+            fact.join(probe, F.col(pk) == F.col(fk), "left")
+            .agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias("orphans"),
+            )
+        )
+
+    report = (
+        edge("lineitem.l_orderkey", lineitem, "l_orderkey", orders, "o_orderkey")
+        .unionByName(edge("lineitem.l_partkey", lineitem, "l_partkey", part, "p_partkey"))
+        .unionByName(
+            edge("lineitem.l_suppkey", lineitem, "l_suppkey", supplier, "s_suppkey")
+        )
+        .unionByName(edge("orders.o_custkey", orders, "o_custkey", customer, "c_custkey"))
+    )
+    return report.orderBy("fk")
