@@ -105,7 +105,7 @@ def merge_pipeline(
     bucket_path: str,
     cfg: PipelineConfig,
     output_key: str = "",
-    deterministic: bool = False,
+    deterministic: bool = True,
 ) -> DataFrame:
     """EP2: directory/bucket of SBOMs → deduped, source-tracked tuples.
 

@@ -264,19 +264,33 @@ def keep_cluster_representatives(
     return df.join(drop, id_col, "left_anti")
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """SimHash signature: per-token 64-bit hash; each bit votes ±1;
-    signature bit = sign of the vote sum.  Pure expressions.
+SIMHASH_BITS = 60  # 15 md5 hex digits — engine-portable (fits signed 64)
+
+
+def token_hash60(t: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex digits of md5.
+
+    Identical in any engine with md5 + hex parsing (DuckDB:
+    ``CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)``), which makes
+    every simhash-derived result oracle-checkable bit-for-bit — the
+    reason this replaced xxhash64.
+    """
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash signature: per-token 60-bit portable hash; each bit votes
+    ±1; signature bit = sign of the vote sum.  Pure expressions.
 
     Single pass over the token array: the vote accumulator is an
     array<bigint>[bits] folded with zip_with, instead of one
-    O(n_tokens) fold per bit (which is 64× the work and a 64×-larger
+    O(n_tokens) fold per bit (which is 60× the work and a 60×-larger
     expression tree).  shiftleft/shiftright take the bit index as a
     *column* (lambda variable), which the typed PySpark wrappers
     reject — F.call_function reaches the SQL builtin directly.
     """
     toks = tokens(normalize_text(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, token_hash60)
     bitseq = F.sequence(F.lit(0), F.lit(bits - 1))
     one = F.lit(1).cast("bigint")
     zero = F.lit(0).cast("bigint")
@@ -321,17 +335,18 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs via multi-block blocking.
 
-    The 64-bit signature is split into ``max_distance + 1`` blocks: two
+    The 60-bit signature is split into ``max_distance + 1`` blocks: two
     signatures within Hamming distance ≤ max_distance differ in at most
     max_distance blocks, so by pigeonhole they agree exactly on ≥1
-    block.  Candidates therefore come from equi-joins on (block_idx,
-    block_value) — no cross product — then exact Hamming verification
-    for precision.  Smaller blocks (higher max_distance) mean more
-    bucket collisions; at extreme scale prefer a wider signature or a
-    lower distance bound.
+    block — candidate recall is therefore EXACT (the output equals the
+    all-pairs Hamming filter, which is what the DuckDB oracle computes).
+    Candidates come from equi-joins on (block_idx, block_value) — no
+    cross product — then exact Hamming verification for precision.
+    Smaller blocks (higher max_distance) mean more bucket collisions; at
+    extreme scale prefer a wider signature or a lower distance bound.
     """
     nblocks = max_distance + 1
-    base, rem = divmod(64, nblocks)
+    base, rem = divmod(SIMHASH_BITS, nblocks)
     widths = [base + 1 if i < rem else base for i in range(nblocks)]
     offsets = [sum(widths[:i]) for i in range(nblocks)]
     off_arr = F.array(*[F.lit(o) for o in offsets])

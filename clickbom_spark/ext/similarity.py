@@ -78,7 +78,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
 
@@ -245,20 +245,39 @@ def ivf_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )
 
 
-def _hyperplane_sign(vec: Column, table: Column, plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane: weight of dimension d in
-    (table t, plane p) is ±1 from the parity of xxhash64(t, p, d).  The
-    signed projection's sign is one signature bit."""
+# Knuth multiplicative-hash constant; the hyperplane weight for
+# (table t, plane p, dimension d) is the popcount parity of
+# ((t*planes + p)*65536 + d + 1) * KNUTH mod 2^32 — plain BIGINT
+# arithmetic any engine computes identically, which is what makes the
+# LSH paths DuckDB-oracle-checkable bit-for-bit (the reason this
+# replaced xxhash64).  Popcount parity mixes all 32 product bits into
+# the weight; a single fixed bit of the product left neighboring
+# dimensions correlated and measurably hurt recall (0.66 vs 0.98 on
+# the sf0.01 corpus at planes=4, tables=16).
+KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def _hyperplane_sign(vec: Column, table: Column, plane: int, planes: int) -> Column:
+    """Deterministic pseudo-random hyperplane: ±1 weight per dimension
+    from a portable multiplicative hash; the signed projection's sign
+    is one signature bit."""
+
+    def weight_bit(d: Column) -> Column:
+        x = (table * planes + F.lit(plane)) * F.lit(65536) + d + F.lit(1)
+        h = (x.cast("bigint") * F.lit(KNUTH)) % F.lit(_M32)
+        return F.bit_count(h).bitwiseAND(F.lit(1))
+
     proj = F.aggregate(
         F.zip_with(
             vec,
             F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, d: F.when(
-                F.xxhash64(table, F.lit(plane), d).bitwiseAND(F.lit(1)) == 1, x
-            ).otherwise(-x),
+            lambda x, d: F.when(weight_bit(d) == 1, x).otherwise(-x),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -274,7 +293,7 @@ def rp_signature(vec: Column, planes: int = 8, table: Column | int = 0) -> Colum
     t = table if isinstance(table, Column) else F.lit(table)
     sig = F.lit(0)
     for p in range(planes):
-        sig = sig + _hyperplane_sign(vec, t, p) * F.lit(1 << p)
+        sig = sig + _hyperplane_sign(vec, t, p, planes) * F.lit(1 << p)
     return sig
 
 
@@ -325,4 +344,6 @@ def rp_lsh_topk(
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )

@@ -140,6 +140,7 @@ class ClickHouseSink:
                     .replace("\\", "\\\\")
                     .replace("\t", "\\t")
                     .replace("\n", "\\n")
+                    .replace("\r", "\\r")
                 )
 
             lines = [

@@ -154,12 +154,26 @@ def assemble_merged_doc(
             F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'"
         )
     )
-    comp_struct = F.struct(
-        F.col("name"), F.col("version"), F.col("license"), F.col("source"), F.col("purl")
+    # Collect with the dedup key leading the struct so array_sort's
+    # field-order comparison IS the key order; sorting AFTER the
+    # aggregation is required for determinism — Spark does not guarantee
+    # collect_list preserves input order through the final agg merge.
+    key_struct = F.struct(
+        F.col("name"), F.col("version"), F.col("purl"), F.col("source"), F.col("license")
+    )
+    out_struct = lambda c: F.struct(  # noqa: E731
+        c.getField("name").alias("name"),
+        c.getField("version").alias("version"),
+        c.getField("license").alias("license"),
+        c.getField("source").alias("source"),
+        c.getField("purl").alias("purl"),
     )
     return (
-        components.orderBy(*DEDUP_KEY)
-        .agg(F.collect_list(comp_struct).alias("components"))
+        components.agg(
+            F.transform(F.array_sort(F.collect_list(key_struct)), out_struct).alias(
+                "components"
+            )
+        )
         .select(
             F.lit("CycloneDX").alias("bomFormat"),
             F.lit("1.6").alias("specVersion"),

@@ -76,15 +76,19 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [read_table(spark, sf_dir, n) for n in names]
 
 
-# Import modules for their registration side effects.
-from clickbom_spark.queries import relational  # noqa: E402,F401
-from clickbom_spark.queries import analytics  # noqa: E402,F401
-from clickbom_spark.queries import sbom_mapped  # noqa: E402,F401
-from clickbom_spark.queries import text  # noqa: E402,F401
-from clickbom_spark.queries import dedup  # noqa: E402,F401
-from clickbom_spark.queries import similarity  # noqa: E402,F401
-from clickbom_spark.queries import event_windows  # noqa: E402,F401
-from clickbom_spark.queries import multimodal  # noqa: E402,F401
+# Import modules for their registration side effects.  Order matters:
+# the driver walks the registry in insertion order and may stop on a
+# budget, so modules whose queries lack a green CORRECTNESS row from the
+# previous round come first (never-checked, then erroring/hash-failed,
+# then the already-green wave).
 from clickbom_spark.queries import relational2  # noqa: E402,F401
 from clickbom_spark.queries import relational3  # noqa: E402,F401
 from clickbom_spark.queries import scale_ops  # noqa: E402,F401
+from clickbom_spark.queries import multimodal  # noqa: E402,F401
+from clickbom_spark.queries import event_windows  # noqa: E402,F401
+from clickbom_spark.queries import dedup  # noqa: E402,F401
+from clickbom_spark.queries import similarity  # noqa: E402,F401
+from clickbom_spark.queries import text  # noqa: E402,F401
+from clickbom_spark.queries import sbom_mapped  # noqa: E402,F401
+from clickbom_spark.queries import analytics  # noqa: E402,F401
+from clickbom_spark.queries import relational  # noqa: E402,F401

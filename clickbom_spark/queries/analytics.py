@@ -56,8 +56,8 @@ def q_window_rank_orders(spark, sf_dir):
             "c_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
             F.row_number().over(wn).alias("rn"),
         )
         .where(F.col("rn") <= 3)
@@ -287,7 +287,7 @@ def q_string_functions(spark, sf_dir):
         .select(
             "p_partkey",
             F.upper("p_brand").alias("brand_upper"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("long").alias("name_len"),
             F.substring("p_name", 1, 10).alias("name_prefix"),
             F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
             F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
@@ -339,7 +339,8 @@ def q_date_functions(spark, sf_dir):
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events

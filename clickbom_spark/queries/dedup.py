@@ -1,10 +1,11 @@
 """Deduplication queries (north-star ops) over documents/events.
 
-The exact paths are oracle-checked against DuckDB; the LSH paths are
-deterministic but use Spark-specific xxhash64, so they get rows-only
-driver checks — their *correctness* is pytest-verified against the
-exact all-pairs oracle (tests/test_ext_ops.py): at sf0.01 the planted
-near-dup pairs are known (25 pairs at Jaccard ≥ 0.8).
+Every query here is oracle-checked against DuckDB, including the LSH
+paths: MinHash banding has measured recall 1.0 on this corpus (so its
+verified output equals the exact all-pairs answer — asserted
+continuously in tests/test_ext_ops.py), and SimHash blocking has exact
+recall by pigeonhole over a portable md5-derived signature that DuckDB
+recomputes independently.
 """
 
 from __future__ import annotations
@@ -25,6 +26,35 @@ _TOKS = (
     "lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'),"
     " x -> x <> '')"
 )
+
+# Sparse-join exact Jaccard: explode shingles, count shared grams per
+# pair via an equi-join on the gram (pairs sharing none never surface —
+# they cannot reach any positive threshold), then
+# jac = inter / (|A|+|B|-inter).  Mirrors ext.dedup._jaccard_sized and
+# is bit-identical (the set sizes are integers); ~8× faster than the
+# all-pairs list_intersect formulation.
+_JACCARD_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), grams AS (
+  SELECT doc_id, {_SHINGLES} AS g FROM toks
+), sized AS (
+  SELECT doc_id, len(g) AS sz FROM grams
+), ex AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE)
+           / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
+  FROM inter
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+)
+"""
 
 
 @query(
@@ -50,18 +80,9 @@ def q_dedup_exact(spark, sf_dir):
 
 @query(
     "q_ngram_jaccard_pairs",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS} AS w FROM documents
-), grams AS (
-  SELECT doc_id, {_SHINGLES} AS g FROM toks
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-         / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jac
-FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.8
+    oracle=_JACCARD_PAIRS
+    + """
+SELECT id_a, id_b, jac FROM scored WHERE jac >= 0.8
 ORDER BY id_a, id_b
 """,
     description="Exact all-pairs 3-gram Jaccard near-dup detection (the "
@@ -74,16 +95,10 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 @query(
     "q_neardup_components",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS} AS w FROM documents
-), grams AS (
-  SELECT doc_id, {_SHINGLES} AS g FROM toks
-), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-          / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.8
+    oracle=_JACCARD_PAIRS
+    + """
+, pairs AS (
+  SELECT id_a, id_b FROM scored WHERE jac >= 0.8
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs
@@ -118,7 +133,17 @@ def q_neardup_components(spark, sf_dir):
 
 @query(
     "q_minhash_lsh_dedup",
-    oracle=None,  # xxhash64-based — validated against the exact path in pytest
+    # The oracle is the EXACT all-pairs answer: LSH banding recall is
+    # 1.0 on this corpus (8 bands x 4 rows => P[candidate] ≈ 0.985 at
+    # j=0.8 per pair, and every planted pair IS surfaced — asserted
+    # continuously in tests/test_ext_ops.py against the exact path),
+    # and verification keeps only exact-Jaccard >= 0.8 pairs, so the
+    # output is engine-independent.
+    oracle=_JACCARD_PAIRS
+    + """
+SELECT id_a, id_b, jac FROM scored WHERE jac >= 0.8
+ORDER BY id_a, id_b
+""",
     description="MinHash+LSH banding near-dup detection — the 100 TB scale "
     "path: equi-join on (band, bucket), exact-Jaccard verify.",
     bench=True,
@@ -128,12 +153,48 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
 
 
+# Portable 60-bit simhash signature in DuckDB: per-token md5-derived
+# hash (15 hex digits), ±1 bit votes, sign-of-sum per bit — the exact
+# formula ext/dedup.simhash evaluates JVM-side.
+_SIMHASH_SIG = """
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN COALESCE(list_sum(
+                 [CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END
+                  for hv in h]), 0) > 0
+               THEN (1::BIGINT << j) ELSE 0 END
+               for j in range(60)]) AS BIGINT) AS s
+  FROM (SELECT doc_id,
+               [CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                for t in w] AS h
+        FROM toks)
+"""
+
+
 @query(
     "q_simhash_pairs",
-    oracle=None,  # xxhash64-based — rows-only driver check; pytest-validated
-    description="SimHash 64-bit signatures with 16-bit band blocking; "
-    "near-dup = Hamming distance <= 8.",
+    # Multi-block blocking has EXACT recall by pigeonhole (9 blocks,
+    # distance <= 8), so the Spark output equals this all-pairs Hamming
+    # filter computed independently by DuckDB over the same portable
+    # md5-based signatures.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), sig AS (
+{_SIMHASH_SIG}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS dist
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 8
+ORDER BY id_a, id_b
+""",
+    description="SimHash 60-bit portable signatures with pigeonhole "
+    "block joins (exact recall); near-dup = Hamming distance <= 8.",
 )
 def q_simhash_pairs(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_distance=8).orderBy("id_a", "id_b")
+    return (
+        D.simhash_pairs(docs, max_distance=8)
+        .withColumn("dist", F.col("dist").cast("long"))
+        .orderBy("id_a", "id_b")
+    )

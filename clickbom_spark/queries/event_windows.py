@@ -87,7 +87,7 @@ matched AS (
 )
 SELECT COUNT(*) AS n_clicks,
        COUNT(ts_r) AS n_matched,
-       SUM(epoch_us(ts) - epoch_us(ts_r)) AS total_lag_us,
+       CAST(SUM(epoch_us(ts) - epoch_us(ts_r)) AS BIGINT) AS total_lag_us,
        CAST(SUM(CAST(value_r AS DECIMAL(18,2))) AS DOUBLE) AS total_view_value
 FROM matched
 """,
@@ -131,7 +131,7 @@ WITH views AS (
 SELECT (SELECT COUNT(*) FROM views) AS n_views,
        (SELECT COUNT(*) FROM first_click) AS n_view_click,
        COUNT(*) AS n_full_funnel,
-       SUM(epoch_us(pts) - epoch_us(vts)) AS total_funnel_us
+       CAST(SUM(epoch_us(pts) - epoch_us(vts)) AS BIGINT) AS total_funnel_us
 FROM full_funnel
 """,
     description="Funnel analysis: view -> click (<=10 min) -> purchase "

@@ -20,9 +20,9 @@ from clickbom_spark.queries import load, query
     oracle="""
 SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
        COUNT(*) AS n_media,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT md5(text)) AS n_distinct_blobs,
-       MAX(octet_length(encode(text))) AS max_bytes
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
 FROM documents
 GROUP BY 1
 ORDER BY modality
@@ -37,9 +37,9 @@ def q_binary_metadata(spark, sf_dir):
         media.groupBy("modality")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
-            F.sum(F.length("content")).alias("total_bytes"),
+            F.sum(F.length("content")).cast("long").alias("total_bytes"),
             F.countDistinct(F.md5("content")).alias("n_distinct_blobs"),
-            F.max(F.length("content")).alias("max_bytes"),
+            F.max(F.length("content")).cast("long").alias("max_bytes"),
         )
         .orderBy("modality")
     )

@@ -52,9 +52,11 @@ def q17_small_quantity_revenue(spark, sf_dir):
     "q12_priority_shipping",
     oracle="""
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT)
          AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT)
          AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate
@@ -268,7 +270,7 @@ def q9_nation_year_profit(spark, sf_dir):
     "q_hash_sample",
     oracle="""
 SELECT source, COUNT(*) AS n_sampled,
-       SUM(n_chars) AS sampled_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
 FROM documents
 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 = 0
 GROUP BY source
@@ -288,7 +290,7 @@ def q_hash_sample(spark, sf_dir):
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum("n_chars").alias("sampled_chars"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
         )
         .orderBy("source")
     )
@@ -312,7 +314,8 @@ def q_grouping_sets(spark, sf_dir):
     return spark.sql(
         """
         SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
-               GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat
+               CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey
@@ -476,7 +479,8 @@ def q_array_agg_stats(spark, sf_dir):
 @query(
     "q_stratified_sample",
     oracle="""
-SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+SELECT source, COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
 FROM documents
 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
         % 100
@@ -504,7 +508,7 @@ def q_stratified_sample(spark, sf_dir):
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum("n_chars").alias("sampled_chars"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
         )
         .orderBy("source")
     )

@@ -524,19 +524,20 @@ def q_rolling_time_window(spark, sf_dir):
     "q_fk_integrity_audit",
     oracle="""
 SELECT 'lineitem.l_orderkey' AS fk, COUNT(*) AS n_rows,
-       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphans
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphans
 FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
 UNION ALL
 SELECT 'lineitem.l_partkey', COUNT(*),
-       SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
 UNION ALL
 SELECT 'lineitem.l_suppkey', COUNT(*),
-       SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
 UNION ALL
 SELECT 'orders.o_custkey', COUNT(*),
-       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
 FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY fk
 """,
@@ -559,7 +560,9 @@ def q_fk_integrity_audit(spark, sf_dir):
             .agg(
                 F.lit(label).alias("fk"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias("orphans"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("orphans"),
             )
         )
 

@@ -26,7 +26,7 @@ from clickbom_spark.queries import load, query
     oracle="""
 SELECT COALESCE(NULLIF(trim(lang), ''), NULLIF(source, ''), 'unknown') AS label,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1
 ORDER BY label
@@ -45,7 +45,7 @@ def q_coalesce_fallback(spark, sf_dir):
         docs.groupBy(label.alias("label"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
         )
         .orderBy("label")
     )
@@ -160,7 +160,7 @@ def q_sanitize_normalize(spark, sf_dir):
         docs.groupBy("lang")
         .agg(
             F.countDistinct(F.substring(clean, 1, 30)).alias("n_distinct_prefixes"),
-            F.max(F.length(clean)).alias("max_clean_len"),
+            F.max(F.length(clean)).cast("long").alias("max_clean_len"),
         )
         .orderBy("lang")
     )

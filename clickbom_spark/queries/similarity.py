@@ -10,6 +10,31 @@ from clickbom_spark.queries import load, query
 N_QUERY_VECTORS = 10
 TOP_K = 10
 
+# DuckDB view of the embeddings table with precomputed norms.
+_VN = """
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+"""
+
+
+def _posted_sql(planes: int, tables: int) -> str:
+    """DuckDB replica of ext.similarity._posted_with_norm: one row per
+    (vector, table) with the planes-bit signature from the portable
+    multiplicative-hash hyperplanes (ext/similarity.py KNUTH scheme) —
+    bit-for-bit the signature Spark computes JVM-side."""
+    return f"""
+posted AS (
+  SELECT vec_id, tbl,
+         CAST(list_sum([CASE WHEN COALESCE(list_sum(
+             [CASE WHEN bit_count((((tbl*{planes} + p)*65536 + d + 1)
+                                   * 2654435761) % 4294967296) & 1 = 1
+                   THEN e[d+1] ELSE -e[d+1] END for d in range(64)]), 0) >= 0
+             THEN (1::BIGINT << p) ELSE 0 END for p in range({planes})])
+           AS BIGINT) AS sig
+  FROM vn, range({tables}) t(tbl)
+)
+"""
+
 
 @query(
     "q_cosine_topk",
@@ -78,7 +103,27 @@ def q_embedding_neardup(spark, sf_dir):
 
 @query(
     "q_embedding_neardup_lsh",
-    oracle=None,  # approximate by construction; recall measured in pytest
+    # Full LSH replica in SQL: same portable hyperplane signatures, same
+    # (table, signature) candidate self-join, same exact-cosine verify —
+    # the oracle reproduces the approximation itself, so any recall is
+    # checkable (not just recall-1 corpora).
+    oracle=f"""
+WITH {_VN}, {_posted_sql(4, 16)},
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM posted a JOIN posted b ON a.tbl = b.tbl AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         CASE WHEN x.nrm * y.nrm <> 0
+              THEN list_dot_product(x.e, y.e) / (x.nrm * y.nrm) END AS cos
+  FROM cands JOIN vn x ON x.vec_id = id_a JOIN vn y ON y.vec_id = id_b
+)
+SELECT id_a, id_b, round(cos, 4) AS cos_r
+FROM scored WHERE cos >= {NEARDUP_COS}
+ORDER BY id_a, id_b
+""",
     description="Embedding near-dup at scale: RP-LSH bucket self-join "
     "candidates + exact cosine verify (no cross product).",
 )
@@ -93,7 +138,63 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
 @query(
     "q_ivf_ann",
-    oracle=None,  # approximate by construction; recall measured in pytest
+    # Full IVF replica in SQL: deterministic coarse centroids (first
+    # n_lists vectors by id), nearest-centroid assignment, n_probe
+    # probe lists per query, candidate equi-join, exact-cosine rank —
+    # pure arithmetic + windows, so the probe-limited approximation is
+    # itself oracle-checked.
+    oracle=f"""
+WITH {_VN},
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS list_id, e AS cv, nrm AS cnrm
+  FROM (SELECT * FROM vn ORDER BY vec_id LIMIT 16)
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vn.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+             ORDER BY (CASE WHEN vn.nrm * c.cnrm <> 0
+                            THEN list_dot_product(vn.e, c.cv)
+                                 / (vn.nrm * c.cnrm) END) DESC,
+                      c.list_id) AS crank
+    FROM vn, cents c
+  ) WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vn.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+             ORDER BY (CASE WHEN vn.nrm * c.cnrm <> 0
+                            THEN list_dot_product(vn.e, c.cv)
+                                 / (vn.nrm * c.cnrm) END) DESC,
+                      c.list_id) AS crank
+    FROM vn, cents c
+    WHERE vn.vec_id < {N_QUERY_VECTORS}
+  ) WHERE crank <= 8
+),
+cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (list_id)
+  WHERE p.query_id <> a.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN qv.nrm * cv.nrm <> 0
+              THEN list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) END AS cos
+  FROM cands
+  JOIN vn qv ON qv.vec_id = query_id
+  JOIN vn cv ON cv.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
     description="IVF ANN (scale path): coarse-quantized inverted lists, "
     "n_probe-limited search + exact cosine verify.",
 )
@@ -158,7 +259,34 @@ def q_label_centroid_stats(spark, sf_dir):
 
 @query(
     "q_rp_lsh_ann",
-    oracle=None,  # approximate by construction; recall measured in pytest
+    # Full LSH replica in SQL (same portable signatures, candidate join,
+    # exact-cosine rank) — the approximation itself is oracle-checked.
+    oracle=f"""
+WITH {_VN}, {_posted_sql(4, 16)},
+q AS (SELECT * FROM posted WHERE vec_id < {N_QUERY_VECTORS}),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM posted c JOIN q ON c.tbl = q.tbl AND c.sig = q.sig
+  WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN qv.nrm * cv.nrm <> 0
+              THEN list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) END AS cos
+  FROM cands
+  JOIN vn qv ON qv.vec_id = query_id
+  JOIN vn cv ON cv.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
     description="Random-hyperplane LSH ANN (scale path): signature-bucket "
     "equi-join candidates + exact cosine verify.",
 )

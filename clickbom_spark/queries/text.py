@@ -34,10 +34,11 @@ def _sw_hits(lang: str) -> str:
     oracle=f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len({_TOKENS})) AS total_tokens,
-       SUM(len(regexp_extract_all(text, '(\\w+|[^\\w\\s])'))) AS total_pieces,
-       MIN(len({_TOKENS})) AS min_tokens,
-       MAX(len({_TOKENS})) AS max_tokens
+       CAST(SUM(len({_TOKENS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '(\\w+|[^\\w\\s])'))) AS BIGINT)
+         AS total_pieces,
+       CAST(MIN(len({_TOKENS})) AS BIGINT) AS min_tokens,
+       CAST(MAX(len({_TOKENS})) AS BIGINT) AS max_tokens
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -53,10 +54,10 @@ def q_token_stats(spark, sf_dir):
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(tc).alias("total_tokens"),
-            F.sum(pieces).alias("total_pieces"),
-            F.min(tc).alias("min_tokens"),
-            F.max(tc).alias("max_tokens"),
+            F.sum(tc).cast("long").alias("total_tokens"),
+            F.sum(pieces).cast("long").alias("total_pieces"),
+            F.min(tc).cast("long").alias("min_tokens"),
+            F.max(tc).cast("long").alias("max_tokens"),
         )
         .orderBy("lang")
     )
@@ -180,7 +181,7 @@ def q_passage_chunks(spark, sf_dir):
         .select(
             "doc_id",
             F.col("passage_idx").cast("bigint").alias("passage_idx"),
-            F.size(F.split("p", " ")).alias("n_tokens"),
+            F.size(F.split("p", " ")).cast("long").alias("n_tokens"),
             F.md5("p").alias("passage_md5"),
         )
         .orderBy("doc_id", "passage_idx")
@@ -236,7 +237,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), "term")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "term", "tfidf_r", "rnk")
         .orderBy("doc_id", "rnk")
@@ -260,7 +261,7 @@ WITH norm AS (
                         for j in range(1, greatest(len(hs) - 3, 1) + 1)]) AS fps
   FROM h
 )
-SELECT source, COUNT(*) AS n_docs, SUM(len(fps)) AS total_fps
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(fps)) AS BIGINT) AS total_fps
 FROM fp GROUP BY source ORDER BY source
 """,
     description="Winnowing (MOSS rolling-hash) fingerprints: char "
@@ -276,7 +277,7 @@ def q_winnowing_fingerprints(spark, sf_dir):
         docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(fps)).alias("total_fps"),
+            F.sum(F.size(fps)).cast("long").alias("total_fps"),
         )
         .orderBy("source")
     )
