@@ -28,6 +28,28 @@ from pyspark.sql import functions as F
 from clickbom_spark.ext.text import fan_out, normalize_text, shingles, tokens
 
 
+#: Inputs larger than this may not take an O(n²) all-pairs oracle path.
+ORACLE_MAX_ROWS = 50_000
+
+
+def guard_oracle_size(df: DataFrame, op: str, scale_twin: str) -> DataFrame:
+    """Refuse to run an O(n²) oracle-path operator on at-scale input.
+
+    The all-pairs operators exist to validate their LSH/IVF scale twins
+    and would melt a cluster on real corpora; this counts at most
+    ORACLE_MAX_ROWS+1 rows (a bounded scan, not a full count) and fails
+    fast with a pointer to the scale path.
+    """
+    n = df.limit(ORACLE_MAX_ROWS + 1).count()
+    if n > ORACLE_MAX_ROWS:
+        raise ValueError(
+            f"{op} is the O(n²) oracle path and refuses inputs over "
+            f"{ORACLE_MAX_ROWS} rows (got >{ORACLE_MAX_ROWS}); use "
+            f"{scale_twin} at scale"
+        )
+    return df
+
+
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact duplicate removal on a column set (hash-shuffle keep-first)."""
     return df.dropDuplicates(cols)
@@ -70,7 +92,10 @@ def ngram_jaccard_pairs(
     """All-pairs exact n-gram Jaccard (the O(n²) reference/oracle path).
 
     Returns (id_a, id_b, jac) for id_a < id_b with jac >= threshold.
+    Size-guarded: refuses inputs over ORACLE_MAX_ROWS — the scale path
+    is minhash_lsh_pairs.
     """
+    df = guard_oracle_size(df, "ngram_jaccard_pairs", "minhash_lsh_pairs")
     g = fan_out(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("grams")
     ).withColumn("sz", F.size("grams"))

@@ -155,17 +155,80 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: with no codec present, raises at plan-build time
-    rather than per-row at run time (fail fast, not 10^9 task errors).
-    The metadata-only projection shows the intended output shape."""
-    if not _HAS_PIL:
+    """Resize image rows to (width, height) via Arrow-batched mapInPandas.
+
+    Two decode kernels behind the format switch:
+
+    - ``raw`` (the synthetic corpus, and any pre-decoded pixel buffer):
+      REAL nearest-neighbor resampling in numpy over a meta.width ×
+      meta.height single-channel buffer — no codec needed.  Content
+      shorter than w·h is zero-padded (opaque-bytes contract: decode
+      never throws on short rows, it degrades deterministically).
+    - encoded formats (png/jpeg/...): requires PIL; with no codec in
+      the environment the plan FAILS FAST at build time rather than
+      raising per-row across 10^9 tasks.
+    """
+    fmts = [r["fmt"] for r in media.select(
+        F.col("meta.format").alias("fmt")
+    ).distinct().collect()]
+    encoded = [f for f in fmts if f != "raw"]
+    if encoded and not _HAS_PIL:
         raise NotImplementedError(
-            "resize_media requires an image codec (PIL); not available in "
-            "this environment — decode plumbing is exercised via "
-            "decode_media's deterministic fake instead"
+            f"resize_media over encoded formats {encoded} requires an image "
+            "codec (PIL), which is not available in this environment; "
+            "'raw' buffers resize codec-free"
         )
-    raise NotImplementedError("real PIL resize path not implemented yet")
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_content = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                if meta["format"] == "raw":
+                    w, h = int(meta["width"]), int(meta["height"])
+                    buf = np.zeros(w * h, dtype=np.uint8)
+                    src = np.frombuffer(row["content"] or b"", dtype=np.uint8)
+                    buf[: min(src.size, w * h)] = src[: w * h]
+                    img = buf.reshape(h, w)
+                    ys = (np.arange(height) * h // height).clip(0, h - 1)
+                    xs = (np.arange(width) * w // width).clip(0, w - 1)
+                    out_content.append(img[np.ix_(ys, xs)].tobytes())
+                else:  # pragma: no cover - needs PIL, absent here
+                    from io import BytesIO
+
+                    from PIL import Image
+
+                    im = Image.open(BytesIO(row["content"])).resize(
+                        (width, height), Image.NEAREST
+                    )
+                    out_content.append(np.asarray(im, dtype=np.uint8).tobytes())
+            meta_out = [
+                {**m, "width": width, "height": height} for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content": out_content,
+                    "meta": meta_out,
+                }
+            )
+
+    images = media.where(F.col("modality") == "image")
+    return images.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, k: int = 2) -> DataFrame:

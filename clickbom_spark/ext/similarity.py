@@ -6,7 +6,8 @@
   by window rank.  At 100 TB-scale corpora the corpus side stays
   partitioned; only the query set broadcasts.
 - ``rp_lsh_topk``: random-hyperplane LSH — deterministic hyperplanes
-  derived from xxhash (no RNG state to ship), signature = sign bits,
+  derived from a portable multiplicative hash (no RNG state to ship,
+  replicable in any engine), signature = sign bits,
   candidates = bucket equi-join on signature prefix, verified by exact
   cosine within buckets.  The scale path: cost O(n) hashing + bucketed
   verification instead of O(n·q) full scan.
@@ -61,7 +62,14 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, cos, rank), rank 1..k, self-match
     excluded, ties broken by neighbor id (fully deterministic).
+
+    Cost is O(|queries| · |corpus|): the corpus side stays partitioned
+    (linear scan), but the query side is broadcast — so the QUERY set is
+    size-guarded; use rp_lsh_topk / ivf_topk for large query sets.
     """
+    from clickbom_spark.ext.dedup import guard_oracle_size
+
+    queries = guard_oracle_size(queries, "brute_force_topk(queries)", "rp_lsh_topk")
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     )
@@ -92,7 +100,13 @@ def cosine_neardup_pairs(
     """Exact all-pairs embedding near-dup: (id_a, id_b, cos) with
     cos >= threshold, id_a < id_b.  O(n²) — the oracle path; the LSH
     variant below is the scale path.  Norms are computed once per row
-    before the join, not per pair."""
+    before the join, not per pair.  Size-guarded: refuses inputs over
+    ORACLE_MAX_ROWS."""
+    from clickbom_spark.ext.dedup import guard_oracle_size
+
+    corpus = guard_oracle_size(
+        corpus, "cosine_neardup_pairs", "cosine_neardup_pairs_lsh"
+    )
     v = fan_out(corpus).select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))

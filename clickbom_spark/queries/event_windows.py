@@ -171,13 +171,20 @@ def q_funnel_conversion(spark, sf_dir):
         .groupBy("vid", "vts", "cts")
         .agg(F.min("p_ts").alias("pts"))
     )
-    n_views = views.count()
-    n_view_click = first_click.count()
-    return full.agg(
-        F.lit(n_views).cast("bigint").alias("n_views"),
-        F.lit(n_view_click).cast("bigint").alias("n_view_click"),
-        F.count(F.lit(1)).alias("n_full_funnel"),
-        F.sum(F.unix_micros("pts") - F.unix_micros("vts")).alias("total_funnel_us"),
+    # Stage counts as in-plan broadcast scalars (1-row aggregates), not
+    # driver-side .count() calls — one job, no synchronous pre-passes.
+    n_views = views.agg(F.count(F.lit(1)).alias("n_views"))
+    n_view_click = first_click.agg(F.count(F.lit(1)).alias("n_view_click"))
+    return (
+        full.agg(
+            F.count(F.lit(1)).alias("n_full_funnel"),
+            F.sum(F.unix_micros("pts") - F.unix_micros("vts")).alias(
+                "total_funnel_us"
+            ),
+        )
+        .join(F.broadcast(n_views))
+        .join(F.broadcast(n_view_click))
+        .select("n_views", "n_view_click", "n_full_funnel", "total_funnel_us")
     )
 
 

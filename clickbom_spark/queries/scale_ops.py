@@ -42,16 +42,33 @@ def q_salted_agg_events(spark, sf_dir):
 
 @query(
     "q_approx_distinct",
-    oracle=None,  # HLL sketch: engine-specific; accuracy bounded in pytest
+    # The raw HLL estimate is engine-specific, but its ERROR BOUND is
+    # checkable: the query emits the exact distinct count alongside a
+    # within-2%-of-exact flag for the sketch (HLL union is commutative,
+    # so the estimate is deterministic regardless of partitioning).  The
+    # oracle computes the exact counts and asserts the flag is true —
+    # a real correctness contract for a sketch aggregate.
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       true AS approx_within_2pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
     description="approx_count_distinct (HyperLogLog++) — the sketch "
-    "aggregate for cardinality at 100 TB; rsd 0.01.",
+    "aggregate for cardinality at 100 TB; rsd 0.01, checked to land "
+    "within 2% of the exact count.",
 )
 def q_approx_distinct(spark, sf_dir):
     (events,) = load(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    exact = F.countDistinct("user_id")
     return (
         events.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            exact.alias("exact_users"),
+            (F.abs(approx - exact) <= 0.02 * exact).alias("approx_within_2pct"),
         )
         .orderBy("event_type")
     )

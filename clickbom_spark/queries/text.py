@@ -227,13 +227,22 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
-        ).alias("tfidf_r"),
+    # Corpus size as an in-plan broadcast scalar (1-row aggregate), not a
+    # driver-side .count() — keeps the whole query one job and scales to
+    # any corpus without a synchronous pre-pass.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs_total"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs_total") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf_r"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), "term")
     return (

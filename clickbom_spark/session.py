@@ -65,6 +65,14 @@ def get_spark(
     return spark
 
 
+# (session id, sf_dir, table) → DataFrame.  A DataFrame is just an
+# analyzed plan — caching it skips the per-call parquet footer read and
+# conf RPC when a harness runs many registry queries over the same
+# tables in one session.  Keyed by id(spark) so a new session never
+# sees plans bound to a dead one.
+_READ_CACHE: dict[tuple[int, str, str], "object"] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one corpus table, normalizing physical quirks.
 
@@ -78,6 +86,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    key = (id(spark), sf_dir, name)
+    cached = _READ_CACHE.get(key)
+    if cached is not None:
+        return cached
     # Runtime-settable: the driver contract hands us an externally built
     # SparkSession, so the conf cannot be assumed preset by get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -85,6 +97,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _READ_CACHE[key] = df
     return df
 
 

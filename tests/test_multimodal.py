@@ -69,6 +69,45 @@ def test_sample_frames_deterministic_slices(spark, media):
             assert bytes(fr["frame_bytes"]) == row["content"][start : start + frame_len]
 
 
-def test_resize_stub_fails_fast(media):
+def test_resize_raw_matches_local_numpy(media):
+    """The raw-format nearest-neighbor resize must agree byte-for-byte
+    with a local numpy recomputation (zero-padded 64x48 buffer, sampled
+    at floor-scaled indices)."""
+    out = {
+        r["media_id"]: bytes(r["content"])
+        for r in M.resize_media(media, 16, 12).collect()
+    }
+    src = {
+        r["media_id"]: (bytes(r["content"]), r["meta"])
+        for r in media.where(F.col("modality") == "image").collect()
+    }
+    assert set(out) == set(src)
+    for mid, (content, meta) in src.items():
+        w, h = meta["width"], meta["height"]
+        buf = np.zeros(w * h, dtype=np.uint8)
+        arr = np.frombuffer(content, dtype=np.uint8)[: w * h]
+        buf[: arr.size] = arr
+        img = buf.reshape(h, w)
+        ys = (np.arange(12) * h // 12).clip(0, h - 1)
+        xs = (np.arange(16) * w // 16).clip(0, w - 1)
+        assert out[mid] == img[np.ix_(ys, xs)].tobytes()
+        assert len(out[mid]) == 16 * 12
+
+
+def test_resize_encoded_fails_fast_without_codec(spark, media):
+    """Encoded formats still fail at plan-build time when no codec is
+    importable (never per-row inside tasks)."""
+    if M._HAS_PIL:
+        pytest.skip("PIL available; encoded path would run")
+    encoded = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_frames").alias("n_frames"),
+            F.lit("png").alias("format"),
+        ),
+    )
     with pytest.raises(NotImplementedError):
-        M.resize_media(media, 32, 32)
+        M.resize_media(encoded, 32, 32)

@@ -360,3 +360,54 @@ def test_default_source_values():
 def test_derive_table_name():
     assert M.derive_table_name("sboms/My-App.json") == "sboms_my_app_json"
     assert M.derive_table_name("key", merged=True) == "key_merged"
+
+
+# ---------- J1 license dictionary at reference scale ----------
+
+
+def test_license_mapping_dictionary_scale(spark, tmp_path):
+    """Load a reference-shaped dictionary (947 entries, flat
+    {package-name: spdx-id} JSON — the shape and size of the
+    reference's license-mappings.json:1-949) and assert the patch
+    semantics over the full unknown/''/null sentinel matrix at
+    dictionary scale."""
+    import json
+
+    from clickbom_spark.ops.components import (
+        load_license_mappings,
+        map_unknown_licenses,
+    )
+
+    licenses = ["MIT", "Apache-2.0", "ISC", "BSD-3-Clause", "GPL-3.0-only"]
+    mapping = {
+        f"@scope-{i % 40}/pkg-{i}": licenses[i % len(licenses)]
+        for i in range(947)
+    }
+    path = tmp_path / "license-mappings.json"
+    path.write_text(json.dumps(mapping))
+
+    dim = load_license_mappings(spark, str(path))
+    assert dim.count() == 947
+    assert dim.columns == ["name", "license"]
+
+    # components hitting every (sentinel × in-dict) combination
+    sentinels = ["unknown", "", "null"]
+    rows = []
+    for i, s in enumerate(sentinels):
+        rows.append((f"@scope-{i % 40}/pkg-{i}", "1.0", s, "src", ""))  # mapped
+        rows.append((f"not-in-dict-{i}", "1.0", s, "src", ""))  # unmapped
+    rows.append(("@scope-0/pkg-0", "1.0", "BSD-2-Clause", "src", ""))  # real kept
+    comps = spark.createDataFrame(
+        rows, ["name", "version", "license", "source", "purl"]
+    )
+
+    out = {
+        (r["name"], r["license"])
+        for r in map_unknown_licenses(comps, dim).collect()
+    }
+    expected = set()
+    for i, s in enumerate(sentinels):
+        expected.add((f"@scope-{i % 40}/pkg-{i}", licenses[i % len(licenses)]))
+        expected.add((f"not-in-dict-{i}", s))
+    expected.add(("@scope-0/pkg-0", "BSD-2-Clause"))
+    assert out == expected

@@ -107,3 +107,43 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+
+
+def test_skewed_theta_join_salted_matches_unsalted(spark):
+    """The salted self theta-join (q_theta_join_skewed) must return the
+    same aggregate as the straightforward unsalted join on the same
+    skewed fixture — salting is distribution-only."""
+    from clickbom_spark.queries import REGISTRY
+    from clickbom_spark.session import read_table
+    from tests.conftest import SF_CORRECT
+
+    salted = {
+        (r["type_a"], r["type_b"], r["n_pairs"])
+        for r in REGISTRY["q_theta_join_skewed"].fn(spark, SF_CORRECT).collect()
+    }
+
+    events = read_table(spark, SF_CORRECT, "events")
+    se = events.withColumn(
+        "user_id",
+        F.when(F.pmod(F.col("user_id"), F.lit(10)) < 3, F.lit(0)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    a, b = se.alias("a"), se.alias("b")
+    plain = {
+        (r["type_a"], r["type_b"], r["n_pairs"])
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.ts") < F.col("b.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTE"))
+            & (F.col("a.event_id") != F.col("b.event_id")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    }
+    assert salted == plain
