@@ -226,3 +226,69 @@ def shingles(text: Column, n: int = 3) -> Column:
         return F.array_distinct(grams)
 
     return let(tokens(normalize_text(text)), grams_of)
+
+
+# ---- LLM training-data curation operators (round 2 additions) ----
+
+#: Engine-portable PII patterns (identical semantics in Java regex and
+#: RE2): conservative email and dotted-quad IP matchers.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_PATTERN = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails then IPs with typed placeholder tags — the
+    training-data PII scrubbing primitive, all JVM-side regex."""
+    out = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, IP_PATTERN, "<IP>")
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Duplicate word n-gram fraction: 1 - distinct/total grams (the
+    Gopher-style repetition quality signal).  0.0 for docs shorter
+    than n tokens."""
+
+    def of_toks(t: Column) -> Column:
+        total = F.size(t) - (n - 1)
+        idx = F.sequence(F.lit(0), F.greatest(total - 1, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        return F.when(
+            total >= 1,
+            (total - F.size(F.array_distinct(grams))).cast("double")
+            / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return let(tokens(normalize_text(text)), of_toks)
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the normalized character
+    distribution, deterministically: each -p*log2(p) term is rounded to
+    9 decimals and cast to decimal BEFORE the sum, so the result is
+    independent of accumulation order (bit-identical across engines)."""
+
+    def of_chars(cs: Column) -> Column:
+        total = F.size(cs).cast("double")
+        distinct = F.array_distinct(cs)
+
+        def term_of(c: Column) -> Column:
+            # p referenced twice (p·log2 p) — the count subtree is
+            # evaluated twice, which is cheaper than a nested let here.
+            p = F.size(F.filter(cs, lambda x: x == c)).cast("double") / total
+            return F.round(-p * F.log2(p), 9).cast("decimal(12,9)")
+
+        terms = F.transform(distinct, term_of)
+        return F.when(
+            F.size(cs) > 0,
+            F.aggregate(
+                terms,
+                F.lit(0).cast("decimal(22,9)"),
+                # re-cast: decimal + decimal widens to (23,9), but the
+                # fold's merge type must equal the accumulator type
+                lambda acc, x: (
+                    acc + F.coalesce(x, F.lit(0).cast("decimal(12,9)"))
+                ).cast("decimal(22,9)"),
+            ).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return let(F.split(normalize_text(text), ""), of_chars)

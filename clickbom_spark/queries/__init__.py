@@ -81,6 +81,7 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 # budget, so modules whose queries lack a green CORRECTNESS row from the
 # previous round come first (never-checked, then erroring/hash-failed,
 # then the already-green wave).
+from clickbom_spark.queries import llm_ops  # noqa: E402,F401
 from clickbom_spark.queries import relational2  # noqa: E402,F401
 from clickbom_spark.queries import relational3  # noqa: E402,F401
 from clickbom_spark.queries import scale_ops  # noqa: E402,F401
