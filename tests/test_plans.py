@@ -117,3 +117,33 @@ def test_q16_pruned_dimension_scan(spark):
     plan = plan_of(spark, "q16_supplier_part_counts")
     pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln and "p_size" in ln]
     assert pushed, plan
+
+
+def test_skewed_theta_join_is_bucketed_equi(spark):
+    """The skew-hardened interval self-join must be an equi-join on
+    (user_id, time bucket) with the range predicate as a residual —
+    never a nested-loop over the hot key."""
+    plan = plan_of(spark, "q_theta_join_skewed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bkt" in plan  # the time bucket is part of the join key
+
+
+def test_decontaminate_is_equi_join_on_shingle(spark):
+    plan = plan_of(spark, "q_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redaction_no_shuffle_before_agg(spark):
+    """The scrub itself is a pure row-map: the plan's exchanges are only
+    the aggregation machinery — distinct-agg on (source, digest), final
+    agg on source, output-order range partitioning — never a shuffle of
+    the raw/redacted text itself."""
+    plan = plan_of(spark, "q_pii_redaction")
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 3, plan
+    # the pre-aggregation map stage carries no exchange below the first
+    # hashpartitioning (scan feeds the partial agg directly)
+    below = plan.split("Exchange hashpartitioning")[-1]
+    assert "Exchange" not in below, below
