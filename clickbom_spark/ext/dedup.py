@@ -137,16 +137,25 @@ def minhash_signatures(
     """
     from clickbom_spark.ext.text import let
 
-    def sig_of(gr: Column) -> Column:
+    def sig_of(h0: Column) -> Column:
+        # h0 = xxhash64(shingle) computed ONCE per shingle; the k seeded
+        # hashes re-hash the 8-byte value, not the string — string
+        # hashing is the dominant cost and this does it 1× instead of k×.
         return F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(F.transform(gr, lambda s: F.xxhash64(i, s))),
+            lambda i: F.array_min(F.transform(h0, lambda h: F.xxhash64(i, h))),
         )
 
     g = fan_out(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("grams")
     )
-    return g.select("id", "grams", let(F.col("grams"), sig_of).alias("sig"))
+    return g.select(
+        "id",
+        "grams",
+        let(
+            F.transform(F.col("grams"), lambda s: F.xxhash64(s)), sig_of
+        ).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(

@@ -264,8 +264,11 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
 def char_entropy(text: Column) -> Column:
     """Shannon entropy (bits/char) of the normalized character
     distribution, deterministically: each -p*log2(p) term is rounded to
-    9 decimals and cast to decimal BEFORE the sum, so the result is
-    independent of accumulation order (bit-identical across engines)."""
+    6 decimals and cast to decimal BEFORE the sum, so the result is
+    independent of accumulation order AND of libm log2 rounding — JVM
+    and DuckDB log2 differ by ulps, and a tighter (9-decimal) rounding
+    step left a per-term ~1e-6 chance of straddling a boundary, which
+    bit at the 185k-term sf0.1 corpus."""
 
     def of_chars(cs: Column) -> Column:
         total = F.size(cs).cast("double")
@@ -275,19 +278,19 @@ def char_entropy(text: Column) -> Column:
             # p referenced twice (p·log2 p) — the count subtree is
             # evaluated twice, which is cheaper than a nested let here.
             p = F.size(F.filter(cs, lambda x: x == c)).cast("double") / total
-            return F.round(-p * F.log2(p), 9).cast("decimal(12,9)")
+            return F.round(-p * F.log2(p), 6).cast("decimal(12,6)")
 
         terms = F.transform(distinct, term_of)
         return F.when(
             F.size(cs) > 0,
             F.aggregate(
                 terms,
-                F.lit(0).cast("decimal(22,9)"),
-                # re-cast: decimal + decimal widens to (23,9), but the
+                F.lit(0).cast("decimal(22,6)"),
+                # re-cast: decimal + decimal widens to (23,6), but the
                 # fold's merge type must equal the accumulator type
                 lambda acc, x: (
-                    acc + F.coalesce(x, F.lit(0).cast("decimal(12,9)"))
-                ).cast("decimal(22,9)"),
+                    acc + F.coalesce(x, F.lit(0).cast("decimal(12,6)"))
+                ).cast("decimal(22,6)"),
             ).cast("double"),
         ).otherwise(F.lit(0.0))
 

@@ -153,6 +153,48 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
 
 
+@query(
+    "q_neardup_keep_one",
+    # End-to-end near-dup dedup: pairs → connected components → keep the
+    # min-id representative per cluster; survivors = all docs minus
+    # non-representative cluster members.
+    oracle=_JACCARD_PAIRS
+    + """
+, pairs AS (
+  SELECT id_a, id_b FROM scored WHERE jac >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(id, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.id
+  ) SELECT id, MIN(comp) AS component FROM r GROUP BY id
+), dropped AS (
+  SELECT id FROM reach WHERE id <> component
+)
+SELECT d.source, COUNT(*) AS n_kept
+FROM documents d LEFT JOIN dropped dr ON dr.id = d.doc_id
+WHERE dr.id IS NULL
+GROUP BY d.source
+ORDER BY d.source
+""",
+    description="Near-dup dedup end to end: cluster the exact-Jaccard "
+    "pair graph, keep the min-id representative per cluster, drop the "
+    "rest (the keep-one training-data dedup pass), reported per source.",
+)
+def q_neardup_keep_one(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    kept = D.keep_cluster_representatives(docs, pairs, id_col="doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
 # Portable 60-bit simhash signature in DuckDB: per-token md5-derived
 # hash (15 hex digits), ±1 bit votes, sign-of-sum per bit — the exact
 # formula ext/dedup.simhash evaluates JVM-side.

@@ -193,9 +193,10 @@ def q_decontaminate(spark, sf_dir):
 
 @query(
     "q_char_entropy",
-    # Each -p*log2(p) term is rounded to 9 decimals and cast to decimal
+    # Each -p*log2(p) term is rounded to 6 decimals and cast to decimal
     # BEFORE summation, so per-doc entropy is accumulation-order
-    # independent and bit-identical across engines.
+    # independent and immune to libm log2 ulp differences between the
+    # JVM and DuckDB (9-decimal rounding straddled boundaries at sf0.1).
     oracle=f"""
 WITH chars AS (
   SELECT source, string_split({_NORM}, '') AS cs FROM documents
@@ -205,7 +206,7 @@ WITH chars AS (
            CAST(list_sum([CAST(round(
                -(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs))
                  * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
-                        / len(cs)), 9) AS DECIMAL(12,9))
+                        / len(cs)), 6) AS DECIMAL(12,6))
              for c in list_distinct(cs)]) AS DOUBLE)
          ELSE 0.0 END AS h
   FROM chars
