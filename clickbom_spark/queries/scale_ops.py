@@ -41,6 +41,50 @@ def q_salted_agg_events(spark, sf_dir):
 
 
 @query(
+    "q_approx_quantiles",
+    # Same contract pattern as q_approx_distinct: the sketch value is
+    # engine-specific, its error bound is not.  approx_percentile with
+    # accuracy 10000 must land within 0.5% (relative) of the exact
+    # percentile — emitted as a checkable flag next to the exact value.
+    oracle="""
+SELECT l_returnflag,
+       round(round(quantile_cont(l_extendedprice, 0.5), 6), 2) AS exact_p50,
+       round(round(quantile_cont(l_extendedprice, 0.99), 6), 2) AS exact_p99,
+       true AS approx_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="approx_percentile (GK sketch) for quantiles at 100 TB "
+    "scale, checked to land within 0.5% of the exact interpolated "
+    "percentile.",
+)
+def q_approx_quantiles(spark, sf_dir):
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    exact_p50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact_p99 = F.expr("percentile(l_extendedprice, 0.99)")
+    approx = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
+    )
+    tol = (
+        (F.abs(F.element_at(approx, 1) - exact_p50) <= 0.005 * exact_p50)
+        & (F.abs(F.element_at(approx, 2) - exact_p99) <= 0.005 * exact_p99)
+    )
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            # double-round: engines interpolate midpoints an ulp apart
+            # around exact .xx5 boundaries; round(·,6) collapses both to
+            # the same double before the 2-decimal boundary decision
+            F.round(F.round(exact_p50, 6), 2).alias("exact_p50"),
+            F.round(F.round(exact_p99, 6), 2).alias("exact_p99"),
+            tol.alias("approx_within_tol"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q_approx_distinct",
     # The raw HLL estimate is engine-specific, but its ERROR BOUND is
     # checkable: the query emits the exact distinct count alongside a
