@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from clickbom_spark.ext import layout as L
 from clickbom_spark.ext.scale import salted_agg
 from clickbom_spark.queries import dec, load, query
 
@@ -115,4 +116,73 @@ def q_approx_distinct(spark, sf_dir):
             (F.abs(approx - exact) <= 0.02 * exact).alias("approx_within_2pct"),
         )
         .orderBy("event_type")
+    )
+
+
+_Z_BITS = 8  # 2 dims x 8 bits -> 16-bit z-value, 16 top-level buckets
+_Z_SQL = L.interleave_bits_sql(["qx", "qy"], _Z_BITS)
+
+
+@query(
+    "q_zorder_cluster",
+    # The z-value is exact integer arithmetic (equi-width quantization
+    # + Morton bit interleave), so the oracle recomputes it verbatim in
+    # SQL: every engine derives the identical bucket for every row.
+    # The per-bucket min/max box widths are the data-skipping contract:
+    # each z-bucket owns a bounded (custkey x orderdate) box, which is
+    # exactly why per-file footer stats prune box predicates after
+    # ext.layout.write_zordered lays files out along this curve.
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey AS ck,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dy
+  FROM orders
+),
+s AS (
+  SELECT min(ck) AS mnc, max(ck) AS mxc, min(dy) AS mnd, max(dy) AS mxd FROM o
+),
+q AS (
+  SELECT ck, dy,
+         ((ck - mnc) * {1 << _Z_BITS}) // (mxc - mnc + 1) AS qx,
+         ((dy - mnd) * {1 << _Z_BITS}) // (mxd - mnd + 1) AS qy
+  FROM o, s
+),
+z AS (SELECT ck, dy, {_Z_SQL} AS zv FROM q)
+SELECT CAST(zv // 4096 AS BIGINT) AS zbucket,
+       COUNT(*) AS n_orders,
+       CAST(min(ck) AS BIGINT) AS min_cust, CAST(max(ck) AS BIGINT) AS max_cust,
+       CAST(min(dy) AS BIGINT) AS min_day, CAST(max(dy) AS BIGINT) AS max_day
+FROM z GROUP BY zbucket ORDER BY zbucket
+""",
+    description="Z-order (Morton) clustering key over (custkey, "
+    "orderdate): equi-width integer quantization + bit interleave, "
+    "bucketed to show every z-range owns a bounded multi-dim box — the "
+    "layout ext.layout.write_zordered uses for file-level data skipping.",
+)
+def q_zorder_cluster(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("dy"),
+    )
+    s = o.agg(
+        F.min("ck").alias("mnc"), F.max("ck").alias("mxc"),
+        F.min("dy").alias("mnd"), F.max("dy").alias("mxd"),
+    )
+    q = o.join(F.broadcast(s)).select(
+        "ck", "dy",
+        L.quantize_int(F.col("ck"), F.col("mnc"), F.col("mxc"), _Z_BITS).alias("qx"),
+        L.quantize_int(F.col("dy"), F.col("mnd"), F.col("mxd"), _Z_BITS).alias("qy"),
+    )
+    z = q.select("ck", "dy", L.interleave_bits([F.col("qx"), F.col("qy")], _Z_BITS).alias("zv"))
+    return (
+        z.groupBy(F.floor(F.col("zv") / 4096).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("ck").alias("min_cust"), F.max("ck").alias("max_cust"),
+            F.min("dy").alias("min_day"), F.max("dy").alias("max_day"),
+        )
+        .orderBy("zbucket")
     )
