@@ -296,3 +296,88 @@ def q_keep_latest_event(spark, sf_dir):
         .select("user_id", "event_type", "event_id", "ts", "value")
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "q_cdc_stream_compaction",
+    # The STREAMING twin of q_keep_latest_event, driver-checked: the
+    # stateful keep-latest operator (applyInPandasWithState, keyed
+    # state = one (ts, event_id, value) triple per key) replays the
+    # events changelog as a Structured Streaming source and must
+    # converge to the identical compacted snapshot the batch window
+    # produces — which is exactly what the SQL oracle computes.
+    oracle="""
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    description="Streaming CDC compaction: keep-latest-per-key via "
+    "keyed state (applyInPandasWithState) over an availableNow replay "
+    "of the changelog; equals the batch window compaction.",
+)
+def q_cdc_stream_compaction(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from clickbom_spark.streaming import read_events_stream
+    from clickbom_spark.streaming.stateful import keep_latest_per_key
+
+    latest = keep_latest_per_key(read_events_stream(spark, sf_dir))
+    sink = (
+        latest.writeStream.format("memory")
+        .queryName("m_cdc_compact")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sink.awaitTermination(120)
+    # update-mode sink appends one row per (key, micro-batch it changed
+    # in); keep each key's final state so the result is slicing-proof.
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        spark.table("m_cdc_compact")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts_us", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q_dedup_stream_watermark",
+    # Streaming dedup emits ONE surviving row per key, but WHICH row
+    # survives depends on arrival order — so the deterministic,
+    # oracle-checkable contract is the surviving KEY SET, which must
+    # equal batch DISTINCT exactly (state eviction at the watermark
+    # horizon never drops a first-seen key within the replay).
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+""",
+    description="Streaming dedup (dropDuplicatesWithinWatermark) twin "
+    "of the exact-dedup op: watermark-bounded keyed state over an "
+    "availableNow replay; surviving key set equals batch DISTINCT.",
+)
+def q_dedup_stream_watermark(spark, sf_dir):
+    from clickbom_spark.streaming import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    deduped = dedup_within_watermark(
+        read_events_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    run_to_memory_sink(deduped, "m_dedup_stream")
+    return (
+        spark.table("m_dedup_stream")
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )

@@ -33,6 +33,10 @@ def read_events_stream(
     session.read_table so batch and stream rows are identical.
     """
     path = os.path.join(sf_dir, "events.parquet")
+    # Runtime-settable; the driver contract hands us an externally built
+    # SparkSession, so this cannot be assumed preset by get_spark()
+    # (same events TIMESTAMP(NANOS) quirk read_table handles).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(path).schema
     # The file stream source requires a directory basePath; the corpus
     # stores each table as a single parquet file, so stream the parent

@@ -54,3 +54,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- CDC compaction: streaming keep-latest-per-key ----------------------
+#
+# The streaming twin of queries/event_windows.q_keep_latest_event (the
+# batch CDC-compaction primitive): keyed state holds the current winner
+# under the same total order — (ts, event_id) descending — so replaying
+# a change stream in ANY micro-batch slicing converges to the identical
+# compacted table.  State per key is three scalars (bounded memory);
+# the shuffle is the groupBy on the key, exactly like the batch window.
+
+LATEST_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, event_id long, ts_us long, value double"
+)
+LATEST_STATE_SCHEMA = "ts_us long, event_id long, value double"
+
+
+def _keep_latest(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    best = tuple(state.get) if state.exists else None
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+        cand = (int(top["ts"].value // 1000), int(top["event_id"]), float(top["value"]))
+        if best is None or cand[:2] > best[:2]:
+            best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_type": [key[1]],
+            "event_id": [best[1]],
+            "ts_us": [best[0]],
+            "value": [best[2]],
+        }
+    )
+
+
+def keep_latest_per_key(events: DataFrame) -> DataFrame:
+    """Streaming CDC compaction: latest event per (user_id, event_type)
+    maintained across micro-batches; each batch emits the updated
+    winner for every key it touched.  ``ts_us`` is epoch microseconds
+    (integer state, no timezone ambiguity in the state store)."""
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _keep_latest,
+        outputStructType=LATEST_OUTPUT_SCHEMA,
+        stateStructType=LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

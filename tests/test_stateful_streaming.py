@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from clickbom_spark.session import read_table
-from clickbom_spark.streaming.stateful import running_user_totals
+from clickbom_spark.streaming.stateful import keep_latest_per_key, running_user_totals
 from tests.conftest import SF_SMOKE
 
 
@@ -58,3 +58,58 @@ def test_state_accumulates_across_microbatches(spark):
 
     assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
     assert set(final.values()) == expected
+
+def test_stream_keep_latest_equals_batch_cdc(spark):
+    """Streaming CDC compaction converges to the batch keep-latest
+    result regardless of micro-batch slicing (same (ts, event_id)
+    total order as q_keep_latest_event)."""
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    w_expected = {
+        (r["user_id"], r["event_type"], r["event_id"], r["ts_us"], r["value"])
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id",
+            F.unix_micros("ts").alias("ts_us"), "value",
+        )
+        .collect()
+    }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        events.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        latest = keep_latest_per_key(stream)
+
+        final: dict[tuple, tuple] = {}
+        n_batches = 0
+
+        def collect_batch(df, epoch_id):
+            nonlocal n_batches
+            n_batches += 1
+            for r in df.collect():
+                final[(r["user_id"], r["event_type"])] = (
+                    r["user_id"], r["event_type"], r["event_id"],
+                    r["ts_us"], r["value"],
+                )
+
+        q = (
+            latest.writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    assert set(final.values()) == w_expected
