@@ -81,6 +81,8 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 # budget, so modules whose queries lack a green CORRECTNESS row from the
 # previous round come first (never-checked, then erroring/hash-failed,
 # then the already-green wave).
+from clickbom_spark.queries import formats  # noqa: E402,F401
+from clickbom_spark.queries import olap_ops  # noqa: E402,F401
 from clickbom_spark.queries import llm_ops  # noqa: E402,F401
 from clickbom_spark.queries import relational2  # noqa: E402,F401
 from clickbom_spark.queries import relational3  # noqa: E402,F401
@@ -93,4 +95,3 @@ from clickbom_spark.queries import text  # noqa: E402,F401
 from clickbom_spark.queries import sbom_mapped  # noqa: E402,F401
 from clickbom_spark.queries import analytics  # noqa: E402,F401
 from clickbom_spark.queries import relational  # noqa: E402,F401
-from clickbom_spark.queries import formats  # noqa: E402,F401

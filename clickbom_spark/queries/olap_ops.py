@@ -1,0 +1,313 @@
+"""ClickHouse-semantics OLAP operators re-expressed Spark-first.
+
+The reference targets a ClickHouse warehouse (entrypoint.sh insert
+path); these queries cover the warehouse-side operator surface a
+ClickHouse user leans on daily, each as a declarative DataFrame plan
+with a DuckDB oracle:
+
+- ``argMax`` (latest value per key) as ``max_by`` — a *scalar
+  aggregate* with map-side partial aggregation, deliberately NOT a
+  row_number window: at 100 TB "latest per key" via window sort
+  shuffles and sorts every row, while max_by combines per-partition
+  maxima and shuffles only one row per (partition, key).
+- CollapsingMergeTree sign-collapse: ``SUM(sign)`` visibility +
+  ``SUM(sign*x)`` net aggregates — the ClickHouse mutable-state
+  idiom expressed as a plain aggregation, one shuffle.
+- ``ORDER BY ... WITH FILL`` gap-fill: a generated calendar spine
+  (tiny, broadcast) left-joined against pre-aggregated counts, so
+  the big side is aggregated BEFORE the join and the spine never
+  shuffles the fact table.
+- ``sequenceMatch``: ordered event-pattern regex per user over a
+  deterministic (ts, event_id)-sorted type fingerprint.
+- Window distribution functions (``ntile`` / ``percent_rank`` /
+  ``cume_dist``) with a total deterministic ordering.
+- Hypertable-style time-hierarchy ROLLUP (type → month → day) in a
+  single pass — partial aggregation handles all grouping sets in
+  one shuffle.
+- Higher-order array functions (``filter`` / ``transform`` /
+  ``aggregate``) over embedding vectors, all JVM-side codegen — the
+  arrayMap/arrayFilter/arrayFold surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickbom_spark.queries import dec, dsum, load, query
+
+
+@query(
+    "q_argmax_latest",
+    oracle="""
+SELECT user_id,
+       MAX(ts) AS last_ts,
+       MAX_BY(event_type, ts) AS last_type,
+       MAX_BY(value, ts) AS last_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="argMax semantics (latest value per key) as the max_by "
+    "scalar aggregate: map-side combinable, one shuffled row per key — "
+    "the 100 TB-safe alternative to a row_number window for "
+    "keep-latest.",
+)
+def q_argmax_latest(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_type", "ts").alias("last_type"),
+            F.max_by("value", "ts").alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_collapsing_merge",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(sign) AS BIGINT) AS net_rows,
+       CAST(SUM(sign * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS net_value
+FROM (
+  SELECT user_id, value,
+         CASE WHEN event_id % 10 = 9 THEN -1 ELSE 1 END AS sign
+  FROM events
+)
+GROUP BY user_id
+HAVING SUM(sign) > 0
+ORDER BY user_id
+""",
+    description="CollapsingMergeTree collapse: +1/-1 sign rows net out "
+    "via SUM(sign) visibility and SUM(sign*value) aggregates in one "
+    "plain aggregation — ClickHouse's mutable-state idiom as a "
+    "single-shuffle groupBy.",
+)
+def q_collapsing_merge(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    sign = F.when(F.col("event_id") % 10 == 9, F.lit(-1)).otherwise(F.lit(1))
+    return (
+        events.select("user_id", sign.alias("sign"), dec("value").alias("v"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("sign").cast("long").alias("net_rows"),
+            F.sum(F.col("sign") * F.col("v")).cast("double").alias("net_value"),
+        )
+        .where(F.col("net_rows") > 0)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_gapfill_daily",
+    oracle="""
+WITH span AS (
+  SELECT DATE_TRUNC('day', MIN(ts)) AS d0, DATE_TRUNC('day', MAX(ts)) AS d1
+  FROM events
+),
+days AS (
+  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, d.day, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+FROM days d
+CROSS JOIN types t
+LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day
+ORDER BY t.event_type, d.day
+""",
+    description="ORDER BY ... WITH FILL gap-fill: calendar spine "
+    "(sequence + explode, tiny → broadcast) × type dimension, left-"
+    "joined against PRE-AGGREGATED daily counts so the fact table is "
+    "reduced before the join and missing days appear as zeros.",
+)
+def q_gapfill_daily(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    days = (
+        events.agg(
+            F.date_trunc("day", F.min("ts")).alias("d0"),
+            F.date_trunc("day", F.max("ts")).alias("d1"),
+        )
+        .select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    )
+    types = events.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    # left-preserved side can't be the broadcast build side; the daily
+    # aggregate is the same tiny cardinality as the spine (days × types)
+    # even at 100 TB, since it's post-aggregation — broadcast it.
+    return (
+        spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q_sequence_match",
+    oracle="""
+SELECT user_id,
+       STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+       COUNT(*) AS n_events,
+       REGEXP_MATCHES(
+         STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id),
+         'v.*c.*p') AS matched_funnel,
+       REGEXP_MATCHES(
+         STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id),
+         's.*v.*c.*p') AS matched_onboarding
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="sequenceMatch: per-user event-type fingerprint in "
+    "deterministic (ts, event_id) order, regex-matched for ordered "
+    "patterns (view→click→purchase; signup-led variant) — arbitrary "
+    "sequence patterns beyond the fixed min-ts cascade of the funnel "
+    "query.",
+)
+def q_sequence_match(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"].substr(1, 1),
+        ),
+        "",
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(
+            seq.alias("seq"),
+            F.count(F.lit(1)).alias("n_events"),
+            seq.rlike("v.*c.*p").alias("matched_funnel"),
+            seq.rlike("s.*v.*c.*p").alias("matched_onboarding"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_acctbal, c_custkey
+""",
+    description="Window distribution functions (ntile / percent_rank / "
+    "cume_dist) over a total deterministic ordering — partitioned "
+    "window, no global sort.",
+)
+def q_window_distribution(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    (cust,) = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "pct_rank", "c_custkey")
+    )
+
+
+@query(
+    "q_time_rollup_hierarchy",
+    oracle="""
+SELECT event_type, month, day,
+       GROUPING(event_type, month, day) AS grp_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT event_type,
+         DATE_TRUNC('month', ts) AS month,
+         DATE_TRUNC('day', ts) AS day,
+         value
+  FROM events
+)
+GROUP BY ROLLUP(event_type, month, day)
+ORDER BY grp_id, event_type, month, day
+""",
+    description="Hypertable-style time-hierarchy rollup: type → month "
+    "→ day materialized in ONE pass via ROLLUP — partial aggregation "
+    "computes every granularity in a single shuffle instead of one "
+    "scan per level.",
+)
+def q_time_rollup_hierarchy(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.date_trunc("month", "ts").alias("month"),
+            F.date_trunc("day", "ts").alias("day"),
+            dec("value").alias("v"),
+        )
+        .rollup("event_type", "month", "day")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("v"), "total_value"),
+        )
+        .orderBy("grp_id", "event_type", "month", "day")
+    )
+
+
+@query(
+    "q_array_hof",
+    oracle="""
+SELECT vec_id,
+       CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x))) AS DOUBLE)
+         AS max_abs,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+                                     x -> ABS(CAST(x AS DOUBLE)))), 6) AS l1
+FROM embeddings
+ORDER BY vec_id
+""",
+    description="Higher-order array functions (filter / transform / "
+    "fold) over embedding vectors — the arrayMap/arrayFilter/"
+    "arrayReduce surface, entirely JVM-side codegen, no UDFs.",
+)
+def q_array_hof(spark, sf_dir):
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias(
+                "n_pos"
+            ),
+            F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+            .cast("double")
+            .alias("max_abs"),
+            F.round(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + F.abs(x.cast("double")),
+                ),
+                6,
+            ).alias("l1"),
+        )
+        .orderBy("vec_id")
+    )

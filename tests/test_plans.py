@@ -147,3 +147,32 @@ def test_pii_redaction_no_shuffle_before_agg(spark):
     # hashpartitioning (scan feeds the partial agg directly)
     below = plan.split("Exchange hashpartitioning")[-1]
     assert "Exchange" not in below, below
+
+
+def test_argmax_is_single_shuffle_partial_agg(spark):
+    """argMax-style keep-latest must compile to partial aggregation +
+    ONE shuffle — the scale rationale for max_by over a row_number
+    window (which would sort-shuffle every raw row)."""
+    plan = plan_of(spark, "q_argmax_latest")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_max" in plan or "HashAggregate" in plan, plan
+    assert "Window" not in plan
+
+
+def test_gapfill_spine_join_is_broadcast(spark):
+    """The calendar-spine gap-fill must broadcast the pre-aggregated
+    daily counts (post-aggregation cardinality == spine size) and keep
+    the only nested-loop where it is provably tiny: the 1-row span ×
+    distinct-types cross."""
+    plan = plan_of(spark, "q_gapfill_daily")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_time_rollup_single_pass(spark):
+    """ROLLUP(type, month, day) must compute every granularity in one
+    Expand + aggregation, not one scan per level."""
+    plan = plan_of(spark, "q_time_rollup_hierarchy")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan
