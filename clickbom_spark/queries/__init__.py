@@ -83,6 +83,7 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 # then the already-green wave).
 from clickbom_spark.queries import formats  # noqa: E402,F401
 from clickbom_spark.queries import olap_ops  # noqa: E402,F401
+from clickbom_spark.queries import sql_surface  # noqa: E402,F401
 from clickbom_spark.queries import llm_ops  # noqa: E402,F401
 from clickbom_spark.queries import relational2  # noqa: E402,F401
 from clickbom_spark.queries import relational3  # noqa: E402,F401

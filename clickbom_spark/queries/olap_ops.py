@@ -311,3 +311,131 @@ def q_array_hof(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_unpivot_metrics",
+    # The oracle spells unpivot as its UNION ALL definition — the
+    # semantics, independent of either engine's UNPIVOT sugar.
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'price' AS metric, price AS value FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'discount' AS metric, discount AS value FROM agg
+)
+ORDER BY l_returnflag, metric
+""",
+    description="Wide-to-long UNPIVOT (melt) of per-flag metric columns "
+    "— DataFrame.unpivot compiles to a single Expand over the "
+    "aggregated (tiny) side, never re-scanning the fact table per "
+    "metric.",
+)
+def q_unpivot_metrics(spark, sf_dir):
+    (li,) = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum(dec("l_quantity"), "qty"),
+        dsum(dec("l_extendedprice"), "price"),
+        dsum(dec("l_discount"), "discount"),
+    )
+    return (
+        agg.unpivot(
+            ids=["l_returnflag"],
+            values=["qty", "price", "discount"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+@query(
+    "q_conditional_aggs",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                       FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+         AS purchase_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')
+              AS DOUBLE)
+         / COUNT(*) FILTER (WHERE event_type = 'click') AS avg_click_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="ClickHouse -If combinators (countIf / sumIf / avgIf) "
+    "as conditional aggregates in ONE pass over the fact table — no "
+    "per-condition scans, all map-side combinable.",
+)
+def q_conditional_aggs(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    is_c = F.col("event_type") == "click"
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count_if(is_p).alias("n_purchases"),
+            F.coalesce(F.sum(F.when(is_p, dec("value"))), F.lit(0))
+            .cast("double")
+            .alias("purchase_value"),
+            (
+                F.sum(F.when(is_c, dec("value"))).cast("double")
+                / F.count_if(is_c)
+            ).alias("avg_click_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_full_outer_reconcile",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1
+),
+e AS (
+  SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1
+)
+SELECT COALESCE(o.k, e.k) AS key,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN o.k IS NULL THEN 'events_only'
+            WHEN e.k IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence
+FROM o FULL OUTER JOIN e ON o.k = e.k
+ORDER BY key
+""",
+    description="FULL OUTER reconciliation of two aggregated activity "
+    "ledgers — both sides reduced before the join so the full-outer "
+    "shuffle moves one row per key, not raw facts.",
+)
+def q_full_outer_reconcile(spark, sf_dir):
+    orders, events = load(spark, sf_dir, "orders", "events")
+    o = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    e = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        o.join(e, "k", "full")
+        .select(
+            F.col("k").alias("key"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.when(F.col("n_orders").isNull(), F.lit("events_only"))
+            .when(F.col("n_events").isNull(), F.lit("orders_only"))
+            .otherwise(F.lit("both"))
+            .alias("presence"),
+        )
+        .orderBy("key")
+    )

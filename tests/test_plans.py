@@ -176,3 +176,14 @@ def test_time_rollup_single_pass(spark):
     plan = plan_of(spark, "q_time_rollup_hierarchy")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Expand" in plan
+
+
+def test_sql_surface_same_optimizer(spark):
+    """SQL text entering via spark.sql must get the same physical
+    treatment as DataFrame plans: filter pushed to the parquet scan,
+    window top-k partition-local, no cartesian products."""
+    plan = plan_of(spark, "q_sql_top_orders_month")
+    assert "PushedFilters: [" in plan
+    pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln][0]
+    assert "o_orderdate" in pushed, pushed
+    assert "CartesianProduct" not in plan
