@@ -439,3 +439,66 @@ def q_full_outer_reconcile(spark, sf_dir):
         )
         .orderBy("key")
     )
+
+
+@query(
+    "q_click_attribution",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+       COUNT(*) FILTER (
+         WHERE event_type = 'click'
+           AND prev_view_ts >= ts - INTERVAL 10 MINUTE) AS n_attributed
+FROM (
+  SELECT user_id, event_type, ts,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_view_ts
+  FROM events
+  WHERE event_type IN ('view', 'click')
+)
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="Last-touch click attribution (clicks within 10 min of "
+    "the user's most recent view) via ONE ignore-nulls window pass over "
+    "the unioned stream — join-free, so a hot user costs O(events), "
+    "never the O(views×clicks) of an interval join; the streaming twin "
+    "(streaming/joins.py attribution_join) emits the pair-level form "
+    "with watermark-bounded state.",
+)
+def q_click_attribution(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vc = events.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    scanned = vc.withColumn(
+        "prev_view_ts",
+        F.last(F.when(F.col("event_type") == "view", F.col("ts")), True).over(w),
+    )
+    is_v = F.col("event_type") == "view"
+    is_c = F.col("event_type") == "click"
+    attributed = is_c & (
+        F.col("prev_view_ts") >= F.col("ts") - F.expr("interval 10 minutes")
+    )
+    return (
+        scanned.groupBy("user_id")
+        .agg(
+            F.count_if(is_v).alias("n_views"),
+            F.count_if(is_c).alias("n_clicks"),
+            F.count_if(attributed).alias("n_attributed"),
+        )
+        .orderBy("user_id")
+    )

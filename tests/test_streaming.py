@@ -109,3 +109,21 @@ def test_foreach_batch_parquet_sink(spark):
         got = spark.read.parquet(out).drop("epoch")
         cols = ["window_start", "event_type", "n_events", "total_value"]
         assert rows_set(got, cols) == rows_set(batch, cols)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream interval join (view→click attribution): both
+    sides watermarked, event-time range bounds the state stores.
+    Result must equal the identical join over batch inputs."""
+    from clickbom_spark.streaming.joins import attribution_join, split_views_clicks
+
+    events = read_table(spark, SF_SMOKE, "events")
+    batch = attribution_join(*split_views_clicks(events))
+
+    s_views, s_clicks = split_views_clicks(read_events_stream(spark, SF_SMOKE))
+    stream = attribution_join(s_views, s_clicks)
+    run_to_memory_sink(stream, "t_ss_join")
+    got = spark.table("t_ss_join")
+    cols = ["user_id", "view_id", "click_id"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+    assert got.count() == batch.count()
