@@ -110,3 +110,51 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    ts_col: str,
+    path: str,
+    fmt: str = "yyyy-MM-dd",
+) -> None:
+    """Hive-style event-time partitioned layout (``dt=YYYY-MM-DD/``).
+
+    Directory-level partition pruning is the first line of defense at
+    100 TB: a one-day predicate on a year of data touches 1/365th of
+    the files before any footer is opened.  The ``repartition("dt")``
+    shuffle co-locates each day in one task so every partition gets
+    ONE output file instead of one-per-input-task (the classic
+    small-files failure of naive partitionBy writes).
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("dt", F.date_format(ts_col, fmt))
+        .repartition("dt")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
+def compact_files(
+    spark,
+    src: str,
+    dst: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bin-pack a directory of small files into ``target_files`` parquet
+    files, optionally range-clustered on ``sort_cols`` for footer-stats
+    skipping — streaming sinks and incremental loads fragment layouts,
+    and scan cost at scale is dominated by file count, not bytes.
+    """
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(target_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(target_files)
+    out.write.mode("overwrite").parquet(dst)

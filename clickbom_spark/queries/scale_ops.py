@@ -186,3 +186,41 @@ def q_zorder_cluster(spark, sf_dir):
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "q_partition_pruned_scan",
+    oracle="""
+SELECT CAST(DATE_TRUNC('day', ts) AS VARCHAR)[1:10] AS dt,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+GROUP BY 1
+ORDER BY 1
+""",
+    description="Hive-partitioned layout + partition pruning: events "
+    "re-laid out as dt=YYYY-MM-DD/ directories (ext.layout."
+    "write_time_partitioned), then a 3-day predicate on the partition "
+    "column scans only those directories (directory-level pruning "
+    "before any file footer is read) — verified against the same "
+    "filter on the unpartitioned original.",
+)
+def q_partition_pruned_scan(spark, sf_dir):
+    import os
+
+    from clickbom_spark.queries.formats import _TMP
+
+    (events,) = load(spark, sf_dir, "events")
+    path = os.path.join(_TMP, "events_by_day")
+    L.write_time_partitioned(events, "ts", path)
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("dt").between("2024-01-05", "2024-01-07"))
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("dt")
+    )

@@ -147,3 +147,50 @@ def test_skewed_theta_join_salted_matches_unsalted(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_time_partitioned_layout_prunes_directories(spark, tmp_path):
+    """A predicate on the partition column must become a PartitionFilter
+    (directory pruning), not a post-scan row filter; only the selected
+    days' files are read."""
+    from clickbom_spark.ext.layout import write_time_partitioned
+    from clickbom_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    events = read_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(events, "ts", path)
+
+    back = spark.read.parquet(path)
+    one_day = back.where(F.col("dt") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1][:200], plan
+    # row-correctness of the pruned read
+    expected = events.where(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-06")
+    ).count()
+    assert one_day.count() == expected
+    # one file per partition directory (no small-files explosion)
+    import glob as _g
+    files = _g.glob(f"{path}/dt=2024-01-05/*.parquet")
+    assert len(files) == 1, files
+
+
+def test_compact_files_binpacks_and_preserves_rows(spark, tmp_path):
+    from clickbom_spark.ext.layout import compact_files
+    from clickbom_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    events = read_table(spark, SF_SMOKE, "events")
+    frag = str(tmp_path / "fragmented")
+    events.repartition(40).write.parquet(frag)  # simulate streaming-sink spray
+    compacted = str(tmp_path / "compacted")
+    compact_files(spark, frag, compacted, target_files=4, sort_cols=["ts"])
+
+    import glob as _g
+    assert len(_g.glob(f"{compacted}/*.parquet")) == 4
+    back = spark.read.parquet(compacted)
+    assert back.count() == events.count()
+    assert back.exceptAll(events).count() == 0
+    assert events.exceptAll(back).count() == 0
