@@ -32,6 +32,9 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _CSV_OPTS = {
     "header": "true",
     "timestampFormat": TS_FMT,
+    # TIMESTAMP_NTZ columns are formatted by a *separate* option; the
+    # default truncates to milliseconds, silently losing µs precision.
+    "timestampNTZFormat": TS_FMT,
     "nullValue": "\\N",  # distinguish NULL from empty string
     "quote": '"',
     "escape": '"',  # RFC-4180 quote doubling
@@ -42,7 +45,7 @@ _CSV_OPTS = {
     "ignoreTrailingWhiteSpace": "false",
 }
 
-_JSON_OPTS = {"timestampFormat": TS_FMT}
+_JSON_OPTS = {"timestampFormat": TS_FMT, "timestampNTZFormat": TS_FMT}
 
 
 def write_csv(df: DataFrame, path: str, n_files: int | None = None) -> None:
