@@ -22,9 +22,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _status_rank() -> dict[str, int]:
+    """Per-query verification status from committed CORRECTNESS_r*.json.
+
+    The driver walks ``queries()`` in insertion order under a count
+    budget, so order queries that still need a green row (erroring or
+    hash-failed first, then never-checked) ahead of the already-green
+    wave.  Latest round wins per query.
+    """
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    status: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                status.update(json.load(f))
+        except (OSError, ValueError):
+            continue
+    ranks = {}
+    for name in REGISTRY:
+        e = status.get(name)
+        if e is None:
+            ranks[name] = 1  # never checked
+        elif e.get("err") or e.get("hash_match") is not True:
+            ranks[name] = 0  # erred / mismatched: re-verify first
+        else:
+            ranks[name] = 2  # green: re-verify last
+    return ranks
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    rank = _status_rank()
+    ordered = sorted(REGISTRY, key=lambda n: rank[n])
+    return {name: REGISTRY[name].fn for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -70,6 +70,20 @@ def davg(expr, alias: str):
     return (F.sum(expr).cast("double") / F.count(F.lit(1)).cast("double")).alias(alias)
 
 
+def epoch_us(col):
+    """Microseconds since epoch for a TIMESTAMP_NTZ column.
+
+    The corpus stores ``events.ts`` as naive microsecond timestamps,
+    which Spark reads as TIMESTAMP_NTZ; ``unix_micros`` only accepts
+    TIMESTAMP (LTZ).  Wall-clock diff from the NTZ epoch is timezone-free
+    and bit-identical to DuckDB's ``epoch_us(ts)`` on naive timestamps.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), c
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     from clickbom_spark.session import read_table
 

@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from clickbom_spark.queries import dec, dsum, load, query
+from clickbom_spark.queries import dec, dsum, epoch_us, load, query
 
 
 @query(
@@ -133,7 +133,7 @@ ORDER BY user_id
 def q_window_lag_gaps(spark, sf_dir):
     (events,) = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
     return (
         events.select("user_id", gap.alias("gap_us"))
         .where(F.col("gap_us").isNotNull())
@@ -527,7 +527,7 @@ def q_theta_join_skewed(spark, sf_dir):
             F.col("user_id")
         ),
     )
-    bucket = lambda ts: F.floor(F.unix_micros(ts) / F.lit(window_us))  # noqa: E731
+    bucket = lambda ts: F.floor(epoch_us(ts) / F.lit(window_us))  # noqa: E731
     a = se.select(
         "user_id",
         F.col("ts").alias("ts_a"),

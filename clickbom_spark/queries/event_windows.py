@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from clickbom_spark.ext.asof import asof_join
-from clickbom_spark.queries import load, query
+from clickbom_spark.queries import epoch_us, load, query
 from clickbom_spark.streaming.windows import (
     session_stats,
     sliding_counts,
@@ -103,7 +103,7 @@ def q_asof_join_events(spark, sf_dir):
     return m.agg(
         F.count(F.lit(1)).alias("n_clicks"),
         F.count("ts_r").alias("n_matched"),
-        F.sum(F.unix_micros("ts") - F.unix_micros("ts_r")).alias("total_lag_us"),
+        F.sum(epoch_us("ts") - epoch_us("ts_r")).alias("total_lag_us"),
         F.sum(F.col("value_r").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_view_value"),
@@ -178,7 +178,7 @@ def q_funnel_conversion(spark, sf_dir):
     return (
         full.agg(
             F.count(F.lit(1)).alias("n_full_funnel"),
-            F.sum(F.unix_micros("pts") - F.unix_micros("vts")).alias(
+            F.sum(epoch_us("pts") - epoch_us("vts")).alias(
                 "total_funnel_us"
             ),
         )

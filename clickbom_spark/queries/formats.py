@@ -17,7 +17,7 @@ import os
 from pyspark.sql import functions as F
 
 from clickbom_spark.io import formats as FMT
-from clickbom_spark.queries import dec, load, query
+from clickbom_spark.queries import dec, epoch_us, load, query
 
 _TMP = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -84,7 +84,7 @@ def q_json_roundtrip(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec("value")).cast("double").alias("total_value"),
-            F.max(F.unix_micros("ts")).alias("max_ts_us"),
+            F.max(epoch_us("ts")).alias("max_ts_us"),
         )
         .orderBy("event_type")
     )

@@ -52,6 +52,13 @@ def read_events_stream(
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            # Watermarks require TIMESTAMP (LTZ).  Rebuild from wall-clock
+            # epoch micros — timezone-free, so the instant is identical in
+            # any session timezone (epoch_us is the NTZ-safe micros).
+            from clickbom_spark.queries import epoch_us
+
+            df = df.withColumn("ts", F.timestamp_micros(epoch_us("ts")))
     return df
 
 

@@ -4,7 +4,12 @@ NULL-vs-empty-string distinction, and timestamp microsecond fidelity."""
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickbom_spark.queries import epoch_us
 
 from clickbom_spark.io import formats as FMT
 from clickbom_spark.session import read_table
@@ -30,9 +35,9 @@ def test_jsonl_roundtrip_events_rowlevel(spark, tmp_path):
     FMT.write_jsonl(events, path, n_files=3)
     back = FMT.read_jsonl(spark, path, events.schema)
     _roundtrip_equal(events, back)
-    # microsecond fidelity, explicitly
-    a = events.agg(F.max(F.unix_micros("ts"))).first()[0]
-    b = back.agg(F.max(F.unix_micros("ts"))).first()[0]
+    # microsecond fidelity, explicitly (ts is TIMESTAMP_NTZ)
+    a = events.agg(F.max(epoch_us("ts"))).first()[0]
+    b = back.agg(F.max(epoch_us("ts"))).first()[0]
     assert a == b
 
 
@@ -71,3 +76,44 @@ def test_jsonl_adversarial_strings(spark, tmp_path):
     rows = {r["id"]: r for r in back.collect()}
     assert rows[4]["s"] is None
     assert rows[5]["s"] == ""
+
+
+# --- TIMESTAMP_NTZ microsecond fidelity (regression for the
+# timestampNTZFormat option in io/formats.py: the default NTZ format
+# truncates to milliseconds, silently losing µs precision) ---
+
+NTZ_ROWS = [
+    (1, datetime.datetime(2024, 1, 31, 23, 59, 59, 999999)),
+    (2, datetime.datetime(2024, 1, 1, 0, 0, 0, 1)),
+    (3, datetime.datetime(1999, 12, 31, 12, 34, 56, 789123)),
+    (4, None),
+]
+NTZ_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ]
+)
+
+
+def _ntz_bitexact(spark, back):
+    got = {r.id: r.ts for r in back.collect()}
+    assert got == {i: ts for i, ts in NTZ_ROWS}
+
+
+def test_csv_ntz_microsecond_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(NTZ_ROWS, NTZ_SCHEMA)
+    path = str(tmp_path / "ntz_csv")
+    FMT.write_csv(df, path)
+    back = FMT.read_csv(spark, path, NTZ_SCHEMA)
+    assert back.schema["ts"].dataType == T.TimestampNTZType()
+    _ntz_bitexact(spark, back)
+
+
+def test_jsonl_ntz_microsecond_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(NTZ_ROWS, NTZ_SCHEMA)
+    path = str(tmp_path / "ntz_jsonl")
+    FMT.write_jsonl(df, path)
+    back = FMT.read_jsonl(spark, path, NTZ_SCHEMA)
+    assert back.schema["ts"].dataType == T.TimestampNTZType()
+    _ntz_bitexact(spark, back)
