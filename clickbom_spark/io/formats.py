@@ -76,3 +76,18 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     for k, v in _JSON_OPTS.items():
         r = r.option(k, v)
     return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Columnar ORC sink (zlib default), the warehouse-interchange format.
+
+    Binary columnar: types (incl. TIMESTAMP_NTZ at µs precision) survive
+    without text-format pinning; splittable stripes give scan parallelism.
+    """
+    out = df.repartition(n_files) if n_files else df
+    out.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — self-describing schema, footer-stats predicate pushdown."""
+    return spark.read.orc(path)

@@ -1,0 +1,309 @@
+"""Training-data curation queries: sequence packing, mixture weights,
+n-gram statistics, heuristic filter cascades, and audience set algebra.
+
+These extend the engine's north-star LLM-pipeline surface (SURVEY.md
+§2 extension ops) beyond dedup/similarity/text-quality: the operations
+a pretraining data pipeline runs between "cleaned documents" and
+"training batches".  Every query has an exact DuckDB oracle; doubles
+are produced by identical IEEE operation orders on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clickbom_spark.ext import text as X
+from clickbom_spark.queries import load, query
+
+# DuckDB twin of ext.text.tokens() — whitespace split, empties dropped.
+_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+_PACK_CAP = 256
+
+
+@query(
+    "q_sequence_packing",
+    # Recursive CTE replays the same greedy fold the Spark operator
+    # runs per shard: new pack when the running sum would exceed cap.
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT lang, source,
+         CAST(len({_TOKENS}) AS BIGINT) AS tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT lang, source, rn, tokens, tokens AS run, CAST(1 AS BIGINT) AS pack_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.source, t.rn, t.tokens,
+         CASE WHEN p.run + t.tokens > {_PACK_CAP}
+              THEN t.tokens ELSE p.run + t.tokens END,
+         CASE WHEN p.run + t.tokens > {_PACK_CAP}
+              THEN p.pack_id + 1 ELSE p.pack_id END
+  FROM packed p
+  JOIN t ON t.lang = p.lang AND t.source = p.source AND t.rn = p.rn + 1
+), pack_sums AS (
+  SELECT lang, source, pack_id,
+         SUM(tokens) AS pack_tokens, COUNT(*) AS nd
+  FROM packed GROUP BY lang, source, pack_id
+)
+SELECT lang, source,
+       CAST(SUM(nd) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens,
+       CAST(SUM(pack_tokens) AS BIGINT) AS sum_tokens
+FROM pack_sums
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+    description="Sequence packing for LLM pretraining: greedy fill of "
+    f"{_PACK_CAP}-token training sequences per (lang, source) shard via "
+    "applyInPandas (O(1) state per shard, shards pack in parallel, text "
+    "never crosses into Python); per-shard pack statistics checked "
+    "against a recursive-CTE replay of the identical greedy fold.",
+)
+def q_sequence_packing(spark, sf_dir):
+    from clickbom_spark.ext.packing import pack_sequences
+
+    (docs,) = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "lang", "source", "doc_id", X.token_count(F.col("text")).alias("tokens")
+    )
+    packed = pack_sequences(
+        with_tokens,
+        cap=_PACK_CAP,
+        shard_cols=["lang", "source"],
+        order_col="doc_id",
+        tokens_col="tokens",
+    )
+    pack_sums = packed.groupBy("lang", "source", "pack_id").agg(
+        F.sum("tokens").alias("pack_tokens"), F.count(F.lit(1)).alias("nd")
+    )
+    return (
+        pack_sums.groupBy("lang", "source")
+        .agg(
+            F.sum("nd").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.max("pack_tokens").cast("long").alias("max_pack_tokens"),
+            F.sum("pack_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "q_mixture_weights",
+    # weight = (total_tokens / n_langs) / lang_tokens — the resampling
+    # factor that equalizes the token budget across languages.  Pure
+    # divisions on exact bigints, so the doubles are IEEE-identical.
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKENS})) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, lang_tokens,
+       (CAST(SUM(lang_tokens) OVER () AS DOUBLE)
+        / CAST(COUNT(*) OVER () AS DOUBLE))
+       / CAST(lang_tokens AS DOUBLE) AS weight
+FROM per_lang
+ORDER BY lang
+""",
+    description="Data-mixture reweighting: per-language token budgets "
+    "and the resampling weight that equalizes them (uniform target "
+    "mixture) — the knob a pretraining pipeline turns to rebalance "
+    "domains; window totals over the tiny post-agg frame, not the corpus.",
+)
+def q_mixture_weights(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).cast("long").alias("lang_tokens"),
+    )
+    w = Window.partitionBy()
+    weight = (
+        F.sum("lang_tokens").over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    ) / F.col("lang_tokens").cast("double")
+    return per_lang.select(
+        "lang", "n_docs", "lang_tokens", weight.alias("weight")
+    ).orderBy("lang")
+
+
+@query(
+    "q_bigram_counts",
+    oracle=f"""
+WITH toks AS (
+  SELECT {_TOKENS} AS w FROM documents
+), grams AS (
+  SELECT w[i] || ' ' || w[i + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+)
+SELECT bigram, COUNT(*) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+    description="Global top-20 word-bigram frequencies: slice+zip_with "
+    "builds adjacent pairs JVM-side (no Python, no explode-of-explode), "
+    "then hash-agg + deterministic top-k (TakeOrderedAndProject — no "
+    "global sort).",
+)
+def q_bigram_counts(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    w = X.tokens(F.col("text"))
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "q_filter_cascade",
+    # Heuristic quality gates (C4/Gopher-style), audited in one pass:
+    # each rule's flag count plus the survivor count of the whole
+    # cascade.  Ratios are double divisions of exact ints.
+    oracle=f"""
+WITH feats AS (
+  SELECT CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(length(list_aggregate({_TOKENS}, 'string_agg', '')) AS DOUBLE)
+           / CAST(greatest(len({_TOKENS}), 1) AS DOUBLE) AS mwl,
+         CAST(len(list_distinct({_TOKENS})) AS DOUBLE)
+           / CAST(greatest(len({_TOKENS}), 1) AS DOUBLE) AS distinct_ratio
+  FROM documents
+), flags AS (
+  SELECT CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN n_tokens > 64 THEN 1 ELSE 0 END AS f_long,
+         CASE WHEN mwl < 3.0 OR mwl > 8.0 THEN 1 ELSE 0 END AS f_word_len,
+         CASE WHEN distinct_ratio < 0.5 THEN 1 ELSE 0 END AS f_repetitive
+  FROM feats
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(f_short) AS BIGINT) AS n_short,
+       CAST(SUM(f_long) AS BIGINT) AS n_long,
+       CAST(SUM(f_word_len) AS BIGINT) AS n_word_len,
+       CAST(SUM(f_repetitive) AS BIGINT) AS n_repetitive,
+       CAST(SUM(CASE WHEN f_short + f_long + f_word_len + f_repetitive = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM flags
+""",
+    description="Heuristic filter cascade audit (C4/Gopher-style): "
+    "length bounds, mean-word-length band, distinct-token repetition "
+    "gate — per-rule flag counts and cascade survivors in ONE scan "
+    "(conditional aggregates; no per-rule passes).",
+)
+def q_filter_cascade(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    w = X.tokens(F.col("text"))
+    n = F.size(w).cast("long")
+    joined_len = F.aggregate(
+        w, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    denom = F.greatest(n, F.lit(1)).cast("double")
+    mwl = joined_len / denom
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / denom
+    feats = docs.select(
+        n.alias("n_tokens"), mwl.alias("mwl"), distinct_ratio.alias("dr")
+    )
+    f_short = F.when(F.col("n_tokens") < 20, 1).otherwise(0)
+    f_long = F.when(F.col("n_tokens") > 64, 1).otherwise(0)
+    f_wl = F.when((F.col("mwl") < 3.0) | (F.col("mwl") > 8.0), 1).otherwise(0)
+    f_rep = F.when(F.col("dr") < 0.5, 1).otherwise(0)
+    flags = feats.select(
+        f_short.alias("f_short"),
+        f_long.alias("f_long"),
+        f_wl.alias("f_word_len"),
+        f_rep.alias("f_repetitive"),
+    )
+    survivor = F.when(
+        F.col("f_short") + F.col("f_long") + F.col("f_word_len") + F.col("f_repetitive")
+        == 0,
+        1,
+    ).otherwise(0)
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_short").cast("long").alias("n_short"),
+        F.sum("f_long").cast("long").alias("n_long"),
+        F.sum("f_word_len").cast("long").alias("n_word_len"),
+        F.sum("f_repetitive").cast("long").alias("n_repetitive"),
+        F.sum(survivor).cast("long").alias("n_survivors"),
+    )
+
+
+@query(
+    "q_segment_overlap",
+    oracle="""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_shared_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+""",
+    description="Audience set algebra (ClickHouse bitmap-AND analog): "
+    "pairwise shared-user cardinality between event-type segments via "
+    "distinct-pair self-join on user_id — shuffles the (type,user) pair "
+    "set once, never materializes per-segment user arrays (at 100 TB "
+    "swap in HLL/theta sketches for the same shape with bounded state).",
+)
+def q_segment_overlap(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    d = events.select("event_type", "user_id").distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_users"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+SELECT event_type, user_id, n_events
+FROM (
+  SELECT event_type, user_id, COUNT(*) AS n_events,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(*) DESC, user_id) AS rk
+  FROM events
+  GROUP BY event_type, user_id
+)
+WHERE rk <= 3
+ORDER BY event_type, n_events DESC, user_id
+""",
+    description="Grouped top-k (ClickHouse topK analog, exact): top-3 "
+    "users per event type — partial-agg counts then a per-partition "
+    "window rank; no global sort, rank runs on the reduced frame.",
+)
+def q_topk_per_group(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"), "user_id")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "user_id", "n_events")
+        .orderBy("event_type", F.desc("n_events"), "user_id")
+    )

@@ -88,3 +88,38 @@ def q_json_roundtrip(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(epoch_us(ts)) AS max_ts_us,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="ORC connector round-trip: events → ORC stripes → read "
+    "back (self-describing schema, TIMESTAMP_NTZ at µs fidelity) → "
+    "aggregate; equals the same aggregate on the original parquet — the "
+    "warehouse-interchange binary format next to the CSV/JSONL text "
+    "connectors.",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    path = os.path.join(_TMP, "events_orc")
+    FMT.write_orc(events, path, n_files=4)
+    back = FMT.read_orc(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.max(epoch_us("ts")).alias("max_ts_us"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

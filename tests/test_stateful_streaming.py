@@ -9,6 +9,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from clickbom_spark.queries import epoch_us
 from clickbom_spark.session import read_table
 from clickbom_spark.streaming.stateful import keep_latest_per_key, running_user_totals
 from tests.conftest import SF_SMOKE
@@ -75,7 +76,7 @@ def test_stream_keep_latest_equals_batch_cdc(spark):
         .where(F.col("rn") == 1)
         .select(
             "user_id", "event_type", "event_id",
-            F.unix_micros("ts").alias("ts_us"), "value",
+            epoch_us("ts").alias("ts_us"), "value",
         )
         .collect()
     }
