@@ -1,0 +1,85 @@
+"""Iterative graph algorithms as join-relay ("Pregel via joins") plans.
+
+PageRank here is the representative iterative algorithm: each
+iteration is one shuffle (edges joined to current ranks, grouped by
+destination).  Determinism across engines is the hard part — floating
+sums are order-dependent — so per-edge contributions are rounded to a
+fixed decimal scale and summed EXACTLY as decimals, then the damping
+update runs in double with a fixed operation order.  This makes the
+result bit-identical to a SQL replay of the same fold (the oracle
+unrolls the same iterations as CTEs).
+
+Scale: state per iteration is one (node, rank) row per node; edges are
+re-joined from the (cached) edge relation each round; no driver-side
+state.  For many iterations, localCheckpoint every few rounds cuts
+lineage (same pattern as ext/dedup.py's label propagation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Contribution rounding scale: exact decimal sums make the per-node
+# reduce order-independent (rank values are O(1) under the n-normalized
+# start, so 6 decimals keeps ~6 significant digits).
+_SCALE = 6
+_DEC = f"decimal(28,{_SCALE})"
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list; returns (node, rank).
+
+    Ranks are n-normalized (start 1.0 per node, sum ≈ n).  Dangling
+    nodes keep the teleport term only.  ``iterations`` fixed small —
+    each iteration is exactly one shuffle.
+    """
+    edges = edges.select(src, dst).distinct()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        # Loop-invariant relations are persisted: without this, lazy
+        # evaluation re-runs the edge distinct + degree shuffle inside
+        # EVERY iteration (iterations × the scan cost).  On a cluster
+        # this is MEMORY_AND_DISK-backed; same call works in local mode.
+        .persist()
+    )
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    # Pre-join degree onto edges once — one join per iteration instead
+    # of two, and the joined relation is reused by every round.
+    edges_deg = edges.join(outdeg, src).select(src, dst, "outdeg").persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        # Broadcast the rank vector: one (node, rank) row per node is
+        # orders of magnitude smaller than the edge list, so shipping it
+        # to the edge partitions avoids re-shuffling the edges every
+        # iteration.  (At billion-node scale drop the hint and let AQE
+        # pick the join side; the loop shape is unchanged.)
+        contrib = edges_deg.join(
+            F.broadcast(ranks), edges_deg[src] == ranks["node"]
+        ).select(
+            F.col(dst).alias("node"),
+            F.round(F.col("rank") / F.col("outdeg"), _SCALE).cast(_DEC).alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    # Materialize the final ranks (truncating the iteration lineage),
+    # then release the loop-invariant blocks — repeated calls must not
+    # accumulate persisted relations in the block manager.
+    out = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    edges_deg.unpersist()
+    return out

@@ -111,3 +111,4 @@ from clickbom_spark.queries import sbom_mapped  # noqa: E402,F401
 from clickbom_spark.queries import analytics  # noqa: E402,F401
 from clickbom_spark.queries import relational  # noqa: E402,F401
 from clickbom_spark.queries import curation  # noqa: E402,F401
+from clickbom_spark.queries import engine_ops  # noqa: E402,F401

@@ -62,6 +62,7 @@ ORDER BY lang, source
     "applyInPandas (O(1) state per shard, shards pack in parallel, text "
     "never crosses into Python); per-shard pack statistics checked "
     "against a recursive-CTE replay of the identical greedy fold.",
+    bench=True,
 )
 def q_sequence_packing(spark, sf_dir):
     from clickbom_spark.ext.packing import pack_sequences

@@ -1,0 +1,50 @@
+"""PageRank operator: ground-truth fold on a tiny graph + invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickbom_spark.ext.graph import pagerank
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+
+
+def _expected(iterations, damping=0.85, scale=6):
+    nodes = sorted({n for e in EDGES for n in e})
+    outdeg = {}
+    for s, _ in EDGES:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        acc = {n: 0 for n in nodes}  # exact decimal sum via int micros
+        for s, d in EDGES:
+            acc[d] += round(rank[s] / outdeg[s], scale) * 10**scale
+        rank = {
+            n: (1.0 - damping) + damping * (round(acc[n]) / 10**scale)
+            for n in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_reference_fold(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+    want = _expected(3)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+
+
+def test_pagerank_dangling_node_keeps_teleport_only(spark):
+    # "d" has no in-edges: rank stays at the teleport term every round.
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=2).collect()}
+    assert abs(got["d"] - 0.15000000000000002) < 1e-15
+
+
+def test_pagerank_rank_mass_bounded(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    ranks = pagerank(edges, iterations=3)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    # n-normalized: total mass stays within teleport/damping bounds of n.
+    assert 0.15 * 4 <= total <= 1.01 * 4
