@@ -33,6 +33,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank).
 
@@ -76,6 +77,10 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             ).alias("rank"),
         )
+    if not materialize:
+        # Caller wants the un-truncated plan (tests inspect it); the
+        # persisted blocks stay live with the returned DataFrame.
+        return ranks
     # Materialize the final ranks (truncating the iteration lineage),
     # then release the loop-invariant blocks — repeated calls must not
     # accumulate persisted relations in the block manager.

@@ -308,3 +308,109 @@ def q_topk_per_group(spark, sf_dir):
         .select("event_type", "user_id", "n_events")
         .orderBy("event_type", F.desc("n_events"), "user_id")
     )
+
+
+@query(
+    "q_mixture_resample",
+    # The executable form of q_mixture_weights: downsample each
+    # over-represented language at rate min(1, weight) by a
+    # deterministic hash threshold, so the sampled corpus approaches
+    # the uniform token mixture.  Membership is engine-portable: the
+    # same md5 bucket and the same IEEE threshold compare both sides.
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, CAST(SUM(len({_TOKENS})) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang,
+         least(CAST(1.0 AS DOUBLE),
+               (CAST(SUM(lang_tokens) OVER () AS DOUBLE)
+                / CAST(COUNT(*) OVER () AS DOUBLE))
+               / CAST(lang_tokens AS DOUBLE)) AS rate
+  FROM per_lang
+), sampled AS (
+  SELECT d.lang, len({_TOKENS}) AS tokens
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             AS INT) AS DOUBLE) < r.rate * 65536.0
+)
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(tokens) AS BIGINT) AS sampled_tokens
+FROM sampled
+GROUP BY lang
+ORDER BY lang
+""",
+    description="Mixture-weight resampling: per-language keep rate "
+    "min(1, uniform-target weight) applied as a deterministic md5-"
+    "bucket threshold — reproducible membership (same subset in any "
+    "engine, any partitioning), the executable form of "
+    "q_mixture_weights; rates broadcast-joined back to the corpus.",
+)
+def q_mixture_resample(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select("lang", "doc_id", X.token_count(F.col("text")).alias("tokens"))
+    per_lang = toks.groupBy("lang").agg(F.sum("tokens").cast("long").alias("lang_tokens"))
+    w = Window.partitionBy()
+    rate = F.least(
+        F.lit(1.0),
+        (
+            F.sum("lang_tokens").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        )
+        / F.col("lang_tokens").cast("double"),
+    )
+    rates = per_lang.select("lang", rate.alias("rate"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .where(h.cast("double") < F.col("rate") * F.lit(65536.0))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("tokens").cast("long").alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_topk_weighted",
+    oracle="""
+SELECT event_type, user_id, total_value
+FROM (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY SUM(CAST(value AS DECIMAL(18,2))) DESC, user_id) AS rk
+  FROM events
+  GROUP BY event_type, user_id
+)
+WHERE rk <= 3
+ORDER BY event_type, total_value DESC, user_id
+""",
+    description="Weighted grouped top-k (ClickHouse topKWeighted "
+    "analog, exact): top-3 users per event type by exact-decimal summed "
+    "value — partial-agg then per-partition window rank on the reduced "
+    "frame.",
+)
+def q_topk_weighted(spark, sf_dir):
+    from clickbom_spark.queries import dec
+
+    (events,) = load(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.sum(dec("value")).alias("dec_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("dec_value"), "user_id")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("dec_value").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", F.desc("total_value"), "user_id")
+    )

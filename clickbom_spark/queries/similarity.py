@@ -353,3 +353,92 @@ def q_rp_lsh_ann(spark, sf_dir):
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_r"))
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "q_scalar_quantization",
+    # Symmetric int8 scalar quantization with per-vector scale
+    # (amax/127), plus exact reconstruction-error accounting.  Element
+    # rows (posexplode / UNNEST) keep every float op per-element with a
+    # fixed IEEE order; per-element squared errors are rounded into
+    # exact decimals before any cross-row sum, so the reduce order
+    # can't change the result in either engine.
+    oracle="""
+WITH el AS (
+  SELECT vec_id, label, CAST(x AS DOUBLE) AS x
+  FROM embeddings, UNNEST(embeddings.embedding) AS u(x)
+), scaled AS (
+  SELECT vec_id, label, x,
+         greatest(MAX(abs(x)) OVER (PARTITION BY vec_id),
+                  CAST(1e-12 AS DOUBLE)) AS amax
+  FROM el
+), q AS (
+  SELECT vec_id, label,
+         round((x * CAST(127.0 AS DOUBLE)) / amax) AS qv,
+         x, amax
+  FROM scaled
+), err AS (
+  SELECT vec_id, label,
+         CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END AS saturated,
+         CAST(round((x - (qv * amax) / CAST(127.0 AS DOUBLE))
+                    * (x - (qv * amax) / CAST(127.0 AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS sq
+  FROM q
+), per_vec AS (
+  SELECT vec_id, label, SUM(sq) AS vec_sq, SUM(saturated) AS n_sat,
+         COUNT(*) AS n_el
+  FROM err GROUP BY vec_id, label
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(n_el) AS BIGINT) AS n_elems,
+       CAST(SUM(n_sat) AS BIGINT) AS n_saturated,
+       CAST(SUM(vec_sq) AS DOUBLE) AS total_sq_err
+FROM per_vec
+GROUP BY label
+ORDER BY label
+""",
+    description="Embedding compression: symmetric int8 scalar "
+    "quantization (per-vector amax/127 scale) with exact reconstruction "
+    "error and saturation accounting per label — the storage-4×-smaller "
+    "path for the ANN family; element-row plan, decimal-stabilized "
+    "error sums (order-independent, engine-portable).",
+)
+def q_scalar_quantization(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        "label",
+        F.explode(F.transform("embedding", lambda x: x.cast("double"))).alias("x"),
+    )
+    amax = F.greatest(
+        F.max(F.abs(F.col("x"))).over(Window.partitionBy("vec_id")),
+        F.lit(1e-12),
+    )
+    scaled = el.select("vec_id", "label", "x", amax.alias("amax"))
+    qv = F.round((F.col("x") * F.lit(127.0)) / F.col("amax"))
+    q = scaled.select("vec_id", "label", qv.alias("qv"), "x", "amax")
+    recon_err = F.col("x") - (F.col("qv") * F.col("amax")) / F.lit(127.0)
+    err = q.select(
+        "vec_id",
+        "label",
+        F.when(F.abs(F.col("qv")) == 127, 1).otherwise(0).alias("saturated"),
+        F.round(recon_err * recon_err, 12).cast("decimal(28,12)").alias("sq"),
+    )
+    per_vec = err.groupBy("vec_id", "label").agg(
+        F.sum("sq").alias("vec_sq"),
+        F.sum("saturated").alias("n_sat"),
+        F.count(F.lit(1)).alias("n_el"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("n_el").cast("long").alias("n_elems"),
+            F.sum("n_sat").cast("long").alias("n_saturated"),
+            F.sum("vec_sq").cast("double").alias("total_sq_err"),
+        )
+        .orderBy("label")
+    )

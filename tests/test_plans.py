@@ -187,3 +187,57 @@ def test_sql_surface_same_optimizer(spark):
     pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln][0]
     assert "o_orderdate" in pushed, pushed
     assert "CartesianProduct" not in plan
+
+
+def test_segment_overlap_is_equi_join(spark):
+    plan = plan_of(spark, "q_segment_overlap")
+    # distinct-pair self-join must be an equi join on user_id with the
+    # type inequality as a residual — never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_topk_operator(spark):
+    plan = plan_of(spark, "q_bigram_counts")
+    assert "TakeOrderedAndProject" in plan, (
+        "top-20 bigrams must compile to the top-k operator, not a global sort"
+    )
+
+
+def test_mixture_resample_broadcasts_rates(spark):
+    plan = plan_of(spark, "q_mixture_resample")
+    # per-language rates (tiny post-agg frame) must broadcast back onto
+    # the corpus scan — a shuffle join here would re-shuffle the corpus
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_packing_slims_before_python(spark):
+    plan = plan_of(spark, "q_sequence_packing")
+    # only (shard cols, order, tokens) may cross into the Python worker:
+    # the text column must be projected away before the Arrow exchange
+    import re
+
+    m = re.search(r"FlatMapGroupsInPandas.*", plan)
+    assert m is not None
+    assert "text" not in m.group(0)
+
+
+def test_pagerank_broadcasts_rank_vector(spark):
+    # the registry query materializes (localCheckpoint truncates the
+    # plan), so inspect the operator's own un-truncated plan
+    from pyspark.sql import functions as F
+
+    from clickbom_spark.ext.graph import pagerank
+    from clickbom_spark.session import read_table
+
+    li = read_table(spark, SF_CORRECT, "lineitem")
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = li.select(p.alias("src"), s.alias("dst")).union(
+        li.select(s.alias("src"), p.alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=2, materialize=False)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
