@@ -88,3 +88,37 @@ def pagerank(
     nodes.unpersist()
     edges_deg.unpersist()
     return out
+
+
+def reachable(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Breadth-first reachability: (node, hop) with hop = minimum
+    distance from the seed set, bounded by ``max_hops``.
+
+    Frontier expansion with per-level dedup: each round joins ONLY the
+    current frontier (not all visited paths) against the edge list and
+    anti-joins the visited set, so work per round is O(frontier-degree)
+    and the path-count explosion of naive transitive closure never
+    happens.  Same shape as the oracle's recursive CTE with UNION
+    (set) semantics.
+    """
+    visited = seeds.select(F.col("node")).distinct().withColumn("hop", F.lit(0))
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges[src] == frontier["node"])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            # frontier is re-used twice next round (join + anti-join
+            # base); materialize to keep each level a single pass
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt.withColumn("hop", F.lit(hop)))
+        frontier = nxt
+    return visited

@@ -212,3 +212,203 @@ def q_table_checksum(spark, sf_dir):
         )
         .orderBy("table_name")
     )
+
+
+_HOPS = 3
+
+
+@query(
+    "q_reachability_3hop",
+    # UNION (set) recursion keeps (node, hop) pairs unique per level —
+    # the oracle never enumerates paths, matching the BFS frontier
+    # plan's per-level dedup.
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem
+), seeds AS (
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+  FROM supplier WHERE s_nationkey = 0
+), walk AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT e.dst AS node, w.hop + 1 AS hop
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hop < {_HOPS}
+), first_seen AS (
+  SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
+)
+SELECT hop, COUNT(*) AS n_nodes,
+       CAST(SUM(CASE WHEN node LIKE 'p%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_parts,
+       CAST(SUM(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers
+FROM first_seen
+GROUP BY hop
+ORDER BY hop
+""",
+    description=f"Transitive reachability (BOM-explosion shape): BFS to "
+    f"{_HOPS} hops from nation-0 suppliers over the part↔supplier "
+    "graph — frontier expansion with per-level dedup + anti-join "
+    "against visited, so work is O(frontier-degree) per round and the "
+    "path-count blow-up of naive transitive closure never happens; "
+    "nodes counted by first-reached hop.",
+)
+def q_reachability_3hop(spark, sf_dir):
+    from clickbom_spark.ext.graph import reachable
+
+    li, supplier = load(spark, sf_dir, "lineitem", "supplier")
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = (
+        li.select(p.alias("src"), s.alias("dst"))
+        .union(li.select(s.alias("src"), p.alias("dst")))
+        .distinct()
+    )
+    seeds = supplier.where(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    vis = reachable(edges, seeds, max_hops=_HOPS)
+    return (
+        vis.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.when(F.col("node").startswith("p"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_parts"),
+            F.sum(F.when(F.col("node").startswith("s"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_suppliers"),
+        )
+        .orderBy("hop")
+    )
+
+
+@query(
+    "q_join_fanout_audit",
+    # Join-cardinality audit: the per-key match-count distribution that
+    # predicts a join's output size (and its skew) BEFORE running it —
+    # the check a pipeline runs when a fact-fact join suddenly
+    # explodes.  Exact percentiles over the counts-per-key frame.
+    oracle="""
+WITH fanout AS (
+  SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MIN(n) AS BIGINT) AS min_fanout,
+       CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_fanout,
+       CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_fanout,
+       CAST(MAX(n) AS BIGINT) AS max_fanout
+FROM fanout
+""",
+    description="Join-cardinality audit: per-key fan-out distribution "
+    "(min/p50/p99/max matches per customer key) computed on the "
+    "reduced counts-per-key frame — predicts join output size and "
+    "flags skewed keys before a fact-fact join runs; discrete "
+    "percentiles are exact.",
+)
+def q_join_fanout_audit(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+    fanout = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return fanout.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("min_fanout"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("p50_fanout"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("p99_fanout"),
+        F.max("n").cast("long").alias("max_fanout"),
+    )
+
+
+@query(
+    "q_table_diff",
+    # Replica/migration diff: v2 is a deterministic mutation of orders
+    # (drop every 97th key, flip status on every 31st); the diff is a
+    # single full-outer join on the key comparing row digests — the
+    # row-level drill-down companion to q_table_checksum.
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey AS k,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders
+), v2 AS (
+  SELECT o_orderkey AS k,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+             CASE WHEN o_orderkey % 31 = 0 THEN 'X' ELSE o_orderstatus END
+             || '|' || CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT CAST(SUM(CASE WHEN v2.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN v1.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(SUM(CASE WHEN v1.k IS NOT NULL AND v2.k IS NOT NULL
+                      AND v1.h <> v2.h THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(CASE WHEN v1.h = v2.h THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same
+FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+""",
+    description="Table diff (replica drift / migration verification): "
+    "row digests compared through ONE full-outer join on the key — "
+    "added/removed/changed/same counts in a single shuffle; the "
+    "row-level companion to q_table_checksum's table-level sum.",
+)
+def q_table_diff(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+    digest1 = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_custkey").cast("string"),
+        )
+    )
+    v1 = orders.select(F.col("o_orderkey").alias("k"), digest1.alias("h"))
+    status2 = F.when(F.col("o_orderkey") % 31 == 0, F.lit("X")).otherwise(
+        F.col("o_orderstatus")
+    )
+    digest2 = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            status2,
+            F.col("o_custkey").cast("string"),
+        )
+    )
+    v2 = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"), digest2.alias("h")
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("b.k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("a.k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(
+            F.when(
+                F.col("a.k").isNotNull()
+                & F.col("b.k").isNotNull()
+                & (F.col("a.h") != F.col("b.h")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("a.h") == F.col("b.h"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_same"),
+    )

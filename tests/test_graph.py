@@ -48,3 +48,28 @@ def test_pagerank_rank_mass_bounded(spark):
     total = ranks.agg(F.sum("rank")).first()[0]
     # n-normalized: total mass stays within teleport/damping bounds of n.
     assert 0.15 * 4 <= total <= 1.01 * 4
+
+
+def test_reachable_min_hops_ground_truth(spark):
+    from clickbom_spark.ext.graph import reachable
+
+    #   a -> b -> c -> d,  a -> c (shortcut), e isolated from seeds
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hop for r in reachable(edges, seeds, max_hops=3).collect()}
+    # min-distance semantics: c reached at hop 1 via the shortcut
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_reachable_hop_bound_respected(spark):
+    from clickbom_spark.ext.graph import reachable
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hop for r in reachable(edges, seeds, max_hops=2).collect()}
+    assert "d" not in got and got["c"] == 2
