@@ -2,6 +2,10 @@
 """Benchmark harness: run the headline queries and print one JSON line.
 
 Usage: python bench.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Failure isolation: one broken query must never zero the whole round's
+numbers — each query runs under its own try/except; failures land in
+an ``errors`` map while every healthy query still reports its timing.
 """
 
 from __future__ import annotations
@@ -10,6 +14,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -24,30 +29,41 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {n: s for n, s in REGISTRY.items() if s.bench}
+    errors: dict[str, str] = {}
     # Warm the JVM (whole-stage codegen JIT) + file listing with one
     # full collect per query, so timings measure steady-state execution.
-    for spec in headline.values():
-        spec.fn(spark, sf_dir).collect()
+    for name, spec in headline.items():
+        try:
+            spec.fn(spark, sf_dir).collect()
+        except Exception:
+            errors[name] = traceback.format_exc(limit=3)
 
     timings: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
+        if name in errors:
+            continue
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
+        try:
+            spec.fn(spark, sf_dir).collect()
+        except Exception:
+            errors[name] = traceback.format_exc(limit=3)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    if errors:
+        out["errors"] = {n: e.strip().splitlines()[-1] for n, e in errors.items()}
+        print("\n".join(f"BENCH ERROR {n}:\n{e}" for n, e in errors.items()),
+              file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
