@@ -68,3 +68,40 @@ def test_pack_partition_invariance(spark):
     a = {tuple(r) for r in _packed(spark).collect()}
     b = {tuple(r) for r in _packed(spark, repartition=7).collect()}
     assert a == b
+
+
+# --- property: Spark fold ≡ reference greedy fold on random inputs ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _greedy(tokens, cap):
+    run, pack, out = 0, 0, []
+    for t in tokens:
+        if pack == 0 or run + t > cap:
+            pack += 1
+            run = t
+        else:
+            run += t
+        out.append(pack)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=100),
+)
+def test_pack_matches_reference_fold(spark, tokens, cap):
+    rows = [("s", i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "shard string, ord long, tokens long")
+    packed = pack_sequences(
+        df, cap=cap, shard_cols=["shard"], order_col="ord", tokens_col="tokens"
+    )
+    got = [r.pack_id for r in packed.orderBy("ord").collect()]
+    assert got == _greedy(tokens, cap)
