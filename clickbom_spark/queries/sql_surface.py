@@ -85,3 +85,45 @@ def q_sql_top_orders_month(spark, sf_dir):
 )
 def q_sql_segment_ledger(spark, sf_dir):
     return _run_sql(spark, sf_dir, _SQL_SEGMENT_LEDGER)
+
+
+# Recursive CTE executed VERBATIM by both engines (Spark 4 WITH
+# RECURSIVE + DuckDB): an integer month spine — timezone-free by
+# construction — left-joined to per-month order aggregates, so months
+# with no orders still appear with zero counts (gap detection).
+_SQL_RECURSIVE_MONTHS = """
+WITH RECURSIVE spine AS (
+  SELECT 1995 AS y, 1 AS m
+  UNION ALL
+  SELECT CASE WHEN m = 12 THEN y + 1 ELSE y END,
+         CASE WHEN m = 12 THEN 1 ELSE m + 1 END
+  FROM spine
+  WHERE y * 12 + m < 1997 * 12 + 12
+), per_month AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT CAST(s.y * 100 + s.m AS BIGINT) AS month_key,
+       CAST(COALESCE(p.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(p.spend, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_spend
+FROM spine s LEFT JOIN per_month p ON p.y = s.y AND p.m = s.m
+ORDER BY month_key
+"""
+
+
+@query(
+    "q_sql_recursive_months",
+    oracle=_SQL_RECURSIVE_MONTHS,
+    description="SQL front-end, recursive: the SAME WITH RECURSIVE "
+    "string builds a 36-month integer spine (timezone-free) and "
+    "left-joins per-month order aggregates — Spark 4 recursive CTEs "
+    "and the oracle engine execute the identical text; missing months "
+    "surface as zero rows (calendar gap detection).",
+)
+def q_sql_recursive_months(spark, sf_dir):
+    return _run_sql(spark, sf_dir, _SQL_RECURSIVE_MONTHS)
