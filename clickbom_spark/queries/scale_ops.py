@@ -224,3 +224,53 @@ def q_partition_pruned_scan(spark, sf_dir):
         )
         .orderBy("dt")
     )
+
+
+@query(
+    "q_dynamic_partition_pruning",
+    # Monday events via a FILTERED DATE DIMENSION join, not a static
+    # predicate: the set of matching partitions is only known at
+    # runtime, so the partitioned fact scan must carry a
+    # dynamicpruning subquery (asserted in tests/test_plans.py) and
+    # read only the matching dt= directories.
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS dt,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE isodow(ts) = 1
+GROUP BY 1
+ORDER BY 1
+""",
+    description="Dynamic partition pruning: events in the dt=-"
+    "partitioned layout joined to a date dimension filtered to Mondays "
+    "— the partition list is runtime-derived (broadcast-reused DPP "
+    "subquery on the fact scan), the 100 TB pattern where the hot "
+    "partition set comes from a dim filter, not a literal.",
+)
+def q_dynamic_partition_pruning(spark, sf_dir):
+    import os
+
+    from clickbom_spark.queries.formats import _TMP
+
+    (events,) = load(spark, sf_dir, "events")
+    fact_path = os.path.join(_TMP, "events_by_day")
+    dim_path = os.path.join(_TMP, "date_dim")
+    L.write_time_partitioned(events, "ts", fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        fact.select("dt")
+        .distinct()
+        .withColumn("dow", F.dayofweek(F.to_date("dt")))
+    )
+    dim.write.mode("overwrite").parquet(dim_path)
+    dim_monday = spark.read.parquet(dim_path).where(F.col("dow") == 2)
+    return (
+        fact.join(dim_monday.select("dt"), "dt")
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("dt")
+    )

@@ -241,3 +241,9 @@ def test_pagerank_broadcasts_rank_vector(spark):
     plan = ranks._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_subquery_on_partitioned_scan(spark):
+    plan = plan_of(spark, "q_dynamic_partition_pruning")
+    # the fact scan's partition filter must be runtime-derived
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
