@@ -381,3 +381,45 @@ def q_dedup_stream_watermark(spark, sf_dir):
         .distinct()
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "q_stream_static_enrich",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    description="Stream-static enrichment join: the events stream joins "
+    "the static customer dimension per micro-batch (dim broadcast to "
+    "stream tasks — no stream-side state, the standard enrich-then-"
+    "aggregate topology); complete-mode aggregate over an availableNow "
+    "replay equals the batch join twin.",
+)
+def q_stream_static_enrich(spark, sf_dir):
+    from clickbom_spark.queries import dec
+    from clickbom_spark.streaming import read_events_stream
+
+    customer = load(spark, sf_dir, "customer")[0].select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = stream.join(
+        F.broadcast(customer), stream["user_id"] == customer["c_custkey"]
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+    sink = (
+        agg.writeStream.format("memory")
+        .queryName("m_stream_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sink.awaitTermination(120)
+    return spark.table("m_stream_enrich").orderBy("c_mktsegment")
