@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -114,3 +116,57 @@ def test_stream_keep_latest_equals_batch_cdc(spark):
 
     assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
     assert set(final.values()) == w_expected
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs protobuf (state-server "
+    "protocol); not available in this container",
+)
+def test_tws_running_totals_equals_batch(spark):
+    """transformWithStateInPandas twin converges to the batch aggregate
+    (and therefore to the applyInPandasWithState result)."""
+    from pyspark.sql.window import Window
+
+    from clickbom_spark.streaming.stateful import running_user_totals_tws
+
+    events = read_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory() as d:
+        events.repartition(3).write.parquet(f"{d}/src")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("m_tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        final = (
+            spark.table("m_tws_totals")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        batch = events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100)).cast("long").alias("total_cents"),
+        )
+        got = {tuple(r) for r in final.collect()}
+        want = {tuple(r) for r in batch.collect()}
+        assert got == want
