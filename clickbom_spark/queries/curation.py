@@ -414,3 +414,50 @@ def q_topk_weighted(spark, sf_dir):
         )
         .orderBy("event_type", F.desc("total_value"), "user_id")
     )
+
+
+@query(
+    "q_fuzzy_match_nations",
+    # Fuzzy dimension matching: dirty spellings resolved against the
+    # nation dimension by edit distance — Levenshtein is exact integer
+    # semantics in any engine, so the match set is deterministic.
+    oracle="""
+WITH dirty(raw) AS (
+  VALUES ('NATION-3'), ('nation_5'), ('NATIN_12'), ('NATION_77X'),
+         ('NTION_9'), ('COMPLETELY_DIFFERENT')
+), scored AS (
+  SELECT d.raw, n.n_name,
+         CAST(levenshtein(d.raw, n.n_name) AS BIGINT) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY d.raw
+                            ORDER BY levenshtein(d.raw, n.n_name), n.n_name)
+           AS rk
+  FROM dirty d CROSS JOIN nation n
+)
+SELECT raw, n_name AS matched, dist
+FROM scored
+WHERE rk = 1 AND dist <= 3
+ORDER BY raw
+""",
+    description="Fuzzy dimension matching: dirty name variants resolved "
+    "to the nation dimension by minimum Levenshtein distance (≤3), "
+    "deterministic tie-break — entity-resolution over a BROADCAST dim "
+    "(25 rows × dirty side; never fact × fact), the standard "
+    "dirty-input → canonical-key repair step.",
+)
+def q_fuzzy_match_nations(spark, sf_dir):
+    (nation,) = load(spark, sf_dir, "nation")
+    dirty = spark.createDataFrame(
+        [("NATION-3",), ("nation_5",), ("NATIN_12",), ("NATION_77X",),
+         ("NTION_9",), ("COMPLETELY_DIFFERENT",)],
+        "raw string",
+    )
+    scored = dirty.crossJoin(F.broadcast(nation.select("n_name"))).select(
+        "raw", "n_name", F.levenshtein("raw", "n_name").cast("long").alias("dist")
+    )
+    w = Window.partitionBy("raw").orderBy("dist", "n_name")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("dist") <= 3))
+        .select("raw", F.col("n_name").alias("matched"), "dist")
+        .orderBy("raw")
+    )
