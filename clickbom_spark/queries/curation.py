@@ -461,3 +461,172 @@ def q_fuzzy_match_nations(spark, sf_dir):
         .select("raw", F.col("n_name").alias("matched"), "dist")
         .orderBy("raw")
     )
+
+
+# DuckDB twin of ext.text.normalize_text()
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "q_curation_pipeline",
+    # The four stages composed end-to-end, each stage feeding the next:
+    # heuristic filters → exact near-dup removal (fingerprint keep-one)
+    # → mixture-rate downsampling → sequence packing.  The oracle
+    # replays the identical composition as chained CTEs (including the
+    # recursive packing fold), so the whole pipeline — not just each
+    # stage — is value-checked.
+    oracle=f"""
+WITH RECURSIVE feats AS (
+  SELECT doc_id, lang, source, text,
+         CAST(len({_TOKENS}) AS BIGINT) AS tokens,
+         CAST(length(list_aggregate({_TOKENS}, 'string_agg', '')) AS DOUBLE)
+           / CAST(greatest(len({_TOKENS}), 1) AS DOUBLE) AS mwl,
+         CAST(len(list_distinct({_TOKENS})) AS DOUBLE)
+           / CAST(greatest(len({_TOKENS}), 1) AS DOUBLE) AS dr
+  FROM documents
+), filtered AS (
+  SELECT doc_id, lang, source, text, tokens FROM feats
+  WHERE tokens >= 20 AND tokens <= 64
+    AND mwl >= 3.0 AND mwl <= 8.0 AND dr >= 0.5
+), deduped AS (
+  SELECT doc_id, lang, source, tokens FROM (
+    SELECT doc_id, lang, source, tokens,
+           ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+), rates AS (
+  SELECT lang,
+         least(CAST(1.0 AS DOUBLE),
+               (CAST(SUM(lt) OVER () AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE))
+               / CAST(lt AS DOUBLE)) AS rate
+  FROM (SELECT lang, SUM(tokens) AS lt FROM deduped GROUP BY lang)
+), sampled AS (
+  SELECT d.doc_id, d.lang, d.source, d.tokens
+  FROM deduped d JOIN rates r ON d.lang = r.lang
+  WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+             AS INT) AS DOUBLE) < r.rate * 65536.0
+), ordered AS (
+  SELECT lang, source, tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM sampled
+), packed AS (
+  SELECT lang, source, rn, tokens, tokens AS run, CAST(1 AS BIGINT) AS pack_id
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.source, o.rn, o.tokens,
+         CASE WHEN p.run + o.tokens > {_PACK_CAP}
+              THEN o.tokens ELSE p.run + o.tokens END,
+         CASE WHEN p.run + o.tokens > {_PACK_CAP}
+              THEN p.pack_id + 1 ELSE p.pack_id END
+  FROM packed p
+  JOIN ordered o ON o.lang = p.lang AND o.source = p.source AND o.rn = p.rn + 1
+), stage_counts AS (
+  SELECT f.lang,
+         (SELECT COUNT(*) FROM documents d2 WHERE d2.lang = f.lang) AS n_input,
+         COUNT(*) AS n_filtered
+  FROM filtered f GROUP BY f.lang
+), dd AS (
+  SELECT lang, COUNT(*) AS n_deduped FROM deduped GROUP BY lang
+), sm AS (
+  SELECT lang, COUNT(*) AS n_sampled, SUM(tokens) AS sampled_tokens
+  FROM sampled GROUP BY lang
+), pk AS (
+  SELECT lang, COUNT(DISTINCT (source, pack_id)) AS n_packs
+  FROM packed GROUP BY lang
+)
+SELECT sc.lang,
+       CAST(sc.n_input AS BIGINT) AS n_input,
+       CAST(sc.n_filtered AS BIGINT) AS n_filtered,
+       CAST(COALESCE(dd.n_deduped, 0) AS BIGINT) AS n_deduped,
+       CAST(COALESCE(sm.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(sm.sampled_tokens, 0) AS BIGINT) AS sampled_tokens,
+       CAST(COALESCE(pk.n_packs, 0) AS BIGINT) AS n_packs
+FROM stage_counts sc
+LEFT JOIN dd ON dd.lang = sc.lang
+LEFT JOIN sm ON sm.lang = sc.lang
+LEFT JOIN pk ON pk.lang = sc.lang
+ORDER BY sc.lang
+""",
+    description="END-TO-END curation pipeline: heuristic filter cascade "
+    "→ exact near-dup removal (normalized-text fingerprint, keep lowest "
+    "id) → mixture-rate downsampling → greedy sequence packing, "
+    "composed as one lazy DataFrame program (Catalyst sees the whole "
+    "chain; one scan of the corpus feeds all stages) and value-checked "
+    "as a whole against the chained-CTE replay, recursive packing fold "
+    "included — per-language funnel counts at every stage.",
+    bench=True,
+)
+def q_curation_pipeline(spark, sf_dir):
+    from clickbom_spark.ext.packing import pack_sequences
+
+    (docs,) = load(spark, sf_dir, "documents")
+    w = X.tokens(F.col("text"))
+    n = F.size(w).cast("long")
+    denom = F.greatest(n, F.lit(1)).cast("double")
+    mwl = F.aggregate(w, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / denom
+    dr = F.size(F.array_distinct(w)).cast("double") / denom
+    feats = docs.select(
+        "doc_id", "lang", "source", "text",
+        n.alias("tokens"), mwl.alias("mwl"), dr.alias("dr"),
+    )
+    filtered = feats.where(
+        (F.col("tokens") >= 20) & (F.col("tokens") <= 64)
+        & (F.col("mwl") >= 3.0) & (F.col("mwl") <= 8.0) & (F.col("dr") >= 0.5)
+    )
+    fp = F.md5(X.normalize_text(F.col("text")))
+    wdup = Window.partitionBy(fp).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "tokens")
+    )
+    per_lang = deduped.groupBy("lang").agg(F.sum("tokens").alias("lt"))
+    wall = Window.partitionBy()
+    rate = F.least(
+        F.lit(1.0),
+        (F.sum("lt").over(wall).cast("double")
+         / F.count(F.lit(1)).over(wall).cast("double"))
+        / F.col("lt").cast("double"),
+    )
+    rates = per_lang.select("lang", rate.alias("rate"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    sampled = (
+        deduped.join(F.broadcast(rates), "lang")
+        .where(h.cast("double") < F.col("rate") * F.lit(65536.0))
+        .select("doc_id", "lang", "source", "tokens")
+    )
+    packed = pack_sequences(
+        sampled, cap=_PACK_CAP, shard_cols=["lang", "source"],
+        order_col="doc_id", tokens_col="tokens",
+    )
+    n_input = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_input"))
+    n_filt = filtered.groupBy("lang").agg(F.count(F.lit(1)).alias("n_filtered"))
+    n_dd = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_deduped"))
+    n_sm = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("tokens").cast("long").alias("sampled_tokens"),
+    )
+    n_pk = packed.select("lang", "source", "pack_id").distinct().groupBy(
+        "lang"
+    ).agg(F.count(F.lit(1)).alias("n_packs"))
+    out = (
+        n_filt.join(n_input, "lang")
+        .join(n_dd, "lang", "left")
+        .join(n_sm, "lang", "left")
+        .join(n_pk, "lang", "left")
+    )
+    z = F.lit(0).cast("long")
+    return out.select(
+        "lang",
+        F.col("n_input").cast("long").alias("n_input"),
+        F.col("n_filtered").cast("long").alias("n_filtered"),
+        F.coalesce(F.col("n_deduped").cast("long"), z).alias("n_deduped"),
+        F.coalesce(F.col("n_sampled").cast("long"), z).alias("n_sampled"),
+        F.coalesce(F.col("sampled_tokens").cast("long"), z).alias("sampled_tokens"),
+        F.coalesce(F.col("n_packs").cast("long"), z).alias("n_packs"),
+    ).orderBy("lang")
