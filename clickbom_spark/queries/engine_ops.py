@@ -12,7 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from clickbom_spark.ext import text as X
 from clickbom_spark.queries import dec, epoch_us, load, query
+
+# DuckDB twin of ext.text.tokens() — whitespace split, empties dropped.
+_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
 
 # DuckDB twin of the portable md5→60-bit-int digest
 # (clickbom_spark/ext/dedup.py:312 pattern).
@@ -411,4 +416,98 @@ def q_table_diff(spark, sf_dir):
         F.sum(F.when(F.col("a.h") == F.col("b.h"), 1).otherwise(0))
         .cast("long")
         .alias("n_same"),
+    )
+
+
+@query(
+    "q_rollup_routing",
+    # Aggregate-navigator contract: a MONTHLY question answered from
+    # the DAILY materialized rollup (never the raw events) must equal
+    # the direct monthly aggregate — the algebra that lets a serving
+    # layer route queries to the smallest sufficient rollup.  Decimal
+    # partial states make re-aggregation exact.
+    oracle="""
+SELECT CAST(EXTRACT(YEAR FROM ts) * 100 + EXTRACT(MONTH FROM ts) AS BIGINT)
+         AS month_key,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY month_key, event_type
+""",
+    description="Rollup routing (aggregate navigator): the monthly "
+    "answer is computed FROM the daily materialized rollup — exact "
+    "decimal partial states re-aggregate up the time hierarchy "
+    "(day→month) bit-identically to the direct aggregate, the "
+    "correctness contract that lets a serving layer answer from the "
+    "smallest sufficient rollup instead of rescanning raw events.",
+)
+def q_rollup_routing(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_sum"),
+    )
+    monthly = daily.groupBy(
+        (F.year("day") * 100 + F.month("day")).cast("long").alias("month_key"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("dec_sum").cast("double").alias("total_value"),
+    )
+    return monthly.orderBy("month_key", "event_type")
+
+
+_TERM_A = "spark"
+_TERM_B = "merge"
+
+
+@query(
+    "q_inverted_index_search",
+    # Posting-list AND query: docs containing BOTH terms found by
+    # intersecting the two terms' posting lists (semi-join), never by
+    # scanning text twice.  The oracle answers the same question with
+    # direct containment predicates.
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOKENS})) AS BIGINT) AS total_tokens
+FROM (
+  SELECT source, text FROM documents
+  WHERE list_contains({_TOKENS}, '{_TERM_A}')
+    AND list_contains({_TOKENS}, '{_TERM_B}')
+)
+GROUP BY source
+ORDER BY source
+""",
+    description="Inverted-index search primitive: per-term posting "
+    "lists (token → doc ids, built once by one explode+distinct) "
+    f"answer the AND query ['{_TERM_A}' ∧ '{_TERM_B}'] via posting-"
+    "list semi-join intersection — the index-side plan a search layer "
+    "runs instead of re-scanning text per query; checked against "
+    "direct containment scanning.",
+)
+def q_inverted_index_search(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", X.tokens(F.col("text")).alias("w")
+    )
+    postings = toks.select(
+        "doc_id", F.explode(F.array_distinct("w")).alias("term")
+    )
+    hits_a = postings.where(F.col("term") == _TERM_A).select("doc_id")
+    hits_b = postings.where(F.col("term") == _TERM_B).select("doc_id")
+    both = hits_a.join(hits_b, "doc_id")  # posting intersection
+    return (
+        toks.join(both, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("w")).cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
     )
