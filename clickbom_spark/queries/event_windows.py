@@ -423,3 +423,88 @@ def q_stream_static_enrich(spark, sf_dir):
     )
     sink.awaitTermination(120)
     return spark.table("m_stream_enrich").orderBy("c_mktsegment")
+
+
+@query(
+    "q_session_funnel",
+    # Funnel scoped to sessions: conversion only counts when the click
+    # follows the session's FIRST view inside the SAME 30-minute-gap
+    # session — sessionization (gaps-and-islands) composed with funnel
+    # logic, all window functions, no self-join.
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), with_first_view AS (
+  SELECT user_id, session_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id, session_id) AS first_view_ts
+  FROM sessioned
+), per_session AS (
+  SELECT user_id, session_id,
+         MAX(CASE WHEN first_view_ts IS NOT NULL THEN 1 ELSE 0 END)
+           AS has_view,
+         MAX(CASE WHEN event_type = 'click' AND first_view_ts IS NOT NULL
+                   AND ts > first_view_ts THEN 1 ELSE 0 END) AS converted
+  FROM with_first_view
+  GROUP BY user_id, session_id
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(has_view) AS BIGINT) AS n_with_view,
+       CAST(SUM(converted) AS BIGINT) AS n_converted
+FROM per_session
+""",
+    description="Session-scoped funnel: 30-minute-gap sessionization "
+    "(gaps-and-islands) composed with view→click conversion INSIDE the "
+    "same session — two window passes over one shuffle key "
+    "(user_id), no self-join, the composition a product-analytics "
+    "stack runs constantly.",
+)
+def q_session_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    sessioned = events.select(
+        "user_id", "ts", "event_type",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    with_fv = sessioned.withColumn(
+        "first_view_ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws),
+    )
+    per_session = with_fv.groupBy("user_id", "session_id").agg(
+        F.max(
+            F.when(F.col("first_view_ts").isNotNull(), 1).otherwise(0)
+        ).alias("has_view"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("first_view_ts").isNotNull()
+                & (F.col("ts") > F.col("first_view_ts")),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_view").cast("long").alias("n_with_view"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )

@@ -127,3 +127,29 @@ ORDER BY month_key
 )
 def q_sql_recursive_months(spark, sf_dir):
     return _run_sql(spark, sf_dir, _SQL_RECURSIVE_MONTHS)
+
+
+# Correlated LATERAL subquery — per-nation top-2 customers without a
+# window function: the subquery re-executes (logically) per outer row
+# and both engines support the identical syntax.
+_SQL_LATERAL_TOPK = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@query(
+    "q_sql_lateral_topk",
+    oracle=_SQL_LATERAL_TOPK,
+    description="SQL front-end, LATERAL: the SAME correlated-lateral "
+    "string (per-nation top-2 customers, no window function) runs on "
+    "both engines — Catalyst decorrelates it to a ranked join rather "
+    "than executing per-row.",
+)
+def q_sql_lateral_topk(spark, sf_dir):
+    return _run_sql(spark, sf_dir, _SQL_LATERAL_TOPK)
