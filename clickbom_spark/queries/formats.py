@@ -123,3 +123,66 @@ def q_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_schema_evolution",
+    # Two parquet "ingest generations" with different schemas — v2
+    # adds a channel column — read as ONE table via mergeSchema;
+    # missing columns surface as NULL and defaults are applied in the
+    # plan, not by rewriting v1 files.  The oracle replays the same
+    # union semantics.
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS channel
+  FROM orders WHERE o_orderkey % 2 = 0
+), v2 AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END AS channel
+  FROM orders WHERE o_orderkey % 2 = 1
+), unioned AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT COALESCE(channel, 'unknown') AS channel,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM unioned
+GROUP BY 1
+ORDER BY 1
+""",
+    description="Schema evolution across ingest generations: v1 files "
+    "lack the channel column v2 adds; spark.read with mergeSchema "
+    "unions the generations into one logical table, old rows surface "
+    "NULL → default 'unknown' in the plan — no backfill rewrite of "
+    "history, the only sane path at 100 TB.",
+)
+def q_schema_evolution(spark, sf_dir):
+    import os
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = os.path.join(_TMP, "orders_evolving")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("web"))
+        .otherwise(F.lit("store"))
+        .alias("channel"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("channel"), F.lit("unknown")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("channel")
+    )
