@@ -54,10 +54,31 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
+# Among never-checked queries, verify the highest-value operators
+# first (the budget may cut the tail): multimodal + layout (flagged in
+# round-1 review), streaming, then the flagship extension pipelines.
+_PRIORITY = [
+    "q_binary_metadata", "q_multimodal_features", "q_resize_media",
+    "q_video_frame_sample", "q_zorder_cluster", "q_partition_pruned_scan",
+    "q_dynamic_partition_pruning", "q_cohort_retention", "q_keep_latest_event",
+    "q_cdc_stream_compaction", "q_dedup_stream_watermark",
+    "q_theta_join_skewed", "q_sequence_packing", "q_curation_pipeline",
+    "q_pagerank_parts", "q_agg_state_merge", "q_neardup_keep_one",
+    "q_ivf_kmeans_ann", "q_scalar_quantization", "q_reachability_3hop",
+    "q_mixture_weights", "q_mixture_resample", "q_table_checksum",
+    "q_table_diff", "q_session_funnel", "q_stream_static_enrich",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     rank = _status_rank()
-    ordered = sorted(REGISTRY, key=lambda n: rank[n])
+    prio = {n: i for i, n in enumerate(_PRIORITY)}
+    names = list(REGISTRY)
+    idx = {n: i for i, n in enumerate(names)}
+    ordered = sorted(
+        names, key=lambda n: (rank[n], prio.get(n, len(_PRIORITY)), idx[n])
+    )
     return {name: REGISTRY[name].fn for name in ordered}
 
 
