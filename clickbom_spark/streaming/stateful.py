@@ -80,8 +80,8 @@ def _keep_latest(
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
-        cand = (int(top["ts"].value // 1000), int(top["event_id"]), float(top["value"]))
+        top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+        cand = (int(top["ts_us"]), int(top["event_id"]), float(top["value"]))
         if best is None or cand[:2] > best[:2]:
             best = cand
     state.update(best)
@@ -100,8 +100,25 @@ def keep_latest_per_key(events: DataFrame) -> DataFrame:
     """Streaming CDC compaction: latest event per (user_id, event_type)
     maintained across micro-batches; each batch emits the updated
     winner for every key it touched.  ``ts_us`` is epoch microseconds
-    (integer state, no timezone ambiguity in the state store)."""
-    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+    computed JVM-SIDE before rows cross into Python: Arrow renders
+    TIMESTAMP columns as session-local naive pandas values, so any
+    Python-side epoch math would shift with the session timezone —
+    integer micros are timezone-free in the state store AND on the
+    wire."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = events.schema["ts"].dataType
+    if isinstance(ts_type, T.TimestampNTZType):
+        from clickbom_spark.queries import epoch_us
+
+        ts_us = epoch_us("ts")
+    else:
+        ts_us = F.unix_micros("ts")
+    slim = events.select(
+        "user_id", "event_type", "event_id", "value", ts_us.alias("ts_us")
+    )
+    return slim.groupBy("user_id", "event_type").applyInPandasWithState(
         _keep_latest,
         outputStructType=LATEST_OUTPUT_SCHEMA,
         stateStructType=LATEST_STATE_SCHEMA,

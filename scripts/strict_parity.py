@@ -77,7 +77,13 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .appName("strict_parity")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
+        # Default UTC, overridable to prove the registry is
+        # timezone-independent (the driver's session tz is unknown):
+        #   SPARK_GRAFT_TZ=America/New_York python scripts/strict_parity.py
+        .config(
+            "spark.sql.session.timeZone",
+            os.environ.get("SPARK_GRAFT_TZ", "UTC"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
