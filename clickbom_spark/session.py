@@ -88,8 +88,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
 
     key = (id(spark), sf_dir, name)
     cached = _READ_CACHE.get(key)
-    if cached is not None:
-        return cached
+    # The cached entry pins the session object, so its id() cannot be
+    # reused by a new session while the entry exists — the identity
+    # check makes the key collision-proof rather than merely unlikely.
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     # Runtime-settable: the driver contract hands us an externally built
     # SparkSession, so the conf cannot be assumed preset by get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -97,7 +100,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _READ_CACHE[key] = df
+    _READ_CACHE[key] = (spark, df)
     return df
 
 

@@ -76,7 +76,13 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("strict_parity")
-        .config("spark.sql.shuffle.partitions", "8")
+        # Overridable to prove results are partition-count-invariant
+        # (the driver's shuffle width is unknown):
+        #   SPARK_GRAFT_PARTS=17 python scripts/strict_parity.py
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_PARTS", "8"),
+        )
         # Default UTC, overridable to prove the registry is
         # timezone-independent (the driver's session tz is unknown):
         #   SPARK_GRAFT_TZ=America/New_York python scripts/strict_parity.py
