@@ -91,3 +91,74 @@ def write_orc(df: DataFrame, path: str, n_files: int | None = None) -> None:
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — self-describing schema, footer-stats predicate pushdown."""
     return spark.read.orc(path)
+
+
+# ---- ClickHouse TabSeparated (TSV) file connector -----------------------
+#
+# The reference's wire format (jq @tsv in, FORMAT TSV out).  Unlike
+# quoted CSV, TSV escapes control characters INSIDE fields (\t \n \r
+# \\ and \N for NULL), so records never span lines — the format stays
+# line-splittable at any file size, which multiLine CSV is not.
+
+_TSV_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _tsv_escape(c):
+    from pyspark.sql import functions as F
+
+    s = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    s = F.replace(s, F.lit("\t"), F.lit("\\t"))
+    s = F.replace(s, F.lit("\n"), F.lit("\\n"))
+    s = F.replace(s, F.lit("\r"), F.lit("\\r"))
+    return F.when(c.isNull(), F.lit("\\N")).otherwise(s)
+
+
+def _tsv_unescape(c):
+    # Correct single-pass unescape: after splitting on the encoded
+    # literal backslash (\\), every backslash left in a segment starts
+    # a real \t/\n/\r escape; fix those per segment, then rejoin the
+    # segments with a single literal backslash.
+    from pyspark.sql import functions as F
+
+    def fix(seg):
+        s = F.replace(seg, F.lit("\\t"), F.lit("\t"))
+        s = F.replace(s, F.lit("\\n"), F.lit("\n"))
+        return F.replace(s, F.lit("\\r"), F.lit("\r"))
+
+    unesc = F.array_join(F.transform(F.split(c, r"\\\\", -1), fix), "\\")
+    return F.when(c == "\\N", F.lit(None)).otherwise(unesc)
+
+
+def _to_text(df: DataFrame):
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            c = F.date_format(c, _TSV_TS_FMT)
+        else:
+            c = c.cast("string")
+        cols.append(_tsv_escape(c))
+    return df.select(F.concat_ws("\t", *cols).alias("value"))
+
+
+def write_tsv(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    out = df.repartition(n_files) if n_files else df
+    _to_text(out).write.mode("overwrite").text(path)
+
+
+def read_tsv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", -1)
+    cols = []
+    for i, f in enumerate(schema.fields):
+        c = _tsv_unescape(parts[i])
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            c = F.to_timestamp(c, _TSV_TS_FMT).cast(f.dataType)
+        else:
+            c = c.cast(f.dataType)
+        cols.append(c.alias(f.name))
+    return raw.select(*cols)

@@ -186,3 +186,36 @@ def q_schema_evolution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q_tsv_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(epoch_us(ts)) AS max_ts_us
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="TSV (ClickHouse TabSeparated) connector round-trip: "
+    "events → tab-separated text with in-field escaping (\\t \\n \\r "
+    "\\\\, \\N nulls — the reference's jq @tsv / FORMAT TSV wire "
+    "format) → read with explicit schema → aggregate; escaping keeps "
+    "records line-splittable at any file size, unlike multiLine CSV.",
+)
+def q_tsv_roundtrip(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    path = os.path.join(_TMP, "events_tsv")
+    FMT.write_tsv(events, path, n_files=4)
+    back = FMT.read_tsv(spark, path, events.schema)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.max(epoch_us("ts")).alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )

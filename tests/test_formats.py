@@ -117,3 +117,40 @@ def test_jsonl_ntz_microsecond_roundtrip(spark, tmp_path):
     back = FMT.read_jsonl(spark, path, NTZ_SCHEMA)
     assert back.schema["ts"].dataType == T.TimestampNTZType()
     _ntz_bitexact(spark, back)
+
+
+# --- ClickHouse TabSeparated connector ---
+
+TSV_ADVERSARIAL = [
+    (1, "tab\tinside", 1.5),
+    (2, "newline\ninside", -0.25),
+    (3, "backslash \\ inside", 0.0),
+    (4, None, None),
+    (5, "", 2.0),  # empty string is NOT null
+    (6, "\\N literal", 3.0),  # data that looks like the null token
+    (7, "trailing backslash \\", 1.0),
+    (8, "\\t literal escape-looking", 4.0),  # backslash-t DATA, not a tab
+    (9, "carriage\rreturn", 5.0),
+]
+
+
+def test_tsv_adversarial_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(TSV_ADVERSARIAL, SCHEMA)
+    path = str(tmp_path / "tsv_adv")
+    FMT.write_tsv(df, path)
+    back = FMT.read_tsv(spark, path, df.schema)
+    got = {r.id: (r.s, r.x) for r in back.collect()}
+    want = {i: (s, x) for i, s, x in TSV_ADVERSARIAL}
+    assert got == want
+    rows = {r.id: r for r in back.collect()}
+    assert rows[4].s is None and rows[5].s == ""
+
+
+def test_tsv_events_roundtrip_with_ntz_micros(spark, tmp_path):
+    events = read_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "tsv_events")
+    FMT.write_tsv(events, path, n_files=3)
+    back = FMT.read_tsv(spark, path, events.schema)
+    assert back.schema == events.schema
+    assert events.exceptAll(back).count() == 0
+    assert back.exceptAll(events).count() == 0
