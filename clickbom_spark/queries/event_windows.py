@@ -508,3 +508,111 @@ def q_session_funnel(spark, sf_dir):
         F.sum("has_view").cast("long").alias("n_with_view"),
         F.sum("converted").cast("long").alias("n_converted"),
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+""",
+    description="Behavioral transition matrix (user-journey Markov "
+    "counts): LEAD over each user's time-ordered event sequence pairs "
+    "every event with its successor — one window pass over the user_id "
+    "shuffle, no self-join; the input to journey mining and "
+    "next-action models.",
+)
+def q_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "q_conversion_latency",
+    # Time-to-convert distribution: each view's FIRST subsequent click
+    # within 10 minutes (the funnel edge), then exact discrete
+    # percentiles of the lag — integers, so percentile_disc is
+    # bit-stable across engines.
+    oracle="""
+WITH views AS (
+  SELECT event_id AS vid, user_id, ts AS vts FROM events
+  WHERE event_type = 'view'
+), first_click AS (
+  SELECT v.vid, MIN(c.ts) AS cts, v.vts
+  FROM views v JOIN events c
+    ON c.user_id = v.user_id AND c.event_type = 'click'
+   AND c.ts > v.vts AND c.ts <= v.vts + INTERVAL 10 MINUTE
+  GROUP BY v.vid, v.vts
+), lags AS (
+  SELECT epoch_us(cts) - epoch_us(vts) AS lag_us FROM first_click
+)
+SELECT COUNT(*) AS n_conversions,
+       CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+       CAST(quantile_disc(lag_us, 0.5) AS BIGINT) AS p50_lag_us,
+       CAST(quantile_disc(lag_us, 0.9) AS BIGINT) AS p90_lag_us,
+       CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
+FROM lags
+""",
+    description="Conversion-latency distribution: view→first-click lag "
+    "within the 10-minute funnel edge, summarized with EXACT discrete "
+    "percentiles over integer microseconds (bit-stable in any engine) "
+    "— the SLA-style latency readout product analytics runs on every "
+    "funnel.",
+)
+def q_conversion_latency(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("vts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    first_click = (
+        views.join(
+            clicks,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("c_ts") > F.col("vts"))
+            & (F.col("c_ts") <= F.col("vts") + F.expr("INTERVAL 10 MINUTE")),
+        )
+        .groupBy("vid", "vts")
+        .agg(F.min("c_ts").alias("cts"))
+    )
+    lags = first_click.select(
+        (epoch_us("cts") - epoch_us("vts")).alias("lag_us")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.min("lag_us").cast("long").alias("min_lag_us"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("long")
+        .alias("p50_lag_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("long")
+        .alias("p90_lag_us"),
+        F.max("lag_us").cast("long").alias("max_lag_us"),
+    )
