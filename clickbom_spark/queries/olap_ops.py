@@ -502,3 +502,171 @@ def q_click_attribution(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# Exact-sufficient-statistics helpers: every cross-row sum is an exact
+# DECIMAL, so Pearson/OLS are pure double arithmetic over a handful of
+# scalars with one fixed IEEE op order — engine-portable to the bit.
+_D2 = "DECIMAL(18,2)"
+_D4 = "DECIMAL(38,4)"
+
+
+@query(
+    "q_corr_pairs",
+    oracle=f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(l_quantity AS {_D2})) AS sq,
+         SUM(CAST(l_extendedprice AS {_D2})) AS sp,
+         SUM(CAST(l_discount AS {_D2})) AS sd,
+         SUM(CAST(CAST(l_quantity AS {_D2}) * CAST(l_quantity AS {_D2})
+                  AS {_D4})) AS sqq,
+         SUM(CAST(CAST(l_extendedprice AS {_D2}) * CAST(l_extendedprice AS {_D2})
+                  AS {_D4})) AS spp,
+         SUM(CAST(CAST(l_discount AS {_D2}) * CAST(l_discount AS {_D2})
+                  AS {_D4})) AS sdd,
+         SUM(CAST(CAST(l_quantity AS {_D2}) * CAST(l_extendedprice AS {_D2})
+                  AS {_D4})) AS sqp,
+         SUM(CAST(CAST(l_quantity AS {_D2}) * CAST(l_discount AS {_D2})
+                  AS {_D4})) AS sqd,
+         SUM(CAST(CAST(l_extendedprice AS {_D2}) * CAST(l_discount AS {_D2})
+                  AS {_D4})) AS spd
+  FROM lineitem
+)
+SELECT pair, round(r, 9) AS r FROM (
+  SELECT 'qty_price' AS pair,
+         (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                 - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                   - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS r
+  FROM s
+  UNION ALL
+  SELECT 'qty_discount',
+         (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                 - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                   - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+  FROM s
+  UNION ALL
+  SELECT 'price_discount',
+         (CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+          - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                 - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                   - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+  FROM s
+)
+ORDER BY pair
+""",
+    description="Pearson correlation matrix (ClickHouse corr analog) "
+    "over (quantity, price, discount): ONE scan accumulates exact "
+    "decimal sufficient statistics (sums, squares, cross-products), "
+    "then r is scalar double arithmetic — no second pass, no "
+    "per-row doubles, bit-identical across engines.",
+)
+def q_corr_pairs(spark, sf_dir):
+    (li,) = load(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d4 = lambda a, b: (d2(a) * d2(b)).cast("decimal(38,4)")  # noqa: E731
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2("l_quantity")).alias("sq"),
+        F.sum(d2("l_extendedprice")).alias("sp"),
+        F.sum(d2("l_discount")).alias("sd"),
+        F.sum(d4("l_quantity", "l_quantity")).alias("sqq"),
+        F.sum(d4("l_extendedprice", "l_extendedprice")).alias("spp"),
+        F.sum(d4("l_discount", "l_discount")).alias("sdd"),
+        F.sum(d4("l_quantity", "l_extendedprice")).alias("sqp"),
+        F.sum(d4("l_quantity", "l_discount")).alias("sqd"),
+        F.sum(d4("l_extendedprice", "l_discount")).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n").cast("double")
+        num = n * F.col(sxy).cast("double") - F.col(sx).cast("double") * F.col(
+            sy
+        ).cast("double")
+        dx = F.sqrt(
+            n * F.col(sxx).cast("double")
+            - F.col(sx).cast("double") * F.col(sx).cast("double")
+        )
+        dy = F.sqrt(
+            n * F.col(syy).cast("double")
+            - F.col(sy).cast("double") * F.col(sy).cast("double")
+        )
+        return num / (dx * dy)
+
+    rows = [
+        ("qty_price", corr("sqp", "sq", "sp", "sqq", "spp")),
+        ("qty_discount", corr("sqd", "sq", "sd", "sqq", "sdd")),
+        ("price_discount", corr("spd", "sp", "sd", "spp", "sdd")),
+    ]
+    out = None
+    for name, expr in rows:
+        part = s.select(F.lit(name).alias("pair"), F.round(expr, 9).alias("r"))
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("pair")
+
+
+@query(
+    "q_linear_fit",
+    # Closed-form OLS (price ~ quantity) from the same exact decimal
+    # sufficient statistics — aggregate-only model fitting, no
+    # iterative solver, one scan.
+    oracle=f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(l_quantity AS {_D2})) AS sx,
+         SUM(CAST(l_extendedprice AS {_D2})) AS sy,
+         SUM(CAST(CAST(l_quantity AS {_D2}) * CAST(l_quantity AS {_D2})
+                  AS {_D4})) AS sxx,
+         SUM(CAST(CAST(l_quantity AS {_D2}) * CAST(l_extendedprice AS {_D2})
+                  AS {_D4})) AS sxy
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS beta,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS alpha
+FROM s
+""",
+    description="Closed-form OLS (extendedprice ~ quantity): slope and "
+    "intercept from exact decimal sufficient statistics in ONE scan — "
+    "aggregate-based model fitting with no iterative solver; the "
+    "pattern scales to any normal-equations regression.",
+)
+def q_linear_fit(spark, sf_dir):
+    (li,) = load(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d4 = lambda a, b: (d2(a) * d2(b)).cast("decimal(38,4)")  # noqa: E731
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2("l_quantity")).alias("sx"),
+        F.sum(d2("l_extendedprice")).alias("sy"),
+        F.sum(d4("l_quantity", "l_quantity")).alias("sxx"),
+        F.sum(d4("l_quantity", "l_extendedprice")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    alpha = (sy - beta * sx) / n
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(beta, 9).alias("beta"),
+        F.round(alpha, 9).alias("alpha"),
+    )
