@@ -511,3 +511,96 @@ def q_inverted_index_search(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_merkle_buckets",
+    # Bucketed checksums localize replica divergence: when the table-
+    # level sums differ, only mismatched buckets need row-level diffing
+    # — anti-entropy repair transfers O(divergence), not O(table).
+    oracle=f"""
+WITH h AS (
+  SELECT o_orderkey % 16 AS bucket,
+         {_H15.format(key=(
+             "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'"
+             " || CAST(o_custkey AS VARCHAR)"
+         ))} AS h
+  FROM orders
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM h
+GROUP BY bucket
+ORDER BY bucket
+""",
+    description="Merkle-style bucketed checksums: per-hash-bucket "
+    "commutative digest sums localize replica divergence to specific "
+    "buckets, so anti-entropy repair diffs O(divergence) rows instead "
+    "of the whole table — the bucketed companion to q_table_checksum "
+    "(table-level) and q_table_diff (row-level).",
+)
+def q_merkle_buckets(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_custkey").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return (
+        orders.select(
+            (F.col("o_orderkey") % 16).cast("long").alias("bucket"),
+            h.alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_k_anonymity",
+    # Privacy audit for training-data release: rows whose quasi-
+    # identifier combination appears fewer than k times are
+    # re-identification risks.  One aggregation + one conditional
+    # rollup — no per-row second pass.
+    oracle="""
+WITH groups AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS grp_n
+  FROM documents
+  GROUP BY lang, source, n_chars // 100
+)
+SELECT COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(MIN(grp_n) AS BIGINT) AS min_group_size
+FROM groups
+""",
+    description="k-anonymity audit (k=5) over quasi-identifiers "
+    "(lang, source, length bucket): groups smaller than k flag "
+    "re-identification risk before a training-data release — the "
+    "structural privacy check that complements content-level PII "
+    "redaction (q_pii_redaction); one aggregation, no second scan.",
+)
+def q_k_anonymity(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    groups = docs.groupBy(
+        "lang", "source", (F.col("n_chars") / 100).cast("long").alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("grp_n").cast("long").alias("min_group_size"),
+    )
