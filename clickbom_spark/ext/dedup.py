@@ -419,3 +419,77 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("dist") <= max_distance)
     )
+
+
+def setsim_join_prefix(
+    docs, id_col: str, tokens_col: str, threshold: float = 0.5
+):
+    """EXACT Jaccard set-similarity self-join via prefix filtering.
+
+    The scale path for exact (non-LSH) near-dup detection: any two sets
+    with Jaccard >= t must share a token within the first
+    ``len - ceil(t * len) + 1`` tokens of a GLOBAL rarity order
+    (document frequency ascending), so candidates come from an
+    equi-self-join on prefix tokens only — rare tokens generate tiny
+    posting lists, and the all-pairs blow-up never happens.  Unlike
+    MinHash/LSH this misses nothing: the prefix filter is lossless for
+    the threshold, and every candidate is verified with the exact
+    Jaccard.
+
+    Returns (id_a, id_b, jaccard) for pairs with jaccard >= threshold.
+    """
+    import math  # noqa: F401  (ceil is computed in-plan, documented here)
+
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col(tokens_col)).alias("_w"),
+    )
+    # Global rarity order: document frequency asc, token asc.
+    vocab = (
+        toks.select(F.explode("_w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ranked = (
+        toks.select("_id", F.explode("_w").alias("tok"))
+        .join(F.broadcast(vocab), "tok")
+        .groupBy("_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "tok"))
+            ).alias("ordered")
+        )
+        .select(
+            "_id",
+            F.transform("ordered", lambda s: s["tok"]).alias("w"),
+            F.size("ordered").alias("n"),
+        )
+    )
+    # prefix length = n - ceil(t*n) + 1
+    plen = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+    prefixes = ranked.select(
+        "_id", "w", "n", F.explode(F.slice("w", 1, plen)).alias("ptok")
+    )
+    a = prefixes.select(
+        F.col("_id").alias("id_a"), F.col("w").alias("w_a"),
+        F.col("n").alias("n_a"), "ptok",
+    )
+    b = prefixes.select(
+        F.col("_id").alias("id_b"), F.col("w").alias("w_b"),
+        F.col("n").alias("n_b"), "ptok",
+    )
+    cands = (
+        a.join(b, "ptok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "w_a", "w_b", "n_a", "n_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("w_a", "w_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    j = inter / union
+    return (
+        cands.select("id_a", "id_b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from clickbom_spark.ext import dedup as D
+from clickbom_spark.ext import text as X
 from clickbom_spark.queries import load, query
+
+# DuckDB twin of ext.text.tokens() — whitespace split, empties dropped.
+_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
 
 # DuckDB shingle expression matching ext.text.shingles(n=3):
 # normalize → tokens → distinct 3-gram strings.
@@ -240,3 +245,43 @@ def q_simhash_pairs(spark, sf_dir):
         .withColumn("dist", F.col("dist").cast("long"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_setsim_prefix_join",
+    # EXACT set-similarity pairs (no approximation): the oracle does the
+    # direct all-pairs Jaccard at this scale, the Spark side reaches
+    # the identical pair set through the lossless prefix filter — so a
+    # green row proves the filter misses nothing.
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_TOKENS}) AS w FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+             / (CAST(len(a.w) + len(b.w) AS DOUBLE)
+                - CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)), 6)
+         AS jaccard_r
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      / (CAST(len(a.w) + len(b.w) AS DOUBLE)
+         - CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)) >= 0.8
+ORDER BY id_a, id_b
+""",
+    description="EXACT Jaccard set-similarity self-join (threshold "
+    "0.8) via PREFIX FILTERING: global rarity order (document "
+    "frequency asc) makes sharing a prefix token a NECESSARY condition "
+    "for J >= t, so candidates come from rare-token posting-list "
+    "equi-joins and every candidate is exactly verified — lossless "
+    "(unlike MinHash) and never all-pairs; the oracle's direct "
+    "quadratic join must produce the identical pair set.",
+)
+def q_setsim_prefix_join(spark, sf_dir):
+    from clickbom_spark.ext.dedup import setsim_join_prefix
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("w"))
+    pairs = setsim_join_prefix(toks, "doc_id", "w", threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("id_a", "id_b")
