@@ -670,3 +670,104 @@ def q_linear_fit(spark, sf_dir):
         F.round(beta, 9).alias("beta"),
         F.round(alpha, 9).alias("alpha"),
     )
+
+
+@query(
+    "q_histogram_equi_height",
+    # Equi-HEIGHT histogram (each bucket holds ~the same row count) via
+    # NTILE over a TOTAL deterministic order — the complement of the
+    # equi-width q_price_histogram; bucket boundaries are data-driven.
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_orders,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+FROM ranked
+GROUP BY decile
+ORDER BY decile
+""",
+    description="Equi-height histogram: NTILE(10) over a total "
+    "deterministic order yields data-driven bucket boundaries (each "
+    "decile ≈ equal count) — the optimizer-statistics histogram shape, "
+    "complementing the equi-width price histogram.",
+)
+def q_histogram_equi_height(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        ranked.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(dec("o_totalprice")).cast("double").alias("lo"),
+            F.max(dec("o_totalprice")).cast("double").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q_gini_concentration",
+    # Gini coefficient of supplier revenue: with revenues sorted
+    # ascending and 1-indexed, G = (2*Σ(i·x_i) − (n+1)·Σx_i)/(n·Σx_i).
+    # Exact decimal sums; the final expression is scalar double math
+    # with one fixed op order.
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+  FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, l_suppkey) AS i FROM rev
+), s AS (
+  SELECT COUNT(*) AS n,
+         SUM(r) AS sr,
+         SUM(CAST(i AS DECIMAL(18,0)) * r) AS sir
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_suppliers,
+       CAST(sr AS DOUBLE) AS total_revenue,
+       round((CAST(2 AS DOUBLE) * CAST(sir AS DOUBLE)
+              - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) * CAST(sr AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sr AS DOUBLE)), 9) AS gini
+FROM s
+""",
+    description="Gini concentration of supplier revenue: rank-weighted "
+    "exact decimal sums reduce the inequality coefficient to scalar "
+    "double arithmetic — the balance/concentration audit used on "
+    "revenue, partition sizes, and training-data domain mixes alike.",
+)
+def q_gini_concentration(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice")).alias("r")
+    )
+    w = Window.orderBy("r", "l_suppkey")
+    ranked = rev.select(
+        "r", F.row_number().over(w).cast("decimal(18,0)").alias("i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("i") * F.col("r")).alias("sir"),
+    )
+    n = F.col("n").cast("double")
+    sr = F.col("sr").cast("double")
+    sir = F.col("sir").cast("double")
+    gini = (F.lit(2.0) * sir - (n + F.lit(1.0)) * sr) / (n * sr)
+    return s.select(
+        F.col("n").cast("long").alias("n_suppliers"),
+        sr.alias("total_revenue"),
+        F.round(gini, 9).alias("gini"),
+    )
