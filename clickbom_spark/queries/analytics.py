@@ -51,7 +51,7 @@ def q_window_rank_orders(spark, sf_dir):
     w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"))
     wn = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -584,7 +584,7 @@ def q_first_order_per_customer(spark, sf_dir):
     orders, cust = load(spark, sf_dir, "orders", "customer")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .groupBy("c_mktsegment")

@@ -394,10 +394,11 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
     description="Stream-static enrichment join: the events stream joins "
-    "the static customer dimension per micro-batch (dim broadcast to "
-    "stream tasks — no stream-side state, the standard enrich-then-"
-    "aggregate topology); complete-mode aggregate over an availableNow "
-    "replay equals the batch join twin.",
+    "the static customer dimension per micro-batch (no stream-side "
+    "state, the standard enrich-then-aggregate topology; customer grows "
+    "with SF so the join is AQE/planner-sized, not hard-broadcast); "
+    "complete-mode aggregate over an availableNow replay equals the "
+    "batch join twin.",
 )
 def q_stream_static_enrich(spark, sf_dir):
     from clickbom_spark.queries import dec
@@ -408,7 +409,7 @@ def q_stream_static_enrich(spark, sf_dir):
     )
     stream = read_events_stream(spark, sf_dir)
     enriched = stream.join(
-        F.broadcast(customer), stream["user_id"] == customer["c_custkey"]
+        customer, stream["user_id"] == customer["c_custkey"]
     )
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),

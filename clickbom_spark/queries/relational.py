@@ -79,7 +79,8 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
-    description="TPC-H Q3: broadcast dim filter + fact-fact join + top-k "
+    description="TPC-H Q3: filtered customer join (AQE-sized — customer grows "
+    "with SF, so no hard broadcast hint) + fact-fact join + top-k "
     "(TakeOrderedAndProject).",
     bench=True,
 )
@@ -93,7 +94,7 @@ def q3_shipping_priority(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            cust.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -122,7 +123,8 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """,
     description="TPC-H Q5: multi-way join — facts shuffle-join on orderkey, "
-    "all dims broadcast (SURVEY §2.6).",
+    "bounded dims (nation/region) broadcast; customer/supplier AQE-sized "
+    "(SURVEY §2.6).",
     bench=True,
 )
 def q5_region_revenue(spark, sf_dir):
@@ -138,9 +140,9 @@ def q5_region_revenue(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -194,14 +196,14 @@ GROUP BY p_partkey, p_name, p_brand
 ORDER BY part_revenue DESC, p_partkey
 LIMIT 25
 """,
-    description="Top-k by aggregate: broadcast dim join + agg + "
+    description="Top-k by aggregate: AQE-sized part join + agg + "
     "TakeOrderedAndProject (SURVEY §2.9).",
 )
 def q_top_parts_revenue(spark, sf_dir):
     li, part = load(spark, sf_dir, "lineitem", "part")
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(dsum(revenue, "part_revenue"), dsum(dec("l_quantity"), "total_qty"))
         .orderBy(F.desc("part_revenue"), "p_partkey")

@@ -179,7 +179,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     return (
         unit.withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & (F.col("l_partkey") < 100))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             F.col("l_partkey").alias("partkey"),
             "s_name",
@@ -252,9 +252,7 @@ def q9_nation_year_profit(spark, sf_dir):
         "decimal(18,4)"
     )
     return (
-        lineitem.join(
-            F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey")
-        )
+        lineitem.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(

@@ -69,7 +69,7 @@ def q7_nation_volume(spark, sf_dir):
     return (
         lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
         .where(pair)
@@ -129,7 +129,7 @@ def q8_market_share(spark, sf_dir):
             F.broadcast(region.where(F.col("r_name") == "ASIA")),
             F.col("r_regionkey") == F.col("c_rk"),
         )
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n_supp), F.col("s_nk") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
@@ -255,7 +255,7 @@ def q15_top_supplier_revenue(spark, sf_dir):
     return (
         rev.join(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(supplier, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
             "s_name",
@@ -280,17 +280,17 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 """,
     description="TPC-H Q16 pattern: distinct-supplier counts per part "
     "attribute triple with a NOT-IN exclusion (left anti-join against "
-    "a broadcast blacklist).",
+    "an AQE-sized blacklist — part/supplier grow with SF, no hard hint).",
 )
 def q16_supplier_part_counts(spark, sf_dir):
     lineitem, part, supplier = load(spark, sf_dir, "lineitem", "part", "supplier")
     bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         lineitem.join(
-            F.broadcast(part.where((F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 10))),
+            part.where((F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 10)),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -351,7 +351,7 @@ WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 15
        AND p.p_size <= 40)
 """,
     description="TPC-H Q19 pattern: disjunctive multi-attribute predicate "
-    "evaluated inside a single broadcast join (no union of three scans).",
+    "evaluated inside a single AQE-sized join (no union of three scans).",
 )
 def q19_disjunctive_revenue(spark, sf_dir):
     lineitem, part = load(spark, sf_dir, "lineitem", "part")
@@ -370,7 +370,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         & (F.col("p_size") <= 40)
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(dsum(rev, "revenue"))
     )
@@ -397,7 +397,7 @@ def q20_red_part_suppliers(spark, sf_dir):
     supplier, lineitem, part = load(spark, sf_dir, "supplier", "lineitem", "part")
     red = part.where(F.col("p_name").like("%red%")).select("p_partkey")
     heavy = (
-        lineitem.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        lineitem.join(red, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .where(F.col("sq") > 1900)
@@ -405,7 +405,7 @@ def q20_red_part_suppliers(spark, sf_dir):
     )
     return (
         supplier.join(
-            F.broadcast(heavy), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+            heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
         )
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
@@ -446,7 +446,7 @@ def q21_sole_latest_shipper(spark, sf_dir):
     return (
         per_os.join(per_o, "l_orderkey")
         .where((F.col("nsupp") > 1) & (F.col("supp_maxship") == F.col("ordmax")))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -34,11 +34,38 @@ def test_q6_column_pruning(spark):
     assert len(cols) <= 4, scan
 
 
-def test_q5_broadcasts_dimensions(spark):
-    plan = plan_of(spark, "q5_region_revenue")
-    assert "BroadcastHashJoin" in plan
+def test_q5_join_strategy_is_aqe_chosen(spark):
+    """customer/supplier grow with SF, so q5 must NOT hard-hint them as
+    broadcast — AQE's runtime size check picks BHJ when a side is
+    actually small (as it is at test scale) and falls back to SMJ at
+    100 TB.  Bounded dims (nation, filtered region) keep their hints."""
+    df = REGISTRY["q5_region_revenue"].fn(spark, SF_CORRECT)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # AQE recovered broadcast at small SF
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_hard_broadcast_of_sf_growing_tables():
+    """Static guard: no query source may wrap customer/supplier/part (or
+    frames loaded from them pre-aggregation) in a hard F.broadcast()
+    hint — a hard hint bypasses AQE's size check and OOMs the driver at
+    scale.  Hints are reserved for bounded relations (nation, region,
+    literal frames, 1-row / post-aggregation reductions)."""
+    import re
+    from pathlib import Path
+
+    qdir = Path(__file__).resolve().parent.parent / "clickbom_spark"
+    offenders = []
+    pat = re.compile(
+        r"F\.broadcast\(\s*(cust|customer|supp|supplier|part)\b(?!_)"
+    )
+    for py in qdir.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if pat.search(line):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
 
 
 def test_q10_uses_topk_operator(spark):
