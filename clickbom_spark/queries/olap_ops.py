@@ -691,18 +691,26 @@ FROM ranked
 GROUP BY decile
 ORDER BY decile
 """,
-    description="Equi-height histogram: NTILE(10) over a total "
-    "deterministic order yields data-driven bucket boundaries (each "
-    "decile ≈ equal count) — the optimizer-statistics histogram shape, "
-    "complementing the equi-width price histogram.",
+    description="Equi-height histogram: exact NTILE(10) semantics over a "
+    "total deterministic order, computed scale-safe — a distributed "
+    "bucketed rank (ext.ranks.with_global_rank: value-bucket offsets + "
+    "partition-local row_number, no single-partition window) feeds the "
+    "closed-form NTILE expression; each decile ≈ equal count — the "
+    "optimizer-statistics histogram shape, complementing the equi-width "
+    "price histogram.",
 )
 def q_histogram_equi_height(spark, sf_dir):
-    from pyspark.sql import Window
+    from clickbom_spark.ext.ranks import ntile_expr, with_global_rank
 
     (orders,) = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    ranked = with_global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        rank_col="_i",
+        total_col="_n",
+    ).select(
+        "o_totalprice",
+        ntile_expr(F.col("_i"), F.col("_n"), 10).alias("decile"),
     )
     return (
         ranked.groupBy(F.col("decile").cast("long").alias("decile"))
@@ -744,18 +752,19 @@ FROM s
     description="Gini concentration of supplier revenue: rank-weighted "
     "exact decimal sums reduce the inequality coefficient to scalar "
     "double arithmetic — the balance/concentration audit used on "
-    "revenue, partition sizes, and training-data domain mixes alike.",
+    "revenue, partition sizes, and training-data domain mixes alike. "
+    "The global revenue rank comes from the distributed bucketed rank "
+    "(ext.ranks.with_global_rank), not a single-partition window.",
 )
 def q_gini_concentration(spark, sf_dir):
-    from pyspark.sql import Window
+    from clickbom_spark.ext.ranks import with_global_rank
 
     (li,) = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
         F.sum(dec("l_extendedprice")).alias("r")
     )
-    w = Window.orderBy("r", "l_suppkey")
-    ranked = rev.select(
-        "r", F.row_number().over(w).cast("decimal(18,0)").alias("i")
+    ranked = with_global_rank(rev, ["r", "l_suppkey"], rank_col="_i").select(
+        "r", F.col("_i").cast("decimal(18,0)").alias("i")
     )
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),

@@ -344,3 +344,52 @@ def test_shingles_short_text(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     out = df.select(X.shingles(F.col("text")).alias("g")).collect()[0]["g"]
     assert out == ["one two"]
+
+
+# ---------------------------------------------------------------- ranks
+
+def test_with_global_rank_matches_total_order_window(spark):
+    """The distributed bucketed rank must equal the single-partition
+    Window.orderBy row_number it replaces — exactly, including ties on
+    the leading column resolved by the tie-break column."""
+    import random
+
+    from pyspark.sql import Window
+
+    from clickbom_spark.ext.ranks import with_global_rank
+
+    rng = random.Random(7)
+    # heavy ties on v to exercise cross-bucket tie handling
+    rows = [(i, float(rng.randint(0, 40))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["rk"]
+        for r in with_global_rank(df, ["v", "id"], rank_col="rk", num_buckets=16)
+        .select("id", "rk")
+        .collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rk"]
+        for r in df.select("id", F.row_number().over(w).alias("rk")).collect()
+    }
+    assert got == want
+
+
+def test_ntile_expr_matches_sql_ntile(spark):
+    """ntile_expr(rank, n, k) must reproduce SQL NTILE(k) for totals
+    that are below, equal to, and not divisible by k."""
+    from pyspark.sql import Window
+
+    from clickbom_spark.ext.ranks import ntile_expr
+
+    for n, k in [(7, 10), (20, 10), (25, 10), (101, 7)]:
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "i long")
+        w = Window.orderBy("i")
+        out = df.select(
+            "i",
+            F.ntile(k).over(w).cast("long").alias("want"),
+            ntile_expr(F.col("i"), F.lit(n), k).alias("got"),
+        ).collect()
+        bad = [(r["i"], r["want"], r["got"]) for r in out if r["want"] != r["got"]]
+        assert not bad, (n, k, bad[:5])

@@ -274,3 +274,21 @@ def test_dpp_subquery_on_partitioned_scan(spark):
     plan = plan_of(spark, "q_dynamic_partition_pruning")
     # the fact scan's partition filter must be runtime-derived
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", ["q_histogram_equi_height", "q_gini_concentration"]
+)
+def test_rank_queries_have_no_full_table_global_window(spark, name):
+    """The exact-rank queries must rank via the distributed bucketed
+    plan: the table-sized window is partitioned by the value bucket
+    (_bkt); no NTILE and no row_number over an unpartitioned window of
+    the base relation.  (The only permitted unpartitioned window is the
+    cumulative offset over the per-bucket count frame — O(buckets)
+    rows.)"""
+    plan = plan_of(spark, name)
+    assert "ntile(" not in plan, plan
+    # the partition-local row_number must be keyed by the value bucket
+    rn_lines = [ln for ln in plan.split("\n") if "row_number()" in ln]
+    assert rn_lines, plan
+    assert all("_bkt" in ln for ln in rn_lines), rn_lines
