@@ -438,8 +438,6 @@ def setsim_join_prefix(
 
     Returns (id_a, id_b, jaccard) for pairs with jaccard >= threshold.
     """
-    import math  # noqa: F401  (ceil is computed in-plan, documented here)
-
     from pyspark.sql import functions as F
 
     toks = docs.select(
@@ -467,8 +465,15 @@ def setsim_join_prefix(
             F.size("ordered").alias("n"),
         )
     )
-    # prefix length = n - ceil(t*n) + 1
-    plen = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+    # prefix length = n - ceil(t*n) + 1.  ceil must not overshoot when
+    # the double product t*n lands epsilon ABOVE an integer (e.g. a
+    # threshold like 0.7 whose binary expansion rounds up): that would
+    # shorten the prefix by one token and silently drop qualifying
+    # pairs.  Nudging down by 1e-9 before the ceil keeps the bound
+    # lossless for any threshold with more than 1e-9 slack — ceil may
+    # then only land LOW, which lengthens the prefix (extra candidates,
+    # never missed ones).
+    plen = F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9)) + 1
     prefixes = ranked.select(
         "_id", "w", "n", F.explode(F.slice("w", 1, plen)).alias("ptok")
     )

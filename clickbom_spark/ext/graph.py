@@ -34,12 +34,25 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     materialize: bool = True,
+    broadcast_ranks: bool | str = "auto",
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank).
 
     Ranks are n-normalized (start 1.0 per node, sum ≈ n).  Dangling
     nodes keep the teleport term only.  ``iterations`` fixed small —
     each iteration is exactly one shuffle.
+
+    ``broadcast_ranks``: hard-hint the per-iteration (node, rank)
+    vector onto the edge partitions.  ``True``/``False`` force it;
+    ``"auto"`` (default) broadcasts only while the node count is at or
+    below ``spark.sql.autoBroadcastJoinThreshold`` worth of rows
+    (estimated at ~32 bytes/row) — at billion-node scale the hint is
+    dropped automatically and AQE picks the join side.
+
+    When ``materialize=False`` the un-truncated plan is returned for
+    inspection and the loop-invariant relations stay persisted; call
+    ``.unpersist_pagerank_blocks()`` on the returned DataFrame (or
+    materialize) to release them.
     """
     edges = edges.select(src, dst).distinct()
     nodes = (
@@ -56,15 +69,28 @@ def pagerank(
     # Pre-join degree onto edges once — one join per iteration instead
     # of two, and the joined relation is reused by every round.
     edges_deg = edges.join(outdeg, src).select(src, dst, "outdeg").persist()
+    if broadcast_ranks == "auto":
+        # One (node, rank) row per node is usually orders of magnitude
+        # smaller than the edge list, so shipping it to the edge
+        # partitions avoids re-shuffling the edges every iteration —
+        # but only while the vector actually fits an executor.  Gate on
+        # the session's own broadcast threshold (~32 bytes per
+        # (node, rank) row); counting here pre-warms the persisted
+        # loop-invariant relation the iterations reuse anyway.
+        raw = edges.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        mult, num = 1, raw.removesuffix("b")
+        if num and num[-1] in units:
+            mult, num = units[num[-1]], num[:-1]
+        thresh = int(num) * mult
+        broadcast_ranks = thresh > 0 and nodes.count() <= thresh // 32
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
-        # Broadcast the rank vector: one (node, rank) row per node is
-        # orders of magnitude smaller than the edge list, so shipping it
-        # to the edge partitions avoids re-shuffling the edges every
-        # iteration.  (At billion-node scale drop the hint and let AQE
-        # pick the join side; the loop shape is unchanged.)
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = edges_deg.join(
-            F.broadcast(ranks), edges_deg[src] == ranks["node"]
+            r, edges_deg[src] == r["node"]
         ).select(
             F.col(dst).alias("node"),
             F.round(F.col("rank") / F.col("outdeg"), _SCALE).cast(_DEC).alias("c"),
@@ -79,7 +105,14 @@ def pagerank(
         )
     if not materialize:
         # Caller wants the un-truncated plan (tests inspect it); the
-        # persisted blocks stay live with the returned DataFrame.
+        # persisted loop-invariant blocks stay live with the returned
+        # DataFrame.  Expose a release handle so long-lived sessions
+        # don't accumulate blocks in the block manager.
+        def _release(n=nodes, e=edges_deg):
+            n.unpersist()
+            e.unpersist()
+
+        ranks.unpersist_pagerank_blocks = _release
         return ranks
     # Materialize the final ranks (truncating the iteration lineage),
     # then release the loop-invariant blocks — repeated calls must not

@@ -154,3 +154,12 @@ def test_tsv_events_roundtrip_with_ntz_micros(spark, tmp_path):
     assert back.schema == events.schema
     assert events.exceptAll(back).count() == 0
     assert back.exceptAll(events).count() == 0
+
+
+def test_orc_ntz_microsecond_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(NTZ_ROWS, NTZ_SCHEMA)
+    path = str(tmp_path / "ntz_orc")
+    FMT.write_orc(df, path)
+    back = FMT.read_orc(spark, path).select("id", "ts")
+    assert back.schema["ts"].dataType == T.TimestampNTZType()
+    _ntz_bitexact(spark, back)

@@ -268,6 +268,18 @@ def test_pagerank_broadcasts_rank_vector(spark):
     plan = ranks._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    ranks.unpersist_pagerank_blocks()
+
+    # billion-node escape hatch: with the hint forced OFF the
+    # per-iteration rank join must NOT carry a hard broadcast hint in
+    # the analyzed plan (AQE may still pick BHJ at runtime at test
+    # scale — the point is that nothing FORCES it at 100 TB)
+    shuffled = pagerank(
+        edges, iterations=2, materialize=False, broadcast_ranks=False
+    )
+    logical = shuffled._jdf.queryExecution().optimizedPlan().toString()
+    assert "hint" not in logical.lower(), logical
+    shuffled.unpersist_pagerank_blocks()
 
 
 def test_dpp_subquery_on_partitioned_scan(spark):
