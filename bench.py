@@ -21,6 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from clickbom_spark.queries import REGISTRY  # noqa: E402
 from clickbom_spark.session import get_spark  # noqa: E402
 
+# The round-1 headline set, frozen: its total is reported alongside the
+# growing headline total so rounds stay directly comparable.
+CORE13 = [
+    "q10_returned_item_customers", "q18_large_orders", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q9_nation_year_profit", "q_cosine_topk", "q_explode_words",
+    "q_minhash_lsh_dedup", "q_theta_join_event_pairs",
+    "q_tumbling_window_events", "q_window_rank_orders",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,6 +68,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        # frozen round-1 subset: directly comparable round-over-round
+        # even as the headline set grows
+        "core13_total": round(
+            sum(timings.get(n, 0.0) for n in CORE13), 4
+        ),
     }
     if errors:
         out["errors"] = {n: e.strip().splitlines()[-1] for n, e in errors.items()}

@@ -165,7 +165,12 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    formats: list[str] | None = None,
+) -> DataFrame:
     """Resize image rows to (width, height) via Arrow-batched mapInPandas.
 
     Two decode kernels behind the format switch:
@@ -178,11 +183,19 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     - encoded formats (png/jpeg/...): requires PIL; with no codec in
       the environment the plan FAILS FAST at build time rather than
       raising per-row across 10^9 tasks.
+
+    ``formats`` declares the media formats present (from the caller's
+    catalog/partition metadata).  When provided, the codec gate is
+    decided without touching the data; only when the caller does not
+    know the formats does the gate fall back to a distinct-scan of
+    ``meta.format`` — at 100 TB that fallback is a full extra pass, so
+    production callers should always declare.
     """
-    fmts = [r["fmt"] for r in media.select(
-        F.col("meta.format").alias("fmt")
-    ).distinct().collect()]
-    encoded = [f for f in fmts if f != "raw"]
+    if formats is None:
+        formats = [r["fmt"] for r in media.select(
+            F.col("meta.format").alias("fmt")
+        ).distinct().collect()]
+    encoded = [f for f in formats if f != "raw"]
     if encoded and not _HAS_PIL:
         raise NotImplementedError(
             f"resize_media over encoded formats {encoded} requires an image "

@@ -128,7 +128,11 @@ ORDER BY media_id
 )
 def q_resize_media(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
-    resized = M.resize_media(M.synth_media(docs), width=16, height=12)
+    # synth_media emits raw buffers only — declare it so the codec gate
+    # needs no plan-build scan of the corpus
+    resized = M.resize_media(
+        M.synth_media(docs), width=16, height=12, formats=["raw"]
+    )
     return resized.select(
         "media_id",
         F.length("content").cast("long").alias("resized_len"),

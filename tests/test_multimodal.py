@@ -111,3 +111,68 @@ def test_resize_encoded_fails_fast_without_codec(spark, media):
     )
     with pytest.raises(NotImplementedError):
         M.resize_media(encoded, 32, 32)
+
+
+def _tiny_bmp(w=8, h=8):
+    """Uncompressed 24-bit BMP built with stdlib struct only — no codec
+    needed to CREATE it, so the encoded-format path is exercisable even
+    in a PIL-less environment (the gate), and fully when PIL exists."""
+    import struct
+
+    rows = b""
+    for y in range(h):
+        row = b"".join(
+            struct.pack("BBB", (x * 31) % 256, (y * 17) % 256, (x + y) % 256)
+            for x in range(w)
+        )
+        rows += row + b"\x00" * ((-len(row)) % 4)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    return hdr + dib + rows
+
+
+def _bmp_media(spark):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", M.MEDIA_META),
+        ]
+    )
+    return spark.createDataFrame(
+        [(1, "image", bytearray(_tiny_bmp()), (8, 8, None, None, "bmp"))],
+        schema,
+    )
+
+
+def test_resize_declared_encoded_format_gates_without_scan(spark):
+    """With formats declared by the caller, the codec gate must decide
+    WITHOUT running a job — assert by handing in a frame whose
+    evaluation would throw, which only a scan would trigger."""
+    if M._HAS_PIL:
+        pytest.skip("PIL available; gate would pass")
+    poisoned = _bmp_media(spark).withColumn(
+        "media_id",
+        F.when(F.lit(True), F.col("media_id")).otherwise(
+            F.raise_error("must not be evaluated")
+        ),
+    )
+    with pytest.raises(NotImplementedError):
+        M.resize_media(poisoned, 4, 4, formats=["bmp"])
+
+
+def test_resize_encoded_bmp_happy_path(spark):
+    """The PIL-gated branch end-to-end on a real (struct-built) BMP."""
+    if not M._HAS_PIL:
+        pytest.skip("PIL not available in this environment")
+    out = M.resize_media(_bmp_media(spark), 4, 4, formats=["bmp"]).collect()
+    assert len(out) == 1
+    # 4x4 RGB pixels from PIL -> 48 bytes
+    assert len(bytes(out[0]["content"])) == 4 * 4 * 3
+    assert out[0]["meta"]["width"] == 4 and out[0]["meta"]["height"] == 4

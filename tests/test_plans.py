@@ -304,3 +304,12 @@ def test_rank_queries_have_no_full_table_global_window(spark, name):
     rn_lines = [ln for ln in plan.split("\n") if "row_number()" in ln]
     assert rn_lines, plan
     assert all("_bkt" in ln for ln in rn_lines), rn_lines
+
+
+def test_resize_media_single_corpus_scan(spark):
+    """The codec gate must not cost a plan-build pass over the corpus:
+    with formats declared, q_resize_media's plan scans the documents
+    table exactly once."""
+    plan = plan_of(spark, "q_resize_media")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
