@@ -112,3 +112,4 @@ from clickbom_spark.queries import analytics  # noqa: E402,F401
 from clickbom_spark.queries import relational  # noqa: E402,F401
 from clickbom_spark.queries import curation  # noqa: E402,F401
 from clickbom_spark.queries import engine_ops  # noqa: E402,F401
+from clickbom_spark.queries import order_stats  # noqa: E402,F401

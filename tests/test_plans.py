@@ -289,7 +289,13 @@ def test_dpp_subquery_on_partitioned_scan(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_histogram_equi_height", "q_gini_concentration"]
+    "name",
+    [
+        "q_histogram_equi_height",
+        "q_gini_concentration",
+        "q_shuffle_order",
+        "q_percent_rank_suppliers",
+    ],
 )
 def test_rank_queries_have_no_full_table_global_window(spark, name):
     """The exact-rank queries must rank via the distributed bucketed
