@@ -451,8 +451,10 @@ def setsim_join_prefix(
         .agg(F.count(F.lit(1)).alias("df"))
     )
     ranked = (
+        # vocab is vocabulary-sized (grows with the corpus) — no hard
+        # broadcast hint; AQE sizes the join
         toks.select("_id", F.explode("_w").alias("tok"))
-        .join(F.broadcast(vocab), "tok")
+        .join(vocab, "tok")
         .groupBy("_id")
         .agg(
             F.sort_array(

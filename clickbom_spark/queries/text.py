@@ -232,7 +232,9 @@ def q_tfidf_top_terms(spark, sf_dir):
     # any corpus without a synchronous pre-pass.
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs_total"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # df_ is vocabulary-sized (grows with the corpus) — no hard
+        # broadcast hint; AQE sizes the join. n_docs is a 1-row scalar.
+        tf.join(df_, "term")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
