@@ -36,21 +36,31 @@ def _status_rank() -> dict[str, int]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     status: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    last_green: dict[str, int] = {}
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))), 1
+    ):
         try:
             with open(path) as f:
-                status.update(json.load(f))
+                payload = json.load(f)
         except (OSError, ValueError):
             continue
+        status.update(payload)
+        for name, e in payload.items():
+            if not e.get("err") and e.get("hash_match") is True:
+                last_green[name] = rnd
     ranks = {}
     for name in REGISTRY:
         e = status.get(name)
         if e is None:
-            ranks[name] = 1  # never checked
+            ranks[name] = (1, 0)  # never checked
         elif e.get("err") or e.get("hash_match") is not True:
-            ranks[name] = 0  # erred / mismatched: re-verify first
+            ranks[name] = (0, 0)  # erred / mismatched: re-verify first
         else:
-            ranks[name] = 2  # green: re-verify last
+            # green: re-verify last, STALEST green first, so the
+            # budget's green slots rotate across rounds instead of
+            # re-checking the same prefix every time
+            ranks[name] = (2, last_green.get(name, 0))
     return ranks
 
 
@@ -77,7 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = list(REGISTRY)
     idx = {n: i for i, n in enumerate(names)}
     ordered = sorted(
-        names, key=lambda n: (rank[n], prio.get(n, len(_PRIORITY)), idx[n])
+        names, key=lambda n: (*rank[n], prio.get(n, len(_PRIORITY)), idx[n])
     )
     return {name: REGISTRY[name].fn for name in ordered}
 
