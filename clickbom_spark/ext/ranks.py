@@ -71,9 +71,15 @@ def with_global_rank(
         num_buckets = df.sparkSession.sparkContext.defaultParallelism
     bounds = _bucket_boundaries(df, lead, num_buckets)
     lead_d = F.col(lead).cast("double")
+    # NULL lead values sort FIRST (Spark's ascending default), so they
+    # belong in bucket 0 — made explicit here because a NULL comparison
+    # would otherwise produce a NULL bucket and the offset equi-join
+    # would silently DROP those rows.
     bkt = F.lit(0)
     for b in bounds:
-        bkt = bkt + (lead_d >= F.lit(b)).cast("int")
+        bkt = bkt + F.coalesce(
+            (lead_d >= F.lit(b)).cast("int"), F.lit(0)
+        )
     bucketed = df.withColumn("_bkt", bkt)
 
     cnt = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))

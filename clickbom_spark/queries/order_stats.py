@@ -17,18 +17,24 @@ from pyspark.sql import functions as F
 from clickbom_spark.ext.ranks import with_global_rank
 from clickbom_spark.queries import dec, load, query
 
-# Odd multiplier => multiplication mod 2^32 is a bijection, so distinct
-# ids keep distinct keys (Knuth's multiplicative hash constant).  Plain
-# integer arithmetic so Spark and the SQL oracle agree bit-for-bit.
-_MIX = 2654435761
-_MOD = 4294967296
+# Odd multiplier => multiplication mod 2^31 is a bijection, so ids
+# distinct mod 2^31 keep distinct keys (Knuth's multiplicative constant,
+# reduced).  The id is reduced mod 2^31 BEFORE multiplying so the
+# product stays < 2^62 — inside int64 for BOTH engines.  Without the
+# pre-reduction, huge ids overflow int64, which Spark wraps silently
+# while DuckDB promotes to HUGEINT: same SQL text, different answers.
+# Ids that collide mod 2^31 are ordered by the doc_id tie-break —
+# deterministic, marginally less uniform above 2^31 ids.
+_MIX = 2654435761 % 2147483648  # 507452113, odd
+_MOD = 2147483648
 
 
 @query(
     "q_shuffle_order",
     oracle=f"""
 SELECT doc_id,
-       ROW_NUMBER() OVER (ORDER BY (doc_id * {_MIX}) % {_MOD}, doc_id) AS pos
+       ROW_NUMBER() OVER (
+         ORDER BY ((doc_id % {_MOD}) * {_MIX}) % {_MOD}, doc_id) AS pos
 FROM documents
 ORDER BY doc_id
 """,
@@ -42,7 +48,10 @@ ORDER BY doc_id
 def q_shuffle_order(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
     keyed = docs.select(
-        "doc_id", ((F.col("doc_id") * F.lit(_MIX)) % F.lit(_MOD)).alias("_k")
+        "doc_id",
+        (((F.col("doc_id") % F.lit(_MOD)) * F.lit(_MIX)) % F.lit(_MOD)).alias(
+            "_k"
+        ),
     )
     return (
         with_global_rank(keyed, ["_k", "doc_id"], rank_col="pos")

@@ -393,3 +393,24 @@ def test_ntile_expr_matches_sql_ntile(spark):
         ).collect()
         bad = [(r["i"], r["want"], r["got"]) for r in out if r["want"] != r["got"]]
         assert not bad, (n, k, bad[:5])
+
+
+def test_with_global_rank_null_leads_rank_first_not_dropped(spark):
+    """NULL lead values must land in bucket 0 and rank FIRST (Spark's
+    ascending default) — a NULL bucket would silently drop rows at the
+    offset equi-join."""
+    from pyspark.sql import Window
+
+    from clickbom_spark.ext.ranks import with_global_rank
+
+    rows = [(1, None), (2, 5.0), (3, None), (4, 1.0), (5, 3.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = with_global_rank(df, ["v", "id"], rank_col="rk", num_buckets=4)
+    got = {r["id"]: r["rk"] for r in out.collect()}
+    assert len(got) == 5  # nothing dropped
+    w = Window.orderBy(F.col("v").asc_nulls_first(), "id")
+    want = {
+        r["id"]: r["rk"]
+        for r in df.select("id", F.row_number().over(w).alias("rk")).collect()
+    }
+    assert got == want
