@@ -68,21 +68,30 @@ def interleave_bits_sql(quantized: list[str], bits: int) -> str:
     return " + ".join(terms)
 
 
-def zvalue(df: DataFrame, cols: list[Column], bits: int = 8) -> Column:
-    """Z-value over ``cols`` (integer-valued Column expressions) with
-    ranges taken from ``df``'s observed min/max — computed as ONE agg
-    whose two scalars per column come back to the driver (constant
-    cost at any corpus size)."""
-    aggs = []
-    for i, c in enumerate(cols):
-        aggs += [
-            F.min(c.cast("long")).alias(f"mn{i}"),
-            F.max(c.cast("long")).alias(f"mx{i}"),
-        ]
-    s = df.agg(*aggs).first()
+def zvalue(
+    df: DataFrame,
+    cols: list[Column],
+    bits: int = 8,
+    bounds: list[tuple[int, int]] | None = None,
+) -> Column:
+    """Z-value over ``cols`` (integer-valued Column expressions).
+
+    ``bounds`` declares each column's (min, max) range from catalog
+    statistics; when provided, no job runs at plan-build.  Without it
+    the ranges come from ONE min/max agg over ``df`` (an extra full
+    pass at 100 TB — production callers should declare)."""
+    if bounds is None:
+        aggs = []
+        for i, c in enumerate(cols):
+            aggs += [
+                F.min(c.cast("long")).alias(f"mn{i}"),
+                F.max(c.cast("long")).alias(f"mx{i}"),
+            ]
+        s = df.agg(*aggs).first()
+        bounds = [(int(s[f"mn{i}"]), int(s[f"mx{i}"])) for i in range(len(cols))]
     q = [
-        quantize_int(c, int(s[f"mn{i}"]), int(s[f"mx{i}"]), bits)
-        for i, c in enumerate(cols)
+        quantize_int(c, mn, mx, bits)
+        for c, (mn, mx) in zip(cols, bounds)
     ]
     return interleave_bits(q, bits)
 
@@ -93,6 +102,7 @@ def write_zordered(
     path: str,
     n_files: int = 16,
     bits: int = 8,
+    bounds: list[tuple[int, int]] | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the z-order of ``cols``.
 
@@ -101,7 +111,7 @@ def write_zordered(
     dropped from the output.  Downstream scans with predicates on ANY
     of the interleaved dimensions skip files via footer min/max.
     """
-    z = zvalue(df, cols, bits)
+    z = zvalue(df, cols, bits, bounds=bounds)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

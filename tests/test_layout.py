@@ -123,3 +123,36 @@ def test_write_zordered_skips_on_both_dims(spark, orders, tmp_path):
 def _mid_quarter(vals):
     s = sorted(vals)
     return s[int(len(s) * 0.375)], s[int(len(s) * 0.625)]
+
+
+def test_zvalue_declared_bounds_no_job(spark):
+    """With bounds declared, zvalue must not run a job at plan build —
+    proven by handing in a frame whose evaluation would raise."""
+    from pyspark.sql import functions as F
+
+    from clickbom_spark.ext import layout as L
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long").withColumn(
+        "a", F.when(F.lit(True), F.col("a")).otherwise(F.raise_error("no job"))
+    )
+    z = L.zvalue(df, [F.col("a"), F.col("b")], bits=4, bounds=[(0, 15), (0, 15)])
+    # expression built without touching the data; evaluating it now is fine
+    out = df.select(z.alias("z")).collect()
+    assert len(out) == 1
+
+
+def test_zvalue_declared_bounds_matches_observed(spark):
+    """Declared bounds equal to the observed min/max must give the same
+    z-values as the self-computed path."""
+    from pyspark.sql import functions as F
+
+    from clickbom_spark.ext import layout as L
+
+    rows = [(i, (i * 7) % 13) for i in range(50)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    cols = [F.col("a"), F.col("b")]
+    z_auto = df.select(L.zvalue(df, cols, bits=6).alias("z"), "a").collect()
+    z_decl = df.select(
+        L.zvalue(df, cols, bits=6, bounds=[(0, 49), (0, 12)]).alias("z"), "a"
+    ).collect()
+    assert {r["a"]: r["z"] for r in z_auto} == {r["a"]: r["z"] for r in z_decl}
