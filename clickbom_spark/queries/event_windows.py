@@ -384,6 +384,51 @@ def q_dedup_stream_watermark(spark, sf_dir):
 
 
 @query(
+    "q_stream_stream_attribution",
+    # Stream-stream interval join executed AS A STREAM (availableNow
+    # replay): both sides carry watermarks so the engine can expire
+    # buffered state; the emitted (view, click) pair set equals the
+    # batch interval join exactly (the single-file replay is in-order,
+    # so the watermark never drops a qualifying pair).  The output
+    # aggregates integer ids only — timezone-independent by
+    # construction.
+    oracle="""
+SELECT COUNT(*) AS n_pairs,
+       COUNT(DISTINCT v.user_id) AS n_users,
+       CAST(SUM(v.event_id) AS BIGINT) AS sum_view_ids,
+       CAST(SUM(c.event_id) AS BIGINT) AS sum_click_ids
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+  ON c.user_id = v.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+""",
+    description="Stream-stream event-time interval join (view→click "
+    "attribution pairs): both live streams buffered in watermark-"
+    "bounded keyed state, time-range residual keeps per-key matching "
+    "O(events-in-window) and lets state expire — the §2.10 operator "
+    "beyond stream-static enrichment; pair set over an availableNow "
+    "replay equals the batch interval join.",
+)
+def q_stream_stream_attribution(spark, sf_dir):
+    from clickbom_spark.streaming import read_events_stream
+    from clickbom_spark.streaming.joins import (
+        attribution_join,
+        split_views_clicks,
+    )
+    from clickbom_spark.streaming.pipeline import run_to_memory_sink
+
+    views, clicks = split_views_clicks(read_events_stream(spark, sf_dir))
+    pairs = attribution_join(views, clicks)
+    run_to_memory_sink(pairs, "m_stream_attrib")
+    return spark.table("m_stream_attrib").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("view_id").alias("sum_view_ids"),
+        F.sum("click_id").alias("sum_click_ids"),
+    )
+
+
+@query(
     "q_stream_static_enrich",
     oracle="""
 SELECT c_mktsegment,
