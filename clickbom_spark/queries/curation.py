@@ -630,3 +630,90 @@ def q_curation_pipeline(spark, sf_dir):
         F.coalesce(F.col("sampled_tokens").cast("long"), z).alias("sampled_tokens"),
         F.coalesce(F.col("n_packs").cast("long"), z).alias("n_packs"),
     ).orderBy("lang")
+
+
+@query(
+    "q_bigram_lm_score",
+    # Corpus-trained smoothed bigram LM as a quality filter: train
+    # (count) and score in the same two-pass dataflow a perplexity
+    # filter runs at production scale.  Per-term surprisal is rounded
+    # to 6 decimals and summed EXACTLY as decimal so the cross-row
+    # fold is order-independent (the repo's standard float contract);
+    # the per-doc mean divides once in double with one op order.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+), cb AS (
+  SELECT w1, w2, COUNT(*) AS nb FROM grams GROUP BY w1, w2
+), cu AS (
+  SELECT unnest({_TOKENS}) AS w1 FROM documents
+), cuc AS (
+  SELECT w1, COUNT(*) AS nu FROM cu GROUP BY w1
+), v AS (
+  SELECT COUNT(*) AS vsz FROM cuc
+), terms AS (
+  SELECT g.doc_id,
+         CAST(round(-log2((CAST(cb.nb AS DOUBLE) + 0.5)
+                          / (CAST(cuc.nu AS DOUBLE)
+                             + 0.5 * CAST(v.vsz AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS bits
+  FROM grams g JOIN cb USING (w1, w2) JOIN cuc USING (w1), v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       round(CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS ppl_bits
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    description="Corpus-trained add-k-smoothed bigram language-model "
+    "surprisal per document (KenLM-style quality/perplexity filter): "
+    "bigram+unigram count 'training' and document scoring are two hash "
+    "aggregations and two equi-joins over one tokenized scan shape — "
+    "no model server, fully distributed; count frames are AQE-sized "
+    "(vocabulary grows with the corpus). High ppl_bits = surprising/"
+    "low-quality text, the standard pretraining-data culling signal.",
+)
+def q_bigram_lm_score(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    w = X.tokens(F.col("text"))
+    n = F.size(w)
+    pairs = F.zip_with(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    grams = docs.select("doc_id", F.explode(pairs).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    cb = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    uni = docs.select(F.explode(w).alias("w1"))
+    cuc = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("nu"))
+    v = cuc.agg(F.count(F.lit(1)).alias("vsz"))
+    bits = F.round(
+        -F.log2(
+            (F.col("nb").cast("double") + 0.5)
+            / (F.col("nu").cast("double") + 0.5 * F.col("vsz").cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    terms = (
+        grams.join(cb, ["w1", "w2"])
+        .join(cuc, "w1")
+        .join(F.broadcast(v))
+        .select("doc_id", bits.alias("bits"))
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("ppl_bits"),
+        )
+        .orderBy("doc_id")
+    )
