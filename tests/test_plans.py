@@ -319,3 +319,12 @@ def test_resize_media_single_corpus_scan(spark):
     plan = plan_of(spark, "q_resize_media")
     scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
     assert len(scans) == 1, plan
+
+
+def test_bigram_lm_score_equi_joins_only(spark):
+    """The LM train+score joins (bigram counts, unigram counts) must be
+    equi-joins; the only nested-loop is the 1-row vocabulary-size
+    scalar broadcast."""
+    plan = plan_of(spark, "q_bigram_lm_score")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
