@@ -328,3 +328,14 @@ def test_bigram_lm_score_equi_joins_only(spark):
     plan = plan_of(spark, "q_bigram_lm_score")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_bench_core13_names_are_bench_registry_entries():
+    """bench.py's frozen core13 subset must remain a subset of the
+    bench-flagged registry — a rename would silently zero core13_total."""
+    import bench
+
+    bench_set = {n for n, s in REGISTRY.items() if s.bench}
+    missing = [n for n in bench.CORE13 if n not in bench_set]
+    assert not missing, missing
+    assert len(bench.CORE13) == 13
