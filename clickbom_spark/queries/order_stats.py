@@ -87,9 +87,11 @@ def q_percent_rank_suppliers(spark, sf_dir):
     n = F.col("_n").cast("double")
     rnk = F.min("_pos").over(wv).cast("double")
     cd = F.max("_pos").over(wv).cast("double")
+    # single-row relation: PERCENT_RANK is defined as 0, not 0/0
+    pr = F.when(n > 1.0, (rnk - 1.0) / (n - 1.0)).otherwise(F.lit(0.0))
     return pos.select(
         "s_suppkey",
-        F.round((rnk - 1.0) / (n - 1.0), 9).alias("pr"),
+        F.round(pr, 9).alias("pr"),
         F.round(cd / n, 9).alias("cd"),
     ).orderBy("s_suppkey")
 
