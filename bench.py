@@ -60,8 +60,31 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Noise control for the frozen comparable subset: two extra timed
+    # passes over core13 so a per-query MIN can be reported next to the
+    # single-pass total — machine-load spikes (±30% observed) inflate
+    # individual passes, but the min across three is a stable
+    # lower-envelope estimate of the real cost.
+    core13_min_each = {n: timings[n] for n in CORE13 if n in timings}
+    for _ in range(2):
+        for name in CORE13:
+            if name not in core13_min_each:
+                continue
+            t0 = time.perf_counter()
+            try:
+                headline[name].fn(spark, sf_dir).collect()
+            except Exception:
+                continue
+            core13_min_each[name] = min(
+                core13_min_each[name], round(time.perf_counter() - t0, 4)
+            )
+
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # A core13 member that errored or went missing must NOT silently
+    # deflate the frozen metric (it would read as a speedup): report
+    # null totals and flip the completeness flag instead.
+    core13_complete = all(n in timings for n in CORE13)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -71,8 +94,12 @@ def main() -> None:
         # frozen round-1 subset: directly comparable round-over-round
         # even as the headline set grows
         "core13_total": round(
-            sum(timings.get(n, 0.0) for n in CORE13), 4
-        ),
+            sum(timings[n] for n in CORE13), 4
+        ) if core13_complete else None,
+        "core13_min": round(
+            sum(core13_min_each.values()), 4
+        ) if core13_complete else None,
+        "core13_complete": core13_complete,
     }
     if errors:
         out["errors"] = {n: e.strip().splitlines()[-1] for n, e in errors.items()}

@@ -35,6 +35,7 @@ def pagerank(
     dst: str = "dst",
     materialize: bool = True,
     broadcast_ranks: bool | str = "auto",
+    approx_nodes: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank).
 
@@ -48,6 +49,13 @@ def pagerank(
     below ``spark.sql.autoBroadcastJoinThreshold`` worth of rows
     (estimated at ~32 bytes/row) — at billion-node scale the hint is
     dropped automatically and AQE picks the join side.
+
+    ``approx_nodes``: optional node-count hint for ``"auto"`` mode.
+    When supplied, the plan-build ``count()`` job is skipped entirely
+    and the gate uses the hint — callers who already know (even
+    roughly) how many nodes they have pay zero extra jobs before
+    iteration 1.  Only load balance of the gate decision depends on
+    accuracy; rank values are identical either way.
 
     When ``materialize=False`` the un-truncated plan is returned for
     inspection and the loop-invariant relations stay persisted; call
@@ -80,12 +88,23 @@ def pagerank(
         raw = edges.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
         ).strip().lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-        mult, num = 1, raw.removesuffix("b")
-        if num and num[-1] in units:
-            mult, num = units[num[-1]], num[:-1]
-        thresh = int(num) * mult
-        broadcast_ranks = thresh > 0 and nodes.count() <= thresh // 32
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+                 "p": 1 << 50}
+        try:
+            mult, num = 1, raw.removesuffix("b")
+            if num and num[-1] in units:
+                mult, num = units[num[-1]], num[:-1]
+            thresh = int(float(num) * mult)
+        except (ValueError, IndexError):
+            # An exotic-but-valid (or plain broken) conf string must not
+            # crash the query at plan build — fall back to the safe
+            # no-broadcast shuffle join and let AQE size it.
+            thresh = 0
+        if thresh <= 0:
+            broadcast_ranks = False
+        else:
+            n = approx_nodes if approx_nodes is not None else nodes.count()
+            broadcast_ranks = n <= thresh // 32
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
         r = F.broadcast(ranks) if broadcast_ranks else ranks

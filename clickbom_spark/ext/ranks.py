@@ -33,6 +33,30 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Hard cap on the bucket count.  Bucket assignment evaluates one
+# array-membership scan of the boundary list per row, so the per-row
+# cost is O(num_buckets); 256 buckets is plenty of parallelism for the
+# rank pass (each bucket still splits across tasks for everything
+# except the partition-local window) while keeping the expression tiny
+# and codegen-safe.  The cap affects load BALANCE only, never the rank
+# values — ties and ordering are exact regardless of bucketing.
+_MAX_BUCKETS = 256
+
+
+def _temp_names(df: DataFrame, bases: Sequence[str]) -> list[str]:
+    """Collision-proof working-column names: each base gets underscores
+    appended until it is absent from ``df`` (so an input that already
+    has a ``_bkt``/``_off``/``_total`` column is never clobbered)."""
+    taken = set(df.columns)
+    out: list[str] = []
+    for base in bases:
+        name = base
+        while name in taken:
+            name += "_"
+        taken.add(name)
+        out.append(name)
+    return out
+
 
 def _bucket_boundaries(
     df: DataFrame, order_col: str, num_buckets: int, rel_err: float = 0.001
@@ -51,6 +75,30 @@ def _bucket_boundaries(
     return out
 
 
+def _bucket_expr(lead_d, bounds: Sequence[float]):
+    """Bucket index = number of sorted cut points ``<= lead_d``, as a
+    balanced CASE-WHEN binary-search tree: per-row cost is
+    O(log buckets) thanks to WHEN short-circuiting (not the O(buckets)
+    chained-comparison sum, which also bloats whole-stage codegen
+    linearly).  Plain comparisons only — no higher-order functions,
+    whose outer-column lambdas Catalyst mis-binds when the expression
+    is substituted through an aggregate.
+
+    NULL lead values sort FIRST (Spark's ascending default) and must
+    land in bucket 0: every NULL ``>=`` comparison is not-true, so the
+    tree walks to the leftmost leaf and yields exactly 0 — never a NULL
+    bucket, so the downstream offset equi-join cannot drop those rows.
+    """
+    if not bounds:
+        return F.lit(0)
+    mid = len(bounds) // 2
+    left = _bucket_expr(lead_d, bounds[:mid])
+    right = _bucket_expr(lead_d, bounds[mid + 1:])
+    return F.when(
+        lead_d >= F.lit(float(bounds[mid])), F.lit(mid + 1) + right
+    ).otherwise(left)
+
+
 def with_global_rank(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -62,44 +110,45 @@ def with_global_rank(
     without a single-partition sort.
 
     Optionally also adds ``total_col`` = total row count (useful for
-    rank-derived statistics like NTILE or percent_rank).  The input is
-    scanned twice (boundary pass + rank pass) — persist upstream frames
-    that are expensive to recompute.
+    rank-derived statistics like NTILE or percent_rank).  When the
+    input is unpersisted it is scanned three times — the boundary pass,
+    the per-bucket count pass, and the rank probe pass — so persist
+    upstream frames that are expensive to recompute.
+
+    ``num_buckets`` is clamped to 256 (see ``_MAX_BUCKETS``): more
+    buckets would only improve balance of the partition-local windows,
+    never the rank values, and the per-row assignment cost is linear in
+    the bucket count.
     """
     lead = order_cols[0]
     if num_buckets is None:
         num_buckets = df.sparkSession.sparkContext.defaultParallelism
+    num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
+    c_bkt, c_cnt, c_off, c_total = _temp_names(
+        df, ["_bkt", "_cnt", "_off", "_total"]
+    )
     bounds = _bucket_boundaries(df, lead, num_buckets)
     lead_d = F.col(lead).cast("double")
-    # NULL lead values sort FIRST (Spark's ascending default), so they
-    # belong in bucket 0 — made explicit here because a NULL comparison
-    # would otherwise produce a NULL bucket and the offset equi-join
-    # would silently DROP those rows.
-    bkt = F.lit(0)
-    for b in bounds:
-        bkt = bkt + F.coalesce(
-            (lead_d >= F.lit(b)).cast("int"), F.lit(0)
-        )
-    bucketed = df.withColumn("_bkt", bkt)
+    bucketed = df.withColumn(c_bkt, _bucket_expr(lead_d, bounds))
 
-    cnt = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_bkt").rowsBetween(
+    cnt = bucketed.groupBy(c_bkt).agg(F.count(F.lit(1)).alias(c_cnt))
+    w_off = Window.orderBy(c_bkt).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(c_bkt).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offs = cnt.select(
-        "_bkt",
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(w_all).alias("_total"),
+        c_bkt,
+        F.coalesce(F.sum(c_cnt).over(w_off), F.lit(0)).alias(c_off),
+        F.sum(c_cnt).over(w_all).alias(c_total),
     )
 
-    w_loc = Window.partitionBy("_bkt").orderBy(*[F.col(c) for c in order_cols])
-    out = bucketed.join(F.broadcast(offs), "_bkt").withColumn(
-        rank_col, (F.col("_off") + F.row_number().over(w_loc)).cast("long")
+    w_loc = Window.partitionBy(c_bkt).orderBy(*[F.col(c) for c in order_cols])
+    out = bucketed.join(F.broadcast(offs), c_bkt).withColumn(
+        rank_col, (F.col(c_off) + F.row_number().over(w_loc)).cast("long")
     )
     if total_col is not None:
-        out = out.withColumn(total_col, F.col("_total"))
-    return out.drop("_bkt", "_off", "_total")
+        out = out.withColumn(total_col, F.col(c_total))
+    return out.drop(c_bkt, c_off, c_total)
 
 
 def ntile_expr(rank, total, k: int):

@@ -414,3 +414,42 @@ def test_with_global_rank_null_leads_rank_first_not_dropped(spark):
         for r in df.select("id", F.row_number().over(w).alias("rk")).collect()
     }
     assert got == want
+
+
+def test_with_global_rank_huge_bucket_count_capped_and_exact(spark):
+    """num_buckets is clamped to _MAX_BUCKETS: a pathological request
+    (5000 buckets) must neither bloat the bucket expression nor change
+    a single rank value."""
+    from pyspark.sql import Window
+
+    from clickbom_spark.ext import ranks
+    from clickbom_spark.ext.ranks import with_global_rank
+
+    df = spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(500)], "id long, v double"
+    )
+    out = with_global_rank(df, ["v", "id"], rank_col="rk", num_buckets=5000)
+    got = {r["id"]: r["rk"] for r in out.select("id", "rk").collect()}
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rk"]
+        for r in df.select("id", F.row_number().over(w).alias("rk")).collect()
+    }
+    assert got == want
+    assert ranks._MAX_BUCKETS == 256  # documented cap
+
+
+def test_with_global_rank_preserves_colliding_column_names(spark):
+    """An input that already has _bkt/_off/_total columns must come out
+    with those columns intact (unique temp names, no clobber)."""
+    from clickbom_spark.ext.ranks import with_global_rank
+
+    rows = [(1, 2.0, "x", 10, 99), (2, 1.0, "y", 20, 98)]
+    df = spark.createDataFrame(
+        rows, "id long, v double, _bkt string, _off long, _total long"
+    )
+    out = with_global_rank(df, ["v", "id"], rank_col="rk", num_buckets=4)
+    assert {"_bkt", "_off", "_total", "rk"} <= set(out.columns)
+    got = {r["id"]: (r["_bkt"], r["_off"], r["_total"], r["rk"])
+           for r in out.collect()}
+    assert got == {1: ("x", 10, 99, 2), 2: ("y", 20, 98, 1)}

@@ -73,3 +73,37 @@ def test_reachable_hop_bound_respected(spark):
     seeds = spark.createDataFrame([("a",)], "node string")
     got = {r.node: r.hop for r in reachable(edges, seeds, max_hops=2).collect()}
     assert "d" not in got and got["c"] == 2
+
+
+def test_pagerank_exotic_broadcast_threshold_conf_does_not_crash(spark):
+    """'auto' mode must survive any conf string Spark itself accepts:
+    the full unit set ('1t', '1p') parses instead of raising at plan
+    build, and -1 (broadcast disabled) gates the hint off."""
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for conf in ["1t", "1p", "100k", "-1"]:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+            got = {r.node: r.rank for r in pagerank(edges, iterations=1).collect()}
+            assert len(got) == 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pagerank_approx_nodes_hint_skips_count_job(spark, monkeypatch):
+    """With approx_nodes supplied, 'auto' mode must not run ANY count()
+    job before iteration 1 — callers who know their node count pay zero
+    extra jobs at plan build."""
+    from pyspark.sql import DataFrame
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+
+    def _boom(self):
+        raise AssertionError("count() job ran despite approx_nodes hint")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    plan = pagerank(edges, iterations=1, materialize=False, approx_nodes=4)
+    monkeypatch.undo()
+    got = {r.node: r.rank for r in plan.collect()}
+    assert len(got) == 4
+    plan.unpersist_pagerank_blocks()
