@@ -295,3 +295,163 @@ def char_entropy(text: Column) -> Column:
         ).otherwise(F.lit(0.0))
 
     return let(F.split(normalize_text(text), ""), of_chars)
+
+
+# ---- Gopher repetition suite (round 5) ----
+
+#: Gopher paper (Rae et al. 2021, table A1) repetition thresholds: a doc
+#: is flagged when the duplicate n-gram character fraction (n in 5..10)
+#: or the top n-gram character fraction (n in 2..4) exceeds these.
+GOPHER_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def _gram_array(t: Column, n: int) -> Column:
+    """Positional word n-grams of token array ``t`` (space-joined);
+    empty array when the doc has fewer than ``n`` tokens."""
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))),
+    ).otherwise(F.array_remove(F.array(F.lit("")), ""))
+
+
+def _dup_covered_chars(t: Column, g: Column, n: int) -> Column:
+    """Characters of ``t`` covered by any n-gram occurring >= 2 times,
+    overlaps counted once, as ONE linear fold.
+
+    A token j (0-based) is covered iff some duplicated gram starts in
+    [j-n+1, j].  The fold walks token positions carrying the most
+    recent duplicated-gram start seen so far — O(tokens) per doc with
+    no quadratic membership scans (the duplicated-gram SET is found by
+    sorting the gram array once and keeping adjacent equals)."""
+
+    def of_sorted(s: Column) -> Column:
+        dupset = F.array_distinct(
+            F.filter(
+                s,
+                lambda x, i: F.when(
+                    i > 0, x == F.element_at(s, i)  # i is 0-based: s[i-1]
+                ).otherwise(F.lit(False)),
+            )
+        )
+        init = F.struct(
+            F.lit(-(n + 1)).alias("last"), F.lit(0).cast("long").alias("acc")
+        )
+
+        def step(st: Column, j: Column) -> Column:
+            is_dup_start = F.when(
+                j <= F.size(t) - n,
+                F.array_contains(dupset, F.element_at(g, j + 1)),
+            ).otherwise(F.lit(False))
+            new_last = F.when(is_dup_start, j).otherwise(st["last"])
+            covered = new_last >= j - n + 1
+            return F.struct(
+                new_last.alias("last"),
+                (
+                    st["acc"]
+                    + F.when(
+                        covered, F.length(F.element_at(t, j + 1)).cast("long")
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("acc"),
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.size(t) - 1), init, step, lambda st: st["acc"]
+        )
+
+    return F.when(F.size(t) >= n, let(F.array_sort(g), of_sorted)).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def _top_gram_chars(g: Column, n: int) -> Column:
+    """Characters claimed by the most character-covering repeated
+    n-gram: max over distinct grams of count * (chars of the gram,
+    spaces excluded).  Computed from ONE sort of the gram array:
+    run starts mark distinct grams, run lengths are their counts.
+
+    (Deterministic variant of Gopher's "fraction of characters in the
+    most frequently occurring n-gram": maximizing count*chars directly
+    needs no tie-break between equally-frequent grams.)"""
+
+    def of_sorted(s: Column) -> Column:
+        mg = F.size(s)
+        starts = F.filter(
+            F.sequence(F.lit(1), mg),
+            lambda i: F.when(
+                i > 1, F.element_at(s, i) != F.element_at(s, i - 1)
+            ).otherwise(F.lit(True)),
+        )
+
+        def val_of(p: Column, k: Column) -> Column:
+            nxt = F.when(
+                k + 2 <= F.size(starts), F.element_at(starts, k + 2)
+            ).otherwise(mg + 1)
+            run = (nxt - p).cast("long")
+            glen = (F.length(F.element_at(s, p)) - (n - 1)).cast("long")
+            return run * glen
+
+        return F.coalesce(
+            F.array_max(F.transform(starts, val_of)), F.lit(0).cast("long")
+        )
+
+    return F.when(F.size(g) >= 1, let(F.array_sort(g), of_sorted)).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def gopher_repetition_profile(text: Column) -> Column:
+    """The full Gopher repetition-filter signal set for one document, as
+    a single struct computed from ONE tokenization (per-doc expressions
+    only — embarrassingly parallel, zero shuffles at any scale):
+
+    - ``dup{n}_frac`` for n in 5..10: fraction of normalized-token
+      characters covered by n-grams occurring more than once (overlaps
+      counted once).
+    - ``top{n}_frac`` for n in 2..4: max over distinct n-grams of
+      count * gram-chars, over total chars.
+
+    Fractions are 0.0 for docs shorter than n tokens or with no
+    characters.  Character counts exclude whitespace on both sides of
+    every ratio (token characters only), so the metrics are
+    tokenization-stable.
+    """
+
+    def of_toks(t: Column) -> Column:
+        total = F.aggregate(
+            F.transform(t, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+        # NOTE: n is bound through factory functions, never `lambda g,
+        # n=n:` — pyspark introspects the lambda's SIGNATURE to decide
+        # the higher-order arity, so a defaulted second parameter turns
+        # the let into a two-arg (value, index) lambda and silently
+        # rebinds n to the element index.
+        def of_total(tc: Column) -> Column:
+            def frac(chars: Column, name: str) -> Column:
+                return (
+                    F.when(tc > 0, chars.cast("double") / tc.cast("double"))
+                    .otherwise(F.lit(0.0))
+                    .alias(name)
+                )
+
+            def dup_field(n: int) -> Column:
+                cov = let(
+                    _gram_array(t, n), lambda g: _dup_covered_chars(t, g, n)
+                )
+                return frac(cov, f"dup{n}_frac")
+
+            def top_field(n: int) -> Column:
+                top = let(_gram_array(t, n), lambda g: _top_gram_chars(g, n))
+                return frac(top, f"top{n}_frac")
+
+            fields = [dup_field(n) for n in sorted(GOPHER_DUP_THRESHOLDS)]
+            fields += [top_field(n) for n in sorted(GOPHER_TOP_THRESHOLDS)]
+            return F.struct(*fields)
+
+        return let(total, of_total)
+
+    return let(tokens(normalize_text(text)), of_toks)

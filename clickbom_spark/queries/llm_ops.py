@@ -235,3 +235,138 @@ def q_char_entropy(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---- full Gopher repetition suite (round 5) ----
+
+_DUP_NS = sorted(X.GOPHER_DUP_THRESHOLDS)
+_TOP_NS = sorted(X.GOPHER_TOP_THRESHOLDS)
+
+
+def _gopher_oracle() -> str:
+    """DuckDB oracle for q_gopher_repetition, generated so the 9 metric
+    columns stay mechanically in sync with the thresholds table."""
+    cov_p = ",\n         ".join(
+        f"MAX(CASE WHEN n = {n} THEN cov_chars END) AS c{n}" for n in _DUP_NS
+    )
+    top_p = ",\n         ".join(
+        f"MAX(CASE WHEN n = {n} THEN top_chars END) AS t{n}" for n in _TOP_NS
+    )
+    perdoc = ",\n         ".join(
+        f"CASE WHEN b.total_chars > 0 THEN CAST(COALESCE(c{n}, 0) AS DOUBLE)"
+        f" / b.total_chars ELSE 0.0 END AS dup{n}" for n in _DUP_NS
+    ) + ",\n         " + ",\n         ".join(
+        f"CASE WHEN b.total_chars > 0 THEN CAST(COALESCE(t{n}, 0) AS DOUBLE)"
+        f" / b.total_chars ELSE 0.0 END AS top{n}" for n in _TOP_NS
+    )
+    flag = " OR ".join(
+        [f"dup{n} > {X.GOPHER_DUP_THRESHOLDS[n]}" for n in _DUP_NS]
+        + [f"top{n} > {X.GOPHER_TOP_THRESHOLDS[n]}" for n in _TOP_NS]
+    )
+    sums = ",\n       ".join(
+        f"CAST(SUM(CAST(round(dup{n}, 6) AS DECIMAL(12,6))) AS DOUBLE)"
+        f" AS dup{n}_sum" for n in _DUP_NS
+    ) + ",\n       " + ",\n       ".join(
+        f"CAST(SUM(CAST(round(top{n}, 6) AS DECIMAL(12,6))) AS DOUBLE)"
+        f" AS top{n}_sum" for n in _TOP_NS
+    )
+    all_ns = ", ".join(str(n) for n in _TOP_NS + _DUP_NS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {_NTOKS} AS w FROM documents
+), base AS (
+  SELECT doc_id, source, w, len(w) AS m,
+         CAST(COALESCE(list_sum([len(x) for x in w]), 0) AS BIGINT)
+           AS total_chars
+  FROM toks
+), ns AS (SELECT unnest([{all_ns}]) AS n),
+gram AS (
+  SELECT doc_id, n,
+         unnest([{{'pos': i, 'g': array_to_string(w[i:i+n-1], ' ')}}
+                 for i in range(1, m - n + 2)], recursive := true)
+  FROM base, ns
+  WHERE m >= n
+), cnt AS (
+  SELECT doc_id, n, g, COUNT(*) AS c FROM gram GROUP BY doc_id, n, g
+), dup_occ AS (
+  SELECT gr.doc_id, gr.n, gr.pos
+  FROM gram gr
+  JOIN cnt c ON gr.doc_id = c.doc_id AND gr.n = c.n AND gr.g = c.g
+  WHERE c.c > 1 AND gr.n >= {_DUP_NS[0]}
+), occ_off AS (
+  SELECT doc_id, n, pos + unnest(generate_series(0, n - 1)) AS tpos
+  FROM dup_occ
+), covered AS (
+  SELECT DISTINCT doc_id, n, tpos FROM occ_off
+), tk AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'tlen': len(w[i])}} for i in range(1, m + 1)],
+                recursive := true)
+  FROM base
+), cov AS (
+  SELECT c.doc_id, c.n, SUM(t.tlen) AS cov_chars
+  FROM covered c JOIN tk t ON c.doc_id = t.doc_id AND c.tpos = t.pos
+  GROUP BY c.doc_id, c.n
+), topg AS (
+  SELECT doc_id, n, MAX(c * (len(g) - (n - 1))) AS top_chars
+  FROM cnt WHERE n <= {_TOP_NS[-1]} GROUP BY doc_id, n
+), cov_p AS (
+  SELECT doc_id,
+         {cov_p}
+  FROM cov GROUP BY doc_id
+), top_p AS (
+  SELECT doc_id,
+         {top_p}
+  FROM topg GROUP BY doc_id
+), perdoc AS (
+  SELECT b.source,
+         {perdoc}
+  FROM base b
+  LEFT JOIN cov_p USING (doc_id)
+  LEFT JOIN top_p USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       {sums}
+FROM perdoc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "q_gopher_repetition",
+    oracle=_gopher_oracle(),
+    description="Full Gopher repetition-filter suite: duplicate n-gram "
+    "character fractions (n in 5..10, overlap counted once) and top "
+    "n-gram character fractions (n in 2..4), all nine signals from ONE "
+    "tokenization as per-doc expressions (no per-doc shuffle), "
+    "aggregated per source with the paper's flag thresholds.  The "
+    "oracle cross-checks via the explicit positions-join formulation.",
+)
+def q_gopher_repetition(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", X.gopher_repetition_profile(F.col("text")).alias("p")
+    )
+    conds = [
+        F.col(f"p.dup{n}_frac") > X.GOPHER_DUP_THRESHOLDS[n] for n in _DUP_NS
+    ] + [
+        F.col(f"p.top{n}_frac") > X.GOPHER_TOP_THRESHOLDS[n] for n in _TOP_NS
+    ]
+    any_flag = conds[0]
+    for c in conds[1:]:
+        any_flag = any_flag | c
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(any_flag, 1).otherwise(0)).cast("long").alias("n_flagged"),
+    ]
+    for kind, ns in (("dup", _DUP_NS), ("top", _TOP_NS)):
+        aggs += [
+            F.sum(F.round(F.col(f"p.{kind}{n}_frac"), 6).cast("decimal(12,6)"))
+            .cast("double")
+            .alias(f"{kind}{n}_sum")
+            for n in ns
+        ]
+    return d.groupBy("source").agg(*aggs).orderBy("source")

@@ -453,3 +453,86 @@ def test_with_global_rank_preserves_colliding_column_names(spark):
     got = {r["id"]: (r["_bkt"], r["_off"], r["_total"], r["rk"])
            for r in out.collect()}
     assert got == {1: ("x", 10, 99, 2), 2: ("y", 20, 98, 1)}
+
+
+def test_gopher_repetition_profile_matches_brute_force(spark):
+    """All nine Gopher signals (dup5..dup10 char coverage, top2..top4
+    char fraction) must equal a direct Python reference on random docs
+    with planted repeats, plus the degenerate edges (empty doc, pure
+    repetition, punctuation-only tokens)."""
+    import random
+    import re
+    from collections import Counter
+
+    def norm(s):
+        s = re.sub(r"[^a-z0-9\s]", "", s.lower())
+        return re.sub(r"\s+", " ", s).strip()
+
+    def brute(textv):
+        w = [t for t in norm(textv).split(" ") if t]
+        m = len(w)
+        tc = sum(len(x) for x in w)
+        out = {}
+        for n in range(5, 11):
+            if m < n or tc == 0:
+                out[f"dup{n}_frac"] = 0.0
+                continue
+            grams = [" ".join(w[i : i + n]) for i in range(m - n + 1)]
+            c = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if c[g] > 1:
+                    covered.update(range(i, i + n))
+            out[f"dup{n}_frac"] = sum(len(w[j]) for j in covered) / tc
+        for n in (2, 3, 4):
+            if m < n or tc == 0:
+                out[f"top{n}_frac"] = 0.0
+                continue
+            grams = [" ".join(w[i : i + n]) for i in range(m - n + 1)]
+            c = Counter(grams)
+            out[f"top{n}_frac"] = max(
+                cnt * (len(g) - (n - 1)) for g, cnt in c.items()
+            ) / tc
+        return out
+
+    rng = random.Random(7)
+    vocab = ["apple", "bee", "cat", "dog", "egg", "fox", "gnu", "hat"]
+    docs = []
+    for i in range(40):
+        m = rng.randint(0, 30)
+        words = [rng.choice(vocab) for _ in range(m)]
+        if i % 3 == 0 and m > 12:
+            words = words + words[:7] + words[2:9]
+        docs.append((i, " ".join(words)))
+    docs += [
+        (100, ""),
+        (101, "one two " * 6),
+        (102, "x! y? x, y. x; y: x y"),
+        (103, "a " * 50),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = df.select(
+        "doc_id", "text", X.gopher_repetition_profile(F.col("text")).alias("p")
+    ).collect()
+    for r in rows:
+        want = brute(r["text"])
+        got = r["p"].asDict()
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-12, (r["doc_id"], k, got[k], v)
+
+
+def test_pyspark_lambda_arity_trap_documented(spark):
+    """Regression guard for the pyspark higher-order-function arity
+    trap: a `lambda v, n=n:` body passed to a HOF silently becomes a
+    TWO-arg (value, index) lambda because pyspark decides arity from
+    the SIGNATURE — the default is overwritten with the index column.
+    ext.text binds loop parameters through factory functions instead;
+    this test pins the pyspark behavior so a future refactor back to
+    default-arg lambdas fails loudly."""
+    df = spark.createDataFrame([([10, 20, 30],)], "a array<int>")
+    bound = 5
+    out = df.select(
+        F.transform("a", lambda v, bound=bound: v + bound).alias("r")
+    ).collect()[0]["r"]
+    # pyspark bound `bound` to the element INDEX, not 5:
+    assert out == [10, 21, 32]  # v + index, NOT v + 5

@@ -339,3 +339,14 @@ def test_bench_core13_names_are_bench_registry_entries():
     missing = [n for n in bench.CORE13 if n not in bench_set]
     assert not missing, missing
     assert len(bench.CORE13) == 13
+
+
+def test_gopher_repetition_single_scan_no_join(spark):
+    """All nine Gopher repetition signals are per-doc expressions off
+    ONE tokenization: the plan must scan documents exactly once and
+    contain no join (a positions-join formulation would shuffle ~9x
+    the token count; the oracle does that, the engine must not)."""
+    plan = plan_of(spark, "q_gopher_repetition")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "Join" not in plan, plan
