@@ -500,3 +500,74 @@ def setsim_join_prefix(
         cands.select("id_a", "id_b", j.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_token_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-level dedup: maximal per-document token spans
+    covered by length-``window`` token windows that occur at least
+    ``min_count`` times anywhere in the corpus (within OR across docs).
+
+    This is the scale-safe analog of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): any repeated substring of >= ``window`` tokens
+    makes every one of its length-``window`` windows repeated, so
+    marking repeated windows and merging adjacent marked positions
+    yields exactly the union of repeated-substring spans (the removal
+    set practitioners cut).  No suffix array and no cross product:
+
+    1. every document emits (md5(window), position) postings — one
+       linear pass, built-in expressions only;
+    2. repeated window hashes are a hash aggregation with an early
+       count cutoff;
+    3. marked positions come back via an equi-join on the hash;
+    4. maximal runs are gaps-and-islands per document (the window
+       function partitions by document — bounded, never global).
+
+    Returns (id_col, run_start, run_end, n_windows) with token
+    positions 0-based and ``run_end`` exclusive: the span covers
+    ``run_end - run_start`` tokens.  md5 (32 hex chars) keys the
+    postings join for engine portability; at 100 TB swap in a 128-bit
+    xxhash pair to halve the shuffle payload — the plan is unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    L = window
+    toks = docs.select(
+        F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("w")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("w") - L),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("w"), i + 1, L))).alias("h"),
+        ),
+    )
+    ex = (
+        toks.where(F.size("w") >= L)
+        .select(id_col, F.explode(wins).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    dup_h = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("h")
+    )
+    dup_pos = ex.join(dup_h, "h").select(id_col, "pos")
+    w_doc = W.partitionBy(id_col).orderBy("pos")
+    return (
+        dup_pos.withColumn("_grp", F.col("pos") - F.row_number().over(w_doc))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("run_start"),
+            (F.max("pos") + L).alias("run_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_grp")
+    )

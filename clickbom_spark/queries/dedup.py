@@ -285,3 +285,76 @@ def q_setsim_prefix_join(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
     ).orderBy("id_a", "id_b")
+
+
+_SUBSTR_L = 10  # token window length for substring-level dedup
+
+
+@query(
+    "q_substring_dedup",
+    # Exact substring-level dedup (the suffix-array
+    # deduplicate-text-datasets analog): positions covered by any
+    # 10-token window occurring >= 2 times anywhere in the corpus,
+    # merged into maximal per-doc runs (gaps-and-islands), then
+    # summarized per source.  The oracle replays the identical
+    # postings -> repeated-hash -> equi-join -> islands pipeline in SQL.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS w FROM documents
+), wins AS (
+  SELECT doc_id, source,
+         unnest([{{'pos': i,
+                   'h': md5(array_to_string(w[i:i+{_SUBSTR_L}-1], ' '))}}
+                 for i in range(1, len(w) - {_SUBSTR_L} + 2)],
+                recursive := true)
+  FROM toks
+  WHERE len(w) >= {_SUBSTR_L}
+), duph AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+), dup_pos AS (
+  SELECT w.doc_id, w.source, w.pos FROM wins w JOIN duph USING (h)
+), runs AS (
+  SELECT doc_id, source,
+         MIN(pos) AS rs, MAX(pos) + {_SUBSTR_L} AS re, COUNT(*) AS nw
+  FROM (
+    SELECT doc_id, source, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dup_pos
+  )
+  GROUP BY doc_id, source, grp
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs_flagged,
+       COUNT(*) AS n_runs,
+       CAST(SUM(re - rs) AS BIGINT) AS dup_tokens,
+       CAST(MAX(re - rs) AS BIGINT) AS max_run_tokens
+FROM runs
+GROUP BY source
+ORDER BY source
+""",
+    description="Exact substring-level dedup: maximal token spans "
+    "covered by repeated 10-token windows (within or across docs), the "
+    "scale-safe suffix-array analog — postings equi-join + per-doc "
+    "gaps-and-islands, no cross product; per-source removal-set stats.",
+)
+def q_substring_dedup(spark, sf_dir):
+    from clickbom_spark.ext.dedup import duplicate_token_spans
+
+    (docs,) = load(spark, sf_dir, "documents")
+    runs = duplicate_token_spans(docs, window=_SUBSTR_L)
+    src = docs.select("doc_id", "source")
+    return (
+        runs.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_flagged"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum(F.col("run_end") - F.col("run_start"))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.max(F.col("run_end") - F.col("run_start"))
+            .cast("long")
+            .alias("max_run_tokens"),
+        )
+        .orderBy("source")
+    )

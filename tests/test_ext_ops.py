@@ -536,3 +536,37 @@ def test_pyspark_lambda_arity_trap_documented(spark):
     ).collect()[0]["r"]
     # pyspark bound `bound` to the element INDEX, not 5:
     assert out == [10, 21, 32]  # v + index, NOT v + 5
+
+
+def test_duplicate_token_spans_planted_substrings(spark):
+    """Planted repeats must surface as exactly the right maximal runs:
+    a 12-token phrase shared by two docs (cross-doc), a doc repeating
+    its own 10-token window (within-doc), and unique docs yielding no
+    rows.  Window L=10, so a 12-token shared phrase = 3 repeated
+    windows merged into one run of 12 tokens."""
+    from clickbom_spark.ext.dedup import duplicate_token_spans
+
+    phrase = " ".join(f"w{i}" for i in range(12))          # 12 shared tokens
+    selfrep = " ".join(f"s{i}" for i in range(10))         # 10-token unit
+    docs = [
+        (1, "alpha beta " + phrase + " gamma delta"),      # phrase at pos 2
+        (2, phrase + " zeta eta theta iota kappa"),        # phrase at pos 0
+        (3, selfrep + " " + selfrep),                      # self-repeat
+        (4, "totally unique words that never repeat anywhere at all ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    runs = {
+        (r["doc_id"], r["run_start"], r["run_end"], r["n_windows"])
+        for r in duplicate_token_spans(df, window=10).collect()
+    }
+    # docs 1/2: 12-token phrase -> 3 windows, span 12 tokens
+    # doc 3: 20 tokens "s0..s9 s0..s9"; window at pos p repeats iff the
+    # 10-window equals another -> only pos 0 and pos 10 match each other
+    # (the straddling windows are unique), giving runs [0,10) and [10,20)
+    # ... which are ADJACENT positions 0 and 10 (gap) -> two runs? pos 0
+    # and 10 are not consecutive, so two separate runs of 1 window each.
+    assert (1, 2, 14, 3) in runs
+    assert (2, 0, 12, 3) in runs
+    assert (3, 0, 10, 1) in runs and (3, 10, 20, 1) in runs
+    assert not any(r[0] == 4 for r in runs)
+    assert len(runs) == 4

@@ -350,3 +350,15 @@ def test_gopher_repetition_single_scan_no_join(spark):
     scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
     assert len(scans) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_substring_dedup_equi_join_no_global_window(spark):
+    """Substring dedup must stay a postings equi-join (hash on the
+    window digest) plus a PER-DOC islands window — never a cross
+    product, never an unpartitioned window over the postings."""
+    plan = plan_of(spark, "q_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rn_lines = [ln for ln in plan.split("\n") if "row_number()" in ln]
+    assert rn_lines, plan
+    assert all("doc_id" in ln for ln in rn_lines), rn_lines
