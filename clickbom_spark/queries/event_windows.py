@@ -662,3 +662,82 @@ def q_conversion_latency(spark, sf_dir):
         .alias("p90_lag_us"),
         F.max("lag_us").cast("long").alias("max_lag_us"),
     )
+
+
+@query(
+    "q_stream_stream_attribution_outer",
+    # Left-outer stream-stream interval join executed AS A STREAM:
+    # matched pairs emit immediately; views with no click in window
+    # emit a NULL click when their buffered state expires.  Null
+    # results are only decidable up to the watermark horizon, so both
+    # sides (stream sink and oracle) restrict to views strictly below
+    # LEAST(max view ts, max click ts) - (watermark 30m + within 10m)
+    # — inside that closed region the availableNow no-data flush batch
+    # is guaranteed to have evicted every unmatched view.
+    oracle="""
+WITH h AS (
+  SELECT LEAST(
+           MAX(CASE WHEN event_type = 'view' THEN ts END),
+           MAX(CASE WHEN event_type = 'click' THEN ts END)
+         ) - INTERVAL 40 MINUTE AS horizon
+  FROM events
+), v AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT v.user_id, v.ts AS v_ts, v.event_id AS view_id, c.event_id AS click_id
+  FROM v LEFT JOIN c
+    ON c.user_id = v.user_id
+   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(view_id) AS BIGINT) AS sum_view_ids,
+       CAST(SUM(click_id) AS BIGINT) AS sum_click_ids
+FROM j, h
+WHERE v_ts < horizon
+""",
+    description="Left-outer stream-stream interval join (attribution "
+    "completeness: views that never converted emit NULL on state "
+    "expiry) — the hardest stream-stream semantics; watermark-horizon-"
+    "restricted aggregate over an availableNow replay equals the batch "
+    "left join exactly.",
+)
+def q_stream_stream_attribution_outer(spark, sf_dir):
+    from clickbom_spark.streaming import read_events_stream
+    from clickbom_spark.streaming.joins import (
+        attribution_join_outer,
+        split_views_clicks,
+    )
+    from clickbom_spark.streaming.pipeline import run_to_memory_sink
+
+    (events,) = load(spark, sf_dir, "events")
+    horizon = events.groupBy().agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            )
+            - F.expr("interval 40 minutes")
+        ).alias("h")
+    )
+    s_views, s_clicks = split_views_clicks(read_events_stream(spark, sf_dir))
+    pairs = attribution_join_outer(s_views, s_clicks)
+    run_to_memory_sink(pairs, "m_stream_attrib_outer")
+    return (
+        spark.table("m_stream_attrib_outer")
+        .join(F.broadcast(horizon))
+        .where(F.col("v_ts") < F.col("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("view_id").alias("sum_view_ids"),
+            F.sum("click_id").alias("sum_click_ids"),
+        )
+    )

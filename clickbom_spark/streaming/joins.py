@@ -56,3 +56,35 @@ def attribution_join(
     return views.join(clicks, cond, "inner").select(
         F.col("v_user").alias("user_id"), "view_id", "click_id", "v_ts", "c_ts"
     )
+
+
+def attribution_join_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Left-outer stream-stream interval join: every view emits exactly
+    once — matched views as (view, click) pairs immediately, unmatched
+    views with a NULL click once the watermark passes ``v_ts + within``
+    and their state expires.  The attribution COMPLETENESS query: which
+    impressions never converted.
+
+    Null-padded rows are only decidable up to the watermark horizon:
+    a view is guaranteed emitted (matched or not) once the global
+    watermark — min over both sides of (max event time - watermark) —
+    strictly passes ``v_ts + within``.  Callers comparing against a
+    batch twin must restrict both sides to that closed region; rows
+    later than the horizon may still be buffered when the stream ends.
+    """
+    if views.isStreaming:
+        views = views.withWatermark("v_ts", watermark)
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+    cond = F.expr(
+        "v_user = c_user AND c_ts >= v_ts "
+        f"AND c_ts <= v_ts + interval {within}"
+    )
+    return views.join(clicks, cond, "left_outer").select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id", "v_ts", "c_ts"
+    )

@@ -127,3 +127,42 @@ def test_stream_stream_join_equals_batch(spark):
     cols = ["user_id", "view_id", "click_id"]
     assert rows_set(got, cols) == rows_set(batch, cols)
     assert got.count() == batch.count()
+
+
+def test_stream_stream_outer_join_equals_batch_below_horizon(spark):
+    """Left-outer interval join: within the watermark-closed region
+    (views strictly below LEAST(max view ts, max click ts) - 40 min)
+    the streamed result — including NULL-click rows emitted on state
+    expiry by the availableNow no-data flush — must equal the batch
+    left join exactly."""
+    from clickbom_spark.streaming.joins import (
+        attribution_join_outer,
+        split_views_clicks,
+    )
+
+    events = read_table(spark, SF_SMOKE, "events")
+    horizon = events.groupBy().agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            )
+            - F.expr("interval 40 minutes")
+        ).alias("h")
+    )
+
+    def below_horizon(df):
+        return df.join(F.broadcast(horizon)).where(F.col("v_ts") < F.col("h"))
+
+    batch = below_horizon(attribution_join_outer(*split_views_clicks(events)))
+
+    s_views, s_clicks = split_views_clicks(read_events_stream(spark, SF_SMOKE))
+    run_to_memory_sink(
+        attribution_join_outer(s_views, s_clicks), "t_ss_outer_join"
+    )
+    got = below_horizon(spark.table("t_ss_outer_join"))
+    cols = ["user_id", "view_id", "click_id"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+    assert got.count() == batch.count()
+    # the outer join must actually produce null-padded rows
+    assert got.where(F.col("click_id").isNull()).count() > 0
