@@ -305,6 +305,87 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster, then prune
+    within-cluster near-duplicates (Abbas et al. 2023, arXiv:2303.09540).
+
+    A vector is REMOVED when some lower-id member of its own cluster has
+    cosine similarity >= ``threshold`` to it — the paper's upper-triangle
+    max rule, with vector id standing in for the arbitrary matrix order
+    (fully deterministic, engine-portable).
+
+    Output: one row per vector — (id, list_id, max_prior_cos, keep).
+    ``max_prior_cos`` is NULL for the lowest-id member of a cluster.
+
+    100 TB design: nearest-centroid assignment is one broadcast of the
+    k centroids; the pairwise stage is an equi-join on list_id, so its
+    cost is Σ s_c² over cluster sizes — bounded by choosing k
+    proportional to corpus size (the paper's design: clusters stay at
+    ~fixed size, so per-cluster pairwise work is constant and the total
+    is linear).  No global pairwise product ever forms.  ``centroids``
+    accepts a trained frame (e.g. ``train_centroids_kmeans``); the
+    default is the deterministic first-n_clusters-by-id fallback, which
+    is what makes the default path SQL-oracle-replicable.
+    """
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+
+    cents = centroids if centroids is not None else (
+        c.orderBy("id")
+        .limit(n_clusters)
+        .select(
+            F.row_number().over(Window.orderBy("id")).alias("list_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    scored = c.join(F.broadcast(cents)).select(
+        "id", "v", "nrm", "list_id",
+        _safe_div(
+            dot(F.col("v"), F.col("cv")), F.col("nrm") * F.col("cnrm")
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), "list_id")
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") == 1)
+        .select("id", "v", "nrm", "list_id")
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "list_id",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "list_id",
+    )
+    cos = _safe_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
+    prior = (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_b").alias("id"), cos.alias("cos"))
+        .groupBy("id")
+        .agg(F.max("cos").alias("max_prior_cos"))
+    )
+    return assigned.join(prior, "id", "left").select(
+        "id",
+        "list_id",
+        "max_prior_cos",
+        (
+            F.col("max_prior_cos").isNull()
+            | (F.col("max_prior_cos") < F.lit(threshold))
+        ).alias("keep"),
+    )
+
+
 # Knuth multiplicative-hash constant; the hyperplane weight for
 # (table t, plane p, dimension d) is the popcount parity of
 # ((t*planes + p)*65536 + d + 1) * KNUTH mod 2^32 — plain BIGINT

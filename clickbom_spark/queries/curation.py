@@ -717,3 +717,126 @@ def q_bigram_lm_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+DSIR_K = 200
+
+
+@query(
+    "q_dsir_resample",
+    # DSIR (Xie et al. 2023, arXiv:2302.03169): data selection by
+    # importance resampling.  Train two smoothed unigram LMs — the
+    # TARGET distribution (English docs stand in for the high-quality
+    # target) and the RAW corpus — score every document by its summed
+    # per-token log probability ratio, add deterministic Gumbel noise
+    # (the paper's Gumbel-top-k sampling, derandomized through the
+    # md5-of-doc_id uniform so any engine draws the same noise), and
+    # keep the global top-K.  Per-term log-ratios are rounded to 6
+    # decimals and summed exactly as decimal (the repo's float
+    # contract), so selection membership is bit-stable cross-engine.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS w FROM documents
+), tgt AS (
+  SELECT unnest({_TOKENS}) AS w FROM documents WHERE lang = 'en'
+), ct AS (
+  SELECT w, COUNT(*) AS nt FROM tgt GROUP BY w
+), cr AS (
+  SELECT w, COUNT(*) AS nr FROM toks GROUP BY w
+), scal AS (
+  SELECT (SELECT COUNT(*) FROM tgt) AS tot_t,
+         (SELECT COUNT(*) FROM toks) AS tot_r,
+         (SELECT COUNT(*) FROM cr) AS vsz
+), terms AS (
+  SELECT t.doc_id,
+         CAST(round(
+           log2((CAST(COALESCE(ct.nt, 0) AS DOUBLE) + 0.5)
+                / (CAST(s.tot_t AS DOUBLE) + 0.5 * CAST(s.vsz AS DOUBLE)))
+           - log2((CAST(cr.nr AS DOUBLE) + 0.5)
+                  / (CAST(s.tot_r AS DOUBLE) + 0.5 * CAST(s.vsz AS DOUBLE))),
+           6) AS DECIMAL(18,6)) AS lr
+  FROM toks t LEFT JOIN ct USING (w) JOIN cr USING (w), scal s
+), docs_lw AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lr) AS lw
+  FROM terms GROUP BY doc_id
+), noised AS (
+  SELECT d.doc_id, d.n_tokens, d.lw,
+         d.lw + CAST(round(-ln(-ln(
+             (CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+                   AS INT) + 0.5) / 16777216.0)), 6) AS DECIMAL(18,6))
+           AS score
+  FROM docs_lw d
+)
+SELECT n.doc_id, doc.lang, doc.source, n.n_tokens,
+       CAST(round(n.lw, 4) AS DOUBLE) AS lw_bits_r,
+       CAST(round(n.score, 4) AS DOUBLE) AS score_r
+FROM noised n JOIN documents doc USING (doc_id)
+ORDER BY n.score DESC, n.doc_id
+LIMIT {DSIR_K}
+""",
+    description="DSIR importance resampling (arXiv:2302.03169): smoothed "
+    "unigram target/raw LM log-ratio per document + derandomized "
+    "Gumbel-top-k selection — two hash-aggregated count frames (AQE-"
+    "sized, vocabulary grows with the corpus), two equi-joins over one "
+    "tokenized scan, and a TakeOrderedAndProject top-K; no model "
+    "server, no global window, fully distributed.",
+)
+def q_dsir_resample(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    w = X.tokens(F.col("text"))
+    toks = docs.select("doc_id", F.explode(w).alias("w"))
+    tgt = docs.where(F.col("lang") == "en").select(F.explode(w).alias("w"))
+    ct = tgt.groupBy("w").agg(F.count(F.lit(1)).alias("nt"))
+    cr = toks.groupBy("w").agg(F.count(F.lit(1)).alias("nr"))
+    scal = (
+        tgt.agg(F.count(F.lit(1)).alias("tot_t"))
+        .join(toks.agg(F.count(F.lit(1)).alias("tot_r")))
+        .join(cr.agg(F.count(F.lit(1)).alias("vsz")))
+    )
+    lr = F.round(
+        F.log2(
+            (F.coalesce(F.col("nt"), F.lit(0)).cast("double") + 0.5)
+            / (F.col("tot_t").cast("double") + 0.5 * F.col("vsz").cast("double"))
+        )
+        - F.log2(
+            (F.col("nr").cast("double") + 0.5)
+            / (F.col("tot_r").cast("double") + 0.5 * F.col("vsz").cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    terms = (
+        toks.join(ct, "w", "left")
+        .join(cr, "w")
+        .join(F.broadcast(scal))
+        .select("doc_id", lr.alias("lr"))
+    )
+    docs_lw = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("lw")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(16777216.0)
+    gumbel = F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
+    noised = docs_lw.select(
+        "doc_id", "n_tokens", "lw", (F.col("lw") + gumbel).alias("score")
+    )
+    return (
+        noised.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            # round the exact decimal, THEN cast: a .xxxx50 boundary cast
+            # to double first would fall below the half in one engine and
+            # above it in the other (bit doc 231 at sf0.01)
+            F.round(F.col("lw"), 4).cast("double").alias("lw_bits_r"),
+            F.round(F.col("score"), 4).cast("double").alias("score_r"),
+            "score",
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(DSIR_K)
+        .drop("score")
+    )

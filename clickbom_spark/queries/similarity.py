@@ -263,6 +263,69 @@ def q_ivf_kmeans_ann(spark, sf_dir):
     )
 
 
+SEMDEDUP_COS = 0.3  # within-cluster pairs reach 0.49 on this corpus
+
+
+@query(
+    "q_semdedup",
+    # Full SQL replica of the deterministic-centroid SemDeDup path:
+    # first-16-by-id centroids, nearest-centroid assignment, in-cluster
+    # lower-id max-cosine, prune at the threshold — the approximation
+    # itself is oracle-checked, like the LSH/IVF family above.
+    oracle=f"""
+WITH {_VN},
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS list_id, e AS cv, nrm AS cnrm
+  FROM (SELECT * FROM vn ORDER BY vec_id LIMIT 16)
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vn.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+             ORDER BY (CASE WHEN vn.nrm * c.cnrm <> 0
+                            THEN list_dot_product(vn.e, c.cv)
+                                 / (vn.nrm * c.cnrm) END) DESC,
+                      c.list_id) AS crank
+    FROM vn, cents c
+  ) WHERE crank = 1
+),
+prior AS (
+  SELECT b.vec_id AS id, MAX(
+           CASE WHEN x.nrm * y.nrm <> 0
+                THEN list_dot_product(x.e, y.e) / (x.nrm * y.nrm) END
+         ) AS max_prior_cos
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN vn x ON x.vec_id = a.vec_id
+  JOIN vn y ON y.vec_id = b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id AS id, s.list_id,
+       round(p.max_prior_cos, 4) AS max_prior_cos_r,
+       (p.max_prior_cos IS NULL OR p.max_prior_cos < {SEMDEDUP_COS}) AS keep
+FROM assigned s LEFT JOIN prior p ON p.id = s.vec_id
+ORDER BY id
+""",
+    description="SemDeDup semantic deduplication (arXiv:2303.09540): "
+    "k-cluster the embedding space, prune within-cluster semantic "
+    "near-duplicates by lower-id max-cosine — cluster assignment is one "
+    "k-row broadcast, pairwise cost is per-cluster-bounded (linear "
+    "total when k grows with the corpus), no global cross product.",
+)
+def q_semdedup(spark, sf_dir):
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return (
+        S.semdedup(emb, threshold=SEMDEDUP_COS, n_clusters=16)
+        .select(
+            "id",
+            F.col("list_id").cast("long").alias("list_id"),
+            F.round("max_prior_cos", 4).alias("max_prior_cos_r"),
+            "keep",
+        )
+        .orderBy("id")
+    )
+
+
 @query(
     "q_label_centroid_stats",
     oracle="""

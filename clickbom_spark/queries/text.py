@@ -255,6 +255,107 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+BM25_TERMS = ["join", "hash", "merge"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+@query(
+    "q_bm25_search",
+    # Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009), the
+    # Lucene idf variant: score(d,Q) = Σ_t ln(1 + (N-df+0.5)/(df+0.5))
+    # · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)).  Per-term scores are
+    # rounded to 6 decimals and decimal-summed (the repo's float
+    # contract), so the global top-K membership and ranking are
+    # bit-stable cross-engine; the decimal is rounded BEFORE the double
+    # cast so .xxxx50 boundaries can't split between engines.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+  WHERE term IN ({",".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), terms AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)),
+           6) AS DECIMAL(18,6)) AS sc
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(sc) AS score
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, CAST(round(score, 4) AS DOUBLE) AS bm25_r
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOPK}
+""",
+    description="Okapi BM25 ranked retrieval over posting lists: the "
+    "query terms' tf postings are an IN-filtered hash aggregate (never "
+    "a second corpus scan per term), df and the avgdl scalar are "
+    "broadcastable post-agg frames, and the global top-K compiles to "
+    "TakeOrderedAndProject — no global sort, no window.",
+)
+def q_bm25_search(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    stats = (
+        docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        .join(dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl")))
+    )
+    tf = (
+        toks.where(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    sc = F.round(
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    terms = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", sc.alias("sc"))
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms_hit"), F.sum("sc").alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            F.round(F.col("score"), 4).cast("double").alias("bm25_r"),
+        )
+    )
+
+
 @query(
     "q_winnowing_fingerprints",
     oracle=f"""

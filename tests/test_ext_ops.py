@@ -570,3 +570,54 @@ def test_duplicate_token_spans_planted_substrings(spark):
     assert (3, 0, 10, 1) in runs and (3, 10, 20, 1) in runs
     assert not any(r[0] == 4 for r in runs)
     assert len(runs) == 4
+
+
+def test_semdedup_prunes_planted_near_duplicates(spark):
+    """Cluster-then-prune: with 2 deterministic centroids (vectors 1,2),
+    a vector nearly parallel to v1 lands in v1's cluster and is removed
+    (lower-id neighbor above threshold); an orthogonal vector in the
+    same cluster survives."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),    # centroid/cluster A anchor
+        (2, [0.0, 1.0, 0.0]),    # centroid/cluster B anchor
+        (3, [0.99, 0.01, 0.0]),  # ~parallel to v1 -> cluster A, pruned
+        (4, [0.0, 0.9, 0.44]),   # cluster B, cos(v2,v4)<0.95 -> kept
+        (5, [0.01, 0.99, 0.0]),  # ~parallel to v2 -> cluster B, pruned
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in S.semdedup(df, threshold=0.95, n_clusters=2).collect()}
+    assert out[1]["keep"] and out[1]["max_prior_cos"] is None
+    assert out[2]["keep"] and out[2]["max_prior_cos"] is None
+    assert not out[3]["keep"] and out[3]["max_prior_cos"] > 0.95
+    assert out[4]["keep"]
+    assert not out[5]["keep"]
+    # cluster assignment followed nearest centroid
+    assert out[3]["list_id"] == out[1]["list_id"]
+    assert out[4]["list_id"] == out[2]["list_id"]
+    assert out[5]["list_id"] == out[2]["list_id"]
+
+
+def test_semdedup_keeps_exactly_one_of_identical_group(spark):
+    """A group of identical vectors in one cluster keeps only its
+    lowest id — the deterministic representative."""
+    rows = [(i, [1.0, float(i == 1) * 0.0 + 0.1]) for i in (1, 2)] + [
+        (10, [0.5, 0.5]),
+        (11, [0.5, 0.5]),
+        (12, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r["keep"] for r in S.semdedup(df, threshold=0.999, n_clusters=2).collect()}
+    kept_dups = [i for i in (10, 11, 12) if out[i]]
+    assert kept_dups == [10]
+
+
+def test_semdedup_accepts_trained_centroids(spark):
+    """A caller-supplied centroid frame (e.g. k-means output) replaces
+    the deterministic fallback; results still partition every vector."""
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)]) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.train_centroids_kmeans(df, n_lists=3, seed=7, max_iter=5)
+    out = S.semdedup(df, threshold=0.999, n_clusters=3, centroids=cents).collect()
+    assert len(out) == 9
+    # identical direction triples keep exactly one member each
+    assert sum(1 for r in out if r["keep"]) == 3

@@ -362,3 +362,36 @@ def test_substring_dedup_equi_join_no_global_window(spark):
     rn_lines = [ln for ln in plan.split("\n") if "row_number()" in ln]
     assert rn_lines, plan
     assert all("doc_id" in ln for ln in rn_lines), rn_lines
+
+
+def test_semdedup_pairwise_is_equi_join_on_cluster(spark):
+    """SemDeDup's pairwise stage must be an equi-join on list_id (per-
+    cluster-bounded cost); the only nested-loop joins are the k-row
+    centroid broadcasts.  No global cross product may ever form."""
+    plan = plan_of(spark, "q_semdedup")
+    assert "CartesianProduct" not in plan
+    for ln in plan.split("\n"):
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
+            # pairwise stage keys on list_id; the prior-max merge-back
+            # keys on the vector id — both equi, nothing else allowed
+            assert "list_id" in ln or "[id#" in ln, ln
+
+
+def test_bm25_uses_topk_operator_no_global_window(spark):
+    """BM25's global top-K must compile to TakeOrderedAndProject (no
+    full sort, no unpartitioned window), and the df/avgdl joins must
+    not introduce a cross product beyond the scalar broadcasts."""
+    plan = plan_of(spark, "q_bm25_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan
+
+
+def test_dsir_topk_operator_and_equi_joins(spark):
+    """DSIR selection is a TakeOrderedAndProject over per-doc scores;
+    the two LM count joins are equi-joins on the token (the only
+    nested-loops are the 1-row scalar broadcasts)."""
+    plan = plan_of(spark, "q_dsir_resample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan
