@@ -783,9 +783,37 @@ LIMIT {DSIR_K}
 )
 def q_dsir_resample(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
+    noised = dsir_scores(docs, F.col("lang") == "en")
+    return (
+        noised.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            # round the exact decimal, THEN cast: a .xxxx50 boundary cast
+            # to double first would fall below the half in one engine and
+            # above it in the other (bit doc 231 at sf0.01)
+            F.round(F.col("lw"), 4).cast("double").alias("lw_bits_r"),
+            F.round(F.col("score"), 4).cast("double").alias("score_r"),
+            "score",
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(DSIR_K)
+        .drop("score")
+    )
+
+
+def dsir_scores(docs, target_pred):
+    """Per-document DSIR importance scores: (doc_id, n_tokens, lw,
+    score) where ``lw`` is the exact-decimal summed unigram log2
+    probability ratio between the ``target_pred`` subset's LM and the
+    whole corpus's LM, and ``score`` adds the derandomized Gumbel noise
+    (md5-of-doc_id uniform).  Select by score descending for
+    Gumbel-top-k importance resampling."""
     w = X.tokens(F.col("text"))
     toks = docs.select("doc_id", F.explode(w).alias("w"))
-    tgt = docs.where(F.col("lang") == "en").select(F.explode(w).alias("w"))
+    tgt = docs.where(target_pred).select(F.explode(w).alias("w"))
     ct = tgt.groupBy("w").agg(F.count(F.lit(1)).alias("nt"))
     cr = toks.groupBy("w").agg(F.count(F.lit(1)).alias("nr"))
     scal = (
@@ -819,24 +847,6 @@ def q_dsir_resample(spark, sf_dir):
         + 0.5
     ) / F.lit(16777216.0)
     gumbel = F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
-    noised = docs_lw.select(
+    return docs_lw.select(
         "doc_id", "n_tokens", "lw", (F.col("lw") + gumbel).alias("score")
-    )
-    return (
-        noised.join(docs.select("doc_id", "lang", "source"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_tokens",
-            # round the exact decimal, THEN cast: a .xxxx50 boundary cast
-            # to double first would fall below the half in one engine and
-            # above it in the other (bit doc 231 at sf0.01)
-            F.round(F.col("lw"), 4).cast("double").alias("lw_bits_r"),
-            F.round(F.col("score"), 4).cast("double").alias("score_r"),
-            "score",
-        )
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(DSIR_K)
-        .drop("score")
     )

@@ -621,3 +621,26 @@ def test_semdedup_accepts_trained_centroids(spark):
     assert len(out) == 9
     # identical direction triples keep exactly one member each
     assert sum(1 for r in out if r["keep"]) == 3
+
+
+def test_dsir_scores_prefer_target_like_documents(spark):
+    """DSIR importance: documents written in the TARGET subset's
+    vocabulary must outscore documents in a disjoint vocabulary, even
+    when mislabeled — the whole point of importance resampling (select
+    by content, not by label)."""
+    from clickbom_spark.queries.curation import dsir_scores
+
+    A = "alpha beta gamma alpha delta beta"          # target-like vocab
+    B = "zork blub quux zork fnord blub"             # raw-only vocab
+    docs = [
+        (1, A, "en"), (2, A + " epsilon", "en"), (3, A, "en"),
+        (4, B, "de"), (5, B + " grue", "de"),
+        (6, A + " beta", "de"),                      # mislabeled target-like
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    lw = {
+        r["doc_id"]: float(r["lw"])
+        for r in dsir_scores(df, F.col("lang") == "en").collect()
+    }
+    a_docs, b_docs = [1, 2, 3, 6], [4, 5]
+    assert min(lw[i] for i in a_docs) > max(lw[i] for i in b_docs), lw
