@@ -747,17 +747,19 @@ WITH toks AS (
   SELECT (SELECT COUNT(*) FROM tgt) AS tot_t,
          (SELECT COUNT(*) FROM toks) AS tot_r,
          (SELECT COUNT(*) FROM cr) AS vsz
+), tfr AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w
 ), terms AS (
-  SELECT t.doc_id,
+  SELECT t.doc_id, t.tf,
          CAST(round(
            log2((CAST(COALESCE(ct.nt, 0) AS DOUBLE) + 0.5)
                 / (CAST(s.tot_t AS DOUBLE) + 0.5 * CAST(s.vsz AS DOUBLE)))
            - log2((CAST(cr.nr AS DOUBLE) + 0.5)
                   / (CAST(s.tot_r AS DOUBLE) + 0.5 * CAST(s.vsz AS DOUBLE))),
-           6) AS DECIMAL(18,6)) AS lr
-  FROM toks t LEFT JOIN ct USING (w) JOIN cr USING (w), scal s
+           6) AS DECIMAL(18,6)) * t.tf AS lrw
+  FROM tfr t LEFT JOIN ct USING (w) JOIN cr USING (w), scal s
 ), docs_lw AS (
-  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lr) AS lw
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, SUM(lrw) AS lw
   FROM terms GROUP BY doc_id
 ), noised AS (
   SELECT d.doc_id, d.n_tokens, d.lw,
@@ -776,10 +778,11 @@ LIMIT {DSIR_K}
 """,
     description="DSIR importance resampling (arXiv:2302.03169): smoothed "
     "unigram target/raw LM log-ratio per document + derandomized "
-    "Gumbel-top-k selection — two hash-aggregated count frames (AQE-"
-    "sized, vocabulary grows with the corpus), two equi-joins over one "
-    "tokenized scan, and a TakeOrderedAndProject top-K; no model "
-    "server, no global window, fully distributed.",
+    "Gumbel-top-k selection — occurrences collapse to per-(doc,term) "
+    "tf rows before the count joins (the joins shuffle distinct terms, "
+    "not every token), count frames are AQE-sized (vocabulary grows "
+    "with the corpus), selection is a TakeOrderedAndProject top-K; no "
+    "model server, no global window, fully distributed.",
 )
 def q_dsir_resample(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
@@ -810,15 +813,22 @@ def dsir_scores(docs, target_pred):
     probability ratio between the ``target_pred`` subset's LM and the
     whole corpus's LM, and ``score`` adds the derandomized Gumbel noise
     (md5-of-doc_id uniform).  Select by score descending for
-    Gumbel-top-k importance resampling."""
+    Gumbel-top-k importance resampling.
+
+    Shuffle shape: occurrences collapse to per-(doc, term) tf rows
+    BEFORE the count joins (lw = Σ tf·λ(w) — exact, since the rounded
+    per-term λ times an integer tf is still an exact decimal), so the
+    join stage shuffles distinct document terms, not every token
+    occurrence."""
     w = X.tokens(F.col("text"))
     toks = docs.select("doc_id", F.explode(w).alias("w"))
     tgt = docs.where(target_pred).select(F.explode(w).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     ct = tgt.groupBy("w").agg(F.count(F.lit(1)).alias("nt"))
-    cr = toks.groupBy("w").agg(F.count(F.lit(1)).alias("nr"))
+    cr = tf.groupBy("w").agg(F.sum("tf").alias("nr"))
     scal = (
         tgt.agg(F.count(F.lit(1)).alias("tot_t"))
-        .join(toks.agg(F.count(F.lit(1)).alias("tot_r")))
+        .join(tf.agg(F.sum("tf").alias("tot_r")))
         .join(cr.agg(F.count(F.lit(1)).alias("vsz")))
     )
     lr = F.round(
@@ -833,13 +843,13 @@ def dsir_scores(docs, target_pred):
         6,
     ).cast("decimal(18,6)")
     terms = (
-        toks.join(ct, "w", "left")
+        tf.join(ct, "w", "left")
         .join(cr, "w")
         .join(F.broadcast(scal))
-        .select("doc_id", lr.alias("lr"))
+        .select("doc_id", "tf", (lr * F.col("tf")).alias("lrw"))
     )
     docs_lw = terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("lw")
+        F.sum("tf").alias("n_tokens"), F.sum("lrw").alias("lw")
     )
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)

@@ -302,27 +302,39 @@ FROM scored
 ORDER BY score DESC, doc_id
 LIMIT {BM25_TOPK}
 """,
-    description="Okapi BM25 ranked retrieval over posting lists: the "
-    "query terms' tf postings are an IN-filtered hash aggregate (never "
-    "a second corpus scan per term), df and the avgdl scalar are "
-    "broadcastable post-agg frames, and the global top-K compiles to "
+    description="Okapi BM25 ranked retrieval over posting lists: doc "
+    "length is a per-row size() (no corpus-token shuffle), the token "
+    "array is filtered to the query terms BEFORE explode so the tf "
+    "aggregate shuffles O(hits) rows, df and the avgdl scalar are "
+    "broadcast post-agg frames, and the global top-K compiles to "
     "TakeOrderedAndProject — no global sort, no window.",
 )
 def q_bm25_search(spark, sf_dir):
+    from clickbom_spark.ext.text import let
+
     (docs,) = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
-    )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
-    )
-    stats = (
-        docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-        .join(dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl")))
+    lits = F.array(*[F.lit(t) for t in BM25_TERMS])
+    # One tokenization per row (let-bound): dl is a per-row size() —
+    # never an explode+groupBy over every corpus token — and only the
+    # query-term HITS survive into the explode, so the tf shuffle
+    # carries O(hits) rows, not O(corpus tokens).
+    base = docs.select(
+        "doc_id",
+        let(
+            X.tokens(F.col("text")),
+            lambda w: F.struct(
+                F.size(w).cast("double").alias("dl"),
+                F.filter(w, lambda t: F.array_contains(lits, t)).alias("hits"),
+            ),
+        ).alias("p"),
+    ).select("doc_id", F.col("p.dl").alias("dl"), F.col("p.hits").alias("hits"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        toks.where(F.col("term").isin(BM25_TERMS))
-        .groupBy("doc_id", "term")
+        base.select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
@@ -339,7 +351,6 @@ def q_bm25_search(spark, sf_dir):
     ).cast("decimal(18,6)")
     terms = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .select("doc_id", sc.alias("sc"))
     )
