@@ -644,3 +644,20 @@ def test_dsir_scores_prefer_target_like_documents(spark):
     }
     a_docs, b_docs = [1, 2, 3, 6], [4, 5]
     assert min(lw[i] for i in a_docs) > max(lw[i] for i in b_docs), lw
+
+
+def test_semdedup_survives_zero_norm_vectors(spark):
+    """A zero vector has NULL cosine to everything (the repo's guarded
+    divide): it must still be assigned to a cluster deterministically
+    and be KEPT (null similarities can never exceed the threshold)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.0, 0.0]),   # zero norm
+        (4, [1.0, 0.01]),  # near-dup of v1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in S.semdedup(df, threshold=0.95, n_clusters=2).collect()}
+    assert len(out) == 4
+    assert out[3]["keep"] and out[3]["max_prior_cos"] is None
+    assert not out[4]["keep"]
