@@ -110,8 +110,25 @@ def bpe_train(
     )
     vocab = vocab.persist()
     vocab.count()  # materialize the single corpus scan
+    sc = docs.sparkSession.sparkContext
+
+    def _persisted_ids() -> set[int]:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _release(ids: set[int]) -> None:
+        # DataFrame.unpersist() cannot free localCheckpoint blocks
+        # (they are persisted internal RDDs, not CacheManager entries —
+        # probed empirically); release them at the RDD level so a long
+        # training run does not accumulate a block per checkpoint.
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = m.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
     rules: list[tuple[int, str, str, int]] = []
     prev = vocab
+    ckpt_ids: set[int] = set()  # blocks of the checkpoint prev hangs off
     try:
         for rank in range(1, n_merges + 1):
             top = (
@@ -129,12 +146,15 @@ def bpe_train(
                 "n",
             )
             if rank % checkpoint_every == 0:
+                before = _persisted_ids()
                 nxt = nxt.localCheckpoint(eager=True)
-                if prev is not vocab:
-                    prev.unpersist()
+                new_ids = _persisted_ids() - before
+                _release(ckpt_ids)  # superseded checkpoint's blocks
+                ckpt_ids = new_ids
             prev = nxt
     finally:
         vocab.unpersist()
+        _release(ckpt_ids)
     return rules
 
 

@@ -517,9 +517,11 @@ def duplicate_token_spans(
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better"): any repeated substring of >= ``window`` tokens
     makes every one of its length-``window`` windows repeated, so
-    marking repeated windows and merging adjacent marked positions
-    yields exactly the union of repeated-substring spans (the removal
-    set practitioners cut).  No suffix array and no cross product:
+    marking repeated windows and merging marked positions whose
+    covered spans touch or overlap (gap <= window) yields exactly the
+    union of repeated-substring spans (the removal set practitioners
+    cut), as maximal contiguous runs.  No suffix array and no cross
+    product:
 
     1. every document emits (md5(window), position) postings — one
        linear pass, built-in expressions only;
@@ -561,8 +563,16 @@ def duplicate_token_spans(
     )
     dup_pos = ex.join(dup_h, "h").select(id_col, "pos")
     w_doc = W.partitionBy(id_col).orderBy("pos")
+    # A new run starts when the gap to the previous marked position
+    # exceeds the window length: positions p_prev and p with
+    # p - p_prev <= L have touching/overlapping covered spans
+    # [p, p+L), so they belong to ONE maximal span.  (Consecutive-only
+    # grouping — pos minus row_number — double-counted tokens when two
+    # non-adjacent marked positions overlapped.)
+    new_run = F.when(F.col("pos") - F.lag("pos").over(w_doc) > L, 1).otherwise(0)
+    w_run = w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        dup_pos.withColumn("_grp", F.col("pos") - F.row_number().over(w_doc))
+        dup_pos.withColumn("_grp", F.sum(new_run).over(w_run))
         .groupBy(id_col, "_grp")
         .agg(
             F.min("pos").alias("run_start"),

@@ -313,7 +313,7 @@ def _gram_array(t: Column, n: int) -> Column:
     return F.when(
         F.size(t) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))),
-    ).otherwise(F.array_remove(F.array(F.lit("")), ""))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _dup_covered_chars(t: Column, g: Column, n: int) -> Column:
@@ -327,7 +327,7 @@ def _dup_covered_chars(t: Column, g: Column, n: int) -> Column:
     sorting the gram array once and keeping adjacent equals)."""
 
     def of_sorted(s: Column) -> Column:
-        dupset = F.array_distinct(
+        dupset_expr = F.array_distinct(
             F.filter(
                 s,
                 lambda x, i: F.when(
@@ -335,30 +335,42 @@ def _dup_covered_chars(t: Column, g: Column, n: int) -> Column:
                 ).otherwise(F.lit(False)),
             )
         )
-        init = F.struct(
-            F.lit(-(n + 1)).alias("last"), F.lit(0).cast("long").alias("acc")
-        )
 
-        def step(st: Column, j: Column) -> Column:
-            is_dup_start = F.when(
-                j <= F.size(t) - n,
-                F.array_contains(dupset, F.element_at(g, j + 1)),
-            ).otherwise(F.lit(False))
-            new_last = F.when(is_dup_start, j).otherwise(st["last"])
-            covered = new_last >= j - n + 1
-            return F.struct(
-                new_last.alias("last"),
-                (
-                    st["acc"]
-                    + F.when(
-                        covered, F.length(F.element_at(t, j + 1)).cast("long")
-                    ).otherwise(F.lit(0).cast("long"))
-                ).alias("acc"),
+        # dupset must be LET-BOUND: referenced inside the fold's step,
+        # a raw expression would re-run the filter+distinct at every
+        # token position (O(tokens x grams) per doc per n)
+        def of_dupset(dupset: Column) -> Column:
+            init = F.struct(
+                F.lit(-(n + 1)).alias("last"),
+                F.lit(0).cast("long").alias("acc"),
             )
 
-        return F.aggregate(
-            F.sequence(F.lit(0), F.size(t) - 1), init, step, lambda st: st["acc"]
-        )
+            def step(st: Column, j: Column) -> Column:
+                is_dup_start = F.when(
+                    j <= F.size(t) - n,
+                    F.array_contains(dupset, F.element_at(g, j + 1)),
+                ).otherwise(F.lit(False))
+                new_last = F.when(is_dup_start, j).otherwise(st["last"])
+                covered = new_last >= j - n + 1
+                return F.struct(
+                    new_last.alias("last"),
+                    (
+                        st["acc"]
+                        + F.when(
+                            covered,
+                            F.length(F.element_at(t, j + 1)).cast("long"),
+                        ).otherwise(F.lit(0).cast("long"))
+                    ).alias("acc"),
+                )
+
+            return F.aggregate(
+                F.sequence(F.lit(0), F.size(t) - 1),
+                init,
+                step,
+                lambda st: st["acc"],
+            )
+
+        return let(dupset_expr, of_dupset)
 
     return F.when(F.size(t) >= n, let(F.array_sort(g), of_sorted)).otherwise(
         F.lit(0).cast("long")
@@ -377,24 +389,31 @@ def _top_gram_chars(g: Column, n: int) -> Column:
 
     def of_sorted(s: Column) -> Column:
         mg = F.size(s)
-        starts = F.filter(
+        starts_expr = F.filter(
             F.sequence(F.lit(1), mg),
             lambda i: F.when(
                 i > 1, F.element_at(s, i) != F.element_at(s, i - 1)
             ).otherwise(F.lit(True)),
         )
 
-        def val_of(p: Column, k: Column) -> Column:
-            nxt = F.when(
-                k + 2 <= F.size(starts), F.element_at(starts, k + 2)
-            ).otherwise(mg + 1)
-            run = (nxt - p).cast("long")
-            glen = (F.length(F.element_at(s, p)) - (n - 1)).cast("long")
-            return run * glen
+        # starts must be LET-BOUND: val_of reads it per element, so a
+        # raw expression would recompute the filter for every distinct
+        # gram (O(grams^2) per doc)
+        def of_starts(starts: Column) -> Column:
+            def val_of(p: Column, k: Column) -> Column:
+                nxt = F.when(
+                    k + 2 <= F.size(starts), F.element_at(starts, k + 2)
+                ).otherwise(mg + 1)
+                run = (nxt - p).cast("long")
+                glen = (F.length(F.element_at(s, p)) - (n - 1)).cast("long")
+                return run * glen
 
-        return F.coalesce(
-            F.array_max(F.transform(starts, val_of)), F.lit(0).cast("long")
-        )
+            return F.coalesce(
+                F.array_max(F.transform(starts, val_of)),
+                F.lit(0).cast("long"),
+            )
+
+        return let(starts_expr, of_starts)
 
     return F.when(F.size(g) >= 1, let(F.array_sort(g), of_sorted)).otherwise(
         F.lit(0).cast("long")

@@ -318,8 +318,14 @@ WITH toks AS (
          MIN(pos) AS rs, MAX(pos) + {_SUBSTR_L} AS re, COUNT(*) AS nw
   FROM (
     SELECT doc_id, source, pos,
-           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-    FROM dup_pos
+           SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM (
+      SELECT doc_id, source, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > {_SUBSTR_L}
+                  THEN 1 ELSE 0 END AS new_run
+      FROM dup_pos
+    )
   )
   GROUP BY doc_id, source, grp
 )

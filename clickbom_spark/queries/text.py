@@ -271,13 +271,17 @@ BM25_TOPK = 20
     # bit-stable cross-engine; the decimal is rounded BEFORE the double
     # cast so .xxxx50 boundaries can't split between engines.
     oracle=f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
-), dl AS (
-  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+WITH dl AS (
+  -- per-row token-count over ALL docs (a zero-token doc contributes
+  -- dl=0 to avgdl, exactly as the engine's per-row size() does; an
+  -- unnest-then-count would silently drop it)
+  SELECT doc_id, CAST(len({_TOKENS}) AS DOUBLE) AS dl FROM documents
 ), stats AS (
-  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
-         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
 ), tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
   WHERE term IN ({",".join(f"'{t}'" for t in BM25_TERMS)})

@@ -104,3 +104,18 @@ def test_bpe_segment_reduces_piece_count(spark):
     # encode must be rule-order deterministic: re-applying yields same
     again = bpe.bpe_segment(docs, rules).agg(F.sum("n_pieces")).collect()[0][0]
     assert again == merged
+
+
+def test_bpe_train_releases_checkpoint_blocks(spark):
+    """Training localCheckpoints every few merges; superseded
+    checkpoint blocks must be released at the RDD level (a
+    DataFrame.unpersist is a no-op for them), so repeated training
+    runs cannot accumulate blocks in the block manager."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS * 3)), "doc_id long, text string"
+    )
+    bpe.bpe_train(docs, n_merges=8, checkpoint_every=2)
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()

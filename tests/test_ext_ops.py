@@ -560,16 +560,39 @@ def test_duplicate_token_spans_planted_substrings(spark):
         for r in duplicate_token_spans(df, window=10).collect()
     }
     # docs 1/2: 12-token phrase -> 3 windows, span 12 tokens
-    # doc 3: 20 tokens "s0..s9 s0..s9"; window at pos p repeats iff the
-    # 10-window equals another -> only pos 0 and pos 10 match each other
-    # (the straddling windows are unique), giving runs [0,10) and [10,20)
-    # ... which are ADJACENT positions 0 and 10 (gap) -> two runs? pos 0
-    # and 10 are not consecutive, so two separate runs of 1 window each.
+    # doc 3: 20 tokens "s0..s9 s0..s9"; only windows at pos 0 and 10
+    # repeat (the straddling windows are unique).  Their covered spans
+    # [0,10) and [10,20) touch (gap == L), so they merge into ONE
+    # maximal contiguous run [0,20) — the removal-set union.
     assert (1, 2, 14, 3) in runs
     assert (2, 0, 12, 3) in runs
-    assert (3, 0, 10, 1) in runs and (3, 10, 20, 1) in runs
+    assert (3, 0, 20, 2) in runs
     assert not any(r[0] == 4 for r in runs)
-    assert len(runs) == 4
+    assert len(runs) == 3
+
+
+def test_duplicate_token_spans_overlapping_nonadjacent_windows(spark):
+    """Two repeated windows at positions 0 and 2 (gap < L) cover the
+    overlapping spans [0,10) and [2,12): they must merge into ONE run
+    of 12 tokens — consecutive-only islands double-counted this union
+    as 10 + 10 = 20 dup tokens."""
+    from clickbom_spark.ext.dedup import duplicate_token_spans
+
+    w0 = [f"t{i}" for i in range(13)]           # t0..t12
+    docs = [
+        (1, " ".join(w0)),                       # both windows + tail
+        (2, " ".join(w0[0:10])),                 # repeats window at 0
+        (3, " ".join(w0[2:12])),                 # repeats window at 2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    runs = {
+        (r["doc_id"], r["run_start"], r["run_end"], r["n_windows"])
+        for r in duplicate_token_spans(df, window=10).collect()
+    }
+    assert (1, 0, 12, 2) in runs                 # ONE merged 12-token run
+    assert (2, 0, 10, 1) in runs and (3, 0, 10, 1) in runs
+    assert len(runs) == 3
+    assert sum(e - s for (_, s, e, _) in runs) == 12 + 10 + 10
 
 
 def test_semdedup_prunes_planted_near_duplicates(spark):
@@ -600,7 +623,9 @@ def test_semdedup_prunes_planted_near_duplicates(spark):
 def test_semdedup_keeps_exactly_one_of_identical_group(spark):
     """A group of identical vectors in one cluster keeps only its
     lowest id — the deterministic representative."""
-    rows = [(i, [1.0, float(i == 1) * 0.0 + 0.1]) for i in (1, 2)] + [
+    rows = [
+        (1, [1.0, 0.0]),   # centroid A
+        (2, [0.0, 1.0]),   # centroid B (genuinely distinct anchors)
         (10, [0.5, 0.5]),
         (11, [0.5, 0.5]),
         (12, [0.5, 0.5]),

@@ -91,3 +91,29 @@ def test_rows_only(spark, name):
     df = spec.fn(spark, SF_CORRECT)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_bm25_zero_token_doc_parity(spark, tmp_path):
+    """avgdl must include zero-token documents on BOTH sides: the
+    engine computes dl as a per-row size() over all docs; an oracle
+    that derived dl by unnest-then-count silently dropped empty docs
+    and shifted every score (latent in the driver corpora, which have
+    no empty docs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": ["join hash merge join", "   ", "hash hash words here", "merge join words"],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [20, 3, 20, 16],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    spec = REGISTRY["q_bm25_search"]
+    sdf = spec.fn(spark, str(tmp_path)).toPandas()
+    odf = run_oracle(spec.oracle, str(tmp_path))
+    assert len(sdf) == len(odf) > 0
+    pd.testing.assert_frame_equal(
+        canon(sdf), canon(odf), check_dtype=False, check_exact=True
+    )
