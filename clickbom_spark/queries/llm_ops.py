@@ -370,3 +370,77 @@ def q_gopher_repetition(spark, sf_dir):
             for n in ns
         ]
     return d.groupBy("source").agg(*aggs).orderBy("source")
+
+
+_TOKENS_BPE = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_BPE_MERGES = 4
+# Double-separator symbol encoding for the oracle's merge replay:
+# B || sym1 || BB || sym2 || BB || ... || B with B = chr(31).  A merge
+# (l, r) is replace(sym, B||l||BB||r||B, B||l||r||B): literal replace
+# consumes ONE boundary separator on each side and leaves one behind,
+# so non-overlapping left-to-right replacement is exactly the greedy
+# fold bpe_train applies ('aaaa' + (a,a) -> aa,aa; 'aaa' -> aa,a —
+# probed against DuckDB's replace before this oracle was written).
+_B = "chr(31)"
+
+
+def _bpe_iter_sql(k: int) -> str:
+    """One unrolled BPE iteration: pair counts of it{k}, best pair by
+    (count DESC, lft, rgt), merged symbols it{k+1}."""
+    return f""",
+pairs{k} AS (
+  SELECT s[i] AS lft, s[i + 1] AS rgt, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (
+    SELECT string_split(trim(sym, {_B}), {_B} || {_B}) AS s, n FROM it{k}
+  ), unnest(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY lft, rgt HAVING SUM(n) >= 2
+), best{k} AS (
+  SELECT lft, rgt, cnt FROM pairs{k} ORDER BY cnt DESC, lft, rgt LIMIT 1
+), it{k + 1} AS (
+  SELECT replace(sym, {_B} || lft || {_B} || {_B} || rgt || {_B},
+                 {_B} || lft || rgt || {_B}) AS sym, n
+  FROM it{k}, best{k}
+)"""
+
+
+@query(
+    "q_bpe_train",
+    # The oracle replays training exactly: the word-frequency table,
+    # then per merge an unrolled (pair count -> argmax -> replace)
+    # round over the separator-encoded symbol strings.  All-integer
+    # output (rank, pair, count) — no float contract needed.
+    oracle=f"""
+WITH wf AS (
+  SELECT w AS word, COUNT(*) AS n
+  FROM (SELECT unnest({_TOKENS_BPE}) AS w FROM documents)
+  GROUP BY w
+), it0 AS (
+  SELECT {_B} || array_to_string(
+           list_append(string_split(word, ''), '</w>'), {_B} || {_B})
+         || {_B} AS sym, n
+  FROM wf
+){"".join(_bpe_iter_sql(k) for k in range(_BPE_MERGES))}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({k + 1} AS BIGINT) AS rank, lft, rgt, cnt FROM best{k}"
+      for k in range(_BPE_MERGES))}
+) ORDER BY rank
+""",
+    description="Distributed BPE tokenizer training (Sennrich 2016): "
+    "one corpus scan builds the weighted word-frequency table; each "
+    "merge round is a pair-stats hash aggregate + 1-row argmax on that "
+    "vocabulary-sized frame and a pure-expression greedy fold to apply "
+    "the merge — the learned rule list IS the model (driver-resident "
+    "like k-means centers); oracle replays every round via "
+    "separator-encoded string replace (provably the same greedy "
+    "semantics).",
+)
+def q_bpe_train(spark, sf_dir):
+    from clickbom_spark.ext.bpe import bpe_train
+
+    (docs,) = load(spark, sf_dir, "documents")
+    rules = bpe_train(docs, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(r, lf, rt, c) for (r, lf, rt, c) in rules],
+        "rank bigint, lft string, rgt string, cnt bigint",
+    )
