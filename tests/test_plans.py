@@ -359,9 +359,14 @@ def test_substring_dedup_equi_join_no_global_window(spark):
     plan = plan_of(spark, "q_substring_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    rn_lines = [ln for ln in plan.split("\n") if "row_number()" in ln]
-    assert rn_lines, plan
-    assert all("doc_id" in ln for ln in rn_lines), rn_lines
+    # islands = lag + running-sum windows, both PARTITIONED BY doc_id
+    # (an unpartitioned window over the postings would serialize)
+    win_lines = [
+        ln for ln in plan.split("\n")
+        if "lag(" in ln or ("windowspecdefinition" in ln.lower())
+    ]
+    assert win_lines, plan
+    assert all("doc_id" in ln for ln in win_lines), win_lines
 
 
 def test_semdedup_pairwise_is_equi_join_on_cluster(spark):
