@@ -686,3 +686,59 @@ def test_semdedup_survives_zero_norm_vectors(spark):
     assert len(out) == 4
     assert out[3]["keep"] and out[3]["max_prior_cos"] is None
     assert not out[4]["keep"]
+
+
+def test_duplicate_token_spans_random_corpus_vs_bruteforce(spark):
+    """Fixed-seed random corpora over a tiny vocabulary (forcing heavy
+    window repeats): the operator's runs must be disjoint,
+    non-touching (maximal), and cover exactly the brute-force union of
+    repeated-window spans."""
+    import random
+
+    from clickbom_spark.ext.dedup import duplicate_token_spans
+    from clickbom_spark.ext.text import normalize_text, tokens as toks_expr
+
+    rng = random.Random(20260814)
+    L = 4
+    docs = []
+    for i in range(40):
+        n = rng.randint(0, 30)
+        docs.append((i, " ".join(rng.choice("ab cd ef".split()) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # brute force over the SAME normalization the operator applies
+    norm = {
+        r["doc_id"]: list(r["w"])
+        for r in df.select(
+            "doc_id", toks_expr(normalize_text(F.col("text"))).alias("w")
+        ).collect()
+    }
+    from collections import Counter
+
+    wins = Counter()
+    for d, w in norm.items():
+        for p in range(len(w) - L + 1):
+            wins[tuple(w[p : p + L])] += 1
+    expected_cover = {}
+    for d, w in norm.items():
+        cov = set()
+        for p in range(len(w) - L + 1):
+            if wins[tuple(w[p : p + L])] >= 2:
+                cov.update(range(p, p + L))
+        if cov:
+            expected_cover[d] = cov
+
+    got = {}
+    for r in duplicate_token_spans(df, window=L).collect():
+        got.setdefault(r["doc_id"], []).append((r["run_start"], r["run_end"]))
+    assert set(got) == set(expected_cover)
+    for d, runs in got.items():
+        runs.sort()
+        # disjoint AND non-touching => maximal
+        for (s1, e1), (s2, e2) in zip(runs, runs[1:]):
+            assert s2 > e1, (d, runs)
+        cover = set()
+        for s, e in runs:
+            assert e - s >= L
+            cover.update(range(s, e))
+        assert cover == expected_cover[d], d
