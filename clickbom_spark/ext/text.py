@@ -474,3 +474,58 @@ def gopher_repetition_profile(text: Column) -> Column:
         return let(total, of_total)
 
     return let(tokens(normalize_text(text)), of_toks)
+
+
+def hashed_embedding(text: Column, dim: int = 64) -> Column:
+    """Feature-hashing text embedding (the HashingTF / hashing-trick
+    vectorizer) as pure Column expressions: token → md5 bucket in
+    [0, dim), signed by one hash bit (Weinberger et al. 2009 — the
+    sign hash unbiases collisions), counts accumulated per bucket,
+    then L2-normalized.  Returns array<double> of length ``dim``.
+
+    Engine-portable: the md5 bucket/sign hashes recompute identically
+    in any engine (same contract as md5_gram_hash), so ANN queries over
+    these vectors are fully oracle-checkable end to end.  Everything is
+    per-row expression work — embedding a 100 TB corpus is a map-only
+    scan, no shuffle, no model server.
+
+    A zero vector — from an empty doc OR full sign cancellation
+    (opposite-sign tokens sharing every occupied bucket) — stays
+    all-zero rather than NaN: callers feed ANN paths whose guarded
+    cosine treats zero-norm as NULL.
+    """
+
+    def of_toks(t: Column) -> Column:
+        def bucket_of(w: Column) -> Column:
+            return F.pmod(md5_gram_hash(w), F.lit(dim))
+
+        def sign_of(w: Column) -> Column:
+            # an independent bit: md5 of the marked token
+            h = F.conv(
+                F.substring(F.md5(F.concat(F.lit("s#"), w)), 1, 2), 16, 10
+            ).cast("int")
+            return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            )
+
+        raw = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.aggregate(
+                t,
+                F.lit(0.0),
+                lambda acc, w: acc
+                + F.when(bucket_of(w) == d, sign_of(w)).otherwise(F.lit(0.0)),
+            ),
+        )
+
+        def of_raw(v: Column) -> Column:
+            nrm = F.sqrt(
+                F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+            )
+            return F.when(
+                nrm > 0, F.transform(v, lambda x: x / nrm)
+            ).otherwise(v)
+
+        return let(raw, of_raw)
+
+    return let(tokens(normalize_text(text)), of_toks)

@@ -106,3 +106,29 @@ def test_winnowing_fingerprints_nonempty_and_bounded(corpus):
 def test_quality_score_bounded(corpus):
     q = X.quality_score(F.col("text"))
     assert violations(corpus, (q >= 0.0) & (q <= 1.0)) == 0
+
+
+def test_hashed_embedding_laws(corpus):
+    """Hashing-trick embedding: unit norm (or exactly zero for empty
+    docs), determinism across evaluations, and exact equality for
+    duplicate texts."""
+    emb = X.hashed_embedding(F.col("text"), dim=16)
+    df = corpus.select("id", "text", emb.alias("v"), emb.alias("v2"))
+    sq = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)
+    # unit norm, or EXACTLY zero — empty docs and full sign-hash
+    # cancellation (opposite-sign tokens sharing a bucket) both
+    # legitimately produce the zero vector
+    bad_norm = violations(
+        df.select(
+            ((F.abs(sq - 1.0) < 1e-9) | (sq == 0.0)).alias("ok")
+        ),
+        F.col("ok"),
+    )
+    assert bad_norm == 0
+    assert violations(df.select((F.col("v") == F.col("v2")).alias("ok")), F.col("ok")) == 0
+    # same normalized text => same vector (join two copies of the corpus)
+    a = corpus.select(X.normalize_text(F.col("text")).alias("k"), emb.alias("va"))
+    b = corpus.select(X.normalize_text(F.col("text")).alias("k"), emb.alias("vb"))
+    assert (
+        a.join(b, "k").where(F.col("va") != F.col("vb")).count() == 0
+    )
