@@ -165,3 +165,83 @@ def ntile_expr(rank, total, k: int):
     tile_big = F.floor((i + q) / (q + F.lit(1)))
     tile_small = r + F.floor((i - big_span + q - F.lit(1)) / q)
     return F.when(i <= big_span, tile_big).otherwise(tile_small).cast("long")
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    prefix_col: str = "_prefix",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Add the exact inclusive global prefix sum of ``value_col`` in
+    ``order_cols`` order (ascending) — same value-bucketed shape as
+    :func:`with_global_rank`, so no single-partition window ever forms:
+    per-bucket sums roll into broadcast offsets, and a partition-local
+    running-sum window finishes the job.
+
+    ``value_col`` should be integral (token counts, byte sizes): the
+    sums are exact, so the result is engine-portable without a float
+    contract.  ``order_cols`` must be a total order for the prefix to
+    be deterministic (same contract as ``with_global_rank``).
+
+    This is the primitive behind token-balanced shard assignment
+    (`shard_by_budget`): a 100 TB corpus gets carved into
+    ~budget-token output shards with one boundary pass, one per-bucket
+    aggregate, and one bounded local window — never a global sort.
+    """
+    lead = order_cols[0]
+    if num_buckets is None:
+        num_buckets = df.sparkSession.sparkContext.defaultParallelism
+    num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
+    c_bkt, c_sum, c_off = _temp_names(df, ["_bkt", "_bsum", "_boff"])
+    bounds = _bucket_boundaries(df, lead, num_buckets)
+    lead_d = F.col(lead).cast("double")
+    bucketed = df.withColumn(c_bkt, _bucket_expr(lead_d, bounds))
+
+    sums = bucketed.groupBy(c_bkt).agg(
+        F.sum(F.col(value_col)).cast("long").alias(c_sum)
+    )
+    w_off = Window.orderBy(c_bkt).rowsBetween(Window.unboundedPreceding, -1)
+    offs = sums.select(
+        c_bkt, F.coalesce(F.sum(c_sum).over(w_off), F.lit(0)).alias(c_off)
+    )
+    w_loc = (
+        Window.partitionBy(c_bkt)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = bucketed.join(F.broadcast(offs), c_bkt).withColumn(
+        prefix_col,
+        (F.col(c_off) + F.sum(F.col(value_col)).over(w_loc)).cast("long"),
+    )
+    return out.drop(c_bkt, c_off)
+
+
+def shard_by_budget(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    budget: int,
+    shard_col: str = "shard",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Token-balanced shard assignment: rows (whole, never split) go to
+    shard floor((prefix - 1) / budget) of their inclusive global prefix
+    sum — every shard carries ~``budget`` of ``value_col`` (± one row's
+    worth), deterministically under any partitioning.
+
+    The standard output-sharding step of a pretraining pipeline
+    ("write ~1 GiB / ~B-token files"): downstream writers partition by
+    ``shard_col`` and each file lands within a row of the budget.
+    Zero-valued leading rows belong to shard 0 (prefix 0 → greatest()
+    clamp).
+    """
+    pc = _temp_names(df, ["_prefix"])[0]
+    out = with_global_prefix_sum(
+        df, order_cols, value_col, prefix_col=pc, num_buckets=num_buckets
+    )
+    shard = F.floor(
+        F.greatest(F.col(pc) - 1, F.lit(0)) / F.lit(budget)
+    ).cast("long")
+    return out.withColumn(shard_col, shard).drop(pc)

@@ -742,3 +742,65 @@ def test_duplicate_token_spans_random_corpus_vs_bruteforce(spark):
             assert e - s >= L
             cover.update(range(s, e))
         assert cover == expected_cover[d], d
+
+
+def test_with_global_prefix_sum_matches_total_order_window(spark):
+    """Bucketed distributed prefix sum == the single-partition
+    running-sum window, under heavy lead-value ties and any input
+    partitioning."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from clickbom_spark.ext.ranks import with_global_prefix_sum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 9), rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, tok long").repartition(13)
+    w = W.orderBy("v", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expected = {
+        r["id"]: r["p"]
+        for r in df.select("id", F.sum("tok").over(w).alias("p")).collect()
+    }
+    got = {
+        r["id"]: r["pfx"]
+        for r in with_global_prefix_sum(
+            df, ["v", "id"], "tok", prefix_col="pfx", num_buckets=16
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_shard_by_budget_balances_token_sums(spark):
+    """Every shard's token sum is within one row's worth of the
+    budget; shards are contiguous in the given order; rows are never
+    split."""
+    import random
+
+    from clickbom_spark.ext.ranks import shard_by_budget
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 40)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, tok long").repartition(7)
+    budget = 250
+    out = shard_by_budget(df, ["id"], "tok", budget=budget).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["id"], r["tok"]))
+    shards = sorted(by_shard)
+    assert shards == list(range(len(shards)))  # dense shard ids
+    max_tok = max(t for _, t in rows)
+    for s in shards:
+        tot = sum(t for _, t in by_shard[s])
+        if s < shards[-1]:
+            # a full shard: budget reached, overshoot bounded by one row
+            assert budget <= tot + max_tok and tot < budget + max_tok, (s, tot)
+        # contiguity: id ranges don't interleave between shards
+    prev_max = -1
+    for s in shards:
+        ids = sorted(i for i, _ in by_shard[s])
+        assert ids[0] > prev_max
+        prev_max = ids[-1]
+    assert sum(t for _, t in rows) == sum(
+        t for s in shards for _, t in by_shard[s]
+    )
