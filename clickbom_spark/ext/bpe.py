@@ -33,11 +33,18 @@ EOW = "</w>"
 
 
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, n) weighted vocabulary from one corpus scan."""
+    """(word, n) weighted vocabulary from one corpus scan.
+
+    Words containing U+001F are excluded: that control char is the
+    oracle's symbol separator (see queries/llm_ops.py q_bpe_train), and
+    a vocabulary token embedding it would make the separator encoding
+    ambiguous.  Real tokenizers drop such control-char garbage anyway.
+    """
     from clickbom_spark.ext.text import tokens
 
     return (
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .where(~F.col("word").contains("\x1f"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -112,23 +119,30 @@ def bpe_train(
     vocab.count()  # materialize the single corpus scan
     sc = docs.sparkSession.sparkContext
 
-    def _persisted_ids() -> set[int]:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    def _ckpt_rdd_id(ckpt_df) -> int | None:
+        # A localCheckpoint-ed DataFrame's analyzed plan is a LogicalRDD
+        # wrapping the persisted internal RDD — its id addresses the
+        # blocks directly (probed), with no getPersistentRDDs set-diff
+        # that could race with a concurrent persist on the same session.
+        try:
+            return ckpt_df._jdf.queryExecution().analyzed().rdd().id()
+        except Exception:
+            return None
 
-    def _release(ids: set[int]) -> None:
+    def _release(rdd_id: int | None) -> None:
         # DataFrame.unpersist() cannot free localCheckpoint blocks
         # (they are persisted internal RDDs, not CacheManager entries —
         # probed empirically); release them at the RDD level so a long
         # training run does not accumulate a block per checkpoint.
-        m = sc._jsc.getPersistentRDDs()
-        for i in ids:
-            rdd = m.get(i)
-            if rdd is not None:
-                rdd.unpersist(False)
+        if rdd_id is None:
+            return
+        rdd = sc._jsc.getPersistentRDDs().get(rdd_id)
+        if rdd is not None:
+            rdd.unpersist(False)
 
     rules: list[tuple[int, str, str, int]] = []
     prev = vocab
-    ckpt_ids: set[int] = set()  # blocks of the checkpoint prev hangs off
+    ckpt_id: int | None = None  # block id of the checkpoint prev hangs off
     try:
         for rank in range(1, n_merges + 1):
             top = (
@@ -145,16 +159,15 @@ def bpe_train(
                 _merge_expr(F.col("symbols"), left, right).alias("symbols"),
                 "n",
             )
-            if rank % checkpoint_every == 0:
-                before = _persisted_ids()
+            if rank % checkpoint_every == 0 and rank < n_merges:
+                # (skip on the final iteration — nothing reads it)
                 nxt = nxt.localCheckpoint(eager=True)
-                new_ids = _persisted_ids() - before
-                _release(ckpt_ids)  # superseded checkpoint's blocks
-                ckpt_ids = new_ids
+                _release(ckpt_id)  # superseded checkpoint's blocks
+                ckpt_id = _ckpt_rdd_id(nxt)
             prev = nxt
     finally:
         vocab.unpersist()
-        _release(ckpt_ids)
+        _release(ckpt_id)
     return rules
 
 

@@ -99,6 +99,49 @@ def _bucket_expr(lead_d, bounds: Sequence[float]):
     ).otherwise(left)
 
 
+def _bucketed_with_offsets(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_buckets: int | None,
+    per_bucket_agg,
+    include_total: bool,
+):
+    """Shared scaffold of the global-order primitives: attach the value
+    bucket, aggregate ``per_bucket_agg`` per bucket, roll cumulative
+    offsets over the tiny per-bucket frame (the only single-partition
+    window — O(buckets)), and broadcast-join them back.
+
+    Returns ``(joined, c_bkt, c_off, c_total_or_None)``; callers add
+    their partition-local window (row_number for rank, running sum for
+    prefix) and drop the temp columns.
+    """
+    lead = order_cols[0]
+    if num_buckets is None:
+        num_buckets = df.sparkSession.sparkContext.defaultParallelism
+    num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
+    c_bkt, c_val, c_off, c_total = _temp_names(
+        df, ["_bkt", "_val", "_off", "_total"]
+    )
+    bounds = _bucket_boundaries(df, lead, num_buckets)
+    lead_d = F.col(lead).cast("double")
+    bucketed = df.withColumn(c_bkt, _bucket_expr(lead_d, bounds))
+
+    vals = bucketed.groupBy(c_bkt).agg(per_bucket_agg.alias(c_val))
+    w_off = Window.orderBy(c_bkt).rowsBetween(Window.unboundedPreceding, -1)
+    cols = [
+        F.col(c_bkt),
+        F.coalesce(F.sum(c_val).over(w_off), F.lit(0)).alias(c_off),
+    ]
+    if include_total:
+        w_all = Window.orderBy(c_bkt).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cols.append(F.sum(c_val).over(w_all).alias(c_total))
+    offs = vals.select(*cols)
+    joined = bucketed.join(F.broadcast(offs), c_bkt)
+    return joined, c_bkt, c_off, (c_total if include_total else None)
+
+
 def with_global_rank(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -120,30 +163,11 @@ def with_global_rank(
     never the rank values, and the per-row assignment cost is linear in
     the bucket count.
     """
-    lead = order_cols[0]
-    if num_buckets is None:
-        num_buckets = df.sparkSession.sparkContext.defaultParallelism
-    num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
-    c_bkt, c_cnt, c_off, c_total = _temp_names(
-        df, ["_bkt", "_cnt", "_off", "_total"]
+    joined, c_bkt, c_off, c_total = _bucketed_with_offsets(
+        df, order_cols, num_buckets, F.count(F.lit(1)), include_total=True
     )
-    bounds = _bucket_boundaries(df, lead, num_buckets)
-    lead_d = F.col(lead).cast("double")
-    bucketed = df.withColumn(c_bkt, _bucket_expr(lead_d, bounds))
-
-    cnt = bucketed.groupBy(c_bkt).agg(F.count(F.lit(1)).alias(c_cnt))
-    w_off = Window.orderBy(c_bkt).rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy(c_bkt).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offs = cnt.select(
-        c_bkt,
-        F.coalesce(F.sum(c_cnt).over(w_off), F.lit(0)).alias(c_off),
-        F.sum(c_cnt).over(w_all).alias(c_total),
-    )
-
     w_loc = Window.partitionBy(c_bkt).orderBy(*[F.col(c) for c in order_cols])
-    out = bucketed.join(F.broadcast(offs), c_bkt).withColumn(
+    out = joined.withColumn(
         rank_col, (F.col(c_off) + F.row_number().over(w_loc)).cast("long")
     )
     if total_col is not None:
@@ -190,28 +214,19 @@ def with_global_prefix_sum(
     ~budget-token output shards with one boundary pass, one per-bucket
     aggregate, and one bounded local window — never a global sort.
     """
-    lead = order_cols[0]
-    if num_buckets is None:
-        num_buckets = df.sparkSession.sparkContext.defaultParallelism
-    num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
-    c_bkt, c_sum, c_off = _temp_names(df, ["_bkt", "_bsum", "_boff"])
-    bounds = _bucket_boundaries(df, lead, num_buckets)
-    lead_d = F.col(lead).cast("double")
-    bucketed = df.withColumn(c_bkt, _bucket_expr(lead_d, bounds))
-
-    sums = bucketed.groupBy(c_bkt).agg(
-        F.sum(F.col(value_col)).cast("long").alias(c_sum)
-    )
-    w_off = Window.orderBy(c_bkt).rowsBetween(Window.unboundedPreceding, -1)
-    offs = sums.select(
-        c_bkt, F.coalesce(F.sum(c_sum).over(w_off), F.lit(0)).alias(c_off)
+    joined, c_bkt, c_off, _ = _bucketed_with_offsets(
+        df,
+        order_cols,
+        num_buckets,
+        F.sum(F.col(value_col)).cast("long"),
+        include_total=False,
     )
     w_loc = (
         Window.partitionBy(c_bkt)
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = bucketed.join(F.broadcast(offs), c_bkt).withColumn(
+    out = joined.withColumn(
         prefix_col,
         (F.col(c_off) + F.sum(F.col(value_col)).over(w_loc)).cast("long"),
     )

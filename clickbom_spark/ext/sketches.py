@@ -10,7 +10,8 @@ scheme:
    with GLOBAL frequency > N/k must exceed n_p/k in at least one
    partition, so the union of per-partition candidates is a SUPERSET
    of the true heavy hitters — completeness is structural, not
-   probabilistic.
+   probabilistic.  The same pass emits each partition's row count as a
+   sentinel row, so N needs no extra corpus scan.
 2. **Recount pass** — exact counts for the (tiny) candidate set via a
    broadcast semi-join + hash aggregate, then the > N/k cutoff.
 
@@ -19,26 +20,35 @@ counters per partition — the iterator spans the partition, so state
 carries across batches); everything after it is built-in expressions.
 Output is EXACT: same rows as a full groupBy-count with the same
 cutoff, at a fraction of the shuffle (candidates only, never the full
-key cardinality).
+key cardinality).  Total cost: two corpus scans (sketch + recount).
+The sketch output (≤(k+1)·partitions rows) is persisted because both
+the candidate set and the total read it; the block is a few KB.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+# Internal column for the per-partition row-count sentinel; the value
+# column may not use this name (or the output names) — guarded below.
+_PN = "_mg_pn"
+_RESERVED = ("cnt", "n_total", _PN)
 
 
 def _mg_partition(k: int, col: str):
-    """mapInPandas kernel: one Misra–Gries summary per partition."""
+    """mapInPandas kernel: one Misra–Gries summary per partition, plus
+    a (NULL, row-count) sentinel row."""
 
     def run(batches):
         import pandas as pd
 
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
             for v in pdf[col]:
-                if v is None:
-                    continue
+                n_part += 1
                 if v in counters:
                     counters[v] += 1
                 elif len(counters) < k:
@@ -52,7 +62,12 @@ def _mg_partition(k: int, col: str):
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame({col: list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()) + [None],
+                _PN: [0] * len(counters) + [n_part],
+            }
+        )
 
     return run
 
@@ -70,18 +85,22 @@ def heavy_hitters(
     superset under ANY partitioning; the recount+cutoff trims it to
     the same final set).
     """
+    if col in _RESERVED:
+        raise ValueError(
+            f"heavy_hitters value column may not be named {_RESERVED}"
+        )
     src = df.select(F.col(col).alias(col)).where(F.col(col).isNotNull())
-    schema = src.schema
-    cands = (
-        src.mapInPandas(_mg_partition(k, col), schema=schema)
-        .distinct()
+    schema = StructType(
+        list(src.schema.fields) + [StructField(_PN, LongType(), False)]
     )
+    sketch = src.mapInPandas(_mg_partition(k, col), schema=schema).persist()
+    cands = sketch.where(F.col(col).isNotNull()).select(col).distinct()
+    total = sketch.agg(F.sum(_PN).alias("n_total"))
     counted = (
         src.join(F.broadcast(cands), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = src.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         counted.join(F.broadcast(total))
         .where(F.col("cnt") * k > F.col("n_total"))

@@ -413,6 +413,7 @@ pairs{k} AS (
 WITH wf AS (
   SELECT w AS word, COUNT(*) AS n
   FROM (SELECT unnest({_TOKENS_BPE}) AS w FROM documents)
+  WHERE NOT contains(w, {_B})
   GROUP BY w
 ), it0 AS (
   SELECT {_B} || array_to_string(

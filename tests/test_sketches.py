@@ -64,3 +64,11 @@ def test_heavy_hitters_no_qualifying_items(spark):
         [(i, f"u{i}") for i in range(200)], "id long, v string"
     )
     assert heavy_hitters(df, "v", k=8).count() == 0
+
+
+def test_heavy_hitters_rejects_reserved_column_names(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], "id long, cnt string")
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "cnt", k=4)
