@@ -400,3 +400,39 @@ def test_dsir_topk_operator_and_equi_joins(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan, plan
+
+
+def test_runtime_bloom_filter_join_pruning_available(spark):
+    """Catalyst's runtime Bloom-filter join pruning (InjectRuntimeFilter)
+    must fire on the selective-dimension ⋈ fact shape when the scan-size
+    thresholds allow: the fact side gets a might_contain() filter fed by
+    a bloom aggregate over the selective side — at 100 TB this prunes
+    fact rows BEFORE the join shuffle.  Default thresholds (10 GB
+    application side) keep it off at test scale, so the test lowers
+    them for its own query only and restores the session confs."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT").where(
+            F.col("o_totalprice") > 150000
+        )
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
