@@ -40,11 +40,12 @@ def uniform_of(id_col: Column) -> Column:
 
 def es_key(id_col: Column, weight: Column) -> Column:
     """Efraimidis–Spirakis sort key ``-ln(u)/w``; rows with
-    non-positive or null weight get NULL (excluded by the rank —
-    desc/asc null ordering both place them outside the top-k window
-    because we filter rank <= k on non-null keys)."""
+    non-positive, null, or NaN weight get NULL (excluded by the rank —
+    NaN must be tested explicitly because Spark orders NaN above every
+    number, so a bare ``w > 0`` would let a corrupt 0/0 quality ratio
+    into the sample)."""
     w = weight.cast("double")
-    return F.when(w > 0, -F.log(uniform_of(id_col)) / w)
+    return F.when((w > 0) & ~F.isnan(w), -F.log(uniform_of(id_col)) / w)
 
 
 def weighted_sample_per_key(

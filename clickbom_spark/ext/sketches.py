@@ -21,8 +21,9 @@ carries across batches); everything after it is built-in expressions.
 Output is EXACT: same rows as a full groupBy-count with the same
 cutoff, at a fraction of the shuffle (candidates only, never the full
 key cardinality).  Total cost: two corpus scans (sketch + recount).
-The sketch output (≤(k+1)·partitions rows) is persisted because both
-the candidate set and the total read it; the block is a few KB.
+The sketch output (≤(k+1)·partitions rows, a few KB) is collected to
+the driver — like k-means centers or the BPE argmax, the summary IS
+the model — so no cached state outlives the call.
 """
 
 from __future__ import annotations
@@ -41,6 +42,10 @@ def _mg_partition(k: int, col: str):
     """mapInPandas kernel: one Misra–Gries summary per partition, plus
     a (NULL, row-count) sentinel row."""
 
+    NAN = float("nan")  # single canonical NaN key: dict lookup passes
+    # on object identity, so all NaN occurrences share one counter —
+    # matching Spark's NaN normalization in groupBy/join semantics
+
     def run(batches):
         import pandas as pd
 
@@ -49,6 +54,8 @@ def _mg_partition(k: int, col: str):
         for pdf in batches:
             for v in pdf[col]:
                 n_part += 1
+                if isinstance(v, float) and v != v:
+                    v = NAN
                 if v in counters:
                     counters[v] += 1
                 elif len(counters) < k:
@@ -90,19 +97,38 @@ def heavy_hitters(
             f"heavy_hitters value column may not be named {_RESERVED}"
         )
     src = df.select(F.col(col).alias(col)).where(F.col(col).isNotNull())
+    # the sentinel row carries NULL in the value column, so the field
+    # must be re-declared nullable regardless of the input's schema
+    # (a non-nullable input field otherwise NPEs inside codegen)
+    val_field = src.schema.fields[0]
     schema = StructType(
-        list(src.schema.fields) + [StructField(_PN, LongType(), False)]
+        [StructField(val_field.name, val_field.dataType, True),
+         StructField(_PN, LongType(), False)]
     )
-    sketch = src.mapInPandas(_mg_partition(k, col), schema=schema).persist()
-    cands = sketch.where(F.col(col).isNotNull()).select(col).distinct()
-    total = sketch.agg(F.sum(_PN).alias("n_total"))
+    # The sketch frame is tiny (≤(k+1)·partitions rows): collect it —
+    # one job, like the BPE argmax — so no persist/unpersist lifecycle
+    # leaks into the caller's session, and N becomes a plan literal.
+    # Sentinel rows are marked by _PN > 0 (NOT by a null value: the
+    # Arrow return conversion folds float NaN into null, so a null in
+    # a CANDIDATE row can only mean NaN — true nulls were filtered
+    # upstream — and is mapped back here).
+    rows = src.mapInPandas(_mg_partition(k, col), schema=schema).collect()
+    n_total = sum(r[_PN] for r in rows)
+    spark = df.sparkSession
+    cands = spark.createDataFrame(
+        [
+            (r[col] if r[col] is not None else float("nan"),)
+            for r in rows
+            if r[_PN] == 0
+        ],
+        StructType([StructField(val_field.name, val_field.dataType, True)]),
+    ).distinct()
     counted = (
         src.join(F.broadcast(cands), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        counted.join(F.broadcast(total))
-        .where(F.col("cnt") * k > F.col("n_total"))
-        .select(col, "cnt", "n_total")
+        counted.where(F.col("cnt") * k > F.lit(n_total))
+        .select(col, "cnt", F.lit(n_total).alias("n_total"))
     )

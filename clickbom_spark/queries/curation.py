@@ -851,11 +851,11 @@ def dsir_scores(docs, target_pred):
     docs_lw = terms.groupBy("doc_id").agg(
         F.sum("tf").alias("n_tokens"), F.sum("lrw").alias("lw")
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("double")
-        + 0.5
-    ) / F.lit(16777216.0)
+    from clickbom_spark.ext.sampling import uniform_of
+
+    # the SINGLE portable-uniform construction (shared with weighted
+    # sampling) — bit-for-bit sensitive, so only one copy may exist
+    u = uniform_of(F.col("doc_id"))
     gumbel = F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
     return docs_lw.select(
         "doc_id", "n_tokens", "lw", (F.col("lw") + gumbel).alias("score")

@@ -68,3 +68,15 @@ def test_weighted_sample_small_groups_keep_all_positive(spark):
     out = weighted_sample_per_key(df, ["grp"], "w", k=5, id_col="id").collect()
     assert {r["id"] for r in out} == {1, 2}
     assert {r["es_rank"] for r in out} == {1, 2}
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    """NaN weights (e.g. 0/0 from an upstream ratio) must never enter
+    the sample — Spark orders NaN above all numbers, so a bare w > 0
+    gate would admit them."""
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, "x", float("nan")), (3, "x", 1.0)],
+        "id long, grp string, w double",
+    )
+    out = weighted_sample_per_key(df, ["grp"], "w", k=5, id_col="id").collect()
+    assert {r["id"] for r in out} == {1, 3}

@@ -72,3 +72,36 @@ def test_heavy_hitters_rejects_reserved_column_names(spark):
     df = spark.createDataFrame([(1, "a")], "id long, cnt string")
     with _pytest.raises(ValueError):
         heavy_hitters(df, "cnt", k=4)
+
+
+def test_heavy_hitters_non_nullable_input_column(spark):
+    """The sentinel row is NULL in the value column; a non-nullable
+    input field must not NPE (the kernel schema re-declares it
+    nullable)."""
+    df = spark.range(100).select(
+        F.coalesce(F.col("id").cast("string"), F.lit("x")).alias("v")
+    )
+    df = df.union(spark.createDataFrame([("hot",)] * 60, "v string"))
+    out = heavy_hitters(df, "v", k=4).collect()
+    assert [(r["v"], r["cnt"]) for r in out] == [("hot", 60)]
+
+
+def test_heavy_hitters_counts_nan_as_one_item(spark):
+    """NaN occurrences must share ONE counter (Spark's groupBy
+    normalizes NaN): a NaN heavy hitter is found, exactly like the
+    equivalent groupBy-count."""
+    rows = [(float("nan"),)] * 50 + [(float(i),) for i in range(40)]
+    df = spark.createDataFrame(rows, "v double")
+    out = heavy_hitters(df, "v", k=4).collect()
+    assert len(out) == 1
+    assert out[0]["cnt"] == 50 and out[0]["v"] != out[0]["v"]  # NaN
+
+
+def test_heavy_hitters_leaves_no_cached_state(spark):
+    import py4j
+
+    before = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    df = spark.createDataFrame([(i % 3,) for i in range(90)], "v int")
+    heavy_hitters(df, "v", k=4).collect()
+    after = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(after) == len(before)
