@@ -804,3 +804,60 @@ def test_shard_by_budget_balances_token_sums(spark):
     assert sum(t for _, t in rows) == sum(
         t for s in shards for _, t in by_shard[s]
     )
+
+
+def test_semdedup_random_corpus_vs_bruteforce(spark):
+    """Fixed-seed random vectors: the keep/prune decisions must equal a
+    local Python replay of the deterministic-centroid SemDeDup rule
+    (nearest centroid by cosine with list_id tie-break, prune when a
+    lower-id cluster member exceeds the threshold)."""
+    import math
+    import random
+
+    rng = random.Random(20260814)
+    dim, n, k, thr = 6, 60, 4, 0.9
+    vecs = {
+        i: [rng.choice([-1.0, 0.0, 0.5, 1.0]) for _ in range(dim)]
+        for i in range(1, n + 1)
+    }
+    # plant exact duplicates to guarantee prunes
+    vecs[50] = list(vecs[7])
+    vecs[51] = list(vecs[8])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb == 0:
+            return None
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    cents = [vecs[i] for i in sorted(vecs)[:k]]  # first k by id
+    assign = {}
+    for i, v in vecs.items():
+        best, best_c = None, None
+        for ci, c in enumerate(cents, 1):
+            s = cos(v, c)
+            key = (-(s if s is not None else -math.inf), ci)
+            if best is None or key < best:
+                best, best_c = key, ci
+        assign[i] = best_c
+    expected_keep = {}
+    for i in sorted(vecs):
+        prior = [
+            cos(vecs[j], vecs[i])
+            for j in sorted(vecs)
+            if j < i and assign[j] == assign[i]
+        ]
+        prior = [p for p in prior if p is not None]
+        expected_keep[i] = (not prior) or max(prior) < thr
+
+    got = {
+        r["id"]: (r["keep"], r["list_id"])
+        for r in S.semdedup(df, threshold=thr, n_clusters=k).collect()
+    }
+    assert {i: kv[0] for i, kv in got.items()} == expected_keep
+    assert {i: kv[1] for i, kv in got.items()} == assign
+    assert not got[50][0] and not got[51][0]  # planted dups pruned
