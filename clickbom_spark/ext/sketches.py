@@ -1,7 +1,9 @@
-"""Frequency-sketch operators: Misra–Gries heavy hitters.
+"""Mergeable-summary sketch operators: Misra–Gries heavy hitters (the
+ClickHouse ``topK()`` analog) and a KLL-style quantile sketch (the
+``quantileTDigest``-family analog — per-partition compactor summaries
+whose union IS the merge).
 
-The ClickHouse ``topK()`` analog, Spark-shaped as the classic 2-pass
-scheme:
+Heavy hitters, Spark-shaped as the classic 2-pass scheme:
 
 1. **Candidate pass** — a per-partition Misra–Gries summary of size
    ``k`` (Misra & Gries 1982; the `space-saving` family ClickHouse's
@@ -27,6 +29,8 @@ the model — so no cached state outlives the call.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -132,3 +136,100 @@ def heavy_hitters(
         counted.where(F.col("cnt") * k > F.lit(n_total))
         .select(col, "cnt", F.lit(n_total).alias("n_total"))
     )
+
+
+# ---- KLL-style mergeable quantile sketch ----
+
+def _kll_partition(col: str, k: int):
+    """mapInPandas kernel: one KLL-style compactor sketch per partition,
+    emitted as (value, weight) rows.
+
+    Level l holds items of weight 2^l in a buffer of capacity k; a full
+    buffer sorts, keeps alternating elements (offset flips with the
+    level's compaction count — deterministic, no RNG state), and
+    promotes them with doubled weight.  Compaction preserves total
+    weight exactly, so the union of all partitions' rows sums to N.
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        levels: list[list] = [[]]
+        flips: list[int] = [0]
+
+        def compact(l: int) -> None:
+            buf = sorted(levels[l])
+            # an odd buffer cannot halve weight-exactly: one element
+            # stays behind at this level (weight conservation is what
+            # makes Σ weight == N an invariant, not an approximation)
+            leftover = [buf.pop()] if len(buf) % 2 == 1 else []
+            keep = buf[flips[l] % 2 :: 2]
+            flips[l] += 1
+            levels[l] = leftover
+            if l + 1 == len(levels):
+                levels.append([])
+                flips.append(0)
+            levels[l + 1].extend(keep)
+            if len(levels[l + 1]) >= k:
+                compact(l + 1)
+
+        for pdf in batches:
+            for v in pdf[col]:
+                levels[0].append(float(v))
+                if len(levels[0]) >= k:
+                    compact(0)
+        vals, weights = [], []
+        for l, buf in enumerate(levels):
+            for v in buf:
+                vals.append(v)
+                weights.append(1 << l)
+        yield pd.DataFrame({"value": vals, "weight": weights})
+
+    return run
+
+
+def quantile_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Mergeable quantile summary: (value, weight) rows, Σ weight = N.
+
+    The per-partition sketches ARE the mergeable states (union = merge,
+    exactly like ClickHouse's quantile*State): downstream consumers
+    re-sketch, store, or union them freely.  Output size is
+    O(k·log(n/k)) rows per partition — negligible next to the input.
+    """
+    src = df.select(F.col(col).cast("double").alias(col)).where(
+        F.col(col).isNotNull()
+    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("value", DoubleType(), False),
+            StructField("weight", LongType(), False),
+        ]
+    )
+    return src.mapInPandas(_kll_partition(col, k), schema=schema)
+
+
+def approx_quantiles_from_sketch(
+    sketch: DataFrame, probs: Sequence[float]
+) -> list[float]:
+    """Quantile estimates from a (value, weight) summary: the smallest
+    value whose cumulative weight reaches p·N.  The sketch is tiny, so
+    the rank scan collects it — the summary is driver-resident state by
+    design (like every mergeable agg state)."""
+    rows = sorted(
+        (r["value"], r["weight"]) for r in sketch.collect()
+    )
+    total = sum(w for _, w in rows)
+    out = []
+    for p in probs:
+        target = p * total
+        acc = 0
+        val = rows[-1][0] if rows else float("nan")
+        for v, w in rows:
+            acc += w
+            if acc >= target:
+                val = v
+                break
+        out.append(val)
+    return out

@@ -105,3 +105,49 @@ def test_heavy_hitters_leaves_no_cached_state(spark):
     heavy_hitters(df, "v", k=4).collect()
     after = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert len(after) == len(before)
+
+
+def test_quantile_sketch_weight_conservation_and_accuracy(spark):
+    """Σ weight must equal N exactly (compaction is weight-preserving),
+    and quantile estimates must land within a small rank error of the
+    exact order statistics on both uniform and skewed data."""
+    import random
+
+    from clickbom_spark.ext.sketches import (
+        approx_quantiles_from_sketch,
+        quantile_sketch,
+    )
+
+    rng = random.Random(3)
+    n = 20000
+    data = [rng.random() for _ in range(n // 2)]
+    data += [rng.random() ** 4 * 100 for _ in range(n // 2)]  # skewed tail
+    df = spark.createDataFrame([(v,) for v in data], "x double").repartition(8)
+    sk = quantile_sketch(df, "x", k=128)
+    agg = sk.agg(F.sum("weight")).collect()[0][0]
+    assert agg == n
+    probs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles_from_sketch(sk, probs)
+    s = sorted(data)
+    for p, e in zip(probs, est):
+        # rank of the estimate vs target rank, bounded at 2% of N
+        import bisect
+
+        r = bisect.bisect_left(s, e)
+        assert abs(r - p * n) <= 0.02 * n, (p, e, r)
+
+
+def test_quantile_sketch_states_merge_by_union(spark):
+    """Two corpora sketched separately and UNIONED must estimate the
+    combined distribution — the mergeable-state contract."""
+    from clickbom_spark.ext.sketches import (
+        approx_quantiles_from_sketch,
+        quantile_sketch,
+    )
+
+    a = spark.range(0, 10000).select(F.col("id").cast("double").alias("x"))
+    b = spark.range(10000, 20000).select(F.col("id").cast("double").alias("x"))
+    merged = quantile_sketch(a, "x", k=128).union(quantile_sketch(b, "x", k=128))
+    assert merged.agg(F.sum("weight")).collect()[0][0] == 20000
+    (med,) = approx_quantiles_from_sketch(merged, [0.5])
+    assert abs(med - 10000) <= 400  # 2% of N
