@@ -1,0 +1,99 @@
+"""Streaming bounded-memory frequency sketches.
+
+``streaming_heavy_hitters``: the streaming twin of
+``ext.sketches.heavy_hitters`` — a Misra–Gries summary maintained in
+KEYED STATE across micro-batches, for streams whose key cardinality
+exceeds what an exact streaming ``groupBy().count()`` could hold.
+
+State layout: the stream is bucketed by a deterministic hash of the
+value into ``n_buckets`` groups; each bucket's state is one MG summary
+of size ``k``, serialized as two parallel arrays (values, counts) —
+bounded at k entries per bucket no matter how many distinct values the
+stream carries.  Guarantee (order-independent, so micro-batch slicing
+cannot break it): any value whose true count within its bucket exceeds
+n_bucket/k is PRESENT in the final summary, and its stored count
+understates the true count by at most n_bucket/k.  The per-batch
+output emits each touched bucket's current candidates; downstream
+either recounts exactly (the batch operator's pattern) or reports the
+lower-bound estimates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+HH_OUTPUT_SCHEMA = "bucket int, value string, est_count long, n_bucket long"
+HH_STATE_SCHEMA = "vals array<string>, cnts array<long>, n long"
+
+
+def _mg_update(k: int):
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, cnts, n = state.get
+            counters = dict(zip(list(vals), [int(c) for c in cnts]))
+        else:
+            counters, n = {}, 0
+        for pdf in batches:
+            for v in pdf["value"]:
+                n += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [kk for kk in counters if counters[kk] == 1]
+                    for kk in counters:
+                        counters[kk] -= 1
+                    for kk in dead:
+                        del counters[kk]
+        state.update((list(counters.keys()), list(counters.values()), n))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(counters),
+                "value": list(counters.keys()),
+                "est_count": list(counters.values()),
+                "n_bucket": [n] * len(counters),
+            }
+        )
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    events: DataFrame, value_col: str, n_buckets: int = 8, k: int = 16
+) -> DataFrame:
+    """Bounded-memory streaming heavy hitters over ``value_col``.
+
+    Emits, per micro-batch, the current MG candidates of every bucket
+    the batch touched: (bucket, value, est_count lower bound,
+    n_bucket).  Total state is ≤ n_buckets × k counters regardless of
+    the stream's distinct-value cardinality — the property an exact
+    streaming count cannot offer.
+    """
+    bucketed = events.select(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(value_col)), 1, 6), 16, 10).cast(
+                "int"
+            ),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _mg_update(k),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
