@@ -97,3 +97,102 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- Streaming KLL-style quantile sketch --------------------------------
+
+QS_OUTPUT_SCHEMA = "bucket int, value double, weight long, n_bucket long"
+QS_STATE_SCHEMA = "vals array<double>, lvls array<int>, flips array<int>, n long"
+
+
+def _kll_update(k: int):
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, lvls, flips_arr, n = state.get
+            n_levels = (max(lvls) + 1) if len(lvls) else 1
+            n_levels = max(n_levels, len(flips_arr))
+            levels: list[list] = [[] for _ in range(n_levels)]
+            for v, l in zip(vals, lvls):
+                levels[l].append(float(v))
+            flips = [int(f) for f in flips_arr] + [0] * (
+                n_levels - len(flips_arr)
+            )
+            n = int(n)
+        else:
+            levels, flips, n = [[]], [0], 0
+
+        def compact(l: int) -> None:
+            buf = sorted(levels[l])
+            leftover = [buf.pop()] if len(buf) % 2 == 1 else []
+            keep = buf[flips[l] % 2 :: 2]
+            flips[l] += 1
+            levels[l] = leftover
+            if l + 1 == len(levels):
+                levels.append([])
+                flips.append(0)
+            levels[l + 1].extend(keep)
+            if len(levels[l + 1]) >= k:
+                compact(l + 1)
+
+        for pdf in batches:
+            for v in pdf["value"]:
+                n += 1
+                levels[0].append(float(v))
+                if len(levels[0]) >= k:
+                    compact(0)
+
+        out_vals, out_lvls, out_w = [], [], []
+        for l, buf in enumerate(levels):
+            for v in buf:
+                out_vals.append(v)
+                out_lvls.append(l)
+                out_w.append(1 << l)
+        state.update((out_vals, out_lvls, flips, n))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(out_vals),
+                "value": out_vals,
+                "weight": out_w,
+                "n_bucket": [n] * len(out_vals),
+            }
+        )
+
+    return fn
+
+
+def streaming_quantile_sketch(
+    events: DataFrame, value_col: str, n_buckets: int = 4, k: int = 128
+) -> DataFrame:
+    """Streaming KLL quantile summary in bounded keyed state.
+
+    Values hash into ``n_buckets`` groups, each maintaining one KLL
+    compactor sketch across micro-batches; every touched bucket emits
+    its complete current (value, weight) summary per batch.  The UNION
+    of the latest per-bucket summaries is a weight-exact summary of the
+    whole stream (Σ weight = rows seen), consumable by
+    ``ext.sketches.approx_quantiles_from_sketch`` — the streaming
+    analog of ClickHouse's quantileState merge tree.  State per bucket
+    is O(k·log(n/k)) values regardless of stream length.
+    """
+    bucketed = events.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(value_col).cast("string")), 1, 6),
+                16,
+                10,
+            ).cast("int"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _kll_update(k),
+        outputStructType=QS_OUTPUT_SCHEMA,
+        stateStructType=QS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

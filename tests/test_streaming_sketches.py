@@ -91,3 +91,66 @@ def test_streaming_mg_matches_single_batch_guarantee(spark):
     tot_four = {b: nb for (b, _v), (_e, nb) in four.items()}
     for b in set(tot_one) & set(tot_four):
         assert tot_one[b] == tot_four[b], b
+
+
+def test_streaming_quantile_sketch_across_microbatches(spark):
+    """The union of final per-bucket KLL summaries must be weight-exact
+    (Σ weight == rows seen) and estimate quantiles of the full stream
+    within rank-error bounds, with state rebuilt correctly across real
+    micro-batch boundaries."""
+    import random
+
+    from clickbom_spark.ext.sketches import approx_quantiles_from_sketch
+    from clickbom_spark.streaming.sketches import streaming_quantile_sketch
+
+    rng = random.Random(5)
+    n = 8000
+    data = [rng.random() * 100 for _ in range(n)]
+    df = spark.createDataFrame([(v,) for v in data], "x double")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_quantile_sketch(stream, "x", n_buckets=4, k=128)
+        buckets: dict = {}
+        n_batches = 0
+
+        def collect_batch(bdf, epoch_id):
+            nonlocal n_batches
+            n_batches += 1
+            touched: dict = {}
+            for r in bdf.collect():
+                touched.setdefault(r["bucket"], []).append(
+                    (r["value"], r["weight"])
+                )
+            buckets.update(touched)
+
+        q = (
+            out.writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    assert n_batches >= 4
+    summary = [vw for rows in buckets.values() for vw in rows]
+    assert sum(w for _, w in summary) == n  # weight-exact union
+
+    sk = spark.createDataFrame(summary, "value double, weight long")
+    probs = [0.25, 0.5, 0.9]
+    est = approx_quantiles_from_sketch(sk, probs)
+    import bisect
+
+    s = sorted(data)
+    for p, e in zip(probs, est):
+        r = bisect.bisect_left(s, e)
+        assert abs(r - p * n) <= 0.03 * n, (p, e, r)
