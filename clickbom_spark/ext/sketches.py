@@ -34,7 +34,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 # Internal column for the per-partition row-count sentinel; the value
 # column may not use this name (or the output names) — guarded below.
@@ -42,13 +42,41 @@ _PN = "_mg_pn"
 _RESERVED = ("cnt", "n_total", _PN)
 
 
+_MG_NAN = float("nan")  # single canonical NaN key: dict lookup passes
+# on object identity, so all NaN occurrences share one counter —
+# matching Spark's NaN normalization in groupBy/join semantics
+
+
+def mg_ingest(counters: dict, weighted: dict, k: int) -> None:
+    """Weighted Misra–Gries update, shared by the batch and streaming
+    kernels: add each (value, count), then while more than ``k``
+    counters exist subtract the minimum from all and drop zeros.
+
+    Per-batch cost is O(distinct·k), not O(rows·k): the caller
+    pre-aggregates the batch with ``value_counts`` so the Python loop
+    touches distinct values only.  Bound: every eviction round removes
+    ≥ (k+1)·δ total weight, so a surviving counter understates its true
+    count by at most N/(k+1) — at least as tight as the classic
+    decrement-by-one bound, and any value with true frequency > N/k
+    still survives (the pigeonhole completeness guarantee)."""
+    for v, c in weighted.items():
+        if isinstance(v, float) and v != v:
+            v = _MG_NAN
+        counters[v] = counters.get(v, 0) + int(c)
+    while len(counters) > k:
+        delta = min(counters.values())
+        dead = []
+        for key in counters:
+            counters[key] -= delta
+            if counters[key] == 0:
+                dead.append(key)
+        for key in dead:
+            del counters[key]
+
+
 def _mg_partition(k: int, col: str):
     """mapInPandas kernel: one Misra–Gries summary per partition, plus
     a (NULL, row-count) sentinel row."""
-
-    NAN = float("nan")  # single canonical NaN key: dict lookup passes
-    # on object identity, so all NaN occurrences share one counter —
-    # matching Spark's NaN normalization in groupBy/join semantics
 
     def run(batches):
         import pandas as pd
@@ -56,23 +84,9 @@ def _mg_partition(k: int, col: str):
         counters: dict = {}
         n_part = 0
         for pdf in batches:
-            for v in pdf[col]:
-                n_part += 1
-                if isinstance(v, float) and v != v:
-                    v = NAN
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    # decrement-all step, dropping zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            n_part += len(pdf)
+            vc = pdf[col].value_counts(dropna=False)
+            mg_ingest(counters, dict(vc.items()), k)
         yield pd.DataFrame(
             {
                 col: list(counters.keys()) + [None],
@@ -140,15 +154,37 @@ def heavy_hitters(
 
 # ---- KLL-style mergeable quantile sketch ----
 
+def kll_compact(levels: list, flips: list, k: int, l: int = 0) -> None:
+    """One weight-exact KLL compaction step, shared by the batch and
+    streaming kernels (weight conservation is load-bearing: a change
+    here that diverged between the two would silently break the
+    documented Σ weight == N invariant on one side).
+
+    An odd buffer cannot halve weight-exactly, so one element stays
+    behind; the kept-alternation offset flips with the level's
+    compaction count — deterministic, no RNG state.
+    """
+    buf = sorted(levels[l])
+    leftover = [buf.pop()] if len(buf) % 2 == 1 else []
+    keep = buf[flips[l] % 2 :: 2]
+    flips[l] += 1
+    levels[l] = leftover
+    if l + 1 == len(levels):
+        levels.append([])
+        flips.append(0)
+    levels[l + 1].extend(keep)
+    if len(levels[l + 1]) >= k:
+        kll_compact(levels, flips, k, l + 1)
+
+
 def _kll_partition(col: str, k: int):
     """mapInPandas kernel: one KLL-style compactor sketch per partition,
     emitted as (value, weight) rows.
 
     Level l holds items of weight 2^l in a buffer of capacity k; a full
-    buffer sorts, keeps alternating elements (offset flips with the
-    level's compaction count — deterministic, no RNG state), and
-    promotes them with doubled weight.  Compaction preserves total
-    weight exactly, so the union of all partitions' rows sums to N.
+    buffer compacts via :func:`kll_compact`.  Compaction preserves
+    total weight exactly, so the union of all partitions' rows sums to
+    the (non-null, non-NaN) input count.
     """
 
     def run(batches):
@@ -156,28 +192,11 @@ def _kll_partition(col: str, k: int):
 
         levels: list[list] = [[]]
         flips: list[int] = [0]
-
-        def compact(l: int) -> None:
-            buf = sorted(levels[l])
-            # an odd buffer cannot halve weight-exactly: one element
-            # stays behind at this level (weight conservation is what
-            # makes Σ weight == N an invariant, not an approximation)
-            leftover = [buf.pop()] if len(buf) % 2 == 1 else []
-            keep = buf[flips[l] % 2 :: 2]
-            flips[l] += 1
-            levels[l] = leftover
-            if l + 1 == len(levels):
-                levels.append([])
-                flips.append(0)
-            levels[l + 1].extend(keep)
-            if len(levels[l + 1]) >= k:
-                compact(l + 1)
-
         for pdf in batches:
             for v in pdf[col]:
                 levels[0].append(float(v))
                 if len(levels[0]) >= k:
-                    compact(0)
+                    kll_compact(levels, flips, k)
         vals, weights = [], []
         for l, buf in enumerate(levels):
             for v in buf:
@@ -196,11 +215,11 @@ def quantile_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     re-sketch, store, or union them freely.  Output size is
     O(k·log(n/k)) rows per partition — negligible next to the input.
     """
-    src = df.select(F.col(col).cast("double").alias(col)).where(
-        F.col(col).isNotNull()
-    )
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
+    c = F.col(col).cast("double")
+    # NaN is excluded along with null: NaN has no rank (sorted() over a
+    # NaN-containing buffer breaks the alternating-keep compaction), so
+    # a quantile summary cannot represent it
+    src = df.select(c.alias(col)).where(c.isNotNull() & ~F.isnan(c))
     schema = StructType(
         [
             StructField("value", DoubleType(), False),

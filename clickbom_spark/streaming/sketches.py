@@ -1,21 +1,28 @@
-"""Streaming bounded-memory frequency sketches.
+"""Streaming bounded-memory frequency and quantile sketches.
 
 ``streaming_heavy_hitters``: the streaming twin of
 ``ext.sketches.heavy_hitters`` — a Misra–Gries summary maintained in
 KEYED STATE across micro-batches, for streams whose key cardinality
 exceeds what an exact streaming ``groupBy().count()`` could hold.
 
+``streaming_quantile_sketch``: the streaming twin of
+``ext.sketches.quantile_sketch`` — per-bucket KLL compactor summaries
+whose latest union is a weight-exact summary of the whole stream.
+
+Both kernels delegate their core update steps to ``ext.sketches``
+(``mg_ingest`` / ``kll_compact``): the invariants — the MG survival
+bound and KLL weight conservation — are load-bearing for the batch
+twins' consumers, so exactly one implementation of each may exist.
+
 State layout: the stream is bucketed by a deterministic hash of the
-value into ``n_buckets`` groups; each bucket's state is one MG summary
-of size ``k``, serialized as two parallel arrays (values, counts) —
-bounded at k entries per bucket no matter how many distinct values the
-stream carries.  Guarantee (order-independent, so micro-batch slicing
-cannot break it): any value whose true count within its bucket exceeds
-n_bucket/k is PRESENT in the final summary, and its stored count
-understates the true count by at most n_bucket/k.  The per-batch
-output emits each touched bucket's current candidates; downstream
-either recounts exactly (the batch operator's pattern) or reports the
-lower-bound estimates.
+value into ``n_buckets`` groups; each bucket's state is one summary,
+serialized as parallel arrays — bounded regardless of how many
+distinct values the stream carries.  Nulls are filtered before
+bucketing (matching the batch twins' non-null contracts); NaN is
+additionally excluded from the quantile sketch (it has no rank).
+The per-batch output emits each touched bucket's complete current
+summary; downstream replaces per bucket and either recounts exactly
+(the batch operator's pattern) or estimates from the union.
 """
 
 from __future__ import annotations
@@ -29,8 +36,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from clickbom_spark.ext.sketches import kll_compact, mg_ingest
+
 HH_OUTPUT_SCHEMA = "bucket int, value string, est_count long, n_bucket long"
 HH_STATE_SCHEMA = "vals array<string>, cnts array<long>, n long"
+
+
+def _bucket_of(value_str, n_buckets: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(value_str), 1, 6), 16, 10).cast("int"),
+        F.lit(n_buckets),
+    )
 
 
 def _mg_update(k: int):
@@ -42,21 +58,13 @@ def _mg_update(k: int):
         if state.exists:
             vals, cnts, n = state.get
             counters = dict(zip(list(vals), [int(c) for c in cnts]))
+            n = int(n)
         else:
             counters, n = {}, 0
         for pdf in batches:
-            for v in pdf["value"]:
-                n += 1
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    dead = [kk for kk in counters if counters[kk] == 1]
-                    for kk in counters:
-                        counters[kk] -= 1
-                    for kk in dead:
-                        del counters[kk]
+            n += len(pdf)
+            vc = pdf["value"].value_counts(dropna=False)
+            mg_ingest(counters, dict(vc.items()), k)
         state.update((list(counters.keys()), list(counters.values()), n))
         yield pd.DataFrame(
             {
@@ -79,16 +87,12 @@ def streaming_heavy_hitters(
     the batch touched: (bucket, value, est_count lower bound,
     n_bucket).  Total state is ≤ n_buckets × k counters regardless of
     the stream's distinct-value cardinality — the property an exact
-    streaming count cannot offer.
+    streaming count cannot offer.  Nulls are excluded, matching the
+    batch twin's non-null N.
     """
-    bucketed = events.select(
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col(value_col)), 1, 6), 16, 10).cast(
-                "int"
-            ),
-            F.lit(n_buckets),
-        ).alias("bucket"),
-        F.col(value_col).cast("string").alias("value"),
+    v = F.col(value_col).cast("string")
+    bucketed = events.where(F.col(value_col).isNotNull()).select(
+        _bucket_of(v, n_buckets).alias("bucket"), v.alias("value")
     )
     return bucketed.groupBy("bucket").applyInPandasWithState(
         _mg_update(k),
@@ -125,25 +129,12 @@ def _kll_update(k: int):
         else:
             levels, flips, n = [[]], [0], 0
 
-        def compact(l: int) -> None:
-            buf = sorted(levels[l])
-            leftover = [buf.pop()] if len(buf) % 2 == 1 else []
-            keep = buf[flips[l] % 2 :: 2]
-            flips[l] += 1
-            levels[l] = leftover
-            if l + 1 == len(levels):
-                levels.append([])
-                flips.append(0)
-            levels[l + 1].extend(keep)
-            if len(levels[l + 1]) >= k:
-                compact(l + 1)
-
         for pdf in batches:
             for v in pdf["value"]:
                 n += 1
                 levels[0].append(float(v))
                 if len(levels[0]) >= k:
-                    compact(0)
+                    kll_compact(levels, flips, k)
 
         out_vals, out_lvls, out_w = [], [], []
         for l, buf in enumerate(levels):
@@ -173,21 +164,15 @@ def streaming_quantile_sketch(
     compactor sketch across micro-batches; every touched bucket emits
     its complete current (value, weight) summary per batch.  The UNION
     of the latest per-bucket summaries is a weight-exact summary of the
-    whole stream (Σ weight = rows seen), consumable by
-    ``ext.sketches.approx_quantiles_from_sketch`` — the streaming
+    whole stream (Σ weight = non-null, non-NaN rows seen), consumable
+    by ``ext.sketches.approx_quantiles_from_sketch`` — the streaming
     analog of ClickHouse's quantileState merge tree.  State per bucket
     is O(k·log(n/k)) values regardless of stream length.
     """
-    bucketed = events.select(
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col(value_col).cast("string")), 1, 6),
-                16,
-                10,
-            ).cast("int"),
-            F.lit(n_buckets),
-        ).alias("bucket"),
-        F.col(value_col).cast("double").alias("value"),
+    c = F.col(value_col).cast("double")
+    bucketed = events.where(c.isNotNull() & ~F.isnan(c)).select(
+        _bucket_of(c.cast("string"), n_buckets).alias("bucket"),
+        c.alias("value"),
     )
     return bucketed.groupBy("bucket").applyInPandasWithState(
         _kll_update(k),

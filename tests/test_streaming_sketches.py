@@ -1,6 +1,6 @@
-"""Streaming Misra–Gries heavy hitters: state bounded at n_buckets×k,
-the MG survival guarantee holds across real micro-batch boundaries,
-and count estimates respect the n_bucket/k error bound."""
+"""Streaming sketches: bounded state across real micro-batch
+boundaries, MG survival and KLL weight-exactness guarantees, plus
+null/NaN hygiene matching the batch twins."""
 
 from __future__ import annotations
 
@@ -8,13 +8,21 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from clickbom_spark.streaming.sketches import streaming_heavy_hitters
+from clickbom_spark.streaming.sketches import (
+    streaming_heavy_hitters,
+    streaming_quantile_sketch,
+)
 
 K = 8
 BUCKETS = 4
 
 
-def _run_stream(spark, df, n_files):
+def _run_stream(spark, df, n_files, make_op, row_of):
+    """Drive ``make_op(stream_df)`` over ``n_files`` micro-batches;
+    returns ({bucket: {item: payload}} latest-complete-summary view,
+    n_batches).  Each emission is a bucket's COMPLETE current summary,
+    so later epochs replace that bucket wholesale (evicted items must
+    disappear)."""
     with tempfile.TemporaryDirectory() as tmp:
         src = f"{tmp}/src"
         df.repartition(n_files).write.parquet(src)
@@ -23,22 +31,17 @@ def _run_stream(spark, df, n_files):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        out = streaming_heavy_hitters(stream, "v", n_buckets=BUCKETS, k=K)
+        out = make_op(stream)
         buckets: dict = {}
         n_batches = 0
 
         def collect_batch(bdf, epoch_id):
             nonlocal n_batches
             n_batches += 1
-            rows = bdf.collect()
-            # each emission is the bucket's COMPLETE current summary:
-            # replace, don't accumulate (evicted values must disappear)
             touched: dict = {}
-            for r in rows:
-                touched.setdefault(r["bucket"], {})[r["value"]] = (
-                    r["est_count"],
-                    r["n_bucket"],
-                )
+            for r in bdf.collect():
+                item, payload = row_of(r)
+                touched.setdefault(r["bucket"], {})[item] = payload
             buckets.update(touched)
 
         q = (
@@ -49,30 +52,43 @@ def _run_stream(spark, df, n_files):
             .start()
         )
         q.awaitTermination(180)
-        final = {
-            (b, v): ec for b, vals in buckets.items() for v, ec in vals.items()
-        }
-        return final, n_batches
+        return buckets, n_batches
+
+
+def _run_hh(spark, df, n_files):
+    buckets, nb = _run_stream(
+        spark,
+        df,
+        n_files,
+        lambda s: streaming_heavy_hitters(s, "v", n_buckets=BUCKETS, k=K),
+        lambda r: (r["value"], (r["est_count"], r["n_bucket"])),
+    )
+    final = {
+        (b, v): ec for b, vals in buckets.items() for v, ec in vals.items()
+    }
+    return final, nb
 
 
 def test_streaming_mg_guarantee_across_microbatches(spark):
-    rows = [("hot",)] * 300 + [(f"t{i}",) for i in range(400)]
+    rows = [("hot",)] * 300 + [(f"t{i}",) for i in range(400)] + [(None,)] * 20
     df = spark.createDataFrame(rows, "v string")
-    final, n_batches = _run_stream(spark, df, n_files=4)
+    final, n_batches = _run_hh(spark, df, n_files=4)
     assert n_batches >= 4  # real micro-batch boundaries exercised
 
     hot = [(kv, est, nb) for kv, (est, nb) in final.items() if kv[1] == "hot"]
     assert len(hot) == 1
-    (_, _), est, n_bucket = hot[0][0], hot[0][1], hot[0][2]
-    # MG bound: true - n_bucket/k <= est <= true
+    est, n_bucket = hot[0][1], hot[0][2]
+    # MG bound: true - n_bucket/k <= est <= true; nulls never counted
     assert est <= 300
     assert est >= 300 - n_bucket / K, (est, n_bucket)
+    assert sum({b: nb for (b, _v), (_e, nb) in final.items()}.values()) <= 700
 
-    # bounded state: no bucket ever reports more than k candidates
+    # bounded state: no bucket's final summary exceeds k candidates
     from collections import Counter
 
     per_bucket = Counter(b for (b, _v) in final)
     assert max(per_bucket.values()) <= K
+    assert not any(v is None for (_b, v) in final)
 
 
 def test_streaming_mg_matches_single_batch_guarantee(spark):
@@ -80,8 +96,8 @@ def test_streaming_mg_matches_single_batch_guarantee(spark):
     both retain it (MG survival is order-independent)."""
     rows = [("hot",)] * 120 + [(f"u{i}",) for i in range(60)]
     df = spark.createDataFrame(rows, "v string")
-    one, _ = _run_stream(spark, df, n_files=1)
-    four, _ = _run_stream(spark, df, n_files=4)
+    one, _ = _run_hh(spark, df, n_files=1)
+    four, _ = _run_hh(spark, df, n_files=4)
     assert any(v == "hot" for (_b, v) in one)
     assert any(v == "hot" for (_b, v) in four)
     # bucket totals agree wherever both runs report the bucket (a
@@ -95,62 +111,34 @@ def test_streaming_mg_matches_single_batch_guarantee(spark):
 
 def test_streaming_quantile_sketch_across_microbatches(spark):
     """The union of final per-bucket KLL summaries must be weight-exact
-    (Σ weight == rows seen) and estimate quantiles of the full stream
-    within rank-error bounds, with state rebuilt correctly across real
-    micro-batch boundaries."""
+    (Σ weight == non-null, non-NaN rows seen) and estimate quantiles of
+    the full stream within rank-error bounds, with state rebuilt
+    correctly across real micro-batch boundaries."""
+    import bisect
     import random
 
     from clickbom_spark.ext.sketches import approx_quantiles_from_sketch
-    from clickbom_spark.streaming.sketches import streaming_quantile_sketch
 
     rng = random.Random(5)
     n = 8000
     data = [rng.random() * 100 for _ in range(n)]
-    df = spark.createDataFrame([(v,) for v in data], "x double")
+    rows = [(v,) for v in data] + [(None,)] * 10 + [(float("nan"),)] * 10
+    df = spark.createDataFrame(rows, "x double")
 
-    import tempfile
-
-    with tempfile.TemporaryDirectory() as tmp:
-        src = f"{tmp}/src"
-        df.repartition(4).write.parquet(src)
-        stream = (
-            spark.readStream.schema(df.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        out = streaming_quantile_sketch(stream, "x", n_buckets=4, k=128)
-        buckets: dict = {}
-        n_batches = 0
-
-        def collect_batch(bdf, epoch_id):
-            nonlocal n_batches
-            n_batches += 1
-            touched: dict = {}
-            for r in bdf.collect():
-                touched.setdefault(r["bucket"], []).append(
-                    (r["value"], r["weight"])
-                )
-            buckets.update(touched)
-
-        q = (
-            out.writeStream.foreachBatch(collect_batch)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
-
+    buckets, n_batches = _run_stream(
+        spark,
+        df,
+        4,
+        lambda s: streaming_quantile_sketch(s, "x", n_buckets=4, k=128),
+        lambda r: (object(), (r["value"], r["weight"])),  # keep every row
+    )
     assert n_batches >= 4
-    summary = [vw for rows in buckets.values() for vw in rows]
-    assert sum(w for _, w in summary) == n  # weight-exact union
+    summary = [vw for rows_ in buckets.values() for vw in rows_.values()]
+    assert sum(w for _, w in summary) == n  # weight-exact, junk excluded
 
     sk = spark.createDataFrame(summary, "value double, weight long")
-    probs = [0.25, 0.5, 0.9]
-    est = approx_quantiles_from_sketch(sk, probs)
-    import bisect
-
+    est = approx_quantiles_from_sketch(sk, [0.25, 0.5, 0.9])
     s = sorted(data)
-    for p, e in zip(probs, est):
+    for p, e in zip([0.25, 0.5, 0.9], est):
         r = bisect.bisect_left(s, e)
         assert abs(r - p * n) <= 0.03 * n, (p, e, r)
