@@ -1,0 +1,452 @@
+"""Staged registry wave for round 6.
+
+Queries here are pytest-verified NOW (tests/test_staged_parity.py runs
+the same oracle-parity harness as tests/test_parity.py) but are held
+out of :data:`clickbom_spark.queries.REGISTRY` so the current round's
+driver correctness budget keeps rotating stale greens (VERDICT r4 §next
+item 1: new wave small, rotation first).  Round 6 activates the wave
+with one line in ``queries/__init__.py``::
+
+    from clickbom_spark.queries import staged  # noqa: F401
+    REGISTRY.update(staged.STAGED)
+
+Each entry wraps an operator that already landed in ``ext/`` with full
+pytest coverage this round — the wrappers below only bind corpus
+columns and align output aliases with the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from clickbom_spark.queries import QuerySpec, load
+
+STAGED: dict[str, QuerySpec] = {}
+
+
+def staged(name: str, oracle: str | None = None, description: str = "",
+           bench: bool = False):
+    def deco(fn):
+        STAGED[name] = QuerySpec(name, fn, oracle, description, bench)
+        return fn
+
+    return deco
+
+
+_TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".fmt_roundtrip",
+)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (ClickHouse topK analog) — exact by design:
+# the sketch pass only narrows the candidate set (pigeonhole-complete),
+# the recount pass restores exact counts, so a plain GROUP BY oracle
+# with the same > N/k cutoff is the ground truth.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_heavy_hitters",
+    oracle="""
+WITH d AS (
+  SELECT lang AS val, COUNT(*) AS cnt FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+), dn AS (
+  SELECT COUNT(*) AS n FROM documents WHERE lang IS NOT NULL
+), e AS (
+  SELECT event_type AS val, COUNT(*) AS cnt FROM events
+  WHERE event_type IS NOT NULL GROUP BY event_type
+), en AS (
+  SELECT COUNT(*) AS n FROM events WHERE event_type IS NOT NULL
+)
+SELECT * FROM (
+  SELECT 'documents.lang' AS tbl, d.val, d.cnt, dn.n AS n_total
+  FROM d, dn WHERE d.cnt * 5 > dn.n
+  UNION ALL
+  SELECT 'events.event_type' AS tbl, e.val, e.cnt, en.n AS n_total
+  FROM e, en WHERE e.cnt * 6 > en.n
+) ORDER BY tbl, val
+""",
+    description="Misra–Gries heavy hitters (ClickHouse topK): "
+    "per-partition mapInPandas summaries of size k union to a "
+    "pigeonhole-complete candidate set; a broadcast-semi-join recount "
+    "restores exact counts, so output == full groupBy-count at the "
+    "> N/k cutoff while shuffling only candidates (ext/sketches.py).",
+)
+def q_heavy_hitters(spark, sf_dir):
+    from clickbom_spark.ext.sketches import heavy_hitters
+
+    docs, events = load(spark, sf_dir, "documents", "events")
+    hh_lang = heavy_hitters(docs, "lang", k=5).select(
+        F.lit("documents.lang").alias("tbl"),
+        F.col("lang").alias("val"),
+        F.col("cnt"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+    hh_et = heavy_hitters(events, "event_type", k=6).select(
+        F.lit("events.event_type").alias("tbl"),
+        F.col("event_type").alias("val"),
+        F.col("cnt"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+    return hh_lang.unionByName(hh_et).orderBy("tbl", "val")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (Efraimidis–
+# Spirakis with the portable md5 uniform) — the "sample k docs per
+# language, proportional to length" curation primitive.  Membership is
+# a pure function of doc_id, so DuckDB recomputes it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT lang, doc_id,
+         ROUND(
+           -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                     AS BIGINT) + 0.5) / 16777216.0)
+           / CAST(n_chars AS DOUBLE), 10) AS es_key
+  FROM documents
+  WHERE CAST(n_chars AS DOUBLE) > 0
+), ranked AS (
+  SELECT lang, doc_id, es_key,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key, doc_id)
+              AS BIGINT) AS es_rank
+  FROM keyed
+)
+SELECT lang, doc_id, es_key, es_rank FROM ranked
+WHERE es_rank <= 5 ORDER BY lang, es_rank
+""",
+    description="Weighted sampling without replacement, k per group "
+    "(Efraimidis–Spirakis 2006): sort key -ln(u)/w with u derandomized "
+    "through the portable md5 uniform — reproducible under any "
+    "partitioning, one partitioned window top-k, no global sort "
+    "(ext/sampling.py).",
+)
+def q_weighted_sample(spark, sf_dir):
+    from clickbom_spark.ext.sampling import weighted_sample_per_key
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        weighted_sample_per_key(
+            docs, ["lang"], "n_chars", k=5, id_col="doc_id"
+        )
+        .select("lang", "doc_id", "es_key", "es_rank")
+        .orderBy("lang", "es_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced output sharding via the distributed exact prefix sum —
+# the "write ~B-token files" step of a pretraining pipeline.  Integral
+# sums only, so the result is engine-portable with no float contract.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_token_shards",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS pfx
+  FROM documents
+), s AS (
+  SELECT CAST(FLOOR(GREATEST(pfx - 1, 0) / 10000) AS BIGINT) AS shard,
+         n_chars
+  FROM p
+)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY shard ORDER BY shard
+""",
+    description="Token-balanced shard assignment (ext/ranks.py "
+    "shard_by_budget): value-bucketed exact global prefix sums — "
+    "per-bucket aggregates roll into broadcast offsets, a "
+    "partition-local running-sum window finishes — then shard = "
+    "floor((prefix-1)/budget); no single-partition window, no global "
+    "sort, deterministic under any partitioning.",
+)
+def q_token_shards(spark, sf_dir):
+    from clickbom_spark.ext.ranks import shard_by_budget
+
+    (docs,) = load(spark, sf_dir, "documents")
+    sharded = shard_by_budget(docs, ["doc_id"], "n_chars", budget=10000)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch.  The sketch content depends on
+# partitioning (each partition compacts its own stream), so there is no
+# SQL oracle — the driver records the weaker rows-only check; the
+# rank-error and weight-conservation guarantees are pinned by
+# tests/test_sketches.py and re-asserted in the returned columns.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_quantile_sketch",
+    oracle=None,
+    description="KLL-style mergeable quantile sketch over events.value "
+    "(ClickHouse quantileState analog): per-partition weight-exact "
+    "compactors whose union IS the merge; returns per-prob estimates "
+    "with their exact global ranks and the sketch's weight-conservation "
+    "invariant (Σ weight == N) as checked columns (ext/sketches.py).",
+)
+def q_quantile_sketch(spark, sf_dir):
+    from clickbom_spark.ext.sketches import (
+        approx_quantiles_from_sketch,
+        quantile_sketch,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    sketch = quantile_sketch(events, "value", k=256).cache()
+    try:
+        probs = [0.1, 0.5, 0.9]
+        ests = approx_quantiles_from_sketch(sketch, probs)
+        total_w = sketch.agg(F.sum("weight")).collect()[0][0]
+    finally:
+        sketch.unpersist()
+    v = F.col("value").cast("double")
+    src = events.where(v.isNotNull() & ~F.isnan(v))
+    n_expr = F.count(F.lit(1))
+    aggs = [n_expr.alias("n")]
+    for i, e in enumerate(ests):
+        aggs.append(
+            F.sum(F.when(v <= F.lit(e), 1).otherwise(0))
+            .cast("long")
+            .alias(f"rank_{i}")
+        )
+    row = src.agg(*aggs).collect()[0]
+    n = row["n"]
+    out = []
+    for i, (p, e) in enumerate(zip(probs, ests)):
+        rank = row[f"rank_{i}"]
+        out.append(
+            (
+                p,
+                float(e),
+                int(rank),
+                int(n),
+                abs(rank / n - p),
+                bool(total_w == n),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "prob double, estimate double, exact_rank bigint, n bigint, "
+        "rank_err double, weight_conserved boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar sharding round-trip: budget-shard the documents,
+# write one deterministic .tar per shard (each by its own task), read
+# the directory back via binaryFile + mapInPandas, and aggregate per
+# shard file.  The oracle recomputes shard membership and byte totals
+# from the raw table — the round-trip must conserve both.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_tar_shards_roundtrip",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, text,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS pfx
+  FROM documents
+), s AS (
+  SELECT 'shard-' || lpad(CAST(CAST(FLOOR(GREATEST(pfx - 1, 0) / 20000)
+                                    AS BIGINT) AS VARCHAR), 6, '0')
+         || '.tar' AS shard_file,
+         octet_length(encode(text)) AS nbytes
+  FROM p
+)
+SELECT shard_file, COUNT(*) AS n_members,
+       CAST(SUM(nbytes) AS BIGINT) AS total_bytes
+FROM s GROUP BY shard_file ORDER BY shard_file
+""",
+    description="WebDataset-style tar sharding (ext/shards.py): "
+    "token-budget shard assignment, one deterministic .tar written per "
+    "shard BY ITS OWN TASK (repartition on shard id — no driver "
+    "aggregation), read back as one binaryFile task per shard with an "
+    "Arrow mapInPandas untar; member counts and byte totals conserve "
+    "exactly vs the source table.",
+)
+def q_tar_shards_roundtrip(spark, sf_dir):
+    from clickbom_spark.ext.ranks import shard_by_budget
+    from clickbom_spark.ext.shards import read_tar_shards, write_tar_shards
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, "doc_tar_shards")
+    shutil.rmtree(path, ignore_errors=True)
+    sharded = shard_by_budget(docs, ["doc_id"], "n_chars", budget=20000)
+    members = sharded.select(
+        "shard",
+        F.format_string("%08d.txt", F.col("doc_id")).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    write_tar_shards(members, path)
+    back = read_tar_shards(spark, path)
+    return (
+        back.groupBy("shard_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.length("data")).cast("long").alias("total_bytes"),
+        )
+        .orderBy("shard_file")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing text embedding (the hashing-trick vectorizer): pure
+# per-row expressions over the portable md5 bucket/sign hashes, so the
+# oracle rebuilds every vector bit-for-bit.  Signed counts are exact
+# integers in double; the single normalize division is IEEE-exact —
+# the only float ops are correctly rounded, hence engine-identical.
+# Output is exploded to (doc_id, dim, val) rows: scalar doubles
+# hash-compare cleanly where raw array cells would not.
+# ---------------------------------------------------------------------------
+
+_HE_DIM = 16
+
+@staged(
+    "q_hashed_embedding",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
+             '\\s+'),
+           x -> x <> '') AS t
+  FROM documents WHERE doc_id <= 100
+), raw AS (
+  SELECT doc_id,
+         list_transform(range(0, {_HE_DIM}), d ->
+           list_sum(list_transform(t, w ->
+             CASE WHEN CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+                       % {_HE_DIM} = d
+                  THEN CASE WHEN CAST(('0x' || substring(md5('s#' || w), 1, 2))
+                                 AS BIGINT) & 1 = 1
+                            THEN 1.0 ELSE -1.0 END
+                  ELSE 0.0 END))) AS v
+  FROM toks
+), nrmed AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+              THEN list_transform(v,
+                     x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+              ELSE v END AS vec
+  FROM raw
+)
+SELECT doc_id, CAST(d AS BIGINT) AS dim, vec[d + 1] AS val
+FROM nrmed, range(0, {_HE_DIM}) AS r(d)
+ORDER BY doc_id, dim
+""",
+    description="Feature-hashing text embedding (Weinberger 2009 "
+    "hashing trick / HashingTF): token → md5 bucket with an independent "
+    "sign hash, signed counts L2-normalized — pure Column expressions, "
+    "map-only at 100 TB, no model server; portable hashes make every "
+    "vector component oracle-checkable (ext/text.py hashed_embedding).",
+)
+def q_hashed_embedding(spark, sf_dir):
+    from clickbom_spark.ext.text import hashed_embedding
+
+    (docs,) = load(spark, sf_dir, "documents")
+    emb = docs.where(F.col("doc_id") <= 100).select(
+        "doc_id", hashed_embedding(F.col("text"), dim=_HE_DIM).alias("vec")
+    )
+    return (
+        emb.select(
+            "doc_id", F.posexplode("vec").alias("dim", "val")
+        )
+        .select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
+        .orderBy("doc_id", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE segmentation (the encode step): apply the trained merge rules to
+# a corpus slice with the same greedy fold used in training.  The
+# oracle replays training via the proven separator-encoded replace
+# trick (q_bpe_train) and then applies the four replaces to every
+# token of every document — provably the same greedy semantics.
+# ---------------------------------------------------------------------------
+
+def _bpe_seg_oracle() -> str:
+    from clickbom_spark.queries.llm_ops import (
+        _B,
+        _BPE_MERGES,
+        _TOKENS_BPE,
+        _bpe_iter_sql,
+    )
+
+    applied = (
+        f"{_B} || array_to_string(list_append(string_split(t[u.i], ''), "
+        f"'</w>'), {_B} || {_B}) || {_B}"
+    )
+    for k in range(_BPE_MERGES):
+        applied = (
+            f"replace({applied}, {_B} || b{k}.lft || {_B} || {_B} || b{k}.rgt "
+            f"|| {_B}, {_B} || b{k}.lft || b{k}.rgt || {_B})"
+        )
+    froms = ", ".join(f"best{k} AS b{k}" for k in range(_BPE_MERGES))
+    return f"""
+WITH wf AS (
+  SELECT w AS word, COUNT(*) AS n
+  FROM (SELECT unnest({_TOKENS_BPE}) AS w FROM documents)
+  WHERE NOT contains(w, {_B})
+  GROUP BY w
+), it0 AS (
+  SELECT {_B} || array_to_string(
+           list_append(string_split(word, ''), '</w>'), {_B} || {_B})
+         || {_B} AS sym, n
+  FROM wf
+){"".join(_bpe_iter_sql(k) for k in range(_BPE_MERGES))},
+doc_toks AS (
+  SELECT doc_id, {_TOKENS_BPE} AS t FROM documents WHERE doc_id <= 50
+), per_tok AS (
+  SELECT doc_id, u.i,
+         string_split(trim({applied}, {_B}), {_B} || {_B}) AS pieces
+  FROM doc_toks, unnest(generate_series(1, len(t))) AS u(i), {froms}
+)
+SELECT doc_id AS id,
+       CAST(SUM(len(pieces)) AS BIGINT) AS n_pieces,
+       string_agg(array_to_string(pieces, ' '), ' ' ORDER BY i) AS pieces_str
+FROM per_tok GROUP BY doc_id ORDER BY id
+"""
+
+
+@staged(
+    "q_bpe_segment",
+    oracle=_bpe_seg_oracle(),
+    description="BPE segmentation (the tokenizer encode step, "
+    "ext/bpe.py bpe_segment): rules learned by q_bpe_train's training "
+    "loop applied in rank order with the same greedy fold — one corpus "
+    "scan, chained pure expressions, zero shuffle; oracle replays "
+    "training AND encoding via separator-encoded string replace.",
+)
+def q_bpe_segment(spark, sf_dir):
+    from clickbom_spark.ext.bpe import bpe_segment, bpe_train
+    from clickbom_spark.queries.llm_ops import _BPE_MERGES
+
+    (docs,) = load(spark, sf_dir, "documents")
+    rules = bpe_train(docs, n_merges=_BPE_MERGES)
+    seg = bpe_segment(docs.where(F.col("doc_id") <= 50), rules)
+    return seg.select(
+        "id",
+        "n_pieces",
+        F.array_join("pieces", " ").alias("pieces_str"),
+    ).orderBy("id")
