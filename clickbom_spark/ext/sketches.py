@@ -229,6 +229,97 @@ def quantile_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     return src.mapInPandas(_kll_partition(col, k), schema=schema)
 
 
+_HLL_P_MIN = 7  # alpha constant below assumes m >= 128
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog registers for ``col``: all ``2^p`` rows of
+    (bucket, rho), empty buckets at rho 0 — the third mergeable
+    summary next to the Misra–Gries heavy hitters and the KLL
+    quantile sketch (ClickHouse ``uniqState`` analog).
+
+    Engine-portable by construction: the 60-bit hash is the repo's
+    standard md5-hex prefix, bucket = low ``p`` bits, and
+    rho = trailing zeros of the remaining bits + 1 computed as
+    ``length(bin(rem & -rem))`` — exact integer ops any engine
+    reproduces bit-for-bit (no floats anywhere in the state).
+
+    The register table IS the mergeable state: merge = union +
+    per-bucket max (:func:`hll_merge`), identical to rescanning the
+    concatenated input.  One hash aggregate over ``2^p`` groups plus a
+    broadcast spine join — at 100 TB this is a map-side-combinable
+    aggregate producing a KB-sized summary.
+    """
+    if p < _HLL_P_MIN:
+        raise ValueError(f"hll_registers requires p >= {_HLL_P_MIN}")
+    m = 1 << p
+    wbits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rem = F.shiftright(h, p)
+    rho = F.when(rem == 0, F.lit(wbits + 1)).otherwise(
+        F.length(F.bin(rem.bitwiseAND(-rem)))
+    )
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.pmod(h, F.lit(m)).alias("bucket"), rho.cast("int").alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    spine = df.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    return spine.join(F.broadcast(regs), "bucket", "left").select(
+        "bucket", F.coalesce(F.col("rho"), F.lit(0)).cast("int").alias("rho")
+    )
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Merge register tables: union + per-bucket max.  Associative and
+    commutative; merge(regs(A), regs(B)) == regs(A ∪ B) exactly."""
+    from functools import reduce
+
+    merged = reduce(DataFrame.unionByName, register_sets)
+    return merged.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One-row (est_hll double) cardinality estimate from a register
+    table (Flajolet 2007, with the small-range linear-counting
+    correction below 2.5·m when empty buckets remain).
+
+    Deterministic cross-engine: the harmonic sum is an exact
+    decimal(38,0) over powers of two (order-independent), the scale
+    constant folds into ONE double literal, and the final value is a
+    single correctly-rounded division (or m·ln(m/V), rounded to 4
+    decimals to absorb libm ULP drift in ``ln``).
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale = alpha * m * m * float(1 << 62)
+    agg = registers.agg(
+        F.sum(
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), 62 - rho)"
+                " as decimal(38,0))"
+            )
+        ).alias("s"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+    )
+    raw = F.lit(scale) / F.col("s").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v") > 0),
+        F.round(
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v").cast("double")),
+            4,
+        ),
+    ).otherwise(F.round(raw, 4))
+    return agg.select(est.alias("est_hll"))
+
+
 def approx_quantiles_from_sketch(
     sketch: DataFrame, probs: Sequence[float]
 ) -> list[float]:

@@ -378,6 +378,173 @@ def q_hashed_embedding(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch — the third mergeable summary (ClickHouse
+# uniqState) next to the heavy hitters and the quantile sketch.  The
+# register state is pure integers over the portable md5 hash, so DuckDB
+# rebuilds it bit-for-bit; the estimate folds to one double literal and
+# one correctly-rounded division (ln-correction rounded to 4 decimals).
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_W1 = 60 - _HLL_P + 1
+_HLL_SCALE = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(1 << 62)
+
+
+def _hll_regs_sql(table: str, col: str, where: str = "TRUE") -> str:
+    """256-row (bucket, rho) register set, identical to hll_registers."""
+    return f"""
+  SELECT b.bucket, COALESCE(MAX(r.rho), 0) AS rho
+  FROM range(0, {_HLL_M}) AS b(bucket)
+  LEFT JOIN (
+    SELECT h % {_HLL_M} AS bucket,
+           CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_W1}
+                ELSE length(bin((h >> {_HLL_P}) & (-(h >> {_HLL_P}))))
+           END AS rho
+    FROM (SELECT CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM {table} WHERE {col} IS NOT NULL AND {where})
+  ) r ON b.bucket = r.bucket
+  GROUP BY b.bucket"""
+
+
+_HLL_SV = """
+  SELECT CAST(SUM((1::BIGINT << (62 - rho))::DECIMAL(38,0))
+              AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM {src}"""
+
+_HLL_EST = (
+    f"CASE WHEN {_HLL_SCALE!r} / CAST(s AS DOUBLE) <= {2.5 * _HLL_M!r}"
+    f" AND v > 0"
+    f" THEN ROUND({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v), 4)"
+    f" ELSE ROUND({_HLL_SCALE!r} / CAST(s AS DOUBLE), 4) END"
+)
+
+
+def _hll_distinct_member(table: str, col: str) -> str:
+    sv = _HLL_SV.format(src=f"({_hll_regs_sql(table, col)}\n)")
+    return f"""
+SELECT '{table}.{col}' AS col_name, CAST({_HLL_M} AS BIGINT) AS m,
+       (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM {table}
+        WHERE {col} IS NOT NULL) AS n_exact,
+       {_HLL_EST} AS est_hll
+FROM ({sv}\n)"""
+
+
+@staged(
+    "q_hll_distinct",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        _hll_distinct_member(t, c)
+        for t, c in [
+            ("events", "user_id"),
+            ("orders", "o_custkey"),
+            ("orders", "o_orderkey"),
+        ]
+    )
+    + "\n) ORDER BY col_name",
+    description="HyperLogLog cardinality sketch (ClickHouse uniq/"
+    "uniqState analog, Flajolet 2007): 60-bit portable md5 hash, 256 "
+    "integer registers from one map-side-combinable aggregate, exact "
+    "decimal harmonic sum, linear-counting small-range correction; "
+    "estimates land within the 1.04/sqrt(m) band of the exact distinct "
+    "count on three columns spanning both correction regimes "
+    "(ext/sketches.py hll_registers/hll_estimate).",
+)
+def q_hll_distinct(spark, sf_dir):
+    from clickbom_spark.ext.sketches import hll_estimate, hll_registers
+
+    events, orders = load(spark, sf_dir, "events", "orders")
+
+    def one(df, colname, label):
+        regs = hll_registers(df, colname, p=_HLL_P)
+        est = hll_estimate(regs, p=_HLL_P)
+        exact = df.where(F.col(colname).isNotNull()).agg(
+            F.countDistinct(colname).cast("long").alias("n_exact")
+        )
+        return est.crossJoin(exact).select(
+            F.lit(label).alias("col_name"),
+            F.lit(_HLL_M).cast("long").alias("m"),
+            "n_exact",
+            "est_hll",
+        )
+
+    return (
+        one(events, "user_id", "events.user_id")
+        .unionByName(one(orders, "o_custkey", "orders.o_custkey"))
+        .unionByName(one(orders, "o_orderkey", "orders.o_orderkey"))
+        .orderBy("col_name")
+    )
+
+
+@staged(
+    "q_hll_state_merge",
+    oracle=f"""
+WITH even_regs AS ({_hll_regs_sql("orders", "o_orderkey", "o_orderkey % 2 = 0")}
+), odd_regs AS ({_hll_regs_sql("orders", "o_orderkey", "o_orderkey % 2 = 1")}
+), whole_regs AS ({_hll_regs_sql("orders", "o_orderkey")}
+), merged AS (
+  SELECT e.bucket, GREATEST(e.rho, o.rho) AS rho
+  FROM even_regs e JOIN odd_regs o ON e.bucket = o.bucket
+), cmp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CASE WHEN m.rho <> w.rho THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mismatch
+  FROM merged m JOIN whole_regs w ON m.bucket = w.bucket
+), sv_m AS ({_HLL_SV.format(src="merged")}
+), sv_w AS ({_HLL_SV.format(src="whole_regs")}
+)
+SELECT cmp.n_buckets, cmp.n_mismatch,
+       (SELECT {_HLL_EST} FROM sv_m) AS est_merged,
+       (SELECT {_HLL_EST} FROM sv_w) AS est_whole
+FROM cmp
+""",
+    description="HLL state merge law (ClickHouse uniqMerge): registers "
+    "of the even/odd o_orderkey halves merged by per-bucket max equal "
+    "the whole-table registers bucket-for-bucket (n_mismatch = 0), so "
+    "partial states aggregate exactly like a rescan — the same "
+    "partial-aggregate contract q_agg_state_merge pins for sums "
+    "(ext/sketches.py hll_merge).",
+)
+def q_hll_state_merge(spark, sf_dir):
+    from clickbom_spark.ext.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    even = hll_registers(
+        orders.where(F.col("o_orderkey") % 2 == 0), "o_orderkey", p=_HLL_P
+    )
+    odd = hll_registers(
+        orders.where(F.col("o_orderkey") % 2 == 1), "o_orderkey", p=_HLL_P
+    )
+    merged = hll_merge(even, odd)
+    whole = hll_registers(orders, "o_orderkey", p=_HLL_P)
+    cmp = (
+        merged.alias("m")
+        .join(whole.alias("w"), "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(
+                F.when(F.col("m.rho") != F.col("w.rho"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+    )
+    est_m = hll_estimate(merged, p=_HLL_P).select(
+        F.col("est_hll").alias("est_merged")
+    )
+    est_w = hll_estimate(whole, p=_HLL_P).select(
+        F.col("est_hll").alias("est_whole")
+    )
+    return cmp.crossJoin(est_m).crossJoin(est_w)
+
+
+# ---------------------------------------------------------------------------
 # BPE segmentation (the encode step): apply the trained merge rules to
 # a corpus slice with the same greedy fold used in training.  The
 # oracle replays training via the proven separator-encoded replace

@@ -151,3 +151,58 @@ def test_quantile_sketch_states_merge_by_union(spark):
     assert merged.agg(F.sum("weight")).collect()[0][0] == 20000
     (med,) = approx_quantiles_from_sketch(merged, [0.5])
     assert abs(med - 10000) <= 400  # 2% of N
+
+
+# ---- HyperLogLog distinct sketch ----
+
+
+def test_hll_registers_partitioning_invariant_and_merge_law(spark):
+    """Registers are a pure function of the value set (any partitioning),
+    and merge(regs(A), regs(B)) == regs(A ∪ B) bucket-for-bucket."""
+    from clickbom_spark.ext.sketches import hll_merge, hll_registers
+
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(3000, 5000).select(F.col("id").alias("v"))
+    whole = spark.range(0, 5000).select(F.col("id").alias("v"))
+
+    def reg_map(df):
+        return {
+            r["bucket"]: r["rho"]
+            for r in hll_registers(df, "v", p=8).collect()
+        }
+
+    assert reg_map(whole) == reg_map(whole.repartition(13))
+    merged = {
+        r["bucket"]: r["rho"]
+        for r in hll_merge(
+            hll_registers(a, "v", p=8), hll_registers(b, "v", p=8)
+        ).collect()
+    }
+    assert merged == reg_map(whole)
+    assert len(merged) == 256
+
+
+def test_hll_estimate_accuracy_both_regimes(spark):
+    """Estimate lands within ~3 standard errors (1.04/sqrt(m)) of the
+    true cardinality in the raw regime, and the linear-counting branch
+    handles the small-range regime."""
+    from clickbom_spark.ext.sketches import hll_estimate, hll_registers
+
+    for n in (80, 5000, 20000):
+        df = spark.range(n).select(F.col("id").alias("v"))
+        est = hll_estimate(hll_registers(df, "v", p=8), p=8).collect()[0][
+            "est_hll"
+        ]
+        assert abs(est - n) / n < 3 * 1.04 / (256 ** 0.5), (n, est)
+
+
+def test_hll_nulls_excluded_and_duplicates_ignored(spark):
+    from clickbom_spark.ext.sketches import hll_estimate, hll_registers
+
+    base = spark.range(1000).select(F.col("id").alias("v"))
+    dup = base.union(base).union(
+        spark.range(1).select(F.lit(None).cast("long").alias("v"))
+    )
+    r1 = {r["bucket"]: r["rho"] for r in hll_registers(base, "v").collect()}
+    r2 = {r["bucket"]: r["rho"] for r in hll_registers(dup, "v").collect()}
+    assert r1 == r2
