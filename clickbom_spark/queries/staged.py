@@ -545,6 +545,67 @@ def q_hll_state_merge(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ClickHouse sequenceMatch / sequenceCount: per-user time-ordered event
+# streams tested for a condition chain.  The boolean is a subsequence
+# regex over the symbol string; the non-overlapping count is a pure
+# integer automaton fold (code == stage+1 advances; base-L positional
+# encoding carries completion into the count digit) — both portable.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_sequence_match",
+    oracle="""
+WITH streams AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       regexp_matches(seq, 'v.*c.*p') AS funnel_matched,
+       CAST(list_reduce(
+              list_prepend(0::BIGINT,
+                list_filter(
+                  list_transform(string_split(seq, ''), c ->
+                    (CASE c WHEN 'v' THEN 1 WHEN 'c' THEN 2
+                            WHEN 'p' THEN 3 ELSE 0 END)::BIGINT),
+                  x -> x > 0)),
+              (acc, x) -> acc +
+                CASE WHEN x = (acc % 3) + 1 THEN 1 ELSE 0 END) // 3
+            AS BIGINT) AS funnel_count
+FROM streams ORDER BY user_id
+""",
+    description="ClickHouse sequenceMatch/sequenceCount analog "
+    "(ext/sequences.py): per-user event streams ordered by (ts, "
+    "event_id) become symbol strings; sequenceMatch('(?1).*(?2).*(?3)') "
+    "is a subsequence regex, sequenceCount is a counting automaton fold "
+    "(non-overlapping left-to-right scan, exactly ClickHouse's "
+    "restart-after-match semantics) — one hash aggregate per user, "
+    "pure integer fold, engine-portable.",
+)
+def q_sequence_match(spark, sf_dir):
+    from clickbom_spark.ext.sequences import (
+        ordered_symbol_stream,
+        sequence_count,
+        sequence_match,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    steps = ["v", "c", "p"]  # view -> click -> purchase
+    streams = ordered_symbol_stream(
+        events,
+        ["user_id"],
+        ["ts", "event_id"],
+        F.substring(F.col("event_type"), 1, 1),
+    )
+    return streams.select(
+        "user_id",
+        sequence_match(F.col("seq"), steps).alias("funnel_matched"),
+        sequence_count(F.col("seq"), steps).alias("funnel_count"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
 # BPE segmentation (the encode step): apply the trained merge rules to
 # a corpus slice with the same greedy fold used in training.  The
 # oracle replays training via the proven separator-encoded replace

@@ -861,3 +861,45 @@ def test_semdedup_random_corpus_vs_bruteforce(spark):
     assert {i: kv[0] for i, kv in got.items()} == expected_keep
     assert {i: kv[1] for i, kv in got.items()} == assign
     assert not got[50][0] and not got[51][0]  # planted dups pruned
+
+
+def test_sequence_count_matches_reference_scan(spark):
+    """Automaton fold == the literal ClickHouse sequenceCount scan
+    (left-to-right, restart after each completed match), and
+    sequence_match == (count >= 1), over random symbol streams
+    including empty ones."""
+    import random
+
+    from clickbom_spark.ext.sequences import sequence_count, sequence_match
+
+    rng = random.Random(7)
+    rows = [
+        (
+            uid,
+            "".join(
+                rng.choice("vcpxz") for _ in range(rng.randrange(0, 40))
+            ),
+        )
+        for uid in range(40)
+    ]
+
+    def ref_count(s: str) -> int:
+        steps, stage, cnt = "vcp", 0, 0
+        for ch in s:
+            if ch == steps[stage]:
+                stage += 1
+                if stage == 3:
+                    cnt, stage = cnt + 1, 0
+        return cnt
+
+    df = spark.createDataFrame(rows, "user_id int, seq string")
+    got = df.select(
+        "user_id",
+        "seq",
+        sequence_count(F.col("seq"), ["v", "c", "p"]).alias("c"),
+        sequence_match(F.col("seq"), ["v", "c", "p"]).alias("m"),
+    ).collect()
+    assert len(got) == 40
+    for r in got:
+        assert r["c"] == ref_count(r["seq"]), r["seq"]
+        assert r["m"] == (ref_count(r["seq"]) >= 1), r["seq"]
