@@ -606,6 +606,105 @@ def q_sequence_match(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Distributed full-batch gradient descent for a linear quality
+# classifier (fastText-style quality filter).  Model on the driver,
+# one portable-decimal gradient aggregate per epoch, algebraic fast
+# sigmoid — the oracle replays every epoch as a chained CTE and must
+# reproduce the weights bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_LR_EPOCHS = 3
+_LR_RATE = 4.0
+_LR_FEATS = ["x0", "x1", "x2", "x3"]
+
+
+def _lr_oracle() -> str:
+    feats = """
+f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         CAST(n_chars AS DOUBLE) / 500.0 AS x1,
+         CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS x2,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> t <> '')) AS DOUBLE) / 100.0 AS x3
+  FROM documents
+), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    epochs = []
+    for k in range(_LR_EPOCHS):
+        gsel = ", ".join(
+            f"CAST(SUM(CAST(round(((0.5 + z / (2.0 * (1.0 + abs(z)))) - y)"
+            f" * x{j}, 9) AS DECIMAL(22,9))) AS DOUBLE)"
+            f" / CAST(COUNT(*) AS DOUBLE) AS g{j}"
+            for j in range(4)
+        )
+        wsel = ", ".join(
+            f"w.w{j} - {_LR_RATE!r} * g.g{j} AS w{j}" for j in range(4)
+        )
+        epochs.append(f""",
+g{k + 1} AS (
+  SELECT {gsel}
+  FROM (SELECT f.y, f.x0, f.x1, f.x2, f.x3,
+               (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) AS z
+        FROM f, w{k} AS w)
+), w{k + 1} AS (SELECT {wsel} FROM w{k} AS w, g{k + 1} AS g)""")
+    wl = _LR_EPOCHS
+    return f"""
+WITH {feats}{"".join(epochs)}
+SELECT w.w0, w.w1, w.w2, w.w3,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM (SELECT f.y,
+             (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) AS z,
+             w.w0, w.w1, w.w2, w.w3
+      FROM f, w{wl} AS w) AS w
+GROUP BY w.w0, w.w1, w.w2, w.w3
+"""
+
+
+@staged(
+    "q_train_quality_lr",
+    oracle=_lr_oracle(),
+    description="Distributed full-batch gradient descent for a linear "
+    "quality classifier (ext/learn.py): driver-resident model, one "
+    "map-side-combined gradient aggregate per epoch over a persisted "
+    "slim feature frame, per-row gradient terms rounded to decimal so "
+    "the sums are exact and order-independent, algebraic fast sigmoid "
+    "instead of libm exp — the learned weights are a pure function of "
+    "the data, reproduced bit-for-bit by the oracle's chained-CTE "
+    "replay of all three epochs.",
+)
+def q_train_quality_lr(spark, sf_dir):
+    from clickbom_spark.ext.learn import logreg_stats, logreg_train_gd
+    from clickbom_spark.ext.text import punct_ratio, token_count
+
+    (docs,) = load(spark, sf_dir, "documents")
+    features = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars").cast("double") / F.lit(500.0)).alias("x1"),
+        punct_ratio(F.col("text")).alias("x2"),
+        (token_count(F.col("text")).cast("double") / F.lit(100.0)).alias(
+            "x3"
+        ),
+    ).persist()
+    try:
+        history = logreg_train_gd(
+            features, _LR_FEATS, "y", lr=_LR_RATE, epochs=_LR_EPOCHS
+        )
+        w = history[-1]
+        stats = logreg_stats(features, _LR_FEATS, "y", w).collect()[0]
+    finally:
+        features.unpersist()
+    return spark.createDataFrame(
+        [(w[0], w[1], w[2], w[3], stats["n"], stats["n_correct"])],
+        "w0 double, w1 double, w2 double, w3 double, n bigint, "
+        "n_correct bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE segmentation (the encode step): apply the trained merge rules to
 # a corpus slice with the same greedy fold used in training.  The
 # oracle replays training via the proven separator-encoded replace
