@@ -79,6 +79,81 @@ def sequence_count(seq: Column, steps: Sequence[str]) -> Column:
     return F.floor(acc / F.lit(length)).cast("long")
 
 
+_WF_NEG = -(10**18)  # "unset" sentinel, far below any epoch-µs value
+
+
+def window_funnel_level(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_us: Column,
+    tie: Column,
+    level: Column,
+    n_levels: int,
+    window_us: int,
+    out_col: str = "funnel_level",
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(window)(ts, cond1..condL)``: per key,
+    the maximum chain depth where step i+1 occurs at-or-after step i
+    and within ``window_us`` of the chain's FIRST event.
+
+    Greedy fold over the time-ordered stream (later chain starts are
+    never worse — they leave more window for future steps), so the
+    state is just the best (latest) chain-start time per achieved
+    level:
+
+        level 1 event at t:  s1 = max(s1, t)
+        level i event at t:  if s_{i-1} >= t - window: s_i = max(s_i, s_{i-1})
+
+    Monotone (s_i set implies s_{i-1} set), so the final depth is the
+    count of set levels.  Pure integer fold over a per-key sorted
+    array — deterministic under the (ts, tie) total order and
+    replayable in any engine with a list reduce.  Events with
+    ``level`` 0 are dropped before the collect, so per-key state is
+    bounded by the matching events only.
+    """
+    src = df.select(
+        *[F.col(c) for c in key_cols],
+        ts_us.alias("_t"),
+        tie.alias("_tb"),
+        level.cast("int").alias("_l"),
+    ).where(F.col("_l") > 0)
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col("_t").alias("t"),
+                                F.col("_tb").alias("tb"),
+                                F.col("_l").alias("l")))
+    )
+    seed = F.array(
+        *[F.lit(_WF_NEG).cast("long") for _ in range(n_levels)]
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        slots = []
+        slots.append(
+            F.when(
+                x["l"] == 1, F.greatest(F.element_at(acc, 1), x["t"])
+            ).otherwise(F.element_at(acc, 1))
+        )
+        for k in range(2, n_levels + 1):
+            prev = F.element_at(acc, k - 1)
+            cur = F.element_at(acc, k)
+            slots.append(
+                F.when(
+                    (x["l"] == k) & (prev >= x["t"] - F.lit(window_us)),
+                    F.greatest(cur, prev),
+                ).otherwise(cur)
+            )
+        return F.array(*slots)
+
+    state = F.aggregate(packed, seed, step)
+    depth = None
+    for k in range(1, n_levels + 1):
+        d = F.when(F.element_at(state, k) > F.lit(_WF_NEG), 1).otherwise(0)
+        depth = d if depth is None else depth + d
+    return src.groupBy(*key_cols).agg(
+        depth.cast("long").alias(out_col)
+    )
+
+
 def sequence_match(seq: Column, steps: Sequence[str]) -> Column:
     """Boolean subsequence test — ClickHouse ``sequenceMatch``.  The
     regex form ``s0.*s1.*…`` over the symbol string is the literal

@@ -705,6 +705,78 @@ def q_train_quality_lr(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ClickHouse windowFunnel: per-user maximum funnel depth where each
+# next step lands within one sliding window of the chain's first
+# event.  Greedy fold (later chain start is never worse) keeps only
+# the best start time per level — pure integer state the oracle
+# replays with a list reduce over the same (ts, event_id) order.
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes
+_WF_NEG = -(10**18)
+
+
+@staged(
+    "q_window_funnel",
+    oracle=f"""
+WITH lev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'purchase' THEN 3 ELSE 0 END AS l
+  FROM events
+), folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend([{_WF_NEG}::BIGINT, {_WF_NEG}::BIGINT,
+                         {_WF_NEG}::BIGINT],
+             list([t, CAST(l AS BIGINT)] ORDER BY t, event_id)),
+           (acc, x) -> [
+             CASE WHEN x[2] = 1 THEN greatest(acc[1], x[1])
+                  ELSE acc[1] END,
+             CASE WHEN x[2] = 2 AND acc[1] >= x[1] - {_WF_WINDOW_US}
+                  THEN greatest(acc[2], acc[1]) ELSE acc[2] END,
+             CASE WHEN x[2] = 3 AND acc[2] >= x[1] - {_WF_WINDOW_US}
+                  THEN greatest(acc[3], acc[2]) ELSE acc[3] END
+           ]) AS s
+  FROM lev WHERE l > 0 GROUP BY user_id
+)
+SELECT user_id,
+       CAST((CASE WHEN s[1] > {_WF_NEG} THEN 1 ELSE 0 END)
+          + (CASE WHEN s[2] > {_WF_NEG} THEN 1 ELSE 0 END)
+          + (CASE WHEN s[3] > {_WF_NEG} THEN 1 ELSE 0 END) AS BIGINT)
+         AS funnel_level
+FROM folded ORDER BY user_id
+""",
+    description="ClickHouse windowFunnel(30 min)(ts, view, click, "
+    "purchase) analog (ext/sequences.py window_funnel_level): per-user "
+    "greedy fold over the time-ordered stream keeping the best (latest) "
+    "chain-start per achieved level — max funnel depth with the whole "
+    "chain inside one sliding window; one hash aggregate per user, "
+    "integer state, engine-portable.",
+)
+def q_window_funnel(spark, sf_dir):
+    from clickbom_spark.ext.sequences import window_funnel_level
+    from clickbom_spark.queries import epoch_us
+
+    (events,) = load(spark, sf_dir, "events")
+    level = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    return window_funnel_level(
+        events,
+        ["user_id"],
+        epoch_us("ts"),
+        F.col("event_id"),
+        level,
+        n_levels=3,
+        window_us=_WF_WINDOW_US,
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
 # BPE segmentation (the encode step): apply the trained merge rules to
 # a corpus slice with the same greedy fold used in training.  The
 # oracle replays training via the proven separator-encoded replace

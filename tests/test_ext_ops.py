@@ -903,3 +903,67 @@ def test_sequence_count_matches_reference_scan(spark):
     for r in got:
         assert r["c"] == ref_count(r["seq"]), r["seq"]
         assert r["m"] == (ref_count(r["seq"]) >= 1), r["seq"]
+
+
+def test_window_funnel_matches_reference_dp(spark):
+    """Greedy best-start fold == brute-force maximum chain depth over
+    all candidate chains (step i+1 at-or-after step i, whole chain
+    within the window of its first event), on random streams."""
+    import itertools
+    import random
+
+    from clickbom_spark.ext.sequences import window_funnel_level
+
+    rng = random.Random(11)
+    W = 100
+    rows = []
+    for uid in range(30):
+        t = 0
+        for eid in range(rng.randrange(0, 25)):
+            t += rng.randrange(0, 60)
+            rows.append((uid, eid, t, rng.choice([0, 1, 2, 3])))
+
+    def ref_depth(evs):
+        evs = sorted(evs)  # (t, eid, l)
+        best = 0
+        n = len(evs)
+        for i in range(n):
+            if evs[i][2] != 1:
+                continue
+            # DP: deepest chain starting at i within window
+            start = evs[i][0]
+            depth = 1
+            last_level = 1
+            j = i
+            # greedy within a fixed start is optimal for depth
+            for k in range(i + 1, n):
+                t, _, l = evs[k]
+                if t - start > W:
+                    break
+                if l == last_level + 1:
+                    last_level += 1
+                    depth += 1
+            best = max(best, depth)
+        return best
+
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, t long, l int"
+    )
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel_level(
+            df,
+            ["user_id"],
+            F.col("t"),
+            F.col("event_id"),
+            F.col("l"),
+            n_levels=3,
+            window_us=W,
+        ).collect()
+    }
+    by_user: dict[int, list] = {}
+    for uid, eid, t, l in rows:
+        if l > 0:
+            by_user.setdefault(uid, []).append((t, eid, l))
+    for uid, evs in by_user.items():
+        assert got[uid] == ref_depth(evs), (uid, sorted(evs))
