@@ -320,6 +320,69 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     return agg.select(est.alias("est_hll"))
 
 
+def hll_distinct_by(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL cardinality estimate — ``uniq(col) GROUP BY dims``,
+    the canonical ClickHouse OLAP shape — as two hash aggregates:
+    (dims, bucket) → max rho, then dims → estimate.
+
+    Spine-free: empty buckets contribute ``(m - present) · 2^62`` to
+    the harmonic sum and ``v = m - present`` to the linear-counting
+    correction, so no per-group bucket spine is materialized.  The
+    present-bucket sum stays exact in decimal; its one cast to double
+    and the missing-bucket product (a small int times a power of two)
+    are both exactly representable or correctly rounded, so estimates
+    stay engine-portable.  At 100 TB both aggregates are map-side
+    combinable and the shuffled state is ≤ m rows per group.
+    """
+    if p < _HLL_P_MIN:
+        raise ValueError(f"hll_distinct_by requires p >= {_HLL_P_MIN}")
+    m = 1 << p
+    wbits = 60 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale = alpha * m * m * float(1 << 62)
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rem = F.shiftright(h, p)
+    rho = F.when(rem == 0, F.lit(wbits + 1)).otherwise(
+        F.length(F.bin(rem.bitwiseAND(-rem)))
+    )
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.pmod(h, F.lit(m)).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    per = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), 62 - rho)"
+                " as decimal(38,0))"
+            )
+        ).alias("_s_present"),
+        F.count(F.lit(1)).cast("long").alias("_n_present"),
+    )
+    s_d = F.col("_s_present").cast("double") + (
+        F.lit(m) - F.col("_n_present")
+    ).cast("double") * F.lit(float(1 << 62))
+    v = (F.lit(m) - F.col("_n_present")).cast("long")
+    raw = F.lit(scale) / s_d
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")), 4),
+    ).otherwise(F.round(raw, 4))
+    return per.select(*group_cols, est.alias("est_hll"))
+
+
 def approx_quantiles_from_sketch(
     sketch: DataFrame, probs: Sequence[float]
 ) -> list[float]:

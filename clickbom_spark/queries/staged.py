@@ -545,6 +545,75 @@ def q_hll_state_merge(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Per-group HLL — uniq(user_id) GROUP BY event_type, the canonical
+# ClickHouse OLAP shape.  Spine-free estimate: empty buckets enter the
+# harmonic sum as (m - present)·2^62 and the correction as
+# v = m - present, so only present (dims, bucket) rows ever shuffle.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_hll_by_group",
+    oracle=f"""
+WITH regs AS (
+  SELECT event_type, h % {_HLL_M} AS bucket,
+         MAX(CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_W1}
+                  ELSE length(bin((h >> {_HLL_P}) & (-(h >> {_HLL_P}))))
+             END) AS rho
+  FROM (SELECT event_type,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL)
+  GROUP BY event_type, bucket
+), per AS (
+  SELECT event_type,
+         CAST(SUM((1::BIGINT << (62 - rho))::DECIMAL(38,0))
+              AS DECIMAL(38,0)) AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         CAST(s_present AS DOUBLE)
+           + CAST({_HLL_M} - n_present AS DOUBLE) * {float(1 << 62)!r} AS s_d,
+         {_HLL_M} - n_present AS v
+  FROM per
+)
+SELECT e.event_type,
+       x.n_exact,
+       CASE WHEN {_HLL_SCALE!r} / s_d <= {2.5 * _HLL_M!r} AND v > 0
+            THEN ROUND({float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                       / CAST(v AS DOUBLE)), 4)
+            ELSE ROUND({_HLL_SCALE!r} / s_d, 4) END AS est_hll
+FROM est e
+JOIN (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type) x
+  ON e.event_type = x.event_type
+ORDER BY e.event_type
+""",
+    description="Per-dimension HLL distinct estimate — "
+    "uniq(user_id) GROUP BY event_type, the canonical ClickHouse OLAP "
+    "rollup shape (ext/sketches.py hll_distinct_by): two map-side-"
+    "combinable hash aggregates, spine-free empty-bucket accounting, "
+    "≤ 256 shuffled rows per group regardless of input size; estimates "
+    "sit next to the exact distinct counts for every group.",
+)
+def q_hll_by_group(spark, sf_dir):
+    from clickbom_spark.ext.sketches import hll_distinct_by
+
+    (events,) = load(spark, sf_dir, "events")
+    est = hll_distinct_by(events, "user_id", ["event_type"], p=_HLL_P)
+    exact = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "n_exact", "est_hll")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ClickHouse sequenceMatch / sequenceCount: per-user time-ordered event
 # streams tested for a condition chain.  The boolean is a subsequence
 # regex over the symbol string; the non-overlapping count is a pure
@@ -774,6 +843,82 @@ def q_window_funnel(spark, sf_dir):
         n_levels=3,
         window_us=_WF_WINDOW_US,
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build: collapse a keyed change stream into
+# validity intervals (valid_from, valid_to, is_current), opening a new
+# interval only when the tracked attribute actually changes — the
+# warehouse dimension-maintenance twin of CDC keep-latest compaction.
+# Pure bounded windows (per-key partitions), no custom code.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_scd2_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+         LAG(event_type) OVER w AS prev_attr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_id, event_type AS attr, t AS valid_from_us
+  FROM ordered
+  WHERE prev_attr IS NULL OR prev_attr <> event_type
+), intervals AS (
+  SELECT user_id, attr, valid_from_us,
+         LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from_us, event_id)
+           AS valid_to_us
+  FROM changes
+)
+SELECT user_id, attr, valid_from_us,
+       COALESCE(valid_to_us, -1) AS valid_to_us,
+       (valid_to_us IS NULL) AS is_current
+FROM intervals
+ORDER BY user_id, valid_from_us
+""",
+    description="SCD type-2 dimension build from a change stream: "
+    "per-key LAG detects attribute changes, LEAD closes each validity "
+    "interval, the open interval is flagged current — the standard "
+    "warehouse dimension-history operator (gaps-and-islands shape, "
+    "bounded per-key windows only, no global sort; composes with the "
+    "as-of join for point-in-time dimension lookups).",
+)
+def q_scd2_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from clickbom_spark.queries import epoch_us
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_us("ts").alias("t"),
+        F.lag("event_type").over(w).alias("prev_attr"),
+    )
+    changes = ordered.where(
+        F.col("prev_attr").isNull()
+        | (F.col("prev_attr") != F.col("event_type"))
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("attr"),
+        F.col("t").alias("valid_from_us"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    intervals = changes.withColumn(
+        "valid_to_us", F.lead("valid_from_us").over(w2)
+    )
+    return intervals.select(
+        "user_id",
+        "attr",
+        "valid_from_us",
+        F.coalesce("valid_to_us", F.lit(-1)).alias("valid_to_us"),
+        F.col("valid_to_us").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from_us")
 
 
 # ---------------------------------------------------------------------------

@@ -206,3 +206,24 @@ def test_hll_nulls_excluded_and_duplicates_ignored(spark):
     r1 = {r["bucket"]: r["rho"] for r in hll_registers(base, "v").collect()}
     r2 = {r["bucket"]: r["rho"] for r in hll_registers(dup, "v").collect()}
     assert r1 == r2
+
+
+def test_hll_distinct_by_accurate_and_group_isolated(spark):
+    from clickbom_spark.ext.sketches import hll_distinct_by
+
+    a = spark.range(2000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(60).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    c = spark.range(500).select(F.lit("c").alias("g"), F.col("id").alias("v"))
+
+    def ests(df):
+        return {
+            r["g"]: r["est_hll"]
+            for r in hll_distinct_by(df, "v", ["g"], p=8).collect()
+        }
+
+    two = ests(a.union(b))
+    three = ests(a.union(b).union(c))
+    # group isolation: c's arrival changes nothing for a and b
+    assert two["a"] == three["a"] and two["b"] == three["b"]
+    for g, n in (("a", 2000), ("b", 60), ("c", 500)):
+        assert abs(three[g] - n) / n < 3 * 1.04 / (256 ** 0.5), (g, three[g])
