@@ -232,6 +232,24 @@ def quantile_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
 _HLL_P_MIN = 7  # alpha constant below assumes m >= 128
 
 
+def hll_bucket_rho(value, p: int):
+    """The (bucket, rho) pair for one value — the single HLL hash
+    kernel shared by the batch register builders and the streaming
+    twin (one implementation, like mg_ingest/kll_compact): 60-bit
+    portable md5 hash, bucket = low ``p`` bits, rho = trailing zeros
+    of the remaining bits + 1 via ``length(bin(x & -x))``."""
+    m = 1 << p
+    wbits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rem = F.shiftright(h, p)
+    rho = F.when(rem == 0, F.lit(wbits + 1)).otherwise(
+        F.length(F.bin(rem.bitwiseAND(-rem)))
+    )
+    return F.pmod(h, F.lit(m)), rho.cast("int")
+
+
 def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     """HyperLogLog registers for ``col``: all ``2^p`` rows of
     (bucket, rho), empty buckets at rho 0 — the third mergeable
@@ -253,19 +271,10 @@ def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     if p < _HLL_P_MIN:
         raise ValueError(f"hll_registers requires p >= {_HLL_P_MIN}")
     m = 1 << p
-    wbits = 60 - p
-    h = F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    rem = F.shiftright(h, p)
-    rho = F.when(rem == 0, F.lit(wbits + 1)).otherwise(
-        F.length(F.bin(rem.bitwiseAND(-rem)))
-    )
+    bucket, rho = hll_bucket_rho(F.col(col), p)
     regs = (
         df.where(F.col(col).isNotNull())
-        .select(
-            F.pmod(h, F.lit(m)).alias("bucket"), rho.cast("int").alias("rho")
-        )
+        .select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )
@@ -342,22 +351,15 @@ def hll_distinct_by(
     if p < _HLL_P_MIN:
         raise ValueError(f"hll_distinct_by requires p >= {_HLL_P_MIN}")
     m = 1 << p
-    wbits = 60 - p
     alpha = 0.7213 / (1 + 1.079 / m)
     scale = alpha * m * m * float(1 << 62)
-    h = F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    rem = F.shiftright(h, p)
-    rho = F.when(rem == 0, F.lit(wbits + 1)).otherwise(
-        F.length(F.bin(rem.bitwiseAND(-rem)))
-    )
+    bucket, rho = hll_bucket_rho(F.col(col), p)
     regs = (
         df.where(F.col(col).isNotNull())
         .select(
             *[F.col(c) for c in group_cols],
-            F.pmod(h, F.lit(m)).alias("bucket"),
-            rho.cast("int").alias("rho"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
         )
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))

@@ -621,9 +621,25 @@ def q_hll_by_group(spark, sf_dir):
 # encoding carries completion into the count digit) — both portable.
 # ---------------------------------------------------------------------------
 
+def _seq_count_sql(steps: str) -> str:
+    length = len(steps)
+    cases = " ".join(
+        f"WHEN '{s}' THEN {i + 1}" for i, s in enumerate(steps)
+    )
+    return f"""CAST(list_reduce(
+              list_prepend(0::BIGINT,
+                list_filter(
+                  list_transform(string_split(seq, ''), c ->
+                    (CASE c {cases} ELSE 0 END)::BIGINT),
+                  x -> x > 0)),
+              (acc, x) -> acc +
+                CASE WHEN x = (acc % {length}) + 1 THEN 1 ELSE 0 END)
+            // {length} AS BIGINT)"""
+
+
 @staged(
-    "q_sequence_match",
-    oracle="""
+    "q_sequence_count",
+    oracle=f"""
 WITH streams AS (
   SELECT user_id,
          string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
@@ -631,36 +647,26 @@ WITH streams AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id,
-       regexp_matches(seq, 'v.*c.*p') AS funnel_matched,
-       CAST(list_reduce(
-              list_prepend(0::BIGINT,
-                list_filter(
-                  list_transform(string_split(seq, ''), c ->
-                    (CASE c WHEN 'v' THEN 1 WHEN 'c' THEN 2
-                            WHEN 'p' THEN 3 ELSE 0 END)::BIGINT),
-                  x -> x > 0)),
-              (acc, x) -> acc +
-                CASE WHEN x = (acc % 3) + 1 THEN 1 ELSE 0 END) // 3
-            AS BIGINT) AS funnel_count
+       {_seq_count_sql("vcp")} AS funnel_count,
+       {_seq_count_sql("svcp")} AS onboarding_count
 FROM streams ORDER BY user_id
 """,
-    description="ClickHouse sequenceMatch/sequenceCount analog "
-    "(ext/sequences.py): per-user event streams ordered by (ts, "
-    "event_id) become symbol strings; sequenceMatch('(?1).*(?2).*(?3)') "
-    "is a subsequence regex, sequenceCount is a counting automaton fold "
-    "(non-overlapping left-to-right scan, exactly ClickHouse's "
-    "restart-after-match semantics) — one hash aggregate per user, "
-    "pure integer fold, engine-portable.",
+    description="ClickHouse sequenceCount analog (ext/sequences.py): "
+    "non-overlapping left-to-right completions of a condition chain "
+    "per user — a counting automaton fold over the (ts, event_id)-"
+    "ordered symbol stream where code == stage+1 advances a base-L "
+    "positional accumulator (exactly ClickHouse's restart-after-match "
+    "scan); the boolean sequenceMatch twin is the live "
+    "q_sequence_match query. One hash aggregate per user, pure "
+    "integer fold, engine-portable.",
 )
-def q_sequence_match(spark, sf_dir):
+def q_sequence_count(spark, sf_dir):
     from clickbom_spark.ext.sequences import (
         ordered_symbol_stream,
         sequence_count,
-        sequence_match,
     )
 
     (events,) = load(spark, sf_dir, "events")
-    steps = ["v", "c", "p"]  # view -> click -> purchase
     streams = ordered_symbol_stream(
         events,
         ["user_id"],
@@ -669,8 +675,10 @@ def q_sequence_match(spark, sf_dir):
     )
     return streams.select(
         "user_id",
-        sequence_match(F.col("seq"), steps).alias("funnel_matched"),
-        sequence_count(F.col("seq"), steps).alias("funnel_count"),
+        sequence_count(F.col("seq"), ["v", "c", "p"]).alias("funnel_count"),
+        sequence_count(F.col("seq"), ["s", "v", "c", "p"]).alias(
+            "onboarding_count"
+        ),
     ).orderBy("user_id")
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from clickbom_spark.ext.sketches import kll_compact, mg_ingest
+from clickbom_spark.ext.sketches import hll_bucket_rho, kll_compact, mg_ingest
 
 HH_OUTPUT_SCHEMA = "bucket int, value string, est_count long, n_bucket long"
 HH_STATE_SCHEMA = "vals array<string>, cnts array<long>, n long"
@@ -100,6 +100,32 @@ def streaming_heavy_hitters(
         stateStructType=HH_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---- Streaming HyperLogLog registers ------------------------------------
+
+
+def streaming_hll_registers(
+    events: DataFrame, value_col: str, p: int = 8
+) -> DataFrame:
+    """Streaming HLL distinct-count state — the third streaming sketch,
+    and the one that needs NO custom state handler: registers are a
+    monotone per-bucket ``max(rho)``, which Structured Streaming's
+    built-in stateful aggregation maintains exactly (update mode emits
+    each touched bucket's current register per micro-batch).  State is
+    ≤ 2^p rows forever, and the latest registers equal the batch
+    twin's on the same prefix — merge/union semantics come free from
+    max's monotonicity.  Estimate downstream with
+    ``ext.sketches.hll_estimate`` after spine-filling, or the
+    spine-free math of ``hll_distinct_by``.
+    """
+    bucket, rho = hll_bucket_rho(F.col(value_col), p)
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
     )
 
 

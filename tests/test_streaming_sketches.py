@@ -142,3 +142,48 @@ def test_streaming_quantile_sketch_across_microbatches(spark):
     for p, e in zip([0.25, 0.5, 0.9], est):
         r = bisect.bisect_left(s, e)
         assert abs(r - p * n) <= 0.03 * n, (p, e, r)
+
+
+def test_streaming_hll_registers_equal_batch_twin(spark):
+    """The streaming registers (built-in stateful max aggregation)
+    must equal the batch twin's registers after the whole stream is
+    consumed — across real micro-batch boundaries."""
+    import tempfile
+
+    from clickbom_spark.ext.sketches import hll_registers
+    from clickbom_spark.streaming.sketches import streaming_hll_registers
+
+    df = spark.range(3000).select(F.col("id").alias("v"))
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        regs: dict = {}
+        n_batches = 0
+
+        def collect_batch(bdf, epoch_id):
+            nonlocal n_batches
+            n_batches += 1
+            for r in bdf.collect():
+                regs[r["bucket"]] = r["rho"]
+
+        q = (
+            streaming_hll_registers(stream, "v", p=8)
+            .writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    assert n_batches >= 4  # real micro-batch boundaries were crossed
+    batch = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(df, "v", p=8).collect()
+        if r["rho"] > 0
+    }
+    assert regs == batch
