@@ -174,3 +174,69 @@ def reachable(
         visited = visited.unionAll(nxt.withColumn("hop", F.lit(hop)))
         frontier = nxt
     return visited
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Exact triangle count of an undirected graph via degree-ordered
+    orientation (Schank & Wagner 2005) — the standard distributed
+    shape: orient every edge from the (degree, node)-smaller endpoint
+    to the larger, so each triangle matches the wedge-close join
+    exactly once AND per-node out-degree is bounded by O(sqrt(E)),
+    keeping the wedge join's output near-linear on skewed real-world
+    graphs (a hub of degree d contributes min(d, sqrt(E))^2 wedges
+    instead of d^2).
+
+    Input edges may be duplicated, directed, or self-looped; they are
+    canonicalized first.  Returns one row
+    (n_nodes, n_edges, n_triangles).  All equi-joins — at 100 TB this
+    is three hash joins on node keys, no cross product anywhere.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.where(u != v)
+        .select(
+            F.least(u, v).alias("eu"), F.greatest(u, v).alias("ev")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("eu", "ev")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        e.join(deg.withColumnRenamed("n", "eu"), "eu")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.withColumnRenamed("n", "ev").withColumnRenamed("d", "dv"),
+            "ev",
+        )
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("eu") < F.col("ev"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("eu")).otherwise(F.col("ev")).alias("a"),
+        F.when(lower_first, F.col("ev")).otherwise(F.col("eu")).alias("b"),
+    )
+    # wedge a->b, b->c closed by a->c
+    ab = oriented.select(F.col("a"), F.col("b"))
+    bc = oriented.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    ac = oriented.select(
+        F.col("a").alias("ta"), F.col("b").alias("tc")
+    )
+    tri = ab.join(bc, "b").join(
+        ac, (F.col("ta") == F.col("a")) & (F.col("tc") == F.col("c"))
+    )
+    counts = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    return counts.crossJoin(
+        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    ).select("n_nodes", "n_edges", "n_triangles")

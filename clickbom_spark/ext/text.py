@@ -529,3 +529,66 @@ def hashed_embedding(text: Column, dim: int = 64) -> Column:
         return let(raw, of_raw)
 
     return let(tokens(normalize_text(text)), of_toks)
+
+
+def hashed_embedding_agg(
+    df, text_col: str, id_col: str, dim: int = 64
+):
+    """The shuffle-based scale path of :func:`hashed_embedding`:
+    explode tokens → (id, bucket, signed 1) → two hash aggregates →
+    dense re-assembly + L2 normalize.  Bit-identical output (the
+    bucket sums are exact ±1 integers, so accumulation order cannot
+    matter; the normalize division is IEEE-exact either way).
+
+    Cost contrast — the per-row expression version does
+    O(dim · tokens) work per document (each output dimension folds the
+    whole token array), which is the right trade only while ``dim`` is
+    small; this variant is O(tokens + nnz · dim_assembly) with two
+    bounded shuffles, the correct shape for HashingTF-scale dims
+    (2^15+) over 100 TB.  Returns (``id_col``, vec array<double>).
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("_w"),
+    )
+    bucket = F.pmod(md5_gram_hash(F.col("_w")), F.lit(dim))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("s#"), F.col("_w"))), 1, 2), 16, 10
+    ).cast("int")
+    sign = F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+    sums = (
+        toks.select(F.col(id_col), bucket.alias("_b"), sign.alias("_s"))
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").alias("_v"))  # exact: integer-valued doubles
+    )
+    pairs = sums.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("_b"), F.col("_v"))).alias("_ps")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(
+            F.get(F.filter(F.col("_ps"), lambda p: p["_b"] == d), 0)["_v"],
+            F.lit(0.0),
+        ),
+    )
+
+    def of_raw(v):
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+
+    out = pairs.select(F.col(id_col), let(dense, of_raw).alias("vec"))
+    # docs whose token set is empty never reach the explode; restore
+    # them with the zero vector so the operator is total over the input
+    zeros = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda d: F.lit(0.0)
+    )
+    missing = (
+        df.select(F.col(id_col))
+        .join(out.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), zeros.alias("vec"))
+    )
+    return out.unionByName(missing)

@@ -107,3 +107,36 @@ def test_pagerank_approx_nodes_hint_skips_count_job(spark, monkeypatch):
     got = {r.node: r.rank for r in plan.collect()}
     assert len(got) == 4
     plan.unpersist_pagerank_blocks()
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented count == brute-force enumeration on random
+    graphs, robust to duplicate/reversed/self-loop input edges."""
+    import itertools
+    import random
+
+    from clickbom_spark.ext.graph import triangle_count
+
+    rng = random.Random(5)
+    n = 40
+    edges = set()
+    for _ in range(160):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    truth = sum(
+        1
+        for x, y, z in itertools.combinations(sorted({e[0] for e in edges} | {e[1] for e in edges}), 3)
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges
+    )
+    # feed the operator a dirty edge list: duplicates, reversals, loops
+    dirty = (
+        [(u, v) for u, v in edges]
+        + [(v, u) for u, v in list(edges)[::3]]
+        + [(u, v) for u, v in list(edges)[::5]]
+        + [(7, 7)]
+    )
+    df = spark.createDataFrame(dirty, "u int, v int")
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == truth
+    assert row["n_edges"] == len(edges)

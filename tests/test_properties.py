@@ -132,3 +132,33 @@ def test_hashed_embedding_laws(corpus):
     assert (
         a.join(b, "k").where(F.col("va") != F.col("vb")).count() == 0
     )
+
+
+def test_hashed_embedding_agg_path_is_bit_identical(spark):
+    """The explode+aggregate scale path must reproduce the per-row
+    expression embedding exactly — including empty/whitespace docs,
+    which come back as zero vectors."""
+    from clickbom_spark.ext.text import hashed_embedding, hashed_embedding_agg
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, ""),
+        (4, "   \t  "),
+        (5, "Unicode! café naïve 中文 tokens, mixed."),
+        (6, "repeat repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(3)
+    expr = {
+        r["doc_id"]: r["vec"]
+        for r in df.select(
+            "doc_id", hashed_embedding(F.col("text"), dim=16).alias("vec")
+        ).collect()
+    }
+    agg = {
+        r["doc_id"]: r["vec"]
+        for r in hashed_embedding_agg(df, "text", "doc_id", dim=16).collect()
+    }
+    assert set(expr) == set(agg)
+    for k in expr:
+        assert expr[k] == agg[k], (k, expr[k], agg[k])
