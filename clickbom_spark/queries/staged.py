@@ -910,6 +910,83 @@ def q_triangle_count(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# l-diversity — the companion privacy audit to the live q_k_anonymity:
+# k-anonymity bounds group SIZE, l-diversity bounds the SENSITIVE
+# attribute's variety within each quasi-identifier group (a k-anonymous
+# group whose members all share one sensitive value still leaks it).
+# Distinct-l is exact integers; entropy-l uses the rounded-decimal-sum
+# pattern so the float side stays engine-portable.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_l_diversity",
+    oracle="""
+WITH cells AS (
+  SELECT lang, n_chars // 100 AS len_bucket, source, COUNT(*) AS s_n
+  FROM documents
+  GROUP BY lang, n_chars // 100, source
+), terms AS (
+  SELECT lang, len_bucket,
+         CAST(round(
+           -(CAST(s_n AS DOUBLE) / SUM(s_n) OVER w)
+             * ln(CAST(s_n AS DOUBLE) / SUM(s_n) OVER w),
+           6) AS DECIMAL(12,6)) AS t
+  FROM cells
+  WINDOW w AS (PARTITION BY lang, len_bucket)
+), grps AS (
+  SELECT lang, len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+         CAST(SUM(t) AS DOUBLE) AS entropy
+  FROM terms
+  GROUP BY lang, len_bucket
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_distinct_sensitive < 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_distinct,
+       CAST(MIN(n_distinct_sensitive) AS BIGINT) AS min_distinct,
+       CAST(SUM(CASE WHEN entropy < ln(3.0) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_entropy
+FROM grps
+""",
+    description="l-diversity audit (l=3) with sensitive attribute "
+    "`source` inside (lang, length-bucket) quasi-identifier groups — "
+    "both distinct-l (exact) and entropy-l (per-cell -p·ln p terms "
+    "rounded to decimal before the exact sum); the release-gate "
+    "companion of q_k_anonymity: size-k groups that are sensitive-"
+    "homogeneous still leak. Two hash aggregates plus a bounded "
+    "per-group window, no second scan.",
+)
+def q_l_diversity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        "source",
+    ).agg(F.count(F.lit(1)).alias("s_n"))
+    w = Window.partitionBy("lang", "len_bucket")
+    p = F.col("s_n").cast("double") / F.sum("s_n").over(w)
+    term = F.round(-p * F.log(p), 6).cast("decimal(12,6)")
+    grps = cells.withColumn("_t", term).groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_sensitive"),
+        F.sum("_t").cast("double").alias("entropy"),
+    )
+    return grps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n_distinct_sensitive") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_distinct"),
+        F.min("n_distinct_sensitive").cast("long").alias("min_distinct"),
+        F.sum(
+            F.when(F.col("entropy") < F.log(F.lit(3.0)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD type-2 dimension build: collapse a keyed change stream into
 # validity intervals (valid_from, valid_to, is_current), opening a new
 # interval only when the tracked attribute actually changes — the
