@@ -121,17 +121,26 @@ class ClickHouseSink:
         Rows are pre-sorted within partitions on the MergeTree key; each
         partition posts one INSERT (entrypoint.sh:405-408 semantics,
         partition-parallel).
+
+        Each INSERT carries a content-derived
+        ``insert_deduplication_token`` (md5 of target table + TSV
+        payload): a Spark task retry resends byte-identical content
+        with the same token, and ClickHouse's insert dedup window drops
+        the duplicate block — exactly-once-per-content under the
+        at-least-once task execution a 1000-executor job WILL hit.
+        (Non-replicated MergeTree needs
+        ``non_replicated_deduplication_window > 0`` server-side; on
+        Replicated* tables the window is on by default.)
         """
-        insert_q = (
-            f"INSERT INTO {self.database}.{self.table} "
-            "(name, version, license, source) FORMAT TSV"
-        )
+        target = f"{self.database}.{self.table}"
         transport = self.transport
         df = components.select("name", "version", "license", "source").sortWithinPartitions(
             "name", "version", "license"
         )
 
         def send_partition(rows):
+            import hashlib
+
             def esc(v):
                 if v is None:
                     return ""
@@ -149,7 +158,15 @@ class ClickHouseSink:
             ]
             if not lines:
                 return
-            status, _ = transport(insert_q, ("\n".join(lines) + "\n").encode())
+            payload = ("\n".join(lines) + "\n").encode()
+            token = hashlib.md5(
+                target.encode() + b"\x00" + payload
+            ).hexdigest()
+            insert_q = (
+                f"INSERT INTO {target} (name, version, license, source) "
+                f"SETTINGS insert_deduplication_token='{token}' FORMAT TSV"
+            )
+            status, _ = transport(insert_q, payload)
             if status != 200:
                 raise ClickHouseError(f"ClickHouse INSERT failed with HTTP {status}")
 

@@ -95,9 +95,16 @@ def main() -> int:
     )
     from clickbom_spark.queries import REGISTRY
 
-    only = set(sys.argv[1:])
+    # --staged widens the sweep to the next round's pre-registered wave
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    queries = dict(REGISTRY)
+    if "--staged" in sys.argv[1:]:
+        from clickbom_spark.queries.staged import STAGED
+
+        queries.update(STAGED)
+    only = set(args)
     fails, errs = [], []
-    for name, spec in REGISTRY.items():
+    for name, spec in queries.items():
         if only and name not in only:
             continue
         t0 = time.time()

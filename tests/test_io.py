@@ -357,3 +357,66 @@ def test_lake_schema_evolution_merge(spark, tmp_path):
     rows = {(r["name"], r["source"]) for r in merged.collect()}
     assert rows == {("lodash", "unknown"), ("react", "github")}
     assert set(merged.columns) == {"name", "version", "license", "source"}
+
+
+def test_clickhouse_insert_dedup_token_is_content_derived(spark):
+    """Task-retry idempotency: re-sending the same partition content
+    must carry the SAME insert_deduplication_token (so ClickHouse's
+    dedup window drops the duplicate block), and different content a
+    different token."""
+    import http.server
+    import re
+    import threading
+    import urllib.parse
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            q = urllib.parse.parse_qs(
+                urllib.parse.urlparse(self.path).query
+            ).get("query", [""])[0]
+            received.append((q, body))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from clickbom_spark.io.clickhouse import http_transport
+
+        sink = ClickHouseSink(
+            http_transport(f"http://127.0.0.1:{srv.server_port}"), "db", "t"
+        )
+        df = spark.createDataFrame(
+            [("lodash", "4.17.21", "MIT", "repo-a")],
+            "name string, version string, license string, source string",
+        ).coalesce(1)
+        sink.insert_components(df)
+        sink.insert_components(df)  # simulated retry: identical content
+        df2 = spark.createDataFrame(
+            [("react", "18.2.0", "MIT", "repo-b")],
+            "name string, version string, license string, source string",
+        ).coalesce(1)
+        sink.insert_components(df2)
+    finally:
+        srv.shutdown()
+
+    tokens = [
+        re.search(r"insert_deduplication_token='([0-9a-f]{32})'", q).group(1)
+        for q, _ in received
+    ]
+    assert len(tokens) == 3
+    assert tokens[0] == tokens[1], "same content must reuse the token"
+    assert tokens[2] != tokens[0], "different content must change it"
+    # the statement still targets the same columns and TSV wire format
+    assert received[0][0].startswith(
+        "INSERT INTO db.t (name, version, license, source)"
+    )
+    assert received[0][0].endswith("FORMAT TSV")
