@@ -436,3 +436,103 @@ def test_runtime_bloom_filter_join_pruning_available(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# ---- staged-wave plan shapes (queries/staged.py) ----
+
+
+def staged_plan_of(spark, name: str, collect: bool = False) -> str:
+    from clickbom_spark.queries.staged import STAGED
+
+    df = STAGED[name].fn(spark, SF_CORRECT)
+    if collect:
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_triangle_count_no_cartesian_wedge(spark):
+    """The wedge-close must be hash equi-joins; the only cross joins
+    allowed are the three 1-row count frames at the very top."""
+    plan = staged_plan_of(spark, "q_triangle_count", collect=True)
+    assert "CartesianProduct" not in plan.replace(
+        "CartesianProduct", "", 3
+    ), plan  # > 3 cross joins means the wedge join degenerated
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_heavy_hitters_candidate_join_is_broadcast(spark):
+    """The recount pass must broadcast the tiny candidate set (never
+    shuffle the corpus against it)."""
+    from clickbom_spark.ext.sketches import heavy_hitters
+    from clickbom_spark.session import read_table
+
+    events = read_table(spark, SF_CORRECT, "events")
+    plan = (
+        heavy_hitters(events, "event_type", k=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_single_aggregate_plus_broadcast_spine(spark):
+    """Registers: one hash aggregate pair (partial+final) over the
+    corpus and a broadcast spine join — no extra shuffles."""
+    from clickbom_spark.ext.sketches import hll_registers
+    from clickbom_spark.session import read_table
+
+    orders = read_table(spark, SF_CORRECT, "orders")
+    plan = (
+        hll_registers(orders, "o_orderkey", p=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_sequence_and_funnel_single_aggregate_no_window(spark):
+    """The automaton/funnel folds are per-key hash aggregates — no
+    window operator, no join, no global sort."""
+    for name in ("q_sequence_count", "q_window_funnel"):
+        plan = staged_plan_of(spark, name)
+        body = plan.split("TakeOrderedAndProject")[-1]
+        assert "Window" not in body, (name, plan)
+        assert "Join" not in body, (name, plan)
+
+
+def test_train_quality_lr_gradient_is_partial_aggregated(spark):
+    """Each GD epoch must be a partial (map-side) + final aggregate —
+    one row per partition crosses the wire, no shuffle of rows."""
+    from clickbom_spark.ext.learn import logreg_train_gd
+    from clickbom_spark.session import read_table
+    from pyspark.sql import functions as F
+    from clickbom_spark.ext.text import punct_ratio, token_count
+
+    docs = read_table(spark, SF_CORRECT, "documents")
+    feats = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars").cast("double") / 500.0).alias("x1"),
+    )
+    # capture the epoch aggregate's plan by building it the same way
+    from clickbom_spark.ext.learn import dot, fast_sigmoid
+
+    err = fast_sigmoid(dot([0.0, 0.0], ["x0", "x1"])) - F.col("y")
+    agg = feats.agg(
+        (
+            F.sum(F.round(err * F.col("x0"), 9).cast("decimal(22,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("g0")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower(), plan
+    assert "Exchange hashpartitioning" not in plan, plan
