@@ -39,10 +39,31 @@ means the query is in the bench.py headline set at sf0.1.
                 f"| `{s.name}` | {'✓' if s.oracle else '—'} |"
                 f" {'✓' if s.bench else ''} | {d} |"
             )
+    from clickbom_spark.queries.staged import STAGED
+
+    if STAGED:
+        out.append(
+            f"\n## staged — next-round registry wave ({len(STAGED)})\n"
+        )
+        out.append(
+            "Held out of the live registry so the driver budget keeps "
+            "rotating stale greens; already oracle-parity-tested by "
+            "tests/test_staged_parity.py. Activation: "
+            "`REGISTRY.update(staged.STAGED)` in queries/__init__.py.\n"
+        )
+        out.append("| query | oracle | what it proves |")
+        out.append("|---|---|---|")
+        for s2 in STAGED.values():
+            d = " ".join(s2.description.split())
+            if len(d) > 220:
+                d = d[:217] + "..."
+            out.append(
+                f"| `{s2.name}` | {'✓' if s2.oracle else '—'} | {d} |"
+            )
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "docs", "QUERIES.md"), "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote docs/QUERIES.md ({n} entries)")
+    print(f"wrote docs/QUERIES.md ({n} registry + {len(STAGED)} staged)")
 
 
 if __name__ == "__main__":

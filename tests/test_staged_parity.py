@@ -51,3 +51,20 @@ def test_staged_names_disjoint_from_registry():
 
     overlap = set(STAGED) & set(REGISTRY)
     assert not overlap, f"staged names collide with live registry: {overlap}"
+
+
+def test_staged_activation_dry_run():
+    """The documented round-6 flip — REGISTRY.update(STAGED) — must
+    yield a registry that still satisfies the driver contract: unique
+    names, callable fns, oracle strings where present, and stable
+    iteration (no name shadowing)."""
+    from clickbom_spark.queries import REGISTRY
+
+    merged = dict(REGISTRY)
+    before = len(merged)
+    merged.update(STAGED)
+    assert len(merged) == before + len(STAGED)
+    for name, spec in merged.items():
+        assert callable(spec.fn), name
+        assert spec.oracle is None or isinstance(spec.oracle, str), name
+        assert spec.name == name
