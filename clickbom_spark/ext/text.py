@@ -592,3 +592,38 @@ def hashed_embedding_agg(
         .select(F.col(id_col), zeros.alias("vec"))
     )
     return out.unionByName(missing)
+
+
+def compression_ratio(df, text_col: str, out_col: str = "zratio"):
+    """zlib compression ratio per document — the CCNet/RefinedWeb-style
+    redundancy signal (highly repetitive or templated text compresses
+    far below natural prose; near-random text barely compresses).
+
+    ratio = deflate(utf8(text)) bytes / utf8 bytes, NULL for empty
+    docs.  zlib is not expressible in SQL, so consumers treat this as
+    a Python-boundary operator: an Arrow-batched pandas_udf (the
+    repo's UDF policy reserves Python exactly for kernels built-ins
+    cannot express — cf. SURVEY §2.11), level pinned at 6 so scores
+    are reproducible across runs and machines.  Map-only at any scale;
+    composes with q_filter_cascade-style gates.
+    """
+    import pandas as pd  # noqa: F401 — resolved by the UDF type hints
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zratio(texts):
+        # (pandas Series -> pandas Series scalar UDF; hints omitted so
+        # postponed-annotation evaluation can't trip the UDF inspector)
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, zratio(F.col(text_col)))

@@ -987,6 +987,96 @@ def q_l_diversity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# zlib compression-ratio quality signal — the CCNet/RefinedWeb
+# redundancy filter.  zlib is outside SQL, so this is the one staged
+# query that exercises the engine's Python-boundary policy (an
+# Arrow-batched pandas UDF) — rows-only driver check; the exactness
+# contract is pinned against local zlib in tests/test_properties.py.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_compression_ratio",
+    oracle=None,
+    description="zlib compression-ratio quality signal per document "
+    "(CCNet/RefinedWeb-style redundancy filter; ext/text.py "
+    "compression_ratio): Arrow-batched pandas UDF at level 6 — "
+    "deterministic, map-only; per-source mean ratio and the count of "
+    "high-redundancy docs (ratio < 0.35), exact vs local zlib by test.",
+)
+def q_compression_ratio(spark, sf_dir):
+    from clickbom_spark.ext.text import compression_ratio
+
+    (docs,) = load(spark, sf_dir, "documents")
+    scored = compression_ratio(docs, "text")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.round(F.col("zratio"), 6).cast("decimal(12,6)"))
+            .cast("double")
+            .alias("zratio_sum"),
+            F.sum(F.when(F.col("zratio") < 0.35, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_redundancy"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse retention(): per user, r[i] = cond_1 AND cond_i — did the
+# user who signed up also view / click / purchase?  One boolean
+# aggregate per user, then a sum — the classic activation-funnel
+# rollup, all built-in expressions.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_retention",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c3,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c4
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(c1) AS BIGINT) AS r1,
+       CAST(SUM(c1 * c2) AS BIGINT) AS r2,
+       CAST(SUM(c1 * c3) AS BIGINT) AS r3,
+       CAST(SUM(c1 * c4) AS BIGINT) AS r4,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user
+""",
+    description="ClickHouse retention(signup, view, click, purchase) "
+    "analog: per-user condition flags via one boolean hash aggregate, "
+    "r[i] = cond_1 AND cond_i summed across users — the activation-"
+    "retention rollup; two aggregates, no joins, no windows.",
+)
+def q_retention(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+
+    def flag(t):
+        return F.max(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        )
+
+    per_user = events.groupBy("user_id").agg(
+        flag("signup").alias("c1"),
+        flag("view").alias("c2"),
+        flag("click").alias("c3"),
+        flag("purchase").alias("c4"),
+    )
+    return per_user.agg(
+        F.sum("c1").cast("long").alias("r1"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("r2"),
+        F.sum(F.col("c1") * F.col("c3")).cast("long").alias("r3"),
+        F.sum(F.col("c1") * F.col("c4")).cast("long").alias("r4"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD type-2 dimension build: collapse a keyed change stream into
 # validity intervals (valid_from, valid_to, is_current), opening a new
 # interval only when the tracked attribute actually changes — the

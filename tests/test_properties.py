@@ -162,3 +162,28 @@ def test_hashed_embedding_agg_path_is_bit_identical(spark):
     assert set(expr) == set(agg)
     for k in expr:
         assert expr[k] == agg[k], (k, expr[k], agg[k])
+
+
+def test_compression_ratio_matches_local_zlib_and_ranks_repetition(spark):
+    import zlib
+
+    from clickbom_spark.ext.text import compression_ratio
+
+    rows = [
+        (1, "spam " * 400),                      # highly repetitive
+        (2, "The five boxing wizards jump quickly over the lazy dwarf "
+            "while quoting Baudelaire and debugging a parser."),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["zratio"]
+        for r in compression_ratio(df, "text").collect()
+    }
+    for i, t in rows:
+        if t:
+            b = t.encode()
+            assert got[i] == len(zlib.compress(b, 6)) / len(b)
+    assert got[3] is None and got[4] is None
+    assert got[1] < 0.1 < got[2]  # repetition compresses far harder
