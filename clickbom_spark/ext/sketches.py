@@ -152,6 +152,96 @@ def heavy_hitters(
     )
 
 
+def _mg_grouped_partition(k: int, group_cols: list, col: str):
+    """mapInPandas kernel: one Misra–Gries summary PER GROUP KEY seen in
+    the partition (state ≤ groups-in-partition × k counters), plus one
+    (group, NULL, row-count) sentinel row per group."""
+
+    def run(batches):
+        import pandas as pd
+
+        per_group: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            for gkey, gdf in pdf.groupby(group_cols, dropna=False, sort=False):
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                totals[gkey] = totals.get(gkey, 0) + len(gdf)
+                counters = per_group.setdefault(gkey, {})
+                vc = gdf[col].value_counts(dropna=False)
+                mg_ingest(counters, dict(vc.items()), k)
+        rows = {c: [] for c in group_cols}
+        rows[col] = []
+        rows[_PN] = []
+        for gkey, counters in per_group.items():
+            for v in counters:
+                for c, gv in zip(group_cols, gkey):
+                    rows[c].append(gv)
+                rows[col].append(v)
+                rows[_PN].append(0)
+            for c, gv in zip(group_cols, gkey):
+                rows[c].append(gv)
+            rows[col].append(None)
+            rows[_PN].append(totals[gkey])
+        yield pd.DataFrame(rows)
+
+    return run
+
+
+def heavy_hitters_by(
+    df: DataFrame, col: str, group_cols: Sequence[str], k: int = 16
+) -> DataFrame:
+    """Per-group exact heavy hitters — ClickHouse ``topK(k)(col) GROUP
+    BY dims`` with the recount upgrade: items whose within-group
+    frequency exceeds N_g/k, exactly.
+
+    Same two-pass scheme as :func:`heavy_hitters`, with the group key
+    threaded through: per-partition MG summaries per group (candidate
+    completeness per group by the same pigeonhole), then a distributed
+    recount — candidates semi-join + (group, value) hash aggregate +
+    per-group totals from the sentinel rows.  Unlike the global
+    operator nothing is collected to the driver, so the group-key
+    cardinality may itself be huge; per-partition state is bounded by
+    (groups present in the partition) × k counters.
+
+    Scan count (an unpersisted input is scanned THREE times): the
+    lazy sketch frame is consumed twice (candidates + per-group
+    totals) and the recount once more.  Persist the input upstream
+    when that matters; the sketch itself is small but rebuilt per
+    consumer by design — no persist lifecycle leaks out of this call.
+    """
+    gcols = list(group_cols)
+    reserved = set(_RESERVED) | {"grp_n"}
+    if col in reserved or any(g in (col, *_RESERVED, "grp_n") for g in gcols):
+        raise ValueError(
+            f"heavy_hitters_by columns may not collide with {sorted(reserved)}"
+        )
+    src = df.select(*gcols, F.col(col)).where(F.col(col).isNotNull())
+    fields = [StructField(f.name, f.dataType, True) for f in src.schema.fields]
+    schema = StructType(fields + [StructField(_PN, LongType(), False)])
+    sketch = src.mapInPandas(
+        _mg_grouped_partition(k, gcols, col), schema=schema
+    )
+    cands = (
+        sketch.where(F.col(_PN) == 0).select(*gcols, col).distinct()
+    )
+    totals = (
+        sketch.where(F.col(_PN) > 0)
+        .groupBy(*gcols)
+        .agg(F.sum(_PN).alias("grp_n"))
+    )
+    counted = (
+        src.join(F.broadcast(cands), [*gcols, col], "left_semi")
+        .groupBy(*gcols, col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.join(totals, gcols)
+        .where(F.col("cnt") * k > F.col("grp_n"))
+        .select(*gcols, col, "cnt", F.col("grp_n").alias("n_group"))
+    )
+
+
 # ---- KLL-style mergeable quantile sketch ----
 
 def kll_compact(levels: list, flips: list, k: int, l: int = 0) -> None:

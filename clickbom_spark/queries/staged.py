@@ -96,6 +96,40 @@ def q_heavy_hitters(spark, sf_dir):
     return hh_lang.unionByName(hh_et).orderBy("tbl", "val")
 
 
+@staged(
+    "q_heavy_hitters_by_group",
+    oracle="""
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS cnt FROM documents
+  WHERE lang IS NOT NULL GROUP BY source, lang
+), totals AS (
+  SELECT source, COUNT(*) AS n_group FROM documents
+  WHERE lang IS NOT NULL GROUP BY source
+)
+SELECT c.source, c.lang, c.cnt, t.n_group
+FROM counts c JOIN totals t ON c.source = t.source
+WHERE c.cnt * 3 > t.n_group
+ORDER BY c.source, c.lang
+""",
+    description="Per-group heavy hitters — ClickHouse topK(k)(col) "
+    "GROUP BY dims, exactly (ext/sketches.py heavy_hitters_by): "
+    "per-partition Misra–Gries summaries per group key (pigeonhole-"
+    "complete candidates, state bounded by groups-in-partition × k) "
+    "then a fully distributed recount — nothing collected to the "
+    "driver, so the group-key cardinality can itself be huge; output "
+    "== the per-group groupBy-count answer at the > N_g/k cutoff.",
+)
+def q_heavy_hitters_by_group(spark, sf_dir):
+    from clickbom_spark.ext.sketches import heavy_hitters_by
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        heavy_hitters_by(docs, "lang", ["source"], k=3)
+        .select("source", "lang", "cnt", "n_group")
+        .orderBy("source", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic weighted sampling without replacement (Efraimidis–
 # Spirakis with the portable md5 uniform) — the "sample k docs per

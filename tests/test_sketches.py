@@ -227,3 +227,41 @@ def test_hll_distinct_by_accurate_and_group_isolated(spark):
     assert two["a"] == three["a"] and two["b"] == three["b"]
     for g, n in (("a", 2000), ("b", 60), ("c", 500)):
         assert abs(three[g] - n) / n < 3 * 1.04 / (256 ** 0.5), (g, three[g])
+
+
+def test_grouped_heavy_hitters_exact_across_partitionings(spark):
+    """heavy_hitters_by == the full per-group groupBy-count answer at
+    the same cutoff, under any partitioning, on a skewed synthetic."""
+    import random
+
+    from clickbom_spark.ext.sketches import heavy_hitters_by
+
+    rng = random.Random(13)
+    rows = []
+    for g in ("a", "b", "c"):
+        for _ in range(3000):
+            # zipf-ish skew, different hot keys per group
+            v = min(int(rng.paretovariate(1.1)), 50)
+            rows.append((g, f"{g}{v}"))
+    df = spark.createDataFrame(rows, "g string, v string")
+
+    def run(parts):
+        return {
+            (r["g"], r["v"]): (r["cnt"], r["n_group"])
+            for r in heavy_hitters_by(
+                df.repartition(parts), "v", ["g"], k=8
+            ).collect()
+        }
+
+    exact = {}
+    counts: dict = {}
+    totals: dict = {}
+    for g, v in rows:
+        counts[(g, v)] = counts.get((g, v), 0) + 1
+        totals[g] = totals.get(g, 0) + 1
+    for (g, v), c in counts.items():
+        if c * 8 > totals[g]:
+            exact[(g, v)] = (c, totals[g])
+    assert run(1) == exact
+    assert run(7) == exact
+    assert exact  # the fixture actually produces heavy hitters
