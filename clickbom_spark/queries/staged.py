@@ -579,6 +579,97 @@ def q_hll_state_merge(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HLL set algebra: audience-overlap estimation by inclusion-exclusion
+# — est|A∩B| = est(A) + est(B) − est(A∪B), where the union estimate
+# comes from merging registers (union IS merge).  The sketch-algebra
+# counterpart of the exact q_segment_overlap self-join.
+# ---------------------------------------------------------------------------
+
+def _hll_est_of(src_regs: str) -> str:
+    sv = _HLL_SV.format(src=src_regs)
+    return f"(SELECT {_HLL_EST} FROM ({sv}\n))"
+
+
+@staged(
+    "q_hll_intersection",
+    oracle=f"""
+WITH viewers AS ({_hll_regs_sql("events", "user_id", "event_type = 'view'")}
+), buyers AS ({_hll_regs_sql("events", "user_id", "event_type = 'purchase'")}
+), unioned AS (
+  SELECT v.bucket, GREATEST(v.rho, b.rho) AS rho
+  FROM viewers v JOIN buyers b ON v.bucket = b.bucket
+)
+SELECT
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+   WHERE event_type = 'view') AS n_viewers_exact,
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+   WHERE event_type = 'purchase') AS n_buyers_exact,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+     INTERSECT
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  )) AS n_overlap_exact,
+  ROUND({_hll_est_of("viewers")} + {_hll_est_of("buyers")}
+        - {_hll_est_of("unioned")}, 4) AS est_overlap
+""",
+    description="Audience-overlap estimation by HLL inclusion-"
+    "exclusion: est|A∩B| = est(A) + est(B) − est(A∪B) with the union "
+    "estimate from merged registers (merge == rescan) — the KB-sized "
+    "sketch-algebra alternative to the exact distinct-pair self-join "
+    "(q_segment_overlap) when audiences are billions of ids; exact "
+    "counts sit alongside for the error check.",
+)
+def q_hll_intersection(spark, sf_dir):
+    from clickbom_spark.ext.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    viewers_df = events.where(F.col("event_type") == "view")
+    buyers_df = events.where(F.col("event_type") == "purchase")
+    rv = hll_registers(viewers_df, "user_id", p=_HLL_P)
+    rb = hll_registers(buyers_df, "user_id", p=_HLL_P)
+    ru = hll_merge(rv, rb)
+    ev = hll_estimate(rv, p=_HLL_P).select(F.col("est_hll").alias("ev"))
+    eb = hll_estimate(rb, p=_HLL_P).select(F.col("est_hll").alias("eb"))
+    eu = hll_estimate(ru, p=_HLL_P).select(F.col("est_hll").alias("eu"))
+    exacts = events.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_viewers_exact"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_buyers_exact"),
+    )
+    overlap = (
+        viewers_df.select("user_id")
+        .distinct()
+        .intersect(buyers_df.select("user_id").distinct())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_exact"))
+    )
+    return (
+        exacts.crossJoin(overlap)
+        .crossJoin(ev)
+        .crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "n_viewers_exact",
+            "n_buyers_exact",
+            "n_overlap_exact",
+            F.round(
+                F.col("ev") + F.col("eb") - F.col("eu"), 4
+            ).alias("est_overlap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-group HLL — uniq(user_id) GROUP BY event_type, the canonical
 # ClickHouse OLAP shape.  Spine-free estimate: empty buckets enter the
 # harmonic sum as (m - present)·2^62 and the correction as
