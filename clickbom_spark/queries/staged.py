@@ -1202,6 +1202,55 @@ def q_retention(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Copy-on-write UPDATE over a parquet lake: probe with a predicate-
+# pushed scan, rewrite ONLY the affected files, leave the rest
+# byte-identical (pinned by tests/test_mutations.py).  The final table
+# state equals the oracle's CASE-mutated view of the source.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_cow_update",
+    oracle="""
+SELECT CASE WHEN source = 'src3' THEN 'en' ELSE lang END AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CASE WHEN source = 'src3' THEN 'en' ELSE lang END
+ORDER BY lang
+""",
+    description="Copy-on-write UPDATE on a parquet lake "
+    "(ext/mutations.py cow_update — the Delta/Iceberg data-path "
+    "mechanics without the manifest): a predicate-pushed probe finds "
+    "affected files via input_file_name, only those files are re-read "
+    "and rewritten, untouched files stay byte-identical (file-pruning "
+    "law in tests); the post-mutation table equals the oracle's "
+    "CASE-mutated view of the source.",
+)
+def q_cow_update(spark, sf_dir):
+    from clickbom_spark.ext.mutations import cow_update
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, "docs_cow_lake")
+    shutil.rmtree(path, ignore_errors=True)
+    docs.repartitionByRange(4, "doc_id").write.parquet(path)
+    cow_update(
+        spark,
+        path,
+        F.col("source") == "src3",
+        {"lang": F.lit("en")},
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD type-2 dimension build: collapse a keyed change stream into
 # validity intervals (valid_from, valid_to, is_current), opening a new
 # interval only when the tracked attribute actually changes — the
