@@ -125,3 +125,79 @@ def cow_delete(
         [(n_total, len(files), n_rows)],
         "n_files_total long, n_files_rewritten long, n_rows_deleted long",
     )
+
+
+def cow_upsert(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """MERGE INTO <path> USING <changes> ON <key_cols> — WHEN MATCHED
+    replace the row, WHEN NOT MATCHED insert it (the upsert core of a
+    table format's MERGE), copy-on-write.
+
+    Probe: lake rows semi-joined against the (broadcast) change keys,
+    grouped by ``input_file_name`` — any file holding a matched key is
+    affected.  Rewrite: affected files minus matched rows, plus ALL
+    change rows (a change row either replaces a row that lived in an
+    affected file — no other file can hold its key — or is a pure
+    insert).  Unaffected files are untouched; pure inserts with no
+    affected file land as a fresh part file.
+
+    ``changes`` must carry the lake schema, with at most one row per
+    key (enforced — violating rows would make MERGE nondeterministic,
+    the same constraint Delta raises).  Returns one row
+    (n_files_rewritten, n_matched, n_inserted).
+    """
+    keys = changes.select(*key_cols).groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    dup = keys.where(F.col("_n") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"cow_upsert: multiple change rows share key {tuple(dup[0])[:-1]}"
+        )
+    key_frame = keys.drop("_n")
+
+    lake = spark.read.parquet(path)
+    # tag the file BEFORE the join: input_file_name() is per-source and
+    # unresolvable once a second (possibly file-backed) source joins in
+    probe = (
+        lake.withColumn("_f", F.input_file_name())
+        .join(F.broadcast(key_frame), key_cols, "left_semi")
+        .groupBy(F.col("_f").alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    files = [r["f"].replace("file://", "").replace("file:", "") for r in probe]
+    n_matched = sum(r["n"] for r in probe)
+    n_changes = changes.count()
+
+    cols = lake.columns
+    if files:
+        _rewrite(
+            spark,
+            path,
+            files,
+            lambda sub: sub.join(
+                F.broadcast(key_frame), key_cols, "left_anti"
+            )
+            .select(*cols)
+            .unionByName(changes.select(*cols)),
+        )
+    else:
+        tmpname = f"cow-{uuid.uuid4().hex[:12]}"
+        tmp = os.path.join(path, f"_cow_tmp_{uuid.uuid4().hex[:12]}")
+        changes.select(*cols).write.parquet(tmp)
+        for name in os.listdir(tmp):
+            src = os.path.join(tmp, name)
+            if name.startswith("part-") and os.path.isfile(src):
+                os.replace(src, os.path.join(path, f"{tmpname}-{name}"))
+            elif os.path.isfile(src):
+                os.unlink(src)
+        os.rmdir(tmp)
+    return spark.createDataFrame(
+        [(len(files), n_matched, n_changes - n_matched)],
+        "n_files_rewritten long, n_matched long, n_inserted long",
+    )

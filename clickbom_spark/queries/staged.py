@@ -1250,6 +1250,61 @@ def q_cow_update(spark, sf_dir):
     )
 
 
+@staged(
+    "q_cow_upsert",
+    oracle="""
+WITH merged AS (
+  SELECT CASE WHEN doc_id % 50 = 0 THEN 'curated' ELSE source END AS source,
+         n_chars
+  FROM documents
+  UNION ALL
+  SELECT 'curated' AS source, 7 AS n_chars FROM range(3)
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM merged GROUP BY source ORDER BY source
+""",
+    description="MERGE INTO (upsert) on the parquet lake "
+    "(ext/mutations.py cow_upsert): change keys broadcast-semi-join "
+    "the lake to find affected files, only those are rewritten (minus "
+    "matched rows, plus all change rows), pure inserts append a fresh "
+    "part file, untouched files stay byte-identical; duplicate change "
+    "keys are rejected (Delta's MERGE determinism constraint). The "
+    "post-merge aggregate equals the oracle's CASE+UNION view.",
+)
+def q_cow_upsert(spark, sf_dir):
+    from clickbom_spark.ext.mutations import cow_upsert
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, "docs_merge_lake")
+    shutil.rmtree(path, ignore_errors=True)
+    docs.repartitionByRange(4, "doc_id").write.parquet(path)
+    updates = docs.where(F.col("doc_id") % 50 == 0).withColumn(
+        "source", F.lit("curated")
+    )
+    inserts = spark.range(3).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("new doc").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("curated").alias("source"),
+        F.lit(7).cast("long").alias("n_chars"),
+    )
+    cow_upsert(
+        spark,
+        path,
+        updates.select(*docs.columns).unionByName(inserts),
+        ["doc_id"],
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD type-2 dimension build: collapse a keyed change stream into
 # validity intervals (valid_from, valid_to, is_current), opening a new

@@ -8,7 +8,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from clickbom_spark.ext.mutations import cow_delete, cow_update
+from clickbom_spark.ext.mutations import cow_delete, cow_update, cow_upsert
 
 
 def _file_hashes(path):
@@ -85,3 +85,56 @@ def test_cow_update_noop_predicate_rewrites_nothing(spark, tmp_path):
     assert stats["n_files_rewritten"] == 0
     assert stats["n_rows_updated"] == 0
     assert _file_hashes(path) == before
+
+
+def test_cow_upsert_merge_semantics_pruning_and_idempotence(spark, tmp_path):
+    import pytest
+
+    path = _lake(spark, tmp_path)
+    before = _file_hashes(path)
+    # updates hit a narrow id range (subset of files); plus pure inserts
+    changes = spark.createDataFrame(
+        [(i, i % 7, -1.0) for i in range(200, 220)]
+        + [(5000 + i, 0, 99.0) for i in range(5)],
+        "id long, grp long, val double",
+    )
+    stats = cow_upsert(spark, path, changes, ["id"]).collect()[0]
+    assert stats["n_matched"] == 20
+    assert stats["n_inserted"] == 5
+    assert 1 <= stats["n_files_rewritten"] < 8
+
+    after = _file_hashes(path)
+    assert any(n in after and after[n] == h for n, h in before.items())
+
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 1005
+    for i in range(1000):
+        assert got[i] == (-1.0 if 200 <= i < 220 else i * 2.0), i
+    for i in range(5):
+        assert got[5000 + i] == 99.0
+
+    # idempotence: replaying the same change set leaves the state fixed
+    cow_upsert(spark, path, changes, ["id"])
+    got2 = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+
+    # duplicate change keys are rejected, not silently merged
+    dup = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 0, 2.0)], "id long, grp long, val double"
+    )
+    with pytest.raises(ValueError, match="multiple change rows"):
+        cow_upsert(spark, path, dup, ["id"])
+
+
+def test_cow_upsert_pure_inserts_without_matches(spark, tmp_path):
+    path = _lake(spark, tmp_path)
+    before = _file_hashes(path)
+    inserts = spark.createDataFrame(
+        [(9000, 1, 7.0)], "id long, grp long, val double"
+    )
+    stats = cow_upsert(spark, path, inserts, ["id"]).collect()[0]
+    assert stats["n_files_rewritten"] == 0
+    assert stats["n_inserted"] == 1
+    after = _file_hashes(path)
+    assert all(after[n] == h for n, h in before.items())  # nothing rewritten
+    assert spark.read.parquet(path).count() == 1001
