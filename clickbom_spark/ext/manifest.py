@@ -1,0 +1,277 @@
+"""A minimal manifest-based commit protocol over the copy-on-write
+lake (ext/mutations.py) — the piece a table format adds on top of the
+data path: atomic multi-file publish, snapshot isolation, time travel,
+and vacuum.
+
+Layout: ``<path>/_manifests/v{N}.json`` lists the data files of
+snapshot N (names relative to the table root, plus row count and a
+commit message).  ``CURRENT`` holds the live version number.  A commit
+writes the new data files FIRST, then publishes the manifest with one
+atomic ``os.replace`` — readers resolve CURRENT → manifest → file
+list, so they never observe a half-written snapshot; a crash before
+the manifest swap leaves orphan data files that ``vacuum`` collects,
+never a corrupt table.  Old data files are retained (they belong to
+older snapshots) until ``vacuum`` drops snapshots.
+
+Concurrency note, stated honestly: single-writer.  ``os.replace`` makes
+each commit atomic against READERS; two concurrent writers would race
+on CURRENT (a real format arbitrates via the catalog / conditional
+puts).  That matches the reference's operating model (one pipeline run
+owns the table — entrypoint.sh is a single-writer batch job).
+
+The mutation data paths are reused verbatim from ext/mutations.py
+semantics but rewritten against an explicit file list instead of the
+live directory: probe → affected subset → rewrite only that subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _mdir(path: str) -> str:
+    return os.path.join(path, _MANIFEST_DIR)
+
+
+def _write_json_atomic(target: str, payload: dict) -> None:
+    tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, target)
+
+
+class VersionedLake:
+    """Versioned parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ---- snapshot bookkeeping ----
+
+    def current_version(self) -> int:
+        with open(os.path.join(_mdir(self.path), "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        p = os.path.join(_mdir(self.path), f"v{v}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"no snapshot v{v} at {self.path}")
+        with open(p) as f:
+            return json.load(f)
+
+    def _files(self, version: int | None = None) -> list[str]:
+        return [
+            os.path.join(self.path, f) for f in self._manifest(version)["files"]
+        ]
+
+    def _commit(self, files: list[str], n_rows: int, message: str) -> int:
+        v = self.current_version() + 1
+        _write_json_atomic(
+            os.path.join(_mdir(self.path), f"v{v}.json"),
+            {
+                "version": v,
+                "files": sorted(os.path.relpath(f, self.path) for f in files),
+                "n_rows": n_rows,
+                "message": message,
+            },
+        )
+        _write_json_atomic(  # single-file content swap: atomic publish
+            os.path.join(_mdir(self.path), "CURRENT.json"), {"v": v}
+        )
+        # keep CURRENT as a plain int file for debuggability
+        tmp = os.path.join(_mdir(self.path), f".cur-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(_mdir(self.path), "CURRENT"))
+        return v
+
+    # ---- lifecycle ----
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, df: DataFrame, n_files: int = 4
+    ) -> "VersionedLake":
+        os.makedirs(_mdir(path), exist_ok=True)
+        staged = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
+        df.coalesce(n_files).write.parquet(staged)
+        files = []
+        for name in sorted(os.listdir(staged)):
+            src = os.path.join(staged, name)
+            if name.startswith("part-") and os.path.isfile(src):
+                dst = os.path.join(path, f"v0-{name}")
+                os.replace(src, dst)
+                files.append(dst)
+            elif os.path.isfile(src):
+                os.unlink(src)
+        os.rmdir(staged)
+        lake = cls(spark, path)
+        tmp = os.path.join(_mdir(path), f".cur-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write("-1")
+        os.replace(tmp, os.path.join(_mdir(path), "CURRENT"))
+        lake._commit(files, df.count(), "create")
+        return lake
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read — time travel with ``version``; always resolves
+        an explicit immutable file list, so a concurrent commit cannot
+        shift the data underneath a running query."""
+        return self.spark.read.parquet(*self._files(version))
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in range(self.current_version() + 1):
+            p = os.path.join(_mdir(self.path), f"v{v}.json")
+            if os.path.exists(p):
+                m = json.load(open(p))
+                out.append(
+                    {k: m[k] for k in ("version", "n_rows", "message")}
+                )
+        return out
+
+    # ---- mutations (probe → affected subset → rewrite → commit) ----
+
+    def _split_affected(self, probe_rows) -> list[str]:
+        return [
+            r["_f"].replace("file://", "").replace("file:", "")
+            for r in probe_rows
+        ]
+
+    def _write_new(self, df: DataFrame) -> list[str]:
+        staged = os.path.join(self.path, f"_stage-{uuid.uuid4().hex[:8]}")
+        df.write.parquet(staged)
+        out = []
+        tag = uuid.uuid4().hex[:8]
+        for name in sorted(os.listdir(staged)):
+            src = os.path.join(staged, name)
+            if name.startswith("part-") and os.path.isfile(src):
+                dst = os.path.join(self.path, f"c{tag}-{name}")
+                os.replace(src, dst)
+                out.append(dst)
+            elif os.path.isfile(src):
+                os.unlink(src)
+        os.rmdir(staged)
+        return out
+
+    def update(
+        self, predicate: Column, assignments: dict[str, Column]
+    ) -> int:
+        """UPDATE … WHERE …; returns the new version."""
+        files = self._files()
+        df = self.spark.read.parquet(*files)
+        probe = (
+            df.withColumn("_f", F.input_file_name())
+            .where(predicate)
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        affected = set(self._split_affected(probe))
+        untouched = [f for f in files if f not in affected]
+        new_files = []
+        if affected:
+            sub = self.spark.read.parquet(*sorted(affected))
+            out = sub
+            for col, expr in assignments.items():
+                out = out.withColumn(
+                    col, F.when(predicate, expr).otherwise(F.col(col))
+                )
+            new_files = self._write_new(out)
+        live = untouched + new_files
+        n = self.spark.read.parquet(*live).count() if live else 0
+        return self._commit(live, n, "update")
+
+    def delete(self, predicate: Column) -> int:
+        files = self._files()
+        df = self.spark.read.parquet(*files)
+        probe = (
+            df.withColumn("_f", F.input_file_name())
+            .where(predicate)
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        affected = set(self._split_affected(probe))
+        untouched = [f for f in files if f not in affected]
+        new_files = []
+        if affected:
+            sub = self.spark.read.parquet(*sorted(affected))
+            new_files = self._write_new(sub.where(~predicate))
+        live = untouched + new_files
+        n = self.spark.read.parquet(*live).count() if live else 0
+        return self._commit(live, n, "delete")
+
+    def upsert(self, changes: DataFrame, key_cols: list[str]) -> int:
+        keys = changes.select(*key_cols).groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        if keys.where(F.col("_n") > 1).limit(1).collect():
+            raise ValueError("upsert: duplicate keys in change set")
+        key_frame = keys.drop("_n")
+        files = self._files()
+        lake = self.spark.read.parquet(*files)
+        probe = (
+            lake.withColumn("_f", F.input_file_name())
+            .join(F.broadcast(key_frame), key_cols, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        affected = set(self._split_affected(probe))
+        untouched = [f for f in files if f not in affected]
+        cols = lake.columns
+        if affected:
+            sub = self.spark.read.parquet(*sorted(affected))
+            out = (
+                sub.join(F.broadcast(key_frame), key_cols, "left_anti")
+                .select(*cols)
+                .unionByName(changes.select(*cols))
+            )
+        else:
+            out = changes.select(*cols)
+        new_files = self._write_new(out)
+        live = untouched + new_files
+        return self._commit(
+            live, self.spark.read.parquet(*live).count(), "upsert"
+        )
+
+    # ---- vacuum ----
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and delete data
+        files no surviving snapshot references (incl. orphans from
+        crashed commits).  Returns the deleted file names."""
+        cur = self.current_version()
+        keep_versions = [
+            v
+            for v in range(max(0, cur - keep_last + 1), cur + 1)
+            if os.path.exists(os.path.join(_mdir(self.path), f"v{v}.json"))
+        ]
+        referenced = set()
+        for v in keep_versions:
+            referenced.update(self._manifest(v)["files"])
+        deleted = []
+        for name in sorted(os.listdir(self.path)):
+            p = os.path.join(self.path, name)
+            if (
+                os.path.isfile(p)
+                and name not in referenced
+                and not name.startswith((".", "_"))
+            ):
+                os.unlink(p)
+                deleted.append(name)
+        for v in range(cur + 1):
+            if v not in keep_versions:
+                mp = os.path.join(_mdir(self.path), f"v{v}.json")
+                if os.path.exists(mp):
+                    os.unlink(mp)
+        return deleted

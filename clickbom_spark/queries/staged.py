@@ -1305,6 +1305,61 @@ def q_cow_upsert(spark, sf_dir):
     )
 
 
+@staged(
+    "q_time_travel",
+    oracle="""
+WITH v1 AS (
+  SELECT CASE WHEN source = 'src3' THEN 'en' ELSE lang END AS lang, n_chars
+  FROM documents
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+  FROM documents
+  UNION ALL
+  SELECT 1, COUNT(*),
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+  FROM v1
+  UNION ALL
+  SELECT 2, COUNT(*),
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+  FROM v1 WHERE n_chars >= 100
+) ORDER BY version
+""",
+    description="Snapshot isolation + time travel over the versioned "
+    "lake (ext/manifest.py VersionedLake — the manifest commit protocol "
+    "on top of the copy-on-write data path): create → UPDATE → DELETE "
+    "produce snapshots v0..v2, each readable afterwards from its "
+    "immutable manifest file list; per-version aggregates equal the "
+    "oracle's replay of the mutation history. Commits publish via one "
+    "atomic manifest swap, so readers never observe half a mutation.",
+)
+def q_time_travel(spark, sf_dir):
+    from clickbom_spark.ext.manifest import VersionedLake
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, "docs_versioned_lake")
+    shutil.rmtree(path, ignore_errors=True)
+    lake = VersionedLake.create(spark, path, docs, n_files=4)
+    lake.update(F.col("source") == "src3", {"lang": F.lit("en")})
+    lake.delete(F.col("n_chars") < 100)
+    frames = []
+    for v in (0, 1, 2):
+        frames.append(
+            lake.read(v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                .cast("long")
+                .alias("n_en"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.select("version", "n_docs", "n_en").orderBy("version")
+
+
 # ---------------------------------------------------------------------------
 # SCD type-2 dimension build: collapse a keyed change stream into
 # validity intervals (valid_from, valid_to, is_current), opening a new

@@ -1,0 +1,97 @@
+"""Versioned-lake laws: atomic publish, snapshot isolation / time
+travel, mutation correctness against reference semantics, crash-orphan
+and vacuum behavior."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from clickbom_spark.ext.manifest import VersionedLake
+
+
+def _mk(spark, tmp_path, n=500):
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("grp"),
+        (F.col("id") * 1.0).alias("val"),
+    )
+    return VersionedLake.create(spark, str(tmp_path / "vlake"), df, n_files=4)
+
+
+def test_time_travel_reads_every_snapshot(spark, tmp_path):
+    lake = _mk(spark, tmp_path)
+    v0 = lake.current_version()
+    lake.update(F.col("id") < 100, {"val": F.lit(-1.0)})
+    lake.delete(F.col("id") >= 450)
+    assert lake.current_version() == v0 + 2
+
+    # v0: pristine
+    d0 = lake.read(v0)
+    assert d0.count() == 500
+    assert d0.where(F.col("val") < 0).count() == 0
+    # v1: update visible, delete not yet
+    d1 = lake.read(v0 + 1)
+    assert d1.count() == 500
+    assert d1.where(F.col("val") == -1.0).count() == 100
+    # v2 == current
+    d2 = lake.read()
+    assert d2.count() == 450
+    assert d2.where(F.col("val") == -1.0).count() == 100
+    hist = lake.history()
+    assert [h["message"] for h in hist] == ["create", "update", "delete"]
+    assert [h["n_rows"] for h in hist] == [500, 500, 450]
+
+
+def test_upsert_and_reference_semantics(spark, tmp_path):
+    lake = _mk(spark, tmp_path)
+    changes = spark.createDataFrame(
+        [(10, 0, 99.0), (9999, 1, 42.0)], "id long, grp long, val double"
+    )
+    lake.upsert(changes, ["id"])
+    got = {r["id"]: r["val"] for r in lake.read().collect()}
+    assert len(got) == 501
+    assert got[10] == 99.0 and got[9999] == 42.0 and got[11] == 11.0
+    # the pre-upsert snapshot (v0 = create) still shows the old value
+    old = {r["id"]: r["val"] for r in lake.read(0).collect()}
+    assert old[10] == 10.0 and 9999 not in old
+
+
+def test_mutations_rewrite_only_affected_files(spark, tmp_path):
+    lake = _mk(spark, tmp_path)
+    before = set(lake._manifest()["files"])
+    lake.update(F.col("id") < 50, {"val": F.lit(0.0)})
+    after = set(lake._manifest()["files"])
+    survivors = before & after
+    assert survivors, "update must not rewrite every file"
+    assert after - before, "update must produce new files"
+
+
+def test_vacuum_drops_unreferenced_and_orphans(spark, tmp_path):
+    lake = _mk(spark, tmp_path)
+    lake.update(F.col("id") < 100, {"val": F.lit(-1.0)})
+    # crash simulation: an orphan data file from an unpublished commit
+    orphan = os.path.join(lake.path, "cdeadbeef-part-orphan.parquet")
+    open(orphan, "wb").write(b"junk")
+    state_before = {r["id"]: r["val"] for r in lake.read().collect()}
+    deleted = lake.vacuum(keep_last=1)
+    assert "cdeadbeef-part-orphan.parquet" in deleted
+    assert any(d.startswith("v0-") for d in deleted)  # v0-only files gone
+    # current snapshot unharmed
+    assert {r["id"]: r["val"] for r in lake.read().collect()} == state_before
+    # time travel to vacuumed snapshots is refused, not wrong
+    import pytest
+
+    with pytest.raises(ValueError, match="no snapshot"):
+        lake.read(0)
+
+
+def test_readers_never_see_half_commits(spark, tmp_path):
+    """A reader that resolved its file list keeps a consistent snapshot
+    even if a commit lands before it materializes."""
+    lake = _mk(spark, tmp_path)
+    snapshot = lake.read()  # resolves v0's explicit file list
+    lake.update(F.col("id") < 100, {"val": F.lit(-1.0)})
+    # the already-resolved frame still reads the OLD files
+    assert snapshot.where(F.col("val") < 0).count() == 0
