@@ -1360,6 +1360,73 @@ def q_time_travel(spark, sf_dir):
     return out.select("version", "n_docs", "n_en").orderBy("version")
 
 
+@staged(
+    "q_change_feed",
+    oracle="""
+WITH changed AS (
+  SELECT doc_id FROM documents WHERE source = 'src3' AND lang <> 'en'
+)
+SELECT * FROM (
+  SELECT 'update_pre' AS change_type,
+         CAST((SELECT COUNT(*) FROM changed) AS BIGINT) AS n FROM range(1)
+  UNION ALL
+  SELECT 'update_post', CAST((SELECT COUNT(*) FROM changed) AS BIGINT)
+  FROM range(1)
+  UNION ALL
+  SELECT 'insert', CAST(1 AS BIGINT) FROM range(1)
+  UNION ALL
+  SELECT 'delete', CAST(0 AS BIGINT) FROM range(1)
+) ORDER BY change_type
+""",
+    description="Change data feed between lake snapshots (Delta CDF "
+    "analog, ext/manifest.py change_feed): only the files the two "
+    "manifests disagree on are read — shared files are byte-identical "
+    "by the copy-on-write invariant — so CDF cost scales with the "
+    "mutation, not the table; keyed full-outer diff classifies "
+    "insert/delete/update_pre/update_post, and unchanged rows inside "
+    "rewritten files emit nothing. Oracle replays the expected "
+    "row-level effect of the mutation history.",
+)
+def q_change_feed(spark, sf_dir):
+    from clickbom_spark.ext.manifest import VersionedLake, change_feed
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, "docs_cdf_lake")
+    shutil.rmtree(path, ignore_errors=True)
+    lake = VersionedLake.create(spark, path, docs, n_files=4)
+    lake.update(F.col("source") == "src3", {"lang": F.lit("en")})
+    # one new doc inserted via upsert in the same history
+    lake.upsert(
+        spark.range(1).select(
+            F.lit(2_000_000).alias("doc_id"),
+            F.lit("cdf doc").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("cdf").alias("source"),
+            F.lit(7).cast("long").alias("n_chars"),
+        ),
+        ["doc_id"],
+    )
+    pre_upd = change_feed(lake, 0, 1, ["doc_id"])
+    ins = change_feed(lake, 1, 2, ["doc_id"])
+    both = pre_upd.unionByName(ins)
+    counts = (
+        both.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.createDataFrame(
+        [("insert",), ("delete",), ("update_pre",), ("update_post",)],
+        "change_type string",
+    )
+    return (
+        spine.join(counts, "change_type", "left")
+        .select(
+            "change_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("change_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD type-2 dimension build: collapse a keyed change stream into
 # validity intervals (valid_from, valid_to, is_current), opening a new

@@ -95,3 +95,51 @@ def test_readers_never_see_half_commits(spark, tmp_path):
     lake.update(F.col("id") < 100, {"val": F.lit(-1.0)})
     # the already-resolved frame still reads the OLD files
     assert snapshot.where(F.col("val") < 0).count() == 0
+
+
+def test_change_feed_matches_bruteforce_snapshot_diff(spark, tmp_path):
+    from clickbom_spark.ext.manifest import change_feed
+
+    lake = _mk(spark, tmp_path)
+    lake.update(F.col("id").between(40, 59), {"val": F.lit(-5.0)})
+    lake.delete(F.col("id") >= 480)
+    lake.upsert(
+        spark.createDataFrame(
+            [(40, 0, 777.0), (8888, 3, 1.0)], "id long, grp long, val double"
+        ),
+        ["id"],
+    )
+
+    def snap(v):
+        return {
+            r["id"]: (r["grp"], r["val"]) for r in lake.read(v).collect()
+        }
+
+    for v in range(3):
+        pre, post = snap(v), snap(v + 1)
+        want = {"insert": set(), "delete": set(), "update": set()}
+        for k in pre.keys() - post.keys():
+            want["delete"].add(k)
+        for k in post.keys() - pre.keys():
+            want["insert"].add(k)
+        for k in pre.keys() & post.keys():
+            if pre[k] != post[k]:
+                want["update"].add(k)
+        cf = change_feed(lake, v, v + 1, ["id"]).collect()
+        got = {"insert": set(), "delete": set(), "update_pre": set(),
+               "update_post": set()}
+        for r in cf:
+            got[r["_change_type"]].add(r["id"])
+        assert got["insert"] == want["insert"], v
+        assert got["delete"] == want["delete"], v
+        assert got["update_pre"] == want["update"], v
+        assert got["update_post"] == want["update"], v
+        # pre/post rows carry the correct values
+        for r in cf:
+            if r["_change_type"] == "update_pre":
+                assert (r["grp"], r["val"]) == pre[r["id"]]
+            if r["_change_type"] == "update_post":
+                assert (r["grp"], r["val"]) == post[r["id"]]
+
+    # identical versions produce an empty feed
+    assert change_feed(lake, 3, 3, ["id"]).count() == 0
