@@ -350,3 +350,69 @@ def change_feed(
     return deletes.unionByName(inserts).unionByName(update_pre).unionByName(
         update_post
     )
+
+
+def maintain_sum_agg(
+    lake: VersionedLake,
+    materialized: DataFrame,
+    v_from: int,
+    v_to: int,
+    group_cols: list[str],
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance for distributive
+    aggregates: roll a (group, count, sums) table forward from
+    snapshot ``v_from`` to ``v_to`` by applying the change feed only —
+    the files shared by both snapshots are never read.
+
+    Delta per group: +row for inserts and update_post, −row for
+    deletes and update_pre (an update is a retract+insert pair, the
+    standard IVM encoding).  Groups whose count reaches zero are
+    dropped, so the result is exactly the aggregate a full recompute
+    of ``v_to`` would produce (sums are over exact types — longs or
+    decimals — for associativity; pass decimal-cast columns for
+    doubles).
+    """
+    cf = change_feed(lake, v_from, v_to, key_cols)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = cf.groupBy(*group_cols).agg(
+        F.sum(sign).alias("_dn"),
+        *[
+            F.sum(sign * F.col(c)).alias(f"_d_{c}")
+            for c in sum_cols
+        ],
+    )
+    joined = materialized.alias("m").join(
+        delta.alias("d"), group_cols, "full_outer"
+    )
+    # USING-style full outer join coalesces the join columns itself
+    out_cols = [F.col(c) for c in group_cols]
+    n = (
+        F.coalesce(F.col("m.n_rows"), F.lit(0))
+        + F.coalesce(F.col("d._dn"), F.lit(0))
+    ).alias("n_rows")
+    sums = [
+        (
+            F.coalesce(F.col(f"m.sum_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d._d_{c}"), F.lit(0))
+        ).alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    return (
+        joined.select(*out_cols, n, *sums)
+        .where(F.col("n_rows") > 0)
+    )
+
+
+def sum_agg_of(
+    df: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """The (group, n_rows, sums) shape maintain_sum_agg rolls forward —
+    build it once from a full snapshot, then maintain incrementally."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols],
+    )

@@ -143,3 +143,45 @@ def test_change_feed_matches_bruteforce_snapshot_diff(spark, tmp_path):
 
     # identical versions produce an empty feed
     assert change_feed(lake, 3, 3, ["id"]).count() == 0
+
+
+def test_incremental_sum_agg_equals_full_recompute(spark, tmp_path):
+    """Rolling the materialized aggregate forward with CDF deltas must
+    equal a full recompute of the target snapshot, across an
+    update + delete + upsert history — including groups that appear,
+    change, and vanish."""
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        maintain_sum_agg,
+        sum_agg_of,
+    )
+
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 10).alias("val"),  # long: exact sums
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "ivm"), df, n_files=4)
+    lake.update(F.col("id") < 30, {"val": F.lit(0).cast("long")})
+    lake.delete(F.col("grp") == 3)  # a whole group vanishes
+    lake.upsert(
+        spark.createDataFrame(
+            [(900, 7, 5), (10, 0, 123)], "id long, grp long, val long"
+        ),
+        ["id"],
+    )
+
+    mat = sum_agg_of(lake.read(0), ["grp"], ["val"])
+    for v in range(3):
+        mat = maintain_sum_agg(
+            lake, mat, v, v + 1, ["grp"], ["id"], ["val"]
+        )
+        want = {
+            (r["grp"]): (r["n_rows"], r["sum_val"])
+            for r in sum_agg_of(lake.read(v + 1), ["grp"], ["val"]).collect()
+        }
+        got = {
+            (r["grp"]): (r["n_rows"], r["sum_val"]) for r in mat.collect()
+        }
+        assert got == want, (v, got, want)
+    assert 7 in got and 3 not in got  # new group present, dead group gone
