@@ -416,3 +416,57 @@ def sum_agg_of(
         F.count(F.lit(1)).alias("n_rows"),
         *[F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols],
     )
+
+
+def compact(lake: VersionedLake, target_files: int = 4) -> int:
+    """Small-file compaction as a snapshot: rewrite the current file
+    set into ``target_files`` files and commit.  A logical no-op — the
+    change feed across a compaction commit is EMPTY (pinned by test),
+    which is exactly what distinguishes physical layout maintenance
+    from data mutations in a table format.
+    """
+    df = lake.read()
+    new_files = lake._write_new(df.coalesce(target_files))
+    return lake._commit(new_files, df.count(), "compact")
+
+
+def epoch_committed(lake: VersionedLake, epoch: int) -> bool:
+    """Has a streaming epoch already been committed?  (Scan the
+    manifest history for the epoch marker.)"""
+    marker = f"epoch-{epoch}"
+    for v in range(lake.current_version() + 1):
+        p = os.path.join(_mdir(lake.path), f"v{v}.json")
+        if os.path.exists(p):
+            if json.load(open(p)).get("message") == marker:
+                return True
+    return False
+
+
+def streaming_epoch_sink(lake: VersionedLake, key_cols: list[str]):
+    """foreachBatch body for an EXACTLY-ONCE streaming upsert into the
+    versioned lake: each micro-batch commits as one snapshot tagged
+    with its epoch id; a replayed epoch (failure → foreachBatch re-run
+    with the same epoch_id, Spark's at-least-once contract) is detected
+    by the marker and skipped, so the lake state reflects every epoch
+    exactly once.
+
+    Use: ``stream.writeStream.foreachBatch(streaming_epoch_sink(lake,
+    ["id"]))``.  The upsert path means late/duplicate keys WITHIN the
+    stream also converge (last epoch wins per key).
+    """
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_committed(lake, int(epoch_id)):
+            return
+        if batch_df.isEmpty():
+            return
+        # upsert the batch, then re-tag the resulting snapshot with the
+        # epoch marker (commit message is the idempotency token)
+        lake.upsert(batch_df, key_cols)
+        v = lake.current_version()
+        mp = os.path.join(_mdir(lake.path), f"v{v}.json")
+        m = json.load(open(mp))
+        m["message"] = f"epoch-{int(epoch_id)}"
+        _write_json_atomic(mp, m)
+
+    return body

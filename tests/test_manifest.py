@@ -185,3 +185,102 @@ def test_incremental_sum_agg_equals_full_recompute(spark, tmp_path):
         }
         assert got == want, (v, got, want)
     assert 7 in got and 3 not in got  # new group present, dead group gone
+
+
+def test_compaction_is_a_logical_noop_with_empty_cdf(spark, tmp_path):
+    from clickbom_spark.ext.manifest import change_feed, compact
+
+    lake = _mk(spark, tmp_path)
+    # fragment the lake: several tiny upserts create small files
+    for i in range(3):
+        lake.upsert(
+            spark.createDataFrame(
+                [(7000 + i, 1, 1.0)], "id long, grp long, val double"
+            ),
+            ["id"],
+        )
+    v_before = lake.current_version()
+    n_files_before = len(lake._manifest()["files"])
+    state_before = {r["id"]: r["val"] for r in lake.read().collect()}
+    compact(lake, target_files=2)
+    assert len(lake._manifest()["files"]) == 2 < n_files_before
+    assert {r["id"]: r["val"] for r in lake.read().collect()} == state_before
+    # physical rewrite, zero logical change
+    assert change_feed(
+        lake, v_before, lake.current_version(), ["id"]
+    ).count() == 0
+
+
+def test_streaming_epoch_sink_exactly_once_under_replay(spark, tmp_path):
+    """Replaying an epoch (Spark's at-least-once foreachBatch contract
+    after a failure) must not change the lake: the epoch marker is the
+    idempotency token."""
+    from clickbom_spark.ext.manifest import streaming_epoch_sink
+
+    lake = _mk(spark, tmp_path, n=100)
+    sink = streaming_epoch_sink(lake, ["id"])
+    b1 = spark.createDataFrame(
+        [(10, 0, -1.0), (200, 2, 5.0)], "id long, grp long, val double"
+    )
+    b2 = spark.createDataFrame(
+        [(11, 1, -2.0)], "id long, grp long, val double"
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    state = {r["id"]: r["val"] for r in lake.read().collect()}
+    assert state[10] == -1.0 and state[200] == 5.0 and state[11] == -2.0
+    v = lake.current_version()
+    # replay both epochs (same epoch ids) — no new versions, same state
+    sink(b1, 0)
+    sink(b2, 1)
+    assert lake.current_version() == v
+    assert {r["id"]: r["val"] for r in lake.read().collect()} == state
+    # a NEW epoch still commits
+    sink(
+        spark.createDataFrame([(12, 0, 9.0)], "id long, grp long, val double"),
+        2,
+    )
+    assert lake.current_version() == v + 1
+    assert {r["id"]: r["val"] for r in lake.read().collect()}[12] == 9.0
+
+
+def test_streaming_epoch_sink_end_to_end_with_real_stream(spark, tmp_path):
+    """Real readStream → foreachBatch(epoch sink) → versioned lake;
+    re-running the whole stream from a fresh checkpoint replays the
+    same epochs and must leave the lake untouched."""
+    from clickbom_spark.ext.manifest import streaming_epoch_sink
+
+    lake = _mk(spark, tmp_path, n=50)
+    src = str(tmp_path / "stream_src")
+    updates = spark.createDataFrame(
+        [(i, i % 5, float(-i)) for i in range(20)],
+        "id long, grp long, val double",
+    )
+    updates.repartition(3).write.parquet(src)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(updates.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_epoch_sink(lake, ["id"])
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run("ckpt1")
+    state = {r["id"]: r["val"] for r in lake.read().collect()}
+    assert len(state) == 50
+    for i in range(20):
+        assert state[i] == float(-i)
+    v = lake.current_version()
+    # fresh checkpoint: Spark replays the files as the same epoch ids
+    run("ckpt2")
+    assert lake.current_version() == v
+    assert {r["id"]: r["val"] for r in lake.read().collect()} == state
