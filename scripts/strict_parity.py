@@ -149,7 +149,7 @@ def main() -> int:
             print(f"ok   {name} rows={len(sdf)} ({time.time()-t0:.1f}s)")
     print(
         f"\n== {len(fails)} fail, {len(errs)} err "
-        f"of {len(only) or len(REGISTRY)} checked =="
+        f"of {len(only) or len(queries)} checked =="
     )
     if fails:
         print("FAILS:", " ".join(fails))
