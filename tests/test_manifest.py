@@ -284,3 +284,83 @@ def test_streaming_epoch_sink_end_to_end_with_real_stream(spark, tmp_path):
     run("ckpt2")
     assert lake.current_version() == v
     assert {r["id"]: r["val"] for r in lake.read().collect()} == state
+
+
+def test_lake_model_based_random_mutation_sequence(spark, tmp_path):
+    """Model-based check: a random sequence of update/delete/upsert/
+    compact ops applied to both the lake and an in-memory dict model;
+    every snapshot must equal the model's state at that version, and
+    every consecutive CDF must equal the model diff."""
+    import random
+
+    from clickbom_spark.ext.manifest import change_feed, compact
+
+    rng = random.Random(42)
+    model = {i: (i % 3, float(i)) for i in range(120)}
+    df = spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in model.items()],
+        "id long, grp long, val double",
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "mb"), df, n_files=3)
+    states = {0: dict(model)}
+
+    for step in range(8):
+        op = rng.choice(["update", "delete", "upsert", "compact"])
+        if op == "update":
+            lo = rng.randrange(0, 120)
+            hi = lo + rng.randrange(1, 30)
+            delta = float(rng.randrange(1, 9) * 1000)
+            lake.update(
+                F.col("id").between(lo, hi), {"val": F.lit(delta)}
+            )
+            for k in list(model):
+                if lo <= k <= hi:
+                    model[k] = (model[k][0], delta)
+        elif op == "delete":
+            g = rng.randrange(0, 3)
+            cut = rng.randrange(0, 120)
+            lake.delete((F.col("grp") == g) & (F.col("id") >= cut))
+            for k in list(model):
+                if model[k][0] == g and k >= cut:
+                    del model[k]
+        elif op == "upsert":
+            rows = [
+                (rng.randrange(0, 200), rng.randrange(0, 3),
+                 float(rng.randrange(0, 50)))
+                for _ in range(rng.randrange(1, 6))
+            ]
+            # dedup keys (upsert forbids duplicates)
+            rows = list({r[0]: r for r in rows}.values())
+            lake.upsert(
+                spark.createDataFrame(rows, "id long, grp long, val double"),
+                ["id"],
+            )
+            for k, g, v in rows:
+                model[k] = (g, v)
+        else:
+            compact(lake, target_files=rng.randrange(2, 5))
+        states[lake.current_version()] = dict(model)
+
+    for v, want in states.items():
+        got = {
+            r["id"]: (r["grp"], r["val"]) for r in lake.read(v).collect()
+        }
+        assert got == want, f"snapshot v{v} diverged from model"
+
+    versions = sorted(states)
+    for a, b in zip(versions, versions[1:]):
+        pre, post = states[a], states[b]
+        expect_ins = post.keys() - pre.keys()
+        expect_del = pre.keys() - post.keys()
+        expect_upd = {
+            k for k in pre.keys() & post.keys() if pre[k] != post[k]
+        }
+        cf = change_feed(lake, a, b, ["id"]).collect()
+        got_t: dict = {"insert": set(), "delete": set(),
+                       "update_pre": set(), "update_post": set()}
+        for r in cf:
+            got_t[r["_change_type"]].add(r["id"])
+        assert got_t["insert"] == expect_ins, (a, b)
+        assert got_t["delete"] == expect_del, (a, b)
+        assert got_t["update_pre"] == expect_upd, (a, b)
+        assert got_t["update_post"] == expect_upd, (a, b)
