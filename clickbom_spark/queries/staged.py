@@ -396,11 +396,15 @@ ORDER BY doc_id, dim
     "vector component oracle-checkable (ext/text.py hashed_embedding).",
 )
 def q_hashed_embedding(spark, sf_dir):
-    from clickbom_spark.ext.text import hashed_embedding
+    # the explode+aggregate scale path — bit-identical to the per-row
+    # expression variant (tests/test_properties.py pins the equality)
+    # and ~4x faster even at dim=16: the HOF fold re-hashes every
+    # token once per output dimension, the agg path once total
+    from clickbom_spark.ext.text import hashed_embedding_agg
 
     (docs,) = load(spark, sf_dir, "documents")
-    emb = docs.where(F.col("doc_id") <= 100).select(
-        "doc_id", hashed_embedding(F.col("text"), dim=_HE_DIM).alias("vec")
+    emb = hashed_embedding_agg(
+        docs.where(F.col("doc_id") <= 100), "text", "doc_id", dim=_HE_DIM
     )
     return (
         emb.select(
