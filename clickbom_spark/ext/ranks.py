@@ -260,3 +260,57 @@ def shard_by_budget(
         F.greatest(F.col(pc) - 1, F.lit(0)) / F.lit(budget)
     ).cast("long")
     return out.withColumn(shard_col, shard).drop(pc)
+
+
+def exact_weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[float],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact weighted quantiles (ClickHouse ``quantileExactWeighted``)
+    with NO global sort: the smallest value whose cumulative weight
+    reaches p·W, for each p — computed as a distinct-value weight
+    aggregate, the value-bucketed exact prefix sum, and one final
+    conditional-min aggregate.
+
+    Weights must be integral and positive (rows with null/non-positive
+    weight are excluded, matching the ClickHouse function); the prefix
+    sums are then exact, so results are engine-portable with no float
+    contract beyond the single p·W threshold product.  One row out,
+    one column ``q{100p}`` per prob.
+
+    100 TB shape: the heavy input collapses to distinct values first
+    (hash aggregate with map-side combine), the prefix machinery is
+    the same no-single-partition-window path as shard_by_budget, and
+    the final pass is one aggregate — contrast with a naive
+    ``ORDER BY`` + running-sum window, which serializes the corpus
+    through one partition.
+    """
+    w = F.col(weight_col).cast("long")
+    agg = (
+        df.where(
+            F.col(value_col).isNotNull() & w.isNotNull() & (w > 0)
+        )
+        .groupBy(value_col)
+        .agg(F.sum(w).alias("_w"))
+    )
+    pfx = with_global_prefix_sum(
+        agg, [value_col], "_w", prefix_col="_cum", num_buckets=num_buckets
+    )
+    # total weight via a second aggregate over the (shared-lineage)
+    # distinct-value frame; alias both sides so the self-derived join
+    # resolves unambiguously
+    total = agg.agg(F.sum("_w").cast("long").alias("_W"))
+    joined = pfx.alias("p").crossJoin(F.broadcast(total.alias("t")))
+    sel = [
+        F.min(
+            F.when(
+                F.col("p._cum") >= F.lit(float(p)) * F.col("t._W"),
+                F.col(f"p.{value_col}"),
+            )
+        ).alias(f"q{int(round(p * 100))}")
+        for p in probs
+    ]
+    return joined.agg(*sel)

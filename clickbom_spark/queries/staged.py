@@ -221,6 +221,51 @@ def q_token_shards(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact weighted quantiles (ClickHouse quantileExactWeighted) without
+# a global sort: distinct-value weight aggregate → value-bucketed
+# exact prefix sum → one conditional-min pass.  Integral weights keep
+# everything engine-portable.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_weighted_quantiles",
+    oracle="""
+WITH agg AS (
+  SELECT l_extendedprice AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0
+  GROUP BY l_extendedprice
+), c AS (
+  SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM agg
+), t AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS W FROM agg
+)
+SELECT MIN(CASE WHEN cum >= 0.25 * W THEN v END) AS q25,
+       MIN(CASE WHEN cum >= 0.5 * W THEN v END) AS q50,
+       MIN(CASE WHEN cum >= 0.75 * W THEN v END) AS q75,
+       MIN(CASE WHEN cum >= 0.99 * W THEN v END) AS q99
+FROM c, t
+""",
+    description="Exact weighted quantiles of l_extendedprice weighted "
+    "by l_quantity (ClickHouse quantileExactWeighted; ext/ranks.py "
+    "exact_weighted_quantiles): distinct-value weight aggregate, the "
+    "value-bucketed exact prefix sum (no single-partition window, no "
+    "global sort), one conditional-min pass — the smallest value whose "
+    "cumulative weight reaches p·W, bit-exact vs the oracle's "
+    "running-sum window.",
+)
+def q_weighted_quantiles(spark, sf_dir):
+    from clickbom_spark.ext.ranks import exact_weighted_quantiles
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return exact_weighted_quantiles(
+        lineitem, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.75, 0.99]
+    )
+
+
+# ---------------------------------------------------------------------------
 # KLL-style mergeable quantile sketch.  The sketch content depends on
 # partitioning (each partition compacts its own stream), so there is no
 # SQL oracle — the driver records the weaker rows-only check; the

@@ -967,3 +967,43 @@ def test_window_funnel_matches_reference_dp(spark):
             by_user.setdefault(uid, []).append((t, eid, l))
     for uid, evs in by_user.items():
         assert got[uid] == ref_depth(evs), (uid, sorted(evs))
+
+
+def test_exact_weighted_quantiles_equal_expanded_duplication(spark):
+    """quantileExactWeighted(v, w) == quantileExact over v repeated w
+    times — the defining identity — plus partitioning invariance."""
+    import random
+
+    from clickbom_spark.ext.ranks import exact_weighted_quantiles
+
+    rng = random.Random(3)
+    rows = [
+        (float(rng.randrange(0, 200)), rng.randrange(1, 6))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "v double, w int")
+    probs = [0.1, 0.5, 0.9]
+    got = exact_weighted_quantiles(df, "v", "w", probs).collect()[0]
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    total = len(expanded)
+    for p in probs:
+        # smallest value whose cumulative weight reaches p*W
+        import math
+
+        idx = max(0, math.ceil(p * total) - 1)
+        # walk to the first index satisfying cum >= p*W exactly
+        want = None
+        cum = 0
+        from itertools import groupby
+
+        for v, grp in groupby(expanded):
+            cum += sum(1 for _ in grp)
+            if cum >= p * total:
+                want = v
+                break
+        assert got[f"q{int(round(p * 100))}"] == want, p
+    # partitioning invariance
+    got13 = exact_weighted_quantiles(
+        df.repartition(13), "v", "w", probs
+    ).collect()[0]
+    assert got13 == got
