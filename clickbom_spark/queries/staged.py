@@ -1161,6 +1161,86 @@ def q_l_diversity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (the XLM-R / mT5 multilingual
+# recipe): language sampling mass ∝ share^alpha with alpha = 1/T, so
+# high-resource languages are tempered rather than flattened.  With
+# alpha = 0.5 every power is an IEEE-exact sqrt, keeping the rates —
+# and the deterministic hash-threshold membership — engine-portable.
+# ---------------------------------------------------------------------------
+
+_TEMP_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+@staged(
+    "q_temperature_mixture",
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, CAST(SUM(len({_TEMP_TOKENS})) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang,
+         least(CAST(1.0 AS DOUBLE),
+               ((CAST(SUM(lang_tokens) OVER () AS DOUBLE) / 2.0)
+                / CAST(SUM(sqrt(CAST(lang_tokens AS DOUBLE))) OVER ()
+                       AS DOUBLE))
+               / sqrt(CAST(lang_tokens AS DOUBLE))) AS rate
+  FROM per_lang
+), sampled AS (
+  SELECT d.lang, len({_TEMP_TOKENS}) AS tokens
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             AS INT) AS DOUBLE) < r.rate * 65536.0
+)
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(tokens) AS BIGINT) AS sampled_tokens
+FROM sampled GROUP BY lang ORDER BY lang
+""",
+    description="Temperature-scaled mixture sampling at T=2 "
+    "(alpha=0.5, the XLM-R/mT5 multilingual recipe): per-language keep "
+    "rate min(1, (B/Σ√n)·1/√n_i) targets token budget B = N/2 with "
+    "sampling mass ∝ share^0.5 — sqrt keeps every power IEEE-exact, so "
+    "rates and the deterministic md5-threshold membership reproduce "
+    "bit-for-bit in any engine; the tempered companion of the "
+    "uniform-target q_mixture_resample.",
+)
+def q_temperature_mixture(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from clickbom_spark.ext.text import token_count
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", token_count(F.col("text")).alias("tokens")
+    )
+    per_lang = toks.groupBy("lang").agg(
+        F.sum("tokens").cast("long").alias("lang_tokens")
+    )
+    w = Window.partitionBy()
+    budget = F.sum("lang_tokens").over(w).cast("double") / F.lit(2.0)
+    norm = F.sum(F.sqrt(F.col("lang_tokens").cast("double"))).over(w).cast(
+        "double"
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (budget / norm) / F.sqrt(F.col("lang_tokens").cast("double")),
+    )
+    rates = per_lang.select("lang", rate.alias("rate"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .where(h.cast("double") < F.col("rate") * F.lit(65536.0))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("tokens").cast("long").alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # zlib compression-ratio quality signal — the CCNet/RefinedWeb
 # redundancy filter.  zlib is outside SQL, so this is the one staged
 # query that exercises the engine's Python-boundary policy (an

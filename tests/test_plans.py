@@ -536,3 +536,24 @@ def test_train_quality_lr_gradient_is_partial_aggregated(spark):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "partial" in plan.lower(), plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_cow_probe_pushes_predicate_to_scan(spark, tmp_path):
+    """The mutation probe's scan must push the predicate into the
+    parquet reader (zone maps then skip non-matching row groups) —
+    the property that makes COW cost scale with the mutation."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "probe_lake")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2.0).alias("val")
+    ).repartitionByRange(4, "id").write.parquet(path)
+    probe = (
+        spark.read.parquet(path)
+        .where(F.col("id") < 50)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln]
+    assert pushed and ("LessThan" in pushed[0] or "id" in pushed[0]), plan
