@@ -98,3 +98,51 @@ def logreg_stats(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(correct, 1).otherwise(0)).cast("long").alias("n_correct"),
     )
+
+
+def exact_auc(
+    features: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC AUC (tie-aware Mann–Whitney U) with NO global sort:
+
+        AUC = (Σ_{positives} avgrank(score) − n_pos(n_pos+1)/2)
+              / (n_pos · n_neg)
+
+    Scores collapse to distinct values (hash aggregate) carrying
+    (count, positive count); the value-bucketed exact prefix sum
+    (ext/ranks.py — no single-partition window) gives each distinct
+    score its cumulative count, from which the tie-averaged rank is
+    ``prefix_before + (cnt+1)/2``.  All integer arithmetic until the
+    single final division, so the statistic is engine-portable
+    bit-for-bit.  Returns one row (n_pos, n_neg, auc).
+    """
+    from clickbom_spark.ext.ranks import with_global_prefix_sum
+
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col)
+    per_score = (
+        features.where(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.when(y == 1.0, 1).otherwise(0)).cast("long").alias("_pos"),
+        )
+    )
+    pfx = with_global_prefix_sum(per_score, ["_s"], "_cnt", prefix_col="_cum")
+    # tie-averaged rank summed over the positives of this score value:
+    # pos * (prefix_before + (cnt+1)/2); scale by 2 to stay integral
+    rank2 = F.col("_pos") * (
+        2 * (F.col("_cum") - F.col("_cnt")) + F.col("_cnt") + 1
+    )
+    agg = pfx.agg(
+        F.sum("_pos").cast("long").alias("n_pos"),
+        (F.sum("_cnt") - F.sum("_pos")).cast("long").alias("n_neg"),
+        F.sum(rank2).cast("long").alias("_r2"),
+    )
+    auc = (
+        F.col("_r2").cast("double")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double")
+    ) / (
+        F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    )
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))

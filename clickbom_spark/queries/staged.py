@@ -1161,6 +1161,72 @@ def q_l_diversity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact ROC AUC of the heuristic quality score as an "is English"
+# classifier — the evaluation counterpart of the GD trainer.  Tie-aware
+# Mann–Whitney over distinct-score prefix sums (ranks machinery), all
+# integer until one final division.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_model_auc",
+    oracle="""
+WITH toks AS (
+  SELECT lang, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+), feats AS (
+  SELECT lang,
+         CAST(len(w) AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+         CAST(length(list_aggregate(w, 'string_agg', '')) AS DOUBLE)
+           / CAST(greatest(len(w), 1) AS DOUBLE) AS mwl
+  FROM toks
+), scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         round(( least(n_tokens / 64.0, 1.0)
+               + (1.0 - least(pr * 4.0, 1.0))
+               + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                       THEN 1.0 ELSE 0.5 END)
+               ) / 3.0, 6) AS s
+  FROM feats
+), per_score AS (
+  SELECT s, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY s
+), c AS (
+  SELECT s, cnt, pos,
+         SUM(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_score
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+       (CAST(SUM(pos * (2 * (cum - cnt) + cnt + 1)) AS DOUBLE)
+        - CAST(SUM(pos) AS DOUBLE) * CAST(SUM(pos) + 1 AS DOUBLE))
+       / (2.0 * CAST(SUM(pos) AS DOUBLE)
+          * CAST(SUM(cnt) - SUM(pos) AS DOUBLE)) AS auc
+FROM c
+""",
+    description="Exact ROC AUC (tie-aware Mann–Whitney U) of the "
+    "heuristic quality score as an is-English classifier — the model-"
+    "evaluation counterpart of q_train_quality_lr (ext/learn.py "
+    "exact_auc): scores collapse to distinct values, the value-bucketed "
+    "exact prefix sum supplies tie-averaged ranks with no global sort, "
+    "and everything stays integer until one final division — bit-exact "
+    "cross-engine.",
+)
+def q_model_auc(spark, sf_dir):
+    from clickbom_spark.ext.learn import exact_auc
+    from clickbom_spark.ext.text import quality_score
+
+    (docs,) = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return exact_auc(scored, "score", "y")
+
+
+# ---------------------------------------------------------------------------
 # Temperature-scaled mixture sampling (the XLM-R / mT5 multilingual
 # recipe): language sampling mass ∝ share^alpha with alpha = 1/T, so
 # high-resource languages are tempered rather than flattened.  With

@@ -62,3 +62,41 @@ def test_epoch_history_is_prefix_stable(spark):
         assert h4[:2] == h2
     finally:
         df.unpersist()
+
+
+def test_exact_auc_matches_reference_with_ties(spark):
+    """Distributed AUC == the textbook tie-aware Mann–Whitney AUC on
+    random scores with heavy ties, and is partitioning-invariant."""
+    import random
+
+    from clickbom_spark.ext.learn import exact_auc
+
+    rng = random.Random(9)
+    rows = [
+        (float(rng.randrange(0, 20)) / 10.0, float(rng.randrange(0, 2)))
+        for _ in range(500)
+    ]
+
+    def ref_auc(pairs):
+        pos = [s for s, y in pairs if y == 1.0]
+        neg = [s for s, y in pairs if y == 0.0]
+        wins = ties = 0
+        for p in pos:
+            for n in neg:
+                if p > n:
+                    wins += 1
+                elif p == n:
+                    ties += 1
+        return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    df = spark.createDataFrame(rows, "score double, y double")
+    got = exact_auc(df, "score", "y").collect()[0]
+    assert abs(got["auc"] - ref_auc(rows)) < 1e-12
+    got13 = exact_auc(df.repartition(13), "score", "y").collect()[0]
+    assert got13["auc"] == got["auc"]
+    # degenerate sanity: perfectly separable scores give AUC 1
+    sep = spark.createDataFrame(
+        [(float(i), 1.0 if i >= 50 else 0.0) for i in range(100)],
+        "score double, y double",
+    )
+    assert exact_auc(sep, "score", "y").collect()[0]["auc"] == 1.0
