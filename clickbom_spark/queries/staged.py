@@ -1699,6 +1699,139 @@ def q_scd2_intervals(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Capstone composition: the model-driven curation pipeline v2 — train
+# the quality classifier (3 GD epochs), keep docs the model accepts
+# (z >= 0), temperature-resample the survivors toward tempered
+# language shares, and carve the result into token-budget shards.
+# Every stage is individually oracle-pinned above; here the ORACLE
+# REPLAYS THE WHOLE CHAIN (training CTEs → score filter → rates →
+# membership → prefix-sum shards) in one SQL statement.
+# ---------------------------------------------------------------------------
+
+def _curation_v2_oracle() -> str:
+    lr = _lr_oracle()
+    # reuse the training chain: strip the final SELECT, keep the CTEs
+    train_ctes = lr[: lr.index("SELECT w.w0, w.w1, w.w2, w.w3,")]
+    return f"""{train_ctes.rstrip()},
+kept AS (
+  SELECT d.doc_id, d.lang,
+         len(list_filter(string_split_regex(d.text, '\\s+'), t -> t <> ''))
+           AS tokens
+  FROM documents d, w{_LR_EPOCHS} AS w
+  WHERE (w.w0 * 1.0
+         + w.w1 * (CAST(d.n_chars AS DOUBLE) / 500.0)
+         + w.w2 * (CAST(length(regexp_replace(d.text, '[\\w\\s]', '', 'g'))
+                        AS DOUBLE)
+                   / CAST(greatest(length(d.text), 1) AS DOUBLE))
+         + w.w3 * (CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                                        t -> t <> '')) AS DOUBLE) / 100.0)
+        ) >= 0
+), per_lang AS (
+  SELECT lang, CAST(SUM(tokens) AS BIGINT) AS lang_tokens
+  FROM kept GROUP BY lang
+), rates AS (
+  SELECT lang,
+         least(CAST(1.0 AS DOUBLE),
+               ((CAST(SUM(lang_tokens) OVER () AS DOUBLE) / 2.0)
+                / CAST(SUM(sqrt(CAST(lang_tokens AS DOUBLE))) OVER ()
+                       AS DOUBLE))
+               / sqrt(CAST(lang_tokens AS DOUBLE))) AS rate
+  FROM per_lang
+), sampled AS (
+  SELECT k.doc_id, k.lang, k.tokens
+  FROM kept k JOIN rates r ON k.lang = r.lang
+  WHERE CAST(CAST(('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))
+             AS INT) AS DOUBLE) < r.rate * 65536.0
+), sharded AS (
+  SELECT lang, tokens,
+         CAST(FLOOR(GREATEST(SUM(tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - 1, 0)
+                    / 3000) AS BIGINT) AS shard
+  FROM sampled
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
+@staged(
+    "q_curation_v2",
+    oracle=_curation_v2_oracle(),
+    description="Model-driven curation pipeline: 3-epoch GD training of "
+    "the quality classifier, model-gated filtering (keep z >= 0), "
+    "temperature-scaled language resampling of the survivors, and "
+    "token-budget shard assignment — training is 3 driver-side "
+    "aggregate rounds, everything after is ONE lazy plan over one "
+    "corpus scan; the oracle replays the entire chain (training CTEs, "
+    "score gate, tempered rates, md5-threshold membership, prefix-sum "
+    "shards) in a single SQL statement, bit-for-bit.",
+)
+def q_curation_v2(spark, sf_dir):
+    from clickbom_spark.ext.learn import dot, logreg_train_gd
+    from clickbom_spark.ext.ranks import shard_by_budget
+    from clickbom_spark.ext.text import punct_ratio, token_count
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    features = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars").cast("double") / F.lit(500.0)).alias("x1"),
+        punct_ratio(F.col("text")).alias("x2"),
+        (token_count(F.col("text")).cast("double") / F.lit(100.0)).alias(
+            "x3"
+        ),
+    ).persist()
+    try:
+        w = logreg_train_gd(
+            features, _LR_FEATS, "y", lr=_LR_RATE, epochs=_LR_EPOCHS
+        )[-1]
+    finally:
+        features.unpersist()
+    z = (
+        F.lit(w[0]) * F.lit(1.0)
+        + F.lit(w[1]) * (F.col("n_chars").cast("double") / F.lit(500.0))
+        + F.lit(w[2]) * punct_ratio(F.col("text"))
+        + F.lit(w[3])
+        * (token_count(F.col("text")).cast("double") / F.lit(100.0))
+    )
+    kept = docs.where(z >= 0).select(
+        "doc_id", "lang", token_count(F.col("text")).alias("tokens")
+    )
+    per_lang = kept.groupBy("lang").agg(
+        F.sum("tokens").cast("long").alias("lang_tokens")
+    )
+    wsp = Window.partitionBy()
+    budget = F.sum("lang_tokens").over(wsp).cast("double") / F.lit(2.0)
+    norm = F.sum(F.sqrt(F.col("lang_tokens").cast("double"))).over(wsp).cast(
+        "double"
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (budget / norm) / F.sqrt(F.col("lang_tokens").cast("double")),
+    )
+    rates = per_lang.select("lang", rate.alias("rate"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    sampled = kept.join(F.broadcast(rates), "lang").where(
+        h.cast("double") < F.col("rate") * F.lit(65536.0)
+    )
+    sharded = shard_by_budget(sampled, ["doc_id"], "tokens", budget=3000)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("long").alias("shard_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE segmentation (the encode step): apply the trained merge rules to
 # a corpus slice with the same greedy fold used in training.  The
 # oracle replays training via the proven separator-encoded replace
