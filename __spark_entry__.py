@@ -65,15 +65,19 @@ def _status_rank() -> dict[str, int]:
 
 
 # ROUND-6 NOTE: clickbom_spark/queries/staged.py holds a fully
-# oracle-parity-tested wave of 20 queries (tests/test_staged_parity.py
-# runs the exact driver comparison; strict_parity.py --staged sweeps
-# them under tz/partition variation).  Activate by appending to
-# queries/__init__.py:
+# verified wave of 28 queries — bit-exact vs DuckDB at sf0.001, 0.01
+# AND 0.1 (tests/test_staged_parity.py runs the exact driver
+# comparison; `python scripts/strict_parity.py --staged` sweeps them,
+# including under SPARK_GRAFT_TZ / SPARK_GRAFT_PARTS variation).
+# Activate by appending to queries/__init__.py:
 #     from clickbom_spark.queries import staged  # noqa: F401
 #     REGISTRY.update(staged.STAGED)
-# then drop the staged/live disjointness guard's expectation if names
-# were promoted wholesale.  Keep the wave size vs green-rotation
-# budget tradeoff in mind (VERDICT r4 item 1).
+# 28 new never-checked entries would consume 28 of the driver's 50
+# slots (leaving 22 for green rotation).  If rotation pressure
+# matters more, activate HALF the wave (REGISTRY.update over a name
+# slice) and leave the rest for r7 — every entry is independently
+# promotable; the staged/live disjointness guard in
+# tests/test_staged_parity.py flags any collision on promotion.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in
