@@ -152,6 +152,79 @@ def heavy_hitters(
     )
 
 
+def _mg_weighted_partition(k: int, col: str, weight_col: str):
+    """mapInPandas kernel: weighted Misra–Gries per partition, plus a
+    (NULL, total-weight) sentinel row."""
+
+    def run(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        w_part = 0
+        for pdf in batches:
+            grp = pdf.groupby(col, dropna=False, sort=False)[weight_col].sum()
+            w_part += int(pdf[weight_col].sum())
+            mg_ingest(counters, dict(grp.items()), k)
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()) + [None],
+                _PN: [0] * len(counters) + [w_part],
+            }
+        )
+
+    return run
+
+
+def heavy_hitters_weighted(
+    df: DataFrame, col: str, weight_col: str, k: int = 16
+) -> DataFrame:
+    """Exact weighted heavy hitters — ClickHouse ``topKWeighted``: the
+    values whose total weight exceeds W/k (W = total weight), exactly.
+
+    Identical scheme to :func:`heavy_hitters` with weights threaded
+    through the shared :func:`mg_ingest` kernel: any value with global
+    weight > W/k has partition weight > W_p/k somewhere (pigeonhole on
+    weights), so the per-partition MG candidates remain a superset and
+    the weighted recount restores exactness.  Weights must be
+    non-negative integers; null values and null/negative weights are
+    excluded.
+    """
+    if col in _RESERVED or weight_col in _RESERVED:
+        raise ValueError(
+            f"heavy_hitters_weighted columns may not be named {_RESERVED}"
+        )
+    w = F.col(weight_col).cast("long")
+    src = df.select(F.col(col).alias(col), w.alias(weight_col)).where(
+        F.col(col).isNotNull() & w.isNotNull() & (w >= 0)
+    )
+    val_field = src.schema.fields[0]
+    schema = StructType(
+        [StructField(val_field.name, val_field.dataType, True),
+         StructField(_PN, LongType(), False)]
+    )
+    rows = src.mapInPandas(
+        _mg_weighted_partition(k, col, weight_col), schema=schema
+    ).collect()
+    w_total = sum(r[_PN] for r in rows)
+    spark = df.sparkSession
+    cands = spark.createDataFrame(
+        [
+            (r[col] if r[col] is not None else float("nan"),)
+            for r in rows
+            if r[_PN] == 0
+        ],
+        StructType([StructField(val_field.name, val_field.dataType, True)]),
+    ).distinct()
+    counted = (
+        src.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.sum(weight_col).cast("long").alias("total_w"))
+    )
+    return counted.where(F.col("total_w") * k > F.lit(w_total)).select(
+        col, "total_w", F.lit(w_total).cast("long").alias("w_total")
+    )
+
+
 def _mg_grouped_partition(k: int, group_cols: list, col: str):
     """mapInPandas kernel: one Misra–Gries summary PER GROUP KEY seen in
     the partition (state ≤ groups-in-partition × k counters), plus one

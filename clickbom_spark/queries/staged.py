@@ -97,6 +97,46 @@ def q_heavy_hitters(spark, sf_dir):
 
 
 @staged(
+    "q_heavy_hitters_weighted",
+    oracle="""
+WITH toks AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS w
+  FROM documents WHERE lang IS NOT NULL
+), totals AS (
+  SELECT lang, CAST(SUM(w) AS BIGINT) AS total_w FROM toks GROUP BY lang
+), grand AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS W FROM toks
+)
+SELECT t.lang, t.total_w, g.W AS w_total
+FROM totals t, grand g
+WHERE t.total_w * 4 > g.W
+ORDER BY t.lang
+""",
+    description="Exact weighted heavy hitters — ClickHouse "
+    "topKWeighted (ext/sketches.py heavy_hitters_weighted): languages "
+    "whose TOKEN share exceeds W/4, via weighted per-partition "
+    "Misra–Gries summaries (pigeonhole on weights keeps candidates "
+    "complete) and a weighted recount — the token-mass twin of the "
+    "row-count heavy hitters.",
+)
+def q_heavy_hitters_weighted(spark, sf_dir):
+    from clickbom_spark.ext.sketches import heavy_hitters_weighted
+    from clickbom_spark.ext.text import token_count
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.where(F.col("lang").isNotNull()).select(
+        "lang", token_count(F.col("text")).cast("long").alias("w")
+    )
+    return (
+        heavy_hitters_weighted(toks, "lang", "w", k=4)
+        .select("lang", "total_w", "w_total")
+        .orderBy("lang")
+    )
+
+
+@staged(
     "q_heavy_hitters_by_group",
     oracle="""
 WITH counts AS (

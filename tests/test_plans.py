@@ -557,3 +557,22 @@ def test_cow_probe_pushes_predicate_to_scan(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln]
     assert pushed and ("LessThan" in pushed[0] or "id" in pushed[0]), plan
+
+
+@pytest.mark.parametrize("name", ["q_weighted_quantiles", "q_model_auc"])
+def test_prefix_sum_consumers_have_no_global_data_window(spark, name):
+    """Weighted quantiles and AUC rank via the bucketed prefix sum:
+    every running-sum window over data rows must be partitioned by the
+    value bucket; the only unpartitioned window is the O(buckets)
+    offsets frame."""
+    from clickbom_spark.queries.staged import STAGED
+
+    plan = STAGED[name].fn(spark, SF_CORRECT)._jdf.queryExecution(
+    ).executedPlan().toString()
+    win_lines = [ln for ln in plan.split("\n") if "windowspecdefinition" in ln]
+    assert win_lines, plan
+    # windows lacking a _bkt partition key may only be the offsets
+    # frame, which is fed by a SinglePartition exchange of the
+    # per-bucket aggregate (bounded rows) — identified by _val
+    for ln in win_lines:
+        assert "_bkt" in ln or "_val" in ln, ln

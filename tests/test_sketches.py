@@ -265,3 +265,38 @@ def test_grouped_heavy_hitters_exact_across_partitionings(spark):
     assert run(1) == exact
     assert run(7) == exact
     assert exact  # the fixture actually produces heavy hitters
+
+
+def test_weighted_heavy_hitters_exact_across_partitionings(spark):
+    """topKWeighted == the full weighted groupBy answer at the W/k
+    cutoff, under any partitioning, with zero-weight rows inert."""
+    import random
+
+    from clickbom_spark.ext.sketches import heavy_hitters_weighted
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(4000):
+        v = f"v{min(int(rng.paretovariate(1.2)), 40)}"
+        rows.append((v, rng.randrange(0, 7)))
+    df = spark.createDataFrame(rows, "v string, w int")
+
+    totals: dict = {}
+    for v, w in rows:
+        totals[v] = totals.get(v, 0) + w
+    W = sum(totals.values())
+    exact = {
+        v: (tw, W) for v, tw in totals.items() if tw * 8 > W
+    }
+    assert exact
+
+    def run(parts):
+        return {
+            r["v"]: (r["total_w"], r["w_total"])
+            for r in heavy_hitters_weighted(
+                df.repartition(parts), "v", "w", k=8
+            ).collect()
+        }
+
+    assert run(1) == exact
+    assert run(11) == exact
