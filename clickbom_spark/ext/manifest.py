@@ -470,3 +470,84 @@ def streaming_epoch_sink(lake: VersionedLake, key_cols: list[str]):
         _write_json_atomic(mp, m)
 
     return body
+
+
+def commit_with_stats(
+    lake: VersionedLake, stat_cols: list[str]
+) -> int:
+    """Re-commit the current snapshot with per-file min/max zone maps
+    for ``stat_cols`` embedded in the manifest (the Iceberg/Delta
+    file-statistics idea): one scan computes each live file's column
+    ranges, and subsequent :func:`read_pruned` calls skip files from
+    METADATA alone — no listing, no footer reads, no scan of the
+    skipped files.
+    """
+    spark = lake.spark
+    files = lake._files()
+    df = spark.read.parquet(*files).withColumn("_f", F.input_file_name())
+    aggs = []
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    rows = df.groupBy("_f").agg(*aggs).collect()
+    stats = {}
+    for r in rows:
+        name = os.path.relpath(
+            r["_f"].replace("file://", "").replace("file:", ""), lake.path
+        )
+        stats[name] = {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stat_cols
+        }
+    v = lake.current_version() + 1
+    m = lake._manifest()
+    _write_json_atomic(
+        os.path.join(_mdir(lake.path), f"v{v}.json"),
+        {
+            "version": v,
+            "files": m["files"],
+            "n_rows": m["n_rows"],
+            "message": "stats",
+            "stats": stats,
+        },
+    )
+    tmp = os.path.join(_mdir(lake.path), f".cur-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(_mdir(lake.path), "CURRENT"))
+    return v
+
+
+def read_pruned(
+    lake: VersionedLake,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Manifest-stats file skipping: read only the files whose
+    [min, max] range for ``col`` intersects [lo, hi].  Returns
+    (frame, n_files_total, n_files_read).  Falls back to all files
+    when the snapshot carries no stats for ``col`` (correctness never
+    depends on pruning).  The returned frame still carries the
+    predicate nowhere — callers apply their own filter; pruning is a
+    superset guarantee, exactly like parquet row-group zone maps.
+    """
+    m = lake._manifest(version)
+    files = m["files"]
+    stats = m.get("stats", {})
+    keep = []
+    for f in files:
+        rng = stats.get(f, {}).get(col)
+        if rng is None or rng[0] is None:
+            keep.append(f)  # no stats → cannot skip
+        elif not (rng[1] < lo or rng[0] > hi):
+            keep.append(f)
+    paths = [os.path.join(lake.path, f) for f in keep]
+    if not paths:
+        # empty intersection: an empty frame with the table schema
+        all_paths = [os.path.join(lake.path, f) for f in files]
+        return (
+            lake.spark.read.parquet(*all_paths).where(F.lit(False)),
+            len(files),
+            0,
+        )
+    return lake.spark.read.parquet(*paths), len(files), len(keep)

@@ -364,3 +364,41 @@ def test_lake_model_based_random_mutation_sequence(spark, tmp_path):
         assert got_t["delete"] == expect_del, (a, b)
         assert got_t["update_pre"] == expect_upd, (a, b)
         assert got_t["update_post"] == expect_upd, (a, b)
+
+
+def test_manifest_zone_maps_prune_files_without_losing_rows(spark, tmp_path):
+    """read_pruned must read a strict file subset for a selective range
+    (metadata-only skipping) while returning exactly the rows a full
+    scan + filter would."""
+    from clickbom_spark.ext.manifest import commit_with_stats, read_pruned
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 9).alias("grp")
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "zm"), df, n_files=1)
+    # range-partition into files with tight, disjoint id ranges
+    lake.spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # rewrite as 8 range files (compact-like relayout)
+    new_files = lake._write_new(
+        lake.read().repartitionByRange(8, "id").sortWithinPartitions("id")
+    )
+    lake._commit(new_files, 1000, "relayout")
+    commit_with_stats(lake, ["id"])
+
+    out, n_total, n_read = read_pruned(lake, "id", 100, 199)
+    assert n_read < n_total, (n_read, n_total)
+    got = sorted(
+        r["id"] for r in out.where(F.col("id").between(100, 199)).collect()
+    )
+    assert got == list(range(100, 200))
+
+    # disjoint range: zero files read, empty result, schema intact
+    out2, _, n_read2 = read_pruned(lake, "id", 5000, 6000)
+    assert n_read2 == 0 and out2.count() == 0
+    assert out2.columns == ["id", "grp"]
+
+    # stats-free snapshot falls back to reading everything (correct,
+    # just unpruned)
+    out3, n_total3, n_read3 = read_pruned(lake, "id", 100, 199, version=1)
+    assert n_read3 == n_total3
+    assert out3.where(F.col("id").between(100, 199)).count() == 100
