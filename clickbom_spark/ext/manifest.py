@@ -75,14 +75,39 @@ class VersionedLake:
 
     def _commit(self, files: list[str], n_rows: int, message: str) -> int:
         v = self.current_version() + 1
+        rel = sorted(os.path.relpath(f, self.path) for f in files)
+        payload = {
+            "version": v,
+            "files": rel,
+            "n_rows": n_rows,
+            "message": message,
+        }
+        # incremental zone-map maintenance: if the PREVIOUS snapshot
+        # carried stats, carry untouched files' entries forward and
+        # compute stats only for files new to this snapshot — so the
+        # metadata-skipping property survives every mutation at the
+        # cost of scanning just the rewritten subset
+        try:
+            prev = self._manifest()
+        except (ValueError, FileNotFoundError):
+            prev = None
+        if prev and prev.get("stats"):
+            prev_stats = prev["stats"]
+            stat_cols = sorted(next(iter(prev_stats.values())).keys())
+            carried = {f: prev_stats[f] for f in rel if f in prev_stats}
+            fresh = [f for f in rel if f not in prev_stats]
+            if fresh:
+                carried.update(
+                    _file_stats(
+                        self.spark,
+                        [os.path.join(self.path, f) for f in fresh],
+                        self.path,
+                        stat_cols,
+                    )
+                )
+            payload["stats"] = carried
         _write_json_atomic(
-            os.path.join(_mdir(self.path), f"v{v}.json"),
-            {
-                "version": v,
-                "files": sorted(os.path.relpath(f, self.path) for f in files),
-                "n_rows": n_rows,
-                "message": message,
-            },
+            os.path.join(_mdir(self.path), f"v{v}.json"), payload
         )
         _write_json_atomic(  # single-file content swap: atomic publish
             os.path.join(_mdir(self.path), "CURRENT.json"), {"v": v}
@@ -472,6 +497,22 @@ def streaming_epoch_sink(lake: VersionedLake, key_cols: list[str]):
     return body
 
 
+def _file_stats(spark, paths, root, stat_cols):
+    """Per-file min/max ranges for ``stat_cols`` over ``paths``."""
+    df = spark.read.parquet(*paths).withColumn("_f", F.input_file_name())
+    aggs = []
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    rows = df.groupBy("_f").agg(*aggs).collect()
+    stats = {}
+    for r in rows:
+        name = os.path.relpath(
+            r["_f"].replace("file://", "").replace("file:", ""), root
+        )
+        stats[name] = {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stat_cols}
+    return stats
+
+
 def commit_with_stats(
     lake: VersionedLake, stat_cols: list[str]
 ) -> int:
@@ -482,21 +523,7 @@ def commit_with_stats(
     METADATA alone — no listing, no footer reads, no scan of the
     skipped files.
     """
-    spark = lake.spark
-    files = lake._files()
-    df = spark.read.parquet(*files).withColumn("_f", F.input_file_name())
-    aggs = []
-    for c in stat_cols:
-        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-    rows = df.groupBy("_f").agg(*aggs).collect()
-    stats = {}
-    for r in rows:
-        name = os.path.relpath(
-            r["_f"].replace("file://", "").replace("file:", ""), lake.path
-        )
-        stats[name] = {
-            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stat_cols
-        }
+    stats = _file_stats(lake.spark, lake._files(), lake.path, stat_cols)
     v = lake.current_version() + 1
     m = lake._manifest()
     _write_json_atomic(

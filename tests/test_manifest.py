@@ -402,3 +402,38 @@ def test_manifest_zone_maps_prune_files_without_losing_rows(spark, tmp_path):
     out3, n_total3, n_read3 = read_pruned(lake, "id", 100, 199, version=1)
     assert n_read3 == n_total3
     assert out3.where(F.col("id").between(100, 199)).count() == 100
+
+
+def test_zone_maps_survive_mutations_incrementally(spark, tmp_path):
+    """After commit_with_stats, every later mutation commit carries
+    untouched files' stats forward verbatim and adds fresh stats for
+    its new files — pruned reads keep working on the mutated lake."""
+    from clickbom_spark.ext.manifest import commit_with_stats, read_pruned
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 9).alias("grp"))
+    lake = VersionedLake.create(spark, str(tmp_path / "zmi"), df, n_files=1)
+    new_files = lake._write_new(
+        lake.read().repartitionByRange(8, "id").sortWithinPartitions("id")
+    )
+    lake._commit(new_files, 1000, "relayout")
+    commit_with_stats(lake, ["id"])
+    stats_v = lake._manifest()["stats"]
+
+    lake.update(F.col("id") < 60, {"grp": F.lit(99).cast("long")})
+    m = lake._manifest()
+    assert "stats" in m
+    carried = {
+        f: st for f, st in m["stats"].items() if f in stats_v
+    }
+    assert carried and all(stats_v[f] == st for f, st in carried.items())
+    fresh = set(m["stats"]) - set(stats_v)
+    assert fresh  # rewritten subset got new stats
+
+    out, n_total, n_read = read_pruned(lake, "id", 500, 599)
+    assert n_read < n_total
+    assert (
+        out.where(F.col("id").between(500, 599)).count() == 100
+    )
+    # the mutated region is found through the fresh files' stats too
+    out2, _, _ = read_pruned(lake, "id", 0, 59)
+    assert out2.where(F.col("grp") == 99).count() == 60
