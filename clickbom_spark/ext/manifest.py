@@ -578,3 +578,136 @@ def read_pruned(
             0,
         )
     return lake.spark.read.parquet(*paths), len(files), len(keep)
+
+
+_BLOOM_BITS = 4096
+_BLOOM_HASHES = 3
+
+
+def _bloom_positions_expr(col: str):
+    """The k md5-derived bit positions of a value — pure expressions,
+    portable (same construction recomputes anywhere)."""
+    out = []
+    for i in range(_BLOOM_HASHES):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"b{i}#"), F.col(col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out.append(F.pmod(h, F.lit(_BLOOM_BITS)))
+    return out
+
+
+def _bloom_positions_py(value) -> list[int]:
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"b{i}#{value}".encode()).hexdigest()[:8], 16
+        )
+        % _BLOOM_BITS
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+def commit_with_blooms(lake: VersionedLake, col: str) -> int:
+    """Re-commit the current snapshot with a per-file Bloom filter over
+    ``col`` in the manifest — the point-lookup complement of the
+    min/max zone maps (a uniformly scattered key defeats ranges but
+    not membership bits).
+
+    Built distributively: each value contributes k md5-derived bit
+    positions; positions fold into 64-bit words via ``bit_or`` per
+    (file, word) — at most bits/64 rows per file ever reach the
+    driver, regardless of file size.  Serialized as hex words in the
+    manifest; mutations carry untouched files' blooms forward through
+    the same incremental path as the zone maps.
+    """
+    spark = lake.spark
+    files = lake._files()
+    df = spark.read.parquet(*files).select(
+        F.input_file_name().alias("_f"), F.col(col)
+    ).where(F.col(col).isNotNull())
+    pos = F.explode(F.array(*_bloom_positions_expr(col))).alias("_p")
+    words = (
+        df.select("_f", pos)
+        .select(
+            "_f",
+            (F.col("_p") / 64).cast("int").alias("_w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pmod(_p, 64) as int))"
+            ).alias("_b"),
+        )
+        .groupBy("_f", "_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+        .collect()
+    )
+    blooms: dict = {}
+    for r in words:
+        name = os.path.relpath(
+            r["_f"].replace("file://", "").replace("file:", ""), lake.path
+        )
+        blooms.setdefault(name, {})[int(r["_w"])] = int(r["_bits"])
+    m = lake._manifest()
+    v = lake.current_version() + 1
+    payload = dict(m)
+    payload["version"] = v
+    payload["message"] = "blooms"
+    payload["blooms"] = {
+        "col": col,
+        "bits": _BLOOM_BITS,
+        "hashes": _BLOOM_HASHES,
+        "files": {
+            f: {str(w): format(b & ((1 << 64) - 1), "x") for w, b in ws.items()}
+            for f, ws in blooms.items()
+        },
+    }
+    _write_json_atomic(os.path.join(_mdir(lake.path), f"v{v}.json"), payload)
+    tmp = os.path.join(_mdir(lake.path), f".cur-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(_mdir(lake.path), "CURRENT"))
+    return v
+
+
+def read_pruned_point(
+    lake: VersionedLake, value, version: int | None = None
+):
+    """Bloom-pruned point read: keep only files whose Bloom filter has
+    ALL k bits of ``value`` set (files without a bloom are kept — the
+    filter may only skip, never lose).  Returns
+    (frame, n_files_total, n_files_read)."""
+    m = lake._manifest(version)
+    files = m["files"]
+    bl = m.get("blooms")
+    if not bl:
+        paths = [os.path.join(lake.path, f) for f in files]
+        return lake.spark.read.parquet(*paths), len(files), len(files)
+    positions = _bloom_positions_py(value)
+    keep = []
+    for f in files:
+        ws = bl["files"].get(f)
+        if ws is None:
+            keep.append(f)
+            continue
+        ok = True
+        for p in positions:
+            word = ws.get(str(p // 64))
+            if word is None or not (int(word, 16) >> (p % 64)) & 1:
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+    if not keep:
+        all_paths = [os.path.join(lake.path, f) for f in files]
+        return (
+            lake.spark.read.parquet(*all_paths).where(F.lit(False)),
+            len(files),
+            0,
+        )
+    paths = [os.path.join(lake.path, f) for f in keep]
+    return lake.spark.read.parquet(*paths), len(files), len(keep)

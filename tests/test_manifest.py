@@ -437,3 +437,52 @@ def test_zone_maps_survive_mutations_incrementally(spark, tmp_path):
     # the mutated region is found through the fresh files' stats too
     out2, _, _ = read_pruned(lake, "id", 0, 59)
     assert out2.where(F.col("grp") == 99).count() == 60
+
+
+def test_manifest_blooms_match_python_model_and_skip_files(spark, tmp_path):
+    """The distributed bit_or bloom construction must equal a python
+    reference bloom per file, present keys must always be found, and
+    absent keys must skip (nearly) all files even under a hash-
+    scattered layout where min/max ranges cannot prune."""
+    from clickbom_spark.ext.manifest import (
+        _bloom_positions_py,
+        commit_with_blooms,
+        read_pruned_point,
+    )
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 9).alias("grp"))
+    lake = VersionedLake.create(spark, str(tmp_path / "bl"), df, n_files=1)
+    # hash-scattered relayout: every file spans the whole id range
+    new_files = lake._write_new(lake.read().repartition(8, "grp"))
+    lake._commit(new_files, 1000, "scatter")
+    commit_with_blooms(lake, "id")
+
+    # the stored blooms equal a per-file python reference model
+    m = lake._manifest()
+    import os as _os
+
+    for f, ws in m["blooms"]["files"].items():
+        ids = [
+            r["id"]
+            for r in spark.read.parquet(
+                _os.path.join(lake.path, f)
+            ).collect()
+        ]
+        ref: dict = {}
+        for i in ids:
+            for p in _bloom_positions_py(i):
+                ref[p // 64] = ref.get(p // 64, 0) | (1 << (p % 64))
+        got = {int(w): int(h, 16) for w, h in ws.items()}
+        assert got == ref, f
+
+    # present keys: always found
+    for key in (0, 123, 999):
+        out, n_total, n_read = read_pruned_point(lake, key)
+        assert out.where(F.col("id") == key).count() == 1
+        assert n_read <= n_total
+    # absent keys: typically zero files survive (allow rare fp)
+    reads = []
+    for key in range(2000, 2030):
+        _, n_total, n_read = read_pruned_point(lake, key)
+        reads.append(n_read)
+    assert sum(reads) <= 2, reads  # ~all 30 probes skip all 8 files
