@@ -106,6 +106,27 @@ class VersionedLake:
                     )
                 )
             payload["stats"] = carried
+        if prev and prev.get("blooms"):
+            pb = prev["blooms"]
+            carried_b = {
+                f: pb["files"][f] for f in rel if f in pb["files"]
+            }
+            fresh_b = [f for f in rel if f not in pb["files"]]
+            if fresh_b:
+                carried_b.update(
+                    _file_blooms(
+                        self.spark,
+                        [os.path.join(self.path, f) for f in fresh_b],
+                        self.path,
+                        pb["col"],
+                    )
+                )
+            payload["blooms"] = {
+                "col": pb["col"],
+                "bits": pb["bits"],
+                "hashes": pb["hashes"],
+                "files": carried_b,
+            }
         _write_json_atomic(
             os.path.join(_mdir(self.path), f"v{v}.json"), payload
         )
@@ -614,22 +635,10 @@ def _bloom_positions_py(value) -> list[int]:
     ]
 
 
-def commit_with_blooms(lake: VersionedLake, col: str) -> int:
-    """Re-commit the current snapshot with a per-file Bloom filter over
-    ``col`` in the manifest — the point-lookup complement of the
-    min/max zone maps (a uniformly scattered key defeats ranges but
-    not membership bits).
-
-    Built distributively: each value contributes k md5-derived bit
-    positions; positions fold into 64-bit words via ``bit_or`` per
-    (file, word) — at most bits/64 rows per file ever reach the
-    driver, regardless of file size.  Serialized as hex words in the
-    manifest; mutations carry untouched files' blooms forward through
-    the same incremental path as the zone maps.
-    """
-    spark = lake.spark
-    files = lake._files()
-    df = spark.read.parquet(*files).select(
+def _file_blooms(spark, paths, root, col) -> dict:
+    """Per-file Bloom word maps (hex-encoded) for ``col`` over
+    ``paths`` — the distributed bit_or construction."""
+    df = spark.read.parquet(*paths).select(
         F.input_file_name().alias("_f"), F.col(col)
     ).where(F.col(col).isNotNull())
     pos = F.explode(F.array(*_bloom_positions_expr(col))).alias("_p")
@@ -649,9 +658,27 @@ def commit_with_blooms(lake: VersionedLake, col: str) -> int:
     blooms: dict = {}
     for r in words:
         name = os.path.relpath(
-            r["_f"].replace("file://", "").replace("file:", ""), lake.path
+            r["_f"].replace("file://", "").replace("file:", ""), root
         )
-        blooms.setdefault(name, {})[int(r["_w"])] = int(r["_bits"])
+        blooms.setdefault(name, {})[str(int(r["_w"]))] = format(
+            int(r["_bits"]) & ((1 << 64) - 1), "x"
+        )
+    return blooms
+
+
+def commit_with_blooms(lake: VersionedLake, col: str) -> int:
+    """Re-commit the current snapshot with a per-file Bloom filter over
+    ``col`` in the manifest — the point-lookup complement of the
+    min/max zone maps (a uniformly scattered key defeats ranges but
+    not membership bits).
+
+    Built distributively: each value contributes k md5-derived bit
+    positions; positions fold into 64-bit words via ``bit_or`` per
+    (file, word) — at most bits/64 rows per file ever reach the
+    driver, regardless of file size.  Serialized as hex words in the
+    manifest; mutations carry untouched files' blooms forward through
+    the same incremental path as the zone maps.
+    """
     m = lake._manifest()
     v = lake.current_version() + 1
     payload = dict(m)
@@ -661,10 +688,7 @@ def commit_with_blooms(lake: VersionedLake, col: str) -> int:
         "col": col,
         "bits": _BLOOM_BITS,
         "hashes": _BLOOM_HASHES,
-        "files": {
-            f: {str(w): format(b & ((1 << 64) - 1), "x") for w, b in ws.items()}
-            for f, ws in blooms.items()
-        },
+        "files": _file_blooms(lake.spark, lake._files(), lake.path, col),
     }
     _write_json_atomic(os.path.join(_mdir(lake.path), f"v{v}.json"), payload)
     tmp = os.path.join(_mdir(lake.path), f".cur-{uuid.uuid4().hex[:8]}")

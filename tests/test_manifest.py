@@ -486,3 +486,41 @@ def test_manifest_blooms_match_python_model_and_skip_files(spark, tmp_path):
         _, n_total, n_read = read_pruned_point(lake, key)
         reads.append(n_read)
     assert sum(reads) <= 2, reads  # ~all 30 probes skip all 8 files
+
+
+def test_blooms_survive_mutations_incrementally(spark, tmp_path):
+    """After commit_with_blooms, mutation commits carry untouched
+    files' blooms forward verbatim and rebuild only the fresh files' —
+    point-lookup skipping keeps working on the mutated lake."""
+    from clickbom_spark.ext.manifest import (
+        commit_with_blooms,
+        read_pruned_point,
+    )
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 9).alias("grp"))
+    lake = VersionedLake.create(spark, str(tmp_path / "bli"), df, n_files=1)
+    new_files = lake._write_new(
+        lake.read().repartitionByRange(8, "id").sortWithinPartitions("id")
+    )
+    lake._commit(new_files, 1000, "relayout")
+    commit_with_blooms(lake, "id")
+    before = lake._manifest()["blooms"]["files"]
+
+    lake.upsert(
+        spark.createDataFrame(
+            [(5000, 1, 1), (17, 0, 1)], "id long, grp long, val long"
+        ).select("id", "grp"),
+        ["id"],
+    )
+    m = lake._manifest()
+    assert "blooms" in m
+    carried = {f: b for f, b in m["blooms"]["files"].items() if f in before}
+    assert carried and all(before[f] == b for f, b in carried.items())
+    assert set(m["blooms"]["files"]) - set(before)  # fresh files rebuilt
+
+    out, n_total, n_read = read_pruned_point(lake, 5000)
+    assert out.where(F.col("id") == 5000).count() == 1
+    out17, _, _ = read_pruned_point(lake, 17)
+    assert out17.where(F.col("id") == 17).count() == 1
+    _, _, n_absent = read_pruned_point(lake, 999999)
+    assert n_absent <= 1
