@@ -91,6 +91,8 @@ class VersionedLake:
             prev = self._manifest()
         except (ValueError, FileNotFoundError):
             prev = None
+        if prev and prev.get("schema_extras"):
+            payload["schema_extras"] = prev["schema_extras"]
         if prev and prev.get("stats"):
             prev_stats = prev["stats"]
             stat_cols = sorted(next(iter(prev_stats.values())).keys())
@@ -170,8 +172,40 @@ class VersionedLake:
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read — time travel with ``version``; always resolves
         an explicit immutable file list, so a concurrent commit cannot
-        shift the data underneath a running query."""
-        return self.spark.read.parquet(*self._files(version))
+        shift the data underneath a running query.  Columns added via
+        :func:`add_column` surface with their default on files written
+        before the evolution (mergeSchema + coalesce)."""
+        m = self._manifest(version)
+        paths = [os.path.join(self.path, f) for f in m["files"]]
+        extras = m.get("schema_extras", {})
+        if not extras:
+            return self.spark.read.parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for name, default in extras.items():
+            if name in df.columns:
+                df = df.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(default))
+                )
+            else:
+                df = df.withColumn(name, F.lit(default))
+        return df
+
+    def _read_files(self, paths, version: int | None = None) -> DataFrame:
+        """Read specific data files under the CURRENT logical schema:
+        mergeSchema plus the add_column defaults, so mutation rewrites
+        preserve evolved columns physically for the files they write."""
+        extras = self._manifest(version).get("schema_extras", {})
+        if not extras:
+            return self.spark.read.parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for name, default in extras.items():
+            if name in df.columns:
+                df = df.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(default))
+                )
+            else:
+                df = df.withColumn(name, F.lit(default))
+        return df
 
     def history(self) -> list[dict]:
         out = []
@@ -213,7 +247,7 @@ class VersionedLake:
     ) -> int:
         """UPDATE … WHERE …; returns the new version."""
         files = self._files()
-        df = self.spark.read.parquet(*files)
+        df = self._read_files(files)
         probe = (
             df.withColumn("_f", F.input_file_name())
             .where(predicate)
@@ -225,7 +259,7 @@ class VersionedLake:
         untouched = [f for f in files if f not in affected]
         new_files = []
         if affected:
-            sub = self.spark.read.parquet(*sorted(affected))
+            sub = self._read_files(sorted(affected))
             out = sub
             for col, expr in assignments.items():
                 out = out.withColumn(
@@ -238,7 +272,7 @@ class VersionedLake:
 
     def delete(self, predicate: Column) -> int:
         files = self._files()
-        df = self.spark.read.parquet(*files)
+        df = self._read_files(files)
         probe = (
             df.withColumn("_f", F.input_file_name())
             .where(predicate)
@@ -250,7 +284,7 @@ class VersionedLake:
         untouched = [f for f in files if f not in affected]
         new_files = []
         if affected:
-            sub = self.spark.read.parquet(*sorted(affected))
+            sub = self._read_files(sorted(affected))
             new_files = self._write_new(sub.where(~predicate))
         live = untouched + new_files
         n = self.spark.read.parquet(*live).count() if live else 0
@@ -264,7 +298,7 @@ class VersionedLake:
             raise ValueError("upsert: duplicate keys in change set")
         key_frame = keys.drop("_n")
         files = self._files()
-        lake = self.spark.read.parquet(*files)
+        lake = self._read_files(files)
         probe = (
             lake.withColumn("_f", F.input_file_name())
             .join(F.broadcast(key_frame), key_cols, "left_semi")
@@ -276,7 +310,7 @@ class VersionedLake:
         untouched = [f for f in files if f not in affected]
         cols = lake.columns
         if affected:
-            sub = self.spark.read.parquet(*sorted(affected))
+            sub = self._read_files(sorted(affected))
             out = (
                 sub.join(F.broadcast(key_frame), key_cols, "left_anti")
                 .select(*cols)
@@ -735,3 +769,66 @@ def read_pruned_point(
         )
     paths = [os.path.join(lake.path, f) for f in keep]
     return lake.spark.read.parquet(*paths), len(files), len(keep)
+
+
+def read_pruned_multi(
+    lake: VersionedLake,
+    ranges: dict,
+    version: int | None = None,
+):
+    """Multi-column zone-map pruning: keep files whose stats intersect
+    EVERY ``col: (lo, hi)`` range (conjunctive predicates prune with
+    the intersection of each column's survivors).  Missing stats for a
+    column keep the file — superset guarantee as always.  Returns
+    (frame, n_files_total, n_files_read)."""
+    m = lake._manifest(version)
+    files = m["files"]
+    stats = m.get("stats", {})
+    keep = []
+    for f in files:
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            rng = stats.get(f, {}).get(c)
+            if rng is None or rng[0] is None:
+                continue
+            if rng[1] < lo or rng[0] > hi:
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+    if not keep:
+        all_paths = [os.path.join(lake.path, f) for f in files]
+        return (
+            lake.spark.read.parquet(*all_paths).where(F.lit(False)),
+            len(files),
+            0,
+        )
+    paths = [os.path.join(lake.path, f) for f in keep]
+    return lake.spark.read.parquet(*paths), len(files), len(keep)
+
+
+def add_column(lake: VersionedLake, name: str, default) -> int:
+    """Schema evolution without rewriting a single data file: record
+    the new column and its default in the manifest; snapshot reads
+    apply the default for files written before the column existed
+    (:meth:`VersionedLake.read` consults ``schema_extras``).  Rows
+    written AFTER the evolution carry real values; old files never
+    change — the add-column semantics of a real table format (and of
+    the reference's own ALTER TABLE ... ADD COLUMN source DEFAULT
+    'unknown', entrypoint.sh:130-161)."""
+    m = lake._manifest()
+    extras = dict(m.get("schema_extras", {}))
+    if name in extras:
+        raise ValueError(f"column {name} already added")
+    extras[name] = default
+    v = lake.current_version() + 1
+    payload = dict(m)
+    payload["version"] = v
+    payload["message"] = f"add-column-{name}"
+    payload["schema_extras"] = extras
+    _write_json_atomic(os.path.join(_mdir(lake.path), f"v{v}.json"), payload)
+    tmp = os.path.join(_mdir(lake.path), f".cur-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(_mdir(lake.path), "CURRENT"))
+    return v

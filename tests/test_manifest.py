@@ -524,3 +524,74 @@ def test_blooms_survive_mutations_incrementally(spark, tmp_path):
     assert out17.where(F.col("id") == 17).count() == 1
     _, _, n_absent = read_pruned_point(lake, 999999)
     assert n_absent <= 1
+
+
+def test_add_column_evolution_without_rewrites(spark, tmp_path):
+    """add_column changes NO data file: old snapshots are unaffected,
+    reads surface the default for pre-evolution files, post-evolution
+    writes carry real values, and mutations preserve them."""
+    from clickbom_spark.ext.manifest import add_column
+
+    lake = _mk(spark, tmp_path, n=100)
+    files_before = set(lake._manifest()["files"])
+    add_column(lake, "quality", 0.5)
+    assert set(lake._manifest()["files"]) == files_before  # zero rewrites
+
+    cur = lake.read()
+    assert "quality" in cur.columns
+    assert cur.where(F.col("quality") == 0.5).count() == 100
+    # pre-evolution snapshot is untouched
+    assert "quality" not in lake.read(0).columns
+
+    # new rows carry real values through upsert
+    lake.upsert(
+        spark.createDataFrame(
+            [(500, 1, 2.0, 0.9)],
+            "id long, grp long, val double, quality double",
+        ),
+        ["id"],
+    )
+    got = {
+        r["id"]: r["quality"] for r in lake.read().collect()
+    }
+    assert got[500] == 0.9
+    assert got[1] == 0.5  # old rows keep the default
+
+    # an update touching old files keeps the evolved column intact
+    lake.update(F.col("id") < 10, {"val": F.lit(-1.0)})
+    got2 = {r["id"]: r["quality"] for r in lake.read().collect()}
+    assert got2[500] == 0.9 and got2[5] == 0.5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="already added"):
+        add_column(lake, "quality", 1.0)
+
+
+def test_multi_column_pruning_intersects_ranges(spark, tmp_path):
+    from clickbom_spark.ext.manifest import (
+        commit_with_stats,
+        read_pruned_multi,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3).alias("b")
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "mc"), df, n_files=1)
+    new_files = lake._write_new(
+        lake.read().repartitionByRange(8, "id").sortWithinPartitions("id")
+    )
+    lake._commit(new_files, 1000, "relayout")
+    commit_with_stats(lake, ["id", "b"])
+
+    out, n_total, n_read = read_pruned_multi(
+        lake, {"id": (100, 199), "b": (300, 597)}
+    )
+    assert n_read < n_total
+    rows = out.where(
+        F.col("id").between(100, 199) & F.col("b").between(300, 597)
+    ).count()
+    assert rows == 100  # ids 100..199 all satisfy b = 3*id in [300, 597]
+    # contradictory conjunction: nothing survives
+    _, _, n0 = read_pruned_multi(lake, {"id": (0, 50), "b": (900, 999)})
+    assert n0 == 0
