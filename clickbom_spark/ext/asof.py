@@ -34,11 +34,22 @@ def asof_join(
     ts_col: str = "ts",
     right_payload: list[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``<payload>{suffix}``
     columns (and ``{ts_col}{suffix}``) from the latest right row with
     ``right.{ts_col} <= left.{ts_col}`` sharing the ``by`` keys; null
-    when no prior right row exists."""
+    when no prior right row exists.
+
+    ``direction`` (pandas merge_asof parity): "backward" (default)
+    matches the latest right row at-or-before; "forward" the earliest
+    right row at-or-after — same union+window shape with the sort
+    reversed.  ``tolerance_us``: maximum staleness in microseconds
+    (for timestamp ``ts_col``) or in the column's own units (numeric
+    ``ts_col``); a match farther away resolves to null, exactly like
+    merge_asof's tolerance.  Both knobs are post-window expressions —
+    the plan stays one shuffle + one in-partition sort."""
     right_payload = right_payload or [
         c for c in right.columns if c not in by and c != ts_col
     ]
@@ -63,15 +74,30 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_rp"].dataType).alias("_rp"),
     )
-    # at equal ts, side 0 (right) sorts first so ties match (<=)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    # at equal ts, side 0 (right) sorts first so ties match (<= / >=)
+    order_ts = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy("_ts", "_side")
+        .orderBy(order_ts, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r, allowMissingColumns=False).withColumn(
         "_asof", F.last("_rp", ignorenulls=True).over(w)
     )
-    return carried.where(F.col("_side") == 1).select(
-        *left_cols, F.col("_asof.*")
-    )
+    match = F.col("_asof")
+    if tolerance_us is not None:
+        m_ts = F.col(f"_asof.{ts_col}{suffix}")
+        ts_type = dict(zip(left.columns, left.schema.fields))[
+            ts_col
+        ].dataType.typeName()
+        if ts_type.startswith("timestamp"):
+            fwd = F.timestamp_diff("MICROSECOND", F.col("_ts"), m_ts)
+        else:
+            fwd = (m_ts - F.col("_ts")).cast("long")
+        staleness = -fwd if direction == "backward" else fwd
+        match = F.when(staleness <= F.lit(tolerance_us), match)
+    return carried.where(F.col("_side") == 1).withColumn(
+        "_asof", match
+    ).select(*left_cols, F.col("_asof.*"))

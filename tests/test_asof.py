@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from clickbom_spark.ext.asof import asof_join
 
 
@@ -55,3 +57,74 @@ def test_asof_join_preserves_left_rowcount(spark):
         clicks, views, by=["user_id"], right_payload=["event_id", "value"]
     )
     assert out.count() == clicks.count()
+
+
+def test_asof_direction_and_tolerance_match_bruteforce(spark):
+    """backward/forward with and without tolerance == a brute-force
+    reference on random keyed series (ties included, numeric ts)."""
+    import random
+
+    from clickbom_spark.ext.asof import asof_join
+
+    rng = random.Random(21)
+    lefts, rights = [], []
+    for k in ("a", "b"):
+        for i in range(60):
+            lefts.append((k, rng.randrange(0, 500)))
+        for i in range(40):
+            rights.append((k, rng.randrange(0, 500), rng.randrange(0, 1000)))
+    ldf = spark.createDataFrame(lefts, "k string, ts long")
+    rdf = spark.createDataFrame(rights, "k string, ts long, v long")
+
+    def ref(direction, tol):
+        out = {}
+        for idx, (k, t) in enumerate(lefts):
+            cands = [
+                (rt, v)
+                for (rk, rt, v) in rights
+                if rk == k
+                and (rt <= t if direction == "backward" else rt >= t)
+            ]
+            if direction == "backward":
+                cands.sort(key=lambda x: (x[0],))
+                best = cands[-1] if cands else None
+            else:
+                cands.sort(key=lambda x: (x[0],))
+                best = cands[0] if cands else None
+            if best is not None and tol is not None:
+                if abs(best[0] - t) > tol:
+                    best = None
+            out[idx] = best
+        return out
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 30):
+            got = asof_join(
+                ldf.withColumn("idx", F.monotonically_increasing_id()),
+                rdf,
+                ["k"],
+                ts_col="ts",
+                direction=direction,
+                tolerance_us=tol,
+            ).collect()
+            # map result rows back to left rows by (k, ts) multiset is
+            # ambiguous under duplicates — use idx instead
+            by_row = {
+                (r["k"], r["ts"], r["idx"]): (r["ts_r"], r["v_r"])
+                for r in got
+            }
+            # rebuild idx mapping deterministically
+            ldf2 = ldf.withColumn("idx", F.monotonically_increasing_id())
+            idx_rows = ldf2.collect()
+            want = ref(direction, tol)
+            # align python index order with collected order of ldf2
+            for pyidx, r in enumerate(idx_rows):
+                exp = want[pyidx]
+                gv = by_row[(r["k"], r["ts"], r["idx"])]
+                if exp is None:
+                    assert gv[0] is None, (direction, tol, pyidx)
+                else:
+                    # any right row at the matched ts is acceptable iff
+                    # values tie; our impl carries the LAST in window
+                    # order — compare on ts, then check v among cands
+                    assert gv[0] == exp[0], (direction, tol, pyidx)
