@@ -1663,6 +1663,72 @@ def q_change_feed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of join with tolerance (pandas merge_asof parity): for
+# every view, the EARLIEST purchase at-or-after it by the same user,
+# but only within 30 minutes — one shuffle + one in-partition sort
+# (union+window), never a range-join candidate blow-up.  Oracle uses
+# DuckDB's native ASOF LEFT JOIN with the >= inequality.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 30 * 60 * 1_000_000
+
+
+@staged(
+    "q_asof_forward_tolerance",
+    oracle=f"""
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id,
+       epoch_us(l.ts) AS view_ts_us,
+       CASE WHEN r.ts IS NOT NULL
+             AND epoch_us(r.ts) - epoch_us(l.ts) <= {_ASOF_TOL_US}
+            THEN epoch_us(r.ts) END AS m_ts_us,
+       CASE WHEN r.ts IS NOT NULL
+             AND epoch_us(r.ts) - epoch_us(l.ts) <= {_ASOF_TOL_US}
+            THEN r.value END AS m_value
+FROM views l ASOF LEFT JOIN purchases r
+  ON l.user_id = r.user_id AND r.ts >= l.ts
+ORDER BY l.event_id
+""",
+    description="Forward as-of join with 30-minute tolerance (pandas "
+    "merge_asof direction='forward'; ext/asof.py): earliest purchase "
+    "at-or-after each view by the same user, staler matches nulled — "
+    "the union+window shape keeps it one shuffle + one in-partition "
+    "sort; oracle is DuckDB's native ASOF LEFT JOIN with the >= "
+    "inequality and the same tolerance gate.",
+)
+def q_asof_forward_tolerance(spark, sf_dir):
+    from clickbom_spark.ext.asof import asof_join
+    from clickbom_spark.queries import epoch_us
+
+    (events,) = load(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        ["user_id"],
+        ts_col="ts",
+        right_payload=["value"],
+        direction="forward",
+        tolerance_us=_ASOF_TOL_US,
+    )
+    return joined.select(
+        "event_id",
+        epoch_us("ts").alias("view_ts_us"),
+        epoch_us(F.col("ts_r")).alias("m_ts_us"),
+        F.col("value_r").alias("m_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # SCD type-2 dimension build: collapse a keyed change stream into
 # validity intervals (valid_from, valid_to, is_current), opening a new
 # interval only when the tracked attribute actually changes — the
