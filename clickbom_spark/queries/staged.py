@@ -295,6 +295,7 @@ FROM c, t
     "global sort), one conditional-min pass — the smallest value whose "
     "cumulative weight reaches p·W, bit-exact vs the oracle's "
     "running-sum window.",
+    bench=True,
 )
 def q_weighted_quantiles(spark, sf_dir):
     from clickbom_spark.ext.ranks import exact_weighted_quantiles
@@ -574,6 +575,7 @@ FROM ({sv}\n)"""
     "estimates land within the 1.04/sqrt(m) band of the exact distinct "
     "count on three columns spanning both correction regimes "
     "(ext/sketches.py hll_registers/hll_estimate).",
+    bench=True,
 )
 def q_hll_distinct(spark, sf_dir):
     from clickbom_spark.ext.sketches import hll_estimate, hll_registers
@@ -1101,6 +1103,7 @@ FROM e e1 JOIN e e2 ON e2.u = e1.v
     "per-node out-degree is bounded by O(sqrt(E)), so the wedge join "
     "stays near-linear on skewed graphs — three hash equi-joins, no "
     "cross product; oracle counts with the equivalent u<v<w scheme.",
+    bench=True,
 )
 def q_triangle_count(spark, sf_dir):
     from clickbom_spark.ext.graph import triangle_count
