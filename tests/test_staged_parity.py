@@ -68,3 +68,14 @@ def test_staged_activation_dry_run():
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
         assert spec.name == name
+
+
+def test_quantile_sketch_query_reports_tight_bounds(spark):
+    """The rows-only sketch query's self-reported invariants must
+    actually hold: weight conservation and rank error within the KLL
+    guarantee band at k=256."""
+    rows = STAGED["q_quantile_sketch"].fn(spark, SF_CORRECT).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["weight_conserved"] is True
+        assert r["rank_err"] < 0.02, (r["prob"], r["rank_err"])
