@@ -78,6 +78,11 @@ def logreg_train_gd(
             for j, c in enumerate(feature_cols)
         ]
         row = features.agg(*aggs).collect()[0]
+        if row["g0"] is None:
+            raise ValueError(
+                "logreg_train_gd: empty feature frame — the gradient "
+                "mean is undefined, refusing to train a vacuous model"
+            )
         w = [w[j] - lr * row[f"g{j}"] for j in range(len(feature_cols))]
         history.append(list(w))
     return history
@@ -135,14 +140,19 @@ def exact_auc(
         2 * (F.col("_cum") - F.col("_cnt")) + F.col("_cnt") + 1
     )
     agg = pfx.agg(
-        F.sum("_pos").cast("long").alias("n_pos"),
-        (F.sum("_cnt") - F.sum("_pos")).cast("long").alias("n_neg"),
-        F.sum(rank2).cast("long").alias("_r2"),
+        F.coalesce(F.sum("_pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("_cnt") - F.sum("_pos"), F.lit(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.coalesce(F.sum(rank2), F.lit(0)).cast("long").alias("_r2"),
     )
-    auc = (
+    # try_divide: a one-class or empty input has no defined AUC — NULL,
+    # never an ANSI divide-by-zero error or a fabricated number
+    auc = F.try_divide(
         F.col("_r2").cast("double")
-        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double")
-    ) / (
-        F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double"),
+        F.lit(2.0)
+        * F.col("n_pos").cast("double")
+        * F.col("n_neg").cast("double"),
     )
     return agg.select("n_pos", "n_neg", auc.alias("auc"))
