@@ -39,6 +39,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {n: s for n, s in REGISTRY.items() if s.bench}
+    # --staged widens the timed set with the pre-registered wave's
+    # bench candidates (never affects the default driver run)
+    if "--staged" in sys.argv[1:]:
+        from clickbom_spark.queries.staged import STAGED
+
+        headline.update({n: s for n, s in STAGED.items() if s.bench})
     errors: dict[str, str] = {}
     # Warm the JVM (whole-stage codegen JIT) + file listing with one
     # full collect per query, so timings measure steady-state execution.
