@@ -65,15 +65,15 @@ def _status_rank() -> dict[str, int]:
 
 
 # ROUND-6 NOTE: clickbom_spark/queries/staged.py holds a fully
-# verified wave of 28 queries — bit-exact vs DuckDB at sf0.001, 0.01
+# verified wave of 30 queries — bit-exact vs DuckDB at sf0.001, 0.01
 # AND 0.1 (tests/test_staged_parity.py runs the exact driver
 # comparison; `python scripts/strict_parity.py --staged` sweeps them,
 # including under SPARK_GRAFT_TZ / SPARK_GRAFT_PARTS variation).
 # Activate by appending to queries/__init__.py:
 #     from clickbom_spark.queries import staged  # noqa: F401
 #     REGISTRY.update(staged.STAGED)
-# 28 new never-checked entries would consume 28 of the driver's 50
-# slots (leaving 22 for green rotation).  If rotation pressure
+# 30 new never-checked entries would consume 30 of the driver's 50
+# slots (leaving 20 for green rotation).  If rotation pressure
 # matters more, activate HALF the wave (REGISTRY.update over a name
 # slice) and leave the rest for r7 — every entry is independently
 # promotable; the staged/live disjointness guard in
