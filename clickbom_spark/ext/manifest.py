@@ -182,7 +182,13 @@ class VersionedLake:
             return self.spark.read.parquet(*paths)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         for name, default in extras.items():
-            if name in df.columns:
+            if isinstance(default, dict):
+                # MATERIALIZED expression column: ALWAYS derived from
+                # the row (ClickHouse semantics — cannot be stored or
+                # overridden), so mutations to source columns are
+                # reflected with no recompute bookkeeping
+                df = df.withColumn(name, F.expr(default["expr"]))
+            elif name in df.columns:
                 df = df.withColumn(
                     name, F.coalesce(F.col(name), F.lit(default))
                 )
@@ -199,7 +205,13 @@ class VersionedLake:
             return self.spark.read.parquet(*paths)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         for name, default in extras.items():
-            if name in df.columns:
+            if isinstance(default, dict):
+                # MATERIALIZED expression column: ALWAYS derived from
+                # the row (ClickHouse semantics — cannot be stored or
+                # overridden), so mutations to source columns are
+                # reflected with no recompute bookkeeping
+                df = df.withColumn(name, F.expr(default["expr"]))
+            elif name in df.columns:
                 df = df.withColumn(
                     name, F.coalesce(F.col(name), F.lit(default))
                 )
@@ -807,7 +819,9 @@ def read_pruned_multi(
     return lake.spark.read.parquet(*paths), len(files), len(keep)
 
 
-def add_column(lake: VersionedLake, name: str, default) -> int:
+def add_column(
+    lake: VersionedLake, name: str, default, expr: bool = False
+) -> int:
     """Schema evolution without rewriting a single data file: record
     the new column and its default in the manifest; snapshot reads
     apply the default for files written before the column existed
@@ -815,12 +829,18 @@ def add_column(lake: VersionedLake, name: str, default) -> int:
     written AFTER the evolution carry real values; old files never
     change — the add-column semantics of a real table format (and of
     the reference's own ALTER TABLE ... ADD COLUMN source DEFAULT
-    'unknown', entrypoint.sh:130-161)."""
+    'unknown', entrypoint.sh:130-161).
+
+    ``expr=True`` makes ``default`` a SQL expression string evaluated
+    over the row at read time (ClickHouse MATERIALIZED/DEFAULT
+    expressions — e.g. ``add_column(lake, "n_tokens",
+    "size(split(text, ' '))", expr=True)``); stored in the manifest,
+    so every engine reading it applies the same derivation."""
     m = lake._manifest()
     extras = dict(m.get("schema_extras", {}))
     if name in extras:
         raise ValueError(f"column {name} already added")
-    extras[name] = default
+    extras[name] = {"expr": default} if expr else default
     v = lake.current_version() + 1
     payload = dict(m)
     payload["version"] = v

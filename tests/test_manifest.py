@@ -595,3 +595,25 @@ def test_multi_column_pruning_intersects_ranges(spark, tmp_path):
     # contradictory conjunction: nothing survives
     _, _, n0 = read_pruned_multi(lake, {"id": (0, 50), "b": (900, 999)})
     assert n0 == 0
+
+
+def test_add_column_expression_default(spark, tmp_path):
+    """MATERIALIZED-expression defaults: the added column derives from
+    the row at read time on pre-evolution files, physical values win
+    after a rewrite, and old snapshots stay untouched."""
+    from clickbom_spark.ext.manifest import add_column
+
+    lake = _mk(spark, tmp_path, n=50)
+    add_column(lake, "val_sq", "val * val", expr=True)
+    cur = lake.read()
+    got = {r["id"]: r["val_sq"] for r in cur.collect()}
+    assert got[7] == 49.0 and got[0] == 0.0
+    assert "val_sq" not in lake.read(0).columns
+
+    # expression columns are ALWAYS derived (ClickHouse MATERIALIZED
+    # semantics): updating the source column updates the derivation,
+    # with no recompute bookkeeping
+    lake.update(F.col("id") == 7, {"val": F.lit(100.0)})
+    got2 = {r["id"]: r["val_sq"] for r in lake.read().collect()}
+    assert got2[8] == 64.0
+    assert got2[7] == 10000.0
