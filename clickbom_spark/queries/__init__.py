@@ -113,3 +113,11 @@ from clickbom_spark.queries import relational  # noqa: E402,F401
 from clickbom_spark.queries import curation  # noqa: E402,F401
 from clickbom_spark.queries import engine_ops  # noqa: E402,F401
 from clickbom_spark.queries import order_stats  # noqa: E402,F401
+
+# Round-6 activation of the staged wave (30 queries, all
+# oracle-parity-green under tests/test_staged_parity.py before
+# promotion — see staged.py:1-16).  STAGED names are disjoint from the
+# organically registered set (guarded by test_staged_parity).
+from clickbom_spark.queries import staged  # noqa: E402,F401
+
+REGISTRY.update(staged.STAGED)

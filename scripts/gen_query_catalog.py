@@ -39,21 +39,25 @@ means the query is in the bench.py headline set at sf0.1.
                 f"| `{s.name}` | {'✓' if s.oracle else '—'} |"
                 f" {'✓' if s.bench else ''} | {d} |"
             )
+    # Queries staged for a FUTURE round (not yet in REGISTRY) get their
+    # own section; the round-6 wave is already activated, so only names
+    # absent from the live registry land here.
     from clickbom_spark.queries.staged import STAGED
 
-    if STAGED:
+    pending = [s2 for n2, s2 in STAGED.items() if n2 not in Q.REGISTRY]
+    if pending:
         out.append(
-            f"\n## staged — next-round registry wave ({len(STAGED)})\n"
+            f"\n## staged — next-round registry wave ({len(pending)})\n"
         )
         out.append(
             "Held out of the live registry so the driver budget keeps "
-            "rotating stale greens; already oracle-parity-tested by "
-            "tests/test_staged_parity.py. Activation: "
+            "rotating stale greens; already oracle-parity-tested before "
+            "activation. Activation: "
             "`REGISTRY.update(staged.STAGED)` in queries/__init__.py.\n"
         )
         out.append("| query | oracle | what it proves |")
         out.append("|---|---|---|")
-        for s2 in STAGED.values():
+        for s2 in pending:
             d = " ".join(s2.description.split())
             if len(d) > 220:
                 d = d[:217] + "..."
@@ -63,7 +67,7 @@ means the query is in the bench.py headline set at sf0.1.
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "docs", "QUERIES.md"), "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote docs/QUERIES.md ({n} registry + {len(STAGED)} staged)")
+    print(f"wrote docs/QUERIES.md ({n} registry + {len(pending)} staged)")
 
 
 if __name__ == "__main__":
