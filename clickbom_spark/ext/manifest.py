@@ -13,11 +13,18 @@ the manifest swap leaves orphan data files that ``vacuum`` collects,
 never a corrupt table.  Old data files are retained (they belong to
 older snapshots) until ``vacuum`` drops snapshots.
 
-Concurrency note, stated honestly: single-writer.  ``os.replace`` makes
-each commit atomic against READERS; two concurrent writers would race
-on CURRENT (a real format arbitrates via the catalog / conditional
-puts).  That matches the reference's operating model (one pipeline run
-owns the table — entrypoint.sh is a single-writer batch job).
+Concurrency: optimistic, manifest-arbitrated.  Each version number is
+single-assignment — ``v{N}.json`` is published with an exclusive
+create (hard-link CAS locally; the same protocol maps to a
+conditional PUT / ``If-None-Match: *`` on an object store), so two
+concurrent writers racing for version N produce exactly one winner;
+the loser re-resolves the new current snapshot and retries.  Mutations
+(update/delete/upsert) additionally validate that the file set they
+probed is still the live one and re-run their whole read-probe-rewrite
+cycle on conflict (:class:`CommitConflict`), i.e. write-write
+conflicts serialize instead of silently losing one writer's changes.
+The reference itself is single-writer (entrypoint.sh one-shot batch);
+this layer is strictly stronger.
 
 The mutation data paths are reused verbatim from ext/mutations.py
 semantics but rewritten against an explicit file list instead of the
@@ -47,6 +54,33 @@ def _write_json_atomic(target: str, payload: dict) -> None:
     os.replace(tmp, target)
 
 
+class CommitConflict(RuntimeError):
+    """Another writer published a snapshot between this mutation's
+    snapshot read and its commit attempt; the mutation must re-run
+    against the new current snapshot (the data files it staged are
+    orphans that ``vacuum`` collects)."""
+
+
+def _publish_exclusive(target: str, payload: dict) -> bool:
+    """Create ``target`` with the full payload iff it does not already
+    exist.  The content is written to a temp file first and transferred
+    with ``os.link`` — the link either installs the complete file or
+    fails with FileExistsError, so readers can never observe partial
+    JSON and two racing writers get exactly one winner (compare
+    conditional PUT with ``If-None-Match: *`` on an object store).
+    Returns True iff this writer won."""
+    tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    try:
+        os.link(tmp, target)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 class VersionedLake:
     """Versioned parquet table rooted at ``path``."""
 
@@ -57,8 +91,24 @@ class VersionedLake:
     # ---- snapshot bookkeeping ----
 
     def current_version(self) -> int:
-        with open(os.path.join(_mdir(self.path), "CURRENT")) as f:
-            return int(f.read().strip())
+        """Resolve the live snapshot by scanning for the highest
+        ``v{N}.json``.  The manifest files themselves are the source of
+        truth: exclusive-create makes each version single-assignment,
+        so resolution never depends on the ``CURRENT`` pointer (which
+        is still written, as a debuggability hint) and a stale pointer
+        can never roll the table back under a concurrent writer."""
+        best = -1
+        try:
+            names = os.listdir(_mdir(self.path))
+        except FileNotFoundError:
+            return -1
+        for name in names:
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    continue
+        return best
 
     def _manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -73,73 +123,132 @@ class VersionedLake:
             os.path.join(self.path, f) for f in self._manifest(version)["files"]
         ]
 
-    def _commit(self, files: list[str], n_rows: int, message: str) -> int:
-        v = self.current_version() + 1
+    def _commit(
+        self,
+        files: list[str],
+        n_rows: int,
+        message: str,
+        based_on: list[str] | None = None,
+        epoch: int | None = None,
+    ) -> int:
+        """Publish a new snapshot.  The version race is resolved with
+        the exclusive-create CAS (:func:`_publish_exclusive`): losing a
+        race re-resolves the live snapshot, rebuilds the carried
+        metadata, and retries.  ``based_on`` (the relative file list the
+        writer's data path was computed against) turns a pure version
+        race into conflict DETECTION: if the live file set no longer
+        matches, :class:`CommitConflict` is raised so the caller re-runs
+        the whole mutation instead of committing a lost update.
+        ``epoch`` records a streaming high-water mark in the manifest
+        (carried forward by every later commit — see
+        :func:`epoch_committed`)."""
         rel = sorted(os.path.relpath(f, self.path) for f in files)
-        payload = {
-            "version": v,
-            "files": rel,
-            "n_rows": n_rows,
-            "message": message,
-        }
-        # incremental zone-map maintenance: if the PREVIOUS snapshot
-        # carried stats, carry untouched files' entries forward and
-        # compute stats only for files new to this snapshot — so the
-        # metadata-skipping property survives every mutation at the
-        # cost of scanning just the rewritten subset
-        try:
-            prev = self._manifest()
-        except (ValueError, FileNotFoundError):
-            prev = None
-        if prev and prev.get("schema_extras"):
-            payload["schema_extras"] = prev["schema_extras"]
-        if prev and prev.get("stats"):
-            prev_stats = prev["stats"]
-            stat_cols = sorted(next(iter(prev_stats.values())).keys())
-            carried = {f: prev_stats[f] for f in rel if f in prev_stats}
-            fresh = [f for f in rel if f not in prev_stats]
-            if fresh:
-                carried.update(
-                    _file_stats(
-                        self.spark,
-                        [os.path.join(self.path, f) for f in fresh],
-                        self.path,
-                        stat_cols,
-                    )
+        while True:
+            # incremental zone-map maintenance: if the PREVIOUS snapshot
+            # carried stats, carry untouched files' entries forward and
+            # compute stats only for files new to this snapshot — so the
+            # metadata-skipping property survives every mutation at the
+            # cost of scanning just the rewritten subset
+            try:
+                prev = self._manifest()
+            except (ValueError, FileNotFoundError):
+                prev = None
+            if (
+                based_on is not None
+                and prev is not None
+                and prev["files"] != based_on
+            ):
+                raise CommitConflict(
+                    f"{message}: snapshot advanced to v{prev['version']} "
+                    "since this mutation's read — re-run against the "
+                    "current snapshot"
                 )
-            payload["stats"] = carried
-        if prev and prev.get("blooms"):
-            pb = prev["blooms"]
-            carried_b = {
-                f: pb["files"][f] for f in rel if f in pb["files"]
+            v = (prev["version"] if prev else -1) + 1
+            payload = {
+                "version": v,
+                "files": rel,
+                "n_rows": n_rows,
+                "message": message,
             }
-            fresh_b = [f for f in rel if f not in pb["files"]]
-            if fresh_b:
-                carried_b.update(
-                    _file_blooms(
-                        self.spark,
-                        [os.path.join(self.path, f) for f in fresh_b],
-                        self.path,
-                        pb["col"],
+            if prev and prev.get("schema_extras"):
+                payload["schema_extras"] = prev["schema_extras"]
+            if epoch is not None:
+                payload["last_epoch"] = int(epoch)
+            elif prev and "last_epoch" in prev:
+                payload["last_epoch"] = prev["last_epoch"]
+            if prev and prev.get("stats"):
+                prev_stats = prev["stats"]
+                stat_cols = sorted(next(iter(prev_stats.values())).keys())
+                carried = {f: prev_stats[f] for f in rel if f in prev_stats}
+                fresh = [f for f in rel if f not in prev_stats]
+                if fresh:
+                    carried.update(
+                        _file_stats(
+                            self.spark,
+                            [os.path.join(self.path, f) for f in fresh],
+                            self.path,
+                            stat_cols,
+                        )
                     )
-                )
-            payload["blooms"] = {
-                "col": pb["col"],
-                "bits": pb["bits"],
-                "hashes": pb["hashes"],
-                "files": carried_b,
-            }
+                payload["stats"] = carried
+            if prev and prev.get("blooms"):
+                pb = prev["blooms"]
+                carried_b = {
+                    f: pb["files"][f] for f in rel if f in pb["files"]
+                }
+                fresh_b = [f for f in rel if f not in pb["files"]]
+                if fresh_b:
+                    carried_b.update(
+                        _file_blooms(
+                            self.spark,
+                            [os.path.join(self.path, f) for f in fresh_b],
+                            self.path,
+                            pb["col"],
+                        )
+                    )
+                payload["blooms"] = {
+                    "col": pb["col"],
+                    "bits": pb["bits"],
+                    "hashes": pb["hashes"],
+                    "files": carried_b,
+                }
+            if _publish_exclusive(
+                os.path.join(_mdir(self.path), f"v{v}.json"), payload
+            ):
+                break
+            # lost the version race: loop re-resolves and retries
+        self._write_current_hint(v)
+        return v
+
+    def _write_current_hint(self, v: int) -> None:
+        # CURRENT is a debuggability hint only (resolution scans the
+        # manifest dir), so last-writer-wins here is harmless
         _write_json_atomic(
-            os.path.join(_mdir(self.path), f"v{v}.json"), payload
-        )
-        _write_json_atomic(  # single-file content swap: atomic publish
             os.path.join(_mdir(self.path), "CURRENT.json"), {"v": v}
         )
-        # keep CURRENT as a plain int file for debuggability
         tmp = os.path.join(_mdir(self.path), f".cur-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(_mdir(self.path), "CURRENT"))
+
+    def _commit_meta(self, mutate, message: str) -> int:
+        """Metadata-only commit: republish the CURRENT snapshot (same
+        files) with payload changes applied by ``mutate(payload) ->
+        payload``.  The payload starts as a full copy of the live
+        manifest, so every carried section — schema_extras, stats,
+        blooms, last_epoch — survives regardless of which one this
+        commit is updating.  Version races retry like :meth:`_commit`."""
+        while True:
+            m = self._manifest()
+            payload = mutate(dict(m))
+            v = m["version"] + 1
+            payload["version"] = v
+            payload["message"] = message
+            if _publish_exclusive(
+                os.path.join(_mdir(self.path), f"v{v}.json"), payload
+            ):
+                break
+        self._write_current_hint(v)
         return v
 
     # ---- lifecycle ----
@@ -162,10 +271,8 @@ class VersionedLake:
                 os.unlink(src)
         os.rmdir(staged)
         lake = cls(spark, path)
-        tmp = os.path.join(_mdir(path), f".cur-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            f.write("-1")
-        os.replace(tmp, os.path.join(_mdir(path), "CURRENT"))
+        # an empty manifest dir resolves to version -1, so the first
+        # commit lands as v0 with no bootstrap pointer needed
         lake._commit(files, df.count(), "create")
         return lake
 
@@ -254,87 +361,138 @@ class VersionedLake:
         os.rmdir(staged)
         return out
 
+    _MUTATION_RETRIES = 5
+
+    def _retry_mutation(self, attempt):
+        """Optimistic-concurrency driver for mutations: re-run the whole
+        read-probe-rewrite-commit cycle when another writer committed in
+        between (the staged files of a lost attempt become orphans that
+        ``vacuum`` collects)."""
+        last: CommitConflict | None = None
+        for _ in range(self._MUTATION_RETRIES):
+            try:
+                return attempt()
+            except CommitConflict as e:
+                last = e
+        raise CommitConflict(
+            f"mutation gave up after {self._MUTATION_RETRIES} conflicting "
+            f"commits: {last}"
+        )
+
     def update(
         self, predicate: Column, assignments: dict[str, Column]
     ) -> int:
         """UPDATE … WHERE …; returns the new version."""
-        files = self._files()
-        df = self._read_files(files)
-        probe = (
-            df.withColumn("_f", F.input_file_name())
-            .where(predicate)
-            .select("_f")
-            .distinct()
-            .collect()
-        )
-        affected = set(self._split_affected(probe))
-        untouched = [f for f in files if f not in affected]
-        new_files = []
-        if affected:
-            sub = self._read_files(sorted(affected))
-            out = sub
-            for col, expr in assignments.items():
-                out = out.withColumn(
-                    col, F.when(predicate, expr).otherwise(F.col(col))
+
+        def attempt() -> int:
+            base = self._manifest()
+            files = [os.path.join(self.path, f) for f in base["files"]]
+            df = self._read_files(files, version=base["version"])
+            probe = (
+                df.withColumn("_f", F.input_file_name())
+                .where(predicate)
+                .select("_f")
+                .distinct()
+                .collect()
+            )
+            affected = set(self._split_affected(probe))
+            untouched = [f for f in files if f not in affected]
+            new_files = []
+            if affected:
+                sub = self._read_files(
+                    sorted(affected), version=base["version"]
                 )
-            new_files = self._write_new(out)
-        live = untouched + new_files
-        n = self.spark.read.parquet(*live).count() if live else 0
-        return self._commit(live, n, "update")
+                out = sub
+                for col, expr in assignments.items():
+                    out = out.withColumn(
+                        col, F.when(predicate, expr).otherwise(F.col(col))
+                    )
+                new_files = self._write_new(out)
+            live = untouched + new_files
+            n = self.spark.read.parquet(*live).count() if live else 0
+            return self._commit(live, n, "update", based_on=base["files"])
+
+        return self._retry_mutation(attempt)
 
     def delete(self, predicate: Column) -> int:
-        files = self._files()
-        df = self._read_files(files)
-        probe = (
-            df.withColumn("_f", F.input_file_name())
-            .where(predicate)
-            .select("_f")
-            .distinct()
-            .collect()
-        )
-        affected = set(self._split_affected(probe))
-        untouched = [f for f in files if f not in affected]
-        new_files = []
-        if affected:
-            sub = self._read_files(sorted(affected))
-            new_files = self._write_new(sub.where(~predicate))
-        live = untouched + new_files
-        n = self.spark.read.parquet(*live).count() if live else 0
-        return self._commit(live, n, "delete")
+        def attempt() -> int:
+            base = self._manifest()
+            files = [os.path.join(self.path, f) for f in base["files"]]
+            df = self._read_files(files, version=base["version"])
+            probe = (
+                df.withColumn("_f", F.input_file_name())
+                .where(predicate)
+                .select("_f")
+                .distinct()
+                .collect()
+            )
+            affected = set(self._split_affected(probe))
+            untouched = [f for f in files if f not in affected]
+            new_files = []
+            if affected:
+                sub = self._read_files(
+                    sorted(affected), version=base["version"]
+                )
+                new_files = self._write_new(sub.where(~predicate))
+            live = untouched + new_files
+            n = self.spark.read.parquet(*live).count() if live else 0
+            return self._commit(live, n, "delete", based_on=base["files"])
 
-    def upsert(self, changes: DataFrame, key_cols: list[str]) -> int:
+        return self._retry_mutation(attempt)
+
+    def upsert(
+        self,
+        changes: DataFrame,
+        key_cols: list[str],
+        message: str = "upsert",
+        epoch: int | None = None,
+    ) -> int:
+        """MERGE by key; ``message``/``epoch`` let a streaming sink
+        publish its idempotency marker in the SAME atomic manifest swap
+        as the data (see :func:`streaming_epoch_sink`)."""
         keys = changes.select(*key_cols).groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("_n")
         )
         if keys.where(F.col("_n") > 1).limit(1).collect():
             raise ValueError("upsert: duplicate keys in change set")
         key_frame = keys.drop("_n")
-        files = self._files()
-        lake = self._read_files(files)
-        probe = (
-            lake.withColumn("_f", F.input_file_name())
-            .join(F.broadcast(key_frame), key_cols, "left_semi")
-            .select("_f")
-            .distinct()
-            .collect()
-        )
-        affected = set(self._split_affected(probe))
-        untouched = [f for f in files if f not in affected]
-        cols = lake.columns
-        if affected:
-            sub = self._read_files(sorted(affected))
-            out = (
-                sub.join(F.broadcast(key_frame), key_cols, "left_anti")
-                .select(*cols)
-                .unionByName(changes.select(*cols))
+
+        def attempt() -> int:
+            base = self._manifest()
+            files = [os.path.join(self.path, f) for f in base["files"]]
+            lake = self._read_files(files, version=base["version"])
+            probe = (
+                lake.withColumn("_f", F.input_file_name())
+                .join(F.broadcast(key_frame), key_cols, "left_semi")
+                .select("_f")
+                .distinct()
+                .collect()
             )
-        else:
-            out = changes.select(*cols)
-        new_files = self._write_new(out)
-        live = untouched + new_files
-        return self._commit(
-            live, self.spark.read.parquet(*live).count(), "upsert"
-        )
+            affected = set(self._split_affected(probe))
+            untouched = [f for f in files if f not in affected]
+            cols = lake.columns
+            if affected:
+                sub = self._read_files(
+                    sorted(affected), version=base["version"]
+                )
+                out = (
+                    sub.join(F.broadcast(key_frame), key_cols, "left_anti")
+                    .select(*cols)
+                    .unionByName(changes.select(*cols))
+                )
+            else:
+                out = changes.select(*cols)
+            new_files = self._write_new(out)
+            live = untouched + new_files
+            return self._commit(
+                live,
+                self.spark.read.parquet(*live).count(),
+                message,
+                based_on=base["files"],
+                epoch=epoch,
+            )
+
+        return self._retry_mutation(attempt)
 
     # ---- vacuum ----
 
@@ -388,7 +546,6 @@ def change_feed(
     per snapshot for pre/post pairing to be well-defined (the same
     requirement Delta places on MERGE sources).
     """
-    spark = lake.spark
     old_files = set(lake._manifest(v_from)["files"])
     new_files = set(lake._manifest(v_to)["files"])
     removed = sorted(os.path.join(lake.path, f) for f in old_files - new_files)
@@ -399,15 +556,20 @@ def change_feed(
         return base.withColumn(
             "_change_type", F.lit("insert")
         ).where(F.lit(False))
+    # Both sides read under v_to's LOGICAL schema (_read_files applies
+    # schema_extras defaults/expressions), so on an evolved lake whose
+    # removed files predate add_column the CDF still carries the evolved
+    # column on both pre and post rows — the same "latest schema"
+    # convention Delta's CDF uses.
     pre = (
-        spark.read.parquet(*removed)
+        lake._read_files(removed, version=v_to)
         if removed
         else lake.read(v_to).where(F.lit(False))
     )
     post = (
-        spark.read.parquet(*added)
+        lake._read_files(added, version=v_to)
         if added
-        else lake.read(v_from).where(F.lit(False))
+        else lake.read(v_to).where(F.lit(False))
     )
     cols = pre.columns
     val_cols = [c for c in cols if c not in key_cols]
@@ -517,30 +679,45 @@ def compact(lake: VersionedLake, target_files: int = 4) -> int:
     which is exactly what distinguishes physical layout maintenance
     from data mutations in a table format.
     """
-    df = lake.read()
-    new_files = lake._write_new(df.coalesce(target_files))
-    return lake._commit(new_files, df.count(), "compact")
+    def attempt() -> int:
+        base = lake._manifest()
+        df = lake.read(base["version"])
+        new_files = lake._write_new(df.coalesce(target_files))
+        return lake._commit(
+            new_files, df.count(), "compact", based_on=base["files"]
+        )
+
+    return lake._retry_mutation(attempt)
 
 
 def epoch_committed(lake: VersionedLake, epoch: int) -> bool:
-    """Has a streaming epoch already been committed?  (Scan the
-    manifest history for the epoch marker.)"""
-    marker = f"epoch-{epoch}"
-    for v in range(lake.current_version() + 1):
-        p = os.path.join(_mdir(lake.path), f"v{v}.json")
-        if os.path.exists(p):
-            if json.load(open(p)).get("message") == marker:
-                return True
-    return False
+    """Has this streaming epoch already been applied?
+
+    The manifest carries ``last_epoch``, a high-water mark published in
+    the SAME atomic manifest swap as the epoch's data (via
+    ``upsert(..., epoch=...)``) and carried forward by every later
+    commit — so the answer survives :meth:`VersionedLake.vacuum`
+    dropping old manifests, and there is no window where the data is
+    committed but the marker is not.  Correct because Structured
+    Streaming epoch ids are strictly increasing per query (the same
+    monotonicity Delta's per-appId txn versions rely on)."""
+    try:
+        m = lake._manifest()
+    except (ValueError, FileNotFoundError):
+        return False
+    last = m.get("last_epoch")
+    return last is not None and int(epoch) <= int(last)
 
 
 def streaming_epoch_sink(lake: VersionedLake, key_cols: list[str]):
     """foreachBatch body for an EXACTLY-ONCE streaming upsert into the
-    versioned lake: each micro-batch commits as one snapshot tagged
-    with its epoch id; a replayed epoch (failure → foreachBatch re-run
-    with the same epoch_id, Spark's at-least-once contract) is detected
-    by the marker and skipped, so the lake state reflects every epoch
-    exactly once.
+    versioned lake: each micro-batch commits as ONE snapshot whose
+    manifest carries both the data-file list and the epoch high-water
+    mark — marker and data publish in a single atomic manifest swap, so
+    a crash can never leave a committed-but-unmarked epoch.  A replayed
+    epoch (failure → foreachBatch re-run with the same epoch_id,
+    Spark's at-least-once contract) is detected and skipped, so the
+    lake reflects every epoch exactly once.
 
     Use: ``stream.writeStream.foreachBatch(streaming_epoch_sink(lake,
     ["id"]))``.  The upsert path means late/duplicate keys WITHIN the
@@ -548,18 +725,12 @@ def streaming_epoch_sink(lake: VersionedLake, key_cols: list[str]):
     """
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_committed(lake, int(epoch_id)):
+        e = int(epoch_id)
+        if epoch_committed(lake, e):
             return
         if batch_df.isEmpty():
             return
-        # upsert the batch, then re-tag the resulting snapshot with the
-        # epoch marker (commit message is the idempotency token)
-        lake.upsert(batch_df, key_cols)
-        v = lake.current_version()
-        mp = os.path.join(_mdir(lake.path), f"v{v}.json")
-        m = json.load(open(mp))
-        m["message"] = f"epoch-{int(epoch_id)}"
-        _write_json_atomic(mp, m)
+        lake.upsert(batch_df, key_cols, message=f"epoch-{e}", epoch=e)
 
     return body
 
@@ -591,23 +762,14 @@ def commit_with_stats(
     skipped files.
     """
     stats = _file_stats(lake.spark, lake._files(), lake.path, stat_cols)
-    v = lake.current_version() + 1
-    m = lake._manifest()
-    _write_json_atomic(
-        os.path.join(_mdir(lake.path), f"v{v}.json"),
-        {
-            "version": v,
-            "files": m["files"],
-            "n_rows": m["n_rows"],
-            "message": "stats",
-            "stats": stats,
-        },
-    )
-    tmp = os.path.join(_mdir(lake.path), f".cur-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-    os.replace(tmp, os.path.join(_mdir(lake.path), "CURRENT"))
-    return v
+
+    # payload starts as dict(current manifest) inside _commit_meta, so
+    # schema_extras / blooms / last_epoch all survive this commit
+    def mutate(payload: dict) -> dict:
+        payload["stats"] = stats
+        return payload
+
+    return lake._commit_meta(mutate, "stats")
 
 
 def read_pruned(
@@ -725,23 +887,18 @@ def commit_with_blooms(lake: VersionedLake, col: str) -> int:
     manifest; mutations carry untouched files' blooms forward through
     the same incremental path as the zone maps.
     """
-    m = lake._manifest()
-    v = lake.current_version() + 1
-    payload = dict(m)
-    payload["version"] = v
-    payload["message"] = "blooms"
-    payload["blooms"] = {
+    blooms = {
         "col": col,
         "bits": _BLOOM_BITS,
         "hashes": _BLOOM_HASHES,
         "files": _file_blooms(lake.spark, lake._files(), lake.path, col),
     }
-    _write_json_atomic(os.path.join(_mdir(lake.path), f"v{v}.json"), payload)
-    tmp = os.path.join(_mdir(lake.path), f".cur-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-    os.replace(tmp, os.path.join(_mdir(lake.path), "CURRENT"))
-    return v
+
+    def mutate(payload: dict) -> dict:
+        payload["blooms"] = blooms
+        return payload
+
+    return lake._commit_meta(mutate, "blooms")
 
 
 def read_pruned_point(
@@ -836,19 +993,12 @@ def add_column(
     expressions — e.g. ``add_column(lake, "n_tokens",
     "size(split(text, ' '))", expr=True)``); stored in the manifest,
     so every engine reading it applies the same derivation."""
-    m = lake._manifest()
-    extras = dict(m.get("schema_extras", {}))
-    if name in extras:
-        raise ValueError(f"column {name} already added")
-    extras[name] = {"expr": default} if expr else default
-    v = lake.current_version() + 1
-    payload = dict(m)
-    payload["version"] = v
-    payload["message"] = f"add-column-{name}"
-    payload["schema_extras"] = extras
-    _write_json_atomic(os.path.join(_mdir(lake.path), f"v{v}.json"), payload)
-    tmp = os.path.join(_mdir(lake.path), f".cur-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-    os.replace(tmp, os.path.join(_mdir(lake.path), "CURRENT"))
-    return v
+    def mutate(payload: dict) -> dict:
+        extras = dict(payload.get("schema_extras", {}))
+        if name in extras:
+            raise ValueError(f"column {name} already added")
+        extras[name] = {"expr": default} if expr else default
+        payload["schema_extras"] = extras
+        return payload
+
+    return lake._commit_meta(mutate, f"add-column-{name}")

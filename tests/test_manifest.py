@@ -617,3 +617,138 @@ def test_add_column_expression_default(spark, tmp_path):
     got2 = {r["id"]: r["val_sq"] for r in lake.read().collect()}
     assert got2[8] == 64.0
     assert got2[7] == 10000.0
+
+# ---- round-6: commit protocol hardening ----
+
+
+def test_add_column_then_stats_preserves_schema_extras(spark, tmp_path):
+    """The metadata-commit path must carry EVERY manifest section
+    forward: add_column → commit_with_stats previously rebuilt the
+    payload from scratch and silently dropped the evolved column."""
+    from clickbom_spark.ext.manifest import add_column, commit_with_stats
+
+    lake = _mk(spark, tmp_path)
+    add_column(lake, "quality", 0.5)
+    commit_with_stats(lake, ["id"])
+    df = lake.read()
+    assert "quality" in df.columns
+    assert df.where(F.col("quality") == 0.5).count() == 500
+    m = lake._manifest()
+    assert m["schema_extras"] == {"quality": 0.5}
+    assert "stats" in m
+
+
+def test_blooms_then_stats_then_blooms_all_carried(spark, tmp_path):
+    """Stacked metadata commits (blooms → stats) keep both sections."""
+    from clickbom_spark.ext.manifest import (
+        commit_with_blooms,
+        commit_with_stats,
+        read_pruned,
+        read_pruned_point,
+    )
+
+    lake = _mk(spark, tmp_path)
+    commit_with_blooms(lake, "id")
+    commit_with_stats(lake, ["grp"])
+    m = lake._manifest()
+    assert "blooms" in m and "stats" in m
+    # both pruning paths still function on the same snapshot
+    _, total, read_z = read_pruned(lake, "grp", 0, 0)
+    assert 0 < read_z <= total
+    _, total_b, read_b = read_pruned_point(lake, 3)
+    assert 0 < read_b <= total_b
+
+
+def test_two_writer_contention_no_lost_update(spark, tmp_path):
+    """Optimistic concurrency: two threads upsert DISJOINT key sets
+    concurrently.  Exactly one wins the first commit; the loser detects
+    the conflict, re-runs against the winner's snapshot, and commits on
+    top — both change sets land, no snapshot number is double-assigned,
+    and no writer's rows are lost."""
+    import threading
+
+    lake = _mk(spark, tmp_path, n=200)
+    v0 = lake.current_version()
+    barrier = threading.Barrier(2)
+    results: dict[str, int] = {}
+    errors: list[BaseException] = []
+
+    def writer(tag: str, lo: int):
+        changes = spark.createDataFrame(
+            [(lo + i, 0, float(1000 + lo)) for i in range(3)],
+            "id long, grp long, val double",
+        )
+        try:
+            barrier.wait(timeout=60)
+            results[tag] = lake.upsert(changes, ["id"])
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=("a", 5000))
+    t2 = threading.Thread(target=writer, args=("b", 6000))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+    # two distinct versions were assigned (the loser retried, it did
+    # not clobber the winner's manifest)
+    assert sorted(results.values()) == [v0 + 1, v0 + 2]
+    got = {r["id"]: r["val"] for r in lake.read().collect()}
+    for lo in (5000, 6000):
+        for i in range(3):
+            assert got[lo + i] == float(1000 + lo)
+    assert len(got) == 206
+
+
+def test_change_feed_carries_evolved_column_on_both_sides(spark, tmp_path):
+    """CDF over an evolved lake: removed files that predate add_column
+    must still surface the evolved column (read under the target
+    snapshot's logical schema), with symmetric pre/post schemas."""
+    from clickbom_spark.ext.manifest import add_column, change_feed
+
+    lake = _mk(spark, tmp_path, n=100)
+    v0 = lake.current_version()
+    add_column(lake, "quality", 0.5)
+    lake.update(F.col("id") == 7, {"val": F.lit(-7.0)})
+    v2 = lake.current_version()
+    cf = change_feed(lake, v0, v2, ["id"])
+    assert "quality" in cf.columns
+    rows = {r["_change_type"]: r for r in cf.where(F.col("id") == 7).collect()}
+    assert set(rows) == {"update_pre", "update_post"}
+    assert rows["update_pre"]["quality"] == 0.5
+    assert rows["update_post"]["quality"] == 0.5
+    assert rows["update_pre"]["val"] == 7.0
+    assert rows["update_post"]["val"] == -7.0
+
+
+def test_epoch_marker_atomic_and_survives_vacuum(spark, tmp_path):
+    """The epoch high-water mark rides in the same manifest swap as the
+    data (no committed-but-unmarked window) and is carried forward by
+    later commits — so vacuum dropping old manifests cannot resurrect
+    an already-applied epoch."""
+    from clickbom_spark.ext.manifest import (
+        epoch_committed,
+        streaming_epoch_sink,
+    )
+
+    lake = _mk(spark, tmp_path, n=50)
+    sink = streaming_epoch_sink(lake, ["id"])
+    b0 = spark.createDataFrame([(900, 0, 1.0)], "id long, grp long, val double")
+    b1 = spark.createDataFrame([(901, 0, 2.0)], "id long, grp long, val double")
+    sink(b0, 0)
+    sink(b1, 1)
+    # marker is IN the epoch's own manifest (single atomic publish)
+    m = lake._manifest()
+    assert m["last_epoch"] == 1 and m["message"] == "epoch-1"
+    # a non-epoch commit carries the mark forward
+    lake.update(F.col("id") == 900, {"val": F.lit(9.0)})
+    assert lake._manifest()["last_epoch"] == 1
+    # vacuum to a single surviving manifest; old epochs stay detected
+    lake.vacuum(keep_last=1)
+    assert epoch_committed(lake, 0) and epoch_committed(lake, 1)
+    v = lake.current_version()
+    sink(b0, 0)  # late replay of an old epoch: must be a no-op
+    sink(b1, 1)
+    assert lake.current_version() == v
+    sink(spark.createDataFrame([(902, 0, 3.0)], "id long, grp long, val double"), 2)
+    assert lake.current_version() == v + 1
+    got = {r["id"]: r["val"] for r in lake.read().collect()}
+    assert got[900] == 9.0 and got[901] == 2.0 and got[902] == 3.0
