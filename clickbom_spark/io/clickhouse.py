@@ -122,24 +122,34 @@ class ClickHouseSink:
         partition posts one INSERT (entrypoint.sh:405-408 semantics,
         partition-parallel).
 
-        Each INSERT carries a content-derived
-        ``insert_deduplication_token`` (md5 of target table + TSV
-        payload): a Spark task retry resends byte-identical content
-        with the same token, and ClickHouse's insert dedup window drops
-        the duplicate block — exactly-once-per-content under the
-        at-least-once task execution a 1000-executor job WILL hit.
-        (Non-replicated MergeTree needs
+        Each INSERT carries an ``insert_deduplication_token`` derived
+        from (table, per-job run id, partition id, TSV payload): a
+        Spark TASK RETRY re-executes the same partition of the same job
+        with byte-identical content, reproducing the token, so
+        ClickHouse's insert dedup window drops the duplicate block —
+        exactly-once-per-partition under the at-least-once task
+        execution a 1000-executor job WILL hit.  The run id and
+        partition id keep LEGITIMATE duplicates apart: two partitions
+        that happen to serialize identical bytes, or a deliberate
+        re-run of the pipeline inside the dedup window (truncate +
+        reload), must not share a token or ClickHouse would silently
+        drop real rows.  (Non-replicated MergeTree needs
         ``non_replicated_deduplication_window > 0`` server-side; on
         Replicated* tables the window is on by default.)
         """
+        import uuid
+
         target = f"{self.database}.{self.table}"
         transport = self.transport
+        run_id = uuid.uuid4().hex  # one per insert_components job
         df = components.select("name", "version", "license", "source").sortWithinPartitions(
             "name", "version", "license"
         )
 
         def send_partition(rows):
             import hashlib
+
+            from pyspark import TaskContext
 
             def esc(v):
                 if v is None:
@@ -159,8 +169,15 @@ class ClickHouseSink:
             if not lines:
                 return
             payload = ("\n".join(lines) + "\n").encode()
+            tc = TaskContext.get()
+            # partitionId is stable across task RETRIES (attemptNumber
+            # changes, partition does not) — exactly the identity the
+            # token needs
+            pid = tc.partitionId() if tc is not None else -1
             token = hashlib.md5(
-                target.encode() + b"\x00" + payload
+                b"\x00".join(
+                    [target.encode(), run_id.encode(), str(pid).encode(), payload]
+                )
             ).hexdigest()
             insert_q = (
                 f"INSERT INTO {target} (name, version, license, source) "
