@@ -23,9 +23,12 @@ carries across batches); everything after it is built-in expressions.
 Output is EXACT: same rows as a full groupBy-count with the same
 cutoff, at a fraction of the shuffle (candidates only, never the full
 key cardinality).  Total cost: two corpus scans (sketch + recount).
-The sketch output (≤(k+1)·partitions rows, a few KB) is collected to
-the driver — like k-means centers or the BPE argmax, the summary IS
-the model — so no cached state outlives the call.
+The sketch output is collected to the driver — like k-means centers or
+the BPE argmax, the summary IS the model — but only after intermediate
+merge rounds (mergeable summaries, Agarwal et al. 2012) fold the
+per-partition summaries down to ≤ fanin partitions, so the collect is
+bounded at (k+1)·fanin rows regardless of how many tasks scanned the
+input: partition-count-proof at 100k-task scale.
 """
 
 from __future__ import annotations
@@ -36,10 +39,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-# Internal column for the per-partition row-count sentinel; the value
-# column may not use this name (or the output names) — guarded below.
+# Internal columns: the per-partition total sentinel and the residual
+# MG counter (the weight a candidate survived with — carried so
+# summaries stay MERGEABLE across tree levels); the value column may
+# not use these names (or the output names) — guarded below.
 _PN = "_mg_pn"
-_RESERVED = ("cnt", "n_total", _PN)
+_CNT = "_mg_cnt"
+_RESERVED = ("cnt", "n_total", _PN, _CNT)
+
+# Above this many input partitions, fold the per-partition summaries
+# through intermediate merge rounds so the driver only ever collects
+# ≤ (k+1)·fanin rows — partition-count-proof at 100k-task scale.
+_MG_FANIN = 64
 
 
 _MG_NAN = float("nan")  # single canonical NaN key: dict lookup passes
@@ -75,8 +86,10 @@ def mg_ingest(counters: dict, weighted: dict, k: int) -> None:
 
 
 def _mg_partition(k: int, col: str):
-    """mapInPandas kernel: one Misra–Gries summary per partition, plus
-    a (NULL, row-count) sentinel row."""
+    """mapInPandas kernel: one Misra–Gries summary per partition —
+    candidate rows carry their residual counter in ``_CNT`` (so the
+    summary is mergeable downstream), plus a (NULL, 0, row-count)
+    sentinel row."""
 
     def run(batches):
         import pandas as pd
@@ -90,6 +103,7 @@ def _mg_partition(k: int, col: str):
         yield pd.DataFrame(
             {
                 col: list(counters.keys()) + [None],
+                _CNT: [int(c) for c in counters.values()] + [0],
                 _PN: [0] * len(counters) + [n_part],
             }
         )
@@ -97,8 +111,56 @@ def _mg_partition(k: int, col: str):
     return run
 
 
+def _mg_merge(k: int, col: str):
+    """mapInPandas kernel for an intermediate merge round: fold many
+    (candidate, residual-count) summaries plus sentinels into one —
+    weighted MG ingest of the residual counters (the mergeable-summary
+    construction of Agarwal et al. 2012: merged error stays ≤ W/(k+1),
+    so candidate completeness for true frequency > W/k is preserved
+    across ANY merge tree), summing the sentinel totals."""
+
+    def run(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        total = 0
+        for pdf in batches:
+            sent = pdf[_PN] > 0
+            total += int(pdf.loc[sent, _PN].sum())
+            cand = pdf.loc[~sent]
+            if len(cand):
+                # Arrow folds NaN keys to null on the way out and
+                # pandas reads them back as NaN; duplicate keys across
+                # input summaries are pre-summed so mg_ingest sees one
+                # weighted entry per value
+                grp = cand.groupby(col, dropna=False, sort=False)[_CNT].sum()
+                mg_ingest(counters, dict(grp.items()), k)
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()) + [None],
+                _CNT: [int(c) for c in counters.values()] + [0],
+                _PN: [0] * len(counters) + [total],
+            }
+        )
+
+    return run
+
+
+def _mg_sketch_frame(src: DataFrame, kernel, merge_kernel, schema, fanin: int):
+    """Sketch ``src`` per partition, then fold through merge rounds
+    until at most ``fanin`` summary partitions remain — the final
+    frame has ≤ (k+1)·fanin rows no matter how many tasks scanned the
+    input, which is the bound the driver-side collect relies on."""
+    sk = src.mapInPandas(kernel, schema=schema)
+    nparts = src.rdd.getNumPartitions()
+    while nparts > fanin:
+        nparts = max(1, -(-nparts // fanin))
+        sk = sk.repartition(nparts).mapInPandas(merge_kernel, schema=schema)
+    return sk
+
+
 def heavy_hitters(
-    df: DataFrame, col: str, k: int = 16
+    df: DataFrame, col: str, k: int = 16, fanin: int = _MG_FANIN
 ) -> DataFrame:
     """Exact items with frequency > N/k (N = non-null row count).
 
@@ -121,16 +183,20 @@ def heavy_hitters(
     val_field = src.schema.fields[0]
     schema = StructType(
         [StructField(val_field.name, val_field.dataType, True),
+         StructField(_CNT, LongType(), False),
          StructField(_PN, LongType(), False)]
     )
-    # The sketch frame is tiny (≤(k+1)·partitions rows): collect it —
-    # one job, like the BPE argmax — so no persist/unpersist lifecycle
+    # The final sketch frame is bounded at ≤(k+1)·fanin rows — merge
+    # rounds fold high partition counts first — so the collect is one
+    # small job, like the BPE argmax: no persist/unpersist lifecycle
     # leaks into the caller's session, and N becomes a plan literal.
     # Sentinel rows are marked by _PN > 0 (NOT by a null value: the
     # Arrow return conversion folds float NaN into null, so a null in
     # a CANDIDATE row can only mean NaN — true nulls were filtered
     # upstream — and is mapped back here).
-    rows = src.mapInPandas(_mg_partition(k, col), schema=schema).collect()
+    rows = _mg_sketch_frame(
+        src, _mg_partition(k, col), _mg_merge(k, col), schema, fanin
+    ).collect()
     n_total = sum(r[_PN] for r in rows)
     spark = df.sparkSession
     cands = spark.createDataFrame(
@@ -168,6 +234,7 @@ def _mg_weighted_partition(k: int, col: str, weight_col: str):
         yield pd.DataFrame(
             {
                 col: list(counters.keys()) + [None],
+                _CNT: [int(c) for c in counters.values()] + [0],
                 _PN: [0] * len(counters) + [w_part],
             }
         )
@@ -176,7 +243,8 @@ def _mg_weighted_partition(k: int, col: str, weight_col: str):
 
 
 def heavy_hitters_weighted(
-    df: DataFrame, col: str, weight_col: str, k: int = 16
+    df: DataFrame, col: str, weight_col: str, k: int = 16,
+    fanin: int = _MG_FANIN,
 ) -> DataFrame:
     """Exact weighted heavy hitters — ClickHouse ``topKWeighted``: the
     values whose total weight exceeds W/k (W = total weight), exactly.
@@ -200,10 +268,18 @@ def heavy_hitters_weighted(
     val_field = src.schema.fields[0]
     schema = StructType(
         [StructField(val_field.name, val_field.dataType, True),
+         StructField(_CNT, LongType(), False),
          StructField(_PN, LongType(), False)]
     )
-    rows = src.mapInPandas(
-        _mg_weighted_partition(k, col, weight_col), schema=schema
+    # same bounded-collect scheme as heavy_hitters: merge rounds keep
+    # the driver's view at ≤(k+1)·fanin rows (the merge kernel ingests
+    # residual WEIGHTS, so the pigeonhole-on-weights superset holds)
+    rows = _mg_sketch_frame(
+        src,
+        _mg_weighted_partition(k, col, weight_col),
+        _mg_merge(k, col),
+        schema,
+        fanin,
     ).collect()
     w_total = sum(r[_PN] for r in rows)
     spark = df.sparkSession

@@ -300,3 +300,63 @@ def test_weighted_heavy_hitters_exact_across_partitionings(spark):
 
     assert run(1) == exact
     assert run(11) == exact
+
+
+def test_heavy_hitters_merge_tree_bounds_driver_rows(spark):
+    """Partition-count-proofing: with more input partitions than the
+    merge fan-in, intermediate merge rounds must fold the summaries so
+    the frame the driver collects never exceeds (k+1)·fanin rows —
+    while the final answer stays exactly the groupBy ground truth."""
+    from clickbom_spark.ext.sketches import (
+        _CNT,
+        _PN,
+        _mg_merge,
+        _mg_partition,
+        _mg_sketch_frame,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    df = spark.createDataFrame(_skewed_rows(), "id long, v string")
+    k, fanin = 8, 4
+    src = df.repartition(37).select("v").where(F.col("v").isNotNull())
+    schema = StructType(
+        [StructField("v", StringType(), True),
+         StructField(_CNT, LongType(), False),
+         StructField(_PN, LongType(), False)]
+    )
+    sk = _mg_sketch_frame(
+        src, _mg_partition(k, "v"), _mg_merge(k, "v"), schema, fanin
+    )
+    rows = sk.collect()
+    assert len(rows) <= (k + 1) * fanin, len(rows)
+    # weight conservation through every merge level: sentinels sum to N
+    assert sum(r[_PN] for r in rows) == src.count()
+    # and the public operator built on the same path stays exact
+    got = {
+        (r["v"], r["cnt"])
+        for r in heavy_hitters(df.repartition(37), "v", k=k, fanin=fanin).collect()
+    }
+    assert got == _exact(df, "v", k=k)
+
+
+def test_weighted_heavy_hitters_merge_tree_exact(spark):
+    """The weighted twin through forced merge rounds: residual WEIGHTS
+    ride the merge, so the pigeonhole-on-weights superset (and hence
+    the exact recount answer) survives the tree."""
+    from clickbom_spark.ext.sketches import heavy_hitters_weighted
+
+    rows = [(i, "hot" if i % 3 else "cold", (i % 7) + 1) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, v string, w long")
+    exact = {
+        (r["v"], r["total_w"])
+        for r in heavy_hitters_weighted(
+            df.coalesce(1), "v", "w", k=4
+        ).collect()
+    }
+    got = {
+        (r["v"], r["total_w"])
+        for r in heavy_hitters_weighted(
+            df.repartition(29), "v", "w", k=4, fanin=3
+        ).collect()
+    }
+    assert got == exact and got
