@@ -39,12 +39,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {n: s for n, s in REGISTRY.items() if s.bench}
-    # --staged widens the timed set with the pre-registered wave's
-    # bench candidates (never affects the default driver run)
-    if "--staged" in sys.argv[1:]:
-        from clickbom_spark.queries.staged import STAGED
-
-        headline.update({n: s for n, s in STAGED.items() if s.bench})
     errors: dict[str, str] = {}
     # Warm the JVM (whole-stage codegen JIT) + file listing with one
     # full collect per query, so timings measure steady-state execution.
@@ -106,6 +100,11 @@ def main() -> None:
             sum(core13_min_each.values()), 4
         ) if core13_complete else None,
         "core13_complete": core13_complete,
+        # host load context (1/5/15-min averages), recorded so
+        # cross-round comparisons can spot machine-contention inflation
+        # without re-running archived trees (the r4→r5 +26% drift was
+        # pure load — see docs/BENCH_NOTES.md)
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = {n: e.strip().splitlines()[-1] for n, e in errors.items()}

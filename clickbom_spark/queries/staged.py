@@ -451,54 +451,51 @@ WITH toks AS (
                   '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
              '\\s+'),
            x -> x <> '') AS t
-  FROM documents WHERE doc_id <= 100
-), raw AS (
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), sums AS (
   SELECT doc_id,
-         list_transform(range(0, {_HE_DIM}), d ->
-           list_sum(list_transform(t, w ->
-             CASE WHEN CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
-                       % {_HE_DIM} = d
-                  THEN CASE WHEN CAST(('0x' || substring(md5('s#' || w), 1, 2))
-                                 AS BIGINT) & 1 = 1
-                            THEN 1.0 ELSE -1.0 END
-                  ELSE 0.0 END))) AS v
-  FROM toks
-), nrmed AS (
-  SELECT doc_id,
-         CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) > 0
-              THEN list_transform(v,
-                     x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
-              ELSE v END AS vec
-  FROM raw
+         CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+             % {_HE_DIM} AS d,
+         SUM(CASE WHEN CAST(('0x' || substring(md5('s#' || w), 1, 2))
+                       AS BIGINT) & 1 = 1
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM words GROUP BY doc_id, d
+), dense AS (
+  SELECT docs.doc_id, r.d AS dim, COALESCE(sums.v, 0.0) AS v
+  FROM (SELECT doc_id FROM documents) docs
+  CROSS JOIN range(0, {_HE_DIM}) AS r(d)
+  LEFT JOIN sums ON sums.doc_id = docs.doc_id AND sums.d = r.d
+), nrm AS (
+  SELECT doc_id, sqrt(SUM(v * v)) AS n FROM dense GROUP BY doc_id
 )
-SELECT doc_id, CAST(d AS BIGINT) AS dim, vec[d + 1] AS val
-FROM nrmed, range(0, {_HE_DIM}) AS r(d)
-ORDER BY doc_id, dim
+SELECT dense.doc_id, CAST(dense.dim AS BIGINT) AS dim,
+       CASE WHEN nrm.n > 0 THEN dense.v / nrm.n ELSE dense.v END AS val
+FROM dense JOIN nrm ON nrm.doc_id = dense.doc_id
 """,
     description="Feature-hashing text embedding (Weinberger 2009 "
-    "hashing trick / HashingTF): token → md5 bucket with an independent "
-    "sign hash, signed counts L2-normalized — pure Column expressions, "
-    "map-only at 100 TB, no model server; portable hashes make every "
-    "vector component oracle-checkable (ext/text.py hashed_embedding).",
+    "hashing trick / HashingTF) over the WHOLE corpus: token → md5 "
+    "bucket with an independent sign hash, signed counts L2-normalized "
+    "— explode + two hash aggregates, each token hashed once total, no "
+    "model server; the bucket sums are exact ±1 integers so the only "
+    "float ops are correctly rounded and every vector component is "
+    "oracle-checkable bit-for-bit (ext/text.py hashed_embedding_agg).",
 )
 def q_hashed_embedding(spark, sf_dir):
     # the explode+aggregate scale path — bit-identical to the per-row
-    # expression variant (tests/test_properties.py pins the equality)
-    # and ~4x faster even at dim=16: the HOF fold re-hashes every
-    # token once per output dimension, the agg path once total
+    # expression variant (tests/test_properties.py pins the equality):
+    # the HOF fold re-hashes every token once per output dimension,
+    # the agg path once total, so the whole corpus runs unbounded
+    # (the oracle uses the same unnest+group shape, so the DuckDB side
+    # is O(tokens) too — no per-doc cap needed on either side)
     from clickbom_spark.ext.text import hashed_embedding_agg
 
     (docs,) = load(spark, sf_dir, "documents")
-    emb = hashed_embedding_agg(
-        docs.where(F.col("doc_id") <= 100), "text", "doc_id", dim=_HE_DIM
-    )
-    return (
-        emb.select(
-            "doc_id", F.posexplode("vec").alias("dim", "val")
-        )
-        .select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
-        .orderBy("doc_id", "dim")
-    )
+    emb = hashed_embedding_agg(docs, "text", "doc_id", dim=_HE_DIM)
+    return emb.select(
+        "doc_id", F.posexplode("vec").alias("dim", "val")
+    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
 
 
 # ---------------------------------------------------------------------------
@@ -1078,13 +1075,26 @@ def q_window_funnel(spark, sf_dir):
 # which provably yields the same total.
 # ---------------------------------------------------------------------------
 
+# Baskets larger than this are excluded from pair expansion: per-order
+# pair work is O(items²), so one pathological mega-order (10^6 items →
+# 10^12 pairs) would blow the edge stage long before the triangle
+# join's degree-ordered bound applies.  TPC-H baskets are ≤7 items, and
+# real co-purchase mining drops such degenerate baskets anyway (they
+# carry no signal — everything co-occurs with everything).
+_BASKET_CAP = 1024
+
+
 @staged(
     "q_triangle_count",
-    oracle="""
-WITH pairs AS (
+    oracle=f"""
+WITH ok AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= {_BASKET_CAP}
+), pairs AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
 ), e AS (
   SELECT u, v FROM pairs GROUP BY u, v
   HAVING COUNT(DISTINCT l_orderkey) >= 2
@@ -1102,28 +1112,51 @@ FROM e e1 JOIN e e2 ON e2.u = e1.v
     "Wagner): every triangle closes exactly one oriented wedge and "
     "per-node out-degree is bounded by O(sqrt(E)), so the wedge join "
     "stays near-linear on skewed graphs — three hash equi-joins, no "
-    "cross product; oracle counts with the equivalent u<v<w scheme.",
+    "cross product.  Pair expansion is basket-bounded: orders with "
+    "more than 1024 distinct parts are excluded (documented guard, "
+    "mirrored in the oracle) so one mega-order cannot blow the edge "
+    "stage; the expansion itself runs JVM-side from per-order part "
+    "sets (one shuffle), not a lineitem self-join.",
     bench=True,
 )
 def q_triangle_count(spark, sf_dir):
     from clickbom_spark.ext.graph import triangle_count
 
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    a = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    edges = copurchase_edges(lineitem)
+    return triangle_count(edges)
+
+
+def copurchase_edges(lineitem, basket_cap: int = _BASKET_CAP,
+                     min_orders: int = 2):
+    """Part pairs co-ordered in ≥ ``min_orders`` distinct orders.
+
+    One hash aggregate builds the per-order distinct part set; baskets
+    over ``basket_cap`` are dropped BEFORE pair expansion, so the
+    O(items²) blow-up is bounded at cap² per order regardless of input
+    skew.  The expansion is a double array explode (whole-stage
+    codegen), replacing the earlier lineitem self-join — one shuffle
+    total for the basket build instead of a join shuffle plus
+    unbounded per-key pair growth."""
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("_ps"))
+        .where(F.size("_ps") <= basket_cap)
     )
-    b = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
-    )
-    edges = (
-        a.join(b, "ok")
+    pairs = (
+        baskets.select("l_orderkey", F.explode("_ps").alias("u"), "_ps")
+        .select("l_orderkey", "u", F.explode("_ps").alias("v"))
         .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.countDistinct("ok").alias("n_ord"))
-        .where(F.col("n_ord") >= 2)
+    )
+    # collect_set already dedups parts within an order, so each order
+    # contributes each pair at most once: plain count == distinct-order
+    # count, no countDistinct needed
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+        .where(F.col("n_ord") >= min_orders)
         .select("u", "v")
     )
-    return triangle_count(edges)
 
 
 # ---------------------------------------------------------------------------

@@ -140,3 +140,29 @@ def test_triangle_count_matches_bruteforce(spark):
     row = triangle_count(df).collect()[0]
     assert row["n_triangles"] == truth
     assert row["n_edges"] == len(edges)
+
+
+def test_copurchase_edges_mega_order_guard(spark):
+    """The basket guard: an order with more distinct parts than the cap
+    contributes NO pairs (bounding the O(items²) expansion), while
+    normal baskets still form exact edges — and within-order duplicate
+    partkeys don't double-count order support."""
+    from clickbom_spark.queries.staged import copurchase_edges
+
+    rows = []
+    # two normal orders sharing the pair (1, 2) → a real edge
+    for ok, parts in ((100, [1, 2, 3]), (101, [1, 2, 2])):
+        rows += [(ok, p) for p in parts]
+    # one mega-order containing EVERY part incl. (1,2): over the cap,
+    # must be excluded entirely
+    rows += [(999, p) for p in range(1, 30)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    edges = {(r["u"], r["v"]) for r in copurchase_edges(li, basket_cap=10).collect()}
+    assert edges == {(1, 2)}
+    # with the cap lifted, the mega-order's pairs push every part pair
+    # it shares with another order to support >= 2
+    edges_all = {
+        (r["u"], r["v"]) for r in copurchase_edges(li, basket_cap=10_000).collect()
+    }
+    assert (1, 2) in edges_all and (1, 3) in edges_all and (2, 3) in edges_all
