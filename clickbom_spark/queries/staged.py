@@ -2046,3 +2046,67 @@ def q_bpe_segment(spark, sf_dir):
         "n_pieces",
         F.array_join("pieces", " ").alias("pieces_str"),
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-lake co-located join: the versioned lake persists its
+# physical bucket spec (col, n) in the manifest, and an equi-join of
+# two lakes bucketed on the join key runs with ZERO Exchange operators
+# (plan-pinned in tests/test_plans.py) — the layout-for-shuffle trade
+# a 100 TB fact-fact join lives on.  The oracle is the plain relational
+# join: bucketing is physical, never semantic.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_bucketed_lake_join",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="Co-located fact-fact join from the versioned lake's "
+    "persisted bucket spec (ext/bucketed_lake.py): both sides are "
+    "written bucketBy(8, orderkey) with the spec recorded in the "
+    "manifest, the read re-registers the catalog entry from metadata "
+    "alone, and the join on the bucket key carries zero Exchange "
+    "operators (plan test) — the shuffle the layout pre-paid.  Falls "
+    "back to the plain manifest read whenever the on-disk layout "
+    "diverges from the snapshot, so correctness never rides the fast "
+    "path.",
+)
+def q_bucketed_lake_join(spark, sf_dir):
+    from clickbom_spark.ext.bucketed_lake import (
+        create_bucketed,
+        read_bucketed,
+    )
+    from clickbom_spark.queries import dec, dsum
+
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    po = os.path.join(_TMP, "bkt_orders")
+    pl = os.path.join(_TMP, "bkt_lineitem")
+    for p in (po, pl):
+        shutil.rmtree(p, ignore_errors=True)
+    lake_o = create_bucketed(
+        spark, po, orders.select("o_orderkey", "o_orderpriority"),
+        "o_orderkey", 8,
+    )
+    lake_l = create_bucketed(
+        spark, pl, lineitem.select("l_orderkey", "l_extendedprice"),
+        "l_orderkey", 8,
+    )
+    joined = read_bucketed(lake_o).join(
+        read_bucketed(lake_l),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(dec("l_extendedprice"), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
