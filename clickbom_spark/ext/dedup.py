@@ -185,9 +185,37 @@ def minhash_lsh_pairs(
     smaller) deduped candidate set joins the shingle table back by id
     for verification.
     """
+    banded = minhash_band_postings(
+        df, id_col, text_col, num_hashes, bands, n
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return verify_jaccard_pairs(df, cands, id_col, text_col, n, threshold)
+
+
+def minhash_band_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """The LSH posting list: (id, band, bucket) rows, ``bands`` per
+    document.  This IS the standing near-dup index a 100 TB pipeline
+    persists — postings are tiny (3 longs × bands per doc), fully
+    deterministic (seeded xxhash64, no RNG), and mergeable by plain
+    union, which is what makes :func:`incremental_minhash_pairs`
+    possible: new documents hash once and join the stored postings,
+    the old corpus is never re-hashed."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
-
     bandarr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -197,19 +225,24 @@ def minhash_lsh_pairs(
             ).alias("bucket"),
         ),
     )
-    banded = sigs.select("id", F.explode(bandarr).alias("bb")).select(
+    return sigs.select("id", F.explode(bandarr).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
 
+def verify_jaccard_pairs(
+    df: DataFrame,
+    cands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set: join the
+    (tiny) deduped candidates back to the corpus shingles by id and
+    keep pairs with jac >= threshold.  Only candidate documents are
+    ever re-shingled — at scale this is a point-lookup join, not a
+    corpus scan."""
     g = fan_out(df).select(
         F.col(id_col).alias("gid"), shingles(F.col(text_col), n).alias("grams")
     ).withColumn("sz", F.size("grams"))
@@ -228,6 +261,56 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", jac.alias("jac"))
         .where(F.col("jac") >= threshold)
     )
+
+
+def incremental_minhash_pairs(
+    index: DataFrame,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup maintenance: given the persisted posting
+    ``index`` of the existing corpus (from
+    :func:`minhash_band_postings`) and a batch of ``new_docs``, find
+    every verified pair that TOUCHES a new document — without
+    re-hashing or self-joining the old corpus.
+
+    Incremental law (pinned by test):
+    ``pairs(old ∪ new) = pairs(old) ∪ incremental(old, new)`` — pairs
+    among old documents were already found when those docs were new, so
+    the increment only needs new×(old ∪ new) candidates: new postings
+    equi-join the UNION index on (band, bucket).  Cost scales with the
+    batch (new docs hashed once; candidates verified by point lookups
+    into ``corpus``), not the corpus — the property that lets a 100 TB
+    dedup pipeline absorb a daily drop of documents in minutes.
+
+    Returns ``(pairs, updated_index)``; persist ``updated_index`` as
+    the next round's index (plain union — postings are mergeable).
+    """
+    new_post = minhash_band_postings(
+        new_docs, id_col, text_col, num_hashes, bands, n
+    )
+    all_post = index.unionByName(new_post)
+    a = new_post.select(F.col("id").alias("id_x"), "band", "bucket")
+    b = all_post.select(F.col("id").alias("id_y"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = verify_jaccard_pairs(
+        corpus, cands, id_col, text_col, n, threshold
+    )
+    return pairs, all_post
 
 
 def connected_components(
@@ -580,4 +663,74 @@ def duplicate_token_spans(
             F.count(F.lit(1)).alias("n_windows"),
         )
         .drop("_grp")
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame, col: str, max_d: int = 2, q: int = 2
+) -> DataFrame:
+    """Edit-distance self-join over the DISTINCT values of ``col`` —
+    the q-gram-filter + verify scheme (the PassJoin/Gravano-et-al.
+    family), never the all-pairs cross product.
+
+    Candidate generation: two strings within edit distance d and
+    length ≥ q·(d+1) must share at least one q-gram (each edit destroys
+    at most q grams, and a string of that length has ≥ q·d + 1 grams),
+    so an equi-join on exploded distinct q-grams plus the
+    ``|len(a) − len(b)| ≤ d`` length filter yields a candidate
+    SUPERSET.  Strings shorter than q·(d+1) fall back to a
+    length-bucketed join among themselves and against everything
+    within the length filter (a bounded set by construction: there are
+    at most |Σ|^(q·(d+1)) such strings).  Exact ``levenshtein``
+    verification restores precision, so the result equals the brute-
+    force join.  Returns (a, b, dist) with a < b and 1 ≤ dist ≤ max_d.
+    """
+    s = (
+        df.select(F.col(col).cast("string").alias("s"))
+        .where(F.col("s").isNotNull())
+        .distinct()
+    )
+    min_len = q * (max_d + 1)
+    grams = s.where(F.length("s") >= min_len).select(
+        "s",
+        F.explode_outer(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(s) - {q} + 1),"
+                    f" i -> substring(s, i, {q}))"
+                )
+            )
+        ).alias("g"),
+    )
+    a = grams.select(F.col("s").alias("a"), "g")
+    b = grams.select(F.col("s").alias("b"), "g")
+    cands_long = (
+        a.join(b, "g")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (
+                F.abs(F.length("a") - F.length("b")) <= max_d
+            )
+        )
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    # short strings: the q-gram bound does not apply below q*(d+1)
+    # chars, so pair them against every string within the length
+    # filter (short side is alphabet-bounded; broadcast it)
+    short = s.where(F.length("s") < min_len)
+    cands_short = (
+        F.broadcast(short.select(F.col("s").alias("a")))
+        .crossJoin(s.select(F.col("s").alias("b")))
+        .where(
+            (F.col("a") != F.col("b"))
+            & (F.abs(F.length("a") - F.length("b")) <= max_d)
+        )
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    cands = cands_long.unionByName(cands_short)
+    dist = F.levenshtein(F.col("a"), F.col("b"))
+    return cands.select("a", "b", dist.alias("dist")).where(
+        F.col("dist") <= max_d
     )

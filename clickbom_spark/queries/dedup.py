@@ -364,3 +364,77 @@ def q_substring_dedup(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_incremental_minhash_dedup",
+    # Exact oracle restricted to pairs touching the "new batch": the
+    # increment's contract is exactly those pairs (old×old pairs were
+    # found when those docs were new), and LSH recall is 1.0 on this
+    # corpus (see q_minhash_lsh_dedup) so verified output == exact.
+    oracle=_JACCARD_PAIRS
+    + """
+SELECT id_a, id_b, jac FROM scored
+WHERE jac >= 0.8 AND (id_a % 7 = 3 OR id_b % 7 = 3)
+ORDER BY id_a, id_b
+""",
+    description="Incremental near-dup maintenance "
+    "(ext/dedup.incremental_minhash_pairs): the standing corpus keeps "
+    "a persisted MinHash band-posting index (3 longs x 8 bands per "
+    "doc, mergeable by union); a new document batch hashes ONCE, "
+    "equi-joins the union index on (band, bucket), and exact-verifies "
+    "only the candidates — the old corpus is never re-hashed or "
+    "self-joined, so absorbing a daily drop costs O(batch), not "
+    "O(corpus). Incremental law pairs(old+new) = pairs(old) + "
+    "increment is pinned in tests/test_ext_ops.py; the natural feed "
+    "for the batch is the versioned lake's change_feed inserts.",
+)
+def q_incremental_minhash_dedup(spark, sf_dir):
+    import os
+    import shutil
+
+    from clickbom_spark.queries.staged import _TMP
+
+    (docs,) = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 7 == 3
+    old, new = docs.where(~is_new), docs.where(is_new)
+    # persist the standing index like a real pipeline would, then read
+    # it back so the increment provably runs off stored postings
+    idx_path = os.path.join(_TMP, "minhash_index")
+    shutil.rmtree(idx_path, ignore_errors=True)
+    D.minhash_band_postings(old).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    pairs, _ = D.incremental_minhash_pairs(index, new, docs)
+    return pairs.orderBy("id_a", "id_b")
+
+
+@query(
+    "q_edit_distance_join",
+    oracle="""
+WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+SELECT a.s AS name_a, b.s AS name_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM n a JOIN n b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 2
+ORDER BY name_a, name_b
+""",
+    description="Edit-distance self-join over distinct part names "
+    "(ext/dedup.edit_distance_pairs, the q-gram-filter family of "
+    "Gravano et al.): candidates = equi-join on exploded 2-grams + "
+    "length filter (strings within distance d and length >= q*(d+1) "
+    "must share a q-gram — each edit destroys at most q grams), "
+    "exact levenshtein verify restores precision, so output == the "
+    "brute-force join the oracle computes; never an all-pairs cross "
+    "product, the fuzzy-join shape that survives 100 TB of names.",
+)
+def q_edit_distance_join(spark, sf_dir):
+    (part,) = load(spark, sf_dir, "part")
+    return (
+        D.edit_distance_pairs(part, "p_name", max_d=2, q=2)
+        .select(
+            F.col("a").alias("name_a"),
+            F.col("b").alias("name_b"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )

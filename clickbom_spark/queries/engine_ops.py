@@ -624,3 +624,38 @@ def q_k_anonymity(spark, sf_dir):
         .alias("n_rows_at_risk"),
         F.min("grp_n").cast("long").alias("min_group_size"),
     )
+
+
+@query(
+    "q_uniq_upto",
+    oracle="""
+SELECT event_type,
+       CAST(LEAST(COUNT(DISTINCT user_id), 31) AS BIGINT)
+           AS uniq_upto_30,
+       COUNT(DISTINCT user_id) <= 30 AS is_exact
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="ClickHouse uniqUpTo(30) analog: exact distinct count "
+    "while <= N, saturating at N+1 — the bounded-memory cardinality "
+    "probe for 'has this group more than N distinct users'.  Two hash "
+    "aggregates (distinct pairs, then capped count per group): linear, "
+    "no per-group state beyond the cap's answer; the saturation is in "
+    "the AGGREGATION contract, so a 100 TB group costs the same as a "
+    "31-user group after the first shuffle.",
+)
+def q_uniq_upto(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    n = 30
+    pairs = events.select("event_type", "user_id").distinct()
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .select(
+            "event_type",
+            F.least(F.col("_d"), F.lit(n + 1)).cast("long").alias("uniq_upto_30"),
+            (F.col("_d") <= n).alias("is_exact"),
+        )
+        .orderBy("event_type")
+    )

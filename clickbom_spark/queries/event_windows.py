@@ -741,3 +741,66 @@ def q_stream_stream_attribution_outer(spark, sf_dir):
             F.sum("click_id").alias("sum_click_ids"),
         )
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nt
+  FROM events
+), d AS (
+  SELECT user_id, cents, nt - t AS dur_us, (nt - t) // 1000 AS dur_ms
+  FROM seq WHERE nt IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       CAST(SUM(cents * dur_ms) AS DOUBLE)
+         / CAST(SUM(dur_ms) AS DOUBLE) / 100.0 AS twa_value
+FROM d GROUP BY user_id
+HAVING SUM(dur_ms) > 0
+ORDER BY user_id
+""",
+    description="Time-weighted average per user (the ClickHouse "
+    "avgWeighted / Timescale time_weight 'locf' shape): each event's "
+    "value is held until the next event and weighted by the held "
+    "duration — one window lead per user plus one hash aggregate.  "
+    "All accumulation is pure BIGINT (value in cents x duration in "
+    "ms; int-to-double conversion is identically IEEE-defined in both "
+    "engines, unlike decimal(38,2)-to-double above 2^53), so the "
+    "oracle matches bit-for-bit.",
+)
+def q_time_weighted_avg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = epoch_us("ts")
+    seq = events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.lead(t).over(w) - t).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    seq = seq.withColumn("dur_ms", F.expr("dur_us div 1000"))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").cast("long").alias("total_us"),
+            (
+                F.sum(F.col("cents") * F.col("dur_ms")).cast("double")
+                / F.sum("dur_ms").cast("double")
+                / F.lit(100.0)
+            ).alias("twa_value"),
+            F.sum("dur_ms").alias("_sdm"),
+        )
+        .where(F.col("_sdm") > 0)
+        .drop("_sdm")
+        .orderBy("user_id")
+    )

@@ -1007,3 +1007,33 @@ def test_exact_weighted_quantiles_equal_expanded_duplication(spark):
         df.repartition(13), "v", "w", probs
     ).collect()[0]
     assert got13 == got
+
+
+def test_incremental_minhash_law(spark, documents):
+    """pairs(old ∪ new) == pairs(old) ∪ incremental(old, new): the
+    increment finds exactly the pairs touching new docs, off a
+    postings index built once from the old corpus — and the returned
+    updated index equals a fresh full-corpus posting build."""
+    from pyspark.sql import functions as F
+
+    is_new = F.col("doc_id") % 5 == 2
+    old, new = documents.where(~is_new), documents.where(is_new)
+    full = pairs_set(D.minhash_lsh_pairs(documents, threshold=0.8))
+    old_pairs = pairs_set(D.minhash_lsh_pairs(old, threshold=0.8))
+    index = D.minhash_band_postings(old)
+    inc_pairs_df, updated = D.incremental_minhash_pairs(
+        index, new, documents
+    )
+    inc = pairs_set(inc_pairs_df)
+    assert old_pairs | inc == full
+    # the increment touches only new docs
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    for a, b in inc:
+        assert a in new_ids or b in new_ids
+    # updated index == full rebuild (mergeable postings)
+    fresh = {
+        (r["id"], r["band"], r["bucket"])
+        for r in D.minhash_band_postings(documents).collect()
+    }
+    got = {(r["id"], r["band"], r["bucket"]) for r in updated.collect()}
+    assert got == fresh
