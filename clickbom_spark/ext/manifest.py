@@ -494,6 +494,75 @@ class VersionedLake:
 
         return self._retry_mutation(attempt)
 
+    def merge_cdc(
+        self,
+        batch: DataFrame,
+        key_cols: list[str],
+        op_col: str = "op",
+    ) -> int:
+        """Apply one CDC batch in ONE snapshot commit — the full MERGE
+        statement (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT / WHEN
+        MATCHED AND op='D' DELETE) the plain :meth:`upsert` lacks.
+
+        ``batch`` carries ``op_col`` ∈ {'I','U','D'}: I/U rows replace
+        (or insert) their key's row; D rows delete it.  Keys must be
+        unique within the batch — a CDC feed with multiple ops per key
+        must be collapsed to the LAST op per key upstream (the standard
+        CDC-apply contract; the streaming compaction operator does
+        exactly that).  One probe + one rewrite of affected files +
+        one commit, so a replayed batch is also state-idempotent.
+        """
+        ops = batch.select(F.col(op_col).alias("_op")).distinct().collect()
+        bad = {r["_op"] for r in ops} - {"I", "U", "D"}
+        if bad:
+            raise ValueError(f"merge_cdc: unknown ops {sorted(bad)}")
+        keys = batch.select(*key_cols).groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        if keys.where(F.col("_n") > 1).limit(1).collect():
+            raise ValueError(
+                "merge_cdc: duplicate keys in batch — collapse to the "
+                "last op per key first"
+            )
+        key_frame = keys.drop("_n")
+
+        def attempt() -> int:
+            base = self._manifest()
+            files = [os.path.join(self.path, f) for f in base["files"]]
+            lake = self._read_files(files, version=base["version"])
+            cols = lake.columns
+            probe = (
+                lake.withColumn("_f", F.input_file_name())
+                .join(F.broadcast(key_frame), key_cols, "left_semi")
+                .select("_f")
+                .distinct()
+                .collect()
+            )
+            affected = set(self._split_affected(probe))
+            untouched = [f for f in files if f not in affected]
+            upserts = batch.where(F.col(op_col) != "D").select(*cols)
+            if affected:
+                sub = self._read_files(
+                    sorted(affected), version=base["version"]
+                )
+                out = (
+                    sub.join(F.broadcast(key_frame), key_cols, "left_anti")
+                    .select(*cols)
+                    .unionByName(upserts)
+                )
+            else:
+                out = upserts
+            new_files = self._write_new(out)
+            live = untouched + new_files
+            return self._commit(
+                live,
+                self.spark.read.parquet(*live).count(),
+                "cdc",
+                based_on=base["files"],
+            )
+
+        return self._retry_mutation(attempt)
+
     # ---- vacuum ----
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

@@ -438,3 +438,73 @@ def q_edit_distance_join(spark, sf_dir):
         )
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "q_stream_neardup_filter",
+    # Rows-only by design: the admitted set depends on the greedy
+    # sequential batch order (a fold, not a relation), so there is no
+    # SQL oracle — the stream==sequential-batch law, the hand-derived
+    # admission semantics, and replay idempotence are pinned in
+    # tests/test_streaming_dedup.py instead.
+    oracle=None,
+    description="Online near-dup filter at ingestion "
+    "(ext/streaming_dedup.py): a real availableNow file stream of "
+    "document batches, each checked against the standing corpus via "
+    "the incremental MinHash posting index before admission — "
+    "duplicates rejected, survivors extend corpus and index, both "
+    "commits epoch-marked for exactly-once under foreachBatch replay. "
+    "The corpus is never re-hashed; per-batch cost is O(batch). "
+    "Returns per-source admitted/total counts.",
+)
+def q_stream_neardup_filter(spark, sf_dir):
+    import os
+    import shutil
+
+    from clickbom_spark.ext.streaming_dedup import (
+        create_dedup_state,
+        neardup_filter_sink,
+    )
+    from clickbom_spark.queries.staged import _TMP
+
+    (docs,) = load(spark, sf_dir, "documents")
+    base = os.path.join(_TMP, "stream_neardup")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    bounds = [(0, 170), (170, 340), (340, 10**9)]
+    for e, (lo, hi) in enumerate(bounds):
+        p = os.path.join(src, f"b{e}.parquet")
+        docs.select("doc_id", "text").where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + e * 1000,) * 2)
+    corpus, index = create_dedup_state(
+        spark,
+        os.path.join(base, "corpus"),
+        os.path.join(base, "index"),
+        docs.select("doc_id", "text"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(neardup_filter_sink(corpus, index))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    kept = corpus.read().select("doc_id")
+    return (
+        docs.join(kept, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+        .join(
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total")),
+            "source",
+        )
+        .orderBy("source")
+    )

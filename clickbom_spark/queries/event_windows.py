@@ -804,3 +804,54 @@ def q_time_weighted_avg(spark, sf_dir):
         .drop("_sdm")
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_ema_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vs
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_vals,
+       list_reduce(vs, (acc, x) -> 0.5 * x + 0.5 * acc) AS ema
+FROM seq ORDER BY user_id
+""",
+    description="Per-user exponential moving average of event values "
+    "(ClickHouse exponentialMovingAverage shape, alpha=0.5): one hash "
+    "aggregate collects the per-user time-ordered value list, one "
+    "array fold computes ema = a*x + (1-a)*ema seeded with the first "
+    "value.  alpha is a power of two, so every multiply is EXACT and "
+    "the only rounding is the per-step add — an identical op sequence "
+    "in both engines, hence bit-equal without decimal scaffolding.  "
+    "Per-key state is the value list only; no global sort, no window "
+    "over the corpus.",
+)
+def q_ema_value(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    src = events.where(F.col("value").isNotNull()).select(
+        "user_id",
+        F.struct(
+            epoch_us("ts").alias("t"),
+            F.col("event_id").alias("tb"),
+            F.col("value").alias("v"),
+        ).alias("s"),
+    )
+    packed = src.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("s")).alias("arr")
+    )
+    ema = F.aggregate(
+        F.col("arr"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["v"]).otherwise(
+            0.5 * x["v"] + 0.5 * acc
+        ),
+    )
+    return packed.select(
+        "user_id",
+        F.size("arr").cast("long").alias("n_vals"),
+        ema.alias("ema"),
+    ).orderBy("user_id")

@@ -2110,3 +2110,63 @@ def q_bucketed_lake_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC batch apply: the full MERGE (update / insert / delete) in one
+# snapshot commit — the apply side of a Debezium-style feed.  The
+# oracle recomputes the final state relationally; the lake must land
+# on exactly that state after one merge_cdc call.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_cdc_apply",
+    oracle="""
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1 THEN 'upd' ELSE lang END AS lang,
+         n_chars
+  FROM documents
+  WHERE doc_id % 5 <> 2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM final GROUP BY lang ORDER BY lang
+""",
+    description="CDC batch apply to the versioned lake "
+    "(VersionedLake.merge_cdc): one I/U/D-tagged batch lands as ONE "
+    "snapshot commit — WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT, "
+    "WHEN MATCHED DELETE, the full MERGE the plain upsert lacks.  One "
+    "broadcast-key probe + rewrite of affected files only; replaying "
+    "the batch is state-idempotent.  The oracle recomputes the final "
+    "state relationally from the base corpus and the op predicate.",
+)
+def q_cdc_apply(spark, sf_dir):
+    from clickbom_spark.ext.manifest import VersionedLake
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, "docs_cdc_lake")
+    shutil.rmtree(path, ignore_errors=True)
+    lake = VersionedLake.create(
+        spark, path, docs.where(F.col("doc_id") % 5 != 0), n_files=4
+    )
+    mod = F.col("doc_id") % 5
+    batch = (
+        docs.where(mod == 0).withColumn("op", F.lit("I"))
+        .unionByName(
+            docs.where(mod == 1)
+            .withColumn("lang", F.lit("upd"))
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(docs.where(mod == 2).withColumn("op", F.lit("D")))
+    )
+    lake.merge_cdc(batch, ["doc_id"], op_col="op")
+    return (
+        lake.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -752,3 +752,59 @@ def test_epoch_marker_atomic_and_survives_vacuum(spark, tmp_path):
     assert lake.current_version() == v + 1
     got = {r["id"]: r["val"] for r in lake.read().collect()}
     assert got[900] == 9.0 and got[901] == 2.0 and got[902] == 3.0
+
+
+def test_merge_cdc_full_merge_semantics_and_idempotent_replay(spark, tmp_path):
+    """One CDC batch (I/U/D) = one snapshot with exactly the merged
+    state; replaying the same batch converges to the same state; the
+    change feed across the commit shows the right per-key changes."""
+    from clickbom_spark.ext.manifest import change_feed
+
+    lake = _mk(spark, tmp_path, n=100)
+    v0 = lake.current_version()
+    batch = spark.createDataFrame(
+        [
+            (500, 0, 1.5, "I"),   # brand-new key
+            (10, 0, -10.0, "U"),  # replaces id=10
+            (20, 0, 0.0, "D"),    # deletes id=20
+            (999, 0, 0.0, "D"),   # delete of a missing key: no-op
+        ],
+        "id long, grp long, val double, op string",
+    )
+    lake.merge_cdc(batch, ["id"])
+    v1 = lake.current_version()
+    assert v1 == v0 + 1
+    got = {r["id"]: r["val"] for r in lake.read().collect()}
+    assert got[500] == 1.5 and got[10] == -10.0
+    assert 20 not in got and 999 not in got
+    assert len(got) == 100  # 100 - 1 deleted + 1 inserted
+    cf = change_feed(lake, v0, v1, ["id"])
+    by_type = {
+        (r["_change_type"], r["id"])
+        for r in cf.where(F.col("id").isin(500, 10, 20)).collect()
+    }
+    assert ("insert", 500) in by_type
+    assert ("delete", 20) in by_type
+    assert ("update_pre", 10) in by_type and ("update_post", 10) in by_type
+    # replay: same batch applied again → same state (new version, since
+    # the I/U rows rewrite, but values identical)
+    lake.merge_cdc(batch, ["id"])
+    got2 = {r["id"]: r["val"] for r in lake.read().collect()}
+    assert got2 == got
+
+
+def test_merge_cdc_rejects_bad_ops_and_duplicate_keys(spark, tmp_path):
+    import pytest
+
+    lake = _mk(spark, tmp_path, n=20)
+    bad_op = spark.createDataFrame(
+        [(1, 0, 0.0, "X")], "id long, grp long, val double, op string"
+    )
+    with pytest.raises(ValueError, match="unknown ops"):
+        lake.merge_cdc(bad_op, ["id"])
+    dup = spark.createDataFrame(
+        [(1, 0, 0.0, "U"), (1, 0, 1.0, "D")],
+        "id long, grp long, val double, op string",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        lake.merge_cdc(dup, ["id"])

@@ -1,0 +1,132 @@
+"""Online near-dup filter laws (ext/streaming_dedup.py): admission
+semantics on a hand-derived corpus, the stream == sequential-batch
+law over a real availableNow file stream, and replay idempotence."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from clickbom_spark.ext.streaming_dedup import (
+    admit_batch,
+    apply_neardup_batch,
+    create_dedup_state,
+    neardup_filter_sink,
+)
+
+_SCHEMA = "doc_id long, text string"
+
+
+def _doc(i, base_tokens, change_last=None):
+    toks = list(base_tokens)
+    if change_last is not None:
+        toks[-1] = change_last
+    return (i, " ".join(toks))
+
+
+def _mk_docs():
+    """Hand-derived near-dup structure: A-family {1, 2, 4} (one token
+    differs — jaccard ≈ 0.85), unique docs 3 and 5, new cluster
+    {6, 7}."""
+    a = [f"alpha{k}" for k in range(40)]
+    c = [f"charlie{k}" for k in range(40)]
+    e = [f"echo{k}" for k in range(40)]
+    f_ = [f"fox{k}" for k in range(40)]
+    batch1 = [_doc(1, a), _doc(2, a, "zz2"), _doc(3, c)]
+    batch2 = [_doc(4, a, "zz4"), _doc(5, e), _doc(6, f_), _doc(7, f_, "zz7")]
+    return batch1, batch2
+
+
+def test_admission_rule_hand_derived(spark, tmp_path):
+    batch1, batch2 = _mk_docs()
+    template = spark.createDataFrame(batch1, _SCHEMA)
+    corpus, index = create_dedup_state(
+        spark, str(tmp_path / "corp"), str(tmp_path / "idx"), template
+    )
+    apply_neardup_batch(
+        corpus, index, spark.createDataFrame(batch1, _SCHEMA), epoch=0
+    )
+    kept1 = {r["doc_id"] for r in corpus.read().collect()}
+    # 2 is a within-batch dup of 1 → min-id representative wins
+    assert kept1 == {1, 3}
+    apply_neardup_batch(
+        corpus, index, spark.createDataFrame(batch2, _SCHEMA), epoch=1
+    )
+    kept2 = {r["doc_id"] for r in corpus.read().collect()}
+    # 4 rejected against the standing index (dup of kept 1);
+    # {6,7} is a new within-batch cluster → keep 6
+    assert kept2 == {1, 3, 5, 6}
+    # the index tracks exactly the kept docs
+    idx_ids = {r["id"] for r in index.read().select("id").distinct().collect()}
+    assert idx_ids == kept2
+    # pure admission check is read-only; re-offering the batch now
+    # rejects 4 and 7 against the standing index, while 5 and 6 —
+    # already-kept ids — stay admissible (self-pairs are excluded, so
+    # re-admission is id-idempotent: the upsert replaces the same row)
+    again = admit_batch(
+        corpus, index, spark.createDataFrame(batch2, _SCHEMA)
+    )
+    assert {r["doc_id"] for r in again.collect()} == {5, 6}
+
+
+def test_stream_equals_sequential_batches_and_replay(spark, tmp_path):
+    """availableNow stream over ordered batch files == folding the same
+    batches through apply_neardup_batch; a fresh-checkpoint replay
+    leaves both state lakes untouched (epoch marks)."""
+    from clickbom_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    # three deterministic batches by doc_id range
+    bounds = [(0, 170), (170, 340), (340, 10**9)]
+    batches = [
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in bounds
+    ]
+    # reference: sequential batch fold
+    ref_corpus, ref_index = create_dedup_state(
+        spark, str(tmp_path / "rc"), str(tmp_path / "ri"), docs
+    )
+    for e, b in enumerate(batches):
+        apply_neardup_batch(ref_corpus, ref_index, b, epoch=e)
+    ref_ids = {r["doc_id"] for r in ref_corpus.read().collect()}
+    assert 0 < len(ref_ids) < docs.count()  # the corpus HAS planted dups
+
+    # stream: one file per batch, mtimes ascending so the file source
+    # replays them in order, one file per trigger
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for e, b in enumerate(batches):
+        p = str(src / f"b{e}.parquet")
+        b.toPandas().to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + e * 1000, 1_700_000_000 + e * 1000))
+    corpus, index = create_dedup_state(
+        spark, str(tmp_path / "sc"), str(tmp_path / "si"), docs
+    )
+    sink = neardup_filter_sink(corpus, index)
+
+    def run_stream(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_stream(str(tmp_path / "ckpt1"))
+    got_ids = {r["doc_id"] for r in corpus.read().collect()}
+    assert got_ids == ref_ids
+    v_corpus, v_index = corpus.current_version(), index.current_version()
+    # fresh checkpoint → Spark re-delivers the same files as the same
+    # epoch ids; both stores must skip every one
+    run_stream(str(tmp_path / "ckpt2"))
+    assert corpus.current_version() == v_corpus
+    assert index.current_version() == v_index
+    assert {r["doc_id"] for r in corpus.read().collect()} == ref_ids
