@@ -576,3 +576,35 @@ def test_prefix_sum_consumers_have_no_global_data_window(spark, name):
     # per-bucket aggregate (bounded rows) — identified by _val
     for ln in win_lines:
         assert "_bkt" in ln or "_val" in ln, ln
+
+
+def test_edit_distance_join_no_unbounded_cross_product(spark):
+    """The long-string candidate path must be a hash equi-join on the
+    exploded q-gram, never a cross product — the only cross join
+    allowed is the alphabet-bounded broadcast short-string fallback."""
+    plan = plan_of(spark, "q_edit_distance_join")
+    # exactly the one broadcast nested loop from the short-string
+    # bucket is tolerated; any more means the q-gram filter degenerated
+    assert plan.count("CartesianProduct") == 0, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_incremental_minhash_is_posting_equi_join(spark):
+    """Candidate generation in the incremental dedup must equi-join the
+    posting lists on (band, bucket) — no cross product anywhere."""
+    plan = plan_of(spark, "q_incremental_minhash_dedup")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_time_weighted_avg_single_user_shuffle(spark):
+    """One window over user + one hash aggregate: the plan must carry
+    no more than two Exchanges (window partitioning + final orderBy
+    range partitioning) over the events scan."""
+    plan = plan_of(spark, "q_time_weighted_avg")
+    # window partition + agg reuse the same hash partitioning; the
+    # orderBy adds one range exchange
+    assert plan.count("Exchange") <= 3, plan
