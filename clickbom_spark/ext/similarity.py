@@ -483,3 +483,55 @@ def rp_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= k
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query's
+    top-k most similar vectors with a DIFFERENT label — the highest-
+    similarity wrong-label examples that make the best negatives.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, cos,
+    rank).  Same broadcast-query × partitioned-corpus shape as
+    :func:`brute_force_topk` with the label-mismatch residual in the
+    join, so the per-query candidate stream shrinks before the window;
+    at scale compose the same mismatch filter onto :func:`ivf_topk`'s
+    probe-limited candidates instead (the query side here is
+    size-guarded).
+    """
+    from clickbom_spark.ext.dedup import guard_oracle_size
+
+    queries = guard_oracle_size(
+        queries, "hard_negative_topk(queries)", "ivf_topk + label filter"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        _to_double(F.col(vec_col)).alias("qv"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _to_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)

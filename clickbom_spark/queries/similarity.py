@@ -505,3 +505,49 @@ def q_scalar_quantization(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id < {N_QUERY_VECTORS}),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS cos
+  FROM q JOIN v c
+    ON c.vec_id <> q.vec_id AND c.label <> q.label
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos_r
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+    description="Hard-negative mining for contrastive training "
+    "(ext/similarity.hard_negative_topk): per query vector, the top-3 "
+    "most similar vectors with a DIFFERENT label — broadcast-query x "
+    "partitioned-corpus with the label-mismatch residual in the join; "
+    "at scale the same filter composes onto the IVF probe-limited "
+    "candidate stream.",
+)
+def q_hard_negatives(spark, sf_dir):
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECTORS)
+    return (
+        S.hard_negative_topk(emb, queries, k=3)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "rank", F.round("cos", 4).alias("cos_r"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -110,3 +110,58 @@ def test_gd_training_empty_raises_cleanly(spark):
     e = _empty(spark, "y double, x0 double")
     with pytest.raises(ValueError, match="empty feature frame"):
         logreg_train_gd(e, ["x0"], "y", epochs=1)
+
+
+def test_round6_ops_empty(spark, tmp_path):
+    """Round-6 operators on empty inputs: edit-distance join,
+    incremental minhash with an empty batch, CDC merge with an empty
+    batch, and streaming admission of an empty batch."""
+    from clickbom_spark.ext.dedup import (
+        edit_distance_pairs,
+        incremental_minhash_pairs,
+        minhash_band_postings,
+    )
+    from clickbom_spark.ext.manifest import VersionedLake
+    from clickbom_spark.ext.streaming_dedup import (
+        admit_batch,
+        create_dedup_state,
+    )
+
+    assert edit_distance_pairs(_empty(spark, "s string"), "s").count() == 0
+
+    docs = _empty(spark, "doc_id long, text string")
+    idx = minhash_band_postings(docs)
+    pairs, updated = incremental_minhash_pairs(idx, docs, docs)
+    assert pairs.count() == 0 and updated.count() == 0
+
+    base = spark.createDataFrame(
+        [(1, 0, 1.0)], "id long, grp long, val double"
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "l"), base, n_files=1)
+    v = lake.current_version()
+    lake.merge_cdc(
+        _empty(spark, "id long, grp long, val double, op string"), ["id"]
+    )
+    # an empty CDC batch still commits (a no-op snapshot), state unchanged
+    assert lake.read().count() == 1
+    assert lake.current_version() == v + 1
+
+    template = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    corpus, index = create_dedup_state(
+        spark, str(tmp_path / "c"), str(tmp_path / "i"), template
+    )
+    admitted = admit_batch(corpus, index, _empty(spark, "doc_id long, text string"))
+    assert admitted.count() == 0
+
+
+def test_hard_negatives_empty_and_single_label(spark):
+    """No opposite-label vectors → no negatives (not a crash)."""
+    from clickbom_spark.ext.similarity import hard_negative_topk
+
+    one_label = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.0, 1.0], 7)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    assert hard_negative_topk(one_label, one_label, k=3).count() == 0
+    e = _empty(spark, "vec_id long, embedding array<double>, label int")
+    assert hard_negative_topk(e, e, k=3).count() == 0
