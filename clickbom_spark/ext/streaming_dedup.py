@@ -169,3 +169,89 @@ def neardup_filter_sink(
         )
 
     return body
+
+
+# ---------------------------------------------------------------------------
+# Streaming materialized view: ingest micro-batches into a versioned
+# lake AND roll a (group, count, sums) aggregate forward from each
+# commit's change feed — the ClickHouse materialized-view /
+# AggregatingMergeTree pattern with exactly-once epochs.
+# ---------------------------------------------------------------------------
+
+
+def streaming_matview_sink(
+    data_lake: "VersionedLake",
+    view_lake: "VersionedLake",
+    key_cols: list,
+    group_cols: list,
+    sum_cols: list,
+):
+    """foreachBatch body maintaining a materialized sum/count aggregate
+    incrementally: each micro-batch (1) upserts into ``data_lake`` as
+    one epoch-marked snapshot, (2) applies ONLY that commit's change
+    feed to the aggregate stored in ``view_lake`` (shared files are
+    never re-read — IVM cost scales with the batch), and (3) commits
+    the rolled-forward view epoch-marked.  Both stores skip epochs they
+    already applied, so replay is exactly-once and a crash between the
+    two commits self-heals — the view never double-counts a batch.
+
+    The maintained table is exactly ``sum_agg_of(data, group_cols,
+    sum_cols)`` of the full data at every epoch boundary (law pinned in
+    tests and by the q_stream_matview oracle).
+    """
+    from clickbom_spark.ext.manifest import (
+        change_feed,
+        maintain_sum_agg,
+    )
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        data_done = epoch_committed(data_lake, e)
+        view_done = epoch_committed(view_lake, e)
+        if data_done and view_done:
+            return
+        if batch_df.isEmpty():
+            return
+        if not data_done:
+            data_lake.upsert(
+                batch_df, key_cols, message=f"epoch-{e}", epoch=e
+            )
+        if view_done:
+            return
+        v_to = data_lake.current_version()
+        # the epoch's data commit is the LAST commit; its predecessor
+        # is the state the view currently reflects
+        v_from = v_to - 1
+        rolled = maintain_sum_agg(
+            data_lake,
+            view_lake.read(),
+            v_from,
+            v_to,
+            group_cols,
+            key_cols,
+            sum_cols,
+        ).localCheckpoint(eager=True)
+        view_lake.upsert(
+            rolled, group_cols, message=f"epoch-{e}", epoch=e
+        )
+        # groups drained to zero disappear from `rolled` but linger in
+        # the view lake (upsert never deletes); delete them explicitly
+        gone = (
+            view_lake.read()
+            .join(rolled.select(*group_cols), group_cols, "left_anti")
+            .select(*group_cols)
+            .collect()
+        )
+        if gone:
+            from pyspark.sql import functions as FF
+
+            pred = None
+            for r in gone:
+                cond = None
+                for g in group_cols:
+                    c = FF.col(g) == r[g]
+                    cond = c if cond is None else (cond & c)
+                pred = cond if pred is None else (pred | cond)
+            view_lake.delete(pred)
+
+    return body

@@ -855,3 +855,83 @@ def q_ema_value(spark, sf_dir):
         F.size("arr").cast("long").alias("n_vals"),
         ema.alias("ema"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_stream_matview",
+    # The maintained view is batch-slicing-independent: at every epoch
+    # boundary it equals the plain GROUP BY of all data so far, so the
+    # final state oracles directly against batch SQL.
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    description="Streaming materialized view (ClickHouse materialized-"
+    "view / AggregatingMergeTree pattern; ext/streaming_dedup.py "
+    "streaming_matview_sink): a real availableNow stream upserts each "
+    "micro-batch into a versioned data lake and rolls a (group, count, "
+    "sum) aggregate forward from ONLY that commit's change feed — IVM "
+    "cost scales with the batch, shared files are never re-read; both "
+    "commits are epoch-marked so replay never double-counts.  Final "
+    "view == plain GROUP BY of everything ingested.",
+)
+def q_stream_matview(spark, sf_dir):
+    import os
+    import shutil
+
+    from clickbom_spark.ext.manifest import VersionedLake, sum_agg_of
+    from clickbom_spark.ext.streaming_dedup import streaming_matview_sink
+    from clickbom_spark.queries.staged import _TMP
+
+    (events,) = load(spark, sf_dir, "events")
+    rows = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = os.path.join(_TMP, "stream_matview")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    n = rows.agg(F.max("event_id")).collect()[0][0] + 1
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for e in range(3):
+        p = os.path.join(src, f"b{e}.parquet")
+        rows.where(
+            (F.col("event_id") >= cuts[e]) & (F.col("event_id") < cuts[e + 1])
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + e * 1000,) * 2)
+    data_lake = VersionedLake.create(
+        spark, os.path.join(base, "data"), rows.where(F.lit(False)), n_files=1
+    )
+    view_lake = VersionedLake.create(
+        spark,
+        os.path.join(base, "view"),
+        sum_agg_of(rows.where(F.lit(False)), ["event_type"], ["cents"]),
+        n_files=1,
+    )
+    sink = streaming_matview_sink(
+        data_lake, view_lake, ["event_id"], ["event_type"], ["cents"]
+    )
+    q = (
+        spark.readStream.schema("event_id long, event_type string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        view_lake.read()
+        .select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

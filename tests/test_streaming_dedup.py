@@ -130,3 +130,61 @@ def test_stream_equals_sequential_batches_and_replay(spark, tmp_path):
     assert corpus.current_version() == v_corpus
     assert index.current_version() == v_index
     assert {r["doc_id"] for r in corpus.read().collect()} == ref_ids
+
+
+def test_streaming_matview_handles_updates_retractions_and_replay(
+    spark, tmp_path
+):
+    """IVM through UPDATES: a later batch re-keys an existing row into
+    another group (retract+insert in the CDF); a group drained to zero
+    disappears from the view; replay double-counts nothing."""
+    from clickbom_spark.ext.manifest import VersionedLake, sum_agg_of
+    from clickbom_spark.ext.streaming_dedup import streaming_matview_sink
+
+    schema = "id long, grp string, cents long"
+    b0 = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 50), (3, "b", 10)], schema
+    )
+    # batch 1: id=3 MOVES from group b to group a (b drains to zero),
+    # id=2 changes value, id=4 inserts into c
+    b1 = spark.createDataFrame(
+        [(3, "a", 10), (2, "a", 70), (4, "c", 5)], schema
+    )
+    empty = spark.createDataFrame([], schema)
+    data_lake = VersionedLake.create(
+        spark, str(tmp_path / "d"), empty, n_files=1
+    )
+    view_lake = VersionedLake.create(
+        spark, str(tmp_path / "v"),
+        sum_agg_of(empty, ["grp"], ["cents"]), n_files=1,
+    )
+    sink = streaming_matview_sink(
+        data_lake, view_lake, ["id"], ["grp"], ["cents"]
+    )
+    sink(b0, 0)
+    v_after_0 = {
+        r["grp"]: (r["n_rows"], r["sum_cents"])
+        for r in view_lake.read().collect()
+    }
+    assert v_after_0 == {"a": (2, 150), "b": (1, 10)}
+    sink(b1, 1)
+    v_after_1 = {
+        r["grp"]: (r["n_rows"], r["sum_cents"])
+        for r in view_lake.read().collect()
+    }
+    # a: ids 1(100) + 2(70) + 3(10) = 180; b drained away; c: 5
+    assert v_after_1 == {"a": (3, 180), "c": (1, 5)}
+    # view == full recompute at the epoch boundary (the IVM law)
+    full = {
+        r["grp"]: (r["n_rows"], r["sum_cents"])
+        for r in sum_agg_of(
+            data_lake.read(), ["grp"], ["cents"]
+        ).collect()
+    }
+    assert v_after_1 == full
+    # replaying both epochs changes nothing
+    dv, vv = data_lake.current_version(), view_lake.current_version()
+    sink(b0, 0)
+    sink(b1, 1)
+    assert data_lake.current_version() == dv
+    assert view_lake.current_version() == vv
