@@ -510,3 +510,74 @@ def q_stratified_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_higher_moments",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(c) AS DOUBLE) AS s1,
+         CAST(SUM(c * c) AS DOUBLE) AS s2,
+         CAST(SUM(c * c * c) AS DOUBLE) AS s3,
+         CAST(SUM(c * c * c * c) AS DOUBLE) AS s4
+  FROM c GROUP BY event_type
+), m AS (
+  SELECT event_type, n, s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s
+)
+SELECT event_type,
+       round(m3 / pow(m2, 1.5), 6) AS skew_pop,
+       round(m4 / (m2 * m2) - 3, 6) AS kurt_pop
+FROM m ORDER BY event_type
+""",
+    description="Population skewness and excess kurtosis per event "
+    "type (ClickHouse skewPop/kurtPop): central moments derived from "
+    "EXACT integer power sums (value in cents; S4 accumulated as "
+    "decimal/hugeint so no overflow, no accumulation-order noise) and "
+    "one identical double formula on both engines, rounded past the "
+    "conversion noise floor — the moment-sketch shape that needs one "
+    "scan and map-side combine at any scale.",
+)
+def q_higher_moments(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    src = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        c.alias("c1"),
+        (c * c).alias("c2"),
+        (c * c * c).alias("c3"),
+        (c * c * c * c).alias("c4"),
+    )
+    s = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("c1").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(F.col("c2").cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum(F.col("c3").cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum(F.col("c4").cast("decimal(38,0)")).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4 * mu * (s3 / n)
+        + 6 * mu * mu * (s2 / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurt_pop"),
+    ).orderBy("event_type")
