@@ -435,3 +435,163 @@ def q_fingerprints(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+@query(
+    "q_hybrid_rrf",
+    # Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    # (Cormack et al. 2009): rrf(d) = Σ_lists 1/(60 + rank_d).  The
+    # fusion is a FIXED two-operand double add over coalesced terms, so
+    # it is bit-identical cross-engine; list ranks are deterministic
+    # (BM25 on rounded decimal scores; cosine ranking mirrors the
+    # proven q_cosine_topk contract).
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len({{toks}}) AS DOUBLE) AS dl FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest({{toks}}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+  WHERE term IN ({",".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), terms AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)),
+           6) AS DECIMAL(18,6)) AS sc
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+), bm25_scored AS (
+  SELECT doc_id, SUM(sc) AS score
+  FROM terms WHERE doc_id <> 0 GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT 100
+), bm25 AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+           AS r_bm25
+  FROM bm25_scored
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), qv AS (SELECT e FROM v WHERE vec_id = 0),
+dense_scored AS (
+  SELECT v.vec_id AS doc_id,
+         list_dot_product(v.e, qv.e)
+           / (sqrt(list_dot_product(v.e, v.e))
+              * sqrt(list_dot_product(qv.e, qv.e))) AS cos
+  FROM v, qv WHERE v.vec_id <> 0
+  ORDER BY cos DESC, doc_id LIMIT 100
+), dense AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+  FROM dense_scored
+), fused AS (
+  SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+         b.r_bm25, d.r_dense,
+         COALESCE(1.0 / ({_RRF_K} + b.r_bm25), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + d.r_dense), 0.0) AS rrf
+  FROM bm25 b FULL OUTER JOIN dense d ON d.doc_id = b.doc_id
+)
+SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25,
+       CAST(r_dense AS BIGINT) AS r_dense,
+       round(rrf, 6) AS rrf_r
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""".replace("{toks}", _TOKENS),
+    description="Hybrid sparse+dense retrieval (the RAG-stack shape): "
+    "the TOP-100 of the BM25 posting-list ranking and the top-100 of "
+    "the cosine ranking against a query embedding, fused via "
+    "Reciprocal Rank Fusion rrf = sum 1/(60+rank) — both truncations "
+    "compile to TakeOrderedAndProject (fusing truncated lists IS the "
+    "standard RRF definition, and the only window runs over 100 "
+    "rows), each list built with its proven scale path (O(hits) BM25 "
+    "shuffle; broadcast query vector); fusion is one full-outer join "
+    "and a top-10.",
+)
+def q_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from clickbom_spark.ext.similarity import cosine
+    from clickbom_spark.ext.text import let
+
+    docs, emb = load(spark, sf_dir, "documents", "embeddings")
+    lits = F.array(*[F.lit(t) for t in BM25_TERMS])
+    base = docs.select(
+        "doc_id",
+        let(
+            X.tokens(F.col("text")),
+            lambda w: F.struct(
+                F.size(w).cast("double").alias("dl"),
+                F.filter(w, lambda t: F.array_contains(lits, t)).alias("hits"),
+            ),
+        ).alias("p"),
+    ).select("doc_id", F.col("p.dl").alias("dl"), F.col("p.hits").alias("hits"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    sc = F.round(
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    w_b = Window.orderBy(F.desc("score"), "doc_id")
+    # top-100 truncation FIRST (TakeOrderedAndProject); the row_number
+    # window then ranks a 100-row frame, never the full hit set
+    bm25 = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))
+        .where(F.col("doc_id") != 0)
+        .groupBy("doc_id")
+        .agg(F.sum(sc).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(100)
+        .select("doc_id", F.row_number().over(w_b).alias("r_bm25"))
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    qv = vecs.where(F.col("doc_id") == 0).select(F.col("e").alias("qe"))
+    w_d = Window.orderBy(F.desc("cos"), "doc_id")
+    dense = (
+        vecs.where(F.col("doc_id") != 0)
+        .join(F.broadcast(qv))
+        .select("doc_id", cosine(F.col("e"), F.col("qe")).alias("cos"))
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(100)
+        .select("doc_id", F.row_number().over(w_d).alias("r_dense"))
+    )
+    fused = bm25.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("r_bm25").cast("long").alias("r_bm25"),
+        F.col("r_dense").cast("long").alias("r_dense"),
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("r_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_dense")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+        .select("doc_id", "r_bm25", "r_dense", F.round("rrf", 6).alias("rrf_r"))
+    )
