@@ -1037,3 +1037,48 @@ def test_incremental_minhash_law(spark, documents):
     }
     got = {(r["id"], r["band"], r["bucket"]) for r in updated.collect()}
     assert got == fresh
+
+
+def test_edit_distance_pairs_matches_bruteforce_random(spark):
+    """Property test: the q-gram-filtered join equals a brute-force
+    O(n²) Levenshtein join on random small-alphabet strings — incl.
+    strings short enough to fall through to the fallback bucket."""
+    import itertools
+    import random
+
+    rng = random.Random(20240814)
+    alphabet = "abc"
+    vals = list(
+        {
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(60)
+        }
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for max_d in (1, 2):
+        want = {
+            (min(a, b), max(a, b), lev(a, b))
+            for a, b in itertools.combinations(vals, 2)
+            if lev(a, b) <= max_d
+        }
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = {
+            (r["a"], r["b"], r["dist"])
+            for r in D.edit_distance_pairs(df, "s", max_d=max_d).collect()
+        }
+        assert got == want, f"max_d={max_d}"

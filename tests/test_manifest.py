@@ -808,3 +808,64 @@ def test_merge_cdc_rejects_bad_ops_and_duplicate_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         lake.merge_cdc(dup, ["id"])
+
+
+def test_zorder_layout_improves_multi_column_manifest_pruning(spark, tmp_path):
+    """Layout × metadata synergy: the SAME manifest zone maps prune a
+    2-D box predicate far better over a z-ordered file layout than over
+    an unclustered one — and the pruned read stays a correct superset."""
+    from clickbom_spark.ext.layout import write_zordered
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        commit_with_stats,
+        read_pruned_multi,
+    )
+    from clickbom_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    events = read_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+
+    def lake_files_read(df_writer, name):
+        path = str(tmp_path / name)
+        df_writer(path)
+        files = spark.read.parquet(path)
+        lake = VersionedLake(spark, path)
+        import os as _os
+
+        _os.makedirs(_os.path.join(path, "_manifests"))
+        parts = [
+            _os.path.join(path, f)
+            for f in sorted(_os.listdir(path))
+            if f.startswith("part-")
+        ]
+        lake._commit(parts, files.count(), "create")
+        commit_with_stats(lake, ["user_id", "cents"])
+        ranges = {"user_id": (10, 20), "cents": (1000, 2000)}
+        frame, total, n_read = read_pruned_multi(lake, ranges)
+        got = frame.where(
+            F.col("user_id").between(10, 20) & F.col("cents").between(1000, 2000)
+        ).count()
+        return got, total, n_read
+
+    exact = events.where(
+        F.col("user_id").between(10, 20) & F.col("cents").between(1000, 2000)
+    ).count()
+    assert exact > 0
+
+    got_z, total_z, read_z = lake_files_read(
+        lambda p: write_zordered(
+            events, [F.col("user_id"), F.col("cents")], p, n_files=16
+        ),
+        "zlake",
+    )
+    got_n, total_n, read_n = lake_files_read(
+        lambda p: events.repartition(16).write.parquet(p), "nlake"
+    )
+    # correctness first: both layouts return the exact box count
+    assert got_z == exact and got_n == exact
+    # the naive layout scatters both dims → zone maps prune nothing
+    assert read_n == total_n
+    # the z-ordered layout localizes the box → most files skipped
+    assert read_z < total_z / 2, (read_z, total_z)
