@@ -581,3 +581,71 @@ def q_higher_moments(spark, sf_dir):
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skew_pop"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("kurt_pop"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+  FROM c GROUP BY event_type
+), dev AS (
+  SELECT c.event_type, c.cents, m.med_cents,
+         abs(c.cents - m.med_cents) AS adev
+  FROM c JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       ANY_VALUE(d.med_cents) AS med_cents,
+       ANY_VALUE(m.mad_cents) AS mad_cents,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+""",
+    description="Robust outlier detection per event type: median "
+    "absolute deviation with the 3-MAD rule.  Everything runs in "
+    "integer-cents space, where interpolated medians of integers are "
+    "DYADIC rationals (halves/quarters) — exactly representable "
+    "doubles — so the boundary comparison |x-med| > 3*MAD can never "
+    "split between engines; two grouped exact percentiles plus one "
+    "broadcast-back join, no window over the corpus.",
+)
+def q_mad_outliers(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    c = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("event_type")
+    )
