@@ -5,13 +5,15 @@ and vacuum.
 
 Layout: ``<path>/_manifests/v{N}.json`` lists the data files of
 snapshot N (names relative to the table root, plus row count and a
-commit message).  ``CURRENT`` holds the live version number.  A commit
-writes the new data files FIRST, then publishes the manifest with one
-atomic ``os.replace`` — readers resolve CURRENT → manifest → file
-list, so they never observe a half-written snapshot; a crash before
-the manifest swap leaves orphan data files that ``vacuum`` collects,
-never a corrupt table.  Old data files are retained (they belong to
-older snapshots) until ``vacuum`` drops snapshots.
+commit message).  The live version is the highest ``v{N}.json``
+present (``CURRENT`` is written as a debuggability hint only).  A
+commit writes the new data files FIRST, then publishes the manifest
+with an exclusive create (full content or nothing) — readers resolve
+max-version → manifest → file list, so they never observe a
+half-written snapshot; a crash before the publish leaves orphan data
+files that ``vacuum`` collects, never a corrupt table.  Old data
+files are retained (they belong to older snapshots) until ``vacuum``
+drops snapshots.
 
 Concurrency: optimistic, manifest-arbitrated.  Each version number is
 single-assignment — ``v{N}.json`` is published with an exclusive
@@ -172,6 +174,11 @@ class VersionedLake:
             }
             if prev and prev.get("schema_extras"):
                 payload["schema_extras"] = prev["schema_extras"]
+            if prev and prev.get("projections"):
+                # projections stay valid across data commits: built_at
+                # pins the data version the stored files reflect, and
+                # read_projection rolls forward through the CDF
+                payload["projections"] = prev["projections"]
             if epoch is not None:
                 payload["last_epoch"] = int(epoch)
             elif prev and "last_epoch" in prev:
@@ -1071,3 +1078,116 @@ def add_column(
         return payload
 
     return lake._commit_meta(mutate, f"add-column-{name}")
+
+
+# ---------------------------------------------------------------------------
+# Projections: a ClickHouse PROJECTION analog — a materialized
+# aggregate stored WITH the table and kept correct across commits.
+# The stored files reflect the data version they were built at; reads
+# roll them forward through the change feed on the fly, so a
+# projection is NEVER stale and maintenance cost is ∝ the commits
+# since the last refresh, not the table.
+# ---------------------------------------------------------------------------
+
+_PROJ_DIR = "_projections"
+
+
+def _proj_write(lake: VersionedLake, name: str, df: DataFrame) -> list[str]:
+    """Write projection files under ``_projections/<name>-<tag>/``
+    (underscore prefix: invisible to vacuum, bucketed-layout checks,
+    and directory readers)."""
+    tag = uuid.uuid4().hex[:8]
+    out_dir = os.path.join(lake.path, _PROJ_DIR, f"{name}-{tag}")
+    df.coalesce(1).write.parquet(out_dir)
+    rel = []
+    for f in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, f)
+        if f.startswith("part-") and os.path.isfile(p):
+            rel.append(os.path.relpath(p, lake.path))
+    return rel
+
+
+def add_projection(
+    lake: VersionedLake,
+    name: str,
+    key_cols: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int:
+    """Materialize ``sum_agg_of(data, group_cols, sum_cols)`` as a
+    stored projection.  ``key_cols`` (the table's row identity) let the
+    change feed pair pre/post rows when the projection rolls forward.
+    """
+    m = lake._manifest()
+    built_at = m["version"]
+    agg = sum_agg_of(
+        lake.read(built_at), group_cols, sum_cols
+    )
+    files = _proj_write(lake, name, agg)
+
+    def mutate(payload: dict) -> dict:
+        projs = dict(payload.get("projections", {}))
+        projs[name] = {
+            "key_cols": key_cols,
+            "group_cols": group_cols,
+            "sum_cols": sum_cols,
+            "built_at": built_at,
+            "files": files,
+        }
+        payload["projections"] = projs
+        return payload
+
+    return lake._commit_meta(mutate, f"add-projection-{name}")
+
+
+def read_projection(lake: VersionedLake, name: str) -> DataFrame:
+    """Serve the projection at the CURRENT data version: stored files
+    plus an on-the-fly roll-forward over the change feed between the
+    stored ``built_at`` and now.  Always exact (law: equals a full
+    recompute), and the roll-forward reads only the files the
+    intervening commits actually changed."""
+    m = lake._manifest()
+    p = m.get("projections", {}).get(name)
+    if p is None:
+        raise ValueError(f"no projection {name}")
+    base = lake.spark.read.parquet(
+        *[os.path.join(lake.path, f) for f in p["files"]]
+    )
+    cur = m["version"]
+    if p["built_at"] == cur:
+        return base
+    return maintain_sum_agg(
+        lake,
+        base,
+        p["built_at"],
+        cur,
+        p["group_cols"],
+        p["key_cols"],
+        p["sum_cols"],
+    )
+
+
+def refresh_projection(lake: VersionedLake, name: str) -> int:
+    """Re-materialize the rolled-forward projection and bump its
+    ``built_at`` — amortizes the read-time roll-forward after many
+    commits.  A no-op commit if already current."""
+    m = lake._manifest()
+    p = m.get("projections", {}).get(name)
+    if p is None:
+        raise ValueError(f"no projection {name}")
+    if p["built_at"] == m["version"]:
+        return m["version"]
+    rolled = read_projection(lake, name).localCheckpoint(eager=True)
+    files = _proj_write(lake, name, rolled)
+    built_at = m["version"]
+
+    def mutate(payload: dict) -> dict:
+        projs = dict(payload.get("projections", {}))
+        entry = dict(projs[name])
+        entry["built_at"] = built_at
+        entry["files"] = files
+        projs[name] = entry
+        payload["projections"] = projs
+        return payload
+
+    return lake._commit_meta(mutate, f"refresh-projection-{name}")

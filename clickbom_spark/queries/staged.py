@@ -2170,3 +2170,66 @@ def q_cdc_apply(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Projections (ClickHouse PROJECTION analog): a materialized aggregate
+# stored with the table, kept exact across commits by rolling forward
+# through the change feed at read time.  The oracle recomputes the
+# final state relationally — the projection must land on exactly that.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_projection_rollup",
+    oracle="""
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN 'redacted' ELSE lang END AS lang,
+         n_chars
+  FROM documents
+  WHERE doc_id % 11 <> 5
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM final GROUP BY lang ORDER BY lang
+""",
+    description="Stored projection on the versioned lake (ClickHouse "
+    "PROJECTION analog; ext/manifest.py add/read/refresh_projection): "
+    "a (group, count, sum) aggregate materialized with the table and "
+    "served EXACT at any later version by rolling the stored files "
+    "forward through the change feed — maintenance reads only the "
+    "files the intervening commits touched, so a projection over "
+    "100 TB absorbs a mutation at the mutation's cost.  The query "
+    "mutates the lake twice after materializing and reads the "
+    "projection, which must equal the relational recompute.",
+)
+def q_projection_rollup(spark, sf_dir):
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        add_projection,
+        read_projection,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, "docs_projection_lake")
+    shutil.rmtree(path, ignore_errors=True)
+    lake = VersionedLake.create(
+        spark,
+        path,
+        docs.select("doc_id", "lang", "n_chars").repartitionByRange(
+            4, "doc_id"
+        ),
+        n_files=4,
+    )
+    add_projection(lake, "by_lang", ["doc_id"], ["lang"], ["n_chars"])
+    lake.update(F.col("doc_id") % 7 == 3, {"lang": F.lit("redacted")})
+    lake.delete(F.col("doc_id") % 11 == 5)
+    return (
+        read_projection(lake, "by_lang")
+        .select(
+            "lang",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_n_chars").cast("long").alias("sum_n_chars"),
+        )
+        .orderBy("lang")
+    )

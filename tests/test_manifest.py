@@ -869,3 +869,71 @@ def test_zorder_layout_improves_multi_column_manifest_pruning(spark, tmp_path):
     assert read_n == total_n
     # the z-ordered layout localizes the box → most files skipped
     assert read_z < total_z / 2, (read_z, total_z)
+
+
+def test_projection_exact_through_mutations_refresh_and_compaction(
+    spark, tmp_path
+):
+    """ClickHouse-PROJECTION analog: the stored aggregate, rolled
+    forward through the change feed at read time, equals a full
+    recompute after every kind of commit — update, delete, upsert,
+    CDC merge, compaction (CDF-empty: projection untouched) — and
+    refresh_projection re-bases it without changing the answer."""
+    from clickbom_spark.ext.manifest import (
+        add_projection,
+        compact,
+        read_projection,
+        refresh_projection,
+        sum_agg_of,
+    )
+
+    # integer measure column (cents) so the maintained sums are exact
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("grp"),
+        (F.col("id") * 3).alias("cents"),
+    )
+    from clickbom_spark.ext.manifest import VersionedLake
+
+    lake = VersionedLake.create(spark, str(tmp_path / "plake"), df, n_files=4)
+    add_projection(lake, "by_grp", ["id"], ["grp"], ["cents"])
+
+    def check():
+        got = {
+            r["grp"]: (r["n_rows"], r["sum_cents"])
+            for r in read_projection(lake, "by_grp").collect()
+        }
+        want = {
+            r["grp"]: (r["n_rows"], r["sum_cents"])
+            for r in sum_agg_of(lake.read(), ["grp"], ["cents"]).collect()
+        }
+        assert got == want and want
+        return got
+
+    base = check()
+    lake.update(F.col("id") < 50, {"cents": F.lit(0).cast("long")})
+    assert check() != base  # the roll-forward really applied
+    lake.delete(F.col("id") >= 290)
+    check()
+    changes = spark.createDataFrame(
+        [(1000, 1, 7), (2, 2, 9)], "id long, grp long, cents long"
+    )
+    lake.upsert(changes, ["id"])
+    check()
+    batch = spark.createDataFrame(
+        [(1001, 3, 11, "I"), (1000, 1, 0, "D"), (3, 4, 13, "U")],
+        "id long, grp long, cents long, op string",
+    )
+    lake.merge_cdc(batch, ["id"])
+    after_cdc = check()
+    # compaction is logically empty: projection answer unchanged
+    compact(lake, target_files=2)
+    assert check() == after_cdc
+    # refresh re-bases: built_at pins the data version the refresh saw
+    # (the version just before its own meta commit), answer unchanged
+    v = refresh_projection(lake, "by_grp")
+    m = lake._manifest()
+    assert m["projections"]["by_grp"]["built_at"] == v - 1
+    assert check() == after_cdc
+    # refresh when already current is a no-op commit
+    assert refresh_projection(lake, "by_grp") == lake.current_version()
