@@ -1191,3 +1191,39 @@ def refresh_projection(lake: VersionedLake, name: str) -> int:
         return payload
 
     return lake._commit_meta(mutate, f"refresh-projection-{name}")
+
+
+def route_aggregate(
+    lake: VersionedLake,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> tuple[DataFrame, str]:
+    """Projection-aware aggregate routing — the ClickHouse planner
+    behavior of answering a GROUP BY from a stored PROJECTION when one
+    matches.  A projection grouped by a SUPERSET of ``group_cols``
+    covering every requested sum can answer by re-aggregating its
+    (already tiny) rows: counts and sums are distributive, so
+    re-aggregation over the finer groups is exact.  Falls back to the
+    full table scan when no projection qualifies.  Returns
+    ``(frame, route)`` where route is the projection name or
+    ``"scan"``."""
+    m = lake._manifest()
+    best = None
+    for name, p in m.get("projections", {}).items():
+        if set(group_cols) <= set(p["group_cols"]) and set(sum_cols) <= set(
+            p["sum_cols"]
+        ):
+            # prefer the coarsest qualifying projection (fewest extra
+            # group columns → fewest rows to re-aggregate)
+            if best is None or len(p["group_cols"]) < len(
+                m["projections"][best]["group_cols"]
+            ):
+                best = name
+    if best is None:
+        return sum_agg_of(lake.read(), group_cols, sum_cols), "scan"
+    proj = read_projection(lake, best)
+    out = proj.groupBy(*group_cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+    return out, best

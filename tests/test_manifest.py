@@ -937,3 +937,91 @@ def test_projection_exact_through_mutations_refresh_and_compaction(
     assert check() == after_cdc
     # refresh when already current is a no-op commit
     assert refresh_projection(lake, "by_grp") == lake.current_version()
+
+
+def test_route_aggregate_uses_matching_projection_exactly(spark, tmp_path):
+    """Routing: a GROUP BY on a subset of a projection's group columns
+    is answered from the projection by re-aggregation, exactly; an
+    uncovered aggregate falls back to the scan."""
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        add_projection,
+        route_aggregate,
+        sum_agg_of,
+    )
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") % 3).alias("sub"),
+        (F.col("id") * 2).alias("cents"),
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "rlake"), df, n_files=3)
+    add_projection(lake, "fine", ["id"], ["grp", "sub"], ["cents"])
+    lake.update(F.col("id") < 40, {"cents": F.lit(5).cast("long")})
+
+    got, route = route_aggregate(lake, ["grp"], ["cents"])
+    assert route == "fine"
+    want = sum_agg_of(lake.read(), ["grp"], ["cents"])
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+    # exact-match grouping also routes
+    got2, route2 = route_aggregate(lake, ["grp", "sub"], ["cents"])
+    assert route2 == "fine"
+    want2 = sum_agg_of(lake.read(), ["grp", "sub"], ["cents"])
+    assert {tuple(r) for r in got2.collect()} == {
+        tuple(r) for r in want2.collect()
+    }
+    # a sum column no projection covers → scan
+    _, route3 = route_aggregate(lake, ["grp"], ["id"])
+    assert route3 == "scan"
+
+
+def test_three_writer_mixed_mutation_contention(spark, tmp_path):
+    """Optimistic concurrency under real contention: three threads run
+    conflicting mutations (two updates + one upsert touching shared
+    files) simultaneously; all three serialize through CommitConflict
+    retries and every change lands."""
+    import threading
+
+    lake = _mk(spark, tmp_path, n=300)
+    v0 = lake.current_version()
+    barrier = threading.Barrier(3)
+    errors: list[BaseException] = []
+
+    def run(fn):
+        try:
+            barrier.wait(timeout=120)
+            fn()
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    ups = spark.createDataFrame(
+        [(9000, 0, -3.0)], "id long, grp long, val double"
+    )
+    t1 = threading.Thread(
+        target=run,
+        args=(lambda: lake.update(F.col("id") < 10, {"val": F.lit(-1.0)}),),
+    )
+    t2 = threading.Thread(
+        target=run,
+        args=(
+            lambda: lake.update(
+                (F.col("id") >= 100) & (F.col("id") < 110),
+                {"val": F.lit(-2.0)},
+            ),
+        ),
+    )
+    t3 = threading.Thread(target=run, args=(lambda: lake.upsert(ups, ["id"]),))
+    for t in (t1, t2, t3):
+        t.start()
+    for t in (t1, t2, t3):
+        t.join(300)
+    assert not errors, errors
+    assert lake.current_version() == v0 + 3  # three serialized commits
+    got = {r["id"]: r["val"] for r in lake.read().collect()}
+    assert all(got[i] == -1.0 for i in range(10))
+    assert all(got[i] == -2.0 for i in range(100, 110))
+    assert got[9000] == -3.0
+    assert len(got) == 301
