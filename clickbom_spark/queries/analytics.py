@@ -594,3 +594,230 @@ def q_first_order_per_customer(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+WITH assign AS (
+  SELECT user_id, user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 80
+             THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM assign GROUP BY variant
+), wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+    MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+    MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+    MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+  FROM arms
+)
+SELECT n0, c0, n1, c1,
+       round(
+         (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+         / sqrt(
+             (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+             * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+             * (1.0 / n0 + 1.0 / n1)
+           ),
+         6) AS z_score
+FROM wide
+""",
+    description="Two-proportion A/B z-test (experimentation "
+    "analytics): per-user conversion flags (a high-value purchase), "
+    "exact per-arm counts, and "
+    "the pooled z statistic computed by ONE identical double formula "
+    "over exact integers on both engines (rounded past the noise "
+    "floor) — two hash aggregates and a 4-value pivot, nothing "
+    "corpus-sized past the first shuffle.",
+)
+def q_ab_test(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    assign = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 80), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "converted"
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p_pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c0").cast("double") / F.col("n0")
+    ) / F.sqrt(
+        p_pool * (1.0 - p_pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1", F.round(z, 6).alias("z_score")
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey AS c,
+         MAX(o_orderdate) - DATE '1970-01-01' AS r_days,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY o_custkey
+), q AS (
+  SELECT c,
+         NTILE(5) OVER (ORDER BY r_days, c) AS r_q,
+         NTILE(5) OVER (ORDER BY n_orders, c) AS f_q,
+         NTILE(5) OVER (ORDER BY m_cents, c) AS m_q
+  FROM base
+)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+    description="RFM segmentation (recency / frequency / monetary "
+    "quintiles per customer, the classic marketing-analytics cube): "
+    "one hash aggregate per customer, then THREE exact NTILE(5) "
+    "assignments — each via the distributed bucketed global rank + "
+    "closed-form ntile expression (ext/ranks.py), so no metric ever "
+    "rides a single-partition window; ties broken by customer key for "
+    "engine-identical tiles.  Monetary is exact integer cents.",
+)
+def q_rfm_segments(spark, sf_dir):
+    from clickbom_spark.ext.ranks import ntile_expr, with_global_rank
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("r_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("m_cents"),
+    )
+    out = base
+    for metric, alias in (
+        ("r_days", "r_q"),
+        ("n_orders", "f_q"),
+        ("m_cents", "m_q"),
+    ):
+        out = with_global_rank(
+            out, [metric, "c"], rank_col="_rk", total_col="_tt"
+        )
+        out = out.withColumn(
+            alias, ntile_expr(F.col("_rk"), F.col("_tt"), 5)
+        ).drop("_rk", "_tt")
+    return (
+        out.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+_AR_MIN_PAIR = 5  # min co-occurrence support for an emitted rule
+
+
+@query(
+    "q_association_rules",
+    oracle=f"""
+WITH ok AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 1024
+), b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT l_orderkey FROM ok)
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_orders FROM ok
+), item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM b GROUP BY l_partkey
+), pair AS (
+  SELECT a.l_partkey AS antecedent, c.l_partkey AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey <> c.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_AR_MIN_PAIR}
+)
+SELECT p.antecedent, p.consequent, p.n_both,
+       round(CAST(p.n_both AS DOUBLE) / ia.n_item, 6) AS confidence_r,
+       round(CAST(p.n_both AS DOUBLE) * n.n_orders
+             / (CAST(ia.n_item AS DOUBLE) * ic.n_item), 6) AS lift_r
+FROM pair p
+JOIN item ia ON ia.l_partkey = p.antecedent
+JOIN item ic ON ic.l_partkey = p.consequent, n
+ORDER BY antecedent, consequent
+""",
+    description="Market-basket association rules (support / confidence "
+    "/ lift — the 'frequently bought together' recommender core): "
+    "directed pair counts from per-order distinct part sets with the "
+    "same 1024-item basket cap as q_triangle_count (pair expansion "
+    "bounded at cap² per order, JVM array explode, no self-join "
+    "shuffle), item supports one hash aggregate, confidence and lift "
+    "exact-integer ratios rounded past the noise floor.",
+)
+def q_association_rules(spark, sf_dir):
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("_ps"))
+        .where(F.size("_ps") <= 1024)
+    )
+    n_orders = baskets.agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders")
+    )
+    items = baskets.select(F.explode("_ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    pairs = (
+        baskets.select(F.explode("_ps").alias("antecedent"), "_ps")
+        .select("antecedent", F.explode("_ps").alias("consequent"))
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= _AR_MIN_PAIR)
+    )
+    ia = items.select(
+        F.col("p").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    ic = items.select(
+        F.col("p").alias("consequent"), F.col("n_item").alias("n_c")
+    )
+    return (
+        pairs.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .join(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_a"), 6
+            ).alias("confidence_r"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_c")),
+                6,
+            ).alias("lift_r"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
