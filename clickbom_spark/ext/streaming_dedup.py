@@ -68,6 +68,11 @@ def admit_batch(
 ) -> DataFrame:
     """Compute the batch's ADMITTED subset against the current state
     (pure read — no commits).  Returns the surviving rows of ``batch``.
+
+    The pair frame is batch-bounded, so it is cached only for the
+    duration of this call (explicitly unpersisted — no storage leaks
+    into the caller's session) and the final admit is a semi-join of
+    the batch against the surviving id set.
     """
     idx = index.read()
     kept = corpus.read()
@@ -77,36 +82,47 @@ def admit_batch(
         id_col=id_col, text_col=text_col, threshold=threshold,
     )
     pairs = pairs.cache()
-    kept_ids = kept.select(F.col(id_col).alias("_kid"))
-    # rule 1: reject batch docs paired with an already-kept doc
-    hit_a = pairs.join(
-        kept_ids, pairs["id_b"] == F.col("_kid"), "left_semi"
-    ).select(F.col("id_a").alias("_rid"))
-    hit_b = pairs.join(
-        kept_ids, pairs["id_a"] == F.col("_kid"), "left_semi"
-    ).select(F.col("id_b").alias("_rid"))
-    rejected = hit_a.unionByName(hit_b).distinct()
-    stage1 = batch.join(
-        rejected, batch[id_col] == F.col("_rid"), "left_anti"
-    )
-    # rule 2: within-batch clusters among stage-1 survivors keep the
-    # min-id representative (connected components over the surviving
-    # batch-batch pair graph)
-    s1_ids = stage1.select(F.col(id_col).alias("_sid"))
-    bb = (
-        pairs.join(s1_ids, pairs["id_a"] == F.col("_sid"), "left_semi")
-        .join(s1_ids, pairs["id_b"] == F.col("_sid"), "left_semi")
-        .select("id_a", "id_b")
-    )
-    if bb.limit(1).count() == 0:
-        return stage1
-    comps = connected_components(bb)  # (id, component=min id in cluster)
-    drop2 = comps.where(F.col("id") != F.col("component")).select(
-        F.col("id").alias("_rid")
-    )
-    return stage1.join(
-        drop2, stage1[id_col] == F.col("_rid"), "left_anti"
-    )
+    try:
+        kept_ids = kept.select(F.col(id_col).alias("_kid"))
+        # rule 1: reject batch docs paired with an already-kept doc
+        hit_a = pairs.join(
+            kept_ids, pairs["id_b"] == F.col("_kid"), "left_semi"
+        ).select(F.col("id_a").alias("_rid"))
+        hit_b = pairs.join(
+            kept_ids, pairs["id_a"] == F.col("_kid"), "left_semi"
+        ).select(F.col("id_b").alias("_rid"))
+        rejected = hit_a.unionByName(hit_b).distinct()
+        stage1 = batch.join(
+            rejected, batch[id_col] == F.col("_rid"), "left_anti"
+        )
+        # rule 2: within-batch clusters among stage-1 survivors keep
+        # the min-id representative (connected components over the
+        # surviving batch-batch pair graph)
+        s1_ids = stage1.select(F.col(id_col).alias("_sid"))
+        bb = (
+            pairs.join(s1_ids, pairs["id_a"] == F.col("_sid"), "left_semi")
+            .join(s1_ids, pairs["id_b"] == F.col("_sid"), "left_semi")
+            .select("id_a", "id_b")
+        )
+        if bb.limit(1).count() > 0:
+            comps = connected_components(bb)  # (id, min id in cluster)
+            drop2 = comps.where(F.col("id") != F.col("component")).select(
+                F.col("id").alias("_rid")
+            )
+            stage1 = stage1.join(
+                drop2, stage1[id_col] == F.col("_rid"), "left_anti"
+            )
+        # materialize the surviving id set while the cache is live, so
+        # the returned frame no longer references the cached pairs
+        survivor_ids = [r[0] for r in stage1.select(id_col).collect()]
+        spark = batch.sparkSession
+        ids = spark.createDataFrame(
+            [(i,) for i in survivor_ids],
+            batch.select(id_col).schema,
+        )
+        return batch.join(F.broadcast(ids), id_col, "left_semi")
+    finally:
+        pairs.unpersist()
 
 
 def apply_neardup_batch(
