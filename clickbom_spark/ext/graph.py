@@ -194,12 +194,18 @@ def triangle_count(
     is three hash joins on node keys, no cross product anywhere.
     """
     u, v = F.col(src), F.col(dst)
+    # The canonical edge set is consumed three times (degrees, the
+    # orientation join, the edge count) and the oriented set three
+    # more (ab/bc/ac) — materialize each once so the caller's edge
+    # PIPELINE (often an expensive basket build) runs exactly once
+    # instead of ~6x.  O(E) working set, the algorithm's own size.
     e = (
         edges.where(u != v)
         .select(
             F.least(u, v).alias("eu"), F.greatest(u, v).alias("ev")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.explode(F.array("eu", "ev")).alias("n"))
@@ -220,7 +226,7 @@ def triangle_count(
     oriented = keyed.select(
         F.when(lower_first, F.col("eu")).otherwise(F.col("ev")).alias("a"),
         F.when(lower_first, F.col("ev")).otherwise(F.col("eu")).alias("b"),
-    )
+    ).localCheckpoint(eager=True)
     # wedge a->b, b->c closed by a->c
     ab = oriented.select(F.col("a"), F.col("b"))
     bc = oriented.select(
