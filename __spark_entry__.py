@@ -64,20 +64,15 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
-# ROUND-6 NOTE: clickbom_spark/queries/staged.py holds a fully
-# verified wave of 30 queries — bit-exact vs DuckDB at sf0.001, 0.01
-# AND 0.1 (tests/test_staged_parity.py runs the exact driver
-# comparison; `python scripts/strict_parity.py --staged` sweeps them,
-# including under SPARK_GRAFT_TZ / SPARK_GRAFT_PARTS variation).
-# Activate by appending to queries/__init__.py:
-#     from clickbom_spark.queries import staged  # noqa: F401
-#     REGISTRY.update(staged.STAGED)
-# 30 new never-checked entries would consume 30 of the driver's 50
-# slots (leaving 20 for green rotation).  If rotation pressure
-# matters more, activate HALF the wave (REGISTRY.update over a name
-# slice) and leave the rest for r7 — every entry is independently
-# promotable; the staged/live disjointness guard in
-# tests/test_staged_parity.py flags any collision on promotion.
+# ROUND-7 NOTE: the round-6 staged wave is ACTIVATED (registry = 209;
+# 47 entries are never-checked this round, fitting the 50-slot
+# budget).  clickbom_spark/queries/staged_r7.py holds the NEXT wave
+# (5 queries, already oracle-parity-green via
+# tests/test_staged_r7_parity.py).  Round 7 activates with:
+#     from clickbom_spark.queries import staged_r7  # noqa: F401
+#     REGISTRY.update(staged_r7.STAGED_R7)
+# in queries/__init__.py; the disjointness guard in the r7 test file
+# flags any collision on promotion.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

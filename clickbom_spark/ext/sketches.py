@@ -647,3 +647,68 @@ def approx_quantiles_from_sketch(
                 break
         out.append(val)
     return out
+
+
+def heavy_hitters_from_parts(
+    dfs: Sequence[DataFrame], col: str, k: int = 16,
+    fanin: int = _MG_FANIN,
+) -> DataFrame:
+    """Exact heavy hitters over the UNION of several ingest parts,
+    computed by sketching each part independently and merging the
+    summaries — the ClickHouse ``topKState``/``-Merge`` workflow: each
+    site ships only its ≤(k+1)·fanin-row summary, the merge round
+    combines them (mergeable MG, Agarwal et al. 2012), and one recount
+    over the unioned corpus restores exact counts at the > N/k cutoff.
+    Identical output to :func:`heavy_hitters` on the pre-unioned data
+    (law pinned by the staged query's oracle)."""
+    if not dfs:
+        raise ValueError("heavy_hitters_from_parts: no parts")
+    if col in _RESERVED:
+        raise ValueError(
+            f"heavy_hitters_from_parts value column may not be {_RESERVED}"
+        )
+    srcs = [
+        df.select(F.col(col).alias(col)).where(F.col(col).isNotNull())
+        for df in dfs
+    ]
+    val_field = srcs[0].schema.fields[0]
+    schema = StructType(
+        [StructField(val_field.name, val_field.dataType, True),
+         StructField(_CNT, LongType(), False),
+         StructField(_PN, LongType(), False)]
+    )
+    sketches = [
+        _mg_sketch_frame(s, _mg_partition(k, col), _mg_merge(k, col),
+                         schema, fanin)
+        for s in srcs
+    ]
+    merged = sketches[0]
+    for sk in sketches[1:]:
+        merged = merged.unionByName(sk)
+    # one more merge level over the unioned summaries, then the shared
+    # recount path over the unioned corpus
+    final = merged.repartition(1).mapInPandas(
+        _mg_merge(k, col), schema=schema
+    )
+    rows = final.collect()
+    n_total = sum(r[_PN] for r in rows)
+    union_src = srcs[0]
+    for s in srcs[1:]:
+        union_src = union_src.unionByName(s)
+    spark = union_src.sparkSession
+    cands = spark.createDataFrame(
+        [
+            (r[col] if r[col] is not None else float("nan"),)
+            for r in rows
+            if r[_PN] == 0
+        ],
+        StructType([StructField(val_field.name, val_field.dataType, True)]),
+    ).distinct()
+    counted = (
+        union_src.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counted.where(F.col("cnt") * k > F.lit(n_total)).select(
+        col, "cnt", F.lit(n_total).alias("n_total")
+    )

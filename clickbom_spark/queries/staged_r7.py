@@ -1,0 +1,312 @@
+"""Staged registry wave for round 7.
+
+Same workflow as the (now activated) round-6 wave in ``staged.py``:
+every query here is oracle-parity-verified NOW by
+``tests/test_staged_r7_parity.py`` (the exact driver comparison at
+sf0.01) but held out of :data:`clickbom_spark.queries.REGISTRY` so the
+round-6 driver budget covers the 47 queries that are currently
+never-checked instead of overflowing.  Round 7 activates with::
+
+    from clickbom_spark.queries import staged_r7  # noqa: F401
+    REGISTRY.update(staged_r7.STAGED_R7)
+
+in ``queries/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickbom_spark.queries import QuerySpec, load
+
+STAGED_R7: dict[str, QuerySpec] = {}
+
+
+def staged(name: str, oracle: str | None = None, description: str = "",
+           bench: bool = False):
+    def deco(fn):
+        STAGED_R7[name] = QuerySpec(name, fn, oracle, description, bench)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# topKState / -Merge workflow: sketch two ingest parts independently,
+# merge the summaries, recount — must equal plain heavy hitters over
+# the union, which is exactly what the plain GROUP BY oracle computes.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_topk_state_merge",
+    oracle="""
+WITH e AS (SELECT event_type FROM events WHERE event_type IS NOT NULL),
+counts AS (
+  SELECT event_type AS val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e GROUP BY event_type
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM e)
+SELECT val, cnt, n.n_total FROM counts, n
+WHERE cnt * 6 > n.n_total ORDER BY val
+""",
+    description="ClickHouse topKState/-Merge workflow "
+    "(ext/sketches.heavy_hitters_from_parts): two ingest halves of the "
+    "event stream are sketched independently (each site ships only its "
+    "bounded Misra-Gries summary), the summaries merge (mergeable-"
+    "summary law: error stays within W/(k+1) across any merge tree), "
+    "and one recount restores exact counts — output equals plain "
+    "heavy hitters over the union, which is what the oracle computes.",
+)
+def q_topk_state_merge(spark, sf_dir):
+    from clickbom_spark.ext.sketches import heavy_hitters_from_parts
+
+    (events,) = load(spark, sf_dir, "events")
+    mid = events.agg(
+        (F.max("event_id") / 2).cast("long").alias("m")
+    ).collect()[0]["m"]
+    part_a = events.where(F.col("event_id") <= mid)
+    part_b = events.where(F.col("event_id") > mid)
+    return (
+        heavy_hitters_from_parts([part_a, part_b], "event_type", k=6)
+        .select(
+            F.col("event_type").alias("val"),
+            "cnt",
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+        .orderBy("val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# groupArray ordered concat: the per-user journey path — ClickHouse
+# groupArray(event_type) over the (ts, event_id) order, joined to one
+# string.  Deterministic because the sort key is unique per user.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_user_journeys",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    description="Per-user journey path (ClickHouse groupArray + "
+    "arrayStringConcat over the event-time order): one hash aggregate "
+    "collects each user's (ts, event_id, type) structs, array_sort + "
+    "transform + array_join build the ordered path string — bounded "
+    "per-key state, no window over the corpus, deterministic under the "
+    "unique (ts, event_id) tie-break.",
+)
+def q_user_journeys(spark, sf_dir):
+    from clickbom_spark.queries import epoch_us
+
+    (events,) = load(spark, sf_dir, "events")
+    packed = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    epoch_us("ts").alias("t"),
+                    F.col("event_id").alias("tb"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ).alias("arr")
+    )
+    return packed.select(
+        "user_id",
+        F.size("arr").cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(F.col("arr"), lambda x: x["et"]), ">"
+        ).alias("journey"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact weighted quantiles (quantileExactWeighted ... GROUP
+# BY): distinct-value weights, per-group cumulative window (partitioned
+# — scale-safe), conditional min.  Integer weights ⇒ exact prefix sums.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_weighted_quantiles_by_group",
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0
+  GROUP BY 1, 2
+), c AS (
+  SELECT g, v,
+         SUM(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY g) AS W
+  FROM agg
+)
+SELECT g AS l_returnflag,
+       MIN(CASE WHEN cum >= 0.5 * W THEN v END) AS q50,
+       MIN(CASE WHEN cum >= 0.9 * W THEN v END) AS q90
+FROM c GROUP BY g ORDER BY l_returnflag
+""",
+    description="Per-group exact weighted quantiles (ClickHouse "
+    "quantileExactWeighted ... GROUP BY): collapse to distinct "
+    "(group, value) weights first (map-side combine), then a "
+    "PARTITIONED cumulative window — per-group windows scale out, "
+    "unlike a global order — and one conditional-min pass; integer "
+    "weights make every prefix sum exact.",
+)
+def q_weighted_quantiles_by_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("long")
+    agg = (
+        lineitem.where(
+            F.col("l_extendedprice").isNotNull() & w.isNotNull() & (w > 0)
+        )
+        .groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .agg(F.sum(w).alias("w"))
+    )
+    win = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    win_all = Window.partitionBy("g")
+    c = agg.select(
+        "g",
+        "v",
+        F.sum("w").over(win).alias("cum"),
+        F.sum("w").over(win_all).alias("W"),
+    )
+    return (
+        c.groupBy(F.col("g").alias("l_returnflag"))
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= 0.5 * F.col("W"), F.col("v"))
+            ).alias("q50"),
+            F.min(
+                F.when(F.col("cum") >= 0.9 * F.col("W"), F.col("v"))
+            ).alias("q90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the co-purchase graph — the standard graph
+# summary next to the triangle count, over the same basket-capped
+# edges.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_degree_distribution",
+    oracle="""
+WITH ok AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 1024
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
+), e AS (
+  SELECT u, v FROM pairs GROUP BY u, v
+  HAVING COUNT(DISTINCT l_orderkey) >= 2
+), deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+  GROUP BY n
+)
+SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY d ORDER BY degree
+""",
+    description="Degree distribution of the part co-purchase graph "
+    "(same basket-capped edge build as q_triangle_count): two hash "
+    "aggregates over the edge list — the graph-shape summary that "
+    "sizes the wedge join before anyone runs it.",
+)
+def q_degree_distribution(spark, sf_dir):
+    from clickbom_spark.queries.staged import copurchase_edges
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    e = copurchase_edges(lineitem)
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling — the warehouse DESCRIBE/statistics utility: one
+# row per profiled column with null/distinct/min/max, plus exact
+# decimal totals for the numeric column.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_profile_columns",
+    oracle="""
+SELECT 'o_orderstatus' AS col,
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderstatus) AS VARCHAR) AS min_s,
+       CAST(MAX(o_orderstatus) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(MIN(o_orderpriority) AS VARCHAR),
+       CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(round(MIN(o_totalprice) * 100) AS BIGINT)::VARCHAR,
+       CAST(round(MAX(o_totalprice) * 100) AS BIGINT)::VARCHAR
+FROM orders
+ORDER BY col
+""",
+    description="Column profiling (the DESCRIBE/statistics warehouse "
+    "utility): per-column null count, exact distinct count, and "
+    "min/max — strings verbatim, the numeric column in exact integer "
+    "cents so the string rendering is engine-identical.  One aggregate "
+    "per profiled column over one scan each; at scale the distinct "
+    "counts swap to the HLL family already in the registry.",
+)
+def q_profile_columns(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+
+    def prof_str(col):
+        return orders.agg(
+            F.lit(col).alias("col"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_nulls"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_s"),
+            F.max(col).cast("string").alias("max_s"),
+        )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    prof_num = orders.agg(
+        F.lit("o_totalprice").alias("col"),
+        (F.count(F.lit(1)) - F.count("o_totalprice"))
+        .cast("long")
+        .alias("n_nulls"),
+        F.countDistinct("o_totalprice").cast("long").alias("n_distinct"),
+        F.min(cents).cast("string").alias("min_s"),
+        F.max(cents).cast("string").alias("max_s"),
+    )
+    return (
+        prof_str("o_orderstatus")
+        .unionByName(prof_str("o_orderpriority"))
+        .unionByName(prof_num)
+        .orderBy("col")
+    )

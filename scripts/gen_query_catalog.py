@@ -43,8 +43,10 @@ means the query is in the bench.py headline set at sf0.1.
     # own section; the round-6 wave is already activated, so only names
     # absent from the live registry land here.
     from clickbom_spark.queries.staged import STAGED
+    from clickbom_spark.queries.staged_r7 import STAGED_R7
 
-    pending = [s2 for n2, s2 in STAGED.items() if n2 not in Q.REGISTRY]
+    pool = {**STAGED, **STAGED_R7}
+    pending = [s2 for n2, s2 in pool.items() if n2 not in Q.REGISTRY]
     if pending:
         out.append(
             f"\n## staged — next-round registry wave ({len(pending)})\n"
