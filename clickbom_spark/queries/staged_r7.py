@@ -310,3 +310,217 @@ def q_profile_columns(spark, sf_dir):
         .unionByName(prof_num)
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic reporting: month revenue with year-over-year growth — lag-12
+# over the month aggregate; revenue in exact decimal, the growth ratio
+# one identical double division rounded past the noise floor.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_yoy_growth",
+    oracle="""
+WITH m AS (
+  SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT ym, rev_cents,
+         LAG(rev_cents, 12) OVER (ORDER BY ym) AS prev
+  FROM m
+)
+SELECT ym, rev_cents,
+       round(
+         (CAST(rev_cents AS DOUBLE) - prev) / prev * 100.0, 4
+       ) AS yoy_pct
+FROM g WHERE prev IS NOT NULL ORDER BY ym
+""",
+    description="Month revenue with year-over-year growth (the classic "
+    "reporting lag-12 window): revenue accumulated in exact integer "
+    "cents, one window over the MONTH aggregate (a bounded frame — "
+    "the corpus never rides the window), growth one identical double "
+    "division rounded past the noise floor.",
+)
+def q_yoy_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("ym")
+    g = m.withColumn("prev", F.lag("rev_cents", 12).over(w))
+    return (
+        g.where(F.col("prev").isNotNull())
+        .select(
+            "ym",
+            "rev_cents",
+            F.round(
+                (F.col("rev_cents").cast("double") - F.col("prev"))
+                / F.col("prev")
+                * 100.0,
+                4,
+            ).alias("yoy_pct"),
+        )
+        .orderBy("ym")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window DISTINCT users — the windowed-cardinality op the
+# plain sliding counts don't cover (distinct is not distributive; the
+# exact path posts each event to its windows and counts distinct per
+# window; the approximate scale twin is the HLL family).
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_sliding_distinct_users",
+    oracle="""
+WITH posted AS (
+  SELECT user_id,
+         UNNEST([
+           make_timestamp(CAST(floor(epoch(ts)/900)*900*1000000 AS BIGINT)),
+           make_timestamp(CAST((floor(epoch(ts)/900)*900 - 900)*1000000
+                          AS BIGINT))
+         ]) AS ws
+  FROM events
+)
+SELECT ws AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM posted GROUP BY ws ORDER BY window_start
+""",
+    description="Exact distinct users per sliding 30-minute window "
+    "(hop 15): each event posts to its size/slide windows, then one "
+    "distinct aggregate per window — the windowed-cardinality op "
+    "plain sliding counts miss (distinct is not distributive).  At "
+    "100 TB the exact twin swaps for the registry's HLL-by-group path "
+    "with the same posting shape.",
+)
+def q_sliding_distinct_users(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    # post each event to BOTH covering hop windows explicitly from the
+    # floored epoch (mirrors the oracle's UNNEST construction)
+    sec = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000 / 900
+    ) * 900
+    posted = events.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.timestamp_seconds(sec),
+                F.timestamp_seconds(sec - 900),
+            )
+        ).alias("window_start"),
+    )
+    return (
+        posted.groupBy("window_start")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ratio_to_report: each group's share of the grand total — the
+# percent-of-total OLAP staple; exact decimal sums, one broadcast of
+# the 1-row total, identical division both engines.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_ratio_to_report",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY o_orderpriority
+), t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM g)
+SELECT o_orderpriority, rev_cents,
+       round(CAST(rev_cents AS DOUBLE) / total * 100.0, 6) AS pct_of_total
+FROM g, t ORDER BY o_orderpriority
+""",
+    description="ratio_to_report / percent-of-total per order "
+    "priority: exact integer-cent group sums, the grand total a 1-row "
+    "broadcast back onto the group frame (never a second corpus "
+    "scan), one identical double division rounded past the noise "
+    "floor.",
+)
+def q_ratio_to_report(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    t = g.agg(F.sum("rev_cents").cast("long").alias("total"))
+    return (
+        g.join(F.broadcast(t))
+        .select(
+            "o_orderpriority",
+            "rev_cents",
+            F.round(
+                F.col("rev_cents").cast("double") / F.col("total") * 100.0,
+                6,
+            ).alias("pct_of_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running maximum drawdown per user — the risk-analytics window pair
+# (running max, then max gap below it); integer cents ⇒ exact.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_max_drawdown",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT user_id, cents,
+         MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_max
+  FROM c
+)
+SELECT user_id,
+       CAST(MAX(run_max) AS BIGINT) AS peak_cents,
+       CAST(MAX(run_max - cents) AS BIGINT) AS max_drawdown_cents
+FROM r GROUP BY user_id ORDER BY user_id
+""",
+    description="Per-user running-maximum drawdown (the risk-analytics "
+    "window staple): one per-user cumulative MAX window over the "
+    "event-time order plus one hash aggregate; everything in exact "
+    "integer cents, per-user windows scale out.",
+)
+def q_max_drawdown(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    c = events.where(F.col("value").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = c.withColumn("run_max", F.max("cents").over(w))
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.max("run_max").cast("long").alias("peak_cents"),
+            F.max(F.col("run_max") - F.col("cents"))
+            .cast("long")
+            .alias("max_drawdown_cents"),
+        )
+        .orderBy("user_id")
+    )
