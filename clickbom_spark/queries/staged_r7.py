@@ -524,3 +524,138 @@ def q_max_drawdown(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size histogram — the dedup diagnostics view: how
+# much of the corpus sits in how-big duplicate families.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_cc_size_histogram",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS g
+  FROM toks
+), sized AS (
+  SELECT doc_id, len(g) AS sz FROM grams
+), ex AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE)
+          / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(id, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.id
+  ) SELECT id, MIN(comp) AS component FROM r GROUP BY id
+), csize AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM reach GROUP BY component
+)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM csize GROUP BY sz ORDER BY cluster_size
+""",
+    description="Near-dup cluster-size histogram (dedup diagnostics: "
+    "how much of the corpus sits in how-big duplicate families): the "
+    "LSH pair graph clustered by min-label propagation, then two hash "
+    "aggregates — the view that decides whether keep-one dedup or "
+    "substring-level dedup is the right tool for a corpus.",
+)
+def q_cc_size_histogram(spark, sf_dir):
+    from clickbom_spark.ext.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    comps = connected_components(pairs)
+    csize = comps.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        csize.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection-routed aggregation: the GROUP BY is answered from the
+# stored projection (coarser grouping re-aggregated), after mutations
+# — the planner behavior surfaced as a query.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_projection_route",
+    oracle="""
+WITH final AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+  WHERE doc_id % 9 <> 4
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM final GROUP BY lang ORDER BY lang
+""",
+    description="Projection-aware GROUP BY routing "
+    "(ext/manifest.route_aggregate): the lake stores a projection "
+    "grouped by (lang, source); a query grouped by lang alone is "
+    "answered FROM the projection by re-aggregation (counts/sums are "
+    "distributive) — after a delete commit, so the roll-forward and "
+    "the routing compose; the oracle recomputes relationally and the "
+    "routed answer must match exactly.",
+)
+def q_projection_route(spark, sf_dir):
+    import os
+    import shutil
+
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        add_projection,
+        route_aggregate,
+    )
+    from clickbom_spark.queries.staged import _TMP
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, "docs_proute_lake")
+    shutil.rmtree(path, ignore_errors=True)
+    lake = VersionedLake.create(
+        spark,
+        path,
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        n_files=4,
+    )
+    add_projection(
+        lake, "lang_source", ["doc_id"], ["lang", "source"], ["n_chars"]
+    )
+    lake.delete(F.col("doc_id") % 9 == 4)
+    out, route = route_aggregate(lake, ["lang"], ["n_chars"])
+    assert route == "lang_source", route
+    return out.select(
+        "lang",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_n_chars").cast("long").alias("sum_n_chars"),
+    ).orderBy("lang")
