@@ -715,14 +715,23 @@ def q_stream_stream_attribution_outer(spark, sf_dir):
     from clickbom_spark.streaming.pipeline import run_to_memory_sink
 
     (events,) = load(spark, sf_dir, "events")
+    # The horizon is computed from the BATCH table (TIMESTAMP_NTZ) but
+    # the sink's v_ts is TIMESTAMP (LTZ; the stream reader rebuilds the
+    # NTZ wall clock as UTC-epoch instants so watermarks work).  A
+    # direct NTZ-vs-LTZ comparison would coerce through the SESSION
+    # timezone and shift the cut — so compare in timezone-free epoch
+    # micros on both sides (unix_micros is exact for LTZ; epoch_us is
+    # the NTZ-safe twin).
     horizon = events.groupBy().agg(
         (
-            F.least(
-                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
-                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            epoch_us(
+                F.least(
+                    F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                )
             )
-            - F.expr("interval 40 minutes")
-        ).alias("h")
+            - F.lit(40 * 60 * 1_000_000)
+        ).alias("h_us")
     )
     s_views, s_clicks = split_views_clicks(read_events_stream(spark, sf_dir))
     pairs = attribution_join_outer(s_views, s_clicks)
@@ -730,7 +739,7 @@ def q_stream_stream_attribution_outer(spark, sf_dir):
     return (
         spark.table("m_stream_attrib_outer")
         .join(F.broadcast(horizon))
-        .where(F.col("v_ts") < F.col("h"))
+        .where(F.unix_micros(F.col("v_ts")) < F.col("h_us"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
