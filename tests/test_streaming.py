@@ -166,3 +166,26 @@ def test_stream_stream_outer_join_equals_batch_below_horizon(spark):
     assert got.count() == batch.count()
     # the outer join must actually produce null-padded rows
     assert got.where(F.col("click_id").isNull()).count() > 0
+
+
+def test_outer_attribution_timezone_independent(spark):
+    """Regression (caught by the Asia/Tokyo strict-parity sweep): the
+    outer attribution query's watermark-horizon cut must not shift
+    with the session timezone — the sink's TIMESTAMP (LTZ) v_ts and
+    the batch table's NTZ horizon are compared in timezone-free epoch
+    micros, so the oracle-exact answer holds under any session TZ."""
+    from clickbom_spark.queries import REGISTRY
+    from tests.conftest import SF_CORRECT
+    from tests.test_parity import canon, run_oracle
+
+    spec = REGISTRY["q_stream_stream_attribution_outer"]
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        got = canon(spec.fn(spark, SF_CORRECT).toPandas())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    want = canon(run_oracle(spec.oracle, SF_CORRECT))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
