@@ -1181,6 +1181,8 @@ def refresh_projection(lake: VersionedLake, name: str) -> int:
     files = _proj_write(lake, name, rolled)
     built_at = m["version"]
 
+    old_files = list(p["files"])
+
     def mutate(payload: dict) -> dict:
         projs = dict(payload.get("projections", {}))
         entry = dict(projs[name])
@@ -1190,7 +1192,17 @@ def refresh_projection(lake: VersionedLake, name: str) -> int:
         payload["projections"] = projs
         return payload
 
-    return lake._commit_meta(mutate, f"refresh-projection-{name}")
+    v = lake._commit_meta(mutate, f"refresh-projection-{name}")
+    # superseded projection files are unreachable once the refreshed
+    # manifest is live (read_projection only ever resolves the CURRENT
+    # entry), so reclaim them here; a crash before this point only
+    # leaves orphans under _projections/, never a broken read
+    for f in old_files:
+        try:
+            os.unlink(os.path.join(lake.path, f))
+        except FileNotFoundError:
+            pass
+    return v
 
 
 def route_aggregate(
