@@ -1239,3 +1239,37 @@ def route_aggregate(
         *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
     )
     return out, best
+
+
+def apply_ttl(lake: VersionedLake, predicate: Column) -> int:
+    """TTL enforcement as a first-class commit (the ClickHouse
+    ``TTL ... DELETE`` analog): delete every row matching the
+    expiration predicate in ONE snapshot tagged ``ttl``, so retention
+    sweeps are visible in the table history and the change feed, and
+    rewrite only the files that actually hold expired rows (the COW
+    probe).  Pass the cutoff explicitly (e.g. ``col("ts") <
+    lit("2024-01-03")``) — retention policy evaluation belongs to the
+    caller's scheduler, not hidden wall-clock reads."""
+
+    def attempt() -> int:
+        base = lake._manifest()
+        files = [os.path.join(lake.path, f) for f in base["files"]]
+        df = lake._read_files(files, version=base["version"])
+        probe = (
+            df.withColumn("_f", F.input_file_name())
+            .where(predicate)
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        affected = set(lake._split_affected(probe))
+        untouched = [f for f in files if f not in affected]
+        new_files = []
+        if affected:
+            sub = lake._read_files(sorted(affected), version=base["version"])
+            new_files = lake._write_new(sub.where(~predicate))
+        live = untouched + new_files
+        n = lake.spark.read.parquet(*live).count() if live else 0
+        return lake._commit(live, n, "ttl", based_on=base["files"])
+
+    return lake._retry_mutation(attempt)

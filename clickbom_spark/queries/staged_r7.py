@@ -659,3 +659,58 @@ def q_projection_route(spark, sf_dir):
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("sum_n_chars").cast("long").alias("sum_n_chars"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# TTL retention sweep on the lake — expiration as a tagged snapshot.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_lake_ttl",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY event_type ORDER BY event_type
+""",
+    description="TTL retention sweep (ClickHouse TTL ... DELETE "
+    "analog; ext/manifest.apply_ttl): rows past the explicit cutoff "
+    "are deleted in ONE 'ttl'-tagged snapshot — visible in history and "
+    "the change feed, rewriting only files that hold expired rows "
+    "(COW probe).  The post-sweep lake must equal the relational "
+    "filter the oracle computes.",
+)
+def q_lake_ttl(spark, sf_dir):
+    import os
+    import shutil
+
+    from clickbom_spark.ext.manifest import VersionedLake, apply_ttl
+    from clickbom_spark.queries import epoch_us
+    from clickbom_spark.queries.staged import _TMP
+
+    (events,) = load(spark, sf_dir, "events")
+    path = os.path.join(_TMP, "events_ttl_lake")
+    shutil.rmtree(path, ignore_errors=True)
+    lake = VersionedLake.create(
+        spark,
+        path,
+        events.select("event_id", "ts", "event_type").repartitionByRange(
+            4, "ts"
+        ),
+        n_files=4,
+    )
+    apply_ttl(
+        lake, F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-02 00:00:00'")
+    )
+    assert lake._manifest()["message"] == "ttl"
+    return (
+        lake.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min(epoch_us("ts")).cast("long").alias("min_ts_us"),
+        )
+        .orderBy("event_type")
+    )
