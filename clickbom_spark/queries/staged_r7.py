@@ -714,3 +714,118 @@ def q_lake_ttl(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): the
+# multiplicity-preserving variants the DISTINCT set ops miss — ANSI
+# min/difference-of-multiplicities semantics on both engines.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_set_ops_bag",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+), b AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b) x
+UNION ALL
+SELECT 'except_all', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b) y
+ORDER BY op
+""",
+    description="Bag-semantics set operations (INTERSECT ALL / EXCEPT "
+    "ALL): multiplicity-preserving ANSI semantics — min / difference "
+    "of per-key multiplicities — via Spark's intersectAll/exceptAll, "
+    "which compile to count-based hash aggregates plus a generate "
+    "(one shuffle each), never a row-pairing join.",
+)
+def q_set_ops_bag(spark, sf_dir):
+    (orders,) = load(spark, sf_dir, "orders")
+    y96 = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = orders.where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    inter = y96.intersectAll(y97).agg(
+        F.lit("intersect_all").alias("op"), F.count(F.lit(1)).alias("n")
+    )
+    exc = y96.exceptAll(y97).agg(
+        F.lit("except_all").alias("op"), F.count(F.lit(1)).alias("n")
+    )
+    return inter.unionByName(exc).orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test over the (event_type × variant)
+# contingency table — exact integer counts, one identical double
+# formula, rounded past the noise floor.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_chi_square",
+    oracle="""
+WITH o AS (
+  SELECT event_type, user_id % 2 AS variant,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM o
+), rows_ AS (
+  SELECT event_type, CAST(SUM(obs) AS DOUBLE) AS r FROM o GROUP BY 1
+), cols_ AS (
+  SELECT variant, CAST(SUM(obs) AS DOUBLE) AS c FROM o GROUP BY 1
+), terms AS (
+  SELECT o.event_type, o.variant,
+         (CAST(o.obs AS DOUBLE) - r.r * c.c / t.n)
+         * (CAST(o.obs AS DOUBLE) - r.r * c.c / t.n)
+         / (r.r * c.c / t.n) AS term
+  FROM o JOIN rows_ r USING (event_type)
+         JOIN cols_ c USING (variant), tot t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CAST(round(term, 9) AS DECIMAL(18,9))) AS DOUBLE)
+         AS chi2_r
+FROM terms
+""",
+    description="Chi-square independence test over the event-type x "
+    "variant contingency table: exact integer cell counts, expected "
+    "frequencies and per-cell terms by ONE identical double formula, "
+    "each term rounded to 9 decimals then decimal-summed (the repo's "
+    "float contract) so the statistic is bit-stable — the categorical "
+    "companion to the two-proportion z-test.",
+)
+def q_chi_square(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    o = events.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("variant")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    tot = o.agg(F.sum("obs").cast("double").alias("n"))
+    rows_ = o.groupBy("event_type").agg(
+        F.sum("obs").cast("double").alias("r")
+    )
+    cols_ = o.groupBy("variant").agg(F.sum("obs").cast("double").alias("c"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    term = (F.col("obs").cast("double") - e) * (
+        F.col("obs").cast("double") - e
+    ) / e
+    terms = (
+        o.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "variant")
+        .join(F.broadcast(tot))
+        .select(F.round(term, 9).cast("decimal(18,9)").alias("t"))
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("t").cast("double").alias("chi2_r"),
+    )
