@@ -1,11 +1,14 @@
-"""Staged registry wave for round 7.
+"""Staged registry wave for round 7 — 14 queries.
 
 Same workflow as the (now activated) round-6 wave in ``staged.py``:
-every query here is oracle-parity-verified NOW by
-``tests/test_staged_r7_parity.py`` (the exact driver comparison at
-sf0.01) but held out of :data:`clickbom_spark.queries.REGISTRY` so the
-round-6 driver budget covers the 47 queries that are currently
-never-checked instead of overflowing.  Round 7 activates with::
+every query here is oracle-parity-verified NOW — bit-exact vs DuckDB
+at sf0.001, sf0.01 AND sf0.1 (``tests/test_staged_r7_parity.py`` runs
+the exact driver comparison; ``python scripts/strict_parity.py
+--staged`` sweeps the wave, including under SPARK_GRAFT_TZ /
+SPARK_GRAFT_PARTS / SPARK_GRAFT_SF_DIR variation) — but held out of
+:data:`clickbom_spark.queries.REGISTRY` so the round-6 driver budget
+covers the 47 queries that are currently never-checked instead of
+overflowing.  Round 7 activates with::
 
     from clickbom_spark.queries import staged_r7  # noqa: F401
     REGISTRY.update(staged_r7.STAGED_R7)
