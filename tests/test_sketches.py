@@ -360,3 +360,29 @@ def test_weighted_heavy_hitters_merge_tree_exact(spark):
         ).collect()
     }
     assert got == exact and got
+
+
+def test_heavy_hitters_from_parts_equals_whole(spark):
+    """topKState/-Merge law: sketching ingest parts independently and
+    merging must equal heavy hitters over the pre-unioned data — for
+    any split and any partitioning of the parts."""
+    from clickbom_spark.ext.sketches import heavy_hitters_from_parts
+
+    df = spark.createDataFrame(_skewed_rows(), "id long, v string")
+    whole = _exact(df, "v", k=8)
+    for split_mod in (2, 3):
+        parts = [
+            df.where(F.col("id") % split_mod == i).repartition(7 + i)
+            for i in range(split_mod)
+        ]
+        got = {
+            (r["v"], r["cnt"])
+            for r in heavy_hitters_from_parts(parts, "v", k=8).collect()
+        }
+        assert got == whole, split_mod
+    # degenerate: a single part is just heavy_hitters
+    got1 = {
+        (r["v"], r["cnt"])
+        for r in heavy_hitters_from_parts([df], "v", k=8).collect()
+    }
+    assert got1 == whole
