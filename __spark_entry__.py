@@ -52,8 +52,15 @@ def _status_rank() -> dict[str, int]:
     ranks = {}
     for name in REGISTRY:
         e = status.get(name)
+        has_oracle = REGISTRY[name].oracle is not None
         if e is None:
             ranks[name] = (1, 0)  # never checked
+        elif e.get("err") == "no_oracle" and not has_oracle:
+            # Deliberately oracle-less (pytest-law-pinned, not broken):
+            # park BEHIND the green tier so these don't eat a budget
+            # slot every round forever.  If a query later GAINS an
+            # oracle (has_oracle=True), it falls through to re-verify.
+            ranks[name] = (3, 0)
         elif e.get("err") or e.get("hash_match") is not True:
             ranks[name] = (0, 0)  # erred / mismatched: re-verify first
         else:
@@ -64,15 +71,14 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
-# ROUND-7 NOTE: the round-6 staged wave is ACTIVATED (registry = 209;
-# 47 entries are never-checked this round, fitting the 50-slot
-# budget).  clickbom_spark/queries/staged_r7.py holds the NEXT wave
-# (5 queries, already oracle-parity-green via
-# tests/test_staged_r7_parity.py).  Round 7 activates with:
-#     from clickbom_spark.queries import staged_r7  # noqa: F401
-#     REGISTRY.update(staged_r7.STAGED_R7)
-# in queries/__init__.py; the disjointness guard in the r7 test file
-# flags any collision on promotion.
+# ROUND-7 NOTE: BOTH staged waves are ACTIVATED (round-6 wave of 30 +
+# round-7 wave of 14; registry = 223).  The 14 r7 names plus the two
+# newly-oracle-bearing conversions (q_quantile_sketch,
+# q_compression_ratio — invariant-column oracles replacing their old
+# `no_oracle` rows) rank first; remaining budget rotates through the
+# STALEST greens (early TPC-H/OLAP rows last verified r2–r3).
+# Deliberately oracle-less queries (q_stream_neardup_filter) now park
+# BEHIND the green tier so they stop leaking a slot every round.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

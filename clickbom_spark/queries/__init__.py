@@ -121,3 +121,11 @@ from clickbom_spark.queries import order_stats  # noqa: E402,F401
 from clickbom_spark.queries import staged  # noqa: E402,F401
 
 REGISTRY.update(staged.STAGED)
+
+# Round-7 activation of the second staged wave (14 queries, all
+# oracle-parity-green at sf0.001/sf0.01/sf0.1 under
+# tests/test_staged_r7_parity.py before promotion; disjointness from
+# the existing registry is guarded there too).
+from clickbom_spark.queries import staged_r7  # noqa: E402,F401
+
+REGISTRY.update(staged_r7.STAGED_R7)

@@ -1,7 +1,12 @@
-"""Oracle parity for the STAGED round-7 wave — the exact driver
+"""Oracle parity for the round-7 staged wave — the exact driver
 comparison (row count, column names, order-insensitive exact values)
-over clickbom_spark.queries.staged_r7.STAGED_R7, which is held out of
-the live REGISTRY until round 7's activation flip."""
+over clickbom_spark.queries.staged_r7.STAGED_R7.  Round 7 flipped the
+activation switch (queries/__init__.py:
+``REGISTRY.update(staged_r7.STAGED_R7)``), so these queries are now
+also covered by tests/test_parity.py; this file keeps the direct
+parity sweep (it predates activation and pins the wave at three scale
+factors via scripts/strict_parity.py) plus the activation
+invariants."""
 
 from __future__ import annotations
 
@@ -37,17 +42,17 @@ def test_staged_r7_rows_only(spark, name):
     assert df.schema.fieldNames()
 
 
-def test_staged_r7_names_disjoint_from_registry():
-    overlap = set(STAGED_R7) & set(REGISTRY)
-    assert not overlap, f"r7 staged names collide with live registry: {overlap}"
+def test_staged_r7_wave_is_live():
+    """Every r7 staged query is registered with the exact same spec
+    object — activation was REGISTRY.update(STAGED_R7), not a re-wrap."""
+    missing = set(STAGED_R7) - set(REGISTRY)
+    assert not missing, f"r7 staged queries not activated: {missing}"
+    for name, spec in STAGED_R7.items():
+        assert REGISTRY[name] is spec, f"{name} was shadowed on activation"
 
 
-def test_staged_r7_activation_dry_run():
-    merged = dict(REGISTRY)
-    before = len(merged)
-    merged.update(STAGED_R7)
-    assert len(merged) == before + len(STAGED_R7)
-    for name, spec in merged.items():
+def test_registry_satisfies_driver_contract():
+    for name, spec in REGISTRY.items():
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
         assert spec.name == name
