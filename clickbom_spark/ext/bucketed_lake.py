@@ -73,8 +73,18 @@ def create_bucketed(
     os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
     lake = VersionedLake(spark, path)
     lake._commit(files, df.count(), "create-bucketed")
+    # Pin the exact bucketed file set in the spec: the co-located fast
+    # path is only valid while the CURRENT snapshot IS this file set —
+    # later COW rewrites produce plain parquet files (no bucket-id
+    # layout), and a vacuum can make disk == live again without
+    # restoring bucketedness, so file-set-vs-disk equality alone is
+    # not a sufficient gate (it must also equal THIS set).
+    rel = sorted(os.path.relpath(f, path) for f in files)
     lake._commit_meta(
-        lambda p: {**p, "bucket": {"col": bucket_col, "n": n_buckets}},
+        lambda p: {
+            **p,
+            "bucket": {"col": bucket_col, "n": n_buckets, "files": rel},
+        },
         "bucket-spec",
     )
     return lake
@@ -84,8 +94,21 @@ def bucket_spec(lake: VersionedLake) -> dict | None:
     return lake._manifest().get("bucket")
 
 
-def _layout_intact(lake: VersionedLake) -> bool:
+def _layout_intact(lake: VersionedLake, spec: dict) -> bool:
+    """The catalog fast path scans the DIRECTORY, so it is valid only
+    when (a) disk holds exactly the CURRENT snapshot's files (no stale
+    COW leftovers the catalog scan would double-read) AND (b) the
+    current snapshot IS the original bucketed file set pinned in the
+    spec — COW rewrites are plain parquet without the bucket-id file
+    layout, and after a vacuum disk can equal live again while
+    bucketedness is gone.  Specs written before the "files" pin
+    existed fail closed (fall back to the manifest read)."""
+    pinned = spec.get("files")
+    if pinned is None:
+        return False
     live = set(lake._manifest()["files"])
+    if live != set(pinned):
+        return False
     disk = {
         f
         for f in os.listdir(lake.path)
@@ -100,7 +123,7 @@ def read_bucketed(lake: VersionedLake) -> DataFrame:
     when the spec exists and the physical layout is intact; otherwise
     fall back to the plain (always-correct) manifest read."""
     spec = bucket_spec(lake)
-    if spec is None or not _layout_intact(lake):
+    if spec is None or not _layout_intact(lake, spec):
         return lake.read()
     spark = lake.spark
     name = _table_name(lake.path)

@@ -179,6 +179,12 @@ class VersionedLake:
                 # pins the data version the stored files reflect, and
                 # read_projection rolls forward through the CDF
                 payload["projections"] = prev["projections"]
+            if prev and prev.get("bucket"):
+                # the bucket spec survives data commits too — its
+                # "files" pin identifies the original bucketed layout,
+                # so read_bucketed knows the fast path died with the
+                # mutation and falls back to the manifest read
+                payload["bucket"] = prev["bucket"]
             if epoch is not None:
                 payload["last_epoch"] = int(epoch)
             elif prev and "last_epoch" in prev:
@@ -422,6 +428,15 @@ class VersionedLake:
         return self._retry_mutation(attempt)
 
     def delete(self, predicate: Column) -> int:
+        """DELETE … WHERE …; returns the new version.
+
+        SQL DELETE semantics: rows where the predicate evaluates to
+        NULL are RETAINED (only true-matching rows are removed), and
+        retention is layout-independent — the rewrite keeps
+        ``NOT coalesce(pred, false)`` rows so a NULL-predicate row
+        survives whether or not its file also held a true match.
+        """
+
         def attempt() -> int:
             base = self._manifest()
             files = [os.path.join(self.path, f) for f in base["files"]]
@@ -440,7 +455,9 @@ class VersionedLake:
                 sub = self._read_files(
                     sorted(affected), version=base["version"]
                 )
-                new_files = self._write_new(sub.where(~predicate))
+                new_files = self._write_new(
+                    sub.where(~F.coalesce(predicate, F.lit(False)))
+                )
             live = untouched + new_files
             n = self.spark.read.parquet(*live).count() if live else 0
             return self._commit(live, n, "delete", based_on=base["files"])
@@ -506,6 +523,8 @@ class VersionedLake:
         batch: DataFrame,
         key_cols: list[str],
         op_col: str = "op",
+        message: str = "cdc",
+        epoch: int | None = None,
     ) -> int:
         """Apply one CDC batch in ONE snapshot commit — the full MERGE
         statement (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT / WHEN
@@ -564,8 +583,9 @@ class VersionedLake:
             return self._commit(
                 live,
                 self.spark.read.parquet(*live).count(),
-                "cdc",
+                message,
                 based_on=base["files"],
+                epoch=epoch,
             )
 
         return self._retry_mutation(attempt)
@@ -575,11 +595,24 @@ class VersionedLake:
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete data
         files no surviving snapshot references (incl. orphans from
-        crashed commits).  Returns the deleted file names."""
+        crashed commits).  Returns the deleted file names.
+
+        Projections pin history: ``read_projection`` rolls a stored
+        projection forward via ``change_feed(built_at, current)``,
+        which needs the ``built_at`` manifest and the data files the
+        two snapshots disagree on.  The retention window therefore
+        extends to the oldest ``built_at`` across the CURRENT
+        manifest's projections — vacuum never reclaims a version a
+        live projection still reads through.  (``refresh_projection``
+        re-bases ``built_at`` and thereby releases the old window.)
+        """
         cur = self.current_version()
+        floor = max(0, cur - keep_last + 1)
+        for p in self._manifest(cur).get("projections", {}).values():
+            floor = min(floor, p["built_at"])
         keep_versions = [
             v
-            for v in range(max(0, cur - keep_last + 1), cur + 1)
+            for v in range(floor, cur + 1)
             if os.path.exists(os.path.join(_mdir(self.path), f"v{v}.json"))
         ]
         referenced = set()
@@ -1140,13 +1173,20 @@ def add_projection(
     return lake._commit_meta(mutate, f"add-projection-{name}")
 
 
-def read_projection(lake: VersionedLake, name: str) -> DataFrame:
-    """Serve the projection at the CURRENT data version: stored files
-    plus an on-the-fly roll-forward over the change feed between the
-    stored ``built_at`` and now.  Always exact (law: equals a full
-    recompute), and the roll-forward reads only the files the
-    intervening commits actually changed."""
-    m = lake._manifest()
+def read_projection(
+    lake: VersionedLake, name: str, version: int | None = None
+) -> DataFrame:
+    """Serve the projection at data ``version`` (default CURRENT):
+    stored files plus an on-the-fly roll-forward over the change feed
+    between the stored ``built_at`` and that version.  Always exact
+    (law: equals a full recompute), and the roll-forward reads only
+    the files the intervening commits actually changed.
+
+    ``version`` exists so multi-step callers (refresh_projection) can
+    pin one snapshot across their whole read-modify-write — without
+    it, a data commit landing between the caller's manifest read and
+    this one would make the roll-forward target drift (TOCTOU)."""
+    m = lake._manifest(version)
     p = m.get("projections", {}).get(name)
     if p is None:
         raise ValueError(f"no projection {name}")
@@ -1177,9 +1217,15 @@ def refresh_projection(lake: VersionedLake, name: str) -> int:
         raise ValueError(f"no projection {name}")
     if p["built_at"] == m["version"]:
         return m["version"]
-    rolled = read_projection(lake, name).localCheckpoint(eager=True)
-    files = _proj_write(lake, name, rolled)
+    # Pin the roll-forward target to THIS manifest read: a concurrent
+    # data commit between here and the read would otherwise make the
+    # stored files reflect a newer version than built_at records, and
+    # later reads would re-apply the intervening delta (double-count).
     built_at = m["version"]
+    rolled = read_projection(lake, name, version=built_at).localCheckpoint(
+        eager=True
+    )
+    files = _proj_write(lake, name, rolled)
 
     old_files = list(p["files"])
 
@@ -1267,7 +1313,13 @@ def apply_ttl(lake: VersionedLake, predicate: Column) -> int:
         new_files = []
         if affected:
             sub = lake._read_files(sorted(affected), version=base["version"])
-            new_files = lake._write_new(sub.where(~predicate))
+            # NULL-predicate rows are retained (SQL DELETE / ClickHouse
+            # TTL semantics) — and retained regardless of whether their
+            # file also held a truly-expired row, so the result is
+            # layout-independent.
+            new_files = lake._write_new(
+                sub.where(~F.coalesce(predicate, F.lit(False)))
+            )
         live = untouched + new_files
         n = lake.spark.read.parquet(*live).count() if live else 0
         return lake._commit(live, n, "ttl", based_on=base["files"])

@@ -282,11 +282,16 @@ def exact_weighted_quantiles(
     one column ``q{100p}`` per prob.
 
     100 TB shape: the heavy input collapses to distinct values first
-    (hash aggregate with map-side combine), the prefix machinery is
-    the same no-single-partition-window path as shard_by_budget, and
-    the final pass is one aggregate — contrast with a naive
-    ``ORDER BY`` + running-sum window, which serializes the corpus
-    through one partition.
+    (hash aggregate with map-side combine) and is then materialized
+    ONCE (localCheckpoint) — the bucket-boundary pass, the per-bucket
+    weight aggregate, and the final scan all read the stored blocks
+    instead of re-running the groupBy.  Total weight W falls out of
+    the same tiny per-bucket offset frame (the sum over all buckets),
+    so there is no separate total aggregate and no crossJoin; the
+    prefix machinery is the same no-single-partition-window path as
+    shard_by_budget.  Contrast with a naive ``ORDER BY`` +
+    running-sum window, which serializes the corpus through one
+    partition.
     """
     w = F.col(weight_col).cast("long")
     agg = (
@@ -295,22 +300,29 @@ def exact_weighted_quantiles(
         )
         .groupBy(value_col)
         .agg(F.sum(w).alias("_w"))
+        .localCheckpoint(eager=True)
     )
-    pfx = with_global_prefix_sum(
-        agg, [value_col], "_w", prefix_col="_cum", num_buckets=num_buckets
+    joined, c_bkt, c_off, c_total = _bucketed_with_offsets(
+        agg,
+        [value_col],
+        num_buckets,
+        F.sum(F.col("_w")).cast("long"),
+        include_total=True,
     )
-    # total weight via a second aggregate over the (shared-lineage)
-    # distinct-value frame; alias both sides so the self-derived join
-    # resolves unambiguously
-    total = agg.agg(F.sum("_w").cast("long").alias("_W"))
-    joined = pfx.alias("p").crossJoin(F.broadcast(total.alias("t")))
+    w_loc = (
+        Window.partitionBy(c_bkt)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.col(c_off) + F.sum("_w").over(w_loc)).cast("long")
+    out = joined.withColumn("_cum", cum)
     sel = [
         F.min(
             F.when(
-                F.col("p._cum") >= F.lit(float(p)) * F.col("t._W"),
-                F.col(f"p.{value_col}"),
+                F.col("_cum") >= F.lit(float(p)) * F.col(c_total),
+                F.col(value_col),
             )
         ).alias(f"q{int(round(p * 100))}")
         for p in probs
     ]
-    return joined.agg(*sel)
+    return out.agg(*sel)

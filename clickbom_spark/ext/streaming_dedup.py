@@ -112,15 +112,14 @@ def admit_batch(
             stage1 = stage1.join(
                 drop2, stage1[id_col] == F.col("_rid"), "left_anti"
             )
-        # materialize the surviving id set while the cache is live, so
-        # the returned frame no longer references the cached pairs
-        survivor_ids = [r[0] for r in stage1.select(id_col).collect()]
-        spark = batch.sparkSession
-        ids = spark.createDataFrame(
-            [(i,) for i in survivor_ids],
-            batch.select(id_col).schema,
-        )
-        return batch.join(F.broadcast(ids), id_col, "left_semi")
+        # Truncate lineage while the cache is live so the returned
+        # frame no longer references the cached pairs.  localCheckpoint
+        # keeps the surviving id set DISTRIBUTED on executors — the
+        # backfill path replays arbitrarily large batches through this
+        # same function, so the ids must never be materialized on the
+        # driver.
+        ids = stage1.select(id_col).localCheckpoint(eager=True)
+        return batch.join(ids, id_col, "left_semi")
     finally:
         pairs.unpersist()
 
@@ -211,6 +210,13 @@ def streaming_matview_sink(
     already applied, so replay is exactly-once and a crash between the
     two commits self-heals — the view never double-counts a batch.
 
+    The view roll-forward is ONE atomic epoch-marked commit (a CDC
+    merge carrying U rows for surviving groups and D rows for groups
+    drained to zero).  A two-step upsert-then-delete would be
+    unrecoverable across a crash between the steps: on replay the
+    epoch mark is already set, the delete never runs, and zero-count
+    groups linger forever — violating the view law below.
+
     The maintained table is exactly ``sum_agg_of(data, group_cols,
     sum_cols)`` of the full data at every epoch boundary (law pinned in
     tests and by the q_stream_matview oracle).
@@ -247,27 +253,21 @@ def streaming_matview_sink(
             key_cols,
             sum_cols,
         ).localCheckpoint(eager=True)
-        view_lake.upsert(
-            rolled, group_cols, message=f"epoch-{e}", epoch=e
-        )
-        # groups drained to zero disappear from `rolled` but linger in
-        # the view lake (upsert never deletes); delete them explicitly
-        gone = (
-            view_lake.read()
-            .join(rolled.select(*group_cols), group_cols, "left_anti")
-            .select(*group_cols)
-            .collect()
-        )
-        if gone:
-            from pyspark.sql import functions as FF
+        from pyspark.sql import functions as FF
 
-            pred = None
-            for r in gone:
-                cond = None
-                for g in group_cols:
-                    c = FF.col(g) == r[g]
-                    cond = c if cond is None else (cond & c)
-                pred = cond if pred is None else (pred | cond)
-            view_lake.delete(pred)
+        # one snapshot carries upserts + deletes + the epoch mark:
+        # U rows replace surviving groups, D rows remove groups whose
+        # count drained to zero (they vanish from `rolled` but would
+        # otherwise linger — upsert alone never deletes).  No driver
+        # materialization: the drained set stays a DataFrame.
+        gone = view_lake.read().join(
+            rolled.select(*group_cols), group_cols, "left_anti"
+        )
+        cdc = rolled.withColumn("op", FF.lit("U")).unionByName(
+            gone.withColumn("op", FF.lit("D"))
+        )
+        view_lake.merge_cdc(
+            cdc, group_cols, message=f"epoch-{e}", epoch=e
+        )
 
     return body

@@ -43,7 +43,10 @@ def _mk_lakes(spark, tmp_path):
 
 def test_bucketed_lake_join_zero_exchange(spark, tmp_path):
     lo, ll = _mk_lakes(spark, tmp_path)
-    assert bucket_spec(lo) == {"col": "o_orderkey", "n": 8}
+    spec = bucket_spec(lo)
+    assert spec["col"] == "o_orderkey" and spec["n"] == 8
+    # the spec pins the exact bucketed file set it was created with
+    assert sorted(spec["files"]) == sorted(lo._manifest()["files"])
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -102,3 +105,33 @@ def test_bucketed_read_falls_back_after_cow_mutation(spark, tmp_path):
     assert lo.read(0).where(
         F.col("o_orderpriority") == "0-PATCHED"
     ).count() == 0
+
+def test_bucketed_spec_survives_mutation_and_vacuum_falls_back(
+    spark, tmp_path
+):
+    """The ADVICE scenario: COW mutation then vacuum(keep_last=1)
+    makes disk == live again, but the live files are plain parquet
+    rewrites WITHOUT the bucket-id layout — the fast path must stay
+    off (file-set equality alone was an insufficient gate; the spec's
+    pinned original file set is the correct one).  The spec itself
+    must survive the data commit (it is carried metadata, not dropped
+    by _commit)."""
+    lo, _ = _mk_lakes(spark, tmp_path)
+    n0 = lo.read().count()
+    lo.update(
+        F.col("o_orderkey") % 3 == 0,
+        {"o_orderpriority": F.lit("9-REWRITTEN")},
+    )
+    # spec survived the data commit...
+    spec = bucket_spec(lo)
+    assert spec is not None and spec["col"] == "o_orderkey"
+    lo.vacuum(keep_last=1)
+    # ...disk now equals live again, but bucketedness is gone:
+    # read_bucketed must take the manifest path and stay correct
+    df = read_bucketed(lo)
+    assert df.count() == n0
+    got = df.where(F.col("o_orderpriority") == "9-REWRITTEN").count()
+    want = lo.read().where(
+        F.col("o_orderpriority") == "9-REWRITTEN"
+    ).count()
+    assert got == want > 0

@@ -1025,3 +1025,107 @@ def test_three_writer_mixed_mutation_contention(spark, tmp_path):
     assert all(got[i] == -2.0 for i in range(100, 110))
     assert got[9000] == -3.0
     assert len(got) == 301
+
+def test_vacuum_preserves_live_projection_window(spark, tmp_path):
+    """vacuum must never reclaim a version a live projection still
+    rolls forward through: after add_projection -> mutations ->
+    vacuum(keep_last=1), read_projection still answers (and exactly);
+    refresh_projection re-bases built_at, RELEASING the old window so
+    the next vacuum reclaims it."""
+    from clickbom_spark.ext.manifest import (
+        add_projection,
+        read_projection,
+        refresh_projection,
+        sum_agg_of,
+    )
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 3).alias("cents"),
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "vp"), df, n_files=4)
+    add_projection(lake, "by_grp", ["id"], ["grp"], ["cents"])
+    built_at = lake._manifest()["projections"]["by_grp"]["built_at"]
+    lake.update(F.col("id") < 30, {"cents": F.lit(0).cast("long")})
+    lake.delete(F.col("id") >= 190)
+    lake.vacuum(keep_last=1)
+    # the projection's roll-forward window survived the vacuum
+    assert os.path.exists(
+        os.path.join(lake.path, "_manifests", f"v{built_at}.json")
+    )
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_cents"])
+        for r in read_projection(lake, "by_grp").collect()
+    }
+    want = {
+        r["grp"]: (r["n_rows"], r["sum_cents"])
+        for r in sum_agg_of(lake.read(), ["grp"], ["cents"]).collect()
+    }
+    assert got == want and want
+    # refresh re-bases built_at; vacuum can now reclaim the old window
+    refresh_projection(lake, "by_grp")
+    lake.vacuum(keep_last=1)
+    assert not os.path.exists(
+        os.path.join(lake.path, "_manifests", f"v{built_at}.json")
+    )
+    got2 = {
+        r["grp"]: (r["n_rows"], r["sum_cents"])
+        for r in read_projection(lake, "by_grp").collect()
+    }
+    assert got2 == want
+
+
+def test_read_projection_pins_requested_version(spark, tmp_path):
+    """read_projection(version=) serves the projection AT that
+    snapshot — the seam refresh_projection uses to close its TOCTOU
+    (a data commit landing mid-refresh must not drift the roll-forward
+    target past the recorded built_at)."""
+    from clickbom_spark.ext.manifest import (
+        add_projection,
+        read_projection,
+        sum_agg_of,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 2).alias("cents"),
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "pin"), df, n_files=2)
+    add_projection(lake, "by_grp", ["id"], ["grp"], ["cents"])
+    lake.update(F.col("id") < 10, {"cents": F.lit(1).cast("long")})
+    v1 = lake.current_version()
+    lake.update(F.col("id") >= 90, {"cents": F.lit(2).cast("long")})
+    # pinned read reflects v1, not CURRENT
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_cents"])
+        for r in read_projection(lake, "by_grp", version=v1).collect()
+    }
+    want = {
+        r["grp"]: (r["n_rows"], r["sum_cents"])
+        for r in sum_agg_of(lake.read(v1), ["grp"], ["cents"]).collect()
+    }
+    assert got == want
+    cur = {
+        r["grp"]: (r["n_rows"], r["sum_cents"])
+        for r in read_projection(lake, "by_grp").collect()
+    }
+    assert cur != got  # the later commit genuinely changed the answer
+
+
+def test_delete_and_ttl_retain_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE / ClickHouse TTL semantics: rows where the predicate
+    is NULL are retained — and retained regardless of file layout
+    (here the null-predicate row shares its file with truly-matching
+    rows, the layout that used to drop it)."""
+    from clickbom_spark.ext.manifest import apply_ttl
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0), (4, None), (5, 1.0)],
+        "id long, val double",
+    )
+    # one file: every null-val row co-lives with a matching row
+    lake = VersionedLake.create(spark, str(tmp_path / "nd"), df, n_files=1)
+    lake.delete(F.col("val") > 50.0)
+    assert {r["id"] for r in lake.read().collect()} == {1, 2, 4, 5}
+    apply_ttl(lake, F.col("val") < 5.0)
+    assert {r["id"] for r in lake.read().collect()} == {1, 2, 4}

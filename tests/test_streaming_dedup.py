@@ -188,3 +188,61 @@ def test_streaming_matview_handles_updates_retractions_and_replay(
     sink(b1, 1)
     assert data_lake.current_version() == dv
     assert view_lake.current_version() == vv
+
+def test_admit_batch_keeps_ids_off_the_driver(spark, tmp_path, monkeypatch):
+    """The backfill path replays arbitrarily large batches through
+    admit_batch, so the surviving-id set must stay distributed: no
+    DataFrame.collect() anywhere in the admission path (the lineage
+    decoupling is a localCheckpoint + semi-join, not a
+    collect-and-rebroadcast)."""
+    batch1, batch2 = _mk_docs()
+    template = spark.createDataFrame(batch1, _SCHEMA)
+    corpus, index = create_dedup_state(
+        spark, str(tmp_path / "corp"), str(tmp_path / "idx"), template
+    )
+    apply_neardup_batch(
+        corpus, index, spark.createDataFrame(batch1, _SCHEMA), epoch=0
+    )
+    import pyspark.sql
+
+    def boom(self):
+        raise AssertionError("admit_batch materialized rows on the driver")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", boom)
+    out = admit_batch(corpus, index, spark.createDataFrame(batch2, _SCHEMA))
+    monkeypatch.undo()
+    assert {r["doc_id"] for r in out.collect()} == {5, 6}
+
+
+def test_streaming_matview_rollforward_is_one_atomic_commit(spark, tmp_path):
+    """The view's upserts, drained-group deletes, and epoch mark must
+    land in ONE snapshot: a crash between a two-step upsert+delete
+    would leave the epoch marked but zero-count groups lingering
+    forever (replay skips the marked epoch).  Pinned by counting view
+    commits per epoch and checking the epoch mark sits on the same
+    snapshot that removed the drained group."""
+    from clickbom_spark.ext.manifest import VersionedLake, sum_agg_of
+    from clickbom_spark.ext.streaming_dedup import streaming_matview_sink
+
+    schema = "id long, grp string, cents long"
+    b0 = spark.createDataFrame([(1, "a", 100), (3, "b", 10)], schema)
+    # id=3 moves out of group b -> b drains to zero in epoch 1
+    b1 = spark.createDataFrame([(3, "a", 10)], schema)
+    empty = spark.createDataFrame([], schema)
+    data_lake = VersionedLake.create(spark, str(tmp_path / "d"), empty, n_files=1)
+    view_lake = VersionedLake.create(
+        spark, str(tmp_path / "v"), sum_agg_of(empty, ["grp"], ["cents"]), n_files=1
+    )
+    sink = streaming_matview_sink(data_lake, view_lake, ["id"], ["grp"], ["cents"])
+    sink(b0, 0)
+    v_before = view_lake.current_version()
+    sink(b1, 1)
+    # exactly ONE view commit for the whole epoch-1 roll-forward
+    assert view_lake.current_version() == v_before + 1
+    m = view_lake._manifest()
+    assert m["last_epoch"] == 1 and m["message"] == "epoch-1"
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_cents"])
+        for r in view_lake.read().collect()
+    }
+    assert got == {"a": (2, 110)}  # b is gone in the SAME snapshot
