@@ -31,6 +31,13 @@ CORE13 = [
     "q_tumbling_window_events", "q_window_rank_orders",
 ]
 
+# Round-6 expansion, frozen from round 7 on: core13 plus the three
+# queries that gained baseline numbers in BENCH_r06 — so future rounds
+# compare the wider set without re-doing added-query accounting.
+CORE16 = CORE13 + [
+    "q_hll_distinct", "q_triangle_count", "q_weighted_quantiles",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,23 +67,23 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    # Noise control for the frozen comparable subset: two extra timed
-    # passes over core13 so a per-query MIN can be reported next to the
-    # single-pass total — machine-load spikes (±30% observed) inflate
-    # individual passes, but the min across three is a stable
-    # lower-envelope estimate of the real cost.
-    core13_min_each = {n: timings[n] for n in CORE13 if n in timings}
+    # Noise control for the frozen comparable subsets: two extra timed
+    # passes over core16 (⊇ core13) so a per-query MIN can be reported
+    # next to the single-pass total — machine-load spikes (±30%
+    # observed) inflate individual passes, but the min across three is
+    # a stable lower-envelope estimate of the real cost.
+    min_each = {n: timings[n] for n in CORE16 if n in timings}
     for _ in range(2):
-        for name in CORE13:
-            if name not in core13_min_each:
+        for name in CORE16:
+            if name not in min_each:
                 continue
             t0 = time.perf_counter()
             try:
                 headline[name].fn(spark, sf_dir).collect()
             except Exception:
                 continue
-            core13_min_each[name] = min(
-                core13_min_each[name], round(time.perf_counter() - t0, 4)
+            min_each[name] = min(
+                min_each[name], round(time.perf_counter() - t0, 4)
             )
 
     total = round(sum(timings.values()), 4)
@@ -85,6 +92,7 @@ def main() -> None:
     # deflate the frozen metric (it would read as a speedup): report
     # null totals and flip the completeness flag instead.
     core13_complete = all(n in timings for n in CORE13)
+    core16_complete = all(n in timings for n in CORE16)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -97,9 +105,17 @@ def main() -> None:
             sum(timings[n] for n in CORE13), 4
         ) if core13_complete else None,
         "core13_min": round(
-            sum(core13_min_each.values()), 4
+            sum(min_each[n] for n in CORE13), 4
         ) if core13_complete else None,
         "core13_complete": core13_complete,
+        # frozen round-6 expansion (core13 + hll/triangle/weighted-q)
+        "core16_total": round(
+            sum(timings[n] for n in CORE16), 4
+        ) if core16_complete else None,
+        "core16_min": round(
+            sum(min_each.values()), 4
+        ) if core16_complete else None,
+        "core16_complete": core16_complete,
         # host load context (1/5/15-min averages), recorded so
         # cross-round comparisons can spot machine-contention inflation
         # without re-running archived trees (the r4→r5 +26% drift was

@@ -63,32 +63,60 @@ class CommitConflict(RuntimeError):
     orphans that ``vacuum`` collects)."""
 
 
-def _publish_exclusive(target: str, payload: dict) -> bool:
-    """Create ``target`` with the full payload iff it does not already
-    exist.  The content is written to a temp file first and transferred
-    with ``os.link`` — the link either installs the complete file or
-    fails with FileExistsError, so readers can never observe partial
-    JSON and two racing writers get exactly one winner (compare
-    conditional PUT with ``If-None-Match: *`` on an object store).
-    Returns True iff this writer won."""
-    tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
-    try:
-        os.link(tmp, target)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+class LocalFSStore:
+    """Default manifest store: local-filesystem conditional create.
+
+    ``put_if_absent`` writes the content to a temp file first and
+    transfers it with ``os.link`` — the link either installs the
+    complete file or fails with FileExistsError, so readers can never
+    observe partial JSON and two racing writers get exactly one
+    winner.  This is the same primitive object stores expose as
+    conditional PUT (S3 ``If-None-Match: *``, GCS
+    ``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *``) —
+    swap in a store that issues that request to run the lake against
+    an object store with no other code change (see docs/LAKE.md)."""
+
+    def put_if_absent(self, target: str, data: bytes) -> bool:
+        """Atomically create ``target`` with ``data`` iff absent.
+        Returns True iff this writer created it (won the race)."""
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+_DEFAULT_STORE = LocalFSStore()
+
+
+def _publish_exclusive(target: str, payload: dict, store=None) -> bool:
+    """Publish a manifest with compare-and-swap semantics: serialize
+    the payload and hand it to the store's ``put_if_absent`` — exactly
+    one of N racing writers returns True.  ``store`` defaults to the
+    local-filesystem implementation; anything exposing
+    ``put_if_absent(target, data) -> bool`` (e.g. an object-store
+    client doing a conditional PUT) plugs in."""
+    data = json.dumps(payload, indent=1, sort_keys=True).encode()
+    return (store or _DEFAULT_STORE).put_if_absent(target, data)
 
 
 class VersionedLake:
-    """Versioned parquet table rooted at ``path``."""
+    """Versioned parquet table rooted at ``path``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``store`` is the manifest CAS backend — anything exposing
+    ``put_if_absent(target, data) -> bool`` (default:
+    :class:`LocalFSStore`; an object-store client doing a conditional
+    PUT slots in for the 100 TB deployment)."""
+
+    def __init__(self, spark: SparkSession, path: str, store=None):
         self.spark = spark
         self.path = path
+        self.store = store
 
     # ---- snapshot bookkeeping ----
 
@@ -226,10 +254,13 @@ class VersionedLake:
                     "files": carried_b,
                 }
             if _publish_exclusive(
-                os.path.join(_mdir(self.path), f"v{v}.json"), payload
+                os.path.join(_mdir(self.path), f"v{v}.json"),
+                payload,
+                store=self.store,
             ):
                 break
-            # lost the version race: loop re-resolves and retries
+            # lost the version race (the conditional PUT found the key
+            # taken): loop re-resolves the live snapshot and retries
         self._write_current_hint(v)
         return v
 
@@ -258,7 +289,9 @@ class VersionedLake:
             payload["version"] = v
             payload["message"] = message
             if _publish_exclusive(
-                os.path.join(_mdir(self.path), f"v{v}.json"), payload
+                os.path.join(_mdir(self.path), f"v{v}.json"),
+                payload,
+                store=self.store,
             ):
                 break
         self._write_current_hint(v)
@@ -268,7 +301,12 @@ class VersionedLake:
 
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, df: DataFrame, n_files: int = 4
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        n_files: int = 4,
+        store=None,
     ) -> "VersionedLake":
         os.makedirs(_mdir(path), exist_ok=True)
         staged = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
@@ -283,7 +321,7 @@ class VersionedLake:
             elif os.path.isfile(src):
                 os.unlink(src)
         os.rmdir(staged)
-        lake = cls(spark, path)
+        lake = cls(spark, path, store=store)
         # an empty manifest dir resolves to version -1, so the first
         # commit lands as v0 with no bootstrap pointer needed
         lake._commit(files, df.count(), "create")

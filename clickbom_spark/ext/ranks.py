@@ -326,3 +326,96 @@ def exact_weighted_quantiles(
         for p in probs
     ]
     return out.agg(*sel)
+
+
+def exact_weighted_quantiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[float],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Per-group exact weighted quantiles (ClickHouse
+    ``quantileExactWeighted … GROUP BY``) with NO per-group
+    single-partition window over data rows.
+
+    The naive shape — ``Window.partitionBy(group)`` running sum — is
+    only scale-safe when groups are many and small; with FEW HEAVY
+    groups (flags, languages, sources: a handful of groups holding the
+    whole corpus) each group funnels through one task.  This uses the
+    same value-bucket machinery as :func:`exact_weighted_quantiles`,
+    with per-(group, bucket) offsets:
+
+    1. collapse to distinct (group, value) weights — one hash
+       aggregate with map-side combine, materialized once;
+    2. assign the value bucket (global boundaries: sharing cut points
+       across groups costs balance only, never correctness);
+    3. per-(group, bucket) sums roll into per-group cumulative
+       offsets and the group total W over the TINY offsets frame
+       (≤ groups × buckets rows; its window partitions by group over
+       ≤ ``_MAX_BUCKETS`` rows — O(buckets), not O(rows));
+    4. broadcast the offsets back; the data-row window partitions by
+       (group, bucket) — bounded splits even when one group holds
+       everything;
+    5. one conditional-min aggregate per group.
+
+    One row per group, one ``q{100p}`` column per prob.  Weights must
+    be integral and positive (rows with null/non-positive weight are
+    excluded, matching ClickHouse), so prefix sums are exact.
+    """
+    w = F.col(weight_col).cast("long")
+    agg = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & F.col(group_col).isNotNull()
+            & w.isNotNull()
+            & (w > 0)
+        )
+        .groupBy(group_col, value_col)
+        .agg(F.sum(w).alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    if num_buckets is None:
+        num_buckets = agg.sparkSession.sparkContext.defaultParallelism
+    num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
+    c_bkt, c_val, c_off, c_total = _temp_names(
+        agg, ["_bkt", "_val", "_off", "_total"]
+    )
+    bounds = _bucket_boundaries(agg, value_col, num_buckets)
+    bucketed = agg.withColumn(
+        c_bkt, _bucket_expr(F.col(value_col).cast("double"), bounds)
+    )
+    vals = bucketed.groupBy(group_col, c_bkt).agg(F.sum("_w").alias(c_val))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(c_bkt)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(group_col).orderBy(c_bkt).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = vals.select(
+        group_col,
+        F.col(c_bkt),
+        F.coalesce(F.sum(c_val).over(w_off), F.lit(0)).alias(c_off),
+        F.sum(c_val).over(w_tot).alias(c_total),
+    )
+    joined = bucketed.join(F.broadcast(offs), [group_col, c_bkt])
+    w_loc = (
+        Window.partitionBy(group_col, c_bkt)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.col(c_off) + F.sum("_w").over(w_loc)).cast("long")
+    out = joined.withColumn("_cum", cum)
+    sel = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.lit(float(p)) * F.col(c_total),
+                F.col(value_col),
+            )
+        ).alias(f"q{int(round(p * 100))}")
+        for p in probs
+    ]
+    return out.groupBy(group_col).agg(*sel)

@@ -152,46 +152,21 @@ SELECT g AS l_returnflag,
 FROM c GROUP BY g ORDER BY l_returnflag
 """,
     description="Per-group exact weighted quantiles (ClickHouse "
-    "quantileExactWeighted ... GROUP BY): collapse to distinct "
-    "(group, value) weights first (map-side combine), then a "
-    "PARTITIONED cumulative window — per-group windows scale out, "
-    "unlike a global order — and one conditional-min pass; integer "
-    "weights make every prefix sum exact.",
+    "quantileExactWeighted ... GROUP BY; "
+    "ext/ranks.exact_weighted_quantiles_by_group): distinct "
+    "(group, value) weights, value-bucketed per-group offsets, and a "
+    "(group, bucket)-partitioned cumulative window — scale-safe even "
+    "when a handful of groups hold the whole corpus, unlike a plain "
+    "per-group window; integer weights make every prefix sum exact.",
 )
 def q_weighted_quantiles_by_group(spark, sf_dir):
-    from pyspark.sql import Window
+    from clickbom_spark.ext.ranks import exact_weighted_quantiles_by_group
 
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    w = F.col("l_quantity").cast("long")
-    agg = (
-        lineitem.where(
-            F.col("l_extendedprice").isNotNull() & w.isNotNull() & (w > 0)
-        )
-        .groupBy(
-            F.col("l_returnflag").alias("g"),
-            F.col("l_extendedprice").alias("v"),
-        )
-        .agg(F.sum(w).alias("w"))
-    )
-    win = Window.partitionBy("g").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    win_all = Window.partitionBy("g")
-    c = agg.select(
-        "g",
-        "v",
-        F.sum("w").over(win).alias("cum"),
-        F.sum("w").over(win_all).alias("W"),
-    )
     return (
-        c.groupBy(F.col("g").alias("l_returnflag"))
-        .agg(
-            F.min(
-                F.when(F.col("cum") >= 0.5 * F.col("W"), F.col("v"))
-            ).alias("q50"),
-            F.min(
-                F.when(F.col("cum") >= 0.9 * F.col("W"), F.col("v"))
-            ).alias("q90"),
+        exact_weighted_quantiles_by_group(
+            lineitem, "l_returnflag", "l_extendedprice", "l_quantity",
+            [0.5, 0.9],
         )
         .orderBy("l_returnflag")
     )

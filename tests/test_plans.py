@@ -608,3 +608,19 @@ def test_time_weighted_avg_single_user_shuffle(spark):
     # window partition + agg reuse the same hash partitioning; the
     # orderBy adds one range exchange
     assert plan.count("Exchange") <= 3, plan
+
+def test_weighted_quantiles_by_group_no_per_group_data_window(spark):
+    """Per-group weighted quantiles must window data rows by
+    (group, value-bucket), never by group alone: with few heavy groups
+    a group-partitioned running sum funnels each group through one
+    task.  The only window without the bucket in its PARTITION spec is
+    the O(groups x buckets) offsets frame (identified by _val)."""
+    from clickbom_spark.queries import REGISTRY
+
+    plan = REGISTRY["q_weighted_quantiles_by_group"].fn(
+        spark, SF_CORRECT
+    )._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.split("\n") if "windowspecdefinition" in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "_bkt" in ln or "_val" in ln, ln
