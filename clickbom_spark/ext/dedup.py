@@ -585,6 +585,80 @@ def setsim_join_prefix(
     )
 
 
+def containment_join_prefix(
+    docs, id_col: str, tokens_col: str, threshold: float = 0.8
+):
+    """EXACT containment set-similarity self-join via prefix filtering:
+    pairs (a, b), a ≠ b, with ``|tokens_a ∩ tokens_b| / |tokens_a| >=
+    threshold`` — the ASYMMETRIC relation Jaccard misses (a short doc
+    wholly contained in a long one scores high containment but low
+    Jaccard), which is what sub-document / quote / boilerplate
+    detection in a training corpus needs.
+
+    Prefix bound (Chaudhuri et al. 2006 adapted to containment): if
+    c(a→b) >= t then a and b share a token among the first
+    ``|a| - ceil(t * |a|) + 1`` tokens of a's GLOBAL rarity order.
+    Only the probe side shrinks to its prefix; the indexed side posts
+    ALL tokens — but rarity ordering means probe prefixes are a's
+    RAREST tokens, whose posting lists are the corpus's shortest, so
+    candidates stay an equi-join on small postings, never all-pairs.
+    Every candidate is verified with the exact intersection.
+
+    Returns (id_a, id_b, containment) with containment >= threshold.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col(tokens_col)).alias("_w"),
+    )
+    vocab = (
+        toks.select(F.explode("_w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ranked = (
+        toks.select("_id", F.explode("_w").alias("tok"))
+        .join(vocab, "tok")
+        .groupBy("_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "tok"))).alias(
+                "ordered"
+            )
+        )
+        .select(
+            "_id",
+            F.transform("ordered", lambda s: s["tok"]).alias("w"),
+            F.size("ordered").alias("n"),
+        )
+    )
+    # same epsilon-nudged ceil as setsim_join_prefix: the bound may
+    # only lengthen the prefix (extra candidates), never drop pairs
+    plen = F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9)) + 1
+    probe = ranked.select(
+        F.col("_id").alias("id_a"), F.col("w").alias("w_a"),
+        F.col("n").alias("n_a"),
+        F.explode(F.slice("w", 1, plen)).alias("tok"),
+    )
+    index = ranked.select(
+        F.col("_id").alias("id_b"), F.col("w").alias("w_b"),
+        F.explode("w").alias("tok"),
+    )
+    cands = (
+        probe.join(index, "tok")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "w_a", "w_b", "n_a")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    c = F.size(F.array_intersect("w_a", "w_b")).cast("double") / F.col(
+        "n_a"
+    ).cast("double")
+    return (
+        cands.select("id_a", "id_b", c.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def duplicate_token_spans(
     docs: DataFrame,
     text_col: str = "text",

@@ -176,6 +176,44 @@ def reachable(
     return visited
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 64,
+) -> DataFrame:
+    """BFS to CONVERGENCE: (node, hop) with hop = exact minimum
+    distance from the seed set, iterating until the frontier drains
+    (``max_hops`` is a runaway backstop, not a semantic bound — unlike
+    :func:`reachable`, which answers a k-hop question).
+
+    Each round is one frontier-degree-bounded join + anti-join against
+    the visited set, checkpoint-truncated, so lineage stays flat over
+    an unknown diameter and work per round never exceeds
+    O(frontier out-degree) — the textbook distributed BFS.  The empty
+    check rides the same materialized frame the next round would join,
+    so convergence detection adds no extra pass.
+    """
+    visited = seeds.select(F.col("node")).distinct().withColumn(
+        "hop", F.lit(0)
+    )
+    frontier = visited.select("node").localCheckpoint(eager=True)
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges[src] == frontier["node"])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt.withColumn("hop", F.lit(hop)))
+        frontier = nxt
+    return visited
+
+
 def triangle_count(
     edges: DataFrame, src: str = "u", dst: str = "v"
 ) -> DataFrame:

@@ -150,7 +150,8 @@ class VersionedLake:
 
     def _files(self, version: int | None = None) -> list[str]:
         return [
-            os.path.join(self.path, f) for f in self._manifest(version)["files"]
+            os.path.normpath(os.path.join(self.path, f))
+            for f in self._manifest(version)["files"]
         ]
 
     def _commit(
@@ -334,7 +335,10 @@ class VersionedLake:
         :func:`add_column` surface with their default on files written
         before the evolution (mergeSchema + coalesce)."""
         m = self._manifest(version)
-        paths = [os.path.join(self.path, f) for f in m["files"]]
+        paths = [
+            os.path.normpath(os.path.join(self.path, f))
+            for f in m["files"]
+        ]
         extras = m.get("schema_extras", {})
         if not extras:
             return self.spark.read.parquet(*paths)
@@ -437,7 +441,8 @@ class VersionedLake:
 
         def attempt() -> int:
             base = self._manifest()
-            files = [os.path.join(self.path, f) for f in base["files"]]
+            files = [os.path.normpath(os.path.join(self.path, f))
+                     for f in base["files"]]
             df = self._read_files(files, version=base["version"])
             probe = (
                 df.withColumn("_f", F.input_file_name())
@@ -477,7 +482,8 @@ class VersionedLake:
 
         def attempt() -> int:
             base = self._manifest()
-            files = [os.path.join(self.path, f) for f in base["files"]]
+            files = [os.path.normpath(os.path.join(self.path, f))
+                     for f in base["files"]]
             df = self._read_files(files, version=base["version"])
             probe = (
                 df.withColumn("_f", F.input_file_name())
@@ -521,7 +527,8 @@ class VersionedLake:
 
         def attempt() -> int:
             base = self._manifest()
-            files = [os.path.join(self.path, f) for f in base["files"]]
+            files = [os.path.normpath(os.path.join(self.path, f))
+                     for f in base["files"]]
             lake = self._read_files(files, version=base["version"])
             probe = (
                 lake.withColumn("_f", F.input_file_name())
@@ -592,7 +599,8 @@ class VersionedLake:
 
         def attempt() -> int:
             base = self._manifest()
-            files = [os.path.join(self.path, f) for f in base["files"]]
+            files = [os.path.normpath(os.path.join(self.path, f))
+                     for f in base["files"]]
             lake = self._read_files(files, version=base["version"])
             cols = lake.columns
             probe = (
@@ -695,8 +703,8 @@ def change_feed(
     """
     old_files = set(lake._manifest(v_from)["files"])
     new_files = set(lake._manifest(v_to)["files"])
-    removed = sorted(os.path.join(lake.path, f) for f in old_files - new_files)
-    added = sorted(os.path.join(lake.path, f) for f in new_files - old_files)
+    removed = sorted(os.path.normpath(os.path.join(lake.path, f)) for f in old_files - new_files)
+    added = sorted(os.path.normpath(os.path.join(lake.path, f)) for f in new_files - old_files)
     if not removed and not added:
         # empty frame with the right schema
         base = lake.read(v_to)
@@ -837,6 +845,60 @@ def compact(lake: VersionedLake, target_files: int = 4) -> int:
     return lake._retry_mutation(attempt)
 
 
+def branch(lake: VersionedLake, path: str) -> VersionedLake:
+    """Zero-copy branch of the CURRENT snapshot — the Delta shallow
+    clone / lakeFS-branch operation: the branch's v0 manifest simply
+    REFERENCES the source's live data files (relative paths resolve
+    through the branch root), so branching is a metadata-only commit
+    regardless of table size.
+
+    Copy-on-write keeps the fork isolated both ways: mutations on the
+    branch rewrite only affected files INTO THE BRANCH directory
+    (untouched entries keep pointing at the source), and mutations on
+    the source publish new source files the branch never references.
+    ``vacuum`` on the branch cannot delete shared files (it only
+    removes files physically inside the branch root); vacuum on the
+    SOURCE can invalidate branches that still reference reclaimed
+    files — the same boundary Delta documents for shallow clones, so
+    vacuum the source only after branches are merged or dropped.
+    """
+    m = lake._manifest()
+    os.makedirs(_mdir(path), exist_ok=True)
+    br = VersionedLake(lake.spark, path, store=lake.store)
+    src_files = [
+        os.path.normpath(os.path.join(lake.path, f)) for f in m["files"]
+    ]
+    br._commit(
+        src_files,
+        m["n_rows"],
+        f"branch-of:{os.path.basename(lake.path)}@v{m['version']}",
+    )
+    return br
+
+
+def merge_branch(
+    src: VersionedLake, br: VersionedLake, key_cols: list[str]
+) -> int:
+    """Merge a branch's net changes back into its source as ONE CDC
+    commit: the branch's change feed from its branch point (v0, the
+    zero-copy snapshot) to its head collapses to last-state-per-key —
+    inserts/updates become I/U rows, deletes become D rows — and
+    :meth:`VersionedLake.merge_cdc` applies them atomically.  Reads
+    only the files the branch actually rewrote (CDF property), so
+    merge cost scales with the branch's divergence, not the table.
+
+    Keys must be unique per snapshot (the CDF pre/post pairing
+    contract).  Returns the source's new version."""
+    cf = change_feed(br, 0, br.current_version(), key_cols)
+    ops = cf.where(F.col("_change_type") != "update_pre").withColumn(
+        "op",
+        F.when(F.col("_change_type") == "delete", F.lit("D"))
+        .when(F.col("_change_type") == "insert", F.lit("I"))
+        .otherwise(F.lit("U")),
+    ).drop("_change_type")
+    return src.merge_cdc(ops, key_cols, message="merge-branch")
+
+
 def epoch_committed(lake: VersionedLake, epoch: int) -> bool:
     """Has this streaming epoch already been applied?
 
@@ -944,10 +1006,10 @@ def read_pruned(
             keep.append(f)  # no stats → cannot skip
         elif not (rng[1] < lo or rng[0] > hi):
             keep.append(f)
-    paths = [os.path.join(lake.path, f) for f in keep]
+    paths = [os.path.normpath(os.path.join(lake.path, f)) for f in keep]
     if not paths:
         # empty intersection: an empty frame with the table schema
-        all_paths = [os.path.join(lake.path, f) for f in files]
+        all_paths = [os.path.normpath(os.path.join(lake.path, f)) for f in files]
         return (
             lake.spark.read.parquet(*all_paths).where(F.lit(False)),
             len(files),
@@ -1059,7 +1121,7 @@ def read_pruned_point(
     files = m["files"]
     bl = m.get("blooms")
     if not bl:
-        paths = [os.path.join(lake.path, f) for f in files]
+        paths = [os.path.normpath(os.path.join(lake.path, f)) for f in files]
         return lake.spark.read.parquet(*paths), len(files), len(files)
     positions = _bloom_positions_py(value)
     keep = []
@@ -1077,13 +1139,13 @@ def read_pruned_point(
         if ok:
             keep.append(f)
     if not keep:
-        all_paths = [os.path.join(lake.path, f) for f in files]
+        all_paths = [os.path.normpath(os.path.join(lake.path, f)) for f in files]
         return (
             lake.spark.read.parquet(*all_paths).where(F.lit(False)),
             len(files),
             0,
         )
-    paths = [os.path.join(lake.path, f) for f in keep]
+    paths = [os.path.normpath(os.path.join(lake.path, f)) for f in keep]
     return lake.spark.read.parquet(*paths), len(files), len(keep)
 
 
@@ -1113,13 +1175,13 @@ def read_pruned_multi(
         if ok:
             keep.append(f)
     if not keep:
-        all_paths = [os.path.join(lake.path, f) for f in files]
+        all_paths = [os.path.normpath(os.path.join(lake.path, f)) for f in files]
         return (
             lake.spark.read.parquet(*all_paths).where(F.lit(False)),
             len(files),
             0,
         )
-    paths = [os.path.join(lake.path, f) for f in keep]
+    paths = [os.path.normpath(os.path.join(lake.path, f)) for f in keep]
     return lake.spark.read.parquet(*paths), len(files), len(keep)
 
 
@@ -1229,7 +1291,7 @@ def read_projection(
     if p is None:
         raise ValueError(f"no projection {name}")
     base = lake.spark.read.parquet(
-        *[os.path.join(lake.path, f) for f in p["files"]]
+        *[os.path.normpath(os.path.join(lake.path, f)) for f in p["files"]]
     )
     cur = m["version"]
     if p["built_at"] == cur:
@@ -1337,7 +1399,7 @@ def apply_ttl(lake: VersionedLake, predicate: Column) -> int:
 
     def attempt() -> int:
         base = lake._manifest()
-        files = [os.path.join(lake.path, f) for f in base["files"]]
+        files = [os.path.normpath(os.path.join(lake.path, f)) for f in base["files"]]
         df = lake._read_files(files, version=base["version"])
         probe = (
             df.withColumn("_f", F.input_file_name())

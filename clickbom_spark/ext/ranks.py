@@ -328,6 +328,83 @@ def exact_weighted_quantiles(
     return out.agg(*sel)
 
 
+def ks_2sample(
+    df: DataFrame,
+    value_col: str,
+    flag: "F.Column",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic, distributed-exact:
+    ``D = max_v |F_a(v) - F_b(v)|`` where ``flag`` (boolean Column)
+    splits rows into sample a (true) / b (false).
+
+    Scale shape: collapse to distinct values with per-side counts (one
+    hash aggregate, materialized once), then the SAME value-bucket
+    prefix machinery as :func:`exact_weighted_quantiles` — per-bucket
+    count sums roll into broadcast offsets, both ECDFs accumulate in a
+    bucket-partitioned window, and D is one max aggregate.  No global
+    sort, no single-partition window over data rows.
+
+    Exactness contract: cumulative counts are integers; each row's
+    ``|cum_a/n_a - cum_b/n_b|`` is one fixed IEEE expression, and max
+    is order-independent — so the statistic is bit-identical in any
+    engine (the SQL oracle recomputes it with a window over distinct
+    values).  One row out: ``d_stat``, ``n_a``, ``n_b``.
+    """
+    v = F.col(value_col)
+    src = df.where(v.isNotNull()).select(
+        v.alias("_v"),
+        F.when(flag, 1).otherwise(0).alias("_a"),
+        F.when(flag, 0).otherwise(1).alias("_b"),
+    )
+    agg = (
+        src.groupBy("_v")
+        .agg(F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb"))
+        .localCheckpoint(eager=True)
+    )
+    if num_buckets is None:
+        num_buckets = agg.sparkSession.sparkContext.defaultParallelism
+    num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
+    c_bkt, c_offa, c_offb = _temp_names(agg, ["_bkt", "_offa", "_offb"])
+    bounds = _bucket_boundaries(agg, "_v", num_buckets)
+    bucketed = agg.withColumn(
+        c_bkt, _bucket_expr(F.col("_v").cast("double"), bounds)
+    )
+    vals = bucketed.groupBy(c_bkt).agg(
+        F.sum("_ca").alias("_sa"), F.sum("_cb").alias("_sb")
+    )
+    w_off = Window.orderBy(c_bkt).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(c_bkt).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = vals.select(
+        F.col(c_bkt),
+        F.coalesce(F.sum("_sa").over(w_off), F.lit(0)).alias(c_offa),
+        F.coalesce(F.sum("_sb").over(w_off), F.lit(0)).alias(c_offb),
+        F.sum("_sa").over(w_all).alias("_na"),
+        F.sum("_sb").over(w_all).alias("_nb"),
+    )
+    joined = bucketed.join(F.broadcast(offs), c_bkt)
+    w_loc = (
+        Window.partitionBy(c_bkt)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_a = (F.col(c_offa) + F.sum("_ca").over(w_loc)).cast("double")
+    cum_b = (F.col(c_offb) + F.sum("_cb").over(w_loc)).cast("double")
+    gap = F.abs(
+        cum_a / F.col("_na").cast("double")
+        - cum_b / F.col("_nb").cast("double")
+    )
+    return joined.select(
+        gap.alias("_gap"), "_na", "_nb"
+    ).agg(
+        F.max("_gap").alias("d_stat"),
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+    )
+
+
 def exact_weighted_quantiles_by_group(
     df: DataFrame,
     group_col: str,

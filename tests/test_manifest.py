@@ -1224,3 +1224,42 @@ def test_lost_conditional_put_retries_and_converges(spark, tmp_path):
     assert store.lost == 2
     assert v == v0 + 1  # retried the SAME version until it stuck
     assert lake.read().where(F.col("val") == -1.0).count() == 5
+
+def test_branch_is_zero_copy_isolated_and_mergeable(spark, tmp_path):
+    """Git-for-data laws: (1) branching copies no data files; (2) the
+    branch reads the source snapshot exactly; (3) COW mutations on the
+    branch never touch source files and vice versa; (4) merge_branch
+    applies the branch's net delta to the source as one CDC commit."""
+    import glob
+
+    from clickbom_spark.ext.manifest import branch, merge_branch
+
+    lake = _mk(spark, tmp_path, n=300)
+    n_src_files = len(glob.glob(os.path.join(lake.path, "*.parquet")))
+    br = branch(lake, str(tmp_path / "feature"))
+    # (1) zero-copy: no parquet physically in the branch dir yet
+    assert glob.glob(os.path.join(br.path, "*.parquet")) == []
+    # (2) identical content at branch point
+    assert br.read().count() == 300
+    assert {r["id"] for r in br.read().collect()} == set(range(300))
+    # (3) isolation: branch mutates, source unchanged — and vice versa
+    br.update(F.col("id") < 10, {"val": F.lit(-5.0)})
+    br.delete(F.col("id") >= 295)
+    assert lake.read().where(F.col("val") < 0).count() == 0
+    assert lake.read().count() == 300
+    lake.update(F.col("id") == 100, {"val": F.lit(777.0)})
+    assert br.read().where(F.col("val") == 777.0).count() == 0
+    # source files untouched on disk beyond its own COW rewrites
+    assert len(glob.glob(os.path.join(lake.path, "*.parquet"))) >= n_src_files
+    # (4) merge back: source receives branch's net changes atomically
+    v = merge_branch(lake, br, ["id"])
+    assert v == lake.current_version()
+    got = {r["id"]: r["val"] for r in lake.read().collect()}
+    assert len(got) == 295
+    assert got[0] == -5.0 and got[9] == -5.0
+    assert 295 not in got and 299 not in got
+    # the source's own concurrent change survives if the branch never
+    # touched that key... the branch DID carry id=100 at old value?
+    # change_feed(0->head) only reads files the branch REWROTE; id=100
+    # lives in an untouched shared file, so the merge leaves it alone
+    assert got[100] == 777.0
