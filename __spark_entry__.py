@@ -79,6 +79,17 @@ def _status_rank() -> dict[str, int]:
 # STALEST greens (early TPC-H/OLAP rows last verified r2–r3).
 # Deliberately oracle-less queries (q_stream_neardup_filter) now park
 # BEHIND the green tier so they stop leaking a slot every round.
+#
+# clickbom_spark/queries/staged_r8.py holds the NEXT wave (13 queries,
+# already oracle-parity-green at sf0.001/sf0.01 — and sf0.1 for the
+# 11 whose oracle is not O(n²) — via tests/test_staged_r8_parity.py
+# and `python scripts/strict_parity.py --staged`, including under
+# SPARK_GRAFT_TZ / SPARK_GRAFT_PARTS variation).  Round 8 activates
+# with:
+#     from clickbom_spark.queries import staged_r8  # noqa: F401
+#     REGISTRY.update(staged_r8.STAGED_R8)
+# in queries/__init__.py; the disjointness guard in the r8 test file
+# flags any collision on promotion.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

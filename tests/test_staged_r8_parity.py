@@ -1,0 +1,60 @@
+"""Oracle parity for the STAGED round-8 wave — the exact driver
+comparison (row count, column names, order-insensitive exact values)
+over clickbom_spark.queries.staged_r8.STAGED_R8, which is held out of
+the live REGISTRY until round 9's activation flip."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickbom_spark.queries import REGISTRY
+from clickbom_spark.queries.staged_r8 import STAGED_R8
+from tests.conftest import SF_CORRECT
+from tests.test_parity import canon, run_oracle
+
+ORACLE_STAGED = sorted(n for n, s in STAGED_R8.items() if s.oracle)
+ROWS_ONLY_STAGED = sorted(n for n, s in STAGED_R8.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_STAGED)
+def test_staged_r8_oracle_parity(spark, name):
+    import pandas as pd
+
+    spec = STAGED_R8[name]
+    got = canon(spec.fn(spark, SF_CORRECT).toPandas())
+    want = canon(run_oracle(spec.oracle, SF_CORRECT))
+    assert list(got.columns) == list(want.columns), (
+        f"{name} columns: {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name} rows: {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_STAGED)
+def test_staged_r8_rows_only(spark, name):
+    df = STAGED_R8[name].fn(spark, SF_CORRECT)
+    assert df.count() >= 0
+    assert df.schema.fieldNames()
+
+
+def test_staged_r8_names_disjoint_from_registry():
+    overlap = set(STAGED_R8) & set(REGISTRY)
+    assert not overlap, f"r8 staged names collide with live registry: {overlap}"
+
+
+def test_staged_r8_activation_dry_run():
+    merged = dict(REGISTRY)
+    before = len(merged)
+    merged.update(STAGED_R8)
+    assert len(merged) == before + len(STAGED_R8)
+    for name, spec in merged.items():
+        assert callable(spec.fn), name
+        assert spec.oracle is None or isinstance(spec.oracle, str), name
+        assert spec.name == name
+
+
+def test_bfs_diameter_stays_below_oracle_recursion_bound(spark):
+    """The oracle's recursive CTE carries hop < 40 as a safety bound;
+    exactness requires the actual BFS to converge well under it."""
+    rows = STAGED_R8["q_bfs_distances"].fn(spark, SF_CORRECT).collect()
+    assert rows and max(r["hop"] for r in rows) < 39
