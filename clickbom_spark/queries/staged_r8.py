@@ -989,3 +989,72 @@ def q_weighted_sample_by_group(spark, sf_dir):
         "source", "doc_id", "n_chars", F.col("es_rank").cast("long")
         .alias("es_rank")
     ).orderBy("source", "es_rank")
+
+
+# ---------------------------------------------------------------------------
+# The lake consumed AS a streaming source (Spark 4 Python Data Source
+# API; streaming/lake_source.py): three append commits become three
+# micro-batches read executor-side, and the drained stream must equal
+# the relational whole — which is what the oracle computes.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_lake_stream_source",
+    oracle="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source ORDER BY source
+""",
+    description="The versioned lake as a first-class Structured "
+    "Streaming SOURCE (streaming/lake_source.LakeStreamDataSource, "
+    "Spark 4 Python Data Source API — the Delta streaming-source "
+    "analog): manifest versions are offsets, each append commit "
+    "becomes a micro-batch planned one input partition per added file "
+    "(parquet reads run on executors, never through the driver), "
+    "checkpointed offsets give exactly-once resumption (law pinned in "
+    "tests/test_lake_source.py).  Here the corpus lands in three "
+    "append commits, the stream drains availableNow, and the result "
+    "must equal the relational aggregate of the whole table.",
+)
+def q_lake_stream_source(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import VersionedLake
+    from clickbom_spark.queries.staged import _TMP
+    from clickbom_spark.streaming.lake_source import LakeStreamDataSource
+
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "n_chars")
+    path = os.path.join(_TMP, "docs_stream_lake")
+    shutil.rmtree(path, ignore_errors=True)
+    # three append commits: create + two fresh-key upserts
+    lake = VersionedLake.create(
+        spark, path, base.where(F.col("doc_id") % 3 == 0), n_files=2
+    )
+    lake.upsert(base.where(F.col("doc_id") % 3 == 1), ["doc_id"])
+    lake.upsert(base.where(F.col("doc_id") % 3 == 2), ["doc_id"])
+
+    spark.dataSource.register(LakeStreamDataSource)
+    view = f"lake_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("lake_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(view)
+        .option(
+            "checkpointLocation", os.path.join(_TMP, f"ck_{view}")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(view)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

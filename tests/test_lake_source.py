@@ -1,0 +1,104 @@
+"""Lake-as-streaming-source laws (streaming/lake_source.py): the
+versioned lake consumed through Spark's Python Data Source API —
+append commits become micro-batches (executor-side file reads),
+checkpointed offsets give exactly-once resumption, and non-append
+commits fail fast unless ignoreChanges opts into Delta-style
+rewritten-row redelivery."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from clickbom_spark.ext.manifest import VersionedLake
+from clickbom_spark.streaming.lake_source import LakeStreamDataSource
+
+_SCHEMA = "id long, grp long, val double"
+
+
+def _mk_lake(spark, tmp_path, n=60):
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 1.0).alias("val"),
+    )
+    return VersionedLake.create(spark, str(tmp_path / "slake"), df, n_files=2)
+
+
+def _drain(spark, path, checkpoint, **opts):
+    spark.dataSource.register(LakeStreamDataSource)
+    reader = spark.readStream.format("lake_stream").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    got: list[tuple] = []
+
+    def sink(batch_df, epoch_id):
+        got.extend(
+            (r["id"], r["grp"], r["val"]) for r in batch_df.collect()
+        )
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return got
+
+
+def test_append_commits_stream_exactly_once(spark, tmp_path):
+    lake = _mk_lake(spark, tmp_path)
+    # two append commits (upserts with entirely fresh keys rewrite no
+    # existing file — the append-only shape)
+    lake.upsert(
+        spark.createDataFrame([(100, 0, 1.0), (101, 1, 2.0)], _SCHEMA),
+        ["id"],
+    )
+    lake.upsert(spark.createDataFrame([(102, 2, 3.0)], _SCHEMA), ["id"])
+
+    ckpt = str(tmp_path / "ck1")
+    got = _drain(spark, lake.path, ckpt)
+    want = {(r["id"], r["grp"], r["val"]) for r in lake.read().collect()}
+    assert set(got) == want and len(got) == len(want) == 63
+
+    # resume from the SAME checkpoint: only the new commit's rows
+    lake.upsert(spark.createDataFrame([(103, 0, 4.0)], _SCHEMA), ["id"])
+    got2 = _drain(spark, lake.path, ckpt)
+    assert set(got2) == {(103, 0, 4.0)}
+
+    # a fresh checkpoint replays everything exactly once
+    got3 = _drain(spark, lake.path, str(tmp_path / "ck2"))
+    assert len(got3) == 64
+    assert set(got3) == {
+        (r["id"], r["grp"], r["val"]) for r in lake.read().collect()
+    }
+
+
+def test_non_append_commit_fails_fast_unless_ignore_changes(
+    spark, tmp_path
+):
+    lake = _mk_lake(spark, tmp_path)
+    ckpt = str(tmp_path / "ckA")
+    assert len(_drain(spark, lake.path, ckpt)) == 60
+    # a COW update removes files -> not expressible as an append stream
+    lake.update(F.col("id") < 5, {"val": F.lit(-1.0)})
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="append"):
+        _drain(spark, lake.path, ckpt)
+    # ignoreChanges: rewritten files' rows are redelivered (Delta's
+    # documented semantics — per-key idempotence is downstream's job)
+    got = _drain(spark, lake.path, ckpt, ignoreChanges="true")
+    ids = {t[0] for t in got}
+    assert {0, 1, 2, 3, 4} <= ids  # the rewritten rows reappear
+    assert all(t[2] == -1.0 for t in got if t[0] < 5)
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    lake = _mk_lake(spark, tmp_path)
+    lake.upsert(spark.createDataFrame([(200, 0, 9.0)], _SCHEMA), ["id"])
+    got = _drain(
+        spark, lake.path, str(tmp_path / "ckB"), startingVersion="1"
+    )
+    assert set(got) == {(200, 0, 9.0)}
