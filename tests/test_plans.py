@@ -624,3 +624,48 @@ def test_weighted_quantiles_by_group_no_per_group_data_window(spark):
     assert win_lines, plan
     for ln in win_lines:
         assert "_bkt" in ln or "_val" in ln, ln
+
+def _staged_r8_plan(spark, name: str) -> str:
+    from clickbom_spark.queries.staged_r8 import STAGED_R8
+
+    df = STAGED_R8[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_containment_join_is_posting_equi_join(spark):
+    """Candidate generation must be a hash equi-join on the prefix
+    token — never a cartesian product over the corpus."""
+    plan = _staged_r8_plan(spark, "q_containment_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_ks_test_no_global_data_window(spark):
+    """The KS ECDFs must accumulate in bucket-partitioned windows; the
+    only unpartitioned window is the O(buckets) offsets frame."""
+    plan = _staged_r8_plan(spark, "q_ks_test")
+    win_lines = [ln for ln in plan.split("\n") if "windowspecdefinition" in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "_bkt" in ln or "_sa" in ln or "_sb" in ln, ln
+
+
+def test_link_prediction_no_cartesian(spark):
+    """Common-neighbor generation must be the wedge equi-join on the
+    shared neighbor; the only tolerated nested loop is none."""
+    plan = _staged_r8_plan(spark, "q_link_prediction")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_anova_and_cuped_are_single_aggregate_plans(spark):
+    """The statistics queries collapse to hash aggregates — no joins,
+    no windows, no shuffle beyond the aggregate exchanges."""
+    for name in ("q_anova_f", "q_cuped_ab"):
+        plan = _staged_r8_plan(spark, name)
+        assert "windowspecdefinition" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
