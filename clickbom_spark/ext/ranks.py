@@ -405,6 +405,90 @@ def ks_2sample(
     )
 
 
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    flag: "F.Column",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Mann–Whitney U with exact midrank tie handling, distributed —
+    the ClickHouse ``mannWhitneyUTest`` rank computation without a
+    global sort.
+
+    Everything stays INTEGER until the caller's final z formula:
+    per distinct value v with side counts (c_a, c_b), the doubled
+    rank-sum contribution of sample a is
+    ``c_a · (2·cum_before(v) + c(v) + 1)`` (midranks scaled by 2), so
+    ``r1_x2 = Σ`` of those, ``u1_x2 = 2·n_a·n_b + n_a·(n_a+1) -
+    r1_x2``, and the tie-correction term ``Σ (t³ - t)`` accumulates
+    per distinct value — all exact longs, order-independent.  The
+    cumulative pooled count comes from the same value-bucket prefix
+    machinery as :func:`ks_2sample` (broadcast per-bucket offsets +
+    bucket-partitioned windows; no single-partition window over data
+    rows).
+
+    One row out: ``u1_x2, n_a, n_b, tie_term`` (longs).
+    """
+    v = F.col(value_col)
+    src = df.where(v.isNotNull()).select(
+        v.alias("_v"),
+        F.when(flag, 1).otherwise(0).alias("_a"),
+        F.when(flag, 0).otherwise(1).alias("_b"),
+    )
+    agg = (
+        src.groupBy("_v")
+        .agg(F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb"))
+        .localCheckpoint(eager=True)
+    )
+    if num_buckets is None:
+        num_buckets = agg.sparkSession.sparkContext.defaultParallelism
+    num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
+    c_bkt, c_off = _temp_names(agg, ["_bkt", "_off"])
+    bounds = _bucket_boundaries(agg, "_v", num_buckets)
+    bucketed = agg.withColumn(
+        c_bkt, _bucket_expr(F.col("_v").cast("double"), bounds)
+    )
+    vals = bucketed.groupBy(c_bkt).agg(
+        F.sum(F.col("_ca") + F.col("_cb")).alias("_s")
+    )
+    w_off = Window.orderBy(c_bkt).rowsBetween(Window.unboundedPreceding, -1)
+    offs = vals.select(
+        F.col(c_bkt),
+        F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias(c_off),
+    )
+    joined = bucketed.join(F.broadcast(offs), c_bkt)
+    w_loc = (
+        Window.partitionBy(c_bkt)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = F.col("_ca") + F.col("_cb")
+    cum_before = (
+        F.col(c_off) + F.coalesce(F.sum(c).over(w_loc), F.lit(0))
+    ).cast("long")
+    contrib = F.col("_ca") * (2 * cum_before + c + 1)
+    tie = c * c * c - c
+    stats = joined.select(
+        contrib.alias("_r1x2"),
+        tie.alias("_tie"),
+        F.col("_ca"),
+        F.col("_cb"),
+    ).agg(
+        F.sum("_r1x2").cast("long").alias("r1_x2"),
+        F.sum("_tie").cast("long").alias("tie_term"),
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+    )
+    u1_x2 = (
+        2 * F.col("n_a") * F.col("n_b")
+        + F.col("n_a") * (F.col("n_a") + 1)
+        - F.col("r1_x2")
+    )
+    return stats.select(
+        u1_x2.cast("long").alias("u1_x2"), "n_a", "n_b", "tie_term"
+    )
+
+
 def exact_weighted_quantiles_by_group(
     df: DataFrame,
     group_col: str,

@@ -1058,3 +1058,267 @@ def q_lake_stream_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test (ClickHouse welchTTest): click vs
+# purchase on integer cents — side moments in one pivoted hash
+# aggregate, then one fixed IEEE formula for t and the
+# Welch–Satterthwaite df.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_welch_ttest",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+), p AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT)
+      AS s1,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END)
+         AS BIGINT) AS ss1,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT)
+      AS s2,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN c * c ELSE 0 END)
+         AS BIGINT) AS ss2
+  FROM e
+), m AS (
+  SELECT n1, n2,
+         (CAST(ss1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS vn1,
+         (CAST(ss2 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE) AS vn2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mdiff
+  FROM p
+)
+SELECT n1, n2,
+       round(mdiff / sqrt(vn1 + vn2), 6) AS t_stat_r,
+       round((vn1 + vn2) * (vn1 + vn2)
+             / (vn1 * vn1 / CAST(n1 - 1 AS DOUBLE)
+                + vn2 * vn2 / CAST(n2 - 1 AS DOUBLE)), 6) AS df_r
+FROM m
+""",
+    description="Welch's unequal-variance t-test (ClickHouse "
+    "welchTTest analog) between click and purchase values: "
+    "integer-cent side moments from one pivoted hash aggregate, then "
+    "a single fixed IEEE expression for the t statistic and the "
+    "Welch-Satterthwaite degrees of freedom — bit-identical across "
+    "engines, no order-dependent double sums.",
+)
+def q_welch_ttest(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    is1 = F.col("event_type") == "click"
+    is2 = F.col("event_type") == "purchase"
+    p = events.where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    ).agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(is1, c).otherwise(F.lit(0))).alias("s1"),
+        F.sum(F.when(is1, c * c).otherwise(F.lit(0))).alias("ss1"),
+        F.sum(F.when(is2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is2, c).otherwise(F.lit(0))).alias("s2"),
+        F.sum(F.when(is2, c * c).otherwise(F.lit(0))).alias("ss2"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    vn1 = (
+        (d("ss1") - d("s1") * d("s1") / d("n1"))
+        / (F.col("n1") - 1).cast("double")
+        / d("n1")
+    )
+    vn2 = (
+        (d("ss2") - d("s2") * d("s2") / d("n2"))
+        / (F.col("n2") - 1).cast("double")
+        / d("n2")
+    )
+    mdiff = d("s1") / d("n1") - d("s2") / d("n2")
+    m = p.select("n1", "n2", vn1.alias("vn1"), vn2.alias("vn2"),
+                 mdiff.alias("mdiff"))
+    v1, v2 = F.col("vn1"), F.col("vn2")
+    return m.select(
+        "n1", "n2",
+        F.round(F.col("mdiff") / F.sqrt(v1 + v2), 6).alias("t_stat_r"),
+        F.round(
+            (v1 + v2) * (v1 + v2)
+            / (
+                v1 * v1 / (F.col("n1") - 1).cast("double")
+                + v2 * v2 / (F.col("n2") - 1).cast("double")
+            ),
+            6,
+        ).alias("df_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U with exact midrank tie handling (ClickHouse
+# mannWhitneyUTest): the rank computation rides the same value-bucket
+# prefix machinery as the KS test — integer doubled rank sums and the
+# tie-correction term, then one fixed z formula.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_mann_whitney",
+    oracle="""
+WITH v AS (
+  SELECT value AS x,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY value
+), r AS (
+  SELECT ca, cb, ca + cb AS c,
+         COALESCE(SUM(ca + cb) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before
+  FROM v
+), s AS (
+  SELECT CAST(SUM(ca * (2 * cum_before + c + 1)) AS BIGINT) AS r1_x2,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term,
+         CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM r
+), u AS (
+  SELECT CAST(2 * n_a * n_b + n_a * (n_a + 1) - r1_x2 AS BIGINT) AS u1_x2,
+         n_a, n_b, tie_term,
+         CAST(n_a + n_b AS BIGINT) AS n
+  FROM s
+)
+SELECT CAST(u1_x2 AS DOUBLE) / 2.0 AS u1,
+       n_a, n_b,
+       round((CAST(u1_x2 AS DOUBLE) / 2.0
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                    * (CAST(n + 1 AS DOUBLE)
+                       - CAST(tie_term AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))),
+             6) AS z_r
+FROM u
+""",
+    description="Mann-Whitney U test with exact midrank tie handling "
+    "(ClickHouse mannWhitneyUTest; ext/ranks.mann_whitney_u): doubled "
+    "rank sums and the tie-correction term accumulate as exact longs "
+    "over the same value-bucket prefix machinery as the KS test (no "
+    "global sort), then one fixed IEEE z formula with the standard "
+    "tie-corrected variance.",
+)
+def q_mann_whitney(spark, sf_dir):
+    from clickbom_spark.ext.ranks import mann_whitney_u
+
+    (events,) = load(spark, sf_dir, "events")
+    src = events.where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    u = mann_whitney_u(src, "value", F.col("event_type") == "click")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = (F.col("n_a") + F.col("n_b")).cast("long")
+    u1 = F.col("u1_x2").cast("double") / F.lit(2.0)
+    sigma = F.sqrt(
+        na * nb / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return u.select(
+        u1.alias("u1"),
+        "n_a",
+        "n_b",
+        F.round((u1 - na * nb / F.lit(2.0)) / sigma, 6).alias("z_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Counter increase / bounding ratio (PromQL increase(), ClickHouse
+# deltaSum + boundingRatio): per user, the sum of positive deltas of
+# the value series (exact integer cents) and the end-to-end rate over
+# the observed span.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_counter_increase",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         epoch_us(ts) AS t,
+         LAG(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_c,
+         FIRST_VALUE(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS first_c,
+         LAST_VALUE(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_c,
+         MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS t1
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev_c IS NOT NULL AND c > prev_c
+                THEN c - prev_c ELSE 0 END) AS BIGINT) AS increase_cents,
+       round(CAST(MAX(last_c) - MAX(first_c) AS DOUBLE)
+             / (CAST(MAX(t1) - MAX(t0) AS DOUBLE) / 1000000.0),
+             6) AS bounding_ratio_r
+FROM o GROUP BY user_id HAVING COUNT(*) > 1 ORDER BY user_id
+""",
+    description="Counter increase + bounding ratio per user series "
+    "(PromQL increase() / ClickHouse deltaSum + boundingRatio): sum "
+    "of positive deltas in exact integer cents via one LAG window, "
+    "end-to-end rate (last - first) / span from first/last-value "
+    "windows over the same (ts, event_id) order — single-event "
+    "series excluded (undefined span).",
+)
+def q_counter_increase(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+    t = epoch_us("ts")
+    o = events.where(F.col("value").isNotNull()).select(
+        "user_id",
+        c.alias("c"),
+        F.lag(c).over(w).alias("prev_c"),
+        F.first(c).over(w_all).alias("first_c"),
+        F.last(c).over(w_all).alias("last_c"),
+        F.min(t).over(w_all).alias("t0"),
+        F.max(t).over(w_all).alias("t1"),
+    )
+    inc = F.when(
+        F.col("prev_c").isNotNull() & (F.col("c") > F.col("prev_c")),
+        F.col("c") - F.col("prev_c"),
+    ).otherwise(F.lit(0))
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(inc).cast("long").alias("increase_cents"),
+            F.round(
+                (F.max("last_c") - F.max("first_c")).cast("double")
+                / ((F.max("t1") - F.max("t0")).cast("double")
+                   / F.lit(1000000.0)),
+                6,
+            ).alias("bounding_ratio_r"),
+        )
+        .where(F.col("n_events") > 1)
+        .orderBy("user_id")
+    )

@@ -162,3 +162,30 @@ def test_math_sanity_user_entropy_formula():
     for c in counts:
         chain += 0.0 if c == 0 else -(c / n) * math.log2(c / n)
     assert abs(chain - want) < 1e-15
+
+
+def test_mann_whitney_matches_python_reference(spark):
+    """Doubled rank sums with midrank ties vs a direct python
+    computation on data dense enough to force many ties."""
+    rng = random.Random(29)
+    a = [rng.randint(0, 30) * 1.0 for _ in range(250)]
+    b = [rng.randint(5, 40) * 1.0 for _ in range(180)]
+    rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+    from clickbom_spark.ext.ranks import mann_whitney_u
+
+    df = spark.createDataFrame(rows, "x double, side int").repartition(9)
+    got = mann_whitney_u(df, "x", F.col("side") == 1).collect()[0]
+    # reference: midranks over the pooled sample
+    pooled = sorted(a + b)
+    # rank of value v = average of positions of its occurrences (1-based)
+    first = {}
+    count = {}
+    for i, v in enumerate(pooled, 1):
+        first.setdefault(v, i)
+        count[v] = count.get(v, 0) + 1
+    r1 = sum(first[v] + (count[v] - 1) / 2 for v in a)
+    u1 = len(a) * len(b) + len(a) * (len(a) + 1) / 2 - r1
+    tie = sum(t**3 - t for t in count.values())
+    assert got["n_a"] == 250 and got["n_b"] == 180
+    assert got["u1_x2"] == int(round(2 * u1))
+    assert got["tie_term"] == tie
