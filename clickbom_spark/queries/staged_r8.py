@@ -1322,3 +1322,71 @@ def q_counter_increase(spark, sf_dir):
         .where(F.col("n_events") > 1)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end streaming pipeline: versioned lake → lake_stream source →
+# exactly-once epoch sink → second versioned lake.  Composes the
+# custom streaming source with the epoch-marked upsert sink; the
+# drained sink lake must equal the relational aggregate of the
+# original table, which is what the oracle computes.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_stream_pipeline_e2e",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    description="End-to-end streaming pipeline across two versioned "
+    "lakes: the source lake's append commits stream through the "
+    "lake_stream data source (offsets = manifest versions, "
+    "executor-side file reads) into streaming_epoch_sink's "
+    "exactly-once epoch-marked upserts on a SINK lake — replayed "
+    "epochs skip per-store, so the drained sink equals the source "
+    "exactly and the final aggregate matches the relational oracle.",
+)
+def q_stream_pipeline_e2e(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        streaming_epoch_sink,
+    )
+    from clickbom_spark.queries.staged import _TMP
+    from clickbom_spark.streaming.lake_source import LakeStreamDataSource
+
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", "n_chars")
+    tag = _uuid.uuid4().hex[:8]
+    src_path = os.path.join(_TMP, f"pipe_src_{tag}")
+    dst_path = os.path.join(_TMP, f"pipe_dst_{tag}")
+    src = VersionedLake.create(
+        spark, src_path, base.where(F.col("doc_id") % 2 == 0), n_files=2
+    )
+    src.upsert(base.where(F.col("doc_id") % 2 == 1), ["doc_id"])
+
+    dst = VersionedLake.create(
+        spark, dst_path, base.where(F.lit(False)), n_files=1
+    )
+    spark.dataSource.register(LakeStreamDataSource)
+    q = (
+        spark.readStream.format("lake_stream")
+        .option("path", src_path)
+        .load()
+        .writeStream.foreachBatch(streaming_epoch_sink(dst, ["doc_id"]))
+        .option("checkpointLocation", os.path.join(_TMP, f"pipe_ck_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        dst.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

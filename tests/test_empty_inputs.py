@@ -165,3 +165,52 @@ def test_hard_negatives_empty_and_single_label(spark):
     assert hard_negative_topk(one_label, one_label, k=3).count() == 0
     e = _empty(spark, "vec_id long, embedding array<double>, label int")
     assert hard_negative_topk(e, e, k=3).count() == 0
+
+
+def test_r8_rank_ops_empty(spark):
+    from clickbom_spark.ext.ranks import (
+        exact_weighted_quantiles_by_group,
+        ks_2sample,
+        mann_whitney_u,
+    )
+
+    e = _empty(spark, "x double, side int, g string, w long")
+    ks = ks_2sample(e, "x", F.col("side") == 1).collect()[0]
+    assert ks["d_stat"] is None  # max over zero rows
+    mw = mann_whitney_u(e, "x", F.col("side") == 1).collect()[0]
+    assert mw["n_a"] is None or mw["n_a"] == 0  # sum over zero rows
+    q = exact_weighted_quantiles_by_group(e, "g", "x", "w", [0.5])
+    assert q.count() == 0  # no groups, no rows
+
+
+def test_r8_containment_and_bfs_empty(spark):
+    from clickbom_spark.ext.dedup import containment_join_prefix
+    from clickbom_spark.ext.graph import bfs_distances
+
+    docs = _empty(spark, "doc_id long, w array<string>")
+    assert containment_join_prefix(docs, "doc_id", "w", 0.8).count() == 0
+    edges = _empty(spark, "src long, dst long")
+    seeds = spark.createDataFrame([(7,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_distances(edges, seeds).collect()}
+    assert got == {7: 0}  # seed is reachable at distance 0, nothing else
+
+
+def test_branch_of_empty_lake_and_empty_merge(spark, tmp_path):
+    """Branching an empty table and merging a no-op branch must both be
+    clean metadata operations."""
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        branch,
+        merge_branch,
+    )
+
+    lake = VersionedLake.create(
+        spark, str(tmp_path / "e"), _empty(spark, "id long, v double"),
+        n_files=1,
+    )
+    br = branch(lake, str(tmp_path / "eb"))
+    assert br.read().count() == 0
+    v0 = lake.current_version()
+    merge_branch(lake, br, ["id"])  # empty CDF -> no-op CDC commit
+    assert lake.read().count() == 0
+    assert lake.current_version() == v0 + 1  # the commit still lands
