@@ -845,6 +845,51 @@ def compact(lake: VersionedLake, target_files: int = 4) -> int:
     return lake._retry_mutation(attempt)
 
 
+def optimize_zorder(
+    lake: VersionedLake,
+    cols: list[str],
+    target_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """Delta ``OPTIMIZE … ZORDER BY`` as a lake snapshot: rewrite the
+    CURRENT file set clustered on the Morton interleave of ``cols``
+    (one range shuffle on the z-value → balanced files each owning a
+    tight z-interval, hence a bounded box in EVERY interleaved
+    dimension) and commit it as one ``optimize-zorder`` snapshot.
+
+    A logical no-op — the change feed across the commit is empty
+    (pinned by test) — but a physical accelerator: when the manifest
+    carries zone-map stats (:func:`commit_with_stats`), the incremental
+    stats maintenance in ``_commit`` recomputes per-file min/max for
+    the rewritten files automatically, so :func:`read_pruned` box
+    queries skip strictly more files afterwards (also pinned).  At
+    100 TB this is the periodic layout-maintenance job every
+    streaming-fed table needs; cost is one read + one range shuffle of
+    the live set, metadata updates ride the normal commit path.
+    """
+    from clickbom_spark.ext.layout import zvalue
+
+    def attempt() -> int:
+        base = lake._manifest()
+        df = lake.read(base["version"])
+        z = zvalue(df, [F.col(c) for c in cols], bits=bits)
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        new_files = lake._write_new(clustered)
+        return lake._commit(
+            new_files,
+            df.count(),
+            "optimize-zorder",
+            based_on=base["files"],
+        )
+
+    return lake._retry_mutation(attempt)
+
+
 def branch(lake: VersionedLake, path: str) -> VersionedLake:
     """Zero-copy branch of the CURRENT snapshot — the Delta shallow
     clone / lakeFS-branch operation: the branch's v0 manifest simply

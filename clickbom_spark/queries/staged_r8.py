@@ -1390,3 +1390,87 @@ def q_stream_pipeline_e2e(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER as a lake snapshot: correctness (box aggregate
+# unchanged — the oracle's ground truth) plus the physical laws the
+# engine itself checks (empty CDF; strictly better zone-map pruning),
+# surfaced as constant boolean columns the oracle asserts.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_lake_optimize",
+    oracle="""
+WITH g AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), b AS (
+  SELECT CAST(FLOOR(MAX(l_partkey) / 5) AS BIGINT) AS p_hi,
+         CAST(FLOOR(MAX(l_suppkey) / 5) AS BIGINT) AS s_hi
+  FROM g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_box,
+       CAST(SUM(qty) AS BIGINT) AS qty_box,
+       TRUE AS cdf_empty, TRUE AS pruning_improved
+FROM g, b WHERE l_partkey <= b.p_hi AND l_suppkey <= b.s_hi
+""",
+    description="Delta OPTIMIZE ZORDER analog as a lake snapshot "
+    "(ext/manifest.optimize_zorder + ext/layout Morton interleave): "
+    "rewrite the live set range-clustered on z(l_partkey, l_suppkey) "
+    "in ONE commit; the box aggregate is unchanged (oracle ground "
+    "truth), the change feed across the commit is empty, and "
+    "zone-map pruning strictly improves — the physical laws ride as "
+    "oracle-asserted constants.",
+)
+def q_lake_optimize(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        change_feed,
+        commit_with_stats,
+        optimize_zorder,
+        read_pruned,
+    )
+    from clickbom_spark.queries.staged import _TMP
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    # distinct (part, supplier) grain: a true row identity for the CDF
+    base = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    path = os.path.join(_TMP, f"zopt_{_uuid.uuid4().hex[:8]}")
+    lake = VersionedLake.create(
+        spark, path, base.repartition(8), n_files=8
+    )
+    commit_with_stats(lake, ["l_partkey", "l_suppkey"])
+    hi = base.agg(
+        F.floor(F.max("l_partkey") / 5).cast("long").alias("p"),
+        F.floor(F.max("l_suppkey") / 5).cast("long").alias("s"),
+    ).collect()[0]
+    p_hi, s_hi = int(hi["p"]), int(hi["s"])
+    _, _, kept0 = read_pruned(lake, "l_partkey", 0, p_hi)
+    v0 = lake.current_version()
+    v1 = optimize_zorder(lake, ["l_partkey", "l_suppkey"], target_files=8)
+    cdf_empty = (
+        change_feed(lake, v0, v1, ["l_partkey", "l_suppkey"])
+        .limit(1)
+        .count()
+        == 0
+    )
+    pruned, _, kept1 = read_pruned(lake, "l_partkey", 0, p_hi)
+    box = pruned.where(
+        (F.col("l_partkey") <= p_hi) & (F.col("l_suppkey") <= s_hi)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_box"),
+        F.sum("qty").cast("long").alias("qty_box"),
+    )
+    return box.select(
+        "n_box",
+        "qty_box",
+        F.lit(bool(cdf_empty)).alias("cdf_empty"),
+        F.lit(bool(kept1 < kept0)).alias("pruning_improved"),
+    )

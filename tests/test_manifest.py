@@ -1263,3 +1263,45 @@ def test_branch_is_zero_copy_isolated_and_mergeable(spark, tmp_path):
     # change_feed(0->head) only reads files the branch REWROTE; id=100
     # lives in an untouched shared file, so the merge leaves it alone
     assert got[100] == 777.0
+
+def test_optimize_zorder_is_logical_noop_and_improves_pruning(
+    spark, tmp_path
+):
+    """OPTIMIZE ZORDER: (1) the change feed across the commit is empty
+    (logical no-op); (2) with zone-map stats maintained, a 2-d box
+    query prunes strictly more files after clustering (shuffled input
+    gives every file full-range min/max -> nothing skips before)."""
+    import random
+
+    from clickbom_spark.ext.manifest import (
+        change_feed,
+        commit_with_stats,
+        optimize_zorder,
+        read_pruned,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(1000), rng.randrange(1000))
+            for i in range(4000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, a long, b long").repartition(8)
+    lake = VersionedLake.create(spark, str(tmp_path / "zl"), df, n_files=8)
+    commit_with_stats(lake, ["a", "b"])
+    _, total0, kept0 = read_pruned(lake, "a", 0, 99)
+    assert total0 == 8 and kept0 == 8  # shuffled layout: nothing skips
+
+    v_before = lake.current_version()
+    v = optimize_zorder(lake, ["a", "b"], target_files=8)
+    assert v == v_before + 1
+    assert lake._manifest()["message"] == "optimize-zorder"
+    # logical no-op: empty CDF across the optimize commit
+    assert change_feed(lake, v_before, v, ["id"]).count() == 0
+    # content identical
+    assert lake.read().count() == 4000
+    # stats were re-derived for the rewritten files by the incremental
+    # maintenance in _commit; the same box now skips most files
+    _, total1, kept1 = read_pruned(lake, "a", 0, 99)
+    assert total1 == 8 and kept1 < 8
+    got = lake.read().where(F.col("a") <= 99).count()
+    pruned_df, _, _ = read_pruned(lake, "a", 0, 99)
+    assert pruned_df.where(F.col("a") <= 99).count() == got
