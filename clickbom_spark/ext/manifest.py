@@ -203,6 +203,12 @@ class VersionedLake:
             }
             if prev and prev.get("schema_extras"):
                 payload["schema_extras"] = prev["schema_extras"]
+            if prev and prev.get("renames"):
+                # carried so old-generation files keep resolving; files
+                # written from now on carry the logical names physically
+                payload["renames"] = prev["renames"]
+            if prev and prev.get("drops"):
+                payload["drops"] = prev["drops"]
             if prev and prev.get("projections"):
                 # projections stay valid across data commits: built_at
                 # pins the data version the stored files reflect, and
@@ -339,10 +345,33 @@ class VersionedLake:
             os.path.normpath(os.path.join(self.path, f))
             for f in m["files"]
         ]
+        return self._load_under_schema(paths, m)
+
+    def _load_under_schema(self, paths, m: dict) -> DataFrame:
+        """Read ``paths`` under manifest ``m``'s LOGICAL schema: column
+        renames (oldest first; old/new physical names coalesce where
+        file generations mix), drops, then the add_column defaults /
+        MATERIALIZED expressions — all zero-rewrite metadata (the same
+        mechanism as Delta's column mapping, keyed by name instead of
+        field id because this lake never reuses a dropped name)."""
+        renames = m.get("renames", [])
+        drops = m.get("drops", [])
         extras = m.get("schema_extras", {})
-        if not extras:
+        if not (renames or drops or extras):
             return self.spark.read.parquet(*paths)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for r in renames:
+            src, dst = r["from"], r["to"]
+            if src in df.columns and dst in df.columns:
+                # mixed generations: post-rename files carry dst
+                df = df.withColumn(
+                    dst, F.coalesce(F.col(dst), F.col(src))
+                ).drop(src)
+            elif src in df.columns:
+                df = df.withColumnRenamed(src, dst)
+        for name in drops:
+            if name in df.columns:
+                df = df.drop(name)
         for name, default in extras.items():
             if isinstance(default, dict):
                 # MATERIALIZED expression column: ALWAYS derived from
@@ -360,26 +389,10 @@ class VersionedLake:
 
     def _read_files(self, paths, version: int | None = None) -> DataFrame:
         """Read specific data files under the CURRENT logical schema:
-        mergeSchema plus the add_column defaults, so mutation rewrites
-        preserve evolved columns physically for the files they write."""
-        extras = self._manifest(version).get("schema_extras", {})
-        if not extras:
-            return self.spark.read.parquet(*paths)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        for name, default in extras.items():
-            if isinstance(default, dict):
-                # MATERIALIZED expression column: ALWAYS derived from
-                # the row (ClickHouse semantics — cannot be stored or
-                # overridden), so mutations to source columns are
-                # reflected with no recompute bookkeeping
-                df = df.withColumn(name, F.expr(default["expr"]))
-            elif name in df.columns:
-                df = df.withColumn(
-                    name, F.coalesce(F.col(name), F.lit(default))
-                )
-            else:
-                df = df.withColumn(name, F.lit(default))
-        return df
+        mergeSchema plus renames/drops/add_column defaults, so mutation
+        rewrites write the logical schema physically for the files they
+        produce."""
+        return self._load_under_schema(paths, self._manifest(version))
 
     def history(self) -> list[dict]:
         out = []
@@ -1256,6 +1269,69 @@ def add_column(
         return payload
 
     return lake._commit_meta(mutate, f"add-column-{name}")
+
+
+def rename_column(lake: VersionedLake, old: str, new: str) -> int:
+    """ALTER TABLE … RENAME COLUMN without touching a single data file
+    — the Delta column-mapping semantics, recorded as an ordered
+    rename list in the manifest.  Old-generation files keep their
+    physical name and resolve through the mapping; files written by
+    later mutations carry the new name physically (they write through
+    the logical schema); mixed generations coalesce.  Time travel to a
+    pre-rename snapshot shows the old name (that manifest has no
+    mapping), and the change feed — which reads both sides under the
+    TARGET version's logical schema — carries the new name across the
+    rename boundary.
+
+    The old name must exist logically, the new one must not, and a
+    dropped name is never reused (name-keyed mapping stays
+    unambiguous without Delta's field ids)."""
+    cols = set(lake.read().columns)
+    if old not in cols:
+        raise ValueError(f"rename_column: no column {old}")
+    if new in cols:
+        raise ValueError(f"rename_column: column {new} already exists")
+
+    def mutate(payload: dict) -> dict:
+        dropped = payload.get("drops", [])
+        if new in dropped:
+            raise ValueError(
+                f"rename_column: {new} was previously dropped — "
+                "dropped names are never reused"
+            )
+        extras = dict(payload.get("schema_extras", {}))
+        if old in extras:
+            # an added/materialized column renames in metadata alone
+            extras[new] = extras.pop(old)
+            payload["schema_extras"] = extras
+        else:
+            payload["renames"] = [
+                *payload.get("renames", []), {"from": old, "to": new}
+            ]
+        return payload
+
+    return lake._commit_meta(mutate, f"rename-column-{old}-to-{new}")
+
+
+def drop_column(lake: VersionedLake, name: str) -> int:
+    """ALTER TABLE … DROP COLUMN, metadata-only: the column vanishes
+    from every logical read (including mutation rewrites, which write
+    the post-drop schema physically from then on); bytes in
+    old-generation files are reclaimed lazily as COW rewrites /
+    compaction touch them.  Dropped names are never reused."""
+    if name not in lake.read().columns:
+        raise ValueError(f"drop_column: no column {name}")
+
+    def mutate(payload: dict) -> dict:
+        extras = dict(payload.get("schema_extras", {}))
+        if name in extras:
+            extras.pop(name)
+            payload["schema_extras"] = extras
+        else:
+            payload["drops"] = [*payload.get("drops", []), name]
+        return payload
+
+    return lake._commit_meta(mutate, f"drop-column-{name}")
 
 
 # ---------------------------------------------------------------------------

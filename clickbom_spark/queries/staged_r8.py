@@ -1474,3 +1474,66 @@ def q_lake_optimize(spark, sf_dir):
         F.lit(bool(cdf_empty)).alias("cdf_empty"),
         F.lit(bool(kept1 < kept0)).alias("pruning_improved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column rename/drop as metadata-only schema evolution: old files
+# resolve through the manifest mapping, mutation rewrites carry the
+# logical schema physically, and the final table equals the oracle's
+# straightforwardly renamed view of the base relation.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_rename_drop_column",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN CAST(-1 AS BIGINT)
+              ELSE n_chars END AS char_count
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(char_count) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN char_count = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM t
+""",
+    description="Metadata-only column rename + drop (Delta "
+    "column-mapping semantics; ext/manifest.rename_column/"
+    "drop_column): n_chars renames to char_count and source drops "
+    "with ZERO file rewrites — old-generation files resolve through "
+    "the manifest mapping, the post-rename UPDATE writes the logical "
+    "schema physically (mixed generations coalesce), and the final "
+    "table equals the oracle's renamed view of the base relation.",
+)
+def q_rename_drop_column(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        drop_column,
+        rename_column,
+    )
+    from clickbom_spark.queries.staged import _TMP
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, f"renm_{_uuid.uuid4().hex[:8]}")
+    lake = VersionedLake.create(
+        spark,
+        path,
+        docs.select("doc_id", "source", "n_chars").repartitionByRange(
+            4, "doc_id"
+        ),
+        n_files=4,
+    )
+    rename_column(lake, "n_chars", "char_count")
+    drop_column(lake, "source")
+    # mutation AFTER the evolution: rewrites carry the logical schema
+    lake.update(F.col("doc_id") % 11 == 0, {"char_count": F.lit(-1)})
+    return lake.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("char_count").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("char_count") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )

@@ -1305,3 +1305,84 @@ def test_optimize_zorder_is_logical_noop_and_improves_pruning(
     got = lake.read().where(F.col("a") <= 99).count()
     pruned_df, _, _ = read_pruned(lake, "a", 0, 99)
     assert pruned_df.where(F.col("a") <= 99).count() == got
+
+def test_rename_and_drop_column_metadata_only(spark, tmp_path):
+    """Delta-column-mapping semantics with zero file rewrites: rename
+    resolves old-generation files through the manifest mapping, new
+    mutations write the logical name physically, mixed generations
+    coalesce, time travel shows the historical schema, CDF crosses the
+    rename under the target version's schema, dropped names vanish
+    everywhere and are never reused."""
+    import glob
+
+    import pytest
+
+    from clickbom_spark.ext.manifest import (
+        change_feed,
+        drop_column,
+        rename_column,
+    )
+
+    lake = _mk(spark, tmp_path, n=100)
+    files_before = set(glob.glob(os.path.join(lake.path, "*.parquet")))
+    v_pre = lake.current_version()
+    rename_column(lake, "val", "amount")
+    # zero-copy: no data file written by the rename
+    assert set(glob.glob(os.path.join(lake.path, "*.parquet"))) == files_before
+    assert "amount" in lake.read().columns and "val" not in lake.read().columns
+    assert lake.read().where(F.col("amount") == 7.0).count() == 1
+    # time travel: the pre-rename snapshot still shows the old name
+    assert "val" in lake.read(v_pre).columns
+
+    # a mutation after the rename: rewritten files carry `amount`
+    # physically, untouched files still resolve through the mapping
+    v_a = lake.current_version()
+    lake.update(F.col("id") < 10, {"amount": F.lit(-1.0)})
+    got = {r["id"]: r["amount"] for r in lake.read().collect()}
+    assert got[5] == -1.0 and got[50] == 50.0 and len(got) == 100
+    # CDF across the mutation (and the rename) speaks the new schema
+    cf = change_feed(lake, v_a, lake.current_version(), ["id"])
+    assert "amount" in cf.columns and "val" not in cf.columns
+    pre_rows = {r["id"] for r in cf.where(
+        F.col("_change_type") == "update_pre").collect()}
+    assert pre_rows == set(range(10))
+
+    # chained rename over mixed generations
+    rename_column(lake, "amount", "cents")
+    got2 = {r["id"]: r["cents"] for r in lake.read().collect()}
+    assert got2[5] == -1.0 and got2[50] == 50.0
+
+    # drop: gone logically everywhere, including mutation rewrites
+    drop_column(lake, "grp")
+    assert "grp" not in lake.read().columns
+    lake.update(F.col("id") == 20, {"cents": F.lit(99.0)})
+    assert "grp" not in lake.read().columns
+    assert lake.read().count() == 100
+    # dropped names are never reused as rename targets
+    with pytest.raises(ValueError, match="never reused"):
+        rename_column(lake, "cents", "grp")
+    # validation: unknown / duplicate names
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(lake, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(lake, "cents", "id")
+
+
+def test_rename_interacts_with_add_column_and_upsert(spark, tmp_path):
+    """Renaming a metadata-added column moves its default in
+    schema_extras; upserts after a rename write the logical schema."""
+    from clickbom_spark.ext.manifest import add_column, rename_column
+
+    lake = _mk(spark, tmp_path, n=50)
+    add_column(lake, "quality", 0.5)
+    rename_column(lake, "quality", "score")
+    assert lake.read().where(F.col("score") == 0.5).count() == 50
+    rename_column(lake, "val", "amount")
+    changes = spark.createDataFrame(
+        [(1000, 1, 42.0, 0.9)], "id long, grp long, amount double, score double"
+    )
+    lake.upsert(changes, ["id"])
+    got = {r["id"]: (r["amount"], r["score"])
+           for r in lake.read().collect()}
+    assert got[1000] == (42.0, 0.9)
+    assert got[3] == (3.0, 0.5)
