@@ -56,6 +56,11 @@ def _write_json_atomic(target: str, payload: dict) -> None:
     os.replace(tmp, target)
 
 
+class ConstraintViolation(ValueError):
+    """A write contained rows failing a table CHECK constraint; the
+    commit was refused and no snapshot was published."""
+
+
 class CommitConflict(RuntimeError):
     """Another writer published a snapshot between this mutation's
     snapshot read and its commit attempt; the mutation must re-run
@@ -209,6 +214,8 @@ class VersionedLake:
                 payload["renames"] = prev["renames"]
             if prev and prev.get("drops"):
                 payload["drops"] = prev["drops"]
+            if prev and prev.get("constraints"):
+                payload["constraints"] = prev["constraints"]
             if prev and prev.get("projections"):
                 # projections stay valid across data commits: built_at
                 # pins the data version the stored files reflect, and
@@ -413,7 +420,30 @@ class VersionedLake:
             for r in probe_rows
         ]
 
-    def _write_new(self, df: DataFrame) -> list[str]:
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Refuse rows that FAIL a table CHECK constraint (SQL CHECK
+        semantics: NULL passes, only FALSE violates — same as Delta).
+        Every mutation rewrite funnels through here, so a constraint
+        holds table-wide from the commit that added it onward."""
+        try:
+            constraints = self._manifest().get("constraints", {})
+        except (ValueError, FileNotFoundError):
+            return
+        for name, expr in constraints.items():
+            bad = (
+                df.where(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"CHECK constraint {name} ({expr}) violated — "
+                    "commit refused"
+                )
+
+    def _write_new(self, df: DataFrame, enforce: bool = True) -> list[str]:
+        if enforce:
+            self._check_constraints(df)
         staged = os.path.join(self.path, f"_stage-{uuid.uuid4().hex[:8]}")
         df.write.parquet(staged)
         out = []
@@ -850,7 +880,8 @@ def compact(lake: VersionedLake, target_files: int = 4) -> int:
     def attempt() -> int:
         base = lake._manifest()
         df = lake.read(base["version"])
-        new_files = lake._write_new(df.coalesce(target_files))
+        # layout-only rewrite of already-validated rows
+        new_files = lake._write_new(df.coalesce(target_files), enforce=False)
         return lake._commit(
             new_files, df.count(), "compact", based_on=base["files"]
         )
@@ -892,7 +923,8 @@ def optimize_zorder(
             .sortWithinPartitions("__z")
             .drop("__z")
         )
-        new_files = lake._write_new(clustered)
+        # layout-only rewrite of already-validated rows
+        new_files = lake._write_new(clustered, enforce=False)
         return lake._commit(
             new_files,
             df.count(),
@@ -1271,6 +1303,49 @@ def add_column(
     return lake._commit_meta(mutate, f"add-column-{name}")
 
 
+def add_constraint(lake: VersionedLake, name: str, expr: str) -> int:
+    """ALTER TABLE … ADD CONSTRAINT CHECK (``expr``): existing data is
+    validated first (the constraint must already hold — Delta's
+    contract), then the expression is recorded in the manifest and
+    every later mutation rewrite is checked before its commit
+    publishes (:meth:`VersionedLake._check_constraints`; SQL CHECK
+    semantics — NULL passes, FALSE refuses the whole commit).  Layout
+    commits (compact / optimize) skip the re-check: they rewrite
+    already-validated rows."""
+    bad = (
+        lake.read()
+        .where(~F.coalesce(F.expr(expr), F.lit(True)))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ConstraintViolation(
+            f"cannot add CHECK {name}: existing rows violate ({expr})"
+        )
+
+    def mutate(payload: dict) -> dict:
+        cons = dict(payload.get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name} already exists")
+        cons[name] = expr
+        payload["constraints"] = cons
+        return payload
+
+    return lake._commit_meta(mutate, f"add-constraint-{name}")
+
+
+def drop_constraint(lake: VersionedLake, name: str) -> int:
+    def mutate(payload: dict) -> dict:
+        cons = dict(payload.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no constraint {name}")
+        cons.pop(name)
+        payload["constraints"] = cons
+        return payload
+
+    return lake._commit_meta(mutate, f"drop-constraint-{name}")
+
+
 def rename_column(lake: VersionedLake, old: str, new: str) -> int:
     """ALTER TABLE … RENAME COLUMN without touching a single data file
     — the Delta column-mapping semantics, recorded as an ordered
@@ -1544,5 +1619,74 @@ def apply_ttl(lake: VersionedLake, predicate: Column) -> int:
         live = untouched + new_files
         n = lake.spark.read.parquet(*live).count() if live else 0
         return lake._commit(live, n, "ttl", based_on=base["files"])
+
+    return lake._retry_mutation(attempt)
+
+
+def apply_ttl_rollup(
+    lake: VersionedLake,
+    predicate: Column,
+    group_cols: list[str],
+    aggs: dict[str, str],
+) -> int:
+    """TTL with aggregation instead of deletion — the ClickHouse
+    ``TTL … GROUP BY … SET col = agg(col)`` semantics: rows past the
+    expiration predicate collapse to ONE row per ``group_cols`` group,
+    with every non-group column reduced by its declared aggregate
+    (``aggs``: column → ``"sum" | "min" | "max"``), in ONE snapshot
+    tagged ``ttl-rollup``.  Fresh rows are untouched; NULL-predicate
+    rows are retained verbatim (same three-valued semantics as
+    :func:`apply_ttl`).
+
+    Every table column must be a group column or carry an aggregate —
+    the rollup rows must fit the table schema exactly (they are
+    ordinary rows afterwards: time travel, CDF, and projections treat
+    the sweep as a delete+insert).  The COW probe rewrites only files
+    holding expired rows, so sweep cost follows the expired volume.
+    """
+    _AGGS = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = set(aggs.values()) - set(_AGGS)
+    if bad:
+        raise ValueError(f"apply_ttl_rollup: unknown aggs {sorted(bad)}")
+
+    def attempt() -> int:
+        base = lake._manifest()
+        files = [
+            os.path.normpath(os.path.join(lake.path, f))
+            for f in base["files"]
+        ]
+        df = lake._read_files(files, version=base["version"])
+        missing = set(df.columns) - set(group_cols) - set(aggs)
+        if missing:
+            raise ValueError(
+                "apply_ttl_rollup: columns need a group or an "
+                f"aggregate: {sorted(missing)}"
+            )
+        probe = (
+            df.withColumn("_f", F.input_file_name())
+            .where(predicate)
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        affected = set(lake._split_affected(probe))
+        untouched = [f for f in files if f not in affected]
+        new_files = []
+        if affected:
+            sub = lake._read_files(sorted(affected), version=base["version"])
+            expired_pred = F.coalesce(predicate, F.lit(False))
+            fresh = sub.where(~expired_pred)
+            rolled = (
+                sub.where(expired_pred)
+                .groupBy(*group_cols)
+                .agg(
+                    *[_AGGS[a](F.col(c)).alias(c) for c, a in aggs.items()]
+                )
+                .select(*sub.columns)
+            )
+            new_files = lake._write_new(fresh.unionByName(rolled))
+        live = untouched + new_files
+        n = lake.spark.read.parquet(*live).count() if live else 0
+        return lake._commit(live, n, "ttl-rollup", based_on=base["files"])
 
     return lake._retry_mutation(attempt)

@@ -1537,3 +1537,141 @@ def q_rename_drop_column(spark, sf_dir):
         .cast("long")
         .alias("n_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TTL GROUP BY rollup — expired rows aggregate instead of vanish (the
+# ClickHouse `TTL ... GROUP BY ... SET x = sum(x)` retention policy).
+# The oracle recomputes fresh ∪ per-group-rolled-expired directly.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_ttl_rollup",
+    oracle="""
+WITH src AS (
+  SELECT event_type,
+         CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), fresh AS (
+  SELECT * FROM src WHERE day >= 16
+), rolled AS (
+  SELECT event_type, CAST(MAX(day) AS BIGINT) AS day,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM src WHERE day < 16 GROUP BY event_type
+), u AS (
+  SELECT * FROM fresh UNION ALL SELECT * FROM rolled
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(MIN(day) AS BIGINT) AS min_day
+FROM u GROUP BY event_type ORDER BY event_type
+""",
+    description="TTL with aggregation (ClickHouse TTL ... GROUP BY "
+    "analog; ext/manifest.apply_ttl_rollup): rows older than the "
+    "cutoff collapse to one row per event_type (max day, summed "
+    "cents) in ONE ttl-rollup snapshot rewriting only files that held "
+    "expired rows; fresh rows untouched.  The post-sweep lake equals "
+    "the oracle's fresh-union-rolled recomputation.",
+)
+def q_ttl_rollup(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import VersionedLake, apply_ttl_rollup
+    from clickbom_spark.queries.staged import _TMP
+
+    (events,) = load(spark, sf_dir, "events")
+    src = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.dayofmonth("ts").cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    path = os.path.join(_TMP, f"ttlr_{_uuid.uuid4().hex[:8]}")
+    lake = VersionedLake.create(
+        spark, path, src.repartitionByRange(4, "day"), n_files=4
+    )
+    apply_ttl_rollup(
+        lake, F.col("day") < 16, ["event_type"],
+        {"day": "max", "cents": "sum"},
+    )
+    assert lake._manifest()["message"] == "ttl-rollup"
+    return (
+        lake.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.min("day").cast("long").alias("min_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints: a violating commit is REFUSED whole (no snapshot,
+# table unchanged), a compliant one lands — surfaced as
+# oracle-asserted constants beside the final aggregate ground truth.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_lake_constraints",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END
+           AS n_chars
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       TRUE AS violation_refused, TRUE AS table_unchanged_after_refusal
+FROM t
+""",
+    description="Delta-style CHECK constraints (ext/manifest."
+    "add_constraint): n_chars >= 0 is validated against existing data "
+    "at add time, a violating UPDATE is refused WHOLE (no snapshot "
+    "published, version unchanged — both surfaced as oracle-asserted "
+    "constants), and the compliant UPDATE lands; final table equals "
+    "the oracle's view with only the compliant edit applied.",
+)
+def q_lake_constraints(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import (
+        ConstraintViolation,
+        VersionedLake,
+        add_constraint,
+    )
+    from clickbom_spark.queries.staged import _TMP
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = os.path.join(_TMP, f"cons_{_uuid.uuid4().hex[:8]}")
+    lake = VersionedLake.create(
+        spark,
+        path,
+        docs.select("doc_id", "n_chars").repartitionByRange(4, "doc_id"),
+        n_files=4,
+    )
+    add_constraint(lake, "chars_nonneg", "n_chars >= 0")
+    v_before = lake.current_version()
+    refused = False
+    try:
+        lake.update(
+            F.col("doc_id") % 5 == 0,
+            {"n_chars": F.col("n_chars") - F.lit(10_000_000)},
+        )
+    except ConstraintViolation:
+        refused = True
+    unchanged = (
+        lake.current_version() == v_before
+        and lake.read().where(F.col("n_chars") < 0).limit(1).count() == 0
+    )
+    lake.update(
+        F.col("doc_id") % 7 == 0, {"n_chars": F.col("n_chars") + F.lit(5)}
+    )
+    return lake.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.lit(bool(refused)).alias("violation_refused"),
+        F.lit(bool(unchanged)).alias("table_unchanged_after_refusal"),
+    )

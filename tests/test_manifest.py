@@ -1386,3 +1386,92 @@ def test_rename_interacts_with_add_column_and_upsert(spark, tmp_path):
            for r in lake.read().collect()}
     assert got[1000] == (42.0, 0.9)
     assert got[3] == (3.0, 0.5)
+
+def test_check_constraints_enforced_on_every_mutation(spark, tmp_path):
+    """Delta-style CHECK constraints: adding validates existing data;
+    every later mutation that would write a violating row refuses the
+    whole commit (no snapshot published, table unchanged); NULL
+    evaluations PASS (SQL CHECK semantics); layout commits skip the
+    re-check but preserve the constraint."""
+    import pytest
+
+    from clickbom_spark.ext.manifest import (
+        ConstraintViolation,
+        add_constraint,
+        compact,
+        drop_constraint,
+    )
+
+    lake = _mk(spark, tmp_path, n=100)
+    add_constraint(lake, "val_nonneg", "val >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        add_constraint(lake, "val_nonneg", "val >= 0")
+    # a violating add is refused up front
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        add_constraint(lake, "val_small", "val < 50")
+
+    v = lake.current_version()
+    with pytest.raises(ConstraintViolation, match="val_nonneg"):
+        lake.update(F.col("id") < 10, {"val": F.lit(-5.0)})
+    assert lake.current_version() == v  # nothing published
+    assert lake.read().where(F.col("val") < 0).count() == 0
+
+    with pytest.raises(ConstraintViolation):
+        lake.upsert(
+            spark.createDataFrame([(500, 0, -1.0)],
+                                  "id long, grp long, val double"),
+            ["id"],
+        )
+    # NULL passes (SQL CHECK three-valued logic)
+    lake.upsert(
+        spark.createDataFrame([(501, 0, None)],
+                              "id long, grp long, val double"),
+        ["id"],
+    )
+    assert lake.read().count() == 101
+    # compliant mutation still flows
+    lake.update(F.col("id") == 1, {"val": F.lit(7.0)})
+    # layout commit skips the re-check but the constraint survives it
+    compact(lake, target_files=2)
+    with pytest.raises(ConstraintViolation):
+        lake.update(F.col("id") == 2, {"val": F.lit(-2.0)})
+    # dropped constraint stops enforcement
+    drop_constraint(lake, "val_nonneg")
+    lake.update(F.col("id") == 2, {"val": F.lit(-2.0)})
+    assert lake.read().where(F.col("val") == -2.0).count() == 1
+
+def test_apply_ttl_rollup_aggregates_expired_rows(spark, tmp_path):
+    """TTL GROUP BY: expired rows collapse to one row per group with
+    the declared aggregates; fresh rows untouched; NULL-predicate rows
+    retained verbatim; one ttl-rollup snapshot; schema preserved."""
+    import pytest
+
+    from clickbom_spark.ext.manifest import apply_ttl_rollup
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 20), ("a", 9, 1),
+        ("b", 1, 5), ("b", 3, 7), ("b", 8, 2),
+        ("c", None, 100),  # NULL day -> predicate NULL -> retained
+    ]
+    df = spark.createDataFrame(rows, "grp string, day int, cents long")
+    lake = VersionedLake.create(spark, str(tmp_path / "tr"), df, n_files=2)
+    with pytest.raises(ValueError, match="group or an aggregate"):
+        apply_ttl_rollup(lake, F.col("day") < 5, ["grp"], {"day": "max"})
+    v = apply_ttl_rollup(
+        lake, F.col("day") < 5, ["grp"], {"day": "max", "cents": "sum"}
+    )
+    assert v == lake.current_version()
+    assert lake._manifest()["message"] == "ttl-rollup"
+    got = {
+        (r["grp"], r["day"], r["cents"]) for r in lake.read().collect()
+    }
+    assert got == {
+        ("a", 2, 30),   # rolled: days 1,2 -> max day 2, cents 10+20
+        ("a", 9, 1),    # fresh
+        ("b", 3, 12),   # rolled: days 1,3 -> max day 3, cents 5+7
+        ("b", 8, 2),    # fresh
+        ("c", None, 100),  # NULL predicate retained verbatim
+    }
+    assert [f.name for f in lake.read().schema.fields] == [
+        "grp", "day", "cents"
+    ]
