@@ -963,6 +963,23 @@ def branch(lake: VersionedLake, path: str) -> VersionedLake:
         m["n_rows"],
         f"branch-of:{os.path.basename(lake.path)}@v{m['version']}",
     )
+    # The LOGICAL schema travels with the branch: renames/drops/
+    # added-column defaults and CHECK constraints are copied into the
+    # branch's manifest (they are path-independent).  Path-DEPENDENT
+    # metadata stays behind: projections (their files live under the
+    # source's _projections/), file stats/blooms (keyed by the
+    # source's relative names), and the bucket spec (its file pin
+    # can't match the branch's relative names, so read_bucketed
+    # correctly falls back to the manifest read).
+    carried = {
+        k: m[k]
+        for k in ("schema_extras", "renames", "drops", "constraints")
+        if m.get(k)
+    }
+    if carried:
+        br._commit_meta(
+            lambda p: {**p, **carried}, "branch-schema-carry"
+        )
     return br
 
 

@@ -1475,3 +1475,34 @@ def test_apply_ttl_rollup_aggregates_expired_rows(spark, tmp_path):
     assert [f.name for f in lake.read().schema.fields] == [
         "grp", "day", "cents"
     ]
+
+def test_branch_carries_logical_schema_and_constraints(spark, tmp_path):
+    """Branching an EVOLVED lake: renames/drops/added defaults and
+    CHECK constraints travel with the branch (path-independent
+    metadata); a violating branch write is refused just like on the
+    source; merge-back speaks the shared logical schema."""
+    import pytest
+
+    from clickbom_spark.ext.manifest import (
+        ConstraintViolation,
+        add_column,
+        add_constraint,
+        branch,
+        merge_branch,
+        rename_column,
+    )
+
+    lake = _mk(spark, tmp_path, n=80)
+    rename_column(lake, "val", "amount")
+    add_column(lake, "quality", 0.5)
+    add_constraint(lake, "amount_nonneg", "amount >= 0")
+    br = branch(lake, str(tmp_path / "feat"))
+    cols = set(br.read().columns)
+    assert cols == {"id", "grp", "amount", "quality"}
+    assert br.read().where(F.col("quality") == 0.5).count() == 80
+    with pytest.raises(ConstraintViolation):
+        br.update(F.col("id") < 5, {"amount": F.lit(-1.0)})
+    br.update(F.col("id") < 5, {"amount": F.lit(500.0)})
+    merge_branch(lake, br, ["id"])
+    got = {r["id"]: r["amount"] for r in lake.read().collect()}
+    assert got[0] == 500.0 and got[10] == 10.0
