@@ -504,6 +504,58 @@ def simhash_pairs(
     )
 
 
+def _rarity_ranked(docs, id_col: str, tokens_col: str):
+    """Shared scaffold of the prefix-filter joins: distinct tokens per
+    doc, global rarity order (document frequency asc, token asc), and
+    the ordered token array with its size — ``(_id, w, n)``."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col(tokens_col)).alias("_w"),
+    )
+    vocab = (
+        toks.select(F.explode("_w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        # vocab is vocabulary-sized (grows with the corpus) — no hard
+        # broadcast hint; AQE sizes the join
+        toks.select("_id", F.explode("_w").alias("tok"))
+        .join(vocab, "tok")
+        .groupBy("_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "tok"))
+            ).alias("ordered")
+        )
+        .select(
+            "_id",
+            F.transform("ordered", lambda s: s["tok"]).alias("w"),
+            F.size("ordered").alias("n"),
+        )
+    )
+
+
+def _prefix_len(threshold: float):
+    """prefix length = n - ceil(t*n) + 1.  ceil must not overshoot when
+    the double product t*n lands epsilon ABOVE an integer (e.g. a
+    threshold like 0.7 whose binary expansion rounds up): that would
+    shorten the prefix by one token and silently drop qualifying
+    pairs.  Nudging down by 1e-9 before the ceil keeps the bound
+    lossless for any threshold with more than 1e-9 slack — ceil may
+    then only land LOW, which lengthens the prefix (extra candidates,
+    never missed ones)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.col("n")
+        - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
+        + 1
+    )
+
+
 def setsim_join_prefix(
     docs, id_col: str, tokens_col: str, threshold: float = 0.5
 ):
@@ -523,42 +575,8 @@ def setsim_join_prefix(
     """
     from pyspark.sql import functions as F
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(F.col(tokens_col)).alias("_w"),
-    )
-    # Global rarity order: document frequency asc, token asc.
-    vocab = (
-        toks.select(F.explode("_w").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    ranked = (
-        # vocab is vocabulary-sized (grows with the corpus) — no hard
-        # broadcast hint; AQE sizes the join
-        toks.select("_id", F.explode("_w").alias("tok"))
-        .join(vocab, "tok")
-        .groupBy("_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("df", "tok"))
-            ).alias("ordered")
-        )
-        .select(
-            "_id",
-            F.transform("ordered", lambda s: s["tok"]).alias("w"),
-            F.size("ordered").alias("n"),
-        )
-    )
-    # prefix length = n - ceil(t*n) + 1.  ceil must not overshoot when
-    # the double product t*n lands epsilon ABOVE an integer (e.g. a
-    # threshold like 0.7 whose binary expansion rounds up): that would
-    # shorten the prefix by one token and silently drop qualifying
-    # pairs.  Nudging down by 1e-9 before the ceil keeps the bound
-    # lossless for any threshold with more than 1e-9 slack — ceil may
-    # then only land LOW, which lengthens the prefix (extra candidates,
-    # never missed ones).
-    plen = F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9)) + 1
+    ranked = _rarity_ranked(docs, id_col, tokens_col)
+    plen = _prefix_len(threshold)
     prefixes = ranked.select(
         "_id", "w", "n", F.explode(F.slice("w", 1, plen)).alias("ptok")
     )
@@ -608,33 +626,8 @@ def containment_join_prefix(
     """
     from pyspark.sql import functions as F
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(F.col(tokens_col)).alias("_w"),
-    )
-    vocab = (
-        toks.select(F.explode("_w").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    ranked = (
-        toks.select("_id", F.explode("_w").alias("tok"))
-        .join(vocab, "tok")
-        .groupBy("_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("df", "tok"))).alias(
-                "ordered"
-            )
-        )
-        .select(
-            "_id",
-            F.transform("ordered", lambda s: s["tok"]).alias("w"),
-            F.size("ordered").alias("n"),
-        )
-    )
-    # same epsilon-nudged ceil as setsim_join_prefix: the bound may
-    # only lengthen the prefix (extra candidates), never drop pairs
-    plen = F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9)) + 1
+    ranked = _rarity_ranked(docs, id_col, tokens_col)
+    plen = _prefix_len(threshold)
     probe = ranked.select(
         F.col("_id").alias("id_a"), F.col("w").alias("w_a"),
         F.col("n").alias("n_a"),

@@ -166,6 +166,8 @@ class VersionedLake:
         message: str,
         based_on: list[str] | None = None,
         epoch: int | None = None,
+        extra_meta: dict | None = None,
+        based_on_constraints: dict | None = None,
     ) -> int:
         """Publish a new snapshot.  The version race is resolved with
         the exclusive-create CAS (:func:`_publish_exclusive`): losing a
@@ -177,7 +179,11 @@ class VersionedLake:
         the whole mutation instead of committing a lost update.
         ``epoch`` records a streaming high-water mark in the manifest
         (carried forward by every later commit — see
-        :func:`epoch_committed`)."""
+        :func:`epoch_committed`).  ``extra_meta`` merges additional
+        payload sections into THIS commit atomically (used by
+        :func:`branch` so the carried schema/constraints publish with
+        the data snapshot, never in a separate commit a crash could
+        split off)."""
         rel = sorted(os.path.relpath(f, self.path) for f in files)
         while True:
             # incremental zone-map maintenance: if the PREVIOUS snapshot
@@ -199,6 +205,21 @@ class VersionedLake:
                     "since this mutation's read — re-run against the "
                     "current snapshot"
                 )
+            if (
+                based_on_constraints is not None
+                and prev is not None
+                and prev.get("constraints", {}) != based_on_constraints
+            ):
+                # a metadata-only add_constraint leaves the file list
+                # unchanged, so the based_on check alone would let a
+                # write validated against the OLD constraint set
+                # publish unchecked rows — surface it as a conflict so
+                # the mutation re-runs (and re-validates) instead
+                raise CommitConflict(
+                    f"{message}: the constraint set changed since this "
+                    "mutation's read — re-run against the current "
+                    "snapshot"
+                )
             v = (prev["version"] if prev else -1) + 1
             payload = {
                 "version": v,
@@ -216,6 +237,8 @@ class VersionedLake:
                 payload["drops"] = prev["drops"]
             if prev and prev.get("constraints"):
                 payload["constraints"] = prev["constraints"]
+            if extra_meta:
+                payload.update(extra_meta)
             if prev and prev.get("projections"):
                 # projections stay valid across data commits: built_at
                 # pins the data version the stored files reflect, and
@@ -420,30 +443,46 @@ class VersionedLake:
             for r in probe_rows
         ]
 
-    def _check_constraints(self, df: DataFrame) -> None:
+    def _check_constraints(self, df: DataFrame, constraints: dict) -> None:
         """Refuse rows that FAIL a table CHECK constraint (SQL CHECK
         semantics: NULL passes, only FALSE violates — same as Delta).
         Every mutation rewrite funnels through here, so a constraint
-        holds table-wide from the commit that added it onward."""
-        try:
-            constraints = self._manifest().get("constraints", {})
-        except (ValueError, FileNotFoundError):
-            return
-        for name, expr in constraints.items():
-            bad = (
-                df.where(~F.coalesce(F.expr(expr), F.lit(True)))
-                .limit(1)
-                .count()
-            )
-            if bad:
-                raise ConstraintViolation(
-                    f"CHECK constraint {name} ({expr}) violated — "
-                    "commit refused"
-                )
+        holds table-wide from the commit that added it onward.
 
-    def _write_new(self, df: DataFrame, enforce: bool = True) -> list[str]:
+        ``constraints`` is the set the MUTATION's snapshot read
+        carried — not a re-read of CURRENT — so what was validated is
+        exactly what the commit's conflict detection later compares
+        against (a constraint added concurrently surfaces as
+        CommitConflict, never as an unvalidated publish).  All
+        constraints fold into ONE pass (a single OR'd violation scan);
+        the per-constraint re-check runs only on the rare failure path
+        to name the violated constraint."""
+        if not constraints:
+            return
+        any_bad = None
+        for expr in constraints.values():
+            bad = ~F.coalesce(F.expr(expr), F.lit(True))
+            any_bad = bad if any_bad is None else (any_bad | bad)
+        if df.where(any_bad).limit(1).count():
+            for name, expr in constraints.items():
+                if (
+                    df.where(~F.coalesce(F.expr(expr), F.lit(True)))
+                    .limit(1)
+                    .count()
+                ):
+                    raise ConstraintViolation(
+                        f"CHECK constraint {name} ({expr}) violated — "
+                        "commit refused"
+                    )
+
+    def _write_new(
+        self, df: DataFrame, enforce: dict | None = None
+    ) -> list[str]:
+        """Stage ``df`` as new data files.  ``enforce`` is the CHECK
+        constraint set captured by the caller's snapshot read (None
+        for layout-only rewrites of already-validated rows)."""
         if enforce:
-            self._check_constraints(df)
+            self._check_constraints(df, enforce)
         staged = os.path.join(self.path, f"_stage-{uuid.uuid4().hex[:8]}")
         df.write.parquet(staged)
         out = []
@@ -506,10 +545,16 @@ class VersionedLake:
                     out = out.withColumn(
                         col, F.when(predicate, expr).otherwise(F.col(col))
                     )
-                new_files = self._write_new(out)
+                new_files = self._write_new(
+                    out, enforce=base.get("constraints", {})
+                )
             live = untouched + new_files
             n = self.spark.read.parquet(*live).count() if live else 0
-            return self._commit(live, n, "update", based_on=base["files"])
+            return self._commit(
+                live, n, "update",
+                based_on=base["files"],
+                based_on_constraints=base.get("constraints", {}),
+            )
 
         return self._retry_mutation(attempt)
 
@@ -543,11 +588,16 @@ class VersionedLake:
                     sorted(affected), version=base["version"]
                 )
                 new_files = self._write_new(
-                    sub.where(~F.coalesce(predicate, F.lit(False)))
+                    sub.where(~F.coalesce(predicate, F.lit(False))),
+                    enforce=base.get("constraints", {}),
                 )
             live = untouched + new_files
             n = self.spark.read.parquet(*live).count() if live else 0
-            return self._commit(live, n, "delete", based_on=base["files"])
+            return self._commit(
+                live, n, "delete",
+                based_on=base["files"],
+                based_on_constraints=base.get("constraints", {}),
+            )
 
         return self._retry_mutation(attempt)
 
@@ -594,7 +644,9 @@ class VersionedLake:
                 )
             else:
                 out = changes.select(*cols)
-            new_files = self._write_new(out)
+            new_files = self._write_new(
+                out, enforce=base.get("constraints", {})
+            )
             live = untouched + new_files
             return self._commit(
                 live,
@@ -602,6 +654,7 @@ class VersionedLake:
                 message,
                 based_on=base["files"],
                 epoch=epoch,
+                based_on_constraints=base.get("constraints", {}),
             )
 
         return self._retry_mutation(attempt)
@@ -667,7 +720,9 @@ class VersionedLake:
                 )
             else:
                 out = upserts
-            new_files = self._write_new(out)
+            new_files = self._write_new(
+                out, enforce=base.get("constraints", {})
+            )
             live = untouched + new_files
             return self._commit(
                 live,
@@ -675,6 +730,7 @@ class VersionedLake:
                 message,
                 based_on=base["files"],
                 epoch=epoch,
+                based_on_constraints=base.get("constraints", {}),
             )
 
         return self._retry_mutation(attempt)
@@ -881,7 +937,7 @@ def compact(lake: VersionedLake, target_files: int = 4) -> int:
         base = lake._manifest()
         df = lake.read(base["version"])
         # layout-only rewrite of already-validated rows
-        new_files = lake._write_new(df.coalesce(target_files), enforce=False)
+        new_files = lake._write_new(df.coalesce(target_files), enforce=None)
         return lake._commit(
             new_files, df.count(), "compact", based_on=base["files"]
         )
@@ -924,7 +980,7 @@ def optimize_zorder(
             .drop("__z")
         )
         # layout-only rewrite of already-validated rows
-        new_files = lake._write_new(clustered, enforce=False)
+        new_files = lake._write_new(clustered, enforce=None)
         return lake._commit(
             new_files,
             df.count(),
@@ -958,28 +1014,26 @@ def branch(lake: VersionedLake, path: str) -> VersionedLake:
     src_files = [
         os.path.normpath(os.path.join(lake.path, f)) for f in m["files"]
     ]
-    br._commit(
-        src_files,
-        m["n_rows"],
-        f"branch-of:{os.path.basename(lake.path)}@v{m['version']}",
-    )
-    # The LOGICAL schema travels with the branch: renames/drops/
-    # added-column defaults and CHECK constraints are copied into the
-    # branch's manifest (they are path-independent).  Path-DEPENDENT
-    # metadata stays behind: projections (their files live under the
-    # source's _projections/), file stats/blooms (keyed by the
-    # source's relative names), and the bucket spec (its file pin
-    # can't match the branch's relative names, so read_bucketed
-    # correctly falls back to the manifest read).
+    # The LOGICAL schema travels with the branch IN the same v0
+    # commit (a separate metadata commit would leave a crash window
+    # where the branch exists but silently lost its renames/drops/
+    # defaults/constraints): those sections are path-independent.
+    # Path-DEPENDENT metadata stays behind: projections (their files
+    # live under the source's _projections/), file stats/blooms
+    # (keyed by the source's relative names), and the bucket spec
+    # (its file pin can't match the branch's relative names, so
+    # read_bucketed correctly falls back to the manifest read).
     carried = {
         k: m[k]
         for k in ("schema_extras", "renames", "drops", "constraints")
         if m.get(k)
     }
-    if carried:
-        br._commit_meta(
-            lambda p: {**p, **carried}, "branch-schema-carry"
-        )
+    br._commit(
+        src_files,
+        m["n_rows"],
+        f"branch-of:{os.path.basename(lake.path)}@v{m['version']}",
+        extra_meta=carried or None,
+    )
     return br
 
 
@@ -1313,6 +1367,17 @@ def add_column(
         extras = dict(payload.get("schema_extras", {}))
         if name in extras:
             raise ValueError(f"column {name} already added")
+        used = set(payload.get("drops", [])) | {
+            r["from"] for r in payload.get("renames", [])
+        }
+        if name in used:
+            # old-generation files still carry this physical name; an
+            # added column would coalesce their stale bytes into the
+            # "new" column instead of the default
+            raise ValueError(
+                f"add_column: {name} was previously dropped or renamed "
+                "away — physical names are never reused"
+            )
         extras[name] = {"expr": default} if expr else default
         payload["schema_extras"] = extras
         return payload
@@ -1385,11 +1450,19 @@ def rename_column(lake: VersionedLake, old: str, new: str) -> int:
         raise ValueError(f"rename_column: column {new} already exists")
 
     def mutate(payload: dict) -> dict:
-        dropped = payload.get("drops", [])
-        if new in dropped:
+        # NO physical name is ever reused: not a dropped column (its
+        # bytes linger in old files) and not a renamed-AWAY source
+        # (old-generation files still carry it physically — reusing it
+        # as a target would make the name-keyed mapping ambiguous and
+        # merge ex-column data into the new one, or break mergeSchema
+        # outright on a type clash).
+        used = set(payload.get("drops", [])) | {
+            r["from"] for r in payload.get("renames", [])
+        }
+        if new in used:
             raise ValueError(
-                f"rename_column: {new} was previously dropped — "
-                "dropped names are never reused"
+                f"rename_column: {new} was previously dropped or "
+                "renamed away — physical names are never reused"
             )
         extras = dict(payload.get("schema_extras", {}))
         if old in extras:
@@ -1631,11 +1704,16 @@ def apply_ttl(lake: VersionedLake, predicate: Column) -> int:
             # file also held a truly-expired row, so the result is
             # layout-independent.
             new_files = lake._write_new(
-                sub.where(~F.coalesce(predicate, F.lit(False)))
+                sub.where(~F.coalesce(predicate, F.lit(False))),
+                enforce=base.get("constraints", {}),
             )
         live = untouched + new_files
         n = lake.spark.read.parquet(*live).count() if live else 0
-        return lake._commit(live, n, "ttl", based_on=base["files"])
+        return lake._commit(
+            live, n, "ttl",
+            based_on=base["files"],
+            based_on_constraints=base.get("constraints", {}),
+        )
 
     return lake._retry_mutation(attempt)
 
@@ -1665,6 +1743,12 @@ def apply_ttl_rollup(
     bad = set(aggs.values()) - set(_AGGS)
     if bad:
         raise ValueError(f"apply_ttl_rollup: unknown aggs {sorted(bad)}")
+    overlap = set(group_cols) & set(aggs)
+    if overlap:
+        raise ValueError(
+            "apply_ttl_rollup: columns cannot be both grouped and "
+            f"aggregated: {sorted(overlap)}"
+        )
 
     def attempt() -> int:
         base = lake._manifest()
@@ -1701,9 +1785,16 @@ def apply_ttl_rollup(
                 )
                 .select(*sub.columns)
             )
-            new_files = lake._write_new(fresh.unionByName(rolled))
+            new_files = lake._write_new(
+                fresh.unionByName(rolled),
+                enforce=base.get("constraints", {}),
+            )
         live = untouched + new_files
         n = lake.spark.read.parquet(*live).count() if live else 0
-        return lake._commit(live, n, "ttl-rollup", based_on=base["files"])
+        return lake._commit(
+            live, n, "ttl-rollup",
+            based_on=base["files"],
+            based_on_constraints=base.get("constraints", {}),
+        )
 
     return lake._retry_mutation(attempt)

@@ -787,7 +787,14 @@ def q_sliding_median(spark, sf_dir):
     even = (
         F.element_at(arr, half) + F.element_at(arr, half + 1)
     ) / F.lit(2.0)
-    med = F.when(s % 2 == 1, odd).otherwise(even)
+    # collect_list drops NULLs, so an all-NULL frame is empty: the
+    # oracle's windowed median returns NULL there, and element_at(_, 0)
+    # would be a runtime error — guard explicitly
+    med = (
+        F.when(s == 0, F.lit(None).cast("double"))
+        .when(s % 2 == 1, odd)
+        .otherwise(even)
+    )
     return events.select(
         "event_id", "user_id", F.round(med, 6).alias("med_r")
     ).orderBy("user_id", "event_id")
@@ -897,6 +904,8 @@ FROM merged GROUP BY source ORDER BY source
     "CDC commit on the source, reading only files the branch rewrote.",
 )
 def q_lake_branch(spark, sf_dir):
+    import uuid as _uuid
+
     from clickbom_spark.ext.manifest import (
         VersionedLake,
         branch,
@@ -905,8 +914,9 @@ def q_lake_branch(spark, sf_dir):
     from clickbom_spark.queries.staged import _TMP
 
     (docs,) = load(spark, sf_dir, "documents")
-    path = os.path.join(_TMP, "docs_branch_lake")
-    br_path = os.path.join(_TMP, "docs_branch_feature")
+    tag = _uuid.uuid4().hex[:8]
+    path = os.path.join(_TMP, f"docs_branch_lake_{tag}")
+    br_path = os.path.join(_TMP, f"docs_branch_feature_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(br_path, ignore_errors=True)
     lake = VersionedLake.create(
@@ -1025,7 +1035,7 @@ def q_lake_stream_source(spark, sf_dir):
 
     (docs,) = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", "source", "n_chars")
-    path = os.path.join(_TMP, "docs_stream_lake")
+    path = os.path.join(_TMP, f"docs_stream_lake_{_uuid.uuid4().hex[:8]}")
     shutil.rmtree(path, ignore_errors=True)
     # three append commits: create + two fresh-key upserts
     lake = VersionedLake.create(

@@ -68,9 +68,27 @@ def _current_version(path: str) -> int:
     return best
 
 
-def _manifest(path: str, v: int) -> dict:
-    with open(os.path.join(_mdir(path), f"v{v}.json")) as f:
-        return json.load(f)
+def _manifest(path: str, v: int) -> dict | None:
+    """Manifest ``v``, or None when that version has been vacuumed."""
+    try:
+        with open(os.path.join(_mdir(path), f"v{v}.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _earliest_version(path: str) -> int:
+    best = None
+    for name in os.listdir(_mdir(path)):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            best = v if best is None else min(best, v)
+    if best is None:
+        raise ValueError(f"no lake at {path}")
+    return best
 
 
 def _arrow_to_ddl(field) -> str:
@@ -123,9 +141,14 @@ class LakeStreamReader(DataSourceStreamReader):
         # offset = "consumed THROUGH version v"; start-1 means the
         # first batch begins at `startingVersion`
         self._initial = {"version": start - 1}
-        # field order fixed at plan time so executor-side reads emit
-        # tuples in schema order
-        self._fields = _schema_fields(self.path)
+        # The LOGICAL schema is fixed at plan time: field order plus
+        # the manifest's rename/drop/added-default metadata, so
+        # executor-side reads resolve each logical field against
+        # whatever PHYSICAL generation a file belongs to (pre-rename
+        # files carry old names; pre-add files lack the column).
+        self._fields, self._renames, self._defaults = _logical_schema(
+            self.path
+        )
 
     def initialOffset(self) -> dict:
         return self._initial
@@ -141,15 +164,24 @@ class LakeStreamReader(DataSourceStreamReader):
         partitions)."""
         added: list[str] = []
         prev: set | None = None
-        for v in range(max(v_from, -1) + 1, v_to + 1):
+        earliest = _earliest_version(self.path)
+        # versions below the earliest surviving manifest were vacuumed;
+        # their rows are already folded into the earliest snapshot, so
+        # the range clamps there and the first observable batch is that
+        # snapshot's full file list (Delta's initial-snapshot behavior)
+        for v in range(max(v_from + 1, earliest), v_to + 1):
             m = _manifest(self.path, v)
+            if m is None:
+                raise ValueError(
+                    f"lake_stream: snapshot v{v} was vacuumed away "
+                    "mid-range — restart the stream from a fresh "
+                    "checkpoint (it will begin at the earliest "
+                    "surviving snapshot)"
+                )
             cur = set(m["files"])
             if prev is None:
-                prev = (
-                    set(_manifest(self.path, v - 1)["files"])
-                    if v > 0
-                    else set()
-                )
+                pm = _manifest(self.path, v - 1) if v > 0 else None
+                prev = set(pm["files"]) if pm is not None else set()
             removed = prev - cur
             if removed and not self.ignore_changes:
                 raise ValueError(
@@ -178,29 +210,97 @@ class LakeStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.file_path)
-        cols = [table.column(name).to_pylist() for name, _ in self._fields]
+        present = set(table.schema.names)
+        n = table.num_rows
+        cols = []
+        for name, _ in self._fields:
+            phys = _resolve_physical(name, present, self._renames)
+            if phys is not None:
+                cols.append(table.column(phys).to_pylist())
+            else:
+                # pre-add generation: the manifest default (or None)
+                cols.append([self._defaults.get(name)] * n)
         return zip(*cols) if cols else iter(())
 
     def commit(self, end: dict) -> None:
         pass
 
 
-def _schema_fields(path: str) -> list[tuple[str, str]]:
-    """(name, ddl) per column, derived from the CURRENT snapshot's
-    first data file — the lake's physical schema."""
+def _resolve_physical(
+    logical: str, present: set, renames: list
+) -> str | None:
+    """The physical column name carrying ``logical`` in a file whose
+    schema is ``present``: walk the rename chain backwards (newest
+    mapping first) until a present name is found."""
+    name = logical
+    if name in present:
+        return name
+    for r in reversed(renames):
+        if r["to"] == name:
+            name = r["from"]
+            if name in present:
+                return name
+    return None
+
+
+def _logical_schema(path: str):
+    """The lake's LOGICAL schema: (fields, renames, defaults) where
+    fields is ordered (name, ddl), renames is the manifest's ordered
+    mapping, and defaults maps metadata-added columns to their
+    constant default.  Derived from the current manifest plus one
+    physical file's footer; MATERIALIZED expression columns cannot be
+    evaluated outside Spark and are refused up front."""
     import pyarrow.parquet as pq
 
     v = _current_version(path)
     if v < 0:
         raise ValueError(f"no lake at {path}")
-    files = _manifest(path, v)["files"]
-    if not files:
+    m = _manifest(path, v)
+    if m is None or not m["files"]:
         raise ValueError(
             f"lake at {path} has no data files to derive a schema from"
         )
-    first = os.path.normpath(os.path.join(path, files[0]))
+    first = os.path.normpath(os.path.join(path, m["files"][0]))
     schema = pq.read_schema(first)
-    return [(f.name, _arrow_to_ddl(f)) for f in schema]
+    renames = m.get("renames", [])
+    drops = set(m.get("drops", []))
+    extras = m.get("schema_extras", {})
+    rename_map = {r["from"]: r["to"] for r in renames}
+    fields: list[tuple[str, str]] = []
+    seen = set()
+    for f in schema:
+        logical = f.name
+        # follow the chain: a->b->c resolves a to c
+        while logical in rename_map:
+            logical = rename_map[logical]
+        if logical in drops or logical in seen:
+            continue
+        seen.add(logical)
+        fields.append((logical, _arrow_to_ddl(f)))
+    defaults = {}
+    for name, default in extras.items():
+        if isinstance(default, dict):
+            raise ValueError(
+                f"lake_stream: column {name} is a MATERIALIZED "
+                "expression — stream the base columns and derive it "
+                "in the query instead"
+            )
+        ddl = {
+            bool: "boolean", int: "bigint", float: "double", str: "string"
+        }.get(type(default))
+        if ddl is None:
+            raise ValueError(
+                f"lake_stream: unsupported default type for {name}"
+            )
+        if name not in seen:
+            fields.append((name, ddl))
+            seen.add(name)
+        defaults[name] = default
+    return fields, renames, defaults
+
+
+def _schema_fields(path: str) -> list[tuple[str, str]]:
+    return _logical_schema(path)[0]
 
 
 class LakeStreamDataSource(DataSource):

@@ -102,3 +102,57 @@ def test_starting_version_skips_history(spark, tmp_path):
         spark, lake.path, str(tmp_path / "ckB"), startingVersion="1"
     )
     assert set(got) == {(200, 0, 9.0)}
+
+
+def test_stream_speaks_logical_schema_across_evolution(spark, tmp_path):
+    """Schema evolution mid-stream: rename + add_column are
+    metadata-only commits (no files removed, so the append contract
+    holds); the stream serves the LOGICAL schema for every physical
+    generation — old files resolve through the rename chain, pre-add
+    files fill the manifest default."""
+    from clickbom_spark.ext.manifest import add_column, rename_column
+
+    lake = _mk_lake(spark, tmp_path, n=20)
+    rename_column(lake, "val", "amount")
+    add_column(lake, "quality", 0.5)
+    # post-evolution append physically carries the new schema
+    lake.upsert(
+        spark.createDataFrame(
+            [(100, 0, 9.0, 0.9)],
+            "id long, grp long, amount double, quality double",
+        ),
+        ["id"],
+    )
+    spark.dataSource.register(LakeStreamDataSource)
+    got = {}
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            got[r["id"]] = (r["amount"], r["quality"])
+
+    q = (
+        spark.readStream.format("lake_stream")
+        .option("path", lake.path)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cke"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(got) == 21
+    assert got[3] == (3.0, 0.5)     # old generation: renamed + default
+    assert got[100] == (9.0, 0.9)   # new generation: physical values
+
+
+def test_stream_over_vacuumed_history_starts_at_earliest(spark, tmp_path):
+    """Delta's initial-snapshot behavior: after vacuum(keep_last=1), a
+    FRESH stream begins at the earliest surviving snapshot (its full
+    file list is the first batch) instead of crashing on the missing
+    v0 manifest."""
+    lake = _mk_lake(spark, tmp_path, n=30)
+    lake.upsert(spark.createDataFrame([(200, 1, 2.0)], _SCHEMA), ["id"])
+    lake.vacuum(keep_last=1)
+    got = _drain(spark, lake.path, str(tmp_path / "ckv"))
+    assert len(got) == 31
+    assert {t[0] for t in got} == set(range(30)) | {200}

@@ -1457,6 +1457,11 @@ def test_apply_ttl_rollup_aggregates_expired_rows(spark, tmp_path):
     lake = VersionedLake.create(spark, str(tmp_path / "tr"), df, n_files=2)
     with pytest.raises(ValueError, match="group or an aggregate"):
         apply_ttl_rollup(lake, F.col("day") < 5, ["grp"], {"day": "max"})
+    with pytest.raises(ValueError, match="both grouped and aggregated"):
+        apply_ttl_rollup(
+            lake, F.col("day") < 5, ["grp"],
+            {"grp": "max", "day": "max", "cents": "sum"},
+        )
     v = apply_ttl_rollup(
         lake, F.col("day") < 5, ["grp"], {"day": "max", "cents": "sum"}
     )
@@ -1506,3 +1511,63 @@ def test_branch_carries_logical_schema_and_constraints(spark, tmp_path):
     merge_branch(lake, br, ["id"])
     got = {r["id"]: r["amount"] for r in lake.read().collect()}
     assert got[0] == 500.0 and got[10] == 10.0
+
+def test_concurrent_add_constraint_conflicts_in_flight_mutation(
+    spark, tmp_path
+):
+    """The race the file-list check alone misses: add_constraint is
+    metadata-only (identical file list), so a mutation that validated
+    against the OLD constraint set must be refused at COMMIT time via
+    the constraint-set comparison — then succeed or refuse correctly
+    on its re-run against the new set."""
+    import pytest
+
+    from clickbom_spark.ext.manifest import CommitConflict, add_constraint
+
+    lake = _mk(spark, tmp_path, n=40)
+    base = lake._manifest()  # the in-flight writer's snapshot read
+    # ... meanwhile another writer lands a constraint (same file list)
+    add_constraint(lake, "val_nonneg", "val >= 0")
+    files = [os.path.join(lake.path, f) for f in base["files"]]
+    with pytest.raises(CommitConflict, match="constraint set changed"):
+        lake._commit(
+            files, 40, "update",
+            based_on=base["files"],
+            based_on_constraints=base.get("constraints", {}),
+        )
+    # the retry loop re-runs the whole mutation against the new
+    # snapshot — a violating write is now refused by validation
+    from clickbom_spark.ext.manifest import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        lake.update(F.col("id") < 3, {"val": F.lit(-1.0)})
+    # and a compliant one lands
+    lake.update(F.col("id") < 3, {"val": F.lit(1.0)})
+    assert lake.read().where(F.col("val") == 1.0).count() == 3
+
+
+def test_physical_names_never_reused(spark, tmp_path):
+    """Renamed-away and dropped physical names are permanently
+    retired: reusing one as a rename target or added column would
+    resurrect stale bytes from old-generation files (or break
+    mergeSchema on a type clash)."""
+    import pytest
+
+    from clickbom_spark.ext.manifest import (
+        add_column,
+        drop_column,
+        rename_column,
+    )
+
+    lake = _mk(spark, tmp_path, n=30)
+    rename_column(lake, "val", "amount")
+    with pytest.raises(ValueError, match="never reused"):
+        rename_column(lake, "grp", "val")
+    with pytest.raises(ValueError, match="never reused"):
+        add_column(lake, "val", 0.0)
+    drop_column(lake, "grp")
+    with pytest.raises(ValueError, match="never reused"):
+        add_column(lake, "grp", 7)
+    # the table remains fully readable
+    assert set(lake.read().columns) == {"id", "amount"}
+    assert lake.read().count() == 30

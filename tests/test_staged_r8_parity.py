@@ -58,3 +58,32 @@ def test_bfs_diameter_stays_below_oracle_recursion_bound(spark):
     exactness requires the actual BFS to converge well under it."""
     rows = STAGED_R8["q_bfs_distances"].fn(spark, SF_CORRECT).collect()
     assert rows and max(r["hop"] for r in rows) < 39
+
+
+def test_sliding_median_null_values_match_oracle(spark, tmp_path):
+    """A user whose window frame holds only NULL values: collect_list
+    drops NULLs so the frame is EMPTY — the query must return NULL
+    (like DuckDB's windowed median), not crash on element_at(_, 0).
+    Latent in the driver corpora (zero NULL values there)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickbom_spark.queries.staged_r8 import STAGED_R8
+
+    rows = {
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00:0%d" % i for i in range(6)]
+        ),
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "event_type": ["view"] * 6,
+        "value": [None, None, 3.0, 1.0, None, 2.0],
+        "props": ["{}"] * 6,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    spec = STAGED_R8["q_sliding_median"]
+    got = canon(spec.fn(spark, str(tmp_path)).toPandas())
+    want = canon(run_oracle(spec.oracle, str(tmp_path)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
