@@ -80,9 +80,9 @@ def _status_rank() -> dict[str, int]:
 # Deliberately oracle-less queries (q_stream_neardup_filter) now park
 # BEHIND the green tier so they stop leaking a slot every round.
 #
-# clickbom_spark/queries/staged_r8.py holds the NEXT wave (22 queries,
+# clickbom_spark/queries/staged_r8.py holds the NEXT wave (23 queries,
 # already oracle-parity-green at sf0.001/sf0.01 — and sf0.1 for the
-# 20 whose oracle is not O(n²) — via tests/test_staged_r8_parity.py
+# 21 whose oracle is not O(n²) — via tests/test_staged_r8_parity.py
 # and `python scripts/strict_parity.py --staged`, including under
 # SPARK_GRAFT_TZ / SPARK_GRAFT_PARTS variation).  Round 8 activates
 # with:

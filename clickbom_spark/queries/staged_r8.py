@@ -1685,3 +1685,68 @@ def q_lake_constraints(spark, sf_dir):
         F.lit(bool(refused)).alias("violation_refused"),
         F.lit(bool(unchanged)).alias("table_unchanged_after_refusal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The ClickHouse dialect shim end-to-end: a query written in the
+# REFERENCE's SQL dialect (countIf / sumIf / uniqExact / argMax /
+# quantileExact(p)(x) / toStartOfDay / intDiv / PREWHERE) runs
+# unchanged through translate_clickhouse_sql; the oracle computes the
+# same semantics in ANSI SQL.
+# ---------------------------------------------------------------------------
+
+_CH_SQL = """
+SELECT event_type,
+       count() AS n,
+       countIf(value > 100) AS n_big,
+       round(sumIf(value, value > 100), 2) AS big_sum_r,
+       uniqExact(user_id) AS n_users,
+       argMax(user_id, ts) AS last_user,
+       round(quantileExact(0.5)(value), 6) AS med_r,
+       intDiv(count(), 10) AS n_div10
+FROM events
+PREWHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@staged(
+    "q_clickhouse_dialect",
+    oracle="""
+WITH e AS (SELECT * FROM events WHERE value IS NOT NULL)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_big,
+       round(SUM(CASE WHEN value > 100 THEN value END), 2) AS big_sum_r,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       arg_max(user_id, ts) AS last_user,
+       round(quantile_cont(value, 0.5), 6) AS med_r,
+       CAST(FLOOR(COUNT(*) / 10) AS BIGINT) AS n_div10
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+    description="The reference's OWN SQL dialect running unchanged "
+    "(clickbom_spark/dialect.translate_clickhouse_sql): countIf / "
+    "sumIf / uniqExact / argMax / quantileExact(p)(x) / count() / "
+    "intDiv / PREWHERE translate to Spark SQL through a quote- and "
+    "paren-aware rewriter (parametric aggregates parsed, argument "
+    "orders fixed, PREWHERE merged into WHERE); the oracle computes "
+    "identical semantics in ANSI SQL — so a ClickHouse user's query "
+    "text is a first-class input to this engine.",
+)
+def q_clickhouse_dialect(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_SQL, sf_dir)
+    # normalize integer-ish columns for the cross-engine hash
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_big").cast("long").alias("n_big"),
+        "big_sum_r",
+        F.col("n_users").cast("long").alias("n_users"),
+        "last_user",
+        "med_r",
+        F.col("n_div10").cast("long").alias("n_div10"),
+    )
