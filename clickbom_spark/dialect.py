@@ -219,6 +219,22 @@ _PLAIN = {
     "lengthutf8": lambda a: f"length({a[0]})",
     "lowerutf8": lambda a: f"lower({a[0]})",
     "upperutf8": lambda a: f"upper({a[0]})",
+    # array higher-order functions: ClickHouse puts the lambda FIRST,
+    # Spark puts the array first — the lambda syntax itself (x -> ...)
+    # is identical in both dialects
+    "arraymap": lambda a: f"transform({a[1]}, {a[0]})",
+    "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "arraycount": lambda a: (
+        f"size(filter({a[1]}, {a[0]}))" if len(a) == 2
+        else f"size(filter({a[0]}, x -> x IS NOT NULL AND x != 0))"
+    ),
+    "arrayexists": lambda a: f"exists({a[1]}, {a[0]})",
+    "arrayall": lambda a: f"forall({a[1]}, {a[0]})",
+    "arraysum": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    ),
+    "empty": lambda a: f"(size({a[0]}) = 0)",
+    "notempty": lambda a: f"(size({a[0]}) > 0)",
     "intdiv": lambda a: f"({a[0]} DIV {a[1]})",
     "modulo": lambda a: f"({a[0]} % {a[1]})",
     "plus": lambda a: f"({a[0]} + {a[1]})",

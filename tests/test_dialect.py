@@ -127,3 +127,28 @@ def test_unknown_functions_pass_through():
         "SELECT abs(value), concat(event_type, '!') FROM events"
     )
     assert "abs(value)" in out and "concat(event_type, '!')" in out
+
+
+def test_array_higher_order_functions_swap_argument_order(spark):
+    """ClickHouse puts the lambda first, Spark the array first; the
+    lambda syntax itself is shared."""
+    ch = (
+        "SELECT arrayMap(x -> x * 2, arrayFilter(x -> x > 1, "
+        "array(1, 2, 3))) AS a, "
+        "arraySum(array(1.5, 2.5)) AS s, "
+        "arrayCount(x -> x > 1, array(1, 2, 3)) AS c, "
+        "arrayExists(x -> x = 3, array(1, 2, 3)) AS e, "
+        "notEmpty(array(1)) AS ne"
+    )
+    native = (
+        "SELECT transform(filter(array(1, 2, 3), x -> x > 1), "
+        "x -> x * 2) AS a, "
+        "aggregate(array(1.5, 2.5), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) AS s, "
+        "size(filter(array(1, 2, 3), x -> x > 1)) AS c, "
+        "exists(array(1, 2, 3), x -> x = 3) AS e, "
+        "(size(array(1)) > 0) AS ne"
+    )
+    got = run_clickhouse_sql(spark, ch, SF_SMOKE).collect()
+    want = spark.sql(native).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
