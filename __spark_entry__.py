@@ -71,25 +71,20 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
-# ROUND-7 NOTE: BOTH staged waves are ACTIVATED (round-6 wave of 30 +
-# round-7 wave of 14; registry = 223).  The 14 r7 names plus the two
-# newly-oracle-bearing conversions (q_quantile_sketch,
-# q_compression_ratio — invariant-column oracles replacing their old
-# `no_oracle` rows) rank first; remaining budget rotates through the
-# STALEST greens (early TPC-H/OLAP rows last verified r2–r3).
-# Deliberately oracle-less queries (q_stream_neardup_filter) now park
-# BEHIND the green tier so they stop leaking a slot every round.
+# ROUND-8 NOTE: ALL THREE staged waves are ACTIVATED (r6 wave of 30 +
+# r7 wave of 14 + r8 wave of 23; registry = 246).  The 23 r8 names
+# rank first (never driver-checked); the remaining budget rotates
+# through the STALEST greens — the 25-query cohort last verified in
+# round 3 fills slots 24–48, with 2 slots spilling into the r4 cohort.
+# q_stream_neardup_filter gained a sequential-replay chained-CTE
+# oracle this round (see queries/engine_ops.py), so it falls through
+# the no-oracle park and re-verifies as a normal oracle-bearing query.
 #
-# clickbom_spark/queries/staged_r8.py holds the NEXT wave (23 queries,
-# already oracle-parity-green at sf0.001/sf0.01 — and sf0.1 for the
-# 21 whose oracle is not O(n²) — via tests/test_staged_r8_parity.py
-# and `python scripts/strict_parity.py --staged`, including under
-# SPARK_GRAFT_TZ / SPARK_GRAFT_PARTS variation).  Round 8 activates
-# with:
-#     from clickbom_spark.queries import staged_r8  # noqa: F401
-#     REGISTRY.update(staged_r8.STAGED_R8)
-# in queries/__init__.py; the disjointness guard in the r8 test file
-# flags any collision on promotion.
+# clickbom_spark/queries/staged_r9.py holds the NEXT wave (parity
+# proven via tests/test_staged_r9_parity.py and
+# `python scripts/strict_parity.py --staged-r9`).  Round 9 activates
+# with REGISTRY.update(staged_r9.STAGED_R9) in queries/__init__.py;
+# the disjointness guard in the r9 test file flags any collision.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

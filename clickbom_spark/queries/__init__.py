@@ -129,3 +129,11 @@ REGISTRY.update(staged.STAGED)
 from clickbom_spark.queries import staged_r7  # noqa: E402,F401
 
 REGISTRY.update(staged_r7.STAGED_R7)
+
+# Round-8 activation of the third staged wave (23 queries, all
+# oracle-parity-green at sf0.001/sf0.01 — and sf0.1 for the 21 whose
+# oracle is not O(n²) — under tests/test_staged_r8_parity.py before
+# promotion; disjointness from the existing registry is guarded there).
+from clickbom_spark.queries import staged_r8  # noqa: E402,F401
+
+REGISTRY.update(staged_r8.STAGED_R8)

@@ -1,7 +1,10 @@
-"""Oracle parity for the STAGED round-8 wave — the exact driver
-comparison (row count, column names, order-insensitive exact values)
-over clickbom_spark.queries.staged_r8.STAGED_R8, which is held out of
-the live REGISTRY until round 9's activation flip."""
+"""Oracle parity for the round-8 wave.  ACTIVATED in round 8 via the
+activation switch (queries/__init__.py:
+``REGISTRY.update(staged_r8.STAGED_R8)``), so these queries are now
+also covered by tests/test_parity.py; this file keeps the direct
+parity sweep (it predates activation and pins the wave at three scale
+factors via scripts/strict_parity.py) plus the activation
+invariants."""
 
 from __future__ import annotations
 
@@ -37,17 +40,14 @@ def test_staged_r8_rows_only(spark, name):
     assert df.schema.fieldNames()
 
 
-def test_staged_r8_names_disjoint_from_registry():
-    overlap = set(STAGED_R8) & set(REGISTRY)
-    assert not overlap, f"r8 staged names collide with live registry: {overlap}"
-
-
-def test_staged_r8_activation_dry_run():
-    merged = dict(REGISTRY)
-    before = len(merged)
-    merged.update(STAGED_R8)
-    assert len(merged) == before + len(STAGED_R8)
-    for name, spec in merged.items():
+def test_staged_r8_activated_identically():
+    """Every staged r8 spec is in the live registry as the SAME
+    object — activation was REGISTRY.update(STAGED_R8), not a re-wrap."""
+    missing = set(STAGED_R8) - set(REGISTRY)
+    assert not missing, f"r8 staged queries not activated: {missing}"
+    for name, spec in STAGED_R8.items():
+        assert REGISTRY[name] is spec, f"{name} was shadowed on activation"
+    for name, spec in REGISTRY.items():
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
         assert spec.name == name
