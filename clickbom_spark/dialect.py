@@ -38,10 +38,19 @@ clear error rather than silently mis-translating):
 - arithmetic: ``intDiv``→DIV, ``modulo``→%, ``plus``→+, ``minus``→-
 - clauses: ``PREWHERE``→WHERE (merged with AND when both appear) —
   PREWHERE is a storage-pushdown hint; Catalyst's pushdown makes the
-  distinction moot on Spark.  ``FINAL``, ``SAMPLE`` and ``LIMIT n BY``
-  have no faithful one-line equivalent and fail fast with pointers to
-  the engine's operators (keep-latest compaction, hash sampling,
-  topk-per-group).
+  distinction moot on Spark.  ``LIMIT n BY cols``→row_number window
+  over the query's ORDER BY.  ``ARRAY JOIN expr AS alias`` (and
+  ``LEFT ARRAY JOIN``)→LATERAL VIEW [OUTER] explode.  ``FROM tbl
+  FINAL``→keep-latest-per-key subquery (max_by(struct(*), version))
+  using the table's registered ReplacingMergeTree-style key — see
+  :func:`register_final_keys`; FINAL on an unregistered table fails
+  fast, because faithful FINAL semantics REQUIRE the engine ORDER BY
+  key and version column, which live in DDL, not in the query.
+  ``SAMPLE`` still fails fast (ClickHouse SAMPLE depends on the
+  declared sampling key — use deterministic hash sampling,
+  q_hash_sample).  All clause detection runs on the quote-aware
+  token stream, so keywords inside string literals or as substrings
+  of longer identifiers never trigger.
 
 Reference basis: the public ClickHouse SQL reference for source
 semantics and the public Spark SQL function library for targets.
@@ -51,7 +60,11 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["translate_clickhouse_sql", "run_clickhouse_sql"]
+__all__ = [
+    "translate_clickhouse_sql",
+    "run_clickhouse_sql",
+    "register_final_keys",
+]
 
 
 class UnsupportedClickHouseSQL(ValueError):
@@ -194,7 +207,13 @@ _PLAIN = {
     "tostartofhour": _trunc("HOUR"),
     "tostartofminute": _trunc("MINUTE"),
     "tostartofmonth": lambda a: f"CAST(date_trunc('MONTH', {a[0]}) AS DATE)",
-    "tostartofweek": lambda a: f"CAST(date_trunc('WEEK', {a[0]}) AS DATE)",
+    # ClickHouse default mode 0 starts weeks on SUNDAY; Spark's
+    # date_trunc('WEEK') truncates to Monday.  Shift by one day on the
+    # way in and back out so the result is the Sunday-start week.
+    "tostartofweek": lambda a: (
+        f"CAST(date_sub(date_trunc('WEEK', date_add({a[0]}, 1)), 1)"
+        " AS DATE)"
+    ),
     "tostartofyear": lambda a: f"CAST(date_trunc('YEAR', {a[0]}) AS DATE)",
     "toyyyymm": lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)",
     "todayofmonth": lambda a: f"dayofmonth({a[0]})",
@@ -267,28 +286,338 @@ def _parametric(name: str, params: list[str], args: list[str]) -> str:
     )
 
 
-_UNSUPPORTED_CLAUSE = re.compile(
-    r"\b(FINAL|SAMPLE\s+[\d.]+|LIMIT\s+\d+\s+BY\b)", re.IGNORECASE
-)
+# ---------------------------------------------------------------------------
+# FINAL key registry.  ClickHouse FINAL collapses rows sharing the
+# engine's ORDER BY key, keeping the max version — information that
+# lives in the table DDL, not in the query text, so a faithful
+# translation needs it registered here.  ``events`` ships registered
+# to the engine's documented CDC compaction key (the same key
+# q_keep_latest_event / keep_latest_per_key use).
+# ---------------------------------------------------------------------------
+
+FINAL_KEYS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
+    "events": (("user_id", "event_type"), ("ts", "event_id")),
+}
 
 
-def translate_clickhouse_sql(sql: str) -> str:
+def register_final_keys(table, key_cols, version_cols):
+    """Register a table's ReplacingMergeTree-style (key, version) so
+    ``FROM table FINAL`` can be translated faithfully."""
+    FINAL_KEYS[table.lower()] = (tuple(key_cols), tuple(version_cols))
+
+
+def _is_select(inner: str) -> bool:
+    return re.match(r"\s*SELECT\b", inner, re.IGNORECASE) is not None
+
+
+_NUM = re.compile(r"\d[\d.]*")
+
+
+def _scan_top(s: str):
+    """Tokenize ``s`` at paren-depth 0 (quote-aware).  Parenthesized
+    groups are single opaque tokens — any subquery inside them was
+    already fully translated by the recursive pass, so the clause
+    rewrites below never look inside.  Returns a list of
+    ``(kind, text, start, end)``."""
+    toks = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in "'\"":
+            j = _skip_string(s, i)
+            toks.append(("str", s[i:j], i, j))
+            i = j
+            continue
+        if c == "(":
+            j = _matching_paren(s, i) + 1
+            toks.append(("group", s[i:j], i, j))
+            i = j
+            continue
+        m = _IDENT.match(s, i)
+        if m:
+            toks.append(("ident", m.group(0), i, m.end()))
+            i = m.end()
+            continue
+        m = _NUM.match(s, i)
+        if m:
+            toks.append(("num", m.group(0), i, m.end()))
+            i = m.end()
+            continue
+        if c in " \t\n\r":
+            i += 1
+            continue
+        toks.append(("sym", c, i, i + 1))
+        i += 1
+    return toks
+
+
+# clause keywords that terminate a free-floating clause body
+_CLAUSE_END = {
+    "WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+    "SETTINGS", "FORMAT", "UNION", "WINDOW",
+}
+
+
+def _clause_end(toks, k, extra=()):
+    """Index of the first token at/after ``k`` that starts a new
+    clause (or ``len(toks)``)."""
+    stop = _CLAUSE_END | set(extra)
+    for t in range(k, len(toks)):
+        if toks[t][0] == "ident" and toks[t][1].upper() in stop:
+            return t
+    return len(toks)
+
+
+def _check_sample(s: str) -> None:
+    toks = _scan_top(s)
+    for t in range(len(toks) - 1):
+        if (
+            toks[t][0] == "ident"
+            and toks[t][1].upper() == "SAMPLE"
+            and toks[t + 1][0] == "num"
+        ):
+            raise UnsupportedClickHouseSQL(
+                "SAMPLE depends on the table's declared sampling key "
+                "and has no faithful Spark translation — use "
+                "deterministic hash sampling (q_hash_sample)"
+            )
+
+
+def _rewrite_final(s: str, final_keys) -> str:
+    """``FROM tbl FINAL`` → keep-latest-per-key subquery aliased back
+    to the table name, using the registered (key, version)."""
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for t in range(2, len(toks)):
+            if (
+                toks[t][0] == "ident"
+                and toks[t][1].upper() == "FINAL"
+                and toks[t - 1][0] == "ident"
+                and toks[t - 2][0] == "ident"
+                and toks[t - 2][1].upper() in ("FROM", "JOIN")
+            ):
+                hit = t
+                break
+        if hit is None:
+            return s
+        table = toks[hit - 1][1]
+        reg = final_keys.get(table.lower())
+        if reg is None:
+            raise UnsupportedClickHouseSQL(
+                f"FINAL on {table}: faithful FINAL needs the table's "
+                "engine ORDER BY key and version column — register "
+                "them with register_final_keys(table, keys, version) "
+                "or use keep-latest compaction (q_keep_latest_event)"
+            )
+        keys, vers = reg
+        ver_expr = (
+            f"struct({', '.join(vers)})" if len(vers) > 1 else vers[0]
+        )
+        sub = (
+            f"(SELECT __kl.* FROM (SELECT max_by(struct(*), "
+            f"{ver_expr}) AS __kl FROM {table} GROUP BY "
+            f"{', '.join(keys)})) AS {table}"
+        )
+        s = s[: toks[hit - 1][2]] + sub + s[toks[hit][3]:]
+
+
+def _rewrite_array_join(s: str) -> str:
+    """``[LEFT] ARRAY JOIN expr AS alias`` → ``LATERAL VIEW [OUTER]
+    explode(expr) __aj AS alias``.  Comma-separated multi-array ARRAY
+    JOIN (zip semantics) and the alias-less form (which REPLACES the
+    source column in ClickHouse — Spark would make the bare name
+    ambiguous) fail fast."""
+    n_aj = 0
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for t in range(len(toks) - 1):
+            if (
+                toks[t][0] == "ident"
+                and toks[t][1].upper() == "ARRAY"
+                and toks[t + 1][0] == "ident"
+                and toks[t + 1][1].upper() == "JOIN"
+            ):
+                hit = t
+                break
+        if hit is None:
+            return s
+        left = (
+            hit > 0
+            and toks[hit - 1][0] == "ident"
+            and toks[hit - 1][1].upper() == "LEFT"
+        )
+        start = toks[hit - 1][2] if left else toks[hit][2]
+        end = _clause_end(toks, hit + 2, extra=("ARRAY", "LEFT", "JOIN"))
+        body = toks[hit + 2:end]
+        if any(t[0] == "sym" and t[1] == "," for t in body):
+            raise UnsupportedClickHouseSQL(
+                "multi-array ARRAY JOIN zips arrays element-wise — "
+                "translate with arrays_zip + a single ARRAY JOIN, or "
+                "use the engine's explode operators directly"
+            )
+        as_at = next(
+            (
+                k
+                for k in range(hit + 2, end)
+                if toks[k][0] == "ident" and toks[k][1].upper() == "AS"
+            ),
+            None,
+        )
+        if as_at is None or as_at == hit + 2 or as_at + 1 >= end:
+            raise UnsupportedClickHouseSQL(
+                "ARRAY JOIN without AS alias replaces the source "
+                "column in ClickHouse, which Spark cannot express "
+                "unambiguously — write ARRAY JOIN expr AS alias"
+            )
+        expr = s[toks[hit + 2][2]: toks[as_at][2]].strip()
+        alias = toks[as_at + 1][1]
+        stop = toks[end][2] if end < len(toks) else len(s)
+        outer = "OUTER " if left else ""
+        repl = (
+            f"LATERAL VIEW {outer}explode({expr}) __aj{n_aj} "
+            f"AS {alias} "
+        )
+        n_aj += 1
+        s = s[:start] + repl + s[stop:]
+
+
+def _merge_prewhere(s: str) -> str:
+    toks = _scan_top(s)
+    pre_at = next(
+        (
+            t
+            for t in range(len(toks))
+            if toks[t][0] == "ident" and toks[t][1].upper() == "PREWHERE"
+        ),
+        None,
+    )
+    if pre_at is None:
+        return s
+    end = _clause_end(toks, pre_at + 1)
+    if end == pre_at + 1:
+        raise UnsupportedClickHouseSQL("PREWHERE with no condition")
+    cond_stop = toks[end - 1][3]
+    cond = s[toks[pre_at][3]: cond_stop].strip()
+    if (
+        end < len(toks)
+        and toks[end][0] == "ident"
+        and toks[end][1].upper() == "WHERE"
+    ):
+        # merge: WHERE (prewhere_cond) AND (original where body) —
+        # both sides parenthesized so an OR in either cannot re-bind
+        w_end = _clause_end(toks, end + 1)
+        body_stop = toks[w_end - 1][3] if w_end > end + 1 else len(s)
+        body = s[toks[end][3]: body_stop].strip()
+        s = (
+            s[: toks[pre_at][2]]
+            + f"WHERE ({cond}) AND ({body}) "
+            + s[body_stop:]
+        )
+    else:
+        rest = s[cond_stop:]
+        s = s[: toks[pre_at][2]] + f"WHERE {cond} " + rest
+    return _merge_prewhere(s)
+
+
+def _rewrite_limit_by(s: str) -> str:
+    """``… [ORDER BY o] LIMIT n BY cols [LIMIT m]`` → row_number
+    window partitioned by ``cols`` ordered by ``o`` (the order
+    ClickHouse selects the first n rows in), struct-packed so the
+    helper columns never leak into the output schema."""
+    toks = _scan_top(s)
+    lb_at = None
+    for t in range(len(toks) - 2):
+        if (
+            toks[t][0] == "ident"
+            and toks[t][1].upper() == "LIMIT"
+            and toks[t + 1][0] == "num"
+            and toks[t + 2][0] == "ident"
+            and toks[t + 2][1].upper() == "BY"
+        ):
+            lb_at = t
+            break
+    if lb_at is None:
+        return s
+    if any(
+        t[0] == "ident" and t[1].upper() == "UNION" for t in toks
+    ):
+        raise UnsupportedClickHouseSQL(
+            "LIMIT n BY combined with a top-level UNION is ambiguous "
+            "— wrap each branch in a subquery"
+        )
+    n = toks[lb_at + 1][1]
+    cols_end = _clause_end(toks, lb_at + 3)
+    cols = s[toks[lb_at + 3][2]: toks[cols_end - 1][3]].strip()
+    # preceding ORDER BY (ClickHouse clause order puts it before
+    # LIMIT BY): the selection order for the first-n-per-group
+    order_txt = None
+    order_at = None
+    for t in range(lb_at - 1, -1, -1):
+        if (
+            toks[t][0] == "ident"
+            and toks[t][1].upper() == "ORDER"
+            and t + 1 < len(toks)
+            and toks[t + 1][1].upper() == "BY"
+        ):
+            order_at = t
+            order_txt = s[toks[t + 2][2]: toks[lb_at][2]].strip()
+            break
+    # trailing plain LIMIT m
+    tail_limit = None
+    if (
+        cols_end < len(toks)
+        and toks[cols_end][0] == "ident"
+        and toks[cols_end][1].upper() == "LIMIT"
+    ):
+        tl_end = _clause_end(toks, cols_end + 1)
+        stop = toks[tl_end - 1][3] if tl_end > cols_end + 1 else len(s)
+        tail_limit = s[toks[cols_end][2]: stop].strip()
+    inner_stop = (
+        toks[order_at][2] if order_at is not None else toks[lb_at][2]
+    )
+    inner = s[:inner_stop].strip()
+    win_order = order_txt if order_txt else cols
+    out = (
+        f"SELECT __s.* FROM (SELECT struct(*) AS __s, row_number() "
+        f"OVER (PARTITION BY {cols} ORDER BY {win_order}) AS __lb "
+        f"FROM ({inner}) __lbq) WHERE __lb <= {n}"
+    )
+    if order_txt:
+        out += f" ORDER BY {order_txt}"
+    if tail_limit:
+        out += f" {tail_limit}"
+    return out
+
+
+def _rewrite_clauses(s: str, final_keys) -> str:
+    _check_sample(s)
+    s = _rewrite_final(s, final_keys)
+    s = _rewrite_array_join(s)
+    s = _merge_prewhere(s)
+    s = _rewrite_limit_by(s)
+    return s
+
+
+def translate_clickhouse_sql(sql: str, final_keys=None) -> str:
     """Translate a ClickHouse SQL string to Spark SQL (see module doc
     for the supported surface).  Unknown functions pass through
     verbatim (they may be shared SQL); unsupported CONSTRUCTS raise
-    :class:`UnsupportedClickHouseSQL`."""
-    m = _UNSUPPORTED_CLAUSE.search(sql)
-    if m:
-        kw = m.group(1).split()[0].upper()
-        hints = {
-            "FINAL": "use keep-latest compaction (q_keep_latest_event)",
-            "SAMPLE": "use deterministic hash sampling (q_hash_sample)",
-            "LIMIT": "use per-group top-k (q_topk_per_group)",
-        }
-        raise UnsupportedClickHouseSQL(
-            f"{kw} has no faithful one-line Spark translation — "
-            f"{hints[kw]}"
-        )
+    :class:`UnsupportedClickHouseSQL`.  ``final_keys`` overlays the
+    module-level :data:`FINAL_KEYS` registry for ``FROM tbl FINAL``
+    translation."""
+    fk = dict(FINAL_KEYS)
+    if final_keys:
+        fk.update({k.lower(): v for k, v in final_keys.items()})
+    return _translate_query(sql, fk)
+
+
+def _translate_query(sql: str, final_keys) -> str:
+    return _rewrite_clauses(_translate_tokens(sql, final_keys), final_keys)
+
+
+def _translate_tokens(sql: str, final_keys) -> str:
     out = []
     i = 0
     while i < len(sql):
@@ -300,6 +629,18 @@ def translate_clickhouse_sql(sql: str) -> str:
             continue
         m = _IDENT.match(sql, i)
         if not m:
+            # bare parenthesized subquery (scalar subquery, IN (...),
+            # UNION branch): translate it as a full query, clauses
+            # included, and keep it opaque to the outer clause pass
+            if c == "(":
+                close = _matching_paren(sql, i)
+                inner = sql[i + 1: close]
+                if _is_select(inner):
+                    out.append(
+                        "(" + _translate_query(inner, final_keys) + ")"
+                    )
+                    i = close + 1
+                    continue
             out.append(c)
             i += 1
             continue
@@ -317,7 +658,19 @@ def translate_clickhouse_sql(sql: str) -> str:
         if k < len(sql) and sql[k] == "(":
             close = _matching_paren(sql, k)
             inner = sql[k + 1:close]
-            args = [translate_clickhouse_sql(a) for a in _split_args(inner)]
+            # `FROM (SELECT …)`, `IN (SELECT …)`, `EXISTS (SELECT …)`:
+            # a subquery, not a call — translate it as a full query
+            # (clause rewrites included) and keep it opaque outside
+            if _is_select(inner):
+                out.append(name)
+                out.append(sql[j:k])
+                out.append("(" + _translate_query(inner, final_keys) + ")")
+                i = close + 1
+                continue
+            args = [
+                _translate_tokens(a, final_keys)
+                for a in _split_args(inner)
+            ]
             # parametric aggregate: fn(params)(args)
             k2 = close + 1
             while k2 < len(sql) and sql[k2] in " \t\n":
@@ -331,7 +684,7 @@ def translate_clickhouse_sql(sql: str) -> str:
                 close2 = _matching_paren(sql, k2)
                 inner2 = sql[k2 + 1:close2]
                 args2 = [
-                    translate_clickhouse_sql(a)
+                    _translate_tokens(a, final_keys)
                     for a in _split_args(inner2)
                 ]
                 out.append(_parametric(name, args, args2))
@@ -346,31 +699,10 @@ def translate_clickhouse_sql(sql: str) -> str:
             continue
         out.append(name)
         i = j
-    s = "".join(out)
-    # PREWHERE post-pass: merge into WHERE (Catalyst pushes predicates
-    # to the scan anyway, which is all PREWHERE ever bought)
-    if "PREWHERE" in s:
-        pre = re.search(
-            r"PREWHERE\s+(.*?)(?=(\bWHERE\b|\bGROUP\b|\bORDER\b|"
-            r"\bLIMIT\b|\bHAVING\b|$))",
-            s,
-            re.IGNORECASE | re.DOTALL,
-        )
-        cond = pre.group(1).strip()
-        rest_at = pre.end(1)
-        tail = s[rest_at:]
-        if re.match(r"\s*\bWHERE\b", tail, re.IGNORECASE):
-            tail = re.sub(
-                r"\s*\bWHERE\b", f" WHERE ({cond}) AND ", tail, count=1,
-                flags=re.IGNORECASE,
-            )
-            s = s[: pre.start()] + tail
-        else:
-            s = s[: pre.start()] + f"WHERE {cond} " + tail
-    return s
+    return "".join(out)
 
 
-def run_clickhouse_sql(spark, sql: str, sf_dir: str):
+def run_clickhouse_sql(spark, sql: str, sf_dir: str, final_keys=None):
     """Translate and execute a ClickHouse SQL query against the corpus
     tables (registered as temp views from ``sf_dir``)."""
     from clickbom_spark.session import read_table
@@ -383,4 +715,4 @@ def run_clickhouse_sql(spark, sql: str, sf_dir: str):
 
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             read_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(translate_clickhouse_sql(sql))
+    return spark.sql(translate_clickhouse_sql(sql, final_keys=final_keys))

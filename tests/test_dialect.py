@@ -105,13 +105,118 @@ def test_translated_equals_native(spark, idx):
 
 def test_unsupported_constructs_fail_fast():
     for sql, hint in [
-        ("SELECT * FROM events FINAL", "keep-latest"),
+        # FINAL is translatable only with a registered engine key
+        ("SELECT * FROM sometable FINAL", "register_final_keys"),
         ("SELECT * FROM events SAMPLE 0.1", "hash sampling"),
-        ("SELECT * FROM events LIMIT 3 BY user_id", "top-k"),
         ("SELECT topK(5)(event_type) FROM events", "heavy-hitters"),
+        # alias-less ARRAY JOIN replaces the source column — ambiguous
+        ("SELECT a FROM t ARRAY JOIN arr", "AS alias"),
+        # multi-array ARRAY JOIN zips, which LATERAL VIEW cannot
+        ("SELECT a FROM t ARRAY JOIN a1 AS x, a2 AS y", "zips"),
+        ("SELECT x FROM t PREWHERE", "no condition"),
     ]:
         with pytest.raises(UnsupportedClickHouseSQL, match=hint):
             translate_clickhouse_sql(sql)
+
+
+def test_clause_scan_is_token_aware():
+    """Clause keywords inside string literals or as substrings of
+    longer identifiers must not trigger the clause machinery."""
+    out = translate_clickhouse_sql(
+        "SELECT 'SAMPLE 0.1' AS lit, finally AS f, "
+        "'x PREWHERE y' AS p FROM events"
+    )
+    assert "'SAMPLE 0.1'" in out and "finally" in out
+    assert "'x PREWHERE y'" in out
+
+
+def test_prewhere_merge_parenthesizes_both_sides():
+    """An OR in either condition must not re-bind across the AND."""
+    out = translate_clickhouse_sql(
+        "SELECT x FROM t PREWHERE a = 1 OR b = 2 WHERE c = 3 OR d = 4"
+    )
+    assert "WHERE (a = 1 OR b = 2) AND (c = 3 OR d = 4)" in out
+
+
+def test_final_requires_registered_key_and_uses_it(spark):
+    """FROM events FINAL == the engine's keep-latest compaction on the
+    registered (user_id, event_type) key, max (ts, event_id) version —
+    the same semantics as q_keep_latest_event."""
+    got = run_clickhouse_sql(
+        spark,
+        "SELECT user_id, event_type, event_id, ts, value "
+        "FROM events FINAL ORDER BY user_id, event_type",
+        SF_SMOKE,
+    ).collect()
+    want = spark.sql(
+        """
+        SELECT user_id, event_type, event_id, ts, value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        WHERE rn = 1 ORDER BY user_id, event_type
+        """
+    ).collect()
+    assert got == want
+
+
+def test_limit_n_by_is_first_n_per_group_in_order(spark):
+    got = run_clickhouse_sql(
+        spark,
+        "SELECT event_type, event_id, value FROM events "
+        "ORDER BY value DESC, event_id LIMIT 3 BY event_type",
+        SF_SMOKE,
+    )
+    assert got.columns == ["event_type", "event_id", "value"]
+    want = spark.sql(
+        """
+        SELECT event_type, event_id, value FROM (
+          SELECT event_type, event_id, value, row_number() OVER (
+            PARTITION BY event_type ORDER BY value DESC, event_id)
+            AS rn FROM events) WHERE rn <= 3
+        """
+    ).collect()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+
+
+def test_limit_n_by_with_trailing_limit(spark):
+    got = run_clickhouse_sql(
+        spark,
+        "SELECT event_type, event_id FROM events "
+        "ORDER BY event_id LIMIT 2 BY event_type LIMIT 5",
+        SF_SMOKE,
+    ).collect()
+    assert len(got) == 5
+    # overall order preserved after the per-group cut
+    assert [r.event_id for r in got] == sorted(r.event_id for r in got)
+
+
+def test_array_join_is_lateral_view_explode(spark):
+    got = run_clickhouse_sql(
+        spark,
+        "SELECT doc_id, tok FROM documents "
+        "ARRAY JOIN splitByChar(' ', text) AS tok "
+        "WHERE doc_id < 3 ORDER BY doc_id, tok",
+        SF_SMOKE,
+    ).collect()
+    want = spark.sql(
+        "SELECT doc_id, tok FROM documents "
+        "LATERAL VIEW explode(split(text, '\\\\ ')) v AS tok "
+        "WHERE doc_id < 3 ORDER BY doc_id, tok"
+    ).collect()
+    assert got == want and len(got) > 0
+
+
+def test_to_start_of_week_is_sunday_start(spark):
+    """ClickHouse toStartOfWeek default mode 0 = Sunday-start weeks;
+    Spark date_trunc('WEEK') alone would give Monday."""
+    rows = run_clickhouse_sql(
+        spark,
+        "SELECT toStartOfWeek(ts) AS w, count() AS n FROM events "
+        "GROUP BY toStartOfWeek(ts) ORDER BY w",
+        SF_SMOKE,
+    ).collect()
+    assert rows and all(r.w.weekday() == 6 for r in rows)  # 6 = Sunday
 
 
 def test_translation_is_quote_safe():
