@@ -165,6 +165,24 @@ class LakeStreamReader(DataSourceStreamReader):
         added: list[str] = []
         prev: set | None = None
         earliest = _earliest_version(self.path)
+        # The clamp-to-earliest below (full-snapshot first batch,
+        # Delta's initial-snapshot behavior) is ONLY sound for the
+        # INITIAL offset.  A checkpointed stream resuming after the
+        # lake was vacuumed past its consumed position must fail
+        # instead: the per-commit adds in (v_from, earliest) are
+        # unrecoverable (manifests are full snapshots, so the diff
+        # base is gone) and re-delivering the earliest snapshot's
+        # full file list would duplicate rows already consumed —
+        # Delta's failOnDataLoss contract.
+        if v_from != self._initial["version"] and v_from < earliest:
+            raise ValueError(
+                f"lake_stream: checkpointed offset v{v_from} predates "
+                f"the earliest surviving snapshot v{earliest} — the "
+                "lake was vacuumed past the stream's consumed "
+                "position, so resuming would re-deliver already-"
+                "consumed rows.  Restart from a fresh checkpoint (it "
+                "will begin at the earliest surviving snapshot)."
+            )
         # versions below the earliest surviving manifest were vacuumed;
         # their rows are already folded into the earliest snapshot, so
         # the range clamps there and the first observable batch is that

@@ -145,6 +145,83 @@ def test_stream_speaks_logical_schema_across_evolution(spark, tmp_path):
     assert got[100] == (9.0, 0.9)   # new generation: physical values
 
 
+def test_resume_after_vacuum_past_offset_raises_data_loss(
+    spark, tmp_path
+):
+    """Exactly-once means a checkpointed stream must NOT silently
+    clamp to the earliest surviving snapshot when the lake was
+    vacuumed past its consumed offset — clamping would re-deliver the
+    snapshot's FULL file list (rows already consumed).  Delta's
+    failOnDataLoss behavior: the resume fails; only a FRESH
+    checkpoint gets the initial-snapshot clamp."""
+    lake = _mk_lake(spark, tmp_path, n=30)
+    ckpt = str(tmp_path / "ckdl")
+    assert len(_drain(spark, lake.path, ckpt)) == 30  # consumed v0
+    lake.upsert(spark.createDataFrame([(200, 1, 2.0)], _SCHEMA), ["id"])
+    lake.upsert(spark.createDataFrame([(201, 2, 3.0)], _SCHEMA), ["id"])
+    lake.vacuum(keep_last=1)  # earliest surviving manifest is now v2
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    with pytest.raises(StreamingQueryException, match="vacuumed past"):
+        _drain(spark, lake.path, ckpt)
+    # a fresh checkpoint still gets the documented clamp
+    got = _drain(spark, lake.path, str(tmp_path / "ckdl2"))
+    assert len(got) == 32
+
+
+def test_backfill_scale_per_file_partitions_and_restart(
+    spark, tmp_path
+):
+    """Backfill shape at scale: >=100 files consumed across >=3
+    micro-batches; the driver plans one InputPartition PER FILE from
+    manifest metadata alone (no row data driver-side), and a
+    checkpoint restart mid-backfill resumes exactly-once."""
+    df = spark.range(400).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 1.0).alias("val"),
+    ).repartition(40)
+    lake = VersionedLake.create(
+        spark, str(tmp_path / "biglake"), df, n_files=40
+    )
+    # first leg of the backfill: v0 only, under a checkpoint
+    ckpt = str(tmp_path / "ckbig")
+    got1 = _drain(spark, lake.path, ckpt)
+    assert len(got1) == 400
+
+    for lo in (400, 800):  # two more append commits, 40 files each
+        batch = spark.range(lo, lo + 400).select(
+            F.col("id"), (F.col("id") % 3).alias("grp"),
+            (F.col("id") * 1.0).alias("val"),
+        ).repartition(40)
+        lake.upsert(batch, ["id"])
+
+    # (a) partition planning is per-file and metadata-only: the
+    # driver-side reader turns a version range into file-path
+    # partitions without touching row data
+    from clickbom_spark.streaming.lake_source import LakeStreamReader
+
+    reader = LakeStreamReader({"path": lake.path})
+    parts = reader.partitions({"version": -1}, {"version": 0})
+    assert len(parts) == 40
+    assert all(
+        isinstance(p.file_path, str) and p.file_path.endswith(".parquet")
+        for p in parts
+    )
+    full = reader.partitions({"version": -1}, {"version": 2})
+    assert len(full) == 120  # one partition per file across the range
+
+    # (b) restart mid-backfill: resuming the SAME checkpoint delivers
+    # exactly the files added after the consumed offset — union is
+    # exactly the lake, no row delivered twice
+    got2 = _drain(spark, lake.path, ckpt)
+    assert len(got2) == 800
+    seen = got1 + got2
+    assert len(seen) == len(set(seen)) == 1200
+    assert {t[0] for t in seen} == set(range(1200))
+
+
 def test_stream_over_vacuumed_history_starts_at_earliest(spark, tmp_path):
     """Delta's initial-snapshot behavior: after vacuum(keep_last=1), a
     FRESH stream begins at the earliest surviving snapshot (its full
