@@ -1393,27 +1393,53 @@ def add_constraint(lake: VersionedLake, name: str, expr: str) -> int:
     publishes (:meth:`VersionedLake._check_constraints`; SQL CHECK
     semantics — NULL passes, FALSE refuses the whole commit).  Layout
     commits (compact / optimize) skip the re-check: they rewrite
-    already-validated rows."""
-    bad = (
-        lake.read()
-        .where(~F.coalesce(F.expr(expr), F.lit(True)))
-        .limit(1)
-        .count()
-    )
-    if bad:
-        raise ConstraintViolation(
-            f"cannot add CHECK {name}: existing rows violate ({expr})"
+    already-validated rows.
+
+    The validation is pinned to the snapshot it read: if a DATA commit
+    lands between validation and the metadata publish (the symmetric
+    race to the one ``based_on_constraints`` guards), the publish is
+    refused and the whole validate-then-record cycle re-runs against
+    the new snapshot — otherwise rows validated only against the old
+    version could slip under the newly added CHECK."""
+    last: CommitConflict | None = None
+    for _ in range(VersionedLake._MUTATION_RETRIES):
+        validated_v = lake.current_version()
+        bad = (
+            lake.read(version=validated_v)
+            .where(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
         )
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add CHECK {name}: existing rows violate "
+                f"({expr})"
+            )
 
-    def mutate(payload: dict) -> dict:
-        cons = dict(payload.get("constraints", {}))
-        if name in cons:
-            raise ValueError(f"constraint {name} already exists")
-        cons[name] = expr
-        payload["constraints"] = cons
-        return payload
+        def mutate(payload: dict) -> dict:
+            # payload still carries the version it was read at;
+            # _commit_meta bumps it after mutate returns
+            if payload["version"] != validated_v:
+                raise CommitConflict(
+                    f"add_constraint {name}: data committed after "
+                    f"validation (v{validated_v} -> "
+                    f"v{payload['version']}) — re-validating"
+                )
+            cons = dict(payload.get("constraints", {}))
+            if name in cons:
+                raise ValueError(f"constraint {name} already exists")
+            cons[name] = expr
+            payload["constraints"] = cons
+            return payload
 
-    return lake._commit_meta(mutate, f"add-constraint-{name}")
+        try:
+            return lake._commit_meta(mutate, f"add-constraint-{name}")
+        except CommitConflict as e:
+            last = e
+    raise CommitConflict(
+        f"add_constraint {name} gave up after "
+        f"{VersionedLake._MUTATION_RETRIES} conflicting commits: {last}"
+    )
 
 
 def drop_constraint(lake: VersionedLake, name: str) -> int:

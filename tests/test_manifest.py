@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from clickbom_spark.ext.manifest import VersionedLake
@@ -1163,6 +1164,168 @@ class _FakeObjectStore:
             return True
 
 
+class _HttpCasServer:
+    """In-memory stand-in for the object-store HTTP surface the
+    LAKE.md S3 mapping describes: conditional PUT (``If-None-Match:
+    *``) answers 201 Created or 412 Precondition Failed; GET answers
+    200/404 with an ETag.  Bodies land on the real filesystem (the
+    manifest READ path opens files), but all protocol state — status
+    codes, ETags, response loss — is spoken over this request surface
+    so the mapping is executable, not prose.  ``drop_next_responses``
+    makes the next N successful PUTs apply server-side but lose the
+    RESPONSE (client sees a timeout) — the classic CAS ambiguity."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.puts = self.gets = self.lost_responses = 0
+        self.drop_next_responses = 0
+
+    @staticmethod
+    def _etag(data: bytes) -> str:
+        import hashlib
+
+        return hashlib.md5(data).hexdigest()
+
+    def request(self, method, key, headers=None, body=None):
+        import uuid as _uuid
+
+        with self._lock:
+            if method == "PUT":
+                self.puts += 1
+                if (headers or {}).get("If-None-Match") != "*":
+                    return 400, {}, b"refusing unconditional PUT"
+                if os.path.exists(key):
+                    return 412, {}, b""
+                tmp = key + f".http-{_uuid.uuid4().hex[:8]}"
+                with open(tmp, "wb") as f:
+                    f.write(body)
+                os.replace(tmp, key)
+                if self.drop_next_responses > 0:
+                    self.drop_next_responses -= 1
+                    self.lost_responses += 1
+                    raise TimeoutError(
+                        "response lost (effect applied server-side)"
+                    )
+                return 201, {"ETag": self._etag(body)}, b""
+            if method == "GET":
+                self.gets += 1
+                if not os.path.exists(key):
+                    return 404, {}, b""
+                with open(key, "rb") as f:
+                    data = f.read()
+                return 200, {"ETag": self._etag(data)}, data
+            return 405, {}, b""
+
+
+class _HttpCasStore:
+    """Client adapter: ``put_if_absent`` over the HTTP surface.  A
+    timed-out PUT is retried; a 412 is disambiguated by GET + content
+    compare — did MY earlier (response-lost) PUT land, or another
+    writer's?  Only a byte-identical object means this writer won."""
+
+    def __init__(self, server: _HttpCasServer):
+        self.server = server
+
+    def put_if_absent(self, target: str, data: bytes) -> bool:
+        data = bytes(data)
+        for _ in range(5):
+            try:
+                status, _, _ = self.server.request(
+                    "PUT", target, {"If-None-Match": "*"}, data
+                )
+            except TimeoutError:
+                continue  # ambiguous outcome: resolve via 412 + GET
+            if status == 201:
+                return True
+            if status == 412:
+                s2, _, body = self.server.request("GET", target)
+                return s2 == 200 and body == data
+            raise RuntimeError(f"unexpected PUT status {status}")
+        raise RuntimeError("PUT retries exhausted")
+
+
+_STORE_BACKENDS = {
+    "localfs": lambda: None,  # VersionedLake default (LocalFSStore)
+    "put_only": _FakeObjectStore,
+    "http_cas": lambda: _HttpCasStore(_HttpCasServer()),
+}
+
+
+@pytest.mark.parametrize("backend", sorted(_STORE_BACKENDS))
+def test_contention_matrix_across_store_backends(
+    spark, tmp_path, backend
+):
+    """The SAME two-writer contention law must hold against every
+    store implementation of the put_if_absent seam: the local-fs
+    hard-link store, the conditional-PUT-only object store, and the
+    HTTP If-None-Match double — exactly one winner per version, loser
+    retries on top, no lost update."""
+    import threading
+
+    store = _STORE_BACKENDS[backend]()
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"),
+        (F.col("id") * 1.0).alias("val"),
+    )
+    lake = VersionedLake.create(
+        spark, str(tmp_path / f"mx-{backend}"), df, n_files=2,
+        store=store,
+    )
+    v0 = lake.current_version()
+    barrier = threading.Barrier(2)
+    results: dict[str, int] = {}
+    errors: list[BaseException] = []
+
+    def writer(tag: str, lo: int):
+        changes = spark.createDataFrame(
+            [(lo + i, 0, float(lo)) for i in range(3)],
+            "id long, grp long, val double",
+        )
+        try:
+            barrier.wait(timeout=60)
+            results[tag] = lake.upsert(changes, ["id"])
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=("a", 5000))
+    t2 = threading.Thread(target=writer, args=("b", 6000))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+    assert sorted(results.values()) == [v0 + 1, v0 + 2]
+    got = {r["id"]: r["val"] for r in lake.read().collect()}
+    assert len(got) == 106
+    assert got[5000] == 5000.0 and got[6002] == 6000.0
+
+
+def test_http_store_lost_response_then_retry_wins(spark, tmp_path):
+    """The lost-response path of the S3 mapping, executed: a PUT whose
+    effect lands but whose response is lost must NOT double-commit or
+    skip a version — the client retries, reads 412, GETs the object,
+    finds its own bytes, and reports the CAS as won."""
+    server = _HttpCasServer()
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"),
+        (F.col("id") * 1.0).alias("val"),
+    )
+    lake = VersionedLake.create(
+        spark, str(tmp_path / "httplake"), df, n_files=1,
+        store=_HttpCasStore(server),
+    )
+    v0 = lake.current_version()
+    server.drop_next_responses = 1
+    v = lake.update(F.col("id") < 5, {"val": F.lit(-1.0)})
+    assert server.lost_responses == 1
+    assert v == v0 + 1  # resolved as won: no retry onto a new version
+    assert lake.current_version() == v0 + 1
+    assert lake.read().where(F.col("val") == -1.0).count() == 5
+    # and a DIFFERENT writer's 412 is NOT mistaken for a win: content
+    # compare against foreign bytes reports the CAS as lost
+    target = os.path.join(lake.path, "_manifests", f"v{v}.json")
+    assert _HttpCasStore(server).put_if_absent(target, b"{}") is False
+
+
 def test_lake_runs_on_conditional_put_only_store(spark, tmp_path):
     """The CAS commit is store-pluggable: a backend exposing ONLY
     put_if_absent (no hard links) drives the same create / mutate /
@@ -1544,6 +1707,72 @@ def test_concurrent_add_constraint_conflicts_in_flight_mutation(
     # and a compliant one lands
     lake.update(F.col("id") < 3, {"val": F.lit(1.0)})
     assert lake.read().where(F.col("val") == 1.0).count() == 3
+
+
+def test_add_constraint_revalidates_when_data_commits_mid_flight(
+    spark, tmp_path
+):
+    """The OTHER direction of the constraint/data race: a data commit
+    landing between add_constraint's validation read and its metadata
+    publish was validated only against the OLD constraint set — the
+    publish must be refused and validation re-run against the new
+    snapshot, so a violating row that slipped in mid-flight refuses
+    the constraint (and a compliant one lets the retry land)."""
+    import pytest
+
+    from clickbom_spark.ext.manifest import (
+        ConstraintViolation,
+        add_constraint,
+    )
+
+    lake = _mk(spark, tmp_path, n=20)
+    orig_read = lake.read
+    fired = []
+
+    def racing_read(version=None):
+        df = orig_read(version)
+        if not fired:
+            fired.append(1)
+            # meanwhile another writer lands a VIOLATING row (the
+            # validation df is pinned to the pre-race snapshot, so
+            # the first pass still passes — only the version check
+            # at publish time can catch this)
+            lake.upsert(
+                spark.createDataFrame(
+                    [(999, 0, -5.0)], "id long, grp long, val double"
+                ),
+                ["id"],
+            )
+        return df
+
+    lake.read = racing_read
+    with pytest.raises(ConstraintViolation):
+        add_constraint(lake, "val_nonneg", "val >= 0")
+    assert "val_nonneg" not in lake._manifest().get("constraints", {})
+
+    # same race with a COMPLIANT mid-flight commit: the retry
+    # re-validates against the new snapshot and the constraint lands
+    lake2 = _mk(spark, tmp_path / "two", n=20)
+    orig_read2 = lake2.read
+    fired2 = []
+
+    def racing_read2(version=None):
+        df = orig_read2(version)
+        if not fired2:
+            fired2.append(1)
+            lake2.upsert(
+                spark.createDataFrame(
+                    [(999, 0, 5.0)], "id long, grp long, val double"
+                ),
+                ["id"],
+            )
+        return df
+
+    lake2.read = racing_read2
+    add_constraint(lake2, "val_nonneg", "val >= 0")
+    assert lake2._manifest()["constraints"] == {"val_nonneg": "val >= 0"}
+    with pytest.raises(ConstraintViolation):
+        lake2.update(F.col("id") < 2, {"val": F.lit(-1.0)})
 
 
 def test_physical_names_never_reused(spark, tmp_path):
