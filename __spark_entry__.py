@@ -72,13 +72,14 @@ def _status_rank() -> dict[str, int]:
 
 
 # ROUND-8 NOTE: ALL THREE staged waves are ACTIVATED (r6 wave of 30 +
-# r7 wave of 14 + r8 wave of 23; registry = 246).  The 23 r8 names
-# rank first (never driver-checked); the remaining budget rotates
-# through the STALEST greens — the 25-query cohort last verified in
-# round 3 fills slots 24–48, with 2 slots spilling into the r4 cohort.
-# q_stream_neardup_filter gained a sequential-replay chained-CTE
-# oracle this round (see queries/engine_ops.py), so it falls through
-# the no-oracle park and re-verifies as a normal oracle-bearing query.
+# r7 wave of 14 + r8 wave of 23; registry = 246).
+# q_stream_neardup_filter gained a sequential-replay recursive-CTE
+# oracle this round (queries/dedup.py, _NEARDUP_STREAM_ORACLE): its
+# last driver row says no_oracle, so it now ranks FIRST (re-verify
+# tier) — every registry query is oracle-bearing, 246/246.  The 23 r8
+# names rank next (never driver-checked); the remaining 26 slots
+# rotate through the STALEST greens — the 25-query cohort last
+# verified in round 3, plus 1 slot spilling into the r4 cohort.
 #
 # clickbom_spark/queries/staged_r9.py holds the NEXT wave (parity
 # proven via tests/test_staged_r9_parity.py and

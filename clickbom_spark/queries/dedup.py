@@ -440,14 +440,66 @@ def q_edit_distance_join(spark, sf_dir):
     )
 
 
+# Sequential-replay oracle for the streaming admission filter: the
+# admitted set is a FOLD over the 3 micro-batches (doc_id bands
+# [0,170), [170,340), [340,inf) in epoch order), but each step is
+# still relational — reject batch docs near-dup (exact Jaccard >=
+# 0.8; LSH recall is 1.0 on this corpus, asserted in
+# tests/test_ext_ops.py, so the exact pair relation IS the engine's
+# pair predicate) of any already-kept doc, then keep the min-id
+# representative per within-batch component (recursive-CTE min
+# propagation over the pair graph restricted to stage-1 survivors).
+_NEARDUP_STREAM_EPOCH = """
+, s1_{e} AS (
+  SELECT d.doc_id FROM doc d WHERE d.e = {e}
+  AND NOT EXISTS (
+    SELECT 1 FROM sym s JOIN kept{e} k ON s.b = k.doc_id
+    WHERE s.a = d.doc_id)
+), r{e}(node, reach) AS (
+  SELECT doc_id, doc_id FROM s1_{e}
+  UNION
+  SELECT r.node, s.b FROM r{e} r JOIN sym s ON s.a = r.reach
+  WHERE s.b IN (SELECT doc_id FROM s1_{e})
+), adm{e} AS (
+  SELECT node AS doc_id FROM r{e} GROUP BY node HAVING node = MIN(reach)
+), kept{e1} AS (
+  SELECT doc_id FROM kept{e} UNION ALL SELECT doc_id FROM adm{e}
+)
+"""
+
+_NEARDUP_STREAM_ORACLE = (
+    _JACCARD_PAIRS.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, pairs AS (
+  SELECT id_a, id_b FROM scored WHERE jac >= 0.8
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), doc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 170 THEN 0
+              WHEN doc_id < 340 THEN 1 ELSE 2 END AS e
+  FROM documents
+), kept0 AS (SELECT doc_id FROM doc WHERE FALSE)
+"""
+    + "".join(
+        _NEARDUP_STREAM_EPOCH.format(e=e, e1=e + 1) for e in range(3)
+    )
+    + """
+SELECT d.source,
+       COUNT(*) FILTER (WHERE k.doc_id IS NOT NULL) AS n_admitted,
+       COUNT(*) AS n_total
+FROM documents d LEFT JOIN kept3 k ON d.doc_id = k.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+)
+
+
 @query(
     "q_stream_neardup_filter",
-    # Rows-only by design: the admitted set depends on the greedy
-    # sequential batch order (a fold, not a relation), so there is no
-    # SQL oracle — the stream==sequential-batch law, the hand-derived
-    # admission semantics, and replay idempotence are pinned in
-    # tests/test_streaming_dedup.py instead.
-    oracle=None,
+    oracle=_NEARDUP_STREAM_ORACLE,
     description="Online near-dup filter at ingestion "
     "(ext/streaming_dedup.py): a real availableNow file stream of "
     "document batches, each checked against the standing corpus via "
