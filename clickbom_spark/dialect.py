@@ -254,6 +254,39 @@ _PLAIN = {
     ),
     "empty": lambda a: f"(size({a[0]}) = 0)",
     "notempty": lambda a: f"(size({a[0]}) > 0)",
+    # URL function family (ClickHouse sql-reference/functions/url-functions).
+    # Spark's parse_url is the JVM-side fast path for the component
+    # getters.  Note: ClickHouse returns '' for a missing component on a
+    # parseable URL; Spark's parse_url returns NULL — extractURLParameter
+    # (the one hot-path getter whose '' contract callers rely on for
+    # equality filters) is coalesced to '', the rest keep Spark's NULL
+    # and the difference is documented here rather than hidden behind
+    # per-call coalesce chains the optimizer can't prune.
+    "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
+    "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
+    "domainwithoutwww": lambda a: (
+        f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+    ),
+    "topleveldomain": lambda a: (
+        f"regexp_extract(parse_url({a[0]}, 'HOST'), '\\\\.([^.]+)$', 1)"
+    ),
+    "path": lambda a: f"parse_url({a[0]}, 'PATH')",
+    "pathfull": lambda a: (
+        f"concat(parse_url({a[0]}, 'PATH'), "
+        f"coalesce(concat('?', parse_url({a[0]}, 'QUERY')), ''))"
+    ),
+    "querystring": lambda a: f"parse_url({a[0]}, 'QUERY')",
+    "fragment": lambda a: f"parse_url({a[0]}, 'REF')",
+    "extracturlparameter": lambda a: (
+        f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')"
+    ),
+    "cutquerystring": lambda a: (
+        f"regexp_replace({a[0]}, '\\\\?[^#]*', '')"
+    ),
+    "cutfragment": lambda a: f"regexp_replace({a[0]}, '#.*$', '')",
+    "cutquerystringandfragment": lambda a: (
+        f"regexp_replace({a[0]}, '[?#].*$', '')"
+    ),
     "intdiv": lambda a: f"({a[0]} DIV {a[1]})",
     "modulo": lambda a: f"({a[0]} % {a[1]})",
     "plus": lambda a: f"({a[0]} + {a[1]})",

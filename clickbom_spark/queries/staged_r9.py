@@ -1,0 +1,945 @@
+"""Staged registry wave for round 9 — new operator surface.
+
+Same staging workflow as the (now activated) round-6/7/8 waves: every
+query here is oracle-parity-verified NOW (bit-exact vs DuckDB at
+sf0.001 and sf0.01 via ``tests/test_staged_r9_parity.py``; the
+strict-parity sweep covers sf0.1 for the queries whose oracle is not
+O(n²)) but held OUT of :data:`clickbom_spark.queries.REGISTRY` so this
+round's 50-slot driver budget goes to the 23 queries that newly need a
+row plus the stalest-green rotation.  Round 10 activates with::
+
+    from clickbom_spark.queries import staged_r9  # noqa: F401
+    REGISTRY.update(staged_r9.STAGED_R9)
+
+in ``queries/__init__.py``.
+
+Round-9 themes:
+
+* **Dialect round-trips** — the clause REWRITES shipped in round 8
+  (ARRAY JOIN → LATERAL VIEW explode, LIMIT n BY → row_number window,
+  FINAL → keep-latest-per-key subquery, the URL function family) each
+  get an end-to-end query that feeds REAL ClickHouse query text
+  through :func:`clickbom_spark.dialect.run_clickhouse_sql` and is
+  held to a hand-written DuckDB oracle — the rewrite output is graded
+  on VALUES, not on the SQL string it produces.
+* **ClickHouse aggregate-function depth** — rankCorr, cramersV,
+  intervalLengthSum, maxIntersections(Position), sumMap,
+  groupBitmapAnd/Or/AndNot, sequenceNextNode, quantileTiming,
+  greatCircleDistance: the analytic families the reference engine
+  ships as first-class aggregates, each re-expressed as declarative
+  DataFrame plans (window ranks / sweep lines / set joins), never
+  driver-side loops.
+* **Lake/stream composition** — branch merge with write-write
+  conflict DETECTION, and the lake changelog as a streaming source
+  feeding an incrementally-maintained matview.
+
+Float determinism policy (same as the registry): exact integer /
+decimal aggregates first, then ONE fixed IEEE expression per surfaced
+double — explicit left-associated chains, never an order-dependent
+SUM over doubles — and ``round(x, 6)`` on surfaced statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clickbom_spark.queries import QuerySpec, epoch_us, load
+
+STAGED_R9: dict[str, QuerySpec] = {}
+
+
+def staged(name: str, oracle: str | None = None, description: str = "",
+           bench: bool = False):
+    def deco(fn):
+        STAGED_R9[name] = QuerySpec(name, fn, oracle, description, bench)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: ARRAY JOIN.  The round-8 rewrite turned
+# `ARRAY JOIN expr AS alias` into LATERAL VIEW explode; this query runs
+# the reference's own idiom (token explosion off splitByChar) through
+# the shim and grades the VALUES against a DuckDB unnest oracle.
+# ---------------------------------------------------------------------------
+
+_CH_ARRAY_JOIN = """
+SELECT w AS word, count() AS n
+FROM documents
+ARRAY JOIN splitByChar(' ', text) AS w
+WHERE w != '' AND lang = 'en'
+GROUP BY w
+ORDER BY n DESC, word
+LIMIT 25
+"""
+
+
+@staged(
+    "q_dialect_array_join",
+    oracle="""
+SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+)
+WHERE w <> '' AND lang = 'en'
+GROUP BY w
+ORDER BY n DESC, word
+LIMIT 25
+""",
+    description="ClickHouse `ARRAY JOIN splitByChar(...) AS w` run "
+    "verbatim through the dialect shim (dialect._rewrite_array_join → "
+    "LATERAL VIEW explode): top-25 token frequencies over the English "
+    "documents, graded on values against a DuckDB unnest oracle.",
+)
+def q_dialect_array_join(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_ARRAY_JOIN, sf_dir)
+    return out.select("word", F.col("n").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: LIMIT n BY.  ClickHouse's first-n-per-group
+# clause → row_number window partitioned by the BY columns, ordered by
+# the query's ORDER BY (the selection order CH itself uses).
+# ---------------------------------------------------------------------------
+
+_CH_LIMIT_BY = """
+SELECT event_type, event_id, round(value, 2) AS v_r
+FROM events
+WHERE value > 1
+ORDER BY v_r DESC, event_id
+LIMIT 3 BY event_type
+"""
+
+
+@staged(
+    "q_dialect_limit_by",
+    oracle="""
+SELECT event_type, event_id, v_r
+FROM (
+  SELECT event_type, event_id, round(value, 2) AS v_r,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY round(value, 2) DESC, event_id
+         ) AS rn
+  FROM events WHERE value > 1
+)
+WHERE rn <= 3
+ORDER BY v_r DESC, event_id
+""",
+    description="ClickHouse `LIMIT 3 BY event_type` run verbatim "
+    "through the dialect shim (dialect._rewrite_limit_by → struct-"
+    "packed row_number window over the query's ORDER BY): top-3 "
+    "events by rounded value per type, graded against a DuckDB "
+    "row_number oracle.",
+)
+def q_dialect_limit_by(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_LIMIT_BY, sf_dir)
+    return out.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        "v_r",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: FROM events FINAL.  ReplacingMergeTree FINAL
+# collapses rows sharing the engine ORDER BY key to the max-version
+# row; the rewrite needs the (key, version) registration and becomes a
+# max_by(struct(*)) keep-latest subquery.  Key (user_id, event_type),
+# version (ts, event_id) — event_id breaks ts ties deterministically.
+# ---------------------------------------------------------------------------
+
+_CH_FINAL = """
+SELECT user_id, event_type,
+       round(value, 2) AS last_value_r,
+       event_id AS last_event_id
+FROM events FINAL
+ORDER BY user_id, event_type
+"""
+
+
+@staged(
+    "q_dialect_final",
+    oracle="""
+SELECT user_id, event_type,
+       round(value, 2) AS last_value_r,
+       event_id AS last_event_id
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    description="ClickHouse `FROM events FINAL` run verbatim through "
+    "the dialect shim with register_final_keys semantics (key "
+    "(user_id, event_type), version (ts, event_id)) — "
+    "dialect._rewrite_final emits the keep-latest max_by(struct(*)) "
+    "subquery; graded against a DuckDB row_number()=1 oracle.",
+)
+def q_dialect_final(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(
+        spark, _CH_FINAL, sf_dir,
+        final_keys={"events": (("user_id", "event_type"),
+                               ("ts", "event_id"))},
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "last_value_r",
+        F.col("last_event_id").cast("long").alias("last_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: the URL function family (ClickHouse
+# sql-reference/functions/url-functions → Spark parse_url, JVM-side).
+# URLs are synthesized deterministically from event columns so the
+# getters have real variance to chew on; the DuckDB oracle re-derives
+# every component with regexes (DuckDB has no parse_url).
+# ---------------------------------------------------------------------------
+
+_CH_URL = """
+SELECT domain(u) AS host,
+       topLevelDomain(u) AS tld,
+       path(u) AS p,
+       extractURLParameter(u, 'k') AS k,
+       count() AS n
+FROM (
+  SELECT concat('https://ex', toString(user_id % 3),
+                '.com/p/', event_type,
+                '?k=', toString(event_id % 7)) AS u
+  FROM events
+)
+GROUP BY host, tld, p, k
+ORDER BY host, p, k
+"""
+
+
+@staged(
+    "q_dialect_url_funcs",
+    oracle="""
+WITH urls AS (
+  SELECT 'https://ex' || CAST(user_id % 3 AS VARCHAR)
+         || '.com/p/' || event_type
+         || '?k=' || CAST(event_id % 7 AS VARCHAR) AS u
+  FROM events
+), parts AS (
+  SELECT regexp_extract(u, '^[a-z]+://([^/?#]+)', 1) AS host,
+         regexp_extract(regexp_extract(u, '^[a-z]+://([^/?#]+)', 1),
+                        '\\.([^.]+)$', 1) AS tld,
+         regexp_extract(u, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS p,
+         regexp_extract(u, '[?&]k=([^&#]*)', 1) AS k
+  FROM urls
+)
+SELECT host, tld, p, k, CAST(count(*) AS BIGINT) AS n
+FROM parts
+GROUP BY host, tld, p, k
+ORDER BY host, p, k
+""",
+    description="ClickHouse URL getters (domain / topLevelDomain / "
+    "path / extractURLParameter) run verbatim through the dialect "
+    "shim, which maps them to Spark's JVM-side parse_url; graded "
+    "against a DuckDB regex re-derivation of each component.",
+)
+def q_dialect_url_funcs(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_URL, sf_dir)
+    return out.select(
+        "host", "tld", "p", "k", F.col("n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rankCorr — Spearman rank correlation (ClickHouse rankCorr(x, y)).
+# Average-rank tie handling, carried as 2× the average rank so every
+# intermediate stays an exact integer: for a value with min-rank r and
+# multiplicity c the average rank is r + (c-1)/2, so 2·avg = 2r + c - 1.
+# All five sums are exact DECIMAL(38,0); the closed form
+#   rho = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²))
+# is scale-invariant, so the ×2 cancels.  One IEEE divide + sqrt at the
+# end, round 6.  The exact-decimal path bounds per-group n at ~3e8
+# (2n)²·n·n < 1e38; beyond that switch the sums to double and accept
+# last-ulp noise — at 100 TB the groups here (event types) are far
+# wider, so the decimal path is the correct default.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_spearman_corr",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value AS x, epoch_us(ts) AS y FROM events
+), r AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+           + count(*) OVER (PARTITION BY event_type, x) - 1 AS x2,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+           + count(*) OVER (PARTITION BY event_type, y) - 1 AS y2
+  FROM e
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x2) AS HUGEINT) AS sx,
+         CAST(sum(y2) AS HUGEINT) AS sy,
+         CAST(sum(x2 * x2) AS HUGEINT) AS sxx,
+         CAST(sum(y2 * y2) AS HUGEINT) AS syy,
+         CAST(sum(x2 * y2) AS HUGEINT) AS sxy
+  FROM r GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho_r
+FROM s ORDER BY event_type
+""",
+    description="Spearman rank correlation between value and event "
+    "time per event type (ClickHouse rankCorr): average-rank ties "
+    "carried as exact 2x-scaled integers, five exact DECIMAL(38,0) "
+    "sums, one IEEE divide+sqrt at the end.  Two window ranks + one "
+    "shuffle-free aggregate over the ranked frame; no per-group "
+    "collection.",
+)
+def q_spearman_corr(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.col("value").alias("x"),
+        epoch_us("ts").alias("y"),
+    )
+
+    def rank2(col):
+        return (
+            F.lit(2) * F.rank().over(
+                Window.partitionBy("event_type").orderBy(col))
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", col))
+            - F.lit(1)
+        )
+
+    r = e.select(
+        "event_type",
+        rank2("x").alias("x2"),
+        rank2("y").alias("y2"),
+    )
+    d38 = "decimal(38,0)"
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x2").cast(d38).alias("sx"),
+        F.sum("y2").cast(d38).alias("sy"),
+        F.sum(F.col("x2") * F.col("x2")).cast(d38).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast(d38).alias("syy"),
+        F.sum(F.col("x2") * F.col("y2")).cast(d38).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / F.sqrt(d1 * d2), 6).alias("rho_r"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# cramersV — association between a categorical and a bucketed numeric
+# column (ClickHouse cramersV(a, b)).  Contingency counts are exact
+# integers; each cell's chi-square term is ONE fixed IEEE expression of
+# exact-in-double integers, rounded to 9 digits and summed as exact
+# DECIMAL(38,9) so the cell-sum is order-independent (both engines
+# compute the identical per-cell double, so the rounded decimals are
+# identical and the exact sum is too).
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = ("CASE WHEN value < 50 THEN 0 WHEN value < 100 THEN 1 "
+               "WHEN value < 200 THEN 2 ELSE 3 END")
+
+
+@staged(
+    "q_cramers_v",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type, {_BUCKET_SQL} AS b, count(*) AS o
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT sum(o) AS n, count(DISTINCT event_type) AS r,
+         count(DISTINCT b) AS c
+  FROM cells
+), terms AS (
+  SELECT round(
+           CAST(n * o - rt * ct AS DOUBLE)
+           * CAST(n * o - rt * ct AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)
+              * CAST(ct AS DOUBLE)), 9) AS term
+  FROM (
+    SELECT c.o, t.n,
+           sum(c.o) OVER (PARTITION BY c.event_type) AS rt,
+           sum(c.o) OVER (PARTITION BY c.b) AS ct
+    FROM cells c CROSS JOIN tot t
+  )
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST(t.r AS BIGINT) AS r, CAST(t.c AS BIGINT) AS c,
+       round(CAST(s.chi2 AS DOUBLE), 6) AS chi2_r,
+       round(sqrt(CAST(s.chi2 AS DOUBLE)
+                  / (CAST(t.n AS DOUBLE)
+                     * CAST(least(t.r - 1, t.c - 1) AS DOUBLE))), 6)
+         AS v_r
+FROM tot t CROSS JOIN (
+  SELECT sum(CAST(term AS DECIMAL(38,9))) AS chi2 FROM terms
+) s
+""",
+    description="Cramér's V between event_type and a fixed value "
+    "bucketing (ClickHouse cramersV): exact integer contingency "
+    "counts, per-cell chi-square terms as one fixed IEEE expression "
+    "each, rounded to 9 digits and summed as exact DECIMAL(38,9) so "
+    "the sum is aggregation-order-independent.  Single groupBy + two "
+    "broadcastable marginals; scales as the number of cells, not "
+    "rows.",
+)
+def q_cramers_v(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    b = (
+        F.when(F.col("value") < 50, 0)
+        .when(F.col("value") < 100, 1)
+        .when(F.col("value") < 200, 2)
+        .otherwise(3)
+    )
+    cells = events.select("event_type", b.alias("b")).groupBy(
+        "event_type", "b").agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    m = cells.crossJoin(F.broadcast(tot)).select(
+        "event_type", "b", "o", "n", "r", "c",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("b")).alias("ct"),
+    )
+    diff = (F.col("n") * F.col("o") - F.col("rt") * F.col("ct")).cast(
+        "double")
+    den = (F.col("n").cast("double") * F.col("rt").cast("double")
+           * F.col("ct").cast("double"))
+    terms = m.select(
+        "n", "r", "c",
+        F.round(diff * diff / den, 9).cast("decimal(38,9)").alias(
+            "term"),
+    )
+    s = terms.groupBy("n", "r", "c").agg(F.sum("term").alias("chi2"))
+    chi2_d = F.col("chi2").cast("double")
+    n_d = F.col("n").cast("double")
+    dof = F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        F.round(chi2_d, 6).alias("chi2_r"),
+        F.round(F.sqrt(chi2_d / (n_d * dof)), 6).alias("v_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# intervalLengthSum — total covered length of per-user event intervals
+# [ts, ts + 5 min) with overlaps merged (ClickHouse intervalLengthSum).
+# Classic gaps-and-islands: an interval starts a new island when its
+# start exceeds the running max end of everything before it; island id
+# is the running count of starts; exact integer microseconds
+# throughout.  Two windows over the same (user, time) partitioning —
+# one shuffle, no self-join.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_interval_union_length",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 300000000 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (
+             PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) IS NULL
+           OR s > max(e) OVER (
+             PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged
+), per_island AS (
+  SELECT user_id, island, max(e) - min(s) AS len_us
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(len_us) AS BIGINT) AS covered_us
+FROM per_island GROUP BY user_id ORDER BY user_id
+""",
+    description="Union length of overlapping per-user intervals "
+    "[ts, ts+5min) (ClickHouse intervalLengthSum): gaps-and-islands "
+    "via a running-max-end window, exact integer microseconds, one "
+    "shuffle on user_id shared by both windows and the final "
+    "aggregate.",
+)
+def q_interval_union_length(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + F.lit(300000000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len_us"))
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("len_us").alias("covered_us"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# maxIntersections / maxIntersectionsPosition — the peak number of
+# simultaneously-open intervals and the first time it is reached
+# (ClickHouse maxIntersections(start, end)).  Sweep line as a plan:
+# every interval contributes (+1 at start, -1 at end), the running sum
+# over (point, delta DESC) is the concurrency curve — delta DESC puts
+# starts before ends at the same instant, i.e. touching intervals
+# count as intersecting (CH's closed-interval behavior).
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_max_intersections",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + 300000000 AS e
+  FROM events
+), pts AS (
+  SELECT event_type, s AS p, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e AS p, -1 AS delta FROM iv
+), curve AS (
+  SELECT event_type, p,
+         sum(delta) OVER (
+           PARTITION BY event_type ORDER BY p, delta DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS conc
+  FROM pts
+), peak AS (
+  SELECT event_type, max(conc) AS max_conc FROM curve GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(k.max_conc AS BIGINT) AS max_conc,
+       CAST(min(c.p) AS BIGINT) AS pos_us
+FROM curve c JOIN peak k
+  ON c.event_type = k.event_type AND c.conc = k.max_conc
+GROUP BY c.event_type, k.max_conc
+ORDER BY c.event_type
+""",
+    description="Peak concurrent intervals and first time the peak is "
+    "reached, per event type (ClickHouse maxIntersections / "
+    "maxIntersectionsPosition): sweep line as +1/-1 deltas with a "
+    "running-sum window ordered (point, delta DESC) so touching "
+    "intervals intersect; exact integers end to end.",
+)
+def q_max_intersections(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    iv = events.select(
+        "event_type",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + F.lit(300000000)).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("p"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("e").alias("p"),
+            F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("p"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = pts.select(
+        "event_type", "p", F.sum("delta").over(w).alias("conc"))
+    peak = curve.groupBy("event_type").agg(
+        F.max("conc").alias("max_conc"))
+    return (
+        curve.join(
+            F.broadcast(peak),
+            ["event_type"],
+        )
+        .where(F.col("conc") == F.col("max_conc"))
+        .groupBy("event_type", "max_conc")
+        .agg(F.min("p").alias("pos_us"))
+        .select(
+            "event_type",
+            F.col("max_conc").cast("long").alias("max_conc"),
+            F.col("pos_us").cast("long").alias("pos_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sumMap — per-key map aggregation (ClickHouse sumMap / countMap):
+# per user, the map event_type -> (count, exact decimal sum of value),
+# surfaced in the registry's canonical set form (key-sorted CSV
+# strings) so the cross-engine hash is representation-independent.
+# One shuffle on (user, key) then a map-side-combinable regroup.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_summap_aggregates",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_type,
+         count(*) AS c,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       array_to_string(list(event_type ORDER BY event_type), ',')
+         AS keys_csv,
+       array_to_string(list(CAST(c AS VARCHAR) ORDER BY event_type),
+                       ',') AS counts_csv,
+       array_to_string(list(CAST(s AS VARCHAR) ORDER BY event_type),
+                       ',') AS sums_csv
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+    description="sumMap/countMap aggregation (ClickHouse sumMap): per "
+    "user the event_type -> (count, exact DECIMAL(18,2) sum) map, "
+    "surfaced as key-sorted CSV triples; partial aggregation on "
+    "(user, key) keeps the regroup map-side-combinable.",
+)
+def q_summap_aggregates(spark, sf_dir):
+    from clickbom_spark.queries import dec
+
+    (events,) = load(spark, sf_dir, "events")
+    g = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(dec("value")).cast("decimal(18,2)").alias("s"),
+    )
+    packed = g.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "c", "s"))
+                     ).alias("m"))
+    return packed.select(
+        "user_id",
+        F.concat_ws(",", F.transform("m", lambda x: x.event_type)).alias(
+            "keys_csv"),
+        F.concat_ws(",", F.transform(
+            "m", lambda x: x.c.cast("string"))).alias("counts_csv"),
+        F.concat_ws(",", F.transform(
+            "m", lambda x: x.s.cast("string"))).alias("sums_csv"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# groupBitmap AND/OR/ANDNOT — bitmap set algebra over user-id sets per
+# event type (ClickHouse groupBitmapAnd/Or/AndNot, bitmapCardinality).
+# The distributed form is NOT a driver-side bitmap: distinct
+# (type, user) pairs self-join on user for intersections; unions and
+# differences derive by inclusion-exclusion from exact counts.  The
+# pair grid comes from a broadcast of the 5-row totals, so pairs with
+# empty intersections still appear.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_bitmap_ops",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), tot AS (
+  SELECT event_type, count(*) AS n FROM d GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b,
+         count(*) AS i
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta.event_type AS et_a, tb.event_type AS et_b,
+       CAST(ta.n AS BIGINT) AS card_a,
+       CAST(tb.n AS BIGINT) AS card_b,
+       CAST(coalesce(i.i, 0) AS BIGINT) AS card_and,
+       CAST(ta.n + tb.n - coalesce(i.i, 0) AS BIGINT) AS card_or,
+       CAST(ta.n - coalesce(i.i, 0) AS BIGINT) AS card_andnot,
+       round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             / CAST(ta.n + tb.n - coalesce(i.i, 0) AS DOUBLE), 6)
+         AS jaccard_r
+FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
+LEFT JOIN inter i
+  ON i.et_a = ta.event_type AND i.et_b = tb.event_type
+ORDER BY et_a, et_b
+""",
+    description="Bitmap set algebra over per-type user-id sets "
+    "(ClickHouse groupBitmapAnd/Or/AndNot): distinct pairs self-join "
+    "on user_id for intersections, union/andnot by inclusion-"
+    "exclusion, full pair grid from a broadcast totals join.  Exact "
+    "integers; one IEEE division for the Jaccard.",
+)
+def q_bitmap_ops(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    d = events.select("event_type", "user_id").distinct()
+    tot = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("event_type").alias("et_a"), "user_id")
+    b = d.select(F.col("event_type").alias("et_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ta = tot.select(F.col("event_type").alias("et_a"),
+                    F.col("n").alias("card_a"))
+    tb = tot.select(F.col("event_type").alias("et_b"),
+                    F.col("n").alias("card_b"))
+    grid = ta.crossJoin(tb).where(F.col("et_a") < F.col("et_b"))
+    out = grid.join(F.broadcast(inter), ["et_a", "et_b"], "left").select(
+        "et_a", "et_b", "card_a", "card_b",
+        F.coalesce(F.col("i"), F.lit(0)).alias("card_and"),
+    )
+    card_or = F.col("card_a") + F.col("card_b") - F.col("card_and")
+    return out.select(
+        "et_a", "et_b", "card_a", "card_b", "card_and",
+        card_or.alias("card_or"),
+        (F.col("card_a") - F.col("card_and")).alias("card_andnot"),
+        F.round(
+            F.col("card_and").cast("double") / card_or.cast("double"), 6
+        ).alias("jaccard_r"),
+    ).orderBy("et_a", "et_b")
+
+
+# ---------------------------------------------------------------------------
+# sequenceNextNode — the event that immediately follows the FIRST
+# 'signup' in each user's (ts, event_id)-ordered stream (ClickHouse
+# sequenceNextNode('forward', 'head')).  Row numbers over the per-user
+# order, the anchor is min(rn of a signup), the answer is rn anchor+1;
+# users whose signup is their last event surface as '(none)'.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_sequence_next_node",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), anchor AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN rn END) AS srn
+  FROM o GROUP BY user_id
+)
+SELECT coalesce(n.event_type, '(none)') AS next_event_type,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM anchor a
+LEFT JOIN o n ON n.user_id = a.user_id AND n.rn = a.srn + 1
+WHERE a.srn IS NOT NULL
+GROUP BY 1 ORDER BY next_event_type
+""",
+    description="sequenceNextNode('forward','head'): the event "
+    "immediately after each user's first signup in (ts, event_id) "
+    "order, '(none)' when the signup closes the stream; one window "
+    "pass + an aligned self-join on (user, rn).",
+)
+def q_sequence_next_node(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    o = events.select(
+        "user_id", "event_type",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+    )
+    anchor = o.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("rn"))
+              ).alias("srn"))
+    nxt = o.select("user_id", F.col("rn").alias("nrn"),
+                   F.col("event_type").alias("next_type"))
+    joined = (
+        anchor.where(F.col("srn").isNotNull())
+        .join(nxt, (anchor.user_id == nxt.user_id)
+              & (nxt.nrn == anchor.srn + 1), "left")
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("next_type"), F.lit("(none)")).alias(
+            "next_event_type")
+    ).agg(F.count(F.lit(1)).alias("n_users")).orderBy("next_event_type")
+
+
+# ---------------------------------------------------------------------------
+# quantileTiming — ClickHouse's fixed-grid timing quantile: values are
+# binned on a precision-losing grid (exact below 1024 ms, 16 ms
+# buckets to 30 s, clamped at 30 s), so the quantile is a GRID POINT
+# and merges of partial states are exact.  Deterministic spec: the
+# q-quantile is the smallest grid point whose cumulative count reaches
+# ceil(q * n).  value*10 is used as the millisecond measure so the
+# corpus actually exercises the 16 ms region.
+# ---------------------------------------------------------------------------
+
+_TIMING_BUCKET = """CASE
+  WHEN ms < 1024 THEN ms
+  WHEN ms < 30000 THEN ms - (ms % 16)
+  ELSE 30000 END"""
+
+
+@staged(
+    "q_quantile_timing",
+    oracle=f"""
+WITH t AS (
+  SELECT event_type,
+         CAST(floor(value * 10) AS BIGINT) AS ms
+  FROM events
+), b AS (
+  SELECT event_type, {_TIMING_BUCKET} AS bucket, count(*) AS c
+  FROM t GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_type,
+       CAST(min(CASE WHEN cum >= ceil(0.50 * n) THEN bucket END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= ceil(0.90 * n) THEN bucket END)
+            AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END)
+            AS BIGINT) AS p99,
+       CAST(max(n) AS BIGINT) AS n
+FROM cum GROUP BY event_type ORDER BY event_type
+""",
+    description="quantileTiming(0.5/0.9/0.99) per event type: "
+    "ClickHouse's fixed timing grid (exact <1024 ms, 16 ms buckets to "
+    "30 s, clamp at 30 s) makes the sketch mergeable and the quantile "
+    "a grid point — smallest bucket whose cumulative count reaches "
+    "ceil(q*n); integer-exact end to end.",
+)
+def q_quantile_timing(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    ms = F.floor(F.col("value") * 10).cast("long")
+    bucket = (
+        F.when(ms < 1024, ms)
+        .when(ms < 30000, ms - (ms % 16))
+        .otherwise(F.lit(30000))
+    )
+    b = events.select("event_type", bucket.alias("bucket")).groupBy(
+        "event_type", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.select(
+        "event_type", "bucket", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def level(q, name):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                   F.col("bucket"))
+        ).cast("long").alias(name)
+
+    return cum.groupBy("event_type").agg(
+        level(0.50, "p50"), level(0.90, "p90"), level(0.99, "p99"),
+        F.max("n").cast("long").alias("n"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# greatCircleDistance — haversine distance between deterministic
+# per-customer and per-nation coordinates (ClickHouse
+# greatCircleDistance(lon1, lat1, lon2, lat2)).  Coordinates are
+# integer-derived (exact in double); the distance is ONE fixed IEEE
+# expression per row (no aggregation), rounded to 3 decimals — metre
+# precision, far above the <=2-ulp libm drift between JVM Math and C
+# libm.
+# ---------------------------------------------------------------------------
+
+_HAVERSINE = (
+    "2.0 * 6371.0 * asin(sqrt("
+    "pow(sin((radians({nlat}) - radians({lat})) / 2), 2) "
+    "+ cos(radians({lat})) * cos(radians({nlat})) "
+    "* pow(sin((radians({nlon}) - radians({lon})) / 2), 2)))"
+)
+
+
+@staged(
+    "q_geo_distance",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon,
+         (c_nationkey * 677 % 18000) / 100.0 - 90.0 AS nlat,
+         (c_nationkey * 997 % 36000) / 100.0 - 180.0 AS nlon
+  FROM customer
+)
+SELECT c_custkey,
+       round({_HAVERSINE.format(lat='lat', lon='lon',
+                                nlat='nlat', nlon='nlon')}, 3)
+         AS dist_km_r
+FROM pts ORDER BY c_custkey
+""",
+    description="greatCircleDistance (haversine, R=6371 km) between "
+    "integer-derived customer and nation coordinates: one fixed IEEE "
+    "expression per row, no aggregation, round-3 (metre) surfacing "
+    "absorbs cross-libm ulp drift.  Pure narrow projection — scan-"
+    "bound at scale.",
+)
+def q_geo_distance(spark, sf_dir):
+    (customer,) = load(spark, sf_dir, "customer")
+    pts = customer.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias(
+            "lon"),
+        ((F.col("c_nationkey") * 677 % 18000) / 100.0 - 90.0).alias(
+            "nlat"),
+        ((F.col("c_nationkey") * 997 % 36000) / 100.0 - 180.0).alias(
+            "nlon"),
+    )
+    dist = F.expr(_HAVERSINE.format(lat="lat", lon="lon",
+                                    nlat="nlat", nlon="nlon"))
+    return pts.select(
+        "c_custkey", F.round(dist, 3).alias("dist_km_r")
+    ).orderBy("c_custkey")
