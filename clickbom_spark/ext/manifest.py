@@ -68,6 +68,17 @@ class CommitConflict(RuntimeError):
     orphans that ``vacuum`` collects)."""
 
 
+class BranchMergeConflict(RuntimeError):
+    """A branch merge found keys modified on BOTH sides since the
+    branch point (write-write conflict).  Raised only under
+    ``on_conflict='fail'``; carries a bounded sample of the
+    conflicting keys in ``sample_keys``."""
+
+    def __init__(self, message: str, sample_keys: list):
+        super().__init__(message)
+        self.sample_keys = sample_keys
+
+
 class LocalFSStore:
     """Default manifest store: local-filesystem conditional create.
 
@@ -237,6 +248,10 @@ class VersionedLake:
                 payload["drops"] = prev["drops"]
             if prev and prev.get("constraints"):
                 payload["constraints"] = prev["constraints"]
+            if prev and prev.get("branched_from"):
+                # branch-point provenance survives every branch-side
+                # mutation so merge_branch can scope conflict detection
+                payload["branched_from"] = prev["branched_from"]
             if extra_meta:
                 payload.update(extra_meta)
             if prev and prev.get("projections"):
@@ -827,33 +842,37 @@ def change_feed(
     )
     cols = pre.columns
     val_cols = [c for c in cols if c not in key_cols]
-    p = pre.alias("p")
-    q = post.alias("q")
+    # alias names must not collide with user COLUMN names (a column
+    # literally named "p" would make `p.c` ambiguous between the
+    # dataframe alias and a struct-field access), so use reserved-ish
+    # names no schema will carry
+    p = pre.alias("__cdf_pre")
+    q = post.alias("__cdf_post")
     joined = p.join(q, key_cols, "full_outer")
     changed_val = F.lit(False)
     for c in val_cols:
-        changed_val = changed_val | ~F.col(f"p.{c}").eqNullSafe(
-            F.col(f"q.{c}")
+        changed_val = changed_val | ~F.col(f"__cdf_pre.{c}").eqNullSafe(
+            F.col(f"__cdf_post.{c}")
         )
     k0 = key_cols[0]
-    in_pre = F.col(f"p.{k0}").isNotNull()
-    in_post = F.col(f"q.{k0}").isNotNull()
+    in_pre = F.col(f"__cdf_pre.{k0}").isNotNull()
+    in_post = F.col(f"__cdf_post.{k0}").isNotNull()
     deletes = joined.where(in_pre & ~in_post).select(
         F.lit("delete").alias("_change_type"),
-        *[F.coalesce(F.col(f"p.{c}")).alias(c) if c not in key_cols else F.col(c) for c in cols],
+        *[F.coalesce(F.col(f"__cdf_pre.{c}")).alias(c) if c not in key_cols else F.col(c) for c in cols],
     )
     inserts = joined.where(in_post & ~in_pre).select(
         F.lit("insert").alias("_change_type"),
-        *[F.coalesce(F.col(f"q.{c}")).alias(c) if c not in key_cols else F.col(c) for c in cols],
+        *[F.coalesce(F.col(f"__cdf_post.{c}")).alias(c) if c not in key_cols else F.col(c) for c in cols],
     )
     updated = joined.where(in_pre & in_post & changed_val)
     update_pre = updated.select(
         F.lit("update_pre").alias("_change_type"),
-        *[F.col(f"p.{c}").alias(c) if c not in key_cols else F.col(c) for c in cols],
+        *[F.col(f"__cdf_pre.{c}").alias(c) if c not in key_cols else F.col(c) for c in cols],
     )
     update_post = updated.select(
         F.lit("update_post").alias("_change_type"),
-        *[F.col(f"q.{c}").alias(c) if c not in key_cols else F.col(c) for c in cols],
+        *[F.col(f"__cdf_post.{c}").alias(c) if c not in key_cols else F.col(c) for c in cols],
     )
     return deletes.unionByName(inserts).unionByName(update_pre).unionByName(
         update_post
@@ -1028,6 +1047,10 @@ def branch(lake: VersionedLake, path: str) -> VersionedLake:
         for k in ("schema_extras", "renames", "drops", "constraints")
         if m.get(k)
     }
+    # Structured branch-point provenance: merge_branch's conflict
+    # detection needs the exact source version this branch forked from
+    # to scope the source-side change feed.
+    carried["branched_from"] = {"path": lake.path, "version": m["version"]}
     br._commit(
         src_files,
         m["n_rows"],
@@ -1038,7 +1061,10 @@ def branch(lake: VersionedLake, path: str) -> VersionedLake:
 
 
 def merge_branch(
-    src: VersionedLake, br: VersionedLake, key_cols: list[str]
+    src: VersionedLake,
+    br: VersionedLake,
+    key_cols: list[str],
+    on_conflict: str = "branch-wins",
 ) -> int:
     """Merge a branch's net changes back into its source as ONE CDC
     commit: the branch's change feed from its branch point (v0, the
@@ -1048,8 +1074,23 @@ def merge_branch(
     only the files the branch actually rewrote (CDF property), so
     merge cost scales with the branch's divergence, not the table.
 
+    ``on_conflict`` governs keys modified on BOTH sides since the
+    branch point (the lakeFS/Git merge question; computed as the
+    intersection of the branch's changed-key set with the SOURCE's
+    change feed scoped [branch-point version, source head] — so
+    detection cost also scales with divergence, not table size):
+
+    * ``'branch-wins'`` (default, the historical behavior): branch
+      ops overwrite concurrent source edits on the same key.
+    * ``'fail'``: raise :class:`BranchMergeConflict` carrying a
+      bounded key sample; nothing is committed.
+    * ``'source-wins'``: drop the branch's ops on conflicted keys and
+      merge the rest (the source's concurrent edit survives).
+
     Keys must be unique per snapshot (the CDF pre/post pairing
     contract).  Returns the source's new version."""
+    if on_conflict not in ("branch-wins", "fail", "source-wins"):
+        raise ValueError(f"unknown on_conflict policy: {on_conflict!r}")
     cf = change_feed(br, 0, br.current_version(), key_cols)
     ops = cf.where(F.col("_change_type") != "update_pre").withColumn(
         "op",
@@ -1057,6 +1098,43 @@ def merge_branch(
         .when(F.col("_change_type") == "insert", F.lit("I"))
         .otherwise(F.lit("U")),
     ).drop("_change_type")
+    if on_conflict != "branch-wins":
+        bf = br._manifest(0).get("branched_from")
+        if not bf:
+            raise ValueError(
+                "branch predates branch-point provenance (no "
+                "branched_from in its v0 manifest); conflict detection "
+                "needs the source version the branch forked from — "
+                "re-create the branch or merge with "
+                "on_conflict='branch-wins'"
+            )
+        src_head = src.current_version()
+        conflicts = None
+        if src_head > bf["version"]:
+            src_cf = change_feed(src, bf["version"], src_head, key_cols)
+            conflicts = (
+                src_cf.select(*key_cols)
+                .distinct()
+                .join(ops.select(*key_cols).distinct(), key_cols,
+                      "left_semi")
+                # both sides of the detection join are change-scoped
+                # (divergence-sized), so pinning keeps the conflict set
+                # from re-deriving both feeds for the sample AND the
+                # anti-join below
+                .localCheckpoint(eager=True)
+            )
+        if conflicts is not None and on_conflict == "fail":
+            sample = conflicts.limit(20).collect()
+            if sample:
+                raise BranchMergeConflict(
+                    f"{len(sample)}{'+' if len(sample) == 20 else ''} "
+                    f"key(s) modified on both source and branch since "
+                    f"branch point v{bf['version']} (first: "
+                    f"{[tuple(r) for r in sample[:5]]})",
+                    [tuple(r) for r in sample],
+                )
+        elif conflicts is not None and on_conflict == "source-wins":
+            ops = ops.join(conflicts, key_cols, "left_anti")
     return src.merge_cdc(ops, key_cols, message="merge-branch")
 
 
@@ -1101,6 +1179,43 @@ def streaming_epoch_sink(lake: VersionedLake, key_cols: list[str]):
         if batch_df.isEmpty():
             return
         lake.upsert(batch_df, key_cols, message=f"epoch-{e}", epoch=e)
+
+    return body
+
+
+def streaming_matview_sink(lake: VersionedLake, group_cols: list[str],
+                           partial):
+    """foreachBatch body for an EXACTLY-ONCE incrementally-maintained
+    AGGREGATE materialized view: ``partial(batch_df)`` reduces the
+    micro-batch to per-group additive counters (count / decimal sums —
+    anything where merge = column-wise +), the sink folds them into the
+    view's current state, and the merged state upserts as ONE epoch-
+    marked snapshot, so replays of the same epoch (Spark's at-least-
+    once foreachBatch contract) are detected and skipped rather than
+    double-counted.  The additive fold touches only the matview (group-
+    cardinality-sized) plus the batch's partial — never the source
+    table — which is what makes the view INCREMENTAL at scale.
+
+    Counter columns are every non-group column of ``partial``'s output;
+    each is summed and cast back to its declared type so decimal sums
+    stay exact across epochs."""
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        if epoch_committed(lake, e):
+            return
+        if batch_df.isEmpty():
+            return
+        p = partial(batch_df)
+        dtypes = dict(p.dtypes)
+        counters = [c for c in p.columns if c not in group_cols]
+        merged = (
+            lake.read().select(*p.columns).unionByName(p)
+            .groupBy(*group_cols)
+            .agg(*[F.sum(c).cast(dtypes[c]).alias(c) for c in counters])
+        )
+        lake.upsert(merged, group_cols, message=f"matview-epoch-{e}",
+                    epoch=e)
 
     return body
 

@@ -41,6 +41,9 @@ SUM over doubles — and ``round(x, 6)`` on surfaced statistics.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -943,3 +946,176 @@ def q_geo_distance(spark, sf_dir):
     return pts.select(
         "c_custkey", F.round(dist, 3).alias("dist_km_r")
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Branch merge with write-write conflict detection — the lakeFS/Git
+# merge question as a query: a feature branch and its source edit
+# overlapping key ranges; 'fail' proves detection fires, 'source-wins'
+# resolves deterministically.  The oracle replays the policy
+# arithmetic directly on the base table.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_lake_branch_merge_conflict",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 3 = 0
+), fin AS (
+  SELECT k,
+         CASE WHEN k % 7 = 0 AND k % 35 <> 0 THEN 'B-EDIT'
+              ELSE st END AS st,
+         CASE WHEN k % 5 = 0 THEN p + 1000 ELSE p END AS p
+  FROM base
+  WHERE NOT (k % 11 = 1 AND k % 5 <> 0)
+)
+SELECT st AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(p) AS DOUBLE) AS total_p
+FROM fin GROUP BY st ORDER BY st
+""",
+    description="Branch merge-back under concurrent source writes "
+    "(ext/manifest.merge_branch on_conflict): branch edits status on "
+    "keys %7 and deletes keys %11==1 while the source edits price on "
+    "keys %5; 'fail' must raise BranchMergeConflict, then "
+    "'source-wins' drops exactly the both-side keys — conflict "
+    "detection scoped to the two change feeds, so cost scales with "
+    "divergence, not table size.",
+)
+def q_lake_branch_merge_conflict(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import (
+        BranchMergeConflict,
+        VersionedLake,
+        branch,
+        merge_branch,
+    )
+    from clickbom_spark.queries import dec
+    from clickbom_spark.queries.staged import _TMP
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        dec("o_totalprice").alias("p"),
+    )
+    tag = _uuid.uuid4().hex[:8]
+    path = os.path.join(_TMP, f"merge_conflict_src_{tag}")
+    br_path = os.path.join(_TMP, f"merge_conflict_br_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(br_path, ignore_errors=True)
+    lake = VersionedLake.create(
+        spark, path, base.repartitionByRange(4, "k"), n_files=4)
+    br = branch(lake, br_path)
+    br.update(F.col("k") % 7 == 0, {"st": F.lit("B-EDIT")})
+    br.delete(F.col("k") % 11 == 1)
+    # concurrent source edit overlapping both branch predicates
+    lake.update(F.col("k") % 5 == 0, {"p": F.col("p") + 1000})
+    try:
+        merge_branch(lake, br, ["k"], on_conflict="fail")
+        raise AssertionError("conflict detection must fire")
+    except BranchMergeConflict:
+        pass
+    v = merge_branch(lake, br, ["k"], on_conflict="source-wins")
+    return (
+        lake.read(v)
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").cast("double").alias("total_p"),
+        )
+        .select(F.col("st").alias("o_orderstatus"), "n", "total_p")
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lake changelog -> incrementally-maintained aggregate matview: the
+# full streaming-warehouse loop.  Events land in the source lake over
+# three append commits; the lake streams them out (Python Data Source
+# API), and streaming_matview_sink folds per-batch partial aggregates
+# additively into a second lake with exactly-once epoch marking.  The
+# oracle is the BATCH aggregate — incremental view maintenance must be
+# indistinguishable from recomputation.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_lake_stream_matview",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_v
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    description="Lake changelog as a streaming source feeding an "
+    "incrementally-maintained aggregate matview "
+    "(ext/manifest.streaming_matview_sink): three source commits "
+    "stream out via the Python Data Source API, per-batch partials "
+    "fold additively (exact decimal sums) with exactly-once epoch "
+    "marking; graded against the batch aggregate.",
+)
+def q_lake_stream_matview(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        streaming_matview_sink,
+    )
+    from clickbom_spark.queries import dec
+    from clickbom_spark.queries.staged import _TMP
+    from clickbom_spark.streaming.lake_source import LakeStreamDataSource
+
+    (events,) = load(spark, sf_dir, "events")
+    base = events.select("event_id", "event_type", "value")
+    tag = _uuid.uuid4().hex[:8]
+    src_path = os.path.join(_TMP, f"mv_src_{tag}")
+    mv_path = os.path.join(_TMP, f"mv_dst_{tag}")
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(mv_path, ignore_errors=True)
+    src = VersionedLake.create(
+        spark, src_path, base.where(F.col("event_id") % 3 == 0),
+        n_files=2)
+    src.upsert(base.where(F.col("event_id") % 3 == 1), ["event_id"])
+    src.upsert(base.where(F.col("event_id") % 3 == 2), ["event_id"])
+
+    mv = VersionedLake.create(
+        spark,
+        mv_path,
+        base.select(
+            "event_type",
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("decimal(18,2)").alias("s"),
+        ).where(F.lit(False)),
+        n_files=1,
+    )
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec("value")).cast("decimal(18,2)").alias("s"),
+        )
+
+    spark.dataSource.register(LakeStreamDataSource)
+    q = (
+        spark.readStream.format("lake_stream")
+        .option("path", src_path)
+        .load()
+        .writeStream.foreachBatch(
+            streaming_matview_sink(mv, ["event_type"], partial))
+        .option("checkpointLocation", os.path.join(_TMP, f"mv_ck_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        mv.read()
+        .select(
+            "event_type",
+            "n",
+            F.col("s").cast("double").alias("total_v"),
+        )
+        .orderBy("event_type")
+    )
