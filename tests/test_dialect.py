@@ -257,3 +257,35 @@ def test_array_higher_order_functions_swap_argument_order(spark):
     got = run_clickhouse_sql(spark, ch, SF_SMOKE).collect()
     want = spark.sql(native).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_url_function_family(spark):
+    """ClickHouse URL getters map to Spark's JVM-side parse_url (plus
+    regex derivations for the components parse_url lacks); ClickHouse
+    semantics pinned on literal URLs, including the ''-on-missing
+    contract for extractURLParameter."""
+    ch = (
+        "SELECT protocol(u) AS proto, domain(u) AS host, "
+        "domainWithoutWWW(u) AS nwww, topLevelDomain(u) AS tld, "
+        "path(u) AS p, pathFull(u) AS pf, queryString(u) AS qs, "
+        "fragment(u) AS fr, extractURLParameter(u, 'b') AS b, "
+        "extractURLParameter(u, 'zz') AS zz, "
+        "cutQueryString(u) AS cq, cutFragment(u) AS cf, "
+        "cutQueryStringAndFragment(u) AS cqf "
+        "FROM (SELECT 'https://www.sub.example.com/a/b?x=1&b=2#frag' "
+        "AS u)"
+    )
+    row = run_clickhouse_sql(spark, ch, SF_SMOKE).collect()[0]
+    assert row["proto"] == "https"
+    assert row["host"] == "www.sub.example.com"
+    assert row["nwww"] == "sub.example.com"
+    assert row["tld"] == "com"
+    assert row["p"] == "/a/b"
+    assert row["pf"] == "/a/b?x=1&b=2"
+    assert row["qs"] == "x=1&b=2"
+    assert row["fr"] == "frag"
+    assert row["b"] == "2"
+    assert row["zz"] == ""  # ClickHouse '' (not NULL) on missing param
+    assert row["cq"] == "https://www.sub.example.com/a/b#frag"
+    assert row["cf"] == "https://www.sub.example.com/a/b?x=1&b=2"
+    assert row["cqf"] == "https://www.sub.example.com/a/b"

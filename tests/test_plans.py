@@ -669,3 +669,81 @@ def test_anova_and_cuped_are_single_aggregate_plans(spark):
         plan = _staged_r8_plan(spark, name)
         assert "windowspecdefinition" not in plan, (name, plan)
         assert "Join" not in plan, (name, plan)
+
+
+def _staged_r9_plan(spark, name: str) -> str:
+    from clickbom_spark.queries.staged_r9 import STAGED_R9
+
+    df = STAGED_R9[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spearman_windows_are_group_partitioned(spark):
+    """rankCorr's ranks must come from event_type-partitioned windows
+    (parallel across groups); no unpartitioned global sort of the fact
+    table, and the final reduce is a hash aggregate."""
+    plan = _staged_r9_plan(spark, "q_spearman_corr")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "event_type" in ln, ln
+
+
+def test_bitmap_ops_intersection_is_equi_join(spark):
+    """groupBitmapAnd candidate generation must be the hash equi-join
+    on user_id; the only tolerated nested-loop is the 5x5 totals grid
+    (constant-sized)."""
+    plan = _staged_r9_plan(spark, "q_bitmap_ops")
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_interval_union_single_user_partitioning(spark):
+    """Gaps-and-islands must run entirely inside user_id partitions —
+    both windows and the island aggregate reuse one shuffle; no global
+    window."""
+    plan = _staged_r9_plan(spark, "q_interval_union_length")
+    for ln in plan.split("\n"):
+        if "windowspecdefinition" in ln:
+            assert "user_id" in ln, ln
+
+
+def test_max_intersections_sweep_is_type_partitioned(spark):
+    plan = _staged_r9_plan(spark, "q_max_intersections")
+    for ln in plan.split("\n"):
+        if "windowspecdefinition" in ln:
+            assert "event_type" in ln, ln
+
+
+def test_cramers_v_no_fact_table_window(spark):
+    """The chi-square marginals run over the CELLS frame (r x c rows),
+    never over the fact table: every window partitions by a cell
+    coordinate, and the plan carries no per-row window on events."""
+    plan = _staged_r9_plan(spark, "q_cramers_v")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "event_type" in ln or " b#" in ln or "b#" in ln, ln
+
+
+def test_geo_distance_is_scan_projection(spark):
+    """greatCircleDistance is one narrow projection: no joins, no
+    windows, no aggregates — scan-bound at scale."""
+    plan = _staged_r9_plan(spark, "q_geo_distance")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_dialect_final_collapses_to_one_aggregate(spark):
+    """FROM t FINAL must become ONE keep-latest hash aggregate on the
+    engine key — not a window + filter over the whole table."""
+    plan = _staged_r9_plan(spark, "q_dialect_final")
+    assert "max_by" in plan or "HashAggregate" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
