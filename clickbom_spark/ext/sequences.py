@@ -91,10 +91,21 @@ def window_funnel_level(
     n_levels: int,
     window_us: int,
     out_col: str = "funnel_level",
+    mode: str = "default",
 ) -> DataFrame:
     """ClickHouse ``windowFunnel(window)(ts, cond1..condL)``: per key,
     the maximum chain depth where step i+1 occurs at-or-after step i
     and within ``window_us`` of the chain's FIRST event.
+
+    ``mode='strict_order'`` adds ClickHouse's interleaving rule: an
+    event matching NO condition (``level`` 0) kills every in-flight
+    chain (the A→B→D→C example — the search for A→B→C stops at D); a
+    fresh chain may start afterwards.  Level-0 events must then be
+    KEPT in the fold, so per-key state covers all events, exactly the
+    cost ClickHouse pays.  (strict_dedup / strict_increase need chain
+    identity / per-step times, which the best-chain-start compression
+    deliberately drops — they would be a different state shape, not a
+    flag here.)
 
     Greedy fold over the time-ordered stream (later chain starts are
     never worse — they leave more window for future steps), so the
@@ -111,20 +122,37 @@ def window_funnel_level(
     ``level`` 0 are dropped before the collect, so per-key state is
     bounded by the matching events only.
     """
+    if mode not in ("default", "strict_order"):
+        raise ValueError(f"unknown windowFunnel mode: {mode!r}")
     src = df.select(
         *[F.col(c) for c in key_cols],
         ts_us.alias("_t"),
         tie.alias("_tb"),
         level.cast("int").alias("_l"),
-    ).where(F.col("_l") > 0)
+    )
+    if mode == "default":
+        src = src.where(F.col("_l") > 0)
     packed = F.array_sort(
         F.collect_list(F.struct(F.col("_t").alias("t"),
                                 F.col("_tb").alias("tb"),
                                 F.col("_l").alias("l")))
     )
+    # strict_order carries one extra slot: the best depth achieved by
+    # any chain BEFORE an interruption (levels reached still count —
+    # the interruption only stops deepening).
     seed = F.array(
-        *[F.lit(_WF_NEG).cast("long") for _ in range(n_levels)]
+        *[F.lit(_WF_NEG).cast("long") for _ in range(n_levels)],
+        *([F.lit(0).cast("long")] if mode == "strict_order" else []),
     )
+
+    def _depth_of(acc: Column) -> Column:
+        d = None
+        for k in range(1, n_levels + 1):
+            b = F.when(
+                F.element_at(acc, k) > F.lit(_WF_NEG), 1
+            ).otherwise(0)
+            d = b if d is None else d + b
+        return d.cast("long")
 
     def step(acc: Column, x: Column) -> Column:
         slots = []
@@ -142,13 +170,24 @@ def window_funnel_level(
                     F.greatest(cur, prev),
                 ).otherwise(cur)
             )
-        return F.array(*slots)
+        if mode != "strict_order":
+            return F.array(*slots)
+        best = F.greatest(F.element_at(acc, n_levels + 1),
+                          _depth_of(acc))
+        kill = x["l"] == 0
+        return F.array(
+            *[
+                F.when(kill, F.lit(_WF_NEG).cast("long")).otherwise(s)
+                for s in slots
+            ],
+            F.when(kill, best).otherwise(
+                F.element_at(acc, n_levels + 1)),
+        )
 
     state = F.aggregate(packed, seed, step)
-    depth = None
-    for k in range(1, n_levels + 1):
-        d = F.when(F.element_at(state, k) > F.lit(_WF_NEG), 1).otherwise(0)
-        depth = d if depth is None else depth + d
+    depth = _depth_of(state)
+    if mode == "strict_order":
+        depth = F.greatest(depth, F.element_at(state, n_levels + 1))
     return src.groupBy(*key_cols).agg(
         depth.cast("long").alias(out_col)
     )

@@ -1119,3 +1119,611 @@ def q_lake_stream_matview(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel strict_order — ClickHouse's interleaving rule (the
+# A->B->D->C search stops at D) on top of the greedy best-chain-start
+# fold; the achieved depth before an interruption still counts.  The
+# DuckDB oracle replays the identical 4-slot fold with list_reduce.
+# ---------------------------------------------------------------------------
+
+_WFS_WINDOW_US = 30 * 60 * 1_000_000
+_WFS_NEG = -(10 ** 18)
+
+
+@staged(
+    "q_window_funnel_strict",
+    oracle=f"""
+WITH lev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'purchase' THEN 3 ELSE 0 END AS l
+  FROM events
+), folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend([{_WFS_NEG}::BIGINT, {_WFS_NEG}::BIGINT,
+                         {_WFS_NEG}::BIGINT, 0::BIGINT],
+             list([t, CAST(l AS BIGINT)] ORDER BY t, event_id)),
+           (acc, x) -> [
+             CASE WHEN x[2] = 0 THEN {_WFS_NEG}::BIGINT
+                  WHEN x[2] = 1 THEN greatest(acc[1], x[1])
+                  ELSE acc[1] END,
+             CASE WHEN x[2] = 0 THEN {_WFS_NEG}::BIGINT
+                  WHEN x[2] = 2 AND acc[1] >= x[1] - {_WFS_WINDOW_US}
+                  THEN greatest(acc[2], acc[1]) ELSE acc[2] END,
+             CASE WHEN x[2] = 0 THEN {_WFS_NEG}::BIGINT
+                  WHEN x[2] = 3 AND acc[2] >= x[1] - {_WFS_WINDOW_US}
+                  THEN greatest(acc[3], acc[2]) ELSE acc[3] END,
+             CASE WHEN x[2] = 0 THEN greatest(acc[4],
+                    (CASE WHEN acc[1] > {_WFS_NEG} THEN 1 ELSE 0 END)
+                  + (CASE WHEN acc[2] > {_WFS_NEG} THEN 1 ELSE 0 END)
+                  + (CASE WHEN acc[3] > {_WFS_NEG} THEN 1 ELSE 0 END))
+                  ELSE acc[4] END
+           ]) AS s
+  FROM lev GROUP BY user_id
+)
+SELECT user_id,
+       CAST(greatest(
+         (CASE WHEN s[1] > {_WFS_NEG} THEN 1 ELSE 0 END)
+       + (CASE WHEN s[2] > {_WFS_NEG} THEN 1 ELSE 0 END)
+       + (CASE WHEN s[3] > {_WFS_NEG} THEN 1 ELSE 0 END), s[4])
+         AS BIGINT) AS funnel_level
+FROM folded ORDER BY user_id
+""",
+    description="windowFunnel(30 min, 'strict_order')(view, click, "
+    "purchase) per user (ext/sequences.window_funnel_level "
+    "mode='strict_order'): events matching no condition kill every "
+    "in-flight chain but already-achieved depth counts; one hash "
+    "aggregate per user over the full event stream (the cost "
+    "ClickHouse itself pays for strict_order).",
+)
+def q_window_funnel_strict(spark, sf_dir):
+    from clickbom_spark.ext.sequences import window_funnel_level
+
+    (events,) = load(spark, sf_dir, "events")
+    lev = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    return window_funnel_level(
+        events, ["user_id"], epoch_us("ts"), F.col("event_id"),
+        lev, n_levels=3, window_us=_WFS_WINDOW_US, mode="strict_order",
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# sequenceMatch with time constraints — ClickHouse
+# sequenceMatch('(?1)(?t<=43200)(?2)(?t<=43200)(?3)'): consecutive
+# steps at most 12h apart.  Greedy earliest-completion fold: keeping
+# the MINIMUM completion time per matched prefix is optimal (an
+# earlier prefix completion can only loosen future constraints), so
+# the per-user state is one bigint per level — engine-portable.
+# ---------------------------------------------------------------------------
+
+_SMT_LIMIT_US = 12 * 3600 * 1_000_000
+_SMT_POS = 10 ** 18
+
+
+@staged(
+    "q_sequence_match_timed",
+    oracle=f"""
+WITH lev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'purchase' THEN 3 ELSE 0 END AS l
+  FROM events
+), folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend([{_SMT_POS}::BIGINT, {_SMT_POS}::BIGINT,
+                         {_SMT_POS}::BIGINT],
+             list([t, CAST(l AS BIGINT)]
+                  ORDER BY t, event_id) FILTER (l > 0)),
+           (acc, x) -> [
+             CASE WHEN x[2] = 1 THEN least(acc[1], x[1])
+                  ELSE acc[1] END,
+             CASE WHEN x[2] = 2 AND acc[1] < {_SMT_POS}
+                   AND x[1] - acc[1] <= {_SMT_LIMIT_US}
+                  THEN least(acc[2], x[1]) ELSE acc[2] END,
+             CASE WHEN x[2] = 3 AND acc[2] < {_SMT_POS}
+                   AND x[1] - acc[2] <= {_SMT_LIMIT_US}
+                  THEN least(acc[3], x[1]) ELSE acc[3] END
+           ]) AS s
+  FROM lev GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN s[3] < {_SMT_POS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched
+FROM folded
+""",
+    description="Time-constrained sequenceMatch "
+    "('(?1)(?t<=12h)(?2)(?t<=12h)(?3)' over signup->click->purchase): "
+    "greedy earliest-completion fold (min completion time per prefix "
+    "is optimal for downstream constraints), one bigint per level per "
+    "user, matched-user count surfaced.",
+)
+def q_sequence_match_timed(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    lev = (
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    src = events.select(
+        "user_id", epoch_us("ts").alias("t"), "event_id",
+        lev.alias("l"),
+    ).where(F.col("l") > 0)
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col("t"), F.col("event_id"),
+                                F.col("l"))))
+    seed = F.array(*[F.lit(_SMT_POS).cast("long") for _ in range(3)])
+
+    def step(acc, x):
+        e1 = F.element_at(acc, 1)
+        e2 = F.element_at(acc, 2)
+        e3 = F.element_at(acc, 3)
+        return F.array(
+            F.when(x["l"] == 1, F.least(e1, x["t"])).otherwise(e1),
+            F.when(
+                (x["l"] == 2) & (e1 < _SMT_POS)
+                & (x["t"] - e1 <= _SMT_LIMIT_US),
+                F.least(e2, x["t"]),
+            ).otherwise(e2),
+            F.when(
+                (x["l"] == 3) & (e2 < _SMT_POS)
+                & (x["t"] - e2 <= _SMT_LIMIT_US),
+                F.least(e3, x["t"]),
+            ).otherwise(e3),
+        )
+
+    folded = src.groupBy("user_id").agg(
+        F.aggregate(packed, seed, step).alias("s"))
+    return folded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(
+            F.when(F.element_at(F.col("s"), 3) < _SMT_POS, 1).otherwise(0)
+        ).cast("long").alias("n_matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# studentTTest — the equal-variance two-sample t (ClickHouse
+# studentTTest), completing the Welch/Mann-Whitney/KS family: pooled
+# variance from exact integer-cent moments, one fixed IEEE expression.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_student_ttest",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('view', 'error')
+), p AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN c ELSE 0 END) AS BIGINT)
+      AS s1,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END)
+         AS BIGINT) AS ss1,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN c ELSE 0 END) AS BIGINT)
+      AS s2,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN c * c ELSE 0 END)
+         AS BIGINT) AS ss2
+  FROM e
+), m AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mdiff,
+         (CAST(ss1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         + (CAST(ss2 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           AS ssq
+  FROM p
+)
+SELECT n1, n2,
+       CAST(n1 + n2 - 2 AS BIGINT) AS df,
+       round(mdiff / sqrt(ssq / CAST(n1 + n2 - 2 AS DOUBLE)
+             * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))),
+             6) AS t_stat_r
+FROM m
+""",
+    description="Student's pooled-variance two-sample t-test "
+    "(ClickHouse studentTTest) between view and error values: exact "
+    "integer-cent moments from one pivoted aggregate, pooled variance "
+    "and the t statistic as one fixed IEEE chain; df = n1+n2-2.",
+)
+def q_student_ttest(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    e = events.where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "error")
+    ).select("event_type",
+             F.round(F.col("value") * 100).cast("long").alias("c"))
+
+    def side(t, col, name):
+        return F.sum(
+            F.when(F.col("event_type") == t, col).otherwise(F.lit(0))
+        ).cast("long").alias(name)
+
+    p = e.agg(
+        side("view", F.lit(1), "n1"),
+        side("view", F.col("c"), "s1"),
+        side("view", F.col("c") * F.col("c"), "ss1"),
+        side("error", F.lit(1), "n2"),
+        side("error", F.col("c"), "s2"),
+        side("error", F.col("c") * F.col("c"), "ss2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    mdiff = F.col("s1").cast("double") / n1d - F.col("s2").cast(
+        "double") / n2d
+    ssq = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n1d
+    ) + (
+        F.col("ss2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2").cast("double") / n2d
+    )
+    dfree = (F.col("n1") + F.col("n2") - 2).cast("long")
+    return p.select(
+        "n1", "n2",
+        dfree.alias("df"),
+        F.round(
+            mdiff / F.sqrt(ssq / dfree.cast("double")
+                           * (F.lit(1.0) / n1d + F.lit(1.0) / n2d)), 6
+        ).alias("t_stat_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boundingRatio — slope between the first and last point of each
+# group's (t, value) series (ClickHouse boundingRatio(x, y)): exact
+# integer endpoints via min_by/max_by with a (ts, event_id) total
+# order, one IEEE division scaled to per-hour.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_bounding_ratio",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), p AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         arg_min(c, CAST(t AS HUGEINT) * 1000000 + event_id)
+           AS y_first,
+         arg_max(c, CAST(t AS HUGEINT) * 1000000 + event_id)
+           AS y_last,
+         min(t) AS t_min, max(t) AS t_max
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(y_last - y_first AS DOUBLE)
+             / CAST(t_max - t_min AS DOUBLE) * 36000000000.0, 6)
+         AS slope_cents_per_hour_r
+FROM p ORDER BY event_type
+""",
+    description="boundingRatio(t, value) per event type (ClickHouse "
+    "boundingRatio): slope between the series' first and last points "
+    "— exact integer-cent endpoints under the (ts, event_id) total "
+    "order via min_by/max_by struct ordering, one IEEE division "
+    "(scaled to cents/hour); a single hash aggregate, no sort.",
+)
+def q_bounding_ratio(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    e = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        epoch_us("ts").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    order = F.struct(F.col("t"), F.col("event_id"))
+    p = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min_by("c", order).alias("y_first"),
+        F.max_by("c", order).alias("y_last"),
+        F.min("t").alias("t_min"),
+        F.max("t").alias("t_max"),
+    )
+    return p.select(
+        "event_type", "n",
+        F.round(
+            (F.col("y_last") - F.col("y_first")).cast("double")
+            / (F.col("t_max") - F.col("t_min")).cast("double")
+            * F.lit(36000000000.0), 6,
+        ).alias("slope_cents_per_hour_r"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# groupArrayMovingSum — per-group arrays of running window sums
+# (ClickHouse groupArrayMovingSum(3)): the moving sum is a ROWS window
+# over exact decimals; the surfaced form is the last five entries as a
+# CSV (the registry's canonical array surfacing), keeping output rows
+# user-sized while still pinning the window arithmetic.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_group_array_moving_sum",
+    oracle="""
+WITH mv AS (
+  SELECT user_id, ts, event_id,
+         sum(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+         ) AS m
+  FROM events
+), packed AS (
+  SELECT user_id,
+         list(CAST(m AS VARCHAR) ORDER BY ts, event_id) AS l
+  FROM mv GROUP BY user_id
+)
+SELECT user_id,
+       array_to_string(l[greatest(len(l) - 4, 1):len(l)], ',')
+         AS last5_csv,
+       CAST(len(l) AS BIGINT) AS n
+FROM packed ORDER BY user_id
+""",
+    description="groupArrayMovingSum(3) per user (ClickHouse): "
+    "3-row moving sums over exact DECIMAL(18,2) in (ts, event_id) "
+    "order; last five entries surfaced as CSV.  One user-partitioned "
+    "window + one regroup — both reuse a single shuffle.",
+)
+def q_group_array_moving_sum(spark, sf_dir):
+    from clickbom_spark.queries import dec
+
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mv = events.select(
+        "user_id", "ts", "event_id",
+        F.sum(dec("value")).over(w).cast("decimal(18,2)").alias("m"),
+    )
+    packed = mv.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id",
+                                    F.col("m").cast("string").alias("ms")))
+        ).alias("l"))
+    n = F.size("l")
+    return packed.select(
+        "user_id",
+        F.concat_ws(",", F.transform(
+            F.slice("l", F.greatest(n - 4, F.lit(1)), 5),
+            lambda x: x.ms)).alias("last5_csv"),
+        n.cast("long").alias("n"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# geohashEncode — ClickHouse's geohash encoder as a PURE INTEGER
+# expression: grid indices by integer floor-division (no doubles
+# anywhere), 40-bit lon/lat interleave unrolled into 8 base32 chars.
+# The Spark and DuckDB expressions are generated from the SAME Python
+# spec (only the integer-division token differs), so the oracle is a
+# genuine independent execution, not a copy-paste of engine output.
+# ---------------------------------------------------------------------------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_expr(lat_e2: str, lon_e2: str, div: str) -> str:
+    """8-char geohash of integer-scaled coords: ``lat_e2`` in
+    [0, 18000) hundredths of a degree from the south pole, ``lon_e2``
+    in [0, 36000) from the antimeridian.  ``div`` is the engine's
+    integer floor-division token ('DIV' or '//')."""
+    lat_idx = f"(({lat_e2}) * 1048576 {div} 18000)"
+    lon_idx = f"(({lon_e2}) * 1048576 {div} 36000)"
+    chars = []
+    for ci in range(8):
+        terms = []
+        for b in range(5):
+            pos = ci * 5 + b  # bit position, MSB first
+            src, j = (lon_idx, pos // 2) if pos % 2 == 0 else (
+                lat_idx, (pos - 1) // 2)
+            bit = f"(({src} {div} {1 << (19 - j)}) % 2)"
+            terms.append(f"{bit} * {1 << (4 - b)}")
+        v = " + ".join(terms)
+        chars.append(f"substring('{_GH32}', CAST({v} AS INT) + 1, 1)")
+    return "concat(" + ", ".join(chars) + ")"
+
+
+@staged(
+    "q_geohash_encode",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey,
+         c_custkey * 7919 % 18000 AS lat_e2,
+         c_custkey * 104729 % 36000 AS lon_e2
+  FROM customer
+)
+SELECT c_custkey,
+       {_geohash_expr('lat_e2', 'lon_e2', '//')} AS geohash8
+FROM pts ORDER BY c_custkey
+""",
+    description="geohashEncode(lon, lat, 8) (ClickHouse geohash "
+    "family) over integer-derived customer coordinates: grid indices "
+    "and the 40-bit interleave are pure integer arithmetic unrolled "
+    "into 8 base32 characters — zero doubles, zero UDFs, whole-stage-"
+    "codegen-able; Spark and DuckDB expressions generated from one "
+    "spec.",
+)
+def q_geohash_encode(spark, sf_dir):
+    (customer,) = load(spark, sf_dir, "customer")
+    pts = customer.select(
+        "c_custkey",
+        (F.col("c_custkey") * 7919 % 18000).alias("lat_e2"),
+        (F.col("c_custkey") * 104729 % 36000).alias("lon_e2"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.expr(_geohash_expr("lat_e2", "lon_e2", "DIV")).alias(
+            "geohash8"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# largestTriangleThreeBuckets — ClickHouse's LTTB downsampling
+# aggregate, in the parallel "LTTB-avg" variant: the original picks
+# each bucket's point by triangle area against the PREVIOUSLY SELECTED
+# point (a sequential chain); using the neighbor buckets' AVERAGE
+# points on both sides instead makes every bucket independent — one
+# window pass, no sequential dependency — while keeping the visual-
+# fidelity property the algorithm exists for.  Endpoint buckets pass
+# through their first/last point (the anchors), as in the original.
+# All selections resolve on exact integers or identical-IEEE area
+# expressions with an event_id tiebreak.
+# ---------------------------------------------------------------------------
+
+_LTTB_B = 20
+
+
+@staged(
+    "q_lttb_downsample",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), ext AS (
+  SELECT event_type, min(t) AS tmin, max(t) AS tmax
+  FROM pts GROUP BY event_type
+), bk AS (
+  SELECT p.event_type, p.t, p.event_id, p.y,
+         CAST((p.t - e.tmin) * {_LTTB_B}
+              // (e.tmax - e.tmin + 1) AS BIGINT) AS b
+  FROM pts p JOIN ext e ON p.event_type = e.event_type
+), avgs AS (
+  SELECT event_type, b,
+         CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ta,
+         CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ya
+  FROM bk GROUP BY event_type, b
+), interior AS (
+  SELECT bk.event_type, bk.b, bk.t, bk.event_id, bk.y,
+         abs((la.ta - ra.ta) * (CAST(bk.y AS DOUBLE) - ra.ya)
+             - (CAST(bk.t AS DOUBLE) - ra.ta) * (la.ya - ra.ya))
+           AS area
+  FROM bk
+  LEFT JOIN avgs la
+    ON la.event_type = bk.event_type AND la.b = bk.b - 1
+  LEFT JOIN avgs ra
+    ON ra.event_type = bk.event_type AND ra.b = bk.b + 1
+  WHERE bk.b > 0 AND bk.b < {_LTTB_B} - 1
+    AND la.b IS NOT NULL AND ra.b IS NOT NULL
+), sel_mid AS (
+  SELECT event_type, b, t, y FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, b
+      ORDER BY area DESC, event_id DESC) AS rn
+    FROM interior
+  ) WHERE rn = 1
+), sel_edge AS (
+  SELECT event_type, b, t, y FROM (
+    SELECT event_type, b, t, y, row_number() OVER (
+      PARTITION BY event_type, b
+      ORDER BY CASE WHEN b = 0 THEN t ELSE -t END,
+               CASE WHEN b = 0 THEN event_id ELSE -event_id END
+    ) AS rn
+    FROM bk WHERE b = 0 OR b = {_LTTB_B} - 1
+  ) WHERE rn = 1
+)
+SELECT event_type, CAST(b AS BIGINT) AS b,
+       CAST(t AS BIGINT) AS sel_t, CAST(y AS BIGINT) AS sel_y
+FROM (SELECT * FROM sel_mid UNION ALL SELECT * FROM sel_edge)
+ORDER BY event_type, b
+""",
+    description="largestTriangleThreeBuckets(20) per event type "
+    "(ClickHouse LTTB), parallel LTTB-avg variant: neighbor-bucket "
+    "average points replace the sequential previously-selected point "
+    "so every bucket selects independently (one window pass); "
+    "endpoint buckets anchor on their first/last point; empty-"
+    "neighbor interior buckets are skipped.  Integer bucketing, "
+    "identical-IEEE area expressions, event_id tiebreaks.",
+)
+def q_lttb_downsample(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    pts = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        epoch_us("ts").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    ext = pts.groupBy("event_type").agg(
+        F.min("t").alias("tmin"), F.max("t").alias("tmax"))
+    bk = pts.join(F.broadcast(ext), "event_type").select(
+        "event_type", "t", "event_id", "y",
+        ((F.col("t") - F.col("tmin")) * _LTTB_B)
+        .cast("long")
+        .alias("_num"),
+        (F.col("tmax") - F.col("tmin") + 1).alias("_den"),
+    ).select(
+        "event_type", "t", "event_id", "y",
+        F.expr("_num DIV _den").cast("long").alias("b"),
+    )
+    avgs = bk.groupBy("event_type", "b").agg(
+        (F.sum("t").cast("double") / F.count(F.lit(1)).cast("double")
+         ).alias("ta"),
+        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")
+         ).alias("ya"),
+    )
+    la = avgs.select(
+        "event_type", (F.col("b") + 1).alias("b"),
+        F.col("ta").alias("lta"), F.col("ya").alias("lya"))
+    ra = avgs.select(
+        "event_type", (F.col("b") - 1).alias("b"),
+        F.col("ta").alias("rta"), F.col("ya").alias("rya"))
+    interior = (
+        bk.where((F.col("b") > 0) & (F.col("b") < _LTTB_B - 1))
+        .join(la, ["event_type", "b"], "inner")
+        .join(ra, ["event_type", "b"], "inner")
+        .withColumn(
+            "area",
+            F.abs(
+                (F.col("lta") - F.col("rta"))
+                * (F.col("y").cast("double") - F.col("rya"))
+                - (F.col("t").cast("double") - F.col("rta"))
+                * (F.col("lya") - F.col("rya"))
+            ),
+        )
+    )
+    w_mid = Window.partitionBy("event_type", "b").orderBy(
+        F.col("area").desc(), F.col("event_id").desc())
+    sel_mid = (
+        interior.withColumn("rn", F.row_number().over(w_mid))
+        .where(F.col("rn") == 1)
+        .select("event_type", "b", "t", "y")
+    )
+    edge = bk.where((F.col("b") == 0) | (F.col("b") == _LTTB_B - 1))
+    w_edge = Window.partitionBy("event_type", "b").orderBy(
+        F.when(F.col("b") == 0, F.col("t")).otherwise(-F.col("t")),
+        F.when(F.col("b") == 0, F.col("event_id")).otherwise(
+            -F.col("event_id")),
+    )
+    sel_edge = (
+        edge.withColumn("rn", F.row_number().over(w_edge))
+        .where(F.col("rn") == 1)
+        .select("event_type", "b", "t", "y")
+    )
+    return (
+        sel_mid.unionByName(sel_edge)
+        .select(
+            "event_type",
+            F.col("b").cast("long").alias("b"),
+            F.col("t").cast("long").alias("sel_t"),
+            F.col("y").cast("long").alias("sel_y"),
+        )
+        .orderBy("event_type", "b")
+    )
