@@ -83,7 +83,7 @@ def _status_rank() -> dict[str, int]:
 #
 # clickbom_spark/queries/staged_r9.py holds the NEXT wave (parity
 # proven via tests/test_staged_r9_parity.py and
-# `python scripts/strict_parity.py --staged-r9`).  Round 9 activates
+# `python scripts/strict_parity.py --staged`).  Round 9 activates
 # with REGISTRY.update(staged_r9.STAGED_R9) in queries/__init__.py;
 # the disjointness guard in the r9 test file flags any collision.
 

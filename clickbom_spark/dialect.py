@@ -183,6 +183,16 @@ def _split_by_char(args):
     return f"split({args[1]}, {re.escape(sep[1:-1])!r})"
 
 
+def _unsupported_week_mode(mode: str):
+    raise UnsupportedClickHouseSQL(
+        f"toStartOfWeek mode {mode.strip()}: only the default Sunday-"
+        "start mode 0 is translated (the Sunday shift below is mode-"
+        "specific); Monday-start modes need date_trunc('WEEK', x) "
+        "directly — write it in Spark SQL or extend the mapping with "
+        "a tested translation"
+    )
+
+
 _PLAIN = {
     # ClickHouse count() takes zero args; Spark needs count(*)
     "count": lambda a: f"count({', '.join(a) if a else '*'})",
@@ -213,6 +223,8 @@ _PLAIN = {
     "tostartofweek": lambda a: (
         f"CAST(date_sub(date_trunc('WEEK', date_add({a[0]}, 1)), 1)"
         " AS DATE)"
+        if len(a) == 1 or a[1].strip() == "0"
+        else _unsupported_week_mode(a[1])
     ),
     "tostartofyear": lambda a: f"CAST(date_trunc('YEAR', {a[0]}) AS DATE)",
     "toyyyymm": lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)",

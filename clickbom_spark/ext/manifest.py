@@ -681,6 +681,7 @@ class VersionedLake:
         op_col: str = "op",
         message: str = "cdc",
         epoch: int | None = None,
+        expect_version: int | None = None,
     ) -> int:
         """Apply one CDC batch in ONE snapshot commit — the full MERGE
         statement (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT / WHEN
@@ -693,6 +694,15 @@ class VersionedLake:
         CDC-apply contract; the streaming compaction operator does
         exactly that).  One probe + one rewrite of affected files +
         one commit, so a replayed batch is also state-idempotent.
+
+        ``expect_version`` pins the apply to a specific base snapshot:
+        if the table has advanced past it the attempt raises
+        :class:`CommitConflict` WITHOUT applying — callers whose batch
+        was validated against that snapshot (merge_branch's conflict
+        scan) must re-validate and retry themselves, because the
+        default retry-against-whatever-is-current behavior would
+        silently bypass their validation (the same validate-then-
+        publish race add_constraint closes).
         """
         ops = batch.select(F.col(op_col).alias("_op")).distinct().collect()
         bad = {r["_op"] for r in ops} - {"I", "U", "D"}
@@ -710,6 +720,15 @@ class VersionedLake:
 
         def attempt() -> int:
             base = self._manifest()
+            if (
+                expect_version is not None
+                and base["version"] != expect_version
+            ):
+                raise CommitConflict(
+                    f"merge_cdc pinned to v{expect_version} but the "
+                    f"table is at v{base['version']} — re-validate "
+                    "against the current snapshot and retry"
+                )
             files = [os.path.normpath(os.path.join(self.path, f))
                      for f in base["files"]]
             lake = self._read_files(files, version=base["version"])
@@ -1098,16 +1117,25 @@ def merge_branch(
         .when(F.col("_change_type") == "insert", F.lit("I"))
         .otherwise(F.lit("U")),
     ).drop("_change_type")
-    if on_conflict != "branch-wins":
-        bf = br._manifest(0).get("branched_from")
-        if not bf:
-            raise ValueError(
-                "branch predates branch-point provenance (no "
-                "branched_from in its v0 manifest); conflict detection "
-                "needs the source version the branch forked from — "
-                "re-create the branch or merge with "
-                "on_conflict='branch-wins'"
-            )
+    if on_conflict == "branch-wins":
+        return src.merge_cdc(ops, key_cols, message="merge-branch")
+    bf = br._manifest(0).get("branched_from")
+    if not bf:
+        raise ValueError(
+            "branch predates branch-point provenance (no "
+            "branched_from in its v0 manifest); conflict detection "
+            "needs the source version the branch forked from — "
+            "re-create the branch or merge with "
+            "on_conflict='branch-wins'"
+        )
+    # Validate-then-publish without a TOCTOU window: the scan runs
+    # against a PINNED source head and the apply refuses (raising
+    # CommitConflict) if the source advanced past it — a concurrent
+    # source commit between scan and publish re-runs the scan instead
+    # of letting merge_cdc's default retry silently re-apply branch
+    # ops that were never checked against the new edits.
+    last: CommitConflict | None = None
+    for _ in range(src._MUTATION_RETRIES):
         src_head = src.current_version()
         conflicts = None
         if src_head > bf["version"]:
@@ -1133,9 +1161,20 @@ def merge_branch(
                     f"{[tuple(r) for r in sample[:5]]})",
                     [tuple(r) for r in sample],
                 )
-        elif conflicts is not None and on_conflict == "source-wins":
-            ops = ops.join(conflicts, key_cols, "left_anti")
-    return src.merge_cdc(ops, key_cols, message="merge-branch")
+        ops_eff = ops
+        if conflicts is not None and on_conflict == "source-wins":
+            ops_eff = ops.join(conflicts, key_cols, "left_anti")
+        try:
+            return src.merge_cdc(
+                ops_eff, key_cols, message="merge-branch",
+                expect_version=src_head,
+            )
+        except CommitConflict as e:
+            last = e  # source advanced: re-scan against the new head
+    raise CommitConflict(
+        f"merge_branch gave up after {src._MUTATION_RETRIES} "
+        f"re-validation rounds: {last}"
+    )
 
 
 def epoch_committed(lake: VersionedLake, epoch: int) -> bool:

@@ -550,13 +550,23 @@ def q_stream_neardup_filter(spark, sf_dir):
     )
     q.awaitTermination(300)
     kept = corpus.read().select("doc_id")
-    return (
+    admitted = (
         docs.join(kept, "doc_id", "left_semi")
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_admitted"))
-        .join(
-            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total")),
+        .agg(F.count(F.lit(1)).alias("_n_admitted"))
+    )
+    # totals LEFT-join admitted so a source whose every doc was
+    # rejected still surfaces with n_admitted = 0 (matching the
+    # oracle's LEFT JOIN shape — an inner join here would drop it)
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .join(admitted, "source", "left")
+        .select(
             "source",
+            F.coalesce(F.col("_n_admitted"), F.lit(0)).cast("long")
+            .alias("n_admitted"),
+            "n_total",
         )
         .orderBy("source")
     )

@@ -270,13 +270,13 @@ def q_dialect_url_funcs(spark, sf_dir):
 # Average-rank tie handling, carried as 2× the average rank so every
 # intermediate stays an exact integer: for a value with min-rank r and
 # multiplicity c the average rank is r + (c-1)/2, so 2·avg = 2r + c - 1.
-# All five sums are exact DECIMAL(38,0); the closed form
+# Ranks are cast to DECIMAL(38,0) BEFORE summing, so all five sums
+# are exact; the closed form
 #   rho = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²))
 # is scale-invariant, so the ×2 cancels.  One IEEE divide + sqrt at the
-# end, round 6.  The exact-decimal path bounds per-group n at ~3e8
-# (2n)²·n·n < 1e38; beyond that switch the sums to double and accept
-# last-ulp noise — at 100 TB the groups here (event types) are far
-# wider, so the decimal path is the correct default.
+# end, round 6.  The exact-decimal path bounds per-group n where
+# n·Sxx ~ 4n⁴ < 1e38, i.e. n ≲ 1e9 rows per group; beyond that switch
+# the sums to double and accept last-ulp noise.
 # ---------------------------------------------------------------------------
 
 @staged(
@@ -291,6 +291,10 @@ WITH e AS (
          2 * rank() OVER (PARTITION BY event_type ORDER BY y)
            + count(*) OVER (PARTITION BY event_type, y) - 1 AS y2
   FROM e
+), r2 AS (
+  SELECT event_type, CAST(x2 AS HUGEINT) AS x2,
+         CAST(y2 AS HUGEINT) AS y2
+  FROM r
 ), s AS (
   SELECT event_type,
          CAST(count(*) AS HUGEINT) AS n,
@@ -299,7 +303,7 @@ WITH e AS (
          CAST(sum(x2 * x2) AS HUGEINT) AS sxx,
          CAST(sum(y2 * y2) AS HUGEINT) AS syy,
          CAST(sum(x2 * y2) AS HUGEINT) AS sxy
-  FROM r GROUP BY event_type
+  FROM r2 GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
        round(CAST(n * sxy - sx * sy AS DOUBLE)
@@ -331,12 +335,16 @@ def q_spearman_corr(spark, sf_dir):
             - F.lit(1)
         )
 
+    d38 = "decimal(38,0)"
+    # ranks cast to DECIMAL(38,0) BEFORE the sums/products so the
+    # aggregation itself is exact — a bigint sum of x2*y2 would wrap
+    # silently around n ~ 1.5e9 per group while the comment above
+    # promised decimal exactness
     r = e.select(
         "event_type",
-        rank2("x").alias("x2"),
-        rank2("y").alias("y2"),
+        rank2("x").cast(d38).alias("x2"),
+        rank2("y").cast(d38).alias("y2"),
     )
-    d38 = "decimal(38,0)"
     s = r.groupBy("event_type").agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum("x2").cast(d38).alias("sx"),
@@ -1257,10 +1265,17 @@ def q_sequence_match_timed(spark, sf_dir):
     src = events.select(
         "user_id", epoch_us("ts").alias("t"), "event_id",
         lev.alias("l"),
-    ).where(F.col("l") > 0)
+    )
+    # collect_list drops NULLs, so the when() keeps only pattern-
+    # relevant events INSIDE the aggregate while the groupBy still
+    # counts every user — a pre-groupBy filter would silently drop
+    # users with no matching events from n_users (the oracle's FILTER
+    # inside list() keeps them)
     packed = F.array_sort(
-        F.collect_list(F.struct(F.col("t"), F.col("event_id"),
-                                F.col("l"))))
+        F.collect_list(
+            F.when(F.col("l") > 0,
+                   F.struct(F.col("t"), F.col("event_id"), F.col("l")))
+        ))
     seed = F.array(*[F.lit(_SMT_POS).cast("long") for _ in range(3)])
 
     def step(acc, x):
@@ -1399,15 +1414,20 @@ WITH e AS (
   SELECT event_type, epoch_us(ts) AS t, event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS c
   FROM events WHERE value IS NOT NULL
+), w AS (
+  SELECT event_type, t, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY t, event_id) AS rf,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY t DESC, event_id DESC) AS rl
+  FROM e
 ), p AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
-         arg_min(c, CAST(t AS HUGEINT) * 1000000 + event_id)
-           AS y_first,
-         arg_max(c, CAST(t AS HUGEINT) * 1000000 + event_id)
-           AS y_last,
+         max(CASE WHEN rf = 1 THEN c END) AS y_first,
+         max(CASE WHEN rl = 1 THEN c END) AS y_last,
          min(t) AS t_min, max(t) AS t_max
-  FROM e GROUP BY event_type
+  FROM w GROUP BY event_type
 )
 SELECT event_type, n,
        round(CAST(y_last - y_first AS DOUBLE)

@@ -289,3 +289,22 @@ def test_url_function_family(spark):
     assert row["cq"] == "https://www.sub.example.com/a/b#frag"
     assert row["cf"] == "https://www.sub.example.com/a/b?x=1&b=2"
     assert row["cqf"] == "https://www.sub.example.com/a/b"
+
+
+def test_tostartofweek_nondefault_mode_fails_fast():
+    """Only mode 0 (Sunday-start) has a tested translation; Monday-
+    start modes must raise, not silently shift by a day."""
+    import pytest
+
+    from clickbom_spark.dialect import (
+        UnsupportedClickHouseSQL,
+        translate_clickhouse_sql,
+    )
+
+    out = translate_clickhouse_sql(
+        "SELECT toStartOfWeek(ts, 0) FROM events")
+    assert "date_sub" in out
+    with pytest.raises(UnsupportedClickHouseSQL, match="toStartOfWeek"):
+        translate_clickhouse_sql("SELECT toStartOfWeek(ts, 1) FROM events")
+    with pytest.raises(UnsupportedClickHouseSQL, match="toStartOfWeek"):
+        translate_clickhouse_sql("SELECT toStartOfWeek(ts, 3) FROM events")

@@ -1933,3 +1933,57 @@ def test_streaming_matview_sink_additive_and_exactly_once(spark, tmp_path):
     want = {r["grp"]: (r["n"], float(r["s"]))
             for r in partial(rows).collect()}
     assert got == want
+
+
+def test_merge_branch_revalidates_on_concurrent_source_commit(
+    spark, tmp_path
+):
+    """TOCTOU law: a source commit landing BETWEEN the conflict scan
+    and the CDC apply must re-trigger detection (the pinned
+    expect_version turns it into a re-scan), not slip past it via
+    merge_cdc's default retry."""
+    from clickbom_spark.ext.manifest import (
+        BranchMergeConflict,
+        branch,
+        merge_branch,
+    )
+
+    def mk_racy(subdir):
+        lake = _mk(spark, tmp_path / subdir, n=100)
+        br = branch(lake, str(tmp_path / f"{subdir}_feature"))
+        br.update(
+            (F.col("id") >= 10) & (F.col("id") < 20),
+            {"val": F.lit(-1.0)},
+        )
+        real = lake.merge_cdc
+        state = {"fired": False}
+
+        def hooked(batch, key_cols, **kw):
+            if not state["fired"]:
+                state["fired"] = True
+                # concurrent writer edits a key the branch also edits,
+                # AFTER the scan (we are inside merge_branch now)
+                racer = VersionedLake(spark, lake.path, store=lake.store)
+                racer.update(F.col("id") == 12, {"val": F.lit(50.0)})
+            return real(batch, key_cols, **kw)
+
+        lake.merge_cdc = hooked
+        return lake, br, state
+
+    # 'fail': the re-scan must surface the racing edit as a conflict
+    lake, br, state = mk_racy("race_fail")
+    with pytest.raises(BranchMergeConflict) as ei:
+        merge_branch(lake, br, ["id"], on_conflict="fail")
+    assert state["fired"]
+    assert [k[0] for k in ei.value.sample_keys] == [12]
+
+    # 'source-wins': the re-scan must preserve the racing edit
+    lake2, br2, state2 = mk_racy("race_sw")
+    v = merge_branch(lake2, br2, ["id"], on_conflict="source-wins")
+    assert state2["fired"]
+    got = {
+        r["id"]: r["val"]
+        for r in lake2.read(v).where(F.col("id").between(10, 19)).collect()
+    }
+    assert got[12] == 50.0
+    assert all(got[i] == -1.0 for i in range(10, 20) if i != 12)
