@@ -40,12 +40,14 @@ means the query is in the bench.py headline set at sf0.1.
                 f" {'✓' if s.bench else ''} | {d} |"
             )
     # Queries staged for a FUTURE round (not yet in REGISTRY) get their
-    # own section; the round-6 wave is already activated, so only names
+    # own section; earlier waves are already activated, so only names
     # absent from the live registry land here.
     from clickbom_spark.queries.staged import STAGED
     from clickbom_spark.queries.staged_r7 import STAGED_R7
+    from clickbom_spark.queries.staged_r8 import STAGED_R8
+    from clickbom_spark.queries.staged_r9 import STAGED_R9
 
-    pool = {**STAGED, **STAGED_R7}
+    pool = {**STAGED, **STAGED_R7, **STAGED_R8, **STAGED_R9}
     pending = [s2 for n2, s2 in pool.items() if n2 not in Q.REGISTRY]
     if pending:
         out.append(
