@@ -36,6 +36,26 @@ clear error rather than silently mis-translating):
   ``position(h,n)``→locate(n,h) (argument order swaps),
   ``lengthUTF8``→length, ``lowerUTF8/upperUTF8``→lower/upper
 - arithmetic: ``intDiv``→DIV, ``modulo``→%, ``plus``→+, ``minus``→-
+- date arithmetic: ``addDays/Hours/Minutes/Seconds/Months/Years`` and
+  the ``subtract*`` twins→INTERVAL arithmetic, ``dateDiff('unit',a,b)``
+  →timestampdiff (4-arg timezone form fails fast), ``toUnixTimestamp``
+  /``fromUnixTimestamp``, ``toDayOfWeek``→ISO Monday=1 shift,
+  ``toMinute/toSecond/toQuarter``, ``yesterday``
+- URL getters: ``protocol/domain/domainWithoutWWW/topLevelDomain/
+  path/pathFull/queryString/fragment/extractURLParameter/
+  cutQueryString/cutFragment/cutQueryStringAndFragment``→parse_url +
+  regex derivations (extractURLParameter keeps ClickHouse's
+  ''-on-missing contract)
+- string search/replace: ``startsWith/endsWith/trimBoth/trimLeft/
+  trimRight/replaceAll/replaceOne/replaceRegexpAll/extract/match/
+  substringUTF8/leftPad/rightPad/reverseUTF8/concatWithSeparator/
+  multiSearchAny``
+- array extras: ``arrayStringConcat/arraySlice/arrayReverse/
+  arrayConcat/arrayUniq/arrayFlatten/range/tupleElement``
+- scalar: ``if/ifNull/nullIf/assumeNotNull/isNull/isNotNull/greatest/
+  least``; ``cityHash64``→xxhash64 (a STABLE surrogate for
+  bucketing/sampling, not ClickHouse's hash values — documented at
+  the mapping)
 - clauses: ``PREWHERE``→WHERE (merged with AND when both appear) —
   PREWHERE is a storage-pushdown hint; Catalyst's pushdown makes the
   distinction moot on Spark.  ``LIMIT n BY cols``→row_number window
@@ -46,6 +66,10 @@ clear error rather than silently mis-translating):
   :func:`register_final_keys`; FINAL on an unregistered table fails
   fast, because faithful FINAL semantics REQUIRE the engine ORDER BY
   key and version column, which live in DDL, not in the query.
+  ``GROUP BY … WITH TOTALS``→GROUPING SETS ((cols), ()) — the totals
+  row lands in the same result set with NULL keys instead of
+  ClickHouse's separate totals block (values identical, framing
+  differs); WITH ROLLUP / WITH CUBE pass through (Spark-native).
   ``SAMPLE`` still fails fast (ClickHouse SAMPLE depends on the
   declared sampling key — use deterministic hash sampling,
   q_hash_sample).  All clause detection runs on the quote-aware
@@ -303,7 +327,111 @@ _PLAIN = {
     "modulo": lambda a: f"({a[0]} % {a[1]})",
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",
+    # date/time arithmetic family (functions/date-time-functions).
+    # ClickHouse dateDiff takes the unit FIRST as a string literal;
+    # Spark's timestampdiff takes a bare keyword — strip the quotes.
+    "adddays": lambda a: f"({a[0]} + INTERVAL {a[1]} DAY)",
+    "addhours": lambda a: f"({a[0]} + INTERVAL {a[1]} HOUR)",
+    "addminutes": lambda a: f"({a[0]} + INTERVAL {a[1]} MINUTE)",
+    "addseconds": lambda a: f"({a[0]} + INTERVAL {a[1]} SECOND)",
+    "addmonths": lambda a: f"({a[0]} + INTERVAL {a[1]} MONTH)",
+    "addyears": lambda a: f"({a[0]} + INTERVAL {a[1]} YEAR)",
+    "subtractdays": lambda a: f"({a[0]} - INTERVAL {a[1]} DAY)",
+    "subtracthours": lambda a: f"({a[0]} - INTERVAL {a[1]} HOUR)",
+    "subtractminutes": lambda a: f"({a[0]} - INTERVAL {a[1]} MINUTE)",
+    "subtractseconds": lambda a: f"({a[0]} - INTERVAL {a[1]} SECOND)",
+    "subtractmonths": lambda a: f"({a[0]} - INTERVAL {a[1]} MONTH)",
+    "subtractyears": lambda a: f"({a[0]} - INTERVAL {a[1]} YEAR)",
+    "datediff": lambda a: (
+        f"timestampdiff({a[0].strip()[1:-1]}, {a[1]}, {a[2]})"
+        if len(a) == 3 and a[0].strip()[:1] in "'\""
+        else _bad_datediff()
+    ),
+    "tounixtimestamp": lambda a: f"unix_timestamp({a[0]})",
+    "fromunixtimestamp": lambda a: f"from_unixtime({a[0]})",
+    "todayofweek": lambda a: (
+        # ClickHouse default mode 0: Monday=1..Sunday=7 (ISO);
+        # Spark dayofweek is Sunday=1..Saturday=7
+        f"(((dayofweek({a[0]}) + 5) % 7) + 1)"
+    ),
+    "tominute": lambda a: f"minute({a[0]})",
+    "tosecond": lambda a: f"second({a[0]})",
+    "toquarter": lambda a: f"quarter({a[0]})",
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    # string family (functions/string-functions /
+    # string-search-functions).  match() is RE2 in ClickHouse; Spark
+    # rlike is Java regex — the shared subset (no lookarounds in RE2
+    # anyway) passes through.
+    "startswith": lambda a: f"startswith({a[0]}, {a[1]})",
+    "endswith": lambda a: f"endswith({a[0]}, {a[1]})",
+    "trimboth": lambda a: f"trim({a[0]})",
+    "trimleft": lambda a: f"ltrim({a[0]})",
+    "trimright": lambda a: f"rtrim({a[0]})",
+    "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    "replaceone": lambda a: (
+        f"concat(substring({a[0]}, 1, locate({a[1]}, {a[0]}) - 1), "
+        f"CASE WHEN locate({a[1]}, {a[0]}) > 0 THEN {a[2]} ELSE '' END, "
+        f"substring({a[0]}, locate({a[1]}, {a[0]}) "
+        f"+ length({a[1]})))"
+    ),
+    "replaceregexpall": lambda a: (
+        f"regexp_replace({a[0]}, {a[1]}, {a[2]})"
+    ),
+    "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 1)",
+    "match": lambda a: f"({a[0]} RLIKE {a[1]})",
+    "substringutf8": lambda a: f"substring({', '.join(a)})",
+    "leftpad": lambda a: f"lpad({', '.join(a)})",
+    "rightpad": lambda a: f"rpad({', '.join(a)})",
+    "reverseutf8": lambda a: f"reverse({a[0]})",
+    "concatwithseparator": lambda a: (
+        f"concat_ws({', '.join(a)})"
+    ),
+    "multisearchany": lambda a: (
+        "(" + " OR ".join(
+            f"locate({n}, {a[0]}) > 0" for n in a[1:]
+        ) + ")"
+    ),
+    # array extras
+    "arraystringconcat": lambda a: (
+        f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})"
+    ),
+    "arrayslice": lambda a: f"slice({', '.join(a)})",
+    "arrayreverse": lambda a: f"reverse({a[0]})",
+    "arrayconcat": lambda a: f"concat({', '.join(a)})",
+    "arrayuniq": lambda a: f"size(array_distinct({a[0]}))",
+    "arrayflatten": lambda a: f"flatten({a[0]})",
+    "range": lambda a: (
+        f"sequence(0, {a[0]} - 1)" if len(a) == 1
+        else f"sequence({a[0]}, {a[1]} - 1)"
+    ),
+    "tupleelement": lambda a: f"({a[0]}).col{a[1].strip()}"
+    if a[1].strip().isdigit() else f"({a[0]}).{a[1].strip()}",
+    # misc scalar
+    "if": lambda a: (
+        f"(CASE WHEN {a[0]} THEN {a[1]} ELSE {a[2]} END)"
+    ),
+    "ifnull": lambda a: f"coalesce({a[0]}, {a[1]})",
+    "nullif": lambda a: f"nullif({a[0]}, {a[1]})",
+    "assumenotnull": lambda a: a[0],
+    "isnull": lambda a: f"({a[0]} IS NULL)",
+    "isnotnull": lambda a: f"({a[0]} IS NOT NULL)",
+    "greatest": lambda a: f"greatest({', '.join(a)})",
+    "least": lambda a: f"least({', '.join(a)})",
+    "cityhash64": lambda a: (
+        # not CityHash — a STABLE 64-bit surrogate (xxhash64).  Kept
+        # because callers use cityHash64 for bucketing/sampling where
+        # any fixed high-quality hash works; queries that depend on
+        # ClickHouse's exact hash VALUES must not go through the shim.
+        f"xxhash64({', '.join(a)})"
+    ),
 }
+
+
+def _bad_datediff():
+    raise UnsupportedClickHouseSQL(
+        "dateDiff needs (unit-literal, start, end) — the 4-arg "
+        "timezone form is not translated"
+    )
 
 
 def _parametric(name: str, params: list[str], args: list[str]) -> str:
@@ -636,11 +764,55 @@ def _rewrite_limit_by(s: str) -> str:
     return out
 
 
+def _rewrite_with_totals(s: str) -> str:
+    """``GROUP BY cols WITH TOTALS`` → ``GROUP BY GROUPING SETS
+    ((cols), ())``: the totals row lands in the SAME result set with
+    NULL group keys (standard SQL), not in ClickHouse's separate
+    totals block — the values are identical, the framing differs.
+    ``WITH ROLLUP`` / ``WITH CUBE`` pass through (Spark supports both
+    natively)."""
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for t in range(len(toks) - 1):
+            if (
+                toks[t][0] == "ident"
+                and toks[t][1].upper() == "WITH"
+                and toks[t + 1][0] == "ident"
+                and toks[t + 1][1].upper() == "TOTALS"
+            ):
+                hit = t
+                break
+        if hit is None:
+            return s
+        gb = None
+        for t in range(hit - 1, 0, -1):
+            if (
+                toks[t][0] == "ident"
+                and toks[t][1].upper() == "BY"
+                and toks[t - 1][0] == "ident"
+                and toks[t - 1][1].upper() == "GROUP"
+            ):
+                gb = t
+                break
+        if gb is None:
+            raise UnsupportedClickHouseSQL(
+                "WITH TOTALS without a preceding GROUP BY"
+            )
+        cols = s[toks[gb][3]: toks[hit][2]].strip()
+        s = (
+            s[: toks[gb][3]]
+            + f" GROUPING SETS (({cols}), ())"
+            + s[toks[hit + 1][3]:]
+        )
+
+
 def _rewrite_clauses(s: str, final_keys) -> str:
     _check_sample(s)
     s = _rewrite_final(s, final_keys)
     s = _rewrite_array_join(s)
     s = _merge_prewhere(s)
+    s = _rewrite_with_totals(s)
     s = _rewrite_limit_by(s)
     return s
 

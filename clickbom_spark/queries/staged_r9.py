@@ -1747,3 +1747,53 @@ def q_lttb_downsample(spark, sf_dir):
         )
         .orderBy("event_type", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: GROUP BY ... WITH TOTALS.  ClickHouse emits the
+# totals as a separate block; the translation lands them in the same
+# result set as a GROUPING SETS ((cols), ()) row with NULL keys — the
+# values must match a DuckDB GROUPING SETS oracle exactly.
+# ---------------------------------------------------------------------------
+
+_CH_TOTALS = """
+SELECT event_type,
+       count() AS n,
+       uniqExact(user_id) AS n_users,
+       round(sumIf(value, value > 50), 2) AS big_sum_r
+FROM events
+PREWHERE value IS NOT NULL
+GROUP BY event_type WITH TOTALS
+ORDER BY event_type
+"""
+
+
+@staged(
+    "q_dialect_with_totals",
+    oracle="""
+WITH e AS (SELECT * FROM events WHERE value IS NOT NULL)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(SUM(CASE WHEN value > 50 THEN value END), 2) AS big_sum_r
+FROM e
+GROUP BY GROUPING SETS ((event_type), ())
+ORDER BY event_type
+""",
+    description="ClickHouse `GROUP BY event_type WITH TOTALS` (plus "
+    "PREWHERE and conditional aggregates) run verbatim through the "
+    "dialect shim — dialect._rewrite_with_totals lowers it to "
+    "GROUPING SETS ((cols), ()) so the totals row computes in the "
+    "SAME single aggregation pass (no second scan); graded against a "
+    "DuckDB GROUPING SETS oracle.",
+)
+def q_dialect_with_totals(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_TOTALS, sf_dir)
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_users").cast("long").alias("n_users"),
+        "big_sum_r",
+    )

@@ -308,3 +308,93 @@ def test_tostartofweek_nondefault_mode_fails_fast():
         translate_clickhouse_sql("SELECT toStartOfWeek(ts, 1) FROM events")
     with pytest.raises(UnsupportedClickHouseSQL, match="toStartOfWeek"):
         translate_clickhouse_sql("SELECT toStartOfWeek(ts, 3) FROM events")
+
+
+def test_datetime_arithmetic_family(spark):
+    ch = (
+        "SELECT addDays(toDate('2024-03-01'), 3) AS d3, "
+        "subtractHours(toDateTime('2024-03-01 10:00:00'), 2) AS h2, "
+        "dateDiff('day', toDate('2024-03-01'), toDate('2024-03-11')) "
+        "AS dd, "
+        "toDayOfWeek(toDate('2024-03-03')) AS dow_sun, "
+        "toDayOfWeek(toDate('2024-03-04')) AS dow_mon, "
+        "toUnixTimestamp(toDateTime('1970-01-02 00:00:00')) AS ut, "
+        "toQuarter(toDate('2024-08-14')) AS q"
+    )
+    row = run_clickhouse_sql(spark, ch, SF_SMOKE).collect()[0]
+    assert str(row["d3"]) == "2024-03-04"
+    assert str(row["h2"]).startswith("2024-03-01 08:00:00")
+    assert row["dd"] == 10
+    # ClickHouse mode-0 toDayOfWeek: Monday=1 .. Sunday=7
+    assert row["dow_sun"] == 7 and row["dow_mon"] == 1
+    assert row["ut"] == 86400
+    assert row["q"] == 3
+
+
+def test_string_search_family(spark):
+    ch = (
+        "SELECT startsWith('hello', 'he') AS sw, "
+        "endsWith('hello', 'lo') AS ew, "
+        "trimBoth('  x  ') AS tb, "
+        "replaceAll('a-b-c', '-', '+') AS ra, "
+        "replaceOne('a-b-c', '-', '+') AS ro, "
+        "replaceOne('abc', 'z', '+') AS ro_miss, "
+        "extract('v=42;', '(\\\\d+)') AS ex, "
+        "match('abc123', '^[a-z]+[0-9]+$') AS m, "
+        "multiSearchAny('haystack', 'zz', 'stack') AS msa, "
+        "concatWithSeparator('-', 'a', 'b', 'c') AS cws, "
+        "leftPad('7', 3, '0') AS lp"
+    )
+    row = run_clickhouse_sql(spark, ch, SF_SMOKE).collect()[0]
+    assert row["sw"] is True and row["ew"] is True
+    assert row["tb"] == "x"
+    assert row["ra"] == "a+b+c"
+    assert row["ro"] == "a+b-c"
+    assert row["ro_miss"] == "abc"
+    assert row["ex"] == "42"
+    assert row["m"] is True
+    assert row["msa"] is True
+    assert row["cws"] == "a-b-c"
+    assert row["lp"] == "007"
+
+
+def test_array_extras_and_scalars(spark):
+    ch = (
+        "SELECT arrayStringConcat(array('a', 'b'), ',') AS asc_, "
+        "arraySlice(array(1, 2, 3, 4), 2, 2) AS sl, "
+        "arrayReverse(array(1, 2, 3)) AS rv, "
+        "arrayUniq(array(1, 1, 2)) AS au, "
+        "arrayFlatten(array(array(1, 2), array(3))) AS fl, "
+        "range(4) AS rg, "
+        "if(2 > 1, 'y', 'n') AS iff, "
+        "ifNull(NULL, 'd') AS inl, "
+        "assumeNotNull(5) AS ann, "
+        "isNull(NULL) AS isn, "
+        "cityHash64('x') = cityHash64('x') AS stable"
+    )
+    row = run_clickhouse_sql(spark, ch, SF_SMOKE).collect()[0]
+    assert row["asc_"] == "a,b"
+    assert row["sl"] == [2, 3]
+    assert row["rv"] == [3, 2, 1]
+    assert row["au"] == 2
+    assert row["fl"] == [1, 2, 3]
+    assert row["rg"] == [0, 1, 2, 3]
+    assert row["iff"] == "y"
+    assert row["inl"] == "d"
+    assert row["ann"] == 5
+    assert row["isn"] is True
+    assert row["stable"] is True
+
+
+def test_with_totals_becomes_grouping_sets(spark):
+    """GROUP BY ... WITH TOTALS lands the totals row in the same
+    result set with NULL keys (GROUPING SETS ((cols), ()))."""
+    ch = ("SELECT event_type, count() AS n FROM events "
+          "GROUP BY event_type WITH TOTALS")
+    rows = run_clickhouse_sql(spark, ch, SF_SMOKE).collect()
+    per_type = {r["event_type"]: r["n"] for r in rows
+                if r["event_type"] is not None}
+    totals = [r["n"] for r in rows if r["event_type"] is None]
+    assert len(totals) == 1
+    assert totals[0] == sum(per_type.values())
+    assert len(per_type) >= 2
