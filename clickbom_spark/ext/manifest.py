@@ -1222,7 +1222,7 @@ def streaming_epoch_sink(lake: VersionedLake, key_cols: list[str]):
     return body
 
 
-def streaming_matview_sink(lake: VersionedLake, group_cols: list[str],
+def additive_matview_sink(lake: VersionedLake, group_cols: list[str],
                            partial):
     """foreachBatch body for an EXACTLY-ONCE incrementally-maintained
     AGGREGATE materialized view: ``partial(batch_df)`` reduces the

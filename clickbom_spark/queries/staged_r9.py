@@ -1044,7 +1044,7 @@ def q_lake_branch_merge_conflict(spark, sf_dir):
 # Lake changelog -> incrementally-maintained aggregate matview: the
 # full streaming-warehouse loop.  Events land in the source lake over
 # three append commits; the lake streams them out (Python Data Source
-# API), and streaming_matview_sink folds per-batch partial aggregates
+# API), and additive_matview_sink folds per-batch partial aggregates
 # additively into a second lake with exactly-once epoch marking.  The
 # oracle is the BATCH aggregate — incremental view maintenance must be
 # indistinguishable from recomputation.
@@ -1060,7 +1060,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 """,
     description="Lake changelog as a streaming source feeding an "
     "incrementally-maintained aggregate matview "
-    "(ext/manifest.streaming_matview_sink): three source commits "
+    "(ext/manifest.additive_matview_sink): three source commits "
     "stream out via the Python Data Source API, per-batch partials "
     "fold additively (exact decimal sums) with exactly-once epoch "
     "marking; graded against the batch aggregate.",
@@ -1070,7 +1070,7 @@ def q_lake_stream_matview(spark, sf_dir):
 
     from clickbom_spark.ext.manifest import (
         VersionedLake,
-        streaming_matview_sink,
+        additive_matview_sink,
     )
     from clickbom_spark.queries import dec
     from clickbom_spark.queries.staged import _TMP
@@ -1112,7 +1112,7 @@ def q_lake_stream_matview(spark, sf_dir):
         .option("path", src_path)
         .load()
         .writeStream.foreachBatch(
-            streaming_matview_sink(mv, ["event_type"], partial))
+            additive_matview_sink(mv, ["event_type"], partial))
         .option("checkpointLocation", os.path.join(_TMP, f"mv_ck_{tag}"))
         .trigger(availableNow=True)
         .start()

@@ -1896,11 +1896,11 @@ def test_merge_branch_conflict_needs_provenance(spark, tmp_path):
         merge_branch(lake, br, ["id"], on_conflict="fail")
 
 
-def test_streaming_matview_sink_additive_and_exactly_once(spark, tmp_path):
+def test_additive_matview_sink_additive_and_exactly_once(spark, tmp_path):
     """Matview sink laws: (1) per-epoch partials fold ADDITIVELY into
     the view; (2) a replayed epoch_id is a no-op (no double counting);
     (3) the final view equals the batch aggregate over all rows."""
-    from clickbom_spark.ext.manifest import streaming_matview_sink
+    from clickbom_spark.ext.manifest import additive_matview_sink
 
     rows = spark.range(100).select(
         F.col("id"),
@@ -1922,7 +1922,7 @@ def test_streaming_matview_sink_additive_and_exactly_once(spark, tmp_path):
             F.sum("v").cast("decimal(18,2)").alias("s"),
         )
 
-    body = streaming_matview_sink(mv, ["grp"], partial)
+    body = additive_matview_sink(mv, ["grp"], partial)
     body(rows.where(F.col("id") < 40), 0)
     body(rows.where(F.col("id") < 40), 0)  # replay: must be a no-op
     body(rows.where(F.col("id") >= 40), 1)
