@@ -38,8 +38,10 @@ clear error rather than silently mis-translating):
 - arithmetic: ``intDiv``→DIV, ``modulo``→%, ``plus``→+, ``minus``→-
 - date arithmetic: ``addDays/Hours/Minutes/Seconds/Months/Years`` and
   the ``subtract*`` twins→INTERVAL arithmetic, ``dateDiff('unit',a,b)``
-  →timestampdiff (4-arg timezone form fails fast), ``toUnixTimestamp``
-  /``fromUnixTimestamp``, ``toDayOfWeek``→ISO Monday=1 shift,
+  →timestampdiff over unit-TRUNCATED endpoints (ClickHouse counts
+  boundary crossings, not complete units; 4-arg timezone form and
+  'week' fail fast), ``toUnixTimestamp``/``fromUnixTimestamp``,
+  ``toDayOfWeek``→ISO Monday=1 shift (non-zero modes fail fast),
   ``toMinute/toSecond/toQuarter``, ``yesterday``
 - URL getters: ``protocol/domain/domainWithoutWWW/topLevelDomain/
   path/pathFull/queryString/fragment/extractURLParameter/
@@ -52,10 +54,11 @@ clear error rather than silently mis-translating):
   multiSearchAny``
 - array extras: ``arrayStringConcat/arraySlice/arrayReverse/
   arrayConcat/arrayUniq/arrayFlatten/range/tupleElement``
-- scalar: ``if/ifNull/nullIf/assumeNotNull/isNull/isNotNull/greatest/
-  least``; ``cityHash64``→xxhash64 (a STABLE surrogate for
-  bucketing/sampling, not ClickHouse's hash values — documented at
-  the mapping)
+- scalar: ``if/ifNull/nullIf/assumeNotNull/isNull/isNotNull``;
+  ``greatest/least`` wrapped NULL-propagating (ClickHouse returns
+  NULL when any argument is NULL, Spark skips them); ``cityHash64``→
+  xxhash64 (a STABLE surrogate for bucketing/sampling, not
+  ClickHouse's hash values — documented at the mapping)
 - clauses: ``PREWHERE``→WHERE (merged with AND when both appear) —
   PREWHERE is a storage-pushdown hint; Catalyst's pushdown makes the
   distinction moot on Spark.  ``LIMIT n BY cols``→row_number window
@@ -146,9 +149,11 @@ def _split_args(s: str) -> list[str]:
         if c in "'\"":
             i = _skip_string(s, i)
             continue
-        if c == "(":
+        if c in "([":
+            # brackets too: ClickHouse array literals ['a','b'] must
+            # not be split on their inner commas
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         elif c == "," and depth == 0:
             out.append(s[start:i].strip())
@@ -342,17 +347,18 @@ _PLAIN = {
     "subtractseconds": lambda a: f"({a[0]} - INTERVAL {a[1]} SECOND)",
     "subtractmonths": lambda a: f"({a[0]} - INTERVAL {a[1]} MONTH)",
     "subtractyears": lambda a: f"({a[0]} - INTERVAL {a[1]} YEAR)",
-    "datediff": lambda a: (
-        f"timestampdiff({a[0].strip()[1:-1]}, {a[1]}, {a[2]})"
-        if len(a) == 3 and a[0].strip()[:1] in "'\""
-        else _bad_datediff()
-    ),
+    "datediff": lambda a: _datediff(a),
     "tounixtimestamp": lambda a: f"unix_timestamp({a[0]})",
-    "fromunixtimestamp": lambda a: f"from_unixtime({a[0]})",
+    "fromunixtimestamp": lambda a: (
+        f"from_unixtime({a[0]})" if len(a) == 1
+        else _unsupported_arg("fromUnixTimestamp", "format", a[1])
+    ),
     "todayofweek": lambda a: (
         # ClickHouse default mode 0: Monday=1..Sunday=7 (ISO);
         # Spark dayofweek is Sunday=1..Saturday=7
         f"(((dayofweek({a[0]}) + 5) % 7) + 1)"
+        if len(a) == 1 or a[1].strip() == "0"
+        else _unsupported_arg("toDayOfWeek", "mode", a[1])
     ),
     "tominute": lambda a: f"minute({a[0]})",
     "tosecond": lambda a: f"second({a[0]})",
@@ -369,15 +375,15 @@ _PLAIN = {
     "trimright": lambda a: f"rtrim({a[0]})",
     "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
     "replaceone": lambda a: (
+        f"(CASE WHEN locate({a[1]}, {a[0]}) > 0 THEN "
         f"concat(substring({a[0]}, 1, locate({a[1]}, {a[0]}) - 1), "
-        f"CASE WHEN locate({a[1]}, {a[0]}) > 0 THEN {a[2]} ELSE '' END, "
-        f"substring({a[0]}, locate({a[1]}, {a[0]}) "
-        f"+ length({a[1]})))"
+        f"{a[2]}, substring({a[0]}, locate({a[1]}, {a[0]}) "
+        f"+ length({a[1]}))) ELSE {a[0]} END)"
     ),
     "replaceregexpall": lambda a: (
         f"regexp_replace({a[0]}, {a[1]}, {a[2]})"
     ),
-    "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 1)",
+    "extract": lambda a: _extract(a),
     "match": lambda a: f"({a[0]} RLIKE {a[1]})",
     "substringutf8": lambda a: f"substring({', '.join(a)})",
     "leftpad": lambda a: f"lpad({', '.join(a)})",
@@ -386,11 +392,7 @@ _PLAIN = {
     "concatwithseparator": lambda a: (
         f"concat_ws({', '.join(a)})"
     ),
-    "multisearchany": lambda a: (
-        "(" + " OR ".join(
-            f"locate({n}, {a[0]}) > 0" for n in a[1:]
-        ) + ")"
-    ),
+    "multisearchany": lambda a: _multi_search_any(a),
     # array extras
     "arraystringconcat": lambda a: (
         f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})"
@@ -400,10 +402,7 @@ _PLAIN = {
     "arrayconcat": lambda a: f"concat({', '.join(a)})",
     "arrayuniq": lambda a: f"size(array_distinct({a[0]}))",
     "arrayflatten": lambda a: f"flatten({a[0]})",
-    "range": lambda a: (
-        f"sequence(0, {a[0]} - 1)" if len(a) == 1
-        else f"sequence({a[0]}, {a[1]} - 1)"
-    ),
+    "range": lambda a: _range(a),
     "tupleelement": lambda a: f"({a[0]}).col{a[1].strip()}"
     if a[1].strip().isdigit() else f"({a[0]}).{a[1].strip()}",
     # misc scalar
@@ -412,11 +411,11 @@ _PLAIN = {
     ),
     "ifnull": lambda a: f"coalesce({a[0]}, {a[1]})",
     "nullif": lambda a: f"nullif({a[0]}, {a[1]})",
-    "assumenotnull": lambda a: a[0],
+    "assumenotnull": lambda a: f"({a[0]})",
     "isnull": lambda a: f"({a[0]} IS NULL)",
     "isnotnull": lambda a: f"({a[0]} IS NOT NULL)",
-    "greatest": lambda a: f"greatest({', '.join(a)})",
-    "least": lambda a: f"least({', '.join(a)})",
+    "greatest": lambda a: _null_propagating("greatest", a),
+    "least": lambda a: _null_propagating("least", a),
     "cityhash64": lambda a: (
         # not CityHash — a STABLE 64-bit surrogate (xxhash64).  Kept
         # because callers use cityHash64 for bucketing/sampling where
@@ -427,11 +426,105 @@ _PLAIN = {
 }
 
 
-def _bad_datediff():
+def _unsupported_arg(fn: str, what: str, val: str):
     raise UnsupportedClickHouseSQL(
-        "dateDiff needs (unit-literal, start, end) — the 4-arg "
-        "timezone form is not translated"
+        f"{fn} {what} {val.strip()}: only the default is translated — "
+        "non-default forms have no tested Spark mapping"
     )
+
+
+_DATEDIFF_UNITS = (
+    "second", "minute", "hour", "day", "month", "quarter", "year",
+)
+
+
+def _datediff(a: list[str]) -> str:
+    """ClickHouse dateDiff counts unit-BOUNDARY CROSSINGS (23:00 to
+    next 01:00 is 1 day), not complete elapsed units — truncate both
+    endpoints to the unit before differencing."""
+    if len(a) != 3 or a[0].strip()[:1] not in "'\"":
+        raise UnsupportedClickHouseSQL(
+            "dateDiff needs (unit-literal, start, end) — the 4-arg "
+            "timezone form is not translated"
+        )
+    unit = a[0].strip()[1:-1].lower()
+    if unit not in _DATEDIFF_UNITS:
+        raise UnsupportedClickHouseSQL(
+            f"dateDiff unit {unit!r}: week needs ClickHouse's week-"
+            "mode rules; supported units: " + ", ".join(_DATEDIFF_UNITS)
+        )
+    return (
+        f"timestampdiff({unit}, date_trunc('{unit}', {a[1]}), "
+        f"date_trunc('{unit}', {a[2]}))"
+    )
+
+
+def _extract(a: list[str]) -> str:
+    """ClickHouse extract(s, regex): first capture group if the regex
+    has one, else the whole match.  Standard SQL EXTRACT(unit FROM x)
+    reaches this handler as ONE argument — pass it through verbatim."""
+    if len(a) != 2:
+        return f"extract({', '.join(a)})"
+    pat = a[1].strip()
+    if not (len(pat) >= 2 and pat[0] in "'\"" and pat[-1] == pat[0]):
+        raise UnsupportedClickHouseSQL(
+            "extract needs a literal regex (group selection is decided "
+            "by inspecting the pattern)"
+        )
+    body = pat[1:-1]
+    has_group = False
+    i = 0
+    while i < len(body):
+        if body[i] == "\\":
+            i += 2
+            continue
+        if body[i] == "(" and not body[i + 1:i + 3] == "?:":
+            has_group = True
+            break
+        i += 1
+    return f"regexp_extract({a[0]}, {pat}, {1 if has_group else 0})"
+
+
+def _range(a: list[str]) -> str:
+    """ClickHouse range: empty array when the range is empty (Spark's
+    sequence would DESCEND); 3-arg honors the step."""
+    if len(a) == 1:
+        return (f"slice(sequence(0, greatest({a[0]} - 1, 0)), "
+                f"1, {a[0]})")
+    if len(a) == 2:
+        return (f"slice(sequence({a[0]}, greatest({a[1]} - 1, {a[0]})), "
+                f"1, greatest({a[1]} - {a[0]}, 0))")
+    if len(a) == 3:
+        return (
+            f"(CASE WHEN {a[1]} > {a[0]} THEN "
+            f"sequence({a[0]}, {a[1]} - 1, {a[2]}) "
+            f"ELSE slice(sequence(0, 0), 1, 0) END)"
+        )
+    raise UnsupportedClickHouseSQL("range takes 1-3 arguments")
+
+
+def _multi_search_any(a: list[str]) -> str:
+    """Both the documented array form multiSearchAny(h, [n1, n2]) and
+    the varargs form; empty needle set is constant FALSE."""
+    hay = a[0]
+    needles = a[1:]
+    if len(needles) == 1:
+        n = needles[0].strip()
+        if n.startswith("[") and n.endswith("]"):
+            needles = _split_args(n[1:-1])
+    needles = [n for n in needles if n.strip()]
+    if not needles:
+        return "false"
+    return "(" + " OR ".join(
+        f"locate({n}, {hay}) > 0" for n in needles) + ")"
+
+
+def _null_propagating(fn: str, a: list[str]) -> str:
+    """ClickHouse greatest/least return NULL when ANY argument is
+    NULL; Spark's skip NULLs."""
+    nulls = " OR ".join(f"{x} IS NULL" for x in a)
+    return (f"(CASE WHEN {nulls} THEN NULL "
+            f"ELSE {fn}({', '.join(a)}) END)")
 
 
 def _parametric(name: str, params: list[str], args: list[str]) -> str:
@@ -771,9 +864,11 @@ def _rewrite_with_totals(s: str) -> str:
     totals block — the values are identical, the framing differs.
     ``WITH ROLLUP`` / ``WITH CUBE`` pass through (Spark supports both
     natively)."""
+    skip = 0
     while True:
         toks = _scan_top(s)
         hit = None
+        seen = 0
         for t in range(len(toks) - 1):
             if (
                 toks[t][0] == "ident"
@@ -781,6 +876,9 @@ def _rewrite_with_totals(s: str) -> str:
                 and toks[t + 1][0] == "ident"
                 and toks[t + 1][1].upper() == "TOTALS"
             ):
+                if seen < skip:
+                    seen += 1
+                    continue
                 hit = t
                 break
         if hit is None:
@@ -796,9 +894,11 @@ def _rewrite_with_totals(s: str) -> str:
                 gb = t
                 break
         if gb is None:
-            raise UnsupportedClickHouseSQL(
-                "WITH TOTALS without a preceding GROUP BY"
-            )
+            # not the TOTALS modifier — a CTE or column literally
+            # named "totals" after the WITH keyword; leave it alone
+            # and keep scanning past it
+            skip += 1
+            continue
         cols = s[toks[gb][3]: toks[hit][2]].strip()
         s = (
             s[: toks[gb][3]]

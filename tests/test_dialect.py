@@ -398,3 +398,68 @@ def test_with_totals_becomes_grouping_sets(spark):
     assert len(totals) == 1
     assert totals[0] == sum(per_type.values())
     assert len(per_type) >= 2
+
+
+def test_review_pinned_edge_cases(spark):
+    """Regression pins from the round-9 review: absent-needle
+    replaceOne, SQL EXTRACT pass-through, whole-match extract, empty
+    and stepped range, NULL-propagating greatest/least, array-form
+    multiSearchAny, parenthesized assumeNotNull, boundary-crossing
+    dateDiff."""
+    ch = (
+        "SELECT replaceOne('abc', 'xy', '+') AS ro_miss2, "
+        "extract('abc123', '[0-9]+') AS ex_whole, "
+        "range(0) AS r0, "
+        "range(2, 2) AS r22, "
+        "range(2, 10, 3) AS rstep, "
+        "greatest(NULL, 5) AS g_null, "
+        "least(1, NULL) AS l_null, "
+        "multiSearchAny('haystack', ['zz', 'stack']) AS msa_arr, "
+        "assumeNotNull(1 + 1) * 10 AS ann_paren, "
+        "dateDiff('day', toDateTime('2024-03-01 23:00:00'), "
+        "toDateTime('2024-03-02 01:00:00')) AS dd_cross, "
+        "dateDiff('month', toDate('2024-01-31'), toDate('2024-02-01')) "
+        "AS dd_month, "
+        "EXTRACT(YEAR FROM toDate('2024-03-01')) AS ex_sql"
+    )
+    row = run_clickhouse_sql(spark, ch, SF_SMOKE).collect()[0]
+    assert row["ro_miss2"] == "abc"
+    assert row["ex_whole"] == "123"
+    assert row["r0"] == []
+    assert row["r22"] == []
+    assert row["rstep"] == [2, 5, 8]
+    assert row["g_null"] is None
+    assert row["l_null"] is None
+    assert row["msa_arr"] is True
+    assert row["ann_paren"] == 20
+    assert row["dd_cross"] == 1  # one midnight crossed
+    assert row["dd_month"] == 1  # one month boundary crossed
+    assert row["ex_sql"] == 2024
+
+
+def test_with_totals_does_not_misfire_on_totals_cte(spark):
+    """A CTE literally named `totals` must not trigger the WITH TOTALS
+    clause rewrite."""
+    ch = ("WITH totals AS (SELECT count() AS n FROM events) "
+          "SELECT n FROM totals")
+    rows = run_clickhouse_sql(spark, ch, SF_SMOKE).collect()
+    assert len(rows) == 1 and rows[0]["n"] > 0
+
+
+def test_optional_arg_fail_fast(spark):
+    import pytest
+
+    from clickbom_spark.dialect import (
+        UnsupportedClickHouseSQL,
+        translate_clickhouse_sql,
+    )
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="toDayOfWeek"):
+        translate_clickhouse_sql("SELECT toDayOfWeek(ts, 1) FROM t")
+    with pytest.raises(UnsupportedClickHouseSQL,
+                       match="fromUnixTimestamp"):
+        translate_clickhouse_sql(
+            "SELECT fromUnixTimestamp(x, '%Y') FROM t")
+    with pytest.raises(UnsupportedClickHouseSQL, match="dateDiff"):
+        translate_clickhouse_sql(
+            "SELECT dateDiff('week', a, b) FROM t")
