@@ -53,7 +53,11 @@ clear error rather than silently mis-translating):
   substringUTF8/leftPad/rightPad/reverseUTF8/concatWithSeparator/
   multiSearchAny``
 - array extras: ``arrayStringConcat/arraySlice/arrayReverse/
-  arrayConcat/arrayUniq/arrayFlatten/range/tupleElement``
+  arrayConcat/arrayUniq/arrayFlatten/range/tupleElement/
+  arrayElement`` (element_at — 1-based like ClickHouse); ``[x, y]``
+  array LITERALS translate to array(x, y) anywhere in the query; the
+  ``a[n]`` SUBSCRIPT fails fast (1-based in ClickHouse, 0-based in
+  Spark — write arrayElement)
 - scalar: ``if/ifNull/nullIf/assumeNotNull/isNull/isNotNull``;
   ``greatest/least`` wrapped NULL-propagating (ClickHouse returns
   NULL when any argument is NULL, Spark skips them); ``cityHash64``→
@@ -139,6 +143,24 @@ def _matching_paren(sql: str, i: int) -> int:
                 return i
         i += 1
     raise UnsupportedClickHouseSQL("unbalanced parentheses")
+
+
+def _matching_bracket(sql: str, i: int) -> int:
+    """``i`` points at '['; return the index of its matching ']'."""
+    depth = 0
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise UnsupportedClickHouseSQL("unbalanced brackets")
 
 
 def _split_args(s: str) -> list[str]:
@@ -273,6 +295,9 @@ _PLAIN = {
     "has": lambda a: f"array_contains({a[0]}, {a[1]})",
     "indexof": lambda a: f"array_position({a[0]}, {a[1]})",
     "arraydistinct": lambda a: f"array_distinct({a[0]})",
+    # ClickHouse a[n] syntax is 1-based; Spark element_at is too —
+    # the named form translates exactly (the [] syntax fails fast)
+    "arrayelement": lambda a: f"element_at({a[0]}, {a[1]})",
     "arraysort": lambda a: f"sort_array({a[0]})",
     "splitbychar": _split_by_char,
     "position": lambda a: f"locate({a[1]}, {a[0]})",
@@ -510,8 +535,12 @@ def _multi_search_any(a: list[str]) -> str:
     needles = a[1:]
     if len(needles) == 1:
         n = needles[0].strip()
+        # the [n1, n2] literal arrives here already translated to
+        # array(n1, n2) (argument translation precedes dispatch)
         if n.startswith("[") and n.endswith("]"):
             needles = _split_args(n[1:-1])
+        elif n.lower().startswith("array(") and n.endswith(")"):
+            needles = _split_args(n[6:-1])
     needles = [n for n in needles if n.strip()]
     if not needles:
         return "false"
@@ -958,6 +987,25 @@ def _translate_tokens(sql: str, final_keys) -> str:
                     )
                     i = close + 1
                     continue
+            if c == "[":
+                # ClickHouse array syntax.  A '[' IMMEDIATELY following
+                # an expression character (no whitespace — `arr[1]`) is
+                # 1-based INDEXING, which Spark's [] does 0-based —
+                # fail fast toward the named arrayElement form rather
+                # than silently shifting every subscript by one.
+                # Otherwise it is an array LITERAL → array(...).
+                prev = sql[i - 1] if i > 0 else ""
+                if prev and (prev.isalnum() or prev in "_)]"):
+                    raise UnsupportedClickHouseSQL(
+                        "array subscript a[n] is 1-based in ClickHouse "
+                        "but 0-based in Spark — write arrayElement(a, n)"
+                        " (translated to element_at, which is 1-based)"
+                    )
+                close = _matching_bracket(sql, i)
+                inner = _translate_tokens(sql[i + 1: close], final_keys)
+                out.append(f"array({inner})")
+                i = close + 1
+                continue
             out.append(c)
             i += 1
             continue

@@ -463,3 +463,31 @@ def test_optional_arg_fail_fast(spark):
     with pytest.raises(UnsupportedClickHouseSQL, match="dateDiff"):
         translate_clickhouse_sql(
             "SELECT dateDiff('week', a, b) FROM t")
+
+
+def test_array_literals_and_indexing(spark):
+    """ClickHouse [..] array literals translate to array(...) anywhere
+    (nested included); the 1-based a[n] subscript fails fast toward
+    arrayElement, whose element_at translation is 1-based like CH."""
+    import pytest
+
+    from clickbom_spark.dialect import (
+        UnsupportedClickHouseSQL,
+        translate_clickhouse_sql,
+    )
+
+    ch = (
+        "SELECT ['a', 'b'] AS lit, "
+        "[[1], [2, 3]] AS nested, "
+        "has(['x', 'y'], 'y') AS h, "
+        "arrayElement(['p', 'q'], 1) AS first, "
+        "arrayStringConcat(['u', 'v'], '-') AS joined"
+    )
+    row = run_clickhouse_sql(spark, ch, SF_SMOKE).collect()[0]
+    assert row["lit"] == ["a", "b"]
+    assert row["nested"] == [[1], [2, 3]]
+    assert row["h"] is True
+    assert row["first"] == "p"  # 1-based, matching ClickHouse
+    assert row["joined"] == "u-v"
+    with pytest.raises(UnsupportedClickHouseSQL, match="1-based"):
+        translate_clickhouse_sql("SELECT arr[1] FROM t")
