@@ -747,3 +747,23 @@ def test_dialect_final_collapses_to_one_aggregate(spark):
     plan = _staged_r9_plan(spark, "q_dialect_final")
     assert "max_by" in plan or "HashAggregate" in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_with_totals_is_single_pass_expand(spark):
+    """The WITH TOTALS lowering must compute per-group rows and the
+    totals row in ONE aggregation pass (Expand + HashAggregate), not a
+    union of two scans."""
+    plan = _staged_r9_plan(spark, "q_dialect_with_totals")
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_dialect_array_join_pushes_filter_to_scan(spark):
+    """The translated ARRAY JOIN query's lang filter must reach the
+    parquet scan as a pushed filter, not run post-explode."""
+    from clickbom_spark.queries.staged_r9 import STAGED_R9
+
+    df = STAGED_R9["q_dialect_array_join"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan.split(
+        "PushedFilters", 1)[1][:200], plan
