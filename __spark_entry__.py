@@ -71,21 +71,17 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
-# ROUND-8 NOTE: ALL THREE staged waves are ACTIVATED (r6 wave of 30 +
-# r7 wave of 14 + r8 wave of 23; registry = 246).
-# q_stream_neardup_filter gained a sequential-replay recursive-CTE
-# oracle this round (queries/dedup.py, _NEARDUP_STREAM_ORACLE): its
-# last driver row says no_oracle, so it now ranks FIRST (re-verify
-# tier) — every registry query is oracle-bearing, 246/246.  The 23 r8
-# names rank next (never driver-checked); the remaining 26 slots
-# rotate through the STALEST greens — the 25-query cohort last
-# verified in round 3, plus 1 slot spilling into the r4 cohort.
+# ROUND-9 NOTE: ALL FOUR staged waves are ACTIVATED (r6 wave of 30 +
+# r7 wave of 14 + r8 wave of 23 + r9 wave of 23; registry = 269).
+# The 23 r9 names rank first (never driver-checked); the remaining
+# ~27 budget slots rotate through the STALEST greens — the 49-query
+# cohort last verified in round 4 (rotation finishes it in r10).
 #
-# clickbom_spark/queries/staged_r9.py holds the NEXT wave (parity
-# proven via tests/test_staged_r9_parity.py and
-# `python scripts/strict_parity.py --staged`).  Round 9 activates
-# with REGISTRY.update(staged_r9.STAGED_R9) in queries/__init__.py;
-# the disjointness guard in the r9 test file flags any collision.
+# clickbom_spark/queries/staged_r10.py holds the NEXT wave (parity
+# proven via tests/test_staged_r10_parity.py and
+# `python scripts/strict_parity.py --staged`).  Round 10 activates
+# with REGISTRY.update(staged_r10.STAGED_R10) in queries/__init__.py;
+# the disjointness guard in the r10 test file flags any collision.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

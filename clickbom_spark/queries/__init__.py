@@ -137,3 +137,14 @@ REGISTRY.update(staged_r7.STAGED_R7)
 from clickbom_spark.queries import staged_r8  # noqa: E402,F401
 
 REGISTRY.update(staged_r8.STAGED_R8)
+
+# Round-9 activation of the fourth staged wave (23 queries — dialect
+# round-trips for LIMIT n BY / FINAL / ARRAY JOIN / WITH TOTALS, the
+# parametric-aggregate family, LTTB, geohash, Spearman rank
+# correlation, bitmap algebra, branch merge conflicts, the streaming
+# matview chain — all oracle-parity-green at three scales under
+# tests/test_staged_r9_parity.py before promotion; disjointness from
+# the existing registry is guarded there).
+from clickbom_spark.queries import staged_r9  # noqa: E402,F401
+
+REGISTRY.update(staged_r9.STAGED_R9)

@@ -517,7 +517,7 @@ def q_stream_neardup_filter(spark, sf_dir):
         create_dedup_state,
         neardup_filter_sink,
     )
-    from clickbom_spark.queries.staged import _TMP
+    from clickbom_spark.queries.staged import _TMP, stage_single_parquet
 
     (docs,) = load(spark, sf_dir, "documents")
     base = os.path.join(_TMP, "stream_neardup")
@@ -526,11 +526,13 @@ def q_stream_neardup_filter(spark, sf_dir):
     os.makedirs(src)
     bounds = [(0, 170), (170, 340), (340, 10**9)]
     for e, (lo, hi) in enumerate(bounds):
-        p = os.path.join(src, f"b{e}.parquet")
-        docs.select("doc_id", "text").where(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).toPandas().to_parquet(p, index=False)
-        os.utime(p, (1_700_000_000 + e * 1000,) * 2)
+        stage_single_parquet(
+            docs.select("doc_id", "text").where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ),
+            os.path.join(src, f"b{e}.parquet"),
+            mtime=1_700_000_000 + e * 1000,
+        )
     corpus, index = create_dedup_state(
         spark,
         os.path.join(base, "corpus"),

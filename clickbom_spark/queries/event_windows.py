@@ -893,7 +893,7 @@ def q_stream_matview(spark, sf_dir):
 
     from clickbom_spark.ext.manifest import VersionedLake, sum_agg_of
     from clickbom_spark.ext.streaming_dedup import streaming_matview_sink
-    from clickbom_spark.queries.staged import _TMP
+    from clickbom_spark.queries.staged import _TMP, stage_single_parquet
 
     (events,) = load(spark, sf_dir, "events")
     rows = events.select(
@@ -908,11 +908,14 @@ def q_stream_matview(spark, sf_dir):
     n = rows.agg(F.max("event_id")).collect()[0][0] + 1
     cuts = [0, n // 3, 2 * n // 3, n]
     for e in range(3):
-        p = os.path.join(src, f"b{e}.parquet")
-        rows.where(
-            (F.col("event_id") >= cuts[e]) & (F.col("event_id") < cuts[e + 1])
-        ).toPandas().to_parquet(p, index=False)
-        os.utime(p, (1_700_000_000 + e * 1000,) * 2)
+        stage_single_parquet(
+            rows.where(
+                (F.col("event_id") >= cuts[e])
+                & (F.col("event_id") < cuts[e + 1])
+            ),
+            os.path.join(src, f"b{e}.parquet"),
+            mtime=1_700_000_000 + e * 1000,
+        )
     data_lake = VersionedLake.create(
         spark, os.path.join(base, "data"), rows.where(F.lit(False)), n_files=1
     )

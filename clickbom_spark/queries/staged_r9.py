@@ -1,17 +1,12 @@
 """Staged registry wave for round 9 — new operator surface.
 
-Same staging workflow as the (now activated) round-6/7/8 waves: every
-query here is oracle-parity-verified NOW (bit-exact vs DuckDB at
-sf0.001 and sf0.01 via ``tests/test_staged_r9_parity.py``; the
-strict-parity sweep covers sf0.1 for the queries whose oracle is not
-O(n²)) but held OUT of :data:`clickbom_spark.queries.REGISTRY` so this
-round's 50-slot driver budget goes to the 23 queries that newly need a
-row plus the stalest-green rotation.  Round 10 activates with::
-
-    from clickbom_spark.queries import staged_r9  # noqa: F401
-    REGISTRY.update(staged_r9.STAGED_R9)
-
-in ``queries/__init__.py``.
+Same staging workflow as the round-6/7/8 waves: every query here was
+oracle-parity-verified while staged (bit-exact vs DuckDB at sf0.001
+and sf0.01 via ``tests/test_staged_r9_parity.py``; the strict-parity
+sweep covers sf0.1 for the queries whose oracle is not O(n²)), then
+ACTIVATED in round 9 via ``REGISTRY.update(staged_r9.STAGED_R9)`` in
+``queries/__init__.py``.  The round-10 holdout lives in
+``staged_r10.py``.
 
 Round-9 themes:
 

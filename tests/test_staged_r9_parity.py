@@ -1,5 +1,5 @@
-"""Oracle parity for the round-9 staged wave (held OUT of REGISTRY
-until round-10 activation — see staged_r9.py module doc).  Mirrors the
+"""Oracle parity for the round-9 staged wave (ACTIVATED in round 9 —
+REGISTRY.update(STAGED_R9) in queries/__init__.py).  Mirrors the
 driver's CORRECTNESS gate at sf0.001/sf0.01 via the shared
 canon/run_oracle harness; scripts/strict_parity.py --staged widens the
 sweep to sf0.1."""
@@ -38,12 +38,14 @@ def test_staged_r9_rows_only(spark, name):
     assert df.schema.fieldNames()
 
 
-def test_staged_r9_disjoint_from_registry():
-    """The holdout must not shadow (or be shadowed by) live registry
-    names — activation is a pure REGISTRY.update."""
-    clash = set(STAGED_R9) & set(REGISTRY)
-    assert not clash, f"staged r9 names already registered: {clash}"
+def test_staged_r9_activated_identically():
+    """Every staged r9 spec is in the live registry as the SAME
+    object — activation was REGISTRY.update(STAGED_R9), not a re-wrap."""
+    missing = set(STAGED_R9) - set(REGISTRY)
+    assert not missing, f"r9 staged queries not activated: {missing}"
     for name, spec in STAGED_R9.items():
+        assert REGISTRY[name] is spec, f"{name} was shadowed on activation"
+    for name, spec in REGISTRY.items():
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
         assert spec.name == name
