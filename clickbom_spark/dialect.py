@@ -66,8 +66,16 @@ clear error rather than silently mis-translating):
 - clauses: ``PREWHERE``→WHERE (merged with AND when both appear) —
   PREWHERE is a storage-pushdown hint; Catalyst's pushdown makes the
   distinction moot on Spark.  ``LIMIT n BY cols``→row_number window
-  over the query's ORDER BY.  ``ARRAY JOIN expr AS alias`` (and
-  ``LEFT ARRAY JOIN``)→LATERAL VIEW [OUTER] explode.  ``FROM tbl
+  over the query's ORDER BY.  ``ARRAY JOIN`` (and ``LEFT ARRAY
+  JOIN``)→LATERAL VIEW [OUTER] explode for the single aliased item;
+  comma-separated MULTI-array items compile to ONE
+  inline(transform(...)) generator with element-wise zip semantics
+  (driven off the first array; shorter arrays NULL-pad where
+  ClickHouse raises); ALIAS-LESS items (which replace the source
+  column) wrap the FROM source in a subquery projecting ``src.*
+  EXCEPT (col)`` plus the element AS col — under ``SELECT *`` the
+  replaced column moves to the end of the star expansion, the one
+  fidelity delta.  ``FROM tbl
   FINAL``→keep-latest-per-key subquery (max_by(struct(*), version))
   using the table's registered ReplacingMergeTree-style key — see
   :func:`register_final_keys`; FINAL on an unregistered table fails
@@ -77,9 +85,12 @@ clear error rather than silently mis-translating):
   row lands in the same result set with NULL keys instead of
   ClickHouse's separate totals block (values identical, framing
   differs); WITH ROLLUP / WITH CUBE pass through (Spark-native).
-  ``SAMPLE`` still fails fast (ClickHouse SAMPLE depends on the
-  declared sampling key — use deterministic hash sampling,
-  q_hash_sample).  All clause detection runs on the quote-aware
+  ``SAMPLE k [OFFSET m]`` (fractions)→deterministic hash-threshold
+  subquery over the table's registered SAMPLE BY key (see
+  :func:`register_sampling_key`; the q_hash_sample primitive —
+  md5-prefix scaled to [0,1), reproducible in any engine); the
+  integer row-target form still fails fast (needs table stats).
+  All clause detection runs on the quote-aware
   token stream, so keywords inside string literals or as substrings
   of longer identifiers never trigger.
 
@@ -95,6 +106,7 @@ __all__ = [
     "translate_clickhouse_sql",
     "run_clickhouse_sql",
     "register_final_keys",
+    "register_sampling_key",
 ]
 
 
@@ -663,19 +675,126 @@ def _clause_end(toks, k, extra=()):
     return len(toks)
 
 
-def _check_sample(s: str) -> None:
-    toks = _scan_top(s)
-    for t in range(len(toks) - 1):
+# ---------------------------------------------------------------------------
+# SAMPLE key registry.  ClickHouse SAMPLE k selects the rows whose
+# sampling-key hash falls in the first k of the hash range — the key
+# lives in the table DDL (SAMPLE BY ...), not in the query text, so a
+# faithful translation needs it registered here (same pattern as
+# FINAL_KEYS).  ``documents``/``events`` ship registered to their
+# primary ids.  The hash is the q_hash_sample primitive: first 8 hex
+# chars of md5(key) as a 32-bit integer, scaled to [0, 1) — stable
+# membership in any engine (DuckDB oracle: CAST('0x'||substring(
+# md5(..),1,8) AS BIGINT) / 4294967296.0).
+# ---------------------------------------------------------------------------
+
+SAMPLING_KEYS: dict[str, str] = {
+    "documents": "doc_id",
+    "events": "event_id",
+}
+
+
+def register_sampling_key(table, key_expr):
+    """Register a table's SAMPLE BY expression so ``FROM table SAMPLE
+    k [OFFSET m]`` can be translated faithfully (deterministic
+    hash-threshold membership, reproducible across engines)."""
+    SAMPLING_KEYS[table.lower()] = key_expr
+
+
+def _sample_frac_expr(key: str) -> str:
+    return (
+        f"(conv(substring(md5(cast({key} AS string)), 1, 8), 16, 10)"
+        f" / 4294967296.0)"
+    )
+
+
+def _rewrite_sample(s: str) -> str:
+    """``FROM tbl [AS a] SAMPLE k [OFFSET m]`` (k, m fractions in
+    [0, 1)) → hash-threshold subquery ``(SELECT * FROM tbl WHERE
+    m <= h(key) < m + k) AS a`` using the registered sampling key.
+    The integer row-target form (``SAMPLE 10000``) needs table
+    statistics and still fails fast."""
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for t in range(len(toks) - 1):
+            if (
+                toks[t][0] == "ident"
+                and toks[t][1].upper() == "SAMPLE"
+                and toks[t + 1][0] == "num"
+            ):
+                hit = t
+                break
+        if hit is None:
+            return s
+        frac = float(toks[hit + 1][1])
+        if frac >= 1:
+            raise UnsupportedClickHouseSQL(
+                "SAMPLE <rows> (integer row target) needs table "
+                "statistics — use the fractional form SAMPLE 0.1"
+            )
+        # optional OFFSET m
+        end = hit + 2
+        offset = 0.0
         if (
-            toks[t][0] == "ident"
-            and toks[t][1].upper() == "SAMPLE"
-            and toks[t + 1][0] == "num"
+            end + 1 < len(toks)
+            and toks[end][0] == "ident"
+            and toks[end][1].upper() == "OFFSET"
+            and toks[end + 1][0] == "num"
+        ):
+            offset = float(toks[end + 1][1])
+            end += 2
+        # walk back over [AS] alias to the source (ident or translated
+        # subquery group) introduced by FROM/JOIN
+        src_at = hit - 1
+        alias = None
+        if (
+            src_at >= 1
+            and toks[src_at][0] == "ident"
+            and toks[src_at - 1][0] == "ident"
+            and toks[src_at - 1][1].upper() == "AS"
+        ):
+            alias = toks[src_at][1]
+            src_at -= 2
+        elif (
+            src_at >= 2
+            and toks[src_at][0] == "ident"
+            and toks[src_at][1].upper() not in ("FROM", "JOIN")
+            and toks[src_at - 1][0] in ("ident", "group")
+            and toks[src_at - 1][1].upper() not in ("FROM", "JOIN")
+            and toks[src_at - 2][0] == "ident"
+            and toks[src_at - 2][1].upper() in ("FROM", "JOIN")
+        ):
+            # implicit alias: FROM tbl t SAMPLE / FROM (...) t SAMPLE
+            alias = toks[src_at][1]
+            src_at -= 1
+        if not (
+            src_at >= 1
+            and toks[src_at][0] in ("ident", "group")
+            and toks[src_at - 1][0] == "ident"
+            and toks[src_at - 1][1].upper() in ("FROM", "JOIN")
         ):
             raise UnsupportedClickHouseSQL(
-                "SAMPLE depends on the table's declared sampling key "
-                "and has no faithful Spark translation — use "
-                "deterministic hash sampling (q_hash_sample)"
+                "SAMPLE must directly follow a FROM/JOIN table source"
             )
+        name = alias or (
+            toks[src_at][1] if toks[src_at][0] == "ident" else None
+        )
+        key = SAMPLING_KEYS.get((name or "").lower())
+        if key is None:
+            raise UnsupportedClickHouseSQL(
+                f"SAMPLE on {name or 'a subquery'}: faithful SAMPLE "
+                "needs the table's SAMPLE BY key — register it with "
+                "register_sampling_key(table, key_expr)"
+            )
+        h = _sample_frac_expr(key)
+        lo, hi = repr(offset), repr(offset + frac)
+        cond = (
+            f"{h} < {hi}" if offset == 0.0
+            else f"{h} >= {lo} AND {h} < {hi}"
+        )
+        src = s[toks[src_at][2]: toks[src_at][3]]
+        sub = f"(SELECT * FROM {src} WHERE {cond}) AS {name}"
+        s = s[: toks[src_at][2]] + sub + s[toks[end - 1][3]:]
 
 
 def _rewrite_final(s: str, final_keys) -> str:
@@ -717,12 +836,66 @@ def _rewrite_final(s: str, final_keys) -> str:
         s = s[: toks[hit - 1][2]] + sub + s[toks[hit][3]:]
 
 
+def _aj_items(s, toks, lo, hi):
+    """Split the ARRAY JOIN body ``toks[lo:hi]`` at top-level commas
+    into ``(expr_text, alias_or_None, source_col_or_None)`` items."""
+    items = []
+    start = lo
+    cuts = [
+        k for k in range(lo, hi) if toks[k][0] == "sym" and toks[k][1] == ","
+    ] + [hi]
+    for cut in cuts:
+        seg = list(range(start, cut))
+        if not seg:
+            raise UnsupportedClickHouseSQL("empty ARRAY JOIN item")
+        as_at = next(
+            (
+                k
+                for k in seg[1:]
+                if toks[k][0] == "ident" and toks[k][1].upper() == "AS"
+            ),
+            None,
+        )
+        if as_at is not None:
+            if as_at + 1 >= cut:
+                raise UnsupportedClickHouseSQL("ARRAY JOIN: AS with no alias")
+            expr = s[toks[seg[0]][2]: toks[as_at][2]].strip()
+            items.append((expr, toks[as_at + 1][1], None))
+        else:
+            # alias-less: ClickHouse REPLACES the source column, so the
+            # item must BE a column reference (possibly qualified)
+            expr = s[toks[seg[0]][2]: toks[cut - 1][3]].strip()
+            col = expr.split(".")[-1].strip()
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col) or any(
+                toks[k][0] == "group" for k in seg
+            ):
+                raise UnsupportedClickHouseSQL(
+                    "ARRAY JOIN without AS alias replaces the source "
+                    "column, so the item must be a plain column — "
+                    "write ARRAY JOIN expr AS alias for expressions"
+                )
+            items.append((expr, col, col))
+        start = cut + 1
+    return items
+
+
 def _rewrite_array_join(s: str) -> str:
-    """``[LEFT] ARRAY JOIN expr AS alias`` → ``LATERAL VIEW [OUTER]
-    explode(expr) __aj AS alias``.  Comma-separated multi-array ARRAY
-    JOIN (zip semantics) and the alias-less form (which REPLACES the
-    source column in ClickHouse — Spark would make the bare name
-    ambiguous) fail fast."""
+    """Compile ``[LEFT] ARRAY JOIN item [, item ...]``.
+
+    * single aliased item → ``LATERAL VIEW [OUTER] explode(expr) __aj
+      AS alias`` (fast path, plain generator).
+    * multi-array (zip semantics) → ONE ``LATERAL VIEW [OUTER]
+      inline(transform(e1, (e, i) -> named_struct(..., element_at(ek,
+      i + 1), ...)))`` — element-wise zip driven off the first array,
+      exactly one generator (never a positional cross join).  Arrays
+      shorter than the first yield NULL elements (ClickHouse raises on
+      unequal sizes; the data-loss-free relaxation).
+    * alias-less items (which REPLACE the source column in ClickHouse)
+      → the FROM source is wrapped in a subquery projecting ``alias.*
+      EXCEPT (col)`` plus the exploded element ``AS col``; the one
+      fidelity delta is column ORDER under ``SELECT *`` (the replaced
+      column moves to the end of the star expansion).
+    """
     n_aj = 0
     while True:
         toks = _scan_top(s)
@@ -745,37 +918,71 @@ def _rewrite_array_join(s: str) -> str:
         )
         start = toks[hit - 1][2] if left else toks[hit][2]
         end = _clause_end(toks, hit + 2, extra=("ARRAY", "LEFT", "JOIN"))
-        body = toks[hit + 2:end]
-        if any(t[0] == "sym" and t[1] == "," for t in body):
-            raise UnsupportedClickHouseSQL(
-                "multi-array ARRAY JOIN zips arrays element-wise — "
-                "translate with arrays_zip + a single ARRAY JOIN, or "
-                "use the engine's explode operators directly"
-            )
-        as_at = next(
-            (
-                k
-                for k in range(hit + 2, end)
-                if toks[k][0] == "ident" and toks[k][1].upper() == "AS"
-            ),
-            None,
-        )
-        if as_at is None or as_at == hit + 2 or as_at + 1 >= end:
-            raise UnsupportedClickHouseSQL(
-                "ARRAY JOIN without AS alias replaces the source "
-                "column in ClickHouse, which Spark cannot express "
-                "unambiguously — write ARRAY JOIN expr AS alias"
-            )
-        expr = s[toks[hit + 2][2]: toks[as_at][2]].strip()
-        alias = toks[as_at + 1][1]
+        items = _aj_items(s, toks, hit + 2, end)
         stop = toks[end][2] if end < len(toks) else len(s)
         outer = "OUTER " if left else ""
-        repl = (
-            f"LATERAL VIEW {outer}explode({expr}) __aj{n_aj} "
-            f"AS {alias} "
+        replaced = [c for _, _, c in items if c is not None]
+        if len(items) == 1 and not replaced:
+            expr, alias, _ = items[0]
+            repl = (
+                f"LATERAL VIEW {outer}explode({expr}) __aj{n_aj} "
+                f"AS {alias} "
+            )
+            n_aj += 1
+            s = s[:start] + repl + s[stop:]
+            continue
+        # zip compilation: one generator over the first array
+        e_var, i_var = f"__aje{n_aj}", f"__aji{n_aj}"
+        fields = [f"'f0', {e_var}"]
+        for k, (expr, _, _) in enumerate(items[1:], 1):
+            fields.append(f"'f{k}', element_at({expr}, {i_var} + 1)")
+        gen = (
+            f"inline(transform({items[0][0]}, ({e_var}, {i_var}) -> "
+            f"named_struct({', '.join(fields)})))"
+        )
+        if not replaced:
+            aliases = ", ".join(a for _, a, _ in items)
+            repl = f"LATERAL VIEW {outer}{gen} __aj{n_aj} AS {aliases} "
+            n_aj += 1
+            s = s[:start] + repl + s[stop:]
+            continue
+        # alias-less items: wrap the FROM source so the exploded
+        # element REPLACES the source column (ClickHouse semantics)
+        src_at = hit - 2 if left else hit - 1
+        alias = None
+        if (
+            src_at >= 2
+            and toks[src_at][0] == "ident"
+            and toks[src_at - 1][0] == "ident"
+            and toks[src_at - 1][1].upper() == "AS"
+        ):
+            alias = toks[src_at][1]
+            src_at -= 2
+        if not (
+            src_at >= 1
+            and toks[src_at][0] in ("ident", "group")
+            and toks[src_at - 1][0] == "ident"
+            and toks[src_at - 1][1].upper() == "FROM"
+        ):
+            raise UnsupportedClickHouseSQL(
+                "alias-less ARRAY JOIN must directly follow the FROM "
+                "source (write ARRAY JOIN expr AS alias elsewhere)"
+            )
+        name = alias or (
+            toks[src_at][1] if toks[src_at][0] == "ident" else f"__ajsrc{n_aj}"
+        )
+        vnames = [f"__ajv{n_aj}_{k}" for k in range(len(items))]
+        proj = ", ".join(
+            f"{v} AS {a}" for v, (_, a, _) in zip(vnames, items)
+        )
+        src = s[toks[src_at][2]: toks[src_at][3]]
+        sub = (
+            f"(SELECT {name}.* EXCEPT ({', '.join(replaced)}), {proj} "
+            f"FROM {src} AS {name} LATERAL VIEW {outer}{gen} "
+            f"__aj{n_aj} AS {', '.join(vnames)}) AS {name} "
         )
         n_aj += 1
-        s = s[:start] + repl + s[stop:]
+        s = s[: toks[src_at][2]] + sub + s[stop:]
 
 
 def _merge_prewhere(s: str) -> str:
@@ -937,8 +1144,8 @@ def _rewrite_with_totals(s: str) -> str:
 
 
 def _rewrite_clauses(s: str, final_keys) -> str:
-    _check_sample(s)
     s = _rewrite_final(s, final_keys)
+    s = _rewrite_sample(s)
     s = _rewrite_array_join(s)
     s = _merge_prewhere(s)
     s = _rewrite_with_totals(s)

@@ -107,12 +107,14 @@ def test_unsupported_constructs_fail_fast():
     for sql, hint in [
         # FINAL is translatable only with a registered engine key
         ("SELECT * FROM sometable FINAL", "register_final_keys"),
-        ("SELECT * FROM events SAMPLE 0.1", "hash sampling"),
+        # SAMPLE is translatable only with a registered sampling key,
+        # and the integer row-target form needs table statistics
+        ("SELECT * FROM nation SAMPLE 0.1", "register_sampling_key"),
+        ("SELECT * FROM events SAMPLE 10000", "row target"),
         ("SELECT topK(5)(event_type) FROM events", "heavy-hitters"),
-        # alias-less ARRAY JOIN replaces the source column — ambiguous
-        ("SELECT a FROM t ARRAY JOIN arr", "AS alias"),
-        # multi-array ARRAY JOIN zips, which LATERAL VIEW cannot
-        ("SELECT a FROM t ARRAY JOIN a1 AS x, a2 AS y", "zips"),
+        # alias-less ARRAY JOIN over an EXPRESSION has no source
+        # column to replace
+        ("SELECT a FROM t ARRAY JOIN arrayConcat(a, b)", "plain column"),
         ("SELECT x FROM t PREWHERE", "no condition"),
     ]:
         with pytest.raises(UnsupportedClickHouseSQL, match=hint):
@@ -491,3 +493,119 @@ def test_array_literals_and_indexing(spark):
     assert row["joined"] == "u-v"
     with pytest.raises(UnsupportedClickHouseSQL, match="1-based"):
         translate_clickhouse_sql("SELECT arr[1] FROM t")
+
+
+def test_sample_is_deterministic_hash_threshold(spark):
+    """SAMPLE k == the q_hash_sample membership predicate on the
+    registered SAMPLE BY key: reproducible, disjoint under OFFSET,
+    and the union of complementary slices is the whole table."""
+    n_all = run_clickhouse_sql(
+        spark, "SELECT count() AS n FROM documents", SF_SMOKE
+    ).collect()[0]["n"]
+    a = run_clickhouse_sql(
+        spark, "SELECT count() AS n FROM documents SAMPLE 0.5", SF_SMOKE
+    ).collect()[0]["n"]
+    b = run_clickhouse_sql(
+        spark,
+        "SELECT count() AS n FROM documents SAMPLE 0.5 OFFSET 0.5",
+        SF_SMOKE,
+    ).collect()[0]["n"]
+    assert a + b == n_all and 0 < a < n_all
+    # deterministic: same query, same membership
+    a2 = run_clickhouse_sql(
+        spark, "SELECT count() AS n FROM documents SAMPLE 0.5", SF_SMOKE
+    ).collect()[0]["n"]
+    assert a2 == a
+    # matches the hand-written hash-threshold predicate exactly
+    want = spark.sql(
+        "SELECT count(*) AS n FROM documents WHERE "
+        "conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)"
+        " / 4294967296.0 < 0.5"
+    ).collect()[0]["n"]
+    assert a == want
+
+
+def test_sample_key_registry(spark):
+    from clickbom_spark.dialect import SAMPLING_KEYS, register_sampling_key
+
+    assert "nation" not in SAMPLING_KEYS
+    register_sampling_key("nation", "n_nationkey")
+    try:
+        n = run_clickhouse_sql(
+            spark, "SELECT count() AS n FROM nation SAMPLE 0.9", SF_SMOKE
+        ).collect()[0]["n"]
+        assert 0 < n <= 25
+    finally:
+        SAMPLING_KEYS.pop("nation", None)
+
+
+def test_multi_array_join_zips_elementwise(spark):
+    """ARRAY JOIN a AS x, b AS y is an element-wise zip (ClickHouse
+    semantics), compiled to ONE inline(transform(...)) generator —
+    never a positional cross join."""
+    spark.sql(
+        "SELECT 1 AS id, array(10, 20) AS a, array('x', 'y') AS b "
+        "UNION ALL SELECT 2, array(30), array('z')"
+    ).createOrReplaceTempView("zt")
+    out = translate_clickhouse_sql(
+        "SELECT id, va, vb FROM zt ARRAY JOIN a AS va, b AS vb "
+        "ORDER BY id, va"
+    )
+    assert "inline(transform(" in out and out.count("LATERAL VIEW") == 1
+    got = [tuple(r) for r in spark.sql(out).collect()]
+    assert got == [(1, 10, "x"), (1, 20, "y"), (2, 30, "z")]
+
+
+def test_aliasless_array_join_replaces_source_column(spark):
+    """ARRAY JOIN arr (no alias) replaces the array column with its
+    element, usable in SELECT/WHERE/GROUP BY under the original name."""
+    spark.sql(
+        "SELECT 1 AS id, array(10, 20) AS a, array('x', 'y') AS b "
+        "UNION ALL SELECT 2, array(30), array('z')"
+    ).createOrReplaceTempView("zt")
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT id, a FROM zt ARRAY JOIN a ORDER BY id, a"
+            )
+        ).collect()
+    ]
+    assert got == [(1, 10), (1, 20), (2, 30)]
+    # mixed alias-less + aliased in one clause
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT id, a, vb FROM zt ARRAY JOIN a, b AS vb "
+                "ORDER BY id, a"
+            )
+        ).collect()
+    ]
+    assert got == [(1, 10, "x"), (1, 20, "y"), (2, 30, "z")]
+    # exploded value flows through WHERE and GROUP BY
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT id, count() AS n FROM zt ARRAY JOIN a "
+                "WHERE a > 10 GROUP BY id ORDER BY id"
+            )
+        ).collect()
+    ]
+    assert got == [(1, 1), (2, 1)]
+
+
+def test_left_array_join_aliasless_keeps_empty_rows(spark):
+    spark.sql(
+        "SELECT 1 AS id, array() AS e UNION ALL SELECT 2, array(5)"
+    ).createOrReplaceTempView("et")
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT id, e FROM et LEFT ARRAY JOIN e ORDER BY id"
+            )
+        ).collect()
+    ]
+    assert got == [(1, None), (2, 5)]
