@@ -284,3 +284,58 @@ def triangle_count(
     return counts.crossJoin(
         tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     ).select("n_nodes", "n_edges", "n_triangles")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (LPA, Raghavan et al. 2007 —
+    public algorithm) with a DETERMINISTIC tie-break: every node
+    starts with its own id as label; each round every node adopts the
+    label occurring most among its neighbors, ties broken toward the
+    SMALLEST label, isolated-in-round nodes keep their label.
+    Returns (node, label) after exactly ``rounds`` synchronous rounds
+    — fixed-round semantics make the result replayable by a chained
+    relational oracle (one CTE per round), unlike the usual
+    until-convergence LPA whose round count is data-dependent.
+
+    Each round is ONE edge-sized equi-join + (node, label) hash
+    aggregate + max_by — no driver-side state, no all-pairs work; the
+    per-round result is checkpoint-truncated so lineage stays flat.
+    ``edges`` must carry BOTH directions of each undirected edge.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        neigh = (
+            edges.join(labels, edges[dst] == labels["node"])
+            .select(F.col(src).alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            # most-frequent label, ties to the SMALLEST label: max of
+            # (cnt, -label) is deterministic under both orderings
+            .groupBy("node")
+            .agg(
+                F.max_by(
+                    F.col("label"), F.struct(F.col("cnt"), -F.col("label"))
+                ).alias("new_label")
+            )
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

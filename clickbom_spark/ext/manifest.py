@@ -1079,6 +1079,93 @@ def branch(lake: VersionedLake, path: str) -> VersionedLake:
     return br
 
 
+def _column_merge_ops(ops, conflicts, br_cf, src_cf, key_cols):
+    """Cell-wise merge of both-sides-updated keys (merge_branch's
+    ``column-merge`` policy).  Each side's net change feed yields, per
+    conflicted key, its kind (I/U/D) and — for updates — the SET of
+    columns whose value actually changed between update_pre and
+    update_post.  Keys where both sides are updates over DISJOINT
+    column sets merge to one row taking the branch's values for
+    branch-changed columns and the source's head values elsewhere;
+    everything else raises :class:`BranchMergeConflict`.  All joins
+    are key equi-joins over divergence-sized feeds."""
+    data_cols = [c for c in ops.columns if c not in [*key_cols, "op"]]
+
+    def net(cf, tag):
+        pre_a, post_a = f"__{tag}cm_pre", f"__{tag}cm_post"
+        pre = cf.where(F.col("_change_type") == "update_pre")
+        post = cf.where(F.col("_change_type") == "update_post")
+        chg = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"{pre_a}.{c}").eqNullSafe(
+                            F.col(f"{post_a}.{c}")
+                        ),
+                        F.lit(c),
+                    )
+                    for c in data_cols
+                ]
+            )
+        )
+        upd = (
+            pre.alias(pre_a)
+            .join(post.alias(post_a), key_cols)
+            .select(
+                *key_cols,
+                F.lit("U").alias(f"{tag}_kind"),
+                chg.alias(f"{tag}_chg"),
+                *[
+                    F.col(f"{post_a}.{c}").alias(f"{tag}_{c}")
+                    for c in data_cols
+                ],
+            )
+        )
+        other = cf.where(
+            F.col("_change_type").isin("insert", "delete")
+        ).select(
+            *key_cols,
+            F.when(F.col("_change_type") == "insert", "I")
+            .otherwise("D")
+            .alias(f"{tag}_kind"),
+            F.lit(None).cast("array<string>").alias(f"{tag}_chg"),
+            *[F.col(c).alias(f"{tag}_{c}") for c in data_cols],
+        )
+        return upd.unionByName(other)
+
+    pairs = (
+        conflicts.join(net(br_cf, "b"), key_cols)
+        .join(net(src_cf, "s"), key_cols)
+    )
+    mergeable = (
+        (F.col("b_kind") == "U")
+        & (F.col("s_kind") == "U")
+        & ~F.arrays_overlap("b_chg", "s_chg")
+    )
+    bad = pairs.where(~mergeable).select(
+        *key_cols, "b_kind", "s_kind", "b_chg", "s_chg"
+    ).limit(20).collect()
+    if bad:
+        raise BranchMergeConflict(
+            f"{len(bad)}{'+' if len(bad) == 20 else ''} key(s) have "
+            "no column-level merge (insert/delete on a conflicted "
+            "key, or the two sides changed overlapping columns): "
+            f"{[tuple(r)[:len(key_cols) + 2] for r in bad[:5]]}",
+            [tuple(r)[: len(key_cols)] for r in bad],
+        )
+    merged = pairs.select(
+        *key_cols,
+        *[
+            F.when(
+                F.array_contains("b_chg", c), F.col(f"b_{c}")
+            ).otherwise(F.col(f"s_{c}")).alias(c)
+            for c in data_cols
+        ],
+        F.lit("U").alias("op"),
+    )
+    return ops.join(conflicts, key_cols, "left_anti").unionByName(merged)
+
+
 def merge_branch(
     src: VersionedLake,
     br: VersionedLake,
@@ -1105,10 +1192,24 @@ def merge_branch(
       bounded key sample; nothing is committed.
     * ``'source-wins'``: drop the branch's ops on conflicted keys and
       merge the rest (the source's concurrent edit survives).
+    * ``'column-merge'``: COLUMN-level detection — a key UPDATED on
+      both sides is only a real conflict when the two sides changed
+      an overlapping SET of columns (each side's changed-column set
+      is derived from its change feed's update_pre/update_post pair).
+      Disjoint column edits merge cell-wise: the committed row takes
+      the branch's values for branch-changed columns and the source's
+      HEAD values for everything else.  Insert/delete on a
+      both-sides-modified key, or overlapping changed columns, raise
+      :class:`BranchMergeConflict` (row identity / same-cell edits
+      have no order-free merge).  Detection and merge are equi-joins
+      over the two divergence-sized change feeds — cost scales with
+      what changed, never with table size.
 
     Keys must be unique per snapshot (the CDF pre/post pairing
     contract).  Returns the source's new version."""
-    if on_conflict not in ("branch-wins", "fail", "source-wins"):
+    if on_conflict not in (
+        "branch-wins", "fail", "source-wins", "column-merge"
+    ):
         raise ValueError(f"unknown on_conflict policy: {on_conflict!r}")
     cf = change_feed(br, 0, br.current_version(), key_cols)
     ops = cf.where(F.col("_change_type") != "update_pre").withColumn(
@@ -1164,6 +1265,8 @@ def merge_branch(
         ops_eff = ops
         if conflicts is not None and on_conflict == "source-wins":
             ops_eff = ops.join(conflicts, key_cols, "left_anti")
+        if conflicts is not None and on_conflict == "column-merge":
+            ops_eff = _column_merge_ops(ops, conflicts, cf, src_cf, key_cols)
         try:
             return src.merge_cdc(
                 ops_eff, key_cols, message="merge-branch",
@@ -1255,6 +1358,73 @@ def additive_matview_sink(lake: VersionedLake, group_cols: list[str],
         )
         lake.upsert(merged, group_cols, message=f"matview-epoch-{e}",
                     epoch=e)
+
+    return body
+
+
+def scd2_sink(lake: VersionedLake, key_cols: list[str],
+              attr_cols: list[str]):
+    """foreachBatch body for EXACTLY-ONCE incremental SCD2 (slowly
+    changing dimension, type 2) maintenance: each micro-batch carries
+    the LATEST attribute state for the keys that changed (one row per
+    key — collapse upstream with max_by), and the sink versions the
+    dimension as (``valid_from`` epoch inclusive, ``valid_to`` epoch
+    exclusive, NULL = open, ``is_current`` flag).
+
+    Per epoch: keys whose attrs differ from their open row (or are
+    new) get their open row CLOSED at this epoch and a new open row
+    inserted; unchanged keys are untouched, so per-batch cost scales
+    with the batch's change set joined against the current dimension
+    slice — never with history size.  Both the closes and the inserts
+    land in ONE epoch-marked upsert keyed by (key, valid_from), so
+    foreachBatch replays are detected and skipped (the same
+    exactly-once contract as :func:`additive_matview_sink`).  Key
+    deletions are out of scope (dimension rows change, they don't
+    disappear); feed a tombstone attribute if you need them.
+
+    Reference basis: the warehouse SCD2 pattern the reference's
+    batch q_scd2_intervals derives offline, maintained incrementally.
+    """
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        if epoch_committed(lake, e):
+            return
+        if batch_df.isEmpty():
+            return
+        cur = lake.read().where(F.col("is_current"))
+        b = batch_df.select(*key_cols, *attr_cols).alias("__scd_new")
+        c = cur.alias("__scd_cur")
+        same = F.lit(True)
+        for a in attr_cols:
+            same = same & F.col(f"__scd_cur.{a}").eqNullSafe(
+                F.col(f"__scd_new.{a}")
+            )
+        changed = b.join(c, key_cols, "left").where(
+            F.col("__scd_cur.valid_from").isNull() | ~same
+        )
+        new_rows = changed.select(
+            *key_cols,
+            *[F.col(f"__scd_new.{a}").alias(a) for a in attr_cols],
+            F.lit(e).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        closed = changed.where(
+            F.col("__scd_cur.valid_from").isNotNull()
+        ).select(
+            *key_cols,
+            *[F.col(f"__scd_cur.{a}").alias(a) for a in attr_cols],
+            F.col("__scd_cur.valid_from").alias("valid_from"),
+            F.lit(e).cast("long").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+        lake.upsert(
+            new_rows.unionByName(closed),
+            [*key_cols, "valid_from"],
+            message=f"scd2-epoch-{e}",
+            epoch=e,
+        )
 
     return body
 

@@ -1,0 +1,892 @@
+"""Staged registry wave for round 10 — new operator surface.
+
+Same staging workflow as the round-6..9 waves: every query here is
+oracle-parity-verified NOW (bit-exact vs DuckDB at sf0.001 and sf0.01
+via ``tests/test_staged_r10_parity.py``; the strict-parity sweep
+covers sf0.1) but held OUT of :data:`clickbom_spark.queries.REGISTRY`
+so this round's 50-slot driver budget goes to the 23 round-9
+activations plus the stalest-green rotation.  Round 10 activates
+with::
+
+    from clickbom_spark.queries import staged_r10  # noqa: F401
+    REGISTRY.update(staged_r10.STAGED_R10)
+
+in ``queries/__init__.py``.
+
+Round-10 themes:
+
+* **Dialect round-trips for the round-9 clause compilations** —
+  ``SAMPLE k [OFFSET m]`` (hash-threshold over the registered
+  sampling key), multi-array ``ARRAY JOIN`` (element-wise zip via one
+  inline(transform) generator), alias-less ``ARRAY JOIN`` (source
+  column replacement), and a FINAL + LIMIT n BY composition — each
+  runs REAL ClickHouse query text through ``run_clickhouse_sql`` and
+  is graded on VALUES against a hand-written DuckDB oracle.
+* **Column-level branch merge** — ``merge_branch(...,
+  on_conflict='column-merge')``: both-sides-updated keys whose
+  changed-column sets are disjoint merge cell-wise instead of
+  failing (ext/manifest._column_merge_ops).
+* **Streaming warehouse depth** — the lake → stream → matview →
+  PROJECTION-routed serving chain, and incremental SCD2 dimension
+  maintenance from a change stream (ext/manifest.scd2_sink).
+* **Pipeline + analytics ops** — URL canonicalization dedup,
+  fixed-round label propagation (deterministic tie-break, chained-CTE
+  oracle), Benjamini–Hochberg FDR over per-nation two-sample z tests,
+  and integer-exact multi-touch attribution.
+
+Float determinism policy (same as the registry): exact integer /
+decimal aggregates first, then ONE fixed IEEE expression per surfaced
+double — the identical expression text on both engines — and
+``round(x, 6)`` on surfaced statistics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from clickbom_spark.queries import QuerySpec, load
+
+STAGED_R10: dict[str, QuerySpec] = {}
+
+
+def staged(name: str, oracle: str | None = None, description: str = "",
+           bench: bool = False):
+    def deco(fn):
+        STAGED_R10[name] = QuerySpec(name, fn, oracle, description, bench)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: SAMPLE k [OFFSET m].  The round-9 compilation
+# turns the clause into a deterministic md5-prefix hash-threshold
+# subquery over the table's registered SAMPLE BY key (documents ->
+# doc_id), the q_hash_sample membership primitive — so the oracle can
+# state the EXACT predicate in DuckDB and match row-for-row.
+# ---------------------------------------------------------------------------
+
+_CH_SAMPLE = """
+SELECT source, count() AS n, sum(n_chars) AS chars
+FROM documents SAMPLE 0.3
+GROUP BY source ORDER BY source
+"""
+
+
+@staged(
+    "q_dialect_sample",
+    oracle="""
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0 < 0.3
+GROUP BY source ORDER BY source
+""",
+    description="ClickHouse `SAMPLE 0.3` run verbatim through the "
+    "dialect shim (dialect._rewrite_sample): compiles to the "
+    "registered-sampling-key hash-threshold subquery, so membership "
+    "is deterministic and engine-independent — the DuckDB oracle "
+    "states the same md5-prefix predicate and must match row-for-row.",
+)
+def q_dialect_sample(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_SAMPLE, sf_dir)
+    return out.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("chars").cast("long").alias("chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: multi-array ARRAY JOIN (zip semantics).  The
+# compilation drives ONE inline(transform(...)) generator off the
+# first array — never a positional cross join — and DuckDB's
+# multi-unnest zip is the independent oracle.
+# ---------------------------------------------------------------------------
+
+_CH_MULTI_AJ = """
+SELECT w, wu, count() AS n
+FROM documents
+ARRAY JOIN splitByChar(' ', text) AS w,
+           arrayMap(x -> upperUTF8(x), splitByChar(' ', text)) AS wu
+WHERE lang = 'en' AND lengthUTF8(w) > 3
+GROUP BY w, wu
+ORDER BY n DESC, w
+LIMIT 20
+"""
+
+
+@staged(
+    "q_dialect_multi_array_join",
+    oracle="""
+WITH ex AS (
+  SELECT unnest(string_split(text, ' ')) AS w,
+         unnest(list_transform(string_split(text, ' '),
+                               x -> upper(x))) AS wu
+  FROM documents WHERE lang = 'en'
+)
+SELECT w, wu, CAST(count(*) AS BIGINT) AS n
+FROM ex WHERE length(w) > 3
+GROUP BY w, wu ORDER BY n DESC, w LIMIT 20
+""",
+    description="Multi-array ARRAY JOIN (element-wise zip, ClickHouse "
+    "semantics) through the dialect shim: compiled to a single "
+    "inline(transform(...)) generator (plan-guarded one LATERAL "
+    "VIEW), graded against DuckDB's multi-unnest zip.",
+)
+def q_dialect_multi_array_join(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_MULTI_AJ, sf_dir)
+    return out.select("w", "wu", F.col("n").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: alias-less ARRAY JOIN (the form that REPLACES
+# the source column).  The compilation wraps the FROM source in a
+# subquery projecting src.* EXCEPT (col) plus the exploded element AS
+# col, so the bare name resolves to the ELEMENT in SELECT / WHERE /
+# GROUP BY — exactly ClickHouse's scoping.
+# ---------------------------------------------------------------------------
+
+_CH_ALIASLESS_AJ = """
+SELECT ws, count() AS n
+FROM (SELECT doc_id, lang, splitByChar(' ', text) AS ws
+      FROM documents) AS t
+ARRAY JOIN ws
+WHERE lang = 'de' AND lengthUTF8(ws) > 3
+GROUP BY ws ORDER BY n DESC, ws LIMIT 20
+"""
+
+
+@staged(
+    "q_dialect_aliasless_array_join",
+    oracle="""
+WITH ex AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS ws FROM documents
+)
+SELECT ws, CAST(count(*) AS BIGINT) AS n
+FROM ex WHERE lang = 'de' AND length(ws) > 3
+GROUP BY ws ORDER BY n DESC, ws LIMIT 20
+""",
+    description="Alias-less ARRAY JOIN through the dialect shim: the "
+    "exploded element replaces the source array column under its own "
+    "name (dialect._rewrite_array_join source-wrap path), flowing "
+    "through WHERE and GROUP BY exactly as in ClickHouse.",
+)
+def q_dialect_aliasless_array_join(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_ALIASLESS_AJ, sf_dir)
+    return out.select("ws", F.col("n").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: clause COMPOSITION — FROM events FINAL feeding
+# LIMIT n BY with a trailing LIMIT, exercising rewrite ordering
+# (FINAL's keep-latest subquery must be in place before the LIMIT BY
+# window wraps the query).
+# ---------------------------------------------------------------------------
+
+_CH_COMBO = """
+SELECT user_id, event_type, round(value, 2) AS v
+FROM events FINAL
+ORDER BY v DESC, user_id, event_type
+LIMIT 2 BY event_type
+LIMIT 10
+"""
+
+
+@staged(
+    "q_dialect_combo",
+    oracle="""
+WITH fin AS (
+  SELECT user_id, event_type, round(value, 2) AS v
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+), lb AS (
+  SELECT user_id, event_type, v,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY v DESC, user_id, event_type) AS lbn
+  FROM fin
+)
+SELECT user_id, event_type, v FROM lb WHERE lbn <= 2
+ORDER BY v DESC, user_id, event_type LIMIT 10
+""",
+    description="Dialect clause composition: FROM events FINAL "
+    "(keep-latest on the registered (user_id, event_type) / "
+    "(ts, event_id) key) piped into LIMIT 2 BY event_type with a "
+    "trailing LIMIT 10 — one ClickHouse query exercising two clause "
+    "rewrites in sequence, graded against a DuckDB twin.",
+)
+def q_dialect_combo(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_COMBO, sf_dir)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "v",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-level branch merge: branch edits STATUS on keys %7, source
+# concurrently edits PRICE on keys %5 — every both-sides key (%35)
+# touches DISJOINT columns, so 'column-merge' commits a cell-wise
+# merge where 'fail' would refuse: the final table carries BOTH edits.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_lake_merge_column_conflict",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 3 = 0
+), fin AS (
+  SELECT k,
+         CASE WHEN k % 7 = 0 THEN 'B-EDIT' ELSE st END AS st,
+         CASE WHEN k % 5 = 0 THEN p + 1000 ELSE p END AS p
+  FROM base
+)
+SELECT st AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(p) AS DOUBLE) AS total_p
+FROM fin GROUP BY st ORDER BY st
+""",
+    description="Column-level merge conflict resolution "
+    "(ext/manifest.merge_branch on_conflict='column-merge'): branch "
+    "updates the status column on keys %7 while the source updates "
+    "the price column on keys %5; keys modified on BOTH sides changed "
+    "disjoint column sets, so the merge commits cell-wise (branch's "
+    "status + source's price) instead of failing — detection and "
+    "merge are equi-joins over the two divergence-sized change "
+    "feeds.",
+)
+def q_lake_merge_column_conflict(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        branch,
+        merge_branch,
+    )
+    from clickbom_spark.queries import dec
+    from clickbom_spark.queries.staged import _TMP
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        dec("o_totalprice").alias("p"),
+    )
+    tag = _uuid.uuid4().hex[:8]
+    path = os.path.join(_TMP, f"colmerge_src_{tag}")
+    br_path = os.path.join(_TMP, f"colmerge_br_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(br_path, ignore_errors=True)
+    lake = VersionedLake.create(
+        spark, path, base.repartitionByRange(4, "k"), n_files=4
+    )
+    br = branch(lake, br_path)
+    br.update(F.col("k") % 7 == 0, {"st": F.lit("B-EDIT")})
+    lake.update(F.col("k") % 5 == 0, {"p": F.col("p") + 1000})
+    v = merge_branch(lake, br, ["k"], on_conflict="column-merge")
+    return (
+        lake.read(v)
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").cast("double").alias("total_p"),
+        )
+        .select(F.col("st").alias("o_orderstatus"), "n", "total_p")
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lake -> stream -> matview -> PROJECTION-routed serving: the full
+# streaming-warehouse loop extended one hop past q_lake_stream_matview.
+# The matview holds FINER groups (event_type x user bucket); a stored
+# projection on the matview answers the coarse serving query via
+# route_aggregate (sums are distributive), and the route is asserted.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_lake_stream_serving",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    description="Streaming-warehouse serving chain: three source-lake "
+    "commits stream out through the Python Data Source API, "
+    "additive_matview_sink folds them into a (event_type, bucket) "
+    "matview exactly-once, add_projection stores the event_type "
+    "rollup, and route_aggregate serves the final GROUP BY from the "
+    "PROJECTION (route asserted, never a table scan) — end to end, "
+    "the served numbers must equal a cold batch aggregate of the "
+    "source events.",
+)
+def q_lake_stream_serving(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        add_projection,
+        additive_matview_sink,
+        route_aggregate,
+    )
+    from clickbom_spark.queries.staged import _TMP
+    from clickbom_spark.streaming.lake_source import LakeStreamDataSource
+
+    (events,) = load(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 4).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tag = _uuid.uuid4().hex[:8]
+    src_path = os.path.join(_TMP, f"serve_src_{tag}")
+    mv_path = os.path.join(_TMP, f"serve_mv_{tag}")
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(mv_path, ignore_errors=True)
+    src = VersionedLake.create(
+        spark, src_path, base.where(F.col("event_id") % 3 == 0), n_files=2
+    )
+    src.upsert(base.where(F.col("event_id") % 3 == 1), ["event_id"])
+    src.upsert(base.where(F.col("event_id") % 3 == 2), ["event_id"])
+
+    mv = VersionedLake.create(
+        spark,
+        mv_path,
+        base.select(
+            "event_type",
+            "bucket",
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("s"),
+        ).where(F.lit(False)),
+        n_files=1,
+    )
+
+    def partial(df):
+        return df.groupBy("event_type", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+
+    spark.dataSource.register(LakeStreamDataSource)
+    q = (
+        spark.readStream.format("lake_stream")
+        .option("path", src_path)
+        .load()
+        .writeStream.foreachBatch(
+            additive_matview_sink(mv, ["event_type", "bucket"], partial)
+        )
+        .option("checkpointLocation", os.path.join(_TMP, f"serve_ck_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    add_projection(
+        mv, "by_type", ["event_type", "bucket"], ["event_type"], ["n", "s"]
+    )
+    served, route = route_aggregate(mv, ["event_type"], ["n", "s"])
+    assert route == "by_type", f"serving took route {route!r}, not projection"
+    return served.select(
+        "event_type",
+        F.col("sum_n").cast("long").alias("n"),
+        F.col("sum_s").cast("long").alias("cents"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Incremental SCD2 from a change stream: three micro-batches of
+# per-user latest profiles maintain a type-2 dimension (valid_from /
+# valid_to epoch intervals, exclusive end, open = NULL) exactly-once;
+# the oracle replays the same three epochs relationally — change
+# detection via lag over present epochs, intervals via lead.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_stream_scd2_incremental",
+    oracle="""
+WITH b AS (SELECT MAX(event_id) + 1 AS nn FROM events),
+ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_id < (SELECT nn FROM b) // 3 THEN 0
+              WHEN event_id < 2 * ((SELECT nn FROM b) // 3) THEN 1
+              ELSE 2 END AS e
+  FROM events
+), prof AS (
+  SELECT e, user_id,
+         arg_max(event_type, event_id) AS seg,
+         arg_max(cents, event_id) AS score
+  FROM ev GROUP BY e, user_id
+), seq AS (
+  SELECT user_id, e, seg, score,
+         LAG(seg) OVER w AS pseg, LAG(score) OVER w AS pscore
+  FROM prof WINDOW w AS (PARTITION BY user_id ORDER BY e)
+), chg AS (
+  SELECT user_id, seg, score, e AS valid_from
+  FROM seq
+  WHERE pseg IS NULL OR seg <> pseg OR score <> pscore
+), iv AS (
+  SELECT user_id, seg, score,
+         CAST(valid_from AS BIGINT) AS valid_from,
+         CAST(LEAD(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from) AS BIGINT)
+           AS valid_to
+  FROM chg
+)
+SELECT user_id, seg, score, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM iv ORDER BY user_id, valid_from
+""",
+    description="Incremental SCD2 dimension maintenance from a change "
+    "stream (ext/manifest.scd2_sink): three micro-batches of per-user "
+    "latest (event_type, cents) profiles close/open validity "
+    "intervals epoch-by-epoch in one exactly-once upsert per batch; "
+    "the final dimension must equal the offline SCD2 derivation over "
+    "the same three epochs — incremental maintenance "
+    "indistinguishable from recomputation.",
+)
+def q_stream_scd2_incremental(spark, sf_dir):
+    import uuid as _uuid
+
+    from clickbom_spark.ext.manifest import VersionedLake, scd2_sink
+    from clickbom_spark.queries.staged import _TMP, stage_single_parquet
+
+    (events,) = load(spark, sf_dir, "events")
+    rows = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tag = _uuid.uuid4().hex[:8]
+    base = os.path.join(_TMP, f"scd2_{tag}")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    n = rows.agg(F.max("event_id")).collect()[0][0] + 1
+    cuts = [0, n // 3, 2 * (n // 3), n]
+    for e in range(3):
+        prof = (
+            rows.where(
+                (F.col("event_id") >= cuts[e])
+                & (F.col("event_id") < cuts[e + 1])
+            )
+            .groupBy("user_id")
+            .agg(
+                F.max_by("event_type", "event_id").alias("seg"),
+                F.max_by("cents", "event_id").alias("score"),
+            )
+        )
+        stage_single_parquet(
+            prof, os.path.join(src, f"b{e}.parquet"),
+            mtime=1_700_000_000 + e * 1000,
+        )
+    dim = VersionedLake.create(
+        spark,
+        os.path.join(base, "dim"),
+        spark.createDataFrame(
+            [],
+            "user_id long, seg string, score long, valid_from long, "
+            "valid_to long, is_current boolean",
+        ),
+        n_files=1,
+    )
+    q = (
+        spark.readStream.schema("user_id long, seg string, score long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(scd2_sink(dim, ["user_id"],
+                                            ["seg", "score"]))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return dim.read().select(
+        "user_id", "seg", "score", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup: the crawl-pipeline primitive (lowercase
+# scheme/host, strip utm_* tracking params, drop the fragment) as pure
+# built-in expressions over parse_url — URLs are CONSTRUCTED from
+# doc_id, so the DuckDB oracle re-derives each canonical form from the
+# same generating rule: the parser is graded against ground truth.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_url_canonical_dedup",
+    oracle="""
+WITH u AS (
+  SELECT 'ex' || CAST(doc_id % 3 AS VARCHAR) || '.org' AS domain,
+         'HTTPS://Ex' || CAST(doc_id % 3 AS VARCHAR) || '.ORG/p/' ||
+           CAST(doc_id // 7 AS VARCHAR) ||
+           CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id='
+                ELSE '?id=' END ||
+           CAST(doc_id % 5 AS VARCHAR) ||
+           CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS raw,
+         'https://ex' || CAST(doc_id % 3 AS VARCHAR) || '.org/p/' ||
+           CAST(doc_id // 7 AS VARCHAR) || '?id=' ||
+           CAST(doc_id % 5 AS VARCHAR) AS canon
+  FROM documents
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT raw) AS BIGINT) AS n_distinct_raw,
+       CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical
+FROM u GROUP BY domain ORDER BY domain
+""",
+    description="URL canonicalization dedup (crawl-pipeline "
+    "primitive): lowercase scheme+host, strip utm_* params, drop "
+    "fragments — all parse_url/regexp built-ins, no UDFs; URLs are "
+    "constructed from doc_id so the oracle derives ground-truth "
+    "canonical forms from the same rule, grading the parser itself.",
+)
+def q_url_canonical_dedup(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTPS://Ex"), (d % 3).cast("string"),
+        F.lit(".ORG/p/"), F.expr("doc_id DIV 7").cast("string"),
+        F.when(d % 2 == 0, F.lit("?utm_source=x&id="))
+        .otherwise(F.lit("?id=")),
+        (d % 5).cast("string"),
+        F.when(d % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = docs.select(raw.alias("raw"))
+    scheme = F.lower(F.regexp_extract("raw", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.parse_url("raw", F.lit("HOST")))
+    path = F.parse_url("raw", F.lit("PATH"))
+    query = F.array_join(
+        F.filter(
+            F.split(F.coalesce(F.parse_url("raw", F.lit("QUERY")),
+                               F.lit("")), "&"),
+            lambda kv: (kv != "") & ~kv.startswith("utm_"),
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return (
+        urls.select("raw", host.alias("domain"), canon.alias("canon"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.countDistinct("raw").cast("long").alias("n_distinct_raw"),
+            F.countDistinct("canon").cast("long").alias("n_canonical"),
+        )
+        .orderBy("domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-round label propagation (LPA, Raghavan et al. 2007) with a
+# deterministic smallest-label tie-break over the co-purchase graph —
+# three synchronous rounds, replayed by the oracle as three chained
+# CTEs (the q_stream_neardup_filter oracle pattern applied to graph
+# iteration).
+# ---------------------------------------------------------------------------
+
+_LPA_ROUND = """
+, r{i} AS (
+  SELECT adj.a AS node, lab{j}.lab AS lab, COUNT(*) AS cnt
+  FROM adj JOIN lab{j} ON lab{j}.node = adj.b
+  GROUP BY adj.a, lab{j}.lab
+), p{i} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+    FROM r{i}) WHERE rn = 1
+), lab{i} AS (
+  SELECT lab{j}.node, COALESCE(p{i}.lab, lab{j}.lab) AS lab
+  FROM lab{j} LEFT JOIN p{i} ON p{i}.node = lab{j}.node
+)"""
+
+
+@staged(
+    "q_label_propagation",
+    oracle="""
+WITH ok AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 1024
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
+), e AS (
+  SELECT u, v FROM pairs GROUP BY u, v
+  HAVING COUNT(DISTINCT l_orderkey) >= 2
+), adj AS (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+), lab0 AS (
+  SELECT DISTINCT a AS node, a AS lab FROM adj
+)"""
+    + _LPA_ROUND.format(i=1, j=0)
+    + _LPA_ROUND.format(i=2, j=1)
+    + _LPA_ROUND.format(i=3, j=2)
+    + """
+SELECT CAST(lab AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM lab3 GROUP BY lab ORDER BY community
+""",
+    description="Synchronous label propagation, 3 fixed rounds with "
+    "smallest-label tie-break (ext/graph.label_propagation; LPA per "
+    "Raghavan et al. 2007, public): one edge equi-join + (node,label) "
+    "hash aggregate + max_by per round, checkpoint-truncated — the "
+    "oracle replays the identical rounds as three chained CTEs over "
+    "the same co-purchase graph.",
+)
+def q_label_propagation(spark, sf_dir):
+    from clickbom_spark.ext.graph import label_propagation
+    from clickbom_spark.queries.staged import copurchase_edges
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    e = copurchase_edges(lineitem).localCheckpoint(eager=True)
+    adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = label_propagation(adj, rounds=3)
+    return (
+        labels.groupBy(F.col("label").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over per-nation two-sample z tests: exact
+# integer power sums per group, ONE fixed IEEE expression for z, the
+# Abramowitz–Stegun 7.1.26 erf polynomial (identical text on both
+# engines) for the two-sided p, then the BH step-up rule as window
+# arithmetic.  All public formulas.
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = "0.10"
+# identical expression text on both engines: x = |z|/sqrt(2),
+# p = 1 - erf(x) via A&S 7.1.26
+_BH_P = (
+    "1.0 - (1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * "
+    "(abs(z) / sqrt(2.0)))) - 1.453152027) * (1.0 / (1.0 + 0.3275911 * "
+    "(abs(z) / sqrt(2.0)))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * "
+    "(abs(z) / sqrt(2.0)))) - 0.284496736) * (1.0 / (1.0 + 0.3275911 * "
+    "(abs(z) / sqrt(2.0)))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * "
+    "(abs(z) / sqrt(2.0)))) * exp(-(abs(z) / sqrt(2.0)) * "
+    "(abs(z) / sqrt(2.0)))))"
+)
+_BH_Z = (
+    "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / "
+    "sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"
+    " / na) / (na - 1)) / na + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)"
+    " * CAST(sb AS DOUBLE) / nb) / (nb - 1)) / nb)"
+)
+
+
+@staged(
+    "q_benjamini_hochberg",
+    oracle=f"""
+WITH c AS (
+  SELECT c_nationkey AS nation,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ga,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), s AS (
+  SELECT nation,
+         CAST(SUM(ga) AS BIGINT) AS na,
+         CAST(SUM(1 - ga) AS BIGINT) AS nb,
+         CAST(SUM(ga * cents) AS BIGINT) AS sa,
+         CAST(SUM((1 - ga) * cents) AS BIGINT) AS sb,
+         CAST(SUM(ga * cents * cents) AS BIGINT) AS qa,
+         CAST(SUM((1 - ga) * cents * cents) AS BIGINT) AS qb
+  FROM c GROUP BY nation
+  HAVING SUM(ga) >= 2 AND SUM(1 - ga) >= 2
+), zt AS (
+  SELECT nation, {_BH_Z} AS z FROM s
+), pt AS (
+  SELECT nation, z, {_BH_P} AS p FROM zt
+), ranked AS (
+  SELECT nation, z, p,
+         CAST(row_number() OVER (ORDER BY p, nation) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM pt
+), kmax AS (
+  SELECT MAX(CASE WHEN p <= i * {_BH_ALPHA} / m THEN i ELSE 0 END)
+         AS k FROM ranked
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       round(z, 6) AS z_r, round(p, 6) AS p_r, i AS rank,
+       (i <= (SELECT k FROM kmax)) AS rejected
+FROM ranked ORDER BY rank
+""",
+    description="Benjamini–Hochberg FDR (step-up, alpha=0.10) over "
+    "per-nation two-sample z tests of customer balance (BUILDING vs "
+    "rest): exact integer power sums, one fixed IEEE z expression, "
+    "the A&S 7.1.26 erf polynomial for two-sided p (identical "
+    "expression text on both engines), then the BH cutoff as window "
+    "arithmetic — multiple-testing control as a single declarative "
+    "plan.",
+)
+def q_benjamini_hochberg(spark, sf_dir):
+    (customer,) = load(spark, sf_dir, "customer")
+    c = customer.select(
+        F.col("c_nationkey").alias("nation"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0).alias("ga"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    s = (
+        c.groupBy("nation")
+        .agg(
+            F.sum("ga").cast("long").alias("na"),
+            F.sum(1 - F.col("ga")).cast("long").alias("nb"),
+            F.sum(F.col("ga") * F.col("cents")).cast("long").alias("sa"),
+            F.sum((1 - F.col("ga")) * F.col("cents")).cast("long")
+            .alias("sb"),
+            F.sum(F.col("ga") * F.col("cents") * F.col("cents"))
+            .cast("long").alias("qa"),
+            F.sum((1 - F.col("ga")) * F.col("cents") * F.col("cents"))
+            .cast("long").alias("qb"),
+        )
+        .where((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    zt = s.select("nation", F.expr(_BH_Z).alias("z"))
+    pt = zt.select("nation", "z", F.expr(_BH_P).alias("p"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("p", "nation")
+    ranked = pt.select(
+        "nation", "z", "p",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("long").alias("m"),
+    )
+    kmax = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p") <= F.col("i") * F.lit(float(_BH_ALPHA))
+                / F.col("m"),
+                F.col("i"),
+            ).otherwise(F.lit(0))
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            F.col("nation").cast("long").alias("nation"),
+            F.round("z", 6).alias("z_r"),
+            F.round("p", 6).alias("p_r"),
+            F.col("i").alias("rank"),
+            (F.col("i") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution with INTEGER micro-credits: every touch
+# before a conversion shares that conversion's credit equally —
+# credit per touch = 1000000 // k (floor), so channel totals are
+# exact integers on both engines (the dropped residue is the
+# documented cost of derandomized exactness).
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_multi_touch_attribution",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS conv_grp
+  FROM events
+), totals AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_conv
+  FROM events GROUP BY user_id
+), touches AS (
+  SELECT ev.user_id, ev.event_type, ev.conv_grp
+  FROM ev JOIN totals ON totals.user_id = ev.user_id
+  WHERE ev.event_type <> 'purchase' AND ev.conv_grp < totals.n_conv
+), k AS (
+  SELECT user_id, conv_grp, CAST(COUNT(*) AS BIGINT) AS k
+  FROM touches GROUP BY user_id, conv_grp
+)
+SELECT t.event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(1000000 // k.k) AS BIGINT) AS credit_micro
+FROM touches t
+JOIN k ON k.user_id = t.user_id AND k.conv_grp = t.conv_grp
+GROUP BY t.event_type ORDER BY channel
+""",
+    description="Linear multi-touch attribution: each purchase's "
+    "credit is split equally over the touches since the previous "
+    "purchase (window count partition), as INTEGER micro-credits "
+    "(1000000 // k) so channel totals are exact in any engine; "
+    "touches after a user's last purchase attribute to nothing.",
+)
+def q_multi_touch_attribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ev = events.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.coalesce(F.sum(is_conv).over(w), F.lit(0))
+        .cast("long").alias("conv_grp"),
+    )
+    totals = events.groupBy("user_id").agg(
+        F.sum(is_conv).cast("long").alias("n_conv")
+    )
+    touches = (
+        ev.join(totals, "user_id")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("conv_grp") < F.col("n_conv"))
+        )
+        .select("user_id", "event_type", "conv_grp")
+    )
+    k = touches.groupBy("user_id", "conv_grp").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return (
+        touches.join(k, ["user_id", "conv_grp"])
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.expr("1000000 DIV k")).cast("long")
+            .alias("credit_micro"),
+        )
+        .orderBy("channel")
+    )

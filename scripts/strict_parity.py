@@ -99,11 +99,11 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--staged"]
     queries = dict(REGISTRY)
     if "--staged" in sys.argv[1:]:
-        # the r6/r7/r8 waves are live in REGISTRY already; --staged
-        # now adds the round-9 holdout
-        from clickbom_spark.queries.staged_r9 import STAGED_R9
+        # the r6..r9 waves are live in REGISTRY already; --staged
+        # now adds the round-10 holdout
+        from clickbom_spark.queries.staged_r10 import STAGED_R10
 
-        queries.update(STAGED_R9)
+        queries.update(STAGED_R10)
     only = set(args)
     fails, errs = [], []
     for name, spec in queries.items():

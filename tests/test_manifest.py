@@ -1987,3 +1987,94 @@ def test_merge_branch_revalidates_on_concurrent_source_commit(
     }
     assert got[12] == 50.0
     assert all(got[i] == -1.0 for i in range(10, 20) if i != 12)
+
+
+def test_merge_branch_column_merge(spark, tmp_path):
+    """'column-merge' laws: (1) both-sides updates over DISJOINT column
+    sets merge cell-wise (branch's changed cells + source's head cells);
+    (2) overlapping changed columns raise; (3) a delete on a conflicted
+    key raises — row identity has no order-free cell merge."""
+    from clickbom_spark.ext.manifest import (
+        BranchMergeConflict,
+        branch,
+        merge_branch,
+    )
+
+    lake = _mk(spark, tmp_path, n=100)
+    br = branch(lake, str(tmp_path / "feature"))
+    # branch edits val on 10..19; source concurrently edits grp on 15..24
+    br.update((F.col("id") >= 10) & (F.col("id") < 20), {"val": F.lit(-1.0)})
+    lake.update(
+        (F.col("id") >= 15) & (F.col("id") < 25), {"grp": F.lit(77)}
+    )
+    v = merge_branch(lake, br, ["id"], on_conflict="column-merge")
+    got = {
+        r["id"]: (r["grp"], r["val"])
+        for r in lake.read(v).where(F.col("id").between(10, 24)).collect()
+    }
+    for i in range(10, 15):  # branch-only keys: branch val, original grp
+        assert got[i] == (i % 5, -1.0)
+    for i in range(15, 20):  # conflicted, disjoint cols: BOTH edits
+        assert got[i] == (77, -1.0)
+    for i in range(20, 25):  # source-only keys: source grp survives
+        assert got[i] == (77, float(i))
+
+    # (2) same column on both sides -> real conflict
+    lake2 = _mk(spark, tmp_path / "l2", n=50)
+    br2 = branch(lake2, str(tmp_path / "f2"))
+    br2.update(F.col("id") == 7, {"val": F.lit(-1.0)})
+    lake2.update(F.col("id") == 7, {"val": F.lit(99.0)})
+    with pytest.raises(BranchMergeConflict, match="overlapping"):
+        merge_branch(lake2, br2, ["id"], on_conflict="column-merge")
+
+    # (3) delete on a conflicted key -> raises
+    lake3 = _mk(spark, tmp_path / "l3", n=50)
+    br3 = branch(lake3, str(tmp_path / "f3"))
+    br3.update(F.col("id") == 3, {"val": F.lit(-1.0)})
+    lake3.delete(F.col("id") == 3)
+    with pytest.raises(BranchMergeConflict):
+        merge_branch(lake3, br3, ["id"], on_conflict="column-merge")
+
+
+def test_scd2_sink_versions_dimension_exactly_once(spark, tmp_path):
+    """SCD2 sink laws: changed keys close their open row (valid_to =
+    epoch, exclusive) and open a new one; unchanged keys untouched;
+    epoch replay is a no-op; interval chain per key is contiguous."""
+    from clickbom_spark.ext.manifest import VersionedLake, scd2_sink
+
+    empty = spark.createDataFrame(
+        [], "id long, seg string, score long, valid_from long, "
+        "valid_to long, is_current boolean"
+    )
+    dim = VersionedLake.create(
+        spark, str(tmp_path / "scd2"), empty, n_files=1
+    )
+    sink = scd2_sink(dim, ["id"], ["seg", "score"])
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "id long, seg string, score long")
+
+    sink(batch([(1, "a", 10), (2, "b", 20)]), 0)
+    sink(batch([(1, "a", 10), (2, "b", 25), (3, "c", 30)]), 1)  # 2 changes
+    sink(batch([(1, "a", 10), (2, "b", 25), (3, "c", 30)]), 1)  # replay
+    sink(batch([(1, "z", 10)]), 2)
+
+    rows = {
+        (r["id"], r["valid_from"]): (
+            r["seg"], r["score"], r["valid_to"], r["is_current"]
+        )
+        for r in dim.read().collect()
+    }
+    assert rows[(1, 0)] == ("a", 10, 2, False)
+    assert rows[(1, 2)] == ("z", 10, None, True)
+    assert rows[(2, 0)] == ("b", 20, 1, False)
+    assert rows[(2, 1)] == ("b", 25, None, True)
+    assert rows[(3, 1)] == ("c", 30, None, True)
+    assert len(rows) == 5  # replay added nothing
+    # exactly one open row per key, intervals contiguous
+    open_per_key = {}
+    for (k, vf), (_, _, vt, cur) in rows.items():
+        if cur:
+            open_per_key[k] = open_per_key.get(k, 0) + 1
+            assert vt is None
+    assert open_per_key == {1: 1, 2: 1, 3: 1}
