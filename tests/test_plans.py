@@ -767,3 +767,84 @@ def test_dialect_array_join_pushes_filter_to_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "lang" in plan.split(
         "PushedFilters", 1)[1][:200], plan
+
+
+def _staged_r10_plan(spark, name: str) -> str:
+    from clickbom_spark.queries.staged_r10 import STAGED_R10
+
+    df = STAGED_R10[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dialect_sample_is_filtered_scan(spark):
+    """SAMPLE k must compile to a hash-threshold FILTER over one scan —
+    no join, no window, no second pass."""
+    plan = _staged_r10_plan(spark, "q_dialect_sample")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_multi_array_join_is_one_generator(spark):
+    """Multi-array ARRAY JOIN (zip) must be ONE Generate over the
+    inline(transform(...)) expression — never two explodes joined on
+    position, never a cartesian."""
+    plan = _staged_r10_plan(spark, "q_dialect_multi_array_join")
+    assert plan.count("Generate") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_aliasless_array_join_is_one_generator(spark):
+    plan = _staged_r10_plan(spark, "q_dialect_aliasless_array_join")
+    assert plan.count("Generate") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dialect_combo_window_is_group_partitioned(spark):
+    """FINAL collapses via max_by aggregate; the LIMIT n BY window runs
+    over the (already collapsed) frame partitioned by event_type."""
+    plan = _staged_r10_plan(spark, "q_dialect_combo")
+    assert "max_by" in plan, plan
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "event_type" in ln, ln
+
+
+def test_bh_windows_never_touch_fact_rows(spark):
+    """Benjamini-Hochberg's rank/count windows run over the per-nation
+    AGGREGATE frame (<= nation-count rows at any SF) — the raw cents
+    column must never appear in a window."""
+    plan = _staged_r10_plan(spark, "q_benjamini_hochberg")
+    for ln in plan.split("\n"):
+        if "windowspecdefinition" in ln:
+            assert "cents" not in ln, ln
+
+
+def test_multi_touch_windows_are_user_partitioned(spark):
+    plan = _staged_r10_plan(spark, "q_multi_touch_attribution")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "user_id" in ln, ln
+
+
+def test_url_canonical_dedup_is_scan_aggregate(spark):
+    """URL canonicalization is one scan -> narrow projection -> hash
+    aggregate: no joins, no windows, no Python boundary."""
+    plan = _staged_r10_plan(spark, "q_url_canonical_dedup")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_label_propagation_no_cartesian(spark):
+    """LPA rounds are edge equi-joins + hash aggregates; nothing in the
+    final frame's plan may be a nested-loop product."""
+    plan = _staged_r10_plan(spark, "q_label_propagation")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
