@@ -246,6 +246,24 @@ def _split_by_char(args):
     return f"split({args[1]}, {re.escape(sep[1:-1])!r})"
 
 
+def _retention(args):
+    """ClickHouse ``retention(cond1, ..., condN)`` → array of 0/1
+    flags: r[0] = 1 iff cond1 held on some row of the group, r[i] = 1
+    iff BOTH cond1 and cond_i held (each on some row) — the documented
+    ClickHouse semantics (conditions are independent existential
+    checks gated on the first).  Compiles to plain max(CASE...)
+    aggregates, so it composes with GROUP BY."""
+    if not args:
+        raise UnsupportedClickHouseSQL(
+            "retention expects at least one condition"
+        )
+    first = f"max(CASE WHEN {args[0]} THEN 1 ELSE 0 END)"
+    items = [first]
+    for c in args[1:]:
+        items.append(f"({first} * max(CASE WHEN {c} THEN 1 ELSE 0 END))")
+    return f"array({', '.join(items)})"
+
+
 def _unsupported_week_mode(mode: str):
     raise UnsupportedClickHouseSQL(
         f"toStartOfWeek mode {mode.strip()}: only the default Sunday-"
@@ -261,6 +279,7 @@ _PLAIN = {
     "count": lambda a: f"count({', '.join(a) if a else '*'})",
     "uniq": lambda a: f"approx_count_distinct({', '.join(a)})",
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "retention": _retention,
     "countif": lambda a: f"count_if({a[0]})",
     "sumif": _agg_if("sum"),
     "avgif": _agg_if("avg"),
@@ -797,6 +816,196 @@ def _rewrite_sample(s: str) -> str:
         s = s[: toks[src_at][2]] + sub + s[toks[end - 1][3]:]
 
 
+_ASOF_STOP = (
+    "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "SEMI", "ANTI",
+    "JOIN", "ASOF",
+)
+
+
+def _asof_cmp(toks, lo, hi):
+    """Find the single top-level comparison in cond tokens
+    ``toks[lo:hi]``.  Returns ``(op, op_start, op_end)`` combining
+    adjacent ``>``/``<`` + ``=`` symbol tokens, or None."""
+    for t in range(lo, hi):
+        if toks[t][0] != "sym" or toks[t][1] not in "<>=":
+            continue
+        op = toks[t][1]
+        end = toks[t][3]
+        if (
+            op in "<>"
+            and t + 1 < hi
+            and toks[t + 1][0] == "sym"
+            and toks[t + 1][1] == "="
+            and toks[t + 1][2] == toks[t][3]
+        ):
+            op += "="
+            end = toks[t + 1][3]
+        return op, toks[t][2], end
+    return None
+
+
+def _rewrite_asof_join(s: str) -> str:
+    """``lhs ASOF [LEFT|INNER] JOIN rhs [AS] r ON eqs AND l.x >= r.x``
+    → plain ``[LEFT] JOIN`` against a derived right table that carries
+    each row's VALIDITY INTERVAL on the asof column::
+
+        [LEFT] JOIN (SELECT *, lead(x) OVER (PARTITION BY keys
+                     ORDER BY x) AS __asof_end FROM rhs) AS r
+          ON eqs AND l.x >= r.x
+             AND (r.__asof_end IS NULL OR l.x < r.__asof_end)
+
+    so every left row joins AT MOST ONE right row — the latest
+    ``r.x <= l.x`` (resp. earliest for ``<=``/``<``) — with no left
+    row-id, no outer-query wrapping (GROUP BY/HAVING above the join
+    keep working), and the scalable equi-join-plus-range shape the
+    engine's own as-of operator uses (ext la q_asof_join_events).
+    All four ClickHouse inequality forms translate.  Requirements
+    (fail-fast otherwise): the ON clause must name the right side via
+    its alias in BOTH the equality keys (``l.k = r.k``) and the asof
+    inequality (``r.x`` a plain column); ``ASOF JOIN ... USING`` is
+    not translated.  Note ``r.*`` after translation includes the
+    helper ``__asof_end`` column — project explicit columns.  Ties on
+    the asof column within one key keep one row, unspecified which
+    (ClickHouse likewise leaves duplicate asof values undefined)."""
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for t in range(len(toks) - 2):
+            if toks[t][0] == "ident" and toks[t][1].upper() == "ASOF":
+                nxt = toks[t + 1]
+                if nxt[0] == "ident" and nxt[1].upper() in (
+                    "JOIN", "LEFT", "INNER",
+                ):
+                    hit = t
+                    break
+        if hit is None:
+            return s
+        k = hit + 1
+        left_join = False
+        if toks[k][1].upper() in ("LEFT", "INNER"):
+            left_join = toks[k][1].upper() == "LEFT"
+            k += 1
+        if not (toks[k][0] == "ident" and toks[k][1].upper() == "JOIN"):
+            raise UnsupportedClickHouseSQL(
+                "ASOF must be followed by [LEFT|INNER] JOIN"
+            )
+        k += 1
+        if toks[k][0] not in ("ident", "group"):
+            raise UnsupportedClickHouseSQL(
+                "ASOF JOIN: expected a table or subquery source"
+            )
+        src = s[toks[k][2]: toks[k][3]]
+        alias = toks[k][1] if toks[k][0] == "ident" else None
+        k += 1
+        if toks[k][0] == "ident" and toks[k][1].upper() == "AS":
+            alias = toks[k + 1][1]
+            k += 2
+        elif toks[k][0] == "ident" and toks[k][1].upper() not in (
+            "ON", "USING",
+        ):
+            alias = toks[k][1]
+            k += 1
+        if toks[k][0] == "ident" and toks[k][1].upper() == "USING":
+            raise UnsupportedClickHouseSQL(
+                "ASOF JOIN ... USING is not translated — write the ON "
+                "form with explicit equality keys and one inequality"
+            )
+        if not (toks[k][0] == "ident" and toks[k][1].upper() == "ON"):
+            raise UnsupportedClickHouseSQL(
+                "ASOF JOIN needs an explicit ON condition"
+            )
+        if alias is None:
+            raise UnsupportedClickHouseSQL(
+                "ASOF JOIN on a subquery needs an alias"
+            )
+        k += 1
+        end = _clause_end(toks, k, extra=_ASOF_STOP)
+        # split the ON body at top-level ANDs
+        segs = []
+        start = k
+        for t in range(k, end):
+            if toks[t][0] == "ident" and toks[t][1].upper() == "AND":
+                segs.append((start, t))
+                start = t + 1
+        segs.append((start, end))
+        eqs, ineq = [], None
+        for lo, hi in segs:
+            if lo >= hi:
+                raise UnsupportedClickHouseSQL("ASOF JOIN: empty ON term")
+            cmp_ = _asof_cmp(toks, lo, hi)
+            text = s[toks[lo][2]: toks[hi - 1][3]].strip()
+            if cmp_ is None:
+                raise UnsupportedClickHouseSQL(
+                    f"ASOF JOIN: ON term {text!r} has no comparison"
+                )
+            op, op_s, op_e = cmp_
+            if op == "=":
+                eqs.append((text, s[toks[lo][2]: op_s].strip(),
+                            s[op_e: toks[hi - 1][3]].strip()))
+                continue
+            if ineq is not None:
+                raise UnsupportedClickHouseSQL(
+                    "ASOF JOIN: exactly one inequality is allowed in ON"
+                )
+            ineq = (op, s[toks[lo][2]: op_s].strip(),
+                    s[op_e: toks[hi - 1][3]].strip())
+        if ineq is None:
+            raise UnsupportedClickHouseSQL(
+                "ASOF JOIN: ON needs one inequality (the asof column)"
+            )
+        col_re = re.compile(
+            rf"{re.escape(alias)}\.([A-Za-z_][A-Za-z0-9_]*)$"
+        )
+        # normalize the inequality to  <left expr> OP <alias>.<col>
+        op, a, b = ineq
+        flip = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "="}
+        if col_re.fullmatch(b):
+            lexpr, rcol = a, col_re.fullmatch(b).group(1)
+        elif col_re.fullmatch(a):
+            lexpr, rcol, op = b, col_re.fullmatch(a).group(1), flip[op]
+        else:
+            raise UnsupportedClickHouseSQL(
+                "ASOF JOIN: the inequality must compare against a "
+                f"plain {alias}.<column> reference"
+            )
+        pcols = []
+        for text, a, b in eqs:
+            m = col_re.fullmatch(b) or col_re.fullmatch(a)
+            if m is None:
+                raise UnsupportedClickHouseSQL(
+                    f"ASOF JOIN: equality {text!r} must name a plain "
+                    f"{alias}.<column> on one side"
+                )
+            pcols.append(m.group(1))
+        part = (
+            f"PARTITION BY {', '.join(pcols)} " if pcols else ""
+        )
+        # latest-match ops scan the asof column ascending; earliest-
+        # match ops scan descending (lead = previous boundary)
+        order = "" if op in (">=", ">") else " DESC"
+        bound = f"{alias}.__asof_end"
+        closer = {
+            ">=": f"({bound} IS NULL OR {lexpr} < {bound})",
+            ">": f"({bound} IS NULL OR {lexpr} <= {bound})",
+            "<=": f"({bound} IS NULL OR {bound} < {lexpr})",
+            "<": f"({bound} IS NULL OR {bound} <= {lexpr})",
+        }[op]
+        sub = (
+            f"(SELECT *, lead({rcol}) OVER ({part}ORDER BY {rcol}"
+            f"{order}) AS __asof_end FROM {src}) AS {alias}"
+        )
+        on = " AND ".join(
+            [t for t, _, _ in eqs]
+            + [f"{lexpr} {op} {alias}.{rcol}", closer]
+        )
+        join_kw = "LEFT JOIN" if left_join else "JOIN"
+        s = (
+            s[: toks[hit][2]]
+            + f"{join_kw} {sub} ON {on}"
+            + s[toks[end - 1][3]:]
+        )
+
+
 def _rewrite_final(s: str, final_keys) -> str:
     """``FROM tbl FINAL`` → keep-latest-per-key subquery aliased back
     to the table name, using the registered (key, version)."""
@@ -1146,6 +1355,7 @@ def _rewrite_with_totals(s: str) -> str:
 def _rewrite_clauses(s: str, final_keys) -> str:
     s = _rewrite_final(s, final_keys)
     s = _rewrite_sample(s)
+    s = _rewrite_asof_join(s)
     s = _rewrite_array_join(s)
     s = _merge_prewhere(s)
     s = _rewrite_with_totals(s)

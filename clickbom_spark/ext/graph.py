@@ -339,3 +339,45 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983, public algorithm):
+    each round computes every node's degree over the SURVIVING edge
+    set, removes nodes with degree < ``k``, and drops their incident
+    edges.  Runs exactly ``rounds`` synchronous rounds — fixed-round
+    semantics keep the result replayable by a chained relational
+    oracle (one degree-filter CTE pair per round), the same contract
+    as :func:`label_propagation`.  Until-convergence peeling is the
+    fixpoint of this operator.
+
+    ``edges`` must carry BOTH directions of each undirected edge, so
+    degree is one hash aggregate on ``src``.  Each round is one
+    aggregate plus two semi-join-shaped equi-joins on the shrinking
+    survivor set — no driver-side state; the per-round edge set is
+    checkpoint-truncated so lineage stays flat.  Returns the surviving
+    directed edge list after ``rounds`` rounds.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return e

@@ -890,3 +890,204 @@ def q_multi_touch_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: ASOF LEFT JOIN.  The round-9.5 compilation
+# (dialect._rewrite_asof_join) turns the clause into a plain equi-join
+# against a derived right table carrying per-row validity intervals
+# (lead over the asof column) — at most one match per left row, no
+# left row-id, no outer-query wrap.  DuckDB executes its NATIVE ASOF
+# JOIN over the same inputs: two independent implementations of the
+# published semantics must agree on every value.
+# ---------------------------------------------------------------------------
+
+_CH_ASOF = """
+SELECT intDiv(p.user_id, 100) AS bucket,
+       count() AS n_purch,
+       countIf(isNotNull(c.cts)) AS matched,
+       sum(if(isNotNull(c.cts), p.cents - c.cents, 0)) AS gap_cents
+FROM (SELECT user_id, ts, toInt64(round(value * 100)) AS cents
+      FROM events WHERE event_type = 'purchase') AS p
+ASOF LEFT JOIN (SELECT user_id, ts AS cts,
+                       argMax(toInt64(round(value * 100)), event_id)
+                         AS cents
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts) AS c
+ON p.user_id = c.user_id AND p.ts >= c.cts
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@staged(
+    "q_dialect_asof_join",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS cts,
+         arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS cents
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), m AS (
+  SELECT p.user_id, p.cents AS pc, c.cts, c.cents AS cc
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts >= c.cts
+)
+SELECT CAST(user_id // 100 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_purch,
+       CAST(sum(CASE WHEN cts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS matched,
+       CAST(sum(CASE WHEN cts IS NOT NULL THEN pc - cc ELSE 0 END)
+            AS BIGINT) AS gap_cents
+FROM m GROUP BY bucket ORDER BY bucket
+""",
+    description="ClickHouse ASOF LEFT JOIN run verbatim through the "
+    "dialect shim (dialect._rewrite_asof_join): each purchase joins "
+    "the user's latest preceding click via the compiled "
+    "validity-interval equi-join (lead over the asof column — at most "
+    "one match per left row, GROUP BY above the join untouched); "
+    "DuckDB's NATIVE ASOF JOIN is the independent oracle.  Clicks are "
+    "pre-deduplicated per (user, ts) so the asof column is unique per "
+    "key and the match is fully deterministic; all compared values "
+    "are integer cents.",
+)
+def q_dialect_asof_join(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_ASOF, sf_dir)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_purch").cast("long").alias("n_purch"),
+        F.col("matched").cast("long").alias("matched"),
+        F.col("gap_cents").cast("long").alias("gap_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: retention(cond1, ..., condN).  The compilation
+# (dialect._retention) emits plain max(CASE) aggregates per the
+# documented ClickHouse semantics — r[0] = cond1 held on some row,
+# r[i] = cond1 AND cond_i each held on some row — so it composes with
+# GROUP BY; the oracle states the same existential algebra directly.
+# ---------------------------------------------------------------------------
+
+_CH_RETENTION = """
+SELECT intDiv(user_id, 100) AS bucket,
+       sum(arrayElement(r, 1)) AS viewed,
+       sum(arrayElement(r, 2)) AS clicked,
+       sum(arrayElement(r, 3)) AS purchased
+FROM (
+  SELECT user_id,
+         retention(event_type = 'view', event_type = 'click',
+                   event_type = 'purchase') AS r
+  FROM events GROUP BY user_id
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@staged(
+    "q_dialect_retention",
+    oracle="""
+WITH r AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+  FROM events GROUP BY user_id
+)
+SELECT CAST(user_id // 100 AS BIGINT) AS bucket,
+       CAST(sum(c1) AS BIGINT) AS viewed,
+       CAST(sum(c1 * c2) AS BIGINT) AS clicked,
+       CAST(sum(c1 * c3) AS BIGINT) AS purchased
+FROM r GROUP BY bucket ORDER BY bucket
+""",
+    description="ClickHouse retention() parametric-family aggregate "
+    "through the dialect shim (dialect._retention): per-user "
+    "view→click / view→purchase retention flags compiled to gated "
+    "max(CASE) existential aggregates, rolled up per user bucket — "
+    "all-integer, graded against the directly-stated algebra in "
+    "DuckDB.",
+)
+def q_dialect_retention(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_RETENTION, sf_dir)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("viewed").cast("long").alias("viewed"),
+        F.col("clicked").cast("long").alias("clicked"),
+        F.col("purchased").cast("long").alias("purchased"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: the -If combinator family + exact aggregates in
+# ONE statement (countIf / sumIf / avgIf / uniqExact /
+# quantileExact(p)(x)) — pins the documented combinator surface by
+# execution, not just by translation unit tests.  Every aggregate is
+# integer-exact except the two divisions (avg, interpolated median),
+# both exact-integer-over-double, identical in any engine.
+# ---------------------------------------------------------------------------
+
+_CH_COMBINATORS = """
+SELECT event_type,
+       count() AS n,
+       countIf(value > 100) AS n_big,
+       sumIf(toInt64(round(value * 100)), modulo(user_id, 2) = 0)
+         AS even_cents,
+       round(avgIf(toInt64(round(value * 100)), value > 50), 6)
+         AS avg_big_cents,
+       uniqExact(user_id) AS users,
+       round(quantileExact(0.5)(toInt64(round(value * 100))), 6)
+         AS med_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@staged(
+    "q_dialect_combinators",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_big,
+       CAST(sum(CASE WHEN user_id % 2 = 0
+                     THEN CAST(round(value * 100) AS BIGINT) END)
+            AS BIGINT) AS even_cents,
+       round(avg(CASE WHEN value > 50
+                      THEN CAST(round(value * 100) AS BIGINT) END), 6)
+         AS avg_big_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 6)
+         AS med_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="ClickHouse -If combinator family (countIf / sumIf / "
+    "avgIf) plus uniqExact and parametric quantileExact(0.5)(x) in one "
+    "statement through the dialect shim — the combinator surface "
+    "pinned by end-to-end execution against DuckDB's CASE-gated "
+    "equivalents; integer cents everywhere, the only doubles are "
+    "exact-integer divisions.",
+)
+def q_dialect_combinators(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_COMBINATORS, sf_dir)
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_big").cast("long").alias("n_big"),
+        F.col("even_cents").cast("long").alias("even_cents"),
+        "avg_big_cents",
+        F.col("users").cast("long").alias("users"),
+        "med_cents",
+    )

@@ -609,3 +609,109 @@ def test_left_array_join_aliasless_keeps_empty_rows(spark):
         ).collect()
     ]
     assert got == [(1, None), (2, 5)]
+
+
+def test_asof_join_latest_and_earliest_forms(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10, 'p1'), (1, 25, 'p2'), (2, 5, 'p3')"
+        " AS t(k, ts, tag)"
+    ).createOrReplaceTempView("asof_l")
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10, 100), (1, 20, 200), (2, 30, 300)"
+        " AS t(k, ts, v)"
+    ).createOrReplaceTempView("asof_r")
+    # >= : latest r.ts <= l.ts (inclusive)
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT l.tag, r.v FROM asof_l AS l "
+                "ASOF LEFT JOIN asof_r AS r "
+                "ON l.k = r.k AND l.ts >= r.ts ORDER BY l.tag"
+            )
+        ).collect()
+    ]
+    assert got == [("p1", 100), ("p2", 200), ("p3", None)]
+    # > : strictly-earlier match only
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT l.tag, r.v FROM asof_l AS l "
+                "ASOF LEFT JOIN asof_r AS r "
+                "ON l.k = r.k AND l.ts > r.ts ORDER BY l.tag"
+            )
+        ).collect()
+    ]
+    assert got == [("p1", None), ("p2", 200), ("p3", None)]
+    # <= : EARLIEST r.ts >= l.ts; inner join drops unmatched lefts
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT l.tag, r.v FROM asof_l AS l "
+                "ASOF JOIN asof_r AS r "
+                "ON l.k = r.k AND l.ts <= r.ts ORDER BY l.tag"
+            )
+        ).collect()
+    ]
+    assert got == [("p1", 100), ("p3", 300)]
+    # flipped operand order normalizes (r.ts <= l.ts == l.ts >= r.ts)
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT l.tag, r.v FROM asof_l AS l "
+                "ASOF JOIN asof_r AS r "
+                "ON l.k = r.k AND r.ts <= l.ts ORDER BY l.tag"
+            )
+        ).collect()
+    ]
+    assert got == [("p1", 100), ("p2", 200)]
+
+
+def test_asof_join_fail_fasts():
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    for sql, frag in [
+        ("SELECT 1 FROM a ASOF JOIN b USING (k, ts)", "USING"),
+        ("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k", "inequality"),
+        (
+            "SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t "
+            "AND a.u >= b.u",
+            "exactly one inequality",
+        ),
+        (
+            "SELECT 1 FROM a ASOF JOIN (SELECT 1) ON a.t >= b.t",
+            "alias",
+        ),
+        (
+            "SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t + 1",
+            "plain b.<column>",
+        ),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=frag):
+            translate_clickhouse_sql(sql)
+    # a column merely NAMED asof is not a join clause
+    out = translate_clickhouse_sql("SELECT asof, x FROM t ORDER BY asof")
+    assert "lead(" not in out
+
+
+def test_retention_compiles_to_gated_max(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'v'), (1, 'c'), (2, 'c'), (3, 'v')"
+        " AS t(u, e)"
+    ).createOrReplaceTempView("ret_t")
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT u, retention(e = 'v', e = 'c') AS r "
+                "FROM ret_t GROUP BY u ORDER BY u"
+            )
+        ).collect()
+    ]
+    # user 2 never saw the FIRST condition, so r[1] is gated to 0
+    assert got == [(1, [1, 1]), (2, [0, 0]), (3, [1, 0])]
