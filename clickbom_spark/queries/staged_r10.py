@@ -1091,3 +1091,719 @@ def q_dialect_combinators(spark, sf_dir):
         F.col("users").cast("long").alias("users"),
         "med_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-round k-core peeling over the co-purchase graph (Seidman 1983,
+# public): three synchronous rounds toward the 3-core — each round
+# drops nodes with surviving degree < 3 and their incident edges.  The
+# oracle replays the identical rounds as chained degree-filter CTEs
+# (the q_label_propagation pattern applied to subgraph peeling).
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUND = """
+, k{i} AS (
+  SELECT a FROM adj{j} GROUP BY a HAVING COUNT(*) >= 3
+), adj{i} AS (
+  SELECT adj{j}.a, adj{j}.b
+  FROM adj{j}
+  JOIN k{i} x ON x.a = adj{j}.a
+  JOIN k{i} y ON y.a = adj{j}.b
+)"""
+
+
+@staged(
+    "q_kcore_decomposition",
+    oracle="""
+WITH ok AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 1024
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
+), e AS (
+  SELECT u, v FROM pairs GROUP BY u, v
+  HAVING COUNT(DISTINCT l_orderkey) >= 2
+), adj0 AS (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+)"""
+    + _KCORE_ROUND.format(i=1, j=0)
+    + _KCORE_ROUND.format(i=2, j=1)
+    + _KCORE_ROUND.format(i=3, j=2)
+    + """
+SELECT CAST(deg AS BIGINT) AS deg,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM (SELECT a, COUNT(*) AS deg FROM adj3 GROUP BY a)
+GROUP BY deg ORDER BY deg
+""",
+    description="Fixed-round k-core peeling (ext/graph.kcore; Seidman "
+    "1983, public): three synchronous remove-degree-<3 rounds over the "
+    "co-purchase graph, each one hash aggregate plus two survivor "
+    "equi-joins, checkpoint-truncated; the oracle replays the same "
+    "three rounds as chained degree-filter CTEs and the surviving "
+    "degree histogram must match exactly.",
+)
+def q_kcore_decomposition(spark, sf_dir):
+    from clickbom_spark.ext.graph import kcore
+    from clickbom_spark.queries.staged import copurchase_edges
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    e = copurchase_edges(lineitem).localCheckpoint(eager=True)
+    adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    surv = kcore(adj, k=3, rounds=3)
+    return (
+        surv.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy(F.col("deg").cast("long").alias("deg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("deg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — bottom-k of a uniform hash,
+# estimate (k-1)/h_k (Bar-Yossef et al. 2002, public).  The hash is
+# the repo's md5-prefix fraction, so membership and the estimate are
+# BIT-DETERMINISTIC in any engine; the merge row demonstrates the
+# sketch's union property (global bottom-k ⊆ union of per-group
+# bottom-ks).  Exact countDistinct rides along as the contract column.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_HASH = (
+    "(conv(substring(md5(cast(user_id AS string)), 1, 8), 16, 10)"
+    " / 4294967296.0)"
+)
+_KMV_HASH_DUCK = (
+    "(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) / 4294967296.0)"
+)
+
+
+@staged(
+    "q_kmv_distinct",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT event_type, {_KMV_HASH_DUCK} AS h FROM events
+), perg AS (
+  SELECT event_type AS key, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM du
+), bott AS (
+  SELECT key, h FROM perg WHERE rn <= {_KMV_K}
+), merged AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM bott)
+), allnd AS (
+  SELECT COUNT(DISTINCT h) AS nd FROM du
+), sk AS (
+  SELECT key, nd, max(h) AS hk, COUNT(*) AS kk
+  FROM perg WHERE rn <= {_KMV_K} GROUP BY key, nd
+  UNION ALL
+  SELECT 'ALL', allnd.nd, max(merged.h), COUNT(*)
+  FROM merged CROSS JOIN allnd
+  WHERE merged.rn <= {_KMV_K} GROUP BY allnd.nd
+)
+SELECT key,
+       CAST(nd AS BIGINT) AS n_exact,
+       round(CASE WHEN kk < {_KMV_K} THEN CAST(nd AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) / hk END, 6) AS kmv_est_r
+FROM sk ORDER BY key
+""",
+    description="KMV bottom-k distinct sketch (Bar-Yossef et al. 2002, "
+    f"public; k={_KMV_K}) over the per-event-type user HASH SET, plus "
+    "the merged ALL row built the way a 1000-executor run would: union "
+    "the per-group bottom-k sets (≤ k·groups rows) and re-rank — the "
+    "sketch's union property, never a global rank over raw distinct "
+    "values.  The hash is the repo's deterministic md5-prefix "
+    "fraction, and the sketch is defined over distinct HASHES in both "
+    "engines so 32-bit collisions cannot skew rank cutoffs "
+    "differently; the exact hash-set cardinality rides along for "
+    "calibration.",
+)
+def q_kmv_distinct(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    du = events.select(
+        "event_type", F.expr(_KMV_HASH).alias("h")
+    ).distinct()
+    wg = Window.partitionBy("event_type").orderBy("h")
+    perg = du.select(
+        F.col("event_type").alias("key"), "h",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")
+        ).alias("nd"),
+    )
+    bott = perg.where(F.col("rn") <= _KMV_K)
+    # KMV union: the global bottom-k is a subset of the union of
+    # per-group bottom-ks, so re-ranking the (≤ k·groups)-row merged
+    # set is exact — the single-partition window below sees a frame
+    # bounded by the SKETCH size, not the data
+    merged = bott.select("h").distinct().select(
+        "h", F.row_number().over(Window.orderBy("h")).alias("rn")
+    )
+    allnd = du.select("h").distinct().agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    sk_all = (
+        merged.where(F.col("rn") <= _KMV_K)
+        .crossJoin(F.broadcast(allnd))
+        .groupBy(F.lit("ALL").alias("key"), "nd")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("kk"))
+    )
+    sk = (
+        bott.groupBy("key", "nd")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("kk"))
+        .unionByName(sk_all)
+    )
+    est = F.when(
+        F.col("kk") < _KMV_K, F.col("nd").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) / F.col("hk"))
+    return sk.select(
+        "key",
+        F.col("nd").cast("long").alias("n_exact"),
+        F.round(est, 6).alias("kmv_est_r"),
+    ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (the CCNet/RefinedWeb crawl primitive, public):
+# documents are chunked into fixed 8-word paragraphs, duplicate
+# paragraphs are removed CORPUS-WIDE keeping the first occurrence by
+# (doc_id, chunk index), and the per-source size reduction is
+# reported.  Chunking is pure array expressions (sequence + slice +
+# array_join); keep-first is one row_number window over the paragraph
+# hash partition — one shuffle, no self-join.
+# ---------------------------------------------------------------------------
+
+_PARA_W = 8
+
+
+@staged(
+    "q_paragraph_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS cnt
+  FROM documents
+), px AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, ((cnt + {_PARA_W} - 1)
+                                          // {_PARA_W}) + 1),
+           i -> array_to_string(
+                  ws[(i - 1) * {_PARA_W} + 1 :
+                     least((i - 1) * {_PARA_W} + {_PARA_W}, cnt)],
+                  ' '))) AS para,
+         unnest(range(1, ((cnt + {_PARA_W} - 1) // {_PARA_W}) + 1))
+           AS idx
+  FROM d
+), r AS (
+  SELECT source, doc_id, idx, para,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, idx) AS rn
+  FROM px
+), per_doc AS (
+  SELECT source, doc_id,
+         COUNT(*) AS n_paras,
+         SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+         SUM(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS kept_chars
+  FROM r GROUP BY source, doc_id
+)
+SELECT source,
+       CAST(SUM(n_paras) AS BIGINT) AS n_paras,
+       CAST(SUM(n_kept) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN n_kept > 0 THEN kept_chars + n_kept - 1
+                     ELSE 0 END) AS BIGINT) AS chars_after
+FROM per_doc GROUP BY source ORDER BY source
+""",
+    description="Corpus-wide paragraph dedup (CCNet/RefinedWeb "
+    "primitive, public): fixed 8-word chunking as pure array "
+    "expressions, keep-first-occurrence by (doc_id, chunk index) via "
+    "one row_number window partitioned by paragraph text, and the "
+    "per-source reassembled size (kept chars + joining spaces) — the "
+    "oracle re-derives the identical chunking with DuckDB list "
+    "slicing.  One shuffle on the paragraph key; no self-join, no "
+    "all-pairs.",
+)
+def q_paragraph_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id", "source", ws.alias("ws"),
+        F.expr(f"(size(split(text, ' ')) + {_PARA_W - 1}) DIV {_PARA_W}")
+        .alias("nch"),
+    )
+    paras = d.select(
+        "doc_id", "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("nch")),
+                lambda i: F.array_join(
+                    F.slice(F.col("ws"), (i - 1) * _PARA_W + 1, _PARA_W),
+                    " ",
+                ),
+            )
+        ).alias("pos", "para"),
+    ).select(
+        "source", "doc_id", (F.col("pos") + 1).alias("idx"), "para"
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "idx")
+    r = paras.select(
+        "source", "doc_id", "para",
+        F.row_number().over(w).alias("rn"),
+    )
+    per_doc = r.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(
+            F.when(F.col("rn") == 1, F.length("para")).otherwise(0)
+        ).alias("kept_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_paras").cast("long").alias("n_paras"),
+            F.sum("n_kept").cast("long").alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("n_kept") > 0,
+                    F.col("kept_chars") + F.col("n_kept") - 1,
+                ).otherwise(0)
+            ).cast("long").alias("chars_after"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain token-budget curation: within each source, keep documents
+# in (tokens DESC, doc_id ASC) priority order while the INCLUSIVE
+# running token total stays within the budget — the quota step every
+# mixture-weighted pretraining pipeline runs after scoring.  One
+# window prefix sum per source; all integers.
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 1500
+
+
+@staged(
+    "q_domain_token_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS toks
+  FROM documents
+), c AS (
+  SELECT source, doc_id, toks,
+         SUM(toks) OVER (PARTITION BY source
+                         ORDER BY toks DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS run
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN run <= {_TOKEN_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN run <= {_TOKEN_BUDGET} THEN toks ELSE 0 END)
+            AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN run <= {_TOKEN_BUDGET} THEN toks ELSE 0 END)
+            * 10000 // {_TOKEN_BUDGET} AS BIGINT) AS bp_used
+FROM c GROUP BY source ORDER BY source
+""",
+    description="Per-domain token-budget curation (the quota step of a "
+    f"mixture-weighted pretraining pipeline): budget {_TOKEN_BUDGET} "
+    "whitespace tokens per source, docs admitted in (tokens DESC, "
+    "doc_id) priority order while the inclusive running total fits — "
+    "one window prefix sum per source partition, all-integer "
+    "admission and basis-point utilisation.",
+)
+def q_domain_token_budget(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("toks").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select("source", "toks", F.sum("toks").over(w).alias("run"))
+    kept = F.when(F.col("run") <= _TOKEN_BUDGET, F.col("toks")).otherwise(0)
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("run") <= _TOKEN_BUDGET, 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+            F.sum(kept).cast("long").alias("kept_tokens"),
+            (F.sum(kept) * 10000 / F.lit(_TOKEN_BUDGET))
+            .cast("long").alias("bp_used"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-eval metrics over a constructed ranking task: events ranked
+# per user by (value DESC, event_id), 'purchase' rows are the relevant
+# items.  MRR = mean reciprocal rank of the FIRST relevant item; the
+# per-user reciprocal is one fixed IEEE division, rounded to 9 digits
+# and summed as exact DECIMAL(38,9) (order-independent), divided by the
+# user count in one final double expression.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_mrr_eval",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+), fr AS (
+  SELECT user_id, min(rn) AS frank
+  FROM r WHERE event_type = 'purchase' GROUP BY user_id
+), pu AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS bucket,
+         round(1.0 / CAST(frank AS DOUBLE), 9) AS rr
+  FROM fr
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(CAST(SUM(CAST(rr AS DECIMAL(38,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mrr_r
+FROM pu GROUP BY bucket ORDER BY bucket
+""",
+    description="Mean reciprocal rank (search-eval metric, public): "
+    "per-user value-ordered ranking with deterministic event_id "
+    "tiebreak, reciprocal rank of the first purchase as one fixed "
+    "IEEE division rounded to 9 digits, summed as exact DECIMAL(38,9) "
+    "per user bucket so the mean is aggregation-order-independent — "
+    "one window plus one aggregate, no joins.",
+)
+def q_mrr_eval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    r = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    fr = (
+        r.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("frank"))
+    )
+    pu = fr.select(
+        (F.col("user_id") % 4).cast("long").alias("bucket"),
+        F.round(F.lit(1.0) / F.col("frank").cast("double"), 9)
+        .cast("decimal(38,9)").alias("rr"),
+    )
+    return (
+        pu.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(
+                F.sum("rr").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mrr_r"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 (Järvelin & Kekäläinen 2002, public): graded relevance from
+# the event type (purchase=3, signup=2, click=1, view/error=0), DCG
+# over the value-ranked top 10, IDCG over the relevance-ranked top 10
+# (tie order cannot change IDCG — equal gains), both as 9-digit-rounded
+# per-position terms summed in exact DECIMAL(38,9).  The only libm
+# calls are ln() of integers 2..11 — identical in any engine.
+# ---------------------------------------------------------------------------
+
+_NDCG_REL = (
+    "CASE WHEN event_type = 'purchase' THEN 3 "
+    "WHEN event_type = 'signup' THEN 2 "
+    "WHEN event_type = 'click' THEN 1 ELSE 0 END"
+)
+_NDCG_TERM = (
+    "round(CAST(rel AS DOUBLE) * ln(2.0)"
+    " / ln(CAST(rn + 1 AS DOUBLE)), 9)"
+)
+
+
+@staged(
+    "q_ndcg_eval",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, event_id, value, {_NDCG_REL} AS rel FROM events
+), rk AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY rel DESC, event_id) AS irn
+  FROM g
+), dcg AS (
+  SELECT user_id,
+         SUM(CASE WHEN rn <= 10
+                  THEN CAST({_NDCG_TERM} AS DECIMAL(38,9))
+                  ELSE CAST(0 AS DECIMAL(38,9)) END) AS dcg,
+         SUM(CASE WHEN irn <= 10
+                  THEN CAST(round(CAST(rel AS DOUBLE) * ln(2.0)
+                       / ln(CAST(irn + 1 AS DOUBLE)), 9)
+                       AS DECIMAL(38,9))
+                  ELSE CAST(0 AS DECIMAL(38,9)) END) AS idcg
+  FROM rk GROUP BY user_id
+), nd AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS bucket,
+         round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 9) AS ndcg
+  FROM dcg WHERE CAST(idcg AS DOUBLE) > 0
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(CAST(SUM(CAST(ndcg AS DECIMAL(38,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS ndcg_r
+FROM nd GROUP BY bucket ORDER BY bucket
+""",
+    description="NDCG@10 (Järvelin & Kekäläinen 2002, public) of the "
+    "per-user value ranking against graded event-type relevance: DCG "
+    "and ideal-DCG position terms are one fixed IEEE expression each "
+    "(ln of integers 2..11 only), rounded to 9 digits and summed as "
+    "exact DECIMAL(38,9); tie order in the ideal ranking cannot change "
+    "IDCG because tied gains are equal.  Two windows over one "
+    "partitioning plus one aggregate.",
+)
+def q_ndcg_eval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    g = events.select(
+        "user_id", "event_id", "value", F.expr(_NDCG_REL).alias("rel")
+    )
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    wi = Window.partitionBy("user_id").orderBy(
+        F.col("rel").desc(), F.col("event_id")
+    )
+    rk = g.select(
+        "user_id", "rel",
+        F.row_number().over(wv).alias("rn"),
+        F.row_number().over(wi).alias("irn"),
+    )
+    zero = F.lit(0).cast("decimal(38,9)")
+    term = F.expr(_NDCG_TERM).cast("decimal(38,9)")
+    iterm = F.expr(
+        "round(CAST(rel AS DOUBLE) * ln(2.0)"
+        " / ln(CAST(irn + 1 AS DOUBLE)), 9)"
+    ).cast("decimal(38,9)")
+    dcg = rk.groupBy("user_id").agg(
+        F.sum(F.when(F.col("rn") <= 10, term).otherwise(zero))
+        .alias("dcg"),
+        F.sum(F.when(F.col("irn") <= 10, iterm).otherwise(zero))
+        .alias("idcg"),
+    )
+    nd = dcg.where(F.col("idcg").cast("double") > 0).select(
+        (F.col("user_id") % 4).cast("long").alias("bucket"),
+        F.round(
+            F.col("dcg").cast("double") / F.col("idcg").cast("double"), 9
+        ).cast("decimal(38,9)").alias("ndcg"),
+    )
+    return (
+        nd.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(
+                F.sum("ndcg").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("ndcg_r"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (classical additive, public): the hourly
+# revenue series is split into trend (centered 25-point moving average
+# over the ordered hour INDEX, full windows only) and an hour-of-day
+# seasonal profile (mean detrended residual per hour slot).  The trend
+# stays exact by construction: sum×40000 IS the 25-denominator mean in
+# integer micro-cents, so every residual is an exact integer and the
+# only division is the final per-slot mean.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_seasonal_decompose",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT h, cents,
+         SUM(cents) OVER w AS s25, COUNT(*) OVER w AS c25
+  FROM hourly
+  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), det AS (
+  SELECT CAST(EXTRACT(hour FROM h) AS BIGINT) AS hod,
+         cents * 1000000 - s25 * 40000 AS resid_micro
+  FROM tr WHERE c25 = 25
+)
+SELECT hod,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       round(CAST(SUM(resid_micro) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS seasonal_r
+FROM det GROUP BY hod ORDER BY hod
+""",
+    description="Classical additive seasonal decomposition (public "
+    "method) of hourly revenue: centered 25-hour moving-average trend "
+    "over the ordered hour index (full windows only), residuals kept "
+    "EXACT as integer micro-cents (×1e6 − 25-sum×40000), hour-of-day "
+    "seasonal profile as the per-slot residual mean — one time-bucket "
+    "aggregate, one ordered window, one final aggregate; the only "
+    "division is the last expression.",
+)
+def q_seasonal_decompose(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("h").rowsBetween(-12, 12)
+    tr = hourly.select(
+        "h", "cents",
+        F.sum("cents").over(w).alias("s25"),
+        F.count(F.lit(1)).over(w).alias("c25"),
+    )
+    det = tr.where(F.col("c25") == 25).select(
+        F.hour("h").cast("long").alias("hod"),
+        (F.col("cents") * 1000000 - F.col("s25") * 40000)
+        .alias("resid_micro"),
+    )
+    return (
+        det.groupBy("hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(
+                F.sum("resid_micro").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("seasonal_r"),
+        )
+        .orderBy("hod")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (robust statistics, public): per-nation customer
+# balances clamped to the [p05, p95] EMPIRICAL boundaries before
+# averaging.  Boundaries are rank-based — the cent value at ceil(q·n)
+# in (cents, custkey) order — so they are integers selected by integer
+# arithmetic, not interpolated: bit-identical in any engine.
+# ---------------------------------------------------------------------------
+
+@staged(
+    "q_winsorized_mean",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nation, c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), r AS (
+  SELECT nation, cents,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY cents, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY nation) AS n
+  FROM c
+), b AS (
+  SELECT nation, max(n) AS n,
+         max(CASE WHEN rn = ((5 * n + 99) // 100) THEN cents END)
+           AS lo_cents,
+         max(CASE WHEN rn = ((95 * n + 99) // 100) THEN cents END)
+           AS hi_cents
+  FROM r GROUP BY nation
+)
+SELECT r.nation AS nation,
+       CAST(b.n AS BIGINT) AS n,
+       CAST(b.lo_cents AS BIGINT) AS lo_cents,
+       CAST(b.hi_cents AS BIGINT) AS hi_cents,
+       round(CAST(SUM(least(greatest(r.cents, b.lo_cents), b.hi_cents))
+                  AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS wmean_r
+FROM r JOIN b ON b.nation = r.nation
+GROUP BY r.nation, b.n, b.lo_cents, b.hi_cents
+ORDER BY nation
+""",
+    description="Per-nation winsorized mean (robust statistics, "
+    "public): empirical p05/p95 boundaries selected by RANK (the cent "
+    "value at ceil(q·n) in deterministic (cents, custkey) order — "
+    "integer arithmetic, no interpolation), balances clamped to the "
+    "boundary integers, one exact integer sum and one final division. "
+    "One window partitioning plus a broadcastable per-nation boundary "
+    "join.",
+)
+def q_winsorized_mean(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (customer,) = load(spark, sf_dir, "customer")
+    c = customer.select(
+        F.col("c_nationkey").alias("nation"),
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "c_custkey")
+    r = c.select(
+        "nation", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("nation")).alias("n"),
+    )
+    lo_rn = F.expr("(5 * n + 99) DIV 100")
+    hi_rn = F.expr("(95 * n + 99) DIV 100")
+    b = r.groupBy("nation").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == lo_rn, F.col("cents")))
+        .alias("lo_cents"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("cents")))
+        .alias("hi_cents"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
+    )
+    return (
+        r.join(F.broadcast(b.select("nation", "lo_cents", "hi_cents",
+                                    F.col("n").alias("bn"))), "nation")
+        .groupBy("nation")
+        .agg(
+            F.max("bn").cast("long").alias("n"),
+            F.max("lo_cents").cast("long").alias("lo_cents"),
+            F.max("hi_cents").cast("long").alias("hi_cents"),
+            F.round(
+                F.sum(clamped).cast("double")
+                / F.max("bn").cast("double"),
+                6,
+            ).alias("wmean_r"),
+        )
+        .orderBy("nation")
+    )

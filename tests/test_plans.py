@@ -848,3 +848,130 @@ def test_label_propagation_no_cartesian(spark):
     plan = _staged_r10_plan(spark, "q_label_propagation")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_asof_join_is_equi_join_with_partitioned_window(spark):
+    """The compiled ASOF JOIN must be a keyed join (sort-merge or
+    shuffled-hash on user_id), never a nested-loop product; its lead()
+    window must be partitioned by the equality key."""
+    plan = _staged_r10_plan(spark, "q_dialect_asof_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "user_id" in ln, ln
+
+
+def test_dialect_retention_is_single_scan_two_aggregates(spark):
+    """retention() compiles to gated max(CASE) aggregates: one scan,
+    no joins, no windows."""
+    plan = _staged_r10_plan(spark, "q_dialect_retention")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_dialect_combinators_single_pass(spark):
+    """The -If combinator family is one scan -> one aggregate pass
+    (plus the exact-median sort inside percentile): no joins, no
+    windows, no second scan."""
+    plan = _staged_r10_plan(spark, "q_dialect_combinators")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_kcore_no_cartesian(spark):
+    """k-core rounds are degree aggregates + survivor equi-joins;
+    nothing in the final frame may be a nested-loop product."""
+    plan = _staged_r10_plan(spark, "q_kcore_decomposition")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kmv_merge_window_sits_on_sketch_not_data(spark):
+    """The per-group rank windows must be partitioned by event_type;
+    the ONLY unpartitioned window is the merge re-rank whose input is
+    the unioned bottom-k sketch (<= k x groups rows by construction),
+    i.e. it must sit above a rn <= k filter, never above the raw
+    distinct-hash frame."""
+    from clickbom_spark.queries.staged_r10 import _KMV_K, STAGED_R10
+
+    df = STAGED_R10["q_kmv_distinct"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # the merged frame is distinct-of-bottom-k: the plan must contain
+    # the rn <= K filter BELOW the global window's exchange
+    assert "rn#" in plan and f"<= {_KMV_K}" in plan, plan
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    unpart = [ln for ln in win_lines if "event_type" not in ln]
+    # exactly one window family (rank + its count twin share a line
+    # per column) may be unpartitioned: the sketch-merge re-rank
+    assert len(unpart) <= 1, plan
+
+
+def test_paragraph_dedup_one_generator_keyed_window(spark):
+    """Chunking is ONE Generate (posexplode of the transform array);
+    keep-first runs in a window PARTITIONED by the paragraph text."""
+    plan = _staged_r10_plan(spark, "q_paragraph_dedup")
+    assert plan.count("Generate") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "para" in ln, ln
+
+
+def test_token_budget_windows_are_source_partitioned(spark):
+    plan = _staged_r10_plan(spark, "q_domain_token_budget")
+    assert "Join" not in plan, plan
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "source" in ln, ln
+
+
+def test_eval_metric_windows_are_user_partitioned(spark):
+    """MRR and NDCG rank within per-user partitions — a global ranking
+    would single-partition the fact table."""
+    for name in ("q_mrr_eval", "q_ndcg_eval"):
+        plan = _staged_r10_plan(spark, name)
+        win_lines = [
+            ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+        ]
+        assert win_lines, plan
+        for ln in win_lines:
+            assert "user_id" in ln, (name, ln)
+
+
+def test_seasonal_window_sits_on_hourly_aggregate(spark):
+    """The 25-point moving average runs over the HOURLY aggregate
+    frame (calendar-bounded), never over raw event rows: no raw
+    `value` column may appear inside a window line."""
+    plan = _staged_r10_plan(spark, "q_seasonal_decompose")
+    for ln in plan.split("\n"):
+        if "windowspecdefinition" in ln:
+            assert "value#" not in ln, ln
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_winsorized_mean_broadcasts_boundaries(spark):
+    """Boundary extraction windows are nation-partitioned and the
+    clamp join broadcasts the 25-row boundary side."""
+    plan = _staged_r10_plan(spark, "q_winsorized_mean")
+    assert "BroadcastHashJoin" in plan, plan
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "nation" in ln, ln
