@@ -21,7 +21,10 @@ clear error rather than silently mis-translating):
   ``groupUniqArray``→collect_set, ``quantile(p)(x)``→
   percentile_approx(x, p), ``quantileExact(p)(x)``→percentile(x, p),
   ``quantiles(p…)(x)``→percentile_approx(x, array(p…)),
-  ``median``→percentile_approx(x, 0.5), ``entropy`` unsupported-fast
+  ``median``→percentile_approx(x, 0.5), ``entropy`` unsupported-fast;
+  ``retention(cond…)``→array of gated max(CASE) existential flags
+  (r[0]=cond1 held, r[i]=cond1 AND cond_i each held — the documented
+  ClickHouse semantics)
 - conditionals: ``multiIf``→CASE, ``if`` passes through
 - date/time: ``toDate``→to_date, ``toDateTime``→to_timestamp,
   ``toStartOfDay/Hour/Minute/Month/Week/Year``→date_trunc,
@@ -90,6 +93,13 @@ clear error rather than silently mis-translating):
   :func:`register_sampling_key`; the q_hash_sample primitive —
   md5-prefix scaled to [0,1), reproducible in any engine); the
   integer row-target form still fails fast (needs table stats).
+  ``ASOF [LEFT|INNER] JOIN … ON eqs AND l.x >= r.x``→plain [LEFT]
+  JOIN against a derived right table carrying per-row validity
+  intervals (lead over the asof column partitioned by the equality
+  keys) — at most one match per left row, all four inequality forms,
+  no outer-query wrapping, the scalable equi-join shape; the USING
+  form and non-column asof operands fail fast (see
+  :func:`_rewrite_asof_join`).
   All clause detection runs on the quote-aware
   token stream, so keywords inside string literals or as substrings
   of longer identifiers never trigger.
