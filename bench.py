@@ -129,9 +129,14 @@ def main() -> None:
         # against host jitter); the single-pass total remains as
         # `headline_single_pass_total` for r1–r8 continuity.
         "metric": "headline_queries_min_total",
-        "value": round(sum(min_each.values()), 4),
+        # same no-silent-deflation rule as core13/core16: a headline
+        # member that errored must null the top line (a sum over the
+        # survivors would read as a speedup), flagged by
+        # headline_complete
+        "value": round(sum(min_each.values()), 4)
+        if headline_complete else None,
         "unit": "sec",
-        "headline_single_pass_total": total,
+        "headline_single_pass_total": total if headline_complete else None,
         "headline_complete": headline_complete,
         "queries": timings,
         "queries_min": {n: min_each[n] for n in sorted(min_each)},

@@ -73,8 +73,8 @@ clear error rather than silently mis-translating):
   JOIN``)→LATERAL VIEW [OUTER] explode for the single aliased item;
   comma-separated MULTI-array items compile to ONE
   inline(transform(...)) generator with element-wise zip semantics
-  (driven off the first array; shorter arrays NULL-pad where
-  ClickHouse raises); ALIAS-LESS items (which replace the source
+  (an index sequence sized to the LONGEST array; shorter arrays
+  NULL-pad via try_element_at where ClickHouse raises); ALIAS-LESS items (which replace the source
   column) wrap the FROM source in a subquery projecting ``src.*
   EXCEPT (col)`` plus the element AS col — under ``SELECT *`` the
   replaced column moves to the end of the star expansion, the one
@@ -805,13 +805,15 @@ def _rewrite_sample(s: str) -> str:
             raise UnsupportedClickHouseSQL(
                 "SAMPLE must directly follow a FROM/JOIN table source"
             )
-        name = alias or (
-            toks[src_at][1] if toks[src_at][0] == "ident" else None
-        )
-        key = SAMPLING_KEYS.get((name or "").lower())
+        # the SAMPLE BY key is table DDL: look it up under the TABLE
+        # name even when the source is aliased (FROM documents AS d);
+        # the alias only names the generated subquery
+        table = toks[src_at][1] if toks[src_at][0] == "ident" else None
+        name = alias or table
+        key = SAMPLING_KEYS.get((table or "").lower())
         if key is None:
             raise UnsupportedClickHouseSQL(
-                f"SAMPLE on {name or 'a subquery'}: faithful SAMPLE "
+                f"SAMPLE on {table or 'a subquery'}: faithful SAMPLE "
                 "needs the table's SAMPLE BY key — register it with "
                 "register_sampling_key(table, key_expr)"
             )
@@ -880,7 +882,7 @@ def _rewrite_asof_join(s: str) -> str:
     while True:
         toks = _scan_top(s)
         hit = None
-        for t in range(len(toks) - 2):
+        for t in range(len(toks) - 1):
             if toks[t][0] == "ident" and toks[t][1].upper() == "ASOF":
                 nxt = toks[t + 1]
                 if nxt[0] == "ident" and nxt[1].upper() in (
@@ -890,37 +892,48 @@ def _rewrite_asof_join(s: str) -> str:
                     break
         if hit is None:
             return s
+        def _tok(k, what):
+            # truncated input must fail with the module's promised
+            # clear error, never a raw IndexError
+            if k >= len(toks):
+                raise UnsupportedClickHouseSQL(
+                    f"ASOF JOIN: query ends before {what}"
+                )
+            return toks[k]
+
         k = hit + 1
         left_join = False
-        if toks[k][1].upper() in ("LEFT", "INNER"):
+        if _tok(k, "JOIN")[1].upper() in ("LEFT", "INNER"):
             left_join = toks[k][1].upper() == "LEFT"
             k += 1
-        if not (toks[k][0] == "ident" and toks[k][1].upper() == "JOIN"):
+        t_join = _tok(k, "JOIN")
+        if not (t_join[0] == "ident" and t_join[1].upper() == "JOIN"):
             raise UnsupportedClickHouseSQL(
                 "ASOF must be followed by [LEFT|INNER] JOIN"
             )
         k += 1
-        if toks[k][0] not in ("ident", "group"):
+        t_src = _tok(k, "the join source")
+        if t_src[0] not in ("ident", "group"):
             raise UnsupportedClickHouseSQL(
                 "ASOF JOIN: expected a table or subquery source"
             )
-        src = s[toks[k][2]: toks[k][3]]
-        alias = toks[k][1] if toks[k][0] == "ident" else None
+        src = s[t_src[2]: t_src[3]]
+        alias = t_src[1] if t_src[0] == "ident" else None
         k += 1
-        if toks[k][0] == "ident" and toks[k][1].upper() == "AS":
-            alias = toks[k + 1][1]
+        t_a = _tok(k, "the ON condition")
+        if t_a[0] == "ident" and t_a[1].upper() == "AS":
+            alias = _tok(k + 1, "the alias after AS")[1]
             k += 2
-        elif toks[k][0] == "ident" and toks[k][1].upper() not in (
-            "ON", "USING",
-        ):
-            alias = toks[k][1]
+        elif t_a[0] == "ident" and t_a[1].upper() not in ("ON", "USING"):
+            alias = t_a[1]
             k += 1
-        if toks[k][0] == "ident" and toks[k][1].upper() == "USING":
+        t_on = _tok(k, "the ON condition")
+        if t_on[0] == "ident" and t_on[1].upper() == "USING":
             raise UnsupportedClickHouseSQL(
                 "ASOF JOIN ... USING is not translated — write the ON "
                 "form with explicit equality keys and one inequality"
             )
-        if not (toks[k][0] == "ident" and toks[k][1].upper() == "ON"):
+        if not (t_on[0] == "ident" and t_on[1].upper() == "ON"):
             raise UnsupportedClickHouseSQL(
                 "ASOF JOIN needs an explicit ON condition"
             )
@@ -1104,11 +1117,13 @@ def _rewrite_array_join(s: str) -> str:
     * single aliased item → ``LATERAL VIEW [OUTER] explode(expr) __aj
       AS alias`` (fast path, plain generator).
     * multi-array (zip semantics) → ONE ``LATERAL VIEW [OUTER]
-      inline(transform(e1, (e, i) -> named_struct(..., element_at(ek,
-      i + 1), ...)))`` — element-wise zip driven off the first array,
-      exactly one generator (never a positional cross join).  Arrays
-      shorter than the first yield NULL elements (ClickHouse raises on
-      unequal sizes; the data-loss-free relaxation).
+      inline(transform(sequence(1, greatest(size(e1)…)), i ->
+      named_struct(..., try_element_at(ek, i), ...)))`` — element-wise
+      zip over an index sequence sized to the LONGEST array, exactly
+      one generator (never a positional cross join).  Arrays shorter
+      than the longest NULL-pad via try_element_at (ANSI-safe);
+      ClickHouse raises on unequal sizes — this is the data-loss-free
+      relaxation in BOTH directions.
     * alias-less items (which REPLACE the source column in ClickHouse)
       → the FROM source is wrapped in a subquery projecting ``alias.*
       EXCEPT (col)`` plus the exploded element ``AS col``; the one
@@ -1150,14 +1165,24 @@ def _rewrite_array_join(s: str) -> str:
             n_aj += 1
             s = s[:start] + repl + s[stop:]
             continue
-        # zip compilation: one generator over the first array
-        e_var, i_var = f"__aje{n_aj}", f"__aji{n_aj}"
-        fields = [f"'f0', {e_var}"]
-        for k, (expr, _, _) in enumerate(items[1:], 1):
-            fields.append(f"'f{k}', element_at({expr}, {i_var} + 1)")
+        # zip compilation: ONE generator over an index sequence sized
+        # to the LONGEST item, so neither direction truncates; every
+        # element access is try_element_at, which NULL-pads past the
+        # end instead of raising under Spark's ANSI mode
+        i_var = f"__aji{n_aj}"
+        if len(items) > 1:
+            sizes = ", ".join(f"size({expr})" for expr, _, _ in items)
+            n_expr = f"greatest({sizes})"
+        else:
+            n_expr = f"size({items[0][0]})"
+        fields = [
+            f"'f{k}', try_element_at({expr}, {i_var})"
+            for k, (expr, _, _) in enumerate(items)
+        ]
         gen = (
-            f"inline(transform({items[0][0]}, ({e_var}, {i_var}) -> "
-            f"named_struct({', '.join(fields)})))"
+            f"inline(transform(CASE WHEN {n_expr} IS NULL OR "
+            f"{n_expr} <= 0 THEN array() ELSE sequence(1, {n_expr}) "
+            f"END, {i_var} -> named_struct({', '.join(fields)})))"
         )
         if not replaced:
             aliases = ", ".join(a for _, a, _ in items)

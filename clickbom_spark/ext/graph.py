@@ -321,12 +321,14 @@ def label_propagation(
             .select(F.col(src).alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            # most-frequent label, ties to the SMALLEST label: max of
-            # (cnt, -label) is deterministic under both orderings
+            # most-frequent label, ties to the SMALLEST label: min of
+            # (-cnt, label) — cnt is always a count so negation is
+            # safe, and the label itself is never negated, keeping the
+            # tie-break correct for NON-numeric node ids too
             .groupBy("node")
             .agg(
-                F.max_by(
-                    F.col("label"), F.struct(F.col("cnt"), -F.col("label"))
+                F.min_by(
+                    F.col("label"), F.struct(-F.col("cnt"), F.col("label"))
                 ).alias("new_label")
             )
         )

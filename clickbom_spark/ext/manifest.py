@@ -1373,9 +1373,20 @@ def scd2_sink(lake: VersionedLake, key_cols: list[str],
 
     Per epoch: keys whose attrs differ from their open row (or are
     new) get their open row CLOSED at this epoch and a new open row
-    inserted; unchanged keys are untouched, so per-batch cost scales
-    with the batch's change set joined against the current dimension
-    slice — never with history size.  Both the closes and the inserts
+    inserted; unchanged keys are untouched.  Cost shape, stated
+    precisely: the change detection SCANS the live dimension once to
+    filter ``is_current`` (closed rows are read and discarded by the
+    filter — the scan is dimension-sized, not batch-sized) and the
+    upsert REWRITES only the files containing changed keys.  So
+    per-batch I/O is one dimension scan + change-set-sized rewrites;
+    history length inflates the scan but never the rewrite.  At warehouse
+    scale, cluster the dimension so open rows live in their own files
+    (the closes/inserts below already land in epoch-tagged files whose
+    ``is_current`` ranges are mixed only for that epoch's keys) and
+    attach zone maps (:func:`commit_with_stats` on ``is_current`` /
+    ``valid_to``) so :func:`read_pruned` skips all-closed files from
+    metadata — that turns the scan into an open-slice scan and
+    restores O(batch + open keys) per epoch.  Both the closes and the inserts
     land in ONE epoch-marked upsert keyed by (key, valid_from), so
     foreachBatch replays are detected and skipped (the same
     exactly-once contract as :func:`additive_matview_sink`).  Key

@@ -1174,10 +1174,12 @@ def q_kcore_decomposition(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _KMV_K = 64
-_KMV_HASH = (
-    "(conv(substring(md5(cast(user_id AS string)), 1, 8), 16, 10)"
-    " / 4294967296.0)"
-)
+# the repo's shared md5-prefix uniform (the q_hash_sample primitive;
+# same generator the dialect's SAMPLE compilation emits) — imported,
+# not restated, so a precision/width change can't silently diverge
+from clickbom_spark.dialect import _sample_frac_expr as _kmv_frac  # noqa: E402
+
+_KMV_HASH = _kmv_frac("user_id")
 _KMV_HASH_DUCK = (
     "(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))"
     " AS BIGINT) / 4294967296.0)"

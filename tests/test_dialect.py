@@ -715,3 +715,57 @@ def test_retention_compiles_to_gated_max(spark):
     ]
     # user 2 never saw the FIRST condition, so r[1] is gated to 0
     assert got == [(1, [1, 1]), (2, [0, 0]), (3, [1, 0])]
+
+
+def test_sample_on_aliased_table_uses_table_key(spark):
+    """Review fix: the SAMPLE BY key is table DDL — it must resolve
+    under the TABLE name even when the source is aliased."""
+    for q in (
+        "SELECT count() AS n FROM documents AS d SAMPLE 0.3",
+        "SELECT count() AS n FROM documents d SAMPLE 0.3",
+    ):
+        out = translate_clickhouse_sql(q)
+        assert "md5(cast(doc_id" in out.lower(), out
+
+
+def test_multi_array_join_unequal_lengths_null_pad_both_ways(spark):
+    """Review fix: the zip is sized to the LONGEST array (a longer
+    later array must not be truncated) and pads with NULLs via
+    try_element_at (no ANSI element_at error on the shorter one)."""
+    spark.sql(
+        "SELECT 1 AS id, array(10, 20, 30) AS a, array('x') AS b"
+    ).createOrReplaceTempView("zt_uneq")
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT va, vb FROM zt_uneq ARRAY JOIN a AS va, b AS vb"
+            )
+        ).collect()
+    ]
+    assert got == [(10, "x"), (20, None), (30, None)]
+    # longer LATER array: rows must not be truncated to len(first)
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT va, vb FROM zt_uneq ARRAY JOIN b AS vb, a AS va"
+            )
+        ).collect()
+    ]
+    assert got == [(10, "x"), (20, None), (30, None)]
+
+
+def test_asof_truncated_input_fails_clearly():
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    for sql in (
+        "SELECT 1 FROM a ASOF JOIN b",
+        "SELECT 1 FROM a ASOF JOIN b AS",
+        "SELECT 1 FROM a ASOF JOIN",
+        "SELECT 1 FROM a ASOF LEFT JOIN b ON",
+    ):
+        with pytest.raises(UnsupportedClickHouseSQL):
+            translate_clickhouse_sql(sql)

@@ -166,3 +166,24 @@ def test_copurchase_edges_mega_order_guard(spark):
         (r["u"], r["v"]) for r in copurchase_edges(li, basket_cap=10_000).collect()
     }
     assert (1, 2) in edges_all and (1, 3) in edges_all and (2, 3) in edges_all
+
+
+def test_label_propagation_string_node_ids(spark):
+    """Review fix: the smallest-label tie-break must not negate the
+    label column, so NON-numeric node ids work and ties still break
+    toward the lexicographically smallest label."""
+    from clickbom_spark.ext.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=2).collect()
+    }
+    # round 1: a<-{b}->'b'? no: a's neighbors {b} -> 'b'; b's {a,c} ->
+    # tie on count, smallest label 'a'; c's {b} -> 'b'
+    # round 2: a's {b} -> 'a'; b's {a,c} -> both now ('b','b') -> 'b';
+    # c's {b} -> 'a'
+    assert out == {"a": "a", "b": "b", "c": "a"}
