@@ -1809,3 +1809,137 @@ def q_winsorized_mean(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derandomized Poisson bootstrap CI (the map-side bootstrap used for
+# large-scale A/B metrics — public technique; Poisson(1) multiplicities
+# make each resample a single pass).  Randomness is replaced by the
+# repo's md5-prefix uniform over (event_id·B + b), and Poisson(1) is
+# inverted through its FIXED 6-digit CDF literals, so every
+# multiplicity — hence every resample mean and the rank-based CI — is
+# bit-reproducible in any engine.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64
+# Poisson(1) CDF partial sums (e^-1 terms), fixed 6-digit literals
+# shared verbatim by both engines
+_BOOT_M = (
+    "(CASE WHEN {u} < 0.367879 THEN 0 WHEN {u} < 0.735759 THEN 1 "
+    "WHEN {u} < 0.919699 THEN 2 WHEN {u} < 0.981012 THEN 3 "
+    "WHEN {u} < 0.996340 THEN 4 ELSE 5 END)"
+)
+_BOOT_U_SPARK = (
+    "(conv(substring(md5(cast(event_id * 64 + b AS string)), 1, 8),"
+    " 16, 10) / 4294967296.0)"
+)
+_BOOT_U_DUCK = (
+    "(CAST(('0x' || substring(md5(CAST(event_id * 64 + b AS VARCHAR)),"
+    " 1, 8)) AS BIGINT) / 4294967296.0)"
+)
+
+
+@staged(
+    "q_bootstrap_ci",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), rs AS (
+  SELECT ev.event_id, ev.event_type, ev.cents, b.b
+  FROM ev CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+), m AS (
+  SELECT event_type, b,
+         {_BOOT_M.format(u=_BOOT_U_DUCK)} AS mult, cents
+  FROM rs
+), agg AS (
+  SELECT event_type, b,
+         CAST(SUM(mult * cents) AS BIGINT) AS s,
+         CAST(SUM(mult) AS BIGINT) AS n
+  FROM m GROUP BY event_type, b
+), means AS (
+  SELECT event_type,
+         round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mb,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(s AS DOUBLE)
+                                     / CAST(n AS DOUBLE), b) AS rn
+  FROM agg WHERE n > 0
+), pt AS (
+  SELECT event_type,
+         round(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS point_r
+  FROM ev GROUP BY event_type
+)
+SELECT pt.event_type AS event_type, pt.point_r,
+       round(max(CASE WHEN rn = 2 THEN mb END), 6) AS lo_r,
+       round(max(CASE WHEN rn = {_BOOT_B - 1} THEN mb END), 6) AS hi_r,
+       CAST(COUNT(*) AS BIGINT) AS n_resamples
+FROM means JOIN pt ON pt.event_type = means.event_type
+GROUP BY pt.event_type, pt.point_r ORDER BY event_type
+""",
+    description="Derandomized Poisson bootstrap (public large-scale "
+    f"A/B technique): B={_BOOT_B} one-pass resamples whose Poisson(1) "
+    "multiplicities come from the repo's md5-prefix uniform inverted "
+    "through fixed 6-digit CDF literals — every resample mean is "
+    "integer-exact until one final division, and the rank-2/rank-63 "
+    "CI bounds are selected by deterministic (mean, b) order.  "
+    "Map-side shape: the explode feeds partial aggregation, so the "
+    "shuffle carries B rows per partition, never B copies of the "
+    "data.",
+)
+def q_bootstrap_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rs = ev.select(
+        "event_id", "event_type", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    m = rs.select(
+        "event_type", "b", "cents",
+        F.expr(_BOOT_M.format(u=_BOOT_U_SPARK)).alias("mult"),
+    )
+    agg = (
+        m.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("mult") * F.col("cents")).cast("long").alias("s"),
+            F.sum("mult").cast("long").alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+    mean_d = F.col("s").cast("double") / F.col("n").cast("double")
+    w = Window.partitionBy("event_type").orderBy(mean_d, F.col("b"))
+    means = agg.select(
+        "event_type",
+        F.round(mean_d, 9).alias("mb"),
+        F.row_number().over(w).alias("rn"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.round(
+            F.sum("cents").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("point_r")
+    )
+    return (
+        means.join(pt, "event_type")
+        .groupBy("event_type", "point_r")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn") == 2, F.col("mb"))), 6
+            ).alias("lo_r"),
+            F.round(
+                F.max(
+                    F.when(F.col("rn") == _BOOT_B - 1, F.col("mb"))
+                ), 6
+            ).alias("hi_r"),
+            F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        )
+        .select("event_type", "point_r", "lo_r", "hi_r", "n_resamples")
+        .orderBy("event_type")
+    )

@@ -975,3 +975,18 @@ def test_winsorized_mean_broadcasts_boundaries(spark):
     assert win_lines, plan
     for ln in win_lines:
         assert "nation" in ln, ln
+
+
+def test_bootstrap_windows_partitioned_and_single_generator(spark):
+    """The Poisson bootstrap explode is ONE Generate feeding partial
+    aggregation (B rows per partition cross the shuffle, never B data
+    copies); the CI rank window is event_type-partitioned."""
+    plan = _staged_r10_plan(spark, "q_bootstrap_ci")
+    assert plan.count("Generate") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "event_type" in ln, ln
