@@ -483,6 +483,78 @@ CORPUS: list[tuple[str, str, str]] = [
         GROUP BY doc_id, u.ws ORDER BY doc_id, ws
         """,
     ),
+    (
+        "asof_join",
+        """
+        SELECT count() AS n_matched,
+               sum(p.cents - c.cents) AS gap_cents
+        FROM (SELECT user_id, ts, toInt64(round(value * 100)) AS cents
+              FROM events WHERE event_type = 'purchase') AS p
+        ASOF JOIN (SELECT user_id, ts AS cts,
+                          argMax(toInt64(round(value * 100)), event_id)
+                            AS cents
+                   FROM events WHERE event_type = 'click'
+                   GROUP BY user_id, ts) AS c
+        ON p.user_id = c.user_id AND p.ts >= c.cts
+        """,
+        """
+        WITH p AS (
+          SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT user_id, ts AS cts,
+                 arg_max(CAST(round(value * 100) AS BIGINT), event_id)
+                   AS cents
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id, ts
+        )
+        SELECT count(*) AS n_matched,
+               CAST(SUM(p.cents - c.cents) AS BIGINT) AS gap_cents
+        FROM p ASOF JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.cts
+        """,
+    ),
+    (
+        "retention_aggregate",
+        """
+        SELECT sum(arrayElement(r, 1)) AS viewed,
+               sum(arrayElement(r, 2)) AS then_clicked,
+               count() AS users
+        FROM (
+          SELECT user_id,
+                 retention(event_type = 'view',
+                           event_type = 'click') AS r
+          FROM events GROUP BY user_id
+        )
+        """,
+        """
+        WITH r AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS c1,
+                 max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS c2
+          FROM events GROUP BY user_id
+        )
+        SELECT CAST(SUM(c1) AS BIGINT) AS viewed,
+               CAST(SUM(c1 * c2) AS BIGINT) AS then_clicked,
+               count(*) AS users
+        FROM r
+        """,
+    ),
+    (
+        "sample_aliased_source",
+        """
+        SELECT count() AS n, sum(d.n_chars) AS chars
+        FROM documents AS d SAMPLE 0.5
+        """,
+        """
+        SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 4294967296.0 < 0.5
+        """,
+    ),
 ]
 
 FAMILIES = [c[0] for c in CORPUS]
@@ -511,7 +583,7 @@ def test_corpus_breadth():
     joined = " ".join(c[1] for c in CORPUS)
     for construct in (
         "FINAL", "SAMPLE", "ARRAY JOIN", "LIMIT 2 BY", "WITH TOTALS",
-        "PREWHERE",
+        "PREWHERE", "ASOF JOIN", "retention(",
     ):
         assert construct in joined, f"corpus lost {construct}"
     assert len(CORPUS) >= 20
