@@ -24,10 +24,20 @@ clear error rather than silently mis-translating):
   ``median``→percentile_approx(x, 0.5), ``entropy`` unsupported-fast;
   ``retention(cond…)``→array of gated max(CASE) existential flags
   (r[0]=cond1 held, r[i]=cond1 AND cond_i each held — the documented
-  ClickHouse semantics)
+  ClickHouse semantics); statistical moments ``varPop/varSamp/
+  stddevPop/stddevSamp/covarPop/covarSamp``→snake_case twins (corr
+  passes through), ``avgWeighted``→sum(x·w)/sum(w), ``sumCount``→
+  named_struct, ``anyHeavy``→mode (exact most-frequent satisfies the
+  approximate-majority contract), ``quantileTDigest/quantilesTDigest/
+  quantileDeterministic``→percentile_approx (both mergeable sketches;
+  the determinator is dropped — percentile_approx is already
+  deterministic), ``topK/topKWeighted`` fail fast toward the
+  heavy-hitters operators
 - conditionals: ``multiIf``→CASE, ``if`` passes through
 - date/time: ``toDate``→to_date, ``toDateTime``→to_timestamp,
-  ``toStartOfDay/Hour/Minute/Month/Week/Year``→date_trunc,
+  ``toStartOfDay/Hour/Minute/Month/Quarter/Week/Year``→date_trunc,
+  ``toStartOfInterval(t, INTERVAL n unit)``→epoch-floor bucketing for
+  fixed-width units (calendar units fail fast toward date_trunc),
   ``toYYYYMM``→int(date_format(x,'yyyyMM')), ``today``→current_date,
   ``now``→current_timestamp, ``toDayOfMonth``→dayofmonth,
   ``toHour``→hour, ``toMonth``→month, ``toYear``→year
@@ -38,7 +48,10 @@ clear error rather than silently mis-translating):
   ``arraySort``→sort_array, ``splitByChar(c,s)``→split(s, quoted c),
   ``position(h,n)``→locate(n,h) (argument order swaps),
   ``lengthUTF8``→length, ``lowerUTF8/upperUTF8``→lower/upper
-- arithmetic: ``intDiv``→DIV, ``modulo``→%, ``plus``→+, ``minus``→-
+- arithmetic: ``intDiv``→DIV, ``modulo``→%, ``plus``→+, ``minus``→-;
+  ``bitAnd/bitOr/bitXor/bitNot/bitShiftLeft/bitShiftRight``→operators
+  / shiftleft/shiftright, ``roundBankers``→bround (half-even),
+  ``base64Encode/base64Decode``→base64 / CAST(unbase64 AS STRING)
 - date arithmetic: ``addDays/Hours/Minutes/Seconds/Months/Years`` and
   the ``subtract*`` twins→INTERVAL arithmetic, ``dateDiff('unit',a,b)``
   →timestampdiff over unit-TRUNCATED endpoints (ClickHouse counts
@@ -256,6 +269,41 @@ def _split_by_char(args):
     return f"split({args[1]}, {re.escape(sep[1:-1])!r})"
 
 
+_INTERVAL_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+}
+
+
+def _to_start_of_interval(args):
+    """``toStartOfInterval(t, INTERVAL n unit)`` → epoch-floor bucket
+    for fixed-width units (second/minute/hour/day).  Month-and-wider
+    units are variable-width — fail fast toward date_trunc."""
+    if len(args) != 2:
+        raise UnsupportedClickHouseSQL(
+            "toStartOfInterval expects (t, INTERVAL n unit)"
+        )
+    m = re.fullmatch(
+        r"\s*INTERVAL\s+(\d+)\s+([A-Za-z]+)\s*", args[1], re.IGNORECASE
+    )
+    if not m:
+        raise UnsupportedClickHouseSQL(
+            "toStartOfInterval: second argument must be a literal "
+            "INTERVAL n unit"
+        )
+    n, unit = int(m.group(1)), m.group(2).lower().rstrip("s")
+    sec = _INTERVAL_SECONDS.get(unit)
+    if sec is None:
+        raise UnsupportedClickHouseSQL(
+            f"toStartOfInterval unit {unit!r}: only fixed-width units "
+            "(second/minute/hour/day) floor by epoch arithmetic — use "
+            "toStartOfMonth/Quarter/Year for calendar units"
+        )
+    w = n * sec
+    return (
+        f"to_timestamp(floor(unix_timestamp({args[0]}) / {w}) * {w})"
+    )
+
+
 def _retention(args):
     """ClickHouse ``retention(cond1, ..., condN)`` → array of 0/1
     flags: r[0] = 1 iff cond1 held on some row of the group, r[i] = 1
@@ -290,6 +338,24 @@ _PLAIN = {
     "uniq": lambda a: f"approx_count_distinct({', '.join(a)})",
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "retention": _retention,
+    # statistical moments: ClickHouse camelCase → Spark snake_case
+    # (corr passes through — the names already match)
+    "covarpop": lambda a: f"covar_pop({a[0]}, {a[1]})",
+    "covarsamp": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    "stddevpop": lambda a: f"stddev_pop({a[0]})",
+    "stddevsamp": lambda a: f"stddev_samp({a[0]})",
+    "varpop": lambda a: f"var_pop({a[0]})",
+    "varsamp": lambda a: f"var_samp({a[0]})",
+    # composite / weighted aggregates
+    "sumcount": lambda a: (
+        f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"
+    ),
+    "avgweighted": lambda a: (
+        f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))"
+    ),
+    # anyHeavy is ClickHouse's APPROXIMATE majority pick; Spark's
+    # exact mode() satisfies the contract (any heavy hitter) exactly
+    "anyheavy": lambda a: f"mode({a[0]})",
     "countif": lambda a: f"count_if({a[0]})",
     "sumif": _agg_if("sum"),
     "avgif": _agg_if("avg"),
@@ -319,6 +385,10 @@ _PLAIN = {
         else _unsupported_week_mode(a[1])
     ),
     "tostartofyear": lambda a: f"CAST(date_trunc('YEAR', {a[0]}) AS DATE)",
+    "tostartofquarter": lambda a: (
+        f"CAST(date_trunc('QUARTER', {a[0]}) AS DATE)"
+    ),
+    "tostartofinterval": _to_start_of_interval,
     "toyyyymm": lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)",
     "todayofmonth": lambda a: f"dayofmonth({a[0]})",
     "tohour": lambda a: f"hour({a[0]})",
@@ -455,6 +525,18 @@ _PLAIN = {
     "leftpad": lambda a: f"lpad({', '.join(a)})",
     "rightpad": lambda a: f"rpad({', '.join(a)})",
     "reverseutf8": lambda a: f"reverse({a[0]})",
+    # rounding: roundBankers is IEEE round-half-even — Spark's bround
+    "roundbankers": lambda a: f"bround({', '.join(a)})",
+    # bitwise named functions → operators / Spark twins
+    "bitand": lambda a: f"(({a[0]}) & ({a[1]}))",
+    "bitor": lambda a: f"(({a[0]}) | ({a[1]}))",
+    "bitxor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
+    "bitnot": lambda a: f"(~({a[0]}))",
+    "bitshiftleft": lambda a: f"shiftleft({a[0]}, {a[1]})",
+    "bitshiftright": lambda a: f"shiftright({a[0]}, {a[1]})",
+    # encodings: ClickHouse returns STRINGS; Spark unbase64 is binary
+    "base64encode": lambda a: f"base64({a[0]})",
+    "base64decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
     "concatwithseparator": lambda a: (
         f"concat_ws({', '.join(a)})"
     ),
@@ -611,11 +693,29 @@ def _parametric(name: str, params: list[str], args: list[str]) -> str:
         return f"percentile({args[0]}, array({', '.join(params)}))"
     if n == "uniqupto":
         return f"least(count(DISTINCT {args[0]}), {params[0]} + 1)"
+    if n == "quantiletdigest":
+        # both are mergeable approximate quantile sketches; Spark's
+        # percentile_approx (KLL-style) honors the same contract
+        return f"percentile_approx({args[0]}, {params[0]})"
+    if n == "quantilestdigest":
+        return (
+            f"percentile_approx({args[0]}, array({', '.join(params)}))"
+        )
+    if n == "quantiledeterministic":
+        # the determinator argument only seeds ClickHouse's sampling;
+        # percentile_approx is already deterministic, so it is dropped
+        return f"percentile_approx({args[0]}, {params[0]})"
     if n == "topk":
         raise UnsupportedClickHouseSQL(
             "topK(k)(x) has no single-expression Spark equivalent — "
             "use the engine's heavy-hitters operator "
             "(ext.sketches.heavy_hitters / q_heavy_hitters)"
+        )
+    if n == "topkweighted":
+        raise UnsupportedClickHouseSQL(
+            "topKWeighted(k)(x, w) has no single-expression Spark "
+            "equivalent — use the engine's weighted heavy-hitters "
+            "operator (ext.sketches / q_heavy_hitters_weighted)"
         )
     raise UnsupportedClickHouseSQL(
         f"parametric aggregate {name} is not in the supported surface"
@@ -1496,6 +1596,8 @@ def _translate_tokens(sql: str, final_keys) -> str:
                 name.lower() in (
                     "quantile", "quantileexact", "quantiles",
                     "quantilesexact", "uniqupto", "topk",
+                    "quantiletdigest", "quantilestdigest",
+                    "quantiledeterministic", "topkweighted",
                 )
             ):
                 close2 = _matching_paren(sql, k2)

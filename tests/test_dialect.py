@@ -769,3 +769,99 @@ def test_asof_truncated_input_fails_clearly():
     ):
         with pytest.raises(UnsupportedClickHouseSQL):
             translate_clickhouse_sql(sql)
+
+
+def test_stat_moment_family(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (1, 2.0, 4.0), (1, 4.0, 8.0), "
+        "(1, 6.0, 12.0) AS t(g, x, y)"
+    ).createOrReplaceTempView("mom_t")
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT varPop(x) AS vp, varSamp(x) AS vs, "
+            "stddevPop(x) AS sp, stddevSamp(x) AS ss, "
+            "covarPop(x, y) AS cp, covarSamp(x, y) AS cs, "
+            "corr(x, y) AS r FROM mom_t"
+        )
+    ).collect()[0]
+    assert (
+        round(got.vp, 9), round(got.vs, 9), round(got.sp, 9),
+        round(got.cp, 9), round(got.cs, 9), round(got.r, 9),
+    ) == (
+        round(8.0 / 3, 9), 4.0, round((8.0 / 3) ** 0.5, 9),
+        round(16.0 / 3, 9), 8.0, 1.0,
+    )
+
+
+def test_weighted_and_composite_aggregates(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (10, 1), (20, 3) AS t(x, w)"
+    ).createOrReplaceTempView("wt_t")
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT avgWeighted(x, w) AS aw, sumCount(x) AS sc, "
+            "anyHeavy(w) AS ah FROM wt_t"
+        )
+    ).collect()[0]
+    assert got.aw == 17.5
+    assert got.sc.asDict() == {"sum": 30, "count": 2}
+    assert got.ah in (1, 3)
+
+
+def test_bitwise_rounding_encoding_family(spark):
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo, "
+            "bitXor(12, 10) AS bx, bitNot(0) AS bn, "
+            "bitShiftLeft(3, 2) AS sl, bitShiftRight(12, 2) AS sr, "
+            "roundBankers(2.5) AS rb1, roundBankers(3.5) AS rb2, "
+            "base64Decode(base64Encode('hi')) AS b64"
+        )
+    ).collect()[0]
+    assert (got.ba, got.bo, got.bx, got.bn, got.sl, got.sr) == (
+        8, 14, 6, -1, 12, 3
+    )
+    assert (got.rb1, got.rb2) == (2.0, 4.0)  # half-even, not half-up
+    assert got.b64 == "hi"
+
+
+def test_interval_and_quarter_truncation(spark):
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT toStartOfInterval(toDateTime('2024-05-17 10:47:23'),"
+            " INTERVAL 15 minute) AS i15,"
+            " toStartOfQuarter(toDate('2024-05-17')) AS q"
+        )
+    ).collect()[0]
+    assert str(got.i15) == "2024-05-17 10:45:00"
+    assert str(got.q) == "2024-04-01"
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="calendar units"):
+        translate_clickhouse_sql(
+            "SELECT toStartOfInterval(ts, INTERVAL 2 month) FROM events"
+        )
+
+
+def test_tdigest_quantiles_translate_to_percentile_approx(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (1), (2), (3), (4), (100) AS t(x)"
+    ).createOrReplaceTempView("td_t")
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT quantileTDigest(0.5)(x) AS m, "
+            "quantileDeterministic(0.5)(x, x) AS md, "
+            "quantilesTDigest(0.25, 0.75)(x) AS qs FROM td_t"
+        )
+    ).collect()[0]
+    assert got.m == 3 and got.md == 3 and list(got.qs) == [2, 4]
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="topKWeighted"):
+        translate_clickhouse_sql(
+            "SELECT topKWeighted(3)(x, w) FROM t"
+        )
