@@ -106,6 +106,13 @@ clear error rather than silently mis-translating):
   :func:`register_sampling_key`; the q_hash_sample primitive —
   md5-prefix scaled to [0,1), reproducible in any engine); the
   integer row-target form still fails fast (needs table stats).
+  ``GLOBAL``/``ALL`` join modifiers are STRIPPED (GLOBAL is a
+  distribution hint — Catalyst/AQE already picks broadcast vs
+  shuffle; ALL is the explicit default multiplicity); ``ANY
+  [LEFT|INNER] JOIN``→keyed right-side dedup subquery
+  (max_by(struct(*), 1) per join key — at most one match per left
+  row, the surviving duplicate unspecified exactly as ClickHouse
+  documents; ANY RIGHT/FULL fail fast).
   ``ASOF [LEFT|INNER] JOIN … ON eqs AND l.x >= r.x``→plain [LEFT]
   JOIN against a derived right table carrying per-row validity
   intervals (lead over the asof column partitioned by the equality
@@ -1129,6 +1136,157 @@ def _rewrite_asof_join(s: str) -> str:
         )
 
 
+def _rewrite_any_global_join(s: str) -> str:
+    """ClickHouse join MODIFIERS:
+
+    * ``GLOBAL [ANY|ALL] [kind] JOIN`` — GLOBAL is a pure distribution
+      hint (broadcast the right side to every shard); Catalyst already
+      chooses broadcast vs shuffle from sizes/AQE, so the keyword is
+      STRIPPED and the plan decision stays with the optimizer.
+    * ``ALL [kind] JOIN`` — ClickHouse's explicit default multiplicity;
+      identical to standard SQL JOIN, keyword stripped.
+    * ``ANY [LEFT|INNER] JOIN rhs [AS] a ON eqs`` — at most ONE right
+      row per join key: compiled to a keyed dedup subquery
+      ``(SELECT __any.* FROM (SELECT max_by(struct(*), 1) AS __any
+      FROM rhs GROUP BY keys)) AS a`` — one hash aggregate, the same
+      shape as the FINAL rewrite.  WHICH duplicate survives is
+      unspecified, exactly ClickHouse's documented ANY contract; the
+      eqs must name the right side as plain ``a.col`` references
+      (fail-fast otherwise, same contract as ASOF JOIN).  ``ANY
+      RIGHT/FULL JOIN`` fail fast (ClickHouse gives them different,
+      rarely-used multiplicity semantics).
+    """
+    # GLOBAL / ALL are standalone strips wherever they prefix a join
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for t in range(len(toks) - 1):
+            if (
+                toks[t][0] == "ident"
+                and toks[t][1].upper() in ("GLOBAL", "ALL")
+                and toks[t + 1][0] == "ident"
+                and toks[t + 1][1].upper() in (
+                    "ANY", "LEFT", "INNER", "JOIN",
+                )
+            ):
+                # `SELECT ALL` / `UNION ALL` never precede these
+                hit = t
+                break
+        if hit is None:
+            break
+        s = s[: toks[hit][2]] + s[toks[hit + 1][2]:]
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for t in range(len(toks) - 1):
+            if (
+                toks[t][0] == "ident"
+                and toks[t][1].upper() == "ANY"
+                and toks[t + 1][0] == "ident"
+                and toks[t + 1][1].upper() in (
+                    "JOIN", "LEFT", "INNER", "RIGHT", "FULL",
+                )
+            ):
+                hit = t
+                break
+        if hit is None:
+            return s
+
+        def _tok(k, what):
+            if k >= len(toks):
+                raise UnsupportedClickHouseSQL(
+                    f"ANY JOIN: query ends before {what}"
+                )
+            return toks[k]
+
+        k = hit + 1
+        if toks[k][1].upper() in ("RIGHT", "FULL"):
+            raise UnsupportedClickHouseSQL(
+                "ANY RIGHT/FULL JOIN have ClickHouse-specific "
+                "multiplicity semantics with no faithful Spark "
+                "rewrite — use ANY LEFT/INNER JOIN"
+            )
+        if toks[k][1].upper() in ("LEFT", "INNER"):
+            k += 1
+        t_join = _tok(k, "JOIN")
+        if not (t_join[0] == "ident" and t_join[1].upper() == "JOIN"):
+            raise UnsupportedClickHouseSQL(
+                "ANY must be followed by [LEFT|INNER] JOIN"
+            )
+        k += 1
+        t_src = _tok(k, "the join source")
+        if t_src[0] not in ("ident", "group"):
+            raise UnsupportedClickHouseSQL(
+                "ANY JOIN: expected a table or subquery source"
+            )
+        src = s[t_src[2]: t_src[3]]
+        src_at = k
+        alias = t_src[1] if t_src[0] == "ident" else None
+        k += 1
+        t_a = _tok(k, "the ON condition")
+        if t_a[0] == "ident" and t_a[1].upper() == "AS":
+            alias = _tok(k + 1, "the alias after AS")[1]
+            k += 2
+        elif t_a[0] == "ident" and t_a[1].upper() not in ("ON", "USING"):
+            alias = t_a[1]
+            k += 1
+        t_on = _tok(k, "the ON condition")
+        if not (t_on[0] == "ident" and t_on[1].upper() == "ON"):
+            raise UnsupportedClickHouseSQL(
+                "ANY JOIN needs an explicit ON condition (USING is "
+                "not translated)"
+            )
+        if alias is None:
+            raise UnsupportedClickHouseSQL(
+                "ANY JOIN on a subquery needs an alias"
+            )
+        on_start = k + 1
+        end = _clause_end(toks, on_start, extra=_ASOF_STOP)
+        col_re = re.compile(
+            rf"{re.escape(alias)}\.([A-Za-z_][A-Za-z0-9_]*)$"
+        )
+        keys = []
+        start = on_start
+        segs = []
+        for t in range(on_start, end):
+            if toks[t][0] == "ident" and toks[t][1].upper() == "AND":
+                segs.append((start, t))
+                start = t + 1
+        segs.append((start, end))
+        for lo, hi in segs:
+            if lo >= hi:
+                raise UnsupportedClickHouseSQL("ANY JOIN: empty ON term")
+            cmp_ = _asof_cmp(toks, lo, hi)
+            text = s[toks[lo][2]: toks[hi - 1][3]].strip()
+            if cmp_ is None or cmp_[0] != "=":
+                raise UnsupportedClickHouseSQL(
+                    f"ANY JOIN: ON term {text!r} must be an equality"
+                )
+            _, op_s, op_e = cmp_
+            a = s[toks[lo][2]: op_s].strip()
+            b = s[op_e: toks[hi - 1][3]].strip()
+            m = col_re.fullmatch(b) or col_re.fullmatch(a)
+            if m is None:
+                raise UnsupportedClickHouseSQL(
+                    f"ANY JOIN: equality {text!r} must name a plain "
+                    f"{alias}.<column> on one side"
+                )
+            keys.append(m.group(1))
+        sub = (
+            f"(SELECT __any.* FROM (SELECT max_by(struct(*), 1) AS "
+            f"__any FROM {src} GROUP BY {', '.join(keys)})) AS {alias}"
+        )
+        # splice: drop the ANY keyword, keep the join kind words,
+        # replace source + any alias tokens (everything up to ON)
+        # with the dedup subquery
+        kind_text = s[toks[hit + 1][2]: toks[src_at][2]]
+        s = (
+            s[: toks[hit][2]]
+            + kind_text + sub + " "
+            + s[toks[k][2]:]
+        )
+
+
 def _rewrite_final(s: str, final_keys) -> str:
     """``FROM tbl FINAL`` → keep-latest-per-key subquery aliased back
     to the table name, using the registered (key, version)."""
@@ -1490,6 +1648,7 @@ def _rewrite_with_totals(s: str) -> str:
 def _rewrite_clauses(s: str, final_keys) -> str:
     s = _rewrite_final(s, final_keys)
     s = _rewrite_sample(s)
+    s = _rewrite_any_global_join(s)
     s = _rewrite_asof_join(s)
     s = _rewrite_array_join(s)
     s = _merge_prewhere(s)

@@ -865,3 +865,52 @@ def test_tdigest_quantiles_translate_to_percentile_approx(spark):
         translate_clickhouse_sql(
             "SELECT topKWeighted(3)(x, w) FROM t"
         )
+
+
+def test_any_left_join_dedupes_right_side(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(k, tag)"
+    ).createOrReplaceTempView("any_l")
+    spark.sql(
+        "SELECT * FROM VALUES (1, 7, 7), (1, 7, 7), (3, 9, 9)"
+        " AS t(k, v, w)"
+    ).createOrReplaceTempView("any_r")
+    # duplicate right rows are IDENTICAL, so ANY's arbitrary pick is
+    # value-deterministic here: exactly one match per left row
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT l.tag, r.v FROM any_l AS l "
+                "ANY LEFT JOIN any_r AS r ON l.k = r.k ORDER BY l.tag"
+            )
+        ).collect()
+    ]
+    assert got == [("a", 7), ("b", None)]
+    # GLOBAL strips; ALL strips; plain semantics preserved
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT l.tag, r.v FROM any_l AS l "
+                "GLOBAL ALL LEFT JOIN any_r AS r ON l.k = r.k "
+                "ORDER BY l.tag, r.v"
+            )
+        ).collect()
+    ]
+    assert got == [("a", 7), ("a", 7), ("b", None)]
+
+
+def test_any_join_fail_fasts():
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    for sql, frag in [
+        ("SELECT 1 FROM a ANY RIGHT JOIN b ON a.k = b.k", "RIGHT/FULL"),
+        ("SELECT 1 FROM a ANY JOIN b ON a.k < b.k", "equality"),
+        ("SELECT 1 FROM a ANY JOIN b USING (k)", "USING"),
+        ("SELECT 1 FROM a ANY JOIN b ON a.k = b.k + 1", "plain b.<column>"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=frag):
+            translate_clickhouse_sql(sql)

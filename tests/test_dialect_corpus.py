@@ -543,6 +543,29 @@ CORPUS: list[tuple[str, str, str]] = [
         """,
     ),
     (
+        "any_left_join",
+        """
+        SELECT o.o_orderpriority AS pri,
+               count() AS n,
+               sum(if(isNotNull(c.c_nationkey), 1, 0)) AS matched
+        FROM orders AS o
+        GLOBAL ANY LEFT JOIN
+          (SELECT c_custkey, c_nationkey FROM customer) AS c
+        ON o.o_custkey = c.c_custkey
+        GROUP BY pri ORDER BY pri
+        """,
+        """
+        SELECT o.o_orderpriority AS pri,
+               count(*) AS n,
+               CAST(SUM(CASE WHEN c.c_nationkey IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS matched
+        FROM orders o
+        LEFT JOIN (SELECT c_custkey, c_nationkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY pri ORDER BY pri
+        """,
+    ),
+    (
         "sample_aliased_source",
         """
         SELECT count() AS n, sum(d.n_chars) AS chars
@@ -583,7 +606,7 @@ def test_corpus_breadth():
     joined = " ".join(c[1] for c in CORPUS)
     for construct in (
         "FINAL", "SAMPLE", "ARRAY JOIN", "LIMIT 2 BY", "WITH TOTALS",
-        "PREWHERE", "ASOF JOIN", "retention(",
+        "PREWHERE", "ASOF JOIN", "retention(", "ANY LEFT JOIN",
     ):
         assert construct in joined, f"corpus lost {construct}"
     assert len(CORPUS) >= 20
