@@ -282,9 +282,15 @@ _INTERVAL_SECONDS = {
 
 
 def _to_start_of_interval(args):
-    """``toStartOfInterval(t, INTERVAL n unit)`` → epoch-floor bucket
-    for fixed-width units (second/minute/hour/day).  Month-and-wider
-    units are variable-width — fail fast toward date_trunc."""
+    """``toStartOfInterval(t, INTERVAL n unit)`` for fixed-width units
+    (second/minute/hour; day only as n=1 → date_trunc).  Sub-day
+    widths floor the seconds-since-LOCAL-midnight remainder, so
+    buckets align with the session timezone exactly like ClickHouse's
+    timezone-local intervals (and like this module's toStartOfDay) —
+    an epoch floor would misalign hour buckets in any :30-offset
+    zone.  Multi-day widths and calendar units (month+) have
+    engine-specific alignment origins — fail fast toward
+    date_trunc/toStartOfMonth."""
     if len(args) != 2:
         raise UnsupportedClickHouseSQL(
             "toStartOfInterval expects (t, INTERVAL n unit)"
@@ -302,12 +308,23 @@ def _to_start_of_interval(args):
     if sec is None:
         raise UnsupportedClickHouseSQL(
             f"toStartOfInterval unit {unit!r}: only fixed-width units "
-            "(second/minute/hour/day) floor by epoch arithmetic — use "
+            "(second/minute/hour/day) have a stable floor — use "
             "toStartOfMonth/Quarter/Year for calendar units"
         )
+    if unit == "day":
+        if n != 1:
+            raise UnsupportedClickHouseSQL(
+                "toStartOfInterval: multi-day widths have an "
+                "engine-specific alignment origin — use INTERVAL 1 "
+                "day (= toStartOfDay) or bucket explicitly"
+            )
+        return f"date_trunc('DAY', {args[0]})"
     w = n * sec
+    t = args[0]
+    day0 = f"unix_timestamp(date_trunc('DAY', {t}))"
     return (
-        f"to_timestamp(floor(unix_timestamp({args[0]}) / {w}) * {w})"
+        f"timestampadd(SECOND, CAST(floor((unix_timestamp({t}) - "
+        f"{day0}) / {w}) * {w} AS BIGINT), date_trunc('DAY', {t}))"
     )
 
 
@@ -357,8 +374,12 @@ _PLAIN = {
     "sumcount": lambda a: (
         f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"
     ),
+    # ClickHouse skips rows where EITHER argument is NULL: the
+    # denominator must not count weights of NULL-value rows (a plain
+    # sum(w) would silently deflate the mean)
     "avgweighted": lambda a: (
-        f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))"
+        f"(sum(({a[0]}) * ({a[1]})) / "
+        f"sum(CASE WHEN ({a[0]}) IS NOT NULL THEN ({a[1]}) END))"
     ),
     # anyHeavy is ClickHouse's APPROXIMATE majority pick; Spark's
     # exact mode() satisfies the contract (any heavy hitter) exactly
@@ -937,7 +958,7 @@ def _rewrite_sample(s: str) -> str:
 
 _ASOF_STOP = (
     "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "SEMI", "ANTI",
-    "JOIN", "ASOF",
+    "JOIN", "ASOF", "ANY", "ALL", "GLOBAL", "ARRAY",
 )
 
 
@@ -1166,10 +1187,12 @@ def _rewrite_any_global_join(s: str) -> str:
                 and toks[t][1].upper() in ("GLOBAL", "ALL")
                 and toks[t + 1][0] == "ident"
                 and toks[t + 1][1].upper() in (
-                    "ANY", "LEFT", "INNER", "JOIN",
+                    "ANY", "LEFT", "INNER", "JOIN", "RIGHT", "FULL",
+                    "CROSS", "SEMI", "ANTI", "ASOF",
                 )
             ):
-                # `SELECT ALL` / `UNION ALL` never precede these
+                # `SELECT ALL` / `UNION ALL` never precede these, so
+                # the full join-kind follower set is safe to strip on
                 hit = t
                 break
         if hit is None:

@@ -1829,10 +1829,8 @@ _BOOT_M = (
     "WHEN {u} < 0.919699 THEN 2 WHEN {u} < 0.981012 THEN 3 "
     "WHEN {u} < 0.996340 THEN 4 ELSE 5 END)"
 )
-_BOOT_U_SPARK = (
-    "(conv(substring(md5(cast(event_id * 64 + b AS string)), 1, 8),"
-    " 16, 10) / 4294967296.0)"
-)
+# shared md5-prefix uniform — imported like _KMV_HASH, not restated
+_BOOT_U_SPARK = _kmv_frac("event_id * 64 + b")
 _BOOT_U_DUCK = (
     "(CAST(('0x' || substring(md5(CAST(event_id * 64 + b AS VARCHAR)),"
     " 1, 8)) AS BIGINT) / 4294967296.0)"

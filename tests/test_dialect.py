@@ -914,3 +914,77 @@ def test_any_join_fail_fasts():
     ]:
         with pytest.raises(UnsupportedClickHouseSQL, match=frag):
             translate_clickhouse_sql(sql)
+
+
+def test_second_review_fixes(spark):
+    """Round-9 second-review findings, pinned by execution."""
+    # avgWeighted skips weights of NULL-value rows (ClickHouse skips
+    # rows where any argument is NULL)
+    spark.sql(
+        "SELECT * FROM VALUES (CAST(NULL AS INT), 10), (4, 1) AS t(x, w)"
+    ).createOrReplaceTempView("awn_t")
+    got = spark.sql(
+        translate_clickhouse_sql("SELECT avgWeighted(x, w) AS aw FROM awn_t")
+    ).collect()[0]
+    assert got.aw == 4.0
+    # chained ANY JOINs: the first ON clause must stop at the next ANY
+    out = translate_clickhouse_sql(
+        "SELECT 1 FROM t ANY LEFT JOIN b ON t.k = b.k "
+        "ANY LEFT JOIN c ON t.j = c.j"
+    )
+    assert out.count("max_by(struct(*), 1)") == 2
+    # ARRAY JOIN directly after an ANY JOIN's ON clause
+    out = translate_clickhouse_sql(
+        "SELECT va FROM t ANY LEFT JOIN b ON t.k = b.k "
+        "ARRAY JOIN t.arr AS va"
+    )
+    assert "LATERAL VIEW" in out and "max_by" in out
+    # GLOBAL/ALL strip for ALL join kinds, not just LEFT/INNER
+    out = translate_clickhouse_sql(
+        "SELECT c.c_name FROM orders GLOBAL RIGHT JOIN customer AS c "
+        "ON orders.o_custkey = c.c_custkey"
+    )
+    assert "GLOBAL" not in out and "RIGHT JOIN" in out
+    out = translate_clickhouse_sql(
+        "SELECT 1 FROM a ALL FULL JOIN b ON a.k = b.k"
+    )
+    assert " ALL " not in out and "FULL JOIN" in out
+    # ...while SELECT ALL / UNION ALL survive untouched
+    out = translate_clickhouse_sql(
+        "SELECT x FROM t UNION ALL SELECT y FROM u"
+    )
+    assert "UNION ALL" in out
+
+
+def test_interval_buckets_align_to_local_midnight(spark):
+    """toStartOfInterval must bucket in the SESSION timezone (like
+    toStartOfDay), not UTC epoch — hour buckets in a :30-offset zone
+    are the discriminating case."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        # render via date_format so the assertion sees SESSION-tz
+        # wall-clock strings (collect() converts to the driver tz)
+        got = spark.sql(
+            "SELECT date_format(h, 'yyyy-MM-dd HH:mm:ss') AS h, "
+            "date_format(d, 'yyyy-MM-dd HH:mm:ss') AS d FROM (" +
+            translate_clickhouse_sql(
+                "SELECT toStartOfInterval("
+                "toDateTime('2024-05-17 10:47:23'), INTERVAL 1 hour)"
+                " AS h, toStartOfInterval("
+                "toDateTime('2024-05-17 10:47:23'), INTERVAL 1 day)"
+                " AS d"
+            ) + ")"
+        ).collect()[0]
+        assert got.h == "2024-05-17 10:00:00"
+        assert got.d == "2024-05-17 00:00:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="multi-day"):
+        translate_clickhouse_sql(
+            "SELECT toStartOfInterval(ts, INTERVAL 7 day) FROM events"
+        )
