@@ -79,7 +79,11 @@ clear error rather than silently mis-translating):
   NULL when any argument is NULL, Spark skips them); ``cityHash64``→
   xxhash64 (a STABLE surrogate for bucketing/sampling, not
   ClickHouse's hash values — documented at the mapping)
-- clauses: ``PREWHERE``→WHERE (merged with AND when both appear) —
+- clauses: trailing ``SETTINGS k = v [, …]`` and ``FORMAT <name>``
+  STRIP (execution directives, not semantics — Spark conf and the
+  repo's sinks own those concerns; unknown FORMAT names fail fast,
+  and identifiers merely named settings/format survive the strict
+  body grammar).  ``PREWHERE``→WHERE (merged with AND when both appear) —
   PREWHERE is a storage-pushdown hint; Catalyst's pushdown makes the
   distinction moot on Spark.  ``LIMIT n BY cols``→row_number window
   over the query's ORDER BY.  ``ARRAY JOIN`` (and ``LEFT ARRAY
@@ -1157,6 +1161,85 @@ def _rewrite_asof_join(s: str) -> str:
         )
 
 
+_FORMATS_OK = {
+    # ClickHouse output formats a reference user appends; the wire
+    # format is not part of the logical plan, so the clause strips
+    "JSON", "JSONEACHROW", "TSV", "TABSEPARATED", "CSV",
+    "CSVWITHNAMES", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES",
+    "PRETTY", "PRETTYCOMPACT", "VALUES", "NATIVE", "NULL",
+    "VERTICAL", "PARQUET", "ARROW", "ORC",
+}
+
+
+def _strip_settings_format(s: str) -> str:
+    """Strip trailing ``SETTINGS k = v [, ...]`` and ``FORMAT <name>``
+    clauses.  Both are EXECUTION directives, not query semantics:
+    SETTINGS tunes the ClickHouse runtime (Spark's equivalents live in
+    spark.conf), FORMAT picks the wire encoding (the repo's sinks own
+    serialization).  Only the query-TAIL forms are stripped — SETTINGS
+    must be the last clause in ClickHouse anyway, and an unknown
+    FORMAT name fails fast rather than silently eating a column named
+    'format'."""
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for t in range(len(toks)):
+            if toks[t][0] == "ident" and toks[t][1].upper() == "SETTINGS":
+                hit = t
+                break
+        if hit is None:
+            break
+        end = _clause_end(toks, hit + 1)
+        # SETTINGS bodies are STRICT `name = literal [, ...]` lists;
+        # anything else (e.g. a column named settings, `settings FROM
+        # t`) is not the clause — leave it untouched
+        body = toks[hit + 1: end]
+
+        def _settings_body_ok(body=body):
+            i, n = 0, len(body)
+            while True:
+                if i + 2 > n or body[i][0] != "ident":
+                    return False
+                if not (body[i + 1][0] == "sym"
+                        and body[i + 1][1] == "="):
+                    return False
+                j = i + 2
+                if j < n and body[j][0] == "sym" and body[j][1] == "-":
+                    j += 1
+                if j >= n or body[j][0] not in ("num", "str", "ident"):
+                    return False
+                j += 1
+                if j == n:
+                    return True
+                if body[j][0] == "sym" and body[j][1] == ",":
+                    i = j + 1
+                    continue
+                return False
+
+        if not _settings_body_ok():
+            break
+        tail = s[toks[end][2]:] if end < len(toks) else ""
+        s = s[: toks[hit][2]].rstrip() + (" " + tail if tail else "")
+    toks = _scan_top(s)
+    for t in range(len(toks) - 1):
+        if (
+            toks[t][0] == "ident"
+            and toks[t][1].upper() == "FORMAT"
+            and t + 2 == len(toks)
+            and toks[t + 1][0] == "ident"
+        ):
+            name = toks[t + 1][1].upper()
+            if name not in _FORMATS_OK:
+                raise UnsupportedClickHouseSQL(
+                    f"FORMAT {toks[t + 1][1]}: not a recognized "
+                    "ClickHouse output format — if this is data, "
+                    "rename the trailing identifier"
+                )
+            s = s[: toks[t][2]].rstrip()
+            break
+    return s
+
+
 def _rewrite_any_global_join(s: str) -> str:
     """ClickHouse join MODIFIERS:
 
@@ -1669,6 +1752,7 @@ def _rewrite_with_totals(s: str) -> str:
 
 
 def _rewrite_clauses(s: str, final_keys) -> str:
+    s = _strip_settings_format(s)
     s = _rewrite_final(s, final_keys)
     s = _rewrite_sample(s)
     s = _rewrite_any_global_join(s)

@@ -988,3 +988,35 @@ def test_interval_buckets_align_to_local_midnight(spark):
         translate_clickhouse_sql(
             "SELECT toStartOfInterval(ts, INTERVAL 7 day) FROM events"
         )
+
+
+def test_settings_and_format_strip(spark):
+    """SETTINGS / FORMAT are execution directives, not semantics:
+    query-tail forms strip; identifiers merely NAMED settings/format
+    survive; unknown FORMAT names fail fast."""
+    out = translate_clickhouse_sql(
+        "SELECT x FROM t WHERE y = 1 "
+        "SETTINGS max_threads = 8, join_algorithm = 'hash' FORMAT TSV"
+    )
+    assert out.strip() == "SELECT x FROM t WHERE y = 1"
+    out = translate_clickhouse_sql("SELECT settings, format FROM t")
+    assert "settings" in out and "format" in out
+    out = translate_clickhouse_sql(
+        "SELECT settings FROM t ORDER BY settings"
+    )
+    assert out.count("settings") == 2
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="FORMAT"):
+        translate_clickhouse_sql("SELECT x FROM t FORMAT mysteryfmt")
+    # end-to-end: a reference-shaped query with both directives runs
+    got = run_clickhouse_sql(
+        spark,
+        "SELECT event_type, count() AS n FROM events "
+        "GROUP BY event_type ORDER BY event_type "
+        "SETTINGS max_threads = 4 FORMAT JSONEachRow",
+        SF_SMOKE,
+    ).collect()
+    assert len(got) == 5 and all(r.n > 0 for r in got)
