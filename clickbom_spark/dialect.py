@@ -1171,6 +1171,35 @@ _FORMATS_OK = {
 }
 
 
+def _fail_with_fill(s: str) -> None:
+    """``ORDER BY … WITH FILL [FROM|TO|STEP …]`` generates rows whose
+    NON-fill columns take the column type's DEFAULT VALUE — that needs
+    the output schema, which query text alone doesn't carry.  Fail
+    fast toward the engine's gap-fill operator instead of silently
+    emitting a wrong shape."""
+    toks = _scan_top(s)
+    for t in range(len(toks) - 1):
+        if (
+            toks[t][0] == "ident"
+            and toks[t][1].upper() == "WITH"
+            and toks[t + 1][0] == "ident"
+            and toks[t + 1][1].upper() == "FILL"
+            # a CTE merely NAMED fill (`WITH fill AS (...)`) is not
+            # the modifier
+            and not (
+                t + 2 < len(toks)
+                and toks[t + 2][0] == "ident"
+                and toks[t + 2][1].upper() == "AS"
+            )
+        ):
+            raise UnsupportedClickHouseSQL(
+                "ORDER BY ... WITH FILL needs the output schema to "
+                "synthesize default-valued rows — use the engine's "
+                "gap-fill operator (q_gapfill_daily: dense calendar "
+                "generate + left join + coalesce)"
+            )
+
+
 def _strip_settings_format(s: str) -> str:
     """Strip trailing ``SETTINGS k = v [, ...]`` and ``FORMAT <name>``
     clauses.  Both are EXECUTION directives, not query semantics:
@@ -1752,6 +1781,7 @@ def _rewrite_with_totals(s: str) -> str:
 
 
 def _rewrite_clauses(s: str, final_keys) -> str:
+    _fail_with_fill(s)
     s = _strip_settings_format(s)
     s = _rewrite_final(s, final_keys)
     s = _rewrite_sample(s)

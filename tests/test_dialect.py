@@ -1020,3 +1020,18 @@ def test_settings_and_format_strip(spark):
         SF_SMOKE,
     ).collect()
     assert len(got) == 5 and all(r.n > 0 for r in got)
+
+
+def test_with_fill_fails_fast_but_fill_cte_survives():
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="gap-fill"):
+        translate_clickhouse_sql(
+            "SELECT d, n FROM t ORDER BY d WITH FILL STEP 1"
+        )
+    out = translate_clickhouse_sql(
+        "WITH fill AS (SELECT 1 AS x) SELECT x FROM fill"
+    )
+    assert "fill" in out
