@@ -79,6 +79,11 @@ clear error rather than silently mis-translating):
   NULL when any argument is NULL, Spark skips them); ``cityHash64``→
   xxhash64 (a STABLE surrogate for bucketing/sampling, not
   ClickHouse's hash values — documented at the mapping)
+- DDL bridge: :func:`register_table_ddl` parses a ClickHouse ``CREATE
+  TABLE`` statement (the reference's own DDL) and auto-registers the
+  FINAL (ReplacingMergeTree version + ORDER BY key) and SAMPLE BY
+  metadata the query-side clause rewrites need — one call wires a
+  reference schema into the shim.
 - clauses: trailing ``SETTINGS k = v [, …]`` and ``FORMAT <name>``
   STRIP (execution directives, not semantics — Spark conf and the
   repo's sinks own those concerns; unknown FORMAT names fail fast,
@@ -774,6 +779,103 @@ def register_final_keys(table, key_cols, version_cols):
     FINAL_KEYS[table.lower()] = (tuple(key_cols), tuple(version_cols))
 
 
+def register_table_ddl(sql: str) -> str:
+    """Feed a ClickHouse ``CREATE TABLE`` statement (the reference's
+    DDL, e.g. entrypoint.sh:220-229) and auto-register the query-time
+    metadata the dialect needs:
+
+    * ``ENGINE = ReplacingMergeTree(ver)`` + ``ORDER BY (keys)`` →
+      :func:`register_final_keys` (so ``FROM tbl FINAL`` translates);
+      a ReplacingMergeTree WITHOUT an explicit version column fails
+      fast — its keep-any-duplicate semantics depend on insert order,
+      which no query-time rewrite can reconstruct.
+    * ``SAMPLE BY expr`` → :func:`register_sampling_key` with the
+      expression run through the function translator (so ``SAMPLE k``
+      compiles against the same key the DDL declares).
+
+    Column list, PARTITION BY, TTL and SETTINGS are storage-layout
+    concerns the lake layer owns — ignored here.  Returns the table
+    name that was registered."""
+    toks = _scan_top(sql)
+    ids = [t for t in toks if t[0] == "ident"]
+    ups = [t[1].upper() for t in ids]
+    if ups[:2] != ["CREATE", "TABLE"]:
+        raise UnsupportedClickHouseSQL(
+            "register_table_ddl expects a CREATE TABLE statement"
+        )
+    k = 2
+    while k < len(ids) and ups[k] in ("IF", "NOT", "EXISTS"):
+        k += 1
+    if k >= len(ids):
+        raise UnsupportedClickHouseSQL("CREATE TABLE: missing name")
+    table = ids[k][1]  # db-qualified names tokenize db . tbl — take
+    k2 = k + 1         # the LAST path component
+    while (
+        k2 < len(ids)
+        and ids[k2 - 1][3] < len(sql)
+        and sql[ids[k2 - 1][3]: ids[k2][2]].strip() == "."
+    ):
+        table = ids[k2][1]
+        k2 += 1
+
+    def _clause(kw, second=None):
+        for t in range(len(toks) - 1):
+            if toks[t][0] == "ident" and toks[t][1].upper() == kw:
+                if second is None:
+                    return t
+                if (
+                    toks[t + 1][0] == "ident"
+                    and toks[t + 1][1].upper() == second
+                ):
+                    return t
+        return None
+
+    eng_at = _clause("ENGINE")
+    if eng_at is None:
+        raise UnsupportedClickHouseSQL("CREATE TABLE: missing ENGINE")
+    e = eng_at + 1
+    while toks[e][0] == "sym":
+        e += 1
+    engine = toks[e][1]
+    ver = None
+    if e + 1 < len(toks) and toks[e + 1][0] == "group":
+        inner = toks[e + 1][1][1:-1].strip()
+        ver = inner or None
+    ob_at = _clause("ORDER", "BY")
+    keys = None
+    if ob_at is not None:
+        t = ob_at + 2
+        if toks[t][0] == "group":
+            keys = [a.strip() for a in _split_args(toks[t][1][1:-1])]
+        else:
+            end = _clause_end(toks, t, extra=("SAMPLE", "TTL", "ENGINE",
+                                              "PARTITION", "PRIMARY"))
+            keys = [sql[toks[t][2]: toks[end - 1][3]].strip()]
+    if engine.lower().startswith("replacingmergetree"):
+        if ver is None:
+            raise UnsupportedClickHouseSQL(
+                f"ReplacingMergeTree on {table} has no version column "
+                "— its FINAL keeps an insert-order-dependent row that "
+                "no query rewrite can reconstruct; declare "
+                "ReplacingMergeTree(version) or register keys "
+                "explicitly with register_final_keys"
+            )
+        if not keys:
+            raise UnsupportedClickHouseSQL(
+                f"ReplacingMergeTree on {table}: FINAL needs the "
+                "engine ORDER BY key"
+            )
+        register_final_keys(table, keys, [ver])
+    sb_at = _clause("SAMPLE", "BY")
+    if sb_at is not None:
+        t = sb_at + 2
+        end = _clause_end(toks, t, extra=("TTL", "ORDER", "PARTITION",
+                                          "PRIMARY"))
+        expr = sql[toks[t][2]: toks[end - 1][3]].strip()
+        register_sampling_key(table, _translate_tokens(expr, {}))
+    return table
+
+
 def _is_select(inner: str) -> bool:
     return re.match(r"\s*SELECT\b", inner, re.IGNORECASE) is not None
 
@@ -939,10 +1041,13 @@ def _rewrite_sample(s: str) -> str:
             )
         # the SAMPLE BY key is table DDL: look it up under the TABLE
         # name even when the source is aliased (FROM documents AS d);
-        # the alias only names the generated subquery
+        # the alias only names the generated subquery.  When the
+        # source is a SUBQUERY (e.g. FINAL already rewrote the table,
+        # aliasing back to its name), the alias IS the table name —
+        # fall back to it.
         table = toks[src_at][1] if toks[src_at][0] == "ident" else None
         name = alias or table
-        key = SAMPLING_KEYS.get((table or "").lower())
+        key = SAMPLING_KEYS.get(((table or alias) or "").lower())
         if key is None:
             raise UnsupportedClickHouseSQL(
                 f"SAMPLE on {table or 'a subquery'}: faithful SAMPLE "

@@ -1035,3 +1035,68 @@ def test_with_fill_fails_fast_but_fill_cte_survives():
         "WITH fill AS (SELECT 1 AS x) SELECT x FROM fill"
     )
     assert "fill" in out
+
+
+def test_register_table_ddl_wires_final_and_sample(spark):
+    """Feeding the reference's CREATE TABLE DDL registers FINAL and
+    SAMPLE metadata, so the query-side clauses compile without manual
+    register_* calls — verified end-to-end on a live view."""
+    from clickbom_spark import dialect as D
+
+    t = D.register_table_ddl(
+        """
+        CREATE TABLE IF NOT EXISTS db.ddl_events (
+          k Int64, grp String, ver Int64, v Int64
+        ) ENGINE = ReplacingMergeTree(ver)
+        PARTITION BY grp
+        ORDER BY (k, grp)
+        SAMPLE BY k
+        SETTINGS index_granularity = 8192
+        """
+    )
+    assert t == "ddl_events"
+    assert D.FINAL_KEYS["ddl_events"] == (("k", "grp"), ("ver",))
+    assert D.SAMPLING_KEYS["ddl_events"] == "k"
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a', 1, 10), (1, 'a', 2, 20), "
+        "(2, 'b', 1, 30) AS t(k, grp, ver, v)"
+    ).createOrReplaceTempView("ddl_events")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT k, grp, v FROM ddl_events FINAL"
+            )
+        ).collect()
+    )
+    # FINAL keeps max-ver per (k, grp)
+    assert got == [(1, "a", 20), (2, "b", 30)]
+    # FINAL + SAMPLE compose (the rewrite aliases the subquery back
+    # to the table name, which carries the sampling key)
+    out = translate_clickhouse_sql(
+        "SELECT k FROM ddl_events FINAL SAMPLE 0.5"
+    )
+    assert "max_by" in out and "md5(cast(k" in out.lower()
+
+
+def test_register_table_ddl_fail_fasts():
+    import pytest
+
+    from clickbom_spark import dialect as D
+
+    with pytest.raises(D.UnsupportedClickHouseSQL, match="version"):
+        D.register_table_ddl(
+            "CREATE TABLE t1 (x Int64) ENGINE = ReplacingMergeTree "
+            "ORDER BY x"
+        )
+    with pytest.raises(D.UnsupportedClickHouseSQL, match="ENGINE"):
+        D.register_table_ddl("CREATE TABLE t2 (x Int64)")
+    with pytest.raises(D.UnsupportedClickHouseSQL, match="CREATE TABLE"):
+        D.register_table_ddl("SELECT 1")
+    # plain MergeTree registers nothing for FINAL but honors SAMPLE BY
+    D.register_table_ddl(
+        "CREATE TABLE t3 (x Int64) ENGINE = MergeTree ORDER BY x "
+        "SAMPLE BY intDiv(x, 10)"
+    )
+    assert "t3" not in D.FINAL_KEYS
+    assert D.SAMPLING_KEYS["t3"] == "(x DIV 10)"
