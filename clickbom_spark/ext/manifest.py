@@ -622,10 +622,21 @@ class VersionedLake:
         key_cols: list[str],
         message: str = "upsert",
         epoch: int | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int = 2,
     ) -> int:
         """MERGE by key; ``message``/``epoch`` let a streaming sink
         publish its idempotency marker in the SAME atomic manifest swap
-        as the data (see :func:`streaming_epoch_sink`)."""
+        as the data (see :func:`streaming_epoch_sink`).
+
+        ``cluster_by`` RANGE-repartitions the rewritten rows on the
+        given columns into ``cluster_partitions`` buckets before
+        staging, so each new file carries a single value (or narrow
+        range) of those columns — which makes the manifest's per-file
+        zone maps selective on them (:func:`read_pruned` can then skip
+        whole files).  Set ``cluster_partitions`` ≥ the expected
+        distinct cluster values (2 covers a boolean flag).  This is a
+        layout hint only: results are identical either way."""
         keys = changes.select(*key_cols).groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("_n")
         )
@@ -659,6 +670,15 @@ class VersionedLake:
                 )
             else:
                 out = changes.select(*cols)
+            if cluster_by:
+                # RANGE partitioning with an EXPLICIT count: hash can
+                # collide distinct values into one partition, and an
+                # unsized range shuffle gets AQE-coalesced back into
+                # one — either way every file stays mixed and the zone
+                # maps are useless
+                out = out.repartitionByRange(
+                    cluster_partitions, *cluster_by
+                )
             new_files = self._write_new(
                 out, enforce=base.get("constraints", {})
             )
@@ -1373,20 +1393,16 @@ def scd2_sink(lake: VersionedLake, key_cols: list[str],
 
     Per epoch: keys whose attrs differ from their open row (or are
     new) get their open row CLOSED at this epoch and a new open row
-    inserted; unchanged keys are untouched.  Cost shape, stated
-    precisely: the change detection SCANS the live dimension once to
-    filter ``is_current`` (closed rows are read and discarded by the
-    filter — the scan is dimension-sized, not batch-sized) and the
-    upsert REWRITES only the files containing changed keys.  So
-    per-batch I/O is one dimension scan + change-set-sized rewrites;
-    history length inflates the scan but never the rewrite.  At warehouse
-    scale, cluster the dimension so open rows live in their own files
-    (the closes/inserts below already land in epoch-tagged files whose
-    ``is_current`` ranges are mixed only for that epoch's keys) and
-    attach zone maps (:func:`commit_with_stats` on ``is_current`` /
-    ``valid_to``) so :func:`read_pruned` skips all-closed files from
-    metadata — that turns the scan into an open-slice scan and
-    restores O(batch + open keys) per epoch.  Both the closes and the inserts
+    inserted; unchanged keys are untouched.  Cost shape: the sink
+    seeds ``is_current`` zone maps on first use
+    (:func:`commit_with_stats`), every upsert CLUSTERS its rewritten
+    files by ``is_current`` (``cluster_by`` — closed rows settle into
+    all-closed files), and the change detection reads the open slice
+    through :func:`read_pruned` — all-closed files are skipped from
+    manifest METADATA, so the per-epoch scan is open-slice-sized and
+    the rewrite change-set-sized.  History length grows only the
+    skipped file list, never the bytes read (asserted by
+    ``test_scd2_history_files_are_metadata_skipped``).  Both the closes and the inserts
     land in ONE epoch-marked upsert keyed by (key, valid_from), so
     foreachBatch replays are detected and skipped (the same
     exactly-once contract as :func:`additive_matview_sink`).  Key
@@ -1403,7 +1419,17 @@ def scd2_sink(lake: VersionedLake, key_cols: list[str],
             return
         if batch_df.isEmpty():
             return
-        cur = lake.read().where(F.col("is_current"))
+        # seed is_current zone maps once, then read the OPEN slice
+        # through metadata file-skipping: the upserts below cluster
+        # new files by is_current, so all-closed files prune out and
+        # the per-epoch scan is open-slice-sized, not history-sized
+        m = lake._manifest()
+        if not any(
+            "is_current" in st for st in m.get("stats", {}).values()
+        ):
+            commit_with_stats(lake, ["is_current"])
+        cur, _, _ = read_pruned(lake, "is_current", True, True)
+        cur = cur.where(F.col("is_current"))
         b = batch_df.select(*key_cols, *attr_cols).alias("__scd_new")
         c = cur.alias("__scd_cur")
         same = F.lit(True)
@@ -1435,6 +1461,7 @@ def scd2_sink(lake: VersionedLake, key_cols: list[str],
             [*key_cols, "valid_from"],
             message=f"scd2-epoch-{e}",
             epoch=e,
+            cluster_by=["is_current"],
         )
 
     return body

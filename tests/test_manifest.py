@@ -2078,3 +2078,45 @@ def test_scd2_sink_versions_dimension_exactly_once(spark, tmp_path):
             open_per_key[k] = open_per_key.get(k, 0) + 1
             assert vt is None
     assert open_per_key == {1: 1, 2: 1, 3: 1}
+
+
+def test_scd2_history_files_are_metadata_skipped(spark, tmp_path):
+    """Round-9 review fix, closed properly: the sink clusters upsert
+    files by is_current and reads the open slice through read_pruned,
+    so ALL-CLOSED history files are skipped from manifest metadata —
+    per-epoch scan cost is open-slice-sized, not history-sized."""
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        read_pruned,
+        scd2_sink,
+    )
+
+    empty = spark.createDataFrame(
+        [], "id long, seg string, score long, valid_from long, "
+        "valid_to long, is_current boolean"
+    )
+    dim = VersionedLake.create(
+        spark, str(tmp_path / "scd2p"), empty, n_files=1
+    )
+    sink = scd2_sink(dim, ["id"], ["seg", "score"])
+
+    def batch(e):
+        # every key changes every epoch → history grows each epoch
+        return spark.createDataFrame(
+            [(k, f"s{e}", e * 10 + k) for k in range(4)],
+            "id long, seg string, score long",
+        )
+
+    for e in range(5):
+        sink(batch(e), e)
+    frame, total, read = read_pruned(dim, "is_current", True, True)
+    # pruning must bite: closed-history files outnumber open files
+    assert read < total, (read, total)
+    # and the pruned open slice is exactly the open rows
+    got = sorted(
+        (r["id"], r["seg"]) for r in
+        frame.where(frame.is_current).collect()
+    )
+    assert got == [(k, "s4") for k in range(4)]
+    # the dimension itself still carries the full history
+    assert dim.read().count() == 4 * 5
