@@ -146,6 +146,7 @@ __all__ = [
     "run_clickhouse_sql",
     "register_final_keys",
     "register_sampling_key",
+    "register_table_ddl",
 ]
 
 
@@ -834,41 +835,70 @@ def register_table_ddl(sql: str) -> str:
     if eng_at is None:
         raise UnsupportedClickHouseSQL("CREATE TABLE: missing ENGINE")
     e = eng_at + 1
-    while toks[e][0] == "sym":
+    while e < len(toks) and toks[e][0] == "sym":
         e += 1
+    if e >= len(toks) or toks[e][0] != "ident":
+        raise UnsupportedClickHouseSQL(
+            "CREATE TABLE: ENGINE = needs an engine name"
+        )
     engine = toks[e][1]
-    ver = None
+    args: list[str] = []
     if e + 1 < len(toks) and toks[e + 1][0] == "group":
         inner = toks[e + 1][1][1:-1].strip()
-        ver = inner or None
+        args = [a.strip() for a in _split_args(inner)] if inner else []
     ob_at = _clause("ORDER", "BY")
     keys = None
     if ob_at is not None:
         t = ob_at + 2
+        if t >= len(toks):
+            raise UnsupportedClickHouseSQL(
+                "CREATE TABLE: ORDER BY with no key"
+            )
         if toks[t][0] == "group":
             keys = [a.strip() for a in _split_args(toks[t][1][1:-1])]
         else:
             end = _clause_end(toks, t, extra=("SAMPLE", "TTL", "ENGINE",
                                               "PARTITION", "PRIMARY"))
             keys = [sql[toks[t][2]: toks[end - 1][3]].strip()]
-    if engine.lower().startswith("replacingmergetree"):
-        if ver is None:
+    el = engine.lower()
+    if el.endswith("replacingmergetree"):
+        if el.startswith("replicated"):
+            # Replicated* engines PREPEND ('/zk/path', '{replica}') —
+            # both string literals; strip them before the version arg
+            if (
+                len(args) >= 2
+                and args[0][:1] in "'\""
+                and args[1][:1] in "'\""
+            ):
+                args = args[2:]
+            else:
+                raise UnsupportedClickHouseSQL(
+                    f"{engine} on {table}: expected ('/zk/path', "
+                    "'{replica}' [, version]) arguments"
+                )
+        if len(args) != 1:
             raise UnsupportedClickHouseSQL(
-                f"ReplacingMergeTree on {table} has no version column "
-                "— its FINAL keeps an insert-order-dependent row that "
-                "no query rewrite can reconstruct; declare "
-                "ReplacingMergeTree(version) or register keys "
-                "explicitly with register_final_keys"
+                f"ReplacingMergeTree on {table} needs EXACTLY one "
+                "version column for a faithful FINAL — the no-version "
+                "form keeps an insert-order-dependent row no query "
+                "rewrite can reconstruct, and the (version, "
+                "is_deleted) form carries row-deletion semantics this "
+                "shim does not translate; register keys explicitly "
+                "with register_final_keys if you know better"
             )
         if not keys:
             raise UnsupportedClickHouseSQL(
                 f"ReplacingMergeTree on {table}: FINAL needs the "
                 "engine ORDER BY key"
             )
-        register_final_keys(table, keys, [ver])
+        register_final_keys(table, keys, [args[0]])
     sb_at = _clause("SAMPLE", "BY")
     if sb_at is not None:
         t = sb_at + 2
+        if t >= len(toks):
+            raise UnsupportedClickHouseSQL(
+                "CREATE TABLE: SAMPLE BY with no expression"
+            )
         end = _clause_end(toks, t, extra=("TTL", "ORDER", "PARTITION",
                                           "PRIMARY"))
         expr = sql[toks[t][2]: toks[end - 1][3]].strip()
@@ -1041,13 +1071,19 @@ def _rewrite_sample(s: str) -> str:
             )
         # the SAMPLE BY key is table DDL: look it up under the TABLE
         # name even when the source is aliased (FROM documents AS d);
-        # the alias only names the generated subquery.  When the
-        # source is a SUBQUERY (e.g. FINAL already rewrote the table,
-        # aliasing back to its name), the alias IS the table name —
-        # fall back to it.
-        table = toks[src_at][1] if toks[src_at][0] == "ident" else None
+        # the alias only names the generated subquery.  The ONE
+        # subquery case that may fall back to the alias is the FINAL
+        # rewrite's own keep-latest wrapper (recognized by its __kl
+        # internal name), which aliases back to the table — a USER
+        # subquery coincidentally aliased to a registered table must
+        # NOT silently sample (ClickHouse rejects SAMPLE on
+        # subqueries; so do we).
+        src_txt = s[toks[src_at][2]: toks[src_at][3]]
+        table = toks[src_at][1] if toks[src_at][0] == "ident" else (
+            alias if "__kl" in src_txt else None
+        )
         name = alias or table
-        key = SAMPLING_KEYS.get(((table or alias) or "").lower())
+        key = SAMPLING_KEYS.get((table or "").lower())
         if key is None:
             raise UnsupportedClickHouseSQL(
                 f"SAMPLE on {table or 'a subquery'}: faithful SAMPLE "
@@ -1314,11 +1350,16 @@ def _strip_settings_format(s: str) -> str:
     must be the last clause in ClickHouse anyway, and an unknown
     FORMAT name fails fast rather than silently eating a column named
     'format'."""
+    skip = 0
     while True:
         toks = _scan_top(s)
         hit = None
+        seen = 0
         for t in range(len(toks)):
             if toks[t][0] == "ident" and toks[t][1].upper() == "SETTINGS":
+                if seen < skip:
+                    seen += 1
+                    continue
                 hit = t
                 break
         if hit is None:
@@ -1351,7 +1392,11 @@ def _strip_settings_format(s: str) -> str:
                 return False
 
         if not _settings_body_ok():
-            break
+            # an identifier merely NAMED settings — skip past it and
+            # keep scanning: a real trailing clause later in the same
+            # query must still strip
+            skip += 1
+            continue
         tail = s[toks[end][2]:] if end < len(toks) else ""
         s = s[: toks[hit][2]].rstrip() + (" " + tail if tail else "")
     toks = _scan_top(s)

@@ -269,9 +269,15 @@ class VersionedLake:
                 payload["last_epoch"] = int(epoch)
             elif prev and "last_epoch" in prev:
                 payload["last_epoch"] = prev["last_epoch"]
-            if prev and prev.get("stats"):
-                prev_stats = prev["stats"]
-                stat_cols = sorted(next(iter(prev_stats.values())).keys())
+            if prev and (prev.get("stat_cols") or prev.get("stats")):
+                prev_stats = prev.get("stats", {})
+                # the tracked column LIST lives in its own field so
+                # stats lineage survives snapshots with zero data
+                # files (an empty per-file dict would otherwise lose
+                # which columns to compute for the next commit)
+                stat_cols = prev.get("stat_cols") or sorted(
+                    next(iter(prev_stats.values())).keys()
+                )
                 carried = {f: prev_stats[f] for f in rel if f in prev_stats}
                 fresh = [f for f in rel if f not in prev_stats]
                 if fresh:
@@ -284,6 +290,7 @@ class VersionedLake:
                         )
                     )
                 payload["stats"] = carried
+                payload["stat_cols"] = list(stat_cols)
             if prev and prev.get("blooms"):
                 pb = prev["blooms"]
                 carried_b = {
@@ -1422,11 +1429,16 @@ def scd2_sink(lake: VersionedLake, key_cols: list[str],
         # seed is_current zone maps once, then read the OPEN slice
         # through metadata file-skipping: the upserts below cluster
         # new files by is_current, so all-closed files prune out and
-        # the per-epoch scan is open-slice-sized, not history-sized
+        # the per-epoch scan is open-slice-sized, not history-sized.
+        # The seed UNIONS with any stat columns the user already
+        # attached (commit_with_stats itself unions via the manifest's
+        # stat_cols field, which also keeps the lineage alive while
+        # the dimension is still empty).
         m = lake._manifest()
-        if not any(
-            "is_current" in st for st in m.get("stats", {}).values()
-        ):
+        tracked = set(m.get("stat_cols") or [])
+        for st in m.get("stats", {}).values():
+            tracked.update(st.keys())
+        if "is_current" not in tracked:
             commit_with_stats(lake, ["is_current"])
         cur, _, _ = read_pruned(lake, "is_current", True, True)
         cur = cur.where(F.col("is_current"))
@@ -1492,13 +1504,21 @@ def commit_with_stats(
     ranges, and subsequent :func:`read_pruned` calls skip files from
     METADATA alone — no listing, no footer reads, no scan of the
     skipped files.
+
+    Tracked columns UNION with any previously attached set (attaching
+    ``is_current`` must not wipe an existing ``valid_to`` map), and
+    the column list is recorded in its own ``stat_cols`` manifest
+    field so the lineage survives snapshots with zero data files.
     """
-    stats = _file_stats(lake.spark, lake._files(), lake.path, stat_cols)
+    prev_cols = lake._manifest().get("stat_cols") or []
+    cols = sorted(set(stat_cols) | set(prev_cols))
+    stats = _file_stats(lake.spark, lake._files(), lake.path, cols)
 
     # payload starts as dict(current manifest) inside _commit_meta, so
     # schema_extras / blooms / last_epoch all survive this commit
     def mutate(payload: dict) -> dict:
         payload["stats"] = stats
+        payload["stat_cols"] = cols
         return payload
 
     return lake._commit_meta(mutate, "stats")
@@ -1530,15 +1550,20 @@ def read_pruned(
         elif not (rng[1] < lo or rng[0] > hi):
             keep.append(f)
     paths = [os.path.normpath(os.path.join(lake.path, f)) for f in keep]
+    # load through the manifest's LOGICAL schema (renames / drops /
+    # add_column defaults), exactly like lake.read() — pruning must
+    # never change what the surviving files LOOK like
     if not paths:
         # empty intersection: an empty frame with the table schema
         all_paths = [os.path.normpath(os.path.join(lake.path, f)) for f in files]
         return (
-            lake.spark.read.parquet(*all_paths).where(F.lit(False)),
+            lake._read_files(all_paths, version=version).where(
+                F.lit(False)
+            ),
             len(files),
             0,
         )
-    return lake.spark.read.parquet(*paths), len(files), len(keep)
+    return lake._read_files(paths, version=version), len(files), len(keep)
 
 
 _BLOOM_BITS = 4096

@@ -1100,3 +1100,54 @@ def test_register_table_ddl_fail_fasts():
     )
     assert "t3" not in D.FINAL_KEYS
     assert D.SAMPLING_KEYS["t3"] == "(x DIV 10)"
+
+
+def test_third_review_fixes(spark):
+    """Round-9 third-review findings, pinned by execution."""
+    from clickbom_spark import dialect as D
+
+    # a column named settings must not block a REAL trailing clause
+    out = translate_clickhouse_sql(
+        "SELECT settings FROM t SETTINGS max_threads = 8"
+    )
+    assert out.strip() == "SELECT settings FROM t"
+    out = translate_clickhouse_sql(
+        "SELECT x FROM t WHERE settings = 1 SETTINGS max_threads = 8"
+    )
+    assert out.strip() == "SELECT x FROM t WHERE settings = 1"
+    # ReplicatedReplacingMergeTree strips the (zk, replica) prefix
+    t = D.register_table_ddl(
+        "CREATE TABLE rrmt (k Int64, ver Int64) ENGINE = "
+        "ReplicatedReplacingMergeTree('/ch/t', '{replica}', ver) "
+        "ORDER BY k"
+    )
+    assert D.FINAL_KEYS[t] == (("k",), ("ver",))
+    # the two-arg (version, is_deleted) form fails fast
+    import pytest
+
+    with pytest.raises(D.UnsupportedClickHouseSQL, match="is_deleted"):
+        D.register_table_ddl(
+            "CREATE TABLE t4 (k Int64) ENGINE = "
+            "ReplacingMergeTree(ver, is_deleted) ORDER BY k"
+        )
+    # truncated DDL raises the contracted exception, not IndexError
+    for bad in (
+        "CREATE TABLE t5 (x Int64) ENGINE =",
+        "CREATE TABLE t6 (x Int64) ENGINE = MergeTree ORDER BY",
+        "CREATE TABLE t7 (x Int64) ENGINE = MergeTree SAMPLE BY",
+    ):
+        with pytest.raises(D.UnsupportedClickHouseSQL):
+            D.register_table_ddl(bad)
+    # a USER subquery aliased to a registered table must NOT sample
+    with pytest.raises(D.UnsupportedClickHouseSQL, match="subquery"):
+        translate_clickhouse_sql(
+            "SELECT * FROM (SELECT doc_id FROM archive) AS documents "
+            "SAMPLE 0.5"
+        )
+    # ...while the FINAL-rewrite composition still does (its own
+    # wrapper aliases back to the table name)
+    out = translate_clickhouse_sql(
+        "SELECT user_id FROM events FINAL SAMPLE 0.5"
+    )
+    assert "max_by" in out and "md5(cast(event_id" in out.lower()
+    assert "register_table_ddl" in D.__all__

@@ -2120,3 +2120,58 @@ def test_scd2_history_files_are_metadata_skipped(spark, tmp_path):
     assert got == [(k, "s4") for k in range(4)]
     # the dimension itself still carries the full history
     assert dim.read().count() == 4 * 5
+
+
+def test_scd2_seed_unions_existing_stat_columns(spark, tmp_path):
+    """Third-review fix: the sink's is_current seed must UNION with
+    stat columns the user already attached, not wipe them."""
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        commit_with_stats,
+        scd2_sink,
+    )
+
+    empty = spark.createDataFrame(
+        [], "id long, seg string, score long, valid_from long, "
+        "valid_to long, is_current boolean"
+    )
+    dim = VersionedLake.create(
+        spark, str(tmp_path / "scd2u"), empty, n_files=1
+    )
+    commit_with_stats(dim, ["valid_to"])
+    sink = scd2_sink(dim, ["id"], ["seg", "score"])
+    sink(
+        spark.createDataFrame(
+            [(1, "a", 10)], "id long, seg string, score long"
+        ),
+        0,
+    )
+    stats = dim._manifest().get("stats", {})
+    cols = set()
+    for st in stats.values():
+        cols.update(st.keys())
+    assert {"is_current", "valid_to"} <= cols, stats
+
+
+def test_read_pruned_applies_logical_schema(spark, tmp_path):
+    """Third-review fix: read_pruned loads through the manifest's
+    logical schema — an add_column default must surface on files
+    written before the evolution, exactly like lake.read()."""
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        add_column,
+        commit_with_stats,
+        read_pruned,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 5), (2, 50)], "id long, v long"
+    )
+    lake = VersionedLake.create(
+        spark, str(tmp_path / "rps"), base, n_files=1
+    )
+    commit_with_stats(lake, ["v"])
+    add_column(lake, "flag", "unknown")
+    frame, total, read = read_pruned(lake, "v", 0, 10)
+    got = sorted(tuple(r) for r in frame.select("id", "flag").collect())
+    assert got in ([(1, "unknown"), (2, "unknown")], [(1, "unknown")]), got
