@@ -187,3 +187,85 @@ def test_compression_ratio_matches_local_zlib_and_ranks_repetition(spark):
             assert got[i] == len(zlib.compress(b, 6)) / len(b)
     assert got[3] is None and got[4] is None
     assert got[1] < 0.1 < got[2]  # repetition compresses far harder
+
+
+# ---------------------------------------------------------------------------
+# Dialect clause-scanner immunity (hypothesis): the round-9 reviews
+# repeatedly found clause-boundary bugs, so pin the invariant
+# generatively — a query whose identifiers avoid the handled keyword
+# set and whose string literals may CONTAIN any keyword text must
+# translate to ITSELF (no clause rewrite, no function mapping, no
+# stripped tail).
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+_CLAUSE_WORDS = [
+    "SAMPLE", "FINAL", "SETTINGS", "FORMAT", "ASOF", "ANY", "ALL",
+    "GLOBAL", "ARRAY", "JOIN", "WITH", "FILL", "TOTALS", "PREWHERE",
+    "LIMIT", "BY", "USING", "LEFT", "INNER",
+]
+
+
+def _dialect_reserved():
+    from clickbom_spark import dialect as D
+
+    return set(w.lower() for w in _CLAUSE_WORDS) | set(D._PLAIN) | {
+        "select", "from", "where", "group", "order", "having",
+        "union", "window", "as", "and", "or", "not", "on", "in",
+    }
+
+
+if _HAS_HYP:
+    _safe_ident = st.from_regex(
+        r"[a-z][a-z0-9_]{0,8}", fullmatch=True
+    ).filter(lambda s: s not in _dialect_reserved())
+    _lit_text = st.text(
+        alphabet=st.sampled_from(
+            list(string.ascii_letters + string.digits + " _.,-")
+        ),
+        min_size=0,
+        max_size=30,
+    )
+
+    @given(
+        cols=st.lists(_safe_ident, min_size=1, max_size=3, unique=True),
+        tbl=_safe_ident,
+        lit=_lit_text,
+        kw=st.sampled_from(_CLAUSE_WORDS),
+        kw2=st.sampled_from(_CLAUSE_WORDS),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_clause_scan_immune_to_keywords_in_literals(
+        cols, tbl, lit, kw, kw2
+    ):
+        from clickbom_spark.dialect import translate_clickhouse_sql
+
+        payload = f"{lit} {kw} 0.5 {kw2}".strip()
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {tbl} "
+            f"WHERE {cols[0]} = '{payload}' ORDER BY {cols[0]}"
+        )
+        assert translate_clickhouse_sql(sql) == sql
+
+    @given(
+        ident=st.sampled_from(
+            [w.lower() + "x" for w in _CLAUSE_WORDS]
+            + ["x" + w.lower() for w in _CLAUSE_WORDS]
+        ),
+        tbl=_safe_ident,
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_clause_scan_immune_to_keyword_substrings(ident, tbl):
+        """Identifiers that merely CONTAIN a keyword (finalx, xsample)
+        never trigger clause machinery."""
+        from clickbom_spark.dialect import translate_clickhouse_sql
+
+        sql = f"SELECT {ident} FROM {tbl} ORDER BY {ident}"
+        assert translate_clickhouse_sql(sql) == sql
