@@ -31,8 +31,17 @@ clear error rather than silently mis-translating):
   approximate-majority contract), ``quantileTDigest/quantilesTDigest/
   quantileDeterministic``→percentile_approx (both mergeable sketches;
   the determinator is dropped — percentile_approx is already
-  deterministic), ``topK/topKWeighted`` fail fast toward the
-  heavy-hitters operators
+  deterministic), ``uniqTheta/uniqHLL12/uniqCombined[64]``→
+  approx_count_distinct, ``quantileTiming(p)``→percentile_approx;
+  aggregates whose semantics NEED a multi-operator plan fail fast
+  with a pointer at the engine operator (``topK/topKWeighted``→heavy
+  hitters, ``sumMap/minMap/maxMap``→q_summap_aggregates,
+  ``groupBitmap*``→q_bitmap_ops, ``intervalLengthSum`` /
+  ``maxIntersections``→interval sweeps, ``groupArrayMoving*``→
+  running-window folds, ``histogram``→q_histogram_equi_height,
+  ``windowFunnel/sequenceMatch/sequenceCount/sequenceNextNode``→the
+  sequential state-machine operators, ``quantileTimingWeighted``→
+  q_weighted_quantiles)
 - conditionals: ``multiIf``→CASE, ``if`` passes through
 - date/time: ``toDate``→to_date, ``toDateTime``→to_timestamp,
   ``toStartOfDay/Hour/Minute/Month/Quarter/Week/Year``→date_trunc,
@@ -356,6 +365,36 @@ def _retention(args):
     return f"array({', '.join(items)})"
 
 
+# ClickHouse aggregates whose semantics need a multi-operator plan
+# (explode + group, sequential state machines, interval sweeps) — no
+# single Spark expression exists, so the translator fails fast WITH A
+# POINTER at the engine operator that implements the semantics.
+_ENGINE_OP_POINTERS = {
+    "summap": "the sumMap pattern (explode + group) — q_summap_aggregates",
+    "minmap": "the sumMap pattern with min — q_summap_aggregates",
+    "maxmap": "the sumMap pattern with max — q_summap_aggregates",
+    "groupbitmap": "bitmap algebra — q_bitmap_ops",
+    "groupbitmapand": "bitmap algebra — q_bitmap_ops",
+    "groupbitmapor": "bitmap algebra — q_bitmap_ops",
+    "intervallengthsum": "gaps-and-islands sweep — q_interval_union_length",
+    "maxintersections": "interval sweep — q_max_intersections",
+    "grouparraymovingsum": "running-window fold — q_group_array_moving_sum",
+    "grouparraymovingavg": "running-window fold — q_group_array_moving_sum",
+    "boundingratio": "first/last slope — q_bounding_ratio",
+    "histogram": "equi-height buckets — q_histogram_equi_height",
+}
+
+
+def _engine_pointer(name: str):
+    def h(args):
+        raise UnsupportedClickHouseSQL(
+            f"{name} has no single-expression Spark equivalent — use "
+            f"the engine operator: {_ENGINE_OP_POINTERS[name.lower()]}"
+        )
+
+    return h
+
+
 def _unsupported_week_mode(mode: str):
     raise UnsupportedClickHouseSQL(
         f"toStartOfWeek mode {mode.strip()}: only the default Sunday-"
@@ -394,6 +433,15 @@ _PLAIN = {
     # anyHeavy is ClickHouse's APPROXIMATE majority pick; Spark's
     # exact mode() satisfies the contract (any heavy hitter) exactly
     "anyheavy": lambda a: f"mode({a[0]})",
+    # alternative approximate-distinct sketches: all carry the same
+    # approximate contract approx_count_distinct (HLL++) satisfies
+    "uniqtheta": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqhll12": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqcombined": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqcombined64": lambda a: (
+        f"approx_count_distinct({', '.join(a)})"
+    ),
+    **{n: _engine_pointer(n) for n in _ENGINE_OP_POINTERS},
     "countif": lambda a: f"count_if({a[0]})",
     "sumif": _agg_if("sum"),
     "avgif": _agg_if("avg"),
@@ -754,6 +802,28 @@ def _parametric(name: str, params: list[str], args: list[str]) -> str:
             "topKWeighted(k)(x, w) has no single-expression Spark "
             "equivalent — use the engine's weighted heavy-hitters "
             "operator (ext.sketches / q_heavy_hitters_weighted)"
+        )
+    if n == "quantiletiming":
+        # fixed-grid timing sketch: the approximate-quantile contract
+        # percentile_approx satisfies (engine twin: q_quantile_timing)
+        return f"percentile_approx({args[0]}, {params[0]})"
+    if n == "quantiletimingweighted":
+        raise UnsupportedClickHouseSQL(
+            "quantileTimingWeighted(p)(x, w): percentile_approx has "
+            "no weight argument — use the engine's exact weighted "
+            "quantiles (q_weighted_quantiles)"
+        )
+    _seq_pointers = {
+        "windowfunnel": "q_window_funnel / q_window_funnel_strict",
+        "sequencematch": "q_sequence_match / q_sequence_match_timed",
+        "sequencecount": "q_sequence_count",
+        "sequencenextnode": "q_sequence_next_node",
+    }
+    if n in _seq_pointers:
+        raise UnsupportedClickHouseSQL(
+            f"{name} is a sequential per-key state machine with no "
+            "single-expression Spark equivalent — use the engine "
+            f"operator: {_seq_pointers[n]}"
         )
     raise UnsupportedClickHouseSQL(
         f"parametric aggregate {name} is not in the supported surface"
@@ -2044,6 +2114,9 @@ def _translate_tokens(sql: str, final_keys) -> str:
                     "quantilesexact", "uniqupto", "topk",
                     "quantiletdigest", "quantilestdigest",
                     "quantiledeterministic", "topkweighted",
+                    "quantiletiming", "quantiletimingweighted",
+                    "windowfunnel", "sequencematch", "sequencecount",
+                    "sequencenextnode",
                 )
             ):
                 close2 = _matching_paren(sql, k2)

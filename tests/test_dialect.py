@@ -1151,3 +1151,36 @@ def test_third_review_fixes(spark):
     )
     assert "max_by" in out and "md5(cast(event_id" in out.lower()
     assert "register_table_ddl" in D.__all__
+
+
+def test_engine_pointer_fail_fasts(spark):
+    """Known-unmappable ClickHouse aggregates fail fast with a pointer
+    at the engine operator that implements the semantics, instead of
+    leaking unresolved functions to Spark."""
+    import pytest
+
+    for sql, frag in [
+        ("SELECT sumMap(k, v) FROM t GROUP BY g", "q_summap_aggregates"),
+        ("SELECT groupBitmapAnd(b) FROM t", "q_bitmap_ops"),
+        ("SELECT intervalLengthSum(a, b) FROM t",
+         "q_interval_union_length"),
+        ("SELECT maxIntersections(a, b) FROM t", "q_max_intersections"),
+        ("SELECT groupArrayMovingSum(3)(x) FROM t",
+         "q_group_array_moving_sum"),
+        ("SELECT histogram(5)(x) FROM t", "q_histogram_equi_height"),
+        ("SELECT windowFunnel(60)(ts, a, b) FROM t GROUP BY u",
+         "q_window_funnel"),
+        ("SELECT sequenceMatch('(?1).*(?2)')(ts, a, b) FROM t",
+         "q_sequence_match"),
+        ("SELECT quantileTimingWeighted(0.9)(x, w) FROM t",
+         "q_weighted_quantiles"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=frag):
+            translate_clickhouse_sql(sql)
+    # sketch families that DO carry the approximate contract map
+    out = translate_clickhouse_sql(
+        "SELECT uniqTheta(u) AS a, uniqCombined(u) AS b, "
+        "quantileTiming(0.9)(ms) AS c FROM t"
+    )
+    assert out.count("approx_count_distinct") == 2
+    assert "percentile_approx(ms, 0.9)" in out
