@@ -1411,6 +1411,29 @@ def _fail_with_fill(s: str) -> None:
             )
 
 
+def _fail_star_modifiers(s: str) -> None:
+    """ClickHouse ``* REPLACE (expr AS col)`` / ``* APPLY (fn)`` star
+    modifiers rewrite the star EXPANSION, which needs the table
+    schema query text doesn't carry — fail fast (``* EXCEPT (cols)``
+    needs nothing: Spark supports it natively and it passes
+    through)."""
+    toks = _scan_top(s)
+    for t in range(1, len(toks) - 1):
+        if (
+            toks[t][0] == "ident"
+            and toks[t][1].upper() in ("REPLACE", "APPLY")
+            and toks[t - 1][0] == "sym"
+            and toks[t - 1][1] == "*"
+            and toks[t + 1][0] == "group"
+        ):
+            raise UnsupportedClickHouseSQL(
+                f"* {toks[t][1].upper()} (...) rewrites the star "
+                "expansion, which needs the table schema — select "
+                "the columns explicitly (* EXCEPT passes through; "
+                "Spark supports it natively)"
+            )
+
+
 def _strip_settings_format(s: str) -> str:
     """Strip trailing ``SETTINGS k = v [, ...]`` and ``FORMAT <name>``
     clauses.  Both are EXECUTION directives, not query semantics:
@@ -2002,6 +2025,7 @@ def _rewrite_with_totals(s: str) -> str:
 
 def _rewrite_clauses(s: str, final_keys) -> str:
     _fail_with_fill(s)
+    _fail_star_modifiers(s)
     s = _strip_settings_format(s)
     s = _rewrite_final(s, final_keys)
     s = _rewrite_sample(s)

@@ -1184,3 +1184,25 @@ def test_engine_pointer_fail_fasts(spark):
     )
     assert out.count("approx_count_distinct") == 2
     assert "percentile_approx(ms, 0.9)" in out
+
+
+def test_star_modifiers(spark):
+    """* EXCEPT passes through (Spark-native); * REPLACE / * APPLY
+    need schema knowledge and fail fast."""
+    import pytest
+
+    # (the call normalizer may drop the space before the paren —
+    # Spark accepts both spellings)
+    out = translate_clickhouse_sql("SELECT * EXCEPT (b) FROM t")
+    assert out in (
+        "SELECT * EXCEPT (b) FROM t", "SELECT * EXCEPT(b) FROM t"
+    )
+    for sql in (
+        "SELECT * REPLACE (x + 1 AS x) FROM t",
+        "SELECT * APPLY (sum) FROM t GROUP BY g",
+    ):
+        with pytest.raises(UnsupportedClickHouseSQL, match="star"):
+            translate_clickhouse_sql(sql)
+    # plain replace() the STRING function is untouched
+    out = translate_clickhouse_sql("SELECT replace(s, 'a', 'b') FROM t")
+    assert "replace(s, 'a', 'b')" in out

@@ -566,6 +566,17 @@ CORPUS: list[tuple[str, str, str]] = [
         """,
     ),
     (
+        "star_except",
+        """
+        SELECT * EXCEPT (n_chars, text) FROM documents
+        WHERE doc_id < 5 ORDER BY doc_id
+        """,
+        """
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id < 5 ORDER BY doc_id
+        """,
+    ),
+    (
         "sample_aliased_source",
         """
         SELECT count() AS n, sum(d.n_chars) AS chars
