@@ -365,6 +365,12 @@ def _retention(args):
     return f"array({', '.join(items)})"
 
 
+# approximate-distinct sketch family — one shared mapping (plain AND
+# parametric spellings both land on approx_count_distinct)
+_UNIQ_SKETCHES = (
+    "uniqtheta", "uniqhll12", "uniqcombined", "uniqcombined64",
+)
+
 # ClickHouse aggregates whose semantics need a multi-operator plan
 # (explode + group, sequential state machines, interval sweeps) — no
 # single Spark expression exists, so the translator fails fast WITH A
@@ -376,6 +382,7 @@ _ENGINE_OP_POINTERS = {
     "groupbitmap": "bitmap algebra — q_bitmap_ops",
     "groupbitmapand": "bitmap algebra — q_bitmap_ops",
     "groupbitmapor": "bitmap algebra — q_bitmap_ops",
+    "groupbitmapxor": "bitmap algebra — q_bitmap_ops",
     "intervallengthsum": "gaps-and-islands sweep — q_interval_union_length",
     "maxintersections": "interval sweep — q_max_intersections",
     "grouparraymovingsum": "running-window fold — q_group_array_moving_sum",
@@ -435,12 +442,10 @@ _PLAIN = {
     "anyheavy": lambda a: f"mode({a[0]})",
     # alternative approximate-distinct sketches: all carry the same
     # approximate contract approx_count_distinct (HLL++) satisfies
-    "uniqtheta": lambda a: f"approx_count_distinct({', '.join(a)})",
-    "uniqhll12": lambda a: f"approx_count_distinct({', '.join(a)})",
-    "uniqcombined": lambda a: f"approx_count_distinct({', '.join(a)})",
-    "uniqcombined64": lambda a: (
-        f"approx_count_distinct({', '.join(a)})"
-    ),
+    **{
+        n: (lambda a: f"approx_count_distinct({', '.join(a)})")
+        for n in _UNIQ_SKETCHES
+    },
     **{n: _engine_pointer(n) for n in _ENGINE_OP_POINTERS},
     "countif": lambda a: f"count_if({a[0]})",
     "sumif": _agg_if("sum"),
@@ -807,6 +812,16 @@ def _parametric(name: str, params: list[str], args: list[str]) -> str:
         # fixed-grid timing sketch: the approximate-quantile contract
         # percentile_approx satisfies (engine twin: q_quantile_timing)
         return f"percentile_approx({args[0]}, {params[0]})"
+    if n == "quantilestiming":
+        return (
+            f"percentile_approx({args[0]}, array({', '.join(params)}))"
+        )
+    if n in _UNIQ_SKETCHES:
+        # parametric spelling uniqCombined(HLL_precision)(x): the
+        # precision parameter tunes ClickHouse's sketch width —
+        # approx_count_distinct's own HLL++ default satisfies the
+        # approximate contract, so the parameter is dropped
+        return f"approx_count_distinct({', '.join(args)})"
     if n == "quantiletimingweighted":
         raise UnsupportedClickHouseSQL(
             "quantileTimingWeighted(p)(x, w): percentile_approx has "
@@ -1411,27 +1426,63 @@ def _fail_with_fill(s: str) -> None:
             )
 
 
-def _fail_star_modifiers(s: str) -> None:
-    """ClickHouse ``* REPLACE (expr AS col)`` / ``* APPLY (fn)`` star
-    modifiers rewrite the star EXPANSION, which needs the table
-    schema query text doesn't carry — fail fast (``* EXCEPT (cols)``
-    needs nothing: Spark supports it natively and it passes
-    through)."""
-    toks = _scan_top(s)
-    for t in range(1, len(toks) - 1):
-        if (
-            toks[t][0] == "ident"
-            and toks[t][1].upper() in ("REPLACE", "APPLY")
-            and toks[t - 1][0] == "sym"
-            and toks[t - 1][1] == "*"
-            and toks[t + 1][0] == "group"
-        ):
-            raise UnsupportedClickHouseSQL(
-                f"* {toks[t][1].upper()} (...) rewrites the star "
-                "expansion, which needs the table schema — select "
-                "the columns explicitly (* EXCEPT passes through; "
-                "Spark supports it natively)"
+def _star_modifiers(s: str) -> str:
+    """ClickHouse star-modifier chains ``* EXCEPT … [REPLACE …]
+    [APPLY …]``.  A star is only the EXPANSION star when it follows
+    SELECT, a comma, or a qualifying dot — ``n * replace(x, 'a',
+    'b')`` is arithmetic and must not trigger.  Walking the chain:
+    ``EXCEPT (cols)`` passes through (Spark-native), the paren-less
+    single-column ``EXCEPT col`` gains the parens Spark requires, and
+    ``REPLACE``/``APPLY`` fail fast — they rewrite the star expansion,
+    which needs the table schema query text doesn't carry."""
+    while True:
+        toks = _scan_top(s)
+        edited = False
+        for t in range(1, len(toks)):
+            if not (toks[t][0] == "sym" and toks[t][1] == "*"):
+                continue
+            prev = toks[t - 1]
+            star_ctx = (
+                (prev[0] == "ident" and prev[1].upper() == "SELECT")
+                or (prev[0] == "sym" and prev[1] in ",.")
             )
+            if not star_ctx:
+                continue
+            k = t + 1
+            while (
+                k < len(toks)
+                and toks[k][0] == "ident"
+                and toks[k][1].upper() in ("EXCEPT", "REPLACE", "APPLY")
+            ):
+                kw = toks[k][1].upper()
+                if kw in ("REPLACE", "APPLY"):
+                    raise UnsupportedClickHouseSQL(
+                        f"* {kw} (...) rewrites the star expansion, "
+                        "which needs the table schema — select the "
+                        "columns explicitly (* EXCEPT passes through; "
+                        "Spark supports it natively)"
+                    )
+                if k + 1 < len(toks) and toks[k + 1][0] == "group":
+                    k += 2
+                    continue
+                if (
+                    k + 1 < len(toks)
+                    and toks[k + 1][0] == "ident"
+                    and toks[k + 1][1].upper() not in (
+                        "SELECT", "ALL", "DISTINCT",
+                    )
+                ):
+                    # ClickHouse's paren-less single-column form —
+                    # Spark requires the parens
+                    c = toks[k + 1]
+                    s = s[: c[2]] + "(" + c[1] + ")" + s[c[3]:]
+                    edited = True
+                    break
+                break
+            if edited:
+                break
+        if not edited:
+            return s
 
 
 def _strip_settings_format(s: str) -> str:
@@ -2025,7 +2076,7 @@ def _rewrite_with_totals(s: str) -> str:
 
 def _rewrite_clauses(s: str, final_keys) -> str:
     _fail_with_fill(s)
-    _fail_star_modifiers(s)
+    s = _star_modifiers(s)
     s = _strip_settings_format(s)
     s = _rewrite_final(s, final_keys)
     s = _rewrite_sample(s)
@@ -2138,9 +2189,10 @@ def _translate_tokens(sql: str, final_keys) -> str:
                     "quantilesexact", "uniqupto", "topk",
                     "quantiletdigest", "quantilestdigest",
                     "quantiledeterministic", "topkweighted",
-                    "quantiletiming", "quantiletimingweighted",
+                    "quantiletiming", "quantilestiming",
+                    "quantiletimingweighted",
                     "windowfunnel", "sequencematch", "sequencecount",
-                    "sequencenextnode",
+                    "sequencenextnode", *_UNIQ_SKETCHES,
                 )
             ):
                 close2 = _matching_paren(sql, k2)

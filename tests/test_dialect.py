@@ -1206,3 +1206,41 @@ def test_star_modifiers(spark):
     # plain replace() the STRING function is untouched
     out = translate_clickhouse_sql("SELECT replace(s, 'a', 'b') FROM t")
     assert "replace(s, 'a', 'b')" in out
+
+
+def test_fourth_review_fixes():
+    """Round-9 fourth-review findings, pinned."""
+    import pytest
+
+    # arithmetic `expr * replace(...)` is not a star modifier
+    out = translate_clickhouse_sql(
+        "SELECT n * replace(s, 'a', 'b') FROM t"
+    )
+    assert "replace(s, 'a', 'b')" in out
+    # chained modifiers after an EXCEPT group still fail fast
+    for bad in (
+        "SELECT * EXCEPT (a) APPLY (sum) FROM t GROUP BY g",
+        "SELECT * EXCEPT (a) REPLACE (x + 1 AS x) FROM t",
+        "SELECT t.* APPLY (max) FROM t",
+    ):
+        with pytest.raises(UnsupportedClickHouseSQL, match="star"):
+            translate_clickhouse_sql(bad)
+    # paren-less single-column EXCEPT gains Spark's required parens
+    assert translate_clickhouse_sql(
+        "SELECT * EXCEPT b FROM t"
+    ) == "SELECT * EXCEPT (b) FROM t"
+    # ...but a set-operation EXCEPT is untouched
+    out = translate_clickhouse_sql(
+        "SELECT a FROM t EXCEPT SELECT a FROM u"
+    )
+    assert "EXCEPT SELECT" in out
+    # parametric sketch spellings translate instead of leaking f(x)(y)
+    out = translate_clickhouse_sql(
+        "SELECT uniqCombined(17)(u) AS a, "
+        "quantilesTiming(0.5, 0.9)(ms) AS b FROM t"
+    )
+    assert "approx_count_distinct(u)" in out
+    assert "percentile_approx(ms, array(0.5, 0.9))" in out
+    # groupBitmapXor joins its siblings' fail-fast pointer
+    with pytest.raises(UnsupportedClickHouseSQL, match="q_bitmap_ops"):
+        translate_clickhouse_sql("SELECT groupBitmapXor(b) FROM t")
