@@ -16,7 +16,12 @@ clear error rather than silently mis-translating):
 - aggregates: ``uniq``→approx_count_distinct, ``uniqExact``→
   count(DISTINCT …), ``uniqUpTo(n)(x)``→least(count(DISTINCT x), n+1),
   ``countIf``→count_if, ``sumIf/avgIf/minIf/maxIf``→agg(if(cond, x,
-  NULL)), ``any``→any_value, ``anyLast``→last, ``argMax``→max_by,
+  NULL)), the GENERIC -If combinator for
+  ``uniq/uniqExact/argMax/argMin/any/anyLast/groupArray/
+  groupUniqArray`` (last argument is the condition; data arguments
+  NULL out and the aggregate's null-skipping — made explicit for
+  any_value/last — drops them), ``sumDistinct/avgDistinct``→
+  agg(DISTINCT x), ``any``→any_value, ``anyLast``→last, ``argMax``→max_by,
   ``argMin``→min_by, ``groupArray``→collect_list,
   ``groupUniqArray``→collect_set, ``quantile(p)(x)``→
   percentile_approx(x, p), ``quantileExact(p)(x)``→percentile(x, p),
@@ -264,6 +269,28 @@ def _agg_if(agg: str):
     return h
 
 
+def _generic_if(base: str, spark_name):
+    """The -If combinator for a multi-argument aggregate: the LAST
+    argument is the condition; every data argument is NULLed on
+    non-matching rows and the aggregate's null-skipping drops them."""
+
+    def h(args):
+        if len(args) < 2:
+            raise UnsupportedClickHouseSQL(
+                f"{base}If expects (args..., cond)"
+            )
+        cond = args[-1]
+        data = [f"if({cond}, {a}, NULL)" for a in args[:-1]]
+        if base == "uniqexact":
+            return f"count(DISTINCT {', '.join(data)})"
+        if base in ("any", "anylast"):
+            # the injected NULLs on non-matching rows MUST be skipped
+            return f"{spark_name}({', '.join(data)}, true)"
+        return f"{spark_name}({', '.join(data)})"
+
+    return h
+
+
 def _cast(to: str):
     return lambda args: f"CAST({args[0]} AS {to})"
 
@@ -452,8 +479,32 @@ _PLAIN = {
     "avgif": _agg_if("avg"),
     "minif": _agg_if("min"),
     "maxif": _agg_if("max"),
-    "any": lambda a: f"any_value({a[0]})",
-    "anylast": lambda a: f"last({a[0]})",
+    # the generic -If combinator (ClickHouse allows it on EVERY
+    # aggregate): the last argument is the condition, every data
+    # argument NULLs out on non-matching rows and the base aggregate's
+    # null-skipping does the rest.  Whitelisted per base aggregate so
+    # an unknown fooIf still fails visibly in Spark rather than
+    # silently mis-grouping.
+    **{
+        base + "if": _generic_if(base, spark_name)
+        for base, spark_name in {
+            "uniq": "approx_count_distinct",
+            "uniqexact": None,  # special-cased: DISTINCT syntax
+            "argmax": "max_by",
+            "argmin": "min_by",
+            "any": "any_value",
+            "anylast": "last",
+            "grouparray": "collect_list",
+            "groupuniqarray": "collect_set",
+        }.items()
+    },
+    # the -Distinct combinator on the arithmetic aggregates
+    "sumdistinct": lambda a: f"sum(DISTINCT {a[0]})",
+    "avgdistinct": lambda a: f"avg(DISTINCT {a[0]})",
+    # ClickHouse aggregates SKIP NULLs; Spark's any_value/last need
+    # the explicit ignoreNulls flag for the same contract
+    "any": lambda a: f"any_value({a[0]}, true)",
+    "anylast": lambda a: f"last({a[0]}, true)",
     "argmax": lambda a: f"max_by({a[0]}, {a[1]})",
     "argmin": lambda a: f"min_by({a[0]}, {a[1]})",
     "grouparray": lambda a: f"collect_list({a[0]})",

@@ -1244,3 +1244,38 @@ def test_fourth_review_fixes():
     # groupBitmapXor joins its siblings' fail-fast pointer
     with pytest.raises(UnsupportedClickHouseSQL, match="q_bitmap_ops"):
         translate_clickhouse_sql("SELECT groupBitmapXor(b) FROM t")
+
+
+def test_generic_if_and_distinct_combinators(spark):
+    """The -If combinator on multi-argument aggregates and -Distinct
+    on the arithmetic ones — all null-skipping verified live."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a', 10), (2, 'b', 20), (2, 'b', 20),"
+        " (3, 'c', 30) AS t(k, s, v)"
+    ).createOrReplaceTempView("cmb_t")
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT uniqExactIf(s, v > 10) AS ue, "
+            "argMaxIf(s, k, v < 30) AS am, "
+            "anyIf(s, v = 20) AS a1, "
+            "anyLastIf(s, v < 25) AS al, "
+            "groupUniqArrayIf(s, v >= 20) AS ga, "
+            "sumDistinct(v) AS sd, "
+            "avgDistinct(v) AS ad "
+            "FROM cmb_t"
+        )
+    ).collect()[0]
+    assert got.ue == 2          # {'b', 'c'}
+    assert got.am == "b"        # max k among v<30 rows is 2 -> 'b'
+    assert got.a1 == "b"
+    assert got.al in ("a", "b")  # last among matching; order-free any
+    assert sorted(got.ga) == ["b", "c"]
+    assert got.sd == 60         # 10 + 20 + 30 (distinct)
+    assert got.ad == 20.0
+    # last row non-matching: null-skipping must still find a value
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT anyLastIf(s, v = 10) AS al, any(s) AS a FROM cmb_t"
+        )
+    ).collect()[0]
+    assert got.al == "a" and got.a is not None
