@@ -1448,6 +1448,31 @@ _FORMATS_OK = {
 }
 
 
+def _fail_with_ties(s: str) -> None:
+    """``LIMIT n WITH TIES`` keeps rows tying the cutoff ORDER BY
+    value — Spark has no WITH TIES (nor QUALIFY); compile-target would
+    be a rank() window, which changes the plan shape enough that the
+    honest answer is a pointer, not a silent rewrite."""
+    toks = _scan_top(s)
+    for t in range(len(toks) - 1):
+        if (
+            toks[t][0] == "ident"
+            and toks[t][1].upper() == "WITH"
+            and toks[t + 1][0] == "ident"
+            and toks[t + 1][1].upper() == "TIES"
+            and not (
+                t + 2 < len(toks)
+                and toks[t + 2][0] == "ident"
+                and toks[t + 2][1].upper() == "AS"
+            )
+        ):
+            raise UnsupportedClickHouseSQL(
+                "LIMIT n WITH TIES has no Spark equivalent — express "
+                "the tie-keeping cutoff as a rank() window (rank <= n "
+                "keeps ties; the q_window_rank_orders pattern)"
+            )
+
+
 def _fail_with_fill(s: str) -> None:
     """``ORDER BY … WITH FILL [FROM|TO|STEP …]`` generates rows whose
     NON-fill columns take the column type's DEFAULT VALUE — that needs
@@ -2127,6 +2152,7 @@ def _rewrite_with_totals(s: str) -> str:
 
 def _rewrite_clauses(s: str, final_keys) -> str:
     _fail_with_fill(s)
+    _fail_with_ties(s)
     s = _star_modifiers(s)
     s = _strip_settings_format(s)
     s = _rewrite_final(s, final_keys)

@@ -1279,3 +1279,16 @@ def test_generic_if_and_distinct_combinators(spark):
         )
     ).collect()[0]
     assert got.al == "a" and got.a is not None
+
+
+def test_with_ties_fails_fast_but_ties_cte_survives():
+    import pytest
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="rank"):
+        translate_clickhouse_sql(
+            "SELECT x FROM t ORDER BY x LIMIT 5 WITH TIES"
+        )
+    out = translate_clickhouse_sql(
+        "WITH ties AS (SELECT 1 AS x) SELECT x FROM ties"
+    )
+    assert "ties" in out
