@@ -260,33 +260,58 @@ def _split_args(s: str) -> list[str]:
 # parameter list from fn(params)(args).
 # ---------------------------------------------------------------------------
 
-def _agg_if(agg: str):
+# -If combinator arity classes: how many DATA arguments (before the
+# trailing condition) each base aggregate takes
+_IF_SINGLE = {
+    "sum": "sum", "avg": "avg", "min": "min", "max": "max",
+    "grouparray": "collect_list", "groupuniqarray": "collect_set",
+}
+_IF_SINGLE_SKIPNULL = {"any": "any_value", "anylast": "last"}
+_IF_PAIR = {"argmax": "max_by", "argmin": "min_by"}
+_IF_DISTINCT = {"uniq", "uniqexact"}
+
+
+def _generic_if(base: str):
+    """The -If combinator: the LAST argument is the condition; data
+    arguments are gated to NULL on non-matching rows and the base
+    aggregate's null-skipping drops them (made explicit for
+    any_value/last, whose Spark defaults KEEP nulls).  Multi-argument
+    uniq/uniqExact gate ONE struct of the data columns — gating each
+    column separately would count a spurious all-NULL tuple for
+    non-matching rows, since struct(NULL, NULL) is itself not NULL."""
+
     def h(args):
-        if len(args) != 2:
-            raise UnsupportedClickHouseSQL(f"{agg}If expects (x, cond)")
-        return f"{agg}(if({args[1]}, {args[0]}, NULL))"
-
-    return h
-
-
-def _generic_if(base: str, spark_name):
-    """The -If combinator for a multi-argument aggregate: the LAST
-    argument is the condition; every data argument is NULLed on
-    non-matching rows and the aggregate's null-skipping drops them."""
-
-    def h(args):
-        if len(args) < 2:
-            raise UnsupportedClickHouseSQL(
-                f"{base}If expects (args..., cond)"
-            )
         cond = args[-1]
-        data = [f"if({cond}, {a}, NULL)" for a in args[:-1]]
-        if base == "uniqexact":
-            return f"count(DISTINCT {', '.join(data)})"
-        if base in ("any", "anylast"):
-            # the injected NULLs on non-matching rows MUST be skipped
-            return f"{spark_name}({', '.join(data)}, true)"
-        return f"{spark_name}({', '.join(data)})"
+        data = args[:-1]
+        if base in _IF_DISTINCT:
+            if not data:
+                raise UnsupportedClickHouseSQL(
+                    f"{base}If expects (x..., cond)"
+                )
+            inner = (
+                data[0] if len(data) == 1
+                else f"struct({', '.join(data)})"
+            )
+            gated = f"if({cond}, {inner}, NULL)"
+            return (
+                f"count(DISTINCT {gated})" if base == "uniqexact"
+                else f"approx_count_distinct({gated})"
+            )
+        if base in _IF_PAIR:
+            if len(data) != 2:
+                raise UnsupportedClickHouseSQL(
+                    f"{base}If expects (x, ord, cond)"
+                )
+            g = [f"if({cond}, {a}, NULL)" for a in data]
+            return f"{_IF_PAIR[base]}({g[0]}, {g[1]})"
+        if len(data) != 1:
+            raise UnsupportedClickHouseSQL(
+                f"{base}If expects (x, cond)"
+            )
+        g = f"if({cond}, {data[0]}, NULL)"
+        if base in _IF_SINGLE_SKIPNULL:
+            return f"{_IF_SINGLE_SKIPNULL[base]}({g}, true)"
+        return f"{_IF_SINGLE[base]}({g})"
 
     return h
 
@@ -398,6 +423,14 @@ _UNIQ_SKETCHES = (
     "uniqtheta", "uniqhll12", "uniqcombined", "uniqcombined64",
 )
 
+
+def _uniq_expr(a):
+    """ClickHouse uniq*(a, b, ...) counts distinct TUPLES; Spark's
+    approx_count_distinct takes one expression (its second argument is
+    the rsd tuning knob!) — multi-arg forms gate one struct."""
+    inner = a[0] if len(a) == 1 else f"struct({', '.join(a)})"
+    return f"approx_count_distinct({inner})"
+
 # ClickHouse aggregates whose semantics need a multi-operator plan
 # (explode + group, sequential state machines, interval sweeps) — no
 # single Spark expression exists, so the translator fails fast WITH A
@@ -442,7 +475,7 @@ def _unsupported_week_mode(mode: str):
 _PLAIN = {
     # ClickHouse count() takes zero args; Spark needs count(*)
     "count": lambda a: f"count({', '.join(a) if a else '*'})",
-    "uniq": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniq": _uniq_expr,
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "retention": _retention,
     # statistical moments: ClickHouse camelCase → Spark snake_case
@@ -469,34 +502,19 @@ _PLAIN = {
     "anyheavy": lambda a: f"mode({a[0]})",
     # alternative approximate-distinct sketches: all carry the same
     # approximate contract approx_count_distinct (HLL++) satisfies
-    **{
-        n: (lambda a: f"approx_count_distinct({', '.join(a)})")
-        for n in _UNIQ_SKETCHES
-    },
+    **{n: _uniq_expr for n in _UNIQ_SKETCHES},
     **{n: _engine_pointer(n) for n in _ENGINE_OP_POINTERS},
     "countif": lambda a: f"count_if({a[0]})",
-    "sumif": _agg_if("sum"),
-    "avgif": _agg_if("avg"),
-    "minif": _agg_if("min"),
-    "maxif": _agg_if("max"),
     # the generic -If combinator (ClickHouse allows it on EVERY
-    # aggregate): the last argument is the condition, every data
-    # argument NULLs out on non-matching rows and the base aggregate's
-    # null-skipping does the rest.  Whitelisted per base aggregate so
-    # an unknown fooIf still fails visibly in Spark rather than
-    # silently mis-grouping.
+    # aggregate): whitelisted per base aggregate with per-class arity
+    # checks so an unknown fooIf or a wrong arity fails clearly rather
+    # than silently mis-grouping (see _generic_if)
     **{
-        base + "if": _generic_if(base, spark_name)
-        for base, spark_name in {
-            "uniq": "approx_count_distinct",
-            "uniqexact": None,  # special-cased: DISTINCT syntax
-            "argmax": "max_by",
-            "argmin": "min_by",
-            "any": "any_value",
-            "anylast": "last",
-            "grouparray": "collect_list",
-            "groupuniqarray": "collect_set",
-        }.items()
+        base + "if": _generic_if(base)
+        for base in (
+            set(_IF_SINGLE) | set(_IF_SINGLE_SKIPNULL)
+            | set(_IF_PAIR) | _IF_DISTINCT
+        )
     },
     # the -Distinct combinator on the arithmetic aggregates
     "sumdistinct": lambda a: f"sum(DISTINCT {a[0]})",
@@ -872,7 +890,7 @@ def _parametric(name: str, params: list[str], args: list[str]) -> str:
         # precision parameter tunes ClickHouse's sketch width —
         # approx_count_distinct's own HLL++ default satisfies the
         # approximate contract, so the parameter is dropped
-        return f"approx_count_distinct({', '.join(args)})"
+        return _uniq_expr(args)
     if n == "quantiletimingweighted":
         raise UnsupportedClickHouseSQL(
             "quantileTimingWeighted(p)(x, w): percentile_approx has "

@@ -1292,3 +1292,26 @@ def test_with_ties_fails_fast_but_ties_cte_survives():
         "WITH ties AS (SELECT 1 AS x) SELECT x FROM ties"
     )
     assert "ties" in out
+
+
+def test_multiarg_uniq_counts_tuples(spark):
+    """Fifth-review fix: uniq*(a, b) counts distinct TUPLES — Spark's
+    approx_count_distinct second arg is the rsd knob, so multi-arg
+    forms must gate one struct; the -If variant's gate must be the
+    WHOLE struct (per-column gating would count a spurious all-NULL
+    tuple for non-matching rows)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'x', true), (1, 'y', true), "
+        "(1, 'x', true), (2, 'x', false) AS t(a, b, c)"
+    ).createOrReplaceTempView("mu_t")
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT uniq(a, b) AS u, uniqExact(a, b) AS ue, "
+            "uniqIf(a, b, c) AS ui, uniqExactIf(a, b, c) AS uei "
+            "FROM mu_t"
+        )
+    ).collect()[0]
+    assert got.ue == 3          # (1,x), (1,y), (2,x)
+    assert got.u == 3           # exact at this cardinality
+    assert got.uei == 2         # gated: (1,x), (1,y) — NOT an
+    assert got.ui == 2          # extra all-NULL tuple
