@@ -71,17 +71,18 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
-# ROUND-9 NOTE: ALL FOUR staged waves are ACTIVATED (r6 wave of 30 +
-# r7 wave of 14 + r8 wave of 23 + r9 wave of 23; registry = 269).
-# The 23 r9 names rank first (never driver-checked); the remaining
-# ~27 budget slots rotate through the STALEST greens — the 49-query
-# cohort last verified in round 4 (rotation finishes it in r10).
+# ROUND-10 NOTE: ALL FIVE staged waves are ACTIVATED (r6 wave of 30 +
+# r7 wave of 14 + r8 wave of 23 + r9 wave of 23 + r10 wave of 23;
+# registry = 292).  The 23 r10 names rank first (never
+# driver-checked); the remaining ~27 budget slots rotate through the
+# STALEST greens — the final 22 r4-cohort queries plus the 5 oldest
+# r5 greens (simulated: Counter({4: 22, 5: 5}); r4 clears this round).
 #
-# clickbom_spark/queries/staged_r10.py holds the NEXT wave (parity
-# proven via tests/test_staged_r10_parity.py and
-# `python scripts/strict_parity.py --staged`).  Round 10 activates
-# with REGISTRY.update(staged_r10.STAGED_R10) in queries/__init__.py;
-# the disjointness guard in the r10 test file flags any collision.
+# clickbom_spark/queries/staged_r11.py holds the NEXT wave (parity
+# proven via tests/test_staged_r11_parity.py and
+# `python scripts/strict_parity.py --staged-r11`).  Round 11 activates
+# with REGISTRY.update(staged_r11.STAGED_R11) in queries/__init__.py;
+# the disjointness guard in the r11 test file flags any collision.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

@@ -148,3 +148,17 @@ REGISTRY.update(staged_r8.STAGED_R8)
 from clickbom_spark.queries import staged_r9  # noqa: E402,F401
 
 REGISTRY.update(staged_r9.STAGED_R9)
+
+# Round-10 activation of the fifth staged wave (23 queries — dialect
+# round-trips for SAMPLE / multi- and alias-less ARRAY JOIN / ASOF
+# JOIN / retention / -If combinators, SCD2 sink serving, column-level
+# branch merges, URL-canonicalization dedup, label propagation,
+# k-core peeling, KMV distinct sketch, paragraph dedup, token-budget
+# curation, MRR / NDCG@10, Benjamini–Hochberg FDR, seasonal
+# decomposition, winsorized mean, Poisson bootstrap CI — all
+# oracle-parity-green at three scales under
+# tests/test_staged_r10_parity.py before promotion; disjointness from
+# the existing registry is guarded there).
+from clickbom_spark.queries import staged_r10  # noqa: E402,F401
+
+REGISTRY.update(staged_r10.STAGED_R10)

@@ -1,12 +1,9 @@
 """Staged registry wave for round 10 — new operator surface.
 
 Same staging workflow as the round-6..9 waves: every query here is
-oracle-parity-verified NOW (bit-exact vs DuckDB at sf0.001 and sf0.01
+oracle-parity-verified (bit-exact vs DuckDB at sf0.001 and sf0.01
 via ``tests/test_staged_r10_parity.py``; the strict-parity sweep
-covers sf0.1) but held OUT of :data:`clickbom_spark.queries.REGISTRY`
-so this round's 50-slot driver budget goes to the 23 round-9
-activations plus the stalest-green rotation.  Round 10 activates
-with::
+covers sf0.1).  ACTIVATED in round 10 via::
 
     from clickbom_spark.queries import staged_r10  # noqa: F401
     REGISTRY.update(staged_r10.STAGED_R10)

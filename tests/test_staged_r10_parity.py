@@ -31,12 +31,13 @@ def test_staged_r10_oracle_parity(spark, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
-def test_staged_r10_disjoint_from_registry():
-    """The holdout must not shadow (or be shadowed by) live registry
-    names — activation is a pure REGISTRY.update."""
-    clash = set(STAGED_R10) & set(REGISTRY)
-    assert not clash, f"staged r10 names already registered: {clash}"
+def test_staged_r10_activated_into_registry():
+    """Round-10 activation: every staged name is live and IS the staged
+    object — activation was REGISTRY.update(STAGED_R10), not a re-wrap."""
+    missing = set(STAGED_R10) - set(REGISTRY)
+    assert not missing, f"staged r10 names not activated: {missing}"
     for name, spec in STAGED_R10.items():
+        assert REGISTRY[name] is spec, f"{name} was shadowed on activation"
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
         assert spec.name == name
