@@ -160,7 +160,9 @@ __all__ = [
     "run_clickhouse_sql",
     "register_final_keys",
     "register_sampling_key",
+    "register_sampling_rowcount",
     "register_table_ddl",
+    "register_dictionary",
 ]
 
 
@@ -472,6 +474,194 @@ def _unsupported_week_mode(mode: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# External-dictionary registry.  ClickHouse's dictGet family looks a
+# key up in a named in-memory dictionary — the exact semantics of the
+# reference's awk hash join over license-mappings.json
+# (entrypoint.sh:253-266, SURVEY §2 J1).  The Spark-first shape is a
+# correlated scalar subquery against a small registered view: Catalyst
+# rewrites it into a LEFT OUTER join and (the view being small)
+# broadcasts it — the declarative version of the awk hash join,
+# asserted by tests/test_dialect.py::test_dictget_broadcasts.
+#
+# ``source`` may be a DataFrame, a ``(spark, sf_dir) -> DataFrame``
+# callable, or a ClickHouse/Spark SQL string over the corpus views;
+# :func:`run_clickhouse_sql` materializes it as a temp view on demand.
+# Missing keys return the attribute DEFAULT (ClickHouse semantics):
+# typed variants (dictGetString → '', dictGetUInt64 → 0, …) carry it;
+# untyped ``dictGet`` needs it registered per attribute.
+# ---------------------------------------------------------------------------
+
+DICTIONARIES: dict[str, dict] = {}
+
+
+def register_dictionary(name, source, key, defaults=None):
+    """Register an external dictionary so ``dictGet('name', 'attr',
+    key)`` (and the OrDefault/OrNull/Has/typed variants) translate to
+    a keyed lookup against a small broadcast-joined view.
+
+    ``key`` is the dictionary's key column name (or a tuple of names
+    for composite keys); ``defaults`` maps attribute name → the SQL
+    literal returned on a missing key (required only for the UNtyped
+    ``dictGet``, whose default lives in ClickHouse's dictionary DDL —
+    typed variants carry their own type default)."""
+    keys = (key,) if isinstance(key, str) else tuple(key)
+    DICTIONARIES[name.lower()] = {
+        "view": f"__dict_{name.lower()}",
+        "source": source,
+        "key": keys,
+        "defaults": dict(defaults or {}),
+    }
+
+
+def _dict_literal(fn: str, arg: str, what: str) -> str:
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'" and "'" not in a[1:-1]:
+        return a[1:-1]
+    raise UnsupportedClickHouseSQL(
+        f"{fn}: the {what} must be a plain string literal (got {arg!r})"
+    )
+
+
+def _dict_entry(fn: str, name: str) -> dict:
+    d = DICTIONARIES.get(name.lower())
+    if d is None:
+        raise UnsupportedClickHouseSQL(
+            f"{fn}('{name}', ...): unknown dictionary — register it "
+            "with register_dictionary(name, source, key[, defaults])"
+        )
+    return d
+
+
+def _dict_key_cond(fn: str, d: dict, key_arg: str) -> str:
+    keys = d["key"]
+    ka = key_arg.strip()
+    if len(keys) == 1:
+        return f"{keys[0]} = ({ka})"
+    low = ka.lower()
+    if (low.startswith("tuple(") or low.startswith("struct(")) and ka.endswith(")"):
+        inner = ka[ka.index("(") + 1: -1]
+    elif ka.startswith("(") and ka.endswith(")") and _matching_paren(ka, 0) == len(ka) - 1:
+        inner = ka[1:-1]
+    else:
+        raise UnsupportedClickHouseSQL(
+            f"{fn}: composite dictionary key takes tuple(k1, ..., "
+            f"k{len(keys)}) — got {key_arg!r}"
+        )
+    parts = _split_args(inner)
+    if len(parts) != len(keys):
+        raise UnsupportedClickHouseSQL(
+            f"{fn}: dictionary key has {len(keys)} parts, call "
+            f"supplies {len(parts)}"
+        )
+    return " AND ".join(f"{k} = ({p.strip()})" for k, p in zip(keys, parts))
+
+
+def _dict_lookup(fn: str, a: list[str], min_args: int) -> tuple[dict, str, str]:
+    """Shared head of every dictGet variant: parse (dict, attr, key)
+    and return (entry, attr, scalar-subquery text).  max() makes the
+    correlated subquery provably single-valued for the analyzer —
+    dictionary keys are unique, so it IS the attribute."""
+    if len(a) < min_args:
+        raise UnsupportedClickHouseSQL(
+            f"{fn} takes at least {min_args} arguments"
+        )
+    name = _dict_literal(fn, a[0], "dictionary name")
+    attr = _dict_literal(fn, a[1], "attribute name")
+    if not _IDENT.fullmatch(attr):
+        raise UnsupportedClickHouseSQL(
+            f"{fn}: attribute must be a column name (got {attr!r})"
+        )
+    d = _dict_entry(fn, name)
+    cond = _dict_key_cond(fn, d, a[2])
+    sub = f"(SELECT max({attr}) FROM {d['view']} WHERE {cond})"
+    return d, attr, sub
+
+
+def _dict_get(a: list[str]) -> str:
+    d, attr, sub = _dict_lookup("dictGet", a, 3)
+    default = d["defaults"].get(attr)
+    if default is None:
+        raise UnsupportedClickHouseSQL(
+            f"dictGet(..., '{attr}', ...) returns the attribute's "
+            "DEFAULT on a miss, which lives in the dictionary DDL — "
+            f"register it (register_dictionary(..., defaults={{'{attr}'"
+            ": <sql literal>}})) or use dictGetOrDefault/dictGetOrNull"
+        )
+    return f"coalesce({sub}, {default})"
+
+
+def _dict_get_or_default(a: list[str]) -> str:
+    _, _, sub = _dict_lookup("dictGetOrDefault", a, 4)
+    return f"coalesce({sub}, {a[3].strip()})"
+
+
+def _dict_get_or_null(a: list[str]) -> str:
+    _, _, sub = _dict_lookup("dictGetOrNull", a, 3)
+    return sub
+
+
+def _dict_has(a: list[str]) -> str:
+    fn = "dictHas"
+    name = _dict_literal(fn, a[0], "dictionary name")
+    d = _dict_entry(fn, name)
+    cond = _dict_key_cond(fn, d, a[1])
+    return f"((SELECT count(1) FROM {d['view']} WHERE {cond}) > 0)"
+
+
+# ClickHouse type name → (Spark cast type, type default on a miss).
+# UInt64 maps onto SIGNED bigint: dictionary attributes >= 2^63 are
+# outside the shim (same caveat as every UInt64 mapping here).
+_DICT_TYPED = {
+    "string": ("String", "string", "''"),
+    "uint8": ("UInt8", "int", "0"),
+    "uint16": ("UInt16", "int", "0"),
+    "uint32": ("UInt32", "bigint", "0"),
+    "uint64": ("UInt64", "bigint", "0"),
+    "int8": ("Int8", "int", "0"),
+    "int16": ("Int16", "int", "0"),
+    "int32": ("Int32", "int", "0"),
+    "int64": ("Int64", "bigint", "0"),
+    "float32": ("Float32", "float", "0"),
+    "float64": ("Float64", "double", "0"),
+    "date": ("Date", "date", "DATE '1970-01-01'"),
+    "datetime": ("DateTime", "timestamp", "TIMESTAMP '1970-01-01 00:00:00'"),
+}
+
+
+def _dict_get_typed(ch_type: str):
+    disp, cast_to, default = _DICT_TYPED[ch_type]
+    fn = f"dictGet{disp}"
+
+    def h(a: list[str]) -> str:
+        _, _, sub = _dict_lookup(fn, a, 3)
+        return f"coalesce(cast({sub} AS {cast_to}), {default})"
+
+    return h
+
+
+def _dict_get_typed_or_default(ch_type: str):
+    disp, cast_to, _ = _DICT_TYPED[ch_type]
+    fn = f"dictGet{disp}OrDefault"
+
+    def h(a: list[str]) -> str:
+        _, _, sub = _dict_lookup(fn, a, 4)
+        return f"coalesce(cast({sub} AS {cast_to}), {a[3].strip()})"
+
+    return h
+
+
+def _dict_hierarchy_pointer(name: str):
+    def h(args):
+        raise UnsupportedClickHouseSQL(
+            f"{name} walks a HIERARCHICAL dictionary — a recursive "
+            "traversal, not a lookup; use the engine's graph operators "
+            "(ext/graph.py: bfs_levels / reachability)"
+        )
+
+    return h
+
+
 _PLAIN = {
     # ClickHouse count() takes zero args; Spark needs count(*)
     "count": lambda a: f"count({', '.join(a) if a else '*'})",
@@ -731,6 +921,22 @@ _PLAIN = {
         # ClickHouse's exact hash VALUES must not go through the shim.
         f"xxhash64({', '.join(a)})"
     ),
+    # external dictionaries (registry above) — keyed lookups become
+    # correlated scalar subqueries Catalyst turns into broadcast joins
+    "dictget": _dict_get,
+    "dictgetordefault": _dict_get_or_default,
+    "dictgetornull": _dict_get_or_null,
+    "dicthas": _dict_has,
+    **{f"dictget{t}": _dict_get_typed(t) for t in _DICT_TYPED},
+    **{
+        f"dictget{t}ordefault": _dict_get_typed_or_default(t)
+        for t in _DICT_TYPED
+    },
+    **{
+        n.lower(): _dict_hierarchy_pointer(n)
+        for n in ("dictGetHierarchy", "dictIsIn", "dictGetChildren",
+                  "dictGetDescendants")
+    },
 }
 
 
@@ -1147,6 +1353,26 @@ def register_sampling_key(table, key_expr):
     SAMPLING_KEYS[table.lower()] = key_expr
 
 
+# Integer ``SAMPLE n`` (a row TARGET, not a fraction) needs the
+# table's row count to resolve the fraction at plan-build time.
+# ClickHouse reads it from MergeTree statistics; here the count comes
+# from the VersionedLake manifest (ext/manifest.py tracks exact row
+# counts per commit) or an explicit registration.  APPROXIMATE by
+# design, like ClickHouse ("the result is approximate" — SAMPLE n
+# picks hash-range membership sized n/total).
+SAMPLING_ROWCOUNTS: dict[str, int] = {}
+
+
+def register_sampling_rowcount(table, n_rows: int):
+    """Register a table's total row count so the integer ``SAMPLE n``
+    row-target form resolves to a hash-range fraction at plan-build.
+    Lake tables: pass ``lake.row_count(table)`` (manifest-tracked,
+    no scan)."""
+    if n_rows <= 0:
+        raise ValueError("row count must be positive")
+    SAMPLING_ROWCOUNTS[table.lower()] = int(n_rows)
+
+
 def _sample_frac_expr(key: str) -> str:
     return (
         f"(conv(substring(md5(cast({key} AS string)), 1, 8), 16, 10)"
@@ -1173,12 +1399,17 @@ def _rewrite_sample(s: str) -> str:
                 break
         if hit is None:
             return s
-        frac = float(toks[hit + 1][1])
-        if frac >= 1:
-            raise UnsupportedClickHouseSQL(
-                "SAMPLE <rows> (integer row target) needs table "
-                "statistics — use the fractional form SAMPLE 0.1"
-            )
+        raw = toks[hit + 1][1]
+        frac = float(raw)
+        row_target = None
+        if frac > 1:
+            if "." in raw:
+                raise UnsupportedClickHouseSQL(
+                    f"SAMPLE {raw}: a fraction must be in [0, 1]"
+                )
+            # integer row TARGET — resolved to a fraction once the
+            # table (and its registered row count) is known below
+            row_target = int(raw)
         # optional OFFSET m
         end = hit + 2
         offset = 0.0
@@ -1244,6 +1475,22 @@ def _rewrite_sample(s: str) -> str:
                 "needs the table's SAMPLE BY key — register it with "
                 "register_sampling_key(table, key_expr)"
             )
+        if row_target is not None:
+            if offset:
+                raise UnsupportedClickHouseSQL(
+                    "SAMPLE n OFFSET is only defined for the "
+                    "fractional form (ClickHouse rejects it too)"
+                )
+            total = SAMPLING_ROWCOUNTS.get((table or "").lower())
+            if total is None:
+                raise UnsupportedClickHouseSQL(
+                    f"SAMPLE {row_target} (integer row target) needs "
+                    "the table's row count — register it with "
+                    "register_sampling_rowcount(table, n); lake "
+                    "tables carry it in the manifest "
+                    "(VersionedLake.row_count)"
+                )
+            frac = min(1.0, row_target / total)
         h = _sample_frac_expr(key)
         lo, hi = repr(offset), repr(offset + frac)
         cond = (
@@ -1466,37 +1713,320 @@ _FORMATS_OK = {
 }
 
 
-def _fail_with_ties(s: str) -> None:
-    """``LIMIT n WITH TIES`` keeps rows tying the cutoff ORDER BY
-    value — Spark has no WITH TIES (nor QUALIFY); compile-target would
-    be a rank() window, which changes the plan shape enough that the
-    honest answer is a pointer, not a silent rewrite."""
+def _rewrite_with_ties(s: str) -> str:
+    """``… ORDER BY keys LIMIT n WITH TIES`` keeps every row tying the
+    cutoff ORDER BY value — Spark has no WITH TIES (nor QUALIFY), so
+    compile the equivalent rank() window: wrap the body, rank over the
+    same keys, keep rank <= n, drop the rank column, re-order.  Runs
+    LAST in the clause pipeline so FINAL/SAMPLE/PREWHERE/LIMIT BY have
+    already processed this level before the body becomes an opaque
+    subquery."""
     toks = _scan_top(s)
+    hit = None
+    for t in range(len(toks) - 3):
+        if (
+            toks[t][0] == "ident"
+            and toks[t][1].upper() == "LIMIT"
+            and toks[t + 1][0] == "num"
+            and toks[t + 2][0] == "ident"
+            and toks[t + 2][1].upper() == "WITH"
+            and toks[t + 3][0] == "ident"
+            and toks[t + 3][1].upper() == "TIES"
+        ):
+            hit = t
+            break
+    if hit is None:
+        # a stray WITH TIES not in LIMIT-n position (e.g. the comma
+        # offset form LIMIT m, n WITH TIES) must not silently pass
+        for t in range(len(toks) - 1):
+            if (
+                toks[t][0] == "ident"
+                and toks[t][1].upper() == "WITH"
+                and toks[t + 1][0] == "ident"
+                and toks[t + 1][1].upper() == "TIES"
+                and not (
+                    t + 2 < len(toks)
+                    and toks[t + 2][0] == "ident"
+                    and toks[t + 2][1].upper() == "AS"
+                )
+            ):
+                raise UnsupportedClickHouseSQL(
+                    "WITH TIES is only compiled in the plain "
+                    "LIMIT n WITH TIES form (no offset)"
+                )
+        return s
+    n = toks[hit + 1][1]
+    if "." in n:
+        raise UnsupportedClickHouseSQL("LIMIT n WITH TIES: n must be an integer")
+    if s[toks[hit + 3][3]:].strip():
+        raise UnsupportedClickHouseSQL(
+            "LIMIT n WITH TIES must be the final clause "
+            "(OFFSET after WITH TIES is not compiled)"
+        )
+    # the governing ORDER BY: last top-level ORDER BY before the LIMIT,
+    # with no other LIMIT in between (LIMIT n BY was already rewritten)
+    order_at = None
+    for t in range(hit - 1, -1, -1):
+        if toks[t][0] != "ident":
+            continue
+        up = toks[t][1].upper()
+        if up == "LIMIT":
+            raise UnsupportedClickHouseSQL(
+                "LIMIT n WITH TIES: another LIMIT sits between ORDER "
+                "BY and the WITH TIES cutoff — compose manually"
+            )
+        if (
+            up == "ORDER"
+            and t + 1 < len(toks)
+            and toks[t + 1][0] == "ident"
+            and toks[t + 1][1].upper() == "BY"
+        ):
+            order_at = t
+            break
+    if order_at is None:
+        raise UnsupportedClickHouseSQL(
+            "LIMIT n WITH TIES requires ORDER BY (ties are defined by "
+            "the ORDER BY value)"
+        )
+    order_txt = s[toks[order_at + 2][2]: toks[hit][2]].strip()
+    # positional keys would rank by the LITERAL under the window —
+    # a silent full-table pass, the worst kind of mistranslation
+    for t in range(order_at + 2, hit):
+        if toks[t][0] == "num" and (
+            t == order_at + 2
+            or (toks[t - 1][0] == "sym" and toks[t - 1][1] == ",")
+        ):
+            raise UnsupportedClickHouseSQL(
+                "LIMIT n WITH TIES with a positional ORDER BY key — "
+                "name the column (rank() over a literal is a constant)"
+            )
+    body = s[: toks[order_at][2]].strip()
+    return (
+        f"SELECT * EXCEPT (__rk) FROM (SELECT __wt.*, rank() OVER "
+        f"(ORDER BY {order_txt}) AS __rk FROM ({body}) AS __wt) "
+        f"WHERE __rk <= {n} ORDER BY {order_txt}"
+    )
+
+
+def _parse_with_fill(sql: str):
+    """Parse a top-level ``ORDER BY key [ASC] WITH FILL [FROM a]
+    [TO b] [STEP s]`` out of RAW ClickHouse text.  Returns ``None``
+    when absent, else ``(base_sql, key, frm, to, step)`` where
+    ``base_sql`` is the query with the fill spec removed and frm/to/
+    step are raw expression strings (step may be ``('interval', n,
+    unit)`` for INTERVAL steps).  Only :func:`run_clickhouse_sql` can
+    execute this — filling needs the resolved output schema — so the
+    translate-only path keeps failing fast (:func:`_fail_with_fill`).
+    """
+    toks = _scan_top(sql)
+    hit = None
     for t in range(len(toks) - 1):
         if (
             toks[t][0] == "ident"
             and toks[t][1].upper() == "WITH"
             and toks[t + 1][0] == "ident"
-            and toks[t + 1][1].upper() == "TIES"
+            and toks[t + 1][1].upper() == "FILL"
             and not (
                 t + 2 < len(toks)
                 and toks[t + 2][0] == "ident"
                 and toks[t + 2][1].upper() == "AS"
             )
         ):
+            if hit is not None:
+                raise UnsupportedClickHouseSQL(
+                    "WITH FILL on multiple ORDER BY keys is not "
+                    "compiled — fill one dimension"
+                )
+            hit = t
+    if hit is None:
+        return None
+    # walk back: ORDER BY <ident> [ASC] WITH FILL
+    k = hit - 1
+    if k >= 0 and toks[k][0] == "ident" and toks[k][1].upper() == "DESC":
+        raise UnsupportedClickHouseSQL(
+            "WITH FILL DESC is not compiled — fill ascending and "
+            "re-order outside"
+        )
+    if k >= 0 and toks[k][0] == "ident" and toks[k][1].upper() == "ASC":
+        k -= 1
+    if not (
+        k >= 2
+        and toks[k][0] == "ident"
+        and toks[k - 1][0] == "ident"
+        and toks[k - 1][1].upper() == "BY"
+        and toks[k - 2][0] == "ident"
+        and toks[k - 2][1].upper() == "ORDER"
+    ):
+        raise UnsupportedClickHouseSQL(
+            "WITH FILL is compiled only for ORDER BY <output column> "
+            "WITH FILL (a bare column name the spine can join on)"
+        )
+    key = toks[k][1]
+    # parse FROM / TO / STEP value spans after FILL
+    stop_kw = {"LIMIT", "SETTINGS", "FORMAT", "UNION", "INTERPOLATE"}
+    part_kw = {"FROM", "TO", "STEP"}
+    spans: dict[str, tuple[int, int]] = {}
+    cur = None
+    end_at = len(sql)
+    t = hit + 2
+    while t < len(toks):
+        kind, txt = toks[t][0], toks[t][1]
+        up = txt.upper() if kind == "ident" else ""
+        if kind == "sym" and txt == ",":
             raise UnsupportedClickHouseSQL(
-                "LIMIT n WITH TIES has no Spark equivalent — express "
-                "the tie-keeping cutoff as a rank() window (rank <= n "
-                "keeps ties; the q_window_rank_orders pattern)"
+                "WITH FILL with further ORDER BY keys after it is not "
+                "compiled — fill one dimension"
             )
+        if up == "INTERPOLATE":
+            raise UnsupportedClickHouseSQL(
+                "WITH FILL ... INTERPOLATE is not compiled — generated "
+                "rows take type defaults"
+            )
+        if up in stop_kw:
+            raise UnsupportedClickHouseSQL(
+                f"WITH FILL followed by {up} is not compiled — "
+                "ClickHouse applies them in an order the shim won't "
+                "guess; wrap the filled query instead"
+            )
+        if up in part_kw:
+            if up in spans:
+                raise UnsupportedClickHouseSQL(f"duplicate WITH FILL {up}")
+            cur = up
+            spans[cur] = (toks[t][3], len(sql))
+            t += 1
+            continue
+        if cur is None:
+            raise UnsupportedClickHouseSQL(
+                f"unexpected token {txt!r} in WITH FILL spec"
+            )
+        spans[cur] = (spans[cur][0], toks[t][3])
+        t += 1
+    frm = sql[spans["FROM"][0]: spans["FROM"][1]].strip() if "FROM" in spans else None
+    to = sql[spans["TO"][0]: spans["TO"][1]].strip() if "TO" in spans else None
+    step = sql[spans["STEP"][0]: spans["STEP"][1]].strip() if "STEP" in spans else None
+    for name, v in (("FROM", frm), ("TO", to), ("STEP", step)):
+        if name in spans and not v:
+            raise UnsupportedClickHouseSQL(f"WITH FILL {name} needs a value")
+    base_sql = sql[: toks[hit][2]].rstrip() + " " + sql[end_at:]
+    return base_sql.strip(), key, frm, to, step
+
+
+_FILL_INTERVAL = re.compile(
+    r"^INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?$",
+    re.IGNORECASE,
+)
+
+
+def _fill_type_default(dtype: str) -> str:
+    """ClickHouse fills non-fill columns of generated rows with the
+    column TYPE's default value."""
+    d = dtype.lower()
+    if d in ("string", "varchar"):
+        return "''"
+    if d.startswith(("int", "bigint", "smallint", "tinyint", "long",
+                     "float", "double")) or d.startswith("decimal"):
+        return "0"
+    if d == "boolean":
+        return "false"
+    if d == "date":
+        return "DATE '1970-01-01'"
+    if d.startswith("timestamp"):
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    raise UnsupportedClickHouseSQL(
+        f"WITH FILL cannot default a column of type {dtype} — project "
+        "it out or fill manually"
+    )
+
+
+def _run_with_fill(spark, spec, sf_dir: str, final_keys):
+    """Execute a WITH FILL query: run the base, resolve the schema,
+    synthesize the dense spine (FROM inclusive, TO exclusive — absent
+    bounds come from the data, inclusive), left-anti the existing key
+    points, default the other columns, union, re-order.  One bounded
+    driver collect (the 1-row min/max aggregate) when bounds are
+    implicit."""
+    from pyspark.sql import functions as F
+
+    base_sql, key, frm, to, step = spec
+    base = run_clickhouse_sql(spark, base_sql, sf_dir, final_keys=final_keys)
+    fields = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    if key not in fields:
+        raise UnsupportedClickHouseSQL(
+            f"WITH FILL key {key} is not an output column of the query"
+        )
+    ktype = fields[key]
+    integral = ktype in ("tinyint", "smallint", "int", "bigint")
+    temporal = ktype == "date" or ktype.startswith("timestamp")
+    if not (integral or temporal):
+        raise UnsupportedClickHouseSQL(
+            f"WITH FILL over a {ktype} key is not compiled — float "
+            "equality can't anchor a join spine; cast the key to an "
+            "integer/date grid first"
+        )
+    # resolve bounds: explicit expressions are translated and evaluated
+    # (constant 1-row select); implicit bounds come from the base data
+    def _const(expr_txt):
+        t = _translate_tokens(expr_txt, {})
+        return spark.sql(f"SELECT CAST(({t}) AS {ktype}) AS v").collect()[0].v
+
+    lo = _const(frm) if frm is not None else None
+    hi = _const(to) if to is not None else None
+    if lo is None or hi is None:
+        r = base.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        lo = lo if lo is not None else r.lo
+        hi = hi if hi is not None else r.hi
+    if lo is None or hi is None:  # empty input, no explicit bounds
+        return base.orderBy(key)
+    if integral:
+        if step is not None and not re.fullmatch(r"\d+", step):
+            raise UnsupportedClickHouseSQL(
+                f"WITH FILL STEP {step}: integer keys take integer steps"
+            )
+        n = int(step) if step is not None else 1
+        if n <= 0:
+            raise UnsupportedClickHouseSQL("WITH FILL STEP must be positive")
+        step_sql = str(n)
+        lo_sql, hi_sql = str(lo), str(hi)
+    else:
+        if step is not None:
+            m = _FILL_INTERVAL.match(step)
+            if not m:
+                raise UnsupportedClickHouseSQL(
+                    f"WITH FILL STEP {step}: temporal keys take "
+                    "STEP INTERVAL n unit"
+                )
+            step_sql = f"INTERVAL {m.group(1)} {m.group(2).upper()}"
+        else:
+            step_sql = (
+                "INTERVAL 1 DAY" if ktype == "date" else "INTERVAL 1 SECOND"
+            )
+        lo_sql, hi_sql = f"CAST('{lo}' AS {ktype})", f"CAST('{hi}' AS {ktype})"
+    spine = spark.sql(
+        f"SELECT explode(sequence({lo_sql}, {hi_sql}, {step_sql})) AS {key}"
+    )
+    if to is not None:  # explicit TO is exclusive
+        spine = spine.where(F.col(key) < F.lit(hi))
+    defaults = [
+        F.expr(_fill_type_default(fields[c])).cast(fields[c]).alias(c)
+        if c != key else F.col(key)
+        for c in base.columns
+    ]
+    fill_rows = (
+        spine.join(base.select(key), on=key, how="left_anti")
+        .select(*defaults)
+    )
+    return base.unionByName(fill_rows).orderBy(key)
 
 
 def _fail_with_fill(s: str) -> None:
     """``ORDER BY … WITH FILL [FROM|TO|STEP …]`` generates rows whose
     NON-fill columns take the column type's DEFAULT VALUE — that needs
-    the output schema, which query text alone doesn't carry.  Fail
-    fast toward the engine's gap-fill operator instead of silently
-    emitting a wrong shape."""
+    the output schema, which query text alone doesn't carry.  The
+    string-to-string path fails fast; :func:`run_clickhouse_sql` HAS a
+    SparkSession to resolve the schema and compiles the fill
+    (:func:`_parse_with_fill` / :func:`_run_with_fill`)."""
     toks = _scan_top(s)
     for t in range(len(toks) - 1):
         if (
@@ -1514,9 +2044,11 @@ def _fail_with_fill(s: str) -> None:
         ):
             raise UnsupportedClickHouseSQL(
                 "ORDER BY ... WITH FILL needs the output schema to "
-                "synthesize default-valued rows — use the engine's "
-                "gap-fill operator (q_gapfill_daily: dense calendar "
-                "generate + left join + coalesce)"
+                "synthesize default-valued rows — run the query via "
+                "run_clickhouse_sql (which resolves the schema and "
+                "compiles the gap-fill), or use the engine's gap-fill "
+                "operator (q_gapfill_daily: dense calendar generate + "
+                "left join + coalesce)"
             )
 
 
@@ -2170,7 +2702,6 @@ def _rewrite_with_totals(s: str) -> str:
 
 def _rewrite_clauses(s: str, final_keys) -> str:
     _fail_with_fill(s)
-    _fail_with_ties(s)
     s = _star_modifiers(s)
     s = _strip_settings_format(s)
     s = _rewrite_final(s, final_keys)
@@ -2181,6 +2712,7 @@ def _rewrite_clauses(s: str, final_keys) -> str:
     s = _merge_prewhere(s)
     s = _rewrite_with_totals(s)
     s = _rewrite_limit_by(s)
+    s = _rewrite_with_ties(s)
     return s
 
 
@@ -2313,15 +2845,35 @@ def _translate_tokens(sql: str, final_keys) -> str:
 
 def run_clickhouse_sql(spark, sql: str, sf_dir: str, final_keys=None):
     """Translate and execute a ClickHouse SQL query against the corpus
-    tables (registered as temp views from ``sf_dir``)."""
+    tables (registered as temp views from ``sf_dir``).  Registered
+    dictionaries referenced by the translated query are materialized
+    as temp views on demand (after the corpus views, so a SQL-defined
+    dictionary can select from them)."""
+    import os
+
     from clickbom_spark.session import read_table
 
     for t in (
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ):
-        import os
-
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             read_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(translate_clickhouse_sql(sql, final_keys=final_keys))
+    # ORDER BY ... WITH FILL needs the resolved output schema, which
+    # only this execution path has — the pure translator fails fast
+    fill = _parse_with_fill(sql)
+    if fill is not None:
+        return _run_with_fill(spark, fill, sf_dir, final_keys)
+    translated = translate_clickhouse_sql(sql, final_keys=final_keys)
+    for d in DICTIONARIES.values():
+        if d["view"] not in translated:
+            continue
+        src = d["source"]
+        if isinstance(src, str):
+            frame = spark.sql(translate_clickhouse_sql(src, final_keys=final_keys))
+        elif callable(src):
+            frame = src(spark, sf_dir)
+        else:
+            frame = src
+        frame.createOrReplaceTempView(d["view"])
+    return spark.sql(translated)

@@ -457,6 +457,12 @@ class VersionedLake:
                 )
         return out
 
+    def row_count(self, version: int | None = None) -> int:
+        """Exact row count of a snapshot, from the manifest alone — no
+        scan.  This is the statistic the dialect's integer ``SAMPLE n``
+        form needs (dialect.register_sampling_rowcount)."""
+        return int(self._manifest(version)["n_rows"])
+
     # ---- mutations (probe → affected subset → rewrite → commit) ----
 
     def _split_affected(self, probe_rows) -> list[str]:

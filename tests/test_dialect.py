@@ -1281,17 +1281,63 @@ def test_generic_if_and_distinct_combinators(spark):
     assert got.al == "a" and got.a is not None
 
 
-def test_with_ties_fails_fast_but_ties_cte_survives():
-    import pytest
-
-    with pytest.raises(UnsupportedClickHouseSQL, match="rank"):
+def test_with_ties_compiles_to_rank_window(spark):
+    """Round-10: LIMIT n WITH TIES compiles to the rank() <= n window
+    the old fail-fast pointed at — keeps every row tying the cutoff."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a'),(2,'b'),(2,'c'),(3,'d'),(3,'e') "
+        "AS t(x, y)"
+    ).createOrReplaceTempView("wt_t")
+    got = spark.sql(
         translate_clickhouse_sql(
-            "SELECT x FROM t ORDER BY x LIMIT 5 WITH TIES"
+            "SELECT x, y FROM wt_t ORDER BY x DESC LIMIT 2 WITH TIES"
         )
+    ).collect()
+    # cutoff is the 2nd-ranked x value (3): both x=3 rows AND nothing
+    # else — wait, rank()<=2 over DESC gives x=3 (rank 1,1) and x=2
+    # (rank 3) excluded?  rank of x=2 is 3 -> excluded; ties at the
+    # boundary value 3 are both kept.
+    assert sorted((r.x, r.y) for r in got) == [(3, "d"), (3, "e")]
+    got2 = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT x, y FROM wt_t ORDER BY x LIMIT 3 WITH TIES"
+        )
+    ).collect()
+    # ranks over ASC: x=1 ->1, x=2 ->2,2, x=3 ->4: rank<=3 keeps 1,2,2
+    assert sorted((r.x, r.y) for r in got2) == [(1, "a"), (2, "b"), (2, "c")]
+    # a CTE merely named ties still survives
     out = translate_clickhouse_sql(
         "WITH ties AS (SELECT 1 AS x) SELECT x FROM ties"
     )
     assert "ties" in out
+
+
+def test_with_ties_fail_fasts():
+    with pytest.raises(UnsupportedClickHouseSQL, match="ORDER BY"):
+        translate_clickhouse_sql("SELECT x FROM t LIMIT 5 WITH TIES")
+    with pytest.raises(UnsupportedClickHouseSQL, match="positional"):
+        translate_clickhouse_sql(
+            "SELECT x FROM t ORDER BY 1 LIMIT 5 WITH TIES"
+        )
+    with pytest.raises(UnsupportedClickHouseSQL, match="final clause"):
+        translate_clickhouse_sql(
+            "SELECT x FROM t ORDER BY x LIMIT 5 WITH TIES OFFSET 2"
+        )
+    with pytest.raises(UnsupportedClickHouseSQL, match="offset"):
+        translate_clickhouse_sql(
+            "SELECT x FROM t ORDER BY x LIMIT 2, 5 WITH TIES"
+        )
+
+
+def test_with_ties_composes_with_clause_rewrites(spark):
+    """WITH TIES runs LAST in the clause pipeline: FINAL on the body
+    must still be rewritten (the body is only wrapped opaque after)."""
+    sql = translate_clickhouse_sql(
+        "SELECT user_id, event_type, ts FROM events FINAL "
+        "ORDER BY user_id LIMIT 3 WITH TIES"
+    )
+    assert "__kl" in sql  # FINAL keep-latest wrapper made it inside
+    assert "rank() OVER" in sql
 
 
 def test_multiarg_uniq_counts_tuples(spark):
@@ -1315,3 +1361,246 @@ def test_multiarg_uniq_counts_tuples(spark):
     assert got.u == 3           # exact at this cardinality
     assert got.uei == 2         # gated: (1,x), (1,y) — NOT an
     assert got.ui == 2          # extra all-NULL tuple
+
+
+def test_dictget_family(spark):
+    """dictGet (registry default on a miss), dictGetOrDefault,
+    dictGetOrNull, dictHas, the typed variants' type defaults, and a
+    composite key — against a registered in-memory dictionary."""
+    from clickbom_spark.dialect import register_dictionary
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'alpha', 10.0), (2, 'beta', 20.0) "
+        "AS t(k, label, score)"
+    ).createOrReplaceTempView("__dict_dg_test")
+    register_dictionary(
+        "dg_test", lambda sp, sf: sp.table("__dict_dg_test"),
+        key="k", defaults={"label": "'none'"},
+    )
+    spark.sql(
+        "SELECT * FROM VALUES (1), (2), (3) AS t(id)"
+    ).createOrReplaceTempView("dg_rows")
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT id, dictGet('dg_test', 'label', id) AS l, "
+            "dictGetOrDefault('dg_test', 'label', id, 'missing') AS ld, "
+            "dictGetOrNull('dg_test', 'label', id) AS ln, "
+            "dictHas('dg_test', id) AS h, "
+            "dictGetString('dg_test', 'label', id) AS ls, "
+            "dictGetFloat64('dg_test', 'score', id) AS f "
+            "FROM dg_rows ORDER BY id"
+        )
+    ).collect()
+    assert [(r.l, r.ld, r.ln, r.h, r.ls, r.f) for r in got] == [
+        ("alpha", "alpha", "alpha", True, "alpha", 10.0),
+        ("beta", "beta", "beta", True, "beta", 20.0),
+        ("none", "missing", None, False, "", 0.0),
+    ]
+
+
+def test_dictget_composite_key(spark):
+    from clickbom_spark.dialect import register_dictionary
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a', 'one-a'), (1, 'b', 'one-b') "
+        "AS t(k1, k2, v)"
+    ).createOrReplaceTempView("__dict_dg_comp")
+    register_dictionary(
+        "dg_comp", lambda sp, sf: sp.table("__dict_dg_comp"),
+        key=("k1", "k2"), defaults={"v": "'?'"},
+    )
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT dictGet('dg_comp', 'v', tuple(1, 'a')) AS t1, "
+            "dictGet('dg_comp', 'v', (1, 'b')) AS t2, "
+            "dictGet('dg_comp', 'v', (2, 'a')) AS t3"
+        )
+    ).collect()[0]
+    assert (got.t1, got.t2, got.t3) == ("one-a", "one-b", "?")
+
+
+def test_dictget_broadcasts(spark):
+    """The declared 100 TB shape: each dictGet is a correlated scalar
+    subquery Catalyst rewrites into a join; a dictionary-sized right
+    side must come back as a BROADCAST hash join, never a shuffle."""
+    from clickbom_spark.dialect import register_dictionary, run_clickhouse_sql
+
+    register_dictionary(
+        "dg_nation",
+        "SELECT n_nationkey AS k, n_name AS nname FROM nation",
+        key="k", defaults={"nname": "'UNKNOWN'"},
+    )
+    df = run_clickhouse_sql(
+        spark,
+        "SELECT dictGet('dg_nation', 'nname', s_nationkey) AS nation, "
+        "count() AS n FROM supplier GROUP BY nation ORDER BY nation",
+        SF_SMOKE,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert df.count() > 0
+
+
+def test_dictget_fail_fasts():
+    from clickbom_spark.dialect import register_dictionary
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="register_dictionary"):
+        translate_clickhouse_sql("SELECT dictGet('nosuch', 'a', 1)")
+    register_dictionary("dg_ff", None, key="k", defaults={})
+    # untyped dictGet without a registered attribute default
+    with pytest.raises(UnsupportedClickHouseSQL, match="DEFAULT"):
+        translate_clickhouse_sql("SELECT dictGet('dg_ff', 'a', 1)")
+    # dictionary / attribute names must be string literals
+    with pytest.raises(UnsupportedClickHouseSQL, match="string literal"):
+        translate_clickhouse_sql("SELECT dictGetOrNull(name, 'a', 1)")
+    with pytest.raises(UnsupportedClickHouseSQL, match="string literal"):
+        translate_clickhouse_sql("SELECT dictGetOrNull('dg_ff', col, 1)")
+    # composite arity mismatch
+    register_dictionary("dg_ff2", None, key=("a", "b"))
+    with pytest.raises(UnsupportedClickHouseSQL, match="key has 2 parts"):
+        translate_clickhouse_sql(
+            "SELECT dictGetOrNull('dg_ff2', 'v', tuple(1, 2, 3))"
+        )
+    with pytest.raises(UnsupportedClickHouseSQL, match="composite"):
+        translate_clickhouse_sql("SELECT dictGetOrNull('dg_ff2', 'v', 1)")
+    # hierarchical traversals point at the graph operators
+    with pytest.raises(UnsupportedClickHouseSQL, match="graph"):
+        translate_clickhouse_sql("SELECT dictIsIn('dg_ff', 1, 2)")
+
+
+def test_with_fill_runs_via_run_clickhouse_sql(spark):
+    """Round-10: run_clickhouse_sql HAS the SparkSession, so it
+    resolves the output schema the translate-only fail-fast lacks and
+    compiles WITH FILL: dense spine, FROM inclusive / TO exclusive,
+    type defaults on generated rows, existing rows never duplicated."""
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    df = run_clickhouse_sql(
+        spark,
+        "SELECT s_nationkey AS nk, count() AS n, anyLast(s_name) AS nm "
+        "FROM supplier GROUP BY nk ORDER BY nk WITH FILL FROM 0 TO 30",
+        SF_SMOKE,
+    )
+    rows = df.collect()
+    assert [r.nk for r in rows] == list(range(30))  # dense, TO exclusive
+    real = [r for r in rows if r.n > 0]
+    filled = [r for r in rows if r.n == 0]
+    assert real and filled
+    assert all(r.nm == "" for r in filled)  # string type default
+    assert all(r.nm != "" for r in real)    # originals untouched
+
+    # integer STEP + implicit bounds (min/max of the data, inclusive)
+    df2 = run_clickhouse_sql(
+        spark,
+        "SELECT toInt64(s_nationkey * 2) AS k2, count() AS n "
+        "FROM supplier GROUP BY k2 ORDER BY k2 WITH FILL STEP 2",
+        SF_SMOKE,
+    )
+    k2 = [r.k2 for r in df2.collect()]
+    assert k2 == list(range(min(k2), max(k2) + 1, 2))
+
+    # date key: daily spine between min and max
+    df3 = run_clickhouse_sql(
+        spark,
+        "SELECT toDate(ts) AS d, count() AS n FROM events "
+        "GROUP BY d ORDER BY d WITH FILL",
+        SF_SMOKE,
+    )
+    d = [r.d for r in df3.collect()]
+    assert len(d) == (max(d) - min(d)).days + 1
+    assert d == sorted(d)
+
+
+def test_with_fill_translate_only_still_fails_fast():
+    with pytest.raises(UnsupportedClickHouseSQL, match="run_clickhouse_sql"):
+        translate_clickhouse_sql(
+            "SELECT d, n FROM t ORDER BY d WITH FILL STEP 1"
+        )
+
+
+def test_with_fill_run_fail_fasts(spark):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    cases = {
+        "float": "SELECT value AS v, count() AS n FROM events "
+                 "GROUP BY v ORDER BY v WITH FILL",
+        "bad step": "SELECT user_id AS u, count() AS n FROM events "
+                    "GROUP BY u ORDER BY u WITH FILL STEP 0",
+    }
+    for why, sql in cases.items():
+        with pytest.raises(UnsupportedClickHouseSQL):
+            run_clickhouse_sql(spark, sql, SF_SMOKE).collect()
+    # a fill key that is not an output column dies in the base query's
+    # own analysis (ORDER BY nope) — Spark's error, equally honest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        run_clickhouse_sql(
+            spark,
+            "SELECT count() AS n FROM events ORDER BY nope WITH FILL",
+            SF_SMOKE,
+        ).collect()
+
+
+def test_integer_sample_resolves_via_rowcount(spark):
+    """Round-10: SAMPLE n (integer row target) resolves to the
+    hash-range fraction n/total at plan-build when the table's row
+    count is registered — the statistic a VersionedLake manifest
+    carries exactly (lake.row_count()), matching ClickHouse's
+    approximate row-target semantics."""
+    from clickbom_spark.dialect import register_sampling_rowcount
+
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    register_sampling_rowcount("documents", total)
+    half = run_clickhouse_sql(
+        spark,
+        "SELECT count() AS n FROM documents SAMPLE 0.5",
+        SF_SMOKE,
+    ).collect()[0].n
+    target = run_clickhouse_sql(
+        spark,
+        f"SELECT count() AS n FROM documents SAMPLE {total // 2}",
+        SF_SMOKE,
+    ).collect()[0].n
+    assert target == half  # same resolved fraction, same hash members
+    everything = run_clickhouse_sql(
+        spark,
+        f"SELECT count() AS n FROM documents SAMPLE {total * 10}",
+        SF_SMOKE,
+    ).collect()[0].n
+    assert everything == total  # over-asking clamps to the whole table
+
+
+def test_integer_sample_fail_fasts(spark):
+    from clickbom_spark.dialect import register_sampling_rowcount
+
+    # events has a sampling KEY but no registered row count
+    with pytest.raises(UnsupportedClickHouseSQL, match="row count"):
+        translate_clickhouse_sql("SELECT count() FROM events SAMPLE 1000")
+    with pytest.raises(UnsupportedClickHouseSQL, match="fraction"):
+        translate_clickhouse_sql("SELECT count() FROM events SAMPLE 1.5")
+    register_sampling_rowcount("events", 100)
+    with pytest.raises(UnsupportedClickHouseSQL, match="OFFSET"):
+        translate_clickhouse_sql(
+            "SELECT count() FROM events SAMPLE 10 OFFSET 0.5"
+        )
+    with pytest.raises(ValueError):
+        register_sampling_rowcount("events2", 0)
+
+
+def test_lake_row_count_feeds_integer_sample(spark, tmp_path):
+    from clickbom_spark.dialect import register_sampling_rowcount
+    from clickbom_spark.ext.manifest import VersionedLake
+
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    lake = VersionedLake.create(spark, str(tmp_path / "lk"), df)
+    assert lake.row_count() == 100  # manifest-only, no scan
+    register_sampling_rowcount("lk_t", lake.row_count())
+    from clickbom_spark.dialect import register_sampling_key
+
+    register_sampling_key("lk_t", "k")
+    lake.read().createOrReplaceTempView("lk_t")
+    n = spark.sql(
+        translate_clickhouse_sql("SELECT count() AS n FROM lk_t SAMPLE 30")
+    ).collect()[0].n
+    assert 10 <= n <= 60  # hash-approximate around the 30-row target

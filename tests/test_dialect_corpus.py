@@ -589,7 +589,86 @@ CORPUS: list[tuple[str, str, str]] = [
                    AS BIGINT) / 4294967296.0 < 0.5
         """,
     ),
+    (
+        # gap-fill: ORDER BY ... WITH FILL compiles inside
+        # run_clickhouse_sql (schema-resolved spine, FROM inclusive /
+        # TO exclusive, type defaults on generated rows)
+        "order_by_with_fill",
+        """
+        SELECT s_nationkey AS nk, count() AS n, max(s_name) AS nm
+        FROM supplier GROUP BY nk
+        ORDER BY nk WITH FILL FROM 0 TO 30
+        """,
+        """
+        WITH b AS (SELECT s_nationkey AS nk, count(*) AS n,
+                          max(s_name) AS nm
+                   FROM supplier GROUP BY s_nationkey),
+             s AS (SELECT range AS nk FROM range(0, 30))
+        SELECT nk, n, nm FROM b
+        UNION ALL
+        SELECT s.nk, 0 AS n, '' AS nm FROM s
+        WHERE s.nk NOT IN (SELECT nk FROM b)
+        ORDER BY nk
+        """,
+    ),
+    (
+        # tie-keeping top-n: LIMIT n WITH TIES compiles to rank()<=n —
+        # every customer tying the 5th-highest order count is kept
+        "limit_with_ties",
+        """
+        SELECT o_custkey, count() AS n
+        FROM orders GROUP BY o_custkey
+        ORDER BY n DESC LIMIT 5 WITH TIES
+        """,
+        """
+        WITH b AS (SELECT o_custkey, count(*) AS n
+                   FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, n
+        FROM (SELECT b.*, rank() OVER (ORDER BY n DESC) AS rk FROM b)
+        WHERE rk <= 5 ORDER BY n DESC
+        """,
+    ),
+    (
+        # external dictionary lookups — the reference's license-map awk
+        # hash join (entrypoint.sh:253-266) as dictGet; registered
+        # below as a SQL-defined dictionary over nation.  Exercises the
+        # hit path (typed String), the miss path with the registered
+        # attribute default (untyped dictGet), and dictHas.
+        "dict_get",
+        """
+        SELECT dictGetString('corpus_nation_dict', 'nname', s_nationkey)
+                 AS nation,
+               dictGet('corpus_nation_dict', 'nname', s_nationkey + 100)
+                 AS missing_nation,
+               countIf(dictHas('corpus_nation_dict', s_nationkey)) AS hits,
+               count() AS n
+        FROM supplier GROUP BY nation, missing_nation ORDER BY nation
+        """,
+        """
+        WITH d AS (SELECT n_nationkey AS k, n_name AS nname FROM nation)
+        SELECT coalesce((SELECT max(nname) FROM d WHERE k = s_nationkey),
+                        '') AS nation,
+               coalesce((SELECT max(nname) FROM d
+                         WHERE k = s_nationkey + 100), 'NONE')
+                 AS missing_nation,
+               count(*) FILTER (WHERE EXISTS
+                 (SELECT 1 FROM d WHERE k = s_nationkey)) AS hits,
+               count(*) AS n
+        FROM supplier GROUP BY nation, missing_nation ORDER BY nation
+        """,
+    ),
 ]
+
+# the dict_get family's dictionary: SQL-defined over the corpus views,
+# materialized on demand by run_clickhouse_sql
+from clickbom_spark.dialect import register_dictionary  # noqa: E402
+
+register_dictionary(
+    "corpus_nation_dict",
+    "SELECT n_nationkey AS k, n_name AS nname FROM nation",
+    key="k",
+    defaults={"nname": "'NONE'"},
+)
 
 FAMILIES = [c[0] for c in CORPUS]
 assert len(set(FAMILIES)) == len(FAMILIES), "duplicate family"
