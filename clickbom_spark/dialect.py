@@ -504,14 +504,45 @@ def register_dictionary(name, source, key, defaults=None):
     for composite keys); ``defaults`` maps attribute name → the SQL
     literal returned on a missing key (required only for the UNtyped
     ``dictGet``, whose default lives in ClickHouse's dictionary DDL —
-    typed variants carry their own type default)."""
+    typed variants carry their own type default).
+
+    Scoping caveat: inside the generated correlated subquery,
+    unqualified outer references resolve innermost-first, so a caller
+    key EXPRESSION naming a column the dictionary view also has would
+    silently bind to the view (a tautological predicate).  The known
+    view columns (keys, defaulted attributes, and — when ``source`` is
+    a DataFrame — its full schema) are collision-checked at translate
+    time; pick dictionary column names that don't collide with fact
+    columns."""
     keys = (key,) if isinstance(key, str) else tuple(key)
+    known = {k.lower() for k in keys} | {a.lower() for a in (defaults or {})}
+    cols = getattr(source, "columns", None)
+    if cols is not None:  # DataFrame source: the full schema is known
+        known |= {c.lower() for c in cols}
     DICTIONARIES[name.lower()] = {
         "view": f"__dict_{name.lower()}",
         "source": source,
         "key": keys,
         "defaults": dict(defaults or {}),
+        "known_cols": known,
     }
+
+
+def _dict_check_shadowing(fn: str, d: dict, expr: str) -> None:
+    """Fail fast when a caller-side expression contains an identifier
+    the dictionary view is known to own — the correlated subquery
+    would bind it to the VIEW (innermost scope wins) and the keyed
+    lookup silently degenerates to a whole-dictionary aggregate."""
+    for m in _IDENT.finditer(expr):
+        if m.group(0).lower() in d["known_cols"]:
+            raise UnsupportedClickHouseSQL(
+                f"{fn}: the expression {expr.strip()!r} references "
+                f"{m.group(0)!r}, which is also a column of the "
+                "dictionary view — inside the correlated subquery it "
+                "would bind to the dictionary, not the outer row.  "
+                "Rename the dictionary column (register_dictionary) or "
+                "alias the outer column before the lookup."
+            )
 
 
 def _dict_literal(fn: str, arg: str, what: str) -> str:
@@ -536,8 +567,9 @@ def _dict_entry(fn: str, name: str) -> dict:
 def _dict_key_cond(fn: str, d: dict, key_arg: str) -> str:
     keys = d["key"]
     ka = key_arg.strip()
+    _dict_check_shadowing(fn, d, ka)
     if len(keys) == 1:
-        return f"{keys[0]} = ({ka})"
+        return f"__dk.{keys[0]} = ({ka})"
     low = ka.lower()
     if (low.startswith("tuple(") or low.startswith("struct(")) and ka.endswith(")"):
         inner = ka[ka.index("(") + 1: -1]
@@ -554,7 +586,9 @@ def _dict_key_cond(fn: str, d: dict, key_arg: str) -> str:
             f"{fn}: dictionary key has {len(keys)} parts, call "
             f"supplies {len(parts)}"
         )
-    return " AND ".join(f"{k} = ({p.strip()})" for k, p in zip(keys, parts))
+    return " AND ".join(
+        f"__dk.{k} = ({p.strip()})" for k, p in zip(keys, parts)
+    )
 
 
 def _dict_lookup(fn: str, a: list[str], min_args: int) -> tuple[dict, str, str]:
@@ -574,7 +608,10 @@ def _dict_lookup(fn: str, a: list[str], min_args: int) -> tuple[dict, str, str]:
         )
     d = _dict_entry(fn, name)
     cond = _dict_key_cond(fn, d, a[2])
-    sub = f"(SELECT max({attr}) FROM {d['view']} WHERE {cond})"
+    sub = (
+        f"(SELECT max(__dk.{attr}) FROM {d['view']} AS __dk "
+        f"WHERE {cond})"
+    )
     return d, attr, sub
 
 
@@ -603,10 +640,14 @@ def _dict_get_or_null(a: list[str]) -> str:
 
 def _dict_has(a: list[str]) -> str:
     fn = "dictHas"
+    if len(a) < 2:
+        raise UnsupportedClickHouseSQL(f"{fn} takes (dictionary, key)")
     name = _dict_literal(fn, a[0], "dictionary name")
     d = _dict_entry(fn, name)
     cond = _dict_key_cond(fn, d, a[1])
-    return f"((SELECT count(1) FROM {d['view']} WHERE {cond}) > 0)"
+    return (
+        f"((SELECT count(1) FROM {d['view']} AS __dk WHERE {cond}) > 0)"
+    )
 
 
 # ClickHouse type name → (Spark cast type, type default on a miss).
@@ -1400,6 +1441,16 @@ def _rewrite_sample(s: str) -> str:
         if hit is None:
             return s
         raw = toks[hit + 1][1]
+        # _NUM stops before an exponent marker, so `1e3` scans as num
+        # '1' + ident 'e3' — gluing would silently mistranslate the
+        # value AND corrupt the generated alias; fail fast instead
+        after = toks[hit + 1][3]
+        if after < len(s) and s[after] in "eE":
+            raise UnsupportedClickHouseSQL(
+                f"SAMPLE {raw}{s[after]}...: exponent literals are not "
+                "parsed — write the plain form (SAMPLE 0.001 or "
+                "SAMPLE 1000)"
+            )
         frac = float(raw)
         row_target = None
         if frac > 1:
@@ -1419,8 +1470,20 @@ def _rewrite_sample(s: str) -> str:
             and toks[end][1].upper() == "OFFSET"
             and toks[end + 1][0] == "num"
         ):
+            o_after = toks[end + 1][3]
+            if o_after < len(s) and s[o_after] in "eE":
+                raise UnsupportedClickHouseSQL(
+                    "SAMPLE ... OFFSET with an exponent literal is "
+                    "not parsed — write the plain form"
+                )
             offset = float(toks[end + 1][1])
             end += 2
+        # SAMPLE 1 is the whole table (fraction 1.0, ClickHouse
+        # semantics) — strip the clause instead of paying a
+        # per-row hash that always passes
+        if frac == 1.0 and row_target is None and offset == 0.0:
+            s = s[: toks[hit][2]] + s[toks[end - 1][3]:]
+            continue
         # walk back over [AS] alias to the source (ident or translated
         # subquery group) introduced by FROM/JOIN
         src_at = hit - 1
@@ -1713,14 +1776,68 @@ _FORMATS_OK = {
 }
 
 
+def _order_keys(txt: str) -> list[tuple[str, bool, str | None]]:
+    """Split an ORDER BY body at top-level commas into
+    ``(expr, desc, explicit_nulls)`` triples."""
+    toks = _scan_top(txt)
+    spans, start = [], 0
+    for t in toks:
+        if t[0] == "sym" and t[1] == ",":
+            spans.append(txt[start: t[2]])
+            start = t[3]
+    spans.append(txt[start:])
+    out = []
+    for p in spans:
+        ptoks = _scan_top(p)
+        desc, nulls, end = False, None, len(p)
+        if (
+            len(ptoks) >= 2
+            and ptoks[-2][0] == "ident"
+            and ptoks[-2][1].upper() == "NULLS"
+            and ptoks[-1][0] == "ident"
+            and ptoks[-1][1].upper() in ("FIRST", "LAST")
+        ):
+            nulls = ptoks[-1][1].upper()
+            end = ptoks[-2][2]
+            ptoks = ptoks[:-2]
+        if (
+            ptoks
+            and ptoks[-1][0] == "ident"
+            and ptoks[-1][1].upper() in ("ASC", "DESC")
+        ):
+            desc = ptoks[-1][1].upper() == "DESC"
+            end = min(end, ptoks[-1][2])
+        out.append((p[:end].strip(), desc, nulls))
+    return out
+
+
+def _ch_order_spec(keys) -> str:
+    """Render keys with ClickHouse's NULL default made EXPLICIT: NULL
+    sorts as larger than everything (ASC → NULLS LAST, DESC → NULLS
+    FIRST), where Spark's default is the opposite."""
+    parts = []
+    for expr, desc, nulls in keys:
+        nulls = nulls or ("FIRST" if desc else "LAST")
+        parts.append(f"{expr} {'DESC' if desc else 'ASC'} NULLS {nulls}")
+    return ", ".join(parts)
+
+
 def _rewrite_with_ties(s: str) -> str:
     """``… ORDER BY keys LIMIT n WITH TIES`` keeps every row tying the
-    cutoff ORDER BY value — Spark has no WITH TIES (nor QUALIFY), so
-    compile the equivalent rank() window: wrap the body, rank over the
-    same keys, keep rank <= n, drop the rank column, re-order.  Runs
-    LAST in the clause pipeline so FINAL/SAMPLE/PREWHERE/LIMIT BY have
-    already processed this level before the body becomes an opaque
-    subquery."""
+    cutoff ORDER BY value — Spark has no WITH TIES (nor QUALIFY).
+
+    Single-key ORDER BY (the common form) compiles to a DISTRIBUTED
+    cutoff filter: the n-th key value comes from a ``LIMIT 1 OFFSET
+    n-1`` scalar subquery (TakeOrderedAndProject — top-k per
+    partition, never a global sort) and the body keeps rows at or
+    better than it, which is exactly rank() <= n.  Multi-key falls
+    back to the rank() window wrap, whose single ORDER BY partition is
+    the honest cost of a composite tie definition.  ClickHouse's NULL
+    placement (NULL sorts LAST ascending, FIRST descending — the
+    opposite of Spark's default) is made explicit in every generated
+    ORDER BY.  Runs LAST in the clause pipeline so FINAL/SAMPLE/
+    PREWHERE/LIMIT BY have already processed this level before the
+    body becomes an opaque subquery."""
     toks = _scan_top(s)
     hit = None
     for t in range(len(toks) - 3):
@@ -1801,10 +1918,42 @@ def _rewrite_with_ties(s: str) -> str:
                 "name the column (rank() over a literal is a constant)"
             )
     body = s[: toks[order_at][2]].strip()
+    keys = _order_keys(order_txt)
+    spec = _ch_order_spec(keys)
+    if len(keys) > 1:
+        return (
+            f"SELECT * EXCEPT (__rk) FROM (SELECT __wt.*, rank() OVER "
+            f"(ORDER BY {spec}) AS __rk FROM ({body}) AS __wt) "
+            f"WHERE __rk <= {n} ORDER BY {spec}"
+        )
+    # single key: distributed cutoff filter (top-k, no global window).
+    # rank() <= n  ⟺  key at-or-better-than the n-th sorted value;
+    # the OFFSET subquery returns NULL when the body has < n rows OR
+    # when the n-th value IS NULL — disambiguated by null placement.
+    expr, desc, nulls = keys[0]
+    nulls = nulls or ("FIRST" if desc else "LAST")
+    cut = (
+        f"(SELECT {expr} AS __ct FROM ({body}) AS __wt ORDER BY "
+        f"{spec} LIMIT 1 OFFSET {int(n) - 1})"
+    )
+    cmp_op = ">=" if desc else "<="
+    if nulls == "LAST":
+        # NULLs rank worst: a NULL cutoff means "keep everything"
+        # (short body, or the cutoff itself fell into the NULL tail)
+        cond = f"({cut}) IS NULL OR ({expr}) {cmp_op} ({cut})"
+    else:
+        # NULLs rank best: they are always within the top n; a NULL
+        # cutoff with a FULL body means ONLY the NULL tier survives,
+        # so the keep-all arm must check the body length explicitly
+        short = (
+            f"(SELECT count(1) FROM (SELECT 1 AS __c FROM ({body}) "
+            f"AS __wb LIMIT {n}) AS __wl) < {n}"
+        )
+        cond = (
+            f"({short}) OR ({expr}) IS NULL OR ({expr}) {cmp_op} ({cut})"
+        )
     return (
-        f"SELECT * EXCEPT (__rk) FROM (SELECT __wt.*, rank() OVER "
-        f"(ORDER BY {order_txt}) AS __rk FROM ({body}) AS __wt) "
-        f"WHERE __rk <= {n} ORDER BY {order_txt}"
+        f"SELECT * FROM ({body}) AS __wt WHERE {cond} ORDER BY {spec}"
     )
 
 
@@ -1949,11 +2098,18 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
 
     base_sql, key, frm, to, step = spec
     base = run_clickhouse_sql(spark, base_sql, sf_dir, final_keys=final_keys)
+    # the plan reads base up to three times (bounds aggregate,
+    # anti-join right side, union left side) — persist so the base
+    # query runs once, not three times
+    base = base.persist()
     fields = {f.name: f.dataType.simpleString() for f in base.schema.fields}
-    if key not in fields:
+    # SQL identifiers are case-insensitive; the schema is not
+    by_lower = {f.lower(): f for f in fields}
+    if key.lower() not in by_lower:
         raise UnsupportedClickHouseSQL(
             f"WITH FILL key {key} is not an output column of the query"
         )
+    key = by_lower[key.lower()]
     ktype = fields[key]
     integral = ktype in ("tinyint", "smallint", "int", "bigint")
     temporal = ktype == "date" or ktype.startswith("timestamp")
@@ -2865,10 +3021,18 @@ def run_clickhouse_sql(spark, sql: str, sf_dir: str, final_keys=None):
     if fill is not None:
         return _run_with_fill(spark, fill, sf_dir, final_keys)
     translated = translate_clickhouse_sql(sql, final_keys=final_keys)
-    for d in DICTIONARIES.values():
-        if d["view"] not in translated:
+    for dname, d in DICTIONARIES.items():
+        # word-boundary match: '__dict_nation' must not fire on a
+        # query that only references '__dict_nation_ext'
+        if not re.search(rf"{re.escape(d['view'])}(?![A-Za-z0-9_])", translated):
             continue
         src = d["source"]
+        if src is None:
+            raise UnsupportedClickHouseSQL(
+                f"dictionary '{dname}' was registered without a "
+                "source — re-register with a DataFrame, a (spark, "
+                "sf_dir) callable, or a SQL string to execute lookups"
+            )
         if isinstance(src, str):
             frame = spark.sql(translate_clickhouse_sql(src, final_keys=final_keys))
         elif callable(src):

@@ -1293,10 +1293,8 @@ def test_with_ties_compiles_to_rank_window(spark):
             "SELECT x, y FROM wt_t ORDER BY x DESC LIMIT 2 WITH TIES"
         )
     ).collect()
-    # cutoff is the 2nd-ranked x value (3): both x=3 rows AND nothing
-    # else — wait, rank()<=2 over DESC gives x=3 (rank 1,1) and x=2
-    # (rank 3) excluded?  rank of x=2 is 3 -> excluded; ties at the
-    # boundary value 3 are both kept.
+    # DESC ranks over x=[3,3,2,1(,1)] are 1,1,3,4: rank<=2 keeps only
+    # the two x=3 rows — the boundary tie is kept, nothing below it
     assert sorted((r.x, r.y) for r in got) == [(3, "d"), (3, "e")]
     got2 = spark.sql(
         translate_clickhouse_sql(
@@ -1337,7 +1335,71 @@ def test_with_ties_composes_with_clause_rewrites(spark):
         "ORDER BY user_id LIMIT 3 WITH TIES"
     )
     assert "__kl" in sql  # FINAL keep-latest wrapper made it inside
+    assert "LIMIT 1 OFFSET 2" in sql  # single-key cutoff-filter form
+
+
+def test_with_ties_single_key_avoids_global_window(spark):
+    """The 100 TB shape: a single-key WITH TIES compiles to a
+    distributed top-k cutoff (TakeOrderedAndProject) + filter — never
+    an unpartitioned rank() window over the whole body."""
+    df = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC LIMIT 10 WITH TIES"
+        ).replace("orders", f"parquet.`{SF_SMOKE}/orders.parquet`")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert df.count() >= 10
+
+
+def test_with_ties_null_placement_matches_clickhouse(spark):
+    """ClickHouse sorts NULL as LARGER than everything (ASC → last,
+    DESC → first) — the opposite of Spark's default; both compiled
+    forms must make that explicit."""
+    spark.sql(
+        "SELECT * FROM VALUES (1), (2), (2), (CAST(NULL AS INT)), "
+        "(CAST(NULL AS INT)) AS t(x)"
+    ).createOrReplaceTempView("wtn_t")
+    # ASC: NULLs rank worst; top-3 is 1,2,2 — no NULL leaks in
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT x FROM wtn_t ORDER BY x LIMIT 3 WITH TIES"
+        )
+    ).collect()
+    assert sorted(r.x for r in got) == [1, 2, 2]
+    # DESC: NULLs rank best; cutoff at rank 2 is NULL → exactly the
+    # NULL tier survives
+    got2 = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT x FROM wtn_t ORDER BY x DESC LIMIT 2 WITH TIES"
+        )
+    ).collect()
+    assert [r.x for r in got2] == [None, None]
+    # DESC with n exceeding the row count keeps everything
+    got3 = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT x FROM wtn_t ORDER BY x DESC LIMIT 99 WITH TIES"
+        )
+    ).collect()
+    assert len(got3) == 5
+
+
+def test_with_ties_multi_key_rank_window(spark):
+    """Composite tie definitions fall back to the rank() window (the
+    honest cost) with ClickHouse NULL placement injected."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a'),(1,'b'),(1,'a'),(2,'z') AS t(x, y)"
+    ).createOrReplaceTempView("wtm_t")
+    sql = translate_clickhouse_sql(
+        "SELECT x, y FROM wtm_t ORDER BY x, y LIMIT 2 WITH TIES"
+    )
     assert "rank() OVER" in sql
+    assert "NULLS LAST" in sql
+    got = spark.sql(sql).collect()
+    # ranks over (x,y): (1,a)=1,1 (1,b)=3 (2,z)=4 → rank<=2 keeps both (1,a)
+    assert sorted((r.x, r.y) for r in got) == [(1, "a"), (1, "a")]
 
 
 def test_multiarg_uniq_counts_tuples(spark):
@@ -1604,3 +1666,66 @@ def test_lake_row_count_feeds_integer_sample(spark, tmp_path):
         translate_clickhouse_sql("SELECT count() AS n FROM lk_t SAMPLE 30")
     ).collect()[0].n
     assert 10 <= n <= 60  # hash-approximate around the 30-row target
+
+
+def test_dictget_shadowing_fail_fast():
+    """Fifth-round-style review fix: a caller key expression naming a
+    column the dictionary view owns would bind to the VIEW inside the
+    correlated subquery (innermost scope) — a tautological predicate
+    returning max(attr) over the whole dictionary.  Fail fast."""
+    from clickbom_spark.dialect import register_dictionary
+
+    register_dictionary(
+        "dg_shadow", None, key="user_id", defaults={"v": "0"}
+    )
+    with pytest.raises(UnsupportedClickHouseSQL, match="bind to the dict"):
+        translate_clickhouse_sql(
+            "SELECT dictGet('dg_shadow', 'v', user_id) FROM events"
+        )
+    # non-colliding expressions still translate, view-qualified
+    out = translate_clickhouse_sql(
+        "SELECT dictGet('dg_shadow', 'v', event_id) FROM events"
+    )
+    assert "__dk.user_id = (event_id)" in out
+    # arity check on dictHas raises the dialect error, not IndexError
+    with pytest.raises(UnsupportedClickHouseSQL, match="dictionary, key"):
+        translate_clickhouse_sql("SELECT dictHas('dg_shadow')")
+
+
+def test_sample_exponent_literals_fail_fast():
+    with pytest.raises(UnsupportedClickHouseSQL, match="exponent"):
+        translate_clickhouse_sql("SELECT count() FROM events SAMPLE 1e3")
+    with pytest.raises(UnsupportedClickHouseSQL, match="exponent"):
+        translate_clickhouse_sql("SELECT count() FROM events SAMPLE 5e-1")
+    # SAMPLE 1 is the whole table: the clause strips, no per-row hash
+    out = translate_clickhouse_sql("SELECT count(*) FROM events SAMPLE 1")
+    assert "md5" not in out and "SAMPLE" not in out
+
+
+def test_dict_view_materialization_word_boundary(spark):
+    """'__dict_nation' must not be materialized by a query that only
+    references '__dict_nation_ext' (prefix false-positive)."""
+    from clickbom_spark.dialect import register_dictionary, run_clickhouse_sql
+
+    register_dictionary("wb", None, key="k")  # unmaterializable
+    register_dictionary(
+        "wb_ext",
+        "SELECT n_nationkey AS k, n_name AS nm FROM nation",
+        key="k",
+    )
+    # only wb_ext is referenced: the sourceless 'wb' must NOT be
+    # touched (a substring match would crash on None.createOrReplace…)
+    df = run_clickhouse_sql(
+        spark,
+        "SELECT dictGetString('wb_ext', 'nm', s_nationkey) AS nm, "
+        "count() AS n FROM supplier GROUP BY nm ORDER BY nm",
+        SF_SMOKE,
+    )
+    assert df.count() > 0
+    # referencing the sourceless one errors clearly
+    with pytest.raises(UnsupportedClickHouseSQL, match="without a"):
+        run_clickhouse_sql(
+            spark,
+            "SELECT dictGetOrNull('wb', 'k', s_nationkey) FROM supplier",
+            SF_SMOKE,
+        )
