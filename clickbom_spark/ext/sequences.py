@@ -102,10 +102,23 @@ def window_funnel_level(
     chain (the A→B→D→C example — the search for A→B→C stops at D); a
     fresh chain may start afterwards.  Level-0 events must then be
     KEPT in the fold, so per-key state covers all events, exactly the
-    cost ClickHouse pays.  (strict_dedup / strict_increase need chain
-    identity / per-step times, which the best-chain-start compression
-    deliberately drops — they would be a different state shape, not a
-    flag here.)
+    cost ClickHouse pays.
+
+    ``mode='strict_deduplication'`` / ``mode='strict_increase'`` need
+    the per-level (chain-first, last-step) PAIR state ClickHouse
+    itself keeps (public AggregateFunctionWindowFunnel:
+    ``events_timestamp[i] = {first_ts, this_ts}``), so they route to
+    :func:`_window_funnel_pairs`:
+
+    * strict_deduplication — an event matching condition ``j >= 2``
+      whose level-``j`` slot is ALREADY SET interrupts further
+      processing; the depth achieved so far is the final answer
+      (repeated level-1 events just restart chains, mirroring the
+      source's unconditional first-slot overwrite).
+    * strict_increase — step ``j`` only advances when the previous
+      step's LAST event time is STRICTLY before this event
+      (equal-timestamp chains stall, exactly the source's
+      ``events_timestamp[j-1]->second < timestamp`` check).
 
     Greedy fold over the time-ordered stream (later chain starts are
     never worse — they leave more window for future steps), so the
@@ -122,7 +135,10 @@ def window_funnel_level(
     ``level`` 0 are dropped before the collect, so per-key state is
     bounded by the matching events only.
     """
-    if mode not in ("default", "strict_order"):
+    if mode not in (
+        "default", "strict_order", "strict_deduplication",
+        "strict_increase",
+    ):
         raise ValueError(f"unknown windowFunnel mode: {mode!r}")
     src = df.select(
         *[F.col(c) for c in key_cols],
@@ -130,8 +146,12 @@ def window_funnel_level(
         tie.alias("_tb"),
         level.cast("int").alias("_l"),
     )
-    if mode == "default":
+    if mode != "strict_order":
         src = src.where(F.col("_l") > 0)
+    if mode in ("strict_deduplication", "strict_increase"):
+        return _window_funnel_pairs(
+            src, key_cols, n_levels, window_us, out_col, mode
+        )
     packed = F.array_sort(
         F.collect_list(F.struct(F.col("_t").alias("t"),
                                 F.col("_tb").alias("tb"),
@@ -188,6 +208,106 @@ def window_funnel_level(
     depth = _depth_of(state)
     if mode == "strict_order":
         depth = F.greatest(depth, F.element_at(state, n_levels + 1))
+    return src.groupBy(*key_cols).agg(
+        depth.cast("long").alias(out_col)
+    )
+
+
+def _window_funnel_pairs(
+    src: DataFrame,
+    key_cols: Sequence[str],
+    n_levels: int,
+    window_us: int,
+    out_col: str,
+    mode: str,
+) -> DataFrame:
+    """windowFunnel fold with ClickHouse's OWN per-level state: one
+    ``(chain_first_ts, last_step_ts)`` pair per level, last-write-wins
+    (the source overwrites unconditionally whenever the time check
+    passes — equivalent to keep-max because the previous level's first
+    timestamp is non-decreasing over the scan).  The pair carries the
+    information the compressed best-start fold drops: ``last_step_ts``
+    anchors strict_increase's strictly-before check, and slot
+    OCCUPANCY anchors strict_deduplication's interruption rule.
+
+    State layout (``2·n_levels + 1`` bigints): ``[f1, l1, …, fn, ln,
+    frozen]`` where ``frozen`` is -1 while scanning and the final
+    depth once strict_deduplication interrupts (strict_increase never
+    freezes).  Level-0 rows are dropped upstream — neither mode
+    reacts to non-matching events.  Pure integer fold over the
+    per-key (ts, tie)-sorted array: deterministic, engine-portable,
+    replayed verbatim by the DuckDB list_reduce oracles in
+    queries/staged_r11.py."""
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col("_t").alias("t"),
+                                F.col("_tb").alias("tb"),
+                                F.col("_l").alias("l")))
+    )
+    seed = F.array(
+        *[F.lit(_WF_NEG).cast("long") for _ in range(2 * n_levels)],
+        F.lit(-1).cast("long"),
+    )
+    frozen_at = 2 * n_levels + 1
+
+    def _f(acc, k):  # chain-first slot of level k (1-based)
+        return F.element_at(acc, 2 * k - 1)
+
+    def _last(acc, k):  # last-step slot of level k
+        return F.element_at(acc, 2 * k)
+
+    def _depth(acc: Column) -> Column:
+        d = None
+        for k in range(1, n_levels + 1):
+            b = F.when(_f(acc, k) > F.lit(_WF_NEG), 1).otherwise(0)
+            d = b if d is None else d + b
+        return d.cast("long")
+
+    def step(acc: Column, x: Column) -> Column:
+        frozen = F.element_at(acc, frozen_at)
+        if mode == "strict_deduplication":
+            # static per-level slot checks (mirrors the DuckDB oracle,
+            # where a non-constant list index inside the fold lambda
+            # hits a vectorization bug in 1.0)
+            stop = F.lit(False)
+            for k in range(2, n_levels + 1):
+                stop = stop | ((x["l"] == k) & (_f(acc, k) > F.lit(_WF_NEG)))
+        else:
+            stop = F.lit(False)
+        slots = []
+        for k in range(1, n_levels + 1):
+            if k == 1:
+                hit = x["l"] == 1
+                new_f, new_l = x["t"], x["t"]
+            else:
+                hit = (
+                    (x["l"] == k)
+                    & (_f(acc, k - 1) > F.lit(_WF_NEG))
+                    & (x["t"] <= _f(acc, k - 1) + F.lit(window_us))
+                )
+                if mode == "strict_increase":
+                    hit = hit & (_last(acc, k - 1) < x["t"])
+                new_f, new_l = _f(acc, k - 1), x["t"]
+            keep_f, keep_l = _f(acc, k), _last(acc, k)
+            advance = hit & ~stop
+            slots.append(F.when(advance, new_f).otherwise(keep_f))
+            slots.append(F.when(advance, new_l).otherwise(keep_l))
+        # ClickHouse returns the DUPLICATE's condition number on an
+        # interruption (AggregateFunctionWindowFunnel early-returns
+        # events_list[i].second), which can be SMALLER than the depth
+        # already achieved — e.g. A B C then a duplicate B yields 2
+        new_frozen = (
+            F.when(stop, x["l"].cast("long")).otherwise(frozen)
+            if mode == "strict_deduplication" else frozen
+        )
+        updated = F.array(*slots, new_frozen)
+        # once interrupted, the scan is over: state never changes again
+        return F.when(frozen >= 0, acc).otherwise(updated)
+
+    state = F.aggregate(packed, seed, step)
+    depth = F.when(
+        F.element_at(state, frozen_at) >= 0,
+        F.element_at(state, frozen_at),
+    ).otherwise(_depth(state))
     return src.groupBy(*key_cols).agg(
         depth.cast("long").alias(out_col)
     )

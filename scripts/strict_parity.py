@@ -99,11 +99,11 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--staged"]
     queries = dict(REGISTRY)
     if "--staged" in sys.argv[1:]:
-        # the r6..r9 waves are live in REGISTRY already; --staged
-        # now adds the round-10 holdout
-        from clickbom_spark.queries.staged_r10 import STAGED_R10
+        # the r6..r10 waves are live in REGISTRY already; --staged
+        # now adds the round-11 holdout
+        from clickbom_spark.queries.staged_r11 import STAGED_R11
 
-        queries.update(STAGED_R10)
+        queries.update(STAGED_R11)
     only = set(args)
     fails, errs = [], []
     for name, spec in queries.items():
