@@ -93,6 +93,19 @@ clear error rather than silently mis-translating):
   NULL when any argument is NULL, Spark skips them); ``cityHash64``→
   xxhash64 (a STABLE surrogate for bucketing/sampling, not
   ClickHouse's hash values — documented at the mapping)
+- JSON: ``JSONExtractString/Int/UInt/Float/Bool/Raw`` (literal key /
+  1-based-index paths → get_json_object JSONPath; typed variants
+  return the ClickHouse type default on a miss), ``JSONHas`` (a
+  stored JSON null reads as missing — documented delta),
+  ``JSONLength``, and the ``simpleJSON*``/``visitParam*`` single-key
+  fast-path spellings
+- formatting/regex: ``formatDateTime`` (strftime specifiers →
+  DateTimeFormatter, literal runs quoted, unknown ``%x`` fail fast),
+  ``extractAll`` (capture-group arity decides the extraction index at
+  translate time), ``countMatches``
+- more array/misc: ``arrayMin/arrayMax/arrayAvg/arrayZip/
+  arrayEnumerate`` (empty-array safe), ``tuple``→struct,
+  ``mapKeys/mapValues``, ``materialize`` (no-op), ``ignore``→0
 - DDL bridge: :func:`register_table_ddl` parses a ClickHouse ``CREATE
   TABLE`` statement (the reference's own DDL) and auto-registers the
   FINAL (ReplacingMergeTree version + ORDER BY key) and SAMPLE BY
@@ -703,6 +716,187 @@ def _dict_hierarchy_pointer(name: str):
     return h
 
 
+# ---------------------------------------------------------------------------
+# JSON extraction family.  ClickHouse JSONExtract*(json, keys...) walk
+# a path of string keys / 1-based array indices; Spark's
+# get_json_object walks a $.a.b[i] JSONPath (0-based) — the path is
+# assembled at translate time, so keys must be literals.  The
+# simpleJSON*/visitParam* single-key fast-path functions share the
+# mapping (their documented restriction — top-level keys only — is a
+# subset of what the mapping supports).
+# ---------------------------------------------------------------------------
+
+
+def _json_path(fn: str, args: list[str]) -> str:
+    if len(args) < 1:
+        raise UnsupportedClickHouseSQL(f"{fn} takes (json, keys...)")
+    parts = []
+    for a in args[1:]:
+        t = a.strip()
+        if len(t) >= 2 and t[0] == "'" and t[-1] == "'" and "'" not in t[1:-1]:
+            key = t[1:-1]
+            if not re.fullmatch(r"[A-Za-z0-9_\- ]+", key):
+                raise UnsupportedClickHouseSQL(
+                    f"{fn}: key {key!r} needs JSONPath quoting — only "
+                    "word-character keys are translated"
+                )
+            parts.append(f".{key}" if " " not in key and "-" not in key
+                         else f"['{key}']")
+        elif re.fullmatch(r"\d+", t):
+            n = int(t)
+            if n < 1:
+                raise UnsupportedClickHouseSQL(
+                    f"{fn}: array indices are 1-based in ClickHouse "
+                    "(0 is invalid)"
+                )
+            parts.append(f"[{n - 1}]")
+        else:
+            raise UnsupportedClickHouseSQL(
+                f"{fn}: path elements must be string literals or "
+                f"positive integer literals (got {a.strip()!r}) — "
+                "dynamic JSON paths have no get_json_object mapping"
+            )
+    return f"get_json_object({args[0]}, '$" + "".join(parts) + "')"
+
+
+# ClickHouse JSONExtract<type> returns the TYPE DEFAULT on a missing
+# key / wrong type; the cast+coalesce pair reproduces that.
+_JSON_TYPED = {
+    "string": ("string", "''"),
+    "int": ("bigint", "0"),
+    "uint": ("bigint", "0"),
+    "float": ("double", "0"),
+    "bool": ("boolean", "false"),
+}
+
+
+def _json_extract_typed(ch_type: str, single_key: bool = False):
+    cast_to, default = _JSON_TYPED[ch_type]
+
+    def h(a: list[str]) -> str:
+        fn = f"JSONExtract{ch_type.capitalize()}"
+        if single_key and len(a) != 2:
+            raise UnsupportedClickHouseSQL(
+                f"simpleJSON/visitParam {fn} takes exactly (json, key)"
+            )
+        g = _json_path(fn, a)
+        if ch_type == "string":
+            return f"coalesce({g}, {default})"
+        return f"coalesce(try_cast({g} AS {cast_to}), {default})"
+
+    return h
+
+
+def _json_has(a: list[str]) -> str:
+    # delta (documented): a stored JSON null reads as missing
+    return f"({_json_path('JSONHas', a)} IS NOT NULL)"
+
+
+def _json_length(a: list[str]) -> str:
+    g = _json_path("JSONLength", a) if len(a) > 1 else a[0]
+    return (
+        f"coalesce(json_array_length({g}), "
+        f"size(json_object_keys({g})), 0)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# formatDateTime — ClickHouse's strftime-style formatter, converted
+# specifier-by-specifier to a Java DateTimeFormatter pattern for
+# date_format; literal runs are single-quoted so format letters in
+# the text can't leak into the pattern.  Unknown specifiers fail fast.
+# ---------------------------------------------------------------------------
+
+_FDT_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
+    "I": "hh", "M": "mm", "S": "ss", "F": "yyyy-MM-dd",
+    "T": "HH:mm:ss", "D": "MM/dd/yy", "j": "DDD", "a": "EEE",
+    "b": "MMM", "p": "a", "Q": "Q", "G": "yyyy", "e": "d",
+    "R": "HH:mm", "s": "ss",
+}
+
+
+def _format_datetime(a: list[str]) -> str:
+    if len(a) != 2:
+        raise UnsupportedClickHouseSQL(
+            "formatDateTime: only the (datetime, 'format') form is "
+            "translated (timezone argument changes the wall clock)"
+        )
+    f = a[1].strip()
+    if not (len(f) >= 2 and f[0] == "'" and f[-1] == "'" and "'" not in f[1:-1]):
+        raise UnsupportedClickHouseSQL(
+            "formatDateTime: the format must be a string literal"
+        )
+    fmt = f[1:-1]
+    out, lit = [], []
+
+    def flush():
+        if lit:
+            # Java-level literal: wrap in quotes, '' for an embedded '
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise UnsupportedClickHouseSQL(
+                    "formatDateTime: dangling % in format"
+                )
+            spec = fmt[i + 1]
+            if spec == "%":
+                lit.append("%")
+            elif spec in _FDT_MAP:
+                flush()
+                out.append(_FDT_MAP[spec])
+            else:
+                raise UnsupportedClickHouseSQL(
+                    f"formatDateTime: %{spec} has no tested "
+                    "DateTimeFormatter mapping"
+                )
+            i += 2
+        else:
+            lit.append(c)
+            i += 1
+    flush()
+    # the Java pattern itself contains single quotes (literal runs);
+    # double them so the surrounding SQL string literal stays intact
+    pattern = "".join(out).replace("'", "''")
+    return f"date_format({a[0]}, '{pattern}')"
+
+
+def _regex_group_index(fn: str, pattern_arg: str) -> int:
+    """0 when the (literal) regex has no capturing group, else 1 —
+    ClickHouse extract/extractAll return the first capture group when
+    one exists, the whole match otherwise."""
+    p = pattern_arg.strip()
+    if not (len(p) >= 2 and p[0] == "'" and p[-1] == "'"):
+        raise UnsupportedClickHouseSQL(
+            f"{fn}: the pattern must be a string literal (the capture-"
+            "group arity decides the extraction index at translate time)"
+        )
+    body = p[1:-1]
+    i = 0
+    while i < len(body):
+        if body[i] == "\\":
+            i += 2
+            continue
+        if body[i] == "(" and not body.startswith("(?", i):
+            return 1
+        i += 1
+    return 0
+
+
+def _extract_all(a: list[str]) -> str:
+    idx = _regex_group_index("extractAll", a[1])
+    return f"regexp_extract_all({a[0]}, {a[1]}, {idx})"
+
+
+def _count_matches(a: list[str]) -> str:
+    return f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
+
+
 _PLAIN = {
     # ClickHouse count() takes zero args; Spark needs count(*)
     "count": lambda a: f"count({', '.join(a) if a else '*'})",
@@ -962,6 +1156,47 @@ _PLAIN = {
         # ClickHouse's exact hash VALUES must not go through the shim.
         f"xxhash64({', '.join(a)})"
     ),
+    # JSON extraction (path assembled at translate time; typed
+    # variants return the ClickHouse type default on a miss)
+    "jsonextractstring": _json_extract_typed("string"),
+    "jsonextractint": _json_extract_typed("int"),
+    "jsonextractuint": _json_extract_typed("uint"),
+    "jsonextractfloat": _json_extract_typed("float"),
+    "jsonextractbool": _json_extract_typed("bool"),
+    "jsonextractraw": lambda a: _json_path("JSONExtractRaw", a),
+    "jsonhas": _json_has,
+    "jsonlength": _json_length,
+    **{
+        f"{prefix}extract{t}": _json_extract_typed(t, single_key=True)
+        for prefix in ("simplejson", "visitparam")
+        for t in ("string", "int", "uint", "float", "bool")
+    },
+    "simplejsonhas": _json_has,
+    "visitparamhas": _json_has,
+    # date formatting / regex extraction
+    "formatdatetime": _format_datetime,
+    "extractall": _extract_all,
+    "countmatches": _count_matches,
+    # array & misc completions
+    "arraymin": lambda a: f"array_min({a[0]})",
+    "arraymax": lambda a: f"array_max({a[0]})",
+    "arrayavg": lambda a: (
+        f"(aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x) / size({a[0]}))"
+    ),
+    "arrayzip": lambda a: f"arrays_zip({', '.join(a)})",
+    # sequence(1, 0) counts DOWN in Spark: gate the empty case
+    "arrayenumerate": lambda a: (
+        f"(CASE WHEN size({a[0]}) > 0 THEN sequence(1, size({a[0]})) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END)"
+    ),
+    "tuple": lambda a: f"struct({', '.join(a)})",
+    "mapkeys": lambda a: f"map_keys({a[0]})",
+    "mapvalues": lambda a: f"map_values({a[0]})",
+    # materialize defeats ClickHouse constant folding — a no-op here;
+    # ignore() evaluates args for side effects and returns 0
+    "materialize": lambda a: f"({a[0]})",
+    "ignore": lambda a: "0",
     # external dictionaries (registry above) — keyed lookups become
     # correlated scalar subqueries Catalyst turns into broadcast joins
     "dictget": _dict_get,

@@ -1729,3 +1729,100 @@ def test_dict_view_materialization_word_boundary(spark):
             "SELECT dictGetOrNull('wb', 'k', s_nationkey) FROM supplier",
             SF_SMOKE,
         )
+
+
+def test_json_extraction_family(spark):
+    """JSONExtract* walk literal paths (ClickHouse 1-based indices →
+    JSONPath 0-based), typed variants return the ClickHouse type
+    default on a miss, simpleJSON*/visitParam* share the mapping."""
+    spark.sql(
+        """SELECT * FROM VALUES
+           ('{"k": 7, "s": "hi", "f": 1.5, "b": true,
+              "arr": [10, 20], "o": {"x": "deep"}}'),
+           ('{"other": 1}') AS t(j)"""
+    ).createOrReplaceTempView("js_t")
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT JSONExtractInt(j, 'k') AS k, "
+            "JSONExtractString(j, 's') AS s, "
+            "JSONExtractFloat(j, 'f') AS f, "
+            "JSONExtractBool(j, 'b') AS b, "
+            "JSONExtractInt(j, 'arr', 2) AS a2, "
+            "JSONExtractString(j, 'o', 'x') AS deep, "
+            "JSONHas(j, 'k') AS has_k, "
+            "JSONLength(j, 'arr') AS alen, "
+            "simpleJSONExtractInt(j, 'k') AS sk, "
+            "visitParamExtractString(j, 's') AS vs "
+            "FROM js_t ORDER BY k DESC"
+        )
+    ).collect()
+    hit, miss = got
+    assert (hit.k, hit.s, hit.f, hit.b) == (7, "hi", 1.5, True)
+    assert (hit.a2, hit.deep, hit.has_k, hit.alen) == (20, "deep", True, 2)
+    assert (hit.sk, hit.vs) == (7, "hi")
+    # miss path: ClickHouse type defaults
+    assert (miss.k, miss.s, miss.f, miss.b) == (0, "", 0.0, False)
+    assert (miss.has_k, miss.alen) == (False, 0)
+
+
+def test_json_fail_fasts():
+    with pytest.raises(UnsupportedClickHouseSQL, match="dynamic"):
+        translate_clickhouse_sql("SELECT JSONExtractString(j, key_col)")
+    with pytest.raises(UnsupportedClickHouseSQL, match="1-based"):
+        translate_clickhouse_sql("SELECT JSONExtractInt(j, 'a', 0)")
+    with pytest.raises(UnsupportedClickHouseSQL, match="exactly"):
+        translate_clickhouse_sql(
+            "SELECT simpleJSONExtractInt(j, 'a', 'b')"
+        )
+
+
+def test_format_datetime(spark):
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', "
+            "'%Y-%m-%d %H:%M:%S') AS a, "
+            "formatDateTime(TIMESTAMP '2024-03-05 07:08:09', "
+            "'%F week %% T') AS b"
+        )
+    ).collect()[0]
+    assert got.a == "2024-03-05 07:08:09"
+    assert got.b == "2024-03-05 week % T"  # literals quoted, %% escapes
+    with pytest.raises(UnsupportedClickHouseSQL, match="%f"):
+        translate_clickhouse_sql(
+            "SELECT formatDateTime(ts, '%f') FROM events"
+        )
+    with pytest.raises(UnsupportedClickHouseSQL, match="timezone"):
+        translate_clickhouse_sql(
+            "SELECT formatDateTime(ts, '%Y', 'UTC') FROM events"
+        )
+
+
+def test_extract_all_and_count_matches(spark):
+    got = spark.sql(
+        translate_clickhouse_sql(
+            r"SELECT extractAll('a1 b22 c333', '\\d+') AS nums, "
+            r"extractAll('k=1;m=2', '(\\w+)=') AS keys, "
+            r"countMatches('a1 b22 c333', '\\d+') AS n"
+        )
+    ).collect()[0]
+    assert got.nums == ["1", "22", "333"]
+    assert got.keys == ["k", "m"]  # capture group 1 extracted
+    assert got.n == 3
+    with pytest.raises(UnsupportedClickHouseSQL, match="literal"):
+        translate_clickhouse_sql("SELECT extractAll(s, pat) FROM t")
+
+
+def test_array_and_misc_completions(spark):
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT arrayMin([3, 1, 2]) AS mn, arrayMax([3, 1, 2]) AS mx, "
+            "arrayAvg([1, 2, 3, 6]) AS av, "
+            "arrayEnumerate(['a', 'b', 'c']) AS en, "
+            "arrayEnumerate(arraySlice(['a'], 1, 0)) AS en0, "
+            "tuple(1, 'x') AS tp, materialize(42) AS m, "
+            "ignore('anything', 1) AS ig"
+        )
+    ).collect()[0]
+    assert (got.mn, got.mx, got.av) == (1, 3, 3.0)
+    assert got.en == [1, 2, 3] and got.en0 == []
+    assert got.tp == (1, "x") and got.m == 42 and got.ig == 0

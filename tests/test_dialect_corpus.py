@@ -590,6 +590,27 @@ CORPUS: list[tuple[str, str, str]] = [
         """,
     ),
     (
+        # JSON extraction + strftime-style formatting over the events
+        # props column — the ClickHouse log-analytics bread and butter
+        "json_and_format_datetime",
+        """
+        SELECT formatDateTime(ts, '%Y-%m') AS ym,
+               sum(JSONExtractInt(props, 'k')) AS ksum,
+               countIf(JSONHas(props, 'k')) AS with_k,
+               count() AS n
+        FROM events GROUP BY ym ORDER BY ym
+        """,
+        """
+        SELECT strftime(ts, '%Y-%m') AS ym,
+               CAST(sum(coalesce(CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT), 0)) AS BIGINT) AS ksum,
+               count(*) FILTER (WHERE json_extract_string(props, '$.k')
+                                IS NOT NULL) AS with_k,
+               count(*) AS n
+        FROM events GROUP BY strftime(ts, '%Y-%m') ORDER BY ym
+        """,
+    ),
+    (
         # gap-fill: ORDER BY ... WITH FILL compiles inside
         # run_clickhouse_sql (schema-resolved spine, FROM inclusive /
         # TO exclusive, type defaults on generated rows)
