@@ -2443,6 +2443,143 @@ def _fail_with_fill(s: str) -> None:
             )
 
 
+def _parse_star_replace_apply(sql: str):
+    """Detect a top-level ``SELECT * [EXCEPT …] REPLACE (…) / APPLY
+    (…)`` chain in RAW ClickHouse text.  Returns ``None`` when absent,
+    else ``(base_sql, ops)`` where ``base_sql`` has the REPLACE/APPLY
+    spans removed (EXCEPT stays — Spark-native) and ``ops`` is the
+    ordered ``[(kw, inner_text), …]`` chain.  Only
+    :func:`run_clickhouse_sql` can execute this — the rewrites need
+    the resolved output schema — so the translate-only path keeps
+    failing fast (:func:`_star_modifiers`)."""
+    toks = _scan_top(sql)
+    for t in range(1, len(toks)):
+        if not (toks[t][0] == "sym" and toks[t][1] == "*"):
+            continue
+        prev = toks[t - 1]
+        if not (prev[0] == "ident" and prev[1].upper() == "SELECT"):
+            continue
+        k = t + 1
+        ops: list[tuple[str, str]] = []
+        cut: list[tuple[int, int]] = []
+        while (
+            k < len(toks)
+            and toks[k][0] == "ident"
+            and toks[k][1].upper() in ("EXCEPT", "REPLACE", "APPLY")
+        ):
+            kw = toks[k][1].upper()
+            if kw == "EXCEPT":
+                if k + 1 < len(toks) and toks[k + 1][0] in ("group", "ident"):
+                    k += 2
+                    continue
+                return None  # malformed — let the translate path report
+            if k + 1 < len(toks) and toks[k + 1][0] == "group":
+                ops.append((kw, toks[k + 1][1][1:-1]))
+                cut.append((toks[k][2], toks[k + 1][3]))
+                k += 2
+            elif (
+                kw == "APPLY"
+                and k + 1 < len(toks)
+                and toks[k + 1][0] == "ident"
+            ):
+                ops.append((kw, toks[k + 1][1]))
+                cut.append((toks[k][2], toks[k + 1][3]))
+                k += 2
+            else:
+                raise UnsupportedClickHouseSQL(
+                    f"* {kw} needs a parenthesized argument"
+                )
+        if not ops:
+            continue  # EXCEPT-only chains are Spark-native
+        if not (
+            k < len(toks)
+            and toks[k][0] == "ident"
+            and toks[k][1].upper() == "FROM"
+        ):
+            raise UnsupportedClickHouseSQL(
+                "* REPLACE/APPLY is compiled only when the star chain "
+                "is the ENTIRE select list (other select items would "
+                "wrongly receive the rewrite)"
+            )
+        base = sql
+        for a, b in reversed(cut):
+            base = base[:a] + base[b:]
+        return base, ops
+    return None
+
+
+# aggregate functions * APPLY may name: the post-projection becomes a
+# global aggregate instead of a per-row select
+_APPLY_AGGS = {
+    "max", "min", "sum", "avg", "count", "any", "anylast",
+    "uniq", "uniqexact", "median", "stddevpop", "stddevsamp",
+    "varpop", "varsamp",
+}
+
+
+def _run_star_replace_apply(spark, parsed, sf_dir: str, final_keys):
+    """Execute a star REPLACE/APPLY chain: run the base query (star
+    intact, EXCEPT included), then apply each modifier as a projection
+    over the RESOLVED schema — exactly ClickHouse's select-list sugar,
+    since the modifiers only rewrite the output expansion (WHERE/GROUP
+    BY saw the original columns in the base).  APPLY of an aggregate
+    function aggregates the base result; column names follow
+    ClickHouse (``fn(col)``)."""
+    from pyspark.sql import functions as F
+
+    base_sql, ops = parsed
+    df = run_clickhouse_sql(spark, base_sql, sf_dir, final_keys=final_keys)
+    for kw, inner in ops:
+        if kw == "REPLACE":
+            repl: dict[str, str] = {}
+            for item in _split_args(inner):
+                itoks = _scan_top(item)
+                if (
+                    len(itoks) < 3
+                    or itoks[-1][0] != "ident"
+                    or itoks[-2][0] != "ident"
+                    or itoks[-2][1].upper() != "AS"
+                ):
+                    raise UnsupportedClickHouseSQL(
+                        f"* REPLACE items take 'expr AS column' "
+                        f"(got {item.strip()!r})"
+                    )
+                col = itoks[-1][1]
+                expr = item[: itoks[-2][2]].strip()
+                repl[col.lower()] = _translate_tokens(expr, {})
+            missing = sorted(
+                set(repl) - {c.lower() for c in df.columns}
+            )
+            if missing:
+                raise UnsupportedClickHouseSQL(
+                    f"* REPLACE of column(s) {missing} not in the "
+                    "star expansion"
+                )
+            df = df.selectExpr(
+                *[
+                    f"({repl[c.lower()]}) AS `{c}`"
+                    if c.lower() in repl else f"`{c}`"
+                    for c in df.columns
+                ]
+            )
+        else:  # APPLY
+            fns = [x.strip() for x in _split_args(inner)]
+            if len(fns) != 1 or not _IDENT.fullmatch(fns[0]):
+                raise UnsupportedClickHouseSQL(
+                    "* APPLY takes exactly one function name "
+                    "(parameterized/lambda forms are not compiled)"
+                )
+            fn = fns[0]
+            cols = [
+                F.expr(_translate_tokens(f"{fn}(`{c}`)", {})).alias(
+                    f"{fn}({c})"
+                )
+                for c in df.columns
+            ]
+            df = df.agg(*cols) if fn.lower() in _APPLY_AGGS else df.select(*cols)
+    return df
+
+
 def _star_modifiers(s: str) -> str:
     """ClickHouse star-modifier chains ``* EXCEPT … [REPLACE …]
     [APPLY …]``.  A star is only the EXPANSION star when it follows
@@ -2450,8 +2587,10 @@ def _star_modifiers(s: str) -> str:
     'b')`` is arithmetic and must not trigger.  Walking the chain:
     ``EXCEPT (cols)`` passes through (Spark-native), the paren-less
     single-column ``EXCEPT col`` gains the parens Spark requires, and
-    ``REPLACE``/``APPLY`` fail fast — they rewrite the star expansion,
-    which needs the table schema query text doesn't carry."""
+    ``REPLACE``/``APPLY`` fail fast on the string-to-string path —
+    they rewrite the star expansion, which needs the resolved schema
+    only :func:`run_clickhouse_sql` has (it compiles them via
+    :func:`_run_star_replace_apply`)."""
     while True:
         toks = _scan_top(s)
         edited = False
@@ -2475,9 +2614,11 @@ def _star_modifiers(s: str) -> str:
                 if kw in ("REPLACE", "APPLY"):
                     raise UnsupportedClickHouseSQL(
                         f"* {kw} (...) rewrites the star expansion, "
-                        "which needs the table schema — select the "
-                        "columns explicitly (* EXCEPT passes through; "
-                        "Spark supports it natively)"
+                        "which needs the resolved schema — run the "
+                        "query via run_clickhouse_sql (which compiles "
+                        "the chain), or select the columns explicitly "
+                        "(* EXCEPT passes through; Spark supports it "
+                        "natively)"
                     )
                 if k + 1 < len(toks) and toks[k + 1][0] == "group":
                     k += 2
@@ -3250,8 +3391,12 @@ def run_clickhouse_sql(spark, sql: str, sf_dir: str, final_keys=None):
     ):
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             read_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    # ORDER BY ... WITH FILL needs the resolved output schema, which
-    # only this execution path has — the pure translator fails fast
+    # star REPLACE/APPLY and ORDER BY ... WITH FILL need the resolved
+    # output schema, which only this execution path has — the pure
+    # translator fails fast on both
+    star = _parse_star_replace_apply(sql)
+    if star is not None:
+        return _run_star_replace_apply(spark, star, sf_dir, final_keys)
     fill = _parse_with_fill(sql)
     if fill is not None:
         return _run_with_fill(spark, fill, sf_dir, final_keys)

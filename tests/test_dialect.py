@@ -1826,3 +1826,93 @@ def test_array_and_misc_completions(spark):
     assert (got.mn, got.mx, got.av) == (1, 3, 3.0)
     assert got.en == [1, 2, 3] and got.en0 == []
     assert got.tp == (1, "x") and got.m == 42 and got.ig == 0
+
+
+def test_star_replace_apply_run_path(spark):
+    """Round-10+: run_clickhouse_sql compiles * REPLACE / * APPLY over
+    the resolved schema (the translate-only path keeps failing fast).
+    REPLACE rewrites only the output expansion — WHERE still sees the
+    original column; APPLY of an aggregate aggregates the base."""
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    # REPLACE: double the account balance in the OUTPUT only; the
+    # WHERE filter applies to the stored value
+    got = run_clickhouse_sql(
+        spark,
+        "SELECT * REPLACE (toInt64(round(s_acctbal * 100)) * 2 AS "
+        "s_acctbal) FROM supplier WHERE s_acctbal > 0 "
+        "ORDER BY s_suppkey LIMIT 3",
+        SF_SMOKE,
+    ).collect()
+    raw = spark.sql(
+        f"SELECT * FROM parquet.`{SF_SMOKE}/supplier.parquet` "
+        "WHERE s_acctbal > 0 ORDER BY s_suppkey LIMIT 3"
+    ).collect()
+    assert [r.s_suppkey for r in got] == [r.s_suppkey for r in raw]
+    for g, r in zip(got, raw):
+        assert g.s_acctbal == round(r.s_acctbal * 100) * 2
+    # column order and names preserved
+    assert [f for f in got[0].asDict()] == [f for f in raw[0].asDict()]
+
+    # APPLY(max): global aggregate per column, ClickHouse-style names
+    agg = run_clickhouse_sql(
+        spark,
+        "SELECT * EXCEPT (s_name) APPLY (max) FROM supplier",
+        SF_SMOKE,
+    )
+    row = agg.collect()[0]
+    assert "max(s_suppkey)" in agg.columns
+    want = spark.sql(
+        f"SELECT max(s_suppkey) AS m FROM "
+        f"parquet.`{SF_SMOKE}/supplier.parquet`"
+    ).collect()[0].m
+    assert row["max(s_suppkey)"] == want
+
+    # chained REPLACE then APPLY: the modifier order composes
+    chained = run_clickhouse_sql(
+        spark,
+        "SELECT * EXCEPT (s_name) "
+        "REPLACE (s_suppkey * 10 AS s_suppkey) APPLY (max) "
+        "FROM supplier",
+        SF_SMOKE,
+    ).collect()[0]
+    assert chained["max(s_suppkey)"] == want * 10
+
+
+def test_star_replace_apply_fail_fasts(spark):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    # translate-only path still refuses
+    with pytest.raises(UnsupportedClickHouseSQL, match="run_clickhouse_sql"):
+        translate_clickhouse_sql(
+            "SELECT * REPLACE (x AS y) FROM t"
+        )
+    # star chain must be the whole select list
+    with pytest.raises(UnsupportedClickHouseSQL, match="ENTIRE"):
+        run_clickhouse_sql(
+            spark,
+            "SELECT * REPLACE (s_suppkey AS s_suppkey), s_name "
+            "FROM supplier",
+            SF_SMOKE,
+        )
+    # replacing a column outside the expansion
+    with pytest.raises(UnsupportedClickHouseSQL, match="not in the"):
+        run_clickhouse_sql(
+            spark,
+            "SELECT * REPLACE (1 AS nope) FROM supplier",
+            SF_SMOKE,
+        )
+    # malformed REPLACE item
+    with pytest.raises(UnsupportedClickHouseSQL, match="expr AS column"):
+        run_clickhouse_sql(
+            spark,
+            "SELECT * REPLACE (s_suppkey) FROM supplier",
+            SF_SMOKE,
+        )
+    # lambda APPLY not compiled
+    with pytest.raises(UnsupportedClickHouseSQL, match="one function"):
+        run_clickhouse_sql(
+            spark,
+            "SELECT * APPLY (x -> x + 1) FROM supplier",
+            SF_SMOKE,
+        )

@@ -590,6 +590,24 @@ CORPUS: list[tuple[str, str, str]] = [
         """,
     ),
     (
+        # star REPLACE/APPLY chain compiled over the resolved schema
+        # (run path only): rewrite one column, aggregate the expansion
+        "star_replace_apply",
+        """
+        SELECT * EXCEPT (s_name)
+               REPLACE (toInt64(round(s_acctbal * 100)) AS s_acctbal)
+               APPLY (max)
+        FROM supplier
+        """,
+        """
+        SELECT max(s_suppkey) AS "max(s_suppkey)",
+               max(s_nationkey) AS "max(s_nationkey)",
+               max(CAST(round(s_acctbal * 100) AS BIGINT))
+                 AS "max(s_acctbal)"
+        FROM supplier
+        """,
+    ),
+    (
         # JSON extraction + strftime-style formatting over the events
         # props column — the ClickHouse log-analytics bread and butter
         "json_and_format_datetime",
