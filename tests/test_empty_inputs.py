@@ -214,3 +214,98 @@ def test_branch_of_empty_lake_and_empty_merge(spark, tmp_path):
     merge_branch(lake, br, ["id"])  # empty CDF -> no-op CDC commit
     assert lake.read().count() == 0
     assert lake.current_version() == v0 + 1  # the commit still lands
+
+
+def test_window_funnel_pair_modes_empty_and_level0_only(spark):
+    """Round-11 pair-state modes: empty frames yield no rows; users
+    with ONLY non-matching (level-0) events yield no rows either —
+    the same contract the oracle's WHERE l > 0 encodes."""
+    from clickbom_spark.ext.sequences import window_funnel_level
+
+    e = _empty(spark, "user_id long, t long, event_id long, l int")
+    for mode in ("strict_deduplication", "strict_increase"):
+        assert window_funnel_level(
+            e, ["user_id"], F.col("t"), F.col("event_id"), F.col("l"),
+            3, 100, mode=mode,
+        ).count() == 0
+    only0 = spark.createDataFrame(
+        [(1, 10, 1, 0), (1, 20, 2, 0)],
+        "user_id long, t long, event_id long, l int",
+    )
+    for mode in ("strict_deduplication", "strict_increase"):
+        assert window_funnel_level(
+            only0, ["user_id"], F.col("t"), F.col("event_id"),
+            F.col("l"), 3, 100, mode=mode,
+        ).count() == 0
+
+
+def test_with_fill_empty_base_without_bounds(spark, tmp_path):
+    """WITH FILL over an empty result with IMPLICIT bounds has no
+    spine to synthesize — the compiled path must return the empty
+    frame, not crash on NULL min/max."""
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    df = run_clickhouse_sql(
+        spark,
+        "SELECT s_nationkey AS nk, count() AS n FROM supplier "
+        "WHERE s_nationkey < -1 GROUP BY nk ORDER BY nk WITH FILL",
+        "/root/testdata/sf0.001",
+    )
+    assert df.count() == 0
+    # explicit bounds still generate the dense spine of defaults
+    df2 = run_clickhouse_sql(
+        spark,
+        "SELECT s_nationkey AS nk, count() AS n FROM supplier "
+        "WHERE s_nationkey < -1 GROUP BY nk "
+        "ORDER BY nk WITH FILL FROM 0 TO 5",
+        "/root/testdata/sf0.001",
+    )
+    rows = df2.collect()
+    assert [r.nk for r in rows] == [0, 1, 2, 3, 4]
+    assert all(r.n == 0 for r in rows)
+
+
+def test_with_ties_empty_body(spark):
+    """LIMIT n WITH TIES over an empty body: the cutoff subquery is
+    NULL — both null-placement arms must return empty, not everything
+    or an error."""
+    from clickbom_spark.dialect import translate_clickhouse_sql
+
+    spark.sql(
+        "SELECT * FROM VALUES (1) AS t(x) WHERE x < 0"
+    ).createOrReplaceTempView("wte_t")
+    for order in ("x", "x DESC"):
+        got = spark.sql(
+            translate_clickhouse_sql(
+                f"SELECT x FROM wte_t ORDER BY {order} LIMIT 3 WITH TIES"
+            )
+        ).collect()
+        assert got == []
+
+
+def test_r11_text_stats_empty_text(spark):
+    """TTR / Good-Turing / redundancy on documents whose text is NULL
+    or has fewer than 3 tokens: no crash, mathematically-right zeros."""
+    from clickbom_spark.queries.staged_r11 import STAGED_R11
+
+    tiny = spark.createDataFrame(
+        [(1, "srcA", "en", None, 0), (2, "srcA", "en", "one two", 7),
+         (3, "srcB", "en", "a", 1)],
+        "doc_id long, source string, lang string, text string, n_chars int",
+    )
+    tiny.createOrReplaceTempView("documents")
+    import clickbom_spark.session as sess
+
+    orig = sess.read_table
+    try:
+        sess.read_table = lambda sp, d, t: sp.table("documents")
+        red = STAGED_R11["q_ngram_redundancy"].fn(spark, "ignored")
+        assert red.count() == 0  # no doc reaches 3 tokens -> no shingles
+        ttr = {
+            r.source: r for r in
+            STAGED_R11["q_ttr_stats"].fn(spark, "ignored").collect()
+        }
+        assert ttr["srcA"].tokens == 2 and ttr["srcA"].ttr == 1.0
+        assert ttr["srcB"].hapax == 1
+    finally:
+        sess.read_table = orig
