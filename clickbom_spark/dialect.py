@@ -716,6 +716,13 @@ def _dict_hierarchy_pointer(name: str):
     return h
 
 
+def _engine_pointer_text(name: str, why: str):
+    def h(args):
+        raise UnsupportedClickHouseSQL(f"{name}: {why}")
+
+    return h
+
+
 # ---------------------------------------------------------------------------
 # JSON extraction family.  ClickHouse JSONExtract*(json, keys...) walk
 # a path of string keys / 1-based array indices; Spark's
@@ -1197,6 +1204,9 @@ _PLAIN = {
     # ignore() evaluates args for side effects and returns 0
     "materialize": lambda a: f"({a[0]})",
     "ignore": lambda a: "0",
+    # untuple expands a struct in the SELECT list — Spark's s.* does
+    # exactly that (select-list-only in both engines)
+    "untuple": lambda a: f"{a[0]}.*",
     # external dictionaries (registry above) — keyed lookups become
     # correlated scalar subqueries Catalyst turns into broadcast joins
     "dictget": _dict_get,
@@ -1212,6 +1222,26 @@ _PLAIN = {
         n.lower(): _dict_hierarchy_pointer(n)
         for n in ("dictGetHierarchy", "dictIsIn", "dictGetChildren",
                   "dictGetDescendants")
+    },
+    # -State/-Merge combinators move ClickHouse's serialized
+    # partial-aggregate objects between tables; Spark's partial
+    # aggregation IS that algebra internally, and persistable
+    # mergeable states live in the engine's sketch/state operators —
+    # fail fast with the pointer instead of leaking an undefined
+    # function into Spark
+    **{
+        f"{b}{suf}": _engine_pointer_text(
+            f"{b}{suf}",
+            "aggregate-state objects are engine-internal — persist "
+            "MERGEABLE states with the engine operators instead "
+            "(q_agg_state_merge; ext/sketches.py HLL/KLL/Misra-Gries "
+            "states; maintain_sum_agg for additive rollups)",
+        )
+        for b in ("sum", "count", "avg", "min", "max", "any",
+                  "anylast", "uniq", "uniqexact", "quantile",
+                  "quantiles", "grouparray", "groupuniqarray",
+                  "argmax", "argmin", "corr", "topk", "median")
+        for suf in ("state", "merge", "mergestate", "simplestate")
     },
 }
 
@@ -3113,21 +3143,39 @@ def _merge_prewhere(s: str) -> str:
 
 
 def _rewrite_limit_by(s: str) -> str:
-    """``… [ORDER BY o] LIMIT n BY cols [LIMIT m]`` → row_number
+    """``… [ORDER BY o] LIMIT [m,] n BY cols [LIMIT m]`` → row_number
     window partitioned by ``cols`` ordered by ``o`` (the order
     ClickHouse selects the first n rows in), struct-packed so the
-    helper columns never leak into the output schema."""
+    helper columns never leak into the output schema.  The comma form
+    skips the first m rows per group (rank window filter
+    ``m < rn <= m + n``)."""
     toks = _scan_top(s)
     lb_at = None
+    lb_off = 0
     for t in range(len(toks) - 2):
-        if (
+        if not (
             toks[t][0] == "ident"
             and toks[t][1].upper() == "LIMIT"
             and toks[t + 1][0] == "num"
-            and toks[t + 2][0] == "ident"
+        ):
+            continue
+        if (
+            toks[t + 2][0] == "ident"
             and toks[t + 2][1].upper() == "BY"
         ):
             lb_at = t
+            break
+        if (
+            t + 4 < len(toks)
+            and toks[t + 2][0] == "sym"
+            and toks[t + 2][1] == ","
+            and toks[t + 3][0] == "num"
+            and toks[t + 4][0] == "ident"
+            and toks[t + 4][1].upper() == "BY"
+        ):
+            # LIMIT offset, n BY — ClickHouse's per-group page form
+            lb_at = t
+            lb_off = 2
             break
     if lb_at is None:
         return s
@@ -3138,9 +3186,21 @@ def _rewrite_limit_by(s: str) -> str:
             "LIMIT n BY combined with a top-level UNION is ambiguous "
             "— wrap each branch in a subquery"
         )
-    n = toks[lb_at + 1][1]
-    cols_end = _clause_end(toks, lb_at + 3)
-    cols = s[toks[lb_at + 3][2]: toks[cols_end - 1][3]].strip()
+    if lb_off:
+        m_txt, n = toks[lb_at + 1][1], toks[lb_at + 3][1]
+        if "." in m_txt or "." in n:
+            raise UnsupportedClickHouseSQL(
+                "LIMIT m, n BY takes integer literals"
+            )
+        lb_lo, lb_hi = int(m_txt), int(m_txt) + int(n)
+    else:
+        n = toks[lb_at + 1][1]
+        if "." in n:
+            raise UnsupportedClickHouseSQL("LIMIT n BY takes an integer")
+        lb_lo, lb_hi = 0, int(n)
+    by_at = lb_at + 2 + lb_off
+    cols_end = _clause_end(toks, by_at + 1)
+    cols = s[toks[by_at + 1][2]: toks[cols_end - 1][3]].strip()
     # preceding ORDER BY (ClickHouse clause order puts it before
     # LIMIT BY): the selection order for the first-n-per-group
     order_txt = None
@@ -3170,16 +3230,51 @@ def _rewrite_limit_by(s: str) -> str:
     )
     inner = s[:inner_stop].strip()
     win_order = order_txt if order_txt else cols
+    cond = (
+        f"__lb <= {lb_hi}" if lb_lo == 0
+        else f"__lb > {lb_lo} AND __lb <= {lb_hi}"
+    )
     out = (
         f"SELECT __s.* FROM (SELECT struct(*) AS __s, row_number() "
         f"OVER (PARTITION BY {cols} ORDER BY {win_order}) AS __lb "
-        f"FROM ({inner}) __lbq) WHERE __lb <= {n}"
+        f"FROM ({inner}) __lbq) WHERE {cond}"
     )
     if order_txt:
         out += f" ORDER BY {order_txt}"
     if tail_limit:
         out += f" {tail_limit}"
     return out
+
+
+def _rewrite_limit_comma(s: str) -> str:
+    """Plain ``LIMIT m, n`` (ClickHouse's offset-first spelling) →
+    ``LIMIT n OFFSET m`` — Spark has no comma form, so leaving it
+    verbatim would be a confusing parse error.  Runs AFTER the LIMIT
+    BY rewrite (which owns the ``LIMIT m, n BY`` form)."""
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for t in range(len(toks) - 3):
+            if (
+                toks[t][0] == "ident"
+                and toks[t][1].upper() == "LIMIT"
+                and toks[t + 1][0] == "num"
+                and toks[t + 2][0] == "sym"
+                and toks[t + 2][1] == ","
+                and toks[t + 3][0] == "num"
+            ):
+                hit = t
+                break
+        if hit is None:
+            return s
+        m, n = toks[hit + 1][1], toks[hit + 3][1]
+        if "." in m or "." in n:
+            raise UnsupportedClickHouseSQL("LIMIT m, n takes integers")
+        s = (
+            s[: toks[hit][2]]
+            + f"LIMIT {n} OFFSET {m}"
+            + s[toks[hit + 3][3]:]
+        )
 
 
 def _rewrite_with_totals(s: str) -> str:
@@ -3245,6 +3340,7 @@ def _rewrite_clauses(s: str, final_keys) -> str:
     s = _rewrite_with_totals(s)
     s = _rewrite_limit_by(s)
     s = _rewrite_with_ties(s)
+    s = _rewrite_limit_comma(s)
     return s
 
 

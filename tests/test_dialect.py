@@ -1916,3 +1916,43 @@ def test_star_replace_apply_fail_fasts(spark):
             "SELECT * APPLY (x -> x + 1) FROM supplier",
             SF_SMOKE,
         )
+
+
+def test_limit_offset_forms(spark):
+    """ClickHouse's comma spellings: plain LIMIT m, n compiles to
+    LIMIT n OFFSET m; LIMIT m, n BY pages WITHIN each group
+    (m < rn <= m + n)."""
+    spark.sql(
+        "SELECT * FROM VALUES ('a',1),('a',2),('a',3),('b',4),('b',5) "
+        "AS t(g, x)"
+    ).createOrReplaceTempView("lc_t")
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT x FROM lc_t ORDER BY x LIMIT 1, 3"
+        )
+    ).collect()
+    assert [r.x for r in got] == [2, 3, 4]
+    got2 = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT g, x FROM lc_t ORDER BY g, x LIMIT 1, 2 BY g"
+        )
+    ).collect()
+    # per group, skip 1 keep 2: a -> 2,3; b -> 5
+    assert sorted((r.g, r.x) for r in got2) == [
+        ("a", 2), ("a", 3), ("b", 5)
+    ]
+    with pytest.raises(UnsupportedClickHouseSQL, match="integer"):
+        translate_clickhouse_sql("SELECT x FROM t LIMIT 1.5, 3")
+
+
+def test_untuple_and_state_merge_pointers(spark):
+    spark.sql(
+        "SELECT named_struct('p', 1, 'q', 'y') AS s, 9 AS z"
+    ).createOrReplaceTempView("ut_t")
+    got = spark.sql(
+        translate_clickhouse_sql("SELECT z, untuple(s) FROM ut_t")
+    ).collect()[0]
+    assert (got.z, got.p, got.q) == (9, 1, "y")
+    for bad in ("sumState(x)", "uniqMerge(s)", "avgSimpleState(x)"):
+        with pytest.raises(UnsupportedClickHouseSQL, match="MERGEABLE"):
+            translate_clickhouse_sql(f"SELECT {bad} FROM t")
