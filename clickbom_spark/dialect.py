@@ -816,10 +816,22 @@ def _json_length(a: list[str]) -> str:
 
 _FDT_MAP = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
-    "I": "hh", "M": "mm", "S": "ss", "F": "yyyy-MM-dd",
+    "I": "hh", "i": "mm", "S": "ss", "F": "yyyy-MM-dd",
     "T": "HH:mm:ss", "D": "MM/dd/yy", "j": "DDD", "a": "EEE",
-    "b": "MMM", "p": "a", "Q": "Q", "G": "yyyy", "e": "d",
+    "b": "MMM", "p": "a", "Q": "Q", "e": "d",
     "R": "HH:mm", "s": "ss",
+}
+
+# specifiers with no FAITHFUL mapping get their own message:
+# %M means minutes on old ClickHouse but FULL MONTH NAME on >= 23.1
+# (formatdatetime_parsedatetime_m_is_month_name default) — a silent
+# version split; %G is the ISO week-based year, which Spark 3 bans
+# ('Y' pattern) — both fail fast toward unambiguous spellings.
+_FDT_AMBIGUOUS = {
+    "M": "means minutes on pre-23.1 ClickHouse but the full month "
+         "name on >= 23.1 — write %i (minutes) or %b/%m (month)",
+    "G": "is the ISO week-based year, which Spark 3's formatter "
+         "rejects — use %Y if the calendar year is acceptable",
 }
 
 
@@ -854,6 +866,10 @@ def _format_datetime(a: list[str]) -> str:
             spec = fmt[i + 1]
             if spec == "%":
                 lit.append("%")
+            elif spec in _FDT_AMBIGUOUS:
+                raise UnsupportedClickHouseSQL(
+                    f"formatDateTime: %{spec} {_FDT_AMBIGUOUS[spec]}"
+                )
             elif spec in _FDT_MAP:
                 flush()
                 out.append(_FDT_MAP[spec])
@@ -873,30 +889,51 @@ def _format_datetime(a: list[str]) -> str:
     return f"date_format({a[0]}, '{pattern}')"
 
 
-def _regex_group_index(fn: str, pattern_arg: str) -> int:
-    """0 when the (literal) regex has no capturing group, else 1 —
+def _regex_has_capture_group(fn: str, pattern_arg: str) -> bool:
+    """True when the (literal) regex has a capturing group —
     ClickHouse extract/extractAll return the first capture group when
-    one exists, the whole match otherwise."""
+    one exists, the whole match otherwise.  Skips escapes and
+    character classes; ``(?:``/lookarounds are non-capturing, named
+    groups (``(?P<…>``/``(?<name>``) ARE capturing (RE2 semantics)."""
     p = pattern_arg.strip()
-    if not (len(p) >= 2 and p[0] == "'" and p[-1] == "'"):
+    if not (len(p) >= 2 and p[0] in "'\"" and p[-1] == p[0]):
         raise UnsupportedClickHouseSQL(
-            f"{fn}: the pattern must be a string literal (the capture-"
-            "group arity decides the extraction index at translate time)"
+            f"{fn} needs a literal regex (group selection is decided "
+            "by inspecting the pattern)"
         )
     body = p[1:-1]
-    i = 0
+    i, in_class = 0, False
     while i < len(body):
-        if body[i] == "\\":
+        c = body[i]
+        if c == "\\":
             i += 2
             continue
-        if body[i] == "(" and not body.startswith("(?", i):
-            return 1
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            if body.startswith("(?P<", i) or (
+                body.startswith("(?<", i)
+                and not body.startswith("(?<=", i)
+                and not body.startswith("(?<!", i)
+            ):
+                return True  # named groups capture (group 1)
+            if body.startswith("(?", i):
+                i += 2
+                continue  # non-capturing / lookaround / flag group
+            return True
         i += 1
-    return 0
+    return False
 
 
 def _extract_all(a: list[str]) -> str:
-    idx = _regex_group_index("extractAll", a[1])
+    idx = 1 if _regex_has_capture_group("extractAll", a[1]) else 0
     return f"regexp_extract_all({a[0]}, {a[1]}, {idx})"
 
 
@@ -1170,7 +1207,9 @@ _PLAIN = {
     "jsonextractuint": _json_extract_typed("uint"),
     "jsonextractfloat": _json_extract_typed("float"),
     "jsonextractbool": _json_extract_typed("bool"),
-    "jsonextractraw": lambda a: _json_path("JSONExtractRaw", a),
+    "jsonextractraw": lambda a: (
+        f"coalesce({_json_path('JSONExtractRaw', a)}, '')"
+    ),
     "jsonhas": _json_has,
     "jsonlength": _json_length,
     **{
@@ -1188,8 +1227,10 @@ _PLAIN = {
     "arraymin": lambda a: f"array_min({a[0]})",
     "arraymax": lambda a: f"array_max({a[0]})",
     "arrayavg": lambda a: (
-        f"(aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
-        f"(acc, x) -> acc + x) / size({a[0]}))"
+        # ClickHouse arrayAvg([]) is nan, not NULL
+        f"(CASE WHEN size({a[0]}) = 0 THEN CAST('NaN' AS DOUBLE) "
+        f"ELSE aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x) / size({a[0]}) END)"
     ),
     "arrayzip": lambda a: f"arrays_zip({', '.join(a)})",
     # sequence(1, 0) counts DOWN in Spark: gate the empty case
@@ -1286,22 +1327,7 @@ def _extract(a: list[str]) -> str:
     if len(a) != 2:
         return f"extract({', '.join(a)})"
     pat = a[1].strip()
-    if not (len(pat) >= 2 and pat[0] in "'\"" and pat[-1] == pat[0]):
-        raise UnsupportedClickHouseSQL(
-            "extract needs a literal regex (group selection is decided "
-            "by inspecting the pattern)"
-        )
-    body = pat[1:-1]
-    has_group = False
-    i = 0
-    while i < len(body):
-        if body[i] == "\\":
-            i += 2
-            continue
-        if body[i] == "(" and not body[i + 1:i + 3] == "?:":
-            has_group = True
-            break
-        i += 1
+    has_group = _regex_has_capture_group("extract", pat)
     return f"regexp_extract({a[0]}, {pat}, {1 if has_group else 0})"
 
 
@@ -2531,6 +2557,23 @@ def _parse_star_replace_apply(sql: str):
                 "is the ENTIRE select list (other select items would "
                 "wrongly receive the rewrite)"
             )
+        # the chain is applied to the WHOLE result frame, so any
+        # construct that would make that differ from ClickHouse's
+        # select-list rewrite must refuse:
+        # - UNION: the rewrite belongs to ONE branch, not the union
+        # - ORDER BY / LIMIT: ClickHouse evaluates the rewritten list
+        #   BEFORE limiting and resolves ORDER BY against the new
+        #   output names; a post-hoc projection would reorder/re-cap
+        for tk in toks:
+            if tk[0] == "ident" and tk[1].upper() in (
+                "UNION", "ORDER", "LIMIT",
+            ):
+                raise UnsupportedClickHouseSQL(
+                    f"* REPLACE/APPLY with a top-level {tk[1].upper()} "
+                    "is not compiled — the post-projection would apply "
+                    "to the wrong frame; wrap the modifier query as a "
+                    "subquery instead"
+                )
         base = sql
         for a, b in reversed(cut):
             base = base[:a] + base[b:]
@@ -2644,11 +2687,13 @@ def _star_modifiers(s: str) -> str:
                 if kw in ("REPLACE", "APPLY"):
                     raise UnsupportedClickHouseSQL(
                         f"* {kw} (...) rewrites the star expansion, "
-                        "which needs the resolved schema — run the "
-                        "query via run_clickhouse_sql (which compiles "
-                        "the chain), or select the columns explicitly "
-                        "(* EXCEPT passes through; Spark supports it "
-                        "natively)"
+                        "which needs the resolved schema — "
+                        "run_clickhouse_sql compiles the PLAIN "
+                        "'SELECT * [EXCEPT ...] REPLACE/APPLY ... "
+                        "FROM' chain; qualified (t.*), DISTINCT, "
+                        "comma-star, UNION/ORDER BY/LIMIT forms must "
+                        "select columns explicitly (* EXCEPT alone "
+                        "passes through; Spark supports it natively)"
                     )
                 if k + 1 < len(toks) and toks[k + 1][0] == "group":
                     k += 2

@@ -1780,7 +1780,7 @@ def test_format_datetime(spark):
     got = spark.sql(
         translate_clickhouse_sql(
             "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', "
-            "'%Y-%m-%d %H:%M:%S') AS a, "
+            "'%Y-%m-%d %H:%i:%S') AS a, "
             "formatDateTime(TIMESTAMP '2024-03-05 07:08:09', "
             "'%F week %% T') AS b"
         )
@@ -1790,6 +1790,16 @@ def test_format_datetime(spark):
     with pytest.raises(UnsupportedClickHouseSQL, match="%f"):
         translate_clickhouse_sql(
             "SELECT formatDateTime(ts, '%f') FROM events"
+        )
+    # %M is version-split (minutes pre-23.1, MONTH NAME after) and %G
+    # is the week-based year Spark bans — both fail fast
+    with pytest.raises(UnsupportedClickHouseSQL, match="month name"):
+        translate_clickhouse_sql(
+            "SELECT formatDateTime(ts, '%H:%M') FROM events"
+        )
+    with pytest.raises(UnsupportedClickHouseSQL, match="week-based"):
+        translate_clickhouse_sql(
+            "SELECT formatDateTime(ts, '%G') FROM events"
         )
     with pytest.raises(UnsupportedClickHouseSQL, match="timezone"):
         translate_clickhouse_sql(
@@ -1840,8 +1850,8 @@ def test_star_replace_apply_run_path(spark):
     got = run_clickhouse_sql(
         spark,
         "SELECT * REPLACE (toInt64(round(s_acctbal * 100)) * 2 AS "
-        "s_acctbal) FROM supplier WHERE s_acctbal > 0 "
-        "ORDER BY s_suppkey LIMIT 3",
+        "s_acctbal) FROM (SELECT * FROM supplier WHERE s_acctbal > 0 "
+        "ORDER BY s_suppkey LIMIT 3)",
         SF_SMOKE,
     ).collect()
     raw = spark.sql(
@@ -1956,3 +1966,52 @@ def test_untuple_and_state_merge_pointers(spark):
     for bad in ("sumState(x)", "uniqMerge(s)", "avgSimpleState(x)"):
         with pytest.raises(UnsupportedClickHouseSQL, match="MERGEABLE"):
             translate_clickhouse_sql(f"SELECT {bad} FROM t")
+
+
+def test_star_chain_refuses_wrong_frames(spark):
+    """Review fixes: a star chain inside a UNION branch, or combined
+    with top-level ORDER BY/LIMIT, would post-project the WRONG frame
+    (ClickHouse rewrites the select list before limiting) — refuse."""
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    for bad in (
+        "SELECT s_suppkey FROM supplier UNION ALL "
+        "SELECT * REPLACE (s_suppkey * 2 AS s_suppkey) FROM supplier",
+        "SELECT * APPLY (max) FROM supplier LIMIT 10",
+        "SELECT * REPLACE (0 - s_suppkey AS s_suppkey) FROM supplier "
+        "ORDER BY s_suppkey",
+    ):
+        with pytest.raises(UnsupportedClickHouseSQL, match="wrong frame"):
+            run_clickhouse_sql(spark, bad, SF_SMOKE)
+
+
+def test_regex_group_detection(spark):
+    """Review fixes: named groups ARE capturing (RE2), a '(' inside a
+    character class is NOT, and extract/extractAll share one scanner."""
+    got = spark.sql(
+        translate_clickhouse_sql(
+            r"SELECT extractAll('k=1;m=2', '(?<k>\\w+)=') AS named, "
+            r"extractAll('(a) (b)', '[(]\\w[)]') AS klass, "
+            r"extract('k=1', '(?<k>\\w+)=') AS named1, "
+            r"extractAll('xa xb', '(?:x)(a|b)') AS noncap"
+        )
+    ).collect()[0]
+    assert got.named == ["k", "m"]      # named group -> group 1
+    assert got.klass == ["(a)", "(b)"]  # class '(' is not a group
+    assert got.named1 == "k"
+    assert got.noncap == ["a", "b"]     # (?:) skipped, real group used
+
+
+def test_json_raw_and_array_avg_empty(spark):
+    """Review fixes: JSONExtractRaw returns '' on a miss (ClickHouse
+    type default); arrayAvg of an empty array is NaN, not NULL."""
+    import math
+
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT JSONExtractRaw('{\"a\": 1}', 'missing') AS raw, "
+            "arrayAvg(arraySlice([1], 1, 0)) AS av"
+        )
+    ).collect()[0]
+    assert got.raw == ""
+    assert math.isnan(got.av)

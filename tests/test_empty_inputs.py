@@ -240,6 +240,7 @@ def test_window_funnel_pair_modes_empty_and_level0_only(spark):
 
 
 def test_with_fill_empty_base_without_bounds(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
     """WITH FILL over an empty result with IMPLICIT bounds has no
     spine to synthesize — the compiled path must return the empty
     frame, not crash on NULL min/max."""
@@ -249,7 +250,7 @@ def test_with_fill_empty_base_without_bounds(spark, tmp_path):
         spark,
         "SELECT s_nationkey AS nk, count() AS n FROM supplier "
         "WHERE s_nationkey < -1 GROUP BY nk ORDER BY nk WITH FILL",
-        "/root/testdata/sf0.001",
+        SF_SMOKE,
     )
     assert df.count() == 0
     # explicit bounds still generate the dense spine of defaults
@@ -258,7 +259,7 @@ def test_with_fill_empty_base_without_bounds(spark, tmp_path):
         "SELECT s_nationkey AS nk, count() AS n FROM supplier "
         "WHERE s_nationkey < -1 GROUP BY nk "
         "ORDER BY nk WITH FILL FROM 0 TO 5",
-        "/root/testdata/sf0.001",
+        SF_SMOKE,
     )
     rows = df2.collect()
     assert [r.nk for r in rows] == [0, 1, 2, 3, 4]
