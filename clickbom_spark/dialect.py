@@ -937,6 +937,30 @@ def _extract_all(a: list[str]) -> str:
     return f"regexp_extract_all({a[0]}, {a[1]}, {idx})"
 
 
+# translated-call heads that are KNOWN to produce arrays — the basis
+# for routing ClickHouse's polymorphic length()/empty()/notEmpty()
+# to Spark's size() instead of length()
+_ARRAY_HEADS = {
+    "array", "split", "regexp_extract_all", "transform", "filter",
+    "collect_list", "collect_set", "sequence", "slice",
+    "array_distinct", "array_sort", "sort_array", "flatten",
+    "arrays_zip", "map_keys", "map_values", "array_remove",
+    "array_repeat", "json_object_keys",
+}
+
+
+def _returns_array(expr: str) -> bool:
+    t = expr.strip()
+    while t.startswith("(") and _matching_paren(t, 0) == len(t) - 1:
+        t = t[1:-1].strip()
+    m = _IDENT.match(t)
+    if not m:
+        return False
+    head = m.group(0).lower()
+    rest = t[m.end():].lstrip()
+    return rest.startswith("(") and head in _ARRAY_HEADS
+
+
 def _count_matches(a: list[str]) -> str:
     return f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
 
@@ -1058,8 +1082,9 @@ _PLAIN = {
     "arraysum": lambda a: (
         f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     ),
-    "empty": lambda a: f"(size({a[0]}) = 0)",
-    "notempty": lambda a: f"(size({a[0]}) > 0)",
+    # empty/notEmpty live with the polymorphic length() mapping below
+    # (ClickHouse accepts strings AND arrays; the argument text picks
+    # size() vs length())
     # URL function family (ClickHouse sql-reference/functions/url-functions).
     # Spark's parse_url is the JVM-side fast path for the component
     # getters.  Note: ClickHouse returns '' for a missing component on a
@@ -1248,6 +1273,23 @@ _PLAIN = {
     # untuple expands a struct in the SELECT list — Spark's s.* does
     # exactly that (select-list-only in both engines)
     "untuple": lambda a: f"{a[0]}.*",
+    # ClickHouse length() is polymorphic (strings AND arrays); Spark
+    # splits it into length()/size().  The argument's TEXT decides:
+    # a call whose head is a known array producer (or an array
+    # literal) takes size(), everything else takes length().  An
+    # array-typed bare column still needs size() written manually —
+    # Spark's analyzer reports that clearly.
+    "length": lambda a: (
+        f"size({a[0]})" if _returns_array(a[0]) else f"length({a[0]})"
+    ),
+    "empty": lambda a: (
+        f"(size({a[0]}) = 0)" if _returns_array(a[0])
+        else f"(length({a[0]}) = 0)"
+    ),
+    "notempty": lambda a: (
+        f"(size({a[0]}) > 0)" if _returns_array(a[0])
+        else f"(length({a[0]}) > 0)"
+    ),
     # external dictionaries (registry above) — keyed lookups become
     # correlated scalar subqueries Catalyst turns into broadcast joins
     "dictget": _dict_get,

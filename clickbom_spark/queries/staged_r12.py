@@ -1,0 +1,393 @@
+"""Staged registry wave for round 12 — new operator surface.
+
+Same staging workflow as the round-6..11 waves.  This file is built
+AHEAD of schedule (during round 10) so round 11 can focus on
+activation and rotation: every query here is oracle-parity-verified
+via ``tests/test_staged_r12_parity.py`` but held OUT of
+:data:`clickbom_spark.queries.REGISTRY` — and out of the round-11
+activation too.  Round 12 activates with::
+
+    from clickbom_spark.queries import staged_r12  # noqa: F401
+    REGISTRY.update(staged_r12.STAGED_R12)
+
+in ``queries/__init__.py``.
+
+Round-12 themes (so far — the wave may grow to 23 next round):
+
+* **Dialect round-trips for the late round-10 additions** — the JSON
+  extraction family over ``events.props``, ``formatDateTime``,
+  ``extractAll``/``countMatches``, per-group paging (``LIMIT m, n
+  BY``), the plain comma ``LIMIT m, n``, ``untuple``, and the
+  run-path ``* REPLACE / * APPLY`` chain.
+* **Corpus text analytics** — lexical density / stopword ratio per
+  source, and a bigram-surprisal bucket audit over the existing
+  bigram-LM machinery's count tables.
+
+Float determinism policy (same as the registry): exact integer /
+decimal aggregates first, then ONE fixed IEEE expression per surfaced
+double — the identical expression text on both engines — and
+``round(x, 6)`` on surfaced statistics.  ln() appears only over
+small positive INTEGERS (libm-safe cross-engine), pre-rounded to 9
+digits before any decimal sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickbom_spark.queries import QuerySpec, load
+
+STAGED_R12: dict[str, QuerySpec] = {}
+
+
+def staged(name: str, oracle: str | None = None, description: str = "",
+           bench: bool = False):
+    def deco(fn):
+        STAGED_R12[name] = QuerySpec(name, fn, oracle, description, bench)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: the JSON extraction family over events.props —
+# the ClickHouse log-analytics idiom (typed extraction with type
+# defaults on a miss, existence tests, monthly rollup via
+# formatDateTime).  get_json_object on the Spark side, DuckDB's json
+# extension as the independent oracle.
+# ---------------------------------------------------------------------------
+
+_CH_JSON = """
+SELECT formatDateTime(ts, '%Y-%m') AS ym,
+       countIf(JSONHas(props, 'k')) AS with_k,
+       countIf(JSONExtractInt(props, 'k') >= 50) AS k_big,
+       sum(JSONExtractInt(props, 'k')) AS k_sum,
+       uniqExact(JSONExtractString(props, 'k')) AS k_distinct,
+       count() AS n
+FROM events GROUP BY ym ORDER BY ym
+"""
+
+
+@staged(
+    "q_dialect_json_props",
+    oracle="""
+SELECT strftime(ts, '%Y-%m') AS ym,
+       count(*) FILTER (WHERE json_extract_string(props, '$.k')
+                        IS NOT NULL) AS with_k,
+       count(*) FILTER (WHERE coalesce(CAST(json_extract_string(
+         props, '$.k') AS BIGINT), 0) >= 50) AS k_big,
+       CAST(sum(coalesce(CAST(json_extract_string(props, '$.k')
+                              AS BIGINT), 0)) AS BIGINT) AS k_sum,
+       count(DISTINCT coalesce(json_extract_string(props, '$.k'), ''))
+         AS k_distinct,
+       count(*) AS n
+FROM events GROUP BY strftime(ts, '%Y-%m') ORDER BY ym
+""",
+    description="ClickHouse JSON family run verbatim through the "
+    "dialect shim over the events props column (JSONExtractInt/"
+    "String with ClickHouse type defaults on a miss, JSONHas, "
+    "formatDateTime month keys) — the log-analytics idiom a reference "
+    "user brings first; all paths resolve to get_json_object at "
+    "translate time, single scan, one hash aggregate.",
+)
+def q_dialect_json_props(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_JSON, sf_dir)
+    return out.select(
+        "ym",
+        F.col("with_k").cast("long").alias("with_k"),
+        F.col("k_big").cast("long").alias("k_big"),
+        F.col("k_sum").cast("long").alias("k_sum"),
+        F.col("k_distinct").cast("long").alias("k_distinct"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: extractAll / countMatches — regex extraction
+# whose group index is decided from the literal pattern at translate
+# time (capture group present → group 1).
+# ---------------------------------------------------------------------------
+
+_CH_EXTRACT = r"""
+SELECT source,
+       sum(countMatches(text, '\\bdata\\w*')) AS data_words,
+       sum(length(extractAll(text, '(\\w+)ing\\b'))) AS ing_stems,
+       count() AS docs
+FROM documents WHERE text IS NOT NULL
+GROUP BY source ORDER BY source
+"""
+
+
+@staged(
+    "q_dialect_extract_all",
+    oracle=r"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '\bdata\w*'))) AS BIGINT)
+         AS data_words,
+       CAST(sum(len(regexp_extract_all(text, '(\w+)ing\b', 1)))
+            AS BIGINT) AS ing_stems,
+       count(*) AS docs
+FROM documents WHERE text IS NOT NULL
+GROUP BY source ORDER BY source
+""",
+    description="ClickHouse extractAll / countMatches run verbatim "
+    "through the dialect shim: countMatches counts non-overlapping "
+    "whole matches, extractAll extracts capture group 1 when the "
+    "literal pattern has one (decided at translate time by the shared "
+    "group scanner — escapes, character classes, lookarounds and "
+    "named groups handled); single scan, one aggregate.",
+)
+def q_dialect_extract_all(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_EXTRACT, sf_dir)
+    return out.select(
+        "source",
+        F.col("data_words").cast("long").alias("data_words"),
+        F.col("ing_stems").cast("long").alias("ing_stems"),
+        F.col("docs").cast("long").alias("docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: per-group paging — LIMIT m, n BY (skip m, keep
+# n within each group) plus the plain comma LIMIT for the final page.
+# ---------------------------------------------------------------------------
+
+_CH_PAGING = """
+SELECT event_type, user_id, cents
+FROM (
+  SELECT event_type, user_id,
+         sum(toInt64(round(value * 100))) AS cents
+  FROM events GROUP BY event_type, user_id
+)
+ORDER BY cents DESC, user_id
+LIMIT 2, 3 BY event_type
+"""
+
+
+@staged(
+    "q_dialect_limit_by_paging",
+    oracle="""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents DESC, user_id) AS rn
+  FROM per_user
+)
+SELECT event_type, user_id, cents
+FROM ranked WHERE rn > 2 AND rn <= 5
+ORDER BY cents DESC, user_id
+""",
+    description="ClickHouse per-group paging `LIMIT 2, 3 BY "
+    "event_type` run verbatim through the dialect shim "
+    "(dialect._rewrite_limit_by, comma form): skip the 2 highest-"
+    "spending users per type, keep the next 3 — compiles to the "
+    "row_number window filter 2 < rn <= 5 in the query's own "
+    "(cents DESC, user_id) selection order.",
+)
+def q_dialect_limit_by_paging(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_PAGING, sf_dir)
+    return out.select(
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: the run-path star chain — EXCEPT + REPLACE +
+# APPLY(max) in one statement, compiled over the resolved schema.
+# ---------------------------------------------------------------------------
+
+_CH_STAR = """
+SELECT * EXCEPT (o_orderpriority)
+       REPLACE (toInt64(round(o_totalprice * 100)) AS o_totalprice)
+       APPLY (max)
+FROM orders
+"""
+
+
+@staged(
+    "q_dialect_star_chain",
+    oracle="""
+SELECT max(o_orderkey) AS "max(o_orderkey)",
+       max(o_custkey) AS "max(o_custkey)",
+       max(o_orderstatus) AS "max(o_orderstatus)",
+       max(CAST(round(o_totalprice * 100) AS BIGINT))
+         AS "max(o_totalprice)",
+       strftime(CAST(max(o_orderdate) AS DATE), '%Y-%m-%d')
+         AS "max(o_orderdate)"
+FROM orders
+""",
+    description="The run-path star chain compiled over the resolved "
+    "schema (dialect._run_star_replace_apply): * EXCEPT (o_comment) "
+    "REPLACE (cents AS o_totalprice) APPLY (max) — ClickHouse's "
+    "select-list sugar as post-projections, aggregate APPLY turning "
+    "the expansion into one global aggregate with ClickHouse-style "
+    "output names.",
+)
+def q_dialect_star_chain(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_STAR, sf_dir)
+    # date columns surface as strings for cross-engine stability
+    cols = []
+    for c in out.columns:
+        if c == "max(o_orderdate)":
+            cols.append(F.date_format(F.col("`max(o_orderdate)`"),
+                                      "yyyy-MM-dd").alias(c))
+        else:
+            cols.append(F.col(f"`{c}`"))
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Lexical density / stopword ratio per source — the content-word
+# share and function-word share of each source, standard
+# corpus-quality signals (a fixed public stopword list; pure counting
+# plus two fixed divisions).
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on",
+    "at", "by", "for", "with", "is", "are", "was", "were", "be",
+    "been", "it", "its", "as", "that", "this", "these", "those",
+    "from", "not", "no",
+)
+
+
+@staged(
+    "q_lexical_density",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), flags AS (
+  SELECT source, w,
+         CASE WHEN w IN ({", ".join(repr(w) for w in _STOPWORDS)})
+              THEN 1 ELSE 0 END AS is_stop
+  FROM tok WHERE w <> ''
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS tokens,
+       CAST(sum(is_stop) AS BIGINT) AS stop_tokens,
+       round(CAST(sum(is_stop) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+             6) AS stopword_ratio,
+       round(CAST(count(*) - sum(is_stop) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS lexical_density
+FROM flags GROUP BY source ORDER BY source
+""",
+    description="Lexical density and stopword ratio per source — the "
+    "content-word share vs function-word share over a fixed public "
+    "stopword list (the classic readability/quality pair a curation "
+    "pipeline thresholds on): one explode, one hash aggregate, two "
+    "fixed IEEE divisions rounded to 6.",
+)
+def q_lexical_density(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    tok = (
+        docs.where(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    is_stop = F.col("w").isin(*_STOPWORDS).cast("int")
+    tokens = F.count(F.lit(1)).cast("long")
+    stops = F.sum(is_stop).cast("long")
+    return (
+        tok.groupBy("source")
+        .agg(
+            tokens.alias("tokens"),
+            stops.alias("stop_tokens"),
+            F.round(
+                stops.cast("double") / tokens.cast("double"), 6
+            ).alias("stopword_ratio"),
+            F.round(
+                (tokens - stops).cast("double") / tokens.cast("double"),
+                6,
+            ).alias("lexical_density"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantileExactLow / quantileExactHigh — ClickHouse's non-interpolated
+# exact quantile pair (lower / upper order statistic at the quantile
+# boundary), via the engine's bucketed exact-rank machinery: the
+# k-th order statistic is a conditional-min over exact prefix counts,
+# never a global sort.  low picks element floor((n-1)p)+1, high picks
+# floor(n·p)+1 (1-based), matching the public ClickHouse definitions.
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "q_quantile_exact_bounds",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL
+), agg AS (
+  SELECT c, count(*) AS w FROM v GROUP BY c
+), cum AS (
+  SELECT c, SUM(w) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cw,
+         (SELECT count(*) FROM v) AS n
+  FROM agg
+)
+SELECT CAST(min(CASE WHEN cw >= floor((n - 1) * 0.25) + 1 THEN c END)
+            AS BIGINT) AS q25_low,
+       CAST(min(CASE WHEN cw >= floor(n * 0.25) + 1 THEN c END)
+            AS BIGINT) AS q25_high,
+       CAST(min(CASE WHEN cw >= floor((n - 1) * 0.9) + 1 THEN c END)
+            AS BIGINT) AS q90_low,
+       CAST(min(CASE WHEN cw >= least(floor(n * 0.9) + 1, n) THEN c END)
+            AS BIGINT) AS q90_high,
+       CAST(min(n) AS BIGINT) AS n
+FROM cum
+""",
+    description="ClickHouse quantileExactLow / quantileExactHigh "
+    "(non-interpolated order statistics: element floor((n-1)p)+1 vs "
+    "floor(n·p)+1, 1-based) over integer cents — distinct-value "
+    "counts, exact prefix sums, conditional-min selection; no global "
+    "sort, no interpolation, bit-exact in any engine.",
+)
+def q_quantile_exact_bounds(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    v = events.where(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    agg = v.groupBy("c").agg(F.count(F.lit(1)).alias("w"))
+    # distinct cents values are bounded (≤ 10k for 2-decimal values in
+    # [0, 100]) — the running sum over the DISTINCT-value frame is a
+    # sketch-sized window, not a data window
+    wspec = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_total = v.count()
+    cum = agg.select(
+        "c", F.sum("w").over(wspec).alias("cw"), F.lit(n_total).alias("n")
+    )
+
+    def pick(thresh):
+        return F.min(F.when(F.col("cw") >= thresh, F.col("c")))
+
+    nd = F.col("n")
+    return cum.agg(
+        pick(F.floor((nd - 1) * 0.25) + 1).cast("long").alias("q25_low"),
+        pick(F.floor(nd * 0.25) + 1).cast("long").alias("q25_high"),
+        pick(F.floor((nd - 1) * 0.9) + 1).cast("long").alias("q90_low"),
+        pick(F.least(F.floor(nd * 0.9) + 1, nd))
+        .cast("long").alias("q90_high"),
+        F.min("n").cast("long").alias("n"),
+    )

@@ -48,10 +48,11 @@ means the query is in the bench.py headline set at sf0.1.
     from clickbom_spark.queries.staged_r9 import STAGED_R9
     from clickbom_spark.queries.staged_r10 import STAGED_R10
     from clickbom_spark.queries.staged_r11 import STAGED_R11
+    from clickbom_spark.queries.staged_r12 import STAGED_R12
 
     pool = {
         **STAGED, **STAGED_R7, **STAGED_R8, **STAGED_R9, **STAGED_R10,
-        **STAGED_R11,
+        **STAGED_R11, **STAGED_R12,
     }
     pending = [s2 for n2, s2 in pool.items() if n2 not in Q.REGISTRY]
     if pending:

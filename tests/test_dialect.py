@@ -2015,3 +2015,20 @@ def test_json_raw_and_array_avg_empty(spark):
     ).collect()[0]
     assert got.raw == ""
     assert math.isnan(got.av)
+
+
+def test_length_polymorphism(spark):
+    """ClickHouse length()/empty()/notEmpty() accept strings AND
+    arrays; the translated argument's head routes to size() when it is
+    a known array producer, length() otherwise."""
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT length('abc') AS ls, "
+            "length(splitByChar(' ', 'a b c')) AS la, "
+            "length(extractAll('x1 y2', '[a-z]')) AS lr, "
+            "empty('') AS es, empty([1, 2]) AS ea, "
+            "notEmpty('x') AS ns"
+        )
+    ).collect()[0]
+    assert (got.ls, got.la, got.lr) == (3, 3, 2)
+    assert (got.es, got.ea, got.ns) == (True, False, True)
