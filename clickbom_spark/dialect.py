@@ -1200,6 +1200,12 @@ _PLAIN = {
         f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})"
     ),
     "arrayslice": lambda a: f"slice({', '.join(a)})",
+    # arrayPartialSort(limit, arr): ClickHouse only guarantees the
+    # first `limit` elements are the sorted prefix — the sorted
+    # k-prefix IS that contract
+    "arraypartialsort": lambda a: (
+        f"slice(sort_array({a[1]}), 1, {a[0]})"
+    ),
     "arrayreverse": lambda a: f"reverse({a[0]})",
     "arrayconcat": lambda a: f"concat({', '.join(a)})",
     "arrayuniq": lambda a: f"size(array_distinct({a[0]}))",

@@ -391,3 +391,323 @@ def q_quantile_exact_bounds(spark, sf_dir):
         .cast("long").alias("q90_high"),
         F.min("n").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: untuple + tuple — ClickHouse's struct pack /
+# select-list unpack pair, and tuple IN membership.
+# ---------------------------------------------------------------------------
+
+_CH_UNTUPLE = """
+SELECT l_returnflag, untuple(s) FROM (
+  SELECT l_returnflag,
+         tuple(count(), sum(toInt64(l_quantity))) AS s
+  FROM lineitem
+  WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('R', 'F'))
+  GROUP BY l_returnflag
+) ORDER BY l_returnflag
+"""
+
+
+@staged(
+    "q_dialect_untuple",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS "col1",
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS "col2"
+FROM lineitem
+WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('R', 'F'))
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    description="ClickHouse tuple()/untuple() round-trip: tuple packs "
+    "aggregate pairs into a struct (Spark named_struct via the "
+    "struct() mapping), untuple expands it in the select list "
+    "(Spark's s.*), and composite-tuple IN membership filters "
+    "(returnflag, linestatus) pairs — all verbatim through the shim.",
+)
+def q_dialect_untuple(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_UNTUPLE, sf_dir)
+    cols = out.columns  # struct fields surface as col1/col2
+    return out.select(
+        "l_returnflag",
+        F.col(cols[1]).cast("long").alias("col1"),
+        F.col(cols[2]).cast("long").alias("col2"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: plain comma LIMIT — ClickHouse's offset-first
+# page spelling, compiled to LIMIT n OFFSET m.
+# ---------------------------------------------------------------------------
+
+_CH_COMMA_LIMIT = """
+SELECT o_custkey, count() AS n
+FROM orders GROUP BY o_custkey
+ORDER BY n DESC, o_custkey
+LIMIT 5, 10
+"""
+
+
+@staged(
+    "q_dialect_comma_limit",
+    oracle="""
+SELECT o_custkey, count(*) AS n
+FROM orders GROUP BY o_custkey
+ORDER BY n DESC, o_custkey
+LIMIT 10 OFFSET 5
+""",
+    description="ClickHouse's offset-first page spelling `LIMIT 5, "
+    "10` run verbatim through the dialect shim "
+    "(dialect._rewrite_limit_comma): compiles to LIMIT 10 OFFSET 5 "
+    "over a fully-deterministic (count DESC, key) order, so the page "
+    "is the same row set in both engines.",
+)
+def q_dialect_comma_limit(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_COMMA_LIMIT, sf_dir)
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: arrayPartialSort — ClickHouse's k-smallest
+# prefix (added to the shim alongside this query).
+# ---------------------------------------------------------------------------
+
+_CH_PARTIAL_SORT = """
+SELECT l_returnflag,
+       arrayPartialSort(3, groupArray(toInt64(l_quantity))) AS small3
+FROM lineitem
+WHERE l_orderkey <= 100
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@staged(
+    "q_dialect_array_partial_sort",
+    oracle="""
+SELECT l_returnflag,
+       array_to_string(list_sort(list(CAST(l_quantity AS BIGINT)))[1:3],
+                       ',') AS small3
+FROM lineitem
+WHERE l_orderkey <= 100
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    description="ClickHouse arrayPartialSort(3, arr): the 3 smallest "
+    "elements in sorted order (slice of sort_array — the k-prefix is "
+    "what ClickHouse guarantees; the groupArray input is bounded by "
+    "the orderkey filter so the collected array stays small).",
+)
+def q_dialect_array_partial_sort(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_PARTIAL_SORT, sf_dir)
+    # arrays hash-compare awkwardly across pandas bridges: surface CSV
+    return out.select(
+        "l_returnflag",
+        F.array_join(
+            F.transform("small3", lambda x: x.cast("string")), ","
+        ).alias("small3"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: toDayOfWeek weekday profile — ClickHouse's
+# ISO Monday=1 convention (the shim shifts Spark's Sunday=1 dayofweek).
+# ---------------------------------------------------------------------------
+
+_CH_WEEKDAY = """
+SELECT toDayOfWeek(ts) AS dow, event_type,
+       count() AS n,
+       sum(toInt64(round(value * 100))) AS cents
+FROM events GROUP BY dow, event_type ORDER BY dow, event_type
+"""
+
+
+@staged(
+    "q_dialect_weekday_profile",
+    oracle="""
+SELECT isodow(ts) AS dow, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY isodow(ts), event_type ORDER BY dow, event_type
+""",
+    description="Weekday activity profile via toDayOfWeek (ISO "
+    "Monday=1 — the shim shifts Spark's Sunday-first dayofweek to "
+    "ClickHouse's convention, pinned against DuckDB's isodow): one "
+    "scan, one hash aggregate per (weekday, type).",
+)
+def q_dialect_weekday_profile(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_WEEKDAY, sf_dir)
+    return out.select(
+        F.col("dow").cast("int").alias("dow"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# runningAccumulate analog — cumulative daily revenue per type over
+# the calendar-bounded daily frame (the ordered window is ≤366 rows
+# per type at ANY data scale).
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "q_running_accumulate",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS d, cents,
+       CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_cents
+FROM daily ORDER BY event_type, d
+""",
+    description="ClickHouse runningAccumulate(sumState(cents)) "
+    "analog: cumulative daily revenue per event type — the running "
+    "sum window rides the DAILY aggregate frame (calendar-bounded, "
+    "<=366 rows per type at any scale), never raw events; integer "
+    "cents keep the prefix exact.",
+)
+def q_running_accumulate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long").alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("running_cents"),
+    ).orderBy("event_type", "d")
+
+
+# ---------------------------------------------------------------------------
+# Exact Pearson correlation from integer power sums — corr() itself
+# is an order-dependent float fold that can differ across engines in
+# the last ulps; the power-sum form is bit-stable (one fixed IEEE
+# expression over exact integers).
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "q_pearson_exact",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag AS g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS sxy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT g AS l_returnflag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS pearson_r
+FROM s ORDER BY l_returnflag
+""",
+    description="Exact Pearson correlation of (quantity, "
+    "discount-cents) per returnflag from integer power sums (n, Σx, "
+    "Σy, Σxy, Σx², Σy²) — corr() itself is an order-dependent float "
+    "fold that differs across engines in the last ulps; this form is "
+    "one map-side-combined hash aggregate and one fixed IEEE "
+    "expression rounded to 6, bit-stable anywhere.",
+)
+def q_pearson_exact(spark, sf_dir):
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_discount") * 100).cast("long")
+    s = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (nd * sxyd - sxd * syd) / (
+        F.sqrt(nd * sxxd - sxd * sxd) * F.sqrt(nd * syyd - syd * syd)
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(r, 6).alias("pearson_r")
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram — exact integer bucketing of event cents
+# (width 1000 = $10 buckets), the deterministic companion to the
+# equi-height q_histogram_equi_height.
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "q_histogram_fixed_width",
+    oracle="""
+SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 1000) AS BIGINT)
+         AS bucket,
+       count(*) AS n,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS lo_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS hi_cents
+FROM events WHERE value IS NOT NULL
+GROUP BY bucket ORDER BY bucket
+""",
+    description="Fixed-width histogram of event value cents ($10 "
+    "buckets via exact integer floor division) with per-bucket "
+    "min/max — the deterministic companion to the equi-height "
+    "histogram; one scan, one hash aggregate, no windows.",
+)
+def q_histogram_fixed_width(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy(F.floor(cents / 1000).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(cents).cast("long").alias("lo_cents"),
+            F.max(cents).cast("long").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
