@@ -965,6 +965,41 @@ def _count_matches(a: list[str]) -> str:
     return f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
 
 
+def _literal_array_items(fn: str, arg: str) -> list[str]:
+    t = arg.strip()
+    low = t.lower()
+    if not (low.startswith("array(") and t.endswith(")")):
+        raise UnsupportedClickHouseSQL(
+            f"{fn}: the from/to arrays must be literals — a CASE chain "
+            "is generated at translate time"
+        )
+    return [x.strip() for x in _split_args(t[t.index("(") + 1: -1])]
+
+
+def _transform_case(a: list[str]) -> str:
+    """ClickHouse ``transform(x, [f1, …], [t1, …][, default])`` — the
+    per-value substitution map — as an explicit CASE chain.  The
+    3-arg form keeps unmatched values (ELSE x), the 4-arg form takes
+    the default."""
+    if len(a) not in (3, 4):
+        raise UnsupportedClickHouseSQL(
+            "transform takes (x, [from...], [to...][, default])"
+        )
+    frm = _literal_array_items("transform", a[1])
+    to = _literal_array_items("transform", a[2])
+    if len(frm) != len(to) or not frm:
+        raise UnsupportedClickHouseSQL(
+            "transform: from/to arrays must be non-empty and "
+            "equal-length"
+        )
+    x = a[0].strip()
+    default = a[3].strip() if len(a) == 4 else f"({x})"
+    whens = " ".join(
+        f"WHEN ({x}) = {f} THEN {t}" for f, t in zip(frm, to)
+    )
+    return f"(CASE {whens} ELSE {default} END)"
+
+
 _PLAIN = {
     # ClickHouse count() takes zero args; Spark needs count(*)
     "count": lambda a: f"count({', '.join(a) if a else '*'})",
@@ -1206,6 +1241,10 @@ _PLAIN = {
     "arraypartialsort": lambda a: (
         f"slice(sort_array({a[1]}), 1, {a[0]})"
     ),
+    # ClickHouse transform(x, [from...], [to...][, default]) is the
+    # VALUE MAPPER (arrayMap is the HOF) — compiled to a CASE chain
+    # when the from/to arrays are literals; 3-arg form defaults to x
+    "transform": _transform_case,
     "arrayreverse": lambda a: f"reverse({a[0]})",
     "arrayconcat": lambda a: f"concat({', '.join(a)})",
     "arrayuniq": lambda a: f"size(array_distinct({a[0]}))",

@@ -711,3 +711,601 @@ def q_histogram_fixed_width(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: transform() value mapping + the -Distinct
+# combinators in one statement.
+# ---------------------------------------------------------------------------
+
+_CH_TRANSFORM = """
+SELECT transform(event_type,
+                 ['view', 'click', 'purchase'],
+                 ['browse', 'engage', 'convert'],
+                 'other') AS stage,
+       sumDistinct(toInt64(round(value * 100))) AS distinct_cents,
+       uniqExact(user_id) AS users,
+       count() AS n
+FROM events GROUP BY stage ORDER BY stage
+"""
+
+
+@staged(
+    "q_dialect_transform_map",
+    oracle="""
+SELECT CASE event_type WHEN 'view' THEN 'browse'
+                       WHEN 'click' THEN 'engage'
+                       WHEN 'purchase' THEN 'convert'
+                       ELSE 'other' END AS stage,
+       CAST(sum(DISTINCT CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS distinct_cents,
+       count(DISTINCT user_id) AS users,
+       count(*) AS n
+FROM events GROUP BY stage ORDER BY stage
+""",
+    description="ClickHouse transform(x, [from], [to], default) — the "
+    "per-value substitution map, compiled to a CASE chain at "
+    "translate time — composed with the -Distinct combinator "
+    "(sumDistinct over integer cents stays exact) and uniqExact; one "
+    "scan, one hash aggregate.",
+)
+def q_dialect_transform_map(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_TRANSFORM, sf_dir)
+    return out.select(
+        "stage",
+        F.col("distinct_cents").cast("long").alias("distinct_cents"),
+        F.col("users").cast("long").alias("users"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: positional ordinals — ClickHouse enables
+# positional arguments by default since 22.3, and Spark's
+# groupByOrdinal/orderByOrdinal are the same convention, so the text
+# passes through with IDENTICAL semantics (pinned here end-to-end).
+# ---------------------------------------------------------------------------
+
+_CH_ORDINALS = """
+SELECT event_type, toDate(ts) AS d, count() AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@staged(
+    "q_dialect_ordinals",
+    oracle="""
+SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+       count(*) AS n
+FROM events GROUP BY 1, CAST(ts AS DATE) ORDER BY 1, 2
+""",
+    description="Positional GROUP BY 1, 2 / ORDER BY 1, 2 — "
+    "ClickHouse (enable_positional_arguments, default since 22.3) "
+    "and Spark (groupByOrdinal/orderByOrdinal, default on) share the "
+    "convention, so the text passes through with identical "
+    "semantics; pinned by execution rather than assumed.",
+)
+def q_dialect_ordinals(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_ORDINALS, sf_dir)
+    return out.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: NULL-handling scalars + exactly-rounded math.
+# sqrt is correctly rounded per IEEE-754 (safe cross-engine on exact
+# integer inputs, unlike exp/ln); intDiv/modulo/abs are integer-exact.
+# ---------------------------------------------------------------------------
+
+_CH_NULL_MATH = """
+SELECT l_returnflag,
+       sum(ifNull(nullIf(toInt64(l_quantity), 1), 0)) AS qty_no_ones,
+       countIf(isNull(nullIf(l_linestatus, 'F'))) AS f_rows,
+       sum(intDiv(toInt64(l_quantity), 7)) AS weeks,
+       sum(modulo(toInt64(l_quantity), 7)) AS rem,
+       sum(abs(toInt64(l_quantity) - 25)) AS dev,
+       round(sqrt(toFloat64(count())), 6) AS sqrt_n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@staged(
+    "q_dialect_null_math",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(coalesce(nullif(CAST(l_quantity AS BIGINT), 1), 0))
+            AS BIGINT) AS qty_no_ones,
+       count(*) FILTER (WHERE nullif(l_linestatus, 'F') IS NULL)
+         AS f_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT) // 7) AS BIGINT) AS weeks,
+       CAST(sum(CAST(l_quantity AS BIGINT) % 7) AS BIGINT) AS rem,
+       CAST(sum(abs(CAST(l_quantity AS BIGINT) - 25)) AS BIGINT) AS dev,
+       round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS sqrt_n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    description="NULL-handling scalars (ifNull/nullIf/isNull through "
+    "the -If combinator) and exact math (intDiv -> DIV, modulo, abs; "
+    "sqrt is IEEE-754 correctly rounded, so it is the one libm call "
+    "that is safe cross-engine on exact integer inputs) — one scan, "
+    "one aggregate per returnflag.",
+)
+def q_dialect_null_math(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_NULL_MATH, sf_dir)
+    return out.select(
+        "l_returnflag",
+        F.col("qty_no_ones").cast("long").alias("qty_no_ones"),
+        F.col("f_rows").cast("long").alias("f_rows"),
+        F.col("weeks").cast("long").alias("weeks"),
+        F.col("rem").cast("long").alias("rem"),
+        F.col("dev").cast("long").alias("dev"),
+        "sqrt_n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary curve — distinct vocabulary measured at
+# doc_id-prefix checkpoints (25/50/75/100% of the id range): how fast
+# the corpus keeps yielding new types, the companion to Good–Turing
+# for corpus-sizing decisions.  Conditional distinct counts over ONE
+# term table — no per-checkpoint rescans.
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "q_heaps_vocab_curve",
+    oracle="""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+     tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(count(DISTINCT CASE WHEN doc_id * 4 <= (SELECT m FROM mx)
+                                THEN w END) AS BIGINT) AS v25,
+       CAST(count(DISTINCT CASE WHEN doc_id * 2 <= (SELECT m FROM mx)
+                                THEN w END) AS BIGINT) AS v50,
+       CAST(count(DISTINCT CASE WHEN doc_id * 4 <= 3 * (SELECT m FROM mx)
+                                THEN w END) AS BIGINT) AS v75,
+       CAST(count(DISTINCT w) AS BIGINT) AS v100,
+       CAST(count(*) FILTER (WHERE w <> '') AS BIGINT) AS tokens
+FROM tf
+""",
+    description="Heaps'-law vocabulary growth: distinct types "
+    "observed within the first 25/50/75/100% of the doc_id range — "
+    "how fast the corpus keeps yielding NEW vocabulary, the "
+    "corpus-sizing companion to Good-Turing; four conditional "
+    "distinct aggregates over one exploded term table (integer "
+    "threshold arithmetic, no per-checkpoint rescans).",
+)
+def q_heaps_vocab_curve(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    m = docs.agg(F.max("doc_id").alias("m"))
+    tf = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .crossJoin(F.broadcast(m))
+    )
+    d, mm = F.col("doc_id"), F.col("m")
+
+    def vocab(cond):
+        return F.countDistinct(F.when(cond, F.col("w"))).cast("long")
+
+    return tf.agg(
+        vocab(d * 4 <= mm).alias("v25"),
+        vocab(d * 2 <= mm).alias("v50"),
+        vocab(d * 4 <= 3 * mm).alias("v75"),
+        F.countDistinct("w").cast("long").alias("v100"),
+        F.sum((F.col("w") != "").cast("int")).cast("long").alias("tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram cross-entropy of each source against the corpus LM — the
+# domain-shift signal curation pipelines threshold on.  ln() only of
+# exact positive integers (term counts and corpus totals):
+# H(p_s, q_corpus) = ln(N_corpus) - (1/N_s) Σ_w c_sw · ln(c_w),
+# every ln pre-rounded to 9 digits and decimal-summed.
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "q_cross_entropy_unigram",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE w <> '' GROUP BY source, w
+), corpus AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM tf GROUP BY w
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tf)
+SELECT tf.source,
+       CAST(sum(tf.c) AS BIGINT) AS n_source,
+       round(round(ln(CAST((SELECT n FROM tot) AS DOUBLE)), 9)
+             - CAST(sum(CAST(round(CAST(tf.c AS DOUBLE)
+                 * round(ln(CAST(corpus.cw AS DOUBLE)), 9), 9)
+                 AS DECIMAL(38, 9))) AS DOUBLE)
+               / CAST(sum(tf.c) AS DOUBLE), 6) AS cross_entropy
+FROM tf JOIN corpus ON corpus.w = tf.w
+GROUP BY tf.source ORDER BY tf.source
+""",
+    description="Unigram cross-entropy of each source against the "
+    "whole-corpus language model, H(p_s, q) = ln(N) - (1/N_s) "
+    "Σ c_sw·ln(c_w) — the domain-shift signal for mixture decisions; "
+    "ln() only ever sees exact positive integers (libm-safe), each "
+    "term is rounded to 9 digits before the decimal sum, and the "
+    "(source-term, corpus-term) join is an equi-join on the term "
+    "table, never on raw tokens.",
+)
+def q_cross_entropy_unigram(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    tf = (
+        docs.where(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    corpus = tf.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    tot = tf.agg(F.sum("c").cast("long").alias("n"))
+    j = tf.join(corpus, "w").crossJoin(F.broadcast(tot))
+    term = F.round(
+        F.col("c").cast("double")
+        * F.round(F.log(F.col("cw").cast("double")), 9),
+        9,
+    ).cast("decimal(38,9)")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_source"),
+            F.round(
+                F.round(F.log(F.max("n").cast("double")), 9)
+                - F.sum(term).cast("double")
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequenceCount with a per-step time limit — the timed counting
+# automaton: non-overlapping view→click→purchase completions where
+# each step follows the previous within 12h (restart-after-match,
+# ClickHouse's counting semantics).  Pure integer fold over the
+# per-user sorted stream; DuckDB list_reduce replays it verbatim
+# (per-slot CASEs, static indices — the DuckDB-1.0-safe shape).
+# ---------------------------------------------------------------------------
+
+_SCT_LIMIT_US = 12 * 3600 * 1_000_000
+
+
+@staged(
+    "q_sequence_count_timed",
+    oracle=f"""
+WITH lev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'purchase' THEN 3 ELSE 0 END AS l
+  FROM events
+), folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend([0::BIGINT, 0::BIGINT, 0::BIGINT],
+             list([t, CAST(l AS BIGINT)] ORDER BY t, event_id)),
+           (acc, x) -> [
+             CASE WHEN x[2] = acc[1] + 1
+                       AND (acc[1] = 0
+                            OR x[1] - acc[2] <= {_SCT_LIMIT_US})
+                  THEN CASE WHEN x[2] = 3 THEN 0 ELSE x[2] END
+                  ELSE acc[1] END,
+             CASE WHEN x[2] = acc[1] + 1
+                       AND (acc[1] = 0
+                            OR x[1] - acc[2] <= {_SCT_LIMIT_US})
+                  THEN x[1] ELSE acc[2] END,
+             CASE WHEN x[2] = 3 AND acc[1] = 2
+                       AND x[1] - acc[2] <= {_SCT_LIMIT_US}
+                  THEN acc[3] + 1 ELSE acc[3] END
+           ]) AS acc
+  FROM lev WHERE l > 0 GROUP BY user_id
+)
+SELECT user_id, CAST(acc[3] AS BIGINT) AS n_funnels
+FROM folded ORDER BY user_id
+""",
+    description="Timed sequenceCount: non-overlapping "
+    "view→click→purchase completions per user where each step follows "
+    "the previous within 12h (restart-after-match counting, the "
+    "ClickHouse sequenceCount discipline, plus the (?t<=12h) "
+    "constraint) — a 3-slot integer fold [stage, last_step_t, count] "
+    "over the per-user (ts, event_id)-sorted stream, replayed "
+    "verbatim by the DuckDB list_reduce oracle.",
+)
+def q_sequence_count_timed(spark, sf_dir):
+    from clickbom_spark.queries import epoch_us
+
+    (events,) = load(spark, sf_dir, "events")
+    lev = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    src = events.select(
+        "user_id", epoch_us("ts").alias("t"),
+        F.col("event_id").alias("tb"), lev.cast("int").alias("l"),
+    ).where(F.col("l") > 0)
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col("t"), F.col("tb"), F.col("l")))
+    )
+    seed = F.array(
+        F.lit(0).cast("long"), F.lit(0).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    lim = F.lit(_SCT_LIMIT_US)
+
+    def step(acc, x):
+        stage, last_t, cnt = (
+            F.element_at(acc, 1), F.element_at(acc, 2),
+            F.element_at(acc, 3),
+        )
+        advance = (x["l"] == stage + 1) & (
+            (stage == 0) | (x["t"] - last_t <= lim)
+        )
+        done = advance & (x["l"] == 3)
+        return F.array(
+            F.when(advance, F.when(done, F.lit(0).cast("long"))
+                   .otherwise(x["l"].cast("long"))).otherwise(stage),
+            F.when(advance, x["t"]).otherwise(last_t),
+            F.when(done, cnt + 1).otherwise(cnt),
+        )
+
+    state = F.aggregate(packed, seed, step)
+    return (
+        src.groupBy("user_id")
+        .agg(F.element_at(state, 3).cast("long").alias("n_funnels"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap statistics — the per-user burstiness signal.  Mean
+# gap is closed-form ((max-min)/(n-1)); MAX gap needs the fold over
+# the sorted stream (2-slot state [prev_t, max_gap]).
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "q_interevent_gaps",
+    oracle="""
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+), folded AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(max(t) - min(t) AS BIGINT) AS span_us,
+         list_reduce(
+           list_prepend([(-1)::BIGINT, 0::BIGINT],
+             list([t] ORDER BY t, event_id)),
+           (acc, x) -> [
+             x[1],
+             CASE WHEN acc[1] >= 0 AND x[1] - acc[1] > acc[2]
+                  THEN x[1] - acc[1] ELSE acc[2] END
+           ]) AS st
+  FROM u GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST(span_us // (n - 1) AS BIGINT) AS mean_gap_us,
+       CAST(st[2] AS BIGINT) AS max_gap_us
+FROM folded WHERE n >= 2 ORDER BY user_id
+""",
+    description="Inter-event gap statistics per user (the burstiness "
+    "signal): mean gap is the closed form span DIV (n-1); the MAX gap is "
+    "a 2-slot integer fold [prev_t, max_gap] over the per-user sorted "
+    "stream — one hash aggregate, and the surfaced gaps stay in exact "
+    "integer microseconds (floored mean) — no float anywhere.",
+)
+def q_interevent_gaps(spark, sf_dir):
+    from clickbom_spark.queries import epoch_us
+
+    (events,) = load(spark, sf_dir, "events")
+    u = events.select(
+        "user_id", epoch_us("ts").alias("t"),
+        F.col("event_id").alias("tb"),
+    )
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col("t"), F.col("tb")))
+    )
+    seed = F.array(F.lit(-1).cast("long"), F.lit(0).cast("long"))
+
+    def step(acc, x):
+        prev, mg = F.element_at(acc, 1), F.element_at(acc, 2)
+        gap = x["t"] - prev
+        return F.array(
+            x["t"],
+            F.when((prev >= 0) & (gap > mg), gap).otherwise(mg),
+        )
+
+    st = F.aggregate(packed, seed, step)
+    agg = u.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+        F.element_at(st, 2).cast("long").alias("max_gap_us"),
+    )
+    return (
+        agg.where(F.col("n") >= 2)
+        .select(
+            "user_id", "n",
+            F.expr("span_us DIV (n - 1)").cast("long")
+            .alias("mean_gap_us"),
+            F.col("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: string shaping — pads, case, repeat, substring,
+# trim variants in one statement.
+# ---------------------------------------------------------------------------
+
+_CH_STRINGS = """
+SELECT doc_id,
+       leftPad(upperUTF8(lang), 5, '.') AS lp,
+       rightPad(source, 8, '-') AS rp,
+       repeat(lang, 2) AS rep,
+       substringUTF8(trimLeft(concatWithSeparator('  ', '', text)),
+                     1, 12) AS head
+FROM documents WHERE text IS NOT NULL
+ORDER BY doc_id LIMIT 40
+"""
+
+
+@staged(
+    "q_dialect_string_shape",
+    oracle="""
+SELECT doc_id,
+       lpad(upper(lang), 5, '.') AS lp,
+       rpad(source, 8, '-') AS rp,
+       repeat(lang, 2) AS rep,
+       substring(ltrim('' || '  ' || text), 1, 12) AS head
+FROM documents WHERE text IS NOT NULL
+ORDER BY doc_id LIMIT 40
+""",
+    description="String shaping through the shim: leftPad/rightPad → "
+    "lpad/rpad, upperUTF8, repeat (shared spelling), trimLeft → "
+    "ltrim, substringUTF8 → substring, concatWithSeparator → "
+    "concat_ws — the text-normalization combinators of an ETL "
+    "select list, row-parallel, no aggregates.",
+)
+def q_dialect_string_shape(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    return run_clickhouse_sql(spark, _CH_STRINGS, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lp", "rp", "rep", "head",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: calendar shaping — quarter truncation and
+# month/quarter arithmetic in one statement.
+# ---------------------------------------------------------------------------
+
+_CH_CAL = """
+SELECT toQuarter(ts) AS q,
+       formatDateTime(toStartOfQuarter(ts), '%F') AS q0,
+       formatDateTime(addMonths(toStartOfMonth(ts), 2), '%F') AS m_plus2,
+       dateDiff('month', toDate('2023-11-15'), toDate(ts)) AS months_in,
+       count() AS n
+FROM events GROUP BY q, q0, m_plus2, months_in
+ORDER BY q, q0, m_plus2, months_in
+"""
+
+
+@staged(
+    "q_dialect_calendar_shape",
+    oracle="""
+SELECT quarter(ts) AS q,
+       strftime(CAST(date_trunc('quarter', ts) AS DATE), '%Y-%m-%d')
+         AS q0,
+       strftime(CAST(date_trunc('month', ts) + INTERVAL 2 MONTH
+                     AS DATE), '%Y-%m-%d') AS m_plus2,
+       date_diff('month', DATE '2023-11-15', CAST(ts AS DATE))
+         AS months_in,
+       count(*) AS n
+FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+""",
+    description="Calendar shaping through the shim: toQuarter, "
+    "toStartOfQuarter (session-tz local-midnight truncation), "
+    "addMonths over month starts, and boundary-crossing "
+    "dateDiff('month', ...) — the fiscal-rollup building blocks, "
+    "formatted to strings for cross-engine date stability.",
+)
+def q_dialect_calendar_shape(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_CAL, sf_dir)
+    return out.select(
+        F.col("q").cast("int").alias("q"),
+        "q0", "m_plus2",
+        F.col("months_in").cast("long").alias("months_in"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary overlap between sources — exact Jaccard of the type sets
+# of the lexicographically first and last sources (corpus-diversity
+# check: near-1 overlap means redundant sources).
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "q_vocab_overlap",
+    oracle="""
+WITH b AS (SELECT min(source) AS lo, max(source) AS hi FROM documents),
+     tf AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), v AS (
+  SELECT w,
+         max(CASE WHEN source = (SELECT lo FROM b) THEN 1 ELSE 0 END)
+           AS in_lo,
+         max(CASE WHEN source = (SELECT hi FROM b) THEN 1 ELSE 0 END)
+           AS in_hi
+  FROM tf WHERE w <> '' GROUP BY w
+)
+SELECT CAST(sum(CASE WHEN in_lo = 1 AND in_hi = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS both_v,
+       CAST(sum(in_lo) AS BIGINT) AS v_lo,
+       CAST(sum(in_hi) AS BIGINT) AS v_hi,
+       round(CAST(sum(CASE WHEN in_lo = 1 AND in_hi = 1
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN in_lo = 1 OR in_hi = 1
+                             THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS jaccard
+FROM v
+""",
+    description="Exact vocabulary Jaccard between the first and last "
+    "sources (corpus-diversity audit: near-1 overlap flags redundant "
+    "sources): per-term membership flags from one hash aggregate over "
+    "the term table, then one counting pass — set similarity without "
+    "materializing either set.",
+)
+def q_vocab_overlap(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    b = docs.agg(F.min("source").alias("lo"), F.max("source").alias("hi"))
+    tf = (
+        docs.where(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .crossJoin(F.broadcast(b))
+    )
+    v = tf.groupBy("w").agg(
+        F.max((F.col("source") == F.col("lo")).cast("int")).alias("in_lo"),
+        F.max((F.col("source") == F.col("hi")).cast("int")).alias("in_hi"),
+    )
+    both = F.sum(
+        ((F.col("in_lo") == 1) & (F.col("in_hi") == 1)).cast("int")
+    )
+    either = F.sum(
+        ((F.col("in_lo") == 1) | (F.col("in_hi") == 1)).cast("int")
+    )
+    return v.agg(
+        both.cast("long").alias("both_v"),
+        F.sum("in_lo").cast("long").alias("v_lo"),
+        F.sum("in_hi").cast("long").alias("v_hi"),
+        F.round(
+            both.cast("double") / either.cast("double"), 6
+        ).alias("jaccard"),
+    )
