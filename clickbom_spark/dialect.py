@@ -958,7 +958,18 @@ def _returns_array(expr: str) -> bool:
         return False
     head = m.group(0).lower()
     rest = t[m.end():].lstrip()
-    return rest.startswith("(") and head in _ARRAY_HEADS
+    if not rest.startswith("("):
+        return False
+    if head in _ARRAY_HEADS:
+        return True
+    # polymorphic heads inherit arrayness from their first argument
+    # (arrayConcat→concat, arrayReverse→reverse translate to names
+    # shared with the string functions)
+    if head in ("concat", "reverse", "shuffle"):
+        inner = rest[1: _matching_paren(rest, 0)]
+        args = _split_args(inner)
+        return bool(args) and _returns_array(args[0])
+    return False
 
 
 def _count_matches(a: list[str]) -> str:
@@ -968,12 +979,19 @@ def _count_matches(a: list[str]) -> str:
 def _literal_array_items(fn: str, arg: str) -> list[str]:
     t = arg.strip()
     low = t.lower()
-    if not (low.startswith("array(") and t.endswith(")")):
+    open_at = t.find("(")
+    if not (
+        low.startswith("array(")
+        and t.endswith(")")
+        and _matching_paren(t, open_at) == len(t) - 1
+    ):
+        # startswith/endswith alone would mis-slice expressions like
+        # array('a') || array('b') into garbage CASE arms
         raise UnsupportedClickHouseSQL(
             f"{fn}: the from/to arrays must be literals — a CASE chain "
             "is generated at translate time"
         )
-    return [x.strip() for x in _split_args(t[t.index("(") + 1: -1])]
+    return [x.strip() for x in _split_args(t[open_at + 1: -1])]
 
 
 def _transform_case(a: list[str]) -> str:
@@ -994,10 +1012,9 @@ def _transform_case(a: list[str]) -> str:
         )
     x = a[0].strip()
     default = a[3].strip() if len(a) == 4 else f"({x})"
-    whens = " ".join(
-        f"WHEN ({x}) = {f} THEN {t}" for f, t in zip(frm, to)
-    )
-    return f"(CASE {whens} ELSE {default} END)"
+    # simple-CASE form: x is evaluated ONCE, like ClickHouse
+    whens = " ".join(f"WHEN {f} THEN {t}" for f, t in zip(frm, to))
+    return f"(CASE ({x}) {whens} ELSE {default} END)"
 
 
 _PLAIN = {
@@ -1235,12 +1252,11 @@ _PLAIN = {
         f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})"
     ),
     "arrayslice": lambda a: f"slice({', '.join(a)})",
-    # arrayPartialSort(limit, arr): ClickHouse only guarantees the
-    # first `limit` elements are the sorted prefix — the sorted
-    # k-prefix IS that contract
-    "arraypartialsort": lambda a: (
-        f"slice(sort_array({a[1]}), 1, {a[0]})"
-    ),
+    # arrayPartialSort(limit, arr) returns the FULL-SIZE array with
+    # the first `limit` elements sorted and the rest unspecified — a
+    # fully sorted array satisfies both halves of that contract, and
+    # preserves size for consumers like length()
+    "arraypartialsort": lambda a: f"sort_array({a[1]})",
     # ClickHouse transform(x, [from...], [to...][, default]) is the
     # VALUE MAPPER (arrayMap is the HOF) — compiled to a CASE chain
     # when the from/to arrays are literals; 3-arg form defaults to x

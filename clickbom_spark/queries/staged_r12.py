@@ -12,16 +12,22 @@ activation too.  Round 12 activates with::
 
 in ``queries/__init__.py``.
 
-Round-12 themes (so far — the wave may grow to 23 next round):
+Round-12 themes (the wave is COMPLETE at 23 queries):
 
 * **Dialect round-trips for the late round-10 additions** — the JSON
   extraction family over ``events.props``, ``formatDateTime``,
   ``extractAll``/``countMatches``, per-group paging (``LIMIT m, n
-  BY``), the plain comma ``LIMIT m, n``, ``untuple``, and the
-  run-path ``* REPLACE / * APPLY`` chain.
-* **Corpus text analytics** — lexical density / stopword ratio per
-  source, and a bigram-surprisal bucket audit over the existing
-  bigram-LM machinery's count tables.
+  BY``), the plain comma ``LIMIT m, n``, ``untuple``/tuple-IN, the
+  run-path ``* REPLACE / * APPLY`` chain, ``transform()`` value
+  mapping, positional ordinals, NULL/math scalars,
+  ``arrayPartialSort``, and string/calendar shaping.
+* **Corpus text analytics** — lexical density / stopword ratio,
+  Heaps'-law vocabulary curve, unigram cross-entropy vs the corpus
+  LM, vocabulary-overlap Jaccard, exact Pearson from power sums,
+  fixed-width histograms, quantileExactLow/High.
+* **Event-stream folds** — timed sequenceCount
+  (restart-after-match), inter-event gap statistics, and a
+  runningAccumulate analog over the daily frame.
 
 Float determinism policy (same as the registry): exact integer /
 decimal aggregates first, then ONE fixed IEEE expression per surfaced
@@ -230,7 +236,7 @@ SELECT max(o_orderkey) AS "max(o_orderkey)",
 FROM orders
 """,
     description="The run-path star chain compiled over the resolved "
-    "schema (dialect._run_star_replace_apply): * EXCEPT (o_comment) "
+    "schema (dialect._run_star_replace_apply): * EXCEPT (o_orderpriority) "
     "REPLACE (cents AS o_totalprice) APPLY (max) — ClickHouse's "
     "select-list sugar as post-projections, aggregate APPLY turning "
     "the expansion into one global aggregate with ClickHouse-style "
@@ -370,14 +376,15 @@ def q_quantile_exact_bounds(spark, sf_dir):
     agg = v.groupBy("c").agg(F.count(F.lit(1)).alias("w"))
     # distinct cents values are bounded (≤ 10k for 2-decimal values in
     # [0, 100]) — the running sum over the DISTINCT-value frame is a
-    # sketch-sized window, not a data window
+    # sketch-sized window, not a data window.  N is an IN-PLAN
+    # broadcast scalar (house rule: never a driver-side .count()).
     wspec = Window.orderBy("c").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    n_total = v.count()
+    tot = agg.agg(F.sum("w").cast("long").alias("n"))
     cum = agg.select(
-        "c", F.sum("w").over(wspec).alias("cw"), F.lit(n_total).alias("n")
-    )
+        "c", F.sum("w").over(wspec).alias("cw")
+    ).crossJoin(F.broadcast(tot))
 
     def pick(thresh):
         return F.min(F.when(F.col("cw") >= thresh, F.col("c")))
@@ -481,7 +488,10 @@ def q_dialect_comma_limit(spark, sf_dir):
 
 _CH_PARTIAL_SORT = """
 SELECT l_returnflag,
-       arrayPartialSort(3, groupArray(toInt64(l_quantity))) AS small3
+       arraySlice(arrayPartialSort(3,
+                  groupArray(toInt64(l_quantity))), 1, 3) AS small3,
+       length(arrayPartialSort(3,
+              groupArray(toInt64(l_quantity)))) AS full_len
 FROM lineitem
 WHERE l_orderkey <= 100
 GROUP BY l_returnflag ORDER BY l_returnflag
@@ -493,15 +503,17 @@ GROUP BY l_returnflag ORDER BY l_returnflag
     oracle="""
 SELECT l_returnflag,
        array_to_string(list_sort(list(CAST(l_quantity AS BIGINT)))[1:3],
-                       ',') AS small3
+                       ',') AS small3,
+       CAST(count(*) AS BIGINT) AS full_len
 FROM lineitem
 WHERE l_orderkey <= 100
 GROUP BY l_returnflag ORDER BY l_returnflag
 """,
-    description="ClickHouse arrayPartialSort(3, arr): the 3 smallest "
-    "elements in sorted order (slice of sort_array — the k-prefix is "
-    "what ClickHouse guarantees; the groupArray input is bounded by "
-    "the orderkey filter so the collected array stays small).",
+    description="ClickHouse arrayPartialSort(3, arr): SIZE-PRESERVING "
+    "with the first 3 elements sorted (the shim emits a full sort, "
+    "which satisfies both halves of that contract) — the sliced "
+    "k-prefix and the full length are both pinned; the groupArray "
+    "input is bounded by the orderkey filter.",
 )
 def q_dialect_array_partial_sort(spark, sf_dir):
     from clickbom_spark.dialect import run_clickhouse_sql
@@ -513,6 +525,7 @@ def q_dialect_array_partial_sort(spark, sf_dir):
         F.array_join(
             F.transform("small3", lambda x: x.cast("string")), ","
         ).alias("small3"),
+        F.col("full_len").cast("long").alias("full_len"),
     ).orderBy("l_returnflag")
 
 
@@ -865,8 +878,10 @@ def q_dialect_null_math(spark, sf_dir):
     oracle="""
 WITH mx AS (SELECT max(doc_id) AS m FROM documents),
      tf AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w
-  FROM documents WHERE text IS NOT NULL
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE w <> ''
 )
 SELECT CAST(count(DISTINCT CASE WHEN doc_id * 4 <= (SELECT m FROM mx)
                                 THEN w END) AS BIGINT) AS v25,
@@ -875,7 +890,7 @@ SELECT CAST(count(DISTINCT CASE WHEN doc_id * 4 <= (SELECT m FROM mx)
        CAST(count(DISTINCT CASE WHEN doc_id * 4 <= 3 * (SELECT m FROM mx)
                                 THEN w END) AS BIGINT) AS v75,
        CAST(count(DISTINCT w) AS BIGINT) AS v100,
-       CAST(count(*) FILTER (WHERE w <> '') AS BIGINT) AS tokens
+       CAST(count(*) AS BIGINT) AS tokens
 FROM tf
 """,
     description="Heaps'-law vocabulary growth: distinct types "
@@ -891,6 +906,7 @@ def q_heaps_vocab_curve(spark, sf_dir):
     tf = (
         docs.where(F.col("text").isNotNull())
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
         .crossJoin(F.broadcast(m))
     )
     d, mm = F.col("doc_id"), F.col("m")
@@ -903,7 +919,7 @@ def q_heaps_vocab_curve(spark, sf_dir):
         vocab(d * 2 <= mm).alias("v50"),
         vocab(d * 4 <= 3 * mm).alias("v75"),
         F.countDistinct("w").cast("long").alias("v100"),
-        F.sum((F.col("w") != "").cast("int")).cast("long").alias("tokens"),
+        F.count(F.lit(1)).cast("long").alias("tokens"),
     )
 
 

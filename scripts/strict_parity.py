@@ -100,10 +100,13 @@ def main() -> int:
     queries = dict(REGISTRY)
     if "--staged" in sys.argv[1:]:
         # the r6..r10 waves are live in REGISTRY already; --staged
-        # now adds the round-11 holdout
+        # adds BOTH pending holdouts (r11 activates next round, the
+        # r12 wave was pre-built during round 10)
         from clickbom_spark.queries.staged_r11 import STAGED_R11
+        from clickbom_spark.queries.staged_r12 import STAGED_R12
 
         queries.update(STAGED_R11)
+        queries.update(STAGED_R12)
     only = set(args)
     fails, errs = [], []
     for name, spec in queries.items():

@@ -2032,3 +2032,36 @@ def test_length_polymorphism(spark):
     ).collect()[0]
     assert (got.ls, got.la, got.lr) == (3, 3, 2)
     assert (got.es, got.ea, got.ns) == (True, False, True)
+
+
+def test_review_fixes_r12_batch(spark):
+    """Post-batch review fixes: arrayPartialSort preserves SIZE (the
+    ClickHouse contract — first k sorted, rest unspecified), empty()/
+    notEmpty() recurse arrayness through polymorphic heads
+    (arrayConcat→concat, arrayReverse→reverse), transform() compiles
+    a simple CASE (x evaluated once), and non-literal transform
+    arrays fail fast instead of mis-slicing."""
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT length(arrayPartialSort(2, [5, 3, 4, 1])) AS n, "
+            "arrayPartialSort(2, [5, 3, 4, 1])[1:2]? NULL : NULL"
+            .replace("[1:2]? NULL : NULL", " AS s")
+        )
+    ).collect()[0]
+    assert got.n == 4  # size-preserving
+    assert got.s[:2] == [1, 3]  # k-prefix sorted
+    got2 = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT empty(arrayConcat([1], [2])) AS ec, "
+            "notEmpty(arrayReverse(splitByChar(' ', 'a b'))) AS nr"
+        )
+    ).collect()[0]
+    assert (got2.ec, got2.nr) == (False, True)
+    out = translate_clickhouse_sql(
+        "SELECT transform(x, [1, 2], [10, 20], 0) FROM t"
+    )
+    assert "CASE (x) WHEN 1 THEN 10" in out  # simple-CASE, x once
+    with pytest.raises(UnsupportedClickHouseSQL, match="literals"):
+        translate_clickhouse_sql(
+            "SELECT transform(x, ['a'] || ['b'], ['p'], 'd') FROM t"
+        )
