@@ -116,8 +116,9 @@ SELECT coalesce(CAST((SELECT max(nat_name) FROM d
        coalesce((SELECT max(nat_name) FROM d
                  WHERE nat_key = s_nationkey + 100), 'NONE')
          AS missing_nation,
-       coalesce((SELECT max(nat_region) FROM d
-                 WHERE nat_key = s_nationkey), -1) AS region_k,
+       CAST(coalesce((SELECT max(nat_region) FROM d
+                 WHERE nat_key = s_nationkey), -1) AS BIGINT)
+         AS region_k,
        count(*) FILTER (WHERE EXISTS
          (SELECT 1 FROM d WHERE nat_key = s_nationkey)) AS hits,
        count(*) AS n,

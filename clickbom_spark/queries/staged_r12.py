@@ -560,7 +560,7 @@ def q_dialect_weekday_profile(spark, sf_dir):
 
     out = run_clickhouse_sql(spark, _CH_WEEKDAY, sf_dir)
     return out.select(
-        F.col("dow").cast("int").alias("dow"),
+        F.col("dow").cast("long").alias("dow"),
         "event_type",
         F.col("n").cast("long").alias("n"),
         F.col("cents").cast("long").alias("cents"),
@@ -1252,7 +1252,7 @@ def q_dialect_calendar_shape(spark, sf_dir):
 
     out = run_clickhouse_sql(spark, _CH_CAL, sf_dir)
     return out.select(
-        F.col("q").cast("int").alias("q"),
+        F.col("q").cast("long").alias("q"),
         "q0", "m_plus2",
         F.col("months_in").cast("long").alias("months_in"),
         F.col("n").cast("long").alias("n"),
