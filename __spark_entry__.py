@@ -71,18 +71,18 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
-# ROUND-10 NOTE: ALL FIVE staged waves are ACTIVATED (r6 wave of 30 +
-# r7 wave of 14 + r8 wave of 23 + r9 wave of 23 + r10 wave of 23;
-# registry = 292).  The 23 r10 names rank first (never
-# driver-checked); the remaining ~27 budget slots rotate through the
-# STALEST greens — the final 22 r4-cohort queries plus the 5 oldest
-# r5 greens (simulated: Counter({4: 22, 5: 5}); r4 clears this round).
+# ROUND-11 NOTE: ALL SIX staged waves are ACTIVATED (r6 wave of 30 +
+# r7 wave of 14 + r8/r9/r10/r11 waves of 23 each; registry = 315).
+# The 23 r11 names rank first (never driver-checked); the remaining
+# ~27 budget slots rotate through the STALEST greens — the oldest
+# r5-cohort queries (simulated: Counter({5: 27}); the 45-strong r5
+# cohort drops to 18 this round and clears in round 12).
 #
-# clickbom_spark/queries/staged_r11.py holds the NEXT wave (parity
-# proven via tests/test_staged_r11_parity.py and
-# `python scripts/strict_parity.py --staged-r11`).  Round 11 activates
-# with REGISTRY.update(staged_r11.STAGED_R11) in queries/__init__.py;
-# the disjointness guard in the r11 test file flags any collision.
+# clickbom_spark/queries/staged_r12.py holds the NEXT wave (parity
+# proven via tests/test_staged_r12_parity.py and
+# `python scripts/strict_parity.py --staged`).  Round 12 activates
+# with REGISTRY.update(staged_r12.STAGED_R12) in queries/__init__.py;
+# the disjointness guard in the r12 test file flags any collision.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

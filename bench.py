@@ -38,6 +38,18 @@ CORE16 = CORE13 + [
     "q_hll_distinct", "q_triangle_count", "q_weighted_quantiles",
 ]
 
+# Round-11 expansion, frozen from round 11 on: core16 plus four
+# post-r6 heavyweights (VERDICT r10 "What's wrong" #2 — the expensive
+# new operators were tracked only in docs/SCALE.md, invisible to the
+# driver's BENCH file).  q_lake_stream_serving is additionally flagged
+# bench=True so the full headline set covers the lake serving path,
+# but it stays OUT of this frozen tier (its cost is dominated by lake
+# write amplification, noisier than the pure-query members).
+CORE20_R11 = CORE16 + [
+    "q_bootstrap_ci", "q_ngram_redundancy",
+    "q_quantiles_weighted_by_group", "q_scd2_intervals",
+]
+
 # Timed runs per headline query feeding the *_min metrics: one
 # single-pass run + (MIN_RUNS - 1) extra passes.
 MIN_RUNS = 5
@@ -66,9 +78,15 @@ def wait_for_quiet_host(threshold: float, max_wait_s: float) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Round-10 lesson (VERDICT r10 "What's wrong" #1): BENCH_r10 was
+    # captured at loadavg 2.5–6.4 and read +9.6% on unchanged code —
+    # the old gate (threshold 10) passed contended runs that round 7
+    # already showed drift +18% at loadavg ~7.  Capture quiet: wait up
+    # to 10 min for loadavg < 4 so the committed number is from the
+    # regime where cross-round comparison is trustworthy.
     gate = wait_for_quiet_host(
-        threshold=float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "10")),
-        max_wait_s=float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300")),
+        threshold=float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4")),
+        max_wait_s=float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600")),
     )
     spark = get_spark("clickbom-bench", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -123,6 +141,7 @@ def main() -> None:
     # null totals and flip the completeness flag instead.
     core13_complete = all(n in timings for n in CORE13)
     core16_complete = all(n in timings for n in CORE16)
+    core20_r11_complete = all(n in timings for n in CORE20_R11)
     headline_complete = all(n in min_each for n in headline)
     out = {
         # Top line = min-of-5 across the whole headline set (stable
@@ -158,6 +177,15 @@ def main() -> None:
             sum(min_each[n] for n in CORE16), 4
         ) if core16_complete else None,
         "core16_complete": core16_complete,
+        # frozen round-11 expansion (core16 + bootstrap-CI /
+        # n-gram-redundancy / weighted-quantiles-per-group / SCD2)
+        "core20_r11_total": round(
+            sum(timings[n] for n in CORE20_R11), 4
+        ) if core20_r11_complete else None,
+        "core20_r11_min": round(
+            sum(min_each[n] for n in CORE20_R11), 4
+        ) if core20_r11_complete else None,
+        "core20_r11_complete": core20_r11_complete,
         # host load context (1/5/15-min averages), recorded so
         # cross-round comparisons can spot machine-contention inflation
         # without re-running archived trees (the r4→r5 +26% drift was

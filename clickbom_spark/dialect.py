@@ -96,7 +96,11 @@ clear error rather than silently mis-translating):
 - JSON: ``JSONExtractString/Int/UInt/Float/Bool/Raw`` (literal key /
   1-based-index paths → get_json_object JSONPath; typed variants
   return the ClickHouse type default on a miss), ``JSONHas`` (a
-  stored JSON null reads as missing — documented delta),
+  stored JSON null reads as missing — documented delta;
+  ``JSONExtractString`` carries a second delta: on a NON-string
+  scalar ClickHouse returns ``''`` (type mismatch) while
+  get_json_object stringifies it — ``JSONExtractString(j, 'n')`` of
+  ``{"n": 5}`` yields ``'5'`` here, ``''`` in ClickHouse),
   ``JSONLength``, and the ``simpleJSON*``/``visitParam*`` single-key
   fast-path spellings
 - formatting/regex: ``formatDateTime`` (strftime specifiers →
@@ -541,11 +545,43 @@ def register_dictionary(name, source, key, defaults=None):
     }
 
 
+def _strip_string_literals(expr: str) -> str:
+    """Blank out single-quoted SQL string literals (with '' doubling
+    and backslash escapes) so identifier scans don't match words
+    inside them.  Quoted identifiers (`x`/"x") are left intact — they
+    still bind as columns."""
+    out, i, n = [], 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if expr[i] == "\\":
+                    i += 2
+                    continue
+                if expr[i] == "'":
+                    if i + 1 < n and expr[i + 1] == "'":  # '' escape
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            out.append("''")
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _dict_check_shadowing(fn: str, d: dict, expr: str) -> None:
     """Fail fast when a caller-side expression contains an identifier
     the dictionary view is known to own — the correlated subquery
     would bind it to the VIEW (innermost scope wins) and the keyed
-    lookup silently degenerates to a whole-dictionary aggregate."""
+    lookup silently degenerates to a whole-dictionary aggregate.
+
+    String literals are stripped first (ADVICE r10): a dictionary
+    column name inside a quoted literal is data, not a binding."""
+    expr = _strip_string_literals(expr)
     for m in _IDENT.finditer(expr):
         if m.group(0).lower() in d["known_cols"]:
             raise UnsupportedClickHouseSQL(
@@ -818,9 +854,13 @@ _FDT_MAP = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
     "I": "hh", "i": "mm", "S": "ss", "F": "yyyy-MM-dd",
     "T": "HH:mm:ss", "D": "MM/dd/yy", "j": "DDD", "a": "EEE",
-    "b": "MMM", "p": "a", "Q": "Q", "e": "d",
+    "b": "MMM", "p": "a", "Q": "Q",
     "R": "HH:mm", "s": "ss",
 }
+
+# %e (day of month, SPACE-padded: ' 5') has no DateTimeFormatter
+# token — Java 'd' renders '5'.  It is compiled specially below as a
+# concat segment lpad(date_format(x,'d'), 2, ' ').
 
 # specifiers with no FAITHFUL mapping get their own message:
 # %M means minutes on old ClickHouse but FULL MONTH NAME on >= 23.1
@@ -847,6 +887,7 @@ def _format_datetime(a: list[str]) -> str:
             "formatDateTime: the format must be a string literal"
         )
     fmt = f[1:-1]
+    segs: list[str] = []  # concat segments (one per %e break)
     out, lit = [], []
 
     def flush():
@@ -854,6 +895,16 @@ def _format_datetime(a: list[str]) -> str:
             # Java-level literal: wrap in quotes, '' for an embedded '
             out.append("'" + "".join(lit).replace("'", "''") + "'")
             lit.clear()
+
+    def flush_pattern():
+        flush()
+        if out:
+            # the Java pattern itself contains single quotes (literal
+            # runs); double them so the surrounding SQL string literal
+            # stays intact
+            pattern = "".join(out).replace("'", "''")
+            segs.append(f"date_format({a[0]}, '{pattern}')")
+            out.clear()
 
     i = 0
     while i < len(fmt):
@@ -866,6 +917,12 @@ def _format_datetime(a: list[str]) -> str:
             spec = fmt[i + 1]
             if spec == "%":
                 lit.append("%")
+            elif spec == "e":
+                # ClickHouse %e SPACE-pads single-digit days (' 5');
+                # no DateTimeFormatter token does, so break the
+                # pattern and splice an lpad segment (ADVICE r10).
+                flush_pattern()
+                segs.append(f"lpad(date_format({a[0]}, 'd'), 2, ' ')")
             elif spec in _FDT_AMBIGUOUS:
                 raise UnsupportedClickHouseSQL(
                     f"formatDateTime: %{spec} {_FDT_AMBIGUOUS[spec]}"
@@ -882,11 +939,12 @@ def _format_datetime(a: list[str]) -> str:
         else:
             lit.append(c)
             i += 1
-    flush()
-    # the Java pattern itself contains single quotes (literal runs);
-    # double them so the surrounding SQL string literal stays intact
-    pattern = "".join(out).replace("'", "''")
-    return f"date_format({a[0]}, '{pattern}')"
+    flush_pattern()
+    if not segs:
+        return f"date_format({a[0]}, '')"
+    if len(segs) == 1:
+        return segs[0]
+    return "concat(" + ", ".join(segs) + ")"
 
 
 def _regex_has_capture_group(fn: str, pattern_arg: str) -> bool:
@@ -1016,6 +1074,58 @@ def _transform_case(a: list[str]) -> str:
     whens = " ".join(f"WHEN {f} THEN {t}" for f, t in zip(frm, to))
     return f"(CASE ({x}) {whens} ELSE {default} END)"
 
+
+# ---------------------------------------------------------------------------
+# -State / -Merge combinators for the SIMPLE aggregate algebra.
+# ClickHouse's AggregateFunction states for sum / count / min / max /
+# avg are just partial folds — (sum) / (count) / (min) / (max) /
+# (sum, count) — representable as named structs, so the common
+# materialized-view pattern (``sumState`` written into an
+# AggregatingMergeTree, ``sumMerge`` on read) round-trips through the
+# shim:
+#   <agg>State       -> named-struct partial state (one group's fold)
+#   <agg>Merge       -> re-aggregate states to the FINAL value
+#   <agg>MergeState  -> re-aggregate states to a NEW state
+#   <agg>SimpleState -> the plain value (SimpleAggregateFunction is
+#                       an unwrapped value in ClickHouse too; only
+#                       the functions ClickHouse allows there)
+# Merging a state column from a group that cannot exist (empty input,
+# no GROUP BY) is the one semantic edge ClickHouse's 0-default sum
+# covers and this struct encoding doesn't — MV maintenance never
+# produces it.  Sketch-backed states (uniq/quantile/topK/…) keep
+# their fail-fast pointers to the engine's mergeable sketches.
+_STATE_ALGEBRA = {
+    "sumstate": lambda a: f"named_struct('s', sum({a[0]}))",
+    "countstate": lambda a: (
+        f"named_struct('c', count({a[0] if a else '*'}))"
+    ),
+    "minstate": lambda a: f"named_struct('m', min({a[0]}))",
+    "maxstate": lambda a: f"named_struct('m', max({a[0]}))",
+    "avgstate": lambda a: (
+        f"named_struct('s', sum({a[0]}), 'c', count({a[0]}))"
+    ),
+    "summerge": lambda a: f"sum(({a[0]}).s)",
+    "countmerge": lambda a: f"sum(({a[0]}).c)",
+    "minmerge": lambda a: f"min(({a[0]}).m)",
+    "maxmerge": lambda a: f"max(({a[0]}).m)",
+    # avg finalizes as total-sum / total-count (Float64 in ClickHouse;
+    # integral '/' is true division in both Spark and DuckDB)
+    "avgmerge": lambda a: f"(sum(({a[0]}).s) / sum(({a[0]}).c))",
+    "summergestate": lambda a: f"named_struct('s', sum(({a[0]}).s))",
+    "countmergestate": lambda a: f"named_struct('c', sum(({a[0]}).c))",
+    "minmergestate": lambda a: f"named_struct('m', min(({a[0]}).m))",
+    "maxmergestate": lambda a: f"named_struct('m', max(({a[0]}).m))",
+    "avgmergestate": lambda a: (
+        f"named_struct('s', sum(({a[0]}).s), 'c', sum(({a[0]}).c))"
+    ),
+    # SimpleAggregateFunction stores the value itself; ClickHouse
+    # allows sum/min/max/any/anyLast there (NOT count/avg)
+    "sumsimplestate": lambda a: f"sum({a[0]})",
+    "minsimplestate": lambda a: f"min({a[0]})",
+    "maxsimplestate": lambda a: f"max({a[0]})",
+    "anysimplestate": lambda a: f"any_value({a[0]}, true)",
+    "anylastsimplestate": lambda a: f"last({a[0]}, true)",
+}
 
 _PLAIN = {
     # ClickHouse count() takes zero args; Spark needs count(*)
@@ -1367,26 +1477,31 @@ _PLAIN = {
         for n in ("dictGetHierarchy", "dictIsIn", "dictGetChildren",
                   "dictGetDescendants")
     },
-    # -State/-Merge combinators move ClickHouse's serialized
-    # partial-aggregate objects between tables; Spark's partial
-    # aggregation IS that algebra internally, and persistable
-    # mergeable states live in the engine's sketch/state operators —
-    # fail fast with the pointer instead of leaking an undefined
-    # function into Spark
+    # -State/-Merge combinators: the SIMPLE algebra (sum/count/min/
+    # max/avg, whose ClickHouse states are just partial folds) is
+    # compiled via _STATE_ALGEBRA below; SKETCH-backed states
+    # (uniq/quantile/topK/…) move serialized sketch objects between
+    # tables — those persistable mergeable states live in the
+    # engine's operators, so they fail fast with the pointer instead
+    # of leaking an undefined function into Spark
     **{
         f"{b}{suf}": _engine_pointer_text(
             f"{b}{suf}",
-            "aggregate-state objects are engine-internal — persist "
+            "sketch-state objects are engine-internal — persist "
             "MERGEABLE states with the engine operators instead "
             "(q_agg_state_merge; ext/sketches.py HLL/KLL/Misra-Gries "
-            "states; maintain_sum_agg for additive rollups)",
+            "states; maintain_sum_agg for additive rollups); the "
+            "simple algebra (sum/count/min/max/avg State/Merge) IS "
+            "compiled",
         )
         for b in ("sum", "count", "avg", "min", "max", "any",
                   "anylast", "uniq", "uniqexact", "quantile",
                   "quantiles", "grouparray", "groupuniqarray",
                   "argmax", "argmin", "corr", "topk", "median")
         for suf in ("state", "merge", "mergestate", "simplestate")
+        if f"{b}{suf}" not in _STATE_ALGEBRA
     },
+    **_STATE_ALGEBRA,
 }
 
 
@@ -2492,10 +2607,12 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
 
     base_sql, key, frm, to, step = spec
     base = run_clickhouse_sql(spark, base_sql, sf_dir, final_keys=final_keys)
-    # the plan reads base up to three times (bounds aggregate,
-    # anti-join right side, union left side) — persist so the base
-    # query runs once, not three times
-    base = base.persist()
+    # NO persist here (ADVICE r10: an unscoped persist leaks cached
+    # partitions for the session lifetime — nothing ever unpersisted).
+    # The fill is instead compiled as ONE full-outer join against the
+    # spine, so the returned plan reads base exactly once; only the
+    # implicit-bounds case pays one extra base computation for the
+    # 1-row min/max collect.
     fields = {f.name: f.dataType.simpleString() for f in base.schema.fields}
     # SQL identifiers are case-insensitive; the schema is not
     by_lower = {f.lower(): f for f in fields}
@@ -2554,20 +2671,36 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
             )
         lo_sql, hi_sql = f"CAST('{lo}' AS {ktype})", f"CAST('{hi}' AS {ktype})"
     spine = spark.sql(
-        f"SELECT explode(sequence({lo_sql}, {hi_sql}, {step_sql})) AS {key}"
+        f"SELECT CAST(__v AS {ktype}) AS __fill_{key} FROM (SELECT "
+        f"explode(sequence({lo_sql}, {hi_sql}, {step_sql})) AS __v)"
     )
     if to is not None:  # explicit TO is exclusive
-        spine = spine.where(F.col(key) < F.lit(hi))
-    defaults = [
-        F.expr(_fill_type_default(fields[c])).cast(fields[c]).alias(c)
-        if c != key else F.col(key)
-        for c in base.columns
-    ]
-    fill_rows = (
-        spine.join(base.select(key), on=key, how="left_anti")
-        .select(*defaults)
+        spine = spine.where(F.col(f"__fill_{key}") < F.lit(hi))
+    # Single-pass fill: FULL OUTER join the spine on the key.  Base
+    # rows (including off-grid and NULL-key rows, flagged by the
+    # marker) keep their values; spine-only grid points take the
+    # column type defaults.  Duplicate base keys each pair with the
+    # one spine row, so no base row is dropped or duplicated.
+    marker = "__withfill_is_base"
+    b = base.withColumn(marker, F.lit(True))
+    joined = b.join(
+        spine, F.col(key) == F.col(f"__fill_{key}"), "full_outer"
     )
-    return base.unionByName(fill_rows).orderBy(key)
+    out_cols = []
+    for c in base.columns:
+        if c == key:
+            out_cols.append(
+                F.coalesce(F.col(key), F.col(f"__fill_{key}")).alias(key)
+            )
+        else:
+            out_cols.append(
+                F.when(F.col(marker), F.col(c))
+                .otherwise(
+                    F.expr(_fill_type_default(fields[c])).cast(fields[c])
+                )
+                .alias(c)
+            )
+    return joined.select(*out_cols).orderBy(key)
 
 
 def _fail_with_fill(s: str) -> None:

@@ -162,3 +162,20 @@ REGISTRY.update(staged_r9.STAGED_R9)
 from clickbom_spark.queries import staged_r10  # noqa: E402,F401
 
 REGISTRY.update(staged_r10.STAGED_R10)
+
+# Round-11 activation of the sixth staged wave (23 queries — dialect
+# round-trips for the dictGet family / LIMIT n WITH TIES (single- and
+# multi-key paths) / WITH FILL (int + date spines) / integer SAMPLE n
+# / a DDL-driven FINAL+SAMPLE+dictGet composition, windowFunnel
+# strict_deduplication + strict_increase pair modes,
+# quantilesExactWeighted per group, simpleLinearRegression, entropy,
+# neighbor/runningDifference, groupArraySorted, array folds,
+# stratified + per-group reservoir samples, TTR/hapax, Good–Turing,
+# Zipf slope, chi-square keyness, shard balance, n-gram redundancy —
+# all oracle-parity-green at three scales under
+# tests/test_staged_r11_parity.py and `scripts/strict_parity.py
+# --staged` before promotion; disjointness from the existing registry
+# is guarded there).
+from clickbom_spark.queries import staged_r11  # noqa: E402,F401
+
+REGISTRY.update(staged_r11.STAGED_R11)

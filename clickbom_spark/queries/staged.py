@@ -1840,6 +1840,7 @@ def q_asof_forward_tolerance(spark, sf_dir):
 
 @staged(
     "q_scd2_intervals",
+    bench=True,  # core20-r11 frozen tier (VERDICT r10 item 3)
     oracle="""
 WITH ordered AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS t,

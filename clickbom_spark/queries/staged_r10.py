@@ -323,6 +323,7 @@ def q_lake_merge_column_conflict(spark, sf_dir):
 
 @staged(
     "q_lake_stream_serving",
+    bench=True,  # core20-r11 frozen tier (VERDICT r10 item 3)
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -1873,6 +1874,7 @@ _BOOT_SEED_DUCK = (
 
 @staged(
     "q_bootstrap_ci",
+    bench=True,  # core20-r11 frozen tier (VERDICT r10 item 3)
     oracle=f"""
 WITH ev AS (
   SELECT event_id, event_type,

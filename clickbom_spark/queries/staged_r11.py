@@ -598,6 +598,7 @@ staged(
 
 @staged(
     "q_quantiles_weighted_by_group",
+    bench=True,  # core20-r11 frozen tier (VERDICT r10 item 3)
     oracle="""
 WITH agg AS (
   SELECT l_returnflag AS g, l_extendedprice AS v,
@@ -1451,6 +1452,7 @@ def q_shard_balance(spark, sf_dir):
 
 @staged(
     "q_ngram_redundancy",
+    bench=True,  # core20-r11 frozen tier (VERDICT r10 item 3)
     oracle="""
 WITH sh AS (
   SELECT source, doc_id,

@@ -97,17 +97,32 @@ def main() -> int:
 
     # --staged widens the sweep to the next round's pre-registered wave
     args = [a for a in sys.argv[1:] if a != "--staged"]
+    # ADVICE r10: an unknown --flag used to fall through into the name
+    # filter, matching zero queries and exiting 0 — a vacuously green
+    # gate.  Fail loudly instead.
+    unknown = [a for a in args if a.startswith("--")]
+    if unknown:
+        print(f"unknown flag(s): {' '.join(unknown)} (only --staged is valid)")
+        return 2
     queries = dict(REGISTRY)
     if "--staged" in sys.argv[1:]:
-        # the r6..r10 waves are live in REGISTRY already; --staged
-        # adds BOTH pending holdouts (r11 activates next round, the
-        # r12 wave was pre-built during round 10)
-        from clickbom_spark.queries.staged_r11 import STAGED_R11
+        # the r6..r11 waves are live in REGISTRY already; --staged
+        # adds pending holdouts not yet activated (the r12 wave was
+        # pre-built during round 10; r13 during round 11)
         from clickbom_spark.queries.staged_r12 import STAGED_R12
 
-        queries.update(STAGED_R11)
         queries.update(STAGED_R12)
+        try:
+            from clickbom_spark.queries.staged_r13 import STAGED_R13
+
+            queries.update(STAGED_R13)
+        except ImportError:
+            pass
     only = set(args)
+    missing = only - set(queries)
+    if missing:
+        print(f"no such query name(s): {' '.join(sorted(missing))}")
+        return 2
     fails, errs = [], []
     for name, spec in queries.items():
         if only and name not in only:

@@ -1690,6 +1690,13 @@ def test_dictget_shadowing_fail_fast():
     # arity check on dictHas raises the dialect error, not IndexError
     with pytest.raises(UnsupportedClickHouseSQL, match="dictionary, key"):
         translate_clickhouse_sql("SELECT dictHas('dg_shadow')")
+    # ADVICE r10: a dictionary column name INSIDE A STRING LITERAL is
+    # data, not a binding — no spurious fail-fast
+    out = translate_clickhouse_sql(
+        "SELECT dictGet('dg_shadow', 'v', "
+        "if(event_type = 'user_id done''s', event_id, 0)) FROM events"
+    )
+    assert "__dk.user_id" in out
 
 
 def test_sample_exponent_literals_fail_fast():
@@ -1805,6 +1812,22 @@ def test_format_datetime(spark):
         translate_clickhouse_sql(
             "SELECT formatDateTime(ts, '%Y', 'UTC') FROM events"
         )
+
+
+def test_format_datetime_e_space_pads(spark):
+    """ADVICE r10: ClickHouse %e SPACE-pads single-digit days (' 5');
+    Java 'd' renders '5' — the translator splices an lpad segment."""
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', "
+            "'%Y:%e:%m') AS a, "
+            "formatDateTime(TIMESTAMP '2024-03-15 07:08:09', '%e') AS b, "
+            "formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%e') AS c"
+        )
+    ).collect()[0]
+    assert got.a == "2024: 5:03"
+    assert got.b == "15"  # two-digit day: no padding
+    assert got.c == " 5"  # single-digit day: space-padded
 
 
 def test_extract_all_and_count_matches(spark):
@@ -1963,9 +1986,54 @@ def test_untuple_and_state_merge_pointers(spark):
         translate_clickhouse_sql("SELECT z, untuple(s) FROM ut_t")
     ).collect()[0]
     assert (got.z, got.p, got.q) == (9, 1, "y")
-    for bad in ("sumState(x)", "uniqMerge(s)", "avgSimpleState(x)"):
+    # sketch-backed states still fail fast toward the engine's
+    # mergeable sketches, as do the SimpleState spellings ClickHouse
+    # itself disallows (avg/count are not SimpleAggregateFunction)
+    for bad in ("uniqState(x)", "uniqMerge(s)", "quantileState(x)",
+                "avgSimpleState(x)", "countSimpleState()",
+                "topKMerge(s)"):
         with pytest.raises(UnsupportedClickHouseSQL, match="MERGEABLE"):
             translate_clickhouse_sql(f"SELECT {bad} FROM t")
+
+
+def test_state_merge_simple_algebra(spark):
+    """Round-11 (VERDICT r10 item 5): the SIMPLE -State/-Merge algebra
+    compiles — sum/count/min/max/avg states are named-struct partial
+    folds, -Merge re-aggregates them, -MergeState re-aggregates to a
+    NEW state, and merged results equal the direct rescan (the
+    AggregatingMergeTree materialized-view pattern)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10), (1, 20), (2, 5), (2, NULL) "
+        "AS t(k, v)"
+    ).createOrReplaceTempView("smt")
+    # states per k, then a second MergeState hop, then final Merge —
+    # two merge levels must still equal the direct aggregate
+    spark.sql(translate_clickhouse_sql(
+        "SELECT k, sumState(v) AS ss, countState() AS cs, "
+        "countState(v) AS cvs, avgState(v) AS avs, minState(v) AS ms, "
+        "maxState(v) AS xs FROM smt GROUP BY k"
+    )).createOrReplaceTempView("smt_states")
+    spark.sql(translate_clickhouse_sql(
+        "SELECT sumMergeState(ss) AS ss, countMergeState(cs) AS cs, "
+        "countMergeState(cvs) AS cvs, avgMergeState(avs) AS avs, "
+        "minMergeState(ms) AS ms, maxMergeState(xs) AS xs "
+        "FROM smt_states"
+    )).createOrReplaceTempView("smt_states2")
+    got = spark.sql(translate_clickhouse_sql(
+        "SELECT sumMerge(ss) AS s, countMerge(cs) AS c, "
+        "countMerge(cvs) AS cv, avgMerge(avs) AS a, "
+        "minMerge(ms) AS lo, maxMerge(xs) AS hi FROM smt_states2"
+    )).collect()[0]
+    # direct rescan: sum=35, rows=4, non-null v=3, avg=35/3, min=5,
+    # max=20 (avgState's count skips the NULL like ClickHouse avg)
+    assert (got.s, got.c, got.cv, got.lo, got.hi) == (35, 4, 3, 5, 20)
+    assert got.a == 35 / 3
+    # SimpleState is the unwrapped value (SimpleAggregateFunction)
+    simple = spark.sql(translate_clickhouse_sql(
+        "SELECT sumSimpleState(v) AS sv, minSimpleState(v) AS mv "
+        "FROM smt"
+    )).collect()[0]
+    assert (simple.sv, simple.mv) == (35, 5)
 
 
 def test_star_chain_refuses_wrong_frames(spark):

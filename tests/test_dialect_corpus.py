@@ -696,6 +696,45 @@ CORPUS: list[tuple[str, str, str]] = [
         FROM supplier GROUP BY nation, missing_nation ORDER BY nation
         """,
     ),
+    (
+        # the materialized-view maintenance pattern: -State partials
+        # per fine grain (an AggregatingMergeTree MV), -Merge across
+        # them on read — must equal the direct rescan aggregate.
+        # Exercises all five compiled state algebras plus a
+        # SimpleState passthrough.
+        "state_merge_combinators",
+        """
+        SELECT event_type,
+               sumMerge(ss) AS cents,
+               countMerge(cs) AS n,
+               round(avgMerge(avs), 6) AS avg_cents,
+               minMerge(ms) AS lo,
+               maxMerge(xs) AS hi,
+               max(sv) AS hi_simple
+        FROM (
+          SELECT event_type, user_id,
+                 sumState(toInt64(round(value * 100))) AS ss,
+                 countState() AS cs,
+                 avgState(toInt64(round(value * 100))) AS avs,
+                 minState(toInt64(round(value * 100))) AS ms,
+                 maxState(toInt64(round(value * 100))) AS xs,
+                 maxSimpleState(toInt64(round(value * 100))) AS sv
+          FROM events GROUP BY event_type, user_id
+        ) GROUP BY event_type ORDER BY event_type
+        """,
+        """
+        SELECT event_type,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS DOUBLE) / count(value), 6) AS avg_cents,
+               MIN(CAST(round(value * 100) AS BIGINT)) AS lo,
+               MAX(CAST(round(value * 100) AS BIGINT)) AS hi,
+               MAX(CAST(round(value * 100) AS BIGINT)) AS hi_simple
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
 ]
 
 # the dict_get family's dictionary: SQL-defined over the corpus views,

@@ -339,6 +339,11 @@ def test_bench_core13_names_are_bench_registry_entries():
     missing = [n for n in bench.CORE13 if n not in bench_set]
     assert not missing, missing
     assert len(bench.CORE13) == 13
+    # ... and likewise for the frozen core16 / core20-r11 expansions.
+    assert len(bench.CORE16) == 16
+    assert not [n for n in bench.CORE16 if n not in bench_set]
+    assert len(bench.CORE20_R11) == 20
+    assert not [n for n in bench.CORE20_R11 if n not in bench_set]
 
 
 def test_gopher_repetition_single_scan_no_join(spark):
@@ -1020,13 +1025,15 @@ def test_with_ties_rt_is_top_k_not_window(spark):
 
 
 def test_with_fill_rt_single_scan_per_leg(spark):
-    """The fill plan unions the persisted base with the anti-joined
-    spine — the base must come from the cache, not re-scans."""
+    """The fill compiles to ONE full-outer join of the base against
+    the generated spine (round-11 rewrite, ADVICE r10): the base is
+    read exactly once and NOTHING is persisted — the old persist
+    leaked cached partitions for the session lifetime."""
     plan = _staged_r11_plan(spark, "q_dialect_with_fill_int")
-    # both consumers of the base (union left leg + anti-join right
-    # side) must read the persisted frame; the FileScan text inside an
-    # InMemoryTableScan block is only the cache's displayed build plan
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "InMemoryTableScan" not in plan, plan
+    assert "FullOuter" in plan, plan
 
 
 def test_funnel_pair_modes_are_one_aggregate(spark):

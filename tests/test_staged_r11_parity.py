@@ -31,12 +31,14 @@ def test_staged_r11_oracle_parity(spark, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
-def test_staged_r11_disjoint_from_registry():
-    """The holdout must not shadow (or be shadowed by) live registry
-    names — activation is a pure REGISTRY.update."""
-    clash = set(STAGED_R11) & set(REGISTRY)
-    assert not clash, f"staged r11 names already registered: {clash}"
+def test_staged_r11_activated_identically():
+    """Round 11 activated the wave: every staged name must be live in
+    REGISTRY and bound to the SAME QuerySpec object — activation was
+    REGISTRY.update(STAGED_R11), not a re-wrap."""
+    missing = set(STAGED_R11) - set(REGISTRY)
+    assert not missing, f"staged r11 names not activated: {missing}"
     for name, spec in STAGED_R11.items():
+        assert REGISTRY[name] is spec, f"{name} was shadowed on activation"
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
         assert spec.name == name
