@@ -145,7 +145,24 @@ clear error rather than silently mis-translating):
   subquery over the table's registered SAMPLE BY key (see
   :func:`register_sampling_key`; the q_hash_sample primitive —
   md5-prefix scaled to [0,1), reproducible in any engine); the
-  integer row-target form still fails fast (needs table stats).
+  integer row-target form ``SAMPLE n`` scales the threshold from the
+  table's registered row count (:func:`register_sampling_rowcount`).
+  ``LIMIT n WITH TIES``→distributed cutoff filter (single key) /
+  rank window (multi-key); ``LIMIT m, n WITH TIES``→rank +
+  row_number window (positional offset, tail ties kept).  ``ORDER BY
+  k WITH FILL [FROM/TO/STEP]``→dense-spine full-outer join (run path
+  only — needs the resolved schema), with ``INTERPOLATE (col [AS
+  col], …)`` compiling the CARRY form (filled rows repeat the last
+  real row's value; general expressions are recurrences and fail
+  fast).  ``dictGet*`` lookups→correlated broadcast subqueries over
+  registered dictionaries; ``dictGetHierarchy/dictIsIn/
+  dictGetChildren/dictGetDescendants``→ancestor-chain closure views
+  for dictionaries registered hierarchical (children/descendants
+  arrays surface SORTED — ClickHouse's load order is unobservable).
+  ``sum/count/min/max/avgState``→named-struct partial folds with
+  ``-Merge``/``-MergeState``/``-SimpleState`` counterparts (the
+  AggregatingMergeTree MV pattern); sketch states fail fast toward
+  the engine's mergeable sketches.
   ``GLOBAL``/``ALL`` join modifiers are STRIPPED (GLOBAL is a
   distribution hint — Catalyst/AQE already picks broadcast vs
   shuffle; ALL is the explicit default multiplicity); ``ANY
@@ -512,7 +529,7 @@ def _unsupported_week_mode(mode: str):
 DICTIONARIES: dict[str, dict] = {}
 
 
-def register_dictionary(name, source, key, defaults=None):
+def register_dictionary(name, source, key, defaults=None, hierarchical=None):
     """Register an external dictionary so ``dictGet('name', 'attr',
     key)`` (and the OrDefault/OrNull/Has/typed variants) translate to
     a keyed lookup against a small broadcast-joined view.
@@ -530,9 +547,23 @@ def register_dictionary(name, source, key, defaults=None):
     view columns (keys, defaulted attributes, and — when ``source`` is
     a DataFrame — its full schema) are collision-checked at translate
     time; pick dictionary column names that don't collide with fact
-    columns."""
+    columns.
+
+    ``hierarchical`` names the PARENT-id attribute (ClickHouse's
+    ``HIERARCHICAL`` flag), unlocking ``dictGetHierarchy`` /
+    ``dictIsIn`` / ``dictGetChildren`` / ``dictGetDescendants`` —
+    compiled against an ancestor-chain closure materialized from the
+    dictionary (driver-side, bounded by the dictionary's own size:
+    dictionaries are in-RAM reference data in ClickHouse too).
+    Requires a single-column key."""
     keys = (key,) if isinstance(key, str) else tuple(key)
+    if hierarchical is not None and len(keys) != 1:
+        raise UnsupportedClickHouseSQL(
+            "a hierarchical dictionary takes a single-column key"
+        )
     known = {k.lower() for k in keys} | {a.lower() for a in (defaults or {})}
+    if hierarchical is not None:
+        known.add(hierarchical.lower())
     cols = getattr(source, "columns", None)
     if cols is not None:  # DataFrame source: the full schema is known
         known |= {c.lower() for c in cols}
@@ -542,6 +573,7 @@ def register_dictionary(name, source, key, defaults=None):
         "key": keys,
         "defaults": dict(defaults or {}),
         "known_cols": known,
+        "hier": hierarchical,
     }
 
 
@@ -699,6 +731,86 @@ def _dict_has(a: list[str]) -> str:
     )
 
 
+def _dict_hier_entry(fn: str, a: list[str], nargs: int) -> dict:
+    """Shared head of the hierarchical family: the dictionary must be
+    registered with ``hierarchical='<parent attr>'``."""
+    if len(a) < nargs:
+        raise UnsupportedClickHouseSQL(f"{fn} takes {nargs} arguments")
+    name = _dict_literal(fn, a[0], "dictionary name")
+    d = _dict_entry(fn, name)
+    if not d.get("hier"):
+        raise UnsupportedClickHouseSQL(
+            f"{fn}('{name}', ...): the dictionary is not registered "
+            "as hierarchical — register_dictionary(..., "
+            "hierarchical='<parent attribute>')"
+        )
+    return d
+
+
+def _hier_chain_sub(d: dict, key_expr: str) -> str:
+    """Correlated lookup of a key's ancestor chain ([key, parent,
+    grandparent, ...], ClickHouse walk order) against the
+    ``__chains`` closure view; a key absent from the dictionary falls
+    back to the one-element chain ClickHouse produces."""
+    ka = key_expr.strip()
+    sub = (
+        f"(SELECT max(__dk.__chain) FROM {d['view']}__chains AS __dk "
+        f"WHERE __dk.__ck = CAST(({ka}) AS BIGINT))"
+    )
+    return f"coalesce({sub}, array(CAST(({ka}) AS BIGINT)))"
+
+
+def _dict_get_hierarchy(a: list[str]) -> str:
+    d = _dict_hier_entry("dictGetHierarchy", a, 2)
+    _dict_check_shadowing("dictGetHierarchy", d, a[1])
+    return _hier_chain_sub(d, a[1])
+
+
+def _dict_is_in(a: list[str]) -> str:
+    # dictIsIn(dict, child, ancestor): is ancestor in child's chain
+    # (the chain starts at child itself, so child == ancestor hits)
+    d = _dict_hier_entry("dictIsIn", a, 3)
+    _dict_check_shadowing("dictIsIn", d, a[1])
+    _dict_check_shadowing("dictIsIn", d, a[2])
+    chain = _hier_chain_sub(d, a[1])
+    return (
+        f"array_contains({chain}, CAST(({a[2].strip()}) AS BIGINT))"
+    )
+
+
+def _dict_get_children(a: list[str]) -> str:
+    # immediate children: keys whose parent attribute equals the key.
+    # ClickHouse returns them in dictionary-load order — unobservable
+    # here, so the shim returns them SORTED (documented delta).
+    d = _dict_hier_entry("dictGetChildren", a, 2)
+    ka = a[1].strip()
+    _dict_check_shadowing("dictGetChildren", d, ka)
+    kcol, pcol = d["key"][0], d["hier"]
+    return (
+        f"(SELECT sort_array(collect_list(CAST(__dk.{kcol} AS BIGINT)))"
+        f" FROM {d['view']} AS __dk WHERE __dk.{pcol} = ({ka}))"
+    )
+
+
+def _dict_get_descendants(a: list[str]) -> str:
+    # all descendants at every depth (the level argument beyond the
+    # default 0 = "all levels" is not compiled), excluding the key
+    # itself; sorted (same order delta as children)
+    d = _dict_hier_entry("dictGetDescendants", a, 2)
+    if len(a) > 2 and a[2].strip() not in ("0",):
+        raise UnsupportedClickHouseSQL(
+            "dictGetDescendants level argument: only the default 0 "
+            "(all levels) is compiled"
+        )
+    ka = a[1].strip()
+    _dict_check_shadowing("dictGetDescendants", d, ka)
+    return (
+        f"(SELECT sort_array(collect_list(__dk.__ck)) FROM "
+        f"{d['view']}__hier_pairs AS __dk WHERE __dk.__anc = "
+        f"CAST(({ka}) AS BIGINT))"
+    )
+
+
 # ClickHouse type name → (Spark cast type, type default on a miss).
 # UInt64 maps onto SIGNED bigint: dictionary attributes >= 2^63 are
 # outside the shim (same caveat as every UInt64 mapping here).
@@ -737,17 +849,6 @@ def _dict_get_typed_or_default(ch_type: str):
     def h(a: list[str]) -> str:
         _, _, sub = _dict_lookup(fn, a, 4)
         return f"coalesce(cast({sub} AS {cast_to}), {a[3].strip()})"
-
-    return h
-
-
-def _dict_hierarchy_pointer(name: str):
-    def h(args):
-        raise UnsupportedClickHouseSQL(
-            f"{name} walks a HIERARCHICAL dictionary — a recursive "
-            "traversal, not a lookup; use the engine's graph operators "
-            "(ext/graph.py: bfs_levels / reachability)"
-        )
 
     return h
 
@@ -1472,11 +1573,13 @@ _PLAIN = {
         f"dictget{t}ordefault": _dict_get_typed_or_default(t)
         for t in _DICT_TYPED
     },
-    **{
-        n.lower(): _dict_hierarchy_pointer(n)
-        for n in ("dictGetHierarchy", "dictIsIn", "dictGetChildren",
-                  "dictGetDescendants")
-    },
+    # hierarchical dictionary traversals, compiled against the
+    # ancestor-chain closure views run_clickhouse_sql materializes
+    # for dictionaries registered with hierarchical=<parent attr>
+    "dictgethierarchy": _dict_get_hierarchy,
+    "dictisin": _dict_is_in,
+    "dictgetchildren": _dict_get_children,
+    "dictgetdescendants": _dict_get_descendants,
     # -State/-Merge combinators: the SIMPLE algebra (sum/count/min/
     # max/avg, whose ClickHouse states are just partial folds) is
     # compiled via _STATE_ALGEBRA below; SKETCH-backed states
@@ -2349,21 +2452,38 @@ def _rewrite_with_ties(s: str) -> str:
     body becomes an opaque subquery."""
     toks = _scan_top(s)
     hit = None
+    m_off = None  # ClickHouse comma-offset form: LIMIT m, n WITH TIES
     for t in range(len(toks) - 3):
-        if (
+        if not (
             toks[t][0] == "ident"
             and toks[t][1].upper() == "LIMIT"
             and toks[t + 1][0] == "num"
-            and toks[t + 2][0] == "ident"
+        ):
+            continue
+        if (
+            toks[t + 2][0] == "ident"
             and toks[t + 2][1].upper() == "WITH"
             and toks[t + 3][0] == "ident"
             and toks[t + 3][1].upper() == "TIES"
         ):
-            hit = t
+            hit, n, last = t, toks[t + 1][1], t + 3
+            break
+        if (
+            t + 5 < len(toks)
+            and toks[t + 2][0] == "sym"
+            and toks[t + 2][1] == ","
+            and toks[t + 3][0] == "num"
+            and toks[t + 4][0] == "ident"
+            and toks[t + 4][1].upper() == "WITH"
+            and toks[t + 5][0] == "ident"
+            and toks[t + 5][1].upper() == "TIES"
+        ):
+            hit, m_off, n, last = t, toks[t + 1][1], toks[t + 3][1], t + 5
             break
     if hit is None:
-        # a stray WITH TIES not in LIMIT-n position (e.g. the comma
-        # offset form LIMIT m, n WITH TIES) must not silently pass
+        # a stray WITH TIES not in LIMIT position (e.g. the
+        # OFFSET-after form LIMIT n WITH TIES OFFSET m) must not
+        # silently pass
         for t in range(len(toks) - 1):
             if (
                 toks[t][0] == "ident"
@@ -2377,16 +2497,17 @@ def _rewrite_with_ties(s: str) -> str:
                 )
             ):
                 raise UnsupportedClickHouseSQL(
-                    "WITH TIES is only compiled in the plain "
-                    "LIMIT n WITH TIES form (no offset)"
+                    "WITH TIES is only compiled in the LIMIT "
+                    "[m,] n WITH TIES forms"
                 )
         return s
-    n = toks[hit + 1][1]
-    if "." in n:
-        raise UnsupportedClickHouseSQL("LIMIT n WITH TIES: n must be an integer")
-    if s[toks[hit + 3][3]:].strip():
+    if "." in n or (m_off is not None and "." in m_off):
         raise UnsupportedClickHouseSQL(
-            "LIMIT n WITH TIES must be the final clause "
+            "LIMIT [m,] n WITH TIES: m and n must be integers"
+        )
+    if s[toks[last][3]:].strip():
+        raise UnsupportedClickHouseSQL(
+            "LIMIT [m,] n WITH TIES must be the final clause "
             "(OFFSET after WITH TIES is not compiled)"
         )
     # the governing ORDER BY: last top-level ORDER BY before the LIMIT,
@@ -2429,6 +2550,22 @@ def _rewrite_with_ties(s: str) -> str:
     body = s[: toks[order_at][2]].strip()
     keys = _order_keys(order_txt)
     spec = _ch_order_spec(keys)
+    if m_off is not None:
+        # offset form (VERDICT r10 item 6): ClickHouse skips the
+        # first m ordered rows, returns the next n, and extends with
+        # every row TYING the (m+n)-th row's order value — rank() <=
+        # m+n captures the tail ties (a tied group's rank is its
+        # first position), row_number() > m applies the positional
+        # offset.  The single window-ORDER-BY partition is the honest
+        # cost of a positional offset over a total order.
+        m, nn = int(m_off), int(n)
+        return (
+            f"SELECT * EXCEPT (__rk, __rn) FROM (SELECT __wt.*, "
+            f"rank() OVER (ORDER BY {spec}) AS __rk, "
+            f"row_number() OVER (ORDER BY {spec}) AS __rn "
+            f"FROM ({body}) AS __wt) "
+            f"WHERE __rn > {m} AND __rk <= {m + nn} ORDER BY {spec}"
+        )
     if len(keys) > 1:
         return (
             f"SELECT * EXCEPT (__rk) FROM (SELECT __wt.*, rank() OVER "
@@ -2524,6 +2661,7 @@ def _parse_with_fill(sql: str):
     stop_kw = {"LIMIT", "SETTINGS", "FORMAT", "UNION", "INTERPOLATE"}
     part_kw = {"FROM", "TO", "STEP"}
     spans: dict[str, tuple[int, int]] = {}
+    interpolate: list[str] = []
     cur = None
     end_at = len(sql)
     t = hit + 2
@@ -2536,10 +2674,52 @@ def _parse_with_fill(sql: str):
                 "compiled — fill one dimension"
             )
         if up == "INTERPOLATE":
-            raise UnsupportedClickHouseSQL(
-                "WITH FILL ... INTERPOLATE is not compiled — generated "
-                "rows take type defaults"
-            )
+            # INTERPOLATE (col [, col AS col]...) — the CARRY form:
+            # filled rows repeat the last real row's value for the
+            # listed columns.  General ``col AS expr`` is a per-row
+            # RECURRENCE over consecutive generated rows (each
+            # generated row sees the PREVIOUS row's values) — not
+            # expressible as a window carry, so it fails fast.
+            if not (
+                t + 1 < len(toks)
+                and toks[t + 1][0] == "group"
+            ):
+                raise UnsupportedClickHouseSQL(
+                    "bare INTERPOLATE (all columns) is not compiled — "
+                    "list the carried columns: INTERPOLATE (col, ...)"
+                )
+            if t + 2 < len(toks):
+                raise UnsupportedClickHouseSQL(
+                    "INTERPOLATE must be the final WITH FILL clause"
+                )
+            inner = toks[t + 1][1][1:-1].strip()
+            if not inner:
+                raise UnsupportedClickHouseSQL(
+                    "INTERPOLATE () carries nothing — list columns"
+                )
+            for item in _split_args(inner):
+                itoks = _scan_top(item)
+                if len(itoks) == 1 and itoks[0][0] == "ident":
+                    interpolate.append(itoks[0][1])
+                elif (
+                    len(itoks) == 3
+                    and itoks[0][0] == "ident"
+                    and itoks[1][0] == "ident"
+                    and itoks[1][1].upper() == "AS"
+                    and itoks[2][0] == "ident"
+                    and itoks[2][1].lower() == itoks[0][1].lower()
+                ):
+                    interpolate.append(itoks[0][1])
+                else:
+                    raise UnsupportedClickHouseSQL(
+                        f"INTERPOLATE {item.strip()!r}: only the carry "
+                        "forms (col / col AS col) are compiled — a "
+                        "general expression is a recurrence over "
+                        "consecutive generated rows"
+                    )
+            # INTERPOLATE is enforced final: nothing of it reaches
+            # base_sql (end_at stays len(sql), appending nothing)
+            break
         if up in stop_kw:
             raise UnsupportedClickHouseSQL(
                 f"WITH FILL followed by {up} is not compiled — "
@@ -2566,7 +2746,7 @@ def _parse_with_fill(sql: str):
         if name in spans and not v:
             raise UnsupportedClickHouseSQL(f"WITH FILL {name} needs a value")
     base_sql = sql[: toks[hit][2]].rstrip() + " " + sql[end_at:]
-    return base_sql.strip(), key, frm, to, step
+    return base_sql.strip(), key, frm, to, step, tuple(interpolate)
 
 
 _FILL_INTERVAL = re.compile(
@@ -2599,13 +2779,16 @@ def _fill_type_default(dtype: str) -> str:
 def _run_with_fill(spark, spec, sf_dir: str, final_keys):
     """Execute a WITH FILL query: run the base, resolve the schema,
     synthesize the dense spine (FROM inclusive, TO exclusive — absent
-    bounds come from the data, inclusive), left-anti the existing key
-    points, default the other columns, union, re-order.  One bounded
-    driver collect (the 1-row min/max aggregate) when bounds are
-    implicit."""
+    bounds come from the data, inclusive), full-outer join it so base
+    rows keep their values and spine-only grid points take the column
+    type defaults — except INTERPOLATE-carried columns, which repeat
+    the last real row's value (stair-step carry; filled rows before
+    the first real row fall back to the type default, matching
+    ClickHouse).  One bounded driver collect (the 1-row min/max
+    aggregate) when bounds are implicit."""
     from pyspark.sql import functions as F
 
-    base_sql, key, frm, to, step = spec
+    base_sql, key, frm, to, step, interpolate = spec
     base = run_clickhouse_sql(spark, base_sql, sf_dir, final_keys=final_keys)
     # NO persist here (ADVICE r10: an unscoped persist leaks cached
     # partitions for the session lifetime — nothing ever unpersisted).
@@ -2621,6 +2804,18 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
             f"WITH FILL key {key} is not an output column of the query"
         )
     key = by_lower[key.lower()]
+    carry = set()
+    for c in interpolate:
+        if c.lower() not in by_lower:
+            raise UnsupportedClickHouseSQL(
+                f"INTERPOLATE column {c} is not an output column"
+            )
+        if c.lower() == key.lower():
+            raise UnsupportedClickHouseSQL(
+                "INTERPOLATE of the fill key itself is meaningless — "
+                "the spine defines its values"
+            )
+        carry.add(by_lower[c.lower()])
     ktype = fields[key]
     integral = ktype in ("tinyint", "smallint", "int", "bigint")
     temporal = ktype == "date" or ktype.startswith("timestamp")
@@ -2686,11 +2881,48 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
     joined = b.join(
         spine, F.col(key) == F.col(f"__fill_{key}"), "full_outer"
     )
+    okey = "__out_" + key
+    joined = joined.withColumn(
+        okey, F.coalesce(F.col(key), F.col(f"__fill_{key}"))
+    )
+    # INTERPOLATE carry: for each carried column, the value of the
+    # LAST REAL row at-or-before this grid point.  Wrapping in a
+    # struct keeps a real row's stored NULL distinguishable from the
+    # window's no-previous-row NULL (ClickHouse carries the real NULL,
+    # and defaults only before the first real row).  The unpartitioned
+    # window is bounded by the spine size — the same reporting-scale
+    # frame the final ORDER BY already sorts.
+    from pyspark.sql import Window as _W
+
+    if carry:
+        w = (
+            _W.orderBy(okey)
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        )
+        for c in carry:
+            joined = joined.withColumn(
+                f"__carry_{c}",
+                F.last(
+                    F.when(F.col(marker), F.struct(F.col(c).alias("v"))),
+                    ignorenulls=True,
+                ).over(w),
+            )
     out_cols = []
     for c in base.columns:
         if c == key:
+            out_cols.append(F.col(okey).alias(key))
+        elif c in carry:
             out_cols.append(
-                F.coalesce(F.col(key), F.col(f"__fill_{key}")).alias(key)
+                F.when(F.col(marker), F.col(c))
+                .otherwise(
+                    F.coalesce(
+                        F.col(f"__carry_{c}.v"),
+                        F.expr(_fill_type_default(fields[c])).cast(
+                            fields[c]
+                        ),
+                    )
+                )
+                .alias(c)
             )
         else:
             out_cols.append(
@@ -3780,8 +4012,18 @@ def run_clickhouse_sql(spark, sql: str, sf_dir: str, final_keys=None):
     translated = translate_clickhouse_sql(sql, final_keys=final_keys)
     for dname, d in DICTIONARIES.items():
         # word-boundary match: '__dict_nation' must not fire on a
-        # query that only references '__dict_nation_ext'
-        if not re.search(rf"{re.escape(d['view'])}(?![A-Za-z0-9_])", translated):
+        # query that only references '__dict_nation_ext'.  The
+        # hierarchy closure views (__chains / __hier_pairs) also need
+        # the base frame, and their suffixes start with '_' so the
+        # base pattern alone would NOT match them.
+        base_ref = re.search(
+            rf"{re.escape(d['view'])}(?![A-Za-z0-9_])", translated
+        )
+        hier_ref = re.search(
+            rf"{re.escape(d['view'])}__(chains|hier_pairs)(?![A-Za-z0-9_])",
+            translated,
+        )
+        if not (base_ref or hier_ref):
             continue
         src = d["source"]
         if src is None:
@@ -3797,4 +4039,48 @@ def run_clickhouse_sql(spark, sql: str, sf_dir: str, final_keys=None):
         else:
             frame = src
         frame.createOrReplaceTempView(d["view"])
+        if hier_ref:
+            _materialize_hier_views(spark, d, frame)
     return spark.sql(translated)
+
+
+def _materialize_hier_views(spark, d: dict, frame) -> None:
+    """Build the ancestor-chain closure views for a hierarchical
+    dictionary: ``<view>__chains(__ck, __chain)`` — each key's walk
+    [key, parent, grandparent, ...] in ClickHouse order (stops at
+    parent 0/NULL; a parent id absent from the dictionary is included
+    once, like ClickHouse's walk; cycle- and depth-guarded) — and
+    ``<view>__hier_pairs(__anc, __ck)`` — (ancestor, descendant)
+    pairs, self excluded, for dictGetDescendants.
+
+    The closure is computed driver-side: a dictionary is in-RAM
+    reference data by contract (ClickHouse holds it resident too), so
+    this collect is bounded by the dictionary's own size, same as the
+    broadcast the flat lookups rely on."""
+    kcol, pcol = d["key"][0], d["hier"]
+    parent = {}
+    for r in frame.select(kcol, pcol).collect():
+        if r[0] is not None:
+            parent[int(r[0])] = None if r[1] is None else int(r[1])
+    chains = []
+    for k in parent:
+        chain, cur, seen = [], k, set()
+        while cur is not None and cur != 0 and cur not in seen \
+                and len(chain) < 64:
+            chain.append(cur)
+            seen.add(cur)
+            nxt = parent.get(cur)
+            if cur not in parent:
+                # absent id was appended (ClickHouse includes it once)
+                break
+            cur = nxt
+        chains.append((k, chain))
+    pairs = [
+        (anc, k) for k, chain in chains for anc in chain[1:]
+    ]
+    spark.createDataFrame(
+        chains, schema="__ck BIGINT, __chain ARRAY<BIGINT>"
+    ).createOrReplaceTempView(d["view"] + "__chains")
+    spark.createDataFrame(
+        pairs, schema="__anc BIGINT, __ck BIGINT"
+    ).createOrReplaceTempView(d["view"] + "__hier_pairs")

@@ -1321,10 +1321,39 @@ def test_with_ties_fail_fasts():
         translate_clickhouse_sql(
             "SELECT x FROM t ORDER BY x LIMIT 5 WITH TIES OFFSET 2"
         )
-    with pytest.raises(UnsupportedClickHouseSQL, match="offset"):
+    with pytest.raises(UnsupportedClickHouseSQL, match="integers"):
         translate_clickhouse_sql(
-            "SELECT x FROM t ORDER BY x LIMIT 2, 5 WITH TIES"
+            "SELECT x FROM t ORDER BY x LIMIT 2.5, 5 WITH TIES"
         )
+
+
+def test_with_ties_offset_form(spark):
+    """Round-11 (VERDICT r10 item 6): LIMIT m, n WITH TIES — skip the
+    first m ordered rows, take the next n, extend with rows tying the
+    (m+n)-th order value."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a'),(1,'b'),(2,'c'),(2,'d'),(3,'e'),"
+        "(3,'f'),(4,'g') AS t(x, tag)"
+    ).createOrReplaceTempView("wto_t")
+    got = sorted(
+        r.x
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT x FROM wto_t ORDER BY x LIMIT 2, 3 WITH TIES"
+            )
+        ).collect()
+    )
+    # skip the two 1s; rows 3..5 are (2,2,3); the second 3 ties in
+    assert got == [2, 2, 3, 3]
+    # offset past the end -> empty, not an error
+    assert (
+        spark.sql(
+            translate_clickhouse_sql(
+                "SELECT x FROM wto_t ORDER BY x LIMIT 9, 3 WITH TIES"
+            )
+        ).count()
+        == 0
+    )
 
 
 def test_with_ties_composes_with_clause_rewrites(spark):
@@ -1525,8 +1554,9 @@ def test_dictget_fail_fasts():
         )
     with pytest.raises(UnsupportedClickHouseSQL, match="composite"):
         translate_clickhouse_sql("SELECT dictGetOrNull('dg_ff2', 'v', 1)")
-    # hierarchical traversals point at the graph operators
-    with pytest.raises(UnsupportedClickHouseSQL, match="graph"):
+    # hierarchical traversals need the hierarchical= registration
+    # (round 11 compiled them — see test_dict_hierarchy_family)
+    with pytest.raises(UnsupportedClickHouseSQL, match="hierarchical"):
         translate_clickhouse_sql("SELECT dictIsIn('dg_ff', 1, 2)")
 
 
@@ -1994,6 +2024,71 @@ def test_untuple_and_state_merge_pointers(spark):
                 "topKMerge(s)"):
         with pytest.raises(UnsupportedClickHouseSQL, match="MERGEABLE"):
             translate_clickhouse_sql(f"SELECT {bad} FROM t")
+
+
+def test_dict_hierarchy_family(spark):
+    """Round-11 (VERDICT r10 item 6): dictGetHierarchy / dictIsIn /
+    dictGetChildren / dictGetDescendants compile against the
+    ancestor-chain closure of a dictionary registered with
+    hierarchical=<parent attr>."""
+    from clickbom_spark.dialect import register_dictionary, run_clickhouse_sql
+
+    df = spark.createDataFrame(
+        [(1, 0, "root"), (2, 1, "a"), (3, 1, "b"), (4, 2, "aa"),
+         (5, 99, "orphan")],
+        "hid BIGINT, hpid BIGINT, hnm STRING",
+    )
+    register_dictionary(
+        "hier_ut", df, key="hid", defaults={"hnm": "''"},
+        hierarchical="hpid",
+    )
+    got = {
+        r.k: r
+        for r in run_clickhouse_sql(
+            spark,
+            """
+            SELECT k,
+                   dictGetHierarchy('hier_ut', k) AS chain,
+                   dictIsIn('hier_ut', k, toInt64(1)) AS under1,
+                   dictGetChildren('hier_ut', k) AS kids,
+                   dictGetDescendants('hier_ut', k) AS descs
+            FROM (SELECT toInt64(event_id % 6) AS k FROM events
+                  WHERE event_id < 6)
+            """,
+            SF_SMOKE,
+        ).collect()
+    }
+    # registered chains walk to the root; an id absent from the
+    # dictionary falls back to the one-element chain; an absent
+    # PARENT id appears once then the walk stops (ClickHouse order)
+    assert got[4].chain == [4, 2, 1] and got[2].chain == [2, 1]
+    assert got[0].chain == [0] and got[5].chain == [5, 99]
+    # dictIsIn includes the key itself (the chain starts at child)
+    assert got[1].under1 is True and got[4].under1 is True
+    assert got[5].under1 is False
+    # children = immediate; descendants = closure minus self (sorted)
+    assert got[1].kids == [2, 3] and got[1].descs == [2, 3, 4]
+    assert got[2].kids == [4] and got[2].descs == [4]
+    assert got[4].kids == [] and got[4].descs == []
+
+
+def test_dict_hierarchy_fail_fasts():
+    from clickbom_spark.dialect import register_dictionary
+
+    register_dictionary("flat_ut", None, key="fk", defaults={"fv": "0"})
+    register_dictionary("hier_ff_ut", None, key="hk", hierarchical="hp")
+    with pytest.raises(UnsupportedClickHouseSQL, match="hierarchical"):
+        translate_clickhouse_sql(
+            "SELECT dictGetHierarchy('flat_ut', x) FROM t"
+        )
+    with pytest.raises(UnsupportedClickHouseSQL, match="single-column"):
+        register_dictionary(
+            "two_key_hier", None, key=("a", "b"), hierarchical="p"
+        )
+    with pytest.raises(UnsupportedClickHouseSQL, match="level"):
+        translate_clickhouse_sql(
+            "SELECT dictGetDescendants('hier_ff_ut', x, 2) FROM t"
+        )
 
 
 def test_state_merge_simple_algebra(spark):
