@@ -4078,9 +4078,14 @@ def _materialize_hier_views(spark, d: dict, frame) -> None:
     pairs = [
         (anc, k) for k, chain in chains for anc in chain[1:]
     ]
+    # createDataFrame carries no stats, so Catalyst alone won't pick
+    # broadcast for the correlated-lookup joins — hint it explicitly
+    # (safe: the closure is dictionary-sized by contract)
     spark.createDataFrame(
         chains, schema="__ck BIGINT, __chain ARRAY<BIGINT>"
-    ).createOrReplaceTempView(d["view"] + "__chains")
+    ).hint("broadcast").createOrReplaceTempView(d["view"] + "__chains")
     spark.createDataFrame(
         pairs, schema="__anc BIGINT, __ck BIGINT"
-    ).createOrReplaceTempView(d["view"] + "__hier_pairs")
+    ).hint("broadcast").createOrReplaceTempView(
+        d["view"] + "__hier_pairs"
+    )

@@ -1094,3 +1094,133 @@ def test_quantiles_by_group_windows_never_partition_by_group_alone(spark):
     assert data_wins, plan
     for ln in data_wins:
         assert "_bkt" in ln, ln
+
+
+# ---------------------------------------------------------------------------
+# Round-13 staged wave: scale-shape guards (same lens as the r11/r12
+# guards above — no cartesian candidate generation, windows only over
+# bounded frames, single-scan aggregates where the op allows it).
+# ---------------------------------------------------------------------------
+
+
+def _staged_r13_plan(spark, name: str) -> str:
+    from clickbom_spark.queries.staged_r13 import STAGED_R13
+
+    df = STAGED_R13[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_state_merge_rt_is_pure_aggregation(spark):
+    """The -State/-Merge round-trip is two aggregation levels over
+    ONE scan — no join, no window; Spark's partial aggregation IS
+    the state algebra."""
+    plan = _staged_r13_plan(spark, "q_dialect_state_merge")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_fill_interpolate_single_scan_carry(spark):
+    """INTERPOLATE keeps the round-11 fill shape: ONE base scan into
+    a full-outer spine join, nothing persisted, plus exactly one
+    window (the last-real-row carry)."""
+    plan = _staged_r13_plan(spark, "q_dialect_fill_interpolate")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "FullOuter" in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
+    assert plan.count("windowspecdefinition") == 1, plan
+
+
+def test_hierarchy_lookups_broadcast(spark):
+    """Every hierarchical dictionary traversal must come back as a
+    broadcast of the (dictionary-sized) closure views — never a
+    shuffle of the fact side, never a cartesian recursion."""
+    plan = _staged_r13_plan(spark, "q_dialect_hierarchy")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ties_paging_windows_not_cartesian(spark):
+    """The comma-offset WITH TIES path is the rank + row_number
+    window pair over one scan — no cutoff-subquery join tree and no
+    cartesian."""
+    plan = _staged_r13_plan(spark, "q_dialect_ties_paging")
+    assert "windowspecdefinition" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+
+
+def test_ewma_scatter_bounds_scans(spark):
+    """The EWMA scatter form costs TWO passes over the daily
+    aggregate (contributions + observed-day join) — a lag-per-tap
+    self-join chain would scan events once per tap."""
+    plan = _staged_r13_plan(spark, "q_ewma_daily")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) <= 2, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_shingle_novelty_is_postings_join(spark):
+    """Novelty flows through (shingle → first_doc) postings — one
+    generator, hash aggregates, an equi-join back; never a document
+    pair product."""
+    plan = _staged_r13_plan(spark, "q_shingle_novelty")
+    # the distinct postings feed BOTH the first-seen aggregate and
+    # the join back, so the generator appears twice — never more
+    assert plan.count("Generate") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_token_pmi_candidates_bounded(spark):
+    """PMI pair generation joins the top-k word postings on doc_id
+    (k is a literal driver-pinned frame): equality join plus at most
+    the 1-row N broadcast — no cartesian vocabulary product."""
+    plan = _staged_r13_plan(spark, "q_token_pmi")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_pareto_windows_over_distinct_values(spark):
+    """The Pareto crossing runs windows over DISTINCT activity
+    values — bounded by value cardinality — never a global
+    per-user ranking window."""
+    plan = _staged_r13_plan(spark, "q_pareto_coverage")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    assert all("user_id" not in ln for ln in win_lines), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_markov_window_is_user_partitioned(spark):
+    """The transition-pair lag window must be PARTITIONED by user —
+    an unpartitioned event ordering would serialize the corpus."""
+    import re
+
+    plan = _staged_r13_plan(spark, "q_event_markov_matrix")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    # user_id must be a PARTITION column (followed by a comma in the
+    # spec), not merely an ORDER column (followed by ASC/DESC) — a
+    # substring check alone is vacuous (the r10 plan-guard lesson)
+    for ln in win_lines:
+        assert re.search(
+            r"windowspecdefinition\(user_id#\d+L?,", ln
+        ), ln
+
+
+def test_embedding_norms_jvm_only_single_scan(spark):
+    """The norm quantization is a built-in array fold — no Python
+    UDF boundary, one scan of embeddings."""
+    plan = _staged_r13_plan(spark, "q_embedding_norms")
+    assert "BatchEvalPython" not in plan, plan
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
