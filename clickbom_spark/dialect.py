@@ -2480,6 +2480,20 @@ def _rewrite_with_ties(s: str) -> str:
         ):
             hit, m_off, n, last = t, toks[t + 1][1], toks[t + 3][1], t + 5
             break
+        # the OFFSET spelling of the same thing: LIMIT n OFFSET m
+        # WITH TIES (note the operand swap vs the comma form)
+        if (
+            t + 5 < len(toks)
+            and toks[t + 2][0] == "ident"
+            and toks[t + 2][1].upper() == "OFFSET"
+            and toks[t + 3][0] == "num"
+            and toks[t + 4][0] == "ident"
+            and toks[t + 4][1].upper() == "WITH"
+            and toks[t + 5][0] == "ident"
+            and toks[t + 5][1].upper() == "TIES"
+        ):
+            hit, m_off, n, last = t, toks[t + 3][1], toks[t + 1][1], t + 5
+            break
     if hit is None:
         # a stray WITH TIES not in LIMIT position (e.g. the
         # OFFSET-after form LIMIT n WITH TIES OFFSET m) must not
@@ -2498,7 +2512,8 @@ def _rewrite_with_ties(s: str) -> str:
             ):
                 raise UnsupportedClickHouseSQL(
                     "WITH TIES is only compiled in the LIMIT "
-                    "[m,] n WITH TIES forms"
+                    "[m,] n WITH TIES and LIMIT n OFFSET m WITH "
+                    "TIES forms (nothing may follow WITH TIES)"
                 )
         return s
     if "." in n or (m_off is not None and "." in m_off):

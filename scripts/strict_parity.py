@@ -112,12 +112,23 @@ def main() -> int:
         from clickbom_spark.queries.staged_r12 import STAGED_R12
 
         queries.update(STAGED_R12)
-        try:
-            from clickbom_spark.queries.staged_r13 import STAGED_R13
-
-            queries.update(STAGED_R13)
-        except ImportError:
-            pass
+        for mod, attr in (
+            ("staged_r13", "STAGED_R13"),
+            ("staged_r14", "STAGED_R14"),
+            ("staged_r15", "STAGED_R15"),
+        ):
+            try:
+                m = __import__(
+                    f"clickbom_spark.queries.{mod}", fromlist=[attr]
+                )
+            except ModuleNotFoundError as e:
+                # skip ONLY the not-yet-written wave; a broken import
+                # INSIDE an existing wave must fail the gate, not
+                # silently drop the wave (vacuously-green class)
+                if e.name == f"clickbom_spark.queries.{mod}":
+                    continue
+                raise
+            queries.update(getattr(m, attr))
     only = set(args)
     missing = only - set(queries)
     if missing:

@@ -1345,6 +1345,17 @@ def test_with_ties_offset_form(spark):
     )
     # skip the two 1s; rows 3..5 are (2,2,3); the second 3 ties in
     assert got == [2, 2, 3, 3]
+    # the OFFSET spelling is the same rewrite (operands swapped)
+    got2 = sorted(
+        r.x
+        for r in spark.sql(
+            translate_clickhouse_sql(
+                "SELECT x FROM wto_t ORDER BY x "
+                "LIMIT 3 OFFSET 2 WITH TIES"
+            )
+        ).collect()
+    )
+    assert got2 == [2, 2, 3, 3]
     # offset past the end -> empty, not an error
     assert (
         spark.sql(

@@ -1224,3 +1224,79 @@ def test_embedding_norms_jvm_only_single_scan(spark):
     assert "BatchEvalPython" not in plan, plan
     scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
     assert len(scans) == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-14 staged wave: scale-shape guards.
+# ---------------------------------------------------------------------------
+
+
+def _staged_r14_plan(spark, name: str) -> str:
+    from clickbom_spark.queries.staged_r14 import STAGED_R14
+
+    df = STAGED_R14[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hier_where_filter_broadcasts(spark):
+    """dictIsIn in WHERE must broadcast the chain closure against
+    the fact scan — a subtree filter, not a recursive join."""
+    plan = _staged_r14_plan(spark, "q_dialect_hier_where")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_abc_window_over_buckets_not_parts(spark):
+    """The ABC cumulative runs over the fixed 1000-bucket grid —
+    never a ranking window over individual parts."""
+    plan = _staged_r14_plan(spark, "q_abc_classification")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    assert all("l_partkey" not in ln for ln in win_lines), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_centroid_shift_jvm_only(spark):
+    """The centroid statistics are built-in posexplode + hash
+    aggregates — no Python UDF boundary; the postings generator
+    appears once per consumer (per-label + global), never more."""
+    plan = _staged_r14_plan(spark, "q_embedding_centroid_shift")
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Generate") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_top_bigrams_window_partitioned_by_source(spark):
+    import re
+
+    plan = _staged_r14_plan(spark, "q_top_bigrams")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert re.search(r"windowspecdefinition\(source#\d+,", ln), ln
+
+
+def test_interarrival_window_partitioned_by_user(spark):
+    import re
+
+    plan = _staged_r14_plan(spark, "q_interarrival_cv")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert re.search(r"windowspecdefinition\(user_id#\d+L?,", ln), ln
+
+
+def test_log2_histogram_single_scan_no_libm_udf(spark):
+    """The log2 bucketing is string/integer ops over one scan; the
+    only nested-loop is the 1-row total broadcast."""
+    plan = _staged_r14_plan(spark, "q_price_log2_histogram")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) <= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
