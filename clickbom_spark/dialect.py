@@ -148,13 +148,14 @@ clear error rather than silently mis-translating):
   integer row-target form ``SAMPLE n`` scales the threshold from the
   table's registered row count (:func:`register_sampling_rowcount`).
   ``LIMIT n WITH TIES``→distributed cutoff filter (single key) /
-  rank window (multi-key); ``LIMIT m, n WITH TIES``→rank +
-  row_number window (positional offset, tail ties kept).  ``ORDER BY
-  k WITH FILL [FROM/TO/STEP]``→dense-spine full-outer join (run path
-  only — needs the resolved schema), with ``INTERPOLATE (col [AS
-  col], …)`` compiling the CARRY form (filled rows repeat the last
-  real row's value; general expressions are recurrences and fail
-  fast).  ``dictGet*`` lookups→correlated broadcast subqueries over
+  rank window (multi-key); ``LIMIT m, n WITH TIES`` and ``LIMIT n
+  OFFSET m WITH TIES``→rank + row_number window (positional offset,
+  tail ties kept).  ``ORDER BY k [DESC] WITH FILL [FROM/TO/STEP]``→
+  dense-spine full-outer join (run path only — needs the resolved
+  schema; DESC walks the spine downward with a negative step), with
+  ``INTERPOLATE (col [AS col], …)`` compiling the CARRY form (filled
+  rows repeat the last real row's value in output order; general
+  expressions are recurrences and fail fast).  ``dictGet*`` lookups→correlated broadcast subqueries over
   registered dictionaries; ``dictGetHierarchy/dictIsIn/
   dictGetChildren/dictGetDescendants``→ancestor-chain closure views
   for dictionaries registered hierarchical (children/descendants
@@ -2650,14 +2651,13 @@ def _parse_with_fill(sql: str):
             hit = t
     if hit is None:
         return None
-    # walk back: ORDER BY <ident> [ASC] WITH FILL
+    # walk back: ORDER BY <ident> [ASC|DESC] WITH FILL
     k = hit - 1
+    desc = False
     if k >= 0 and toks[k][0] == "ident" and toks[k][1].upper() == "DESC":
-        raise UnsupportedClickHouseSQL(
-            "WITH FILL DESC is not compiled — fill ascending and "
-            "re-order outside"
-        )
-    if k >= 0 and toks[k][0] == "ident" and toks[k][1].upper() == "ASC":
+        desc = True
+        k -= 1
+    elif k >= 0 and toks[k][0] == "ident" and toks[k][1].upper() == "ASC":
         k -= 1
     if not (
         k >= 2
@@ -2761,7 +2761,7 @@ def _parse_with_fill(sql: str):
         if name in spans and not v:
             raise UnsupportedClickHouseSQL(f"WITH FILL {name} needs a value")
     base_sql = sql[: toks[hit][2]].rstrip() + " " + sql[end_at:]
-    return base_sql.strip(), key, frm, to, step, tuple(interpolate)
+    return base_sql.strip(), key, frm, to, step, tuple(interpolate), desc
 
 
 _FILL_INTERVAL = re.compile(
@@ -2797,13 +2797,16 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
     bounds come from the data, inclusive), full-outer join it so base
     rows keep their values and spine-only grid points take the column
     type defaults — except INTERPOLATE-carried columns, which repeat
-    the last real row's value (stair-step carry; filled rows before
-    the first real row fall back to the type default, matching
-    ClickHouse).  One bounded driver collect (the 1-row min/max
-    aggregate) when bounds are implicit."""
+    the last real row's value IN OUTPUT ORDER (stair-step carry;
+    filled rows before the first real row fall back to the type
+    default, matching ClickHouse).  ``ORDER BY key DESC WITH FILL``
+    walks the spine downward (FROM defaults to the max, TO to the
+    min, STEP applied negatively — ClickHouse's FillingTransform
+    direction convention).  One bounded driver collect (the 1-row
+    min/max aggregate) when bounds are implicit."""
     from pyspark.sql import functions as F
 
-    base_sql, key, frm, to, step, interpolate = spec
+    base_sql, key, frm, to, step, interpolate, desc = spec
     base = run_clickhouse_sql(spark, base_sql, sf_dir, final_keys=final_keys)
     # NO persist here (ADVICE r10: an unscoped persist leaks cached
     # partitions for the session lifetime — nothing ever unpersisted).
@@ -2846,16 +2849,22 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
         t = _translate_tokens(expr_txt, {})
         return spark.sql(f"SELECT CAST(({t}) AS {ktype}) AS v").collect()[0].v
 
-    lo = _const(frm) if frm is not None else None
-    hi = _const(to) if to is not None else None
-    if lo is None or hi is None:
+    # FROM is the walk's START (inclusive), TO its STOP (exclusive
+    # when explicit); absent bounds come from the data — for the
+    # default ASC direction start=min/stop=max, for DESC
+    # start=max/stop=min (both data bounds inclusive)
+    start = _const(frm) if frm is not None else None
+    stop = _const(to) if to is not None else None
+    if start is None or stop is None:
         r = base.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).collect()[0]
-        lo = lo if lo is not None else r.lo
-        hi = hi if hi is not None else r.hi
-    if lo is None or hi is None:  # empty input, no explicit bounds
-        return base.orderBy(key)
+        data_start, data_stop = (r.hi, r.lo) if desc else (r.lo, r.hi)
+        start = start if start is not None else data_start
+        stop = stop if stop is not None else data_stop
+    if start is None or stop is None:  # empty input, no explicit bounds
+        return base.orderBy(F.col(key).desc() if desc else key)
+    sign = "-" if desc else ""
     if integral:
         if step is not None and not re.fullmatch(r"\d+", step):
             raise UnsupportedClickHouseSQL(
@@ -2864,8 +2873,8 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
         n = int(step) if step is not None else 1
         if n <= 0:
             raise UnsupportedClickHouseSQL("WITH FILL STEP must be positive")
-        step_sql = str(n)
-        lo_sql, hi_sql = str(lo), str(hi)
+        step_sql = f"{sign}{n}"
+        start_sql, stop_sql = str(start), str(stop)
     else:
         if step is not None:
             m = _FILL_INTERVAL.match(step)
@@ -2874,18 +2883,22 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
                     f"WITH FILL STEP {step}: temporal keys take "
                     "STEP INTERVAL n unit"
                 )
-            step_sql = f"INTERVAL {m.group(1)} {m.group(2).upper()}"
+            step_sql = f"INTERVAL {sign}{m.group(1)} {m.group(2).upper()}"
         else:
             step_sql = (
-                "INTERVAL 1 DAY" if ktype == "date" else "INTERVAL 1 SECOND"
+                f"INTERVAL {sign}1 DAY"
+                if ktype == "date"
+                else f"INTERVAL {sign}1 SECOND"
             )
-        lo_sql, hi_sql = f"CAST('{lo}' AS {ktype})", f"CAST('{hi}' AS {ktype})"
+        start_sql = f"CAST('{start}' AS {ktype})"
+        stop_sql = f"CAST('{stop}' AS {ktype})"
     spine = spark.sql(
         f"SELECT CAST(__v AS {ktype}) AS __fill_{key} FROM (SELECT "
-        f"explode(sequence({lo_sql}, {hi_sql}, {step_sql})) AS __v)"
+        f"explode(sequence({start_sql}, {stop_sql}, {step_sql})) AS __v)"
     )
-    if to is not None:  # explicit TO is exclusive
-        spine = spine.where(F.col(f"__fill_{key}") < F.lit(hi))
+    if to is not None:  # explicit TO is exclusive (in walk direction)
+        fk = F.col(f"__fill_{key}")
+        spine = spine.where(fk > F.lit(stop) if desc else fk < F.lit(stop))
     # Single-pass fill: FULL OUTER join the spine on the key.  Base
     # rows (including off-grid and NULL-key rows, flagged by the
     # marker) keep their values; spine-only grid points take the
@@ -2910,8 +2923,11 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
     from pyspark.sql import Window as _W
 
     if carry:
+        # carry follows the OUTPUT order: ascending fills repeat the
+        # last smaller-key real row, descending fills the last
+        # larger-key one
         w = (
-            _W.orderBy(okey)
+            _W.orderBy(F.col(okey).desc() if desc else okey)
             .rowsBetween(_W.unboundedPreceding, _W.currentRow)
         )
         for c in carry:
@@ -2947,7 +2963,9 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
                 )
                 .alias(c)
             )
-    return joined.select(*out_cols).orderBy(key)
+    return joined.select(*out_cols).orderBy(
+        F.col(key).desc() if desc else key
+    )
 
 
 def _fail_with_fill(s: str) -> None:

@@ -1621,6 +1621,39 @@ def test_with_fill_translate_only_still_fails_fast():
         )
 
 
+def test_with_fill_desc_walks_downward(spark):
+    """Round-11 late addition: ORDER BY k DESC WITH FILL walks the
+    spine downward — FROM defaults to the max key, TO to the min
+    (inclusive), an explicit TO is exclusive at the BOTTOM, and the
+    INTERPOLATE carry repeats the last LARGER-key real row."""
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    spark.sql(
+        "SELECT * FROM VALUES (9, 90), (6, 60), (2, 20) AS t(k, v)"
+    ).createOrReplaceTempView("wfd_t")
+    rows = run_clickhouse_sql(
+        spark,
+        "SELECT k, v FROM wfd_t ORDER BY k DESC WITH FILL "
+        "INTERPOLATE (v)",
+        SF_SMOKE,
+    ).collect()
+    assert [r.k for r in rows] == [9, 8, 7, 6, 5, 4, 3, 2]
+    # carry: filled 8,7 repeat v(9)=90; 5,4,3 repeat v(6)=60
+    assert [r.v for r in rows] == [90, 90, 90, 60, 60, 60, 60, 20]
+    # explicit bounds: FROM 8 (inclusive) TO 3 (exclusive), STEP 2
+    rows2 = run_clickhouse_sql(
+        spark,
+        "SELECT k, v FROM wfd_t ORDER BY k DESC WITH FILL "
+        "FROM 8 TO 3 STEP 2",
+        SF_SMOKE,
+    ).collect()
+    # spine {8, 6, 4}; base rows 9, 6, 2 kept; non-carried v
+    # defaults to 0 on filled rows
+    assert [(r.k, r.v) for r in rows2] == [
+        (9, 90), (8, 0), (6, 60), (4, 0), (2, 20)
+    ]
+
+
 def test_with_fill_run_fail_fasts(spark):
     from clickbom_spark.dialect import run_clickhouse_sql
 
