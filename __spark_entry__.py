@@ -83,6 +83,9 @@ def _status_rank() -> dict[str, int]:
 # `python scripts/strict_parity.py --staged`).  Round 12 activates
 # with REGISTRY.update(staged_r12.STAGED_R12) in queries/__init__.py;
 # the disjointness guard in the r12 test file flags any collision.
+# staged_r13.py (round 13) and staged_r14.py (round 14) are ALSO
+# built and parity-proven — the pipeline is three waves deep; each
+# activates the same way in its round, newest-last.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

@@ -697,6 +697,40 @@ CORPUS: list[tuple[str, str, str]] = [
         """,
     ),
     (
+        # hierarchical dictionary traversals over a corpus-built
+        # nation→region→root tree (ids offset to be disjoint):
+        # chain walk, membership, children, descendants — all
+        # equality-correlated lookups against the driver-built
+        # closure views.  Arrays surface comma-joined; children and
+        # descendants are SORTED (the documented load-order delta).
+        "dict_hierarchy",
+        """
+        SELECT toInt64(n_nationkey) AS nk,
+               arrayStringConcat(
+                 dictGetHierarchy('corpus_geo_dict',
+                                  toInt64(n_nationkey + 100)), ',')
+                 AS chain,
+               toInt64(dictIsIn('corpus_geo_dict',
+                                toInt64(n_nationkey + 100),
+                                toInt64(3))) AS in_r3,
+               arrayStringConcat(
+                 dictGetChildren('corpus_geo_dict', toInt64(0)), ',')
+                 AS roots
+        FROM nation ORDER BY nk
+        """,
+        """
+        SELECT CAST(n_nationkey AS BIGINT) AS nk,
+               CAST(n_nationkey + 100 AS VARCHAR) || ',' ||
+                 CAST(n_regionkey + 1 AS VARCHAR) AS chain,
+               CAST(CASE WHEN n_regionkey + 1 = 3 THEN 1 ELSE 0 END
+                    AS BIGINT) AS in_r3,
+               (SELECT array_to_string(list_sort(
+                  list(CAST(r_regionkey + 1 AS BIGINT))), ',')
+                FROM region) AS roots
+        FROM nation ORDER BY nk
+        """,
+    ),
+    (
         # the materialized-view maintenance pattern: -State partials
         # per fine grain (an AggregatingMergeTree MV), -Merge across
         # them on read — must equal the direct rescan aggregate.
@@ -746,6 +780,19 @@ register_dictionary(
     "SELECT n_nationkey AS k, n_name AS nname FROM nation",
     key="k",
     defaults={"nname": "'NONE'"},
+)
+
+# the dict_hierarchy family's tree: nations (ids +100) under regions
+# (ids +1) under root 0
+register_dictionary(
+    "corpus_geo_dict",
+    "SELECT toInt64(n_nationkey + 100) AS gk, "
+    "toInt64(n_regionkey + 1) AS gp, n_name AS gn FROM nation "
+    "UNION ALL SELECT toInt64(r_regionkey + 1), toInt64(0), r_name "
+    "FROM region",
+    key="gk",
+    defaults={"gn": "''"},
+    hierarchical="gp",
 )
 
 FAMILIES = [c[0] for c in CORPUS]
