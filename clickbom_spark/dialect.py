@@ -2695,14 +2695,20 @@ def _parse_with_fill(sql: str):
             # RECURRENCE over consecutive generated rows (each
             # generated row sees the PREVIOUS row's values) — not
             # expressible as a window carry, so it fails fast.
+            # BARE ``INTERPOLATE`` (no list) carries EVERY non-key
+            # output column — ClickHouse's all-columns form; the
+            # sentinel resolves against the schema at run time.
             if not (
                 t + 1 < len(toks)
                 and toks[t + 1][0] == "group"
             ):
-                raise UnsupportedClickHouseSQL(
-                    "bare INTERPOLATE (all columns) is not compiled — "
-                    "list the carried columns: INTERPOLATE (col, ...)"
-                )
+                if t + 1 < len(toks):
+                    raise UnsupportedClickHouseSQL(
+                        "INTERPOLATE must be the final WITH FILL "
+                        "clause"
+                    )
+                interpolate.append("*")
+                break
             if t + 2 < len(toks):
                 raise UnsupportedClickHouseSQL(
                     "INTERPOLATE must be the final WITH FILL clause"
@@ -2823,6 +2829,8 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
         )
     key = by_lower[key.lower()]
     carry = set()
+    if "*" in interpolate:  # bare INTERPOLATE: every non-key column
+        interpolate = tuple(c for c in fields if c != key)
     for c in interpolate:
         if c.lower() not in by_lower:
             raise UnsupportedClickHouseSQL(

@@ -1654,6 +1654,32 @@ def test_with_fill_desc_walks_downward(spark):
     ]
 
 
+def test_with_fill_bare_interpolate_carries_all(spark):
+    """Bare INTERPOLATE (no column list) carries EVERY non-key
+    column — the schema-resolved all-columns form ClickHouse
+    defines; it must still be the final clause."""
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10, 'a'), (4, 40, 'd') AS t(k, v, s)"
+    ).createOrReplaceTempView("wfb_t")
+    rows = run_clickhouse_sql(
+        spark,
+        "SELECT k, v, s FROM wfb_t ORDER BY k WITH FILL INTERPOLATE",
+        SF_SMOKE,
+    ).collect()
+    assert [(r.k, r.v, r.s) for r in rows] == [
+        (1, 10, "a"), (2, 10, "a"), (3, 10, "a"), (4, 40, "d")
+    ]
+    with pytest.raises(UnsupportedClickHouseSQL, match="final"):
+        run_clickhouse_sql(
+            spark,
+            "SELECT k FROM wfb_t ORDER BY k WITH FILL INTERPOLATE "
+            "TO 5",
+            SF_SMOKE,
+        )
+
+
 def test_with_fill_run_fail_fasts(spark):
     from clickbom_spark.dialect import run_clickhouse_sql
 
