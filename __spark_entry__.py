@@ -71,21 +71,21 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
-# ROUND-11 NOTE: ALL SIX staged waves are ACTIVATED (r6 wave of 30 +
-# r7 wave of 14 + r8/r9/r10/r11 waves of 23 each; registry = 315).
-# The 23 r11 names rank first (never driver-checked); the remaining
-# ~27 budget slots rotate through the STALEST greens — the oldest
-# r5-cohort queries (simulated: Counter({5: 27}); the 45-strong r5
-# cohort drops to 18 this round and clears in round 12).
+# ROUND-12 NOTE: ALL SEVEN staged waves are ACTIVATED (r6 wave of 30
+# + r7 wave of 14 + r8/r9/r10/r11/r12 waves of 23 each; registry =
+# 338).  The 23 r12 names rank first (never driver-checked); the
+# remaining ~27 budget slots rotate through the STALEST greens — the
+# 18 remaining r5-cohort queries clear this round, and ~9 slots reach
+# the 47-strong r6 cohort.
 #
-# clickbom_spark/queries/staged_r12.py holds the NEXT wave (parity
-# proven via tests/test_staged_r12_parity.py and
-# `python scripts/strict_parity.py --staged`).  Round 12 activates
-# with REGISTRY.update(staged_r12.STAGED_R12) in queries/__init__.py;
-# the disjointness guard in the r12 test file flags any collision.
-# staged_r13.py (round 13) and staged_r14.py (round 14) are ALSO
-# built and parity-proven — the pipeline is three waves deep; each
-# activates the same way in its round, newest-last.
+# clickbom_spark/queries/staged_r13.py holds the NEXT wave (parity
+# proven via tests/test_staged_r13_parity.py and
+# `python scripts/strict_parity.py --staged`).  Round 13 activates
+# with REGISTRY.update(staged_r13.STAGED_R13) in queries/__init__.py;
+# the disjointness guard in the r13 test file flags any collision.
+# staged_r14.py (round 14) and staged_r15.py (round 15) are ALSO
+# built and parity-proven — each activates the same way in its round,
+# newest-last.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

@@ -179,3 +179,23 @@ REGISTRY.update(staged_r10.STAGED_R10)
 from clickbom_spark.queries import staged_r11  # noqa: E402,F401
 
 REGISTRY.update(staged_r11.STAGED_R11)
+
+# Round-12 activation of the seventh staged wave (23 queries — dialect
+# round-trips for the JSON-props extraction family, extractAll /
+# countMatches, per-group paging (LIMIT m, n BY), the plain comma
+# LIMIT m, n, untuple / tuple-IN, the run-path * REPLACE / * APPLY
+# chain, transform() value mapping, positional ordinals, NULL/math
+# scalars, arrayPartialSort, string/calendar shaping, weekday
+# profiles; corpus text analytics (lexical density, Heaps'-law
+# vocabulary curve, unigram cross-entropy, vocabulary-overlap
+# Jaccard, exact Pearson from power sums, fixed-width histograms,
+# quantileExactLow/High); event-stream folds (timed sequenceCount,
+# inter-event gap statistics, runningAccumulate analog) — all
+# oracle-parity-green at three scales under
+# tests/test_staged_r12_parity.py and re-verified via
+# `scripts/strict_parity.py --staged <r12 names>` immediately before
+# this activation; disjointness from the existing registry is guarded
+# in the parity test file).
+from clickbom_spark.queries import staged_r12  # noqa: E402,F401
+
+REGISTRY.update(staged_r12.STAGED_R12)
