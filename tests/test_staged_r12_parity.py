@@ -31,12 +31,17 @@ def test_staged_r12_oracle_parity(spark, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
-def test_staged_r12_disjoint():
-    """The holdout must not shadow live registry names OR the pending
-    round-11 wave — both activations are pure REGISTRY.updates."""
-    clash = set(STAGED_R12) & (set(REGISTRY) | set(STAGED_R11))
-    assert not clash, f"staged r12 names collide: {clash}"
+def test_staged_r12_activated_into_registry():
+    """Round-12 activation: every staged r12 name must now be IN
+    REGISTRY and bound to the SAME QuerySpec object — activation was
+    REGISTRY.update(STAGED_R12), not a re-wrap.  (Pre-activation this
+    test was the disjointness guard; the r11 wave stays disjoint by
+    construction and is asserted in its own file.)"""
+    missing = set(STAGED_R12) - set(REGISTRY)
+    assert not missing, f"staged r12 names not activated: {missing}"
+    assert not (set(STAGED_R12) & set(STAGED_R11))
     for name, spec in STAGED_R12.items():
+        assert REGISTRY[name] is spec, f"{name} was shadowed on activation"
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
         assert spec.name == name
