@@ -162,8 +162,11 @@ clear error rather than silently mis-translating):
   arrays surface SORTED — ClickHouse's load order is unobservable).
   ``sum/count/min/max/avgState``→named-struct partial folds with
   ``-Merge``/``-MergeState``/``-SimpleState`` counterparts (the
-  AggregatingMergeTree MV pattern); sketch states fail fast toward
-  the engine's mergeable sketches.
+  AggregatingMergeTree MV pattern); ``uniqState/uniqMerge``→bounded
+  portable HLL code-set states (merge = set union, harmonic-estimate
+  finalize) and ``uniqExactState/uniqExactMerge``→distinct-value
+  sets; order-statistic/top-k states fail fast toward the engine's
+  mergeable sketches.
   ``GLOBAL``/``ALL`` join modifiers are STRIPPED (GLOBAL is a
   distribution hint — Catalyst/AQE already picks broadcast vs
   shuffle; ALL is the explicit default multiplicity); ``ANY
@@ -1191,11 +1194,140 @@ def _transform_case(a: list[str]) -> str:
 #   <agg>SimpleState -> the plain value (SimpleAggregateFunction is
 #                       an unwrapped value in ClickHouse too; only
 #                       the functions ClickHouse allows there)
-# Merging a state column from a group that cannot exist (empty input,
-# no GROUP BY) is the one semantic edge ClickHouse's 0-default sum
-# covers and this struct encoding doesn't — MV maintenance never
-# produces it.  Sketch-backed states (uniq/quantile/topK/…) keep
-# their fail-fast pointers to the engine's mergeable sketches.
+# sumMerge/countMerge coalesce NULL totals to 0 (ClickHouse returns 0
+# both on empty no-GROUP-BY input and on all-NULL state columns from
+# an outer join); min/max/avg merges surface NULL there — ClickHouse
+# would give the type default / nan, an edge MV maintenance never
+# produces.  uniq/uniqExact State/Merge are compiled below through a
+# bounded portable register-set state (_UNIQ_STATE_DOC); the remaining
+# sketch-backed states (quantile/topK/…) keep their fail-fast pointers
+# to the engine's mergeable sketches.
+# uniqState / uniqMerge — the most common ClickHouse MV idiom after
+# sums (an AggregatingMergeTree storing per-partition distinct states,
+# merged on read).  Compiled through the engine's PORTABLE HLL algebra
+# (ext/sketches.py hll_bucket_rho: 60-bit md5 hash, m = 256 buckets,
+# rho = trailing-zero rank), with the state encoded as the SORTED SET
+# of (bucket*64 + rho) codes:
+#
+#   * BOUNDED: at most m * 53 = 13,568 distinct codes exist, so the
+#     collect_set buffer is sketch-sized regardless of input rows —
+#     map-side combinable, safe at 100 TB.
+#   * MERGEABLE: merge = set union (associative/commutative), and
+#     union of partial states == the state of the concatenated input
+#     EXACTLY, so uniqMerge(parts) == uniqMerge(whole) bit-for-bit.
+#   * PORTABLE: pure integer codes over the md5 hash — DuckDB replays
+#     the state and the harmonic-estimate finalizer verbatim (the
+#     q_hll_distinct oracle already pins the same algebra).
+#
+# Documented value delta (docs/DIALECT.md): ClickHouse's uniq family
+# is itself approximate (adaptive-sampling HLL variant), so
+# uniqMerge's ESTIMATE differs from ClickHouse's — both honor the
+# approximate-distinct contract.  uniqMerge(uniqState(x)) also
+# differs from this shim's plain uniq(x) (Spark's HLL++): same
+# contract, different sketch.  Values are hashed via their Spark
+# string rendering — identical to DuckDB VARCHAR casts for integer/
+# string/date keys (the reference's key types); avoid double keys.
+_UNIQ_STATE_P = 8
+_UNIQ_STATE_M = 1 << _UNIQ_STATE_P  # 256
+_UNIQ_STATE_W1 = 60 - _UNIQ_STATE_P + 1  # rho when the suffix is 0
+_UNIQ_STATE_SCALE = (
+    0.7213 / (1 + 1.079 / _UNIQ_STATE_M)
+    * _UNIQ_STATE_M * _UNIQ_STATE_M * float(1 << 62)
+)
+
+
+def _uniq_state_expr(a: list[str]) -> str:
+    if len(a) != 1:
+        raise UnsupportedClickHouseSQL(
+            "uniqState(x, y, ...): only the single-argument form is "
+            "compiled — hash the tuple into one expression first "
+            "(the state code packs ONE value's bucket and rank)"
+        )
+    m, p, w1 = _UNIQ_STATE_M, _UNIQ_STATE_P, _UNIQ_STATE_W1
+    h = (
+        f"cast(conv(substring(md5(cast(({a[0]}) as string)), 1, 15), "
+        f"16, 10) as bigint)"
+    )
+    rem = f"shiftright({h}, {p})"
+    rho = f"(case when {rem} = 0 then {w1} else length(bin({rem} & -{rem})) end)"
+    return f"array_sort(collect_set(pmod({h}, {m}) * 64 + {rho}))"
+
+
+def _uniq_merged_set(state: str) -> str:
+    """Union of the group's states: sorted distinct code set."""
+    return f"array_sort(array_distinct(flatten(collect_list({state}))))"
+
+
+def _uniq_estimate_expr(mset: str) -> str:
+    """Harmonic HLL estimate over a merged code set (Flajolet 2007
+    with the linear-counting small-range correction) — the same
+    decimal-exact fold as ext/sketches.hll_estimate, expressed as one
+    Spark-SQL/DuckDB-portable scalar over the array.
+
+    Bucket-max codes are the elements whose successor (in the sorted
+    set) belongs to a different bucket — codes sort by (bucket, rho),
+    so each bucket's max rho is the last code of its run."""
+    m, scale = _UNIQ_STATE_M, _UNIQ_STATE_SCALE
+    bm = (
+        f"filter(zip_with({mset}, concat(slice({mset}, 2, "
+        f"greatest(size({mset}) - 1, 0)), array(-1L)), "
+        f"(a, b) -> if((a div 64) != (b div 64), a, -1L)), e -> e >= 0)"
+    )
+    s_present = (
+        f"aggregate({bm}, cast(0 as decimal(38,0)), (acc, e) -> "
+        f"acc + cast(shiftleft(cast(1 as bigint), 62 - (e % 64)) "
+        f"as decimal(38,0)))"
+    )
+    s_d = (
+        f"(cast({s_present} as double) + "
+        f"cast({m} - size({bm}) as double) * {float(1 << 62)!r})"
+    )
+    raw = f"({scale!r} / {s_d})"
+    v = f"({m} - size({bm}))"
+    return (
+        f"cast(round(case when {raw} <= {2.5 * m!r} and {v} > 0 "
+        f"then {float(m)!r} * ln({float(m)!r} / cast({v} as double)) "
+        f"else {raw} end) as bigint)"
+    )
+
+
+def _uniq_merge_expr(a: list[str]) -> str:
+    if len(a) != 1:
+        raise UnsupportedClickHouseSQL("uniqMerge takes one state column")
+    return _uniq_estimate_expr(_uniq_merged_set(a[0]))
+
+
+def _uniq_merge_state_expr(a: list[str]) -> str:
+    if len(a) != 1:
+        raise UnsupportedClickHouseSQL("uniqMergeState takes one state column")
+    return _uniq_merged_set(a[0])
+
+
+def _uniq_exact_state_expr(a: list[str]) -> str:
+    # ClickHouse uniqExactState IS the distinct-value set (unbounded
+    # by contract — exactness needs it there too); sorted so surfaced
+    # states are deterministic
+    inner = a[0] if len(a) == 1 else f"struct({', '.join(a)})"
+    return f"array_sort(collect_set({inner}))"
+
+
+def _uniq_exact_merge_expr(a: list[str]) -> str:
+    if len(a) != 1:
+        raise UnsupportedClickHouseSQL("uniqExactMerge takes one state column")
+    return (
+        f"cast(size(array_distinct(flatten(collect_list({a[0]})))) "
+        f"as bigint)"
+    )
+
+
+def _uniq_exact_merge_state_expr(a: list[str]) -> str:
+    if len(a) != 1:
+        raise UnsupportedClickHouseSQL(
+            "uniqExactMergeState takes one state column"
+        )
+    return f"array_sort(array_distinct(flatten(collect_list({a[0]}))))"
+
+
 _STATE_ALGEBRA = {
     "sumstate": lambda a: f"named_struct('s', sum({a[0]}))",
     "countstate": lambda a: (
@@ -1206,8 +1338,12 @@ _STATE_ALGEBRA = {
     "avgstate": lambda a: (
         f"named_struct('s', sum({a[0]}), 'c', count({a[0]}))"
     ),
-    "summerge": lambda a: f"sum(({a[0]}).s)",
-    "countmerge": lambda a: f"sum(({a[0]}).c)",
+    # coalesce to 0: ClickHouse sumMerge/countMerge return 0 both on
+    # empty input with no GROUP BY and on all-NULL state columns (an
+    # outer join feeding the merge) — Spark's bare sum is NULL there
+    # (ADVICE r11)
+    "summerge": lambda a: f"coalesce(sum(({a[0]}).s), 0)",
+    "countmerge": lambda a: f"coalesce(sum(({a[0]}).c), 0)",
     "minmerge": lambda a: f"min(({a[0]}).m)",
     "maxmerge": lambda a: f"max(({a[0]}).m)",
     # avg finalizes as total-sum / total-count (Float64 in ClickHouse;
@@ -1220,6 +1356,14 @@ _STATE_ALGEBRA = {
     "avgmergestate": lambda a: (
         f"named_struct('s', sum(({a[0]}).s), 'c', sum(({a[0]}).c))"
     ),
+    # distinct-count states: approximate via the portable bounded
+    # HLL code set, exact via the distinct-value set (helpers above)
+    "uniqstate": _uniq_state_expr,
+    "uniqmerge": _uniq_merge_expr,
+    "uniqmergestate": _uniq_merge_state_expr,
+    "uniqexactstate": _uniq_exact_state_expr,
+    "uniqexactmerge": _uniq_exact_merge_expr,
+    "uniqexactmergestate": _uniq_exact_merge_state_expr,
     # SimpleAggregateFunction stores the value itself; ClickHouse
     # allows sum/min/max/any/anyLast there (NOT count/avg)
     "sumsimplestate": lambda a: f"sum({a[0]})",
@@ -1595,8 +1739,9 @@ _PLAIN = {
             "MERGEABLE states with the engine operators instead "
             "(q_agg_state_merge; ext/sketches.py HLL/KLL/Misra-Gries "
             "states; maintain_sum_agg for additive rollups); the "
-            "simple algebra (sum/count/min/max/avg State/Merge) IS "
-            "compiled",
+            "simple algebra (sum/count/min/max/avg State/Merge) and "
+            "the distinct-count states (uniq/uniqExact State/Merge/"
+            "MergeState) ARE compiled",
         )
         for b in ("sum", "count", "avg", "min", "max", "any",
                   "anylast", "uniq", "uniqexact", "quantile",
@@ -1918,6 +2063,113 @@ def register_table_ddl(sql: str) -> str:
         expr = sql[toks[t][2]: toks[end - 1][3]].strip()
         register_sampling_key(table, _translate_tokens(expr, {}))
     return table
+
+
+def apply_alter_ddl(lake, sql: str) -> str:
+    """Run the reference's table-migration ``ALTER`` statement verbatim
+    against a :class:`~clickbom_spark.ext.manifest.VersionedLake` —
+    the ClickHouse-DDL face of the lake's metadata-only schema
+    evolution.  The supported form is exactly the reference's
+    migration (entrypoint.sh:130-161)::
+
+        ALTER TABLE [db.]tbl ADD COLUMN [IF NOT EXISTS] name Type
+            [DEFAULT <literal>]
+
+    * ``LowCardinality(T)`` / ``Nullable(T)`` unwrap to ``T`` (storage
+      hints; the lake stores parquet).
+    * ``DEFAULT <literal>`` becomes the :func:`ext.manifest.add_column`
+      default, surfaced by snapshot reads on every file written before
+      the evolution; absent DEFAULT takes the ClickHouse type default
+      (``''`` / ``0`` / epoch).
+    * The reference probes ``system.columns`` before altering; here
+      ``IF NOT EXISTS`` (or an already-present column) is a no-op —
+      the same idempotence, without the probe round-trip.
+    * Any other ALTER action (DROP/MODIFY/RENAME…) fails fast — the
+      lake's own ``drop_column``/``rename_column`` are the tested
+      surfaces for those.
+
+    Returns the column name that was added (or found present)."""
+    toks = _scan_top(sql)
+    ids = [t for t in toks if t[0] in ("ident", "group", "str", "num")]
+    ups = [t[1].upper() if t[0] == "ident" else t[0] for t in ids]
+    if ups[:2] != ["ALTER", "TABLE"]:
+        raise UnsupportedClickHouseSQL(
+            "apply_alter_ddl expects an ALTER TABLE statement"
+        )
+    # table name (db-qualified tokenizes db . tbl); the name itself is
+    # not used — the caller names the lake — but the grammar is checked
+    k = 2
+    if k >= len(ids) or ups[k] in ("ADD", "DROP", "MODIFY", "RENAME"):
+        raise UnsupportedClickHouseSQL("ALTER TABLE: missing table name")
+    k += 1
+    while (
+        k < len(ids)
+        and ids[k - 1][3] < len(sql)
+        and sql[ids[k - 1][3]: ids[k][2]].strip() == "."
+    ):
+        k += 1
+    if k + 1 >= len(ids) or ups[k] != "ADD" or ups[k + 1] != "COLUMN":
+        raise UnsupportedClickHouseSQL(
+            "apply_alter_ddl compiles ADD COLUMN only — use the "
+            "lake's drop_column/rename_column for the other "
+            "migrations (ext/manifest.py)"
+        )
+    k += 2
+    if k < len(ids) and ups[k] == "IF":
+        if ups[k: k + 3] != ["IF", "NOT", "EXISTS"]:
+            raise UnsupportedClickHouseSQL("ALTER TABLE: bad IF NOT EXISTS")
+        k += 3
+    if k >= len(ids) or ids[k][0] != "ident":
+        raise UnsupportedClickHouseSQL("ADD COLUMN: missing column name")
+    name = ids[k][1]
+    k += 1
+    if k >= len(ids) or ids[k][0] != "ident":
+        raise UnsupportedClickHouseSQL("ADD COLUMN: missing column type")
+    ctype = ids[k][1].lower()
+    k += 1
+    # LowCardinality(String) / Nullable(Int64) tokenize as ident+group
+    if ctype in ("lowcardinality", "nullable"):
+        if k - 1 + 1 >= len(ids) or ids[k][0] != "group":
+            raise UnsupportedClickHouseSQL(f"ADD COLUMN: bare {ctype}")
+        ctype = ids[k][1][1:-1].strip().lower()
+        k += 1
+    if ctype not in _DICT_TYPED:
+        raise UnsupportedClickHouseSQL(
+            f"ADD COLUMN type {ctype}: supported types are "
+            + ", ".join(sorted(t[0] for t in _DICT_TYPED.values()))
+        )
+    default_sql = _DICT_TYPED[ctype][2]
+    if k < len(ids) and ups[k] == "DEFAULT":
+        k += 1
+        if k >= len(ids) or ids[k][0] not in ("str", "num"):
+            raise UnsupportedClickHouseSQL(
+                "ADD COLUMN DEFAULT: only literal defaults are "
+                "applied (a DEFAULT expression is a read-time "
+                "derivation — use add_column(..., expr=True))"
+            )
+        default_sql = ids[k][1]
+        k += 1
+    if k < len(ids):
+        raise UnsupportedClickHouseSQL(
+            f"ALTER TABLE: trailing tokens not compiled: "
+            f"{' '.join(t[1] for t in ids[k:])!r}"
+        )
+    if name in lake.read().columns:  # idempotent, like the probe
+        return name
+    from clickbom_spark.ext.manifest import add_column
+
+    if default_sql[:1] in "'\"":
+        default = default_sql[1:-1]
+    elif "." in default_sql or "e" in default_sql.lower():
+        default = float(default_sql)
+    elif default_sql.lstrip("-").isdigit():
+        default = int(default_sql)
+    else:
+        # non-literal type default (epoch date/timestamp) — read-time
+        # SQL expression evaluates it identically on every engine
+        return (add_column(lake, name, default_sql, expr=True), name)[1]
+    add_column(lake, name, default)
+    return name
 
 
 def _is_select(inner: str) -> bool:
@@ -2872,6 +3124,14 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
         stop = stop if stop is not None else data_stop
     if start is None or stop is None:  # empty input, no explicit bounds
         return base.orderBy(F.col(key).desc() if desc else key)
+    # Bounds that contradict the walk direction (ORDER BY k DESC WITH
+    # FILL FROM 2 TO 8, or ASC FROM 8 TO 2) used to reach sequence()
+    # with a step whose sign fights the bounds — an opaque runtime
+    # IllegalArgumentException (ADVICE r11).  ClickHouse's
+    # FillingTransform simply generates no filled rows there: return
+    # the ordered base.
+    if (start < stop) if desc else (start > stop):
+        return base.orderBy(F.col(key).desc() if desc else key)
     sign = "-" if desc else ""
     if integral:
         if step is not None and not re.fullmatch(r"\d+", step):
@@ -2933,9 +3193,17 @@ def _run_with_fill(spark, spec, sf_dir: str, final_keys):
     if carry:
         # carry follows the OUTPUT order: ascending fills repeat the
         # last smaller-key real row, descending fills the last
-        # larger-key one
+        # larger-key one.  Duplicate fill-key rows with DIFFERING
+        # carried values need a deterministic tie-break (ADVICE r11:
+        # F.last over tied okey rows used to pick one
+        # nondeterministically): order ties by the carried tuple
+        # ascending, so the GREATEST carried tuple wins in both walk
+        # directions — a fixed, documented rule where ClickHouse
+        # carries "the last row in its own output order", itself
+        # unspecified under ties.
+        tie = F.struct(*[F.col(c) for c in sorted(carry)])
         w = (
-            _W.orderBy(F.col(okey).desc() if desc else okey)
+            _W.orderBy(F.col(okey).desc() if desc else F.col(okey), tie)
             .rowsBetween(_W.unboundedPreceding, _W.currentRow)
         )
         for c in carry:
@@ -4106,8 +4374,19 @@ def _materialize_hier_views(spark, d: dict, frame) -> None:
     chains = []
     for k in parent:
         chain, cur, seen = [], k, set()
-        while cur is not None and cur != 0 and cur not in seen \
-                and len(chain) < 64:
+        while cur is not None and cur != 0 and cur not in seen:
+            if len(chain) >= 64:
+                # ADVICE r11: hitting the depth cap without reaching a
+                # root/NULL/cycle used to TRUNCATE the chain silently —
+                # a wrong dictGetHierarchy/dictIsIn/dictGetDescendants
+                # answer in a module whose contract is fail-fast.
+                raise UnsupportedClickHouseSQL(
+                    f"hierarchical dictionary '{d['view']}': the "
+                    f"ancestor chain from key {k} exceeds 64 links "
+                    "without reaching a root — not a real reference "
+                    "hierarchy; fix the dictionary (or extend the cap "
+                    "with a tested chain)"
+                )
             chain.append(cur)
             seen.add(cur)
             nxt = parent.get(cur)

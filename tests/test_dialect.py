@@ -1704,6 +1704,132 @@ def test_with_fill_run_fail_fasts(spark):
         ).collect()
 
 
+def test_with_fill_contradictory_bounds_yield_no_fill(spark):
+    """ADVICE r11: bounds inconsistent with the walk direction (DESC
+    FROM 2 TO 8, ASC FROM 8 TO 2) used to hit sequence() with a
+    sign-fighting step (opaque IllegalArgumentException).  ClickHouse
+    generates no filled rows there — the ordered base comes back."""
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    spark.sql(
+        "SELECT * FROM VALUES (9, 90), (6, 60), (2, 20) AS t(k, v)"
+    ).createOrReplaceTempView("wfc_t")
+    rows = run_clickhouse_sql(
+        spark,
+        "SELECT k, v FROM wfc_t ORDER BY k DESC WITH FILL FROM 2 TO 8",
+        SF_SMOKE,
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(9, 90), (6, 60), (2, 20)]
+    rows2 = run_clickhouse_sql(
+        spark,
+        "SELECT k, v FROM wfc_t ORDER BY k WITH FILL FROM 8 TO 2",
+        SF_SMOKE,
+    ).collect()
+    assert [(r.k, r.v) for r in rows2] == [(2, 20), (6, 60), (9, 90)]
+
+
+def test_with_fill_interpolate_duplicate_key_carry_deterministic(spark):
+    """ADVICE r11: duplicate fill-key rows with differing carried
+    values now tie-break deterministically — the GREATEST carried
+    tuple wins in both walk directions (ClickHouse carries 'the last
+    row in its output order', itself unspecified under ties)."""
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 30), (1, 10), (4, 40) AS t(k, v)"
+    ).createOrReplaceTempView("wfdk_t")
+    for _ in range(3):  # stable across replans
+        rows = run_clickhouse_sql(
+            spark,
+            "SELECT k, v FROM wfdk_t ORDER BY k WITH FILL "
+            "INTERPOLATE (v)",
+            SF_SMOKE,
+        ).collect()
+        # both real k=1 rows survive; filled 2,3 carry max(v)=30
+        assert sorted((r.k, r.v) for r in rows) == [
+            (1, 10), (1, 30), (2, 30), (3, 30), (4, 40)
+        ]
+
+
+def test_apply_alter_ddl(spark, tmp_path):
+    """Round-12 (VERDICT r11 item 7 groundwork): the reference's
+    table-migration ALTER (entrypoint.sh:130-161) runs verbatim
+    against a VersionedLake — metadata-only ADD COLUMN with the
+    literal default surfacing on pre-evolution files, idempotent like
+    the reference's system.columns probe, every other ALTER action
+    fail-fast."""
+    from clickbom_spark.dialect import apply_alter_ddl
+    from clickbom_spark.ext.manifest import VersionedLake
+
+    lake = VersionedLake.create(
+        spark, str(tmp_path / "alter_lake"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING"),
+        n_files=1,
+    )
+    # the reference's exact migration statement
+    assert apply_alter_ddl(
+        lake,
+        "ALTER TABLE db.components ADD COLUMN source "
+        "LowCardinality(String) DEFAULT 'unknown'",
+    ) == "source"
+    got = sorted((r.k, r.source) for r in lake.read().collect())
+    assert got == [(1, "unknown"), (2, "unknown")]
+    # idempotent: the column exists, so a re-run (even with a
+    # different default) is the probe's "already exists" no-op
+    v_before = lake.current_version()
+    assert apply_alter_ddl(
+        lake, "ALTER TABLE db.components ADD COLUMN source String "
+        "DEFAULT 'x'",
+    ) == "source"
+    assert lake.current_version() == v_before
+    # absent DEFAULT takes the ClickHouse type default
+    apply_alter_ddl(lake, "ALTER TABLE t ADD COLUMN IF NOT EXISTS "
+                          "n_extra UInt32")
+    assert {r.n_extra for r in lake.read().collect()} == {0}
+    # rows written AFTER the evolution carry real values
+    lake.upsert(
+        spark.createDataFrame(
+            [(3, "c", "mend", 7)], "k INT, v STRING, source STRING, "
+            "n_extra BIGINT",
+        ),
+        key_cols=["k"],
+    )
+    rows = {r.k: (r.source, r.n_extra) for r in lake.read().collect()}
+    assert rows[3] == ("mend", 7) and rows[1] == ("unknown", 0)
+    for bad, why in (
+        ("ALTER TABLE t DROP COLUMN v", "ADD COLUMN only"),
+        ("ALTER TABLE t ADD COLUMN x Decimal(10,2)", "supported types"),
+        ("ALTER TABLE t ADD COLUMN y String DEFAULT now()",
+         "literal defaults"),
+        ("SELECT 1", "ALTER TABLE statement"),
+    ):
+        with pytest.raises(UnsupportedClickHouseSQL, match=why):
+            apply_alter_ddl(lake, bad)
+
+
+def test_hierarchy_depth_over_64_raises(spark):
+    """ADVICE r11: an ancestor chain deeper than 64 links without a
+    root used to be truncated SILENTLY (wrong dictGetHierarchy /
+    dictIsIn answers) — it now fails fast."""
+    from clickbom_spark.dialect import register_dictionary, run_clickhouse_sql
+
+    deep = spark.createDataFrame(
+        [(i, i + 1, f"n{i}") for i in range(1, 80)] + [(80, 0, "root")],
+        "dk BIGINT, dp BIGINT, dn STRING",
+    )
+    register_dictionary(
+        "deep_hier_ut", deep, key="dk", defaults={"dn": "''"},
+        hierarchical="dp",
+    )
+    with pytest.raises(UnsupportedClickHouseSQL, match="64 links"):
+        run_clickhouse_sql(
+            spark,
+            "SELECT dictGetHierarchy('deep_hier_ut', toInt64(1)) AS c "
+            "FROM (SELECT 1 AS x)",
+            SF_SMOKE,
+        ).collect()
+
+
 def test_integer_sample_resolves_via_rowcount(spark):
     """Round-10: SAMPLE n (integer row target) resolves to the
     hash-range fraction n/total at plan-build when the table's row
@@ -2086,12 +2212,14 @@ def test_untuple_and_state_merge_pointers(spark):
         translate_clickhouse_sql("SELECT z, untuple(s) FROM ut_t")
     ).collect()[0]
     assert (got.z, got.p, got.q) == (9, 1, "y")
-    # sketch-backed states still fail fast toward the engine's
-    # mergeable sketches, as do the SimpleState spellings ClickHouse
-    # itself disallows (avg/count are not SimpleAggregateFunction)
-    for bad in ("uniqState(x)", "uniqMerge(s)", "quantileState(x)",
+    # order-statistic / top-k states still fail fast toward the
+    # engine's mergeable sketches (uniq/uniqExact states are compiled
+    # since round 12 — see test_state_merge_uniq), as do the
+    # SimpleState spellings ClickHouse itself disallows (avg/count
+    # are not SimpleAggregateFunction)
+    for bad in ("quantileState(x)", "medianState(x)",
                 "avgSimpleState(x)", "countSimpleState()",
-                "topKMerge(s)"):
+                "topKMerge(s)", "uniqSimpleState(x)"):
         with pytest.raises(UnsupportedClickHouseSQL, match="MERGEABLE"):
             translate_clickhouse_sql(f"SELECT {bad} FROM t")
 
@@ -2199,6 +2327,85 @@ def test_state_merge_simple_algebra(spark):
         "FROM smt"
     )).collect()[0]
     assert (simple.sv, simple.mv) == (35, 5)
+
+
+def test_state_merge_null_states_coalesce_to_zero(spark):
+    """ADVICE r11: countMerge/sumMerge over a frame where every state
+    is NULL (outer-join feed) or over empty input must return 0, like
+    ClickHouse — not NULL."""
+    spark.sql(
+        "SELECT CAST(NULL AS STRUCT<s: BIGINT>) AS ss, "
+        "CAST(NULL AS STRUCT<c: BIGINT>) AS cs"
+    ).createOrReplaceTempView("smt_null_states")
+    got = spark.sql(translate_clickhouse_sql(
+        "SELECT sumMerge(ss) AS s, countMerge(cs) AS c "
+        "FROM smt_null_states"
+    )).collect()[0]
+    assert (got.s, got.c) == (0, 0)
+    empty = spark.sql(translate_clickhouse_sql(
+        "SELECT sumMerge(ss) AS s, countMerge(cs) AS c "
+        "FROM smt_null_states WHERE 1 = 0"
+    )).collect()[0]
+    assert (empty.s, empty.c) == (0, 0)
+
+
+def test_state_merge_uniq(spark):
+    """Round-12 (VERDICT r11 item 3): uniqState/uniqMerge compile
+    through the portable bounded HLL code-set state, uniqExactState/
+    uniqExactMerge through the distinct-value set.  Laws: merge of
+    per-day partial states == direct rescan (the AggregatingMergeTree
+    MV contract), a MergeState hop preserves the result, the exact
+    twin equals count(DISTINCT), the estimate lands inside the
+    1.04/sqrt(256) band, and empty input merges to 0."""
+    sf = SF_SMOKE
+    spark.read.parquet(f"{sf}/orders.parquet").createOrReplaceTempView(
+        "smu_orders"
+    )
+    spark.sql(translate_clickhouse_sql(
+        "SELECT toDate(o_orderdate) AS d, uniqState(o_custkey) AS us, "
+        "uniqExactState(o_custkey) AS es FROM smu_orders GROUP BY d"
+    )).createOrReplaceTempView("smu_states")
+    got = spark.sql(translate_clickhouse_sql(
+        "SELECT uniqMerge(us) AS u, uniqExactMerge(es) AS e "
+        "FROM smu_states"
+    )).collect()[0]
+    direct = spark.sql(translate_clickhouse_sql(
+        "SELECT uniqMerge(us) AS u FROM (SELECT uniqState(o_custkey) "
+        "AS us FROM smu_orders)"
+    )).collect()[0].u
+    via_hop = spark.sql(translate_clickhouse_sql(
+        "SELECT uniqMerge(m) AS u FROM (SELECT uniqMergeState(us) AS m "
+        "FROM smu_states)"
+    )).collect()[0].u
+    exact = spark.sql(
+        "SELECT count(DISTINCT o_custkey) AS c FROM smu_orders"
+    ).collect()[0].c
+    assert got.u == direct == via_hop
+    assert got.e == exact
+    assert abs(got.u - exact) <= 4 * 1.04 / 16 * exact + 2
+    # exact MergeState hop preserves the set
+    via_exact_hop = spark.sql(translate_clickhouse_sql(
+        "SELECT uniqExactMerge(m) AS e FROM "
+        "(SELECT uniqExactMergeState(es) AS m FROM smu_states)"
+    )).collect()[0].e
+    assert via_exact_hop == exact
+    # empty input: ClickHouse uniqMerge of nothing is 0
+    zero = spark.sql(translate_clickhouse_sql(
+        "SELECT uniqMerge(us) AS u, uniqExactMerge(es) AS e "
+        "FROM smu_states WHERE 1 = 0"
+    )).collect()[0]
+    assert (zero.u, zero.e) == (0, 0)
+    # the state is BOUNDED: every code is in [1, 255*64+53] and the
+    # per-group set can never exceed m*53 entries
+    st = spark.sql(translate_clickhouse_sql(
+        "SELECT uniqState(o_custkey) AS us FROM smu_orders"
+    )).collect()[0].us
+    assert 0 < len(st) <= 256 * 53
+    assert all(1 <= c <= 255 * 64 + 53 for c in st)
+    # multi-argument approximate states are not compiled (the code
+    # packs ONE value) — fail fast with the tuple hint
+    with pytest.raises(UnsupportedClickHouseSQL, match="single-argument"):
+        translate_clickhouse_sql("SELECT uniqState(a, b) FROM t")
 
 
 def test_star_chain_refuses_wrong_frames(spark):

@@ -20,7 +20,7 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from clickbom_spark.dialect import run_clickhouse_sql
+from clickbom_spark.dialect import _UNIQ_STATE_SCALE, run_clickhouse_sql
 from tests.conftest import SF_CORRECT
 from tests.test_parity import canon, run_oracle
 
@@ -767,6 +767,65 @@ CORPUS: list[tuple[str, str, str]] = [
                MAX(CAST(round(value * 100) AS BIGINT)) AS hi,
                MAX(CAST(round(value * 100) AS BIGINT)) AS hi_simple
         FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    (
+        # round-12 (VERDICT r11 item 3): the uniqState/uniqMerge MV
+        # idiom — per-day approximate-distinct states merged across
+        # days on read, plus the exact twin.  The oracle replays the
+        # SAME portable register algebra over the whole table (merge
+        # of partial states == state of the concatenated input is
+        # exact, so a whole-table replay is the merged value), and
+        # the small per-type cardinalities land in the
+        # linear-counting branch — exercising the correction path
+        # cross-engine.
+        "state_merge_uniq",
+        """
+        SELECT event_type,
+               uniqMerge(us) AS u_users,
+               uniqExactMerge(es) AS x_users
+        FROM (
+          SELECT event_type, toDate(ts) AS d,
+                 uniqState(user_id) AS us,
+                 uniqExactState(user_id) AS es
+          FROM events GROUP BY event_type, d
+        ) GROUP BY event_type ORDER BY event_type
+        """,
+        f"""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                         1, 15)) AS BIGINT) AS h
+          FROM events WHERE user_id IS NOT NULL
+        ), r AS (
+          SELECT event_type, h % 256 AS bucket,
+                 MAX(CASE WHEN (h >> 8) = 0 THEN 53
+                     ELSE length(bin((h >> 8) & (-(h >> 8)))) END) AS rho
+          FROM h GROUP BY event_type, bucket
+        ), sv AS (
+          SELECT event_type,
+                 CAST(SUM((1::BIGINT << (62 - rho))::DECIMAL(38,0))
+                      AS DECIMAL(38,0)) AS sp,
+                 CAST(COUNT(*) AS BIGINT) AS np
+          FROM r GROUP BY event_type
+        )
+        SELECT s.event_type,
+               CAST(ROUND(CASE WHEN {_UNIQ_STATE_SCALE!r} /
+                      (CAST(sp AS DOUBLE) + CAST(256 - np AS DOUBLE)
+                       * {float(1 << 62)!r}) <= {2.5 * 256!r}
+                      AND (256 - np) > 0
+                 THEN {256.0!r} * ln({256.0!r} /
+                                     CAST(256 - np AS DOUBLE))
+                 ELSE {_UNIQ_STATE_SCALE!r} /
+                      (CAST(sp AS DOUBLE) + CAST(256 - np AS DOUBLE)
+                       * {float(1 << 62)!r}) END) AS BIGINT) AS u_users,
+               x.x_users
+        FROM sv s JOIN (SELECT event_type,
+                               CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                                 AS x_users
+                        FROM events GROUP BY event_type) x
+          USING (event_type)
+        ORDER BY event_type
         """,
     ),
 ]
