@@ -50,28 +50,50 @@ CORE20_R11 = CORE16 + [
     "q_quantiles_weighted_by_group", "q_scd2_intervals",
 ]
 
+# BENCH_r10's ENTIRE headline set, frozen (VERDICT r11 "What's wrong"
+# #2: the top line changed meaning when the headline grew 20→25 in
+# r11, so r10→r11 read as a spurious 40% regression).  The
+# headline20_r10_min field is directly comparable to BENCH_r10's top
+# line (25.98 contended / 23.70 judge-quiet) without per-query
+# arithmetic.
+LEGACY20_R10 = CORE13 + [
+    "q_curation_pipeline", "q_hll_distinct", "q_pagerank_parts",
+    "q_sequence_packing", "q_theta_join_skewed", "q_triangle_count",
+    "q_weighted_quantiles",
+]
+
 # Timed runs per headline query feeding the *_min metrics: one
 # single-pass run + (MIN_RUNS - 1) extra passes.
 MIN_RUNS = 5
 
 
-def wait_for_quiet_host(threshold: float, max_wait_s: float) -> dict:
+def wait_for_quiet_host(
+    threshold: float, max_wait_s: float, need: int = 3, gap_s: float = 5.0
+) -> dict:
     """Gate the timed passes on host load (round-7 finding: +18%
-    core13_min drift at loadavg ~7 on UNCHANGED code).  Waits until the
-    1-min loadavg drops below ``threshold`` or ``max_wait_s`` elapses;
-    either way the gate outcome is recorded in the output JSON so a
-    cross-round reader can tell a contended run from a quiet one."""
+    core13_min drift at loadavg ~7 on UNCHANGED code).  Round-11
+    finding (VERDICT r11 "What's wrong" #1): a SINGLE instantaneous
+    sample can pass on a transient dip — r11 entered at loadavg 5.64
+    and passed after 25 s while the run-end loadavg was back at 4.31.
+    The gate now requires ``need`` CONSECUTIVE sub-threshold samples
+    ``gap_s`` apart (sustained quiet) before the timed passes, or
+    gives up after ``max_wait_s``; either way the gate outcome is
+    recorded in the output JSON so a cross-round reader can tell a
+    contended run from a quiet one."""
     t0 = time.monotonic()
     start = [round(x, 2) for x in os.getloadavg()]
-    while os.getloadavg()[0] >= threshold:
+    streak = 1 if start[0] < threshold else 0
+    while streak < need:
         if time.monotonic() - t0 >= max_wait_s:
             break
-        time.sleep(5.0)
+        time.sleep(gap_s)
+        streak = streak + 1 if os.getloadavg()[0] < threshold else 0
     return {
         "threshold": threshold,
+        "protocol": f"{need} consecutive samples {gap_s:g}s apart",
         "loadavg_at_entry": start,
         "waited_s": round(time.monotonic() - t0, 1),
-        "passed": os.getloadavg()[0] < threshold,
+        "passed": streak >= need,
     }
 
 
@@ -142,6 +164,7 @@ def main() -> None:
     core13_complete = all(n in timings for n in CORE13)
     core16_complete = all(n in timings for n in CORE16)
     core20_r11_complete = all(n in timings for n in CORE20_R11)
+    legacy20_complete = all(n in timings for n in LEGACY20_R10)
     headline_complete = all(n in min_each for n in headline)
     out = {
         # Top line = min-of-5 across the whole headline set (stable
@@ -186,6 +209,14 @@ def main() -> None:
             sum(min_each[n] for n in CORE20_R11), 4
         ) if core20_r11_complete else None,
         "core20_r11_complete": core20_r11_complete,
+        # BENCH_r10's full headline set (20 queries): this MIN total
+        # is the number to put next to BENCH_r10's top line (the
+        # headline grew 20→25 in r11, so the top lines of r10 and
+        # r11+ are not directly comparable; this field is)
+        "headline20_r10_min": round(
+            sum(min_each[n] for n in LEGACY20_R10), 4
+        ) if legacy20_complete else None,
+        "headline20_r10_complete": legacy20_complete,
         # host load context (1/5/15-min averages), recorded so
         # cross-round comparisons can spot machine-contention inflation
         # without re-running archived trees (the r4→r5 +26% drift was
