@@ -106,16 +106,16 @@ def main() -> int:
         return 2
     queries = dict(REGISTRY)
     if "--staged" in sys.argv[1:]:
-        # the r6..r11 waves are live in REGISTRY already; --staged
-        # adds pending holdouts not yet activated (the r12 wave was
-        # pre-built during round 10; r13 during round 11)
-        from clickbom_spark.queries.staged_r12 import STAGED_R12
+        # the r6..r12 waves are live in REGISTRY already; --staged
+        # adds pending holdouts not yet activated (r13/r14/r15 were
+        # pre-built during round 11; r16 during round 12)
+        from clickbom_spark.queries.staged_r13 import STAGED_R13
 
-        queries.update(STAGED_R12)
+        queries.update(STAGED_R13)
         for mod, attr in (
-            ("staged_r13", "STAGED_R13"),
             ("staged_r14", "STAGED_R14"),
             ("staged_r15", "STAGED_R15"),
+            ("staged_r16", "STAGED_R16"),
         ):
             try:
                 m = __import__(

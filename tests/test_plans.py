@@ -1300,3 +1300,122 @@ def test_log2_histogram_single_scan_no_libm_udf(spark):
     assert len(scans) <= 2, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-16 staged wave: scale-shape guards.
+# ---------------------------------------------------------------------------
+
+
+def _staged_r16_plan(spark, name: str) -> str:
+    from clickbom_spark.queries.staged_r16 import STAGED_R16
+
+    df = STAGED_R16[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_uniq_state_mv_is_pure_aggregation(spark):
+    """The uniqState/uniqMerge MV round-trip is two hash-aggregate
+    levels over ONE fact scan — bounded collect_set states, no joins,
+    no Python boundary, no window."""
+    plan = _staged_r16_plan(spark, "q_dialect_uniq_state_mv")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_basket_lift_is_order_keyed_equi_join(spark):
+    """Pair generation must be the order-keyed self-EQUI-join over
+    the deduplicated (order, brand) incidences — never a cartesian
+    product; the brand marginals and the 1-row total broadcast."""
+    plan = _staged_r16_plan(spark, "q_market_basket_lift")
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    # the only nested-loop is the 1-row denominator broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_trade_matrix_broadcasts_dimensions(spark):
+    """The nation trade matrix keeps the lineitem fact on the probe
+    side of broadcast hash joins for every dimension — no shuffle
+    join against nation/customer/supplier, no cartesian product."""
+    plan = _staged_r16_plan(spark, "q_nation_trade_matrix")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_gap_bands_window_partitioned_by_user(spark):
+    import re
+
+    plan = _staged_r16_plan(spark, "q_session_gap_bands")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert re.search(r"windowspecdefinition\(user_id#\d+L?,", ln), ln
+
+
+def test_repeat_share_window_partitioned_by_customer(spark):
+    import re
+
+    plan = _staged_r16_plan(spark, "q_repeat_customer_share")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert re.search(r"windowspecdefinition\(o_custkey#\d+L?,", ln), ln
+
+
+def test_gini_windows_over_distinct_frequencies(spark):
+    """The Gini prefix sums run over the distinct-frequency domain —
+    the window must order by the frequency VALUE (c), never rank raw
+    tokens."""
+    plan = _staged_r16_plan(spark, "q_gini_token_concentration")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    assert all("w#" not in ln for ln in win_lines), plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_inactive_profile_uses_anti_join(spark):
+    """The zero-order customer set must come from a hash LEFT ANTI
+    join, not an exists-subquery turned nested loop."""
+    plan = _staged_r16_plan(spark, "q_inactive_customer_profile")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_doc_outliers_flags_without_division(spark):
+    """The outlier pass is a broadcast join of the 20-row power-sum
+    frame onto the doc scan — integer comparisons only, no Python, at
+    most the two documented scans."""
+    plan = _staged_r16_plan(spark, "q_doc_length_outliers")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_hypercube_density_bounded_windows(spark):
+    """The majority-label window partitions by the 256-orthant code
+    — never an unpartitioned global rank."""
+    import re
+
+    plan = _staged_r16_plan(spark, "q_emb_hypercube_density")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert re.search(r"windowspecdefinition\(code#\d+L?,", ln), ln
+    assert "BatchEvalPython" not in plan, plan
