@@ -42,18 +42,26 @@ means the query is in the bench.py headline set at sf0.1.
     # Queries staged for a FUTURE round (not yet in REGISTRY) get their
     # own section; earlier waves are already activated, so only names
     # absent from the live registry land here.
-    from clickbom_spark.queries.staged import STAGED
-    from clickbom_spark.queries.staged_r7 import STAGED_R7
-    from clickbom_spark.queries.staged_r8 import STAGED_R8
-    from clickbom_spark.queries.staged_r9 import STAGED_R9
-    from clickbom_spark.queries.staged_r10 import STAGED_R10
-    from clickbom_spark.queries.staged_r11 import STAGED_R11
-    from clickbom_spark.queries.staged_r12 import STAGED_R12
+    import importlib
 
-    pool = {
-        **STAGED, **STAGED_R7, **STAGED_R8, **STAGED_R9, **STAGED_R10,
-        **STAGED_R11, **STAGED_R12,
-    }
+    pool: dict = {}
+    # discover every staged wave module dynamically so a new wave (or
+    # a fresh activation) never leaves this catalog stale
+    qdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "clickbom_spark", "queries",
+    )
+    for fname in sorted(os.listdir(qdir)):
+        if not (fname.startswith("staged") and fname.endswith(".py")):
+            continue
+        mod = importlib.import_module(
+            f"clickbom_spark.queries.{fname[:-3]}"
+        )
+        for attr in dir(mod):
+            if attr.startswith("STAGED"):
+                val = getattr(mod, attr)
+                if isinstance(val, dict):
+                    pool.update(val)
     pending = [s2 for n2, s2 in pool.items() if n2 not in Q.REGISTRY]
     if pending:
         out.append(
