@@ -1154,11 +1154,16 @@ def q_nation_trade_matrix(spark, sf_dir):
         F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
     )
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # nation frames are bounded (25 rows) — hard-hint those; customer
+    # and supplier GROW with SF, so their join strategy is left to
+    # AQE's size check (broadcast at small SF, shuffle at scale) per
+    # the repo broadcast policy (test_no_hard_broadcast_of_sf_growing
+    # _tables)
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
         .groupBy("cust_nation", "supp_nation")
         .agg(

@@ -1341,11 +1341,12 @@ def test_basket_lift_is_order_keyed_equi_join(spark):
 
 
 def test_trade_matrix_broadcasts_dimensions(spark):
-    """The nation trade matrix keeps the lineitem fact on the probe
-    side of broadcast hash joins for every dimension — no shuffle
-    join against nation/customer/supplier, no cartesian product."""
+    """The nation trade matrix hard-broadcasts only the BOUNDED
+    nation frames; customer/supplier joins are AQE-sized (broadcast
+    at small SF, shuffle at scale — the repo broadcast policy).  No
+    cartesian product, no Python boundary."""
     plan = _staged_r16_plan(spark, "q_nation_trade_matrix")
-    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
 
