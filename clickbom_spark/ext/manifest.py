@@ -997,6 +997,128 @@ def sum_agg_of(
     )
 
 
+def uniq_state_of(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 8
+) -> DataFrame:
+    """The (group…, code) distinct-code rows maintain_uniq_state rolls
+    forward: the relational form of the dialect's ``uniqState``
+    code-set (``code = bucket * 64 + rho`` over the portable md5
+    kernel, dialect.py _uniq_state_expr / ext.sketches.hll_bucket_rho
+    — ONE hash kernel repo-wide).  Bounded at ``2^p * (60 - p + 1)``
+    codes per group regardless of row count, so the maintained
+    matview stays KB-sized per group at any scale.  Build once from a
+    full snapshot, then maintain incrementally; finalize with
+    :func:`ext.sketches.hll_distinct_from_codes`."""
+    from clickbom_spark.ext.sketches import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col(col), p)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            *[F.col(c) for c in group_cols],
+            (bucket * 64 + rho).cast("long").alias("code"),
+        )
+        .distinct()
+    )
+
+
+def maintain_uniq_state(
+    lake: VersionedLake,
+    materialized: DataFrame,
+    v_from: int,
+    v_to: int,
+    group_cols: list[str],
+    key_cols: list[str],
+    col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Incremental DISTINCT-COUNT matview maintenance over the HLL
+    code-set state: roll the (group, code) table forward from snapshot
+    ``v_from`` to ``v_to`` by folding the change feed's inserts in —
+    union of states == state of the unioned input EXACTLY (registers
+    are max-folds), so the rolled state equals a full recompute
+    (pinned by test) while reading only the changed files.
+
+    INSERT-ONLY by construction: a register fold cannot retract, so a
+    feed containing deletes or updates raises instead of silently
+    under-deleting — the same caveat ClickHouse documents for
+    ``uniqState`` AggregatingMergeTree MVs, surfaced loudly.  For
+    insert+delete workloads maintain the exact support table
+    (:func:`maintain_uniq_support`), whose state is value-
+    proportional because exactness requires it."""
+    cf = change_feed(lake, v_from, v_to, key_cols)
+    if cf.where(F.col("_change_type") != "insert").limit(1).count():
+        raise ValueError(
+            "maintain_uniq_state: the change feed contains retractions "
+            "(delete/update_pre/update_post) — HLL register states "
+            "cannot retract; use maintain_uniq_support for exact "
+            "insert+delete maintenance"
+        )
+    delta = uniq_state_of(cf, group_cols, col, p)
+    return materialized.unionByName(delta).distinct()
+
+
+def uniq_support_of(
+    df: DataFrame, group_cols: list[str], col: str
+) -> DataFrame:
+    """The (group…, value, multiplicity) support table
+    maintain_uniq_support rolls forward — the standard IVM encoding
+    for DISTINCT under retractions.  NULL values are skipped (the
+    count-distinct convention shared with the dialect's uniq
+    family)."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*group_cols, col)
+        .agg(F.count(F.lit(1)).cast("long").alias("mult"))
+    )
+
+
+def maintain_uniq_support(
+    lake: VersionedLake,
+    materialized: DataFrame,
+    v_from: int,
+    v_to: int,
+    group_cols: list[str],
+    key_cols: list[str],
+    col: str,
+) -> DataFrame:
+    """Exact distinct-count IVM under inserts AND deletes: per
+    (group, value) the multiplicity moves by +1 for insert/update_post
+    and −1 for delete/update_pre; values whose multiplicity reaches
+    zero drop out, so :func:`uniq_exact_of` over the rolled table
+    equals ``count(DISTINCT col)`` recomputed on the target snapshot
+    (pinned by test).  CDF cost scales with the mutation; the state
+    scales with the live distinct-value set — the price of exactness
+    (ClickHouse's ``uniqExact`` states carry the same)."""
+    cf = change_feed(lake, v_from, v_to, key_cols)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        cf.where(F.col(col).isNotNull())
+        .groupBy(*group_cols, col)
+        .agg(F.sum(sign).cast("long").alias("_dm"))
+    )
+    joined = materialized.join(delta, [*group_cols, col], "full_outer")
+    mult = (
+        F.coalesce(F.col("mult"), F.lit(0))
+        + F.coalesce(F.col("_dm"), F.lit(0))
+    ).cast("long").alias("mult")
+    return (
+        joined.select(*group_cols, col, mult)
+        .where(F.col("mult") > 0)
+    )
+
+
+def uniq_exact_of(support: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Finalize a support table to (group…, n_distinct)."""
+    return (
+        support.where(F.col("mult") > 0)
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )
+
+
 def compact(lake: VersionedLake, target_files: int = 4) -> int:
     """Small-file compaction as a snapshot: rewrite the current file
     set into ``target_files`` files and commit.  A logical no-op — the

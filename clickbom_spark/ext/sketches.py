@@ -568,6 +568,76 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     return agg.select(est.alias("est_hll"))
 
 
+def _hll_group_estimate(
+    regs: DataFrame, group_cols: Sequence[str], p: int, integer: bool = False
+) -> DataFrame:
+    """Spine-free per-group estimate from (group…, bucket, rho)
+    bucket-max rows — the shared finalizer behind
+    :func:`hll_distinct_by` and :func:`hll_distinct_from_codes`.
+    Empty buckets contribute ``(m - present) * 2^62`` to the harmonic
+    sum and ``v = m - present`` to the linear-counting correction.
+    ``integer=True`` rounds the RAW estimate to a bigint (the dialect
+    uniqMerge convention); default keeps the 4-decimal double of the
+    original hll_distinct_by contract."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale = alpha * m * m * float(1 << 62)
+    per = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), 62 - rho)"
+                " as decimal(38,0))"
+            )
+        ).alias("_s_present"),
+        F.count(F.lit(1)).cast("long").alias("_n_present"),
+    )
+    s_d = F.col("_s_present").cast("double") + (
+        F.lit(m) - F.col("_n_present")
+    ).cast("double") * F.lit(float(1 << 62))
+    v = (F.lit(m) - F.col("_n_present")).cast("long")
+    raw = F.lit(scale) / s_d
+    inner = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    est = (
+        F.round(inner).cast("long").alias("uniq_est")
+        if integer
+        else F.round(inner, 4).alias("est_hll")
+    )
+    return per.select(*group_cols, est)
+
+
+def hll_distinct_from_codes(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    code_col: str = "code",
+    p: int = 8,
+    integer: bool = True,
+) -> DataFrame:
+    """Per-group cardinality estimate from (group…, code) rows where
+    ``code = bucket * 64 + rho`` — the relational form of the
+    dialect's ``uniqState`` code-set state (dialect.py
+    _uniq_state_expr) and of the lake-maintained distinct-count
+    matview state (ext.manifest.maintain_uniq_state).  Two hash
+    aggregates: (group, bucket) → max rho, then the shared spine-free
+    finalizer; defaults to the dialect's integer-rounded estimate so
+    maintained states finalize to the same values ``uniqMerge``
+    returns (pinned by test)."""
+    if p < _HLL_P_MIN:
+        raise ValueError(f"hll_distinct_from_codes requires p >= {_HLL_P_MIN}")
+    regs = (
+        df.select(
+            *group_cols,
+            F.expr(f"{code_col} DIV 64").alias("bucket"),
+            (F.col(code_col) % 64).cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return _hll_group_estimate(regs, group_cols, p, integer=integer)
+
+
 def hll_distinct_by(
     df: DataFrame,
     col: str,
@@ -589,9 +659,6 @@ def hll_distinct_by(
     """
     if p < _HLL_P_MIN:
         raise ValueError(f"hll_distinct_by requires p >= {_HLL_P_MIN}")
-    m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    scale = alpha * m * m * float(1 << 62)
     bucket, rho = hll_bucket_rho(F.col(col), p)
     regs = (
         df.where(F.col(col).isNotNull())
@@ -603,25 +670,10 @@ def hll_distinct_by(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
-    per = regs.groupBy(*group_cols).agg(
-        F.sum(
-            F.expr(
-                "cast(shiftleft(cast(1 as bigint), 62 - rho)"
-                " as decimal(38,0))"
-            )
-        ).alias("_s_present"),
-        F.count(F.lit(1)).cast("long").alias("_n_present"),
-    )
-    s_d = F.col("_s_present").cast("double") + (
-        F.lit(m) - F.col("_n_present")
-    ).cast("double") * F.lit(float(1 << 62))
-    v = (F.lit(m) - F.col("_n_present")).cast("long")
-    raw = F.lit(scale) / s_d
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v > 0),
-        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")), 4),
-    ).otherwise(F.round(raw, 4))
-    return per.select(*group_cols, est.alias("est_hll"))
+    # value-identical refactor: round(CASE …) == the original
+    # per-branch round(…, 4) (the round applies to whichever branch
+    # was selected)
+    return _hll_group_estimate(regs, group_cols, p)
 
 
 def approx_quantiles_from_sketch(

@@ -188,6 +188,130 @@ def test_incremental_sum_agg_equals_full_recompute(spark, tmp_path):
     assert 7 in got and 3 not in got  # new group present, dead group gone
 
 
+def test_incremental_uniq_state_equals_full_recompute(spark, tmp_path):
+    """Round-12: rolling the HLL code-set distinct matview forward
+    with CDF inserts must equal a full recompute of the target
+    snapshot — set-for-set AND estimate-for-estimate (union of
+    register states is exact) — and the finalized estimates must
+    match the dialect's own uniqMerge values for the same data."""
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        maintain_uniq_state,
+        uniq_state_of,
+    )
+    from clickbom_spark.ext.sketches import hll_distinct_from_codes
+
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") % 97).alias("u"),
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "uq"), df, n_files=3)
+    # two insert-only commits (fresh keys)
+    for lo in (1000, 2000):
+        lake.upsert(
+            spark.range(lo, lo + 150).select(
+                F.col("id"),
+                (F.col("id") % 3).alias("grp"),
+                (F.col("id") % 113).alias("u"),
+            ),
+            ["id"],
+        )
+    mat = uniq_state_of(lake.read(0), ["grp"], "u")
+    for v in range(2):
+        mat = maintain_uniq_state(lake, mat, v, v + 1, ["grp"], ["id"], "u")
+        full = uniq_state_of(lake.read(v + 1), ["grp"], "u")
+        got = {(r["grp"], r["code"]) for r in mat.collect()}
+        want = {(r["grp"], r["code"]) for r in full.collect()}
+        assert got == want, (v, len(got), len(want))
+    est = {
+        r["grp"]: r["uniq_est"]
+        for r in hll_distinct_from_codes(mat, ["grp"]).collect()
+    }
+    # finalized estimate == the dialect's uniqMerge over the same data
+    from clickbom_spark.dialect import translate_clickhouse_sql
+
+    lake.read().createOrReplaceTempView("uq_final")
+    want_est = {
+        r["grp"]: r["u"]
+        for r in spark.sql(translate_clickhouse_sql(
+            "SELECT grp, uniqMerge(s) AS u FROM "
+            "(SELECT grp, uniqState(u) AS s FROM uq_final GROUP BY grp) "
+            "GROUP BY grp"
+        )).collect()
+    }
+    assert est == want_est
+    # exact distinct is 113 per group here; the estimate must be in
+    # the m=256 error band
+    exact = {
+        r["grp"]: r["n"]
+        for r in lake.read().groupBy("grp")
+        .agg(F.countDistinct("u").alias("n")).collect()
+    }
+    for g in exact:
+        assert abs(est[g] - exact[g]) <= 4 * 1.04 / 16 * exact[g] + 2
+
+
+def test_uniq_state_refuses_retractions(spark, tmp_path):
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        maintain_uniq_state,
+        uniq_state_of,
+    )
+
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 2).alias("grp"), F.col("id").alias("u")
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "uqr"), df, n_files=2)
+    lake.delete(F.col("id") < 5)
+    mat = uniq_state_of(lake.read(0), ["grp"], "u")
+    with pytest.raises(ValueError, match="retract"):
+        maintain_uniq_state(lake, mat, 0, 1, ["grp"], ["id"], "u")
+
+
+def test_incremental_uniq_support_exact(spark, tmp_path):
+    """The exact support-table IVM handles update + delete + upsert —
+    uniq_exact_of over the rolled table equals count(DISTINCT)
+    recomputed on every snapshot, including groups that vanish."""
+    from clickbom_spark.ext.manifest import (
+        VersionedLake,
+        maintain_uniq_support,
+        uniq_exact_of,
+        uniq_support_of,
+    )
+
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") % 11).alias("u"),
+    )
+    lake = VersionedLake.create(spark, str(tmp_path / "uqs"), df, n_files=4)
+    lake.update(F.col("id") < 30, {"u": F.lit(99).cast("long")})
+    lake.delete(F.col("grp") == 3)
+    lake.upsert(
+        spark.createDataFrame(
+            [(900, 7, 5), (10, 0, 123)], "id long, grp long, u long"
+        ),
+        ["id"],
+    )
+    mat = uniq_support_of(lake.read(0), ["grp"], "u")
+    for v in range(3):
+        mat = maintain_uniq_support(
+            lake, mat, v, v + 1, ["grp"], ["id"], "u"
+        )
+        got = {
+            r["grp"]: r["n_distinct"]
+            for r in uniq_exact_of(mat, ["grp"]).collect()
+        }
+        want = {
+            r["grp"]: r["n"]
+            for r in lake.read(v + 1).groupBy("grp")
+            .agg(F.countDistinct("u").alias("n")).collect()
+        }
+        assert got == want, (v, got, want)
+    assert 7 in got and 3 not in got
+
+
 def test_compaction_is_a_logical_noop_with_empty_cdf(spark, tmp_path):
     from clickbom_spark.ext.manifest import change_feed, compact
 
