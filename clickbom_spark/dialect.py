@@ -3964,6 +3964,62 @@ def _merge_prewhere(s: str) -> str:
     return _merge_prewhere(s)
 
 
+def _rewrite_distinct_on(s: str) -> str:
+    """``SELECT DISTINCT ON (cols) …`` → ``LIMIT 1 BY cols``
+    (ClickHouse documents the equivalence): the ON list is stripped
+    from the select head and re-expressed through the LIMIT BY window
+    rewrite, which honors the query's ORDER BY — first-row-per-key
+    semantics.  Without an ORDER BY the surviving row is unspecified,
+    as in ClickHouse (documented delta, same class as ANY JOIN).
+    Before round 12 this form slipped through as a bogus ``ON(cols)``
+    function call — a silent-mistranslation escape, now compiled.
+    Plain ``SELECT DISTINCT`` (no ON) passes through untouched."""
+    toks = _scan_top(s)
+    hit = None
+    for t in range(len(toks) - 3):
+        if (
+            toks[t][0] == "ident" and toks[t][1].upper() == "SELECT"
+            and toks[t + 1][0] == "ident"
+            and toks[t + 1][1].upper() == "DISTINCT"
+            and toks[t + 2][0] == "ident"
+            and toks[t + 2][1].upper() == "ON"
+            and toks[t + 3][0] == "group"
+        ):
+            hit = t
+            break
+    if hit is None:
+        return s
+    cols = toks[hit + 3][1][1:-1].strip()
+    if not cols:
+        raise UnsupportedClickHouseSQL("DISTINCT ON () needs key columns")
+    # a pre-existing LIMIT … BY would collide with the injected one —
+    # ClickHouse itself rejects mixing the two forms
+    for t in range(len(toks) - 1):
+        if (
+            toks[t][0] == "ident" and toks[t][1].upper() == "LIMIT"
+            and any(
+                toks[u][0] == "ident" and toks[u][1].upper() == "BY"
+                for u in range(t + 1, min(t + 5, len(toks)))
+            )
+        ):
+            raise UnsupportedClickHouseSQL(
+                "DISTINCT ON combined with LIMIT n BY is ambiguous — "
+                "they are the same per-key cutoff; use one"
+            )
+    body = s[: toks[hit][3]] + " " + s[toks[hit + 3][3]:]
+    # inject LIMIT 1 BY before a trailing top-level LIMIT (if any),
+    # else append — the LIMIT BY rewrite below owns the window
+    btoks = _scan_top(body)
+    ins_at = None
+    for t in range(len(btoks)):
+        if btoks[t][0] == "ident" and btoks[t][1].upper() == "LIMIT":
+            ins_at = btoks[t][2]
+            break
+    if ins_at is None:
+        return f"{body.rstrip()} LIMIT 1 BY {cols}"
+    return f"{body[:ins_at]}LIMIT 1 BY {cols} {body[ins_at:]}"
+
+
 def _rewrite_limit_by(s: str) -> str:
     """``… [ORDER BY o] LIMIT [m,] n BY cols [LIMIT m]`` → row_number
     window partitioned by ``cols`` ordered by ``o`` (the order
@@ -4160,6 +4216,7 @@ def _rewrite_clauses(s: str, final_keys) -> str:
     s = _rewrite_array_join(s)
     s = _merge_prewhere(s)
     s = _rewrite_with_totals(s)
+    s = _rewrite_distinct_on(s)
     s = _rewrite_limit_by(s)
     s = _rewrite_with_ties(s)
     s = _rewrite_limit_comma(s)

@@ -1751,6 +1751,38 @@ def test_with_fill_interpolate_duplicate_key_carry_deterministic(spark):
         ]
 
 
+def test_distinct_on_compiles_via_limit_by(spark):
+    """Round-12: ``SELECT DISTINCT ON (cols)`` compiles through the
+    LIMIT 1 BY window (ClickHouse documents the equivalence) — it
+    used to slip through as a bogus ON(cols) function call.  First
+    row per key in the query's ORDER BY; trailing LIMIT composes;
+    mixing with LIMIT n BY fails fast."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a',10),(1,'b',5),(2,'c',7) AS t(k,s,v)"
+    ).createOrReplaceTempView("don_ut")
+    rows = spark.sql(translate_clickhouse_sql(
+        "SELECT DISTINCT ON (k) k, s, v FROM don_ut ORDER BY k, v"
+    )).collect()
+    assert sorted((r.k, r.s, r.v) for r in rows) == [
+        (1, "b", 5), (2, "c", 7)
+    ]
+    top = spark.sql(translate_clickhouse_sql(
+        "SELECT DISTINCT ON (k) k, v FROM don_ut ORDER BY k, v DESC "
+        "LIMIT 1"
+    )).collect()
+    assert [(r.k, r.v) for r in top] == [(1, 10)]
+    with pytest.raises(UnsupportedClickHouseSQL, match="ambiguous"):
+        translate_clickhouse_sql(
+            "SELECT DISTINCT ON (k) k FROM don_ut LIMIT 2 BY k"
+        )
+    with pytest.raises(UnsupportedClickHouseSQL, match="key columns"):
+        translate_clickhouse_sql("SELECT DISTINCT ON () k FROM don_ut")
+    # plain DISTINCT is untouched
+    assert "DISTINCT" in translate_clickhouse_sql(
+        "SELECT DISTINCT k FROM don_ut"
+    )
+
+
 def test_apply_alter_ddl(spark, tmp_path):
     """Round-12 (VERDICT r11 item 7 groundwork): the reference's
     table-migration ALTER (entrypoint.sh:130-161) runs verbatim
