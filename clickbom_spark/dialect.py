@@ -1686,6 +1686,23 @@ _PLAIN = {
     # materialize defeats ClickHouse constant folding — a no-op here;
     # ignore() evaluates args for side effects and returns 0
     "materialize": lambda a: f"({a[0]})",
+    # ClickHouse's frame-aware window navigation: lagInFrame /
+    # leadInFrame(x[, offset[, default]]) → lag/lead.  Documented
+    # delta: Spark's lag/lead always navigate the whole partition,
+    # ignoring a custom window frame — identical under the default
+    # frame, which is the only form the corpus round-trips.  Before
+    # round 12 these passed through verbatim and died as unresolved
+    # Spark routines.
+    "laginframe": lambda a: f"lag({', '.join(a)})",
+    "leadinframe": lambda a: f"lead({', '.join(a)})",
+    # the numbers(N) / numbers(offset, N) table function → a range()
+    # subquery exposing ClickHouse's `number` column; valid exactly
+    # where ClickHouse allows it (FROM position).  Before round 12 the
+    # call passed through verbatim and died as an unresolved Spark TVF.
+    "numbers": lambda a: (
+        f"(SELECT id AS number FROM range({a[0]}))" if len(a) == 1
+        else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
+    ),
     "ignore": lambda a: "0",
     # untuple expands a struct in the SELECT list — Spark's s.* does
     # exactly that (select-list-only in both engines)

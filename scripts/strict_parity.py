@@ -116,6 +116,7 @@ def main() -> int:
             ("staged_r14", "STAGED_R14"),
             ("staged_r15", "STAGED_R15"),
             ("staged_r16", "STAGED_R16"),
+            ("staged_r17", "STAGED_R17"),
         ):
             try:
                 m = __import__(

@@ -1420,3 +1420,81 @@ def test_hypercube_density_bounded_windows(spark):
     for ln in win_lines:
         assert re.search(r"windowspecdefinition\(code#\d+L?,", ln), ln
     assert "BatchEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-17 staged wave: scale-shape guards.
+# ---------------------------------------------------------------------------
+
+
+def _staged_r17_plan(spark, name: str) -> str:
+    from clickbom_spark.queries.staged_r17 import STAGED_R17
+
+    df = STAGED_R17[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_source_overlap_is_posting_equi_join(spark):
+    """The 190-pair vocabulary matrix must come from a token-keyed
+    posting equi-join over deduplicated incidences — never a
+    source×source×vocab product."""
+    plan = _staged_r17_plan(spark, "q_source_overlap_matrix")
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ltv_bands_have_no_ranking_window(spark):
+    """The whale-curve view is BANDED precisely to avoid a
+    per-customer ranking window — the plan must contain none."""
+    plan = _staged_r17_plan(spark, "q_ltv_log2_bands")
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_brand_share_window_partitioned_by_nation(spark):
+    import re
+
+    plan = _staged_r17_plan(spark, "q_brand_share_by_nation")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert re.search(r"windowspecdefinition\(nation#\d+,", ln), ln
+
+
+def test_gap_percentiles_window_partitioned_by_user(spark):
+    import re
+
+    plan = _staged_r17_plan(spark, "q_event_gap_percentiles_by_type")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert re.search(r"windowspecdefinition\(user_id#\d+L?,", ln), ln
+
+
+def test_sign_balance_single_scan_jvm_only(spark):
+    plan = _staged_r17_plan(spark, "q_emb_dim_sign_balance")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_distinct_on_compiles_to_partitioned_window(spark):
+    """The DISTINCT ON round-trip must be the LIMIT 1 BY row_number
+    window partitioned by the ON key — not a global sort or join."""
+    import re
+
+    plan = _staged_r17_plan(spark, "q_dialect_distinct_on")
+    win_lines = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert re.search(r"windowspecdefinition\(user_id#\d+L?,", ln), ln
+    assert "CartesianProduct" not in plan, plan
