@@ -1517,6 +1517,40 @@ def additive_matview_sink(lake: VersionedLake, group_cols: list[str],
     return body
 
 
+def uniq_matview_sink(
+    lake: VersionedLake, group_cols: list[str], col: str, p: int = 8
+):
+    """foreachBatch body for an EXACTLY-ONCE incrementally-maintained
+    DISTINCT-COUNT materialized view — the streaming twin of
+    :func:`maintain_uniq_state` and the uniq counterpart of
+    :func:`additive_matview_sink`: each micro-batch reduces to its
+    (group, code) HLL code-set rows (bounded at ``2^p * (60-p+1)``
+    codes per group regardless of batch size), and the new codes
+    upsert keyed by (group…, code) — the set-union fold.  The epoch
+    marker publishes in the same atomic manifest swap; unlike
+    additive counters the fold is also IDEMPOTENT (a replayed code
+    upserts to the identical row), so replays are safe twice over —
+    the guard saves the commit, union saves the values.  Finalize
+    with :func:`ext.sketches.hll_distinct_from_codes` over
+    ``lake.read()`` — the estimates equal a full rescan's exactly
+    (register-union law).  Create the lake with an empty (group…,
+    code BIGINT) frame, or from ``uniq_state_of`` of a backfill."""
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        if epoch_committed(lake, e):
+            return
+        if batch_df.isEmpty():
+            return
+        codes = uniq_state_of(batch_df, group_cols, col, p)
+        lake.upsert(
+            codes, [*group_cols, "code"],
+            message=f"uniq-matview-epoch-{e}", epoch=e,
+        )
+
+    return body
+
+
 def scd2_sink(lake: VersionedLake, key_cols: list[str],
               attr_cols: list[str]):
     """foreachBatch body for EXACTLY-ONCE incremental SCD2 (slowly

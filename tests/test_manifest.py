@@ -2059,6 +2059,117 @@ def test_additive_matview_sink_additive_and_exactly_once(spark, tmp_path):
     assert got == want
 
 
+def test_uniq_matview_sink_union_fold_and_exactly_once(spark, tmp_path):
+    """Streaming distinct-count matview laws: (1) per-epoch code sets
+    fold by SET UNION into the view; (2) a replayed epoch_id is a
+    no-op commit-wise AND value-wise (idempotent fold); (3) the
+    finalized estimates equal a full rescan's (register-union law) and
+    match the batch twin uniq_state_of + hll_distinct_from_codes."""
+    from clickbom_spark.ext.manifest import (
+        uniq_matview_sink,
+        uniq_state_of,
+    )
+    from clickbom_spark.ext.sketches import hll_distinct_from_codes
+
+    rows = spark.range(600).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") % 151).alias("u"),
+    )
+    mv = VersionedLake.create(
+        spark,
+        str(tmp_path / "uqmv"),
+        rows.select("grp", F.lit(0).cast("long").alias("code"))
+        .where(F.lit(False)),
+        n_files=1,
+    )
+    body = uniq_matview_sink(mv, ["grp"], "u")
+    body(rows.where(F.col("id") < 200), 0)
+    v_after_0 = mv.current_version()
+    body(rows.where(F.col("id") < 200), 0)  # replay: no-op commit
+    assert mv.current_version() == v_after_0
+    body(rows.where((F.col("id") >= 200) & (F.col("id") < 400)), 1)
+    body(rows.where(F.col("id") >= 400), 2)
+    body(rows.where(F.col("id") >= 400), 2)  # replay again
+
+    got = {
+        r["grp"]: r["uniq_est"]
+        for r in hll_distinct_from_codes(mv.read(), ["grp"]).collect()
+    }
+    want = {
+        r["grp"]: r["uniq_est"]
+        for r in hll_distinct_from_codes(
+            uniq_state_of(rows, ["grp"], "u"), ["grp"]
+        ).collect()
+    }
+    assert got == want
+    # the stored state is the exact union of the batch code sets
+    got_codes = {(r["grp"], r["code"]) for r in mv.read().collect()}
+    want_codes = {
+        (r["grp"], r["code"])
+        for r in uniq_state_of(rows, ["grp"], "u").collect()
+    }
+    assert got_codes == want_codes
+
+
+def test_uniq_matview_sink_streaming_end_to_end(spark, tmp_path):
+    """The full streaming loop for the distinct-count matview: a
+    source lake with three commits streamed through the Python Data
+    Source, each micro-batch folded by uniq_matview_sink, and the
+    finalized per-group estimates equal the batch twin over the whole
+    source — stream == batch, the registry's streaming law."""
+    import os
+
+    from clickbom_spark.ext.manifest import (
+        uniq_matview_sink,
+        uniq_state_of,
+    )
+    from clickbom_spark.ext.sketches import hll_distinct_from_codes
+    from clickbom_spark.streaming.lake_source import LakeStreamDataSource
+
+    rows = spark.range(500).select(
+        F.col("id"),
+        (F.col("id") % 2).alias("grp"),
+        (F.col("id") % 131).alias("u"),
+    )
+    src = VersionedLake.create(
+        spark, str(tmp_path / "uq_src"),
+        rows.where(F.col("id") % 3 == 0), n_files=2,
+    )
+    for rem in (1, 2):
+        src.upsert(rows.where(F.col("id") % 3 == rem), ["id"])
+    mv = VersionedLake.create(
+        spark, str(tmp_path / "uq_mv"),
+        rows.select("grp", F.lit(0).cast("long").alias("code"))
+        .where(F.lit(False)),
+        n_files=1,
+    )
+    spark.dataSource.register(LakeStreamDataSource)
+    q = (
+        spark.readStream.format("lake_stream")
+        .option("path", str(tmp_path / "uq_src"))
+        .load()
+        .writeStream.foreachBatch(uniq_matview_sink(mv, ["grp"], "u"))
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "uq_ck")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["grp"]: r["uniq_est"]
+        for r in hll_distinct_from_codes(mv.read(), ["grp"]).collect()
+    }
+    want = {
+        r["grp"]: r["uniq_est"]
+        for r in hll_distinct_from_codes(
+            uniq_state_of(rows, ["grp"], "u"), ["grp"]
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_merge_branch_revalidates_on_concurrent_source_commit(
     spark, tmp_path
 ):
