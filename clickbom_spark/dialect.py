@@ -33,15 +33,17 @@ clear error rather than silently mis-translating):
   stddevPop/stddevSamp/covarPop/covarSamp``→snake_case twins (corr
   passes through), ``avgWeighted``→sum(x·w)/sum(w), ``sumCount``→
   named_struct, ``anyHeavy``→mode (exact most-frequent satisfies the
-  approximate-majority contract), ``quantileTDigest/quantilesTDigest/
+  approximate-majority contract), ``sumMap/minMap/maxMap``→per-key
+  array-HOF folds over the collected (key, value) zips (tuple-of-
+  arrays shape; sumMap drops zero totals; length-mismatch NULL-pad
+  delta documented), ``quantileTDigest/quantilesTDigest/
   quantileDeterministic``→percentile_approx (both mergeable sketches;
   the determinator is dropped — percentile_approx is already
   deterministic), ``uniqTheta/uniqHLL12/uniqCombined[64]``→
   approx_count_distinct, ``quantileTiming(p)``→percentile_approx;
   aggregates whose semantics NEED a multi-operator plan fail fast
   with a pointer at the engine operator (``topK/topKWeighted``→heavy
-  hitters, ``sumMap/minMap/maxMap``→q_summap_aggregates,
-  ``groupBitmap*``→q_bitmap_ops, ``intervalLengthSum`` /
+  hitters, ``groupBitmap*``→q_bitmap_ops, ``intervalLengthSum`` /
   ``maxIntersections``→interval sweeps, ``groupArrayMoving*``→
   running-window folds, ``histogram``→q_histogram_equi_height,
   ``windowFunnel/sequenceMatch/sequenceCount/sequenceNextNode``→the
@@ -476,9 +478,6 @@ def _uniq_expr(a):
 # single Spark expression exists, so the translator fails fast WITH A
 # POINTER at the engine operator that implements the semantics.
 _ENGINE_OP_POINTERS = {
-    "summap": "the sumMap pattern (explode + group) — q_summap_aggregates",
-    "minmap": "the sumMap pattern with min — q_summap_aggregates",
-    "maxmap": "the sumMap pattern with max — q_summap_aggregates",
     "groupbitmap": "bitmap algebra — q_bitmap_ops",
     "groupbitmapand": "bitmap algebra — q_bitmap_ops",
     "groupbitmapor": "bitmap algebra — q_bitmap_ops",
@@ -1328,6 +1327,57 @@ def _uniq_exact_merge_state_expr(a: list[str]) -> str:
     return f"array_sort(array_distinct(flatten(collect_list({a[0]}))))"
 
 
+def _map_agg(name: str, fold: str, drop_zero: bool):
+    """``sumMap/minMap/maxMap(keys, values)`` → one Catalyst
+    expression: collect the per-row (key, value) zips, group equal
+    keys with array HOFs, fold each run with ``fold``.
+
+    ClickHouse shape preserved: a tuple of two parallel arrays (keys
+    ascending, one folded value per key) — surfaced as a struct with
+    ``col1``/``col2`` fields so ``tupleElement(m, 1)`` and the ``.1``
+    ordinal both reach them.  ``sumMap`` drops keys whose total is 0
+    (AggregateFunctionSumMap skips zero accumulators when it
+    materializes the result); ``minMap``/``maxMap`` keep every key.
+
+    Deltas (documented in docs/DIALECT.md): rows whose two arrays
+    differ in length NULL-pad the shorter side where ClickHouse
+    raises, and a NULL element keys/feeds the fold as NULL.  Cost
+    contract: per-group work is O(distinct_keys · pairs) array-HOF
+    scans — the same bounded in-RAM map ClickHouse's hash-map
+    accumulator assumes.
+    """
+
+    def h(a: list[str]) -> str:
+        if len(a) != 2:
+            raise UnsupportedClickHouseSQL(
+                f"{name} takes exactly (keys_array, values_array) — "
+                f"got {len(a)} argument(s); the Tuple single-argument "
+                "spelling is not translated"
+            )
+        pairs = (
+            f"array_sort(flatten(collect_list(zip_with({a[0]}, {a[1]}, "
+            f"(mk, mv) -> named_struct('k', mk, 'v', mv)))))"
+        )
+        groups = (
+            f"transform(array_distinct(transform({pairs}, p -> p.k)), "
+            f"kk -> filter({pairs}, p -> p.k <=> kk))"
+        )
+        merged = (
+            f"transform({groups}, mg -> named_struct("
+            f"'k', element_at(mg, 1).k, "
+            f"'v', aggregate(slice(mg, 2, size(mg) - 1), "
+            f"element_at(mg, 1).v, (acc, x) -> {fold})))"
+        )
+        if drop_zero:
+            merged = f"filter({merged}, s -> NOT (s.v <=> 0))"
+        return (
+            f"named_struct('col1', transform({merged}, s -> s.k), "
+            f"'col2', transform({merged}, s -> s.v))"
+        )
+
+    return h
+
+
 _STATE_ALGEBRA = {
     "sumstate": lambda a: f"named_struct('s', sum({a[0]}))",
     "countstate": lambda a: (
@@ -1405,6 +1455,11 @@ _PLAIN = {
     # approximate contract approx_count_distinct (HLL++) satisfies
     **{n: _uniq_expr for n in _UNIQ_SKETCHES},
     **{n: _engine_pointer(n) for n in _ENGINE_OP_POINTERS},
+    # map-shaped aggregates: fold per-key runs of the collected
+    # (key, value) zips with array HOFs — tuple-of-arrays shape kept
+    "summap": _map_agg("sumMap", "acc + x.v", drop_zero=True),
+    "minmap": _map_agg("minMap", "least(acc, x.v)", drop_zero=False),
+    "maxmap": _map_agg("maxMap", "greatest(acc, x.v)", drop_zero=False),
     "countif": lambda a: f"count_if({a[0]})",
     # the generic -If combinator (ClickHouse allows it on EVERY
     # aggregate): whitelisted per base aggregate with per-class arity

@@ -867,6 +867,44 @@ def test_tdigest_quantiles_translate_to_percentile_approx(spark):
         )
 
 
+def test_map_aggregates_fold_per_key(spark):
+    """sumMap/minMap/maxMap compile to per-key array-HOF folds with
+    the ClickHouse tuple-of-arrays shape: keys ascending, sumMap
+    dropping keys whose total is 0, min/max keeping every key."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " ('a', array(1, 2, 3), array(10, 20, 30)),"
+        " ('a', array(2, 4), array(-20, 5)),"
+        " ('b', array(1), array(7)),"
+        " ('b', array(1, 5), array(-7, 0))"
+        " AS t(g, k, v)"
+    ).createOrReplaceTempView("map_agg_t")
+    rows = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT g, sumMap(k, v) AS s, minMap(k, v) AS lo,"
+            " maxMap(k, v) AS hi,"
+            " tupleElement(sumMap(k, v), 1) AS ks"
+            " FROM map_agg_t GROUP BY g ORDER BY g"
+        )
+    ).collect()
+    a, b = rows
+    assert list(a.s.col1) == [1, 3, 4] and list(a.s.col2) == [10, 30, 5]
+    assert list(a.ks) == [1, 3, 4]
+    assert list(a.lo.col1) == [1, 2, 3, 4]
+    assert list(a.lo.col2) == [10, -20, 30, 5]
+    assert list(a.hi.col2) == [10, 20, 30, 5]
+    # every key of group b sums to zero — sumMap drops them all,
+    # min/max keep the keys
+    assert list(b.s.col1) == [] and list(b.lo.col1) == [1, 5]
+    assert list(b.hi.col2) == [7, 0]
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="keys_array"):
+        translate_clickhouse_sql("SELECT sumMap(t) FROM t")
+
+
 def test_any_left_join_dedupes_right_side(spark):
     spark.sql(
         "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(k, tag)"
@@ -1160,7 +1198,6 @@ def test_engine_pointer_fail_fasts(spark):
     import pytest
 
     for sql, frag in [
-        ("SELECT sumMap(k, v) FROM t GROUP BY g", "q_summap_aggregates"),
         ("SELECT groupBitmapAnd(b) FROM t", "q_bitmap_ops"),
         ("SELECT intervalLengthSum(a, b) FROM t",
          "q_interval_union_length"),

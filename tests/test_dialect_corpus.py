@@ -828,6 +828,40 @@ CORPUS: list[tuple[str, str, str]] = [
         ORDER BY event_type
         """,
     ),
+    (
+        # round-12: sumMap/minMap/maxMap compile to per-key array-HOF
+        # folds (tuple-of-arrays shape, keys ascending).  Quantities
+        # are positive so sumMap's zero-total drop is inert here (the
+        # drop rule is law-pinned in test_dialect.py); arrays surface
+        # as comma strings because canon stringifies object columns.
+        "map_aggregates",
+        """
+        SELECT l_returnflag,
+               arrayStringConcat(tupleElement(
+                 sumMap([l_linenumber], [toInt64(l_quantity)]), 1),
+                 ',') AS ks,
+               arrayStringConcat(tupleElement(
+                 sumMap([l_linenumber], [toInt64(l_quantity)]), 2),
+                 ',') AS sums,
+               arrayStringConcat(tupleElement(
+                 maxMap([l_linenumber], [toInt64(l_quantity)]), 2),
+                 ',') AS maxes
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        """
+        WITH per AS (
+          SELECT l_returnflag, l_linenumber AS k,
+                 SUM(CAST(l_quantity AS BIGINT)) AS sv,
+                 MAX(CAST(l_quantity AS BIGINT)) AS mv
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_returnflag,
+               array_to_string(list(k ORDER BY k), ',') AS ks,
+               array_to_string(list(sv ORDER BY k), ',') AS sums,
+               array_to_string(list(mv ORDER BY k), ',') AS maxes
+        FROM per GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    ),
 ]
 
 # the dict_get family's dictionary: SQL-defined over the corpus views,
