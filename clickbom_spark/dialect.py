@@ -169,9 +169,10 @@ clear error rather than silently mis-translating):
   finalize) and ``uniqExactState/uniqExactMerge``→distinct-value
   sets; order-statistic/top-k states fail fast toward the engine's
   mergeable sketches.
-  ``GLOBAL``/``ALL`` join modifiers are STRIPPED (GLOBAL is a
-  distribution hint — Catalyst/AQE already picks broadcast vs
-  shuffle; ALL is the explicit default multiplicity); ``ANY
+  ``GLOBAL``/``ALL`` join modifiers and ``GLOBAL [NOT] IN`` are
+  STRIPPED (GLOBAL is a distribution hint — Catalyst/AQE already
+  picks broadcast vs shuffle and plans IN-subqueries once; ALL is
+  the explicit default multiplicity); ``ANY
   [LEFT|INNER] JOIN``→keyed right-side dedup subquery
   (max_by(struct(*), 1) per join key — at most one match per left
   row, the surviving duplicate unspecified exactly as ClickHouse
@@ -3665,7 +3666,10 @@ def _rewrite_any_global_join(s: str) -> str:
       RIGHT/FULL JOIN`` fail fast (ClickHouse gives them different,
       rarely-used multiplicity semantics).
     """
-    # GLOBAL / ALL are standalone strips wherever they prefix a join
+    # GLOBAL / ALL are standalone strips wherever they prefix a join;
+    # GLOBAL also prefixes [NOT] IN (ClickHouse's one-shot-subquery
+    # distribution hint — Spark plans the subquery once per stage
+    # anyway, so the keyword is equally moot there)
     while True:
         toks = _scan_top(s)
         hit = None
@@ -3681,6 +3685,14 @@ def _rewrite_any_global_join(s: str) -> str:
             ):
                 # `SELECT ALL` / `UNION ALL` never precede these, so
                 # the full join-kind follower set is safe to strip on
+                hit = t
+                break
+            if (
+                toks[t][0] == "ident"
+                and toks[t][1].upper() == "GLOBAL"
+                and toks[t + 1][0] == "ident"
+                and toks[t + 1][1].upper() in ("IN", "NOT")
+            ):
                 hit = t
                 break
         if hit is None:

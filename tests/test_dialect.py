@@ -992,6 +992,17 @@ def test_second_review_fixes(spark):
         "SELECT x FROM t UNION ALL SELECT y FROM u"
     )
     assert "UNION ALL" in out
+    # GLOBAL also prefixes [NOT] IN (one-shot-subquery distribution
+    # hint) — stripped the same way; named identifiers survive
+    out = translate_clickhouse_sql(
+        "SELECT k FROM t WHERE k GLOBAL IN (SELECT k FROM u) "
+        "AND j GLOBAL NOT IN (SELECT j FROM v)"
+    )
+    assert "GLOBAL" not in out
+    assert "k IN (" in out and "j NOT IN (" in out
+    assert "global_in" in translate_clickhouse_sql(
+        "SELECT global_in FROM t"
+    )
 
 
 def test_interval_buckets_align_to_local_midnight(spark):
