@@ -117,6 +117,7 @@ def main() -> int:
             ("staged_r15", "STAGED_R15"),
             ("staged_r16", "STAGED_R16"),
             ("staged_r17", "STAGED_R17"),
+            ("staged_r18", "STAGED_R18"),
         ):
             try:
                 m = __import__(
