@@ -1507,6 +1507,10 @@ _PLAIN = {
     ),
     "tostartofinterval": _to_start_of_interval,
     "toyyyymm": lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)",
+    # ISO-8601 week calendar: Spark's weekofyear IS the ISO week
+    # number, and extract(YEAROFWEEK ...) the ISO week-numbering year
+    "toisoweek": lambda a: f"weekofyear({a[0]})",
+    "toisoyear": lambda a: f"extract(YEAROFWEEK FROM {a[0]})",
     "todayofmonth": lambda a: f"dayofmonth({a[0]})",
     "tohour": lambda a: f"hour({a[0]})",
     "tomonth": lambda a: f"month({a[0]})",
@@ -1974,6 +1978,14 @@ def _parametric(name: str, params: list[str], args: list[str]) -> str:
             "quantileTimingWeighted(p)(x, w): percentile_approx has "
             "no weight argument — use the engine's exact weighted "
             "quantiles (q_weighted_quantiles)"
+        )
+    if n in ("quantileexactweighted", "quantilesexactweighted",
+             "medianexactweighted"):
+        raise UnsupportedClickHouseSQL(
+            f"{name}(p)(x, w): weighted exact quantiles need the "
+            "bucketed prefix-sum plan, not a single expression — use "
+            "the engine operator ext.ranks.exact_weighted_quantiles "
+            "(q_weighted_quantiles / q_quantiles_weighted_by_group)"
         )
     _seq_pointers = {
         "windowfunnel": "q_window_funnel / q_window_funnel_strict",
@@ -4397,22 +4409,17 @@ def _translate_tokens(sql: str, final_keys) -> str:
                 _translate_tokens(a, final_keys)
                 for a in _split_args(inner)
             ]
-            # parametric aggregate: fn(params)(args)
+            # parametric aggregate: fn(params)(args).  EVERY
+            # double-paren call routes here — the chained-call shape
+            # is ClickHouse-only syntax (no valid Spark SQL follows a
+            # call with another argument list; OVER windows carry the
+            # keyword between), so unknown names get _parametric's
+            # clear fail-fast instead of leaking `f(p)(x)` into
+            # Spark's parser as an opaque syntax error.
             k2 = close + 1
             while k2 < len(sql) and sql[k2] in " \t\n":
                 k2 += 1
-            if k2 < len(sql) and sql[k2] == "(" and (
-                name.lower() in (
-                    "quantile", "quantileexact", "quantiles",
-                    "quantilesexact", "uniqupto", "topk",
-                    "quantiletdigest", "quantilestdigest",
-                    "quantiledeterministic", "topkweighted",
-                    "quantiletiming", "quantilestiming",
-                    "quantiletimingweighted",
-                    "windowfunnel", "sequencematch", "sequencecount",
-                    "sequencenextnode", *_UNIQ_SKETCHES,
-                )
-            ):
+            if k2 < len(sql) and sql[k2] == "(":
                 close2 = _matching_paren(sql, k2)
                 inner2 = sql[k2 + 1:close2]
                 args2 = [

@@ -867,6 +867,46 @@ def test_tdigest_quantiles_translate_to_percentile_approx(spark):
         )
 
 
+def test_unknown_parametric_aggregates_fail_fast():
+    """EVERY fn(params)(args) double-paren call routes through the
+    parametric table — unknown names fail fast with a clear message
+    instead of leaking ClickHouse-only syntax into Spark's parser."""
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    with pytest.raises(UnsupportedClickHouseSQL,
+                       match="not in the supported surface"):
+        translate_clickhouse_sql("SELECT fooUnknown(1)(x) FROM t")
+    with pytest.raises(UnsupportedClickHouseSQL,
+                       match="exact_weighted_quantiles"):
+        translate_clickhouse_sql(
+            "SELECT quantileExactWeighted(0.5)(x, w) FROM t"
+        )
+    # OVER windows carry the keyword between the argument lists —
+    # never routed to the parametric table
+    out = translate_clickhouse_sql(
+        "SELECT lag(x) OVER (ORDER BY ts) FROM t"
+    )
+    assert "OVER" in out
+
+
+def test_iso_week_calendar(spark):
+    """toISOWeek/toISOYear map to Spark's ISO-8601 weekofyear /
+    YEAROFWEEK — pinned on the classic year-boundary cases."""
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT toISOWeek(toDate('2021-01-01')) AS w1, "
+            "toISOYear(toDate('2021-01-01')) AS y1, "
+            "toISOWeek(toDate('2024-01-01')) AS w2, "
+            "toISOYear(toDate('2024-01-01')) AS y2"
+        )
+    ).collect()[0]
+    # 2021-01-01 is ISO week 53 of ISO year 2020; 2024-01-01 is ISO
+    # week 1 of 2024
+    assert (got.w1, got.y1, got.w2, got.y2) == (53, 2020, 1, 2024)
+
+
 def test_map_aggregates_fold_per_key(spark):
     """sumMap/minMap/maxMap compile to per-key array-HOF folds with
     the ClickHouse tuple-of-arrays shape: keys ascending, sumMap
