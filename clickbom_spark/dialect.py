@@ -1923,6 +1923,11 @@ def _null_propagating(fn: str, a: list[str]) -> str:
 
 def _parametric(name: str, params: list[str], args: list[str]) -> str:
     n = name.lower()
+    if n in _ENGINE_OP_POINTERS:
+        # parametric spellings of the engine-pointer aggregates (e.g.
+        # histogram(5)(x), groupArrayMovingSum(3)(x)) keep their
+        # operator pointer, not the generic parametric error
+        _engine_pointer(name)(args)
     if n == "quantile":
         return f"percentile_approx({args[0]}, {params[0]})"
     if n == "quantileexact":
