@@ -118,6 +118,7 @@ def main() -> int:
             ("staged_r16", "STAGED_R16"),
             ("staged_r17", "STAGED_R17"),
             ("staged_r18", "STAGED_R18"),
+            ("staged_r19", "STAGED_R19"),
         ):
             try:
                 m = __import__(
