@@ -1330,8 +1330,11 @@ def _uniq_exact_merge_state_expr(a: list[str]) -> str:
 
 def _map_agg(name: str, fold: str, drop_zero: bool):
     """``sumMap/minMap/maxMap(keys, values)`` → one Catalyst
-    expression: collect the per-row (key, value) zips, group equal
-    keys with array HOFs, fold each run with ``fold``.
+    expression: collect the per-row (key, value) zips, sort, and
+    merge equal-key RUNS with one linear ``aggregate`` pass (equal
+    keys are adjacent after the sort, so the fold carries a current
+    run and emits it on key change — O(pairs + distinct_keys²) per
+    group, never the O(keys·pairs) filter-per-key shape).
 
     ClickHouse shape preserved: a tuple of two parallel arrays (keys
     ascending, one folded value per key) — surfaced as a struct with
@@ -1343,9 +1346,15 @@ def _map_agg(name: str, fold: str, drop_zero: bool):
     Deltas (documented in docs/DIALECT.md): rows whose two arrays
     differ in length NULL-pad the shorter side where ClickHouse
     raises, and a NULL element keys/feeds the fold as NULL.  Cost
-    contract: per-group work is O(distinct_keys · pairs) array-HOF
-    scans — the same bounded in-RAM map ClickHouse's hash-map
-    accumulator assumes.
+    contract: per-group MEMORY is O(pairs) (a collect_list holds the
+    group's zips — the groupArray class of aggregate), so few-huge-
+    groups workloads should prefer the engine's explode+group
+    operator (q_summap_aggregates); the zero literals in the fold
+    are derived from the data (slice(p,1,0) / element_at(p,1)) so no
+    type annotation is needed.
+
+    ``fold`` combines a run accumulator ``acc.cur.v`` with the next
+    pair ``x.v``.
     """
 
     def h(a: list[str]) -> str:
@@ -1359,21 +1368,34 @@ def _map_agg(name: str, fold: str, drop_zero: bool):
             f"array_sort(flatten(collect_list(zip_with({a[0]}, {a[1]}, "
             f"(mk, mv) -> named_struct('k', mk, 'v', mv)))))"
         )
-        groups = (
-            f"transform(array_distinct(transform({pairs}, p -> p.k)), "
-            f"kk -> filter({pairs}, p -> p.k <=> kk))"
-        )
+        # one linear pass: slice(p,1,0) is the TYPED empty result
+        # array, element_at(p,1) the typed first run; key change
+        # flushes the run (<=> so NULL keys merge into one run).
+        # Lambda-binding trick: transform over a 1-element wrapper
+        # array binds the big sorted-pairs expression to `p` ONCE —
+        # without it each of the five references below re-evaluates
+        # the sort (no common-subexpression elimination inside the
+        # interpreted higher-order-function path).
         merged = (
-            f"transform({groups}, mg -> named_struct("
-            f"'k', element_at(mg, 1).k, "
-            f"'v', aggregate(slice(mg, 2, size(mg) - 1), "
-            f"element_at(mg, 1).v, (acc, x) -> {fold})))"
+            f"CASE WHEN size(p) = 0 THEN slice(p, 1, 0) "
+            f"ELSE aggregate("
+            f"slice(p, 2, size(p) - 1), "
+            f"named_struct('res', slice(p, 1, 0), "
+            f"'cur', element_at(p, 1)), "
+            f"(acc, x) -> CASE WHEN x.k <=> acc.cur.k "
+            f"THEN named_struct('res', acc.res, 'cur', "
+            f"named_struct('k', acc.cur.k, 'v', {fold})) "
+            f"ELSE named_struct('res', concat(acc.res, "
+            f"array(acc.cur)), 'cur', x) END, "
+            f"acc -> concat(acc.res, array(acc.cur))) END"
         )
         if drop_zero:
             merged = f"filter({merged}, s -> NOT (s.v <=> 0))"
         return (
-            f"named_struct('col1', transform({merged}, s -> s.k), "
-            f"'col2', transform({merged}, s -> s.v))"
+            f"element_at(transform(array({pairs}), p -> "
+            f"element_at(transform(array({merged}), m -> "
+            f"named_struct('col1', transform(m, s -> s.k), "
+            f"'col2', transform(m, s -> s.v))), 1)), 1)"
         )
 
     return h
@@ -1458,9 +1480,13 @@ _PLAIN = {
     **{n: _engine_pointer(n) for n in _ENGINE_OP_POINTERS},
     # map-shaped aggregates: fold per-key runs of the collected
     # (key, value) zips with array HOFs — tuple-of-arrays shape kept
-    "summap": _map_agg("sumMap", "acc + x.v", drop_zero=True),
-    "minmap": _map_agg("minMap", "least(acc, x.v)", drop_zero=False),
-    "maxmap": _map_agg("maxMap", "greatest(acc, x.v)", drop_zero=False),
+    "summap": _map_agg("sumMap", "acc.cur.v + x.v", drop_zero=True),
+    "minmap": _map_agg(
+        "minMap", "least(acc.cur.v, x.v)", drop_zero=False
+    ),
+    "maxmap": _map_agg(
+        "maxMap", "greatest(acc.cur.v, x.v)", drop_zero=False
+    ),
     "countif": lambda a: f"count_if({a[0]})",
     # the generic -If combinator (ClickHouse allows it on EVERY
     # aggregate): whitelisted per base aggregate with per-class arity
