@@ -84,10 +84,10 @@ def _status_rank() -> dict[str, int]:
 # with REGISTRY.update(staged_r13.STAGED_R13) in queries/__init__.py;
 # the disjointness guard in the r13 test file flags any collision.
 # staged_r14.py (round 14), staged_r15.py (round 15), and
-# staged_r16.py .. staged_r19.py (rounds 16-19, all built this round)
-# are ALSO built and parity-proven — the pipeline is SEVEN waves
-# deep, one per remaining round through round 19; each activates the
-# same way in its round, newest-last.
+# staged_r16.py .. staged_r20.py (rounds 16-20, all built this round)
+# are ALSO built and parity-proven — the pipeline is EIGHT waves
+# deep, one per EVERY remaining round through the final round 20;
+# each activates the same way in its round, newest-last.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

@@ -119,6 +119,7 @@ def main() -> int:
             ("staged_r17", "STAGED_R17"),
             ("staged_r18", "STAGED_R18"),
             ("staged_r19", "STAGED_R19"),
+            ("staged_r20", "STAGED_R20"),
         ):
             try:
                 m = __import__(
