@@ -1498,3 +1498,127 @@ def test_distinct_on_compiles_to_partitioned_window(spark):
     for ln in win_lines:
         assert re.search(r"windowspecdefinition\(user_id#\d+L?,", ln), ln
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-18/19/20 staged waves (built during round 12)
+# ---------------------------------------------------------------------------
+
+
+def _staged_plan(spark, wave: str, name: str) -> str:
+    import importlib
+
+    m = importlib.import_module(f"clickbom_spark.queries.staged_{wave}")
+    df = getattr(m, f"STAGED_{wave.upper()}")[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_map_agg_single_collect_no_python(spark):
+    """The sumMap compile must be ONE collect_list aggregate feeding
+    array HOFs — no explode, no Python, no pair join; Catalyst dedups
+    the identical zip aggregates across the tuple's two components."""
+    plan = _staged_plan(spark, "r18", "q_dialect_summap_daily")
+    assert "collect_list" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate explode" not in plan, plan
+
+
+def test_spend_quartiles_rank_is_bucketed(spark):
+    """The user-spend quartile rank must be the ext/ranks value-bucket
+    window (partitioned by the bucket column), never a total-order
+    window over the user population."""
+    import re
+
+    plan = _staged_plan(spark, "r18", "q_user_spend_quartiles")
+    assert re.search(r"windowspecdefinition\(_bkt", plan), plan
+
+
+def test_lorenz_rank_is_bucketed(spark):
+    import re
+
+    plan = _staged_plan(spark, "r18", "q_lorenz_deciles")
+    assert re.search(r"windowspecdefinition\(_bkt", plan), plan
+
+
+def test_median_ci_windows_over_distinct_values(spark):
+    """Order-statistic selection must run on the (event_type, cents)
+    DISTINCT-VALUE cumulative frame: the window partitions by
+    event_type and its input is already an aggregate."""
+    import re
+
+    plan = _staged_plan(spark, "r18", "q_median_ci_orderstat")
+    assert re.search(r"windowspecdefinition\(event_type", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cooccurrence_is_composite_equi_join(spark):
+    """Type-pair co-occurrence self-joins on the (user_id, d) key —
+    never a cartesian or nested-loop expansion."""
+    plan = _staged_plan(spark, "r18", "q_event_type_cooccurrence")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sign_concordance_is_vec_keyed_join(spark):
+    plan = _staged_plan(spark, "r18", "q_emb_dim_sign_concordance")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_streak_windows_user_partitioned(spark):
+    import re
+
+    plan = _staged_plan(spark, "r19", "q_activity_streaks")
+    for ln in plan.split("\n"):
+        if "windowspecdefinition" in ln:
+            assert re.search(r"windowspecdefinition\(user_id", ln), ln
+
+
+def test_retention_joins_are_user_keyed(spark):
+    plan = _staged_plan(spark, "r19", "q_retention_d1_d7")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_centroid_purity_candidates_bounded(spark):
+    """Nearest-centroid purity joins the exploded fact to the
+    label-count-sized centroid frame on the DIMENSION axis and picks
+    the argmax with a per-vector window — no all-pairs product."""
+    import re
+
+    plan = _staged_plan(spark, "r19", "q_emb_centroid_purity")
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"windowspecdefinition\(vec_id", plan), plan
+
+
+def test_char_ngrams_topk_window_per_lang(spark):
+    """The LIMIT 5 BY compile must partition its row_number window by
+    lang, running over the bounded trigram-vocabulary aggregate."""
+    import re
+
+    plan = _staged_plan(spark, "r20", "q_dialect_char_ngrams")
+    win = [ln for ln in plan.split("\n") if "windowspecdefinition" in ln]
+    assert win, plan
+    for ln in win:
+        assert re.search(r"windowspecdefinition\(lang", ln), ln
+
+
+def test_intra_inter_dot_is_window_free(spark):
+    """The within/cross-label mean-dot identity is pure aggregation —
+    the plan must contain NO window and NO pair-producing join.  (The
+    single BroadcastNestedLoopJoin is the sanctioned 1-row total-count
+    crossJoin, not a pair product — vec_id never appears in a join
+    key.)"""
+    plan = _staged_plan(spark, "r20", "q_emb_intra_inter_dot")
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_supplier_deciles_rank_is_bucketed(spark):
+    import re
+
+    plan = _staged_plan(spark, "r20", "q_supplier_balance_deciles")
+    assert re.search(r"windowspecdefinition\(_bkt", plan), plan
