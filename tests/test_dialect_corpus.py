@@ -862,6 +862,67 @@ CORPUS: list[tuple[str, str, str]] = [
         FROM per GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     ),
+    (
+        # round-12: the NULL-handling family — ifNull→coalesce,
+        # nullIf→nullif, assumeNotNull→identity (the annotation only
+        # unwraps ClickHouse's Nullable wrapper)
+        "null_handling",
+        """
+        SELECT l_linestatus,
+               sum(ifNull(toInt64(l_quantity), 0)) AS qty,
+               count(nullIf(l_returnflag, 'N')) AS flagged,
+               count(assumeNotNull(l_orderkey)) AS n
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        """
+        SELECT l_linestatus,
+               CAST(SUM(coalesce(CAST(l_quantity AS BIGINT), 0))
+                    AS BIGINT) AS qty,
+               CAST(count(nullif(l_returnflag, 'N')) AS BIGINT)
+                 AS flagged,
+               CAST(count(l_orderkey) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+    ),
+    (
+        # round-12: GLOBAL [NOT] IN strips (the one-shot-subquery
+        # distribution hint — moot under Catalyst's subquery planning)
+        "global_in",
+        """
+        SELECT count() AS n FROM orders
+        WHERE o_custkey GLOBAL IN (SELECT c_custkey FROM customer
+                                   WHERE c_acctbal > 1000)
+          AND o_orderkey GLOBAL NOT IN (SELECT l_orderkey
+                                        FROM lineitem
+                                        WHERE l_quantity > 45)
+        """,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > 1000)
+          AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_quantity > 45)
+        """,
+    ),
+    (
+        # round-12: the ISO-8601 week calendar mappings
+        "iso_calendar",
+        """
+        SELECT toISOYear(o_orderdate) AS iy,
+               toISOWeek(o_orderdate) AS iw, count() AS n
+        FROM orders WHERE o_orderkey % 37 = 0
+        GROUP BY iy, iw ORDER BY iy, iw LIMIT 10
+        """,
+        """
+        SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS iy,
+               CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS iw,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderkey % 37 = 0
+        GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10
+        """,
+    ),
 ]
 
 # the dict_get family's dictionary: SQL-defined over the corpus views,
