@@ -390,6 +390,20 @@ def _split_by_char(args):
     return f"split({args[1]}, {re.escape(sep[1:-1])!r})"
 
 
+def _split_by_string(args):
+    """``splitByString(sep, s)`` — literal multi-char separator,
+    regex-escaped for Spark's split (which is regex-based)."""
+    if len(args) != 2:
+        raise UnsupportedClickHouseSQL("splitByString expects (sep, s)")
+    sep = args[0].strip()
+    if not (len(sep) >= 3 and sep[0] == sep[-1] == "'"):
+        raise UnsupportedClickHouseSQL(
+            "splitByString: separator must be a string literal "
+            "(a dynamic separator would need runtime regex-quoting)"
+        )
+    return f"split({args[1]}, {re.escape(sep[1:-1])!r})"
+
+
 _INTERVAL_SECONDS = {
     "second": 1, "minute": 60, "hour": 3600, "day": 86400,
 }
@@ -1558,6 +1572,7 @@ _PLAIN = {
     "arrayelement": lambda a: f"element_at({a[0]}, {a[1]})",
     "arraysort": lambda a: f"sort_array({a[0]})",
     "splitbychar": _split_by_char,
+    "splitbystring": _split_by_string,
     "position": lambda a: f"locate({a[1]}, {a[0]})",
     "lengthutf8": lambda a: f"length({a[0]})",
     "lowerutf8": lambda a: f"lower({a[0]})",
@@ -1616,6 +1631,23 @@ _PLAIN = {
     "modulo": lambda a: f"({a[0]} % {a[1]})",
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",
+    # the remaining named-operator spellings: divide/multiply/negate
+    # have no Spark SQL function names; the OrZero variants coalesce
+    # the zero-divisor case to 0 (ClickHouse contract; both DIV and
+    # % already truncate toward zero on both engines)
+    "divide": lambda a: f"({a[0]} / {a[1]})",
+    "multiply": lambda a: f"({a[0]} * {a[1]})",
+    "negate": lambda a: f"(- {a[0]})",
+    "intdivorzero": lambda a: (
+        f"(CASE WHEN ({a[1]}) = 0 THEN 0 "
+        f"ELSE ({a[0]}) DIV ({a[1]}) END)"
+    ),
+    "moduloorzero": lambda a: (
+        f"(CASE WHEN ({a[1]}) = 0 THEN 0 "
+        f"ELSE ({a[0]}) % ({a[1]}) END)"
+    ),
+    # countDistinct is the camelCase alias of count(DISTINCT ...)
+    "countdistinct": lambda a: f"count(DISTINCT {', '.join(a)})",
     # date/time arithmetic family (functions/date-time-functions).
     # ClickHouse dateDiff takes the unit FIRST as a string literal;
     # Spark's timestampdiff takes a bare keyword — strip the quotes.

@@ -867,6 +867,50 @@ def test_tdigest_quantiles_translate_to_percentile_approx(spark):
         )
 
 
+def test_named_operator_spellings(spark):
+    """divide/multiply/negate and the OrZero variants compile to the
+    operators (no Spark function of those names exists); OrZero
+    coalesces the zero-divisor case to 0, everything else keeps
+    C-style truncation/sign semantics on both engines."""
+    spark.sql(
+        "SELECT * FROM VALUES (10, 3), (7, 0), (-7, 2) AS t(a, b)"
+    ).createOrReplaceTempView("named_ops_t")
+    rows = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT a, divide(a, 2) AS d, multiply(a, b) AS m,"
+            " negate(a) AS neg, intDivOrZero(a, b) AS idz,"
+            " moduloOrZero(a, b) AS mz"
+            " FROM named_ops_t ORDER BY a"
+        )
+    ).collect()
+    got = {r.a: (r.d, r.m, r.neg, r.idz, r.mz) for r in rows}
+    assert got[7] == (3.5, 0, -7, 0, 0)
+    assert got[10] == (5.0, 30, -10, 3, 1)
+    assert got[-7] == (-3.5, -14, 7, -3, -1)
+    cd = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT countDistinct(b) AS cd FROM named_ops_t"
+        )
+    ).collect()[0]
+    assert cd.cd == 3
+
+
+def test_split_by_string_literal_separator(spark):
+    got = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT arrayStringConcat(splitByString(', ', 'x, y, z'),"
+            " '|') AS sp"
+        )
+    ).collect()[0]
+    assert got.sp == "x|y|z"
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="literal"):
+        translate_clickhouse_sql("SELECT splitByString(sep, s) FROM t")
+
+
 def test_unknown_parametric_aggregates_fail_fast():
     """EVERY fn(params)(args) double-paren call routes through the
     parametric table — unknown names fail fast with a clear message
