@@ -110,8 +110,26 @@ clear error rather than silently mis-translating):
   ``extractAll`` (capture-group arity decides the extraction index at
   translate time), ``countMatches``
 - more array/misc: ``arrayMin/arrayMax/arrayAvg/arrayZip/
-  arrayEnumerate`` (empty-array safe), ``tuple``→struct,
-  ``mapKeys/mapValues``, ``materialize`` (no-op), ``ignore``→0
+  arrayEnumerate`` (empty-array safe), ``hasAll/hasAny/countEqual/
+  arrayPushBack/Front/arrayPopBack/Front/arrayIntersect/
+  arrayReverseSort/arrayWithConstant/arrayDifference/arrayCumSum``
+  (linear folds; difference leads with 0), typed ``emptyArray*``
+  constructors, ``tuple``→struct, ``mapKeys/mapValues``,
+  ``materialize/toNullable/toUUID`` (no-ops), ``ignore``→0,
+  numeric ``trunc/truncate`` (toward zero — must not leak onto
+  Spark's DATE trunc), ``dateAdd/dateSub(unit, n, d)``,
+  ``toRelativeDayNum``, ``timeSlot`` (30-min floor),
+  ``splitByString``, ``notLike``, ``countDistinct``,
+  ``divide/multiply/negate/intDivOrZero/moduloOrZero``,
+  ``currentDatabase/generateUUIDv4/rand64``; hash spellings:
+  ``sipHash64/farmHash64/halfMD5``→xxhash64 (stable surrogates, the
+  cityHash64 contract) while ``MD5/SHA1/SHA256``→``unhex(md5/sha…)``
+  return ClickHouse's BINARY digests so ``hex(MD5(x))`` composes to
+  the standard hex; block-order-dependent functions
+  (``neighbor/runningDifference/runningAccumulate/
+  rowNumberInAllBlocks``) fail fast toward window/engine twins, as
+  do ``gcd/lcm/toFixedString/toTimeZone/arrayCompact/arrayResize/
+  greatCircleDistance``
 - DDL bridge: :func:`register_table_ddl` parses a ClickHouse ``CREATE
   TABLE`` statement (the reference's own DDL) and auto-registers the
   FINAL (ReplacingMergeTree version + ORDER BY key) and SAMPLE BY
@@ -388,6 +406,56 @@ def _split_by_char(args):
             "splitByChar: separator must be a literal char"
         )
     return f"split({args[1]}, {re.escape(sep[1:-1])!r})"
+
+
+def _scalar_fail(msg: str):
+    raise UnsupportedClickHouseSQL(msg)
+
+
+def _numeric_trunc(a: list[str]) -> str:
+    """ClickHouse numeric trunc/truncate — toward zero, optional digit
+    count.  MUST NOT leak: Spark's trunc() is a DATE function, so the
+    passthrough would silently re-type the expression."""
+    x = a[0]
+    if len(a) == 1 or a[1].strip() == "0":
+        return (
+            f"(CASE WHEN ({x}) >= 0 THEN floor({x}) "
+            f"ELSE ceil({x}) END) * 1.0"
+        )
+    n = a[1].strip()
+    if n[:1] in ("'", '"'):
+        raise UnsupportedClickHouseSQL(
+            "trunc/truncate take a DIGIT count in ClickHouse "
+            "(numeric truncation); for Spark's date truncation write "
+            "date_trunc / toStartOf* instead"
+        )
+    return (
+        f"(CASE WHEN ({x}) >= 0 "
+        f"THEN floor(({x}) * power(10, {n})) "
+        f"ELSE ceil(({x}) * power(10, {n})) END) / power(10, {n})"
+    )
+
+
+_DATE_ADD_UNITS = {
+    "second", "minute", "hour", "day", "week", "month", "quarter",
+    "year",
+}
+
+
+def _date_add_sub(a: list[str], op: str) -> str:
+    """``dateAdd/dateSub(unit, n, d)`` (bare or quoted unit) → interval
+    arithmetic; interval-times-integer keeps a non-literal ``n``."""
+    if len(a) != 3:
+        raise UnsupportedClickHouseSQL(
+            "dateAdd/dateSub expect (unit, count, date)"
+        )
+    unit = a[0].strip().strip("'\"").lower()
+    if unit not in _DATE_ADD_UNITS:
+        raise UnsupportedClickHouseSQL(
+            f"dateAdd/dateSub unit {a[0]!r}: supported units are "
+            f"{sorted(_DATE_ADD_UNITS)}"
+        )
+    return f"(({a[2]}) {op} (INTERVAL 1 {unit.upper()}) * ({a[1]}))"
 
 
 def _split_by_string(args):
@@ -1804,6 +1872,147 @@ _PLAIN = {
     # materialize defeats ClickHouse constant folding — a no-op here;
     # ignore() evaluates args for side effects and returns 0
     "materialize": lambda a: f"({a[0]})",
+    # type-annotation no-ops: Nullable wrapping has no Spark
+    # equivalent (every column is nullable), UUIDs stay strings
+    "tonullable": lambda a: f"({a[0]})",
+    "touuid": lambda a: f"({a[0]})",
+    # predicates / string spellings with direct Spark twins
+    "notlike": lambda a: f"({a[0]} NOT LIKE {a[1]})",
+    # numeric truncation toward zero: Spark's trunc() is a DATE
+    # function, so the ClickHouse numeric spelling must not leak
+    # (it would silently date-truncate or fail to resolve)
+    "trunc": lambda a: _numeric_trunc(a),
+    "truncate": lambda a: _numeric_trunc(a),
+    # dateAdd/dateSub with a unit keyword (also the quoted-unit form)
+    "dateadd": lambda a: _date_add_sub(a, "+"),
+    "datesub": lambda a: _date_add_sub(a, "-"),
+    "torelativedaynum": lambda a: (
+        f"datediff(CAST({a[0]} AS DATE), DATE '1970-01-01')"
+    ),
+    # timeSlot floors to the half-hour (ClickHouse's fixed 1800 s
+    # slot) — same local-midnight remainder logic as
+    # toStartOfInterval
+    "timeslot": lambda a: _to_start_of_interval(
+        [a[0], "INTERVAL 30 minute"]
+    ),
+    # array membership / editing with Spark-native twins
+    "hasall": lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)",
+    "hasany": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
+    "countequal": lambda a: (
+        f"size(filter({a[0]}, ce -> ce <=> {a[1]}))"
+    ),
+    "arraypushback": lambda a: f"concat({a[0]}, array({a[1]}))",
+    "arraypushfront": lambda a: f"concat(array({a[1]}), {a[0]})",
+    "arraypopback": lambda a: (
+        f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+    ),
+    "arraypopfront": lambda a: (
+        f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
+    ),
+    "arrayintersect": lambda a: (
+        f"array_intersect({a[0]}, {a[1]})"
+    ),
+    # simple (lambda-less) descending sort; NULLs land last on the
+    # Spark side (documented alongside the other NULL-order deltas)
+    "arrayreversesort": lambda a: (
+        f"sort_array({a[0]}, false)" if len(a) == 1
+        else _scalar_fail(
+            "arrayReverseSort with a lambda: use arraySort(fn, x) "
+            "composed with reverse()"
+        )
+    ),
+    "arraywithconstant": lambda a: f"array_repeat({a[1]}, {a[0]})",
+    # adjacent difference / running sum inside one array: linear
+    # index-lambda / fold shapes (first element of the difference is
+    # 0, the ClickHouse contract)
+    "arraydifference": lambda a: (
+        f"transform({a[0]}, (adx, adi) -> CASE WHEN adi = 0 THEN "
+        f"adx * 0 ELSE adx - element_at({a[0]}, adi) END)"
+    ),
+    "arraycumsum": lambda a: (
+        f"aggregate({a[0]}, named_struct("
+        f"'s', element_at({a[0]}, 1) * 0, "
+        f"'o', slice({a[0]}, 1, 0)), "
+        f"(acs, acx) -> named_struct('s', acs.s + acx, "
+        f"'o', concat(acs.o, array(acs.s + acx))), acs -> acs.o)"
+    ),
+    # typed empty-array constructors (the common element types)
+    "emptyarrayint64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyarrayuint64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyarrayint32": lambda a: "CAST(array() AS ARRAY<INT>)",
+    "emptyarrayuint32": lambda a: "CAST(array() AS ARRAY<INT>)",
+    "emptyarrayfloat64": lambda a: "CAST(array() AS ARRAY<DOUBLE>)",
+    "emptyarraystring": lambda a: "CAST(array() AS ARRAY<STRING>)",
+    "emptyarraydate": lambda a: "CAST(array() AS ARRAY<DATE>)",
+    # hash surrogates: same role as the documented cityHash64 →
+    # xxhash64 mapping (stable bucketing value, NOT ClickHouse's
+    # bits); md5/sha* return ClickHouse's BINARY digests so hex(...)
+    # composes exactly
+    "siphash64": lambda a: f"xxhash64({', '.join(a)})",
+    "farmhash64": lambda a: f"xxhash64({', '.join(a)})",
+    "farmfingerprint64": lambda a: f"xxhash64({', '.join(a)})",
+    "halfmd5": lambda a: f"xxhash64({', '.join(a)})",
+    "md5": lambda a: f"unhex(md5({a[0]}))",
+    "sha256": lambda a: f"unhex(sha2({a[0]}, 256))",
+    "sha1": lambda a: f"unhex(sha1({a[0]}))",
+    "currentdatabase": lambda a: "current_database()",
+    "generateuuidv4": lambda a: "uuid()",
+    "rand64": lambda a: (
+        "CAST(floor(rand() * 9.223372036854776e18) AS BIGINT)"
+    ),
+    # block-order-dependent ClickHouse functions: their value depends
+    # on physical block boundaries, which Spark has no analogue of —
+    # fail fast toward the deterministic engine twins
+    "neighbor": lambda a: _scalar_fail(
+        "neighbor() reads across physical block boundaries — use a "
+        "lag/lead window over an explicit order (engine twin: "
+        "q_neighbor_deltas)"
+    ),
+    "runningdifference": lambda a: _scalar_fail(
+        "runningDifference() is block-order-dependent — use "
+        "x - lag(x) OVER (ORDER BY ...) (engine twin: "
+        "q_window_lag_gaps)"
+    ),
+    "runningaccumulate": lambda a: _scalar_fail(
+        "runningAccumulate() is block-order-dependent — use a "
+        "running-sum window over an explicit order (engine twin: "
+        "q_running_accumulate)"
+    ),
+    "rownumberinallblocks": lambda a: _scalar_fail(
+        "rowNumberInAllBlocks() numbers physical blocks — use "
+        "row_number() OVER (ORDER BY <a real key>)"
+    ),
+    "greatcircledistance": lambda a: _scalar_fail(
+        "greatCircleDistance: libm trig is not in the deterministic "
+        "surface — use the engine's haversine operator "
+        "(q_geo_distance)"
+    ),
+    "gcd": lambda a: _scalar_fail(
+        "gcd() needs an iterative algorithm (no single Spark "
+        "expression)"
+    ),
+    "lcm": lambda a: _scalar_fail(
+        "lcm() needs an iterative algorithm (no single Spark "
+        "expression)"
+    ),
+    "tofixedstring": lambda a: _scalar_fail(
+        "toFixedString: Spark has no fixed-width string type; pad "
+        "explicitly with rpad if the zero-padding is wanted"
+    ),
+    "totimezone": lambda a: _scalar_fail(
+        "toTimeZone: the corpus stores naive (NTZ) timestamps — "
+        "convert explicitly with convert_timezone if wall-clock "
+        "re-zoning is really intended"
+    ),
+    "arraycompact": lambda a: _scalar_fail(
+        "arrayCompact (adjacent dedup) has no Spark builtin — "
+        "array_distinct changes semantics; write an aggregate() fold "
+        "if adjacency matters"
+    ),
+    "arrayresize": lambda a: _scalar_fail(
+        "arrayResize needs a typed pad value — use "
+        "concat(slice(...), array_repeat(pad, n)) explicitly"
+    ),
     # ClickHouse's frame-aware window navigation: lagInFrame /
     # leadInFrame(x[, offset[, default]]) → lag/lead.  Documented
     # delta: Spark's lag/lead always navigate the whole partition,

@@ -911,6 +911,50 @@ def test_split_by_string_literal_separator(spark):
         translate_clickhouse_sql("SELECT splitByString(sep, s) FROM t")
 
 
+def test_round12_function_batch(spark):
+    """The leak-through sweep batch: numeric trunc/truncate (Spark's
+    trunc is a DATE function — the passthrough would silently
+    re-type), dateAdd/dateSub with unit keywords, array editing,
+    adjacent difference / running sum folds, binary-faithful
+    md5/sha256 (hex() composes to the standard digests), typed empty
+    arrays, and block-order fail-fasts."""
+    spark.sql(
+        "SELECT * FROM VALUES (2.9, -2.9, array(1, 4, 9),"
+        " TIMESTAMP '2024-01-15 10:00:00') AS t(p, q, arr, ts)"
+    ).createOrReplaceTempView("fn_batch_t")
+    r = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT trunc(p) AS tp, trunc(q) AS tq,"
+            " dateAdd(DAY, 3, ts) AS da, toRelativeDayNum(ts) AS rdn,"
+            " hasAll(arr, [1, 4]) AS ha, countEqual(arr, 4) AS ceq,"
+            " arrayPopBack(arr) AS apo, arrayDifference(arr) AS ad,"
+            " arrayCumSum(arr) AS acs, arrayReverseSort(arr) AS ars,"
+            " hex(MD5('abc')) AS md, emptyArrayUInt64() AS ea"
+            " FROM fn_batch_t"
+        )
+    ).collect()[0]
+    assert float(r.tp) == 2.0 and float(r.tq) == -2.0
+    assert str(r.da).startswith("2024-01-18") and r.rdn == 19737
+    assert r.ha and r.ceq == 1 and list(r.apo) == [1, 4]
+    assert list(r.ad) == [0, 3, 5] and list(r.acs) == [1, 5, 14]
+    assert list(r.ars) == [9, 4, 1] and list(r.ea) == []
+    # binary digest: hex(MD5(x)) must be the standard md5 hex
+    assert r.md == "900150983CD24FB0D6963F7D28E17F72"
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    for bad, frag in [
+        ("SELECT neighbor(x, 1) FROM t", "q_neighbor_deltas"),
+        ("SELECT runningAccumulate(x) FROM t", "q_running_accumulate"),
+        ("SELECT greatCircleDistance(1,2,3,4) FROM t", "q_geo_distance"),
+        ("SELECT trunc(ts, 'MM') FROM t", "DIGIT count"),
+        ("SELECT dateAdd(FORTNIGHT, 1, ts) FROM t", "supported units"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=frag):
+            translate_clickhouse_sql(bad)
+
+
 def test_unknown_parametric_aggregates_fail_fast():
     """EVERY fn(params)(args) double-paren call routes through the
     parametric table — unknown names fail fast with a clear message
