@@ -130,6 +130,27 @@ clear error rather than silently mis-translating):
   rowNumberInAllBlocks``) fail fast toward window/engine twins, as
   do ``gcd/lcm/toFixedString/toTimeZone/arrayCompact/arrayResize/
   greatCircleDistance``
+- conversions/vector/bits/calendar (round-12 sweep 2):
+  ``toDecimal32/64/128``→typed CAST, ``to*OrZero/OrNull``→try_cast
+  (+ ClickHouse zero defaults; lenient-parse delta documented),
+  two-argument ``cast(x, 'Int64')``/``accurateCast``→CAST via a
+  ClickHouse-type-name table, ``toInterval*``→interval products,
+  ``skewPop``→skewness, ``kurtPop``→kurtosis+3 (Spark's is excess;
+  the Samp forms fail fast), ``groupConcat`` incl. the parametric
+  separator form, ``sumWithOverflow``→sum (no wraparound — delta),
+  ``L1Norm/L2Norm/L2SquaredNorm/LpNorm/dotProduct/L1Distance/
+  L2Distance/cosineDistance``→linear array folds,
+  ``mapContains/mapAdd``, ``levenshteinDistance/editDistance``→
+  levenshtein, ``bitCount/bitTest/bitTestAll/bitTestAny``,
+  ``roundToExp2`` (binary-string log2, libm-free), ``roundDown``,
+  ``roundBankers``→bround, ``toYYYYMMDD[hhmmss]``, ``toDayOfYear``,
+  ``toMonday``, ``toLastDayOfMonth``, ``monthName``,
+  ``now64/nowInBlock``→current_timestamp, ``age`` for FIXED-WIDTH
+  units only (month/quarter/year fail fast: the engines clamp
+  month-end anchors differently — measured off-by-one), and
+  ``parseDateTime`` through the same strftime table as
+  formatDateTime (parse direction; ``parseDateTimeBestEffort``
+  fails fast toward an explicit format)
 - DDL bridge: :func:`register_table_ddl` parses a ClickHouse ``CREATE
   TABLE`` statement (the reference's own DDL) and auto-registers the
   FINAL (ReplacingMergeTree version + ORDER BY key) and SAMPLE BY
@@ -440,6 +461,125 @@ _DATE_ADD_UNITS = {
     "second", "minute", "hour", "day", "week", "month", "quarter",
     "year",
 }
+
+# ClickHouse type names accepted by accurateCast / two-argument cast
+_CH_CAST_TYPES = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
+    "int64": "BIGINT", "uint8": "BIGINT", "uint16": "BIGINT",
+    "uint32": "BIGINT", "uint64": "BIGINT",
+    "float32": "FLOAT", "float64": "DOUBLE", "string": "STRING",
+    "date": "DATE", "datetime": "TIMESTAMP", "bool": "BOOLEAN",
+}
+
+
+def _accurate_cast(a: list[str]) -> str:
+    if len(a) != 2:
+        raise UnsupportedClickHouseSQL("cast expects (x, 'Type')")
+    t = a[1].strip().strip("'\"").lower()
+    spark_t = _CH_CAST_TYPES.get(t)
+    if spark_t is None:
+        raise UnsupportedClickHouseSQL(
+            f"cast/accurateCast type {a[1]!r}: supported names are "
+            f"{sorted(_CH_CAST_TYPES)}"
+        )
+    return f"CAST({a[0]} AS {spark_t})"
+
+
+def _try_cast(spark_t: str, default: str | None):
+    """``to<T>OrNull`` → try_cast; ``to<T>OrZero`` coalesces the
+    parse failure to the ClickHouse zero default.  Delta (documented):
+    try_cast parses leniently where ClickHouse's strict readers
+    reject (e.g. ``'3.5'`` → 3 here, 0 in toInt64OrZero)."""
+
+    def h(a: list[str]) -> str:
+        inner = f"try_cast({a[0]} AS {spark_t})"
+        if default is None:
+            return inner
+        return f"coalesce({inner}, {default})"
+
+    return h
+
+
+_AGE_FIXED_UNITS = {"second", "minute", "hour", "day", "week"}
+
+
+def _age(a: list[str]) -> str:
+    """``age(unit, a, b)`` — COMPLETE elapsed units between two
+    datetimes; Spark's timestampdiff counts fixed-width units the
+    same way.  month/quarter/year fail fast: the two engines clamp
+    month-end anchors differently (measured: Mar-31 → May-01 is 1
+    month in ClickHouse, 0 in Spark), a silent off-by-one."""
+    if len(a) != 3:
+        raise UnsupportedClickHouseSQL("age expects (unit, a, b)")
+    unit = a[0].strip().strip("'\"").lower()
+    if unit not in _AGE_FIXED_UNITS:
+        raise UnsupportedClickHouseSQL(
+            f"age unit {a[0]!r}: only fixed-width units "
+            f"{sorted(_AGE_FIXED_UNITS)} translate faithfully — "
+            "ClickHouse and Spark clamp month-end anchors "
+            "differently for month/quarter/year"
+        )
+    return f"timestampdiff({unit.upper()}, {a[1]}, {a[2]})"
+
+
+def _parse_datetime(a: list[str]) -> str:
+    """``parseDateTime(s, '%format')`` — the strftime specifiers
+    convert through the same table as formatDateTime, parse
+    direction (so %e and the ambiguous specifiers fail fast)."""
+    if len(a) != 2:
+        raise UnsupportedClickHouseSQL(
+            "parseDateTime: only the (string, 'format') form is "
+            "translated"
+        )
+    f = a[1].strip()
+    if not (len(f) >= 2 and f[0] == "'" and f[-1] == "'"
+            and "'" not in f[1:-1]):
+        raise UnsupportedClickHouseSQL(
+            "parseDateTime: the format must be a string literal"
+        )
+    fmt = f[1:-1]
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            out.append("'" + "".join(lit) + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise UnsupportedClickHouseSQL(
+                    "parseDateTime: dangling % in format"
+                )
+            spec = fmt[i + 1]
+            if spec == "%":
+                lit.append("%")
+            elif spec in _FDT_AMBIGUOUS:
+                raise UnsupportedClickHouseSQL(
+                    f"parseDateTime: %{spec} {_FDT_AMBIGUOUS[spec]}"
+                )
+            elif spec == "e":
+                raise UnsupportedClickHouseSQL(
+                    "parseDateTime: %e (space-padded day) has no "
+                    "parse-side DateTimeFormatter token — use %d"
+                )
+            elif spec in _FDT_MAP:
+                flush()
+                out.append(_FDT_MAP[spec])
+            else:
+                raise UnsupportedClickHouseSQL(
+                    f"parseDateTime: unsupported specifier %{spec}"
+                )
+            i += 2
+        else:
+            lit.append(c)
+            i += 1
+    flush()
+    pattern = "".join(out).replace("'", "''")
+    return f"to_timestamp({a[0]}, '{pattern}')"
 
 
 def _date_add_sub(a: list[str], op: str) -> str:
@@ -1960,6 +2100,181 @@ _PLAIN = {
     "rand64": lambda a: (
         "CAST(floor(rand() * 9.223372036854776e18) AS BIGINT)"
     ),
+    # typed conversions: decimals, Or-Zero/Or-Null parse fallbacks,
+    # the two-argument cast spelling, typed intervals
+    "todecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1]}))",
+    "todecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1]}))",
+    "todecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
+    "toint8orzero": _try_cast("TINYINT", "0"),
+    "toint16orzero": _try_cast("SMALLINT", "0"),
+    "toint32orzero": _try_cast("INT", "0"),
+    "toint64orzero": _try_cast("BIGINT", "0"),
+    "touint32orzero": _try_cast("BIGINT", "0"),
+    "touint64orzero": _try_cast("BIGINT", "0"),
+    "tofloat32orzero": _try_cast("FLOAT", "0"),
+    "tofloat64orzero": _try_cast("DOUBLE", "0"),
+    "toint32ornull": _try_cast("INT", None),
+    "toint64ornull": _try_cast("BIGINT", None),
+    "touint64ornull": _try_cast("BIGINT", None),
+    "tofloat64ornull": _try_cast("DOUBLE", None),
+    "todateornull": _try_cast("DATE", None),
+    "todateorzero": _try_cast("DATE", "DATE '1970-01-01'"),
+    "todatetimeornull": _try_cast("TIMESTAMP", None),
+    "accuratecast": _accurate_cast,
+    # the two-argument FUNCTION spelling cast(x, 'Int64'); the
+    # standard CAST(x AS T) arrives as one argument and passes through
+    "cast": lambda a: (
+        _accurate_cast(a) if len(a) == 2 else f"CAST({', '.join(a)})"
+    ),
+    **{
+        f"tointerval{u}": (
+            lambda a, _u=u: f"((INTERVAL 1 {_u.upper()}) * ({a[0]}))"
+        )
+        for u in _DATE_ADD_UNITS
+    },
+    # statistical shape aggregates: Spark's skewness IS the
+    # population g1; Spark's kurtosis is EXCESS kurtosis, ClickHouse
+    # kurtPop is the raw m4/m2² — shift by 3
+    "skewpop": lambda a: f"skewness({a[0]})",
+    "kurtpop": lambda a: f"(kurtosis({a[0]}) + 3)",
+    "skewsamp": lambda a: _scalar_fail(
+        "skewSamp (bias-corrected sample skewness) has no Spark "
+        "builtin — skewPop maps exactly; correct by "
+        "sqrt(n(n-1))/(n-2) explicitly if the sample form matters"
+    ),
+    "kurtsamp": lambda a: _scalar_fail(
+        "kurtSamp has no Spark builtin — kurtPop maps exactly "
+        "(kurtosis(x) + 3); apply the sample correction explicitly"
+    ),
+    "groupconcat": lambda a: (
+        f"array_join(collect_list({a[0]}), '')"
+    ),
+    # sum semantics match until integer wrap-around, which Spark
+    # (ANSI off) nulls rather than wraps — documented delta
+    "sumwithoverflow": lambda a: f"sum({a[0]})",
+    "deltasum": lambda a: _scalar_fail(
+        "deltaSum is block-order-dependent — use x - lag(x) over an "
+        "explicit order and sum the positive deltas"
+    ),
+    "grouparrayinsertat": lambda a: _scalar_fail(
+        "groupArrayInsertAt writes by position with unspecified "
+        "conflict order — use map_from_entries over (pos, value) "
+        "pairs with an explicit tie-break"
+    ),
+    # vector arithmetic over array columns: linear folds, Float64 out
+    "l1norm": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(ln1, lx) -> ln1 + abs(lx))"
+    ),
+    "l2norm": lambda a: (
+        f"sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(ln2, lx) -> ln2 + lx * lx))"
+    ),
+    "l2squarednorm": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(ln2, lx) -> ln2 + lx * lx)"
+    ),
+    "lpnorm": lambda a: (
+        f"power(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(lnp, lx) -> lnp + power(abs(lx), {a[1]})), 1.0 / ({a[1]}))"
+    ),
+    "dotproduct": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, (dx, dy) -> dx * dy), "
+        f"CAST(0 AS DOUBLE), (dacc, dv) -> dacc + dv)"
+    ),
+    "l1distance": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(dx, dy) -> abs(dx - dy)), CAST(0 AS DOUBLE), "
+        f"(dacc, dv) -> dacc + dv)"
+    ),
+    "l2distance": lambda a: (
+        f"sqrt(aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(dx, dy) -> (dx - dy) * (dx - dy)), CAST(0 AS DOUBLE), "
+        f"(dacc, dv) -> dacc + dv))"
+    ),
+    "cosinedistance": lambda a: (
+        f"(1.0 - aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(dx, dy) -> dx * dy), CAST(0 AS DOUBLE), "
+        f"(dacc, dv) -> dacc + dv) / "
+        f"(sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(n1, lx) -> n1 + lx * lx)) * "
+        f"sqrt(aggregate({a[1]}, CAST(0 AS DOUBLE), "
+        f"(n2, ly) -> n2 + ly * ly))))"
+    ),
+    "mapcontains": lambda a: f"map_contains_key({a[0]}, {a[1]})",
+    "mapadd": lambda a: (
+        f"map_zip_with({a[0]}, {a[1]}, "
+        f"(mzk, mv1, mv2) -> coalesce(mv1, 0) + coalesce(mv2, 0))"
+    ),
+    "levenshteindistance": lambda a: (
+        f"levenshtein({a[0]}, {a[1]})"
+    ),
+    "editdistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
+    # bit tests and rounding families
+    "bitcount": lambda a: f"bit_count({a[0]})",
+    "bittest": lambda a: f"((({a[0]}) >> ({a[1]})) & 1)",
+    "bittestall": lambda a: (
+        "(CASE WHEN "
+        + " AND ".join(
+            f"((({a[0]}) >> ({n})) & 1) = 1" for n in a[1:]
+        )
+        + " THEN 1 ELSE 0 END)"
+    ),
+    "bittestany": lambda a: (
+        "(CASE WHEN "
+        + " OR ".join(
+            f"((({a[0]}) >> ({n})) & 1) = 1" for n in a[1:]
+        )
+        + " THEN 1 ELSE 0 END)"
+    ),
+    "roundtoexp2": lambda a: (
+        f"(CASE WHEN ({a[0]}) < 1 THEN 0 ELSE "
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"length(bin(CAST({a[0]} AS BIGINT))) - 1) END)"
+    ),
+    "rounddown": lambda a: (
+        f"coalesce(array_max(filter({a[1]}, "
+        f"rde -> rde <= ({a[0]}))), array_min({a[1]}))"
+    ),
+    "roundbankers": lambda a: f"bround({', '.join(a)})",
+    # calendar spellings
+    "toyyyymmdd": lambda a: (
+        f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)"
+    ),
+    "toyyyymmddhhmmss": lambda a: (
+        f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
+    ),
+    "todayofyear": lambda a: f"dayofyear({a[0]})",
+    "tomonday": lambda a: (
+        f"CAST(date_trunc('WEEK', {a[0]}) AS DATE)"
+    ),
+    "tolastdayofmonth": lambda a: f"last_day({a[0]})",
+    "monthname": lambda a: f"date_format({a[0]}, 'MMMM')",
+    "now64": lambda a: "current_timestamp()",
+    "nowinblock": lambda a: "current_timestamp()",
+    "age": _age,
+    "parsedatetime": _parse_datetime,
+    "parsedatetimebesteffort": lambda a: _scalar_fail(
+        "parseDateTimeBestEffort is a multi-format heuristic parser "
+        "— use parseDateTime with an explicit format (or try_cast)"
+    ),
+    "todayssinceyearzero": lambda a: _scalar_fail(
+        "toDaysSinceYearZero: use toRelativeDayNum (Unix epoch "
+        "base) — the year-zero offset constant differs between "
+        "proleptic calendars"
+    ),
+    "formatreadablesize": lambda a: _scalar_fail(
+        "formatReadableSize is presentation-layer — format "
+        "explicitly with round/concat"
+    ),
+    "formatreadablequantity": lambda a: _scalar_fail(
+        "formatReadableQuantity is presentation-layer — format "
+        "explicitly with round/concat"
+    ),
+    "bar": lambda a: _scalar_fail(
+        "bar() renders a terminal histogram — presentation-layer, "
+        "use repeat('█', CAST(...))"
+    ),
     # block-order-dependent ClickHouse functions: their value depends
     # on physical block boundaries, which Spark has no analogue of —
     # fail fast toward the deterministic engine twins
@@ -2271,6 +2586,9 @@ def _parametric(name: str, params: list[str], args: list[str]) -> str:
             "single-expression Spark equivalent — use the engine "
             f"operator: {_seq_pointers[n]}"
         )
+    if n == "groupconcat":
+        # groupConcat(sep)(x): parametric separator form
+        return f"array_join(collect_list({args[0]}), {params[0]})"
     raise UnsupportedClickHouseSQL(
         f"parametric aggregate {name} is not in the supported surface"
     )

@@ -955,6 +955,59 @@ def test_round12_function_batch(spark):
             translate_clickhouse_sql(bad)
 
 
+def test_round12_conversion_vector_batch(spark):
+    """Second sweep batch: Or-Zero/Or-Null parse fallbacks, decimal /
+    two-argument casts, typed intervals, vector folds (norms, dot,
+    cosine distance), bit tests, rounding families, calendar
+    spellings, parseDateTime, and the age() fixed-width restriction
+    (month clamping diverges between engines — measured off-by-one)."""
+    spark.sql(
+        "SELECT * FROM VALUES (CAST(1.5 AS DOUBLE), '42', 'zz',"
+        " array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)),"
+        " array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),"
+        " TIMESTAMP '2024-03-31 10:00:00', 5)"
+        " AS t(x, s, bad, v1, v2, t1, b)"
+    ).createOrReplaceTempView("conv_batch_t")
+    r = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT toDecimal64(x, 2) AS d, toInt64OrZero(s) AS oz,"
+            " toInt64OrZero(bad) AS ozb, toInt64OrNull(bad) AS onl,"
+            " cast(s, 'Int64') AS c2, L2Norm(v1) AS l2,"
+            " dotProduct(v1, v2) AS dp, cosineDistance(v1, v1) AS cdz,"
+            " bitTest(b, 0) AS bt, bitTestAll(b, 0, 2) AS bta,"
+            " roundToExp2(b) AS r2, roundDown(x, [1, 2, 3]) AS rd,"
+            " toYYYYMMDD(t1) AS ymd, toMonday(t1) AS mon,"
+            " monthName(t1) AS mn,"
+            " parseDateTime('2024-01-15 10:30:00',"
+            " '%Y-%m-%d %H:%i:%S') AS pd"
+            " FROM conv_batch_t"
+        )
+    ).collect()[0]
+    assert float(r.d) == 1.5 and r.oz == 42 and r.ozb == 0
+    assert r.onl is None and r.c2 == 42
+    assert r.l2 == 5.0 and r.dp == 3.0 and abs(r.cdz) < 1e-12
+    assert r.bt == 1 and r.bta == 1 and r.r2 == 4 and float(r.rd) == 1
+    assert r.ymd == 20240331 and str(r.mon) == "2024-03-25"
+    assert r.mn == "March" and str(r.pd) == "2024-01-15 10:30:00"
+    gc = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT groupConcat(',')(s) AS g1, groupConcat(s) AS g2"
+            " FROM conv_batch_t"
+        )
+    ).collect()[0]
+    assert gc.g1 == "42" and gc.g2 == "42"
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    with pytest.raises(UnsupportedClickHouseSQL, match="clamp"):
+        translate_clickhouse_sql("SELECT age('month', a, b) FROM t")
+    with pytest.raises(UnsupportedClickHouseSQL, match="heuristic"):
+        translate_clickhouse_sql(
+            "SELECT parseDateTimeBestEffort(s) FROM t"
+        )
+
+
 def test_unknown_parametric_aggregates_fail_fast():
     """EVERY fn(params)(args) double-paren call routes through the
     parametric table — unknown names fail fast with a clear message
