@@ -2121,10 +2121,14 @@ _PLAIN = {
     "todateorzero": _try_cast("DATE", "DATE '1970-01-01'"),
     "todatetimeornull": _try_cast("TIMESTAMP", None),
     "accuratecast": _accurate_cast,
-    # the two-argument FUNCTION spelling cast(x, 'Int64'); the
-    # standard CAST(x AS T) arrives as one argument and passes through
+    # the two-argument FUNCTION spelling cast(x, 'Int64') — only when
+    # the second argument is a QUOTED type literal; everything else
+    # (incl. CAST(x AS MAP<K, V>), whose inner comma splits the args)
+    # re-joins verbatim as the standard CAST
     "cast": lambda a: (
-        _accurate_cast(a) if len(a) == 2 else f"CAST({', '.join(a)})"
+        _accurate_cast(a)
+        if len(a) == 2 and a[1].strip()[:1] in ("'", '"')
+        else f"CAST({', '.join(a)})"
     ),
     **{
         f"tointerval{u}": (
