@@ -151,6 +151,17 @@ clear error rather than silently mis-translating):
   ``parseDateTime`` through the same strftime table as
   formatDateTime (parse direction; ``parseDateTimeBestEffort``
   fails fast toward an explicit format)
+- JSON/URL/map (round-12 sweep 3): ``JSONExtractKeys/
+  JSONArrayLength`` (path-aware), ``decodeURLComponent/
+  encodeURLComponent``→url_decode/url_encode,
+  ``toStringCutToZero``→substring_index at NUL,
+  ``concatAssumeInjective``→concat, ``initcapUTF8``→initcap,
+  ``mapFromArrays``, lambda-first reorders ``mapFilter`` and
+  ``arrayFold``→aggregate; side-effect / block-introspection /
+  nondeterministic spellings (``sleep/sleepEachRow/throwIf/
+  blockNumber/blockSize/indexHint/arrayShuffle/
+  JSONExtractArrayRaw/JSONType``) fail fast with actionable
+  pointers
 - DDL bridge: :func:`register_table_ddl` parses a ClickHouse ``CREATE
   TABLE`` statement (the reference's own DDL) and auto-registers the
   FINAL (ReplacingMergeTree version + ORDER BY key) and SAMPLE BY
@@ -2278,6 +2289,62 @@ _PLAIN = {
     "bar": lambda a: _scalar_fail(
         "bar() renders a terminal histogram — presentation-layer, "
         "use repeat('█', CAST(...))"
+    ),
+    # round-12 sweep 3: JSON/URL/map/fold spellings with crisp twins
+    "jsonextractkeys": lambda a: (
+        f"json_object_keys({a[0]})" if len(a) == 1
+        else f"json_object_keys({_json_path('JSONExtractKeys', a)})"
+    ),
+    "jsonarraylength": lambda a: (
+        f"json_array_length({a[0]})" if len(a) == 1
+        else f"json_array_length({_json_path('JSONArrayLength', a)})"
+    ),
+    "decodeurlcomponent": lambda a: f"url_decode({a[0]})",
+    "encodeurlcomponent": lambda a: f"url_encode({a[0]})",
+    "tostringcuttozero": lambda a: (
+        f"substring_index({a[0]}, chr(0), 1)"
+    ),
+    "concatassumeinjective": lambda a: (
+        f"concat({', '.join(a)})"
+    ),
+    "initcaputf8": lambda a: f"initcap({a[0]})",
+    "mapfromarrays": lambda a: f"map_from_arrays({a[0]}, {a[1]})",
+    # ClickHouse puts the lambda FIRST (same reorder as arrayMap)
+    "mapfilter": lambda a: f"map_filter({a[1]}, {a[0]})",
+    "arrayfold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
+    # side-effecting / block-introspection / nondeterministic-order
+    # functions fail fast rather than leaking
+    "sleep": lambda a: _scalar_fail(
+        "sleep() is a side-effecting debug function"
+    ),
+    "sleepeachrow": lambda a: _scalar_fail(
+        "sleepEachRow() is a side-effecting debug function"
+    ),
+    "throwif": lambda a: _scalar_fail(
+        "throwIf: use a CHECK-style filter (or raise_error) "
+        "explicitly"
+    ),
+    "blocknumber": lambda a: _scalar_fail(
+        "blockNumber() exposes physical blocks — no Spark analogue"
+    ),
+    "blocksize": lambda a: _scalar_fail(
+        "blockSize() exposes physical blocks — no Spark analogue"
+    ),
+    "indexhint": lambda a: _scalar_fail(
+        "indexHint() evaluates as 1 while steering index selection — "
+        "Catalyst owns pushdown here; drop the wrapper"
+    ),
+    "arrayshuffle": lambda a: _scalar_fail(
+        "arrayShuffle is nondeterministic — use array_sort with an "
+        "explicit keyed order (or shuffle(x) knowingly)"
+    ),
+    "jsonextractarrayraw": lambda a: _scalar_fail(
+        "JSONExtractArrayRaw returns raw element strings — use "
+        "JSONExtractRaw + from_json with an explicit schema"
+    ),
+    "jsontype": lambda a: _scalar_fail(
+        "JSONType returns ClickHouse type names — inspect with "
+        "get_json_object + CASE explicitly"
     ),
     # block-order-dependent ClickHouse functions: their value depends
     # on physical block boundaries, which Spark has no analogue of —

@@ -1008,6 +1008,44 @@ def test_round12_conversion_vector_batch(spark):
         )
 
 
+def test_round12_json_url_map_batch(spark):
+    """Third sweep batch: JSON key/array-length spellings, URL
+    percent-coding, NUL-cut strings, lambda-first map/fold reorders,
+    and the side-effect/block fail-fasts."""
+    spark.sql(
+        "SELECT '{\"a\": 1, \"b\": [1,2,3]}' AS j,"
+        " 'a b%20c' AS u, array(1, 2, 3) AS arr,"
+        " array('x', 'y') AS ks, array(1, 2) AS vs"
+    ).createOrReplaceTempView("json_batch_t")
+    r = spark.sql(
+        translate_clickhouse_sql(
+            "SELECT JSONExtractKeys(j) AS jk,"
+            " JSONArrayLength(j, 'b') AS jl,"
+            " decodeURLComponent(u) AS du,"
+            " initcapUTF8('hello world') AS ic,"
+            " mapFilter((k, v) -> v > 1,"
+            "           mapFromArrays(ks, vs)) AS mfil,"
+            " arrayFold((acc, x) -> acc + x, arr, 100) AS af"
+            " FROM json_batch_t"
+        )
+    ).collect()[0]
+    assert list(r.jk) == ["a", "b"] and r.jl == 3
+    assert r.du == "a b c" and r.ic == "Hello World"
+    assert dict(r.mfil) == {"y": 2} and r.af == 106
+    import pytest
+
+    from clickbom_spark.dialect import UnsupportedClickHouseSQL
+
+    for bad, frag in [
+        ("SELECT sleep(1) FROM t", "side-effecting"),
+        ("SELECT blockNumber() FROM t", "physical blocks"),
+        ("SELECT arrayShuffle(a) FROM t", "nondeterministic"),
+        ("SELECT indexHint(x) FROM t", "Catalyst owns pushdown"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=frag):
+            translate_clickhouse_sql(bad)
+
+
 def test_unknown_parametric_aggregates_fail_fast():
     """EVERY fn(params)(args) double-paren call routes through the
     parametric table — unknown names fail fast with a clear message
