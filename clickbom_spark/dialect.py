@@ -1679,6 +1679,161 @@ _STATE_ALGEBRA = {
     "anylastsimplestate": lambda a: f"last({a[0]}, true)",
 }
 
+
+# ---------------------------------------------------------------------------
+# Round-12 sweep 4 helpers — passthrough closure.  These spellings
+# previously leaked into Spark's analyzer as unresolved routines (or,
+# worse, would resolve to a same-named Spark builtin with DIFFERENT
+# semantics).  Policy per entry: exact compile when Spark can express
+# the ClickHouse contract, documented-delta compile when only the
+# vocabulary differs, fail-fast with a pointer otherwise.
+# ---------------------------------------------------------------------------
+
+
+def _rotate_array(a: list[str], left: bool) -> str:
+    """arrayRotateLeft/Right(arr, n): slice+concat; a negative n flips
+    the direction (ClickHouse contract).  pmod normalizes the shift
+    into [0, size)."""
+    arr = a[0]
+    n = a[1] if left else f"-({a[1]})"
+    k = f"CAST(pmod({n}, size({arr})) AS INT)"
+    return (
+        f"(CASE WHEN size({arr}) <= 1 THEN {arr} ELSE "
+        f"concat(slice({arr}, {k} + 1, size({arr}) - {k}), "
+        f"slice({arr}, 1, {k})) END)"
+    )
+
+
+def _shift_array(a: list[str], left: bool) -> str:
+    """arrayShiftLeft/Right(arr, n, pad): the 2-arg form pads with the
+    element type's DEFAULT, which this dialect's type erasure cannot
+    recover — the pad must be explicit."""
+    if len(a) < 3:
+        raise UnsupportedClickHouseSQL(
+            "arrayShiftLeft/arrayShiftRight need the explicit pad "
+            "argument — the 2-arg form pads with the element type's "
+            "default value, which the dialect's type erasure loses"
+        )
+    arr, pad = a[0], a[2]
+    n = a[1] if left else f"-({a[1]})"
+    return (
+        f"(CASE WHEN ({n}) >= size({arr}) OR -({n}) >= size({arr}) "
+        f"THEN array_repeat({pad}, size({arr})) "
+        f"WHEN ({n}) >= 0 THEN concat("
+        f"slice({arr}, CAST({n} AS INT) + 1, size({arr}) - CAST({n} AS INT)), "
+        f"array_repeat({pad}, CAST({n} AS INT))) "
+        f"ELSE concat(array_repeat({pad}, CAST(-({n}) AS INT)), "
+        f"slice({arr}, 1, size({arr}) + CAST({n} AS INT))) END)"
+    )
+
+
+def _time_slots(a: list[str]) -> str:
+    """timeSlots(start, duration[, size=1800]): the array of
+    size-aligned slot starts covering [start, start+duration]."""
+    start, dur = a[0], a[1]
+    sz = a[2] if len(a) > 2 else "1800"
+    lo = f"(unix_timestamp({start}) DIV ({sz})) * ({sz})"
+    hi = f"((unix_timestamp({start}) + ({dur})) DIV ({sz})) * ({sz})"
+    return (
+        f"transform(sequence({lo}, {hi}, ({sz})), "
+        f"tslt -> timestamp_seconds(tslt))"
+    )
+
+
+_DATE_NAME_PARTS = {
+    "year": lambda x: f"CAST(year({x}) AS STRING)",
+    "quarter": lambda x: f"CAST(quarter({x}) AS STRING)",
+    "month": lambda x: f"date_format({x}, 'MMMM')",
+    "week": lambda x: f"CAST(weekofyear({x}) AS STRING)",
+    "dayofyear": lambda x: f"CAST(dayofyear({x}) AS STRING)",
+    "day": lambda x: f"CAST(dayofmonth({x}) AS STRING)",
+    "weekday": lambda x: f"date_format({x}, 'EEEE')",
+    "hour": lambda x: f"CAST(hour({x}) AS STRING)",
+    "minute": lambda x: f"CAST(minute({x}) AS STRING)",
+    "second": lambda x: f"CAST(second({x}) AS STRING)",
+}
+
+
+def _date_name(a: list[str]) -> str:
+    """dateName(part, d): the part picks the output expression at
+    translate time, so it must be a string literal."""
+    part = a[0].strip()
+    if part[:1] not in ("'", '"'):
+        raise UnsupportedClickHouseSQL(
+            "dateName needs a literal part name (the part picks the "
+            "output expression at translate time)"
+        )
+    key = part[1:-1].lower()
+    if key not in _DATE_NAME_PARTS:
+        raise UnsupportedClickHouseSQL(
+            f"dateName part {part} is not in the supported surface "
+            f"({', '.join(sorted(_DATE_NAME_PARTS))})"
+        )
+    return _DATE_NAME_PARTS[key](a[1])
+
+
+# dotted-quad octet, 0-255, no lookahead needed (anchored use only)
+_IPV4_OCTET = "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+
+
+def _ipv4_string_to_num(s: str) -> str:
+    """Dotted-quad string -> its UInt32 numeric value.  This numeric
+    form IS the dialect's IPv4 representation (toIPv4 shares it; the
+    IPv4 domain type has no Spark analogue)."""
+    sp = f"split({s}, '\\\\.')"
+    return (
+        f"(CAST(element_at({sp}, 1) AS BIGINT) * 16777216 + "
+        f"CAST(element_at({sp}, 2) AS BIGINT) * 65536 + "
+        f"CAST(element_at({sp}, 3) AS BIGINT) * 256 + "
+        f"CAST(element_at({sp}, 4) AS BIGINT))"
+    )
+
+
+def _ip_in_range(a: list[str]) -> str:
+    """isIPAddressInRange(addr, 'a.b.c.d/p'): the CIDR must be a
+    literal so the numeric bounds fold at translate time (the hot
+    path stays one BETWEEN on a single split)."""
+    cidr = a[1].strip()
+    if cidr[:1] not in ("'", '"') or "/" not in cidr:
+        raise UnsupportedClickHouseSQL(
+            "isIPAddressInRange needs a literal 'a.b.c.d/p' CIDR — "
+            "the range bounds fold at translate time"
+        )
+    base, _, plen = cidr[1:-1].partition("/")
+    parts = base.split(".")
+    if (
+        len(parts) != 4
+        or not plen.isdigit()
+        or int(plen) > 32
+        or not all(p.isdigit() and int(p) <= 255 for p in parts)
+    ):
+        raise UnsupportedClickHouseSQL(
+            "isIPAddressInRange: only well-formed IPv4 'a.b.c.d/p' "
+            "literals are supported (IPv6 has no numeric BIGINT form "
+            "here)"
+        )
+    octs = [int(p) for p in parts]
+    p = int(plen)
+    net = octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
+    mask = (((1 << p) - 1) << (32 - p)) if p else 0
+    lo = net & mask
+    hi = lo + (1 << (32 - p)) - 1
+    return f"({_ipv4_string_to_num(a[0])} BETWEEN {lo} AND {hi})"
+
+
+def _hex_guard(a: list[str]) -> str:
+    """hex(): exact for STRING/BINARY inputs; ClickHouse pads NUMBERS
+    to the source type's byte width (hex(1) = '01') where Spark prints
+    minimal digits ('1') — a bare numeric literal fails fast, and the
+    width delta for numeric COLUMNS is documented in DIALECT.md."""
+    if re.fullmatch(r"[+-]?[0-9]+(\.[0-9]+)?", a[0].strip()):
+        raise UnsupportedClickHouseSQL(
+            "hex() of a NUMBER pads to the type's byte width in "
+            "ClickHouse — format explicitly (lpad(hex(x), w, '0')); "
+            "hex of strings/binary translates exactly"
+        )
+    return f"hex({a[0]})"
+
 _PLAIN = {
     # ClickHouse count() takes zero args; Spark needs count(*)
     "count": lambda a: f"count({', '.join(a) if a else '*'})",
@@ -2251,7 +2406,6 @@ _PLAIN = {
         f"coalesce(array_max(filter({a[1]}, "
         f"rde -> rde <= ({a[0]}))), array_min({a[1]}))"
     ),
-    "roundbankers": lambda a: f"bround({', '.join(a)})",
     # calendar spellings
     "toyyyymmdd": lambda a: (
         f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)"
@@ -2455,6 +2609,539 @@ _PLAIN = {
     "dictisin": _dict_is_in,
     "dictgetchildren": _dict_get_children,
     "dictgetdescendants": _dict_get_descendants,
+    # ------------------------------------------------------------------
+    # round-12 sweep 4: passthrough closure.  Every name below used to
+    # reach Spark's analyzer verbatim — either dying later as an
+    # unresolved routine (violating the fail-fast contract) or, for the
+    # same-named-different-semantics collisions (locate, bin, numeric
+    # hex), silently returning ClickHouse-wrong answers.
+    # ------------------------------------------------------------------
+    # --- silent-wrong-answer collisions, closed first ---
+    "locate": lambda a: _scalar_fail(
+        "locate()'s argument order changed across ClickHouse versions "
+        "(haystack-first before 24.3, MySQL needle-first after) — "
+        "write position(haystack, needle) instead"
+    ),
+    "hex": _hex_guard,
+    "bin": lambda a: _scalar_fail(
+        "bin() pads to the source type's bit width, which the "
+        "dialect's BIGINT erasure loses (and Spark's bin() prints "
+        "minimal width) — write lpad(bin(x), <width>, '0') explicitly"
+    ),
+    "unbin": lambda a: _scalar_fail(
+        "unbin() returns raw bytes — use conv(s, 2, 10) for the "
+        "numeric value of a bit string"
+    ),
+    # --- string functions ---
+    "substringindex": lambda a: f"substring_index({', '.join(a)})",
+    "substringindexutf8": lambda a: f"substring_index({', '.join(a)})",
+    "regexpextract": lambda a: (
+        f"regexp_extract({a[0]}, {a[1]}, "
+        f"{a[2] if len(a) == 3 else '1'})"
+    ),
+    # default tokenizer: maximal runs of alphanumerics (the
+    # non-alphanumerics are the separators); empties dropped
+    "tokens": lambda a: (
+        f"filter(split({a[0]}, '[^\\\\p{{L}}\\\\p{{N}}]+'), "
+        f"tkn -> tkn != '')"
+    ),
+    # character n-grams; sequence() would walk DESCENDING if the text
+    # is shorter than n, so the empty case is guarded explicitly
+    "ngrams": lambda a: (
+        f"(CASE WHEN length({a[0]}) < ({a[1]}) THEN array() "
+        f"ELSE transform(sequence(1, length({a[0]}) - ({a[1]}) + 1), "
+        f"ngi -> substring({a[0]}, ngi, {a[1]})) END)"
+    ),
+    # Spark STRING values are valid UTF-8 by construction (binary
+    # columns never implicitly decode), so the validation is identity
+    "isvalidutf8": lambda a: (
+        f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE 1 END)"
+    ),
+    "tovalidutf8": lambda a: f"({a[0]})",
+    "translateutf8": lambda a: f"translate({', '.join(a)})",
+    # declared passthroughs — same name, same semantics, kept explicit
+    # so the supported surface is a closed list, not an accident
+    "initcap": lambda a: f"initcap({a[0]})",
+    "soundex": lambda a: f"soundex({a[0]})",
+    "repeat": lambda a: f"repeat({a[0]}, {a[1]})",
+    "space": lambda a: f"space({a[0]})",
+    "ascii": lambda a: f"ascii({a[0]})",
+    "unhex": lambda a: f"unhex({a[0]})",
+    # --- array functions ---
+    "arrayrotateleft": lambda a: _rotate_array(a, True),
+    "arrayrotateright": lambda a: _rotate_array(a, False),
+    "arrayshiftleft": lambda a: _shift_array(a, True),
+    "arrayshiftright": lambda a: _shift_array(a, False),
+    # n-ary distinct union (Spark's array_union is binary-only)
+    "arrayunion": lambda a: (
+        f"array_distinct(concat({', '.join(a)}))"
+    ),
+    "arraysymmetricdifference": lambda a: (
+        f"array_distinct(concat(array_except({a[0]}, {a[1]}), "
+        f"array_except({a[1]}, {a[0]})))"
+    ),
+    # |A∩B| / |A∪B| over the DISTINCT elements; the both-empty case is
+    # NULL here (ClickHouse returns nan — documented NULL-vs-nan delta)
+    "arrayjaccardindex": lambda a: (
+        f"(CAST(size(array_intersect({a[0]}, {a[1]})) AS DOUBLE) / "
+        f"nullif(size(array_distinct(concat({a[0]}, {a[1]}))), 0))"
+    ),
+    # dense first-occurrence ranks: array_distinct preserves first-
+    # occurrence order in Spark, exactly ClickHouse's numbering
+    "arrayenumeratedense": lambda a: (
+        f"transform({a[0]}, "
+        f"aed -> array_position(array_distinct({a[0]}), aed))"
+    ),
+    # contiguous-subsequence test; empty needle is trivially true
+    "hassubstr": lambda a: (
+        f"(CASE WHEN size({a[1]}) = 0 THEN true "
+        f"WHEN size({a[1]}) > size({a[0]}) THEN false "
+        f"ELSE exists(sequence(1, size({a[0]}) - size({a[1]}) + 1), "
+        f"hsi -> slice({a[0]}, hsi, size({a[1]})) = {a[1]}) END)"
+    ),
+    # the sortedness is a ClickHouse execution hint, not a semantic
+    "indexofassumesorted": lambda a: (
+        f"array_position({a[0]}, {a[1]})"
+    ),
+    "arrayrandomsample": lambda a: _scalar_fail(
+        "arrayRandomSample is nondeterministic — sample outside the "
+        "deterministic surface (cf. the engine's seeded samplers)"
+    ),
+    "arraylevenshteindistance": lambda a: _scalar_fail(
+        "arrayLevenshteinDistance needs an iterative DP (no single "
+        "Spark expression) — cf. the q-gram edit-distance join "
+        "operator (ext/dedup.py)"
+    ),
+    # --- date/time functions ---
+    "tolastdayofweek": lambda a: (
+        # mode 0 (Sunday-start week): last day = the Saturday; same
+        # shift trick as toStartOfWeek above
+        f"CAST(date_add(date_sub(date_trunc('WEEK', "
+        f"date_add({a[0]}, 1)), 1), 6) AS DATE)"
+        if len(a) == 1 or a[1].strip() == "0"
+        else _unsupported_week_mode(a[1])
+    ),
+    # Modified Julian Day epoch 1858-11-17 (public astronomy constant)
+    "tomodifiedjulianday": lambda a: (
+        f"datediff(to_date({a[0]}), DATE '1858-11-17')"
+    ),
+    "frommodifiedjulianday": lambda a: (
+        f"date_add(DATE '1858-11-17', CAST({a[0]} AS INT))"
+    ),
+    "fromdayssinceyearzero": lambda a: _scalar_fail(
+        "fromDaysSinceYearZero: use date_add from the Unix epoch — "
+        "the year-zero offset constant differs between proleptic "
+        "calendars (cf. toDaysSinceYearZero)"
+    ),
+    "timeslots": _time_slots,
+    "tostartoffiveminutes": lambda a: (
+        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 300) * 300)"
+    ),
+    "tostartoftenminutes": lambda a: (
+        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 600) * 600)"
+    ),
+    "tostartoffifteenminutes": lambda a: (
+        f"timestamp_seconds((unix_timestamp({a[0]}) DIV 900) * 900)"
+    ),
+    "tostartofsecond": lambda a: f"date_trunc('SECOND', {a[0]})",
+    "tostartofmillisecond": lambda a: (
+        f"date_trunc('MILLISECOND', {a[0]})"
+    ),
+    "tostartofmicrosecond": lambda a: (
+        f"date_trunc('MICROSECOND', {a[0]})"
+    ),
+    "tostartofnanosecond": lambda a: _scalar_fail(
+        "toStartOfNanosecond: Spark timestamps are microsecond-"
+        "precision — nanoseconds were never representable here"
+    ),
+    "tounixtimestamp64milli": lambda a: f"unix_millis({a[0]})",
+    "tounixtimestamp64micro": lambda a: f"unix_micros({a[0]})",
+    "tounixtimestamp64nano": lambda a: _scalar_fail(
+        "toUnixTimestamp64Nano: Spark timestamps are microsecond-"
+        "precision — use toUnixTimestamp64Micro * 1000 if the scale "
+        "is all that matters"
+    ),
+    "fromunixtimestamp64milli": lambda a: (
+        f"timestamp_millis(CAST({a[0]} AS BIGINT))"
+    ),
+    "fromunixtimestamp64micro": lambda a: (
+        f"timestamp_micros(CAST({a[0]} AS BIGINT))"
+    ),
+    "fromunixtimestamp64nano": lambda a: (
+        f"timestamp_micros(CAST(({a[0]}) DIV 1000 AS BIGINT))"
+    ),
+    "makedate": lambda a: (
+        f"make_date({a[0]}, {a[1]}, {a[2]})" if len(a) == 3
+        # 2-arg form: (year, day-of-year)
+        else f"date_add(make_date({a[0]}, 1, 1), "
+             f"CAST(({a[1]}) - 1 AS INT))"
+    ),
+    "makedate32": lambda a: (
+        f"make_date({a[0]}, {a[1]}, {a[2]})" if len(a) == 3
+        else f"date_add(make_date({a[0]}, 1, 1), "
+             f"CAST(({a[1]}) - 1 AS INT))"
+    ),
+    "makedatetime": lambda a: (
+        f"make_timestamp({', '.join(a)})" if len(a) == 6
+        else _scalar_fail(
+            "makeDateTime: the timezone argument is unsupported — "
+            "the corpus stores naive (UTC-session) timestamps"
+        )
+    ),
+    # invalid packed ints: ClickHouse clamps to the epoch — mirrored
+    # via try_to_* so ANSI mode can't turn the clamp into a throw
+    "yyyymmddtodate": lambda a: (
+        f"coalesce(try_to_date(CAST(CAST({a[0]} AS BIGINT) AS STRING)"
+        f", 'yyyyMMdd'), DATE '1970-01-01')"
+    ),
+    "yyyymmddtodate32": lambda a: (
+        f"coalesce(try_to_date(CAST(CAST({a[0]} AS BIGINT) AS STRING)"
+        f", 'yyyyMMdd'), DATE '1970-01-01')"
+    ),
+    "yyyymmddhhmmsstodatetime": lambda a: (
+        f"coalesce(try_to_timestamp(CAST(CAST({a[0]} AS BIGINT) AS "
+        f"STRING), 'yyyyMMddHHmmss'), "
+        f"TIMESTAMP '1970-01-01 00:00:00')"
+    ),
+    "datename": _date_name,
+    "servertimezone": lambda a: "current_timezone()",
+    "timezone": lambda a: "current_timezone()",
+    "timezoneof": lambda a: _scalar_fail(
+        "timezoneOf: the corpus stores naive (NTZ) timestamps — "
+        "there is no per-value timezone to report (cf. toTimeZone)"
+    ),
+    # --- math ---
+    "exp2": lambda a: f"power(CAST(2 AS DOUBLE), {a[0]})",
+    "exp10": lambda a: f"power(CAST(10 AS DOUBLE), {a[0]})",
+    "intexp2": lambda a: (
+        f"shiftleft(CAST(1 AS BIGINT), CAST({a[0]} AS INT))"
+    ),
+    # exact through 10^15 (double mantissa); ClickHouse reaches 10^19
+    # via UInt64 — documented width delta
+    "intexp10": lambda a: (
+        f"CAST(round(power(10, {a[0]})) AS BIGINT)"
+    ),
+    "log1p": lambda a: f"log1p({a[0]})",
+    "cbrt": lambda a: f"cbrt({a[0]})",
+    "degrees": lambda a: f"degrees({a[0]})",
+    "radians": lambda a: f"radians({a[0]})",
+    # ClickHouse throws above 20!; Spark returns NULL — documented
+    "factorial": lambda a: f"factorial({a[0]})",
+    "erf": lambda a: _scalar_fail(
+        "erf: libm special functions are not in the deterministic "
+        "surface (cf. greatCircleDistance)"
+    ),
+    "erfc": lambda a: _scalar_fail(
+        "erfc: libm special functions are not in the deterministic "
+        "surface (cf. greatCircleDistance)"
+    ),
+    "lgamma": lambda a: _scalar_fail(
+        "lgamma: libm special functions are not in the deterministic "
+        "surface (cf. greatCircleDistance)"
+    ),
+    "tgamma": lambda a: _scalar_fail(
+        "tgamma: libm special functions are not in the deterministic "
+        "surface (cf. greatCircleDistance)"
+    ),
+    "dividedecimal": lambda a: _scalar_fail(
+        "divideDecimal carries an explicit result scale — write "
+        "typed DECIMAL(p, s) casts around a plain division"
+    ),
+    "multiplydecimal": lambda a: _scalar_fail(
+        "multiplyDecimal carries an explicit result scale — write "
+        "typed DECIMAL(p, s) casts around a plain multiplication"
+    ),
+    "widthbucket": lambda a: f"width_bucket({', '.join(a)})",
+    "isfinite": lambda a: (
+        f"(NOT isnan({a[0]}) AND "
+        f"abs({a[0]}) != CAST('Infinity' AS DOUBLE))"
+    ),
+    "isinfinite": lambda a: (
+        f"(abs({a[0]}) = CAST('Infinity' AS DOUBLE))"
+    ),
+    "isnan": lambda a: f"isnan({a[0]})",
+    "ifnotfinite": lambda a: (
+        f"(CASE WHEN isnan({a[0]}) OR "
+        f"abs({a[0]}) = CAST('Infinity' AS DOUBLE) "
+        f"THEN {a[1]} ELSE {a[0]} END)"
+    ),
+    # NULL-propagating bound clip (Spark's bare least/greatest skip
+    # NULLs; ClickHouse propagates — same rule as greatest/least)
+    "clamp": lambda a: (
+        f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL OR "
+        f"({a[2]}) IS NULL THEN NULL "
+        f"ELSE least(greatest({a[0]}, {a[1]}), {a[2]}) END)"
+    ),
+    # public-docs CASE ladders (rounding to fixed demographic bands)
+    "roundage": lambda a: (
+        f"(CASE WHEN ({a[0]}) < 1 THEN 0 "
+        f"WHEN ({a[0]}) <= 17 THEN 17 WHEN ({a[0]}) <= 24 THEN 18 "
+        f"WHEN ({a[0]}) <= 34 THEN 25 WHEN ({a[0]}) <= 44 THEN 35 "
+        f"WHEN ({a[0]}) <= 54 THEN 45 ELSE 55 END)"
+    ),
+    "roundduration": lambda a: (
+        f"coalesce(array_max(filter(array(1, 10, 30, 60, 120, 180, "
+        f"240, 300, 600, 1200, 1800, 3600, 7200, 18000, 36000), "
+        f"rdd -> rdd <= ({a[0]}))), 0)"
+    ),
+    # --- aggregates ---
+    # compensated summation is a ClickHouse implementation detail;
+    # sum() is the same mathematical contract
+    "sumkahan": lambda a: f"sum({a[0]})",
+    "any_respect_nulls": lambda a: f"any_value({a[0]}, false)",
+    "anyrespectnulls": lambda a: f"any_value({a[0]}, false)",
+    "anylast_respect_nulls": lambda a: f"last({a[0]}, false)",
+    "anylastrespectnulls": lambda a: f"last({a[0]}, false)",
+    # the single distinct NON-NULL value, else NULL (min is only the
+    # type-generic value extractor — count(DISTINCT) guards it)
+    "singlevalueornull": lambda a: (
+        f"(CASE WHEN count(DISTINCT {a[0]}) = 1 "
+        f"THEN min({a[0]}) END)"
+    ),
+    "deltasumtimestamp": lambda a: _scalar_fail(
+        "deltaSumTimestamp is block-order-dependent — use x - lag(x) "
+        "over an explicit order and sum the positive deltas "
+        "(cf. deltaSum)"
+    ),
+    "studentttest": _engine_pointer_text(
+        "studentTTest",
+        "two-sample tests are engine operators — q_student_ttest "
+        "(single-pass power sums)",
+    ),
+    "welchttest": _engine_pointer_text(
+        "welchTTest",
+        "two-sample tests are engine operators — q_welch_ttest "
+        "(single-pass power sums)",
+    ),
+    "mannwhitneyutest": _engine_pointer_text(
+        "mannWhitneyUTest",
+        "rank tests are engine operators — q_mann_whitney "
+        "(distributed rank sums)",
+    ),
+    "meanztest": _engine_pointer_text(
+        "meanZTest",
+        "two-sample tests are engine operators — q_student_ttest / "
+        "q_welch_ttest (single-pass power sums)",
+    ),
+    "analysisofvariance": _engine_pointer_text(
+        "analysisOfVariance",
+        "one-way ANOVA is an engine operator — q_anova_f "
+        "(single-pass group power sums)",
+    ),
+    "arrayauc": _engine_pointer_text(
+        "arrayAUC",
+        "exact AUC is an engine operator — q_model_auc (rank "
+        "windows per query group)",
+    ),
+    "runningconcurrency": lambda a: _scalar_fail(
+        "runningConcurrency is block-order-dependent — use the "
+        "interval sweep (q_max_intersections) over explicit "
+        "start/end columns"
+    ),
+    "nonnegativederivative": lambda a: _scalar_fail(
+        "nonNegativeDerivative is block-order-dependent — use "
+        "greatest(0, x - lag(x)) over an explicit window order"
+    ),
+    # --- introspection / server state ---
+    "totypename": lambda a: _scalar_fail(
+        "toTypeName reports ClickHouse type vocabulary — Spark's "
+        "typeof() answers the same question in Spark vocabulary; "
+        "the strings differ by design"
+    ),
+    "identity": lambda a: f"({a[0]})",
+    "currentuser": lambda a: "current_user()",
+    "version": lambda a: _scalar_fail(
+        "version() would report the Spark version string, not a "
+        "ClickHouse version — pin engine versions outside the query"
+    ),
+    "hostname": lambda a: _scalar_fail(
+        "hostName is server introspection — executors are not "
+        "addressable from the DataFrame model"
+    ),
+    "uptime": lambda a: _scalar_fail(
+        "uptime is server introspection with no Spark analogue"
+    ),
+    "rownumberinblock": lambda a: _scalar_fail(
+        "rowNumberInBlock: blocks do not exist in the DataFrame "
+        "model — use row_number() over an explicit window order"
+    ),
+    "shardnum": lambda a: _scalar_fail(
+        "shardNum: shards do not exist in the DataFrame model — "
+        "spark_partition_id() is the (unstable) physical analogue"
+    ),
+    "initialqueryid": lambda a: _scalar_fail(
+        "initialQueryID is query-log introspection with no Spark "
+        "analogue"
+    ),
+    "visiblewidth": lambda a: _scalar_fail(
+        "visibleWidth is presentation-layer — use length()"
+    ),
+    "bytesize": lambda a: _scalar_fail(
+        "byteSize reports in-memory representation size — "
+        "length(CAST(x AS BINARY)) measures the serialized value"
+    ),
+    "file": lambda a: _scalar_fail(
+        "file() reads server-side files — load data through "
+        "spark.read instead"
+    ),
+    "fuzzbits": lambda a: _scalar_fail(
+        "fuzzBits is nondeterministic test tooling — outside the "
+        "deterministic surface"
+    ),
+    "aggthrow": lambda a: _scalar_fail(
+        "aggThrow is ClickHouse test tooling (throws with a given "
+        "probability) — not a data-plane function"
+    ),
+    "normalizequery": lambda a: _scalar_fail(
+        "normalizeQuery is query-log tooling — normalize literals "
+        "explicitly with regexp_replace"
+    ),
+    "normalizedqueryhash": lambda a: _scalar_fail(
+        "normalizedQueryHash is query-log tooling — normalize "
+        "explicitly, then xxhash64"
+    ),
+    "formatreadabletimedelta": lambda a: _scalar_fail(
+        "formatReadableTimeDelta is presentation-layer — format "
+        "explicitly with DIV/%% arithmetic and concat"
+    ),
+    "parsereadablesize": lambda a: _scalar_fail(
+        "parseReadableSize: parse explicitly — regexp_extract the "
+        "number and CASE on the unit suffix"
+    ),
+    "minsamplesizeconversion": lambda a: _scalar_fail(
+        "minSampleSizeConversion is closed-form power analysis — "
+        "driver-side math, not a data-plane expression"
+    ),
+    "minsamplesizecontinous": lambda a: _scalar_fail(
+        "minSampleSizeContinous is closed-form power analysis — "
+        "driver-side math, not a data-plane expression"
+    ),
+    "byteswap": lambda a: _scalar_fail(
+        "byteSwap swaps the source type's byte width, which the "
+        "dialect's BIGINT erasure loses"
+    ),
+    # --- IPv4 (numeric-BIGINT representation; no IPv4 domain type) ---
+    "ipv4numtostring": lambda a: (
+        f"concat_ws('.', "
+        f"CAST((shiftright({a[0]}, 24) & 255) AS STRING), "
+        f"CAST((shiftright({a[0]}, 16) & 255) AS STRING), "
+        f"CAST((shiftright({a[0]}, 8) & 255) AS STRING), "
+        f"CAST((({a[0]}) & 255) AS STRING))"
+    ),
+    "ipv4stringtonum": lambda a: _ipv4_string_to_num(a[0]),
+    "toipv4": lambda a: _ipv4_string_to_num(a[0]),
+    "isipv4string": lambda a: (
+        f"coalesce({a[0]} RLIKE "
+        f"'^{_IPV4_OCTET}(\\\\.{_IPV4_OCTET}){{3}}$', false)"
+    ),
+    "isipaddressinrange": _ip_in_range,
+    "ipv4cidrtorange": lambda a: _scalar_fail(
+        "IPv4CIDRToRange returns a typed IPv4 pair — use "
+        "isIPAddressInRange (compiled to a folded BETWEEN) or the "
+        "numeric mask arithmetic directly"
+    ),
+    "ipv6numtostring": lambda a: _scalar_fail(
+        "IPv6 values exceed BIGINT — the dialect's numeric IP "
+        "representation is IPv4-only"
+    ),
+    "ipv6stringtonum": lambda a: _scalar_fail(
+        "IPv6 values exceed BIGINT — the dialect's numeric IP "
+        "representation is IPv4-only"
+    ),
+    "toipv6": lambda a: _scalar_fail(
+        "IPv6 values exceed BIGINT — the dialect's numeric IP "
+        "representation is IPv4-only"
+    ),
+    # --- bitmask expansions (BIGINT width by the cast policy) ---
+    "bitpositionstoarray": lambda a: (
+        f"filter(sequence(0, 63), "
+        f"bpi -> getbit({a[0]}, bpi) = 1)"
+    ),
+    "bitmasktoarray": lambda a: (
+        f"transform(filter(sequence(0, 63), "
+        f"bmi -> getbit({a[0]}, bmi) = 1), "
+        f"bmi -> shiftleft(CAST(1 AS BIGINT), bmi))"
+    ),
+    "bitmasktolist": lambda a: (
+        f"array_join(transform(filter(sequence(0, 63), "
+        f"bmi -> getbit({a[0]}, bmi) = 1), "
+        f"bmi -> CAST(shiftleft(CAST(1 AS BIGINT), bmi) AS STRING))"
+        f", ',')"
+    ),
+    # --- UUID ---
+    # UUIDv7 leads with a 48-bit big-endian millisecond timestamp
+    # (RFC 9562): hex chars 1-8 + 10-13 of the canonical text form
+    "uuidv7todatetime": lambda a: (
+        f"timestamp_millis(CAST(conv(concat("
+        f"substring({a[0]}, 1, 8), substring({a[0]}, 10, 4)), 16, 10)"
+        f" AS BIGINT))"
+    ),
+    "generateuuidv7": lambda a: _scalar_fail(
+        "generateUUIDv7: Spark's uuid() generates v4 — v7's "
+        "time-ordered prefix needs the engine's monotonic-id "
+        "operators if ordering matters"
+    ),
+    "uuidstringtonum": lambda a: _scalar_fail(
+        "UUIDStringToNum returns the raw 16-byte form — use "
+        "unhex(replace(u, '-', '')) for the bytes"
+    ),
+    "uuidnumtostring": lambda a: _scalar_fail(
+        "UUIDNumToString takes the raw 16-byte form — format from "
+        "hex() explicitly"
+    ),
+    "serveruuid": lambda a: _scalar_fail(
+        "serverUUID is server introspection with no Spark analogue"
+    ),
+    # --- JSON ---
+    "tojsonstring": lambda a: f"to_json({a[0]})",
+    "jsonextractkeysandvalues": lambda a: (
+        f"map_entries(from_json({a[0]}, 'map<string,string>'))"
+        if len(a) == 2
+        and a[1].strip().strip("'\"").lower() == "string"
+        else _scalar_fail(
+            "JSONExtractKeysAndValues: only the 'String' value type "
+            "is supported (map<string,string> entries); field names "
+            "are key/value, not 1/2"
+        )
+    ),
+    "jsonextractkeysandvaluesraw": lambda a: _scalar_fail(
+        "JSONExtractKeysAndValuesRaw: re-serialized raw fragments — "
+        "use json_object_keys + get_json_object per key"
+    ),
+    "jsonallpaths": lambda a: _scalar_fail(
+        "JSONAllPaths introspects the Dynamic JSON column type, "
+        "which has no Spark analogue — use json_object_keys"
+    ),
+    "jsondynamicpaths": lambda a: _scalar_fail(
+        "JSONDynamicPaths introspects the Dynamic JSON column type, "
+        "which has no Spark analogue — use json_object_keys"
+    ),
+    "jsonmergepatch": lambda a: _scalar_fail(
+        "jsonMergePatch has no Spark builtin — merge explicitly "
+        "with map_concat over from_json maps"
+    ),
+    # --- geo (indexing systems are out of the deterministic surface) ---
+    "geodistance": lambda a: _scalar_fail(
+        "geoDistance: libm trig is not in the deterministic surface "
+        "— use the engine's haversine operator "
+        "(cf. greatCircleDistance)"
+    ),
+    "geohashencode": lambda a: _scalar_fail(
+        "geohashEncode: geospatial indexing is not in the supported "
+        "surface — bucket on rounded lat/lon for grid joins"
+    ),
+    "geohashdecode": lambda a: _scalar_fail(
+        "geohashDecode: geospatial indexing is not in the supported "
+        "surface"
+    ),
+    "geotoh3": lambda a: _scalar_fail(
+        "geoToH3: the H3 indexing system is not in the supported "
+        "surface — bucket on rounded lat/lon for grid joins"
+    ),
+    "h3togeo": lambda a: _scalar_fail(
+        "h3ToGeo: the H3 indexing system is not in the supported "
+        "surface"
+    ),
     # -State/-Merge combinators: the SIMPLE algebra (sum/count/min/
     # max/avg, whose ClickHouse states are just partial folds) is
     # compiled via _STATE_ALGEBRA below; SKETCH-backed states

@@ -2804,3 +2804,159 @@ def test_review_fixes_r12_batch(spark):
         translate_clickhouse_sql(
             "SELECT transform(x, ['a'] || ['b'], ['p'], 'd') FROM t"
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 sweep 4: passthrough closure.  Before this sweep every name
+# here reached Spark's analyzer verbatim — either dying later as an
+# unresolved routine or, for the same-named-different-semantics
+# collisions (locate / bin / numeric hex), silently returning
+# ClickHouse-wrong answers.
+# ---------------------------------------------------------------------------
+
+
+def test_sweep4_silent_collision_closures():
+    """locate/bin/unbin/numeric-hex MUST fail fast: Spark resolves the
+    names (or would after lowering) with different semantics —
+    locate's argument order flipped across ClickHouse versions, and
+    bin/hex pad to the source type's width that the BIGINT erasure
+    loses."""
+    for sql, hint in [
+        ("SELECT locate('x', s) FROM t", "argument order"),
+        ("SELECT bin(x) FROM t", "bit width"),
+        ("SELECT unbin(s) FROM t", "raw bytes"),
+        ("SELECT hex(255) FROM t", "byte width"),
+        ("SELECT version() FROM t", "Spark version"),
+        ("SELECT toTypeName(x) FROM t", "vocabulary"),
+        ("SELECT erf(x) FROM t", "libm"),
+        ("SELECT arrayShiftLeft(a, 1) FROM t", "explicit pad"),
+        ("SELECT geoDistance(1, 2, 3, 4) FROM t", "libm trig"),
+        ("SELECT studentTTest(x, g) FROM t", "q_student_ttest"),
+        ("SELECT mannWhitneyUTest(x, g) FROM t", "q_mann_whitney"),
+        ("SELECT arrayAUC(a, b) FROM t", "q_model_auc"),
+        ("SELECT isIPAddressInRange(s, c) FROM t", "literal"),
+        ("SELECT IPv6StringToNum(s) FROM t", "IPv4-only"),
+        ("SELECT dateName(p, d) FROM t", "literal part"),
+        ("SELECT dateName('era', d) FROM t", "supported surface"),
+        ("SELECT toUnixTimestamp64Nano(ts) FROM t", "microsecond"),
+        ("SELECT makeDateTime(1, 2, 3, 4, 5, 6, 'UTC') FROM t",
+         "timezone argument"),
+        ("SELECT timezoneOf(ts) FROM t", "naive"),
+        ("SELECT byteSwap(x) FROM t", "byte width"),
+        ("SELECT fuzzBits(s, 0.1) FROM t", "nondeterministic"),
+        ("SELECT normalizeQuery(s) FROM t", "query-log"),
+        ("SELECT minSampleSizeConversion(0.1, 0.05, 0.8, 0.05) "
+         "FROM t", "power analysis"),
+        ("SELECT jsonMergePatch(a, b) FROM t", "map_concat"),
+        ("SELECT geohashEncode(lon, lat) FROM t", "geospatial"),
+        ("SELECT fromDaysSinceYearZero(n) FROM t", "year-zero"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=hint):
+            translate_clickhouse_sql(sql)
+    # hex of strings/binary stays exact passthrough
+    assert "hex(s)" in translate_clickhouse_sql("SELECT hex(s) FROM t")
+
+
+def test_sweep4_translation_pins():
+    """Representative text pins — one per compile family."""
+    for sql, frag in [
+        ("SELECT substringIndex(s, '.', 2) FROM t", "substring_index"),
+        ("SELECT regexpExtract(s, 'p') FROM t",
+         "regexp_extract(s, 'p', 1)"),
+        ("SELECT arrayRotateLeft(a, 2) FROM t", "pmod"),
+        ("SELECT arrayUnion(a, b, c) FROM t", "array_distinct(concat"),
+        ("SELECT widthBucket(x, 0, 10, 5) FROM t", "width_bucket"),
+        ("SELECT roundAge(x) FROM t", "WHEN (x) <= 17 THEN 17"),
+        ("SELECT sumKahan(x) FROM t", "sum(x)"),
+        ("SELECT any_respect_nulls(x) FROM t", "any_value(x, false)"),
+        ("SELECT toStartOfFifteenMinutes(ts) FROM t", "DIV 900"),
+        ("SELECT toUnixTimestamp64Milli(ts) FROM t", "unix_millis"),
+        ("SELECT makeDate(2024, 60) FROM t", "date_add(make_date"),
+        ("SELECT YYYYMMDDToDate(n) FROM t", "try_to_date"),
+        ("SELECT IPv4NumToString(n) FROM t", "shiftright"),
+        ("SELECT isIPAddressInRange(s, '10.0.0.0/8') FROM t",
+         "BETWEEN 167772160 AND 184549375"),
+        ("SELECT bitPositionsToArray(x) FROM t", "getbit"),
+        ("SELECT UUIDv7ToDateTime(u) FROM t", "conv("),
+        ("SELECT toJSONString(x) FROM t", "to_json"),
+        ("SELECT serverTimezone() FROM t", "current_timezone()"),
+        ("SELECT currentUser() FROM t", "current_user()"),
+        ("SELECT clamp(x, 0, 1) FROM t", "least(greatest"),
+        ("SELECT exp2(x) FROM t", "power(CAST(2 AS DOUBLE)"),
+        ("SELECT intExp2(x) FROM t", "shiftleft(CAST(1 AS BIGINT)"),
+    ]:
+        assert frag in translate_clickhouse_sql(sql), sql
+
+
+def test_sweep4_executes_exactly(spark):
+    """Value-level checks for the compiles whose semantics carry edge
+    cases (rotation wrap, shift overflow, subsequence bounds, CIDR
+    fold, epoch clamps, UUIDv7 timestamp prefix)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW sweep4_t AS SELECT * FROM VALUES"
+        " (array(1, 2, 3, 4), array(3, 4, 5), '192.168.1.77',"
+        "  CAST('2024-03-15 13:47:23' AS TIMESTAMP),"
+        "  '0190b6e5-9d3a-7abc-8000-000000000000',"
+        "  CAST(167772161 AS BIGINT))"
+        " AS sweep4_t(a, b, ip, ts, u, n)"
+    )
+
+    def one(sql):
+        return spark.sql(translate_clickhouse_sql(sql)).collect()[0][0]
+
+    assert one("SELECT arrayRotateLeft(a, 6) FROM sweep4_t") == [3, 4, 1, 2]
+    assert one("SELECT arrayRotateLeft(a, -1) FROM sweep4_t") == [4, 1, 2, 3]
+    assert one("SELECT arrayShiftLeft(a, 2, 0) FROM sweep4_t") == [3, 4, 0, 0]
+    assert one("SELECT arrayShiftRight(a, 2, 0) FROM sweep4_t") == [0, 0, 1, 2]
+    assert one("SELECT arrayShiftLeft(a, 7, 0) FROM sweep4_t") == [0, 0, 0, 0]
+    assert one("SELECT arrayUnion(a, b) FROM sweep4_t") == [1, 2, 3, 4, 5]
+    assert one("SELECT arraySymmetricDifference(a, b) FROM sweep4_t") == [
+        1, 2, 5]
+    assert abs(one("SELECT arrayJaccardIndex(a, b) FROM sweep4_t") - 0.4) < 1e-12
+    assert one(
+        "SELECT arrayEnumerateDense(array(10, 20, 10, 30)) FROM sweep4_t"
+    ) == [1, 2, 1, 3]
+    assert one("SELECT hasSubstr(a, array(2, 3)) FROM sweep4_t") is True
+    assert one("SELECT hasSubstr(a, array(2, 4)) FROM sweep4_t") is False
+    assert one("SELECT hasSubstr(a, array()) FROM sweep4_t") is True
+    assert one("SELECT tokens('ab, cd!ef') FROM sweep4_t") == [
+        "ab", "cd", "ef"]
+    assert one("SELECT ngrams('abcd', 3) FROM sweep4_t") == ["abc", "bcd"]
+    assert one("SELECT ngrams('ab', 3) FROM sweep4_t") == []
+    assert str(one("SELECT toLastDayOfWeek(ts) FROM sweep4_t")) == (
+        "2024-03-16")  # Saturday of the Sunday-start week
+    assert one(
+        "SELECT toModifiedJulianDay('1858-11-17') FROM sweep4_t") == 0
+    assert str(one(
+        "SELECT fromModifiedJulianDay(51544) FROM sweep4_t"
+    )) == "2000-01-01"
+    assert str(one("SELECT makeDate(2024, 60) FROM sweep4_t")) == (
+        "2024-02-29")
+    assert str(one(
+        "SELECT YYYYMMDDToDate(20241399) FROM sweep4_t"
+    )) == "1970-01-01"  # invalid packed int clamps to the epoch
+    assert one("SELECT dateName('weekday', ts) FROM sweep4_t") == "Friday"
+    assert one("SELECT roundAge(22) FROM sweep4_t") == 18
+    assert one("SELECT roundDuration(250) FROM sweep4_t") == 240
+    assert one("SELECT roundDuration(0) FROM sweep4_t") == 0
+    assert one("SELECT IPv4NumToString(n) FROM sweep4_t") == "10.0.0.1"
+    assert one("SELECT IPv4StringToNum(ip) FROM sweep4_t") == 3232235853
+    assert one("SELECT isIPv4String('999.1.1.1') FROM sweep4_t") is False
+    assert one(
+        "SELECT isIPAddressInRange(ip, '192.168.0.0/16') FROM sweep4_t"
+    ) is True
+    assert one(
+        "SELECT isIPAddressInRange(ip, '10.0.0.0/8') FROM sweep4_t"
+    ) is False
+    assert one(
+        "SELECT bitPositionsToArray(CAST(10 AS BIGINT)) FROM sweep4_t"
+    ) == [1, 3]
+    assert one(
+        "SELECT bitmaskToList(CAST(10 AS BIGINT)) FROM sweep4_t") == "2,8"
+    # RFC 9562: the v7 prefix is the big-endian unix-millis timestamp
+    assert str(one("SELECT UUIDv7ToDateTime(u) FROM sweep4_t")).startswith(
+        "2024-07-1")
+    assert one("SELECT singleValueOrNull(ip) FROM sweep4_t") == (
+        "192.168.1.77")
+    assert one("SELECT timeSlots(ts, 3600, 1800) FROM sweep4_t") is not None
+    assert len(one("SELECT timeSlots(ts, 3600, 1800) FROM sweep4_t")) == 3
