@@ -1834,6 +1834,169 @@ def _hex_guard(a: list[str]) -> str:
         )
     return f"hex({a[0]})"
 
+# ---------------------------------------------------------------------------
+# Round-12 sweep 5 helpers — second passthrough-closure pass (string
+# search, array navigation, map HOFs, hash surrogates, seeded-random
+# spellings, interval arithmetic).  Same policy as sweep 4.
+# ---------------------------------------------------------------------------
+
+
+def _sql_str(s: str) -> str:
+    """Embed a computed string (usually a regex) as a Spark SQL string
+    literal: backslashes doubled (backslash IS the escape character
+    with the default parser), single quotes doubled."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _lit_text(arg: str, fn: str, what: str) -> str:
+    """The raw text of a string-literal argument, or fail fast."""
+    t = arg.strip()
+    if len(t) < 2 or t[0] not in ("'", '"') or t[-1] != t[0]:
+        raise UnsupportedClickHouseSQL(
+            f"{fn} needs a literal {what} (it shapes the compiled "
+            f"expression at translate time)"
+        )
+    return t[1:-1]
+
+
+def _has_token(a: list[str]) -> str:
+    """hasToken(haystack, 'token'): token-boundary search.  ClickHouse
+    itself requires a constant needle, so the literal-only restriction
+    loses nothing; boundaries are non-alphanumerics or string ends."""
+    tok = _lit_text(a[1], "hasToken", "token")
+    pat = (
+        "(^|[^\\p{L}\\p{N}])" + re.escape(tok) + "($|[^\\p{L}\\p{N}])"
+    )
+    return f"({a[0]} RLIKE {_sql_str(pat)})"
+
+
+def _extract_groups(a: list[str]) -> str:
+    """extractGroups(s, 'pattern'): one regexp_extract per capture
+    group — the group COUNT must fold at translate time, so the
+    pattern is literal-only."""
+    pat = _lit_text(a[1], "extractGroups", "pattern")
+    try:
+        n = re.compile(pat).groups
+    except re.error as exc:
+        raise UnsupportedClickHouseSQL(
+            f"extractGroups: pattern does not parse ({exc})"
+        ) from None
+    if n == 0:
+        raise UnsupportedClickHouseSQL(
+            "extractGroups needs at least one capture group"
+        )
+    parts = ", ".join(
+        f"regexp_extract({a[0]}, {a[1]}, {i})" for i in range(1, n + 1)
+    )
+    return f"array({parts})"
+
+
+def _char_codes(a: list[str]) -> str:
+    """char(b1, b2, ...): ClickHouse assembles BYTES (so multi-byte
+    UTF-8 sequences can be spelled byte-wise); Spark's char maps CODE
+    POINTS.  The two agree exactly on ASCII — literal bytes <= 127
+    compile, anything else fails fast instead of silently decoding
+    differently."""
+    vals = []
+    for arg in a:
+        t = arg.strip()
+        if not re.fullmatch(r"[0-9]+", t) or int(t) > 127:
+            raise UnsupportedClickHouseSQL(
+                "char() assembles raw BYTES in ClickHouse (UTF-8 "
+                "sequences byte-wise); Spark's char maps code points "
+                "— only literal ASCII bytes (<= 127) agree, got "
+                f"{arg!r}"
+            )
+        vals.append(t)
+    if len(vals) == 1:
+        return f"char({vals[0]})"
+    return "concat(" + ", ".join(f"char({v})" for v in vals) + ")"
+
+
+def _format_braces(a: list[str]) -> str:
+    """format('{} {}', args...): brace placeholders -> format_string's
+    printf.  Supports auto `{}` and positional `{n}`; `{{`/`}}`
+    escape to literal braces; literal % doubles to %%."""
+    fmt = _lit_text(a[0], "format", "format string")
+    out, i, auto = [], 0, 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "{":
+            if fmt[i + 1 : i + 2] == "{":
+                out.append("{"); i += 2; continue
+            j = fmt.find("}", i)
+            if j < 0:
+                raise UnsupportedClickHouseSQL(
+                    "format: unbalanced '{' in format string"
+                )
+            body = fmt[i + 1 : j]
+            if body == "":
+                auto += 1
+                out.append(f"%{auto}$s")
+            elif body.isdigit():
+                out.append(f"%{int(body) + 1}$s")
+            else:
+                raise UnsupportedClickHouseSQL(
+                    f"format: unsupported placeholder {{{body}}} — "
+                    "only {} and {n} are supported"
+                )
+            i = j + 1
+        elif c == "}":
+            if fmt[i + 1 : i + 2] == "}":
+                out.append("}"); i += 2; continue
+            raise UnsupportedClickHouseSQL(
+                "format: unbalanced '}' in format string"
+            )
+        elif c == "%":
+            out.append("%%"); i += 1
+        else:
+            out.append(c); i += 1
+    rest = ", ".join(a[1:])
+    return f"format_string({_sql_str(''.join(out))}, {rest})"
+
+
+_ARRAY_REDUCE_AGGS = {
+    "sum": lambda x: (
+        f"aggregate({x}, element_at({x}, 1) * 0, "
+        f"(ars, arx) -> ars + arx)"
+    ),
+    "min": lambda x: f"array_min({x})",
+    "max": lambda x: f"array_max({x})",
+    "count": lambda x: f"size({x})",
+    "avg": lambda x: (
+        f"(aggregate({x}, CAST(0 AS DOUBLE), "
+        f"(ara, arx) -> ara + arx) / size({x}))"
+    ),
+    "any": lambda x: f"try_element_at({x}, 1)",
+    "anylast": lambda x: f"try_element_at({x}, -1)",
+    "uniqexact": lambda x: f"size(array_distinct({x}))",
+}
+
+
+def _array_reduce(a: list[str]) -> str:
+    """arrayReduce('agg', arr): the aggregate name picks the fold at
+    translate time (literal-only)."""
+    name = _lit_text(a[0], "arrayReduce", "aggregate name").lower()
+    if name not in _ARRAY_REDUCE_AGGS or len(a) != 2:
+        raise UnsupportedClickHouseSQL(
+            "arrayReduce supports single-array "
+            f"{'/'.join(sorted(_ARRAY_REDUCE_AGGS))} — other "
+            "aggregates need the engine's operators"
+        )
+    return _ARRAY_REDUCE_AGGS[name](a[1])
+
+
+def _to_datetime64(a: list[str]) -> str:
+    """toDateTime64(x, scale): Spark timestamps are microsecond-fixed;
+    scales <= 6 are representable, deeper precision never was."""
+    scale = a[1].strip() if len(a) > 1 else "3"
+    if not scale.isdigit() or int(scale) > 6:
+        raise UnsupportedClickHouseSQL(
+            "toDateTime64: Spark timestamps are microsecond-"
+            "precision — scale must be a literal 0..6"
+        )
+    return f"to_timestamp({a[0]})"
+
 _PLAIN = {
     # ClickHouse count() takes zero args; Spark needs count(*)
     "count": lambda a: f"count({', '.join(a) if a else '*'})",
@@ -2609,6 +2772,498 @@ _PLAIN = {
     "dictisin": _dict_is_in,
     "dictgetchildren": _dict_get_children,
     "dictgetdescendants": _dict_get_descendants,
+    # ------------------------------------------------------------------
+    # round-12 sweep 5: second passthrough-closure pass — string
+    # search, array navigation, map HOFs, hash surrogates, random
+    # spellings, interval arithmetic.  Same policy as sweep 4 below.
+    # ------------------------------------------------------------------
+    # --- string search / split ---
+    "hastoken": _has_token,
+    "hastokencaseinsensitive": lambda a: (
+        f"(lower({a[0]}) RLIKE " + _sql_str(
+            "(^|[^\\p{L}\\p{N}])"
+            + re.escape(
+                _lit_text(a[1], "hasTokenCaseInsensitive", "token")
+                .lower()
+            )
+            + "($|[^\\p{L}\\p{N}])"
+        ) + ")"
+    ),
+    "ilike": lambda a: f"ilike({a[0]}, {a[1]})",
+    "notilike": lambda a: f"(NOT ilike({a[0]}, {a[1]}))",
+    "regexpquotemeta": lambda a: (
+        _sql_str(re.escape(_lit_text(a[0], "regexpQuoteMeta", "string")))
+    ),
+    "extractgroups": _extract_groups,
+    # ClickHouse arg order is (separator, haystack); limit -1 keeps
+    # trailing empties (the splitByChar contract)
+    "splitbyregexp": lambda a: f"split({a[1]}, {a[0]}, -1)",
+    "splitbywhitespace": lambda a: (
+        f"filter(split({a[0]}, '\\\\s+'), sbw -> sbw != '')"
+    ),
+    "splitbynonalpha": lambda a: (
+        f"filter(split({a[0]}, '[^\\\\p{{L}}\\\\p{{N}}]+'), "
+        f"sbn -> sbn != '')"
+    ),
+    "alphatokens": lambda a: (
+        f"filter(split({a[0]}, '[^a-zA-Z]+'), alt -> alt != '')"
+    ),
+    "firstline": lambda a: (
+        f"element_at(split({a[0]}, '\\\\r\\\\n|\\\\r|\\\\n', 2), 1)"
+    ),
+    "leftutf8": lambda a: f"left({a[0]}, {a[1]})",
+    "rightutf8": lambda a: f"right({a[0]}, {a[1]})",
+    "mid": lambda a: f"substring({', '.join(a)})",
+    "substr": lambda a: f"substring({', '.join(a)})",
+    "editdistanceutf8": lambda a: f"levenshtein({a[0]}, {a[1]})",
+    "dameraulevenshteindistance": lambda a: _scalar_fail(
+        "damerauLevenshteinDistance (transposition-aware) needs an "
+        "iterative DP — levenshteinDistance IS compiled"
+    ),
+    "ngramdistance": lambda a: _scalar_fail(
+        "ngramDistance: n-gram similarity is an engine operator — "
+        "q-gram / shingle joins (ext/dedup.py)"
+    ),
+    "ngramsearch": lambda a: _scalar_fail(
+        "ngramSearch: n-gram similarity is an engine operator — "
+        "q-gram / shingle joins (ext/dedup.py)"
+    ),
+    "wordshinglesimhash": lambda a: _scalar_fail(
+        "wordShingleSimHash: SimHash sketching is an engine operator "
+        "— q_simhash_pairs (ext/dedup.py)"
+    ),
+    "ngramsimhash": lambda a: _scalar_fail(
+        "ngramSimHash: SimHash sketching is an engine operator — "
+        "q_simhash_pairs (ext/dedup.py)"
+    ),
+    "ngramminhash": lambda a: _scalar_fail(
+        "ngramMinHash: MinHash sketching is an engine operator — "
+        "q_minhash_lsh_dedup (ext/dedup.py)"
+    ),
+    "wordshingleminhash": lambda a: _scalar_fail(
+        "wordShingleMinHash: MinHash sketching is an engine operator "
+        "— q_minhash_lsh_dedup (ext/dedup.py)"
+    ),
+    "stem": lambda a: _scalar_fail(
+        "stem: dictionary-backed NLP is not in the supported surface"
+    ),
+    "lemmatize": lambda a: _scalar_fail(
+        "lemmatize: dictionary-backed NLP is not in the supported "
+        "surface"
+    ),
+    "synonyms": lambda a: _scalar_fail(
+        "synonyms: dictionary-backed NLP is not in the supported "
+        "surface"
+    ),
+    "detectlanguage": lambda a: _scalar_fail(
+        "detectLanguage: language identification is an engine "
+        "operator — q_lang_id (ext/text.py)"
+    ),
+    "detectlanguagemixed": lambda a: _scalar_fail(
+        "detectLanguageMixed: language identification is an engine "
+        "operator — q_lang_id (ext/text.py)"
+    ),
+    "detectcharset": lambda a: _scalar_fail(
+        "detectCharset: charset detection models are not in the "
+        "supported surface"
+    ),
+    "obfuscatequeries": lambda a: _scalar_fail(
+        "obfuscateQueries is query-log tooling — not a data-plane "
+        "function"
+    ),
+    "punycodeencode": lambda a: _scalar_fail(
+        "punycodeEncode: ICU transcodings are not in the supported "
+        "surface"
+    ),
+    "punycodedecode": lambda a: _scalar_fail(
+        "punycodeDecode: ICU transcodings are not in the supported "
+        "surface"
+    ),
+    "idnaencode": lambda a: _scalar_fail(
+        "idnaEncode: ICU transcodings are not in the supported "
+        "surface"
+    ),
+    "idnadecode": lambda a: _scalar_fail(
+        "idnaDecode: ICU transcodings are not in the supported "
+        "surface"
+    ),
+    "normalizeutf8nfc": lambda a: _scalar_fail(
+        "normalizeUTF8NFC: Unicode normalization (ICU) is not in "
+        "the supported surface"
+    ),
+    "normalizeutf8nfd": lambda a: _scalar_fail(
+        "normalizeUTF8NFD: Unicode normalization (ICU) is not in "
+        "the supported surface"
+    ),
+    "normalizeutf8nfkc": lambda a: _scalar_fail(
+        "normalizeUTF8NFKC: Unicode normalization (ICU) is not in "
+        "the supported surface"
+    ),
+    "normalizeutf8nfkd": lambda a: _scalar_fail(
+        "normalizeUTF8NFKD: Unicode normalization (ICU) is not in "
+        "the supported surface"
+    ),
+    # --- arrays ---
+    "arraycumsumnonnegative": lambda a: (
+        f"aggregate({a[0]}, named_struct("
+        f"'s', element_at({a[0]}, 1) * 0, "
+        f"'o', slice({a[0]}, 1, 0)), "
+        f"(acn, acx) -> named_struct("
+        f"'s', greatest(acn.s + acx, element_at({a[0]}, 1) * 0), "
+        f"'o', concat(acn.o, array(greatest(acn.s + acx, "
+        f"element_at({a[0]}, 1) * 0)))), acn -> acn.o)"
+    ),
+    "arraysplit": lambda a: _scalar_fail(
+        "arraySplit (lambda-driven array-of-arrays segmentation) has "
+        "no Spark builtin — explode + a windowed segment id is the "
+        "relational shape"
+    ),
+    "arrayreversesplit": lambda a: _scalar_fail(
+        "arrayReverseSplit has no Spark builtin — explode + a "
+        "windowed segment id is the relational shape"
+    ),
+    "arrayreduce": _array_reduce,
+    "arrayreduceinranges": lambda a: _scalar_fail(
+        "arrayReduceInRanges has no Spark builtin — explode the "
+        "ranges and aggregate relationally"
+    ),
+    # ClickHouse flatten is RECURSIVE; Spark removes one level.  The
+    # two agree on depth-2 arrays (the overwhelmingly common case) and
+    # a deeper result is still visibly nested — documented delta
+    "flatten": lambda a: f"flatten({a[0]})",
+    "arrayfirst": lambda a: _scalar_fail(
+        "arrayFirst returns the element type's DEFAULT on no match, "
+        "which the type erasure loses — arrayFirstOrNull IS compiled"
+    ),
+    "arraylast": lambda a: _scalar_fail(
+        "arrayLast returns the element type's DEFAULT on no match, "
+        "which the type erasure loses — arrayLastOrNull IS compiled"
+    ),
+    "arrayfirstornull": lambda a: (
+        f"try_element_at(filter({a[1]}, {a[0]}), 1)"
+    ),
+    "arraylastornull": lambda a: (
+        f"try_element_at(filter({a[1]}, {a[0]}), -1)"
+    ),
+    # 0 when nothing matches — array_position's own contract
+    "arrayfirstindex": lambda a: (
+        f"array_position(transform({a[1]}, {a[0]}), true)"
+    ),
+    "arraylastindex": lambda a: (
+        f"(CASE WHEN array_position(reverse(transform({a[1]}, "
+        f"{a[0]})), true) = 0 THEN 0 ELSE size({a[1]}) - "
+        f"array_position(reverse(transform({a[1]}, {a[0]})), true) "
+        f"+ 1 END)"
+    ),
+    "arrayproduct": lambda a: (
+        f"aggregate({a[0]}, CAST(1 AS DOUBLE), "
+        f"(apa, apx) -> apa * apx)"
+    ),
+    "emptyarraytosingle": lambda a: _scalar_fail(
+        "emptyArrayToSingle pads with the element type's default, "
+        "which the type erasure loses"
+    ),
+    # per-value occurrence counter (first occurrence = 1); quadratic
+    # in the array length, which ClickHouse arrays keep small
+    "arrayenumerateuniq": lambda a: (
+        f"(CASE WHEN size({a[0]}) = 0 THEN CAST(array() AS ARRAY<INT>)"
+        f" ELSE transform(sequence(1, size({a[0]})), aeu -> "
+        f"size(filter(slice({a[0]}, 1, aeu), "
+        f"aev -> aev = element_at({a[0]}, aeu)))) END)"
+    ),
+    # --- tuples / maps ---
+    "tupleconcat": lambda a: _scalar_fail(
+        "tupleConcat: struct concatenation needs the field list — "
+        "write named_struct explicitly"
+    ),
+    "mapcontainskey": lambda a: (
+        f"map_contains_key({a[0]}, {a[1]})"
+    ),
+    "mapsubtract": lambda a: (
+        f"map_zip_with({a[0]}, {a[1]}, "
+        f"(mzk, mv1, mv2) -> coalesce(mv1, 0) - coalesce(mv2, 0))"
+    ),
+    "mappopulateseries": lambda a: _scalar_fail(
+        "mapPopulateSeries densifies a key range — the WITH FILL "
+        "compilation is the engine's shape for series densification"
+    ),
+    "mapapply": lambda a: _scalar_fail(
+        "mapApply's lambda returns a TUPLE — use Spark's "
+        "transform_keys / transform_values directly"
+    ),
+    "mapupdate": lambda a: _scalar_fail(
+        "mapUpdate's conflict rule (right wins) depends on Spark's "
+        "mapKeyDedupPolicy session config — use map_zip_with "
+        "explicitly"
+    ),
+    "mapconcat": lambda a: _scalar_fail(
+        "mapConcat's conflict rule (first wins) conflicts with "
+        "Spark's map_concat duplicate-key error — use map_zip_with "
+        "explicitly"
+    ),
+    # ClickHouse puts the lambda FIRST (the arrayMap convention)
+    "mapexists": lambda a: (
+        f"(cardinality(map_filter({a[1]}, {a[0]})) > 0)"
+    ),
+    "mapall": lambda a: (
+        f"(cardinality(map_filter({a[1]}, {a[0]})) = "
+        f"cardinality({a[1]}))"
+    ),
+    "mapsort": lambda a: _scalar_fail(
+        "mapSort: Spark maps are unordered — sort map_entries if an "
+        "ordered array is wanted"
+    ),
+    "mappartialsort": lambda a: _scalar_fail(
+        "mapPartialSort: Spark maps are unordered — sort "
+        "map_entries if an ordered array is wanted"
+    ),
+    # --- hash surrogates (the documented cityHash64 -> xxhash64
+    # contract: stable bucketing values, NOT ClickHouse's bits) ---
+    "javahash": lambda a: f"xxhash64({', '.join(a)})",
+    "hivehash": lambda a: f"xxhash64({', '.join(a)})",
+    "metrohash64": lambda a: f"xxhash64({', '.join(a)})",
+    "murmurhash2_32": lambda a: f"xxhash64({', '.join(a)})",
+    "murmurhash2_64": lambda a: f"xxhash64({', '.join(a)})",
+    "murmurhash3_32": lambda a: f"xxhash64({', '.join(a)})",
+    "murmurhash3_64": lambda a: f"xxhash64({', '.join(a)})",
+    "wyhash64": lambda a: f"xxhash64({', '.join(a)})",
+    "murmurhash3_128": lambda a: _scalar_fail(
+        "murmurHash3_128 is 128-bit — wider than the BIGINT hash "
+        "surface; md5() returns a 128-bit BINARY digest"
+    ),
+    # the input is already a hash; any stable bucket map satisfies
+    # the surrogate contract
+    "jumpconsistenthash": lambda a: f"pmod({a[0]}, {a[1]})",
+    # --- random spellings (nondeterministic, like rand/rand64) ---
+    "randcanonical": lambda a: "rand()",
+    "randuniform": lambda a: (
+        f"(({a[0]}) + rand() * (({a[1]}) - ({a[0]})))"
+    ),
+    "randnormal": lambda a: f"(({a[0]}) + randn() * ({a[1]}))",
+    "randbernoulli": lambda a: (
+        f"CAST(rand() < ({a[0]}) AS INT)"
+    ),
+    "randomstring": lambda a: _scalar_fail(
+        "randomString emits raw random BYTES — outside the "
+        "deterministic surface; uuid()/rand() cover id needs"
+    ),
+    "randomprintableascii": lambda a: _scalar_fail(
+        "randomPrintableASCII — outside the deterministic surface; "
+        "uuid()/rand() cover id needs"
+    ),
+    "generaterandomstructure": lambda a: _scalar_fail(
+        "generateRandomStructure is schema-generation tooling — not "
+        "a data-plane function"
+    ),
+    # --- math ---
+    "sign": lambda a: f"CAST(sign({a[0]}) AS BIGINT)",
+    "sqrt": lambda a: f"sqrt({a[0]})",
+    "pow": lambda a: f"power({a[0]}, {a[1]})",
+    "power": lambda a: f"power({a[0]}, {a[1]})",
+    "log2": lambda a: f"log2({a[0]})",
+    "log10": lambda a: f"log10({a[0]})",
+    "sinh": lambda a: f"sinh({a[0]})",
+    "cosh": lambda a: f"cosh({a[0]})",
+    "asinh": lambda a: f"asinh({a[0]})",
+    "acosh": lambda a: f"acosh({a[0]})",
+    "atanh": lambda a: f"atanh({a[0]})",
+    "sigmoid": lambda a: f"(1.0 / (1.0 + exp(-({a[0]}))))",
+    "isdecimaloverflow": lambda a: _scalar_fail(
+        "isDecimalOverflow introspects ClickHouse decimal storage — "
+        "no Spark analogue"
+    ),
+    "countdigits": lambda a: _scalar_fail(
+        "countDigits depends on the decimal storage width — use "
+        "length(CAST(abs(x) AS STRING)) for the value's digits"
+    ),
+    "bitrotateleft": lambda a: _scalar_fail(
+        "bitRotateLeft rotates within the source type's bit width, "
+        "which the BIGINT erasure loses (cf. byteSwap)"
+    ),
+    "bitrotateright": lambda a: _scalar_fail(
+        "bitRotateRight rotates within the source type's bit width, "
+        "which the BIGINT erasure loses (cf. byteSwap)"
+    ),
+    "bitslice": lambda a: _scalar_fail(
+        "bitSlice operates on bit-string offsets — no Spark "
+        "analogue; getbit()/shift arithmetic covers integer cases"
+    ),
+    # --- encodings ---
+    "char": _char_codes,
+    "format": _format_braces,
+    "base58encode": lambda a: _scalar_fail(
+        "base58Encode: no Spark builtin for Base58 — base64() is "
+        "the supported binary-to-text encoding"
+    ),
+    "base58decode": lambda a: _scalar_fail(
+        "base58Decode: no Spark builtin for Base58"
+    ),
+    "base32encode": lambda a: _scalar_fail(
+        "base32Encode: no Spark builtin for Base32 — base64() is "
+        "the supported binary-to-text encoding"
+    ),
+    "base32decode": lambda a: _scalar_fail(
+        "base32Decode: no Spark builtin for Base32"
+    ),
+    "base64urlencode": lambda a: _scalar_fail(
+        "base64URLEncode: the URL-safe alphabet/padding variant "
+        "differs from Spark's base64 — translate(base64(x), '+/', "
+        "'-_') explicitly if the alphabet is all that matters"
+    ),
+    "base64urldecode": lambda a: _scalar_fail(
+        "base64URLDecode: use unbase64(translate(x, '-_', '+/')) "
+        "explicitly"
+    ),
+    "trybase64decode": lambda a: _scalar_fail(
+        "tryBase64Decode returns '' on malformed input — Spark's "
+        "unbase64 error behavior differs; validate explicitly"
+    ),
+    "trybase64urldecode": lambda a: _scalar_fail(
+        "tryBase64URLDecode returns '' on malformed input — "
+        "validate explicitly"
+    ),
+    "bech32encode": lambda a: _scalar_fail(
+        "bech32Encode: no Spark builtin for Bech32"
+    ),
+    "bech32decode": lambda a: _scalar_fail(
+        "bech32Decode: no Spark builtin for Bech32"
+    ),
+    "mortonencode": lambda a: _scalar_fail(
+        "mortonEncode: bit-interleaved space-filling curves are an "
+        "engine operator — q_zorder_cluster (ext/)"
+    ),
+    "mortondecode": lambda a: _scalar_fail(
+        "mortonDecode: bit-interleaved space-filling curves are an "
+        "engine operator — q_zorder_cluster (ext/)"
+    ),
+    "hilbertencode": lambda a: _scalar_fail(
+        "hilbertEncode: space-filling curves are an engine operator "
+        "— q_zorder_cluster (ext/)"
+    ),
+    "hilbertdecode": lambda a: _scalar_fail(
+        "hilbertDecode: space-filling curves are an engine operator "
+        "— q_zorder_cluster (ext/)"
+    ),
+    # --- date/time ---
+    # toTime anchors the time-of-day on 1970-01-02 (ClickHouse
+    # contract); pmod keeps pre-epoch timestamps on the same day
+    "totime": lambda a: (
+        f"timestamp_seconds(86400 + "
+        f"pmod(unix_timestamp({a[0]}), 86400))"
+    ),
+    "totimewithfixeddate": lambda a: (
+        f"timestamp_seconds(86400 + "
+        f"pmod(unix_timestamp({a[0]}), 86400))"
+    ),
+    "torelativesecondnum": lambda a: f"unix_timestamp({a[0]})",
+    "torelativeminutenum": lambda a: (
+        f"(unix_timestamp({a[0]}) DIV 60)"
+    ),
+    "torelativehournum": lambda a: (
+        f"(unix_timestamp({a[0]}) DIV 3600)"
+    ),
+    # month/quarter counters: year*k + part (the ClickHouse anchor);
+    # differences — the only contract callers rely on — are exact
+    "torelativemonthnum": lambda a: (
+        f"(year({a[0]}) * 12 + month({a[0]}))"
+    ),
+    "torelativequarternum": lambda a: (
+        f"(year({a[0]}) * 4 + quarter({a[0]}))"
+    ),
+    "torelativeyearnum": lambda a: f"year({a[0]})",
+    "torelativeweeknum": lambda a: _scalar_fail(
+        "toRelativeWeekNum's epoch week anchor is underdocumented — "
+        "use (toRelativeDayNum(x) DIV 7) against an explicit anchor"
+    ),
+    "datetrunc": lambda a: f"date_trunc({', '.join(a)})",
+    "date_trunc": lambda a: f"date_trunc({', '.join(a)})",
+    # timestampAdd/Sub accept both the (date, INTERVAL) and the
+    # (unit, n, date) spellings
+    "timestampadd": lambda a: (
+        f"({a[0]} + {a[1]})" if len(a) == 2
+        else _date_add_sub(a, "+")
+    ),
+    "timestampsub": lambda a: (
+        f"({a[0]} - {a[1]})" if len(a) == 2
+        else _date_add_sub(a, "-")
+    ),
+    "addquarters": lambda a: (
+        f"({a[0]} + make_interval(0, CAST({a[1]} AS INT) * 3))"
+    ),
+    "subtractquarters": lambda a: (
+        f"({a[0]} - make_interval(0, CAST({a[1]} AS INT) * 3))"
+    ),
+    "addweeks": lambda a: (
+        f"({a[0]} + make_interval(0, 0, CAST({a[1]} AS INT)))"
+    ),
+    "subtractweeks": lambda a: (
+        f"({a[0]} - make_interval(0, 0, CAST({a[1]} AS INT)))"
+    ),
+    "addmilliseconds": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, "
+        f"CAST({a[1]} AS DECIMAL(18, 6)) / 1000))"
+    ),
+    "subtractmilliseconds": lambda a: (
+        f"({a[0]} - make_interval(0, 0, 0, 0, 0, 0, "
+        f"CAST({a[1]} AS DECIMAL(18, 6)) / 1000))"
+    ),
+    "addmicroseconds": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, "
+        f"CAST({a[1]} AS DECIMAL(18, 6)) / 1000000))"
+    ),
+    "subtractmicroseconds": lambda a: (
+        f"({a[0]} - make_interval(0, 0, 0, 0, 0, 0, "
+        f"CAST({a[1]} AS DECIMAL(18, 6)) / 1000000))"
+    ),
+    "addnanoseconds": lambda a: _scalar_fail(
+        "addNanoseconds: Spark timestamps are microsecond-precision"
+    ),
+    "subtractnanoseconds": lambda a: _scalar_fail(
+        "subtractNanoseconds: Spark timestamps are "
+        "microsecond-precision"
+    ),
+    "addinterval": lambda a: _scalar_fail(
+        "addInterval composes interval TUPLES — add the parts "
+        "explicitly"
+    ),
+    "todatetime64": _to_datetime64,
+    "todate32": lambda a: f"to_date({a[0]})",
+    # Date32's zero value is 1900-01-01 (not the Date epoch)
+    "todate32orzero": _try_cast("DATE", "DATE '1900-01-01'"),
+    "todate32ornull": _try_cast("DATE", None),
+    "utctimestamp": lambda a: "current_timestamp()",
+    "firstdayofmonth": lambda a: (
+        f"CAST(date_trunc('MONTH', {a[0]}) AS DATE)"
+    ),
+    # --- aggregates / analytics ---
+    "grouparrayintersect": lambda a: _scalar_fail(
+        "groupArrayIntersect has no Spark aggregate — explode and "
+        "count per element against the group size"
+    ),
+    "first_value": lambda a: f"first_value({', '.join(a)})",
+    "last_value": lambda a: f"last_value({', '.join(a)})",
+    "nth_value": lambda a: f"nth_value({', '.join(a)})",
+    "kolmogorovsmirnovtest": _engine_pointer_text(
+        "kolmogorovSmirnovTest",
+        "two-sample tests are engine operators — q_ks_test "
+        "(distributed ECDF sweep)",
+    ),
+    "entropy": _engine_pointer_text(
+        "entropy",
+        "Shannon entropy is an engine operator — q_entropy_shannon "
+        "(value-frequency aggregation)",
+    ),
+    "categoricalinformationvalue": lambda a: _scalar_fail(
+        "categoricalInformationValue (WoE/IV) has no Spark builtin "
+        "— compute from per-category good/bad aggregates"
+    ),
+    "flamegraph": lambda a: _scalar_fail(
+        "flameGraph is profiling tooling — not a data-plane function"
+    ),
+    "distinctdynamictypes": lambda a: _scalar_fail(
+        "distinctDynamicTypes introspects the Dynamic column type, "
+        "which has no Spark analogue"
+    ),
     # ------------------------------------------------------------------
     # round-12 sweep 4: passthrough closure.  Every name below used to
     # reach Spark's analyzer verbatim — either dying later as an

@@ -2960,3 +2960,132 @@ def test_sweep4_executes_exactly(spark):
         "192.168.1.77")
     assert one("SELECT timeSlots(ts, 3600, 1800) FROM sweep4_t") is not None
     assert len(one("SELECT timeSlots(ts, 3600, 1800) FROM sweep4_t")) == 3
+
+
+def test_sweep5_translation_pins():
+    """Round-12 sweep 5 — second passthrough-closure pass."""
+    for sql, frag in [
+        ("SELECT hasToken(s, 'tok') FROM t", "RLIKE"),
+        ("SELECT ilike(s, '%A%') FROM t", "ilike(s, '%A%')"),
+        ("SELECT notILike(s, '%A%') FROM t", "NOT ilike"),
+        ("SELECT extractGroups(s, '(a)(b)') FROM t",
+         "regexp_extract(s, '(a)(b)', 2)"),
+        ("SELECT splitByRegexp('[,;]', s) FROM t",
+         "split(s, '[,;]', -1)"),
+        ("SELECT editDistanceUTF8(a, b) FROM t", "levenshtein"),
+        ("SELECT mid(s, 2, 3) FROM t", "substring(s, 2, 3)"),
+        ("SELECT arrayFirstOrNull(x -> x > 1, a) FROM t",
+         "try_element_at(filter(a, x -> x > 1), 1)"),
+        ("SELECT arrayFirstIndex(x -> x > 1, a) FROM t",
+         "array_position(transform(a, x -> x > 1), true)"),
+        ("SELECT arrayReduce('sum', a) FROM t", "aggregate"),
+        ("SELECT mapContainsKey(m, 'k') FROM t", "map_contains_key"),
+        ("SELECT mapExists((k, v) -> v > 1, m) FROM t",
+         "cardinality(map_filter(m, (k, v) -> v > 1)) > 0"),
+        ("SELECT javaHash(s) FROM t", "xxhash64"),
+        ("SELECT randBernoulli(0.5) FROM t", "rand() < (0.5)"),
+        ("SELECT sign(x) FROM t", "CAST(sign(x) AS BIGINT)"),
+        ("SELECT sigmoid(x) FROM t", "1.0 + exp(-(x))"),
+        ("SELECT char(72) FROM t", "char(72)"),
+        ("SELECT format('{}!', a) FROM t",
+         "format_string('%1$s!', a)"),
+        ("SELECT toTime(ts) FROM t", "86400 + pmod"),
+        ("SELECT dateTrunc('month', ts) FROM t",
+         "date_trunc('month', ts)"),
+        ("SELECT timestampSub(MINUTE, 5, ts) FROM t", "INTERVAL 1 MINUTE"),
+        ("SELECT addQuarters(ts, 2) FROM t",
+         "make_interval(0, CAST(2 AS INT) * 3)"),
+        ("SELECT toDate32OrZero(s) FROM t", "DATE '1900-01-01'"),
+        ("SELECT firstDayOfMonth(d) FROM t", "date_trunc('MONTH'"),
+        ("SELECT toRelativeMonthNum(ts) FROM t",
+         "year(ts) * 12 + month(ts)"),
+    ]:
+        assert frag in translate_clickhouse_sql(sql), sql
+
+
+def test_sweep5_fail_fasts():
+    for sql, hint in [
+        ("SELECT hasToken(s, c) FROM t", "literal"),
+        ("SELECT damerauLevenshteinDistance(a, b) FROM t", "DP"),
+        ("SELECT ngramSimHash(s) FROM t", "q_simhash_pairs"),
+        ("SELECT ngramMinHash(s) FROM t", "q_minhash_lsh_dedup"),
+        ("SELECT detectLanguage(s) FROM t", "q_lang_id"),
+        ("SELECT stem('en', s) FROM t", "NLP"),
+        ("SELECT normalizeUTF8NFC(s) FROM t", "ICU"),
+        ("SELECT arrayFirst(x -> x > 1, a) FROM t",
+         "arrayFirstOrNull"),
+        ("SELECT arraySplit((x, y) -> y, a, b) FROM t", "explode"),
+        ("SELECT arrayReduce('median', a) FROM t", "engine"),
+        ("SELECT arrayReduce(agg_name, a) FROM t", "literal"),
+        ("SELECT mapApply((k, v) -> (k, v), m) FROM t",
+         "transform_keys"),
+        ("SELECT mapConcat(m1, m2) FROM t", "map_zip_with"),
+        ("SELECT murmurHash3_128(s) FROM t", "128-bit"),
+        ("SELECT randomString(8) FROM t", "deterministic surface"),
+        ("SELECT bitRotateLeft(x, 2) FROM t", "bit width"),
+        ("SELECT char(200) FROM t", "ASCII"),
+        ("SELECT char(h) FROM t", "ASCII"),
+        ("SELECT format('{bad}', a) FROM t", "placeholder"),
+        ("SELECT base58Encode(s) FROM t", "Base58"),
+        ("SELECT mortonEncode(a, b) FROM t", "q_zorder_cluster"),
+        ("SELECT toRelativeWeekNum(ts) FROM t", "anchor"),
+        ("SELECT toDateTime64(s, 9) FROM t", "microsecond"),
+        ("SELECT addNanoseconds(ts, 5) FROM t", "microsecond"),
+        ("SELECT kolmogorovSmirnovTest(x, g) FROM t", "q_ks_test"),
+        ("SELECT entropy(x) FROM t", "q_entropy_shannon"),
+        ("SELECT groupArrayIntersect(a) FROM t", "explode"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=hint):
+            translate_clickhouse_sql(sql)
+
+
+def test_sweep5_executes_exactly(spark):
+    """Value-level checks for the sweep-5 compiles with edge cases
+    (token boundaries, running-floor fold, last-index reversal, map
+    zip NULL fill, byte-wise char, positional format)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW sweep5_t AS SELECT * FROM VALUES"
+        " ('the Quick brown fox', array(1, -2, 3, -4),"
+        "  CAST('2024-03-15 13:47:23' AS TIMESTAMP),"
+        "  map('a', 1, 'b', 5), map('a', 2, 'c', 7))"
+        " AS sweep5_t(s, a, ts, m1, m2)"
+    )
+
+    def one(sql):
+        return spark.sql(translate_clickhouse_sql(sql)).collect()[0][0]
+
+    assert one("SELECT hasToken(s, 'Quick') FROM sweep5_t") is True
+    assert one("SELECT hasToken(s, 'Quic') FROM sweep5_t") is False
+    assert one(
+        "SELECT hasTokenCaseInsensitive(s, 'QUICK') FROM sweep5_t"
+    ) is True
+    assert one(
+        "SELECT splitByRegexp('[,;]', 'a,b;c,') FROM sweep5_t"
+    ) == ["a", "b", "c", ""]  # trailing empty kept
+    assert one("SELECT firstLine('l1\\nl2') FROM sweep5_t") == "l1"
+    assert one("SELECT arrayCumSumNonNegative(a) FROM sweep5_t") == [
+        1, 0, 3, 0]  # running sum floors at 0
+    assert one("SELECT arrayReduce('sum', a) FROM sweep5_t") == -2
+    assert one(
+        "SELECT arrayFirstOrNull(x -> x > 99, a) FROM sweep5_t"
+    ) is None
+    assert one("SELECT arrayLastIndex(x -> x < 0, a) FROM sweep5_t") == 4
+    assert one("SELECT arrayLastIndex(x -> x > 99, a) FROM sweep5_t") == 0
+    assert one(
+        "SELECT arrayEnumerateUniq(array(10, 20, 10, 10)) FROM sweep5_t"
+    ) == [1, 1, 2, 3]
+    assert dict(one("SELECT mapSubtract(m1, m2) FROM sweep5_t")) == {
+        "a": -1, "b": 5, "c": -7}  # absent keys fill with 0
+    assert one("SELECT mapAll((k, v) -> v > 0, m1) FROM sweep5_t") is True
+    assert one("SELECT char(72, 73) FROM sweep5_t") == "HI"
+    assert one(
+        "SELECT format('{1}-{0}', 'a', 'b') FROM sweep5_t") == "b-a"
+    assert str(one("SELECT toTime(ts) FROM sweep5_t")).startswith(
+        "1970-01-02 13:47:23")
+    assert str(one(
+        "SELECT timestampSub(MINUTE, 5, ts) FROM sweep5_t"
+    )).startswith("2024-03-15 13:42:23")
+    assert str(one("SELECT addQuarters(ts, 1) FROM sweep5_t")).startswith(
+        "2024-06-15")
+    assert str(one(
+        "SELECT toDate32OrZero('bogus') FROM sweep5_t")) == "1900-01-01"
