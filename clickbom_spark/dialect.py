@@ -1891,6 +1891,51 @@ def _extract_groups(a: list[str]) -> str:
     return f"array({parts})"
 
 
+def _count_groups(fn: str, pat_arg: str) -> int:
+    pat = _lit_text(pat_arg, fn, "pattern")
+    try:
+        n = re.compile(pat).groups
+    except re.error as exc:
+        raise UnsupportedClickHouseSQL(
+            f"{fn}: pattern does not parse ({exc})"
+        ) from None
+    if n == 0:
+        raise UnsupportedClickHouseSQL(
+            f"{fn} needs at least one capture group"
+        )
+    return n
+
+
+def _extract_groups_all_h(a: list[str]) -> str:
+    """extractAllGroupsHorizontal(s, 'pat'): one array PER GROUP, all
+    matches of that group (group count folds at translate time)."""
+    n = _count_groups("extractAllGroupsHorizontal", a[1])
+    parts = ", ".join(
+        f"regexp_extract_all({a[0]}, {a[1]}, {i})"
+        for i in range(1, n + 1)
+    )
+    return f"array({parts})"
+
+
+def _extract_groups_all_v(a: list[str]) -> str:
+    """extractAllGroupsVertical(s, 'pat'): one array PER MATCH holding
+    that match's groups — zip the per-group extract_all streams."""
+    n = _count_groups("extractAllGroupsVertical", a[1])
+    if n == 1:
+        return (
+            f"transform(regexp_extract_all({a[0]}, {a[1]}, 1), "
+            f"egv -> array(egv))"
+        )
+    zipped = ", ".join(
+        f"regexp_extract_all({a[0]}, {a[1]}, {i})"
+        for i in range(1, n + 1)
+    )
+    fields = ", ".join(f"egv.`{i - 1}`" for i in range(1, n + 1))
+    return (
+        f"transform(arrays_zip({zipped}), egv -> array({fields}))"
+    )
+
+
 def _char_codes(a: list[str]) -> str:
     """char(b1, b2, ...): ClickHouse assembles BYTES (so multi-byte
     UTF-8 sequences can be spelled byte-wise); Spark's char maps CODE
@@ -1984,6 +2029,53 @@ def _array_reduce(a: list[str]) -> str:
             "aggregates need the engine's operators"
         )
     return _ARRAY_REDUCE_AGGS[name](a[1])
+
+
+def _case_with_expression(a: list[str]) -> str:
+    """caseWithExpression(x, w1, r1, ..., default): the simple-CASE
+    function spelling (same shape as transform's literal form, but
+    with arbitrary WHEN expressions)."""
+    if len(a) < 4 or len(a) % 2 != 0:
+        raise UnsupportedClickHouseSQL(
+            "caseWithExpression needs (x, when1, then1, ..., default)"
+        )
+    whens = "".join(
+        f" WHEN {a[i]} THEN {a[i + 1]}" for i in range(1, len(a) - 1, 2)
+    )
+    return f"(CASE ({a[0]}){whens} ELSE {a[-1]} END)"
+
+
+_UUID_RE_SQL = (
+    "'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'"
+)
+
+_AES_MODES = {"ecb": "ECB", "cbc": "CBC", "gcm": "GCM"}
+
+
+def _aes(fn: str, spark_fn: str):
+    """encrypt/decrypt('aes-<len>-<mode>', data, key): ClickHouse puts
+    the mode FIRST and derives the key length from the mode name;
+    Spark's aes_* take (data, key, mode) and size by the key itself —
+    the mode literal maps, the key-length check moves to Spark."""
+
+    def h(a: list[str]) -> str:
+        if len(a) != 3:
+            raise UnsupportedClickHouseSQL(
+                f"{fn}: only the 3-argument (mode, data, key) form "
+                "compiles — IV/AAD argument order differs between "
+                "the engines; call Spark's aes_* directly for those"
+            )
+        mode = _lit_text(a[0], fn, "mode").lower()
+        suffix = mode.rsplit("-", 1)[-1]
+        if not mode.startswith("aes-") or suffix not in _AES_MODES:
+            raise UnsupportedClickHouseSQL(
+                f"{fn}: unsupported mode {a[0]} — aes-<len>-ecb/cbc/"
+                "gcm compile"
+            )
+        return f"{spark_fn}({a[1]}, {a[2]}, '{_AES_MODES[suffix]}')"
+
+    return h
 
 
 def _to_datetime64(a: list[str]) -> str:
@@ -2772,6 +2864,388 @@ _PLAIN = {
     "dictisin": _dict_is_in,
     "dictgetchildren": _dict_get_children,
     "dictgetdescendants": _dict_get_descendants,
+    # ------------------------------------------------------------------
+    # round-12 sweep 6: third passthrough-closure pass — aggregate
+    # combinators (-OrNull/-OrDefault/-Array), named operator
+    # spellings, multi-needle search, vector leftovers, AES, and the
+    # server-introspection tail.  Same policy as sweeps 4/5.
+    # ------------------------------------------------------------------
+    # --- named comparison / logic operator spellings ---
+    "equals": lambda a: f"({a[0]} = {a[1]})",
+    "notequals": lambda a: f"({a[0]} != {a[1]})",
+    "less": lambda a: f"({a[0]} < {a[1]})",
+    "greater": lambda a: f"({a[0]} > {a[1]})",
+    "lessorequals": lambda a: f"({a[0]} <= {a[1]})",
+    "greaterorequals": lambda a: f"({a[0]} >= {a[1]})",
+    "and": lambda a: "(" + " AND ".join(a) + ")",
+    "or": lambda a: "(" + " OR ".join(a) + ")",
+    "not": lambda a: f"(NOT {a[0]})",
+    # boolean inequality — ClickHouse xor is logical, not bitwise
+    "xor": lambda a: f"(({a[0]}) != ({a[1]}))",
+    "isnotdistinctfrom": lambda a: f"({a[0]} <=> {a[1]})",
+    "iszeroornull": lambda a: (
+        f"(({a[0]}) = 0 OR ({a[0]}) IS NULL)"
+    ),
+    "casewithexpression": _case_with_expression,
+    # --- string search leftovers ---
+    "positionutf8": lambda a: f"locate({a[1]}, {a[0]})",
+    "positioncaseinsensitive": lambda a: (
+        f"locate(lower({a[1]}), lower({a[0]}))"
+    ),
+    "positioncaseinsensitiveutf8": lambda a: (
+        f"locate(lower({a[1]}), lower({a[0]}))"
+    ),
+    # non-overlapping occurrence count via replace-shrink; zero-length
+    # needles count zero (division guard)
+    "countsubstrings": lambda a: (
+        f"(CASE WHEN length({a[1]}) = 0 THEN 0 ELSE "
+        f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
+        f" / length({a[1]}) AS BIGINT) END)"
+    ),
+    "countsubstringscaseinsensitive": lambda a: (
+        f"(CASE WHEN length({a[1]}) = 0 THEN 0 ELSE "
+        f"CAST((length({a[0]}) - length(replace(lower({a[0]}), "
+        f"lower({a[1]}), ''))) / length({a[1]}) AS BIGINT) END)"
+    ),
+    "countmatchescaseinsensitive": lambda a: (
+        f"regexp_count({a[0]}, "
+        + _sql_str(
+            "(?i)" + _lit_text(
+                a[1], "countMatchesCaseInsensitive", "pattern"
+            )
+        )
+        + ")"
+        if len(a) == 2 else _scalar_fail(
+            "countMatchesCaseInsensitive expects (haystack, pattern)"
+        )
+    ),
+    # positions across needles; 0 when none is found (CH contract)
+    "multisearchfirstposition": lambda a: (
+        f"coalesce(array_min(filter(transform({a[1]}, "
+        f"msn -> locate(msn, {a[0]})), msp -> msp > 0)), 0)"
+    ),
+    "multisearchfirstindex": lambda a: (
+        f"coalesce(array_position(transform({a[1]}, "
+        f"msn -> locate(msn, {a[0]})), "
+        f"array_min(filter(transform({a[1]}, "
+        f"msn -> locate(msn, {a[0]})), msp -> msp > 0))), 0)"
+    ),
+    "multisearchallpositions": lambda a: (
+        f"transform({a[1]}, msn -> locate(msn, {a[0]}))"
+    ),
+    "multimatchany": lambda a: (
+        f"exists({a[1]}, mmp -> regexp_like({a[0]}, mmp))"
+    ),
+    "extractallgroupshorizontal": _extract_groups_all_h,
+    "extractallgroupsvertical": _extract_groups_all_v,
+    "extractallgroups": lambda a: _scalar_fail(
+        "extractAllGroups aliases different layouts across ClickHouse "
+        "versions — call extractAllGroupsHorizontal or "
+        "extractAllGroupsVertical explicitly (both compile)"
+    ),
+    "jarosimilarity": lambda a: _scalar_fail(
+        "jaroSimilarity needs an iterative matcher — "
+        "levenshteinDistance IS compiled"
+    ),
+    "jarowinklersimilarity": lambda a: _scalar_fail(
+        "jaroWinklerSimilarity needs an iterative matcher — "
+        "levenshteinDistance IS compiled"
+    ),
+    # Jaccard over the DISTINCT character sets; both-empty is NULL
+    # here (ClickHouse: nan — same delta as arrayJaccardIndex)
+    "stringjaccardindex": lambda a: (
+        f"(CAST(size(array_intersect("
+        f"array_distinct(filter(split({a[0]}, ''), sj1 -> sj1 != ''))"
+        f", array_distinct(filter(split({a[1]}, ''), sj2 -> sj2 != ''"
+        f")))) AS DOUBLE) / nullif(size(array_distinct(concat("
+        f"filter(split({a[0]}, ''), sj1 -> sj1 != ''), "
+        f"filter(split({a[1]}, ''), sj2 -> sj2 != '')))), 0))"
+    ),
+    # --- vector leftovers (house fold style above) ---
+    "arraydotproduct": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, (dx, dy) -> dx * dy), "
+        f"CAST(0 AS DOUBLE), (dacc, dv) -> dacc + dv)"
+    ),
+    "arrayzipunaligned": lambda a: f"arrays_zip({', '.join(a)})",
+    "linfdistance": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(dx, dy) -> abs(dx - dy)), CAST(0 AS DOUBLE), "
+        f"(dacc, dv) -> greatest(dacc, dv))"
+    ),
+    "l2squareddistance": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(dx, dy) -> (dx - dy) * (dx - dy)), CAST(0 AS DOUBLE), "
+        f"(dacc, dv) -> dacc + dv)"
+    ),
+    "l1normalize": lambda a: (
+        f"transform({a[0]}, lnv -> lnv / "
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(ln1, lx) -> ln1 + abs(lx)))"
+    ),
+    "l2normalize": lambda a: (
+        f"transform({a[0]}, lnv -> lnv / "
+        f"sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(ln2, lx) -> ln2 + lx * lx)))"
+    ),
+    # --- -OrNull / -OrDefault combinators ---
+    # Spark's sum/avg/min/max are ALREADY NULL on empty input, which
+    # is exactly the -OrNull contract (the bare ClickHouse aggregates
+    # return 0/defaults; that delta is the one documented for sum)
+    "sumornull": lambda a: f"sum({a[0]})",
+    "avgornull": lambda a: f"avg({a[0]})",
+    "minornull": lambda a: f"min({a[0]})",
+    "maxornull": lambda a: f"max({a[0]})",
+    "anyornull": lambda a: f"any_value({a[0]}, true)",
+    "countornull": lambda a: f"nullif(count({a[0]}), 0)",
+    "uniqornull": lambda a: (
+        f"nullif(approx_count_distinct({a[0]}), 0)"
+    ),
+    "uniqexactornull": lambda a: (
+        f"nullif(count(DISTINCT {a[0]}), 0)"
+    ),
+    "sumordefault": lambda a: f"coalesce(sum({a[0]}), 0)",
+    "avgordefault": lambda a: f"coalesce(avg({a[0]}), 0)",
+    "countordefault": lambda a: f"count({a[0]})",
+    "uniqordefault": lambda a: f"approx_count_distinct({a[0]})",
+    "minordefault": lambda a: _scalar_fail(
+        "minOrDefault returns the value type's DEFAULT on empty "
+        "input, which the type erasure loses — minOrNull IS compiled"
+    ),
+    "maxordefault": lambda a: _scalar_fail(
+        "maxOrDefault returns the value type's DEFAULT on empty "
+        "input, which the type erasure loses — maxOrNull IS compiled"
+    ),
+    # --- -If+OrNull and -If leftovers ---
+    "sumifornull": lambda a: f"sum(if({a[1]}, {a[0]}, NULL))",
+    "avgifornull": lambda a: f"avg(if({a[1]}, {a[0]}, NULL))",
+    "countifornull": lambda a: f"nullif(count_if({a[0]}), 0)",
+    "medianif": lambda a: (
+        f"percentile_approx(if({a[1]}, {a[0]}, NULL), 0.5)"
+    ),
+    # --- -Array combinators (flatten the arrays into the aggregate) ---
+    # Float64 folds (the arraySum contract); count/min/max are exact
+    "sumarray": lambda a: (
+        f"sum(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(saa, sax) -> saa + sax))"
+    ),
+    "countarray": lambda a: f"sum(size({a[0]}))",
+    "avgarray": lambda a: (
+        f"(sum(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(saa, sax) -> saa + sax)) / sum(size({a[0]})))"
+    ),
+    "minarray": lambda a: f"min(array_min({a[0]}))",
+    "maxarray": lambda a: f"max(array_max({a[0]}))",
+    "sumarrayif": lambda a: (
+        f"sum(CASE WHEN ({a[1]}) THEN aggregate({a[0]}, "
+        f"CAST(0 AS DOUBLE), (saa, sax) -> saa + sax) END)"
+    ),
+    "grouparrayarray": lambda a: (
+        f"flatten(collect_list({a[0]}))"
+    ),
+    "groupuniqarrayarray": lambda a: (
+        f"array_distinct(flatten(collect_list({a[0]})))"
+    ),
+    "uniqarray": lambda a: _scalar_fail(
+        "uniqArray counts distinct ELEMENTS across rows — explode "
+        "the array and uniq() the elements (the scalable shape)"
+    ),
+    **{
+        f"{b}foreach": _engine_pointer_text(
+            f"{b}ForEach",
+            "element-wise aggregation across rows — posexplode + "
+            "GROUP BY position is the relational shape",
+        )
+        for b in ("sum", "avg", "min", "max", "count")
+    },
+    # --- type spellings ---
+    "tobool": lambda a: f"CAST({a[0]} AS BOOLEAN)",
+    "todecimal256": lambda a: _scalar_fail(
+        "Decimal256 (76 digits) exceeds Spark's DECIMAL(38) — "
+        "toDecimal128 compiles"
+    ),
+    "touint128": lambda a: _scalar_fail(
+        "Int128/256 exceed BIGINT — the dialect's integer surface "
+        "is 64-bit"
+    ),
+    "toint128": lambda a: _scalar_fail(
+        "Int128/256 exceed BIGINT — the dialect's integer surface "
+        "is 64-bit"
+    ),
+    "toint256": lambda a: _scalar_fail(
+        "Int128/256 exceed BIGINT — the dialect's integer surface "
+        "is 64-bit"
+    ),
+    "touint256": lambda a: _scalar_fail(
+        "Int128/256 exceed BIGINT — the dialect's integer surface "
+        "is 64-bit"
+    ),
+    "touuidornull": lambda a: (
+        f"(CASE WHEN {a[0]} RLIKE {_UUID_RE_SQL} THEN {a[0]} END)"
+    ),
+    "touuidorzero": lambda a: (
+        f"coalesce(CASE WHEN {a[0]} RLIKE {_UUID_RE_SQL} "
+        f"THEN {a[0]} END, "
+        f"'00000000-0000-0000-0000-000000000000')"
+    ),
+    "emptyarrayuint8": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyarrayint8": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyarrayuint16": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyarrayint16": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyarrayfloat32": lambda a: "CAST(array() AS ARRAY<DOUBLE>)",
+    "emptyarraydatetime": lambda a: (
+        "CAST(array() AS ARRAY<TIMESTAMP>)"
+    ),
+    # LowCardinality is a storage encoding, not a value change
+    "tolowcardinality": lambda a: f"({a[0]})",
+    "lowcardinalitykeys": lambda a: _scalar_fail(
+        "lowCardinalityKeys introspects the dictionary encoding — "
+        "no Spark analogue"
+    ),
+    "lowcardinalityindices": lambda a: _scalar_fail(
+        "lowCardinalityIndices introspects the dictionary encoding "
+        "— no Spark analogue"
+    ),
+    "tocolumntypename": lambda a: _scalar_fail(
+        "toColumnTypeName reports ClickHouse column vocabulary "
+        "(cf. toTypeName) — Spark's typeof() is the analogue"
+    ),
+    "defaultvalueofargumenttype": lambda a: _scalar_fail(
+        "defaultValueOfArgumentType: type defaults are erased here "
+        "(cf. the OrDefault combinators)"
+    ),
+    # --- bitmap objects (serialized roaring bitmaps are engine-side) ---
+    **{
+        n: _engine_pointer_text(
+            n,
+            "bitmap objects are engine-internal — q_bitmap_ops "
+            "(groupBitmap* family) covers the set algebra",
+        )
+        for n in (
+            "bitmapbuild", "bitmaptoarray", "bitmapcardinality",
+            "bitmapand", "bitmapor", "bitmapxor", "bitmapandnot",
+            "bitmapcontains", "bitmaphasany", "bitmaphasall",
+            "subbitmap", "bitmapmin", "bitmapmax",
+            "bitmapandcardinality", "bitmaporcardinality",
+        )
+    },
+    # --- tuple arithmetic (write the fields explicitly) ---
+    **{
+        n: _engine_pointer_text(
+            n,
+            "tuple arithmetic has no Spark struct operators — write "
+            "the named_struct fields explicitly",
+        )
+        for n in (
+            "tupleplus", "tupleminus", "tuplemultiply",
+            "tupledivide", "tuplenegate", "tupleintdiv",
+            "tuplemodulo",
+        )
+    },
+    # --- ISO calendar leftovers ---
+    # ISO year start = the Monday of the week containing Jan 4
+    "tostartofisoyear": lambda a: (
+        f"CAST(date_trunc('WEEK', make_date("
+        f"extract(YEAROFWEEK FROM {a[0]}), 1, 4)) AS DATE)"
+    ),
+    "toweek": lambda a: (
+        f"weekofyear({a[0]})"
+        if len(a) > 1 and a[1].strip() == "3"
+        else _scalar_fail(
+            "toWeek's default mode 0 (Sunday-start, week-0 base) has "
+            "no Spark twin — mode 3 (ISO, = weekofyear) compiles: "
+            "toWeek(x, 3)"
+        )
+    ),
+    "toyearweek": lambda a: (
+        f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + "
+        f"weekofyear({a[0]}))"
+        if len(a) > 1 and a[1].strip() == "3"
+        else _scalar_fail(
+            "toYearWeek's default mode 0 has no Spark twin — mode 3 "
+            "(ISO) compiles: toYearWeek(x, 3)"
+        )
+    ),
+    "adddate": lambda a: f"({a[0]} + {a[1]})",
+    "subdate": lambda a: f"({a[0]} - {a[1]})",
+    # --- AES (Spark-side key-length enforcement; mode literal maps) ---
+    "encrypt": _aes("encrypt", "aes_encrypt"),
+    "decrypt": _aes("decrypt", "aes_decrypt"),
+    "trydecrypt": _aes("tryDecrypt", "try_aes_decrypt"),
+    "aes_encrypt_mysql": lambda a: _scalar_fail(
+        "aes_encrypt_mysql folds long keys MySQL-style — use "
+        "encrypt() with a proper-length key"
+    ),
+    "aes_decrypt_mysql": lambda a: _scalar_fail(
+        "aes_decrypt_mysql folds long keys MySQL-style — use "
+        "decrypt() with a proper-length key"
+    ),
+    # --- ML / time-series toolkit ---
+    "evalmlmethod": _engine_pointer_text(
+        "evalMLMethod",
+        "model application is an engine operator — "
+        "q_train_quality_lr (ext/learn.py, exact-gradient LR)",
+    ),
+    "stochasticlinearregression": _engine_pointer_text(
+        "stochasticLinearRegression",
+        "training is an engine operator — q_train_quality_lr "
+        "(ext/learn.py)",
+    ),
+    "stochasticlogisticregression": _engine_pointer_text(
+        "stochasticLogisticRegression",
+        "training is an engine operator — q_train_quality_lr "
+        "(ext/learn.py)",
+    ),
+    "seriesdecomposestl": lambda a: _scalar_fail(
+        "seriesDecomposeSTL: iterative time-series decomposition is "
+        "not a single-expression compile"
+    ),
+    "seriesoutliersdetecttukey": lambda a: _scalar_fail(
+        "seriesOutliersDetectTukey: compute the IQR fences with the "
+        "engine's exact quantiles (q_weighted_quantiles family)"
+    ),
+    "seriesperioddetectfft": lambda a: _scalar_fail(
+        "seriesPeriodDetectFFT is not a single-expression compile"
+    ),
+    # --- stats leftovers ---
+    "cramersvbiascorrected": _engine_pointer_text(
+        "cramersVBiasCorrected",
+        "association measures are engine operators — q_cramers_v "
+        "(the bias-corrected variant differs only by the small-"
+        "sample correction term)",
+    ),
+    "rankcorr": _engine_pointer_text(
+        "rankCorr",
+        "rank correlation is an engine operator — q_spearman_corr",
+    ),
+    "theilsu": lambda a: _scalar_fail(
+        "theilsU (entropy-based association) — compute from the "
+        "contingency aggregates (cf. q_cramers_v)"
+    ),
+    "contingency": lambda a: _scalar_fail(
+        "contingency coefficient — compute from the chi-square "
+        "aggregates (q_chi_square)"
+    ),
+    "proportionsztest": lambda a: _scalar_fail(
+        "proportionsZTest is closed-form over four counts — compute "
+        "the z statistic explicitly from countIf aggregates"
+    ),
+    # --- server introspection tail ---
+    **{
+        n: _engine_pointer_text(
+            n,
+            "server/session introspection has no Spark analogue",
+        )
+        for n in (
+            "fullhostname", "displayname", "currentschemas",
+            "connectionid", "connection_id", "tid",
+            "zookeepersessionuptime", "revision", "buildid",
+            "filesystemavailable", "filesystemcapacity",
+            "filesystemunreserved", "queryid", "transactionid",
+            "getsetting", "getsettingordefault",
+            "getclienthttpheader", "showcertificate", "partitionid",
+            "structuretocapnprotoschema", "structuretoprotobufschema",
+        )
+    },
     # ------------------------------------------------------------------
     # round-12 sweep 5: second passthrough-closure pass — string
     # search, array navigation, map HOFs, hash surrogates, random

@@ -3089,3 +3089,141 @@ def test_sweep5_executes_exactly(spark):
         "2024-06-15")
     assert str(one(
         "SELECT toDate32OrZero('bogus') FROM sweep5_t")) == "1900-01-01"
+
+
+def test_sweep6_translation_pins():
+    """Round-12 sweep 6 — combinators, named operators, multi-search,
+    vector leftovers, AES, ISO-calendar leftovers."""
+    for sql, frag in [
+        ("SELECT equals(a, b) FROM t", "(a = b)"),
+        ("SELECT lessOrEquals(a, b) FROM t", "(a <= b)"),
+        ("SELECT and(p, q, r) FROM t", "(p AND q AND r)"),
+        ("SELECT xor(p, q) FROM t", "((p) != (q))"),
+        ("SELECT isNotDistinctFrom(a, b) FROM t", "(a <=> b)"),
+        ("SELECT caseWithExpression(x, 1, 'a', 'z') FROM t",
+         "CASE (x) WHEN 1 THEN 'a' ELSE 'z' END"),
+        ("SELECT positionCaseInsensitive(s, 'X') FROM t",
+         "locate(lower('X'), lower(s))"),
+        ("SELECT countSubstrings(s, 'ab') FROM t",
+         "replace(s, 'ab', '')"),
+        ("SELECT multiSearchAllPositions(s, ['a']) FROM t",
+         "transform(array('a'), msn -> locate(msn, s))"),
+        ("SELECT multiMatchAny(s, ['p']) FROM t", "regexp_like"),
+        ("SELECT arrayDotProduct(a, b) FROM t", "zip_with"),
+        ("SELECT LinfDistance(a, b) FROM t", "greatest(dacc, dv)"),
+        ("SELECT L2Normalize(a) FROM t", "sqrt(aggregate"),
+        ("SELECT sumOrNull(x) FROM t", "sum(x)"),
+        ("SELECT countOrNull(x) FROM t", "nullif(count(x), 0)"),
+        ("SELECT sumOrDefault(x) FROM t", "coalesce(sum(x), 0)"),
+        ("SELECT sumArray(a) FROM t", "sum(aggregate(a"),
+        ("SELECT countArray(a) FROM t", "sum(size(a))"),
+        ("SELECT minArray(a) FROM t", "min(array_min(a))"),
+        ("SELECT groupArrayArray(a) FROM t",
+         "flatten(collect_list(a))"),
+        ("SELECT medianIf(x, c) FROM t",
+         "percentile_approx(if(c, x, NULL), 0.5)"),
+        ("SELECT toBool(x) FROM t", "CAST(x AS BOOLEAN)"),
+        ("SELECT toUUIDOrZero(s) FROM t",
+         "00000000-0000-0000-0000-000000000000"),
+        ("SELECT toLowCardinality(s) FROM t", "(s)"),
+        ("SELECT toStartOfISOYear(d) FROM t",
+         "make_date(extract(YEAROFWEEK FROM d), 1, 4)"),
+        ("SELECT toWeek(d, 3) FROM t", "weekofyear(d)"),
+        ("SELECT addDate(d, INTERVAL 3 DAY) FROM t",
+         "(d + INTERVAL 3 DAY)"),
+        ("SELECT encrypt('aes-128-ecb', s, k) FROM t",
+         "aes_encrypt(s, k, 'ECB')"),
+        ("SELECT tryDecrypt('aes-256-gcm', s, k) FROM t",
+         "try_aes_decrypt(s, k, 'GCM')"),
+        ("SELECT extractAllGroupsVertical(s, '(a)(b)') FROM t",
+         "arrays_zip"),
+    ]:
+        assert frag in translate_clickhouse_sql(sql), sql
+
+
+def test_sweep6_fail_fasts():
+    for sql, hint in [
+        ("SELECT minOrDefault(x) FROM t", "minOrNull"),
+        ("SELECT uniqArray(a) FROM t", "explode"),
+        ("SELECT sumForEach(a) FROM t", "posexplode"),
+        ("SELECT toDecimal256(x, 10) FROM t", "DECIMAL"),
+        ("SELECT toInt128(x) FROM t", "64-bit"),
+        ("SELECT bitmapBuild(a) FROM t", "q_bitmap_ops"),
+        ("SELECT tuplePlus(t1, t2) FROM t", "named_struct"),
+        ("SELECT toWeek(d) FROM t", "mode 3"),
+        ("SELECT toYearWeek(d) FROM t", "mode 3"),
+        ("SELECT encrypt('aes-128-ctr', s, k) FROM t", "ecb/cbc"),
+        ("SELECT encrypt(m, s, k) FROM t", "literal"),
+        ("SELECT evalMLMethod(st, a) FROM t", "q_train_quality_lr"),
+        ("SELECT rankCorr(a, b) FROM t", "q_spearman_corr"),
+        ("SELECT cramersVBiasCorrected(a, b) FROM t", "q_cramers_v"),
+        ("SELECT proportionsZTest(a, b, c, d, 0.9, 'u') FROM t",
+         "countIf"),
+        ("SELECT jaroSimilarity(a, b) FROM t", "iterative"),
+        ("SELECT extractAllGroups(s, '(a)') FROM t", "explicitly"),
+        ("SELECT getSetting('x') FROM t", "introspection"),
+        ("SELECT lowCardinalityKeys(x) FROM t", "encoding"),
+        ("SELECT seriesDecomposeSTL(a, 7) FROM t", "decomposition"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=hint):
+            translate_clickhouse_sql(sql)
+
+
+def test_sweep6_executes_exactly(spark):
+    """Value checks: combinator NULL/empty contracts, multi-search
+    zero-miss contract, vertical group zip, ISO-year start, AES
+    round-trip."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW sweep6_t AS SELECT * FROM VALUES"
+        " ('abcabcAbc', array(1.0D, 2.0D, 2.0D),"
+        "  array(3.0D, 4.0D, 0.0D), CAST('2021-01-01' AS DATE), 5)"
+        " AS sweep6_t(s, va, vb, d, n)"
+    )
+
+    def one(sql):
+        return spark.sql(translate_clickhouse_sql(sql)).collect()[0][0]
+
+    assert one("SELECT countSubstrings(s, 'abc') FROM sweep6_t") == 2
+    assert one(
+        "SELECT countSubstringsCaseInsensitive(s, 'ABC') FROM sweep6_t"
+    ) == 3
+    assert one(
+        "SELECT multiSearchFirstPosition(s, ['zz', 'bc']) FROM sweep6_t"
+    ) == 2
+    assert one(
+        "SELECT multiSearchFirstPosition(s, ['zz', 'qq']) FROM sweep6_t"
+    ) == 0
+    assert one(
+        "SELECT multiSearchAllPositions(s, ['bc', 'zz']) FROM sweep6_t"
+    ) == [2, 0]
+    assert one(
+        "SELECT extractAllGroupsVertical('k1=v1 k2=v2', "
+        "'(\\\\w+)=(\\\\w+)') FROM sweep6_t"
+    ) == [["k1", "v1"], ["k2", "v2"]]
+    assert one(
+        "SELECT extractAllGroupsHorizontal('k1=v1 k2=v2', "
+        "'(\\\\w+)=(\\\\w+)') FROM sweep6_t"
+    ) == [["k1", "k2"], ["v1", "v2"]]
+    assert abs(one(
+        "SELECT stringJaccardIndex('abc', 'bcd') FROM sweep6_t"
+    ) - 0.5) < 1e-12
+    assert abs(one(
+        "SELECT arrayDotProduct(va, vb) FROM sweep6_t") - 11.0) < 1e-12
+    assert one("SELECT sumOrNull(n) FROM sweep6_t WHERE 1 = 0") is None
+    assert one("SELECT countOrNull(n) FROM sweep6_t WHERE 1 = 0") is None
+    assert one("SELECT sumOrDefault(n) FROM sweep6_t WHERE 1 = 0") == 0
+    assert float(one("SELECT sumArray(va) FROM sweep6_t")) == 5.0
+    assert one("SELECT countArray(va) FROM sweep6_t") == 3
+    assert one("SELECT groupArrayArray(va) FROM sweep6_t") == [
+        1.0, 2.0, 2.0]
+    # 2021-01-01 is ISO week 53 of ISO year 2020, which began Monday
+    # 2019-12-30 (the week containing Jan 4, 2020)
+    assert str(one("SELECT toStartOfISOYear(d) FROM sweep6_t")) == (
+        "2019-12-30")
+    assert one("SELECT toWeek(d, 3) FROM sweep6_t") == 53
+    assert one("SELECT toYearWeek(d, 3) FROM sweep6_t") == 202053
+    assert one(
+        "SELECT CAST(decrypt('aes-128-ecb', encrypt('aes-128-ecb', "
+        "'secret', '1234567890123456'), '1234567890123456') "
+        "AS STRING) FROM sweep6_t"
+    ) == "secret"
