@@ -496,6 +496,27 @@ def _accurate_cast(a: list[str]) -> str:
     return f"CAST({a[0]} AS {spark_t})"
 
 
+def _cast_as_syntax(a: list[str]) -> str:
+    """The standard ``CAST(x AS T)`` syntax: when T is a ClickHouse
+    type name (optionally wrapped in Nullable(...) — Spark columns are
+    always nullable), map it through the cast-type table; Spark-native
+    type names pass through verbatim."""
+    if len(a) == 1:
+        m = re.match(r"(?is)^(.*\S)\s+AS\s+([A-Za-z0-9_]+"
+                     r"(?:\s*\(\s*[A-Za-z0-9_]+\s*\))?)\s*$", a[0])
+        if m:
+            expr, t = m.group(1), m.group(2).strip()
+            inner = re.fullmatch(
+                r"(?is)Nullable\s*\(\s*([A-Za-z0-9_]+)\s*\)", t
+            )
+            if inner:
+                t = inner.group(1)
+            spark_t = _CH_CAST_TYPES.get(t.lower())
+            if spark_t is not None:
+                return f"CAST({expr} AS {spark_t})"
+    return f"CAST({', '.join(a)})"
+
+
 def _try_cast(spark_t: str, default: str | None):
     """``to<T>OrNull`` → try_cast; ``to<T>OrZero`` coalesces the
     parse failure to the ClickHouse zero default.  Delta (documented):
@@ -2543,13 +2564,15 @@ _PLAIN = {
     "todatetimeornull": _try_cast("TIMESTAMP", None),
     "accuratecast": _accurate_cast,
     # the two-argument FUNCTION spelling cast(x, 'Int64') — only when
-    # the second argument is a QUOTED type literal; everything else
-    # (incl. CAST(x AS MAP<K, V>), whose inner comma splits the args)
-    # re-joins verbatim as the standard CAST
+    # the second argument is a QUOTED type literal; the standard
+    # CAST(x AS T) syntax maps ClickHouse type names through the same
+    # table (CAST(x AS Int64) used to leak Spark's UNSUPPORTED_DATATYPE);
+    # everything else (incl. CAST(x AS MAP<K, V>), whose inner comma
+    # splits the args) re-joins verbatim as the standard CAST
     "cast": lambda a: (
         _accurate_cast(a)
         if len(a) == 2 and a[1].strip()[:1] in ("'", '"')
-        else f"CAST({', '.join(a)})"
+        else _cast_as_syntax(a)
     ),
     **{
         f"tointerval{u}": (

@@ -3227,3 +3227,24 @@ def test_sweep6_executes_exactly(spark):
         "'secret', '1234567890123456'), '1234567890123456') "
         "AS STRING) FROM sweep6_t"
     ) == "secret"
+
+
+def test_cast_as_syntax_maps_clickhouse_type_names():
+    """CAST(x AS Int64) — the standard-syntax spelling with a
+    ClickHouse type name — maps through the cast-type table
+    (it used to leak Spark's UNSUPPORTED_DATATYPE); Spark-native
+    names and comma-bearing types (DECIMAL(p, s), MAP<K, V>) pass
+    verbatim."""
+    for sql, frag in [
+        ("SELECT CAST(x AS Int64) FROM t", "CAST(x AS BIGINT)"),
+        ("SELECT CAST(x AS UInt8) FROM t", "CAST(x AS BIGINT)"),
+        ("SELECT CAST(x AS Nullable(Float64)) FROM t",
+         "CAST(x AS DOUBLE)"),
+        ("SELECT CAST(x AS String) FROM t", "CAST(x AS STRING)"),
+        ("SELECT CAST(x AS BIGINT) FROM t", "CAST(x AS BIGINT)"),
+        ("SELECT CAST(x AS DECIMAL(18, 2)) FROM t",
+         "CAST(x AS DECIMAL(18, 2))"),
+        ("SELECT CAST(m AS MAP<STRING, INT>) FROM t",
+         "CAST(m AS MAP<STRING, INT>)"),
+    ]:
+        assert frag in translate_clickhouse_sql(sql), sql

@@ -923,6 +923,121 @@ CORPUS: list[tuple[str, str, str]] = [
         GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10
         """,
     ),
+    (
+        # round-12 sweep 4: string-search closures end-to-end
+        "sweep4_string_search",
+        """
+        SELECT n_name,
+               countSubstrings(n_name, 'A') AS n_a,
+               positionCaseInsensitive(n_name, 'an') AS p_an,
+               substringIndex(n_name, 'A', 1) AS pre_a,
+               repeat(rightUTF8(n_name, 1), 3) AS rep3
+        FROM nation ORDER BY n_nationkey LIMIT 15
+        """,
+        """
+        SELECT n_name,
+               CAST(CASE WHEN length('A') = 0 THEN 0 ELSE
+                 (length(n_name) - length(replace(n_name, 'A', '')))
+                 / length('A') END AS BIGINT) AS n_a,
+               CAST(strpos(lower(n_name), lower('an')) AS BIGINT)
+                 AS p_an,
+               split_part(n_name, 'A', 1) AS pre_a,
+               repeat(right(n_name, 1), 3) AS rep3
+        FROM nation ORDER BY n_nationkey LIMIT 15
+        """,
+    ),
+    (
+        # round-12 sweep 4: calendar/banding closures end-to-end
+        "sweep4_calendar_banding",
+        """
+        SELECT toString(toLastDayOfWeek(o_orderdate)) AS sat,
+               roundAge(toInt64(o_custkey % 90)) AS age_band,
+               clamp(toInt64(round(o_totalprice)),
+                     50000, 250000) AS clamped,
+               count() AS n
+        FROM orders WHERE o_orderkey % 53 = 0
+        GROUP BY sat, age_band, clamped
+        ORDER BY sat, age_band, clamped LIMIT 25
+        """,
+        """
+        SELECT strftime(CAST(o_orderdate AS DATE)
+                 + to_days(CAST(6 - dayofweek(CAST(o_orderdate
+                     AS DATE)) AS INT)), '%Y-%m-%d') AS sat,
+               CAST(CASE WHEN (o_custkey % 90) < 1 THEN 0
+                    WHEN (o_custkey % 90) <= 17 THEN 17
+                    WHEN (o_custkey % 90) <= 24 THEN 18
+                    WHEN (o_custkey % 90) <= 34 THEN 25
+                    WHEN (o_custkey % 90) <= 44 THEN 35
+                    WHEN (o_custkey % 90) <= 54 THEN 45
+                    ELSE 55 END AS BIGINT) AS age_band,
+               least(greatest(CAST(round(o_totalprice) AS BIGINT),
+                              50000), 250000) AS clamped,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderkey % 53 = 0
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3 LIMIT 25
+        """,
+    ),
+    (
+        # round-12 sweep 5: lambda-array navigation closures
+        "sweep5_array_navigation",
+        """
+        SELECT doc_id,
+               arrayFirstIndex(w -> length(w) > 6,
+                               splitByChar(' ', text)) AS fi,
+               length(alphaTokens(text)) AS n_alpha,
+               arrayFirstOrNull(w -> length(w) > 6,
+                                splitByChar(' ', text)) AS fw
+        FROM documents ORDER BY doc_id LIMIT 20
+        """,
+        """
+        SELECT doc_id,
+               CAST(coalesce(list_position(
+                 list_transform(string_split(text, ' '),
+                                w -> length(w) > 6), true), 0)
+                 AS BIGINT) AS fi,
+               CAST(length(list_filter(
+                 regexp_split_to_array(text, '[^a-zA-Z]+'),
+                 w -> w != '')) AS BIGINT) AS n_alpha,
+               list_filter(string_split(text, ' '),
+                           w -> length(w) > 6)[1] AS fw
+        FROM documents ORDER BY doc_id LIMIT 20
+        """,
+    ),
+    (
+        # round-12 sweep 6: named operators + -OrNull/-OrDefault
+        # combinators + multi-needle search, end-to-end
+        "sweep6_combinators_operators",
+        """
+        SELECT event_type,
+               countOrNull(value) AS c,
+               sumOrDefault(toInt64(round(value * 100))) AS cents,
+               uniqExactOrNull(user_id) AS u,
+               multiSearchFirstPosition(event_type,
+                                        ['ick', 'iew']) AS msp
+        FROM events
+        WHERE and(greaterOrEquals(value, 10), less(value, 900))
+        GROUP BY event_type ORDER BY event_type
+        """,
+        """
+        SELECT event_type,
+               nullif(count(value), 0) AS c,
+               coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                 AS cents,
+               nullif(count(DISTINCT user_id), 0) AS u,
+               CAST(CASE
+                 WHEN strpos(event_type, 'ick') > 0
+                  AND (strpos(event_type, 'iew') = 0
+                       OR strpos(event_type, 'ick')
+                          <= strpos(event_type, 'iew'))
+                 THEN strpos(event_type, 'ick')
+                 WHEN strpos(event_type, 'iew') > 0
+                 THEN strpos(event_type, 'iew')
+                 ELSE 0 END AS BIGINT) AS msp
+        FROM events
+        WHERE value >= 10 AND value < 900
+        GROUP BY event_type ORDER BY event_type
+        """,
+    ),
 ]
 
 # the dict_get family's dictionary: SQL-defined over the corpus views,
