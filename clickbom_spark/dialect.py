@@ -2888,6 +2888,31 @@ _PLAIN = {
     "dictgetchildren": _dict_get_children,
     "dictgetdescendants": _dict_get_descendants,
     # ------------------------------------------------------------------
+    # round-12 clause sweep: ClickHouse TABLE FUNCTIONS (the numbers()
+    # TVF above is the one with a Spark twin).  view(q) is transparent;
+    # the rest name external systems or server state — data enters this
+    # engine through spark.read / the lake connectors, so they fail
+    # fast instead of dying later as unresolved Spark TVFs.
+    # ------------------------------------------------------------------
+    "view": lambda a: f"({', '.join(a)})",
+    **{
+        n: _engine_pointer_text(
+            n,
+            "table functions name external sources — load through "
+            "spark.read (io/sources.py, ext/manifest.py) and query "
+            "the registered view",
+        )
+        for n in (
+            "generaterandom", "remote", "remotesecure", "cluster",
+            "clusterallreplicas", "url", "s3", "s3cluster", "gcs",
+            "azureblobstorage", "hdfs", "mysql", "postgresql",
+            "sqlite", "mongodb", "redis", "jdbc", "odbc", "merge",
+            "input", "zeros", "zeros_mt", "iceberg", "deltalake",
+            "hudi", "fuzzjson", "fuzzquery", "loop",
+            "viewifpermitted", "mergetreeindex",
+        )
+    },
+    # ------------------------------------------------------------------
     # round-12 sweep 6: third passthrough-closure pass — aggregate
     # combinators (-OrNull/-OrDefault/-Array), named operator
     # spellings, multi-needle search, vector leftovers, AES, and the
@@ -6801,9 +6826,233 @@ def _rewrite_with_totals(s: str) -> str:
         )
 
 
+# ---------------------------------------------------------------------------
+# Round-12 clause sweep: constructs that used to leak through the
+# clause pipeline verbatim — ClickHouse's scalar WITH (a Spark parse
+# error), ::Type casts with ClickHouse type names, bare
+# EXCEPT/INTERSECT (ClickHouse keeps duplicates; Spark's default is
+# DISTINCT — silent wrong answers), PASTE JOIN and ORDER BY COLLATE
+# (unresolved downstream).
+# ---------------------------------------------------------------------------
+
+
+def _subst_ident(s: str, name: str, repl: str) -> str:
+    """Replace standalone identifier tokens ``name`` with ``repl`` —
+    quote-aware, skipping qualified references (``t.name``) and
+    function calls (``name(``).  ClickHouse identifiers are
+    case-sensitive, so the match is exact."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            j = _skip_string(s, i)
+            out.append(s[i:j])
+            i = j
+            continue
+        m = _IDENT.match(s, i)
+        if m:
+            tok = m.group(0)
+            prev = s[i - 1] if i else ""
+            k = m.end()
+            while k < n and s[k] in " \t\n":
+                k += 1
+            nxt = s[k] if k < n else ""
+            if tok == name and prev != "." and nxt != "(":
+                out.append(repl)
+            else:
+                out.append(tok)
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_WITH_HEAD = re.compile(r"^\s*WITH\b", re.IGNORECASE)
+_CTE_HEAD = re.compile(
+    r"(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\("
+)
+_SCALAR_ENTRY = re.compile(
+    r"(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$"
+)
+
+
+def _expand_scalar_with(sql: str) -> str:
+    """ClickHouse's scalar WITH (``WITH 5 AS k SELECT a + k ...``,
+    ``WITH (SELECT max(x) FROM t) AS m ...``) is macro-like alias
+    binding — Spark's WITH only accepts CTEs, so the scalar entries
+    are substituted into the query body at translate time (exactly
+    the ClickHouse shadowing rule: the alias wins over same-named
+    columns).  CTE entries are kept as a real WITH."""
+    head = _WITH_HEAD.match(sql)
+    if not head:
+        return sql
+    i, n = head.end(), len(sql)
+    entries, buf = [], []
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            buf.append(sql[i:j])
+            i = j
+            continue
+        if c == "(":
+            j = _matching_paren(sql, i)
+            buf.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _IDENT.match(sql, i)
+        if m and m.group(0).upper() == "SELECT":
+            break
+        if c == ",":
+            entries.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    else:
+        return sql  # no top-level SELECT after the WITH list
+    entries.append("".join(buf))
+    body = sql[i:]
+    ctes: list[str] = []
+    scalars: list[tuple[str, str]] = []
+    for e in entries:
+        es = e.strip()
+        m = _CTE_HEAD.match(es)
+        if m and _is_select(es[m.end() : -1] if es.endswith(")") else ""):
+            ctes.append(es)
+            continue
+        m2 = _SCALAR_ENTRY.match(es)
+        if m2 is None:
+            ctes.append(es)  # unknown shape — leave for Spark
+            continue
+        expr, name = m2.group(1).strip(), m2.group(2)
+        # earlier scalar aliases are visible in later entries
+        for prev_name, prev_expr in scalars:
+            expr = _subst_ident(expr, prev_name, prev_expr)
+        scalars.append((name, f"({expr})"))
+    if not scalars:
+        return sql
+    for name, expr in scalars:
+        body = _subst_ident(body, name, expr)
+    prefix = f"WITH {', '.join(ctes)} " if ctes else ""
+    return sql[: head.start()] + prefix + body
+
+
+def _map_colon_casts(s: str) -> str:
+    """``x::Int64`` / ``x::Nullable(Float64)``: map the ClickHouse
+    type name through the cast-type table (Spark supports the ``::``
+    syntax itself; only the vocabulary differs)."""
+    if "::" not in s:
+        return s
+    type_re = re.compile(
+        r"(?is)(Nullable\s*\(\s*([A-Za-z0-9_]+)\s*\))|([A-Za-z0-9_]+)"
+    )
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            j = _skip_string(s, i)
+            out.append(s[i:j])
+            i = j
+            continue
+        if c == ":" and s[i + 1 : i + 2] == ":":
+            j = i + 2
+            while j < n and s[j] in " \t\n":
+                j += 1
+            m = type_re.match(s, j)
+            if m:
+                t = m.group(2) or m.group(3)
+                spark_t = _CH_CAST_TYPES.get(t.lower())
+                if spark_t is not None:
+                    out.append("::" + spark_t)
+                    i = m.end()
+                    continue
+            out.append("::")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_SET_OP_MODS = {"ALL", "DISTINCT"}
+
+
+def _fail_clause_leaks(s: str) -> None:
+    """Constructs with no faithful Spark spelling fail fast instead of
+    leaking: PASTE JOIN (positional zip), ORDER BY ... COLLATE (ICU
+    collations), and BARE EXCEPT/INTERSECT — ClickHouse's defaults
+    keep duplicates (filtering anti/semi semantics) while Spark's
+    defaults deduplicate, so an unmodified pass-through silently
+    changes row multiplicity.  The DISTINCT spellings coincide on
+    both engines and pass through."""
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            i = _skip_string(s, i)
+            continue
+        m = _IDENT.match(s, i)
+        if not m:
+            i += 1
+            continue
+        up = m.group(0).upper()
+        j = m.end()
+        if up == "PASTE":
+            k = j
+            while k < n and s[k] in " \t\n":
+                k += 1
+            m2 = _IDENT.match(s, k)
+            if m2 and m2.group(0).upper() == "JOIN":
+                raise UnsupportedClickHouseSQL(
+                    "PASTE JOIN zips by row position — join on an "
+                    "explicit row_number() over a defined order "
+                    "instead (positions are not stable across a "
+                    "distributed scan)"
+                )
+        elif up == "COLLATE":
+            raise UnsupportedClickHouseSQL(
+                "ORDER BY ... COLLATE: ICU collations are not in the "
+                "supported surface — sort on an explicit key "
+                "expression instead"
+            )
+        elif up in ("EXCEPT", "INTERSECT"):
+            k = j
+            while k < n and s[k] in " \t\n":
+                k += 1
+            # a set operator is followed by SELECT or (SELECT ...);
+            # `* EXCEPT (col, ...)` — Spark's native star modifier —
+            # is a paren WITHOUT a SELECT inside and passes through
+            is_set_op = False
+            if k < n and s[k] == "(":
+                close = _matching_paren(s, k)
+                is_set_op = _is_select(s[k + 1 : close])
+            else:
+                m2 = _IDENT.match(s, k)
+                nxt = m2.group(0).upper() if m2 else ""
+                if nxt in _SET_OP_MODS:
+                    pass  # EXCEPT/INTERSECT DISTINCT|ALL — fine
+                elif nxt == "SELECT":
+                    is_set_op = True
+            if is_set_op:
+                raise UnsupportedClickHouseSQL(
+                    f"bare {up} keeps duplicate rows in ClickHouse "
+                    f"(filtering semantics) but deduplicates in "
+                    f"Spark — write {up} DISTINCT (set semantics, "
+                    f"identical on both engines) or an explicit "
+                    f"anti/semi join for the duplicate-keeping form"
+                )
+        i = j
+    return None
+
+
 def _rewrite_clauses(s: str, final_keys) -> str:
     _fail_with_fill(s)
     s = _star_modifiers(s)
+    _fail_clause_leaks(s)
+    s = _map_colon_casts(s)
     s = _strip_settings_format(s)
     s = _rewrite_final(s, final_keys)
     s = _rewrite_sample(s)
@@ -6833,6 +7082,7 @@ def translate_clickhouse_sql(sql: str, final_keys=None) -> str:
 
 
 def _translate_query(sql: str, final_keys) -> str:
+    sql = _expand_scalar_with(sql)
     return _rewrite_clauses(_translate_tokens(sql, final_keys), final_keys)
 
 
@@ -6898,10 +7148,12 @@ def _translate_tokens(sql: str, final_keys) -> str:
             inner = sql[k + 1:close]
             # `FROM (SELECT …)`, `IN (SELECT …)`, `EXISTS (SELECT …)`:
             # a subquery, not a call — translate it as a full query
-            # (clause rewrites included) and keep it opaque outside
+            # (clause rewrites included) and keep it opaque outside.
+            # The view(q) TABLE FUNCTION is transparent: drop the name.
             if _is_select(inner):
-                out.append(name)
-                out.append(sql[j:k])
+                if name.lower() != "view":
+                    out.append(name)
+                    out.append(sql[j:k])
                 out.append("(" + _translate_query(inner, final_keys) + ")")
                 i = close + 1
                 continue

@@ -1496,11 +1496,19 @@ def test_fourth_review_fixes():
     assert translate_clickhouse_sql(
         "SELECT * EXCEPT b FROM t"
     ) == "SELECT * EXCEPT (b) FROM t"
-    # ...but a set-operation EXCEPT is untouched
+    # ...and a BARE set-operation EXCEPT fails fast since the clause
+    # sweep: ClickHouse's bare EXCEPT keeps duplicates (filtering
+    # semantics) while Spark's default deduplicates — passing it
+    # through silently changed row multiplicity.  The DISTINCT
+    # spelling coincides on both engines and passes.
+    with pytest.raises(UnsupportedClickHouseSQL, match="DISTINCT"):
+        translate_clickhouse_sql(
+            "SELECT a FROM t EXCEPT SELECT a FROM u"
+        )
     out = translate_clickhouse_sql(
-        "SELECT a FROM t EXCEPT SELECT a FROM u"
+        "SELECT a FROM t EXCEPT DISTINCT SELECT a FROM u"
     )
-    assert "EXCEPT SELECT" in out
+    assert "EXCEPT DISTINCT SELECT" in out
     # parametric sketch spellings translate instead of leaking f(x)(y)
     out = translate_clickhouse_sql(
         "SELECT uniqCombined(17)(u) AS a, "
@@ -3248,3 +3256,80 @@ def test_cast_as_syntax_maps_clickhouse_type_names():
          "CAST(m AS MAP<STRING, INT>)"),
     ]:
         assert frag in translate_clickhouse_sql(sql), sql
+
+
+def test_clause_sweep_scalar_with_and_colon_casts():
+    """Round-12 clause sweep: scalar WITH macro expansion (Spark's
+    WITH only accepts CTEs), ::Type vocabulary mapping, table-function
+    fail-fasts, PASTE JOIN / COLLATE / bare set-op fail-fasts."""
+    assert translate_clickhouse_sql(
+        "WITH 5 AS k SELECT a + k FROM t"
+    ).strip() == "SELECT a + (5) FROM t"
+    # later entries see earlier scalar aliases
+    assert "((5) * 2)" in translate_clickhouse_sql(
+        "WITH 5 AS k, k * 2 AS k2 SELECT k2 FROM t"
+    )
+    # scalar-subquery form substitutes as a scalar subquery
+    assert "(SELECT max(value) FROM events)" in translate_clickhouse_sql(
+        "WITH (SELECT max(value) FROM events) AS mx "
+        "SELECT value / mx FROM events"
+    )
+    # CTE entries stay a real WITH; mixed lists split correctly
+    out = translate_clickhouse_sql(
+        "WITH x AS (SELECT 1 AS a), 7 AS k SELECT a + k FROM x"
+    )
+    assert out.startswith("WITH x AS (SELECT 1 AS a)")
+    assert "a + (7)" in out
+    # qualified t.k and calls k(...) are NOT substituted
+    out = translate_clickhouse_sql(
+        "WITH 5 AS k SELECT t.k, k FROM t"
+    )
+    assert "t.k, (5)" in out
+    # ::Type maps the ClickHouse vocabulary; Spark names untouched
+    assert "a::BIGINT" in translate_clickhouse_sql(
+        "SELECT a::Int64 FROM t")
+    assert "a::DOUBLE" in translate_clickhouse_sql(
+        "SELECT a::Nullable(Float64) FROM t")
+    assert "b::DATE" in translate_clickhouse_sql(
+        "SELECT b::Date FROM t")
+    assert "'x::Int64'" in translate_clickhouse_sql(
+        "SELECT 'x::Int64' FROM t")  # strings untouched
+    # star-modifier EXCEPT still passes; bare set ops fail fast
+    assert "* EXCEPT" in translate_clickhouse_sql(
+        "SELECT * EXCEPT (a, b) FROM t")
+    for sql, hint in [
+        ("SELECT a FROM t INTERSECT SELECT a FROM u", "DISTINCT"),
+        ("SELECT a FROM t EXCEPT (SELECT a FROM u)", "DISTINCT"),
+        ("SELECT a FROM t1 PASTE JOIN t2", "row_number"),
+        ("SELECT a FROM t ORDER BY a COLLATE 'en'", "ICU"),
+        ("SELECT a FROM s3('s3://b/k', 'CSV')", "spark.read"),
+        ("SELECT a FROM remote('h', db.t)", "spark.read"),
+        ("SELECT a FROM generateRandom('a Int64') LIMIT 3",
+         "spark.read"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=hint):
+            translate_clickhouse_sql(sql)
+    # DISTINCT/ALL spellings pass through
+    assert "INTERSECT ALL" in translate_clickhouse_sql(
+        "SELECT a FROM t INTERSECT ALL SELECT a FROM u")
+    # view() is transparent
+    assert translate_clickhouse_sql(
+        "SELECT a FROM view(SELECT a FROM t)"
+    ).strip() == "SELECT a FROM (SELECT a FROM t)"
+
+
+def test_clause_sweep_executes(spark):
+    """Scalar WITH and :: casts run end-to-end on Spark."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW clause_t AS "
+        "SELECT * FROM VALUES (10.0), (20.0) AS clause_t(v)"
+    )
+    rows = spark.sql(translate_clickhouse_sql(
+        "WITH (SELECT max(v) FROM clause_t) AS mx, 100 AS scale "
+        "SELECT toInt64(v / mx * scale) AS pct FROM clause_t "
+        "ORDER BY pct"
+    )).collect()
+    assert [r.pct for r in rows] == [50, 100]
+    assert spark.sql(translate_clickhouse_sql(
+        "SELECT '42'::Int64 AS r"
+    )).collect()[0].r == 42
