@@ -113,6 +113,7 @@ from clickbom_spark.queries import relational  # noqa: E402,F401
 from clickbom_spark.queries import curation  # noqa: E402,F401
 from clickbom_spark.queries import engine_ops  # noqa: E402,F401
 from clickbom_spark.queries import order_stats  # noqa: E402,F401
+from clickbom_spark.queries import dialect_r12  # noqa: E402,F401
 
 # Round-6 activation of the staged wave (30 queries, all
 # oracle-parity-green under tests/test_staged_parity.py before
