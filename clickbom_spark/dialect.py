@@ -2099,6 +2099,66 @@ def _aes(fn: str, spark_fn: str):
     return h
 
 
+def _position(a: list[str]) -> str:
+    """position(haystack, needle[, start]) → locate(needle, haystack
+    [, start]); the SQL-standard ``position(needle IN haystack)``
+    spelling arrives as ONE comma-arg and splits on the IN keyword.
+    The 3-arg start position used to be silently DROPPED."""
+    if len(a) == 1:
+        m = re.split(r"(?i)\s+IN\s+", a[0], maxsplit=1)
+        if len(m) == 2:
+            return f"locate({m[0].strip()}, {m[1].strip()})"
+        raise UnsupportedClickHouseSQL(
+            "position() needs (haystack, needle[, start]) or the "
+            "needle IN haystack spelling"
+        )
+    if len(a) == 2:
+        return f"locate({a[1]}, {a[0]})"
+    return f"locate({a[1]}, {a[0]}, {a[2]})"
+
+
+# Catch-all for COMBINATOR STACKS on aggregate bases that have no
+# explicit entry (sumStateIf is compiled below; sumResampleIf is not):
+# an unknown stack fails fast instead of leaking an unresolved
+# routine into Spark's analyzer.
+_COMBINATOR_TAIL = re.compile(
+    r"(?:if|mergestate|simplestate|state|merge|ornull|"
+    r"ordefault|distinct|array|foreach|map|resample)$"
+)
+_COMBINATOR_BASES = {
+    "sum", "count", "min", "max", "avg", "any", "anylast", "uniq",
+    "uniqexact", "uniqcombined", "uniqcombined64", "uniqtheta",
+    "uniqhll12", "median", "quantile", "quantiles", "grouparray",
+    "groupuniqarray", "argmin", "argmax", "corr", "topk",
+    "avgweighted", "sumcount", "sumwithoverflow", "stddevpop",
+    "stddevsamp", "varpop", "varsamp", "covarpop", "covarsamp",
+    "skewpop", "kurtpop", "anyheavy", "deltasum", "countdistinct",
+}
+
+
+def _combinator_stack_guard(name: str) -> None:
+    base = name.lower()
+    hit = False
+    while True:
+        m = _COMBINATOR_TAIL.search(base)
+        if m is None:
+            break
+        base = base[: m.start()]
+        if base in _COMBINATOR_BASES:
+            hit = True
+            break
+    if hit:
+        raise UnsupportedClickHouseSQL(
+            f"{name}: this combinator stack is not compiled — the "
+            "single combinators (-If, -Distinct, -OrNull/-OrDefault, "
+            "-Array, the -State/-Merge simple algebra) and the "
+            "common two-deep stacks (<agg>StateIf/<agg>IfState, "
+            "<agg>IfMerge, <agg>SimpleStateIf, uniq[Exact]StateIf, "
+            "sum/avgDistinctIf) are; restate the aggregation or use "
+            "the engine's mergeable-state operators"
+        )
+
+
 def _to_datetime64(a: list[str]) -> str:
     """toDateTime64(x, scale): Spark timestamps are microsecond-fixed;
     scales <= 6 are representable, deeper precision never was."""
@@ -2223,7 +2283,7 @@ _PLAIN = {
     "arraysort": lambda a: f"sort_array({a[0]})",
     "splitbychar": _split_by_char,
     "splitbystring": _split_by_string,
-    "position": lambda a: f"locate({a[1]}, {a[0]})",
+    "position": _position,
     "lengthutf8": lambda a: f"length({a[0]})",
     "lowerutf8": lambda a: f"lower({a[0]})",
     "upperutf8": lambda a: f"upper({a[0]})",
@@ -2887,6 +2947,96 @@ _PLAIN = {
     "dictisin": _dict_is_in,
     "dictgetchildren": _dict_get_children,
     "dictgetdescendants": _dict_get_descendants,
+    # ------------------------------------------------------------------
+    # round-12: the common two-deep COMBINATOR STACKS.  ClickHouse
+    # applies combinators left-to-right, so -StateIf and -IfState are
+    # the same aggregation; unknown stacks on aggregate bases fail
+    # fast via _combinator_stack_guard instead of leaking.
+    # ------------------------------------------------------------------
+    **{
+        spelling: fn
+        for b, fn in {
+            "sum": lambda a: (
+                f"named_struct('s', sum(if({a[1]}, {a[0]}, NULL)))"
+            ),
+            "min": lambda a: (
+                f"named_struct('m', min(if({a[1]}, {a[0]}, NULL)))"
+            ),
+            "max": lambda a: (
+                f"named_struct('m', max(if({a[1]}, {a[0]}, NULL)))"
+            ),
+            "avg": lambda a: (
+                f"named_struct('s', sum(if({a[1]}, {a[0]}, NULL)), "
+                f"'c', count(if({a[1]}, {a[0]}, NULL)))"
+            ),
+            "count": lambda a: (
+                f"named_struct('c', count_if({a[0]}))"
+            ),
+        }.items()
+        for spelling in (f"{b}stateif", f"{b}ifstate")
+    },
+    # merging a <agg>If state is the same fold as merging the base
+    # state (the If applied at STATE-BUILD time, not at merge time)
+    **{
+        f"{b}ifmerge": _STATE_ALGEBRA[f"{b}merge"]
+        for b in ("sum", "count", "min", "max", "avg")
+    },
+    **{
+        f"{b}ifmergestate": _STATE_ALGEBRA[f"{b}mergestate"]
+        for b in ("sum", "count", "min", "max", "avg")
+    },
+    # SimpleAggregateFunction stores the value itself — the If stack
+    # is just the filtered aggregate
+    **{
+        spelling: fn
+        for b, fn in {
+            "sum": lambda a: f"sum(if({a[1]}, {a[0]}, NULL))",
+            "min": lambda a: f"min(if({a[1]}, {a[0]}, NULL))",
+            "max": lambda a: f"max(if({a[1]}, {a[0]}, NULL))",
+            "any": lambda a: (
+                f"any_value(if({a[1]}, {a[0]}, NULL), true)"
+            ),
+            "anylast": lambda a: f"last(if({a[1]}, {a[0]}, NULL), true)",
+        }.items()
+        for spelling in (f"{b}simplestateif", f"{b}ifsimplestate")
+    },
+    "uniqstateif": lambda a: _uniq_state_expr(
+        [f"if({a[1]}, {a[0]}, NULL)"]
+    ),
+    "uniqifstate": lambda a: _uniq_state_expr(
+        [f"if({a[1]}, {a[0]}, NULL)"]
+    ),
+    "uniqexactstateif": lambda a: _uniq_exact_state_expr(
+        [f"if({a[1]}, {a[0]}, NULL)"]
+    ),
+    "uniqexactifstate": lambda a: _uniq_exact_state_expr(
+        [f"if({a[1]}, {a[0]}, NULL)"]
+    ),
+    "sumdistinctif": lambda a: (
+        f"sum(DISTINCT if({a[1]}, {a[0]}, NULL))"
+    ),
+    "avgdistinctif": lambda a: (
+        f"avg(DISTINCT if({a[1]}, {a[0]}, NULL))"
+    ),
+    # avgWeightedIf: the base's NULL-skip denominator rule AND the
+    # condition (a row counts only when the condition holds and the
+    # value is non-NULL)
+    "avgweightedif": lambda a: (
+        f"(sum(CASE WHEN ({a[2]}) THEN ({a[0]}) * ({a[1]}) END) / "
+        f"sum(CASE WHEN ({a[2]}) AND ({a[0]}) IS NOT NULL "
+        f"THEN ({a[1]}) END))"
+    ),
+    "medianifornull": lambda a: (
+        f"percentile_approx(if({a[1]}, {a[0]}, NULL), 0.5)"
+    ),
+    "medianornull": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    # sketch-family -If: the filtered approximate distinct count
+    **{
+        f"{n}if": (lambda a: _uniq_expr([f"if({a[1]}, {a[0]}, NULL)"]))
+        for n in (
+            "uniqtheta", "uniqhll12", "uniqcombined", "uniqcombined64",
+        )
+    },
     # ------------------------------------------------------------------
     # round-12 clause sweep: ClickHouse TABLE FUNCTIONS (the numbers()
     # TVF above is the one with a Spark twin).  view(q) is transparent;
@@ -7185,6 +7335,7 @@ def _translate_tokens(sql: str, final_keys) -> str:
             if handler is not None:
                 out.append(handler(args))
             else:
+                _combinator_stack_guard(name)
                 out.append(f"{name}({', '.join(args)})")
             i = close + 1
             continue

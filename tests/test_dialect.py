@@ -3333,3 +3333,55 @@ def test_clause_sweep_executes(spark):
     assert spark.sql(translate_clickhouse_sql(
         "SELECT '42'::Int64 AS r"
     )).collect()[0].r == 42
+
+
+def test_combinator_stacks_and_position_forms(spark):
+    """Two-deep combinator stacks compile (-StateIf/-IfState,
+    -IfMerge, -SimpleStateIf, uniq[Exact]StateIf, sum/avgDistinctIf,
+    avgWeightedIf, sketch -If); UNKNOWN stacks on aggregate bases
+    fail fast instead of leaking unresolved routines; position()
+    handles the 3-arg start (previously silently dropped) and the
+    SQL-standard needle IN haystack spelling (previously an
+    IndexError crash)."""
+    for sql, frag in [
+        ("SELECT position(s, 'x', 3) FROM t", "locate('x', s, 3)"),
+        ("SELECT position('x' IN s) FROM t", "locate('x', s)"),
+        ("SELECT sumStateIf(x, c) FROM t",
+         "named_struct('s', sum(if(c, x, NULL)))"),
+        ("SELECT countIfState(c) FROM t", "count_if(c)"),
+        ("SELECT sumIfMerge(st) FROM t", "coalesce(sum((st).s), 0)"),
+        ("SELECT maxSimpleStateIf(x, c) FROM t", "max(if(c, x, NULL))"),
+        ("SELECT uniqStateIf(x, c) FROM t", "collect_set"),
+        ("SELECT sumDistinctIf(x, c) FROM t",
+         "sum(DISTINCT if(c, x, NULL))"),
+        ("SELECT uniqThetaIf(x, c) FROM t",
+         "approx_count_distinct(if(c, x, NULL))"),
+    ]:
+        assert frag in translate_clickhouse_sql(sql), sql
+    for sql in (
+        "SELECT sumResampleIf(x, c) FROM t",
+        "SELECT maxStateArray(a) FROM t",
+        "SELECT quantileStateIf(x, c) FROM t",
+        "SELECT groupArrayResample(x) FROM t",
+    ):
+        with pytest.raises(UnsupportedClickHouseSQL, match="stack"):
+            translate_clickhouse_sql(sql)
+    # non-aggregate bases ending in a combinator word still pass
+    assert "getState(x)" in translate_clickhouse_sql(
+        "SELECT getState(x) FROM t")
+    # end-to-end: the StateIf round-trip merges to the rescan answer
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW comb_t AS SELECT * FROM VALUES"
+        " (1, 10.0), (1, 90.0), (2, 50.0) AS comb_t(g, v)"
+    )
+    merged = spark.sql(translate_clickhouse_sql(
+        "SELECT sumIfMerge(st) AS s FROM (SELECT g, "
+        "sumStateIf(v, v > 20) AS st FROM comb_t GROUP BY g)"
+    )).collect()[0].s
+    rescan = spark.sql(translate_clickhouse_sql(
+        "SELECT sumIf(v, v > 20) AS s FROM comb_t"
+    )).collect()[0].s
+    assert merged == rescan == 140.0
+    assert spark.sql(translate_clickhouse_sql(
+        "SELECT position('lo' IN 'hello') AS p"
+    )).collect()[0].p == 4
