@@ -2099,6 +2099,159 @@ def _aes(fn: str, spark_fn: str):
     return h
 
 
+# ---------------------------------------------------------------------------
+# Array higher-order functions with LAMBDAS.  ClickHouse puts the
+# lambda first and allows MULTIPLE arrays (the lambda arity matches
+# the array count); Spark's transform/filter/exists/forall are
+# single-array, and a 2-param Spark lambda means (element, INDEX) —
+# so the old 1:1 mapping silently bound the second array's parameter
+# to the element index.  Multi-array forms zip first.
+# ---------------------------------------------------------------------------
+
+_LAMBDA_MULTI = re.compile(
+    r"(?s)^\(\s*([A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*->\s*(.*)$"
+)
+_LAMBDA_SINGLE = re.compile(
+    r"(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*->\s*(.*)$"
+)
+
+
+def _lambda_parts(t: str) -> tuple[list[str], str] | None:
+    t = t.strip()
+    m = _LAMBDA_MULTI.match(t)
+    if m:
+        return [p.strip() for p in m.group(1).split(",")], m.group(2)
+    m = _LAMBDA_SINGLE.match(t)
+    if m:
+        return [m.group(1)], m.group(2)
+    return None
+
+
+def _hof_inputs(fn: str, a: list[str]) -> tuple[str, str]:
+    """Normalize a ClickHouse lambda-first HOF call ``fn(λ, arr...)``
+    to (single_array_expr, single_param_lambda): one array passes
+    through; two arrays zip into structs with the lambda body
+    rebound to the struct fields; three or more fail fast (no n-ary
+    zip_with in Spark)."""
+    lam = _lambda_parts(a[0])
+    if lam is None:
+        raise UnsupportedClickHouseSQL(
+            f"{fn}: the first argument must be a lambda "
+            f"(got {a[0]!r})"
+        )
+    params, body = lam
+    arrays = a[1:]
+    if len(params) != len(arrays):
+        raise UnsupportedClickHouseSQL(
+            f"{fn}: the lambda takes {len(params)} parameter(s) but "
+            f"{len(arrays)} array(s) were passed"
+        )
+    if len(arrays) == 1:
+        return arrays[0], a[0]
+    if len(arrays) == 2:
+        p1, p2 = params
+        zipped = (
+            f"zip_with({arrays[0]}, {arrays[1]}, "
+            f"({p1}, {p2}) -> struct({p1} AS z1, {p2} AS z2))"
+        )
+        nb = _subst_ident(_subst_ident(body, p1, "__zh.z1"),
+                          p2, "__zh.z2")
+        return zipped, f"__zh -> {nb}"
+    raise UnsupportedClickHouseSQL(
+        f"{fn}: more than two arrays — Spark's zip_with is binary; "
+        "zip explicitly in stages"
+    )
+
+
+def _array_map(a: list[str]) -> str:
+    if len(a) == 3:
+        # two arrays: zip_with's binary lambda IS the ClickHouse
+        # shape (arity-checked like every other HOF)
+        lam = _lambda_parts(a[0])
+        if lam is None or len(lam[0]) != 2:
+            raise UnsupportedClickHouseSQL(
+                "arrayMap: the lambda arity must match the array "
+                "count (two arrays need a 2-parameter lambda)"
+            )
+        return f"zip_with({a[1]}, {a[2]}, {a[0]})"
+    arr, lam = _hof_inputs("arrayMap", a)
+    return f"transform({arr}, {lam})"
+
+
+def _array_filter(a: list[str]) -> str:
+    if len(a) <= 2:
+        arr, lam = _hof_inputs("arrayFilter", a)
+        return f"filter({arr}, {lam})"
+    # multi-array: elements of the FIRST array where the lambda holds
+    arr, lam = _hof_inputs("arrayFilter", a)
+    return f"transform(filter({arr}, {lam}), __zh -> __zh.z1)"
+
+
+def _array_exists(a: list[str]) -> str:
+    arr, lam = _hof_inputs("arrayExists", a)
+    return f"exists({arr}, {lam})"
+
+
+def _array_all(a: list[str]) -> str:
+    arr, lam = _hof_inputs("arrayAll", a)
+    return f"forall({arr}, {lam})"
+
+
+def _array_count(a: list[str]) -> str:
+    if len(a) == 1:  # no lambda: count of truthy (non-NULL, non-zero)
+        return f"size(filter({a[0]}, x -> x IS NOT NULL AND x != 0))"
+    arr, lam = _hof_inputs("arrayCount", a)
+    return f"size(filter({arr}, {lam}))"
+
+
+def _mapped_array(fn: str, a: list[str]) -> str:
+    """The optional lambda-first form of the array FOLDS
+    (arraySum(λ, arr), arrayMin/Max/Avg/Product/CumSum...): apply the
+    map, then hand ONE array expression to the plain fold."""
+    if _lambda_parts(a[0]) is not None:
+        return _array_map(a)
+    if len(a) != 1:
+        raise UnsupportedClickHouseSQL(
+            f"{fn} expects (arr) or (lambda, arr...)"
+        )
+    return a[0]
+
+
+def _array_sort_keyed(a: list[str]) -> str:
+    """arraySort([λ,] arr): the keyed form is a stable Schwartzian
+    sort — struct(key, original index, value) sorts lexicographically,
+    so equal keys keep their input order (ClickHouse's stable sort)."""
+    if len(a) == 1:
+        return f"sort_array({a[0]})"
+    if len(a) > 2:
+        raise UnsupportedClickHouseSQL(
+            "arraySort with multiple arrays: zip explicitly and sort "
+            "the struct array"
+        )
+    lam = _lambda_parts(a[0])
+    if lam is None:
+        raise UnsupportedClickHouseSQL(
+            "arraySort(x, y): the 2-argument form takes a lambda "
+            "first"
+        )
+    params, body = lam
+    if len(params) != 1:
+        raise UnsupportedClickHouseSQL(
+            "arraySort key lambda must take exactly one parameter "
+            "for the single-array form"
+        )
+    param = params[0]
+    arr = a[1]
+    return (
+        f"transform(array_sort(zip_with({arr}, "
+        f"(CASE WHEN size({arr}) > 0 THEN sequence(1, size({arr})) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END), "
+        f"({param}, __asi) -> struct(({body}) AS k, __asi AS i, "
+        f"{param} AS v))), __ass -> __ass.v)"
+    )
+
+
 def _position(a: list[str]) -> str:
     """position(haystack, needle[, start]) → locate(needle, haystack
     [, start]); the SQL-standard ``position(needle IN haystack)``
@@ -2280,7 +2433,7 @@ _PLAIN = {
     # ClickHouse a[n] syntax is 1-based; Spark element_at is too —
     # the named form translates exactly (the [] syntax fails fast)
     "arrayelement": lambda a: f"element_at({a[0]}, {a[1]})",
-    "arraysort": lambda a: f"sort_array({a[0]})",
+    "arraysort": _array_sort_keyed,
     "splitbychar": _split_by_char,
     "splitbystring": _split_by_string,
     "position": _position,
@@ -2290,16 +2443,14 @@ _PLAIN = {
     # array higher-order functions: ClickHouse puts the lambda FIRST,
     # Spark puts the array first — the lambda syntax itself (x -> ...)
     # is identical in both dialects
-    "arraymap": lambda a: f"transform({a[1]}, {a[0]})",
-    "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",
-    "arraycount": lambda a: (
-        f"size(filter({a[1]}, {a[0]}))" if len(a) == 2
-        else f"size(filter({a[0]}, x -> x IS NOT NULL AND x != 0))"
-    ),
-    "arrayexists": lambda a: f"exists({a[1]}, {a[0]})",
-    "arrayall": lambda a: f"forall({a[1]}, {a[0]})",
+    "arraymap": _array_map,
+    "arrayfilter": _array_filter,
+    "arraycount": _array_count,
+    "arrayexists": _array_exists,
+    "arrayall": _array_all,
     "arraysum": lambda a: (
-        f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        f"aggregate({_mapped_array('arraySum', a)}, "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     ),
     # empty/notEmpty live with the polymorphic length() mapping below
     # (ClickHouse accepts strings AND arrays; the argument text picks
@@ -2494,13 +2645,19 @@ _PLAIN = {
     "extractall": _extract_all,
     "countmatches": _count_matches,
     # array & misc completions
-    "arraymin": lambda a: f"array_min({a[0]})",
-    "arraymax": lambda a: f"array_max({a[0]})",
+    "arraymin": lambda a: (
+        f"array_min({_mapped_array('arrayMin', a)})"
+    ),
+    "arraymax": lambda a: (
+        f"array_max({_mapped_array('arrayMax', a)})"
+    ),
     "arrayavg": lambda a: (
         # ClickHouse arrayAvg([]) is nan, not NULL
-        f"(CASE WHEN size({a[0]}) = 0 THEN CAST('NaN' AS DOUBLE) "
-        f"ELSE aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
-        f"(acc, x) -> acc + x) / size({a[0]}) END)"
+        f"(CASE WHEN size({_mapped_array('arrayAvg', a)}) = 0 "
+        f"THEN CAST('NaN' AS DOUBLE) "
+        f"ELSE aggregate({_mapped_array('arrayAvg', a)}, "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / "
+        f"size({_mapped_array('arrayAvg', a)}) END)"
     ),
     "arrayzip": lambda a: f"arrays_zip({', '.join(a)})",
     # sequence(1, 0) counts DOWN in Spark: gate the empty case
@@ -2571,10 +2728,12 @@ _PLAIN = {
         f"transform({a[0]}, (adx, adi) -> CASE WHEN adi = 0 THEN "
         f"adx * 0 ELSE adx - element_at({a[0]}, adi) END)"
     ),
-    "arraycumsum": lambda a: (
-        f"aggregate({a[0]}, named_struct("
-        f"'s', element_at({a[0]}, 1) * 0, "
-        f"'o', slice({a[0]}, 1, 0)), "
+    "arraycumsum": lambda a, _m=lambda a: _mapped_array(
+        "arrayCumSum", a
+    ): (
+        f"aggregate({_m(a)}, named_struct("
+        f"'s', element_at({_m(a)}, 1) * 0, "
+        f"'o', slice({_m(a)}, 1, 0)), "
         f"(acs, acx) -> named_struct('s', acs.s + acx, "
         f"'o', concat(acs.o, array(acs.s + acx))), acs -> acs.o)"
     ),
@@ -3576,14 +3735,16 @@ _PLAIN = {
         "the supported surface"
     ),
     # --- arrays ---
-    "arraycumsumnonnegative": lambda a: (
-        f"aggregate({a[0]}, named_struct("
-        f"'s', element_at({a[0]}, 1) * 0, "
-        f"'o', slice({a[0]}, 1, 0)), "
+    "arraycumsumnonnegative": lambda a, _m=lambda a: _mapped_array(
+        "arrayCumSumNonNegative", a
+    ): (
+        f"aggregate({_m(a)}, named_struct("
+        f"'s', element_at({_m(a)}, 1) * 0, "
+        f"'o', slice({_m(a)}, 1, 0)), "
         f"(acn, acx) -> named_struct("
-        f"'s', greatest(acn.s + acx, element_at({a[0]}, 1) * 0), "
+        f"'s', greatest(acn.s + acx, element_at({_m(a)}, 1) * 0), "
         f"'o', concat(acn.o, array(greatest(acn.s + acx, "
-        f"element_at({a[0]}, 1) * 0)))), acn -> acn.o)"
+        f"element_at({_m(a)}, 1) * 0)))), acn -> acn.o)"
     ),
     "arraysplit": lambda a: _scalar_fail(
         "arraySplit (lambda-driven array-of-arrays segmentation) has "
@@ -3611,21 +3772,36 @@ _PLAIN = {
         "arrayLast returns the element type's DEFAULT on no match, "
         "which the type erasure loses — arrayLastOrNull IS compiled"
     ),
-    "arrayfirstornull": lambda a: (
-        f"try_element_at(filter({a[1]}, {a[0]}), 1)"
+    "arrayfirstornull": lambda a, _h=lambda a: _hof_inputs(
+        "arrayFirstOrNull", a
+    ): (
+        # the multi-array form surfaces the FIRST array's element
+        "try_element_at(filter({0}, {1}), 1)".format(*_h(a))
+        if len(a) == 2 else
+        "try_element_at(transform(filter({0}, {1}), "
+        "__zh -> __zh.z1), 1)".format(*_h(a))
     ),
-    "arraylastornull": lambda a: (
-        f"try_element_at(filter({a[1]}, {a[0]}), -1)"
+    "arraylastornull": lambda a, _h=lambda a: _hof_inputs(
+        "arrayLastOrNull", a
+    ): (
+        "try_element_at(filter({0}, {1}), -1)".format(*_h(a))
+        if len(a) == 2 else
+        "try_element_at(transform(filter({0}, {1}), "
+        "__zh -> __zh.z1), -1)".format(*_h(a))
     ),
     # 0 when nothing matches — array_position's own contract
-    "arrayfirstindex": lambda a: (
-        f"array_position(transform({a[1]}, {a[0]}), true)"
+    "arrayfirstindex": lambda a, _h=lambda a: _hof_inputs(
+        "arrayFirstIndex", a
+    ): (
+        "array_position(transform({0}, {1}), true)".format(*_h(a))
     ),
-    "arraylastindex": lambda a: (
-        f"(CASE WHEN array_position(reverse(transform({a[1]}, "
-        f"{a[0]})), true) = 0 THEN 0 ELSE size({a[1]}) - "
-        f"array_position(reverse(transform({a[1]}, {a[0]})), true) "
-        f"+ 1 END)"
+    "arraylastindex": lambda a, _h=lambda a: _hof_inputs(
+        "arrayLastIndex", a
+    ): (
+        "(CASE WHEN array_position(reverse(transform({0}, {1})), "
+        "true) = 0 THEN 0 ELSE size({0}) - "
+        "array_position(reverse(transform({0}, {1})), true) "
+        "+ 1 END)".format(*_h(a))
     ),
     "arrayproduct": lambda a: (
         f"aggregate({a[0]}, CAST(1 AS DOUBLE), "

@@ -3385,3 +3385,59 @@ def test_combinator_stacks_and_position_forms(spark):
     assert spark.sql(translate_clickhouse_sql(
         "SELECT position('lo' IN 'hello') AS p"
     )).collect()[0].p == 4
+
+
+def test_multi_array_lambda_hofs(spark):
+    """ClickHouse's array HOFs accept MULTIPLE arrays (lambda arity =
+    array count); a straight transform/filter mapping silently bound
+    the second parameter to Spark's ELEMENT INDEX — multi-array forms
+    now zip first (plan stays one zip_with, no explode)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW hof_t AS SELECT"
+        " array(1, 2, 3) AS a, array(10, 20, 30) AS b"
+    )
+
+    def one(sql):
+        return spark.sql(translate_clickhouse_sql(sql)).collect()[0][0]
+
+    assert one("SELECT arrayMap((x, y) -> x + y, a, b) FROM hof_t") == [
+        11, 22, 33]
+    assert one(
+        "SELECT arrayFilter((x, y) -> y > 10, a, b) FROM hof_t") == [2, 3]
+    assert one(
+        "SELECT arrayExists((x, y) -> x * 10 = y, a, b) FROM hof_t"
+    ) is True
+    assert one(
+        "SELECT arrayAll((x, y) -> x + y > 12, a, b) FROM hof_t"
+    ) is False
+    assert one(
+        "SELECT arrayCount((x, y) -> x + y > 12, a, b) FROM hof_t") == 2
+    assert one(
+        "SELECT arrayFirstOrNull((x, y) -> y > 10, a, b) FROM hof_t") == 2
+    assert one(
+        "SELECT arrayFirstIndex((x, y) -> y > 10, a, b) FROM hof_t") == 2
+    # lambda-first forms of the folds (previously produced garbage)
+    assert float(one("SELECT arraySum(x -> x * 2, a) FROM hof_t")) == 12.0
+    assert float(one(
+        "SELECT arraySum((x, y) -> x * y, a, b) FROM hof_t")) == 140.0
+    assert one("SELECT arrayMin(x -> -x, a) FROM hof_t") == -3
+    assert one("SELECT arrayCumSum(x -> x * 2, a) FROM hof_t") == [
+        2, 6, 12]
+    # keyed arraySort is a STABLE Schwartzian sort (equal keys keep
+    # input order, the ClickHouse contract)
+    assert one("SELECT arraySort(x -> -x, a) FROM hof_t") == [3, 2, 1]
+    assert one(
+        "SELECT arraySort(x -> x % 2, array(4, 1, 2, 3)) FROM hof_t"
+    ) == [4, 2, 1, 3]
+    # arity mismatches and 3+ arrays fail fast
+    for sql, hint in [
+        ("SELECT arrayMap(x -> x, a, b) FROM hof_t", "arity"),
+        ("SELECT arrayMap((x, y, z) -> x, a, b, a) FROM hof_t",
+         "binary"),
+        ("SELECT arrayFilter((x, y) -> x, a) FROM hof_t",
+         "parameter"),
+        ("SELECT arraySort((x, y) -> y, a, b) FROM hof_t",
+         "explicitly"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=hint):
+            translate_clickhouse_sql(sql)
