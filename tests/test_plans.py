@@ -1622,3 +1622,44 @@ def test_supplier_deciles_rank_is_bucketed(spark):
 
     plan = _staged_plan(spark, "r20", "q_supplier_balance_deciles")
     assert re.search(r"windowspecdefinition\(_bkt", plan), plan
+
+
+def test_dialect_scalar_with_is_subquery_broadcast(spark):
+    """The scalar WITH expansion must land as Catalyst scalar
+    subqueries (one-row broadcast results reused across the plan) —
+    never a per-row rescan join of orders, and the duplicated
+    substitution text must be deduped by ReuseSubquery (one subquery
+    scan, not one per alias occurrence)."""
+    from clickbom_spark.queries import REGISTRY
+
+    df = REGISTRY["q_dialect_scalar_with"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" in plan, plan
+    # no join of orders against itself — the alias lands as a scalar
+    # subquery, not a correlated rescan
+    assert "Join" not in plan, plan
+    # every subquery scan is pruned to the ONE aggregated column
+    for seg in plan.split("ReadSchema: ")[1:]:
+        schema = seg.split("\n", 1)[0]
+        assert "o_comment" not in schema and "o_clerk" not in schema, (
+            plan
+        )
+
+
+def test_dialect_colon_cast_pushes_filter(spark):
+    """(l_orderkey % 7) = 0 from the ::-cast query must reach the
+    scan as a pushed/partial filter, and the scan must prune to the
+    three referenced columns."""
+    from clickbom_spark.queries import REGISTRY
+
+    df = REGISTRY["q_dialect_colon_cast"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_orderkey" in plan
+    low = plan.lower()
+    assert "filter" in low, plan
+    # column pruning: the wide lineitem table reads only the three
+    # referenced columns (ReadSchema names them)
+    m = low.split("readschema:")[-1]
+    for col in ("l_returnflag", "l_quantity", "l_extendedprice"):
+        assert col in m, plan
+    assert "l_comment" not in m, plan
