@@ -6431,6 +6431,71 @@ def _star_modifiers(s: str) -> str:
             return s
 
 
+# SETTINGS entries that change RESULTS, not just the runtime:
+# stripping them silently would flip value semantics.  Per value:
+# None = any value fails; otherwise the set of values that COINCIDE
+# with this engine's semantics (and strip safely).
+_SEMANTIC_SETTINGS: dict[str, set[str] | None] = {
+    # outer-join fill: Spark/ANSI uses NULLs = join_use_nulls=1;
+    # the ClickHouse default 0 fills with TYPE DEFAULTS
+    "join_use_nulls": {"1"},
+    # NULL grouping keys in ROLLUP/CUBE/TOTALS = Spark's behavior
+    "group_by_use_nulls": {"1"},
+    # NULL aggregate results on empty input = Spark's behavior
+    "aggregate_functions_null_for_empty": {"1"},
+    # rewrites every FROM into FROM ... FINAL
+    "final": {"0"},
+    # result-set truncation through a setting
+    "limit": None,
+    "offset": None,
+    # give bare UNION/INTERSECT/EXCEPT a default mode the text does
+    # not carry (the bare set ops fail fast on their own, but UNION
+    # DISTINCT-by-setting would silently pass through as Spark ALL…)
+    "union_default_mode": {"DISTINCT"},
+    "intersect_default_mode": None,
+    "except_default_mode": None,
+    # totals row semantics under HAVING
+    "totals_mode": None,
+    # distributed-only dedup of exactly-once inserts
+    "insert_deduplicate": {"0", "1"},  # ingestion-side, results safe
+}
+
+
+def _check_semantic_settings(body) -> None:
+    """``SETTINGS name = value`` pairs whose value CHANGES RESULTS
+    fail fast instead of being silently stripped."""
+    i, n = 0, len(body)
+    while i + 2 < n + 1:
+        if body[i][0] != "ident":
+            return
+        name = body[i][1].lower()
+        j = i + 2
+        neg = False
+        if j < n and body[j][0] == "sym" and body[j][1] == "-":
+            neg = True
+            j += 1
+        if j >= n:
+            return
+        val = body[j][1].strip("'\"").upper()
+        if neg:
+            val = "-" + val
+        ok_vals = _SEMANTIC_SETTINGS.get(name, ...)
+        if ok_vals is None or (
+            ok_vals is not ... and val not in ok_vals
+        ):
+            raise UnsupportedClickHouseSQL(
+                f"SETTINGS {body[i][1]} = {val} changes query "
+                "RESULTS (not just the runtime) and this engine's "
+                "semantics differ — rewrite the query to state the "
+                "behavior in SQL (runtime-tuning settings strip "
+                "silently)"
+            )
+        j += 1
+        if j >= n:
+            return
+        i = j + 1  # past the comma
+
+
 def _strip_settings_format(s: str) -> str:
     """Strip trailing ``SETTINGS k = v [, ...]`` and ``FORMAT <name>``
     clauses.  Both are EXECUTION directives, not query semantics:
@@ -6487,6 +6552,7 @@ def _strip_settings_format(s: str) -> str:
             # query must still strip
             skip += 1
             continue
+        _check_semantic_settings(body)
         tail = s[toks[end][2]:] if end < len(toks) else ""
         s = s[: toks[hit][2]].rstrip() + (" " + tail if tail else "")
     toks = _scan_top(s)

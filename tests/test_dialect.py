@@ -3441,3 +3441,31 @@ def test_multi_array_lambda_hofs(spark):
     ]:
         with pytest.raises(UnsupportedClickHouseSQL, match=hint):
             translate_clickhouse_sql(sql)
+
+
+def test_semantic_settings_fail_fast():
+    """SETTINGS entries that change RESULTS fail fast instead of
+    silently stripping: join_use_nulls=0 (type-default outer-join
+    fill), group_by_use_nulls=0, final=1, union_default_mode='ALL',
+    totals_mode.  Values that COINCIDE with this engine's semantics
+    (join_use_nulls=1, final=0) and pure runtime tuning strip as
+    before."""
+    ok = [
+        "SELECT 1 SETTINGS max_threads = 4",
+        "SELECT 1 SETTINGS join_use_nulls = 1",
+        "SELECT 1 SETTINGS final = 0",
+        "SELECT 1 SETTINGS group_by_use_nulls = 1, max_threads = 8",
+        "SELECT 1 SETTINGS max_memory_usage = 10000000000",
+        "SELECT 1 SETTINGS union_default_mode = 'DISTINCT'",
+    ]
+    for sql in ok:
+        assert translate_clickhouse_sql(sql).strip() == "SELECT 1", sql
+    for sql in (
+        "SELECT 1 SETTINGS join_use_nulls = 0",
+        "SELECT 1 SETTINGS final = 1",
+        "SELECT 1 SETTINGS union_default_mode = 'ALL'",
+        "SELECT 1 SETTINGS max_threads = 8, group_by_use_nulls = 0",
+        "SELECT 1 SETTINGS totals_mode = 'after_having_auto'",
+    ):
+        with pytest.raises(UnsupportedClickHouseSQL, match="RESULTS"):
+            translate_clickhouse_sql(sql)
