@@ -1038,6 +1038,35 @@ CORPUS: list[tuple[str, str, str]] = [
         GROUP BY event_type ORDER BY event_type
         """,
     ),
+    (
+        # round-12: multi-array lambda HOFs (zip_with compile) and the
+        # lambda-first fold form, end-to-end
+        "hof_multi_array",
+        """
+        SELECT doc_id,
+               arraySum((w, i) -> length(w) * i,
+                        splitByChar(' ', text),
+                        arrayEnumerate(splitByChar(' ', text)))
+                 AS weighted_len,
+               arrayCount((w, i) -> length(w) > i,
+                          splitByChar(' ', text),
+                          arrayEnumerate(splitByChar(' ', text)))
+                 AS n_longer
+        FROM documents ORDER BY doc_id LIMIT 20
+        """,
+        """
+        SELECT doc_id,
+               CAST(list_sum(list_transform(
+                 generate_series(1, len(string_split(text, ' '))),
+                 i -> length(string_split(text, ' ')[i]) * i))
+                 AS DOUBLE) AS weighted_len,
+               CAST(length(list_filter(
+                 generate_series(1, len(string_split(text, ' '))),
+                 i -> length(string_split(text, ' ')[i]) > i))
+                 AS BIGINT) AS n_longer
+        FROM documents ORDER BY doc_id LIMIT 20
+        """,
+    ),
 ]
 
 # the dict_get family's dictionary: SQL-defined over the corpus views,
