@@ -3469,3 +3469,36 @@ def test_semantic_settings_fail_fast():
     ):
         with pytest.raises(UnsupportedClickHouseSQL, match="RESULTS"):
             translate_clickhouse_sql(sql)
+
+
+def test_rewrite_pass_properties():
+    """Property-style invariants for the round-12 rewrite passes:
+    string literals are never touched by scalar-WITH substitution or
+    ::-cast mapping, and substitution respects token boundaries."""
+    from clickbom_spark.dialect import (
+        _expand_scalar_with,
+        _map_colon_casts,
+        _subst_ident,
+    )
+
+    # literals survive untouched even when they contain the alias,
+    # '::Int64' text, or WITH-like fragments
+    out = _expand_scalar_with(
+        "WITH 5 AS k SELECT 'k and k(x) and t.k' AS s, k FROM t"
+    )
+    assert "'k and k(x) and t.k'" in out
+    assert out.rstrip().endswith("(5) FROM t")
+    assert _map_colon_casts("SELECT 'a::Int64', x::Int64 FROM t") == (
+        "SELECT 'a::Int64', x::BIGINT FROM t"
+    )
+    # token boundaries: k vs kk vs k2 vs _k
+    body = _subst_ident("SELECT k, kk, k2, _k, a.k, k(x)", "k", "(9)")
+    assert body == "SELECT (9), kk, k2, _k, a.k, k(x)"
+    # idempotence of the colon-cast pass
+    once = _map_colon_casts("SELECT x::Float64 FROM t")
+    assert _map_colon_casts(once) == once
+    # a WITH that is ALL CTEs is untouched byte-for-byte
+    sql = "WITH x AS (SELECT 1 AS a), y AS (SELECT 2 AS b) SELECT * FROM x"
+    assert _expand_scalar_with(sql) == sql
+    # no-WITH queries are untouched
+    assert _expand_scalar_with("SELECT 1") == "SELECT 1"
