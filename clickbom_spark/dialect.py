@@ -2312,6 +2312,42 @@ def _combinator_stack_guard(name: str) -> None:
         )
 
 
+def _interval_text(fn: str, arg: str) -> str:
+    """A literal ``INTERVAL n UNIT`` argument, rendered as Spark
+    window()'s duration string ('10 minute')."""
+    m = re.match(
+        r"(?is)^\s*INTERVAL\s+'?(\d+)'?\s+([A-Za-z]+)\s*$", arg.strip()
+    )
+    if m is None:
+        raise UnsupportedClickHouseSQL(
+            f"{fn}: the window size must be a literal "
+            "INTERVAL n UNIT"
+        )
+    return f"'{m.group(1)} {m.group(2).lower()}'"
+
+
+def _tumble(a: list[str], part: str | None = None) -> str:
+    if len(a) != 2:
+        raise UnsupportedClickHouseSQL(
+            "tumble: only the (time, INTERVAL) form compiles — the "
+            "timezone argument is unsupported (UTC-session corpus)"
+        )
+    w = f"window({a[0]}, {_interval_text('tumble', a[1])})"
+    return f"{w}.{part}" if part else w
+
+
+def _hop(a: list[str]) -> str:
+    if len(a) != 3:
+        raise UnsupportedClickHouseSQL(
+            "hop: only the (time, slide INTERVAL, size INTERVAL) "
+            "form compiles"
+        )
+    return (
+        f"window({a[0]}, {_interval_text('hop', a[2])}, "
+        f"{_interval_text('hop', a[1])})"
+    )
+
+
 def _to_datetime64(a: list[str]) -> str:
     """toDateTime64(x, scale): Spark timestamps are microsecond-fixed;
     scales <= 6 are representable, deeper precision never was."""
@@ -3196,6 +3232,166 @@ _PLAIN = {
             "uniqtheta", "uniqhll12", "uniqcombined", "uniqcombined64",
         )
     },
+    # ------------------------------------------------------------------
+    # round-12 sweep 7: time-window TVF functions, UTC conversions,
+    # Snowflake IDs, XML encodes, sub-second components — plus the
+    # geobase/ULID/model-file/introspection fail-fast tail.
+    # ------------------------------------------------------------------
+    # tumble/hop → Spark's window() grouping struct (start/end fields;
+    # ClickHouse tuples read the same way positionally)
+    "tumble": lambda a: _tumble(a),
+    "tumblestart": lambda a: _tumble(a, "start"),
+    "tumbleend": lambda a: _tumble(a, "end"),
+    "hop": _hop,
+    "hopstart": lambda a: _scalar_fail(
+        "hopStart: a sliding window assigns each row to SEVERAL "
+        "windows — group by hop(...) and read the struct's start"
+    ),
+    "hopend": lambda a: _scalar_fail(
+        "hopEnd: group by hop(...) and read the struct's end"
+    ),
+    "toutctimestamp": lambda a: (
+        f"to_utc_timestamp({a[0]}, {a[1]})"
+    ),
+    "fromutctimestamp": lambda a: (
+        f"from_utc_timestamp({a[0]}, {a[1]})"
+    ),
+    "tomillisecond": lambda a: (
+        f"CAST((unix_micros({a[0]}) DIV 1000) % 1000 AS INT)"
+    ),
+    "tomicrosecond": lambda a: (
+        f"CAST(unix_micros({a[0]}) % 1000000 AS INT)"
+    ),
+    "tounixtimestamp64second": lambda a: f"unix_timestamp({a[0]})",
+    # Twitter-epoch snowflake IDs (1288834974657 ms): ms = (id >> 22)
+    # + epoch — the public layout; the epoch argument is unsupported
+    "snowflakeidtodatetime": lambda a: (
+        f"timestamp_millis(shiftright({a[0]}, 22) + 1288834974657)"
+        if len(a) == 1 else _scalar_fail(
+            "snowflakeIDToDateTime: only the default Twitter epoch "
+            "compiles"
+        )
+    ),
+    "datetime64tosnowflakeid": lambda a: (
+        f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
+        if len(a) == 1 else _scalar_fail(
+            "dateTime64ToSnowflakeID: only the default Twitter "
+            "epoch compiles"
+        )
+    ),
+    "timediff": lambda a: (
+        f"(unix_timestamp({a[1]}) - unix_timestamp({a[0]}))"
+    ),
+    # Joda and Java's DateTimeFormatter share the pattern language
+    "fromunixtimestampinjodasyntax": lambda a: (
+        f"from_unixtime({a[0]}, {a[1]})"
+    ),
+    "todecimalstring": lambda a: (
+        f"CAST(CAST({a[0]} AS DECIMAL(38, {a[1]})) AS STRING)"
+        if a[1].strip().isdigit() and int(a[1]) <= 38
+        else _scalar_fail(
+            "toDecimalString needs a literal scale <= 38 (Spark "
+            "DECIMAL width)"
+        )
+    ),
+    # the 5 XML entities, both directions (decode unescapes &amp;
+    # LAST so freshly produced ampersands are not double-decoded)
+    "encodexmlcomponent": lambda a: (
+        f"replace(replace(replace(replace(replace({a[0]}, "
+        f"'&', '&amp;'), '<', '&lt;'), '>', '&gt;'), "
+        f"'\"', '&quot;'), '\\'', '&#39;')"
+    ),
+    "decodexmlcomponent": lambda a: (
+        f"replace(replace(replace(replace(replace({a[0]}, "
+        f"'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        f"'&#39;', '\\''), '&amp;', '&')"
+    ),
+    "decodehtmlcomponent": lambda a: _scalar_fail(
+        "decodeHTMLComponent: the full named-entity table is not in "
+        "the supported surface — decodeXMLComponent covers the XML "
+        "five"
+    ),
+    "extracttextfromhtml": lambda a: _scalar_fail(
+        "extractTextFromHTML is a structural HTML parser — "
+        "regexp_replace(x, '<[^>]*>', '') approximates it if tag "
+        "stripping is all that matters"
+    ),
+    "kostikconsistenthash": lambda a: f"pmod({a[0]}, {a[1]})",
+    "joinget": lambda a: _scalar_fail(
+        "joinGet reads a Join-engine table — Join tables are "
+        "dictionaries here: register_dictionary + dictGet"
+    ),
+    "joingetornull": lambda a: _scalar_fail(
+        "joinGetOrNull reads a Join-engine table — "
+        "register_dictionary + dictGetOrNull"
+    ),
+    "addtupleofintervals": lambda a: _scalar_fail(
+        "addTupleOfIntervals composes interval TUPLES — add the "
+        "parts explicitly"
+    ),
+    "subtracttupleofintervals": lambda a: _scalar_fail(
+        "subtractTupleOfIntervals composes interval TUPLES — "
+        "subtract the parts explicitly"
+    ),
+    "generateulid": lambda a: _scalar_fail(
+        "generateULID: Spark's uuid() covers id needs; ULID's "
+        "Crockford-base32 layout has no Spark codec"
+    ),
+    "ulidstringtodatetime": lambda a: _scalar_fail(
+        "ULIDStringToDateTime: Crockford base32 has no Spark codec "
+        "(conv() is 2..36 with the standard alphabet)"
+    ),
+    "catboostevaluate": lambda a: _scalar_fail(
+        "catboostEvaluate loads a server-side model file — model "
+        "application is an engine operator (ext/learn.py)"
+    ),
+    **{
+        n: _engine_pointer_text(
+            n, "the embedded geobase is not in the supported surface"
+        )
+        for n in (
+            "regiontoname", "regiontocountry", "regiontocity",
+            "regiontoarea", "regiontodistrict", "regiontocontinent",
+            "regiontopopulation", "regionin",
+        )
+    },
+    **{
+        n: _engine_pointer_text(
+            n, "computational geometry is not in the supported "
+            "surface"
+        )
+        for n in (
+            "pointinellipses", "svg", "wkt", "readwktpoint",
+            "readwktpolygon", "readwktmultipolygon",
+            "polygonareacartesian", "polygonperimetercartesian",
+            "polygonsintersectioncartesian",
+        )
+    },
+    **{
+        n: _engine_pointer_text(
+            n, "server/session introspection has no Spark analogue"
+        )
+        for n in (
+            "globalvariable", "errorcodetoname", "currentprofiles",
+            "currentroles", "enabledprofiles", "enabledroles",
+            "hascolumnintable", "initialquerystarttime",
+        )
+    },
+    "formatrow": lambda a: _scalar_fail(
+        "formatRow is format-layer — the sinks own serialization "
+        "(to_json/to_csv cover the common cases)"
+    ),
+    "formatrownonewline": lambda a: _scalar_fail(
+        "formatRowNoNewline is format-layer — to_json/to_csv"
+    ),
+    "varianttype": lambda a: _scalar_fail(
+        "variantType introspects the Variant column type, which has "
+        "no Spark analogue"
+    ),
+    "dynamictype": lambda a: _scalar_fail(
+        "dynamicType introspects the Dynamic column type, which has "
+        "no Spark analogue"
+    ),
     # ------------------------------------------------------------------
     # round-12 clause sweep: ClickHouse TABLE FUNCTIONS (the numbers()
     # TVF above is the one with a Spark twin).  view(q) is transparent;

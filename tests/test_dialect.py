@@ -3502,3 +3502,57 @@ def test_rewrite_pass_properties():
     assert _expand_scalar_with(sql) == sql
     # no-WITH queries are untouched
     assert _expand_scalar_with("SELECT 1") == "SELECT 1"
+
+
+def test_sweep7_windows_utc_snowflake(spark):
+    """Round-12 sweep 7: tumble/hop -> Spark window() structs, UTC
+    conversions, sub-second components, Twitter-epoch snowflake IDs,
+    XML-entity encode/decode, timeDiff, toDecimalString."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW sweep7_t AS SELECT"
+        " CAST('2024-03-15 13:47:23.456789' AS TIMESTAMP) AS ts,"
+        " 'a<b&c\"d' AS s"
+    )
+
+    def one(sql):
+        return spark.sql(translate_clickhouse_sql(sql)).collect()[0][0]
+
+    assert str(one(
+        "SELECT tumbleStart(ts, INTERVAL 10 MINUTE) FROM sweep7_t"
+    )).startswith("2024-03-15 13:40:00")
+    assert str(one(
+        "SELECT tumbleEnd(ts, INTERVAL 10 MINUTE) FROM sweep7_t"
+    )).startswith("2024-03-15 13:50:00")
+    assert one("SELECT toMillisecond(ts) FROM sweep7_t") == 456
+    assert one("SELECT toMicrosecond(ts) FROM sweep7_t") == 456789
+    assert str(one(
+        "SELECT snowflakeIDToDateTime(dateTime64ToSnowflakeID(ts)) "
+        "FROM sweep7_t"
+    )).startswith("2024-03-15 13:47:23.456")
+    assert one(
+        "SELECT timeDiff(ts, ts + INTERVAL 90 SECOND) FROM sweep7_t"
+    ) == 90
+    assert one(
+        "SELECT decodeXMLComponent(encodeXMLComponent(s)) "
+        "FROM sweep7_t"
+    ) == 'a<b&c"d'
+    assert str(one(
+        "SELECT toUTCTimestamp(ts, 'America/New_York') FROM sweep7_t"
+    )).startswith("2024-03-15 17:47:23")
+    assert one(
+        "SELECT toDecimalString(3.14159, 3) FROM sweep7_t") == "3.142"
+    for sql, hint in [
+        ("SELECT hopStart(ts, INTERVAL 5 MINUTE, INTERVAL 10 MINUTE)"
+         " FROM sweep7_t", "SEVERAL"),
+        ("SELECT tumble(ts, sz) FROM sweep7_t", "literal"),
+        ("SELECT regionToName(x) FROM sweep7_t", "geobase"),
+        ("SELECT joinGet('db.t', 'v', k) FROM sweep7_t",
+         "register_dictionary"),
+        ("SELECT generateULID() FROM sweep7_t", "Crockford"),
+        ("SELECT catboostEvaluate('/m.bin', a) FROM sweep7_t",
+         "model"),
+        ("SELECT decodeHTMLComponent(s) FROM sweep7_t",
+         "named-entity"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=hint):
+            translate_clickhouse_sql(sql)
