@@ -72,11 +72,13 @@ def _status_rank() -> dict[str, int]:
 
 
 # ROUND-12 NOTE: ALL SEVEN staged waves are ACTIVATED (r6 wave of 30
-# + r7 wave of 14 + r8/r9/r10/r11/r12 waves of 23 each; registry =
-# 338).  The 23 r12 names rank first (never driver-checked); the
-# remaining ~27 budget slots rotate through the STALEST greens — the
-# 18 remaining r5-cohort queries clear this round, and ~9 slots reach
-# the 47-strong r6 cohort.
+# + r7 wave of 14 + r8/r9/r10/r11/r12 waves of 23 each) PLUS three
+# late-round clause round-trips (q_dialect_scalar_with /
+# q_dialect_colon_cast / q_dialect_view_setop); registry = 341.  The
+# 26 never-driver-checked names rank first; the remaining ~24 budget
+# slots rotate through the STALEST greens — the 18 remaining
+# r5-cohort queries clear this round, and ~6 slots reach the
+# 47-strong r6 cohort.
 #
 # clickbom_spark/queries/staged_r13.py holds the NEXT wave (parity
 # proven via tests/test_staged_r13_parity.py and
