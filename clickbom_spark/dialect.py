@@ -238,6 +238,25 @@ clear error rather than silently mis-translating):
   token stream, so keywords inside string literals or as substrings
   of longer identifiers never trigger.
 
+- round-12 sweeps 4-7 + the clause/HOF/combinator passes (see
+  docs/DIALECT.md for the full matrix): string search
+  (substringIndex, countSubstrings[CI], multiSearch*, extractGroups,
+  tokens/ngrams), arrays (rotate/shift/union/jaccard/enumerate,
+  hasSubstr, multi-array LAMBDA HOFs via zip_with, keyed stable
+  arraySort, lambda-first folds), date/time (toLastDayOfWeek,
+  Modified Julian Day, timeSlots, unix64 milli/micro, makeDate,
+  YYYYMMDD*, dateName, tumble/hop→window(), UTC conversions,
+  snowflake IDs, toMillisecond/Microsecond), math (exp2/10,
+  widthBucket, isFinite family, clamp, roundAge/Duration ladders),
+  named operator spellings (equals/less/and/or/xor), IPv4 numerics
+  with translate-time CIDR folds, bitmask expansions, AES, XML
+  entities, -OrNull/-OrDefault/-Array combinators and the common
+  two-deep stacks (-StateIf/-IfMerge/…) with a fail-fast guard for
+  unknown stacks, scalar WITH macro expansion, ::Type vocabulary,
+  CAST(x AS Int64), view() TVF, and fail-fast walls for bare
+  EXCEPT/INTERSECT, semantic SETTINGS, PASTE JOIN, COLLATE, table
+  functions, geobase/geometry/ULID/model-file/introspection tails.
+
 Reference basis: the public ClickHouse SQL reference for source
 semantics and the public Spark SQL function library for targets.
 """
