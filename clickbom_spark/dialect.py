@@ -2367,6 +2367,36 @@ def _hop(a: list[str]) -> str:
     )
 
 
+def _cut_url_parameter(a: list[str]) -> str:
+    """cutURLParameter(url, 'name'): drop name=value from the query
+    string, keeping the remaining separators exactly as ClickHouse
+    does (two chained replaces: param-with-following-& keeps the
+    leading separator; a trailing/lone param drops it)."""
+    name = re.escape(_lit_text(a[1], "cutURLParameter", "name"))
+    pat1 = _sql_str(r"([?&])" + name + r"=[^&#]*&")
+    pat2 = _sql_str(r"[?&]" + name + r"=[^&#]*")
+    return (
+        f"regexp_replace(regexp_replace({a[0]}, {pat1}, '$1'), "
+        f"{pat2}, '')"
+    )
+
+
+def _extract_kv_pairs(a: list[str]) -> str:
+    """extractKeyValuePairs / str_to_map / mapFromString(s): the
+    1-argument form maps to Spark's str_to_map with ClickHouse's
+    default delimiters (':' key-value, ',; ' pair separators).
+    Custom delimiters/quoting engage ClickHouse's noise-skipping
+    state machine — call Spark's str_to_map directly for those."""
+    if len(a) != 1:
+        raise UnsupportedClickHouseSQL(
+            "extractKeyValuePairs: only the 1-argument default-"
+            "delimiter form compiles — custom delimiters/quoting "
+            "use a noise-skipping state machine; call str_to_map "
+            "with explicit regex delimiters instead"
+        )
+    return f"str_to_map({a[0]}, '[,; ]+', ':')"
+
+
 def _to_datetime64(a: list[str]) -> str:
     """toDateTime64(x, scale): Spark timestamps are microsecond-fixed;
     scales <= 6 are representable, deeper precision never was."""
@@ -3251,6 +3281,120 @@ _PLAIN = {
             "uniqtheta", "uniqhll12", "uniqcombined", "uniqcombined64",
         )
     },
+    # ------------------------------------------------------------------
+    # round-12 sweep 8: URL-family tail + key-value extraction.
+    # ------------------------------------------------------------------
+    "extractkeyvaluepairs": _extract_kv_pairs,
+    "str_to_map": _extract_kv_pairs,
+    "mapfromstring": _extract_kv_pairs,
+    "extractkeyvaluepairswithescaping": lambda a: _scalar_fail(
+        "extractKeyValuePairsWithEscaping: the escaping state "
+        "machine is not in the supported surface — str_to_map with "
+        "explicit delimiters covers the unescaped case"
+    ),
+    # strips a leading www. from the host part only
+    "cutwww": lambda a: (
+        f"regexp_replace({a[0]}, '(^|//)www\\\\.', '$1')"
+    ),
+    "netloc": lambda a: f"parse_url({a[0]}, 'AUTHORITY')",
+    "querystringandfragment": lambda a: (
+        f"concat(coalesce(parse_url({a[0]}, 'QUERY'), ''), "
+        f"coalesce(concat('#', parse_url({a[0]}, 'REF')), ''))"
+    ),
+    # name=value strings, ClickHouse's shape
+    "extracturlparameters": lambda a: (
+        f"filter(split(coalesce(parse_url({a[0]}, 'QUERY'), ''), "
+        f"'&'), eup -> eup != '')"
+    ),
+    "extracturlparameternames": lambda a: (
+        f"transform(filter(split(coalesce(parse_url({a[0]}, "
+        f"'QUERY'), ''), '&'), eup -> eup != ''), "
+        f"eup -> substring_index(eup, '=', 1))"
+    ),
+    "cuturlparameter": _cut_url_parameter,
+    # application/x-www-form-urlencoded coding ('+' <-> space) is
+    # exactly Spark's url_encode/url_decode contract
+    "decodeurlformcomponent": lambda a: f"url_decode({a[0]})",
+    "encodeurlformcomponent": lambda a: f"url_encode({a[0]})",
+    "port": lambda a: (
+        f"coalesce(CAST(nullif(regexp_extract(parse_url({a[0]}, "
+        f"'AUTHORITY'), ':([0-9]+)$', 1), '') AS INT), "
+        f"{a[1] if len(a) > 1 else '0'})"
+    ),
+    "basename": lambda a: (
+        f"element_at(split({a[0]}, '[/\\\\\\\\]'), -1)"
+    ),
+    "getsubcolumn": lambda a: (
+        f"({a[0]}.{_lit_text(a[1], 'getSubcolumn', 'subcolumn name')})"
+    ),
+    "firstsignificantsubdomain": lambda a: _scalar_fail(
+        "firstSignificantSubdomain needs the public-suffix list — "
+        "not in the supported surface (domain()/topLevelDomain() "
+        "compile)"
+    ),
+    "cuttofirstsignificantsubdomain": lambda a: _scalar_fail(
+        "cutToFirstSignificantSubdomain needs the public-suffix "
+        "list — not in the supported surface"
+    ),
+    "cuttofirstsignificantsubdomainwithwww": lambda a: _scalar_fail(
+        "cutToFirstSignificantSubdomainWithWWW needs the "
+        "public-suffix list — not in the supported surface"
+    ),
+    "urlhierarchy": lambda a: _scalar_fail(
+        "URLHierarchy builds cut-point prefix arrays — derive "
+        "explicitly from path()/queryString() if needed"
+    ),
+    "urlpathhierarchy": lambda a: _scalar_fail(
+        "URLPathHierarchy builds cut-point prefix arrays — derive "
+        "explicitly from path() if needed"
+    ),
+    "parsetimedelta": lambda a: _scalar_fail(
+        "parseTimeDelta's free-form unit grammar is heuristic — "
+        "state the arithmetic explicitly (cf. "
+        "parseDateTimeBestEffort)"
+    ),
+    **{
+        n: (lambda a: _scalar_fail(
+            "parseDateTimeBestEffort* is a multi-format heuristic "
+            "parser — use parseDateTime with an explicit format "
+            "(or try_cast)"
+        ))
+        for n in (
+            "parsedatetime32besteffort", "parsedatetimebesteffortus",
+            "parsedatetimebesteffortornull",
+            "parsedatetimebesteffortorzero",
+            "parsedatetime32besteffortornull",
+            "parsedatetime32besteffortorzero",
+            "parsedatetimebesteffortusornull",
+            "parsedatetimebesteffortusorzero",
+            "parsedatetime64besteffort",
+            "parsedatetime64besteffortornull",
+            "parsedatetime64besteffortorzero",
+        )
+    },
+    "todatetimeorzero": _try_cast(
+        "TIMESTAMP", "TIMESTAMP '1970-01-01 00:00:00'"
+    ),
+    "todatetime64ornull": _try_cast("TIMESTAMP", None),
+    "todatetime64orzero": _try_cast(
+        "TIMESTAMP", "TIMESTAMP '1970-01-01 00:00:00'"
+    ),
+    "totimeornull": lambda a: _scalar_fail(
+        "toTimeOrNull: the Time type has no Spark analogue — "
+        "toTime anchors on 1970-01-02 (compiled)"
+    ),
+    "tupletonamevaluepairs": lambda a: _scalar_fail(
+        "tupleToNameValuePairs needs the struct's field names at "
+        "runtime — write map_entries/named pairs explicitly"
+    ),
+    "formatquery": lambda a: _scalar_fail(
+        "formatQuery is query-log tooling — not a data-plane "
+        "function"
+    ),
+    "formatquerysingleline": lambda a: _scalar_fail(
+        "formatQuerySingleLine is query-log tooling — not a "
+        "data-plane function"
+    ),
     # ------------------------------------------------------------------
     # round-12 sweep 7: time-window TVF functions, UTC conversions,
     # Snowflake IDs, XML encodes, sub-second components — plus the

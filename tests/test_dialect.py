@@ -3556,3 +3556,55 @@ def test_sweep7_windows_utc_snowflake(spark):
     ]:
         with pytest.raises(UnsupportedClickHouseSQL, match=hint):
             translate_clickhouse_sql(sql)
+
+
+def test_sweep8_url_tail_and_kv(spark):
+    """Round-12 sweep 8: URL-family tail + key-value extraction."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW sweep8_t AS SELECT"
+        " 'https://www.example.com:8443/p/q?a=1&b=2#frag' AS u,"
+        " 'k1:v1, k2:v2' AS kv, '/usr/local/bin/spark' AS p"
+    )
+
+    def one(sql):
+        return spark.sql(translate_clickhouse_sql(sql)).collect()[0][0]
+
+    assert dict(one(
+        "SELECT extractKeyValuePairs(kv) FROM sweep8_t"
+    )) == {"k1": "v1", "k2": "v2"}
+    assert one("SELECT cutWWW(u) FROM sweep8_t") == (
+        "https://example.com:8443/p/q?a=1&b=2#frag")
+    assert one("SELECT netloc(u) FROM sweep8_t") == (
+        "www.example.com:8443")
+    assert one("SELECT queryStringAndFragment(u) FROM sweep8_t") == (
+        "a=1&b=2#frag")
+    assert one("SELECT extractURLParameters(u) FROM sweep8_t") == [
+        "a=1", "b=2"]
+    assert one("SELECT extractURLParameterNames(u) FROM sweep8_t") == [
+        "a", "b"]
+    # separator bookkeeping matches ClickHouse for first/last params
+    assert one("SELECT cutURLParameter(u, 'a') FROM sweep8_t") == (
+        "https://www.example.com:8443/p/q?b=2#frag")
+    assert one("SELECT cutURLParameter(u, 'b') FROM sweep8_t") == (
+        "https://www.example.com:8443/p/q?a=1#frag")
+    assert one("SELECT port(u) FROM sweep8_t") == 8443
+    assert one("SELECT port('http://x.com/a') FROM sweep8_t") == 0
+    assert one("SELECT basename(p) FROM sweep8_t") == "spark"
+    assert one(
+        "SELECT decodeURLFormComponent('a+b%3Dc') FROM sweep8_t"
+    ) == "a b=c"
+    assert str(one(
+        "SELECT toDateTimeOrZero('bogus') FROM sweep8_t"
+    )).startswith("1970-01-01")
+    for sql, hint in [
+        ("SELECT parseDateTimeBestEffortUS(s) FROM sweep8_t",
+         "heuristic"),
+        ("SELECT firstSignificantSubdomain(u) FROM sweep8_t",
+         "public-suffix"),
+        ("SELECT extractKeyValuePairs(kv, ':') FROM sweep8_t",
+         "str_to_map"),
+        ("SELECT parseTimeDelta('1h30m') FROM sweep8_t", "heuristic"),
+        ("SELECT URLHierarchy(u) FROM sweep8_t", "prefix"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=hint):
+            translate_clickhouse_sql(sql)
