@@ -7608,7 +7608,22 @@ def _subst_ident(s: str, name: str, repl: str) -> str:
             while k < n and s[k] in " \t\n":
                 k += 1
             nxt = s[k] if k < n else ""
-            if tok == name and prev != "." and nxt != "(":
+            # skip qualified refs (t.name), calls (name(...)), and
+            # ALIAS TARGETS (`expr AS name` re-defines the identifier
+            # — substituting there would corrupt the projection)
+            prev_word = ""
+            if tok == name:
+                mw = re.search(
+                    r"([A-Za-z_][A-Za-z0-9_]*)$", "".join(out).rstrip()
+                )
+                if mw:
+                    prev_word = mw.group(1).upper()
+            if (
+                tok == name
+                and prev != "."
+                and nxt != "("
+                and prev_word != "AS"
+            ):
                 out.append(repl)
             else:
                 out.append(tok)
@@ -7672,6 +7687,10 @@ def _expand_scalar_with(sql: str) -> str:
         es = e.strip()
         m = _CTE_HEAD.match(es)
         if m and _is_select(es[m.end() : -1] if es.endswith(")") else ""):
+            # earlier scalar aliases are visible inside later CTE
+            # bodies too (the ClickHouse scoping rule)
+            for prev_name, prev_expr in scalars:
+                es = _subst_ident(es, prev_name, prev_expr)
             ctes.append(es)
             continue
         m2 = _SCALAR_ENTRY.match(es)
@@ -7764,11 +7783,17 @@ def _fail_clause_leaks(s: str) -> None:
                     "distributed scan)"
                 )
         elif up == "COLLATE":
-            raise UnsupportedClickHouseSQL(
-                "ORDER BY ... COLLATE: ICU collations are not in the "
-                "supported surface — sort on an explicit key "
-                "expression instead"
-            )
+            # only the clause form `COLLATE 'name'` — a column merely
+            # NAMED collate is followed by something else
+            k = j
+            while k < n and s[k] in " \t\n":
+                k += 1
+            if k < n and s[k] in "'\"":
+                raise UnsupportedClickHouseSQL(
+                    "ORDER BY ... COLLATE: ICU collations are not in "
+                    "the supported surface — sort on an explicit key "
+                    "expression instead"
+                )
         elif up in ("EXCEPT", "INTERSECT"):
             k = j
             while k < n and s[k] in " \t\n":

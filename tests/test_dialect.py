@@ -3608,3 +3608,35 @@ def test_sweep8_url_tail_and_kv(spark):
     ]:
         with pytest.raises(UnsupportedClickHouseSQL, match=hint):
             translate_clickhouse_sql(sql)
+
+
+def test_scalar_with_scoping_review_fixes(spark):
+    """Self-review fixes on the scalar-WITH pass: (1) earlier scalar
+    aliases are visible inside later CTE BODIES (the ClickHouse
+    scoping rule — previously left an unresolved column); (2) an
+    alias TARGET (`expr AS k`) is never substituted; (3) a column
+    merely NAMED collate no longer trips the COLLATE fail-fast."""
+    out = translate_clickhouse_sql(
+        "WITH 5 AS k, c AS (SELECT k AS v FROM t) SELECT v FROM c"
+    )
+    assert "(5) AS v" in out and out.startswith("WITH c AS")
+    assert translate_clickhouse_sql(
+        "WITH 5 AS k SELECT a AS k FROM t"
+    ).strip() == "SELECT a AS k FROM t"
+    assert translate_clickhouse_sql(
+        "SELECT collate FROM t"
+    ).strip() == "SELECT collate FROM t"
+    with pytest.raises(UnsupportedClickHouseSQL, match="ICU"):
+        translate_clickhouse_sql(
+            "SELECT a FROM t ORDER BY a COLLATE 'en'"
+        )
+    # end-to-end: scalar alias inside a CTE body
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW scw_t AS "
+        "SELECT * FROM VALUES (10), (20) AS scw_t(v)"
+    )
+    rows = spark.sql(translate_clickhouse_sql(
+        "WITH 2 AS f, c AS (SELECT v * f AS w FROM scw_t) "
+        "SELECT w FROM c ORDER BY w"
+    )).collect()
+    assert [r.w for r in rows] == [20, 40]
