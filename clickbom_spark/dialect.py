@@ -5032,6 +5032,66 @@ _PLAIN = {
     **_STATE_ALGEBRA,
 }
 
+# ---------------------------------------------------------------------------
+# Round-12 sweep 9 (post-dict aliases + the exotic-aggregate tail).
+# median<suffix> = quantile<suffix>(0.5); the *Stable spellings are
+# numerically-stable implementations of the SAME statistics; the
+# *MappedArrays spellings alias the *Map aggregates.
+# ---------------------------------------------------------------------------
+_PLAIN["summappedarrays"] = _PLAIN["summap"]
+_PLAIN["minmappedarrays"] = _PLAIN["minmap"]
+_PLAIN["maxmappedarrays"] = _PLAIN["maxmap"]
+_PLAIN.update({
+    "medianexact": lambda a: f"percentile({a[0]}, 0.5)",
+    # Timing/Deterministic are approximate sketches — same contract
+    # as the quantile family's percentile_approx mapping
+    "mediantiming": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    "mediandeterministic": lambda a: (
+        f"percentile_approx({a[0]}, 0.5)"
+    ),
+    "varpopstable": lambda a: f"var_pop({a[0]})",
+    "varsampstable": lambda a: f"var_samp({a[0]})",
+    "stddevpopstable": lambda a: f"stddev_pop({a[0]})",
+    "stddevsampstable": lambda a: f"stddev_samp({a[0]})",
+    "corrstable": lambda a: f"corr({a[0]}, {a[1]})",
+    "covarpopstable": lambda a: f"covar_pop({a[0]}, {a[1]})",
+    "covarsampstable": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    "grouparrayintersectif": lambda a: _scalar_fail(
+        "groupArrayIntersectIf has no Spark aggregate — explode and "
+        "count per element against the group size (cf. "
+        "groupArrayIntersect)"
+    ),
+    "groupconcatif": lambda a: (
+        f"array_join(collect_list(if({a[1]}, {a[0]}, NULL)), '')"
+    ),
+    "arrayrocauc": _engine_pointer_text(
+        "arrayROCAUC",
+        "exact AUC is an engine operator — q_model_auc (rank "
+        "windows per query group)",
+    ),
+    "arrayaucpr": _engine_pointer_text(
+        "arrayAUCPR",
+        "PR-curve area is an engine operator family — q_model_auc "
+        "(rank windows; precision/recall from the same counts)",
+    ),
+    "maxintersectionsposition": _engine_pointer_text(
+        "maxIntersectionsPosition",
+        "interval sweep — q_max_intersections",
+    ),
+    "estimatecompressionratio": lambda a: _scalar_fail(
+        "estimateCompressionRatio is storage introspection — no "
+        "Spark analogue"
+    ),
+    "distinctjsonpaths": lambda a: _scalar_fail(
+        "distinctJSONPaths introspects the Dynamic JSON column "
+        "type — use json_object_keys"
+    ),
+    "distinctjsonpathstypes": lambda a: _scalar_fail(
+        "distinctJSONPathsTypes introspects the Dynamic JSON column "
+        "type — use json_object_keys"
+    ),
+})
+
 
 def _unsupported_arg(fn: str, what: str, val: str):
     raise UnsupportedClickHouseSQL(

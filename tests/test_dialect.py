@@ -3640,3 +3640,32 @@ def test_scalar_with_scoping_review_fixes(spark):
         "SELECT w FROM c ORDER BY w"
     )).collect()
     assert [r.w for r in rows] == [20, 40]
+
+
+def test_sweep9_exotic_aggregate_tail():
+    """Round-12 sweep 9: median<suffix> = quantile<suffix>(0.5), the
+    *Stable numerics map to the same statistics, *MappedArrays alias
+    the *Map aggregates, groupConcatIf; the remaining exotica fail
+    fast with pointers."""
+    for sql, frag in [
+        ("SELECT medianExact(x) FROM t", "percentile(x, 0.5)"),
+        ("SELECT medianTiming(x) FROM t", "percentile_approx"),
+        ("SELECT varPopStable(x) FROM t", "var_pop(x)"),
+        ("SELECT stddevSampStable(x) FROM t", "stddev_samp(x)"),
+        ("SELECT corrStable(a, b) FROM t", "corr(a, b)"),
+        ("SELECT sumMappedArrays(k, v) FROM t", "zip_with"),
+        ("SELECT groupConcatIf(x, c) FROM t",
+         "collect_list(if(c, x, NULL))"),
+    ]:
+        assert frag in translate_clickhouse_sql(sql), sql
+    for sql, hint in [
+        ("SELECT arrayROCAUC(a, b) FROM t", "q_model_auc"),
+        ("SELECT arrayAUCPR(a, b) FROM t", "q_model_auc"),
+        ("SELECT maxIntersectionsPosition(a, b) FROM t",
+         "q_max_intersections"),
+        ("SELECT estimateCompressionRatio(x) FROM t", "storage"),
+        ("SELECT distinctJSONPaths(j) FROM t", "Dynamic"),
+        ("SELECT groupArrayIntersectIf(a, c) FROM t", "explode"),
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match=hint):
+            translate_clickhouse_sql(sql)
