@@ -3309,9 +3309,19 @@ def test_clause_sweep_scalar_with_and_colon_casts():
     ]:
         with pytest.raises(UnsupportedClickHouseSQL, match=hint):
             translate_clickhouse_sql(sql)
-    # DISTINCT/ALL spellings pass through
-    assert "INTERSECT ALL" in translate_clickhouse_sql(
-        "SELECT a FROM t INTERSECT ALL SELECT a FROM u")
+    # DISTINCT spellings coincide on both engines and pass through;
+    # ALL spellings fail fast (ClickHouse ALL = filtering semantics;
+    # Spark ALL = bag-multiset — [a,a] INTERSECT ALL [a] differs)
+    assert "INTERSECT DISTINCT" in translate_clickhouse_sql(
+        "SELECT a FROM t INTERSECT DISTINCT SELECT a FROM u")
+    assert "EXCEPT DISTINCT" in translate_clickhouse_sql(
+        "SELECT a FROM t EXCEPT DISTINCT SELECT a FROM u")
+    for sql in [
+        "SELECT a FROM t INTERSECT ALL SELECT a FROM u",
+        "SELECT a FROM t EXCEPT ALL SELECT a FROM u",
+    ]:
+        with pytest.raises(UnsupportedClickHouseSQL, match="filtering"):
+            translate_clickhouse_sql(sql)
     # view() is transparent
     assert translate_clickhouse_sql(
         "SELECT a FROM view(SELECT a FROM t)"
@@ -3620,9 +3630,15 @@ def test_scalar_with_scoping_review_fixes(spark):
         "WITH 5 AS k, c AS (SELECT k AS v FROM t) SELECT v FROM c"
     )
     assert "(5) AS v" in out and out.startswith("WITH c AS")
-    assert translate_clickhouse_sql(
-        "WITH 5 AS k SELECT a AS k FROM t"
-    ).strip() == "SELECT a AS k FROM t"
+    # a scalar name colliding with a body alias FAILS FAST (round-13
+    # ADVICE): substituting reference sites (ORDER BY k) would
+    # silently retarget them to the scalar
+    with pytest.raises(UnsupportedClickHouseSQL, match="collides"):
+        translate_clickhouse_sql(
+            "WITH 5 AS k SELECT a AS k FROM t ORDER BY k")
+    with pytest.raises(UnsupportedClickHouseSQL, match="collides"):
+        translate_clickhouse_sql(  # bare-alias form
+            "WITH 2 AS n SELECT a n FROM t ORDER BY n")
     assert translate_clickhouse_sql(
         "SELECT collate FROM t"
     ).strip() == "SELECT collate FROM t"
@@ -3640,6 +3656,68 @@ def test_scalar_with_scoping_review_fixes(spark):
         "SELECT w FROM c ORDER BY w"
     )).collect()
     assert [r.w for r in rows] == [20, 40]
+
+
+def test_r13_approximate_spellings():
+    """Round-13 policy extensions: quantileGK compiles (Spark's
+    percentile_approx IS a GK-family sketch — accuracy maps through);
+    the Theta/Combined[64]/HLL12 -State/-Merge spellings ride the
+    portable HLL code-set state (same mergeable approximate-distinct
+    contract; merge law exact, estimates differ from ClickHouse's)."""
+    for sql, frag in [
+        ("SELECT quantileGK(100)(x) FROM t",
+         "percentile_approx(x, 0.5, 100)"),
+        ("SELECT quantileGK(100, 0.9)(x) FROM t",
+         "percentile_approx(x, 0.9, 100)"),
+        ("SELECT quantilesGK(100, 0.5, 0.9)(x) FROM t",
+         "percentile_approx(x, array(0.5, 0.9), 100)"),
+        ("SELECT uniqThetaState(x) FROM t", "collect_set"),
+        ("SELECT uniqCombinedState(x) FROM t", "collect_set"),
+        ("SELECT uniqCombined64State(x) FROM t", "collect_set"),
+        ("SELECT uniqHLL12State(x) FROM t", "collect_set"),
+    ]:
+        assert frag in translate_clickhouse_sql(sql), sql
+    # the -Merge finalizers reuse the uniqMerge register algebra
+    base = translate_clickhouse_sql("SELECT uniqMerge(s) FROM p")
+    for alt in ("uniqThetaMerge", "uniqCombinedMerge",
+                "uniqCombined64Merge", "uniqHLL12Merge"):
+        assert translate_clickhouse_sql(
+            f"SELECT {alt}(s) FROM p") == base, alt
+    with pytest.raises(UnsupportedClickHouseSQL, match="accuracy"):
+        translate_clickhouse_sql("SELECT quantilesGK(100)(x) FROM t")
+
+
+def test_advice_r13_fixes(spark):
+    """Round-13 ADVICE closures: (1) arrayReduce('sum'/'avg') on an
+    EMPTY array returns 0 / NaN like ClickHouse instead of throwing
+    under Spark's default ANSI mode (INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    / DIVIDE_BY_ZERO); (2) EXCEPT ALL / INTERSECT ALL fail fast
+    (ClickHouse ALL = filtering semantics, Spark ALL = bag-multiset);
+    (3) '[...]' array literals in scalar WITH parse as ONE entry;
+    (4) scalar-WITH names colliding with body aliases fail fast."""
+    row = spark.sql(translate_clickhouse_sql(
+        "SELECT arrayReduce('sum', arrayFilter(x -> x > 9, [1, 2])) "
+        "AS s, arrayReduce('avg', arrayFilter(x -> x > 9, [1, 2])) "
+        "AS a"
+    )).collect()[0]
+    assert row.s == 0
+    assert row.a != row.a  # NaN
+    row2 = spark.sql(translate_clickhouse_sql(
+        "SELECT arrayReduce('sum', [1, 2, 3]) AS s, "
+        "arrayReduce('avg', [1, 2, 3]) AS a"
+    )).collect()[0]
+    assert row2.s == 6 and row2.a == 2.0
+    # array-literal scalar WITH is one entry and runs end-to-end
+    row3 = spark.sql(translate_clickhouse_sql(
+        "WITH [1, 2, 3] AS ks SELECT arrayReduce('sum', ks) AS s"
+    )).collect()[0]
+    assert row3.s == 6
+    with pytest.raises(UnsupportedClickHouseSQL, match="filtering"):
+        translate_clickhouse_sql(
+            "SELECT a FROM t EXCEPT ALL SELECT a FROM u")
+    with pytest.raises(UnsupportedClickHouseSQL, match="collides"):
+        translate_clickhouse_sql(
+            "WITH 2 AS n SELECT a AS n FROM t ORDER BY n")
 
 
 def test_sweep9_exotic_aggregate_tail():

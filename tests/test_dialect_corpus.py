@@ -1067,6 +1067,41 @@ CORPUS: list[tuple[str, str, str]] = [
         FROM documents ORDER BY doc_id LIMIT 20
         """,
     ),
+    (
+        # round-13: probe-battery closures end-to-end — the
+        # case-insensitive multi-search compile, arrayShingles window
+        # slices, and the ANSI-safe arrayReduce('sum') whose seed must
+        # not throw on EMPTY arrays (the threshold-5 filter leaves at
+        # least one empty-array document per lang at sf0.01)
+        "r13_probe_closures",
+        """
+        SELECT lang,
+               countIf(multiSearchAnyCaseInsensitive(
+                 text, ['THE', 'Batch'])) AS n_ci,
+               sum(toInt64(arrayReduce('count',
+                 arrayShingles(splitByChar(' ', text), 3))))
+                 AS n_shingles,
+               sum(toInt64(arrayReduce('sum',
+                 arrayMap(w -> length(w),
+                   arrayFilter(w -> length(w) > 5,
+                     splitByChar(' ', text)))))) AS long_chars
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        """
+        SELECT lang,
+               count(*) FILTER (WHERE
+                 (strpos(lower(text), lower('THE')) > 0
+                  OR strpos(lower(text), lower('Batch')) > 0)) AS n_ci,
+               CAST(sum(greatest(
+                 len(string_split(text, ' ')) - 3 + 1, 0))
+                 AS BIGINT) AS n_shingles,
+               CAST(sum(coalesce(list_sum(list_transform(
+                 list_filter(string_split(text, ' '),
+                             w -> length(w) > 5),
+                 w -> length(w))), 0)) AS BIGINT) AS long_chars
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+    ),
 ]
 
 # the dict_get family's dictionary: SQL-defined over the corpus views,
