@@ -71,25 +71,23 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
-# ROUND-12 NOTE: ALL SEVEN staged waves are ACTIVATED (r6 wave of 30
-# + r7 wave of 14 + r8/r9/r10/r11/r12 waves of 23 each) PLUS three
-# late-round clause round-trips (q_dialect_scalar_with /
-# q_dialect_colon_cast / q_dialect_view_setop); registry = 341.  The
-# 26 never-driver-checked names rank first; the remaining ~24 budget
-# slots rotate through the STALEST greens — the 18 remaining
-# r5-cohort queries clear this round, and ~6 slots reach the
-# 47-strong r6 cohort.
+# ROUND-13 NOTE: ALL EIGHT staged waves are ACTIVATED (r6 wave of 30
+# + r7 wave of 14 + r8..r13 waves of 23 each) plus the three r12
+# late-round clause round-trips; registry = 364.  The r13 wave
+# includes the two round-trips pulled FORWARD from staged_r16 per
+# VERDICT r12 #4 (q_dialect_uniq_state_mv, q_dialect_merge_null_zero;
+# q_topk_user_share / q_supplier_coverage took their r16 slots).
+# The 23 never-driver-checked r13 names rank first; the remaining
+# ~27 budget slots rotate through the STALEST greens — the 41-strong
+# r6 cohort drops to ~14 this round and clears in round 14.
 #
-# clickbom_spark/queries/staged_r13.py holds the NEXT wave (parity
-# proven via tests/test_staged_r13_parity.py and
-# `python scripts/strict_parity.py --staged`).  Round 13 activates
-# with REGISTRY.update(staged_r13.STAGED_R13) in queries/__init__.py;
-# the disjointness guard in the r13 test file flags any collision.
-# staged_r14.py (round 14), staged_r15.py (round 15), and
-# staged_r16.py .. staged_r20.py (rounds 16-20, all built this round)
-# are ALSO built and parity-proven — the pipeline is EIGHT waves
-# deep, one per EVERY remaining round through the final round 20;
-# each activates the same way in its round, newest-last.
+# staged_r14.py (round 14) .. staged_r20.py (round 20) hold the
+# remaining waves, one per round, ALL built and parity-proven
+# (tests/test_staged_r{N}_parity.py + `python
+# scripts/strict_parity.py --staged`).  Each activates with
+# REGISTRY.update(staged_rN.STAGED_RN) in queries/__init__.py,
+# newest-last; the disjointness guard in each parity file flags any
+# collision.
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

@@ -200,3 +200,26 @@ REGISTRY.update(staged_r11.STAGED_R11)
 from clickbom_spark.queries import staged_r12  # noqa: E402,F401
 
 REGISTRY.update(staged_r12.STAGED_R12)
+
+# Round-13 activation of the eighth staged wave (23 queries — dialect
+# round-trips for the round-11 compilations: the -State/-Merge
+# simple-aggregate algebra (grouped + incremental two-batch merge),
+# LIMIT m, n WITH TIES, WITH FILL … INTERPOLATE stair-step carry, the
+# hierarchical dictionary family, a DDL-driven FINAL+SAMPLE+FILL
+# capstone; time-series statistics (EWMA, anomaly z-scores, lag-1
+# autocorrelation, CUSUM drift, Fano burstiness, Markov transition
+# matrix); corpus/embedding audits (3-gram novelty, token PMI,
+# length-decile quality, integer-exact embedding norms, session
+# log-buckets); relational audits (null audit, brand HHI, Pareto
+# coverage, ship latency) — PLUS the two round-trips pulled forward
+# from the r16 wave per VERDICT r12 #4: the uniqState/uniqMerge MV
+# idiom and the countMerge/sumMerge NULL→0 ADVICE fix.  All 23
+# oracle-parity-green at three scales under
+# tests/test_staged_r13_parity.py and re-verified via
+# `scripts/strict_parity.py --staged <the 23 names + the 2 demoted
+# swaps>` (25/25 ok) immediately before this activation;
+# disjointness from the existing registry is guarded in the parity
+# test file.
+from clickbom_spark.queries import staged_r13  # noqa: E402,F401
+
+REGISTRY.update(staged_r13.STAGED_R13)

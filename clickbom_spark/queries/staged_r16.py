@@ -16,14 +16,15 @@ in ``queries/__init__.py``.
 Round-16 themes:
 
 * **Dialect round-trips for the round-12 additions** — the
-  ``uniqState/uniqMerge`` MV idiom (bounded portable HLL code-set
-  states; merge == rescan) and its ``uniqExact`` twin with a
-  ``MergeState`` hop, the outer-join-fed ``countMerge/sumMerge``
-  zero-coalesce, contradictory ``WITH FILL`` bounds (no filled rows),
-  the deterministic duplicate-key ``INTERPOLATE`` carry,
-  ``uniqUpTo``, ``SAMPLE k OFFSET m``, and the reference's ALTER
-  TABLE migration run verbatim against a VersionedLake
-  (``apply_alter_ddl`` — entrypoint.sh:130-161 semantics).
+  ``uniqExact`` state twin with a ``MergeState`` hop, contradictory
+  ``WITH FILL`` bounds (no filled rows), the deterministic
+  duplicate-key ``INTERPOLATE`` carry, ``uniqUpTo``, ``SAMPLE k
+  OFFSET m``, and the reference's ALTER TABLE migration run verbatim
+  against a VersionedLake (``apply_alter_ddl`` —
+  entrypoint.sh:130-161 semantics).  The ``uniqState/uniqMerge`` MV
+  idiom and the outer-join-fed ``countMerge/sumMerge`` zero-coalesce
+  were pulled FORWARD into the r13 wave (VERDICT r12 #4);
+  ``q_topk_user_share`` and ``q_supplier_coverage`` took their slots.
 * **Corpus text analytics** — Yule's K vocabulary-richness
   characteristic, a Gini concentration coefficient over token
   frequencies via distinct-frequency prefix sums, top-token rank
@@ -53,7 +54,6 @@ import shutil
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from clickbom_spark.dialect import _UNIQ_STATE_SCALE
 from clickbom_spark.queries import QuerySpec, load
 
 STAGED_R16: dict[str, QuerySpec] = {}
@@ -71,92 +71,96 @@ def staged(name: str, oracle: str | None = None, description: str = "",
 _CENTS = "toInt64(round(value * 100))"
 _CENTS_DUCK = "CAST(round(value * 100) AS BIGINT)"
 
-# DuckDB replay of the dialect's portable HLL finalize (the same
-# register algebra the q_hll_distinct oracle pins): bucket-max rho per
-# group over the 60-bit md5 hash, decimal-exact harmonic sum,
-# linear-counting correction, round to integer.  ``{src}`` supplies
-# (grp, h) rows; ``{grp}`` the group column name.
-_HLL_MERGE_DUCK = f"""
-r AS (
-  SELECT grp, h % 256 AS bucket,
-         MAX(CASE WHEN (h >> 8) = 0 THEN 53
-             ELSE length(bin((h >> 8) & (-(h >> 8)))) END) AS rho
-  FROM h GROUP BY grp, bucket
-), sv AS (
-  SELECT grp,
-         CAST(SUM((1::BIGINT << (62 - rho))::DECIMAL(38,0))
-              AS DECIMAL(38,0)) AS sp,
-         CAST(count(*) AS BIGINT) AS np
-  FROM r GROUP BY grp
-), est AS (
-  SELECT grp,
-         CAST(ROUND(CASE WHEN {_UNIQ_STATE_SCALE!r} /
-                (CAST(sp AS DOUBLE) + CAST(256 - np AS DOUBLE)
-                 * {float(1 << 62)!r}) <= {2.5 * 256!r}
-                AND (256 - np) > 0
-           THEN {256.0!r} * ln({256.0!r} / CAST(256 - np AS DOUBLE))
-           ELSE {_UNIQ_STATE_SCALE!r} /
-                (CAST(sp AS DOUBLE) + CAST(256 - np AS DOUBLE)
-                 * {float(1 << 62)!r}) END) AS BIGINT) AS uniq_est
-  FROM sv
-)"""
 
 
 # ---------------------------------------------------------------------------
-# Dialect round-trip: the uniqState/uniqMerge materialized-view idiom
-# (round-12 compile).  Per-(priority, month) approximate-distinct
-# states — an AggregatingMergeTree MV — merged per priority on read,
-# next to the exact twin.  Merge of partial states == state of the
-# whole input EXACTLY (set-union law), so the DuckDB oracle replays
-# the register algebra over the whole table per priority.
+# Swapped in from the round-13 wave (VERDICT r12 next-round #4):
+# q_topk_user_share and q_supplier_coverage took the r16 slots of
+# the pulled-forward uniqState-MV and merge-NULL round-trips.
 # ---------------------------------------------------------------------------
-
-_CH_UNIQ_STATE_MV = """
-SELECT o_orderpriority AS pri,
-       uniqMerge(us) AS uniq_cust,
-       uniqExactMerge(es) AS exact_cust
-FROM (
-  SELECT o_orderpriority, toStartOfMonth(o_orderdate) AS m,
-         uniqState(o_custkey) AS us,
-         uniqExactState(o_custkey) AS es
-  FROM orders GROUP BY o_orderpriority, m
-) GROUP BY o_orderpriority ORDER BY pri
-"""
 
 
 @staged(
-    "q_dialect_uniq_state_mv",
-    oracle=f"""
-WITH h AS (
-  SELECT o_orderpriority AS grp,
-         CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
-                                 1, 15)) AS BIGINT) AS h
-  FROM orders WHERE o_custkey IS NOT NULL
-), {_HLL_MERGE_DUCK}
-SELECT est.grp AS pri, est.uniq_est AS uniq_cust, x.exact_cust
-FROM est JOIN (SELECT o_orderpriority AS grp,
-                      CAST(count(DISTINCT o_custkey) AS BIGINT)
-                        AS exact_cust
-               FROM orders GROUP BY 1) x USING (grp)
-ORDER BY pri
+    "q_topk_user_share",
+    oracle="""
+WITH uc AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+     tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM uc)
+SELECT user_id, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+FROM uc, tot
+ORDER BY n DESC, user_id LIMIT 10
 """,
-    description="ClickHouse's most common MV idiom after sums, run "
-    "verbatim through the shim: per-(priority, month) uniqState "
-    "partials (round-12 compile — bounded portable HLL code sets, "
-    "dialect.py _uniq_state_expr) merged per priority on read, next "
-    "to the uniqExactState twin.  Merge = set union is EXACT (merge "
-    "of parts == state of whole), so the DuckDB oracle replays the "
-    "same register algebra over the whole table — value-identical "
-    "estimates, and the exact twin equals count(DISTINCT).",
+    description="Top-10 users by event volume with their share of "
+    "the total: per-user counts, a 1-row total broadcast back, and "
+    "a deterministic (count DESC, user_id) top-k — "
+    "TakeOrderedAndProject, no global sort, no per-user window.  "
+    "One exact-integer division per surfaced share, round(6).",
 )
-def q_dialect_uniq_state_mv(spark, sf_dir):
-    from clickbom_spark.dialect import run_clickhouse_sql
+def q_topk_user_share(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    uc = events.groupBy(
+        F.col("user_id").cast("long").alias("user_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = uc.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        uc.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id", "n",
+            F.round(
+                F.col("n").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+    )
 
-    out = run_clickhouse_sql(spark, _CH_UNIQ_STATE_MV, sf_dir)
-    return out.select(
-        "pri",
-        F.col("uniq_cust").cast("long").alias("uniq_cust"),
-        F.col("exact_cust").cast("long").alias("exact_cust"),
+
+@staged(
+    "q_supplier_coverage",
+    oracle="""
+WITH sp AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+     cov AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM sp GROUP BY 1),
+     tot AS (
+  SELECT CAST(count(DISTINCT p_partkey) AS BIGINT) AS total_parts
+  FROM part)
+SELECT s_suppkey, n_parts,
+       round(CAST(n_parts AS DOUBLE) / total_parts, 6) AS coverage
+FROM cov, tot
+ORDER BY n_parts DESC, s_suppkey LIMIT 20
+""",
+    description="Supplier catalog coverage: distinct parts each "
+    "supplier actually shipped (distinct pairs first — the dedup "
+    "BEFORE the count keeps the aggregate additive), as a share of "
+    "the full part catalog (1-row broadcast), top-20 with a "
+    "deterministic tie-break.  The bipartite coverage profile "
+    "drives sourcing-risk dashboards.",
+)
+def q_supplier_coverage(spark, sf_dir):
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    sp = lineitem.select("l_suppkey", "l_partkey").distinct()
+    cov = sp.groupBy(
+        F.col("l_suppkey").cast("long").alias("s_suppkey")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    tot = part.agg(
+        F.countDistinct("p_partkey").cast("long").alias("total_parts")
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            "s_suppkey", "n_parts",
+            F.round(
+                F.col("n_parts").cast("double") / F.col("total_parts"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy(F.col("n_parts").desc(), "s_suppkey")
+        .limit(20)
     )
 
 
@@ -199,59 +203,6 @@ def q_dialect_uniq_exact_rt(spark, sf_dir):
 
     out = run_clickhouse_sql(spark, _CH_UNIQ_EXACT_RT, sf_dir)
     return out.select("rf", F.col("sup_cnt").cast("long").alias("sup_cnt"))
-
-
-# ---------------------------------------------------------------------------
-# Dialect round-trip: outer-join-fed -Merge.  A status spine LEFT
-# JOINed to the per-status state MV feeds countMerge/sumMerge NULL
-# state columns for the synthetic 'X' status — ClickHouse returns 0
-# there, and since round 12 (ADVICE r11 fix) so does the shim.
-# ---------------------------------------------------------------------------
-
-_CH_MERGE_NULL = """
-SELECT s.st AS st, countMerge(cs) AS n, sumMerge(ss) AS cents
-FROM (
-  SELECT 'F' AS st UNION ALL SELECT 'O' UNION ALL
-  SELECT 'P' UNION ALL SELECT 'X'
-) AS s
-LEFT JOIN (
-  SELECT o_orderstatus AS st, countState() AS cs,
-         sumState(toInt64(round(o_totalprice * 100))) AS ss
-  FROM orders GROUP BY o_orderstatus
-) AS m ON s.st = m.st
-GROUP BY s.st ORDER BY st
-"""
-
-
-@staged(
-    "q_dialect_merge_null_zero",
-    oracle="""
-WITH s(st) AS (VALUES ('F'), ('O'), ('P'), ('X')),
-     m AS (
-  SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-              AS BIGINT) AS cents
-  FROM orders GROUP BY 1)
-SELECT s.st AS st, CAST(coalesce(m.n, 0) AS BIGINT) AS n,
-       CAST(coalesce(m.cents, 0) AS BIGINT) AS cents
-FROM s LEFT JOIN m USING (st) ORDER BY st
-""",
-    description="countMerge/sumMerge over an OUTER-JOIN-fed state "
-    "MV: the synthetic 'X' status row carries NULL state columns, "
-    "where ClickHouse's merge returns 0 — the ADVICE r11 "
-    "coalesce-to-zero fix round-tripped (dialect.py summerge/"
-    "countmerge).  Real statuses aggregate their struct partials "
-    "exactly.",
-)
-def q_dialect_merge_null_zero(spark, sf_dir):
-    from clickbom_spark.dialect import run_clickhouse_sql
-
-    out = run_clickhouse_sql(spark, _CH_MERGE_NULL, sf_dir)
-    return out.select(
-        "st",
-        F.col("n").cast("long").alias("n"),
-        F.col("cents").cast("long").alias("cents"),
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -84,7 +84,7 @@ WITH h AS (
   FROM orders WHERE o_custkey IS NOT NULL
 ), """
     + __import__(
-        "clickbom_spark.queries.staged_r16", fromlist=["_HLL_MERGE_DUCK"]
+        "clickbom_spark.queries.staged_r13", fromlist=["_HLL_MERGE_DUCK"]
     )._HLL_MERGE_DUCK
     + """
 SELECT est.grp AS st, est.uniq_est AS uniq_cust, x.exact_cust

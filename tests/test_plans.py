@@ -1317,8 +1317,9 @@ def _staged_r16_plan(spark, name: str) -> str:
 def test_uniq_state_mv_is_pure_aggregation(spark):
     """The uniqState/uniqMerge MV round-trip is two hash-aggregate
     levels over ONE fact scan — bounded collect_set states, no joins,
-    no Python boundary, no window."""
-    plan = _staged_r16_plan(spark, "q_dialect_uniq_state_mv")
+    no Python boundary, no window.  (Query pulled forward into the
+    r13 wave — VERDICT r12 #4.)"""
+    plan = _staged_r13_plan(spark, "q_dialect_uniq_state_mv")
     scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
     assert len(scans) == 1, plan
     assert "BatchEvalPython" not in plan, plan
