@@ -3462,7 +3462,8 @@ _PLAIN = {
         )
     ),
     "datetime64tosnowflakeid": lambda a: (
-        f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
+        f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP)) "
+        f"- 1288834974657, 22)"
         if len(a) == 1 else _scalar_fail(
             "dateTime64ToSnowflakeID: only the default Twitter "
             "epoch compiles"
@@ -4651,8 +4652,15 @@ _PLAIN = {
         "toStartOfNanosecond: Spark timestamps are microsecond-"
         "precision — nanoseconds were never representable here"
     ),
-    "tounixtimestamp64milli": lambda a: f"unix_millis({a[0]})",
-    "tounixtimestamp64micro": lambda a: f"unix_micros({a[0]})",
+    # CAST through TIMESTAMP: unix_millis/micros reject TIMESTAMP_NTZ
+    # (the corpus's naive timestamps); the session TZ is pinned UTC,
+    # so the cast is exact for both LTZ and NTZ inputs
+    "tounixtimestamp64milli": lambda a: (
+        f"unix_millis(CAST({a[0]} AS TIMESTAMP))"
+    ),
+    "tounixtimestamp64micro": lambda a: (
+        f"unix_micros(CAST({a[0]} AS TIMESTAMP))"
+    ),
     "tounixtimestamp64nano": lambda a: _scalar_fail(
         "toUnixTimestamp64Nano: Spark timestamps are microsecond-"
         "precision — use toUnixTimestamp64Micro * 1000 if the scale "
@@ -5335,10 +5343,12 @@ _PLAIN.update({
                      "is unsupported — naive (UTC-session) timestamps")
     ),
     "datetimetosnowflake": lambda a: (
-        f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
+        f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP)) "
+        f"- 1288834974657, 22)"
     ),
     "datetime64tosnowflake": lambda a: (
-        f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
+        f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP)) "
+        f"- 1288834974657, 22)"
     ),
     "snowflakeidtodatetime64": lambda a: (
         f"timestamp_millis(shiftright({a[0]}, 22) + 1288834974657)"
@@ -5347,7 +5357,8 @@ _PLAIN.update({
                      "arguments are unsupported")
     ),
     "datetimetosnowflakeid": lambda a: (
-        f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
+        f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP)) "
+        f"- 1288834974657, 22)"
         if len(a) == 1 else
         _scalar_fail("dateTimeToSnowflakeID: custom epoch is "
                      "unsupported")

@@ -33,6 +33,12 @@ Round-14 themes:
   integers only), monthly returns impact, nation median order value,
   per-label centroid shift and per-dimension variance top-k over
   integer-quantized embeddings.
+* **Round-13 additions** (VERDICT r12 #8b; wave 23 → 26) — oracle
+  round-trips for the r13 approximate-spelling compiles:
+  ``quantileGK`` in its exact regime (accuracy beyond the group
+  cardinality) vs ``quantile_disc``, the Twitter-epoch snowflake-ID
+  bit arithmetic, and negative-length ``left``/``right`` +
+  ``stringCompare``.
 
 Float determinism policy (same as the registry): exact integer /
 decimal aggregates first, then ONE fixed IEEE expression per surfaced
@@ -1398,4 +1404,141 @@ def q_dim_variance_topk(spark, sf_dir):
         sums.select("dim", F.expr(_DIMVAR_EXPR).alias("var_q"))
         .orderBy(F.col("var_q").desc(), "dim")
         .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions (VERDICT r12 next-round #8b): oracle round-trips
+# for the approximate-spelling compiles landed in round 13.  The wave
+# grows 23 -> 26; the parity test's size pin moves with it.
+# ---------------------------------------------------------------------------
+
+_CH_QUANTILE_GK = """
+SELECT event_type,
+       quantileGK(100000)(toInt64(round(value * 100))) AS med,
+       quantileGK(100000, 0.9)(toInt64(round(value * 100))) AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@staged(
+    "q_dialect_quantile_gk",
+    oracle="""
+SELECT event_type,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS med,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    description="quantileGK(accuracy[, level]) compiled to "
+    "percentile_approx (round-13: Spark's approximate percentile IS "
+    "a Greenwald-Khanna-family sketch, the accuracy parameter maps "
+    "through).  With accuracy beyond the group cardinality the GK "
+    "buffer retains every value and the sketch is EXACT, so the "
+    "DuckDB quantile_disc oracle pins the discrete-quantile "
+    "convention itself (verified identical at sf0.001/0.01/0.1 — "
+    "group max ~20k rows vs accuracy 100k).",
+)
+def q_dialect_quantile_gk(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_QUANTILE_GK, sf_dir)
+    return out.select(
+        "event_type",
+        F.col("med").cast("long").alias("med"),
+        F.col("p90").cast("long").alias("p90"),
+    )
+
+
+# Twitter-epoch snowflake IDs: ms-since-1288834974657 in the top 41
+# bits.  The round-trip ts -> ID -> DateTime64 -> unix ms is pure
+# integer bit arithmetic — DuckDB replays it exactly.
+_CH_SNOWFLAKE_RT = """
+SELECT event_type,
+       min(dateTimeToSnowflake(ts)) AS sid_min,
+       max(dateTimeToSnowflake(ts)) AS sid_max,
+       toUnixTimestamp64Milli(snowflakeToDateTime64(
+         min(dateTimeToSnowflake(ts)))) AS ms_back
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@staged(
+    "q_dialect_snowflake_ids",
+    oracle="""
+SELECT event_type,
+       CAST((epoch_ms(min(ts)) - 1288834974657) * 4194304 AS BIGINT)
+         AS sid_min,
+       CAST((epoch_ms(max(ts)) - 1288834974657) * 4194304 AS BIGINT)
+         AS sid_max,
+       CAST(epoch_ms(min(ts)) AS BIGINT) AS ms_back
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    description="dateTimeToSnowflake / snowflakeToDateTime64 / "
+    "toUnixTimestamp64Milli round-trip (round-13 compiles): the "
+    "Twitter-epoch bit layout ((ms - epoch) << 22) is pure integer "
+    "arithmetic, replayed in DuckDB as * 4194304; the recovered "
+    "ms_back equals the original epoch milliseconds exactly.  min/"
+    "max commute with the monotone ID map, so the aggregate "
+    "round-trip is order-exact.",
+)
+def q_dialect_snowflake_ids(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_SNOWFLAKE_RT, sf_dir)
+    return out.select(
+        "event_type",
+        F.col("sid_min").cast("long").alias("sid_min"),
+        F.col("sid_max").cast("long").alias("sid_max"),
+        F.col("ms_back").cast("long").alias("ms_back"),
+    )
+
+
+# ClickHouse left/right with NEGATIVE lengths drop from the other
+# end; Spark's built-ins return '' there — the round-13 CASE compile
+# holds both regimes.  stringCompare pins the -1/0/1 convention.
+_CH_NEG_SUBSTRINGS = """
+SELECT lang,
+       sum(toInt64(length(left(text, -10)))) AS chars_body,
+       sum(toInt64(length(right(text, -10)))) AS chars_tail,
+       countIf(stringCompare(left(text, 5), right(text, 5)) = -1)
+         AS head_lt_tail,
+       countIf(stringCompare(left(text, 5), right(text, 5)) = 0)
+         AS head_eq_tail
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@staged(
+    "q_dialect_neg_substrings",
+    oracle="""
+SELECT lang,
+       CAST(sum(greatest(length(text) - 10, 0)) AS BIGINT)
+         AS chars_body,
+       CAST(sum(greatest(length(text) - 10, 0)) AS BIGINT)
+         AS chars_tail,
+       CAST(count(*) FILTER (WHERE
+         substring(text, 1, 5) < substring(text,
+           greatest(length(text) - 4, 1))) AS BIGINT) AS head_lt_tail,
+       CAST(count(*) FILTER (WHERE
+         substring(text, 1, 5) = substring(text,
+           greatest(length(text) - 4, 1))) AS BIGINT) AS head_eq_tail
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    description="left/right with NEGATIVE lengths (drop n from the "
+    "other end — the round-13 CASE compile; Spark's bare built-ins "
+    "return '' there) plus stringCompare's -1/0/1 convention, "
+    "round-tripped per lang.  The DuckDB oracle replays the "
+    "drop-arithmetic with substring bounds; every count is exact "
+    "integer.",
+)
+def q_dialect_neg_substrings(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_NEG_SUBSTRINGS, sf_dir)
+    return out.select(
+        "lang",
+        F.col("chars_body").cast("long").alias("chars_body"),
+        F.col("chars_tail").cast("long").alias("chars_tail"),
+        F.col("head_lt_tail").cast("long").alias("head_lt_tail"),
+        F.col("head_eq_tail").cast("long").alias("head_eq_tail"),
     )

@@ -53,4 +53,8 @@ def test_staged_r14_every_query_has_oracle():
 
 
 def test_staged_r14_wave_size():
-    assert len(STAGED_R14) == 23
+    # 23 built during round 11 + the three round-13 additions
+    # (oracle round-trips for the r13 approximate-spelling compiles:
+    # quantileGK, the snowflake ID family, negative-length
+    # left/right + stringCompare) — VERDICT r12 next-round #8b
+    assert len(STAGED_R14) == 26
