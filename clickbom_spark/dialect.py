@@ -5406,7 +5406,76 @@ _PLAIN.update({
         "regexp_replace replaces every match; anchor the pattern or "
         "use replaceOne for plain substrings"
     ),
+    # --- third probe sweep ---
+    # Joda and Java's DateTimeFormatter share the pattern language
+    # (same note as the fromUnixTimestampInJodaSyntax entry)
+    "formatdatetimeinjodasyntax": lambda a: (
+        f"date_format({a[0]}, {a[1]})" if len(a) == 2 else
+        _scalar_fail("formatDateTimeInJodaSyntax: the timezone "
+                     "argument is unsupported — naive (UTC-session) "
+                     "timestamps")
+    ),
+    "parsedatetimeinjodasyntax": lambda a: (
+        f"to_timestamp({a[0]}, {a[1]})" if len(a) == 2 else
+        _scalar_fail("parseDateTimeInJodaSyntax: the timezone "
+                     "argument is unsupported")
+    ),
+    "parsedatetimeinjodasyntaxornull": lambda a: (
+        f"try_to_timestamp({a[0]}, {a[1]})" if len(a) == 2 else
+        _scalar_fail("parseDateTimeInJodaSyntaxOrNull: the timezone "
+                     "argument is unsupported")
+    ),
+    # OrZero clamps to the epoch, like the other *OrZero parsers
+    "parsedatetimeinjodasyntaxorzero": lambda a: (
+        f"coalesce(try_to_timestamp({a[0]}, {a[1]}), "
+        f"timestamp_seconds(0))" if len(a) == 2 else
+        _scalar_fail("parseDateTimeInJodaSyntaxOrZero: the timezone "
+                     "argument is unsupported")
+    ),
+    "accuratecastornull": lambda a: _accurate_cast_or_null(a),
+    "replicate": lambda a: _scalar_fail(
+        "replicate is a ClickHouse-internal block function — "
+        "broadcast constants are implicit in Spark expressions"
+    ),
+    "macnumtostring": lambda a: _scalar_fail(
+        "MACNumToString: format the six bytes explicitly — "
+        "concat_ws(':', ...) over lpad(hex(shiftright(x, n) & 255))"
+    ),
+    "macstringtonum": lambda a: _scalar_fail(
+        "MACStringToNum: parse explicitly — conv(replace(s, ':', "
+        "''), 16, 10)"
+    ),
+    "financialinternalrateofreturn": lambda a: _scalar_fail(
+        "IRR needs iterative root-finding — not a single expression; "
+        "use an explicit Newton-iteration loop over a bounded grid"
+    ),
+    "financialinternalrateofreturnextended": lambda a: _scalar_fail(
+        "XIRR needs iterative root-finding — not a single "
+        "expression; use an explicit Newton-iteration loop over a "
+        "bounded grid"
+    ),
+    # Spark's bit_and/bit_or/bit_xor are the same bitwise aggregates
+    "groupbitand": lambda a: f"bit_and({a[0]})",
+    "groupbitor": lambda a: f"bit_or({a[0]})",
+    "groupbitxor": lambda a: f"bit_xor({a[0]})",
 })
+
+
+def _accurate_cast_or_null(a: list[str]) -> str:
+    """accurateCastOrNull(x, 'T'): NULL on overflow/parse failure —
+    Spark's try_cast contract, type name mapped through the table."""
+    if len(a) != 2:
+        raise UnsupportedClickHouseSQL(
+            "accurateCastOrNull expects (x, 'Type')"
+        )
+    t = a[1].strip().strip("'\"").lower()
+    spark_t = _CH_CAST_TYPES.get(t)
+    if spark_t is None:
+        raise UnsupportedClickHouseSQL(
+            f"accurateCastOrNull type {a[1]!r}: supported names are "
+            f"{sorted(_CH_CAST_TYPES)}"
+        )
+    return f"TRY_CAST({a[0]} AS {spark_t})"
 
 # Geospatial-indexing families (h3*, s2*, polygons*, readWKT*):
 # ~100 public spellings with no Spark built-ins.  A prefix guard in

@@ -429,6 +429,81 @@ PROBES: dict[str, str] = {
     "uniqThetaMerge": "SELECT uniqThetaMerge(s) FROM p",
     "uniqCombinedState": "SELECT uniqCombinedState(x) FROM t",
     "uniqHLL12Merge": "SELECT uniqHLL12Merge(s) FROM p",
+    # --- third sweep: date shaping / parsing, split/token, URL,
+    # XML/HTML, series, introspection, bit aggregates ---
+    "toYYYYMM": "SELECT toYYYYMM(ts) FROM t",
+    "toYYYYMMDD": "SELECT toYYYYMMDD(ts) FROM t",
+    "formatDateTime": "SELECT formatDateTime(ts, '%Y-%m-%d') FROM t",
+    "formatDateTimeInJodaSyntax":
+        "SELECT formatDateTimeInJodaSyntax(ts, 'yyyy') FROM t",
+    "dateName": "SELECT dateName('month', ts) FROM t",
+    "toStartOfFiveMinutes": "SELECT toStartOfFiveMinutes(ts) FROM t",
+    "toStartOfISOYear": "SELECT toStartOfISOYear(ts) FROM t",
+    "toYearWeek": "SELECT toYearWeek(ts) FROM t",
+    "toIntervalDay": "SELECT toIntervalDay(3) FROM t",
+    "accurateCast": "SELECT accurateCast(x, 'Int64') FROM t",
+    "accurateCastOrNull": "SELECT accurateCastOrNull(x, 'Int64') FROM t",
+    "parseDateTimeBestEffort": "SELECT parseDateTimeBestEffort(s) FROM t",
+    "parseDateTimeInJodaSyntax":
+        "SELECT parseDateTimeInJodaSyntax(s, 'yyyy') FROM t",
+    "parseDateTimeInJodaSyntaxOrNull":
+        "SELECT parseDateTimeInJodaSyntaxOrNull(s, 'yyyy') FROM t",
+    "splitByChar": "SELECT splitByChar(',', s) FROM t",
+    "splitByRegexp": "SELECT splitByRegexp('[,;]', s) FROM t",
+    "splitByWhitespace": "SELECT splitByWhitespace(s) FROM t",
+    "alphaTokens": "SELECT alphaTokens(s) FROM t",
+    "ngrams": "SELECT ngrams(s, 3) FROM t",
+    "ngramMinHash": "SELECT ngramMinHash(s) FROM t",
+    "wordShingleMinHash": "SELECT wordShingleMinHash(s) FROM t",
+    "extractURLParameter": "SELECT extractURLParameter(u, 'k') FROM t",
+    "extractURLParameterNames":
+        "SELECT extractURLParameterNames(u) FROM t",
+    "cutQueryString": "SELECT cutQueryString(u) FROM t",
+    "cutWWW": "SELECT cutWWW(u) FROM t",
+    "decodeURLComponent": "SELECT decodeURLComponent(u) FROM t",
+    "netloc": "SELECT netloc(u) FROM t",
+    "firstSignificantSubdomain":
+        "SELECT firstSignificantSubdomain(u) FROM t",
+    "arrayEnumerateDense": "SELECT arrayEnumerateDense(a) FROM t",
+    "emptyArrayUInt8": "SELECT emptyArrayUInt8() FROM t",
+    "replicate": "SELECT replicate(x, a) FROM t",
+    "arrayAUC": "SELECT arrayAUC(a, b) FROM t",
+    "encodeXMLComponent": "SELECT encodeXMLComponent(s) FROM t",
+    "decodeHTMLComponent": "SELECT decodeHTMLComponent(s) FROM t",
+    "extractTextFromHTML": "SELECT extractTextFromHTML(s) FROM t",
+    "seriesOutliersDetectTukey":
+        "SELECT seriesOutliersDetectTukey(a) FROM t",
+    "seriesDecomposeSTL": "SELECT seriesDecomposeSTL(a, 12) FROM t",
+    "identity": "SELECT identity(x) FROM t",
+    "ignore": "SELECT ignore(x) FROM t",
+    "materialize": "SELECT materialize(x) FROM t",
+    "visibleWidth": "SELECT visibleWidth(x) FROM t",
+    "currentUser": "SELECT currentUser() FROM t",
+    "hasColumnInTable": "SELECT hasColumnInTable('db', 't', 'c') FROM t",
+    "timezone": "SELECT timezone() FROM t",
+    "blockNumber": "SELECT blockNumber() FROM t",
+    "queryID": "SELECT queryID() FROM t",
+    "MACNumToString": "SELECT MACNumToString(x) FROM t",
+    "MACStringToNum": "SELECT MACStringToNum(s) FROM t",
+    "minSampleSizeConversion":
+        "SELECT minSampleSizeConversion(0.1, 0.05, 0.8, 0.05) FROM t",
+    "proportionsZTest":
+        "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') FROM t",
+    "sequenceNextNode":
+        "SELECT sequenceNextNode('forward', 'head')(ts, s, s = 'a') FROM t",
+    "anyHeavy": "SELECT anyHeavy(x) FROM t",
+    "singleValueOrNull": "SELECT singleValueOrNull(x) FROM t",
+    "maxIntersections": "SELECT maxIntersections(a, b) FROM t",
+    "financialInternalRateOfReturnExtended":
+        "SELECT financialInternalRateOfReturnExtended(a, b) FROM t",
+    "bitmapAndCardinality": "SELECT bitmapAndCardinality(b1, b2) FROM t",
+    "groupBitmap": "SELECT groupBitmap(x) FROM t",
+    "groupBitAnd": "SELECT groupBitAnd(x) FROM t",
+    "groupBitOr": "SELECT groupBitOr(x) FROM t",
+    "groupBitXor": "SELECT groupBitXor(x) FROM t",
+    "sumArray": "SELECT sumArray(a) FROM t",
+    "uniqExactArray": "SELECT uniqExactArray(a) FROM t",
+    "regionToName": "SELECT regionToName(x) FROM t",
 }
 
 _NAME_RE = re.compile(r"(?i)SELECT\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(")
