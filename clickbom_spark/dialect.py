@@ -5461,6 +5461,118 @@ _PLAIN.update({
 })
 
 
+# Round-13 probe sweep 4: numeric/string/URL/map/conversion tail.
+def _has_token_or_null(a: list[str], ci: bool) -> str:
+    """hasToken[CaseInsensitive]OrNull: NULL (not an error) when the
+    constant needle contains separators — otherwise identical to the
+    base compile."""
+    name = "hasTokenCaseInsensitiveOrNull" if ci else "hasTokenOrNull"
+    tok = _lit_text(a[1], name, "token")
+    if not re.fullmatch(r"[A-Za-z0-9_]+", tok):
+        return "CAST(NULL AS BOOLEAN)"
+    if ci:
+        return _PLAIN["hastokencaseinsensitive"](a)
+    return _has_token(a)
+
+
+_PLAIN.update({
+    "positivemodulo": lambda a: f"pmod({a[0]}, {a[1]})",
+    "positive_modulo": lambda a: f"pmod({a[0]}, {a[1]})",
+    # max2/min2 return Float64 and propagate NULL (ClickHouse's
+    # documented contract; Spark's greatest/least skip NULLs)
+    "max2": lambda a: (
+        f"CAST({_null_propagating('greatest', a)} AS DOUBLE)"
+    ),
+    "min2": lambda a: (
+        f"CAST({_null_propagating('least', a)} AS DOUBLE)"
+    ),
+    "endswithutf8": lambda a: f"endswith({a[0]}, {a[1]})",
+    "startswithutf8": lambda a: f"startswith({a[0]}, {a[1]})",
+    "hastokenornull": lambda a: _has_token_or_null(a, ci=False),
+    "hastokencaseinsensitiveornull": lambda a: (
+        _has_token_or_null(a, ci=True)
+    ),
+    # the RFC spellings differ only in edge-case host validation;
+    # parse_url is the same fast path as the base entries
+    "domainrfc": lambda a: f"parse_url({a[0]}, 'HOST')",
+    "domainwithoutwwwrfc": lambda a: (
+        f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+    ),
+    "portrfc": lambda a: _PLAIN["port"](a),
+    "trypunycodedecode": lambda a: _scalar_fail(
+        "tryPunycodeDecode: punycode codecs are not in the supported "
+        "surface — decode outside the query or keep ASCII hostnames"
+    ),
+    "javahashutf16le": lambda a: f"xxhash64({', '.join(a)})",
+    # the pre-rename spelling of kostikConsistentHash
+    "yandexconsistenthash": lambda a: f"pmod({a[0]}, {a[1]})",
+    # unsigned narrow widths of the Or-Zero/Or-Null parse family
+    # (same documented leniency delta as the signed entries)
+    "touint8orzero": _try_cast("INT", "0"),
+    "touint16orzero": _try_cast("INT", "0"),
+    "toint8ornull": _try_cast("TINYINT", None),
+    "toint16ornull": _try_cast("SMALLINT", None),
+    "touint8ornull": _try_cast("INT", None),
+    "touint16ornull": _try_cast("INT", None),
+    "touint32ornull": _try_cast("BIGINT", None),
+    "tofloat32ornull": _try_cast("FLOAT", None),
+    # Or-Default: coalesce the parse failure to the caller's default
+    # (one-argument form falls back to the type zero)
+    **{
+        f"to{t}ordefault": (
+            lambda a, _st=st: (
+                f"coalesce(try_cast({a[0]} AS {_st}), "
+                + (a[1] if len(a) > 1 else "0") + ")"
+            )
+        )
+        for t, st in (
+            ("int8", "TINYINT"), ("int16", "SMALLINT"),
+            ("int32", "INT"), ("int64", "BIGINT"),
+            ("uint8", "INT"), ("uint16", "INT"),
+            ("uint32", "BIGINT"), ("uint64", "BIGINT"),
+            ("float32", "FLOAT"), ("float64", "DOUBLE"),
+        )
+    },
+    "todateordefault": lambda a: (
+        f"coalesce(try_cast({a[0]} AS DATE), "
+        + (a[1] if len(a) > 1 else "DATE '1970-01-01'") + ")"
+    ),
+    "todatetimeordefault": lambda a: (
+        f"coalesce(try_cast({a[0]} AS TIMESTAMP), "
+        + (a[1] if len(a) > 1 else "timestamp_seconds(0)") + ")"
+    ),
+    # same-name Spark built-ins (registered so the probe battery can
+    # tell a deliberate passthrough from a leak)
+    "char_length": lambda a: f"char_length({a[0]})",
+    "character_length": lambda a: f"character_length({a[0]})",
+    # ClickHouse's nullIn family changes NULL comparison semantics
+    # (NULL IN (NULL) is 1) — Spark's IN is three-valued
+    "nullin": lambda a: _scalar_fail(
+        "nullIn treats NULL as a comparable value (NULL IN (NULL) = "
+        "1) — write the three-valued logic explicitly: x IN (...) OR "
+        "(x IS NULL AND <set has NULL>)"
+    ),
+    "notnullin": lambda a: _scalar_fail(
+        "notNullIn treats NULL as a comparable value — write the "
+        "three-valued logic explicitly"
+    ),
+    "globalnullin": lambda a: _scalar_fail(
+        "globalNullIn treats NULL as a comparable value — write the "
+        "three-valued logic explicitly"
+    ),
+    "globalnotnullin": lambda a: _scalar_fail(
+        "globalNotNullIn treats NULL as a comparable value — write "
+        "the three-valued logic explicitly"
+    ),
+    "mapcontainskeylike": lambda a: (
+        f"exists(map_keys({a[0]}), mclk -> mclk LIKE {a[1]})"
+    ),
+    "mapextractkeylike": lambda a: (
+        f"map_filter({a[0]}, (mekk, mekv) -> mekk LIKE {a[1]})"
+    ),
+})
+
+
 def _accurate_cast_or_null(a: list[str]) -> str:
     """accurateCastOrNull(x, 'T'): NULL on overflow/parse failure —
     Spark's try_cast contract, type name mapped through the table."""

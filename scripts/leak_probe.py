@@ -504,6 +504,76 @@ PROBES: dict[str, str] = {
     "sumArray": "SELECT sumArray(a) FROM t",
     "uniqExactArray": "SELECT uniqExactArray(a) FROM t",
     "regionToName": "SELECT regionToName(x) FROM t",
+    # --- fourth sweep: numeric/string/URL/map/conversion tail ---
+    "positiveModulo": "SELECT positiveModulo(x, y) FROM t",
+    "max2": "SELECT max2(x, y) FROM t",
+    "min2": "SELECT min2(x, y) FROM t",
+    "intDivOrZero": "SELECT intDivOrZero(x, y) FROM t",
+    "moduloOrZero": "SELECT moduloOrZero(x, y) FROM t",
+    "divideDecimal": "SELECT divideDecimal(x, y) FROM t",
+    "gcd": "SELECT gcd(x, y) FROM t",
+    "isNaN": "SELECT isNaN(x) FROM t",
+    "ifNotFinite": "SELECT ifNotFinite(x, 0) FROM t",
+    "clamp": "SELECT clamp(x, 1, 10) FROM t",
+    "widthBucket": "SELECT widthBucket(x, 0, 10, 5) FROM t",
+    "sigmoid": "SELECT sigmoid(x) FROM t",
+    "endsWithUTF8": "SELECT endsWithUTF8(s, 'x') FROM t",
+    "startsWithUTF8": "SELECT startsWithUTF8(s, 'x') FROM t",
+    "initcapUTF8": "SELECT initcapUTF8(s) FROM t",
+    "isValidUTF8": "SELECT isValidUTF8(s) FROM t",
+    "positionCaseInsensitiveUTF8":
+        "SELECT positionCaseInsensitiveUTF8(s, 'x') FROM t",
+    "hasTokenOrNull": "SELECT hasTokenOrNull(s, 'tok') FROM t",
+    "hasTokenCaseInsensitiveOrNull":
+        "SELECT hasTokenCaseInsensitiveOrNull(s, 'tok') FROM t",
+    "concatWithSeparator": "SELECT concatWithSeparator('-', a, b) FROM t",
+    "substringIndexUTF8": "SELECT substringIndexUTF8(s, '.', 2) FROM t",
+    "fragment": "SELECT fragment(u) FROM t",
+    "queryString": "SELECT queryString(u) FROM t",
+    "encodeURLComponent": "SELECT encodeURLComponent(u) FROM t",
+    "domainWithoutWWW": "SELECT domainWithoutWWW(u) FROM t",
+    "topLevelDomain": "SELECT topLevelDomain(u) FROM t",
+    "domainRFC": "SELECT domainRFC(u) FROM t",
+    "portRFC": "SELECT portRFC(u) FROM t",
+    "punycodeDecode": "SELECT punycodeDecode(s) FROM t",
+    "tryPunycodeDecode": "SELECT tryPunycodeDecode(s) FROM t",
+    "idnaDecode": "SELECT idnaDecode(s) FROM t",
+    "normalizeUTF8NFD": "SELECT normalizeUTF8NFD(s) FROM t",
+    "tryDecrypt": "SELECT tryDecrypt('aes-128-gcm', s, k) FROM t",
+    "toBool": "SELECT toBool(x) FROM t",
+    "javaHashUTF16LE": "SELECT javaHashUTF16LE(s) FROM t",
+    "kostikConsistentHash": "SELECT kostikConsistentHash(x, 8) FROM t",
+    "jumpConsistentHash": "SELECT jumpConsistentHash(x, 8) FROM t",
+    "yandexConsistentHash": "SELECT yandexConsistentHash(x, 8) FROM t",
+    "arrayPushBack": "SELECT arrayPushBack(a, 1) FROM t",
+    "arrayPopFront": "SELECT arrayPopFront(a) FROM t",
+    "arraySlice": "SELECT arraySlice(a, 2, 3) FROM t",
+    "arrayLevenshteinDistance":
+        "SELECT arrayLevenshteinDistance(a, b) FROM t",
+    "toUInt8OrZero": "SELECT toUInt8OrZero(s) FROM t",
+    "toUInt16OrNull": "SELECT toUInt16OrNull(s) FROM t",
+    "toInt64OrNull": "SELECT toInt64OrNull(s) FROM t",
+    "toFloat64OrDefault": "SELECT toFloat64OrDefault(s, 0.0) FROM t",
+    "toInt64OrDefault": "SELECT toInt64OrDefault(s) FROM t",
+    "toDateOrDefault": "SELECT toDateOrDefault(s) FROM t",
+    "toDateOrNull": "SELECT toDateOrNull(s) FROM t",
+    "toFixedString": "SELECT toFixedString(s, 8) FROM t",
+    "toLowCardinality": "SELECT toLowCardinality(s) FROM t",
+    "lengthUTF8": "SELECT lengthUTF8(s) FROM t",
+    "char_length": "SELECT char_length(s) FROM t",
+    "upperUTF8": "SELECT upperUTF8(s) FROM t",
+    "notEmpty": "SELECT notEmpty(s) FROM t",
+    "ilike": "SELECT ilike(s, '%a%') FROM t",
+    "notILike": "SELECT notILike(s, '%a%') FROM t",
+    "nullIn": "SELECT nullIn(x, tuple(1, 2)) FROM t",
+    "bitmaskToList": "SELECT bitmaskToList(x) FROM t",
+    "mapConcat": "SELECT mapConcat(m1, m2) FROM t",
+    "mapExists": "SELECT mapExists((k, v) -> v > 1, m) FROM t",
+    "mapSort": "SELECT mapSort(m) FROM t",
+    "mapContainsKeyLike": "SELECT mapContainsKeyLike(m, 'a%') FROM t",
+    "mapExtractKeyLike": "SELECT mapExtractKeyLike(m, 'a%') FROM t",
+    "regionToCountry": "SELECT regionToCountry(x) FROM t",
+    "toIntervalWeek": "SELECT toIntervalWeek(2) FROM t",
 }
 
 _NAME_RE = re.compile(r"(?i)SELECT\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(")
