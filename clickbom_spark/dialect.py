@@ -3881,7 +3881,9 @@ _PLAIN = {
         for n in (
             "tupleplus", "tupleminus", "tuplemultiply",
             "tupledivide", "tuplenegate", "tupleintdiv",
-            "tuplemodulo",
+            "tuplemodulo", "tuplemultiplybynumber",
+            "tupledividebynumber", "tupleintdivbynumber",
+            "tuplemodulobynumber",
         )
     },
     # --- ISO calendar leftovers ---
@@ -5570,7 +5572,115 @@ _PLAIN.update({
     "mapextractkeylike": lambda a: (
         f"map_filter({a[0]}, (mekk, mekv) -> mekk LIKE {a[1]})"
     ),
+    # --- fifth probe sweep ---
+    "mediantdigest": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    # fits y = k*x + b; tuple fields follow the col1/col2 convention
+    # (tupleElement/.1 accessors reach them)
+    "simplelinearregression": lambda a: (
+        f"named_struct('col1', regr_slope({a[1]}, {a[0]}), "
+        f"'col2', regr_intercept({a[1]}, {a[0]}))"
+    ),
+    "tuplenames": lambda a: f"json_object_keys(to_json({a[0]}))",
+    "jsonextract": lambda a: _json_extract_generic(a),
+    # i-th member key (negative = from the end) — try_element_at's
+    # exact contract over the key array
+    "jsonkey": lambda a: (
+        f"try_element_at(json_object_keys({a[0]}), {a[1]})"
+        if len(a) == 2 else _scalar_fail(
+            "JSONKey: only the (json, index) form compiles — nested "
+            "paths need explicit get_json_object steps"
+        )
+    ),
+    "date_diff": lambda a: _datediff(a),
+    # surrogate: real ms-since-twepoch in the top 41 bits, random
+    # low 22 bits standing in for machine+sequence (the documented
+    # hash-surrogate policy: stable LAYOUT, not ClickHouse's bits)
+    "generatesnowflakeid": lambda a: (
+        "(shiftleft(unix_millis(current_timestamp()) "
+        "- 1288834974657, 22) + CAST(floor(rand() * 4194304) "
+        "AS BIGINT))"
+    ),
+    "shardcount": lambda a: _scalar_fail(
+        "shardCount: shards do not exist in the DataFrame model — "
+        "partition counts are a physical-plan property"
+    ),
+    "kql_array_sort_asc": lambda a: _scalar_fail(
+        "kql_array_sort_asc is a KQL-dialect helper returning a "
+        "tuple of co-sorted arrays — use arraySort with zip_with"
+    ),
+    "kql_array_sort_desc": lambda a: _scalar_fail(
+        "kql_array_sort_desc is a KQL-dialect helper returning a "
+        "tuple of co-sorted arrays — use arrayReverseSort with "
+        "zip_with"
+    ),
+    "defaultroles": lambda a: _scalar_fail(
+        "defaultRoles is access-control introspection — no Spark "
+        "analogue"
+    ),
+    "getserverport": lambda a: _scalar_fail(
+        "getServerPort is server introspection — no Spark analogue"
+    ),
+    "tcpport": lambda a: _scalar_fail(
+        "tcpPort is server introspection — no Spark analogue"
+    ),
+    "isconstant": lambda a: _scalar_fail(
+        "isConstant inspects ClickHouse's column representation — "
+        "constant folding is Catalyst's concern"
+    ),
+    "nested": lambda a: _scalar_fail(
+        "nested() is a ClickHouse-internal Nested-type constructor — "
+        "use arrays_zip for the array-of-structs shape"
+    ),
+    "frommodifiedjuliandayornull": lambda a: (
+        f"date_add(DATE '1858-11-17', try_cast({a[0]} AS INT))"
+    ),
+    "tomodifiedjuliandayornull": lambda a: (
+        f"datediff(try_to_date({a[0]}), DATE '1858-11-17')"
+    ),
+    "arraynormalizedgini": _engine_pointer_text(
+        "arrayNormalizedGini",
+        "Gini concentration is an engine operator — "
+        "q_gini_token_concentration (distinct-frequency prefix sums)",
+    ),
+    "sparsegrams": lambda a: _scalar_fail(
+        "sparseGrams' hash-selected substring set is "
+        "ClickHouse-internal — use ngrams(s, n) for deterministic "
+        "n-gram tokens"
+    ),
+    "detecttonality": lambda a: _scalar_fail(
+        "detectTonality needs ClickHouse's bundled sentiment "
+        "dictionaries — score explicitly against a lexicon table"
+    ),
+    "detectprogramminglanguage": lambda a: _scalar_fail(
+        "detectProgrammingLanguage needs ClickHouse's bundled "
+        "classifier — match file signatures explicitly"
+    ),
 })
+
+
+def _json_extract_generic(a: list[str]) -> str:
+    """JSONExtract(json[, path...], 'Type'): the generic typed
+    extractor — scalar types delegate to the per-type handlers
+    (same path machinery, same type-default-on-missing contract);
+    composite types fail fast."""
+    if len(a) < 2:
+        raise UnsupportedClickHouseSQL(
+            "JSONExtract needs (json[, path...], 'Type')"
+        )
+    t = a[-1].strip().strip("'\"").lower()
+    base = {
+        "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+        "uint8": "uint", "uint16": "uint", "uint32": "uint",
+        "uint64": "uint", "float32": "float", "float64": "float",
+        "string": "string", "bool": "bool", "boolean": "bool",
+    }.get(t)
+    if base is None:
+        raise UnsupportedClickHouseSQL(
+            f"JSONExtract type {a[-1]!r}: composite types need "
+            "from_json with an explicit schema — scalar types "
+            "(Int*/UInt*/Float*/String/Bool) compile"
+        )
+    return _json_extract_typed(base)(a[:-1])
 
 
 def _accurate_cast_or_null(a: list[str]) -> str:

@@ -574,6 +574,69 @@ PROBES: dict[str, str] = {
     "mapExtractKeyLike": "SELECT mapExtractKeyLike(m, 'a%') FROM t",
     "regionToCountry": "SELECT regionToCountry(x) FROM t",
     "toIntervalWeek": "SELECT toIntervalWeek(2) FROM t",
+    # --- fifth sweep: aggregates / JSON / tuple / introspection ---
+    "quantileExactHigh": "SELECT quantileExactHigh(0.5)(x) FROM t",
+    "quantileTDigestWeighted":
+        "SELECT quantileTDigestWeighted(0.5)(x, w) FROM t",
+    "medianTDigest": "SELECT medianTDigest(x) FROM t",
+    "sumMapFiltered": "SELECT sumMapFiltered([1,2])(k, v) FROM t",
+    "groupArrayInsertAt": "SELECT groupArrayInsertAt(x, p) FROM t",
+    "groupArraySample": "SELECT groupArraySample(3)(x) FROM t",
+    "groupArrayMovingSum": "SELECT groupArrayMovingSum(3)(x) FROM t",
+    "simpleLinearRegression": "SELECT simpleLinearRegression(a, b) FROM t",
+    "stochasticLinearRegression":
+        "SELECT stochasticLinearRegression(0.1, 0.1, 10, 'SGD')(y, a) FROM t",
+    "entropy": "SELECT entropy(x) FROM t",
+    "tupleToNameValuePairs": "SELECT tupleToNameValuePairs(tp) FROM t",
+    "tupleNames": "SELECT tupleNames(tp) FROM t",
+    "tupleMultiplyByNumber": "SELECT tupleMultiplyByNumber(t1, 2) FROM t",
+    "JSONExtract": "SELECT JSONExtract(j, 'k', 'Int64') FROM t",
+    "JSONExtractUInt": "SELECT JSONExtractUInt(j, 'k') FROM t",
+    "JSONHas": "SELECT JSONHas(j, 'k') FROM t",
+    "JSONLength": "SELECT JSONLength(j) FROM t",
+    "JSONKey": "SELECT JSONKey(j, 1) FROM t",
+    "JSONMergePatch": "SELECT JSONMergePatch(j, j2) FROM t",
+    "variantType": "SELECT variantType(v) FROM t",
+    "dateTrunc": "SELECT dateTrunc('month', ts) FROM t",
+    "date_diff": "SELECT date_diff('day', a, b) FROM t",
+    "formatRow": "SELECT formatRow('CSV', x, y) FROM t",
+    "generateSnowflakeID": "SELECT generateSnowflakeID() FROM t",
+    "lowCardinalityKeys": "SELECT lowCardinalityKeys(s) FROM t",
+    "shardNum": "SELECT shardNum() FROM t",
+    "shardCount": "SELECT shardCount() FROM t",
+    "fuzzBits": "SELECT fuzzBits(s, 0.1) FROM t",
+    "mortonDecode": "SELECT mortonDecode(2, x) FROM t",
+    "base64URLEncode": "SELECT base64URLEncode(s) FROM t",
+    "toStartOfSecond": "SELECT toStartOfSecond(ts) FROM t",
+    "fromDaysSinceYearZero": "SELECT fromDaysSinceYearZero(x) FROM t",
+    "UUIDv7ToDateTime": "SELECT UUIDv7ToDateTime(u) FROM t",
+    "toUUIDOrNull": "SELECT toUUIDOrNull(s) FROM t",
+    "substringIndex": "SELECT substringIndex(s, '.', 2) FROM t",
+    "locate": "SELECT locate('x', s) FROM t",
+    "countSubstrings": "SELECT countSubstrings(s, 'x') FROM t",
+    "revision": "SELECT revision() FROM t",
+    "structureToProtobufSchema":
+        "SELECT structureToProtobufSchema('x Int64') FROM t",
+    "kql_array_sort_asc": "SELECT kql_array_sort_asc(a) FROM t",
+    "evalMLMethod": "SELECT evalMLMethod(st, a) FROM t",
+    "toDateTime64": "SELECT toDateTime64(s, 3) FROM t",
+    "now64": "SELECT now64() FROM t",
+    "today": "SELECT today() FROM t",
+    "defaultRoles": "SELECT defaultRoles() FROM t",
+    "getSetting": "SELECT getSetting('max_threads') FROM t",
+    "getServerPort": "SELECT getServerPort('tcp_port') FROM t",
+    "isConstant": "SELECT isConstant(x) FROM t",
+    "tcpPort": "SELECT tcpPort() FROM t",
+    "toModifiedJulianDayOrNull":
+        "SELECT toModifiedJulianDayOrNull(s) FROM t",
+    "fromModifiedJulianDayOrNull":
+        "SELECT fromModifiedJulianDayOrNull(x) FROM t",
+    "nested": "SELECT nested(['k'], a) FROM t",
+    "arrayNormalizedGini": "SELECT arrayNormalizedGini(a, b) FROM t",
+    "sparseGrams": "SELECT sparseGrams(s) FROM t",
+    "stem": "SELECT stem('en', s) FROM t",
+    "detectLanguage": "SELECT detectLanguage(s) FROM t",
+    "detectTonality": "SELECT detectTonality(s) FROM t",
 }
 
 _NAME_RE = re.compile(r"(?i)SELECT\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(")

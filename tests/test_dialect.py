@@ -3687,6 +3687,40 @@ def test_r13_approximate_spellings():
         translate_clickhouse_sql("SELECT quantilesGK(100)(x) FROM t")
 
 
+def test_r13_probe_sweep_values(spark):
+    """Value pins for the round-13 probe-sweep compiles (sweeps 3-4):
+    NULL propagation in max2/min2, the hasTokenOrNull NULL contract,
+    Or-Default parse fallbacks, negative-length left/right, bitwise
+    aggregates, and the snowflake bit layout."""
+    row = spark.sql(translate_clickhouse_sql(
+        "SELECT positiveModulo(-7, 3) AS pm, max2(1, NULL) AS m2n, "
+        "max2(2.5, 3) AS m2, hasTokenOrNull('a tok b', 'a b') AS hn, "
+        "hasTokenOrNull('a tok b', 'tok') AS hy, "
+        "toInt64OrDefault('x') AS d0, toFloat64OrDefault('x', 0.5) "
+        "AS d5, toUInt8OrZero('7') AS u8, "
+        "left('abc', -1) AS lneg, right('abc', -1) AS rneg, "
+        "stringCompare('a', 'b') AS sc, "
+        "accurateCastOrNull('12x', 'Int64') AS acn"
+    )).collect()[0]
+    assert row.pm == 2 and row.m2n is None and row.m2 == 3.0
+    assert row.hn is None and row.hy is True
+    assert row.d0 == 0 and row.d5 == 0.5 and row.u8 == 7
+    assert row.lneg == "ab" and row.rneg == "bc" and row.sc == -1
+    assert row.acn is None
+    agg = spark.sql(translate_clickhouse_sql(
+        "SELECT groupBitAnd(x) AS ba, groupBitOr(x) AS bo, "
+        "groupBitXor(x) AS bx FROM "
+        "(SELECT 6 AS x UNION ALL SELECT 3)"
+    )).collect()[0]
+    assert (agg.ba, agg.bo, agg.bx) == (2, 7, 5)
+    snow = spark.sql(translate_clickhouse_sql(
+        "SELECT toUnixTimestamp64Milli(snowflakeToDateTime64("
+        "dateTimeToSnowflake(makeDateTime(2024, 1, 2, 3, 4, 5)))) "
+        "AS ms"
+    )).collect()[0]
+    assert snow.ms == 1704164645000
+
+
 def test_advice_r13_fixes(spark):
     """Round-13 ADVICE closures: (1) arrayReduce('sum'/'avg') on an
     EMPTY array returns 0 / NaN like ClickHouse instead of throwing
