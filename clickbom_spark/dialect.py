@@ -2331,6 +2331,11 @@ _COMBINATOR_BASES = {
     "avgweighted", "sumcount", "sumwithoverflow", "stddevpop",
     "stddevsamp", "varpop", "varsamp", "covarpop", "covarsamp",
     "skewpop", "kurtpop", "anyheavy", "deltasum", "countdistinct",
+    # engine-pointer stat bases: their combinator stacks get the same
+    # clean fail-fast instead of leaking (round-13 sweep 6)
+    "cramersv", "cramersvbiascorrected", "theilsu", "contingency",
+    "boundingratio", "rankcorr", "categoricalinformationvalue",
+    "skewsamp", "kurtsamp",
 }
 
 
@@ -5655,6 +5660,25 @@ _PLAIN.update({
         "detectProgrammingLanguage needs ClickHouse's bundled "
         "classifier — match file signatures explicitly"
     ),
+    # --- sixth probe sweep: window / aggregate tail ---
+    # same-name Spark window built-ins, registered so the battery can
+    # tell deliberate passthrough from a leak
+    "ntile": lambda a: f"ntile({', '.join(a)})",
+    "percent_rank": lambda a: f"percent_rank({', '.join(a)})",
+    "cume_dist": lambda a: f"cume_dist({', '.join(a)})",
+    "denserank": lambda a: f"dense_rank({', '.join(a)})",
+    # ClickHouse's first/last_value default RESPECTS NULLs — so does
+    # Spark's; the explicit _respect_nulls spellings are the default
+    "first_value_respect_nulls": lambda a: f"first_value({a[0]})",
+    "last_value_respect_nulls": lambda a: f"last_value({a[0]})",
+    "arrayconcatagg": lambda a: f"flatten(collect_list({a[0]}))",
+    "timeseriesgroupsum": lambda a: _scalar_fail(
+        "timeSeriesGroupSum (obsolete in ClickHouse) interpolates "
+        "across series — use the engine's as-of alignment + window "
+        "sums (q_asof_join family)"
+    ),
+    # nothing(x) is ClickHouse's Nothing-typed NULL
+    "nothing": lambda a: "NULL",
 })
 
 

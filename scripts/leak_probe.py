@@ -637,6 +637,42 @@ PROBES: dict[str, str] = {
     "stem": "SELECT stem('en', s) FROM t",
     "detectLanguage": "SELECT detectLanguage(s) FROM t",
     "detectTonality": "SELECT detectTonality(s) FROM t",
+    # --- sixth sweep: window / exotic-aggregate tail ---
+    "exponentialTimeDecayedAvg":
+        "SELECT exponentialTimeDecayedAvg(10)(v, ts) OVER (ORDER BY ts) FROM t",
+    "nonNegativeDerivative":
+        "SELECT nonNegativeDerivative(x, ts) OVER (ORDER BY ts) FROM t",
+    "sumResample": "SELECT sumResample(0, 10, 1)(x, k) FROM t",
+    "avgForEach": "SELECT avgForEach(a) FROM t",
+    "argMinIf": "SELECT argMinIf(a, b, c) FROM t",
+    "quantilesTimingIf": "SELECT quantilesTimingIf(0.5, 0.9)(x, c) FROM t",
+    "windowFunnel": "SELECT windowFunnel(100)(ts, a, b) FROM t",
+    "retention": "SELECT retention(a, b) FROM t",
+    "sequenceMatch": "SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t",
+    "histogram": "SELECT histogram(5)(x) FROM t",
+    "sumMapIf": "SELECT sumMapIf(k, v, c) FROM t",
+    "medianIf": "SELECT medianIf(x, c) FROM t",
+    "cramersVIf": "SELECT cramersVIf(a, b, c) FROM t",
+    "theilsUIf": "SELECT theilsUIf(a, b, c) FROM t",
+    "boundingRatioIf": "SELECT boundingRatioIf(a, b, c) FROM t",
+    "quantileExactInclusive": "SELECT quantileExactInclusive(0.5)(x) FROM t",
+    "ntile": "SELECT ntile(4) OVER (ORDER BY x) FROM t",
+    "percent_rank": "SELECT percent_rank() OVER (ORDER BY x) FROM t",
+    "cume_dist": "SELECT cume_dist() OVER (ORDER BY x) FROM t",
+    "denseRank": "SELECT denseRank() OVER (ORDER BY x) FROM t",
+    "first_value_respect_nulls":
+        "SELECT first_value_respect_nulls(x) OVER (ORDER BY y) FROM t",
+    "last_value_respect_nulls":
+        "SELECT last_value_respect_nulls(x) OVER (ORDER BY y) FROM t",
+    "arrayConcatAgg": "SELECT arrayConcatAgg(a) FROM t",
+    "groupArrayArray": "SELECT groupArrayArray(a) FROM t",
+    "timeSeriesGroupSum": "SELECT timeSeriesGroupSum(uid, ts, v) FROM t",
+    "nothing": "SELECT nothing(x) FROM t",
+    "groupConcat": "SELECT groupConcat(x) FROM t",
+    "distinctDynamicTypes": "SELECT distinctDynamicTypes(d) FROM t",
+    "quantilePrometheusHistogram":
+        "SELECT quantilePrometheusHistogram(0.9)(le, v) FROM t",
+    "evalMLMethod_dup": "SELECT evalMLMethod(st, a, b) FROM t",
 }
 
 _NAME_RE = re.compile(r"(?i)SELECT\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(")
