@@ -35,12 +35,19 @@ def test_staged_r13_oracle_parity(spark, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
-def test_staged_r13_disjoint():
-    """The holdout must not shadow live registry names OR the pending
-    round-12 wave — all activations are pure REGISTRY.updates."""
-    clash = set(STAGED_R13) & (set(REGISTRY) | set(STAGED_R12))
-    assert not clash, f"staged r13 names collide: {clash}"
+def test_staged_r13_activated_into_registry():
+    """Round-13 activation: every staged r13 name must now be IN
+    REGISTRY and bound to the SAME QuerySpec object — activation was
+    REGISTRY.update(STAGED_R13), not a re-wrap.  (Pre-activation this
+    test was the disjointness guard; the wave stays disjoint from the
+    earlier r12 wave by construction — asserted below — and the
+    pending r14+ waves assert their own disjointness in their
+    files.)"""
+    missing = set(STAGED_R13) - set(REGISTRY)
+    assert not missing, f"staged r13 names not activated: {missing}"
+    assert not (set(STAGED_R13) & set(STAGED_R12))
     for name, spec in STAGED_R13.items():
+        assert REGISTRY[name] is spec, f"{name} was shadowed on activation"
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
         assert spec.name == name
