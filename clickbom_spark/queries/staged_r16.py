@@ -48,9 +48,6 @@ log2 bands come from binary-string lengths, never libm.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -74,10 +71,54 @@ _CENTS_DUCK = "CAST(round(value * 100) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
-# Swapped in from the round-13 wave (VERDICT r12 next-round #4):
-# q_topk_user_share and q_supplier_coverage took the r16 slots of
-# the pulled-forward uniqState-MV and merge-NULL round-trips.
+# Swapped in from the round-13/round-14 waves (VERDICT r12
+# next-round #4/#8c): q_word_length_distribution, q_topk_user_share
+# and q_supplier_coverage took the r16 slots of the pulled-forward
+# uniqState-MV, merge-NULL, and ALTER-migration round-trips.
 # ---------------------------------------------------------------------------
+
+
+@staged(
+    "q_word_length_distribution",
+    oracle="""
+WITH w AS (
+  SELECT least(20, CAST(len(unnest(string_split(text, ' ')))
+                        AS BIGINT)) AS wl
+  FROM documents WHERE text IS NOT NULL),
+     tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_n FROM w)
+SELECT wl AS word_len, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE) / tot_n, 6) AS share
+FROM w, tot GROUP BY wl, tot_n ORDER BY wl
+""",
+    description="Corpus word-length distribution (capped at 20 "
+    "chars): explode feeding a partial aggregate, a 1-row total "
+    "broadcast, one exact division per bucket round(6).  The "
+    "length profile separates natural prose from code/URL-heavy "
+    "sources in quality triage.",
+)
+def q_word_length_distribution(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    w = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            F.least(F.lit(20), F.length("w").cast("long")).alias("wl")
+        )
+    )
+    # NB: the total is NOT named "N" — Spark resolves columns
+    # case-insensitively, so "N" would collide with the bucket "n"
+    tot = w.agg(F.count(F.lit(1)).cast("long").alias("tot_n"))
+    return (
+        w.groupBy(F.col("wl").alias("word_len"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word_len", "n",
+            F.round(F.col("n").cast("double") / F.col("tot_n"), 6)
+            .alias("share"),
+        )
+        .orderBy("word_len")
+    )
 
 
 @staged(
@@ -395,87 +436,6 @@ def q_dialect_sample_offset(spark, sf_dir):
         F.col("users").cast("long").alias("users"),
         F.col("cents").cast("long").alias("cents"),
     )
-
-
-# ---------------------------------------------------------------------------
-# The reference's table migration end-to-end: a lake created WITHOUT
-# the source column, the reference's ALTER TABLE ADD COLUMN statement
-# applied verbatim (apply_alter_ddl — metadata-only evolution), new
-# rows written with real source values, and the read-back audit
-# grouping by the evolved column.  Mirrors check_and_migrate_table
-# (entrypoint.sh:130-161): probe → ALTER ... DEFAULT 'unknown' →
-# subsequent ingests carry the real source.
-# ---------------------------------------------------------------------------
-
-
-@staged(
-    "q_ddl_alter_migration",
-    oracle="""
-SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'mend_batch'
-            ELSE 'unknown' END AS source,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         AS cents
-FROM orders GROUP BY 1 ORDER BY source
-""",
-    description="The reference's ALTER-migration path end-to-end "
-    "(entrypoint.sh:130-161): a VersionedLake created from the "
-    "pre-migration order slice (no source column), the reference's "
-    "exact `ALTER TABLE ... ADD COLUMN source LowCardinality(String) "
-    "DEFAULT 'unknown'` applied verbatim via apply_alter_ddl "
-    "(metadata-only schema evolution — zero files rewritten), then a "
-    "post-migration ingest carrying source='mend_batch'.  The "
-    "read-back audit groups by the evolved column: pre-migration "
-    "rows surface the DDL default, new rows their real value — "
-    "byte-identical to recomputing the split from the base table.",
-)
-def q_ddl_alter_migration(spark, sf_dir):
-    import uuid as _uuid
-
-    from clickbom_spark.dialect import apply_alter_ddl
-    from clickbom_spark.ext.manifest import VersionedLake
-    from clickbom_spark.queries.staged import _TMP
-
-    (orders,) = load(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    tag = _uuid.uuid4().hex[:8]
-    path = os.path.join(_TMP, f"alter_mig_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
-    try:
-        lake = VersionedLake.create(
-            spark, path, base.where(F.col("o_orderkey") % 3 != 0),
-            n_files=2,
-        )
-        # the reference's migration statement, verbatim
-        apply_alter_ddl(
-            lake,
-            "ALTER TABLE db.sbom_components ADD COLUMN source "
-            "LowCardinality(String) DEFAULT 'unknown'",
-        )
-        lake.upsert(
-            base.where(F.col("o_orderkey") % 3 == 0).withColumn(
-                "source", F.lit("mend_batch")
-            ),
-            ["o_orderkey"],
-        )
-        out = (
-            lake.read()
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("cents").cast("long").alias("cents"),
-            )
-            .orderBy("source")
-        )
-        rows = out.collect()  # materialize before cleanup
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "source string, n bigint, cents bigint"
-    ).orderBy("source")
 
 
 # ---------------------------------------------------------------------------
