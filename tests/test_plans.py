@@ -1302,6 +1302,37 @@ def test_log2_histogram_single_scan_no_libm_udf(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
+def test_quantile_gk_is_single_scan_aggregate(spark):
+    """quantileGK compiles to percentile_approx — one hash-aggregate
+    pass over ONE fact scan, no joins, no window, no Python."""
+    plan = _staged_r14_plan(spark, "q_dialect_quantile_gk")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_snowflake_ids_is_single_scan_aggregate(spark):
+    """The snowflake-ID round-trip is map-local bit arithmetic under
+    a plain min/max hash aggregate — one scan, no joins, no Python."""
+    plan = _staged_r14_plan(spark, "q_dialect_snowflake_ids")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_neg_substrings_is_single_scan_aggregate(spark):
+    """Negative-length left/right + stringCompare fold map-locally
+    into one grouped aggregate over the documents scan."""
+    plan = _staged_r14_plan(spark, "q_dialect_neg_substrings")
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 # ---------------------------------------------------------------------------
 # Round-16 staged wave: scale-shape guards.
 # ---------------------------------------------------------------------------
