@@ -5679,6 +5679,105 @@ _PLAIN.update({
     ),
     # nothing(x) is ClickHouse's Nothing-typed NULL
     "nothing": lambda a: "NULL",
+    # --- seventh probe sweep: operator spellings / misc tail ---
+    # same-name Spark built-ins, registered as deliberate passthrough
+    "abs": lambda a: f"abs({a[0]})",
+    "timestamp": lambda a: f"timestamp({a[0]})" if len(a) == 1 else (
+        _scalar_fail("timestamp(expr, time): the two-argument "
+                     "add-time form is unsupported — use ts + "
+                     "INTERVAL arithmetic")
+    ),
+    **{
+        f"change{part.lower()}": (
+            lambda a, _p=part: _scalar_fail(
+                f"change{_p} is type-dependent (Date stays Date, "
+                "DateTime stays DateTime) — rebuild explicitly with "
+                "make_date/make_timestamp from extracted parts"
+            )
+        )
+        for part in ("Year", "Month", "Day", "Hour", "Minute",
+                     "Second")
+    },
+    "demangle": lambda a: _scalar_fail(
+        "demangle is symbol introspection — no Spark analogue"
+    ),
+    "addresstoline": lambda a: _scalar_fail(
+        "addressToLine is symbol introspection — no Spark analogue"
+    ),
+    "addresstolinewithinlines": lambda a: _scalar_fail(
+        "addressToLineWithInlines is symbol introspection — no "
+        "Spark analogue"
+    ),
+    "addresstosymbol": lambda a: _scalar_fail(
+        "addressToSymbol is symbol introspection — no Spark analogue"
+    ),
+    "logtrace": lambda a: _scalar_fail(
+        "logTrace writes to the server log — use the driver's "
+        "logging, not a query expression"
+    ),
+    "modelevaluate": lambda a: _scalar_fail(
+        "modelEvaluate applies a server-loaded model — use the "
+        "engine's trained-classifier scoring (ext.learn)"
+    ),
+    "currentqueryid": lambda a: _scalar_fail(
+        "currentQueryID is query introspection — no stable Spark "
+        "analogue (spark.sparkContext sets job groups instead)"
+    ),
+    "flattentuple": lambda a: _scalar_fail(
+        "flattenTuple is schema-dependent — project the nested "
+        "struct fields explicitly"
+    ),
+    "arrayenumerateuniqranked": lambda a: _scalar_fail(
+        "arrayEnumerateUniqRanked's ranked enumeration has no Spark "
+        "expression — use arrayEnumerateUniq per level"
+    ),
+    "arrayfill": lambda a: _scalar_fail(
+        "arrayFill's carry-forward over array elements is O(n^2) as "
+        "an expression — explode and use last() IGNORE NULLS over a "
+        "window (cf. the INTERPOLATE carry)"
+    ),
+    "arrayreversefill": lambda a: _scalar_fail(
+        "arrayReverseFill's carry-backward over array elements is "
+        "O(n^2) as an expression — explode and use first() IGNORE "
+        "NULLS over a descending window"
+    ),
+    "minsamplesizecontinuous": lambda a: _scalar_fail(
+        "minSampleSizeContinuous is a closed-form power calculation "
+        "— compute it driver-side (it does not scan data)"
+    ),
+    # theta-state set algebra over the portable code-set states:
+    # union IS the exact merge law (set union); intersection and
+    # difference are not expressible on HLL-style states without
+    # bias, so they fail fast toward exact sets
+    "uniqthetaunion": lambda a: (
+        f"array_sort(array_union({a[0]}, {a[1]}))"
+    ),
+    "uniqthetaintersect": lambda a: _scalar_fail(
+        "uniqThetaIntersect: the portable code-set state supports "
+        "union only (exact merge law) — intersection estimates need "
+        "inclusion-exclusion over union cardinalities, or "
+        "uniqExactState sets"
+    ),
+    "uniqthetanot": lambda a: _scalar_fail(
+        "uniqThetaNot: the portable code-set state supports union "
+        "only — set difference needs uniqExactState sets"
+    ),
+    "dictgetall": lambda a: _scalar_fail(
+        "dictGetAll returns ALL matching attribute values — join "
+        "the dictionary source explicitly and collect_list"
+    ),
+    "toipv6ornull": lambda a: _scalar_fail(
+        "toIPv6OrNull: 16-byte IPv6 binary addresses are not in the "
+        "supported surface — keep addresses as strings"
+    ),
+    "ipv4toipv6": lambda a: _scalar_fail(
+        "IPv4ToIPv6 produces the 16-byte binary form — keep "
+        "addresses as strings or map the ::ffff: prefix explicitly"
+    ),
+    "ipv6stringtonumornull": lambda a: _scalar_fail(
+        "IPv6StringToNumOrNull: 16-byte IPv6 binary addresses are "
+        "not in the supported surface — keep addresses as strings"
+    ),
 })
 
 
@@ -5730,7 +5829,9 @@ def _accurate_cast_or_null(a: list[str]) -> str:
 _FAMILY_PREFIX_GUARDS = (
     ("h3", "H3 hexagonal-grid indexing"),
     ("s2", "S2 cell indexing"),
-    ("polygons", "spherical/cartesian polygon geometry"),
+    # singular prefix covers polygonPerimeterSpherical etc. AND the
+    # polygons* binary-predicate family
+    ("polygon", "spherical/cartesian polygon geometry"),
     ("readwkt", "WKT geometry parsing"),
 )
 

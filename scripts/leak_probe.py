@@ -673,6 +673,63 @@ PROBES: dict[str, str] = {
     "quantilePrometheusHistogram":
         "SELECT quantilePrometheusHistogram(0.9)(le, v) FROM t",
     "evalMLMethod_dup": "SELECT evalMLMethod(st, a, b) FROM t",
+    # --- seventh sweep: operator-function spellings / misc tail ---
+    "plus": "SELECT plus(x, y) FROM t",
+    "minus": "SELECT minus(x, y) FROM t",
+    "multiply": "SELECT multiply(x, y) FROM t",
+    "divide": "SELECT divide(x, y) FROM t",
+    "negate": "SELECT negate(x) FROM t",
+    "modulo": "SELECT modulo(x, y) FROM t",
+    "equals": "SELECT equals(x, y) FROM t",
+    "notEquals": "SELECT notEquals(x, y) FROM t",
+    "less": "SELECT less(x, y) FROM t",
+    "greaterOrEquals": "SELECT greaterOrEquals(x, y) FROM t",
+    "and": "SELECT and(a, b) FROM t",
+    "or": "SELECT or(a, b) FROM t",
+    "not": "SELECT not(a) FROM t",
+    "xor": "SELECT xor(a, b) FROM t",
+    "abs": "SELECT abs(x) FROM t",
+    "timestamp": "SELECT timestamp('2024-01-02') FROM t",
+    "tumbleStart": "SELECT tumbleStart(ts, INTERVAL 5 minute) FROM t",
+    "hopStart":
+        "SELECT hopStart(ts, INTERVAL 1 minute, INTERVAL 5 minute) FROM t",
+    "ULIDStringToDateTime": "SELECT ULIDStringToDateTime(s) FROM t",
+    "file": "SELECT file('x.txt') FROM t",
+    "demangle": "SELECT demangle(s) FROM t",
+    "addressToLine": "SELECT addressToLine(x) FROM t",
+    "tid": "SELECT tid() FROM t",
+    "logTrace": "SELECT logTrace('msg') FROM t",
+    "catboostEvaluate": "SELECT catboostEvaluate('/m.bin', a, b) FROM t",
+    "modelEvaluate": "SELECT modelEvaluate('m', a) FROM t",
+    "currentQueryID": "SELECT currentQueryID() FROM t",
+    "changeYear": "SELECT changeYear(d, 2024) FROM t",
+    "changeHour": "SELECT changeHour(ts, 2) FROM t",
+    "toUnixTimestamp": "SELECT toUnixTimestamp(ts) FROM t",
+    "fromUnixTimestamp": "SELECT fromUnixTimestamp(x) FROM t",
+    "toStartOfWeek": "SELECT toStartOfWeek(d) FROM t",
+    "toLastDayOfWeek": "SELECT toLastDayOfWeek(d) FROM t",
+    "isDecimalOverflow": "SELECT isDecimalOverflow(x) FROM t",
+    "countDigits": "SELECT countDigits(x) FROM t",
+    "toDecimalString": "SELECT toDecimalString(x, 2) FROM t",
+    "flattenTuple": "SELECT flattenTuple(tp) FROM t",
+    "tupleConcat": "SELECT tupleConcat(t1, t2) FROM t",
+    "arrayEnumerateUniqRanked": "SELECT arrayEnumerateUniqRanked(a) FROM t",
+    "arrayFill": "SELECT arrayFill(x -> x > 0, a) FROM t",
+    "arrayReverseFill": "SELECT arrayReverseFill(x -> x > 0, a) FROM t",
+    "polygonPerimeterSpherical":
+        "SELECT polygonPerimeterSpherical(p) FROM t",
+    "svg": "SELECT svg(p) FROM t",
+    "minSampleSizeContinuous":
+        "SELECT minSampleSizeContinuous(10, 5, 0.1, 0.8, 0.05) FROM t",
+    "uniqThetaIntersect": "SELECT uniqThetaIntersect(s1, s2) FROM t",
+    "uniqThetaUnion": "SELECT uniqThetaUnion(s1, s2) FROM t",
+    "uniqThetaNot": "SELECT uniqThetaNot(s1, s2) FROM t",
+    "dictGetAll": "SELECT dictGetAll('d', 'attr', k) FROM t",
+    "dictGetOrNull": "SELECT dictGetOrNull('d', 'attr', k) FROM t",
+    "toIPv6OrNull": "SELECT toIPv6OrNull(s) FROM t",
+    "IPv4ToIPv6": "SELECT IPv4ToIPv6(x) FROM t",
+    "IPv6StringToNumOrNull": "SELECT IPv6StringToNumOrNull(s) FROM t",
+    "isIPAddressInRange": "SELECT isIPAddressInRange(s, '10.0.0.0/8') FROM t",
 }
 
 _NAME_RE = re.compile(r"(?i)SELECT\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(")
