@@ -5778,6 +5778,76 @@ _PLAIN.update({
         "IPv6StringToNumOrNull: 16-byte IPv6 binary addresses are "
         "not in the supported surface — keep addresses as strings"
     ),
+    # --- eighth probe sweep ---
+    "kafkamurmurhash": lambda a: f"xxhash64({', '.join(a)})",
+    "sqidencode": lambda a: _scalar_fail(
+        "sqidEncode: the sqids codec is not in the supported "
+        "surface — use base58Encode pointers or keep raw integers"
+    ),
+    "sqiddecode": lambda a: _scalar_fail(
+        "sqidDecode: the sqids codec is not in the supported surface"
+    ),
+    "tryidnaencode": lambda a: _scalar_fail(
+        "tryIdnaEncode: IDNA codecs are not in the supported "
+        "surface — keep ASCII hostnames"
+    ),
+    "stringtoh3": lambda a: _scalar_fail(
+        "stringToH3: H3 hexagonal-grid indexing is not in the "
+        "supported surface"
+    ),
+    "firstsignificantsubdomaincustom": lambda a: _scalar_fail(
+        "firstSignificantSubdomainCustom needs a server-side TLD "
+        "list — join your own suffix table explicitly"
+    ),
+    "firstsignificantsubdomaincustomrfc": lambda a: _scalar_fail(
+        "firstSignificantSubdomainCustomRFC needs a server-side TLD "
+        "list — join your own suffix table explicitly"
+    ),
+    "cuttofirstsignificantsubdomaincustom": lambda a: _scalar_fail(
+        "cutToFirstSignificantSubdomainCustom needs a server-side "
+        "TLD list — join your own suffix table explicitly"
+    ),
+    "topleveldomainrfc": lambda a: (
+        f"regexp_extract(parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.([^.]+)$', 1)"
+    ),
+    "todatetime32": lambda a: f"to_timestamp({a[0]})",
+    "defaultvalueoftypename": lambda a: _scalar_fail(
+        "defaultValueOfTypeName: type defaults are dialect-internal "
+        "— write the literal (0 / '' / epoch) explicitly"
+    ),
+    "hasthreadfuzzer": lambda a: _scalar_fail(
+        "hasThreadFuzzer is server introspection — no Spark analogue"
+    ),
+    "variantelement": lambda a: _scalar_fail(
+        "variantElement inspects the Variant column type — model "
+        "variants as explicit typed columns or a struct"
+    ),
+    "initialuser": lambda a: _scalar_fail(
+        "initialUser is session introspection — no Spark analogue"
+    ),
+    "gettypeserializationstreams": lambda a: _scalar_fail(
+        "getTypeSerializationStreams is storage introspection — no "
+        "Spark analogue"
+    ),
+    # sub-second intervals: Spark interval literals support both
+    "tointervalmillisecond": lambda a: (
+        f"((INTERVAL 1 MILLISECOND) * ({a[0]}))"
+    ),
+    "tointervalmicrosecond": lambda a: (
+        f"((INTERVAL 1 MICROSECOND) * ({a[0]}))"
+    ),
+    "tointervalnanosecond": lambda a: _scalar_fail(
+        "toIntervalNanosecond: Spark timestamps are microsecond-"
+        "precision — use toIntervalMicrosecond"
+    ),
+    # the session TZ is pinned UTC repo-wide, but compiling a
+    # constant 0 would silently change under a different session —
+    # fail fast toward the explicit literal instead
+    "timezoneoffset": lambda a: _scalar_fail(
+        "timeZoneOffset: the engine pins the session to UTC (offset "
+        "0) — write the literal offset explicitly if you need one"
+    ),
 })
 
 
@@ -5833,6 +5903,7 @@ _FAMILY_PREFIX_GUARDS = (
     # polygons* binary-predicate family
     ("polygon", "spherical/cartesian polygon geometry"),
     ("readwkt", "WKT geometry parsing"),
+    ("numericindexedvector", "the numericIndexedVector sketch family"),
 )
 
 

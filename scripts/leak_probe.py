@@ -730,6 +730,58 @@ PROBES: dict[str, str] = {
     "IPv4ToIPv6": "SELECT IPv4ToIPv6(x) FROM t",
     "IPv6StringToNumOrNull": "SELECT IPv6StringToNumOrNull(s) FROM t",
     "isIPAddressInRange": "SELECT isIPAddressInRange(s, '10.0.0.0/8') FROM t",
+    # --- eighth sweep: codecs / URL custom / intervals / variant ---
+    "byteSwap": "SELECT byteSwap(x) FROM t",
+    "kafkaMurmurHash": "SELECT kafkaMurmurHash(s) FROM t",
+    "sqidEncode": "SELECT sqidEncode(1, 2) FROM t",
+    "sqidDecode": "SELECT sqidDecode(s) FROM t",
+    "tryIdnaEncode": "SELECT tryIdnaEncode(s) FROM t",
+    "stringToH3": "SELECT stringToH3(s) FROM t",
+    "ULIDStringToDateTime2": "SELECT ULIDStringToDateTime(s) FROM t",
+    "firstSignificantSubdomainCustom":
+        "SELECT firstSignificantSubdomainCustom(u, 'list') FROM t",
+    "cutToFirstSignificantSubdomain":
+        "SELECT cutToFirstSignificantSubdomain(u) FROM t",
+    "URLHierarchy": "SELECT URLHierarchy(u) FROM t",
+    "URLPathHierarchy": "SELECT URLPathHierarchy(u) FROM t",
+    "decodeURLFormComponent": "SELECT decodeURLFormComponent(u) FROM t",
+    "cutURLParameter": "SELECT cutURLParameter(u, 'k') FROM t",
+    "pathFull": "SELECT pathFull(u) FROM t",
+    "protocol": "SELECT protocol(u) FROM t",
+    "topLevelDomainRFC": "SELECT topLevelDomainRFC(u) FROM t",
+    "numericIndexedVectorBuild":
+        "SELECT numericIndexedVectorBuild(m) FROM t",
+    "toString_tz": "SELECT toString(ts, 'UTC') FROM t",
+    "toDate32": "SELECT toDate32(s) FROM t",
+    "toDateTime32": "SELECT toDateTime32(s) FROM t",
+    "toYYYYMMDDhhmmss": "SELECT toYYYYMMDDhhmmss(ts) FROM t",
+    "YYYYMMDDToDate": "SELECT YYYYMMDDToDate(x) FROM t",
+    "dateAdd": "SELECT dateAdd(day, 3, d) FROM t",
+    "addDate": "SELECT addDate(d, INTERVAL 3 day) FROM t",
+    "toRelativeQuarterNum": "SELECT toRelativeQuarterNum(ts) FROM t",
+    "emptyArrayToSingle": "SELECT emptyArrayToSingle(a) FROM t",
+    "arrayDistinct": "SELECT arrayDistinct(a) FROM t",
+    "defaultValueOfTypeName":
+        "SELECT defaultValueOfTypeName('Int64') FROM t",
+    "hasThreadFuzzer": "SELECT hasThreadFuzzer() FROM t",
+    "filesystemAvailable": "SELECT filesystemAvailable() FROM t",
+    "fullHostName": "SELECT fullHostName() FROM t",
+    "toUUIDOrZero": "SELECT toUUIDOrZero(s) FROM t",
+    "readWKTLineString": "SELECT readWKTLineString(s) FROM t",
+    "variantElement": "SELECT variantElement(v, 'String') FROM t",
+    "currentProfiles": "SELECT currentProfiles() FROM t",
+    "initialUser": "SELECT initialUser() FROM t",
+    "basename": "SELECT basename(s) FROM t",
+    "getTypeSerializationStreams":
+        "SELECT getTypeSerializationStreams(x) FROM t",
+    "toIntervalMicrosecond": "SELECT toIntervalMicrosecond(5) FROM t",
+    "toIntervalMillisecond": "SELECT toIntervalMillisecond(5) FROM t",
+    "parseTimeDelta": "SELECT parseTimeDelta('1h30m') FROM t",
+    "fromUTCTimestamp": "SELECT fromUTCTimestamp(ts, 'UTC') FROM t",
+    "timeZoneOffset": "SELECT timeZoneOffset(ts) FROM t",
+    "generateRandomStructure": "SELECT generateRandomStructure(3) FROM t",
+    "structureToCapnProtoSchema":
+        "SELECT structureToCapnProtoSchema('x Int64') FROM t",
 }
 
 _NAME_RE = re.compile(r"(?i)SELECT\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(")
