@@ -8853,7 +8853,122 @@ def _rewrite_clauses(s: str, final_keys) -> str:
     s = _rewrite_limit_by(s)
     s = _rewrite_with_ties(s)
     s = _rewrite_limit_comma(s)
+    s = _rewrite_qualify(s)
+    s = _rewrite_fetch(s)
     return s
+
+
+def _rewrite_qualify(s: str) -> str:
+    """ClickHouse ``QUALIFY pred`` (post-window filtering) — Spark
+    has no QUALIFY clause, so the query head wraps as a subquery and
+    the predicate becomes an outer WHERE, where the SELECT-list
+    aliases (the common idiom: ``row_number() OVER (...) AS rn ...
+    QUALIFY rn = 1``) are in scope.  A predicate with an INLINE
+    window expression fails fast toward the alias form — a window
+    function is not legal in the outer WHERE."""
+    toks = _scan_top(s)
+    qi = None
+    seen_from = False
+    for i, t in enumerate(toks):
+        if t[0] == "ident" and t[1].upper() == "FROM":
+            seen_from = True
+        # a clause-position QUALIFY follows the FROM section; a column
+        # merely NAMED qualify (SELECT qualify FROM t) precedes it
+        elif t[0] == "ident" and t[1].upper() == "QUALIFY" and seen_from:
+            qi = i
+            break
+    if qi is None:
+        return s
+    stop = {"ORDER", "LIMIT", "OFFSET", "SETTINGS", "FORMAT",
+            "UNION", "EXCEPT", "INTERSECT", "INTO", "FETCH",
+            "WINDOW"}
+    end = len(s)
+    for t in toks[qi + 1:]:
+        if t[0] == "ident" and t[1].upper() in stop:
+            end = t[2]
+            break
+    pred = s[toks[qi][3]: end].strip()
+    if not pred:
+        raise UnsupportedClickHouseSQL("QUALIFY needs a predicate")
+    if re.search(r"(?i)\bover\s*\(", pred):
+        raise UnsupportedClickHouseSQL(
+            "QUALIFY with an inline window expression: project the "
+            "window with an alias in the SELECT list and QUALIFY on "
+            "the alias (the compile filters the alias in an outer "
+            "WHERE, where a bare window function is not legal)"
+        )
+    head = s[: toks[qi][2]].strip()
+    tail = s[end:]
+    sep = " " if tail and not tail.startswith(" ") else ""
+    return (
+        f"SELECT * FROM ({head}) AS __qualify_q WHERE {pred}{sep}"
+        + tail
+    )
+
+
+def _rewrite_fetch(s: str) -> str:
+    """Standard-SQL row-limit spellings ClickHouse accepts —
+    ``[OFFSET m ROW[S]] FETCH FIRST|NEXT n ROW[S] ONLY`` → ``LIMIT n
+    [OFFSET m]``, and the bare ``OFFSET m ROW[S]`` → ``OFFSET m``
+    (Spark supports OFFSET but not the ROWS/FETCH grammar).  The
+    WITH TIES variant is owned by the earlier WITH TIES pass."""
+    def up(toks, j):
+        if 0 <= j < len(toks) and toks[j][0] == "ident":
+            return toks[j][1].upper()
+        return None
+
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for i, t in enumerate(toks):
+            if t[0] == "ident" and t[1].upper() == "FETCH":
+                hit = i
+                break
+        if hit is None:
+            break
+        if not (
+            up(toks, hit + 1) in ("FIRST", "NEXT")
+            and hit + 4 < len(toks)
+            and toks[hit + 2][0] == "num"
+            and up(toks, hit + 3) in ("ROW", "ROWS")
+            and up(toks, hit + 4) == "ONLY"
+        ):
+            raise UnsupportedClickHouseSQL(
+                "FETCH: only FIRST|NEXT n ROW[S] ONLY compiles — "
+                "write LIMIT n [OFFSET m] for other forms"
+            )
+        n = toks[hit + 2][1]
+        start, end = toks[hit][2], toks[hit + 4][3]
+        repl = f"LIMIT {n}"
+        if (
+            hit >= 3
+            and up(toks, hit - 3) == "OFFSET"
+            and toks[hit - 2][0] == "num"
+            and up(toks, hit - 1) in ("ROW", "ROWS")
+        ):
+            repl = f"LIMIT {n} OFFSET {toks[hit - 2][1]}"
+            start = toks[hit - 3][2]
+        s = s[:start] + repl + s[end:]
+    while True:
+        toks = _scan_top(s)
+        hit = None
+        for i, t in enumerate(toks):
+            if (
+                t[0] == "ident"
+                and t[1].upper() == "OFFSET"
+                and i + 2 < len(toks)
+                and toks[i + 1][0] == "num"
+                and up(toks, i + 2) in ("ROW", "ROWS")
+            ):
+                hit = i
+                break
+        if hit is None:
+            return s
+        s = (
+            s[: toks[hit][2]]
+            + f"OFFSET {toks[hit + 1][1]}"
+            + s[toks[hit + 2][3]:]
+        )
 
 
 def translate_clickhouse_sql(sql: str, final_keys=None) -> str:

@@ -1588,3 +1588,52 @@ def q_dialect_neg_substrings(spark, sf_dir):
         F.col("head_lt_tail").cast("long").alias("head_lt_tail"),
         F.col("head_eq_tail").cast("long").alias("head_eq_tail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 clause compile round-trip: QUALIFY — ClickHouse's
+# post-window filter (the top-N-per-group idiom).  Spark has no
+# QUALIFY clause; the shim wraps the query head as a subquery and
+# filters the window alias in an outer WHERE.  DuckDB supports
+# QUALIFY natively, so the oracle runs the same clause.
+# ---------------------------------------------------------------------------
+
+_CH_QUALIFY_TOPN = """
+SELECT event_type, user_id, count() AS n,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY count() DESC, user_id) AS rn
+FROM events GROUP BY event_type, user_id
+QUALIFY rn <= 3
+ORDER BY event_type, rn
+"""
+
+
+@staged(
+    "q_dialect_qualify_topn",
+    oracle="""
+SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(row_number() OVER (PARTITION BY event_type
+            ORDER BY count(*) DESC, user_id) AS BIGINT) AS rn
+FROM events GROUP BY event_type, user_id
+QUALIFY rn <= 3
+ORDER BY event_type, rn
+""",
+    description="ClickHouse QUALIFY run verbatim through the shim "
+    "(round-13 clause compile): top-3 users per event type via the "
+    "row_number alias idiom — the shim wraps the aggregate+window "
+    "head as a subquery and filters the alias in an outer WHERE "
+    "(dialect._rewrite_qualify); DuckDB's native QUALIFY is the "
+    "oracle.  Deterministic tie-break (count DESC, user_id) keeps "
+    "the hash exact.",
+)
+def q_dialect_qualify_topn(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_QUALIFY_TOPN, sf_dir)
+    return out.select(
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n").cast("long").alias("n"),
+        F.col("rn").cast("long").alias("rn"),
+    )

@@ -3687,6 +3687,44 @@ def test_r13_approximate_spellings():
         translate_clickhouse_sql("SELECT quantilesGK(100)(x) FROM t")
 
 
+def test_qualify_and_fetch_clauses(spark):
+    """Round-13 clause compiles: QUALIFY (post-window filter) wraps
+    the query head and filters the alias in an outer WHERE; the
+    standard-SQL OFFSET m ROWS / FETCH FIRST n ROWS ONLY spellings
+    become LIMIT n OFFSET m.  A column merely NAMED qualify is
+    untouched; an inline-window QUALIFY fails fast."""
+    out = translate_clickhouse_sql(
+        "SELECT g, row_number() OVER (ORDER BY g) AS rn FROM t "
+        "QUALIFY rn = 1 ORDER BY g")
+    assert "__qualify_q WHERE rn = 1 ORDER BY g" in out
+    assert translate_clickhouse_sql(
+        "SELECT x FROM t ORDER BY x OFFSET 5 ROWS "
+        "FETCH FIRST 10 ROWS ONLY"
+    ).endswith("LIMIT 10 OFFSET 5")
+    assert translate_clickhouse_sql(
+        "SELECT x FROM t ORDER BY x FETCH NEXT 7 ROW ONLY"
+    ).endswith("LIMIT 7")
+    assert translate_clickhouse_sql(
+        "SELECT x FROM t ORDER BY x OFFSET 4 ROWS"
+    ).endswith("OFFSET 4")
+    assert translate_clickhouse_sql(
+        "SELECT qualify FROM t").strip() == "SELECT qualify FROM t"
+    with pytest.raises(UnsupportedClickHouseSQL, match="alias"):
+        translate_clickhouse_sql(
+            "SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) "
+            "= 1")
+    # end-to-end: top-1 per group via the alias idiom
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qual_t AS SELECT * FROM VALUES "
+        "(1, 'a'), (2, 'a'), (3, 'b') AS qual_t(x, g)"
+    )
+    rows = spark.sql(translate_clickhouse_sql(
+        "SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x "
+        "DESC) AS rn FROM qual_t QUALIFY rn = 1 ORDER BY g"
+    )).collect()
+    assert [(r.g, r.x) for r in rows] == [("a", 2), ("b", 3)]
+
+
 def test_r13_probe_sweep_values(spark):
     """Value pins for the round-13 probe-sweep compiles (sweeps 3-4):
     NULL propagation in max2/min2, the hasTokenOrNull NULL contract,

@@ -53,8 +53,10 @@ def test_staged_r14_every_query_has_oracle():
 
 
 def test_staged_r14_wave_size():
-    # 23 built during round 11 + the three round-13 additions
-    # (oracle round-trips for the r13 approximate-spelling compiles:
-    # quantileGK, the snowflake ID family, negative-length
-    # left/right + stringCompare) — VERDICT r12 next-round #8b
-    assert len(STAGED_R14) == 26
+    # 23 built during round 11 + the four round-13 additions (oracle
+    # round-trips for the r13 approximate-spelling compiles:
+    # quantileGK, the snowflake ID family, negative-length left/right
+    # + stringCompare, and the QUALIFY clause compile — VERDICT r12
+    # next-round #8b) + the ALTER-migration pull-forward (#8c, net
+    # zero with the q_word_length_distribution demotion)
+    assert len(STAGED_R14) == 27
