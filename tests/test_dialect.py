@@ -3725,6 +3725,95 @@ def test_qualify_and_fetch_clauses(spark):
     assert [(r.g, r.x) for r in rows] == [("a", 2), ("b", 3)]
 
 
+def test_advice_r13_fixes(spark):
+    """ADVICE r13 pins: (1) an alias merely NAMED qualify — `AS
+    qualify` or bare-alias position — is not rewritten as a QUALIFY
+    clause; (2) hasTokenOrNull returns NULL for a needle containing
+    '_' (a separator in the compiled boundary class); (3) left()/
+    leftUTF8() with a NULL length return NULL, not ''."""
+    assert translate_clickhouse_sql(
+        "SELECT x FROM t AS qualify WHERE x > 1"
+    ).strip() == "SELECT x FROM t AS qualify WHERE x > 1"
+    assert translate_clickhouse_sql(
+        "SELECT x FROM t qualify WHERE x > 1"
+    ).strip() == "SELECT x FROM t qualify WHERE x > 1"
+    row = spark.sql(translate_clickhouse_sql(
+        "SELECT hasTokenOrNull('a_b c', 'a_b') AS hu, "
+        "hasTokenOrNull('a_b c', 'c') AS hc, "
+        "left('abc', NULL) AS ln, leftUTF8('abc', NULL) AS lnu, "
+        "right('abc', NULL) AS rn, left('abc', -1) AS lneg, "
+        "leftUTF8('abc', -1) AS lnegu, left('abc', 2) AS lpos"
+    )).collect()[0]
+    assert row.hu is None and row.hc is True
+    assert row.ln is None and row.lnu is None and row.rn is None
+    assert row.lneg == "ab" and row.lnegu == "ab" and row.lpos == "ab"
+
+
+def test_r14_variant_closure_values(spark):
+    """Value pins for the round-14 suffix-variant closure: the
+    non-parametric quantile family (= median), exact low/high middle
+    selection, toUUIDOrDefault, the registered same-name
+    passthroughs, and the CaseInsensitiveUTF8 multiSearch aliases."""
+    row = spark.sql(translate_clickhouse_sql(
+        "SELECT quantileExactLow(x) AS lo, quantileExactHigh(x) AS "
+        "hi, quantileExact(x) AS m, quantileExactExclusive(x) AS ee "
+        "FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3 "
+        "UNION ALL SELECT 4)"
+    )).collect()[0]
+    assert (row.lo, row.hi, row.m, row.ee) == (2, 3, 2.5, 2.5)
+    row = spark.sql(translate_clickhouse_sql(
+        "SELECT toUUIDOrDefault('nope', "
+        "'f47ac10b-58cc-4372-a567-0e02b2c3d479') AS a, "
+        "toUUIDOrDefault('nope') AS z, "
+        "printf('%d-%s', 7, 'x') AS p, overlay('abcdef', 'ZZ', 2) "
+        "AS o, overlayUTF8('abcdef', 'ZZ', 2) AS ou, "
+        "substring('abcdef', -3, 2) AS sub, "
+        "stringJaccardIndexUTF8('abc', 'bcd') AS j, "
+        "multiSearchFirstPositionCaseInsensitiveUTF8('xaB', "
+        "['Q','ab']) AS mp"
+    )).collect()[0]
+    assert row.a == "f47ac10b-58cc-4372-a567-0e02b2c3d479"
+    assert row.z == "00000000-0000-0000-0000-000000000000"
+    assert row.p == "7-x" and row.o == "aZZdef" and row.ou == "aZZdef"
+    assert row.sub == "de" and row.j == 0.5 and row.mp == 2
+    # variant fail-fasts carry their OWN spelling in the message
+    with pytest.raises(UnsupportedClickHouseSQL,
+                       match="ngramSimHashCaseInsensitive"):
+        translate_clickhouse_sql(
+            "SELECT ngramSimHashCaseInsensitive(s) FROM t")
+    with pytest.raises(UnsupportedClickHouseSQL,
+                       match="byteHammingDistance"):
+        translate_clickhouse_sql(
+            "SELECT byteHammingDistance(s, s2) FROM t")
+    with pytest.raises(UnsupportedClickHouseSQL, match="UUIDToNum"):
+        translate_clickhouse_sql("SELECT UUIDToNum(u) FROM t")
+    with pytest.raises(UnsupportedClickHouseSQL,
+                       match="quantileTDigestWeighted"):
+        translate_clickhouse_sql(
+            "SELECT quantileTDigestWeighted(x, w) FROM t")
+
+
+def test_dialect_md_battery_count_matches():
+    """docs/DIALECT.md cites the probe-battery size; the number is
+    asserted against ``len(leak_probe.PROBES)`` so the docs can't
+    drift from the battery again (VERDICT r13 "What's wrong" #3)."""
+    import re as _re
+    import sys as _sys
+    from pathlib import Path as _Path
+    _sys.path.insert(0, str(
+        _Path(__file__).resolve().parent.parent / "scripts"))
+    import leak_probe as _lp
+    doc = (_Path(__file__).resolve().parent.parent
+           / "docs" / "DIALECT.md").read_text()
+    cited = {int(m) for m in _re.findall(
+        r"(\d+)[ -](?:probe|spelling)", doc)}
+    stale = {n for n in cited if 400 < n != len(_lp.PROBES)}
+    assert not stale, (
+        f"docs/DIALECT.md cites battery size(s) {sorted(stale)} but "
+        f"the battery is {len(_lp.PROBES)} probes"
+    )
+
+
 def test_r13_probe_sweep_values(spark):
     """Value pins for the round-13 probe-sweep compiles (sweeps 3-4):
     NULL propagation in max2/min2, the hasTokenOrNull NULL contract,

@@ -1102,6 +1102,48 @@ CORPUS: list[tuple[str, str, str]] = [
         FROM documents GROUP BY lang ORDER BY lang
         """,
     ),
+    (
+        # round-13 clause compile, end-to-end (VERDICT r13 #7):
+        # QUALIFY filters a window alias post-window; the compile
+        # wraps the head as a subquery and filters in an outer WHERE
+        "qualify_clause",
+        """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders
+        QUALIFY rn <= 2
+        ORDER BY o_custkey, o_orderkey
+        LIMIT 40
+        """,
+        """
+        SELECT o_custkey, o_orderkey, rn FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS rn
+            FROM orders
+        ) q WHERE rn <= 2
+        ORDER BY o_custkey, o_orderkey
+        LIMIT 40
+        """,
+    ),
+    (
+        # round-13 clause compile, end-to-end (VERDICT r13 #7): the
+        # standard-SQL row-limit spellings ClickHouse accepts
+        "fetch_offset_rows",
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        ORDER BY o_orderkey
+        OFFSET 10 ROWS FETCH NEXT 15 ROWS ONLY
+        """,
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 15 OFFSET 10
+        """,
+    ),
 ]
 
 # the dict_get family's dictionary: SQL-defined over the corpus views,
@@ -1155,6 +1197,7 @@ def test_corpus_breadth():
     for construct in (
         "FINAL", "SAMPLE", "ARRAY JOIN", "LIMIT 2 BY", "WITH TOTALS",
         "PREWHERE", "ASOF JOIN", "retention(", "ANY LEFT JOIN",
+        "QUALIFY", "FETCH NEXT",
     ):
         assert construct in joined, f"corpus lost {construct}"
     assert len(CORPUS) >= 20

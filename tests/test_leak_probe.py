@@ -47,3 +47,42 @@ def test_judges_six_are_closed():
             label, leak_probe.PROBES[label]
         )
         assert status in ("compiled", "fail-fast"), (label, detail)
+
+
+def test_judges_r13_findings_are_closed():
+    """The round-13 judge's 27-probe independent battery found 5
+    variant-suffix leak-throughs plus 2 same-name Spark built-ins
+    that weren't registered as deliberate ``_PLAIN`` passthroughs —
+    pinned here by name, like the round-12 six."""
+    for label in (
+        "byteHammingDistance",
+        "stringJaccardIndexUTF8",
+        "ngramSimHashCaseInsensitive",
+        "quantileExactExclusive",
+        "UUIDToNum",
+        "printf",
+        "overlay",
+    ):
+        probe = leak_probe.PROBES.get(
+            label, f"SELECT {label}('%d', x) FROM t"
+            if label == "printf" else f"SELECT {label}(s, 'ab', 2) FROM t"
+        )
+        status, detail = leak_probe.classify(label, probe)
+        assert status in ("compiled", "fail-fast"), (label, detail)
+    # the deliberate passthroughs are REGISTERED self-entries now
+    from clickbom_spark import dialect
+    for name in ("printf", "overlay", "substring"):
+        assert name in dialect._PLAIN
+
+
+def test_generated_variant_sweep_scales():
+    """The battery generates suffix-variant probes mechanically over
+    every handled base family (VERDICT r13 #2): >700 total probes,
+    with the generated spellings present."""
+    assert len(leak_probe.PROBES) > 700
+    for label in (
+        "wordShingleMinHashArgCaseInsensitiveUTF8",
+        "quantileExactLow", "medianTDigestWeighted",
+        "toUUIDOrDefault", "quantileDD_param",
+    ):
+        assert label in leak_probe.PROBES, label
