@@ -71,17 +71,16 @@ def _status_rank() -> dict[str, int]:
     return ranks
 
 
-# ROUND-13 NOTE: ALL EIGHT staged waves are ACTIVATED (r6 wave of 30
-# + r7 wave of 14 + r8..r13 waves of 23 each) plus the three r12
-# late-round clause round-trips; registry = 364.  The r13 wave
-# includes the two round-trips pulled FORWARD from staged_r16 per
-# VERDICT r12 #4 (q_dialect_uniq_state_mv, q_dialect_merge_null_zero;
-# q_topk_user_share / q_supplier_coverage took their r16 slots).
-# The 23 never-driver-checked r13 names rank first; the remaining
-# ~27 budget slots rotate through the STALEST greens — the 41-strong
-# r6 cohort drops to ~14 this round and clears in round 14.
+# ROUND-14 NOTE: ALL NINE staged waves are ACTIVATED (r6 wave of 30
+# + r7 wave of 14 + r8..r13 waves of 23 each + r14 wave of 27) plus
+# the three r12 late-round clause round-trips; registry = 391.  The
+# r14 wave carries the four round-13 additions (QUALIFY, quantileGK,
+# snowflake-ID, ALTER-migration round-trips — VERDICT r12 #8).  The
+# 27 never-driver-checked r14 names rank first; the remaining ~23
+# budget slots rotate through the STALEST greens — the 14 r6-stale
+# queries clear THIS round and rotation moves into the r7 cohort.
 #
-# staged_r14.py (round 14) .. staged_r20.py (round 20) hold the
+# staged_r15.py (round 15) .. staged_r20.py (round 20) hold the
 # remaining waves, one per round, ALL built and parity-proven
 # (tests/test_staged_r{N}_parity.py + `python
 # scripts/strict_parity.py --staged`).  Each activates with

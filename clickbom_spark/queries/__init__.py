@@ -223,3 +223,24 @@ REGISTRY.update(staged_r12.STAGED_R12)
 from clickbom_spark.queries import staged_r13  # noqa: E402,F401
 
 REGISTRY.update(staged_r13.STAGED_R13)
+
+# Round-14 activation of the ninth staged wave (27 queries — 23 built
+# during round 11 plus the four round-13 additions per VERDICT r12
+# #8: oracle round-trips for the QUALIFY clause compile
+# (q_dialect_qualify_topn), the quantileGK/approximate-spelling
+# policy (q_dialect_quantile_gk), the snowflake-ID bit layout
+# (q_dialect_snowflake_ids), and the reference's ALTER-migration
+# idiom (q_ddl_alter_migration, entrypoint.sh:130-161) — plus
+# negative-substring spellings, hierarchy-filtered dictGet, multi-col
+# INTERPOLATE, simple-aggregate state round-trip, lake time-travel
+# diff, and the relational/text/stats cohort (ABC classification,
+# Benford first-digit, brand entropy, char-class profiles, template
+# clusters, bigrams, lifecycle, heatmaps).  All 27 oracle-parity-
+# green at three scales under tests/test_staged_r14_parity.py and
+# re-verified via `scripts/strict_parity.py --staged <the 27 names>`
+# (27/27 ok, dtype-strict) immediately before this activation; the
+# parity file's disjointness guard checks the wave against the
+# post-activation registry identity.
+from clickbom_spark.queries import staged_r14  # noqa: E402,F401
+
+REGISTRY.update(staged_r14.STAGED_R14)

@@ -536,28 +536,116 @@ def q_revenue_per_active_day(spark, sf_dir):
     )
 
 
+# NOTE (round-14 swap, VERDICT r13 #8): q_part_name_tokens and
+# q_weekend_share moved to the staged_r20 wave 1-for-1 with the two
+# NEW dialect round-trips below for the round-14 suffix-variant
+# closure compiles (quantileExactLow/High + the registered same-name
+# passthrough family) — new compiles earn oracle round-trips in the
+# NEXT wave, keeping this wave at its pinned 23.
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: the round-14 non-parametric quantile closure.
+# quantileExactLow/High select the lower/upper middle element with
+# NO interpolation; quantileExact and quantileExactExclusive both
+# interpolate and COINCIDE at the (non-parametric) median level 0.5.
+# ---------------------------------------------------------------------------
+
+_CH_QUANTILE_LOW_HIGH = """
+SELECT l_returnflag,
+       count() AS n,
+       quantileExactLow(cents) AS q_low,
+       quantileExactHigh(cents) AS q_high,
+       quantileExact(cents) AS q_mid,
+       quantileExactExclusive(cents) AS q_exc
+FROM (SELECT l_returnflag,
+             toInt64(round(l_extendedprice * 100)) AS cents
+      FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 @staged(
-    "q_part_name_tokens",
+    "q_dialect_quantile_low_high",
     oracle="""
-WITH w AS (
-  SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
-SELECT w AS token, CAST(count(*) AS BIGINT) AS n
-FROM w GROUP BY w ORDER BY n DESC, token LIMIT 10
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS q_low,
+       CAST(-quantile_disc(-cents, 0.5) AS BIGINT) AS q_high,
+       quantile_cont(cents, 0.5) AS q_mid,
+       quantile_cont(cents, 0.5) AS q_exc
+FROM c GROUP BY l_returnflag ORDER BY l_returnflag
 """,
-    description="Top-10 tokens of the part-name vocabulary: "
-    "single-space tokenization, one hash aggregate, top-k with a "
-    "(count DESC, token) total tie-break — the catalog-vocabulary "
-    "profile product-search indexing starts from, and the "
-    "dimension-table twin of the documents-table word counts.",
+    description="ClickHouse's NON-parametric quantileExact family "
+    "run verbatim through the dialect shim (round-14 suffix-variant "
+    "closure): the bare spelling is the median; Low/High pick the "
+    "lower/upper middle element without interpolation (compiled as "
+    "a sorted-group selection, DuckDB replays via quantile_disc and "
+    "its negated twin), while quantileExact and quantileExact"
+    "Exclusive both interpolate and coincide at level 0.5 — exact "
+    "on integer cents (midpoints are .5-representable).",
 )
-def q_part_name_tokens(spark, sf_dir):
-    (part,) = load(spark, sf_dir, "part")
-    w = part.select(F.explode(F.split("p_name", " ")).alias("token"))
-    return (
-        w.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.col("n").desc(), "token")
-        .limit(10)
+def q_dialect_quantile_low_high(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_QUANTILE_LOW_HIGH, sf_dir)
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.col("q_low").cast("long").alias("q_low"),
+        F.col("q_high").cast("long").alias("q_high"),
+        F.col("q_mid").cast("double").alias("q_mid"),
+        F.col("q_exc").cast("double").alias("q_exc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dialect round-trip: the round-14 registered same-name passthroughs
+# (printf / overlay / substring) + toUUIDOrDefault, in one
+# reference-shaped aggregate.
+# ---------------------------------------------------------------------------
+
+_CH_VARIANT_SPELLINGS = """
+SELECT o_orderpriority,
+       count() AS n,
+       printf('%s#%d', min(o_orderstatus), count()) AS tag,
+       min(overlay(o_orderpriority, 'XX', 3)) AS pri_masked,
+       max(substring(o_orderpriority, 2, 6)) AS frag,
+       min(toUUIDOrDefault(lower(o_orderstatus))) AS uid
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@staged(
+    "q_dialect_variant_spellings",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       printf('%s#%d', min(o_orderstatus), count(*)) AS tag,
+       min(concat(substring(o_orderpriority, 1, 2), 'XX',
+                  substring(o_orderpriority, 5))) AS pri_masked,
+       max(substring(o_orderpriority, 2, 6)) AS frag,
+       min('00000000-0000-0000-0000-000000000000') AS uid
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    description="The round-14 registered same-name passthroughs run "
+    "verbatim through the dialect shim: printf (C-style formatting, "
+    "identical in Spark), overlay (1-based replace-at-offset — the "
+    "DuckDB oracle replays it with substring surgery), substring "
+    "(shared 1-based contract), and toUUIDOrDefault falling back to "
+    "the zero UUID on non-UUID input.  Pins that deliberate "
+    "passthroughs stay value-correct end-to-end, not merely "
+    "registered.",
+)
+def q_dialect_variant_spellings(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_VARIANT_SPELLINGS, sf_dir)
+    return out.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        "tag", "pri_masked", "frag", "uid",
     )
 
 
@@ -691,49 +779,8 @@ def q_order_linecount_dist(spark, sf_dir):
     )
 
 
-@staged(
-    "q_weekend_share",
-    oracle=f"""
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(count(*) FILTER (WHERE isodow(ts) >= 6) AS BIGINT)
-         AS n_weekend,
-       round(CAST(count(*) FILTER (WHERE isodow(ts) >= 6) AS DOUBLE)
-             / count(*), 6) AS weekend_share,
-       CAST(coalesce(sum({_CENTS_DUCK})
-            FILTER (WHERE isodow(ts) >= 6), 0) AS BIGINT)
-         AS weekend_cents
-FROM events GROUP BY event_type ORDER BY event_type
-""",
-    description="Weekend share per event type (ISO Saturday/Sunday "
-    "= dow 6/7, via the Sunday-first-shifted Spark dayofweek): "
-    "conditional counts and exact weekend cents ride ONE aggregate "
-    "over ONE scan, one division round(6).  Weekend skew separates "
-    "consumer from workday traffic in load planning.",
-)
-def q_weekend_share(spark, sf_dir):
-    (events,) = load(spark, sf_dir, "events")
-    isodow = ((F.dayofweek("ts") + 5) % 7) + 1
-    wk = F.sum(F.when(isodow >= 6, 1).otherwise(0)).cast("long")
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            wk.alias("n_weekend"),
-            F.round(
-                wk.cast("double") / F.count(F.lit(1)), 6
-            ).alias("weekend_share"),
-            F.sum(
-                F.when(
-                    isodow >= 6,
-                    F.round(F.col("value") * 100).cast("long"),
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("weekend_cents"),
-        )
-        .orderBy("event_type")
-    )
+# (q_weekend_share moved to staged_r20 in the round-14 swap — see
+# the note above q_dialect_quantile_low_high.)
 
 
 @staged(

@@ -1325,3 +1325,83 @@ def q_lake_multi_range_prune(spark, sf_dir):
     return spark.createDataFrame(
         rows, "l_returnflag string, n bigint, cents bigint"
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Round-14 swap arrivals (VERDICT r13 #8): these two moved here from
+# the staged_r15 wave 1-for-1 with the new dialect round-trips for
+# the round-14 suffix-variant closure compiles
+# (q_dialect_quantile_low_high / q_dialect_variant_spellings) —
+# keeping r15 at its pinned 23; this terminal wave absorbs the
+# displaced pair (23 -> 25).
+# ---------------------------------------------------------------------------
+
+
+@staged(
+    "q_part_name_tokens",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+SELECT w AS token, CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY w ORDER BY n DESC, token LIMIT 10
+""",
+    description="Top-10 tokens of the part-name vocabulary: "
+    "single-space tokenization, one hash aggregate, top-k with a "
+    "(count DESC, token) total tie-break — the catalog-vocabulary "
+    "profile product-search indexing starts from, and the "
+    "dimension-table twin of the documents-table word counts.",
+)
+def q_part_name_tokens(spark, sf_dir):
+    (part,) = load(spark, sf_dir, "part")
+    w = part.select(F.explode(F.split("p_name", " ")).alias("token"))
+    return (
+        w.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(10)
+    )
+
+
+@staged(
+    "q_weekend_share",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE isodow(ts) >= 6) AS BIGINT)
+         AS n_weekend,
+       round(CAST(count(*) FILTER (WHERE isodow(ts) >= 6) AS DOUBLE)
+             / count(*), 6) AS weekend_share,
+       CAST(coalesce(sum({_CENTS_DUCK})
+            FILTER (WHERE isodow(ts) >= 6), 0) AS BIGINT)
+         AS weekend_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    description="Weekend share per event type (ISO Saturday/Sunday "
+    "= dow 6/7, via the Sunday-first-shifted Spark dayofweek): "
+    "conditional counts and exact weekend cents ride ONE aggregate "
+    "over ONE scan, one division round(6).  Weekend skew separates "
+    "consumer from workday traffic in load planning.",
+)
+def q_weekend_share(spark, sf_dir):
+    (events,) = load(spark, sf_dir, "events")
+    isodow = ((F.dayofweek("ts") + 5) % 7) + 1
+    wk = F.sum(F.when(isodow >= 6, 1).otherwise(0)).cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            wk.alias("n_weekend"),
+            F.round(
+                wk.cast("double") / F.count(F.lit(1)), 6
+            ).alias("weekend_share"),
+            F.sum(
+                F.when(
+                    isodow >= 6,
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("weekend_cents"),
+        )
+        .orderBy("event_type")
+    )

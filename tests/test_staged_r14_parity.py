@@ -35,14 +35,19 @@ def test_staged_r14_oracle_parity(spark, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
-def test_staged_r14_disjoint():
-    """The holdout must not shadow live registry names OR the pending
-    r12/r13 waves — all activations are pure REGISTRY.updates."""
-    clash = set(STAGED_R14) & (
-        set(REGISTRY) | set(STAGED_R12) | set(STAGED_R13)
-    )
-    assert not clash, f"staged r14 names collide: {clash}"
+def test_staged_r14_activated_into_registry():
+    """Round-14 activation: every staged r14 name must now be IN
+    REGISTRY and bound to the SAME QuerySpec object — activation was
+    REGISTRY.update(STAGED_R14), not a re-wrap.  (Pre-activation this
+    test was the disjointness guard; the wave stays disjoint from the
+    earlier r12/r13 waves by construction — asserted below — and the
+    pending r15+ waves assert their own disjointness in their
+    files.)"""
+    missing = set(STAGED_R14) - set(REGISTRY)
+    assert not missing, f"staged r14 names not activated: {missing}"
+    assert not (set(STAGED_R14) & (set(STAGED_R12) | set(STAGED_R13)))
     for name, spec in STAGED_R14.items():
+        assert REGISTRY[name] is spec, f"{name} was shadowed on activation"
         assert callable(spec.fn), name
         assert spec.oracle is None or isinstance(spec.oracle, str), name
         assert spec.name == name
