@@ -6059,6 +6059,241 @@ _PLAIN.update({
     ),
 })
 
+# conversion-family suffix closure (the same generated sweep, second
+# pass): every Or-variant of a handled base must share the base's
+# contract — wide-integer and BFloat16 bases fail fast, so their
+# variants do too, under their own names; Date32/DateTime64/Decimal
+# variants mirror their handled OrZero/OrNull siblings.
+
+
+def _width_fail(name: str, what: str):
+    return lambda a: _scalar_fail(f"{name}: {what}")
+
+
+_PLAIN.update({
+    **{
+        (base + sfx).lower(): _width_fail(
+            base + sfx,
+            "Int128/256 exceed BIGINT — the dialect's integer "
+            "surface is 64-bit",
+        )
+        for base in ("toInt128", "toInt256", "toUInt128", "toUInt256")
+        for sfx in ("OrNull", "OrZero", "OrDefault")
+    },
+    **{
+        (base + sfx).lower(): _width_fail(
+            base + sfx,
+            "Decimal256 (76 digits) exceeds Spark's DECIMAL(38) — "
+            "toDecimal128 compiles",
+        )
+        for base in ("toDecimal256",)
+        for sfx in ("OrNull", "OrZero", "OrDefault")
+    },
+    **{
+        (base + sfx).lower(): _width_fail(
+            base + sfx,
+            "Spark has no 16-bit float type — keep full-precision "
+            "DOUBLE (the quantileBFloat16 spellings satisfy the "
+            "approximate contract via percentile_approx)",
+        )
+        for base in ("toBFloat16",)
+        for sfx in ("", "OrNull", "OrZero", "OrDefault")
+    },
+    **{
+        (base + sfx).lower(): _width_fail(
+            base + sfx,
+            "the Time type has no Spark analogue — toTime anchors "
+            "on 1970-01-02 but a parse-fallback Time has no "
+            "faithful representation",
+        )
+        for base in ("toTime",)
+        for sfx in ("OrZero", "OrDefault")
+    },
+    **{
+        # toDecimal{32,64,128}Or{Null,Zero,Default}(s, scale[, d]):
+        # TRY_CAST at the width's precision; Zero/Default coalesce
+        (f"todecimal{w}or{kind}"): (
+            lambda a, _p=p, _kind=kind: (
+                f"TRY_CAST({a[0]} AS DECIMAL({_p}, {a[1]}))"
+                if _kind == "null" else
+                f"coalesce(TRY_CAST({a[0]} AS DECIMAL({_p}, {a[1]})), "
+                + (
+                    a[2] if _kind == "default" and len(a) > 2
+                    else f"CAST(0 AS DECIMAL({_p}, {a[1]}))"
+                )
+                + ")"
+            )
+        )
+        for w, p in (("32", 9), ("64", 18), ("128", 38))
+        for kind in ("null", "zero", "default")
+    },
+    # Date32 shares DATE; the Or-Default falls back like toDateOrDefault
+    # but with Date32's own epoch floor as the implicit default
+    "todate32ordefault": lambda a: (
+        f"coalesce(try_cast({a[0]} AS DATE), "
+        + (a[1] if len(a) > 1 else "DATE '1900-01-01'")
+        + ")"
+    ),
+    # toDateTime64OrDefault(s, scale[, tz, default]): the 2-arg form
+    # compiles (sub-second fractions parse natively); the longer
+    # forms are ambiguous between timezone and default
+    "todatetime64ordefault": lambda a: (
+        "coalesce(try_cast("
+        f"{a[0]} AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')"
+        if len(a) == 2
+        else _scalar_fail(
+            "toDateTime64OrDefault: only the (expr, scale) form is "
+            "translated — the timezone/default arguments are "
+            "positionally ambiguous; coalesce an explicit "
+            "toDateTime64OrNull instead"
+        )
+    ),
+    # iterative-DP array comparisons, same contract as the base
+    "arraylevenshteindistanceweighted": lambda a: _scalar_fail(
+        "arrayLevenshteinDistanceWeighted needs an iterative DP (no "
+        "single Spark expression) — cf. arrayLevenshteinDistance"
+    ),
+    "arraysimilarity": lambda a: _scalar_fail(
+        "arraySimilarity needs the weighted-Levenshtein iterative DP "
+        "(no single Spark expression) — cf. arrayLevenshteinDistance"
+    ),
+})
+
+# third generated pass: map/tuple/URL/IP/encoding/math tails — the
+# same inherit-the-base-contract rule, each under its own name.
+_PLAIN.update({
+    "mapreversesort": lambda a: _scalar_fail(
+        "mapReverseSort: Spark maps are unordered — sort "
+        "map_entries if an ordered array is the goal"
+    ),
+    "tupleintdivorzero": lambda a: _scalar_fail(
+        "tupleIntDivOrZero: tuple arithmetic has no Spark struct "
+        "operators — write the element expressions"
+    ),
+    # IPv4 Or-variants: the base compiles to the numeric form, so
+    # the variants guard it with the compiled isIPv4String test
+    "toipv4ornull": lambda a: (
+        f"(CASE WHEN {_PLAIN['isipv4string'](a[:1])} "
+        f"THEN {_PLAIN['toipv4'](a[:1])} END)"
+    ),
+    "toipv4orzero": lambda a: (
+        f"coalesce(CASE WHEN {_PLAIN['isipv4string'](a[:1])} "
+        f"THEN {_PLAIN['toipv4'](a[:1])} END, CAST(0 AS BIGINT))"
+    ),
+    "toipv4ordefault": lambda a: (
+        f"coalesce(CASE WHEN {_PLAIN['isipv4string'](a[:1])} "
+        f"THEN {_PLAIN['toipv4'](a[:1])} END, "
+        + (a[1] if len(a) > 1 else "CAST(0 AS BIGINT)")
+        + ")"
+    ),
+    # IPv4StringToNum* === toIPv4* numerically (same guard pattern)
+    "ipv4stringtonumornull": lambda a: (
+        f"(CASE WHEN {_PLAIN['isipv4string'](a[:1])} "
+        f"THEN {_PLAIN['toipv4'](a[:1])} END)"
+    ),
+    "ipv4stringtonumordefault": lambda a: (
+        f"coalesce(CASE WHEN {_PLAIN['isipv4string'](a[:1])} "
+        f"THEN {_PLAIN['toipv4'](a[:1])} END, "
+        + (a[1] if len(a) > 1 else "CAST(0 AS BIGINT)")
+        + ")"
+    ),
+    "isipv6string": lambda a: _scalar_fail(
+        "isIPv6String: compressed-form IPv6 validation has no "
+        "faithful single regex here — isIPv4String compiles; IPv6 "
+        "values are outside the dialect's numeric IP surface"
+    ),
+    "ipv6cidrtorange": lambda a: _scalar_fail(
+        "IPv6CIDRToRange returns a typed IPv6 pair — 16-byte IPv6 "
+        "addresses are not in the supported surface"
+    ),
+    "ipv6stringtonumordefault": lambda a: _scalar_fail(
+        "IPv6StringToNumOrDefault: 16-byte IPv6 binary addresses "
+        "are not in the supported surface"
+    ),
+    "toipv6orzero": lambda a: _scalar_fail(
+        "toIPv6OrZero: 16-byte IPv6 binary addresses are not in "
+        "the supported surface"
+    ),
+    "toipv6ordefault": lambda a: _scalar_fail(
+        "toIPv6OrDefault: 16-byte IPv6 binary addresses are not in "
+        "the supported surface"
+    ),
+    "trybase58decode": lambda a: _scalar_fail(
+        "tryBase58Decode: no Spark builtin for Base58"
+    ),
+    "trybase32decode": lambda a: _scalar_fail(
+        "tryBase32Decode: no Spark builtin for Base32"
+    ),
+    "byteslice": lambda a: _scalar_fail(
+        "byteSlice uses BYTE offsets — Spark substring() is "
+        "character-based on STRING; cast to BINARY for a bytewise "
+        "substring (returns BINARY, not String)"
+    ),
+    "sparkbar": lambda a: _scalar_fail(
+        "sparkbar is a terminal-visualization aggregate — render "
+        "client-side from a histogram/group-by result"
+    ),
+    # deliberate same-name compiles: identical Spark built-ins
+    "expm1": lambda a: f"expm1({', '.join(a)})",
+    "tanh": lambda a: f"tanh({', '.join(a)})",
+    "atan2": lambda a: f"atan2({', '.join(a)})",
+    "hypot": lambda a: f"hypot({', '.join(a)})",
+    "width_bucket": lambda a: f"width_bucket({', '.join(a)})",
+})
+
+# fourth generated pass: aggregate-function tails.
+_PLAIN.update({
+    # ordered/sampled groupArray forms are order-dependent folds
+    # over a distributed scan — the parametric spellings already
+    # fail fast; the bare spellings must too, not leak
+    "grouparraylast": lambda a: _scalar_fail(
+        "groupArrayLast(n)(x) keeps the LAST n in insertion order — "
+        "order-dependent over a distributed scan; use max_by/window "
+        "ordering on an explicit sort column"
+    ),
+    "grouparraysample": lambda a: _scalar_fail(
+        "groupArraySample is nondeterministic sampling — use "
+        "TABLESAMPLE / the engine's derandomized reservoir "
+        "(ext.ranks) with an explicit seed column"
+    ),
+    "grouparraysorted": lambda a: _scalar_fail(
+        "groupArraySorted(n)(x): use "
+        "slice(array_sort(collect_list(x)), 1, n) explicitly"
+    ),
+    # groupConcat's documented order is unspecified; the DISTINCT
+    # variant keeps that contract over the distinct set
+    "groupconcatdistinct": lambda a: (
+        f"array_join(collect_set({a[0]}), '')"
+    ),
+    # time-decayed folds are the engine's EWMA operator
+    **{
+        n.lower(): (lambda _n: (lambda a: _scalar_fail(
+            f"{_n} is a time-ordered decayed fold with no single "
+            "Spark expression — use the engine's EWMA operator "
+            "(q_ewma_daily / staged_r13 window folds)"
+        )))(n)
+        for n in ("exponentialMovingAverage",
+                  "exponentialTimeDecayedSum",
+                  "exponentialTimeDecayedAvg",
+                  "exponentialTimeDecayedCount",
+                  "exponentialTimeDecayedMax")
+    },
+    "largesttrianglethreebuckets": lambda a: _scalar_fail(
+        "largestTriangleThreeBuckets is render-side downsampling "
+        "(order-dependent) — downsample with time-bucket aggregates "
+        "and plot client-side"
+    ),
+    # same-name Spark builtin: nondeterministic single-value pick,
+    # the same contract as ClickHouse any/any_value
+    "any_value": lambda a: f"any_value({', '.join(a)})",
+    "nothingnull": lambda a: "NULL",
+    "anova": _PLAIN["analysisofvariance"],
+    "groupnumericindexedvector": lambda a: _scalar_fail(
+        "groupNumericIndexedVector: the numericIndexedVector sketch "
+        "family is not in the supported surface"
+    ),
+})
+
 
 # Geospatial-indexing families (h3*, s2*, polygons*, readWKT*):
 # ~100 public spellings with no Spark built-ins.  A prefix guard in

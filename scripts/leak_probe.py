@@ -836,6 +836,148 @@ _VARIANT_FAMILIES: tuple[tuple[str, str, tuple[str, ...]], ...] = (
     ("toFloat64", "s", ("", "OrNull", "OrZero", "OrDefault")),
     ("toDate", "s", ("", "OrNull", "OrZero", "OrDefault")),
     ("toDateTime", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    # second generated pass (round-14): the full conversion-width
+    # matrix — wide integers and BFloat16 fail fast AS variants too;
+    # Date32/DateTime64/Decimal mirror their handled siblings.  The
+    # sweep caught 34 leaks on first run (every Or-variant of
+    # toInt128/256, toUInt128/256, toDecimal32/64/128, toBFloat16,
+    # toTime, toDate32OrDefault, toDateTime64OrDefault, plus
+    # arrayLevenshteinDistanceWeighted / arraySimilarity).
+    ("toInt8", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toInt16", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toInt32", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toInt128", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toInt256", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toUInt8", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toUInt16", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toUInt64", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toUInt128", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toUInt256", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toFloat32", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toBFloat16", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toDate32", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toDateTime64", "s, 3", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toTime", "ts", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toDecimal32", "s, 3", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toDecimal64", "s, 3", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toDecimal128", "s, 3", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toDecimal256", "s, 3", ("", "OrNull", "OrZero", "OrDefault")),
+    ("arrayLevenshteinDistance", "a, a2", ("", "Weighted")),
+    ("arraySimilarity", "a, a2, w, w2", ("",)),
+    ("toModifiedJulianDay", "s", ("", "OrNull")),
+    ("fromModifiedJulianDay", "x", ("", "OrNull")),
+    # third generated pass (round-14): IP/encoding/map/tuple tails —
+    # 21 leaks caught on first run (toIPv4/IPv4StringToNum Or-forms
+    # now compile behind the isIPv4String guard; IPv6 forms and
+    # try-decodes inherit their base fail-fasts; expm1/tanh/atan2/
+    # hypot/width_bucket registered as same-name Spark built-ins)
+    ("toIPv4", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("toIPv6", "s", ("", "OrNull", "OrZero", "OrDefault")),
+    ("IPv4StringToNum", "s", ("", "OrNull", "OrDefault")),
+    ("IPv6StringToNum", "s", ("", "OrNull", "OrDefault")),
+    ("base58Decode", "s", ("",)),
+    ("tryBase58Decode", "s", ("",)),
+    ("base32Decode", "s", ("",)),
+    ("tryBase32Decode", "s", ("",)),
+    ("mapSort", "m", ("",)),
+    ("mapReverseSort", "m", ("",)),
+    ("tupleIntDiv", "tp, tp2", ("", "OrZero")),
+    ("IPv4CIDRToRange", "x, 8", ("",)),
+    ("IPv6CIDRToRange", "b, 8", ("",)),
+    ("isIPv4String", "s", ("",)),
+    ("isIPv6String", "s", ("",)),
+    ("bitSlice", "s, 1, 4", ("",)),
+    ("byteSlice", "s, 1, 4", ("",)),
+    ("sparkbar", "x", ("",)),
+    ("expm1", "x", ("",)),
+    ("tanh", "x", ("",)),
+    ("atan2", "x, y", ("",)),
+    ("hypot", "x, y", ("",)),
+    ("width_bucket", "x, 0, 100, 10", ("",)),
+    # fourth generated pass (round-14): aggregate tails — 14 leaks
+    # caught (ordered/sampled groupArray bare spellings, the
+    # exponential time-decay family -> EWMA engine pointer,
+    # groupConcatDistinct compile, any_value self-entry, anova alias)
+    ("groupArray", "x", ("", "Last", "Sample", "Sorted")),
+    ("groupConcat", "x", ("", "Distinct")),
+    ("exponentialMovingAverage", "x", ("",)),
+    ("exponentialTimeDecayedSum", "x", ("",)),
+    ("exponentialTimeDecayedAvg", "x", ("",)),
+    ("exponentialTimeDecayedCount", "x", ("",)),
+    ("exponentialTimeDecayedMax", "x", ("",)),
+    ("largestTriangleThreeBuckets", "x, y", ("",)),
+    ("any_value", "x", ("",)),
+    ("nothing", "x", ("", "Null")),
+    ("anova", "x, y", ("",)),
+    ("analysisOfVariance", "x, y", ("",)),
+    ("groupNumericIndexedVector", "x, y", ("",)),
+    ("skewPop", "x", ("",)),
+    ("skewSamp", "x", ("",)),
+    ("kurtPop", "x", ("",)),
+    ("kurtSamp", "x", ("",)),
+    ("deltaSum", "x", ("",)),
+    ("deltaSumTimestamp", "x, ts", ("",)),
+    ("singleValueOrNull", "x", ("",)),
+    ("uniqTheta", "x", ("",)),
+    ("uniqCombined64", "x", ("",)),
+    ("sumKahan", "x", ("",)),
+    ("sumWithOverflow", "x", ("",)),
+    ("avgWeighted", "x, w", ("",)),
+    ("anyHeavy", "x", ("",)),
+    ("rankCorr", "x, y", ("",)),
+    ("theilsU", "x, y", ("",)),
+    ("contingency", "x, y", ("",)),
+    ("maxIntersectionsPosition", "x, y", ("",)),
+    ("kolmogorovSmirnovTest", "x, y", ("",)),
+    ("studentTTest", "x, y", ("",)),
+    ("welchTTest", "x, y", ("",)),
+    ("mannWhitneyUTest", "x, y", ("",)),
+    ("meanZTest", "x, y", ("",)),
+    ("entropy", "x", ("",)),
+    ("categoricalInformationValue", "x, y", ("",)),
+    ("stochasticLinearRegression", "x, y", ("",)),
+    ("stochasticLogisticRegression", "x, y", ("",)),
+    ("estimateCompressionRatio", "s", ("",)),
+    ("nonNegativeDerivative", "x, ts", ("",)),
+    ("flameGraph", "x", ("",)),
+    ("aggThrow", "x", ("",)),
+)
+
+# regression pins for the handled date-bucket / relative-number /
+# array tails the second sweep verified clean — keep them that way
+_HANDLED_TAIL_PROBES: tuple[tuple[str, str], ...] = tuple(
+    (n, a) for n, a in (
+        [(n, "ts") for n in (
+            "toStartOfYear", "toStartOfISOYear", "toStartOfQuarter",
+            "toStartOfMonth", "toStartOfWeek", "toStartOfDay",
+            "toStartOfHour", "toStartOfMinute", "toStartOfSecond",
+            "toStartOfFiveMinutes", "toStartOfTenMinutes",
+            "toStartOfFifteenMinutes", "toLastDayOfMonth",
+            "toMonday", "toDayOfYear", "toDayOfMonth", "toDayOfWeek",
+            "toHour", "toMinute", "toSecond", "toQuarter", "toWeek",
+            "toISOWeek", "toYearWeek", "toUnixTimestamp",
+            "toRelativeYearNum", "toRelativeQuarterNum",
+            "toRelativeMonthNum", "toRelativeWeekNum",
+            "toRelativeDayNum", "toRelativeHourNum",
+            "toRelativeMinuteNum", "toRelativeSecondNum",
+            "toDaysSinceYearZero",
+        )]
+        + [(n, "a") for n in (
+            "arrayEnumerate", "arrayEnumerateDense",
+            "arrayEnumerateUniq", "arrayDifference", "arrayCumSum",
+            "arrayCumSumNonNegative", "arrayProduct", "arrayAvg",
+            "arraySum", "arrayMin", "arrayMax", "arrayUniq",
+            "arrayDistinct", "arrayCompact", "arrayReverse",
+            "arrayFlatten", "arrayShuffle",
+        )]
+        + [("arrayZip", "a, a2"), ("arrayAUC", "a, a2"),
+           ("arrayJaccardIndex", "a, a2"),
+           ("arrayIntersect", "a, a2"), ("arrayUnion", "a, a2"),
+           ("arraySymmetricDifference", "a, a2"),
+           ("arrayRotateLeft", "a, 2"), ("arrayRotateRight", "a, 2"),
+           ("arrayShiftLeft", "a, 2"), ("arrayShiftRight", "a, 2"),
+           ("arrayRandomSample", "a, 2"), ("fromDaysSinceYearZero", "x")]
+    )
 )
 
 # the quantile family: every member has a median* alias, a
@@ -867,6 +1009,8 @@ def _generated_probes() -> dict[str, str]:
             gen[n] = f"SELECT {n}({arg}) FROM t"
         n = "quantile" + kind
         gen[f"{n}_param"] = f"SELECT {n}(0.5)({arg}) FROM t"
+    for n, arg in _HANDLED_TAIL_PROBES:
+        gen[n] = f"SELECT {n}({arg}) FROM t"
     return gen
 
 
