@@ -650,6 +650,69 @@ def q_dialect_variant_spellings(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dialect round-trip: the round-14 IPv4 Or-variant compiles.  IP
+# strings are synthesized from part keys so roughly 1 in 6 carries an
+# out-of-range last octet (d = pk % 300 > 255) — exercising the
+# valid, NULL, zero, and default paths of every spelling.
+# ---------------------------------------------------------------------------
+
+_CH_IPV4_FORMS = """
+SELECT grp,
+       count() AS n,
+       countIf(isIPv4String(ip)) AS n_valid,
+       sum(toIPv4OrZero(ip)) AS sum_ip,
+       min(toIPv4OrNull(ip)) AS min_ip,
+       max(IPv4StringToNumOrDefault(ip, 7)) AS max_ip
+FROM (SELECT toString(p_partkey % 5) AS grp,
+             concat(toString(p_partkey % 256), '.',
+                    toString((p_partkey * 7) % 256), '.0.',
+                    toString(p_partkey % 300)) AS ip
+      FROM part)
+GROUP BY grp ORDER BY grp
+"""
+
+
+@staged(
+    "q_dialect_ipv4_forms",
+    oracle="""
+WITH base AS (
+  SELECT CAST(p_partkey % 5 AS VARCHAR) AS grp,
+         (p_partkey % 300) <= 255 AS ok,
+         (p_partkey % 256) * 16777216
+           + ((p_partkey * 7) % 256) * 65536
+           + (p_partkey % 300) AS num
+  FROM part)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_valid,
+       CAST(coalesce(sum(CASE WHEN ok THEN num ELSE 0 END), 0)
+            AS BIGINT) AS sum_ip,
+       CAST(min(CASE WHEN ok THEN num END) AS BIGINT) AS min_ip,
+       CAST(max(CASE WHEN ok THEN num ELSE 7 END) AS BIGINT) AS max_ip
+FROM base GROUP BY grp ORDER BY grp
+""",
+    description="The round-14 IPv4 spelling family run verbatim "
+    "through the dialect shim: isIPv4String (octet-range regex), "
+    "toIPv4OrZero/OrNull and IPv4StringToNumOrDefault all compile to "
+    "the numeric big-endian form behind the compiled validity guard "
+    "— the DuckDB oracle replays the octet arithmetic and the "
+    "validity predicate directly.  Mixed valid/invalid inputs pin "
+    "all four fallback paths (value, NULL, zero, caller default).",
+)
+def q_dialect_ipv4_forms(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_IPV4_FORMS, sf_dir)
+    return out.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_valid").cast("long").alias("n_valid"),
+        F.col("sum_ip").cast("long").alias("sum_ip"),
+        F.col("min_ip").cast("long").alias("min_ip"),
+        F.col("max_ip").cast("long").alias("max_ip"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus / customer / catalog profiles — single-scan integer
 # aggregates with one exact division per surfaced ratio.
 # ---------------------------------------------------------------------------
@@ -923,57 +986,9 @@ def q_part_size_profile(spark, sf_dir):
     )
 
 
-@staged(
-    "q_event_hour_peak",
-    oracle="""
-WITH h AS (
-  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
-         CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2),
-     tot AS (
-  SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM h GROUP BY 1),
-     ranked AS (
-  SELECT event_type, hr, n,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY n DESC, hr) AS rk
-  FROM h)
-SELECT r.event_type AS event_type, hr AS peak_hour, n AS n_peak,
-       round(CAST(n AS DOUBLE) / t, 6) AS peak_share
-FROM ranked r JOIN tot USING (event_type)
-WHERE rk = 1 ORDER BY event_type
-""",
-    description="Peak activity hour per event type: hourly counts, "
-    "a row_number window PARTITIONED by type with a (count DESC, "
-    "hour) total tie-break, and the peak's share of the type's "
-    "traffic (one division round(6)).  The peak-hour drift per type "
-    "is the alerting baseline scheduling reads.",
-)
-def q_event_hour_peak(spark, sf_dir):
-    from pyspark.sql import Window
-
-    (events,) = load(spark, sf_dir, "events")
-    h = events.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = h.groupBy("event_type").agg(
-        F.sum("n").cast("long").alias("t")
-    )
-    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "hr")
-    return (
-        h.select(
-            "event_type", "hr", "n", F.row_number().over(w).alias("rk")
-        )
-        .where(F.col("rk") == 1)
-        .join(tot, "event_type")
-        .select(
-            "event_type",
-            F.col("hr").alias("peak_hour"),
-            F.col("n").alias("n_peak"),
-            F.round(F.col("n").cast("double") / F.col("t"), 6)
-            .alias("peak_share"),
-        )
-        .orderBy("event_type")
-    )
+# (q_event_hour_peak moved to staged_r20 in the round-14 swap —
+# displaced by q_dialect_ipv4_forms, the third suffix-variant-
+# closure round-trip.)
 
 
 @staged(

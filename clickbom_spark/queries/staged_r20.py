@@ -1405,3 +1405,58 @@ def q_weekend_share(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# (round-14 swap arrival #3: displaced from the r15 wave by
+# q_dialect_ipv4_forms.)
+@staged(
+    "q_event_hour_peak",
+    oracle="""
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+     tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM h GROUP BY 1),
+     ranked AS (
+  SELECT event_type, hr, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, hr) AS rk
+  FROM h)
+SELECT r.event_type AS event_type, hr AS peak_hour, n AS n_peak,
+       round(CAST(n AS DOUBLE) / t, 6) AS peak_share
+FROM ranked r JOIN tot USING (event_type)
+WHERE rk = 1 ORDER BY event_type
+""",
+    description="Peak activity hour per event type: hourly counts, "
+    "a row_number window PARTITIONED by type with a (count DESC, "
+    "hour) total tie-break, and the peak's share of the type's "
+    "traffic (one division round(6)).  The peak-hour drift per type "
+    "is the alerting baseline scheduling reads.",
+)
+def q_event_hour_peak(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = h.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("t")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "hr")
+    return (
+        h.select(
+            "event_type", "hr", "n", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") == 1)
+        .join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("hr").alias("peak_hour"),
+            F.col("n").alias("n_peak"),
+            F.round(F.col("n").cast("double") / F.col("t"), 6)
+            .alias("peak_share"),
+        )
+        .orderBy("event_type")
+    )
