@@ -6295,6 +6295,112 @@ _PLAIN.update({
 })
 
 
+# fifth generated pass: parse/format, randomness, window names,
+# introspection tails.
+def _parse_datetime_or(a: list[str], kind: str) -> str:
+    base = _parse_datetime(a[:2])  # "to_timestamp(s, 'fmt')"
+    tried = "try_" + base
+    if kind == "null":
+        return tried
+    return f"coalesce({tried}, TIMESTAMP '1970-01-01 00:00:00')"
+
+
+_PLAIN.update({
+    "parsedatetimeornull": lambda a: _parse_datetime_or(a, "null"),
+    "parsedatetimeorzero": lambda a: _parse_datetime_or(a, "zero"),
+    # the 64 spelling only widens sub-second precision; the integral
+    # yyyyMMddHHmmss input carries none
+    "yyyymmddhhmmsstodatetime64": _PLAIN["yyyymmddhhmmsstodatetime"],
+    # same-name Spark window built-ins, registered per the battery
+    # convention for deliberate passthroughs
+    "rank": lambda a: f"rank({', '.join(a)})",
+    "dense_rank": lambda a: f"dense_rank({', '.join(a)})",
+    "row_number": lambda a: f"row_number({', '.join(a)})",
+    # distributions expressible as one draw compile; the rest need
+    # iterative sampling and fail fast toward the compiled ones
+    "randlognormal": lambda a: f"exp(({a[0]}) + randn() * ({a[1]}))",
+    "randexponential": lambda a: f"(-ln(rand()) / ({a[0]}))",
+    **{
+        n.lower(): (lambda _n: (lambda a: _scalar_fail(
+            f"{_n} needs iterative/multi-draw sampling — not a "
+            "single expression; randUniform/randNormal/randBernoulli/"
+            "randLogNormal/randExponential compile"
+        )))(n)
+        for n in ("randConstant", "randChiSquared", "randStudentT",
+                  "randFisherF", "randBinomial",
+                  "randNegativeBinomial", "randPoisson")
+    },
+    **{
+        n.lower(): (lambda _n: (lambda a: _scalar_fail(
+            f"{_n} emits raw random bytes/codepoints — outside the "
+            "deterministic surface; uuid()/rand() cover id needs"
+        )))(n)
+        for n in ("randomFixedString", "randomStringUTF8")
+    },
+    "geohashesinbox": lambda a: _scalar_fail(
+        "geohashesInBox: geospatial indexing is not in the "
+        "supported surface — bucket on rounded lat/lon"
+    ),
+    "fqdn": lambda a: _scalar_fail(
+        "FQDN is server introspection — executors are not "
+        "addressable from the DataFrame surface"
+    ),
+    "parsereadablesizeornull": lambda a: _scalar_fail(
+        "parseReadableSizeOrNull: parse explicitly — regexp_extract "
+        "the number and CASE on the unit suffix"
+    ),
+    "parsereadablesizeorzero": lambda a: _scalar_fail(
+        "parseReadableSizeOrZero: parse explicitly — regexp_extract "
+        "the number and CASE on the unit suffix"
+    ),
+    "getsizeofenumtype": lambda a: _scalar_fail(
+        "getSizeOfEnumType: Enum types are erased here (strings "
+        "carry the values) — count DISTINCT instead"
+    ),
+    "dumpcolumnstructure": lambda a: _scalar_fail(
+        "dumpColumnStructure is engine introspection — use "
+        "df.schema / DESCRIBE"
+    ),
+    "macstringtooui": lambda a: _scalar_fail(
+        "MACStringToOUI: parse explicitly — "
+        "conv(replace(substring(s, 1, 8), ':', ''), 16, 10)"
+    ),
+})
+
+# sixth generated pass: JSON/Dynamic-type and remaining string tails.
+_PLAIN.update({
+    **{
+        n.lower(): (lambda _n: (lambda a: _scalar_fail(
+            f"{_n} introspects the Dynamic JSON column type, which "
+            "has no Spark analogue — JSON stays STRING here; "
+            "json_object_keys/get_json_object walk the document"
+        )))(n)
+        for n in ("JSONAllPathsWithTypes", "JSONDynamicPathsWithTypes",
+                  "JSONSharedDataPaths", "JSONSharedDataPathsWithTypes",
+                  "isDynamicElementInSharedData")
+    },
+    # validity probe: get_json_object('$') is NULL exactly for
+    # unparseable documents.  Documented delta: the bare JSON `null`
+    # literal also reads invalid here (ClickHouse: valid)
+    "isvalidjson": lambda a: (
+        f"(get_json_object({a[0]}, '$') IS NOT NULL)"
+    ),
+    # raw extraction IS get_json_object's contract (returns the JSON
+    # text of the member); simpleJSON misses return '' (family rule)
+    "simplejsonextractraw": lambda a: (
+        f"coalesce({_json_path('simpleJSONExtractRaw', a)}, '')"
+    ),
+    "isnullable": lambda a: _scalar_fail(
+        "isNullable is column-type introspection — Spark erases "
+        "Nullable(); check df.schema nullability instead"
+    ),
+    "concatwithseparatorassumeinjective": lambda a: (
+        f"concat_ws({', '.join(a)})"
+    ),
+})
+_PLAIN["visitparamextractraw"] = _PLAIN["simplejsonextractraw"]
+
+
 # Geospatial-indexing families (h3*, s2*, polygons*, readWKT*):
 # ~100 public spellings with no Spark built-ins.  A prefix guard in
 # the dispatch (see _translate_tokens) fails them all fast instead of

@@ -941,6 +941,125 @@ _VARIANT_FAMILIES: tuple[tuple[str, str, tuple[str, ...]], ...] = (
     ("nonNegativeDerivative", "x, ts", ("",)),
     ("flameGraph", "x", ("",)),
     ("aggThrow", "x", ("",)),
+    # fifth generated pass (round-14): parse/format, randomness,
+    # window names, introspection tails — 23 leaks caught
+    ("parseDateTime", "s, '%Y-%m-%d'", ("", "OrNull", "OrZero")),
+    ("parseDateTimeInJodaSyntax", "s, 'yyyy-MM-dd'",
+     ("", "OrNull", "OrZero")),
+    ("parseDateTimeBestEffort", "s", ("", "OrNull", "OrZero",
+                                      "US", "USOrNull", "USOrZero")),
+    ("parseDateTime64BestEffort", "s", ("", "OrNull", "OrZero")),
+    ("YYYYMMDDToDate", "x", ("", "32")),
+    ("YYYYMMDDhhmmssToDateTime", "x", ("", "64")),
+    ("changeYear", "ts, 2020", ("",)),
+    ("changeMonth", "ts, 2", ("",)),
+    ("changeDay", "ts, 2", ("",)),
+    ("changeHour", "ts, 2", ("",)),
+    ("changeMinute", "ts, 2", ("",)),
+    ("changeSecond", "ts, 2", ("",)),
+    ("rank", "", ("",)),
+    ("dense_rank", "", ("",)),
+    ("row_number", "", ("",)),
+    ("nth_value", "x, 2", ("",)),
+    ("lagInFrame", "x", ("",)),
+    ("leadInFrame", "x", ("",)),
+    ("rand", "", ("", "64", "Canonical", "Constant")),
+    ("randUniform", "0, 1", ("",)),
+    ("randNormal", "0, 1", ("",)),
+    ("randLogNormal", "0, 1", ("",)),
+    ("randExponential", "1", ("",)),
+    ("randChiSquared", "1", ("",)),
+    ("randStudentT", "1", ("",)),
+    ("randFisherF", "1, 1", ("",)),
+    ("randBernoulli", "0.5", ("",)),
+    ("randBinomial", "10, 0.5", ("",)),
+    ("randNegativeBinomial", "10, 0.5", ("",)),
+    ("randPoisson", "5", ("",)),
+    ("randomString", "10", ("", "UTF8")),
+    ("randomFixedString", "10", ("",)),
+    ("randomPrintableASCII", "10", ("",)),
+    ("fuzzBits", "s, 0.5", ("",)),
+    ("greatCircleDistance", "x, y, x2, y2", ("",)),
+    ("geoDistance", "x, y, x2, y2", ("",)),
+    ("geohashEncode", "x, y", ("",)),
+    ("geohashDecode", "s", ("",)),
+    ("geohashesInBox", "x, y, x2, y2, 4", ("",)),
+    ("hostName", "", ("",)),
+    ("FQDN", "", ("",)),
+    ("parseReadableSize", "s", ("", "OrNull", "OrZero")),
+    ("getSizeOfEnumType", "x", ("",)),
+    ("dumpColumnStructure", "x", ("",)),
+    ("MACNumToString", "x", ("",)),
+    ("MACStringToNum", "s", ("",)),
+    ("MACStringToOUI", "s", ("",)),
+    ("monthName", "ts", ("",)),
+    ("dateName", "'year', ts", ("",)),
+    ("timeSlot", "ts", ("",)),
+    ("timeSlots", "ts, 300", ("",)),
+    ("formatReadableSize", "x", ("",)),
+    ("formatReadableQuantity", "x", ("",)),
+    ("formatReadableTimeDelta", "x", ("",)),
+    ("neighbor", "x, 1", ("",)),
+    ("runningDifference", "x", ("",)),
+    ("runningAccumulate", "x", ("",)),
+    ("bar", "x, 0, 100", ("",)),
+    # sixth generated pass (round-14): JSON/Dynamic-type + string
+    # tails — 8 leaks caught (WithTypes introspection spellings,
+    # isValidJSON/simpleJSONExtractRaw/visitParamExtractRaw compiles,
+    # isNullable, concatWithSeparatorAssumeInjective)
+    ("JSONAllPaths", "j", ("", "WithTypes")),
+    ("JSONDynamicPaths", "j", ("", "WithTypes")),
+    ("JSONSharedDataPaths", "j", ("", "WithTypes")),
+    ("isDynamicElementInSharedData", "x", ("",)),
+    ("dynamicType", "x", ("",)),
+    ("variantType", "x", ("",)),
+    ("variantElement", "x, 'String'", ("",)),
+    ("isValidJSON", "j", ("",)),
+    ("JSONMergePatch", "j, j2", ("",)),
+    ("JSONArrayLength", "j", ("",)),
+    ("JSONType", "j", ("",)),
+    ("JSONExtractRaw", "j", ("",)),
+    ("JSONExtractArrayRaw", "j", ("",)),
+    ("JSONExtractKeys", "j", ("",)),
+    ("JSONExtractKeysAndValues", "j, 'String'", ("",)),
+    ("JSONExtractKeysAndValuesRaw", "j", ("",)),
+    ("simpleJSONExtractRaw", "j, 'k'", ("",)),
+    ("visitParamExtractRaw", "j, 'k'", ("",)),
+    ("toJSONString", "x", ("",)),
+    ("isNullable", "x", ("",)),
+    ("isZeroOrNull", "x", ("",)),
+    ("isNotDistinctFrom", "x, y", ("",)),
+    ("concatWithSeparator", "'-', s, s2", ("", "AssumeInjective")),
+    ("concatAssumeInjective", "s, s2", ("",)),
+    ("intDiv", "x, y", ("", "OrZero")),
+    ("moduloOrZero", "x, y", ("",)),
+    ("ifNotFinite", "x, y", ("",)),
+    ("clamp", "x, 0, 1", ("",)),
+    ("bitRotateLeft", "x, 1", ("",)),
+    ("bitRotateRight", "x, 1", ("",)),
+    ("bitTestAll", "x, 1, 2", ("",)),
+    ("bitTestAny", "x, 1, 2", ("",)),
+    ("bitHammingDistance", "x, y", ("",)),
+    ("byteSwap", "x", ("",)),
+    ("splitByChar", "',', s", ("",)),
+    ("splitByString", "', ', s", ("",)),
+    ("splitByRegexp", "'[0-9]+', s", ("",)),
+    ("splitByWhitespace", "s", ("",)),
+    ("splitByNonAlpha", "s", ("",)),
+    ("alphaTokens", "s", ("",)),
+    ("ngrams", "s, 3", ("",)),
+    ("tokens", "s", ("",)),
+    ("sqidEncode", "x", ("",)),
+    ("sqidDecode", "s", ("",)),
+    ("toStringCutToZero", "s", ("",)),
+    ("toFixedString", "s, 8", ("",)),
+    ("addMilliseconds", "ts, 1", ("",)),
+    ("addMicroseconds", "ts, 1", ("",)),
+    ("addNanoseconds", "ts, 1", ("",)),
+    ("subtractMilliseconds", "ts, 1", ("",)),
+    ("addInterval", "i, i2", ("",)),
+    ("addTupleOfIntervals", "d, tp", ("",)),
+    ("toIntervalNanosecond", "1", ("",)),
 )
 
 # regression pins for the handled date-bucket / relative-number /
