@@ -6400,6 +6400,60 @@ _PLAIN.update({
 })
 _PLAIN["visitparamextractraw"] = _PLAIN["simplejsonextractraw"]
 
+# seventh generated pass: hash/vector-alias tails.
+_PLAIN.update({
+    # digests with no JVM implementation fail fast like BLAKE3
+    "md4": lambda a: _scalar_fail(
+        "MD4 has no Spark/JVM built-in digest — md5/sha1/sha2 "
+        "compile (raw-byte forms via unhex)"
+    ),
+    "ripemd160": lambda a: _scalar_fail(
+        "RIPEMD160 has no Spark/JVM built-in digest — md5/sha1/sha2 "
+        "compile"
+    ),
+    "keccak256": lambda a: _scalar_fail(
+        "keccak256 has no Spark/JVM built-in digest (sha2 is the "
+        "NIST-padded SHA-3 ancestor, NOT keccak) — md5/sha1/sha2 "
+        "compile"
+    ),
+    # the Linf/Lp members complete the compiled norm family
+    "linfnorm": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(lni, lx) -> greatest(lni, abs(lx)))"
+    ),
+    "linfnormalize": lambda a: (
+        f"transform({a[0]}, lnv -> lnv / "
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(lni, lx) -> greatest(lni, abs(lx))))"
+    ),
+    "lpnormalize": lambda a: (
+        f"transform({a[0]}, lnv -> lnv / "
+        f"power(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(lnp, lx) -> lnp + power(abs(lx), {a[1]})), 1.0 / ({a[1]})))"
+    ),
+    # ClickHouse alias spellings of the compiled vector ops
+    "distancel1": _PLAIN["l1distance"],
+    "distancel2": _PLAIN["l2distance"],
+    "norml1": _PLAIN["l1norm"],
+    "norml2": _PLAIN["l2norm"],
+    "scalarproduct": _PLAIN["arraydotproduct"],
+    # vectorSum/Difference are the TUPLE-arithmetic aliases
+    "vectorsum": lambda a: _scalar_fail(
+        "vectorSum (alias of tuplePlus): tuple arithmetic has no "
+        "Spark struct operators — write the element expressions, or "
+        "zip_with(+) for arrays"
+    ),
+    "vectordifference": lambda a: _scalar_fail(
+        "vectorDifference (alias of tupleMinus): tuple arithmetic "
+        "has no Spark struct operators — write the element "
+        "expressions, or zip_with(-) for arrays"
+    ),
+    "detectlanguageunknown": lambda a: _scalar_fail(
+        "detectLanguageUnknown: language identification is an "
+        "engine operator — q_lang_id (ext/text.py)"
+    ),
+})
+
 
 # Geospatial-indexing families (h3*, s2*, polygons*, readWKT*):
 # ~100 public spellings with no Spark built-ins.  A prefix guard in

@@ -1060,6 +1060,71 @@ _VARIANT_FAMILIES: tuple[tuple[str, str, tuple[str, ...]], ...] = (
     ("addInterval", "i, i2", ("",)),
     ("addTupleOfIntervals", "d, tp", ("",)),
     ("toIntervalNanosecond", "1", ("",)),
+    # seventh generated pass (round-14): hash digests, the vector
+    # norm/distance alias family, series/NLP tails — 14 leaks caught
+    ("MD4", "s", ("",)),
+    ("MD5", "s", ("",)),
+    ("SHA1", "s", ("",)),
+    ("RIPEMD160", "s", ("",)),
+    ("keccak256", "s", ("",)),
+    ("halfMD5", "s", ("",)),
+    ("javaHash", "s", ("", "UTF16LE")),
+    ("hiveHash", "s", ("",)),
+    ("wyHash64", "s", ("",)),
+    ("kostikConsistentHash", "x, 4", ("",)),
+    ("jumpConsistentHash", "x, 4", ("",)),
+    ("murmurHash2_32", "s", ("",)),
+    ("murmurHash2_64", "s", ("",)),
+    ("murmurHash3_32", "s", ("",)),
+    ("murmurHash3_64", "s", ("",)),
+    ("murmurHash3_128", "s", ("",)),
+    ("farmHash64", "s", ("",)),
+    ("farmFingerprint64", "s", ("",)),
+    ("metroHash64", "s", ("",)),
+    ("L1Distance", "a, a2", ("",)),
+    ("L2Distance", "a, a2", ("",)),
+    ("L2SquaredDistance", "a, a2", ("",)),
+    ("LinfDistance", "a, a2", ("",)),
+    ("LpDistance", "a, a2, 3", ("",)),
+    ("cosineDistance", "a, a2", ("",)),
+    ("L1Norm", "a", ("",)),
+    ("L2Norm", "a", ("",)),
+    ("L2SquaredNorm", "a", ("",)),
+    ("LinfNorm", "a", ("",)),
+    ("LpNorm", "a, 3", ("",)),
+    ("L1Normalize", "a", ("",)),
+    ("L2Normalize", "a", ("",)),
+    ("LinfNormalize", "a", ("",)),
+    ("LpNormalize", "a, 3", ("",)),
+    ("distanceL1", "a, a2", ("",)),
+    ("distanceL2", "a, a2", ("",)),
+    ("normL1", "a", ("",)),
+    ("normL2", "a", ("",)),
+    ("scalarProduct", "a, a2", ("",)),
+    ("vectorSum", "a, a2", ("",)),
+    ("vectorDifference", "a, a2", ("",)),
+    ("dotProduct", "a, a2", ("",)),
+    ("mortonEncode", "x, y", ("",)),
+    ("hilbertEncode", "x, y", ("",)),
+    ("seriesOutliersDetectTukey", "a", ("",)),
+    ("seriesPeriodDetectFFT", "a", ("",)),
+    ("seriesDecomposeSTL", "a, 3", ("",)),
+    ("detectLanguage", "s", ("", "Mixed", "Unknown")),
+    ("detectCharset", "s", ("",)),
+    ("detectTonality", "s", ("",)),
+    ("detectProgrammingLanguage", "s", ("",)),
+    ("ULIDStringToDateTime", "s", ("",)),
+    ("generateULID", "", ("",)),
+    ("generateSnowflakeID", "", ("",)),
+    ("snowflakeIDToDateTime", "x", ("", "64")),
+    ("dateTimeToSnowflakeID", "ts", ("",)),
+    ("toDecimalString", "x, 3", ("",)),
+    ("countDigits", "x", ("",)),
+    ("toLowCardinality", "s", ("",)),
+    ("lowCardinalityKeys", "s", ("",)),
+    ("lowCardinalityIndices", "s", ("",)),
+    ("minSampleSizeConversion", "0.1, 0.2, 0.8, 0.05", ("",)),
+    ("minSampleSizeContinuous", "1, 2, 0.8, 0.05", ("",)),
 )
 
 # regression pins for the handled date-bucket / relative-number /
