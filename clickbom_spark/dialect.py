@@ -5587,10 +5587,15 @@ _PLAIN.update({
     # --- fifth probe sweep ---
     "mediantdigest": lambda a: f"percentile_approx({a[0]}, 0.5)",
     # fits y = k*x + b; tuple fields follow the col1/col2 convention
-    # (tupleElement/.1 accessors reach them)
+    # (tupleElement/.1 accessors reach them).  regr_slope/intercept
+    # require DOUBLE inputs — integer columns must cast (exec-probe
+    # catch, r14)
     "simplelinearregression": lambda a: (
-        f"named_struct('col1', regr_slope({a[1]}, {a[0]}), "
-        f"'col2', regr_intercept({a[1]}, {a[0]}))"
+        f"named_struct("
+        f"'col1', regr_slope(CAST({a[1]} AS DOUBLE), "
+        f"CAST({a[0]} AS DOUBLE)), "
+        f"'col2', regr_intercept(CAST({a[1]} AS DOUBLE), "
+        f"CAST({a[0]} AS DOUBLE)))"
     ),
     "tuplenames": lambda a: f"json_object_keys(to_json({a[0]}))",
     "jsonextract": lambda a: _json_extract_generic(a),
@@ -6632,7 +6637,17 @@ def _parametric(name: str, params: list[str], args: list[str]) -> str:
         # sketch; ClickHouse's accuracy parameter maps directly to
         # percentile_approx's accuracy argument.  Spellings:
         # quantileGK(accuracy)(x) = median, quantileGK(accuracy,
-        # level)(x).
+        # level)(x).  The accuracy must be an integer literal —
+        # ClickHouse requires UInt there too, and a fractional value
+        # (the level by mistake) would otherwise surface as an opaque
+        # Spark INTEGRAL-type analysis error (exec-probe catch, r14).
+        if not re.fullmatch(r"\d+", params[0].strip()):
+            raise UnsupportedClickHouseSQL(
+                "quantileGK(accuracy[, level])(x): the FIRST "
+                "parameter is the integer sketch accuracy (e.g. "
+                "quantileGK(100, 0.9)(x)) — got "
+                f"{params[0].strip()!r}"
+            )
         level = params[1] if len(params) > 1 else "0.5"
         return f"percentile_approx({args[0]}, {level}, {params[0]})"
     if n == "quantilesgk":
