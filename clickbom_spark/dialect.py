@@ -2321,7 +2321,8 @@ def _position(a: list[str]) -> str:
 # routine into Spark's analyzer.
 _COMBINATOR_TAIL = re.compile(
     r"(?:if|mergestate|simplestate|state|merge|ornull|"
-    r"ordefault|distinct|array|foreach|map|resample)$"
+    r"ordefault|distinct|array|foreach|map|resample|"
+    r"argmin|argmax)$"
 )
 _COMBINATOR_BASES = {
     "sum", "count", "min", "max", "avg", "any", "anylast", "uniq",
@@ -2357,8 +2358,10 @@ def _combinator_stack_guard(name: str) -> None:
             "-Array, the -State/-Merge simple algebra) and the "
             "common two-deep stacks (<agg>StateIf/<agg>IfState, "
             "<agg>IfMerge, <agg>SimpleStateIf, uniq[Exact]StateIf, "
-            "sum/avgDistinctIf) are; restate the aggregation or use "
-            "the engine's mergeable-state operators"
+            "sum/avgDistinctIf) are; -ArgMin/-ArgMax need the row "
+            "set where the extra key is extremal (a window or "
+            "min_by/max_by formulation); restate the aggregation or "
+            "use the engine's mergeable-state operators"
         )
 
 
@@ -6456,6 +6459,12 @@ _PLAIN.update({
     "detectlanguageunknown": lambda a: _scalar_fail(
         "detectLanguageUnknown: language identification is an "
         "engine operator — q_lang_id (ext/text.py)"
+    ),
+    # the descending twin of the compiled arrayPartialSort (a full
+    # sort is a valid refinement of "first n sorted, rest
+    # unspecified")
+    "arraypartialreversesort": lambda a: (
+        f"sort_array({a[-1]}, false)"
     ),
 })
 

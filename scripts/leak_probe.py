@@ -1125,6 +1125,45 @@ _VARIANT_FAMILIES: tuple[tuple[str, str, tuple[str, ...]], ...] = (
     ("lowCardinalityIndices", "s", ("",)),
     ("minSampleSizeConversion", "0.1, 0.2, 0.8, 0.05", ("",)),
     ("minSampleSizeContinuous", "1, 2, 0.8, 0.05", ("",)),
+    # eighth generated pass (round-14): the -ArgMin/-ArgMax
+    # combinator matrix (caught leaking; now a generic combinator
+    # fail-fast) and the array predicate/partial-sort tails
+    ("sumArgMin", "x, y", ("",)),
+    ("sumArgMax", "x, y", ("",)),
+    ("maxArgMin", "x, y", ("",)),
+    ("avgArgMax", "x, y", ("",)),
+    ("arrayPartialSort", "2, a", ("",)),
+    ("arrayPartialReverseSort", "2, a", ("",)),
+    ("arrayFirst", "af -> af > 1, a", ("", "Index", "OrNull")),
+    ("arrayLast", "al -> al > 1, a", ("", "Index", "OrNull")),
+    ("arrayCount", "ac -> ac > 1, a", ("",)),
+    ("arrayExists", "ae -> ae > 1, a", ("",)),
+    ("arrayAll", "aa -> aa > 1, a", ("",)),
+    ("arraySplit", "asp -> asp > 1, a", ("",)),
+    ("arrayReverseSplit", "ars -> ars > 1, a", ("",)),
+    ("arrayFill", "afl -> afl > 1, a", ("",)),
+    ("arrayReverseFill", "arf -> arf > 1, a", ("",)),
+    ("indexOf", "a, 2", ("", "AssumeSorted")),
+    ("countEqual", "a, 2", ("",)),
+    ("arrayElement", "a, 1", ("", "OrNull")),
+    ("arrayWithConstant", "3, 'x'", ("",)),
+    ("arrayPushBack", "a, 9", ("",)),
+    ("arrayPushFront", "a, 9", ("",)),
+    ("arrayPopBack", "a", ("",)),
+    ("arrayPopFront", "a", ("",)),
+    ("arraySlice", "a, 1, 2", ("",)),
+    ("arrayConcat", "a, a2", ("",)),
+    ("emptyArrayToSingle", "a", ("",)),
+    ("arrayResize", "a, 5, 0", ("",)),
+    ("arrayReduceInRanges", "'sum', [(1, 2)], a", ("",)),
+    ("sumSimpleState", "x", ("",)),
+    ("sumArrayIf", "a, x > 1", ("",)),
+    ("sumForEach", "a", ("",)),
+    ("avgMap", "m", ("",)),
+    ("sumOrDefaultIf", "x, x > 1", ("",)),
+    ("quantileIf", "x, x > 1", ("",)),
+    ("argMaxIf", "x, y, x > 1", ("",)),
+    ("argMinOrNull", "x, y", ("",)),
 )
 
 # regression pins for the handled date-bucket / relative-number /
