@@ -6468,6 +6468,72 @@ _PLAIN.update({
     ),
 })
 
+# ninth generated pass: alias spellings and bare heavy-hitter forms.
+_PLAIN.update({
+    # same-name Spark built-ins with identical contracts
+    "ltrim": lambda a: f"ltrim({', '.join(a)})",
+    "rtrim": lambda a: f"rtrim({', '.join(a)})",
+    "translate": lambda a: f"translate({', '.join(a)})",
+    "instr": lambda a: f"instr({', '.join(a)})",
+    "octet_length": lambda a: f"octet_length({', '.join(a)})",
+    "lcase": lambda a: f"lcase({', '.join(a)})",
+    "ucase": lambda a: f"ucase({', '.join(a)})",
+    # MySQL-compat alias of parseDateTime (same strftime mapping)
+    "str_to_date": _parse_datetime,
+    # dateDiff alias spellings
+    "timestampdiff": lambda a: _datediff(a),
+    "timestamp_diff": lambda a: _datediff(a),
+    # seconds twin of the compiled fromUnixTimestamp64Milli family
+    "fromunixtimestamp64second": lambda a: (
+        f"timestamp_seconds(CAST({a[0]} AS BIGINT))"
+    ),
+    # BARE heavy-hitter spellings (default k) — the parametric forms
+    # already fail fast toward the engine's mergeable sketch
+    **{
+        n.lower(): (lambda _n: (lambda a: _scalar_fail(
+            f"{_n} has no single-expression Spark equivalent — use "
+            "the engine's heavy-hitters operator "
+            "(ext.sketches.heavy_hitters / q_heavy_hitters)"
+        )))(n)
+        for n in ("topK", "topKWeighted", "approxTopK",
+                  "approxTopSum", "approxTopCount")
+    },
+    "uniqupto": lambda a: _scalar_fail(
+        "uniqUpTo is parametric-only — uniqUpTo(N)(x) compiles to "
+        "least(count(DISTINCT x), N + 1)"
+    ),
+    "arrayenumeratedenseranked": lambda a: _scalar_fail(
+        "arrayEnumerateDenseRanked's ranked enumeration has no "
+        "Spark expression — cf. arrayEnumerateUniqRanked"
+    ),
+    **{
+        n.lower(): (lambda _n: (lambda a: _scalar_fail(
+            f"{_n}: filtered/overflow map aggregation is not "
+            "compiled — explode the map and aggregate per key "
+            "(the sumMap(keys, values) form IS compiled)"
+        )))(n)
+        for n in ("sumMapFiltered", "sumMapFilteredWithOverflow",
+                  "sumMapWithOverflow")
+    },
+    "sequencematchevents": lambda a: _scalar_fail(
+        "sequenceMatchEvents is a sequential per-key state machine "
+        "with no single-expression Spark equivalent — use the "
+        "engine operator: q_sequence_match / q_sequence_match_timed"
+    ),
+    "normalizequerykeepnames": lambda a: _scalar_fail(
+        "normalizeQueryKeepNames is query-log tooling — normalize "
+        "literals explicitly with regexp_replace"
+    ),
+    "normalizedqueryhashkeepnames": lambda a: _scalar_fail(
+        "normalizedQueryHashKeepNames is query-log tooling — "
+        "normalize explicitly, then xxhash64"
+    ),
+    "mappartialreversesort": lambda a: _scalar_fail(
+        "mapPartialReverseSort: Spark maps are unordered — sort "
+        "map_entries if an ordered array is the goal"
+    ),
+})
+
 
 # Geospatial-indexing families (h3*, s2*, polygons*, readWKT*):
 # ~100 public spellings with no Spark built-ins.  A prefix guard in

@@ -132,6 +132,8 @@ EXEC_OVERRIDES: dict[str, str] = {
     "toDecimal128": "SELECT toDecimal128('1.25', 3) FROM t",
     "parseDateTime":
         "SELECT parseDateTime('2024-01-02', '%Y-%m-%d') FROM t",
+    "str_to_date":
+        "SELECT str_to_date('2024-01-02', '%Y-%m-%d') FROM t",
     "parseDateTimeInJodaSyntax":
         "SELECT parseDateTimeInJodaSyntax('2024-01-02', "
         "'yyyy-MM-dd') FROM t",

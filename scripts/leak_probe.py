@@ -1164,6 +1164,54 @@ _VARIANT_FAMILIES: tuple[tuple[str, str, tuple[str, ...]], ...] = (
     ("quantileIf", "x, x > 1", ("",)),
     ("argMaxIf", "x, y, x > 1", ("",)),
     ("argMinOrNull", "x, y", ("",)),
+    # ninth generated pass (round-14): alias spellings, bare
+    # heavy-hitter forms (topK(x) leaked while topK(k)(x) failed
+    # fast), map-combinator and query-log tails
+    ("ltrim", "s", ("",)),
+    ("rtrim", "s", ("",)),
+    ("trimLeft", "s", ("",)),
+    ("trimRight", "s", ("",)),
+    ("trimBoth", "s", ("",)),
+    ("translate", "s, 'abc', 'xyz'", ("", "UTF8")),
+    ("instr", "s, 'a'", ("",)),
+    ("locate", "'a', s", ("",)),
+    ("octet_length", "s", ("",)),
+    ("char_length", "s", ("",)),
+    ("character_length", "s", ("",)),
+    ("lcase", "s", ("",)),
+    ("ucase", "s", ("",)),
+    ("str_to_date", "s, '%Y-%m-%d'", ("",)),
+    ("timestampDiff", "'day', t1, t2", ("",)),
+    ("timestamp_diff", "'day', t1, t2", ("",)),
+    ("dateTrunc", "'day', ts", ("",)),
+    ("dateAdd", "'day', 1, ts", ("",)),
+    ("dateSub", "'day', 1, ts", ("",)),
+    ("addDate", "ts, i", ("",)),
+    ("subDate", "ts, i", ("",)),
+    ("fromUnixTimestamp64Second", "x", ("",)),
+    ("fromUnixTimestamp64Milli", "x", ("",)),
+    ("fromUnixTimestamp64Micro", "x", ("",)),
+    ("fromUnixTimestamp64Nano", "x", ("",)),
+    ("toUnixTimestamp64Second", "ts", ("",)),
+    ("toUnixTimestamp64Micro", "ts", ("",)),
+    ("toUnixTimestamp64Nano", "ts", ("",)),
+    ("topK", "x", ("", "Weighted")),
+    ("approxTopK", "x", ("",)),
+    ("approxTopSum", "x, w", ("",)),
+    ("approxTopCount", "x", ("",)),
+    ("uniqUpTo", "x", ("",)),
+    ("arrayEnumerateUniqRanked", "a", ("",)),
+    ("arrayEnumerateDenseRanked", "a", ("",)),
+    ("sumMapFiltered", "[1], m", ("",)),
+    ("sumMapFilteredWithOverflow", "[1], m", ("",)),
+    ("sumMapWithOverflow", "m", ("",)),
+    ("sequenceMatchEvents", "'(?1)', ts, x > 1", ("",)),
+    ("normalizeQuery", "s", ("", "KeepNames")),
+    ("normalizedQueryHash", "s", ("", "KeepNames")),
+    ("mapPartialSort", "(mk, mv) -> mv, 2, m", ("",)),
+    ("mapPartialReverseSort", "(mk, mv) -> mv, 2, m", ("",)),
+    ("caseWithExpression", "x, 1, 's1', 's2'", ("",)),
+    ("extractKeyValuePairs", "s", ("", "WithEscaping")),
 )
 
 # regression pins for the handled date-bucket / relative-number /
