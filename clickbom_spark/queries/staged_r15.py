@@ -713,6 +713,91 @@ def q_dialect_ipv4_forms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dialect round-trip: the round-14 conversion/JSON Or-variant
+# compiles.  Inputs are synthesized from order keys with KNOWN
+# unparseable fractions (1-in-4 integers, 1-in-5 dates, odd rows'
+# JSON), so every fallback path is exercised and the DuckDB oracle
+# replays the outcomes arithmetically — no parsing on the oracle
+# side at all.
+# ---------------------------------------------------------------------------
+
+_CH_CONVERSION_FORMS = """
+SELECT grp,
+       count() AS n,
+       sum(toInt64OrZero(tail)) AS sum_ok,
+       countIf(toInt64OrNull(tail) IS NULL) AS n_bad,
+       toString(min(toDate32OrDefault(iso, toDate('1999-12-31'))))
+         AS d_min,
+       sum(toInt64(toDecimal64OrZero(decstr, 2) * 100)) AS cents,
+       countIf(isValidJSON(jdoc)) AS n_json,
+       sum(toInt64OrZero(simpleJSONExtractRaw(jdoc, 'k'))) AS kraw
+FROM (SELECT toString(o_orderkey % 3) AS grp,
+             concat(toString(o_orderkey % 100),
+                    if(o_orderkey % 4 = 0, 'x', '')) AS tail,
+             if(o_orderkey % 5 = 0, 'not-a-date',
+                toString(o_orderdate)) AS iso,
+             concat(toString(o_orderkey % 90), '.',
+                    toString(o_orderkey % 10)) AS decstr,
+             if(o_orderkey % 2 = 0,
+                concat('{"k":', toString(o_orderkey % 9), '}'),
+                'nope') AS jdoc
+      FROM orders)
+GROUP BY grp ORDER BY grp
+"""
+
+
+@staged(
+    "q_dialect_conversion_forms",
+    oracle="""
+WITH base AS (
+  SELECT CAST(o_orderkey % 3 AS VARCHAR) AS grp,
+         o_orderkey % 4 = 0 AS bad_int,
+         o_orderkey % 100 AS intval,
+         o_orderkey % 5 = 0 AS bad_date,
+         o_orderdate,
+         (o_orderkey % 90) * 100 + (o_orderkey % 10) * 10 AS cents1,
+         o_orderkey % 2 = 0 AS is_json,
+         o_orderkey % 9 AS kv
+  FROM orders)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN bad_int THEN 0 ELSE intval END) AS BIGINT)
+         AS sum_ok,
+       CAST(count(*) FILTER (WHERE bad_int) AS BIGINT) AS n_bad,
+       CAST(CAST(min(CASE WHEN bad_date THEN DATE '1999-12-31'
+                          ELSE o_orderdate END) AS DATE) AS VARCHAR)
+         AS d_min,
+       CAST(sum(cents1) AS BIGINT) AS cents,
+       CAST(count(*) FILTER (WHERE is_json) AS BIGINT) AS n_json,
+       CAST(sum(CASE WHEN is_json THEN kv ELSE 0 END) AS BIGINT)
+         AS kraw
+FROM base GROUP BY grp ORDER BY grp
+""",
+    description="The round-14 conversion/JSON Or-variant compiles "
+    "run verbatim through the dialect shim: toInt64OrZero/OrNull "
+    "(try_cast fallbacks), toDate32OrDefault with a caller default, "
+    "toDecimal64OrZero at the width's precision (integer-cents "
+    "exact), isValidJSON (get_json_object validity probe), and "
+    "simpleJSONExtractRaw through the family's path builder.  "
+    "Inputs carry KNOWN unparseable fractions, so the DuckDB oracle "
+    "replays every fallback arithmetically without parsing.",
+)
+def q_dialect_conversion_forms(spark, sf_dir):
+    from clickbom_spark.dialect import run_clickhouse_sql
+
+    out = run_clickhouse_sql(spark, _CH_CONVERSION_FORMS, sf_dir)
+    return out.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_ok").cast("long").alias("sum_ok"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        F.col("d_min"),
+        F.col("cents").cast("long").alias("cents"),
+        F.col("n_json").cast("long").alias("n_json"),
+        F.col("kraw").cast("long").alias("kraw"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus / customer / catalog profiles — single-scan integer
 # aggregates with one exact division per surfaced ratio.
 # ---------------------------------------------------------------------------
@@ -991,42 +1076,9 @@ def q_part_size_profile(spark, sf_dir):
 # closure round-trip.)
 
 
-@staged(
-    "q_source_vocab",
-    oracle="""
-WITH w AS (
-  SELECT source, unnest(string_split(text, ' ')) AS w
-  FROM documents WHERE text IS NOT NULL)
-SELECT source,
-       CAST(count(*) AS BIGINT) AS tokens,
-       CAST(count(DISTINCT w) AS BIGINT) AS vocab,
-       round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 6)
-         AS type_token_ratio
-FROM w GROUP BY source ORDER BY source
-""",
-    description="Vocabulary profile per source: token and distinct-"
-    "type counts off one tokenization, per-source type-token ratio "
-    "as one division round(6) — the per-source slice of the corpus "
-    "TTR (q_ttr_stats is the global view); low-TTR sources are the "
-    "templated/boilerplate suspects.",
-)
-def q_source_vocab(spark, sf_dir):
-    (docs,) = load(spark, sf_dir, "documents")
-    w = docs.where(F.col("text").isNotNull()).select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    )
-    return (
-        w.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("tokens"),
-            F.countDistinct("w").cast("long").alias("vocab"),
-            F.round(
-                F.countDistinct("w").cast("double") / F.count(F.lit(1)),
-                6,
-            ).alias("type_token_ratio"),
-        )
-        .orderBy("source")
-    )
+# (q_source_vocab moved to staged_r20 in the round-14 swap —
+# displaced by q_dialect_conversion_forms, the fourth suffix-
+# variant-closure round-trip.)
 
 
 @staged(

@@ -1460,3 +1460,43 @@ def q_event_hour_peak(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# (round-14 swap arrival #4: displaced from the r15 wave by
+# q_dialect_conversion_forms.)
+@staged(
+    "q_source_vocab",
+    oracle="""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS tokens,
+       CAST(count(DISTINCT w) AS BIGINT) AS vocab,
+       round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 6)
+         AS type_token_ratio
+FROM w GROUP BY source ORDER BY source
+""",
+    description="Vocabulary profile per source: token and distinct-"
+    "type counts off one tokenization, per-source type-token ratio "
+    "as one division round(6) — the per-source slice of the corpus "
+    "TTR (q_ttr_stats is the global view); low-TTR sources are the "
+    "templated/boilerplate suspects.",
+)
+def q_source_vocab(spark, sf_dir):
+    (docs,) = load(spark, sf_dir, "documents")
+    w = docs.where(F.col("text").isNotNull()).select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tokens"),
+            F.countDistinct("w").cast("long").alias("vocab"),
+            F.round(
+                F.countDistinct("w").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )

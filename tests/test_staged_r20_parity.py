@@ -61,7 +61,8 @@ def test_staged_r20_every_query_has_oracle():
 
 def test_staged_r20_wave_size():
     # 23 built during round 12 + the round-14 swap arrivals
-    # (q_part_name_tokens / q_weekend_share / q_event_hour_peak,
-    # displaced from the r15 wave by the suffix-variant-closure
-    # round-trips — VERDICT r13 #8; the terminal wave absorbs them)
-    assert len(STAGED_R20) == 26
+    # (q_part_name_tokens / q_weekend_share / q_event_hour_peak /
+    # q_source_vocab, displaced from the r15 wave by the
+    # suffix-variant-closure round-trips — VERDICT r13 #8; the
+    # terminal wave absorbs them)
+    assert len(STAGED_R20) == 27
