@@ -6534,6 +6534,34 @@ _PLAIN.update({
     ),
 })
 
+# tenth generated pass: introspection/state-machinery stragglers.
+_PLAIN.update({
+    "arrayprauc": lambda a: _scalar_fail(
+        "arrayPRAUC (alias of arrayAUCPR): PR-curve area is an "
+        "engine operator family — q_model_auc (rank windows)"
+    ),
+    **{
+        n.lower(): (lambda _n: (lambda a: _scalar_fail(
+            f"{_n}: server/session introspection has no Spark "
+            "analogue"
+        )))(n)
+        for n in ("getOSKernelVersion",
+                  "getMaxTableNameLengthForDatabase",
+                  "filesystemPath", "defaultProfiles",
+                  "transactionLatestSnapshot")
+    },
+    # explicit aggregate-state machinery rides the -State/-Merge
+    # algebra, not standalone calls
+    "initializeaggregation": lambda a: _scalar_fail(
+        "initializeAggregation: build states with the <agg>State "
+        "spellings (the compiled -State/-Merge algebra)"
+    ),
+    "finalizeaggregation": lambda a: _scalar_fail(
+        "finalizeAggregation: finalize states with the <agg>Merge "
+        "spellings (the compiled -State/-Merge algebra)"
+    ),
+})
+
 
 # Geospatial-indexing families (h3*, s2*, polygons*, readWKT*):
 # ~100 public spellings with no Spark built-ins.  A prefix guard in

@@ -1212,6 +1212,39 @@ _VARIANT_FAMILIES: tuple[tuple[str, str, tuple[str, ...]], ...] = (
     ("mapPartialReverseSort", "(mk, mv) -> mv, 2, m", ("",)),
     ("caseWithExpression", "x, 1, 's1', 's2'", ("",)),
     ("extractKeyValuePairs", "s", ("", "WithEscaping")),
+    # tenth generated pass (round-14): window TVFs, introspection,
+    # state-machinery stragglers — 7 leaks caught
+    ("tumble", "ts, INTERVAL '10' MINUTE", ("", "Start", "End")),
+    ("hop", "ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE",
+     ("", "Start", "End")),
+    ("arrayROCAUC", "a, a2", ("",)),
+    ("arrayAUCPR", "a, a2", ("",)),
+    ("arrayPRAUC", "a, a2", ("",)),
+    ("throwIf", "x > 1, 'msg'", ("",)),
+    ("getOSKernelVersion", "", ("",)),
+    ("getMaxTableNameLengthForDatabase", "'d'", ("",)),
+    ("filesystemAvailable", "", ("",)),
+    ("filesystemPath", "", ("",)),
+    ("filesystemCapacity", "", ("",)),
+    ("defaultProfiles", "", ("",)),
+    ("currentProfiles", "", ("",)),
+    ("currentRoles", "", ("",)),
+    ("enabledRoles", "", ("",)),
+    ("transactionID", "", ("",)),
+    ("transactionLatestSnapshot", "", ("",)),
+    ("initializeAggregation", "'sum', x", ("",)),
+    ("finalizeAggregation", "x", ("",)),
+    ("getServerPort", "'tcp_port'", ("",)),
+    ("shardNum", "", ("",)),
+    ("shardCount", "", ("",)),
+    ("evalMLMethod", "x", ("",)),
+    ("joinGet", "'t', 'c', x", ("", "OrNull")),
+    ("visibleWidth", "x", ("",)),
+    ("toTypeName", "x", ("",)),
+    ("errorCodeToName", "x", ("",)),
+    ("basename", "s", ("",)),
+    ("runningConcurrency", "t1, t2", ("",)),
+    ("proportionsZTest", "10, 20, 100, 200, 0.95, 'unpooled'", ("",)),
 )
 
 # regression pins for the handled date-bucket / relative-number /
