@@ -3848,8 +3848,9 @@ def test_r13_probe_sweep_values(spark):
     assert snow.ms == 1704164645000
 
 
-def test_advice_r13_fixes(spark):
-    """Round-13 ADVICE closures: (1) arrayReduce('sum'/'avg') on an
+def test_advice_r12_fixes(spark):
+    """Round-12 ADVICE closures (landed round 13): (1)
+    arrayReduce('sum'/'avg') on an
     EMPTY array returns 0 / NaN like ClickHouse instead of throwing
     under Spark's default ANSI mode (INVALID_ARRAY_INDEX_IN_ELEMENT_AT
     / DIVIDE_BY_ZERO); (2) EXCEPT ALL / INTERSECT ALL fail fast
