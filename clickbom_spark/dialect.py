@@ -3429,6 +3429,16 @@ _PLAIN = {
         "formatQuerySingleLine is query-log tooling — not a "
         "data-plane function"
     ),
+    # the OrNull twins are the same tooling surface (NULL instead of
+    # throw on an unparseable query) — same verdict
+    "formatqueryornull": lambda a: _scalar_fail(
+        "formatQueryOrNull is query-log tooling — not a data-plane "
+        "function"
+    ),
+    "formatquerysinglelineornull": lambda a: _scalar_fail(
+        "formatQuerySingleLineOrNull is query-log tooling — not a "
+        "data-plane function"
+    ),
     # ------------------------------------------------------------------
     # round-12 sweep 7: time-window TVF functions, UTC conversions,
     # Snowflake IDs, XML encodes, sub-second components — plus the
@@ -5140,9 +5150,9 @@ _PLAIN.update({
         "distinctJSONPaths introspects the Dynamic JSON column "
         "type — use json_object_keys"
     ),
-    "distinctjsonpathstypes": lambda a: _scalar_fail(
-        "distinctJSONPathsTypes introspects the Dynamic JSON column "
-        "type — use json_object_keys"
+    "distinctjsonpathsandtypes": lambda a: _scalar_fail(
+        "distinctJSONPathsAndTypes introspects the Dynamic JSON "
+        "column type — use json_object_keys"
     ),
 })
 
@@ -5691,6 +5701,14 @@ _PLAIN.update({
         "timeSeriesGroupSum (obsolete in ClickHouse) interpolates "
         "across series — use the engine's as-of alignment + window "
         "sums (q_asof_join family)"
+    ),
+    # timeSeriesGroupArray(ts, v) collects (ts, v) pairs sorted by
+    # timestamp ascending; array_sort on array<struct> orders by the
+    # leading field, so the col1/col2 tuple convention gives the same
+    # order (ties break on v — unspecified in ClickHouse)
+    "timeseriesgrouparray": lambda a: (
+        f"array_sort(collect_list(named_struct("
+        f"'col1', {a[0]}, 'col2', {a[1]})))"
     ),
     # nothing(x) is ClickHouse's Nothing-typed NULL
     "nothing": lambda a: "NULL",
@@ -6548,7 +6566,8 @@ _PLAIN.update({
         for n in ("getOSKernelVersion",
                   "getMaxTableNameLengthForDatabase",
                   "filesystemPath", "defaultProfiles",
-                  "transactionLatestSnapshot")
+                  "transactionLatestSnapshot",
+                  "transactionOldestSnapshot")
     },
     # explicit aggregate-state machinery rides the -State/-Merge
     # algebra, not standalone calls
@@ -6567,25 +6586,34 @@ _PLAIN.update({
 # ~100 public spellings with no Spark built-ins.  A prefix guard in
 # the dispatch (see _translate_tokens) fails them all fast instead of
 # enumerating each.
+_GEO_HINT = (
+    "use an explicit geometry expression or a geospatial library"
+)
 _FAMILY_PREFIX_GUARDS = (
-    ("h3", "H3 hexagonal-grid indexing"),
-    ("s2", "S2 cell indexing"),
+    ("h3", "H3 hexagonal-grid indexing", _GEO_HINT),
+    ("s2", "S2 cell indexing", _GEO_HINT),
     # singular prefix covers polygonPerimeterSpherical etc. AND the
     # polygons* binary-predicate family
-    ("polygon", "spherical/cartesian polygon geometry"),
-    ("readwkt", "WKT geometry parsing"),
-    ("numericindexedvector", "the numericIndexedVector sketch family"),
+    ("polygon", "spherical/cartesian polygon geometry", _GEO_HINT),
+    ("readwkt", "WKT geometry parsing", _GEO_HINT),
+    ("numericindexedvector", "the numericIndexedVector sketch family",
+     "use the engine's sketch operators (ext/sketches.py)"),
+    # the experimental Prometheus-grid family (timeSeriesRateToGrid,
+    # timeSeries*ToGrid, timeSeriesLastTwoSamples, …) regrids series
+    # server-side; handled members (timeSeriesGroupArray/GroupSum)
+    # live in _PLAIN and never reach this guard
+    ("timeseries", "the experimental time-series regridding family",
+     "align/resample with the engine's as-of joins + window folds"),
 )
 
 
 def _family_prefix_guard(name: str) -> None:
     low = name.lower()
-    for pfx, what in _FAMILY_PREFIX_GUARDS:
+    for pfx, what, hint in _FAMILY_PREFIX_GUARDS:
         if low.startswith(pfx) and len(name) > len(pfx):
             raise UnsupportedClickHouseSQL(
                 f"{name}: {what} is not in the supported surface — "
-                "no Spark built-in; use an explicit geometry "
-                "expression or a geospatial library"
+                f"no Spark built-in; {hint}"
             )
 
 

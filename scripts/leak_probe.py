@@ -782,6 +782,66 @@ PROBES: dict[str, str] = {
     "generateRandomStructure": "SELECT generateRandomStructure(3) FROM t",
     "structureToCapnProtoSchema":
         "SELECT structureToCapnProtoSchema('x Int64') FROM t",
+    # --- eleventh sweep: OrNull tooling twins, Dynamic-JSON
+    # introspection AndTypes, transactions tail, and the experimental
+    # time-series regridding family (prefix-guarded; GroupArray
+    # compiles to a sorted collect via the col1/col2 tuple shape) ---
+    "distinctJSONPathsAndTypes":
+        "SELECT distinctJSONPathsAndTypes(s) FROM t",
+    "formatQueryOrNull": "SELECT formatQueryOrNull(s) FROM t",
+    "formatQuerySingleLineOrNull":
+        "SELECT formatQuerySingleLineOrNull(s) FROM t",
+    "transactionOldestSnapshot":
+        "SELECT transactionOldestSnapshot() FROM t",
+    "timeSeriesGroupArray": "SELECT timeSeriesGroupArray(ts, x) FROM t",
+    "timeSeriesLastTwoSamples":
+        "SELECT timeSeriesLastTwoSamples(ts, x) FROM t",
+    "timeSeriesRateToGrid":
+        "SELECT timeSeriesRateToGrid(1, 100, 10, 30)(ts, x) FROM t",
+    "timeSeriesInstantRateToGrid":
+        "SELECT timeSeriesInstantRateToGrid(1, 100, 10, 30)(ts, x) FROM t",
+    "timeSeriesResampleToGridWithStaleness":
+        "SELECT timeSeriesResampleToGridWithStaleness(1, 100, 10, 30)"
+        "(ts, x) FROM t",
+    "timeSeriesDerivToGrid":
+        "SELECT timeSeriesDerivToGrid(1, 100, 10, 30)(ts, x) FROM t",
+    "timeSeriesPredictLinearToGrid":
+        "SELECT timeSeriesPredictLinearToGrid(1, 100, 10, 30, 60)"
+        "(ts, x) FROM t",
+    "timeSeriesChangesToGrid":
+        "SELECT timeSeriesChangesToGrid(1, 100, 10, 30)(ts, x) FROM t",
+    "timeSeriesResetsToGrid":
+        "SELECT timeSeriesResetsToGrid(1, 100, 10, 30)(ts, x) FROM t",
+    # sweep-11 sibling pins: clean-on-first-probe family members the
+    # battery previously spot-checked via one representative
+    "multiplyDecimal":
+        "SELECT multiplyDecimal(toDecimal32(1.5, 2), toDecimal32(2.5, 2)) "
+        "FROM t",
+    "isInfinite": "SELECT isInfinite(x) FROM t",
+    "radians": "SELECT radians(x) FROM t",
+    "cosh": "SELECT cosh(x) FROM t",
+    "asinh": "SELECT asinh(x) FROM t",
+    "atanh": "SELECT atanh(x) FROM t",
+    "sign": "SELECT sign(x) FROM t",
+    "factorial": "SELECT factorial(x) FROM t",
+    "truncate": "SELECT truncate(d1, 2) FROM t",
+    "lemmatize": "SELECT lemmatize('en', s) FROM t",
+    "synonyms": "SELECT synonyms('list', s) FROM t",
+    "hilbertDecode": "SELECT hilbertDecode(2, x) FROM t",
+    "tupleModulo": "SELECT tupleModulo((10, 20), (3, 7)) FROM t",
+    "toISOYear": "SELECT toISOYear(ts) FROM t",
+    "timeDiff": "SELECT timeDiff(ts, ts) FROM t",
+    "transform": "SELECT transform(x, [1, 2], ['a', 'b'], 'other') FROM t",
+    "minMap": "SELECT minMap([1, 2], [1, 1]) FROM t",
+    "studentTTestOneSample":
+        "SELECT studentTTestOneSample(1.0)(x) FROM t",
+    "distinctJSONPaths": "SELECT distinctJSONPaths(s) FROM t",
+    "enabledProfiles": "SELECT enabledProfiles() FROM t",
+    "zookeeperSessionUptime": "SELECT zookeeperSessionUptime() FROM t",
+    "displayName": "SELECT displayName() FROM t",
+    "getSubcolumn": "SELECT getSubcolumn(m, 'keys') FROM t",
+    "formatQuery": "SELECT formatQuery(s) FROM t",
+    "formatQuerySingleLine": "SELECT formatQuerySingleLine(s) FROM t",
 }
 
 # ---------------------------------------------------------------------------

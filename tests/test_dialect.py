@@ -3793,6 +3793,44 @@ def test_r14_variant_closure_values(spark):
             "SELECT quantileTDigestWeighted(x, w) FROM t")
 
 
+def test_sweep11_closures(spark):
+    """Sweep-11 pins: timeSeriesGroupArray compiles to a sorted
+    collect (col1/col2 tuple shape, timestamp-ascending); the
+    experimental Prometheus-grid family prefix-guards; the OrNull
+    query-log tooling twins and Dynamic-JSON AndTypes introspection
+    fail fast (their bases already did); the transactions tail is
+    closed."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ts_t AS SELECT * FROM VALUES "
+        "('a', TIMESTAMP'2024-01-02 00:00:00', 2.0), "
+        "('a', TIMESTAMP'2024-01-01 00:00:00', 1.0), "
+        "('b', TIMESTAMP'2024-01-03 00:00:00', 3.0) AS t(g, d, f)"
+    )
+    rows = spark.sql(translate_clickhouse_sql(
+        "SELECT g, timeSeriesGroupArray(d, f) AS series FROM ts_t "
+        "GROUP BY g ORDER BY g"
+    )).collect()
+    assert [(r.g, [(str(p.col1), float(p.col2)) for p in r.series])
+            for r in rows] == [
+        ("a", [("2024-01-01 00:00:00", 1.0),
+               ("2024-01-02 00:00:00", 2.0)]),
+        ("b", [("2024-01-03 00:00:00", 3.0)]),
+    ]
+    for bad, frag in (
+        ("timeSeriesLastTwoSamples(d, f)", "regridding"),
+        # parametric spellings route through _parametric's own
+        # fail-fast before the prefix guard — either is a clean stop
+        ("timeSeriesRateToGrid(1, 100, 10, 30)(d, f)",
+         "not in the supported surface"),
+        ("formatQueryOrNull(s)", "query-log tooling"),
+        ("formatQuerySingleLineOrNull(s)", "query-log tooling"),
+        ("distinctJSONPathsAndTypes(s)", "Dynamic JSON"),
+        ("transactionOldestSnapshot()", "introspection"),
+    ):
+        with pytest.raises(UnsupportedClickHouseSQL, match=frag):
+            translate_clickhouse_sql(f"SELECT {bad} FROM t")
+
+
 def test_dialect_md_battery_count_matches():
     """docs/DIALECT.md cites the probe-battery size; the number is
     asserted against ``len(leak_probe.PROBES)`` so the docs can't
