@@ -2872,6 +2872,18 @@ _PLAIN = {
     "farmhash64": lambda a: f"xxhash64({', '.join(a)})",
     "farmfingerprint64": lambda a: f"xxhash64({', '.join(a)})",
     "halfmd5": lambda a: f"xxhash64({', '.join(a)})",
+    # URLHash(url) drops a trailing slash/fragment then digests; the
+    # same bucketing-surrogate policy applies.  The level form
+    # URLHash(url, N) hashes a hierarchy prefix — no single-expression
+    # analogue, so it fails fast toward explicit path() derivation.
+    "urlhash": lambda a: (
+        f"xxhash64(regexp_replace({a[0]}, '[/?#]$', ''))"
+        if len(a) == 1 else _scalar_fail(
+            "URLHash(url, N) hashes a URL-hierarchy prefix level — "
+            "derive the prefix explicitly from path()/cutFragment() "
+            "and hash that"
+        )
+    ),
     "md5": lambda a: f"unhex(md5({a[0]}))",
     "sha256": lambda a: f"unhex(sha2({a[0]}, 256))",
     "sha1": lambda a: f"unhex(sha1({a[0]}))",
@@ -3128,6 +3140,11 @@ _PLAIN = {
         "runningDifference() is block-order-dependent — use "
         "x - lag(x) OVER (ORDER BY ...) (engine twin: "
         "q_window_lag_gaps)"
+    ),
+    "runningdifferencestartingwithfirstvalue": lambda a: _scalar_fail(
+        "runningDifferenceStartingWithFirstValue() is "
+        "block-order-dependent — use x - lag(x, 1, x) OVER "
+        "(ORDER BY ...) (engine twin: q_window_lag_gaps)"
     ),
     "runningaccumulate": lambda a: _scalar_fail(
         "runningAccumulate() is block-order-dependent — use a "
@@ -3560,6 +3577,7 @@ _PLAIN = {
         for n in (
             "regiontoname", "regiontocountry", "regiontocity",
             "regiontoarea", "regiontodistrict", "regiontocontinent",
+            "regiontotopcontinent", "regionhierarchy",
             "regiontopopulation", "regionin",
         )
     },
@@ -4045,6 +4063,10 @@ _PLAIN = {
     "alphatokens": lambda a: (
         f"filter(split({a[0]}, '[^a-zA-Z]+'), alt -> alt != '')"
     ),
+    # documented alias of alphaTokens
+    "splitbyalpha": lambda a: (
+        f"filter(split({a[0]}, '[^a-zA-Z]+'), alt -> alt != '')"
+    ),
     "firstline": lambda a: (
         f"element_at(split({a[0]}, '\\\\r\\\\n|\\\\r|\\\\n', 2), 1)"
     ),
@@ -4489,6 +4511,10 @@ _PLAIN = {
     "addinterval": lambda a: _scalar_fail(
         "addInterval composes interval TUPLES — add the parts "
         "explicitly"
+    ),
+    "subtractinterval": lambda a: _scalar_fail(
+        "subtractInterval composes interval TUPLES — subtract the "
+        "parts explicitly"
     ),
     "todatetime64": _to_datetime64,
     "todate32": lambda a: f"to_date({a[0]})",
@@ -5235,6 +5261,11 @@ _PLAIN.update({
     "siphash128reference": lambda a: _scalar_fail(
         "sipHash128Reference: SipHash digests are not reproducible "
         "in Spark — use unhex(md5(x)) or xxhash64 surrogates"
+    ),
+    "siphash128referencekeyed": lambda a: _scalar_fail(
+        "sipHash128ReferenceKeyed: keyed SipHash digests are not "
+        "reproducible in Spark — use unhex(md5(x)) or xxhash64 "
+        "surrogates"
     ),
     "pointinpolygon": lambda a: _scalar_fail(
         "pointInPolygon is a geometric predicate with no Spark "

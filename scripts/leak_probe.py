@@ -842,6 +842,90 @@ PROBES: dict[str, str] = {
     "getSubcolumn": "SELECT getSubcolumn(m, 'keys') FROM t",
     "formatQuery": "SELECT formatQuery(s) FROM t",
     "formatQuerySingleLine": "SELECT formatQuerySingleLine(s) FROM t",
+    # --- twelfth sweep: hash/geobase/split leftovers ---
+    "URLHash": "SELECT URLHash(s) FROM t",
+    "URLHash_level": "SELECT URLHash(s, 2) FROM t",
+    "sipHash128ReferenceKeyed":
+        "SELECT sipHash128ReferenceKeyed((1, 2), s) FROM t",
+    "regionHierarchy": "SELECT regionHierarchy(x) FROM t",
+    "regionToTopContinent": "SELECT regionToTopContinent(x) FROM t",
+    "splitByAlpha": "SELECT splitByAlpha(s) FROM t",
+    # sweep-12 sibling pins, clean on first probe
+    "countMatchesCaseInsensitive":
+        "SELECT countMatchesCaseInsensitive(s, 'A') FROM t",
+    "dateTime64ToSnowflake":
+        "SELECT dateTime64ToSnowflake(toDateTime64(ts, 3)) FROM t",
+    "dateTime64ToSnowflakeID":
+        "SELECT dateTime64ToSnowflakeID(toDateTime64(ts, 3)) FROM t",
+    "decodeXMLComponent": "SELECT decodeXMLComponent(s) FROM t",
+    "emptyArrayInt64": "SELECT emptyArrayInt64() FROM t",
+    "emptyArrayString": "SELECT emptyArrayString() FROM t",
+    "extractAllGroupsHorizontal":
+        "SELECT extractAllGroupsHorizontal(s, '(a)(b)') FROM t",
+    "extractAllGroupsVertical":
+        "SELECT extractAllGroupsVertical(s, '(a)(b)') FROM t",
+    "extractGroups": "SELECT extractGroups(s, '(a)(b)') FROM t",
+    "mapFromString": "SELECT mapFromString(s) FROM t",
+    "range": "SELECT range(5) FROM t",
+    "regexpExtract": "SELECT regexpExtract(s, '(a)', 1) FROM t",
+    "regionIn": "SELECT regionIn(x, y) FROM t",
+    "regionToArea": "SELECT regionToArea(x) FROM t",
+    "regionToCity": "SELECT regionToCity(x) FROM t",
+    "regionToContinent": "SELECT regionToContinent(x) FROM t",
+    "regionToPopulation": "SELECT regionToPopulation(x) FROM t",
+    "serverTimezone": "SELECT serverTimezone() FROM t",
+    "sipHash128Reference": "SELECT sipHash128Reference(s) FROM t",
+    # --- thirteenth sweep: block-order/interval-tuple stragglers and
+    # the bitmap/dict-hierarchy/misc sibling pins ---
+    "runningDifferenceStartingWithFirstValue":
+        "SELECT runningDifferenceStartingWithFirstValue(x) FROM t",
+    "subtractInterval":
+        "SELECT subtractInterval(toIntervalDay(1), toIntervalHour(2)) "
+        "FROM t",
+    "bitmapSubsetInRange":
+        "SELECT bitmapSubsetInRange(bitmapBuild([1]), 0, 5) FROM t",
+    "bitmapSubsetLimit":
+        "SELECT bitmapSubsetLimit(bitmapBuild([1]), 0, 5) FROM t",
+    "subBitmap": "SELECT subBitmap(bitmapBuild([1]), 0, 5) FROM t",
+    "bitmapTransform":
+        "SELECT bitmapTransform(bitmapBuild([1]), [1], [2]) FROM t",
+    "groupBitmapAnd": "SELECT groupBitmapAnd(bm) FROM t",
+    "groupBitmapOr": "SELECT groupBitmapOr(bm) FROM t",
+    "groupBitmapXor": "SELECT groupBitmapXor(bm) FROM t",
+    "dictGetDescendants": "SELECT dictGetDescendants('d', x) FROM t",
+    "dictGetChildren": "SELECT dictGetChildren('d', x) FROM t",
+    "domainWithoutWWWRFC": "SELECT domainWithoutWWWRFC(u) FROM t",
+    "topLevelDomainRFC": "SELECT topLevelDomainRFC(u) FROM t",
+    "portRFC": "SELECT portRFC(u) FROM t",
+    "URLPathHierarchy": "SELECT URLPathHierarchy(s) FROM t",
+    "catboostEvaluate": "SELECT catboostEvaluate('m.bin', x) FROM t",
+    "hasColumnInTable":
+        "SELECT hasColumnInTable('db', 't', 'x') FROM t",
+    "indexHint": "SELECT indexHint(x > 1) FROM t",
+    "replicate": "SELECT replicate(1, a) FROM t",
+    "sleepEachRow": "SELECT sleepEachRow(0.1) FROM t",
+    "rowNumberInBlock": "SELECT rowNumberInBlock() FROM t",
+    "isConstant": "SELECT isConstant(x) FROM t",
+    "formatReadableDecimalSize":
+        "SELECT formatReadableDecimalSize(x) FROM t",
+    "parseReadableSize": "SELECT parseReadableSize('1 MiB') FROM t",
+    "parseReadableSizeOrNull":
+        "SELECT parseReadableSizeOrNull('1 MiB') FROM t",
+    "parseReadableSizeOrZero":
+        "SELECT parseReadableSizeOrZero('1 MiB') FROM t",
+    "toIntervalNanosecond": "SELECT toIntervalNanosecond(1) FROM t",
+    "subtractTupleOfIntervals":
+        "SELECT subtractTupleOfIntervals(d, (toIntervalDay(1),)) FROM t",
+    "anyHeavy": "SELECT anyHeavy(x) FROM t",
+    "groupArrayLast": "SELECT groupArrayLast(3)(x) FROM t",
+    "groupArrayIntersect": "SELECT groupArrayIntersect(a) FROM t",
+    "groupConcat": "SELECT groupConcat(',')(s) FROM t",
+    "singleValueOrNull": "SELECT singleValueOrNull(x) FROM t",
+    "aggThrow": "SELECT aggThrow(0.5) FROM t",
+    "categoricalInformationValue":
+        "SELECT categoricalInformationValue(x, y) FROM t",
+    "stochasticLogisticRegression":
+        "SELECT stochasticLogisticRegression(x, y) FROM t",
 }
 
 # ---------------------------------------------------------------------------

@@ -3831,6 +3831,44 @@ def test_sweep11_closures(spark):
             translate_clickhouse_sql(f"SELECT {bad} FROM t")
 
 
+def test_sweep12_closures(spark):
+    """Sweep-12 pins: URLHash drops one trailing /?# before the
+    digest surrogate (level form fails fast), splitByAlpha is the
+    documented alphaTokens alias, and the keyed-SipHash/geobase
+    stragglers fail fast with their family messages."""
+    row = spark.sql(translate_clickhouse_sql(
+        "SELECT URLHash('http://e.com/a/') = URLHash('http://e.com/a')"
+        " AS eq, URLHash('http://e.com/a') = URLHash('http://e.com/b')"
+        " AS ne, splitByAlpha('ab1cd') AS sa, alphaTokens('ab1cd') AS "
+        "at"
+    )).collect()[0]
+    assert row.eq is True and row.ne is False
+    assert row.sa == row.at == ["ab", "cd"]
+    for bad, frag in (
+        ("URLHash(s, 2)", "hierarchy prefix"),
+        ("sipHash128ReferenceKeyed((1, 2), s)", "keyed SipHash"),
+        ("regionHierarchy(x)", "geobase"),
+        ("regionToTopContinent(x)", "geobase"),
+    ):
+        with pytest.raises(UnsupportedClickHouseSQL, match=frag):
+            translate_clickhouse_sql(f"SELECT {bad} FROM t")
+
+
+def test_sweep13_closures():
+    """Sweep-13 pins: the block-order runningDifference...FirstValue
+    variant and the interval-tuple subtractInterval twin fail fast
+    with the same guidance as their handled siblings."""
+    with pytest.raises(UnsupportedClickHouseSQL,
+                       match="block-order-dependent"):
+        translate_clickhouse_sql(
+            "SELECT runningDifferenceStartingWithFirstValue(x) FROM t")
+    with pytest.raises(UnsupportedClickHouseSQL,
+                       match="interval TUPLES"):
+        translate_clickhouse_sql(
+            "SELECT subtractInterval(toIntervalDay(1), "
+            "toIntervalHour(2)) FROM t")
+
+
 def test_dialect_md_battery_count_matches():
     """docs/DIALECT.md cites the probe-battery size; the number is
     asserted against ``len(leak_probe.PROBES)`` so the docs can't
