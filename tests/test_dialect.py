@@ -3879,15 +3879,17 @@ def test_dialect_md_battery_count_matches():
     _sys.path.insert(0, str(
         _Path(__file__).resolve().parent.parent / "scripts"))
     import leak_probe as _lp
-    doc = (_Path(__file__).resolve().parent.parent
-           / "docs" / "DIALECT.md").read_text()
-    cited = {int(m) for m in _re.findall(
-        r"(\d+)[ -](?:probe|spelling)", doc)}
-    stale = {n for n in cited if 400 < n != len(_lp.PROBES)}
-    assert not stale, (
-        f"docs/DIALECT.md cites battery size(s) {sorted(stale)} but "
-        f"the battery is {len(_lp.PROBES)} probes"
-    )
+    root = _Path(__file__).resolve().parent.parent
+    for doc_path in (root / "docs" / "DIALECT.md",
+                     root / "README.md"):
+        doc = doc_path.read_text()
+        cited = {int(m) for m in _re.findall(
+            r"(\d+)[ -](?:probe|spelling)", doc)}
+        stale = {n for n in cited if 400 < n != len(_lp.PROBES)}
+        assert not stale, (
+            f"{doc_path.name} cites battery size(s) {sorted(stale)} "
+            f"but the battery is {len(_lp.PROBES)} probes"
+        )
 
 
 def test_r13_probe_sweep_values(spark):
