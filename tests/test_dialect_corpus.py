@@ -1144,6 +1144,36 @@ CORPUS: list[tuple[str, str, str]] = [
         LIMIT 15 OFFSET 10
         """,
     ),
+    (
+        # sweep-11 compile: timeSeriesGroupArray collects (ts, value)
+        # tuples sorted by timestamp ascending (ties break on value —
+        # the col1/col2 struct sort).  Pinned end-to-end by surfacing
+        # the first/last collected values as exact integer cents.
+        "timeseries_group_array",
+        """
+        SELECT user_id,
+               tupleElement(arrayElement(
+                   timeSeriesGroupArray(ts, toInt64(round(value * 100))),
+                   1), 2) AS first_cents,
+               tupleElement(arrayElement(
+                   timeSeriesGroupArray(ts, toInt64(round(value * 100))),
+                   -1), 2) AS last_cents,
+               length(timeSeriesGroupArray(ts, toInt64(round(value * 100))))
+                   AS n
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        """
+        SELECT user_id,
+               first(CAST(round(value * 100) AS BIGINT)
+                     ORDER BY ts, CAST(round(value * 100) AS BIGINT))
+                 AS first_cents,
+               last(CAST(round(value * 100) AS BIGINT)
+                    ORDER BY ts, CAST(round(value * 100) AS BIGINT))
+                 AS last_cents,
+               count(*) AS n
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    ),
 ]
 
 # the dict_get family's dictionary: SQL-defined over the corpus views,
@@ -1201,3 +1231,13 @@ def test_corpus_breadth():
     ):
         assert construct in joined, f"corpus lost {construct}"
     assert len(CORPUS) >= 20
+    # README cites the family count — keep it from drifting
+    import re
+    from pathlib import Path
+    readme = (Path(__file__).resolve().parent.parent
+              / "README.md").read_text()
+    m = re.search(r"making\s+(\d+)\s+—", readme)
+    assert m and int(m.group(1)) == len(CORPUS), (
+        f"README corpus-family count {m and m.group(1)} != "
+        f"{len(CORPUS)}"
+    )
