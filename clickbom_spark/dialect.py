@@ -3715,6 +3715,36 @@ _PLAIN = {
     "multimatchany": lambda a: (
         f"exists({a[1]}, mmp -> regexp_like({a[0]}, mmp))"
     ),
+    # index-returning multiMatch variants: transform's 2-param lambda
+    # binds (element, 0-based index); CH indices are 1-based
+    "multimatchanyindex": lambda a: (
+        f"coalesce(try_element_at(filter(transform({a[1]}, "
+        f"(mip, mii) -> if(regexp_like({a[0]}, mip), mii + 1, 0)), "
+        f"miv -> miv > 0), 1), 0)"
+    ),
+    "multimatchallindices": lambda a: (
+        f"filter(transform({a[1]}, "
+        f"(mip, mii) -> if(regexp_like({a[0]}, mip), mii + 1, 0)), "
+        f"miv -> miv > 0)"
+    ),
+    **{
+        n: (lambda _n: (lambda a: _scalar_fail(
+            f"{_n}: fuzzy (edit-distance-bounded) regex matching has "
+            "no Spark analogue — compose levenshtein()/regexp_like(), "
+            "or use the engine's q-gram edit-distance join "
+            "(ext/dedup.py)"
+        )))(n)
+        for n in ("multifuzzymatchany", "multifuzzymatchanyindex",
+                  "multifuzzymatchallindices")
+    },
+    # hasSubsequence: walk the haystack with locate(), carrying the
+    # next search start (0 = dead); empty needle matches (CH contract)
+    "hassubsequence": lambda a: _has_subsequence(a),
+    "hassubsequenceutf8": lambda a: _has_subsequence(a),
+    "hassubsequencecaseinsensitive": lambda a: _has_subsequence(
+        a, ci=True),
+    "hassubsequencecaseinsensitiveutf8": lambda a: _has_subsequence(
+        a, ci=True),
     "extractallgroupshorizontal": _extract_groups_all_h,
     "extractallgroupsvertical": _extract_groups_all_v,
     "extractallgroups": lambda a: _scalar_fail(
@@ -5488,6 +5518,7 @@ _PLAIN.update({
                      "argument is unsupported")
     ),
     "accuratecastornull": lambda a: _accurate_cast_or_null(a),
+    "accuratecastorzero": lambda a: _accurate_cast_or_zero(a),
     "replicate": lambda a: _scalar_fail(
         "replicate is a ClickHouse-internal block function — "
         "broadcast constants are implicit in Spark expressions"
@@ -5955,6 +5986,47 @@ def _accurate_cast_or_null(a: list[str]) -> str:
             f"{sorted(_CH_CAST_TYPES)}"
         )
     return f"TRY_CAST({a[0]} AS {spark_t})"
+
+
+def _accurate_cast_or_zero(a: list[str]) -> str:
+    """accurateCastOrZero(x, 'T'): the type's zero value on
+    overflow/parse failure — numbers 0, String '', Date/DateTime the
+    epoch, Bool false (the ClickHouse OrZero contract)."""
+    if len(a) != 2:
+        raise UnsupportedClickHouseSQL(
+            "accurateCastOrZero expects (x, 'Type')"
+        )
+    t = a[1].strip().strip("'\"").lower()
+    spark_t = _CH_CAST_TYPES.get(t)
+    if spark_t is None:
+        raise UnsupportedClickHouseSQL(
+            f"accurateCastOrZero type {a[1]!r}: supported names are "
+            f"{sorted(_CH_CAST_TYPES)}"
+        )
+    zero = {
+        "STRING": "''",
+        "DATE": "DATE '1970-01-01'",
+        "TIMESTAMP": "TIMESTAMP '1970-01-01 00:00:00'",
+    }.get(spark_t, f"CAST(0 AS {spark_t})")
+    return f"coalesce(TRY_CAST({a[0]} AS {spark_t}), {zero})"
+
+
+def _has_subsequence(a: list[str], ci: bool = False) -> str:
+    """hasSubsequence(h, n): n's characters appear in h in order (not
+    necessarily contiguously).  Folds the needle's characters with
+    locate(), carrying the next search start (1-based; 0 = no match
+    possible); the empty needle matches, per ClickHouse.  The UTF8
+    spellings alias the base (Spark strings are UTF8-native); the
+    CaseInsensitive spellings lower() both sides."""
+    h, n = a[0], a[1]
+    if ci:
+        h, n = f"lower({h})", f"lower({n})"
+    return (
+        f"(aggregate(filter(split({n}, ''), hsc -> hsc != ''), 1, "
+        f"(hsp, hsc) -> CASE WHEN hsp = 0 THEN 0 "
+        f"WHEN locate(hsc, {h}, hsp) = 0 THEN 0 "
+        f"ELSE locate(hsc, {h}, hsp) + 1 END) > 0)"
+    )
 
 # ---------------------------------------------------------------------------
 # Round-14 suffix-variant closure (VERDICT r13 "What's missing" #1).

@@ -926,6 +926,49 @@ PROBES: dict[str, str] = {
         "SELECT categoricalInformationValue(x, y) FROM t",
     "stochasticLogisticRegression":
         "SELECT stochasticLogisticRegression(x, y) FROM t",
+    # --- fourteenth sweep: subsequence search, index-returning
+    # multiMatch, fuzzy-match fail-fasts, accurateCastOrZero ---
+    "hasSubsequence": "SELECT hasSubsequence(s, 'ab') FROM t",
+    "hasSubsequenceCaseInsensitive":
+        "SELECT hasSubsequenceCaseInsensitive(s, 'AB') FROM t",
+    "hasSubsequenceUTF8": "SELECT hasSubsequenceUTF8(s, 'ab') FROM t",
+    "hasSubsequenceCaseInsensitiveUTF8":
+        "SELECT hasSubsequenceCaseInsensitiveUTF8(s, 'AB') FROM t",
+    "multiMatchAnyIndex":
+        "SELECT multiMatchAnyIndex(s, ['ab', 'cd']) FROM t",
+    "multiMatchAllIndices":
+        "SELECT multiMatchAllIndices(s, ['ab', 'cd']) FROM t",
+    "multiFuzzyMatchAny":
+        "SELECT multiFuzzyMatchAny(s, 2, ['ab']) FROM t",
+    "multiFuzzyMatchAnyIndex":
+        "SELECT multiFuzzyMatchAnyIndex(s, 2, ['ab']) FROM t",
+    "multiFuzzyMatchAllIndices":
+        "SELECT multiFuzzyMatchAllIndices(s, 2, ['ab']) FROM t",
+    "accurateCastOrZero":
+        "SELECT accurateCastOrZero(s, 'Int64') FROM t",
+    # sweep-14 sibling pins, clean on first probe
+    "simpleJSONExtractUInt":
+        "SELECT simpleJSONExtractUInt(j, 'k') FROM t",
+    "simpleJSONExtractInt":
+        "SELECT simpleJSONExtractInt(j, 'k') FROM t",
+    "simpleJSONExtractFloat":
+        "SELECT simpleJSONExtractFloat(j, 'k') FROM t",
+    "simpleJSONExtractBool":
+        "SELECT simpleJSONExtractBool(j, 'k') FROM t",
+    "visitParamHas": "SELECT visitParamHas(j, 'k') FROM t",
+    "visitParamExtractUInt":
+        "SELECT visitParamExtractUInt(j, 'k') FROM t",
+    "visitParamExtractInt":
+        "SELECT visitParamExtractInt(j, 'k') FROM t",
+    "visitParamExtractFloat":
+        "SELECT visitParamExtractFloat(j, 'k') FROM t",
+    "visitParamExtractBool":
+        "SELECT visitParamExtractBool(j, 'k') FROM t",
+    "visitParamExtractString":
+        "SELECT visitParamExtractString(j, 'k') FROM t",
+    "format": "SELECT format('{} {}', s, s1) FROM t",
+    "base64URLDecode": "SELECT base64URLDecode(s) FROM t",
+    "tryBase64URLDecode": "SELECT tryBase64URLDecode(s) FROM t",
 }
 
 # ---------------------------------------------------------------------------

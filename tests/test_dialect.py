@@ -3869,6 +3869,38 @@ def test_sweep13_closures():
             "toIntervalHour(2)) FROM t")
 
 
+def test_sweep14_closures(spark):
+    """Sweep-14 pins: hasSubsequence walks the haystack in order
+    (empty needle matches, exhausted haystack doesn't), the
+    CaseInsensitive/UTF8 variants alias through lower()/the base,
+    index-returning multiMatch variants give 1-based indices (0 /
+    empty array when nothing matches), accurateCastOrZero yields the
+    type's zero value, and fuzzy matching fails fast."""
+    row = spark.sql(translate_clickhouse_sql(
+        "SELECT hasSubsequence('garbage', 'gab') AS a, "
+        "hasSubsequence('garbage', 'eg') AS b, "
+        "hasSubsequence('garbage', '') AS c, "
+        "hasSubsequence('', 'x') AS d, "
+        "hasSubsequenceCaseInsensitive('GarBage', 'gab') AS e, "
+        "hasSubsequenceUTF8('héllo wörld', 'hw') AS f2, "
+        "multiMatchAnyIndex('hello', ['x[yz]', 'l+o$', 'h.']) AS i1, "
+        "multiMatchAllIndices('hello', ['x[yz]', 'l+o$', 'h.']) AS "
+        "i2, multiMatchAnyIndex('hello', ['xx']) AS i3, "
+        "multiMatchAllIndices('hello', ['xx']) AS i4, "
+        "accurateCastOrZero('12x', 'Int64') AS z1, "
+        "accurateCastOrZero('7', 'Int32') AS z2, "
+        "accurateCastOrZero('x', 'Date') AS z3"
+    )).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e, row.f2) == (
+        True, False, True, False, True, True)
+    assert row.i1 == 2 and row.i2 == [2, 3]
+    assert row.i3 == 0 and row.i4 == []
+    assert row.z1 == 0 and row.z2 == 7 and str(row.z3) == "1970-01-01"
+    with pytest.raises(UnsupportedClickHouseSQL, match="fuzzy"):
+        translate_clickhouse_sql(
+            "SELECT multiFuzzyMatchAny(s, 2, ['ab']) FROM t")
+
+
 def test_dialect_md_battery_count_matches():
     """docs/DIALECT.md cites the probe-battery size; the number is
     asserted against ``len(leak_probe.PROBES)`` so the docs can't

@@ -1145,6 +1145,51 @@ CORPUS: list[tuple[str, str, str]] = [
         """,
     ),
     (
+        # sweep-14 compiles: hasSubsequence (in-order char walk via a
+        # locate() fold), the index-returning multiMatch variants
+        # (1-based; 0 / empty when nothing matches), and
+        # accurateCastOrZero — graded against DuckDB regexp oracles
+        # (safe here: literal alphanumeric needles)
+        "subsequence_multimatch",
+        """
+        SELECT event_type,
+               countIf(hasSubsequence(event_type, 'ik')) AS n_ik,
+               countIf(hasSubsequenceCaseInsensitive(event_type, 'CE'))
+                   AS n_ce,
+               multiMatchAnyIndex(event_type, ['gnu', 'r+or', '^si'])
+                   AS re_idx,
+               arrayStringConcat(arrayMap(mi -> toString(mi),
+                   multiMatchAllIndices(event_type, ['c', 'e$', 'i'])),
+                   ',') AS re_all,
+               accurateCastOrZero(substring(event_type, 1, 1), 'Int64')
+                   AS z
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+        """,
+        """
+        SELECT event_type,
+               count(*) FILTER (WHERE regexp_matches(event_type,
+                   'i.*k')) AS n_ik,
+               count(*) FILTER (WHERE regexp_matches(lower(event_type),
+                   'c.*e')) AS n_ce,
+               CASE WHEN regexp_matches(event_type, 'gnu') THEN 1
+                    WHEN regexp_matches(event_type, 'r+or') THEN 2
+                    WHEN regexp_matches(event_type, '^si') THEN 3
+                    ELSE 0 END AS re_idx,
+               coalesce(array_to_string(list_filter(
+                   [CASE WHEN regexp_matches(event_type, 'c')
+                         THEN 1 ELSE 0 END,
+                    CASE WHEN regexp_matches(event_type, 'e$')
+                         THEN 2 ELSE 0 END,
+                    CASE WHEN regexp_matches(event_type, 'i')
+                         THEN 3 ELSE 0 END],
+                   v -> v > 0), ','), '') AS re_all,
+               0 AS z
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    (
         # sweep-11 compile: timeSeriesGroupArray collects (ts, value)
         # tuples sorted by timestamp ascending (ties break on value —
         # the col1/col2 struct sort).  Pinned end-to-end by surfacing
