@@ -2348,7 +2348,11 @@ def _combinator_stack_guard(name: str) -> None:
         if m is None:
             break
         base = base[: m.start()]
-        if base in _COMBINATOR_BASES:
+        # a known base, OR any handled spelling (quantileExactArgMin
+        # strips to the handled quantileExact): both mean the name is
+        # base+combinator, and a clean fail-fast beats an unresolved-
+        # routine leak
+        if base in _COMBINATOR_BASES or base in _PLAIN:
             hit = True
             break
     if hit:
@@ -5381,6 +5385,14 @@ _PLAIN.update({
         "corrMatrix is a matrix-valued aggregate — compute the "
         "pairwise corr(x, y) columns explicitly"
     ),
+    "covarpopmatrix": lambda a: _scalar_fail(
+        "covarPopMatrix is a matrix-valued aggregate — compute the "
+        "pairwise covar_pop(x, y) columns explicitly"
+    ),
+    "covarsampmatrix": lambda a: _scalar_fail(
+        "covarSampMatrix is a matrix-valued aggregate — compute the "
+        "pairwise covar_samp(x, y) columns explicitly"
+    ),
     "cramersv": _engine_pointer_text(
         "cramersV",
         "contingency-table association is an engine operator — "
@@ -5774,6 +5786,19 @@ _PLAIN.update({
     ),
     # nothing(x) is ClickHouse's Nothing-typed NULL
     "nothing": lambda a: "NULL",
+    # typed nothing variants: nothingNull is NULL, nothingUInt64 is
+    # the UInt64 default value
+    "nothinguint64": lambda a: "CAST(0 AS BIGINT)",
+    # SQL-compat aggregate aliases that are ALSO Spark built-ins with
+    # identical semantics — registered self-entries so the probe
+    # classifier can tell deliberate passthroughs from leaks
+    "bit_and": lambda a: f"bit_and({', '.join(a)})",
+    "bit_or": lambda a: f"bit_or({', '.join(a)})",
+    "bit_xor": lambda a: f"bit_xor({', '.join(a)})",
+    "stddev_pop": lambda a: f"stddev_pop({', '.join(a)})",
+    "stddev_samp": lambda a: f"stddev_samp({', '.join(a)})",
+    "var_pop": lambda a: f"var_pop({', '.join(a)})",
+    "var_samp": lambda a: f"var_samp({', '.join(a)})",
     # --- seventh probe sweep: operator spellings / misc tail ---
     # same-name Spark built-ins, registered as deliberate passthrough
     "abs": lambda a: f"abs({a[0]})",
@@ -6617,7 +6642,9 @@ _PLAIN.update({
             "(ext.sketches.heavy_hitters / q_heavy_hitters)"
         )))(n)
         for n in ("topK", "topKWeighted", "approxTopK",
-                  "approxTopSum", "approxTopCount")
+                  "approxTopSum", "approxTopCount",
+                  "approx_top_k", "approx_top_sum",
+                  "approx_top_count")
     },
     "uniqupto": lambda a: _scalar_fail(
         "uniqUpTo is parametric-only — uniqUpTo(N)(x) compiles to "

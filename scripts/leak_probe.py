@@ -969,6 +969,56 @@ PROBES: dict[str, str] = {
     "format": "SELECT format('{} {}', s, s1) FROM t",
     "base64URLDecode": "SELECT base64URLDecode(s) FROM t",
     "tryBase64URLDecode": "SELECT tryBase64URLDecode(s) FROM t",
+    # --- fifteenth sweep: SQL-compat aggregate aliases (Spark
+    # same-name built-ins, registered self-entries), approx_top_*
+    # snake aliases, matrix aggregates, typed nothing, and the
+    # -ArgMin/-ArgMax-on-any-handled-base guard generalization
+    # (quantileExactArgMin stripped to the HANDLED quantileExact but
+    # the base list didn't know it) ---
+    "BIT_AND": "SELECT BIT_AND(x) FROM t",
+    "BIT_OR": "SELECT BIT_OR(x) FROM t",
+    "BIT_XOR": "SELECT BIT_XOR(x) FROM t",
+    "STDDEV_POP": "SELECT STDDEV_POP(x) FROM t",
+    "STDDEV_SAMP": "SELECT STDDEV_SAMP(x) FROM t",
+    "VAR_POP": "SELECT VAR_POP(x) FROM t",
+    "VAR_SAMP": "SELECT VAR_SAMP(x) FROM t",
+    "approx_top_k": "SELECT approx_top_k(x) FROM t",
+    "approx_top_count": "SELECT approx_top_count(x) FROM t",
+    "approx_top_sum": "SELECT approx_top_sum(x, w) FROM t",
+    "covarPopMatrix": "SELECT covarPopMatrix(f2, f2) FROM t",
+    "covarSampMatrix": "SELECT covarSampMatrix(f2, f2) FROM t",
+    "nothingUInt64": "SELECT nothingUInt64(x) FROM t",
+    "nothingNull": "SELECT nothingNull(x) FROM t",
+    "quantileExactArgMin": "SELECT quantileExactArgMin(x) FROM t",
+    "quantileTimingArgMax": "SELECT quantileTimingArgMax(x) FROM t",
+    # sweep-15 sibling pins, clean on first probe
+    "quantiles_param": "SELECT quantiles(0.5, 0.9)(x) FROM t",
+    "quantilesExact_param": "SELECT quantilesExact(0.5, 0.9)(x) FROM t",
+    "quantilesTiming_param":
+        "SELECT quantilesTiming(0.5, 0.9)(x) FROM t",
+    "quantilesTDigest_param":
+        "SELECT quantilesTDigest(0.5, 0.9)(x) FROM t",
+    "anySimpleState": "SELECT anySimpleState(x) FROM t",
+    "avgArray": "SELECT avgArray(a) FROM t",
+    "avgDistinct": "SELECT avgDistinct(x) FROM t",
+    "avgOrNull": "SELECT avgOrNull(x) FROM t",
+    "corrStable": "SELECT corrStable(x, y) FROM t",
+    "countArray": "SELECT countArray(a) FROM t",
+    "countDistinct": "SELECT countDistinct(x) FROM t",
+    "countOrNull": "SELECT countOrNull(x) FROM t",
+    "covarPopStable": "SELECT covarPopStable(x, y) FROM t",
+    "covarSampStable": "SELECT covarSampStable(x, y) FROM t",
+    "groupUniqArrayArray": "SELECT groupUniqArrayArray(a) FROM t",
+    "maxOrNull": "SELECT maxOrNull(x) FROM t",
+    "stddevPopStable": "SELECT stddevPopStable(x) FROM t",
+    "stddevSampStable": "SELECT stddevSampStable(x) FROM t",
+    "sumDistinct": "SELECT sumDistinct(x) FROM t",
+    "sumIfOrNull": "SELECT sumIfOrNull(x, x > 1) FROM t",
+    "sumMappedArrays": "SELECT sumMappedArrays(a, a2) FROM t",
+    "sumOrDefault": "SELECT sumOrDefault(x) FROM t",
+    "sumOrNull": "SELECT sumOrNull(x) FROM t",
+    "varPopStable": "SELECT varPopStable(x) FROM t",
+    "varSampStable": "SELECT varSampStable(x) FROM t",
 }
 
 # ---------------------------------------------------------------------------

@@ -3901,6 +3901,33 @@ def test_sweep14_closures(spark):
             "SELECT multiFuzzyMatchAny(s, 2, ['ab']) FROM t")
 
 
+def test_sweep15_closures(spark):
+    """Sweep-15 pins: SQL-compat aggregate aliases pass through to
+    Spark's identical built-ins as registered self-entries; the
+    snake-case approx_top_* aliases fail fast like topK; the matrix
+    aggregates fail fast; nothingUInt64 is the typed default; and the
+    combinator guard now catches -ArgMin/-ArgMax on ANY handled base,
+    not just the fixed base list."""
+    row = spark.sql(translate_clickhouse_sql(
+        "SELECT BIT_AND(x) AS ba, BIT_OR(x) AS bo, BIT_XOR(x) AS bx, "
+        "STDDEV_POP(x) AS sp, VAR_SAMP(x) AS vs, "
+        "nothingUInt64(x) AS nu, nothingNull(x) AS nn FROM "
+        "(SELECT 6 AS x UNION ALL SELECT 3)"
+    )).collect()[0]
+    assert (row.ba, row.bo, row.bx) == (2, 7, 5)
+    assert row.sp == 1.5 and row.vs == 4.5
+    assert row.nu == 0 and row.nn is None
+    for bad, frag in (
+        ("approx_top_k(x)", "heavy-hitters"),
+        ("approx_top_sum(x, w)", "heavy-hitters"),
+        ("covarPopMatrix(f, f)", "matrix-valued"),
+        ("quantileExactArgMin(x)", "combinator stack"),
+        ("quantileTimingArgMax(x)", "combinator stack"),
+    ):
+        with pytest.raises(UnsupportedClickHouseSQL, match=frag):
+            translate_clickhouse_sql(f"SELECT {bad} FROM t")
+
+
 def test_dialect_md_battery_count_matches():
     """docs/DIALECT.md cites the probe-battery size; the number is
     asserted against ``len(leak_probe.PROBES)`` so the docs can't
