@@ -4170,6 +4170,11 @@ _PLAIN = {
         "detectCharset: charset detection models are not in the "
         "supported surface"
     ),
+    "convertcharset": lambda a: _scalar_fail(
+        "convertCharset re-encodes ClickHouse byte-Strings; Spark "
+        "strings are UTF-8 — use encode()/decode() on a BINARY "
+        "column explicitly"
+    ),
     "obfuscatequeries": lambda a: _scalar_fail(
         "obfuscateQueries is query-log tooling — not a data-plane "
         "function"

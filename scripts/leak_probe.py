@@ -1019,6 +1019,28 @@ PROBES: dict[str, str] = {
     "sumOrNull": "SELECT sumOrNull(x) FROM t",
     "varPopStable": "SELECT varPopStable(x) FROM t",
     "varSampStable": "SELECT varSampStable(x) FROM t",
+    # --- sixteenth sweep: convertCharset + introspection/date pins ---
+    "convertCharset":
+        "SELECT convertCharset(s, 'UTF-8', 'latin1') FROM t",
+    "toStartOfMicrosecond":
+        "SELECT toStartOfMicrosecond(toDateTime64(ts, 6)) FROM t",
+    "toStartOfMillisecond":
+        "SELECT toStartOfMillisecond(toDateTime64(ts, 3)) FROM t",
+    "toStartOfNanosecond":
+        "SELECT toStartOfNanosecond(toDateTime64(ts, 9)) FROM t",
+    "normalizeUTF8NFKC": "SELECT normalizeUTF8NFKC(s) FROM t",
+    "normalizeUTF8NFKD": "SELECT normalizeUTF8NFKD(s) FROM t",
+    "buildId": "SELECT buildId() FROM t",
+    "connectionId": "SELECT connectionId() FROM t",
+    "currentSchemas": "SELECT currentSchemas(true) FROM t",
+    "getClientHTTPHeader":
+        "SELECT getClientHTTPHeader('user-agent') FROM t",
+    "getSettingOrDefault":
+        "SELECT getSettingOrDefault('max_threads', 1) FROM t",
+    "initialQueryID": "SELECT initialQueryID() FROM t",
+    "initialQueryStartTime": "SELECT initialQueryStartTime() FROM t",
+    "partitionID": "SELECT partitionID(x) FROM t",
+    "showCertificate": "SELECT showCertificate() FROM t",
 }
 
 # ---------------------------------------------------------------------------
