@@ -3203,10 +3203,19 @@ _PLAIN = {
     # subquery exposing ClickHouse's `number` column; valid exactly
     # where ClickHouse allows it (FROM position).  Before round 12 the
     # call passed through verbatim and died as an unresolved Spark TVF.
+    # generate_series/generateSeries and values() compile the same way
+    # (sweep 17); see _generate_series_tf/_values_tf.
     "numbers": lambda a: (
         f"(SELECT id AS number FROM range({a[0]}))" if len(a) == 1
         else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
     ),
+    # generate_series / generateSeries (ClickHouse 23.x+): INCLUSIVE
+    # bounds (unlike numbers()); the single result column is named
+    # generate_series in both spellings
+    "generate_series": lambda a: _generate_series_tf(a),
+    "generateseries": lambda a: _generate_series_tf(a),
+    # the values('schema', rows...) table function → a VALUES subquery
+    "values": lambda a: _values_tf(a),
     "ignore": lambda a: "0",
     # untuple expands a struct in the SELECT list — Spark's s.* does
     # exactly that (select-list-only in both engines)
@@ -6016,6 +6025,55 @@ def _accurate_cast_or_null(a: list[str]) -> str:
             f"{sorted(_CH_CAST_TYPES)}"
         )
     return f"TRY_CAST({a[0]} AS {spark_t})"
+
+
+def _generate_series_tf(a: list[str]) -> str:
+    """generate_series(start, stop[, step]) — INCLUSIVE stop (unlike
+    numbers()); the result column is named generate_series for both
+    the snake and camel spellings, per ClickHouse."""
+    if len(a) not in (2, 3):
+        raise UnsupportedClickHouseSQL(
+            "generate_series expects (start, stop[, step])"
+        )
+    step = a[2] if len(a) == 3 else "1"
+    return (
+        f"(SELECT explode(sequence({a[0]}, {a[1]}, {step})) "
+        f"AS generate_series)"
+    )
+
+
+def _values_tf(a: list[str]) -> str:
+    """The values() TABLE function.  The schema-string form
+    ``values('x Int64, y String', (1, 'a'), ...)`` becomes a VALUES
+    subquery with the declared column names; the schema-less form
+    re-emits a plain VALUES row list (Spark's own syntax), leaving
+    any trailing rows/alias outside the parsed call intact."""
+    if not a:
+        raise UnsupportedClickHouseSQL("values() needs arguments")
+    head = a[0].strip()
+    if head[:1] not in ("'", '"'):
+        return f"VALUES ({', '.join(a)})"
+    cols = []
+    for pair in head.strip("'\"").split(","):
+        parts = pair.strip().split()
+        if len(parts) < 2:
+            raise UnsupportedClickHouseSQL(
+                "values(): the first argument must be a "
+                "'name Type, ...' structure string"
+            )
+        cols.append(parts[0])
+    rows = [
+        r.strip() if r.strip().startswith("(") else f"({r.strip()})"
+        for r in a[1:]
+    ]
+    if not rows:
+        raise UnsupportedClickHouseSQL(
+            "values('schema') needs at least one row"
+        )
+    return (
+        f"(SELECT * FROM VALUES {', '.join(rows)} "
+        f"AS __values_tf({', '.join(cols)}))"
+    )
 
 
 def _accurate_cast_or_zero(a: list[str]) -> str:
@@ -9680,8 +9738,35 @@ def _fail_clause_leaks(s: str) -> None:
     return None
 
 
+def _rewrite_system_tables(s: str) -> str:
+    """``system.one`` is ClickHouse's 1-row dual (column dummy = 0);
+    the other system.* tables are server introspection — fail fast
+    with a pointer instead of dying as an unresolved Spark table
+    (the unbounded numbers/zeros tables point at numbers(N))."""
+    s = re.sub(
+        r"(?i)\bsystem\.one\b",
+        "(SELECT CAST(0 AS TINYINT) AS dummy)",
+        s,
+    )
+    m = re.search(r"(?i)\bsystem\.([a-z_0-9]+)", s)
+    if m:
+        t = m.group(1).lower()
+        if t in ("numbers", "numbers_mt", "zeros", "zeros_mt"):
+            raise UnsupportedClickHouseSQL(
+                f"system.{t} is an UNBOUNDED generator table — use "
+                "the numbers(N) table function (compiled to range())"
+            )
+        raise UnsupportedClickHouseSQL(
+            f"system.{t}: server-introspection tables are not in the "
+            "supported surface — this engine's catalog is the Spark "
+            "session catalog"
+        )
+    return s
+
+
 def _rewrite_clauses(s: str, final_keys) -> str:
     _fail_with_fill(s)
+    s = _rewrite_system_tables(s)
     s = _star_modifiers(s)
     _fail_clause_leaks(s)
     s = _map_colon_casts(s)

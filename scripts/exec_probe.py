@@ -108,6 +108,16 @@ AS t(s, s1, s2, st, txt, msg,
 # at runtime).  The override exercises the same spelling's HAPPY path
 # with typed literals — the compile under test is identical.
 EXEC_OVERRIDES: dict[str, str] = {
+    # table functions are FROM-position constructs — the battery's
+    # SELECT-position probe is translate-level only; exec them where
+    # ClickHouse allows them (count() keeps classify()'s SELECT-name(
+    # anchor on a registered passthrough)
+    "generate_series_tf":
+        "SELECT count(generate_series) FROM generate_series(1, 10)",
+    "generateSeries_tf":
+        "SELECT count(generate_series) FROM generateSeries(1, 10, 2)",
+    "values_tf": "SELECT count(k) FROM values('k Int64', (1), (2))",
+    "numbers_tf": "SELECT count(number) FROM numbers(10)",
     # strict-parse conversions: ClickHouse also throws on malformed
     # input, so the happy path is the runtime contract to pin
     "toInt8": "SELECT toInt8('42') FROM t",

@@ -1041,6 +1041,13 @@ PROBES: dict[str, str] = {
     "initialQueryStartTime": "SELECT initialQueryStartTime() FROM t",
     "partitionID": "SELECT partitionID(x) FROM t",
     "showCertificate": "SELECT showCertificate() FROM t",
+    # --- seventeenth sweep: generator/values table functions (the
+    # FROM-position twins of the numbers() compile); system.* tables
+    # are pinned in test_dialect.py (not name( probes) ---
+    "generate_series_tf": "SELECT generate_series(1, 10) FROM t",
+    "generateSeries_tf": "SELECT generateSeries(1, 10, 2) FROM t",
+    "values_tf": "SELECT values('k Int64', (1), (2)) FROM t",
+    "numbers_tf": "SELECT numbers(10) FROM t",
 }
 
 # ---------------------------------------------------------------------------

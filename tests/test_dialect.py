@@ -3928,6 +3928,40 @@ def test_sweep15_closures(spark):
             translate_clickhouse_sql(f"SELECT {bad} FROM t")
 
 
+def test_sweep17_table_functions(spark):
+    """Sweep-17 pins: generate_series/generateSeries compile to an
+    inclusive explode(sequence()) subquery with ClickHouse's
+    generate_series column name; the values() table function's
+    schema-string form becomes a named VALUES subquery (bare-scalar
+    single-column rows wrap); system.one is the 1-row dual while the
+    other system.* tables fail fast — and Spark's own
+    ``FROM VALUES ... AS t(x)`` spelling passes through untouched."""
+    assert [r[0] for r in spark.sql(translate_clickhouse_sql(
+        "SELECT generate_series FROM generate_series(2, 5)"
+    )).collect()] == [2, 3, 4, 5]
+    assert [r[0] for r in spark.sql(translate_clickhouse_sql(
+        "SELECT generate_series FROM generateSeries(1, 7, 3)"
+    )).collect()] == [1, 4, 7]
+    rows = spark.sql(translate_clickhouse_sql(
+        "SELECT x, y FROM values('x Int64, y String', (1, 'a'), "
+        "(2, 'b')) ORDER BY x"
+    )).collect()
+    assert [(r.x, r.y) for r in rows] == [(1, "a"), (2, "b")]
+    assert sorted(r.k for r in spark.sql(translate_clickhouse_sql(
+        "SELECT k FROM values('k Int64', 1, 2, 3)"
+    )).collect()) == [1, 2, 3]
+    assert spark.sql(translate_clickhouse_sql(
+        "SELECT dummy FROM system.one"
+    )).collect()[0].dummy == 0
+    passthrough = translate_clickhouse_sql(
+        "SELECT * FROM VALUES (1), (2) AS vt(x)")
+    assert sorted(r.x for r in spark.sql(passthrough).collect()) == [1, 2]
+    with pytest.raises(UnsupportedClickHouseSQL, match="UNBOUNDED"):
+        translate_clickhouse_sql("SELECT * FROM system.numbers LIMIT 5")
+    with pytest.raises(UnsupportedClickHouseSQL, match="introspection"):
+        translate_clickhouse_sql("SELECT * FROM system.parts")
+
+
 def test_dialect_md_battery_count_matches():
     """docs/DIALECT.md cites the probe-battery size; the number is
     asserted against ``len(leak_probe.PROBES)`` so the docs can't
