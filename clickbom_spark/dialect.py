@@ -4424,6 +4424,11 @@ _PLAIN = {
     ),
     # --- encodings ---
     "char": _char_codes,
+    # documented char alias
+    "chr": _char_codes,
+    # same-name Spark built-in with identical semantics, registered
+    # so the probe classifier can tell it from a leak
+    "coalesce": lambda a: f"coalesce({', '.join(a)})",
     "format": _format_braces,
     "base58encode": lambda a: _scalar_fail(
         "base58Encode: no Spark builtin for Base58 — base64() is "
@@ -5684,6 +5689,16 @@ _PLAIN.update({
     ),
     "mapextractkeylike": lambda a: (
         f"map_filter({a[0]}, (mekk, mekv) -> mekk LIKE {a[1]})"
+    ),
+    # the value-side twins (ClickHouse 25.x)
+    "mapcontainsvalue": lambda a: (
+        f"array_contains(map_values({a[0]}), {a[1]})"
+    ),
+    "mapcontainsvaluelike": lambda a: (
+        f"exists(map_values({a[0]}), mcvl -> mcvl LIKE {a[1]})"
+    ),
+    "mapextractvaluelike": lambda a: (
+        f"map_filter({a[0]}, (mevk, mevv) -> mevv LIKE {a[1]})"
     ),
     # --- fifth probe sweep ---
     "mediantdigest": lambda a: f"percentile_approx({a[0]}, 0.5)",

@@ -422,7 +422,6 @@ PROBES: dict[str, str] = {
     "leadInFrame": "SELECT leadInFrame(x, 1) OVER (ORDER BY y) FROM t",
     "nth_value": "SELECT nth_value(x, 2) OVER (ORDER BY y) FROM t",
     # --- r13 approximate-spelling policy extensions ---
-    "quantileGK": "SELECT quantileGK(100)(x) FROM t",
     "quantileGK_level": "SELECT quantileGK(100, 0.9)(x) FROM t",
     "quantilesGK": "SELECT quantilesGK(100, 0.5, 0.9)(x) FROM t",
     "uniqThetaState": "SELECT uniqThetaState(x) FROM t",
@@ -895,20 +894,9 @@ PROBES: dict[str, str] = {
     "dictGetDescendants": "SELECT dictGetDescendants('d', x) FROM t",
     "dictGetChildren": "SELECT dictGetChildren('d', x) FROM t",
     "domainWithoutWWWRFC": "SELECT domainWithoutWWWRFC(u) FROM t",
-    "topLevelDomainRFC": "SELECT topLevelDomainRFC(u) FROM t",
-    "portRFC": "SELECT portRFC(u) FROM t",
-    "URLPathHierarchy": "SELECT URLPathHierarchy(s) FROM t",
-    "catboostEvaluate": "SELECT catboostEvaluate('m.bin', x) FROM t",
-    "hasColumnInTable":
-        "SELECT hasColumnInTable('db', 't', 'x') FROM t",
     "indexHint": "SELECT indexHint(x > 1) FROM t",
-    "replicate": "SELECT replicate(1, a) FROM t",
     "sleepEachRow": "SELECT sleepEachRow(0.1) FROM t",
     "rowNumberInBlock": "SELECT rowNumberInBlock() FROM t",
-    "isConstant": "SELECT isConstant(x) FROM t",
-    "formatReadableDecimalSize":
-        "SELECT formatReadableDecimalSize(x) FROM t",
-    "parseReadableSize": "SELECT parseReadableSize('1 MiB') FROM t",
     "parseReadableSizeOrNull":
         "SELECT parseReadableSizeOrNull('1 MiB') FROM t",
     "parseReadableSizeOrZero":
@@ -916,14 +904,7 @@ PROBES: dict[str, str] = {
     "toIntervalNanosecond": "SELECT toIntervalNanosecond(1) FROM t",
     "subtractTupleOfIntervals":
         "SELECT subtractTupleOfIntervals(d, (toIntervalDay(1),)) FROM t",
-    "anyHeavy": "SELECT anyHeavy(x) FROM t",
-    "groupArrayLast": "SELECT groupArrayLast(3)(x) FROM t",
     "groupArrayIntersect": "SELECT groupArrayIntersect(a) FROM t",
-    "groupConcat": "SELECT groupConcat(',')(s) FROM t",
-    "singleValueOrNull": "SELECT singleValueOrNull(x) FROM t",
-    "aggThrow": "SELECT aggThrow(0.5) FROM t",
-    "categoricalInformationValue":
-        "SELECT categoricalInformationValue(x, y) FROM t",
     "stochasticLogisticRegression":
         "SELECT stochasticLogisticRegression(x, y) FROM t",
     # --- fourteenth sweep: subsequence search, index-returning
@@ -1048,6 +1029,19 @@ PROBES: dict[str, str] = {
     "generateSeries_tf": "SELECT generateSeries(1, 10, 2) FROM t",
     "values_tf": "SELECT values('k Int64', (1), (2)) FROM t",
     "numbers_tf": "SELECT numbers(10) FROM t",
+    # --- eighteenth sweep: chr alias, coalesce self-entry, map
+    # value-side twins, plus core array/map/bit sibling pins ---
+    "chr": "SELECT chr(72) FROM t",
+    "coalesce": "SELECT coalesce(x, y, 0) FROM t",
+    "mapContainsValue": "SELECT mapContainsValue(m, 1) FROM t",
+    "mapContainsValueLike":
+        "SELECT mapContainsValueLike(map('k', '10'), '1%') FROM t",
+    "mapExtractValueLike":
+        "SELECT mapExtractValueLike(map('k', '10'), '1%') FROM t",
+    "emptyArrayFloat64": "SELECT emptyArrayFloat64() FROM t",
+    "emptyArrayDateTime": "SELECT emptyArrayDateTime() FROM t",
+    "arrayReverseSort": "SELECT arrayReverseSort(a) FROM t",
+    "bitRotateRight": "SELECT bitRotateRight(x, 2) FROM t",
 }
 
 # ---------------------------------------------------------------------------

@@ -3962,6 +3962,25 @@ def test_sweep17_table_functions(spark):
         translate_clickhouse_sql("SELECT * FROM system.parts")
 
 
+def test_sweep18_closures(spark):
+    """Sweep-18 pins: chr aliases char (multi-code concat), coalesce
+    is a registered same-name passthrough, and the map value-side
+    twins (mapContainsValue / mapContainsValueLike /
+    mapExtractValueLike) compile over map_values/map_filter."""
+    row = spark.sql(translate_clickhouse_sql(
+        "SELECT chr(72) AS c1, chr(72, 105) AS c2, "
+        "coalesce(NULL, 7) AS co, "
+        "mapContainsValue(map('a', 10, 'b', 20), 20) AS mv, "
+        "mapContainsValue(map('a', 10), 99) AS mv0, "
+        "mapContainsValueLike(map('a', '10', 'b', 'x'), '1%') AS ml, "
+        "mapKeys(mapExtractValueLike(map('a', '10', 'b', 'x'), '1%')) "
+        "AS mk"
+    )).collect()[0]
+    assert row.c1 == "H" and row.c2 == "Hi" and row.co == 7
+    assert row.mv is True and row.mv0 is False and row.ml is True
+    assert row.mk == ["a"]
+
+
 def test_dialect_md_battery_count_matches():
     """docs/DIALECT.md cites the probe-battery size; the number is
     asserted against ``len(leak_probe.PROBES)`` so the docs can't

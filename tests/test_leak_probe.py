@@ -33,6 +33,27 @@ def test_plain_has_no_duplicate_keys():
     assert leak_probe.plain_duplicate_keys() == {}
 
 
+def test_probes_literal_has_no_duplicate_keys():
+    """The PROBES dict literal itself is subject to the same silent
+    duplicate-key shadowing as _PLAIN — a sweep that re-adds an
+    already-probed spelling hides the earlier entry and skews the
+    battery count (26 such shadows were scrubbed in round 14)."""
+    import ast
+    import collections
+    src = (Path(__file__).resolve().parent.parent
+           / "scripts" / "leak_probe.py").read_text()
+    for node in ast.walk(ast.parse(src)):
+        if (isinstance(node, ast.AnnAssign)
+                and getattr(node.target, "id", "") == "PROBES"):
+            keys = [k.value for k in node.value.keys
+                    if isinstance(k, ast.Constant)]
+            dupes = [k for k, c in collections.Counter(keys).items()
+                     if c > 1]
+            assert dupes == [], f"duplicate PROBES keys: {dupes}"
+            return
+    raise AssertionError("PROBES literal not found")
+
+
 def test_judges_six_are_closed():
     """The specific round-12 judge findings, by name."""
     for label in (
