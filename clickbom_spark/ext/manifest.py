@@ -49,6 +49,17 @@ def _mdir(path: str) -> str:
     return os.path.join(path, _MANIFEST_DIR)
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Exact row count of one parquet file from its footer — metadata
+    only, no data pages read.  Commit-time n_rows accounting reads the
+    footers of just the files NEW to the snapshot (O(changed files),
+    the Delta/Iceberg per-file-stats idea) instead of launching a
+    Spark count job over the whole live set on every commit."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
 def _write_json_atomic(target: str, payload: dict) -> None:
     tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -173,7 +184,7 @@ class VersionedLake:
     def _commit(
         self,
         files: list[str],
-        n_rows: int,
+        n_rows: int | None,
         message: str,
         based_on: list[str] | None = None,
         epoch: int | None = None,
@@ -194,8 +205,20 @@ class VersionedLake:
         payload sections into THIS commit atomically (used by
         :func:`branch` so the carried schema/constraints publish with
         the data snapshot, never in a separate commit a crash could
-        split off)."""
+        split off).
+
+        ``n_rows=None`` derives the snapshot row count from per-file
+        footer counts carried in the manifest (``file_rows``): counts
+        for files already in the previous snapshot carry forward, only
+        files NEW to this snapshot get a footer read — O(changed
+        files) metadata work per commit, replacing the full-table
+        count job every mutation used to run.  When ``n_rows`` is
+        given explicitly the map is still carried forward if the
+        previous snapshot covers every live file, but no footer reads
+        happen (so :func:`branch` stays metadata-only: its v0
+        references the source's files without touching them)."""
         rel = sorted(os.path.relpath(f, self.path) for f in files)
+        derive_rows = n_rows is None
         while True:
             # incremental zone-map maintenance: if the PREVIOUS snapshot
             # carried stats, carry untouched files' entries forward and
@@ -232,12 +255,31 @@ class VersionedLake:
                     "snapshot"
                 )
             v = (prev["version"] if prev else -1) + 1
+            prev_rows = prev.get("file_rows") if prev else None
+            file_rows: dict | None = None
+            if derive_rows or prev_rows is not None:
+                carried_rows = {
+                    f: prev_rows[f]
+                    for f in rel
+                    if prev_rows and f in prev_rows
+                }
+                missing = [f for f in rel if f not in carried_rows]
+                if derive_rows or not missing:
+                    for f in missing:
+                        carried_rows[f] = _parquet_num_rows(
+                            os.path.normpath(os.path.join(self.path, f))
+                        )
+                    file_rows = carried_rows
+            if derive_rows:
+                n_rows = sum(file_rows.values())
             payload = {
                 "version": v,
                 "files": rel,
                 "n_rows": n_rows,
                 "message": message,
             }
+            if file_rows is not None:
+                payload["file_rows"] = file_rows
             if prev and prev.get("schema_extras"):
                 payload["schema_extras"] = prev["schema_extras"]
             if prev and prev.get("renames"):
@@ -382,8 +424,10 @@ class VersionedLake:
         os.rmdir(staged)
         lake = cls(spark, path, store=store)
         # an empty manifest dir resolves to version -1, so the first
-        # commit lands as v0 with no bootstrap pointer needed
-        lake._commit(files, df.count(), "create")
+        # commit lands as v0 with no bootstrap pointer needed; n_rows
+        # comes from the written files' footers (None -> derive), so
+        # the input DataFrame is computed exactly once (the write)
+        lake._commit(files, None, "create")
         return lake
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -577,9 +621,8 @@ class VersionedLake:
                     out, enforce=base.get("constraints", {})
                 )
             live = untouched + new_files
-            n = self.spark.read.parquet(*live).count() if live else 0
             return self._commit(
-                live, n, "update",
+                live, None, "update",
                 based_on=base["files"],
                 based_on_constraints=base.get("constraints", {}),
             )
@@ -620,9 +663,8 @@ class VersionedLake:
                     enforce=base.get("constraints", {}),
                 )
             live = untouched + new_files
-            n = self.spark.read.parquet(*live).count() if live else 0
             return self._commit(
-                live, n, "delete",
+                live, None, "delete",
                 based_on=base["files"],
                 based_on_constraints=base.get("constraints", {}),
             )
@@ -637,6 +679,7 @@ class VersionedLake:
         epoch: int | None = None,
         cluster_by: list[str] | None = None,
         cluster_partitions: int = 2,
+        keys_unique: bool = False,
     ) -> int:
         """MERGE by key; ``message``/``epoch`` let a streaming sink
         publish its idempotency marker in the SAME atomic manifest swap
@@ -649,26 +692,48 @@ class VersionedLake:
         zone maps selective on them (:func:`read_pruned` can then skip
         whole files).  Set ``cluster_partitions`` ≥ the expected
         distinct cluster values (2 covers a boolean flag).  This is a
-        layout hint only: results are identical either way."""
-        keys = changes.select(*key_cols).groupBy(*key_cols).agg(
-            F.count(F.lit(1)).alias("_n")
-        )
-        if keys.where(F.col("_n") > 1).limit(1).collect():
-            raise ValueError("upsert: duplicate keys in change set")
-        key_frame = keys.drop("_n")
+        layout hint only: results are identical either way.
+
+        ``keys_unique=True`` asserts the caller guarantees one row per
+        key (e.g. the change set IS a ``groupBy(key_cols)`` result or
+        ends in ``.distinct()`` over them) and skips the duplicate-key
+        validation job — one fewer pass over the change set for the
+        streaming sinks that rebuild their state per epoch."""
+        if keys_unique:
+            keys = None
+            key_frame = changes.select(*key_cols)
+        else:
+            # The distinct-key frame is consumed again after the
+            # duplicate check (the probe's broadcast, and once more per
+            # conflict retry): persist it so the change set is
+            # aggregated once, not once per consumer.  Working set =
+            # one row per changed key.
+            keys = changes.select(*key_cols).groupBy(*key_cols).agg(
+                F.count(F.lit(1)).alias("_n")
+            ).persist()
+            if keys.where(F.col("_n") > 1).limit(1).collect():
+                keys.unpersist()
+                raise ValueError("upsert: duplicate keys in change set")
+            key_frame = keys.drop("_n")
 
         def attempt() -> int:
             base = self._manifest()
             files = [os.path.normpath(os.path.join(self.path, f))
                      for f in base["files"]]
             lake = self._read_files(files, version=base["version"])
-            probe = (
-                lake.withColumn("_f", F.input_file_name())
-                .join(F.broadcast(key_frame), key_cols, "left_semi")
-                .select("_f")
-                .distinct()
-                .collect()
-            )
+            if base.get("n_rows") == 0:
+                # metadata shortcut: an empty snapshot cannot hold a
+                # matching key, so the COW probe job is skipped (the
+                # matview-bootstrap epoch hits this every time)
+                probe = []
+            else:
+                probe = (
+                    lake.withColumn("_f", F.input_file_name())
+                    .join(F.broadcast(key_frame), key_cols, "left_semi")
+                    .select("_f")
+                    .distinct()
+                    .collect()
+                )
             affected = set(self._split_affected(probe))
             untouched = [f for f in files if f not in affected]
             cols = lake.columns
@@ -698,14 +763,18 @@ class VersionedLake:
             live = untouched + new_files
             return self._commit(
                 live,
-                self.spark.read.parquet(*live).count(),
+                None,
                 message,
                 based_on=base["files"],
                 epoch=epoch,
                 based_on_constraints=base.get("constraints", {}),
             )
 
-        return self._retry_mutation(attempt)
+        try:
+            return self._retry_mutation(attempt)
+        finally:
+            if keys is not None:
+                keys.unpersist()
 
     def merge_cdc(
         self,
@@ -737,19 +806,32 @@ class VersionedLake:
         silently bypass their validation (the same validate-then-
         publish race add_constraint closes).
         """
-        ops = batch.select(F.col(op_col).alias("_op")).distinct().collect()
-        bad = {r["_op"] for r in ops} - {"I", "U", "D"}
+        # ONE validation pass over the batch: per-key row counts
+        # (duplicate detection) and per-key op sets (unknown-op
+        # detection) come out of the same map-side-combined aggregate,
+        # and the persisted key frame feeds the probe's broadcast —
+        # previously the batch was scanned twice before the probe.
+        keys = batch.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.collect_set(F.col(op_col)).alias("_ops"),
+        ).persist()
+        flags = keys.agg(
+            F.max("_n").alias("_maxn"),
+            F.array_distinct(F.flatten(F.collect_list("_ops"))).alias(
+                "_allops"
+            ),
+        ).collect()[0]
+        bad = set(flags["_allops"] or []) - {"I", "U", "D"}
         if bad:
+            keys.unpersist()
             raise ValueError(f"merge_cdc: unknown ops {sorted(bad)}")
-        keys = batch.select(*key_cols).groupBy(*key_cols).agg(
-            F.count(F.lit(1)).alias("_n")
-        )
-        if keys.where(F.col("_n") > 1).limit(1).collect():
+        if (flags["_maxn"] or 0) > 1:
+            keys.unpersist()
             raise ValueError(
                 "merge_cdc: duplicate keys in batch — collapse to the "
                 "last op per key first"
             )
-        key_frame = keys.drop("_n")
+        key_frame = keys.select(*key_cols)
 
         def attempt() -> int:
             base = self._manifest()
@@ -766,13 +848,18 @@ class VersionedLake:
                      for f in base["files"]]
             lake = self._read_files(files, version=base["version"])
             cols = lake.columns
-            probe = (
-                lake.withColumn("_f", F.input_file_name())
-                .join(F.broadcast(key_frame), key_cols, "left_semi")
-                .select("_f")
-                .distinct()
-                .collect()
-            )
+            if base.get("n_rows") == 0:
+                # same metadata shortcut as upsert: empty snapshot ->
+                # nothing to probe
+                probe = []
+            else:
+                probe = (
+                    lake.withColumn("_f", F.input_file_name())
+                    .join(F.broadcast(key_frame), key_cols, "left_semi")
+                    .select("_f")
+                    .distinct()
+                    .collect()
+                )
             affected = set(self._split_affected(probe))
             untouched = [f for f in files if f not in affected]
             upserts = batch.where(F.col(op_col) != "D").select(*cols)
@@ -793,14 +880,17 @@ class VersionedLake:
             live = untouched + new_files
             return self._commit(
                 live,
-                self.spark.read.parquet(*live).count(),
+                None,
                 message,
                 based_on=base["files"],
                 epoch=epoch,
                 based_on_constraints=base.get("constraints", {}),
             )
 
-        return self._retry_mutation(attempt)
+        try:
+            return self._retry_mutation(attempt)
+        finally:
+            keys.unpersist()
 
     # ---- vacuum ----
 
@@ -1132,7 +1222,7 @@ def compact(lake: VersionedLake, target_files: int = 4) -> int:
         # layout-only rewrite of already-validated rows
         new_files = lake._write_new(df.coalesce(target_files), enforce=None)
         return lake._commit(
-            new_files, df.count(), "compact", based_on=base["files"]
+            new_files, None, "compact", based_on=base["files"]
         )
 
     return lake._retry_mutation(attempt)
@@ -1176,7 +1266,7 @@ def optimize_zorder(
         new_files = lake._write_new(clustered, enforce=None)
         return lake._commit(
             new_files,
-            df.count(),
+            None,
             "optimize-zorder",
             based_on=base["files"],
         )
@@ -1473,9 +1563,17 @@ def streaming_epoch_sink(lake: VersionedLake, key_cols: list[str]):
         e = int(epoch_id)
         if epoch_committed(lake, e):
             return
-        if batch_df.isEmpty():
-            return
-        lake.upsert(batch_df, key_cols, message=f"epoch-{e}", epoch=e)
+        # The micro-batch is consumed several times (emptiness check,
+        # the upsert's key aggregate, the rewrite union); persisting it
+        # makes the source — for a Python Data Source, a per-row
+        # JVM→Python→JVM boundary — run ONCE per epoch.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            lake.upsert(batch_df, key_cols, message=f"epoch-{e}", epoch=e)
+        finally:
+            batch_df.unpersist()
 
     return body
 
@@ -1501,18 +1599,35 @@ def additive_matview_sink(lake: VersionedLake, group_cols: list[str],
         e = int(epoch_id)
         if epoch_committed(lake, e):
             return
-        if batch_df.isEmpty():
-            return
-        p = partial(batch_df)
-        dtypes = dict(p.dtypes)
-        counters = [c for c in p.columns if c not in group_cols]
-        merged = (
-            lake.read().select(*p.columns).unionByName(p)
-            .groupBy(*group_cols)
-            .agg(*[F.sum(c).cast(dtypes[c]).alias(c) for c in counters])
-        )
-        lake.upsert(merged, group_cols, message=f"matview-epoch-{e}",
-                    epoch=e)
+        # Persist the micro-batch: the emptiness check and the merged
+        # view's evaluations inside upsert would otherwise each re-run
+        # the source read (for a Python Data Source, a per-row
+        # JVM→Python→JVM boundary) — with the cache the source is read
+        # once per epoch and the re-evaluations fold the group-
+        # cardinality-sized matview against cached blocks.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            p = partial(batch_df)
+            dtypes = dict(p.dtypes)
+            counters = [c for c in p.columns if c not in group_cols]
+            merged = (
+                lake.read().select(*p.columns).unionByName(p)
+                .groupBy(*group_cols)
+                .agg(*[F.sum(c).cast(dtypes[c]).alias(c) for c in counters])
+            ).persist()
+            try:
+                # group-by output is unique per key by construction:
+                # the duplicate-key validation job is provably
+                # redundant here
+                lake.upsert(merged, group_cols,
+                            message=f"matview-epoch-{e}", epoch=e,
+                            keys_unique=True)
+            finally:
+                merged.unpersist()
+        finally:
+            batch_df.unpersist()
 
     return body
 
@@ -1540,13 +1655,22 @@ def uniq_matview_sink(
         e = int(epoch_id)
         if epoch_committed(lake, e):
             return
-        if batch_df.isEmpty():
-            return
-        codes = uniq_state_of(batch_df, group_cols, col, p)
-        lake.upsert(
-            codes, [*group_cols, "code"],
-            message=f"uniq-matview-epoch-{e}", epoch=e,
-        )
+        # same one-source-read-per-epoch rationale as
+        # additive_matview_sink
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            codes = uniq_state_of(batch_df, group_cols, col, p)
+            # uniq_state_of ends in .distinct() over exactly
+            # (group..., code): unique by construction
+            lake.upsert(
+                codes, [*group_cols, "code"],
+                message=f"uniq-matview-epoch-{e}", epoch=e,
+                keys_unique=True,
+            )
+        finally:
+            batch_df.unpersist()
 
     return body
 
@@ -1586,6 +1710,17 @@ def scd2_sink(lake: VersionedLake, key_cols: list[str],
         e = int(epoch_id)
         if epoch_committed(lake, e):
             return
+        # same one-source-read-per-epoch rationale as
+        # additive_matview_sink; `changed` (batch ⋈ open slice) is
+        # additionally persisted below so the change-detection join
+        # runs once, not once per upsert evaluation.
+        batch_df.persist()
+        try:
+            _scd2_epoch(lake, batch_df, e, key_cols, attr_cols)
+        finally:
+            batch_df.unpersist()
+
+    def _scd2_epoch(lake, batch_df, e, key_cols, attr_cols):
         if batch_df.isEmpty():
             return
         # seed is_current zone maps once, then read the OPEN slice
@@ -1613,7 +1748,7 @@ def scd2_sink(lake: VersionedLake, key_cols: list[str],
             )
         changed = b.join(c, key_cols, "left").where(
             F.col("__scd_cur.valid_from").isNull() | ~same
-        )
+        ).persist()
         new_rows = changed.select(
             *key_cols,
             *[F.col(f"__scd_new.{a}").alias(a) for a in attr_cols],
@@ -1630,13 +1765,16 @@ def scd2_sink(lake: VersionedLake, key_cols: list[str],
             F.lit(e).cast("long").alias("valid_to"),
             F.lit(False).alias("is_current"),
         )
-        lake.upsert(
-            new_rows.unionByName(closed),
-            [*key_cols, "valid_from"],
-            message=f"scd2-epoch-{e}",
-            epoch=e,
-            cluster_by=["is_current"],
-        )
+        try:
+            lake.upsert(
+                new_rows.unionByName(closed),
+                [*key_cols, "valid_from"],
+                message=f"scd2-epoch-{e}",
+                epoch=e,
+                cluster_by=["is_current"],
+            )
+        finally:
+            changed.unpersist()
 
     return body
 
@@ -2283,9 +2421,8 @@ def apply_ttl(lake: VersionedLake, predicate: Column) -> int:
                 enforce=base.get("constraints", {}),
             )
         live = untouched + new_files
-        n = lake.spark.read.parquet(*live).count() if live else 0
         return lake._commit(
-            live, n, "ttl",
+            live, None, "ttl",
             based_on=base["files"],
             based_on_constraints=base.get("constraints", {}),
         )
@@ -2365,9 +2502,8 @@ def apply_ttl_rollup(
                 enforce=base.get("constraints", {}),
             )
         live = untouched + new_files
-        n = lake.spark.read.parquet(*live).count() if live else 0
         return lake._commit(
-            live, n, "ttl-rollup",
+            live, None, "ttl-rollup",
             based_on=base["files"],
             based_on_constraints=base.get("constraints", {}),
         )

@@ -121,6 +121,34 @@ def _arrow_to_ddl(field) -> str:
     return s
 
 
+def _ddl_to_arrow(ddl: str):
+    """Inverse of :func:`_arrow_to_ddl` — the Arrow type a default /
+    missing-in-this-generation column must carry so the yielded
+    RecordBatch matches the plan-time schema."""
+    import pyarrow as pa
+
+    s = ddl.strip().lower()
+    scalars = {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "string": pa.string(),
+        "timestamp_ntz": pa.timestamp("us"),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "date": pa.date32(),
+    }
+    if s in scalars:
+        return scalars[s]
+    if s.startswith("decimal(") and s.endswith(")"):
+        p, sc = s[len("decimal("):-1].split(",")
+        return pa.decimal128(int(p), int(sc))
+    if s.startswith("array<") and s.endswith(">"):
+        return pa.list_(_ddl_to_arrow(s[len("array<"):-1]))
+    raise ValueError(f"unsupported lake column type DDL: {ddl}")
+
+
 class _FilePartition(InputPartition):
     def __init__(self, file_path: str):
         self.file_path = file_path
@@ -221,24 +249,40 @@ class LakeStreamReader(DataSourceStreamReader):
             for f in files
         ] or [_FilePartition("")]  # Spark requires >= 1 partition
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        # runs ON THE EXECUTOR that owns this partition
+    def read(self, partition: _FilePartition) -> Iterator:
+        # runs ON THE EXECUTOR that owns this partition.  Yields Arrow
+        # RecordBatches (supported by the Python Data Source API since
+        # Spark 4.0): the parquet columns cross the Python→JVM boundary
+        # as columnar Arrow buffers instead of per-row pickled tuples —
+        # no per-row Python work at all on the common path.
         if not partition.file_path:
             return iter(())
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.file_path)
         present = set(table.schema.names)
         n = table.num_rows
-        cols = []
-        for name, _ in self._fields:
+        arrays, names = [], []
+        for name, ddl in self._fields:
             phys = _resolve_physical(name, present, self._renames)
             if phys is not None:
-                cols.append(table.column(phys).to_pylist())
+                arrays.append(table.column(phys))
             else:
-                # pre-add generation: the manifest default (or None)
-                cols.append([self._defaults.get(name)] * n)
-        return zip(*cols) if cols else iter(())
+                # pre-add generation: the manifest default (or None),
+                # typed to the field's declared DDL so the Arrow
+                # schema matches the plan-time schema exactly
+                arrays.append(
+                    pa.nulls(n, type=_ddl_to_arrow(ddl))
+                    if self._defaults.get(name) is None
+                    else pa.array(
+                        [self._defaults[name]] * n, type=_ddl_to_arrow(ddl)
+                    )
+                )
+            names.append(name)
+        if not arrays:
+            return iter(())
+        return iter(pa.table(arrays, names=names).to_batches())
 
     def commit(self, end: dict) -> None:
         pass
