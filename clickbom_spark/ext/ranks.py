@@ -281,11 +281,15 @@ def exact_weighted_quantiles(
     contract beyond the single p·W threshold product.  One row out,
     one column ``q{100p}`` per prob.
 
-    100 TB shape: the heavy input collapses to distinct values first
-    (hash aggregate with map-side combine) and is then materialized
-    ONCE (localCheckpoint) — the bucket-boundary pass, the per-bucket
-    weight aggregate, and the final scan all read the stored blocks
-    instead of re-running the groupBy.  Total weight W falls out of
+    100 TB shape: one boundary pass over the raw (value, weight)
+    projection, then ONE lineage — bucket assignment, the distinct-
+    value collapse as a (bucket, value) hash aggregate (map-side
+    combine, so duplicated values still collapse before the exchange),
+    the bucket-local prefix window, and the final conditional-min.
+    The per-bucket offset frame consumes the SAME (bucket, value)
+    exchange (AQE reuses the shuffle stage at runtime), so nothing is
+    rematerialized and no checkpoint write/read sits on the critical
+    path — one full-data shuffle total.  Total weight W falls out of
     the same tiny per-bucket offset frame (the sum over all buckets),
     so there is no separate total aggregate and no crossJoin; the
     prefix machinery is the same no-single-partition-window path as
@@ -294,21 +298,31 @@ def exact_weighted_quantiles(
     partition.
     """
     w = F.col(weight_col).cast("long")
-    agg = (
-        df.where(
-            F.col(value_col).isNotNull() & w.isNotNull() & (w > 0)
-        )
-        .groupBy(value_col)
-        .agg(F.sum(w).alias("_w"))
-        .localCheckpoint(eager=True)
+    src = df.where(
+        F.col(value_col).isNotNull() & w.isNotNull() & (w > 0)
+    ).select(F.col(value_col), w.alias("_w"))
+    if num_buckets is None:
+        num_buckets = src.sparkSession.sparkContext.defaultParallelism
+    num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
+    c_bkt, c_val, c_off, c_total = _temp_names(
+        src, ["_bkt", "_val", "_off", "_total"]
     )
-    joined, c_bkt, c_off, c_total = _bucketed_with_offsets(
-        agg,
-        [value_col],
-        num_buckets,
-        F.sum(F.col("_w")).cast("long"),
-        include_total=True,
+    bounds = _bucket_boundaries(src, value_col, num_buckets)
+    bucketed = src.withColumn(
+        c_bkt, _bucket_expr(F.col(value_col).cast("double"), bounds)
     )
+    agg = bucketed.groupBy(c_bkt, value_col).agg(F.sum("_w").alias("_w"))
+    vals = agg.groupBy(c_bkt).agg(F.sum("_w").cast("long").alias(c_val))
+    w_off = Window.orderBy(c_bkt).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(c_bkt).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = vals.select(
+        F.col(c_bkt),
+        F.coalesce(F.sum(c_val).over(w_off), F.lit(0)).alias(c_off),
+        F.sum(c_val).over(w_all).alias(c_total),
+    )
+    joined = agg.join(F.broadcast(offs), c_bkt)
     w_loc = (
         Window.partitionBy(c_bkt)
         .orderBy(value_col)
@@ -357,19 +371,23 @@ def ks_2sample(
         F.when(flag, 1).otherwise(0).alias("_a"),
         F.when(flag, 0).otherwise(1).alias("_b"),
     )
-    agg = (
-        src.groupBy("_v")
-        .agg(F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb"))
-        .localCheckpoint(eager=True)
-    )
     if num_buckets is None:
-        num_buckets = agg.sparkSession.sparkContext.defaultParallelism
+        num_buckets = src.sparkSession.sparkContext.defaultParallelism
     num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
-    c_bkt, c_offa, c_offb = _temp_names(agg, ["_bkt", "_offa", "_offb"])
-    bounds = _bucket_boundaries(agg, "_v", num_buckets)
-    bucketed = agg.withColumn(
-        c_bkt, _bucket_expr(F.col("_v").cast("double"), bounds)
+    c_bkt, c_offa, c_offb = _temp_names(src, ["_bkt", "_offa", "_offb"])
+    bounds = _bucket_boundaries(src, "_v", num_buckets)
+    # distinct-value collapse in the SAME lineage as the prefix window
+    # (bucket first, then (bucket, value) hash aggregate with map-side
+    # combine): the offsets branch reuses the aggregate's shuffle stage
+    # under AQE, so no checkpoint write/read sits on the critical path
+    agg = (
+        src.withColumn(
+            c_bkt, _bucket_expr(F.col("_v").cast("double"), bounds)
+        )
+        .groupBy(c_bkt, "_v")
+        .agg(F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb"))
     )
+    bucketed = agg
     vals = bucketed.groupBy(c_bkt).agg(
         F.sum("_ca").alias("_sa"), F.sum("_cb").alias("_sb")
     )
@@ -435,18 +453,19 @@ def mann_whitney_u(
         F.when(flag, 1).otherwise(0).alias("_a"),
         F.when(flag, 0).otherwise(1).alias("_b"),
     )
-    agg = (
-        src.groupBy("_v")
-        .agg(F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb"))
-        .localCheckpoint(eager=True)
-    )
     if num_buckets is None:
-        num_buckets = agg.sparkSession.sparkContext.defaultParallelism
+        num_buckets = src.sparkSession.sparkContext.defaultParallelism
     num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
-    c_bkt, c_off = _temp_names(agg, ["_bkt", "_off"])
-    bounds = _bucket_boundaries(agg, "_v", num_buckets)
-    bucketed = agg.withColumn(
-        c_bkt, _bucket_expr(F.col("_v").cast("double"), bounds)
+    c_bkt, c_off = _temp_names(src, ["_bkt", "_off"])
+    bounds = _bucket_boundaries(src, "_v", num_buckets)
+    # same single-lineage collapse as ks_2sample (AQE stage reuse
+    # replaces the checkpoint)
+    bucketed = (
+        src.withColumn(
+            c_bkt, _bucket_expr(F.col("_v").cast("double"), bounds)
+        )
+        .groupBy(c_bkt, "_v")
+        .agg(F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb"))
     )
     vals = bucketed.groupBy(c_bkt).agg(
         F.sum(F.col("_ca") + F.col("_cb")).alias("_s")
@@ -508,10 +527,13 @@ def exact_weighted_quantiles_by_group(
     same value-bucket machinery as :func:`exact_weighted_quantiles`,
     with per-(group, bucket) offsets:
 
-    1. collapse to distinct (group, value) weights — one hash
-       aggregate with map-side combine, materialized once;
-    2. assign the value bucket (global boundaries: sharing cut points
-       across groups costs balance only, never correctness);
+    1. collapse to distinct (group, bucket, value) weights — one hash
+       aggregate with map-side combine, in the same lineage as the
+       prefix window (AQE reuses the aggregate's shuffle stage for the
+       offsets branch, so nothing is checkpointed or rematerialized);
+    2. assign the value bucket (global boundaries from one raw-input
+       pass: sharing cut points across groups costs balance only,
+       never correctness);
     3. per-(group, bucket) sums roll into per-group cumulative
        offsets and the group total W over the TINY offsets frame
        (≤ groups × buckets rows; its window partitions by group over
@@ -526,28 +548,26 @@ def exact_weighted_quantiles_by_group(
     excluded, matching ClickHouse), so prefix sums are exact.
     """
     w = F.col(weight_col).cast("long")
-    agg = (
-        df.where(
-            F.col(value_col).isNotNull()
-            & F.col(group_col).isNotNull()
-            & w.isNotNull()
-            & (w > 0)
-        )
-        .groupBy(group_col, value_col)
-        .agg(F.sum(w).alias("_w"))
-        .localCheckpoint(eager=True)
-    )
+    src = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & w.isNotNull()
+        & (w > 0)
+    ).select(F.col(group_col), F.col(value_col), w.alias("_w"))
     if num_buckets is None:
-        num_buckets = agg.sparkSession.sparkContext.defaultParallelism
+        num_buckets = src.sparkSession.sparkContext.defaultParallelism
     num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
     c_bkt, c_val, c_off, c_total = _temp_names(
-        agg, ["_bkt", "_val", "_off", "_total"]
+        src, ["_bkt", "_val", "_off", "_total"]
     )
-    bounds = _bucket_boundaries(agg, value_col, num_buckets)
-    bucketed = agg.withColumn(
+    bounds = _bucket_boundaries(src, value_col, num_buckets)
+    bucketed = src.withColumn(
         c_bkt, _bucket_expr(F.col(value_col).cast("double"), bounds)
     )
-    vals = bucketed.groupBy(group_col, c_bkt).agg(F.sum("_w").alias(c_val))
+    agg = bucketed.groupBy(group_col, c_bkt, value_col).agg(
+        F.sum("_w").alias("_w")
+    )
+    vals = agg.groupBy(group_col, c_bkt).agg(F.sum("_w").alias(c_val))
     w_off = (
         Window.partitionBy(group_col)
         .orderBy(c_bkt)
@@ -562,7 +582,7 @@ def exact_weighted_quantiles_by_group(
         F.coalesce(F.sum(c_val).over(w_off), F.lit(0)).alias(c_off),
         F.sum(c_val).over(w_tot).alias(c_total),
     )
-    joined = bucketed.join(F.broadcast(offs), [group_col, c_bkt])
+    joined = agg.join(F.broadcast(offs), [group_col, c_bkt])
     w_loc = (
         Window.partitionBy(group_col, c_bkt)
         .orderBy(value_col)

@@ -577,13 +577,35 @@ def q_curation_pipeline(spark, sf_dir):
         & (F.col("mwl") >= 3.0) & (F.col("mwl") <= 8.0) & (F.col("dr") >= 0.5)
     )
     fp = F.md5(X.normalize_text(F.col("text")))
-    wdup = Window.partitionBy(fp).orderBy("doc_id")
-    deduped = (
-        filtered.withColumn("rn", F.row_number().over(wdup))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "tokens")
+    # The funnel used to fan SIX consumers out of the filtered frame
+    # (per-stage counts, dedup, rates, sampling, packing), and
+    # Catalyst planned a full copy of the scan+tokenize(+dedup-window)
+    # subtree per consumer — 7 parquet scans, no ReusedExchange (see
+    # plans/r14/q_curation_pipeline_before.txt).  Restructured so the
+    # expensive subtree appears exactly TWICE: (a) ONE aggregate over
+    # the ranked frame yields n_filtered, n_deduped, and the
+    # per-language token budget the rates derive from, and (b) the
+    # sampled-stage counts read the PACKED frame (pack assignment is
+    # row-preserving), so the packing branch serves both.  At corpus
+    # scale each avoided consumer was a full tokenize pass.
+    slim = filtered.select(
+        "doc_id", "lang", "source", "tokens", fp.alias("_fp")
     )
-    per_lang = deduped.groupBy("lang").agg(F.sum("tokens").alias("lt"))
+    wdup = Window.partitionBy("_fp").orderBy("doc_id")
+    ranked = slim.withColumn("rn", F.row_number().over(wdup))
+    keep = F.col("rn") == 1
+    deduped = ranked.where(keep).select(
+        "doc_id", "lang", "source", "tokens"
+    )
+    # stage counts + the deduped token budget from ONE pass: same rows
+    # feed the rate computation as the old per-lang aggregate over
+    # deduped (every language with a filtered row has a rank-1 row, so
+    # frame membership — and hence the window totals — is identical)
+    funnel = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_filtered"),
+        F.count(F.when(keep, 1)).alias("n_deduped"),
+        F.sum(F.when(keep, F.col("tokens"))).alias("lt"),
+    )
     wall = Window.partitionBy()
     rate = F.least(
         F.lit(1.0),
@@ -591,7 +613,7 @@ def q_curation_pipeline(spark, sf_dir):
          / F.count(F.lit(1)).over(wall).cast("double"))
         / F.col("lt").cast("double"),
     )
-    rates = per_lang.select("lang", rate.alias("rate"))
+    rates = funnel.select("lang", rate.alias("rate"))
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("long")
@@ -605,20 +627,16 @@ def q_curation_pipeline(spark, sf_dir):
         order_col="doc_id", tokens_col="tokens",
     )
     n_input = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_input"))
-    n_filt = filtered.groupBy("lang").agg(F.count(F.lit(1)).alias("n_filtered"))
-    n_dd = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_deduped"))
-    n_sm = sampled.groupBy("lang").agg(
+    # pack assignment preserves every sampled row, so the sampled-stage
+    # counts and the pack count come from the packed frame in one agg
+    n_sm_pk = packed.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("tokens").cast("long").alias("sampled_tokens"),
+        F.countDistinct("source", "pack_id").alias("n_packs"),
     )
-    n_pk = packed.select("lang", "source", "pack_id").distinct().groupBy(
-        "lang"
-    ).agg(F.count(F.lit(1)).alias("n_packs"))
     out = (
-        n_filt.join(n_input, "lang")
-        .join(n_dd, "lang", "left")
-        .join(n_sm, "lang", "left")
-        .join(n_pk, "lang", "left")
+        funnel.join(n_input, "lang")
+        .join(n_sm_pk, "lang", "left")
     )
     z = F.lit(0).cast("long")
     return out.select(
