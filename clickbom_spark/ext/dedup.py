@@ -242,10 +242,32 @@ def verify_jaccard_pairs(
     (tiny) deduped candidates back to the corpus shingles by id and
     keep pairs with jac >= threshold.  Only candidate documents are
     ever re-shingled — at scale this is a point-lookup join, not a
-    corpus scan."""
-    g = fan_out(df).select(
-        F.col(id_col).alias("gid"), shingles(F.col(text_col), n).alias("grams")
-    ).withColumn("sz", F.size("grams"))
+    corpus scan.
+
+    The candidate-id filter is applied BEFORE the shingle projection
+    (broadcast semi-join on the raw (id, text) scan): a projection
+    below the join would tokenize+shingle EVERY corpus document and
+    discard the non-candidates after the fact — the shingle pass, not
+    the join, is the dominant cost.  The id frame is a second consumer
+    of the candidate dedup aggregate; its exchange is shared at
+    runtime (AQE stage reuse), so the posting join is not recomputed.
+    """
+    ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .union(cands.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    g = (
+        fan_out(
+            df.select(F.col(id_col).alias("gid"), F.col(text_col)).join(
+                F.broadcast(ids),
+                F.col("gid") == F.col("_cid"),
+                "left_semi",
+            )
+        )
+        .select("gid", shingles(F.col(text_col), n).alias("grams"))
+        .withColumn("sz", F.size("grams"))
+    )
     ga = g.select(
         F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"), F.col("sz").alias("sz_a")
     )

@@ -36,6 +36,7 @@ def pagerank(
     materialize: bool = True,
     broadcast_ranks: bool | str = "auto",
     approx_nodes: int | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank).
 
@@ -57,12 +58,20 @@ def pagerank(
     iteration 1.  Only load balance of the gate decision depends on
     accuracy; rank values are identical either way.
 
+    ``assume_distinct``: the caller guarantees ``edges`` already has
+    no duplicate (src, dst) rows, so the dedup exchange is skipped —
+    duplicate edges would otherwise inflate out-degrees and
+    contributions, so only set it when distinctness holds by
+    construction.
+
     When ``materialize=False`` the un-truncated plan is returned for
     inspection and the loop-invariant relations stay persisted; call
     ``.unpersist_pagerank_blocks()`` on the returned DataFrame (or
     materialize) to release them.
     """
-    edges = edges.select(src, dst).distinct()
+    edges = edges.select(src, dst)
+    if not assume_distinct:
+        edges = edges.distinct()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

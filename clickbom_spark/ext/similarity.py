@@ -70,18 +70,26 @@ def brute_force_topk(
     from clickbom_spark.ext.dedup import guard_oracle_size
 
     queries = guard_oracle_size(queries, "brute_force_topk(queries)", "rp_lsh_topk")
+    # Norms are hoisted to per-ROW columns before the pair join:
+    # cosine() inline would re-fold both vectors' self-dot-products for
+    # every (query, corpus) pair — ~3× the O(d) array work of the pair
+    # stage, the hot loop of this operator.  sqrt(dot(v,v)) here is the
+    # exact expression cosine() evaluates, so cos values are
+    # bit-identical; only where the norm is computed moves.
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            _safe_div(
+                dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -510,16 +518,19 @@ def hard_negative_topk(
     queries = guard_oracle_size(
         queries, "hard_negative_topk(queries)", "ivf_topk + label filter"
     )
+    # Same per-row norm hoisting as brute_force_topk: cosine() inline
+    # would re-fold both self-dot-products per PAIR (bit-identical
+    # values either way — only where the norm is computed moves).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         _to_double(F.col(vec_col)).alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         _to_double(F.col(vec_col)).alias("cv"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = c.join(
         F.broadcast(q),
         (F.col("query_id") != F.col("neighbor_id"))
@@ -529,7 +540,9 @@ def hard_negative_topk(
         "query_label",
         "neighbor_id",
         "neighbor_label",
-        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        _safe_div(
+            dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return scored.withColumn(

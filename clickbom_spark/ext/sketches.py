@@ -532,6 +532,41 @@ def hll_merge(*register_sets: DataFrame) -> DataFrame:
     return merged.groupBy("bucket").agg(F.max("rho").alias("rho"))
 
 
+def hll_harmonic_aggs(p: int = 8) -> tuple[Column, Column]:
+    """The two aggregate Columns (``s``, ``v``) of the Flajolet
+    estimator — the exact-decimal harmonic sum over ``2^62 >> rho``
+    and the empty-bucket count — factored out so single-pass consumers
+    can compute them alongside other aggregates in ONE job."""
+    return (
+        F.sum(
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), 62 - rho)"
+                " as decimal(38,0))"
+            )
+        ).alias("s"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+    )
+
+
+def hll_est_expr(p: int = 8) -> Column:
+    """The estimate Column over aggregated (``s``, ``v``) columns —
+    the finalizer half of :func:`hll_estimate`, shared with
+    single-pass consumers."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale = alpha * m * m * float(1 << 62)
+    raw = F.lit(scale) / F.col("s").cast("double")
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v") > 0),
+        F.round(
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v").cast("double")),
+            4,
+        ),
+    ).otherwise(F.round(raw, 4))
+
+
 def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     """One-row (est_hll double) cardinality estimate from a register
     table (Flajolet 2007, with the small-range linear-counting
@@ -543,29 +578,9 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     single correctly-rounded division (or m·ln(m/V), rounded to 4
     decimals to absorb libm ULP drift in ``ln``).
     """
-    m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    scale = alpha * m * m * float(1 << 62)
-    agg = registers.agg(
-        F.sum(
-            F.expr(
-                "cast(shiftleft(cast(1 as bigint), 62 - rho)"
-                " as decimal(38,0))"
-            )
-        ).alias("s"),
-        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("v"),
-    )
-    raw = F.lit(scale) / F.col("s").cast("double")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (F.col("v") > 0),
-        F.round(
-            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v").cast("double")),
-            4,
-        ),
-    ).otherwise(F.round(raw, 4))
-    return agg.select(est.alias("est_hll"))
+    s, v = hll_harmonic_aggs(p)
+    agg = registers.agg(s, v)
+    return agg.select(hll_est_expr(p).alias("est_hll"))
 
 
 def _hll_group_estimate(

@@ -166,11 +166,17 @@ def q_pagerank_parts(spark, sf_dir):
     # order are unchanged).
     p = (F.col("l_partkey") * 2).cast("long")
     s = (F.col("l_suppkey") * 2 + 1).cast("long")
-    edges = li.select(p.alias("src"), s.alias("dst")).union(
-        li.select(s.alias("src"), p.alias("dst"))
-    )
+    # Distinct BEFORE doubling: deduping the (part, supplier) pairs
+    # once and deriving the reverse direction from the deduped frame
+    # halves the rows through the dedup exchange and reads lineitem
+    # once instead of twice.  The union stays duplicate-free by
+    # construction (src parity differs between the two halves), so
+    # pagerank's own dedup pass is safely skipped.
+    d = li.select(p.alias("src"), s.alias("dst")).distinct()
+    edges = d.union(d.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(
-        edges, iterations=_PR_ITERS, damping=_PR_D, approx_nodes=approx
+        edges, iterations=_PR_ITERS, damping=_PR_D, approx_nodes=approx,
+        assume_distinct=True,
     )
     node = (
         F.when(

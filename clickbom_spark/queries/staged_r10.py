@@ -1944,31 +1944,39 @@ def q_bootstrap_ci(spark, sf_dir):
         "event_type", "b", "cents",
         F.expr(_BOOT_M.format(z=_BOOT_Z_SPARK)).alias("mult"),
     )
+    # The point estimate rides the SAME (event_type, b) aggregate: each
+    # row appears exactly once per resample b, so the per-(type, b)
+    # raw-cents sum/count equal the per-type totals for EVERY b — one
+    # scan+explode pass serves both the resamples and the point mean
+    # (the old separate per-type aggregate was a second full scan).
+    # The n > 0 filter only drops b rows; any surviving b carries the
+    # identical totals, and types with no surviving b are dropped by
+    # the inner join below exactly as before.
     agg = (
         m.groupBy("event_type", "b")
         .agg(
             F.sum(F.col("mult") * F.col("cents")).cast("long").alias("s"),
             F.sum("mult").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("_sc"),
+            F.count(F.lit(1)).cast("long").alias("_nc"),
         )
         .where(F.col("n") > 0)
     )
     mean_d = F.col("s").cast("double") / F.col("n").cast("double")
     w = Window.partitionBy("event_type").orderBy(mean_d, F.col("b"))
+    # point_r rides each resample row (_sc/_nc are constant per type),
+    # so the old means-joins-point-estimate shape collapses to a plain
+    # per-row column and the final groupBy — no join, no second branch
     means = agg.select(
         "event_type",
         F.round(mean_d, 9).alias("mb"),
         F.row_number().over(w).alias("rn"),
-    )
-    pt = ev.groupBy("event_type").agg(
         F.round(
-            F.sum("cents").cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("point_r")
+            F.col("_sc").cast("double") / F.col("_nc").cast("double"), 6
+        ).alias("point_r"),
     )
     return (
-        means.join(pt, "event_type")
-        .groupBy("event_type", "point_r")
+        means.groupBy("event_type", "point_r")
         .agg(
             F.round(
                 F.max(F.when(F.col("rn") == 2, F.col("mb"))), 6

@@ -518,7 +518,9 @@ FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
 def q_hybrid_rrf(spark, sf_dir):
     from pyspark.sql import Window
 
-    from clickbom_spark.ext.similarity import cosine
+    from clickbom_spark.ext.similarity import _safe_div as S_safe_div
+    from clickbom_spark.ext.similarity import dot as S_dot
+    from clickbom_spark.ext.similarity import norm as S_norm
     from clickbom_spark.ext.text import let
 
     docs, emb = load(spark, sf_dir, "documents", "embeddings")
@@ -571,12 +573,25 @@ def q_hybrid_rrf(spark, sf_dir):
         F.col("vec_id").alias("doc_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
     )
-    qv = vecs.where(F.col("doc_id") == 0).select(F.col("e").alias("qe"))
+    # query norm once in the 1-row broadcast, corpus norm once per row:
+    # cosine() inline would re-fold both self-dot-products per pair
+    # (values bit-identical — only where the norm is computed moves)
+    qv = (
+        vecs.where(F.col("doc_id") == 0)
+        .select(F.col("e").alias("qe"))
+        .withColumn("qn", S_norm(F.col("qe")))
+    )
     w_d = Window.orderBy(F.desc("cos"), "doc_id")
     dense = (
         vecs.where(F.col("doc_id") != 0)
+        .withColumn("en", S_norm(F.col("e")))
         .join(F.broadcast(qv))
-        .select("doc_id", cosine(F.col("e"), F.col("qe")).alias("cos"))
+        .select(
+            "doc_id",
+            S_safe_div(
+                S_dot(F.col("e"), F.col("qe")), F.col("en") * F.col("qn")
+            ).alias("cos"),
+        )
         .orderBy(F.desc("cos"), "doc_id")
         .limit(100)
         .select("doc_id", F.row_number().over(w_d).alias("r_dense"))
