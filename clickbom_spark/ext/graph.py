@@ -115,20 +115,38 @@ def pagerank(
             n = approx_nodes if approx_nodes is not None else nodes.count()
             broadcast_ranks = n <= thresh // 32
     ranks = nodes.withColumn("rank", F.lit(1.0))
+    # The decimal(28,6) per-edge contribution of the SQL replay is
+    # carried as its exact unscaled long (value × 10^6): the long sum
+    # equals the decimal sum digit-for-digit (both are exact integer
+    # arithmetic on the same scale-6 integers), and the final
+    # long → decimal → double conversion below reproduces the oracle's
+    # CAST(decimal AS DOUBLE) correct rounding.  Long partial sums run
+    # in whole-stage codegen; decimal(28,6) sums fall back to
+    # BigDecimal per row.  Headroom: Σ scaled contributions per node
+    # is bounded by the total rank mass ≈ n × 10^6, so longs hold to
+    # ~9×10^12 nodes.
+    mult = 10 ** _SCALE
     for _ in range(iterations):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = edges_deg.join(
             r, edges_deg[src] == r["node"]
         ).select(
             F.col(dst).alias("node"),
-            F.round(F.col("rank") / F.col("outdeg"), _SCALE).cast(_DEC).alias("c"),
+            (F.round(F.col("rank") / F.col("outdeg"), _SCALE).cast(_DEC)
+             * mult).cast("long").alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        # exact decimal re-scale (never long → double directly: above
+        # 2^53 that would round twice), then ONE correctly-rounded
+        # cast to double — identical to casting the decimal(28,6) sum
+        s_dbl = (
+            F.col("s").cast("decimal(38,0)") / F.lit(mult)
+        ).cast("double")
         ranks = nodes.join(summed, "node", "left").select(
             "node",
             (
                 F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                + F.lit(damping) * F.coalesce(s_dbl, F.lit(0.0))
             ).alias("rank"),
         )
     if not materialize:

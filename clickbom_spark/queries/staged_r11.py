@@ -1508,11 +1508,18 @@ def q_ngram_redundancy(spark, sf_dir):
             ).alias("g"),
         )
     )
+    # docs is consumed ONLY as the `docs >= 2` cross-document test, and
+    # a shingle occurs in >= 2 distinct docs iff its min and max doc_id
+    # differ — so min/max replace countDistinct.  That removes the
+    # two-level distinct rewrite (partial-agg on (source, g, doc_id),
+    # exchange, re-aggregate, second exchange): min/max are fully
+    # map-side combinable, so the ONE exchange carries one row per
+    # in-partition (source, g) instead of one per (source, g, doc_id).
     gc = sh.groupBy("source", "g").agg(
         F.count(F.lit(1)).cast("long").alias("occ"),
-        F.countDistinct("doc_id").cast("long").alias("docs"),
+        (F.min("doc_id") != F.max("doc_id")).alias("multi_doc"),
     )
-    red = F.sum(F.when(F.col("docs") >= 2, F.col("occ")).otherwise(0))
+    red = F.sum(F.when(F.col("multi_doc"), F.col("occ")).otherwise(0))
     return (
         gc.groupBy("source")
         .agg(
