@@ -366,8 +366,14 @@ def q_lake_stream_serving(spark, sf_dir):
     src = VersionedLake.create(
         spark, src_path, base.where(F.col("event_id") % 3 == 0), n_files=2
     )
-    src.upsert(base.where(F.col("event_id") % 3 == 1), ["event_id"])
-    src.upsert(base.where(F.col("event_id") % 3 == 2), ["event_id"])
+    # event_id is the events PK (unique at every SF by the generator's
+    # construction) and each change set is a disjoint %3 slice of it,
+    # so the upsert's duplicate-key validation job is provably
+    # redundant — keys_unique skips one aggregate+probe pass per commit
+    src.upsert(base.where(F.col("event_id") % 3 == 1), ["event_id"],
+               keys_unique=True)
+    src.upsert(base.where(F.col("event_id") % 3 == 2), ["event_id"],
+               keys_unique=True)
 
     mv = VersionedLake.create(
         spark,

@@ -44,6 +44,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cached plans are exempt from AQE partition coalescing by
+        # default (compat guard); with it on, a persisted small frame
+        # (matview partials, loop invariants, key sets) caches at its
+        # AQE-sized partition count instead of the static
+        # shuffle-partition count — measured: the streaming matview
+        # sink's 20-row upsert stops writing one file per static
+        # partition.  Output values are partitioning-independent.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")

@@ -56,9 +56,9 @@ def run_once(spark, sf_dir, tick):
         spark, src_path, base.where(F.col("event_id") % 3 == 0), n_files=2
     )
     mark("create")
-    src.upsert(base.where(F.col("event_id") % 3 == 1), ["event_id"])
+    src.upsert(base.where(F.col("event_id") % 3 == 1), ["event_id"], keys_unique=True)
     mark("upsert1")
-    src.upsert(base.where(F.col("event_id") % 3 == 2), ["event_id"])
+    src.upsert(base.where(F.col("event_id") % 3 == 2), ["event_id"], keys_unique=True)
     mark("upsert2")
     mv = VersionedLake.create(
         spark,
@@ -78,19 +78,26 @@ def run_once(spark, sf_dir, tick):
         )
 
     spark.dataSource.register(LakeStreamDataSource)
-    q = (
+    reader = (
         spark.readStream.format("lake_stream")
         .option("path", src_path)
         .load()
-        .writeStream.foreachBatch(
+    )
+    mark("stream_plan")
+    q = (
+        reader.writeStream.foreachBatch(
             additive_matview_sink(mv, ["event_type", "bucket"], partial)
         )
         .option("checkpointLocation", os.path.join(_TMP, f"psrv_ck_{tag}"))
         .trigger(availableNow=True)
         .start()
     )
+    mark("stream_start")
     q.awaitTermination(300)
-    mark("stream")
+    mark("stream_await")
+    for p in q.recentProgress:
+        print("   batch", p["batchId"], p["durationMs"],
+              "rows", p.get("numInputRows"))
     add_projection(mv, "by_type", ["event_type", "bucket"], ["event_type"],
                    ["n", "s"])
     mark("projection")
