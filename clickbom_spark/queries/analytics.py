@@ -50,17 +50,30 @@ def q_window_rank_orders(spark, sf_dir):
     orders, cust = load(spark, sf_dir, "orders", "customer")
     w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"))
     wn = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    # row_number + filter FIRST, ranks over the survivors: every row
+    # priced above a kept row has a smaller rn and is therefore also
+    # kept, so rank/dense_rank over the filtered frame equal the
+    # full-frame values on the kept rows.  Ordering this way lets the
+    # planner run WindowGroupLimit BELOW the exchange (partial top-3
+    # per map task), so the shuffle carries <=3 rows per customer per
+    # map partition instead of every order.
     return (
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.rank().over(w).cast("long").alias("rnk"),
-            F.dense_rank().over(w).cast("long").alias("drnk"),
             F.row_number().over(wn).alias("rn"),
         )
         .where(F.col("rn") <= 3)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            "rn",
+        )
         .select("c_custkey", "o_orderkey", "o_totalprice", "rnk", "drnk")
         .orderBy("c_custkey", "rn")
     )
@@ -466,21 +479,42 @@ ORDER BY type_a, type_b
     bench=True,
 )
 def q_theta_join_event_pairs(spark, sf_dir):
+    # Same time-bucketed join shape as q_theta_join_skewed: join key
+    # is (user, 2-minute bucket) with the probe side posted to its own
+    # and previous bucket, so each event only meets its time-neighbor
+    # candidates (linear in qualifying pairs) instead of every event
+    # of the same user across all history (O(per-user²) residual
+    # evaluation).  b.ts ∈ (a.ts, a.ts + 2min] ⇒ bucket(b) ∈
+    # {bucket(a), bucket(a)+1}, so each qualifying pair meets on
+    # exactly one posted key — no dedup needed, results identical.
+    window_us = 120_000_000  # 2 minutes
     (events,) = load(spark, sf_dir, "events")
-    a = events.alias("a")
-    b = events.alias("b")
+    bucket = lambda ts: F.floor(epoch_us(ts) / F.lit(window_us))  # noqa: E731
+    a = events.select(
+        "user_id",
+        F.col("ts").alias("ts_a"),
+        F.col("event_id").alias("eid_a"),
+        F.col("event_type").alias("type_a"),
+    ).withColumn("_bkt", bucket(F.col("ts_a")))
+    b = (
+        events.select(
+            "user_id",
+            F.col("ts").alias("ts_b"),
+            F.col("event_id").alias("eid_b"),
+            F.col("event_type").alias("type_b"),
+        )
+        .withColumn("_b0", bucket(F.col("ts_b")))
+        .withColumn("_bkt", F.explode(F.array(F.col("_b0"), F.col("_b0") - 1)))
+        .drop("_b0")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.ts") < F.col("b.ts"))
-            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTE"))
-            & (F.col("a.event_id") != F.col("b.event_id")),
+        a.join(b, ["user_id", "_bkt"])
+        .where(
+            (F.col("ts_a") < F.col("ts_b"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 2 MINUTE"))
+            & (F.col("eid_a") != F.col("eid_b"))
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("type_a", "type_b")
     )
