@@ -242,7 +242,8 @@ def bfs_distances(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "u", dst: str = "v"
+    edges: DataFrame, src: str = "u", dst: str = "v",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle count of an undirected graph via degree-ordered
     orientation (Schank & Wagner 2005) — the standard distributed
@@ -254,7 +255,12 @@ def triangle_count(
     instead of d^2).
 
     Input edges may be duplicated, directed, or self-looped; they are
-    canonicalized first.  Returns one row
+    canonicalized first.  ``assume_canonical=True`` asserts the caller
+    guarantees the edge set is ALREADY canonical — duplicate-free,
+    self-loop-free, ``src < dst`` on every row (e.g. it is the output
+    of a ``groupBy(src, dst)`` with a ``src < dst`` filter) — and
+    skips the canonicalization shuffle (a full distinct exchange of
+    the edge set).  Returns one row
     (n_nodes, n_edges, n_triangles).  All equi-joins — at 100 TB this
     is three hash joins on node keys, no cross product anywhere.
     """
@@ -264,14 +270,17 @@ def triangle_count(
     # more (ab/bc/ac) — materialize each once so the caller's edge
     # PIPELINE (often an expensive basket build) runs exactly once
     # instead of ~6x.  O(E) working set, the algorithm's own size.
-    e = (
-        edges.where(u != v)
-        .select(
-            F.least(u, v).alias("eu"), F.greatest(u, v).alias("ev")
+    if assume_canonical:
+        e = edges.select(u.alias("eu"), v.alias("ev"))
+    else:
+        e = (
+            edges.where(u != v)
+            .select(
+                F.least(u, v).alias("eu"), F.greatest(u, v).alias("ev")
+            )
+            .distinct()
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.explode(F.array("eu", "ev")).alias("n"))
         .groupBy("n")
@@ -303,11 +312,15 @@ def triangle_count(
     tri = ab.join(bc, "b").join(
         ac, (F.col("ta") == F.col("a")) & (F.col("tc") == F.col("c"))
     )
-    counts = e.agg(
-        F.count(F.lit(1)).cast("long").alias("n_edges")
-    ).crossJoin(
-        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    )
+    # n_nodes and n_edges both ride the degree aggregate: every edge
+    # contributes exactly 2 to the total degree, so sum(d) DIV 2 (an
+    # exact integer — the sum is always even) equals the edge count.
+    # One aggregate subtree instead of two separate count jobs over e
+    # and deg.
+    counts = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("d").alias("_sd"),
+    ).select("n_nodes", F.expr("_sd DIV 2").cast("long").alias("n_edges"))
     return counts.crossJoin(
         tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     ).select("n_nodes", "n_edges", "n_triangles")

@@ -1193,7 +1193,11 @@ def q_triangle_count(spark, sf_dir):
 
     (lineitem,) = load(spark, sf_dir, "lineitem")
     edges = copurchase_edges(lineitem)
-    return triangle_count(edges)
+    # copurchase_edges ends in groupBy(u, v) over u < v pairs, so the
+    # edge set is duplicate-free, self-loop-free and canonically
+    # ordered by construction — the canonicalization distinct exchange
+    # is provably redundant
+    return triangle_count(edges, assume_canonical=True)
 
 
 def copurchase_edges(lineitem, basket_cap: int = _BASKET_CAP,

@@ -140,6 +140,12 @@ def test_triangle_count_matches_bruteforce(spark):
     row = triangle_count(df).collect()[0]
     assert row["n_triangles"] == truth
     assert row["n_edges"] == len(edges)
+    # assume_canonical on an already-canonical edge set (dedup'd,
+    # loop-free, u < v) must produce the identical row while skipping
+    # the canonicalization exchange
+    clean = spark.createDataFrame(sorted(edges), "u int, v int")
+    fast = triangle_count(clean, assume_canonical=True).collect()[0]
+    assert fast == row
 
 
 def test_copurchase_edges_mega_order_guard(spark):
