@@ -248,10 +248,16 @@ def verify_jaccard_pairs(
     (broadcast semi-join on the raw (id, text) scan): a projection
     below the join would tokenize+shingle EVERY corpus document and
     discard the non-candidates after the fact — the shingle pass, not
-    the join, is the dominant cost.  The id frame is a second consumer
-    of the candidate dedup aggregate; its exchange is shared at
-    runtime (AQE stage reuse), so the posting join is not recomputed.
+    the join, is the dominant cost.
+
+    ``cands`` is consumed twice by construction (the broadcast id set
+    and the final pair join), and the broadcast subtree materializes
+    independently of the main plan — exchange reuse does NOT bridge
+    it, so an unmaterialized candidate pipeline (signatures + posting
+    join) would run twice (measured 2x wall on the minhash path).
+    localCheckpoint materializes the tiny id-pair frame exactly once.
     """
+    cands = cands.localCheckpoint(eager=False)
     ids = (
         cands.select(F.col("id_a").alias("_cid"))
         .union(cands.select(F.col("id_b").alias("_cid")))
