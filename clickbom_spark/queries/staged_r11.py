@@ -1483,7 +1483,14 @@ FROM gc GROUP BY source ORDER BY source
     "document pairs).",
 )
 def q_ngram_redundancy(spark, sf_dir):
+    from clickbom_spark.ext.text import fan_out
+
     (docs,) = load(spark, sf_dir, "documents")
+    # The 3-gram explode is the dominant per-row CPU and runs fused
+    # into the scan stage; an under-partitioned source (one row-group
+    # parquet file -> one task) serializes it.  fan_out is a no-op
+    # whenever file splits already provide >= default parallelism.
+    docs = fan_out(docs)
     toks = F.split("text", " ")
     sh = (
         docs.where(F.col("text").isNotNull())
