@@ -609,56 +609,32 @@ FROM ({sv}\n)"""
     bench=True,
 )
 def q_hll_distinct(spark, sf_dir):
-    from clickbom_spark.ext.sketches import (
-        hll_bucket_rho,
-        hll_est_expr,
-        hll_harmonic_aggs,
-    )
+    from clickbom_spark.ext.sketches import hll_estimate, hll_registers
 
     events, orders = load(spark, sf_dir, "events", "orders")
 
     def one(df, colname, label):
-        # ONE pass per column serves both outputs.  Per bucket the
-        # register is max(rho) and the exact-count contribution is
-        # countDistinct(value): values never collide across buckets
-        # (the bucket is a function of the value), so bucket counts
-        # sum to the global distinct count, and max(rho) over all
-        # rows equals hll_registers' value bit-for-bit.  Spark plans
-        # the single-distinct aggregate as the two-level
-        # (bucket, value)-then-bucket rewrite with map-side combine.
-        # Everything downstream — spine fill for empty buckets,
-        # harmonic sum, and n_exact — folds into ONE final aggregate
-        # over the 2^p-row frame, so the query has a single consumer
-        # per scan; the old shape ran a second full scan (and a
-        # second full-table md5 pass) just for countDistinct, plus a
-        # crossJoin of the two 1-row results.
-        bucket, rho = hll_bucket_rho(F.col("_v"), _HLL_P)
-        t = (
-            df.where(F.col(colname).isNotNull())
-            .select(F.col(colname).alias("_v"))
-            .select(bucket.alias("bucket"), rho.alias("rho"), "_v")
-            .groupBy("bucket")
-            .agg(
-                F.max("rho").alias("rho"),
-                F.countDistinct("_v").alias("_nv"),
-            )
+        # Two consumers per column ON PURPOSE (measured, r14): folding
+        # the exact count into the register aggregate —
+        # groupBy(bucket).agg(max(rho), countDistinct(v)) — makes
+        # Spark plan the mixed distinct/non-distinct aggregate through
+        # an Expand that DOUBLES every input row into the first
+        # aggregate, which costs more than the saved scan at every
+        # scale (sf0.1 paired A/B: one-pass 2.60s vs this shape
+        # 1.35s).  Here each consumer stays cheap: the register
+        # aggregate's partial output is 2^p rows per task, and the
+        # countDistinct branch shuffles bare distinct values with
+        # map-side partial dedup.
+        regs = hll_registers(df, colname, p=_HLL_P)
+        est = hll_estimate(regs, p=_HLL_P)
+        exact = df.where(F.col(colname).isNotNull()).agg(
+            F.countDistinct(colname).cast("long").alias("n_exact")
         )
-        spine = df.sparkSession.range(_HLL_M).select(
-            F.col("id").alias("bucket")
-        )
-        filled = spine.join(F.broadcast(t), "bucket", "left").select(
-            F.coalesce(F.col("rho"), F.lit(0)).cast("int").alias("rho"),
-            F.coalesce(F.col("_nv"), F.lit(0)).alias("_nv"),
-        )
-        s, v = hll_harmonic_aggs(_HLL_P)
-        row = filled.agg(
-            s, v, F.sum("_nv").cast("long").alias("n_exact")
-        )
-        return row.select(
+        return est.crossJoin(exact).select(
             F.lit(label).alias("col_name"),
             F.lit(_HLL_M).cast("long").alias("m"),
             "n_exact",
-            hll_est_expr(_HLL_P).alias("est_hll"),
+            "est_hll",
         )
 
     return (
