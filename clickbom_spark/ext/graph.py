@@ -319,7 +319,9 @@ def triangle_count(
     # and deg.
     counts = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum("d").alias("_sd"),
+        # coalesce: an EMPTY edge set makes sum(d) NULL, and the row
+        # must stay (0, 0, 0) like the plain count shape returned
+        F.coalesce(F.sum("d"), F.lit(0)).alias("_sd"),
     ).select("n_nodes", F.expr("_sd DIV 2").cast("long").alias("n_edges"))
     return counts.crossJoin(
         tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

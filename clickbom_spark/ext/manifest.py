@@ -45,6 +45,24 @@ from pyspark.sql import functions as F
 _MANIFEST_DIR = "_manifests"
 
 
+def _debug_validate_assumptions(spark: SparkSession) -> bool:
+    """True when the session opts in to re-validating caller-asserted
+    invariants (``keys_unique`` & co.) with real validation jobs.
+
+    Off by default — the assertions exist so tests/CI can set
+    ``spark.clickbom.debug.validateAssumptions=true`` (or the
+    ``CLICKBOM_DEBUG_ASSUMPTIONS`` env var) and turn a silently-
+    corrupting broken assumption into a loud failure at the call site.
+    """
+    try:
+        v = spark.conf.get("spark.clickbom.debug.validateAssumptions")
+    except Exception:
+        v = None
+    if v is None:
+        v = os.environ.get("CLICKBOM_DEBUG_ASSUMPTIONS", "false")
+    return str(v).lower() == "true"
+
+
 def _mdir(path: str) -> str:
     return os.path.join(path, _MANIFEST_DIR)
 
@@ -700,6 +718,25 @@ class VersionedLake:
         validation job — one fewer pass over the change set for the
         streaming sinks that rebuild their state per epoch."""
         if keys_unique:
+            # Debug guardrail (off by default): keys_unique trades the
+            # hard duplicate-key ValueError for an out-of-band caller
+            # assumption — if that assumption ever breaks, the upsert
+            # would silently commit duplicate-key rows.  Under the
+            # session debug flag the validation job runs anyway so
+            # violations fail loudly in tests/CI at the call site.
+            if _debug_validate_assumptions(changes.sparkSession):
+                dup = (
+                    changes.groupBy(*key_cols)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .where(F.col("_n") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        "upsert: keys_unique=True but the change set "
+                        "has duplicate keys (debug assertion)"
+                    )
             keys = None
             key_frame = changes.select(*key_cols)
         else:
@@ -815,17 +852,31 @@ class VersionedLake:
             F.count(F.lit(1)).alias("_n"),
             F.collect_set(F.col(op_col)).alias("_ops"),
         ).persist()
-        flags = keys.agg(
-            F.max("_n").alias("_maxn"),
-            F.array_distinct(F.flatten(F.collect_list("_ops"))).alias(
-                "_allops"
-            ),
-        ).collect()[0]
-        bad = set(flags["_allops"] or []) - {"I", "U", "D"}
+        # Distinct-op check as a DISTRIBUTED aggregate: exploding the
+        # per-key op sets and grouping by op does map-side partial
+        # aggregation, so at most (#distinct ops) rows reach the
+        # driver.  (collect_list over one row per distinct key pulled
+        # O(#keys) arrays into a single aggregation buffer — a
+        # single-reducer memory cliff on large CDC batches.)  The
+        # duplicate-key max rides the same pass: every key contributes
+        # its _n to at least one op group (explode_outer keeps keys
+        # whose ops collapsed to an empty set, e.g. all-NULL op rows —
+        # collect_set drops NULLs — as a NULL-op group, which the
+        # unknown-op check deliberately ignores, matching the previous
+        # behavior of collect_set-based validation).
+        flags = (
+            keys.select(F.col("_n"), F.explode_outer("_ops").alias("_op"))
+            .groupBy("_op")
+            .agg(F.max("_n").alias("_maxn"))
+            .collect()
+        )
+        bad = {r["_op"] for r in flags if r["_op"] is not None} - {
+            "I", "U", "D",
+        }
         if bad:
             keys.unpersist()
             raise ValueError(f"merge_cdc: unknown ops {sorted(bad)}")
-        if (flags["_maxn"] or 0) > 1:
+        if max((r["_maxn"] for r in flags), default=0) > 1:
             keys.unpersist()
             raise ValueError(
                 "merge_cdc: duplicate keys in batch — collapse to the "

@@ -597,10 +597,13 @@ def q_curation_pipeline(spark, sf_dir):
     deduped = ranked.where(keep).select(
         "doc_id", "lang", "source", "tokens"
     )
-    # stage counts + the deduped token budget from ONE pass: same rows
-    # feed the rate computation as the old per-lang aggregate over
-    # deduped (every language with a filtered row has a rank-1 row, so
-    # frame membership — and hence the window totals — is identical)
+    # stage counts + the deduped token budget from ONE pass.  The rate
+    # window must run over languages PRESENT IN DEDUPED (the oracle's
+    # rates CTE groups deduped): the dedup window partitions by
+    # fingerprint, not (lang, fingerprint), so a language whose
+    # filtered docs all lose the keep-one race to lower-doc_id docs of
+    # OTHER languages has a funnel row with n_deduped = 0 / lt NULL —
+    # it must not inflate the COUNT(*) denominator of every rate.
     funnel = ranked.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_filtered"),
         F.count(F.when(keep, 1)).alias("n_deduped"),
@@ -613,7 +616,9 @@ def q_curation_pipeline(spark, sf_dir):
          / F.count(F.lit(1)).over(wall).cast("double"))
         / F.col("lt").cast("double"),
     )
-    rates = funnel.select("lang", rate.alias("rate"))
+    rates = funnel.where(F.col("n_deduped") > 0).select(
+        "lang", rate.alias("rate")
+    )
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("long")

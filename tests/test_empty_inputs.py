@@ -88,12 +88,14 @@ def test_weighted_quantiles_and_auc_empty(spark):
 def test_triangle_count_empty_and_single_edge(spark):
     from clickbom_spark.ext.graph import triangle_count
 
+    empty_row = triangle_count(_empty(spark, "u long, v long")).collect()[0]
+    # the full row must stay (0, 0, 0): sum(d) over an empty degree
+    # frame is NULL and must not propagate into n_edges
     assert (
-        triangle_count(_empty(spark, "u long, v long")).collect()[0][
-            "n_triangles"
-        ]
-        == 0
-    )
+        empty_row["n_nodes"],
+        empty_row["n_edges"],
+        empty_row["n_triangles"],
+    ) == (0, 0, 0)
     one = spark.createDataFrame([(1, 2)], "u long, v long")
     row = triangle_count(one).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (2, 1, 0)

@@ -2410,3 +2410,57 @@ def test_read_pruned_applies_logical_schema(spark, tmp_path):
     frame, total, read = read_pruned(lake, "v", 0, 10)
     got = sorted(tuple(r) for r in frame.select("id", "flag").collect())
     assert got in ([(1, "unknown"), (2, "unknown")], [(1, "unknown")]), got
+
+
+def test_keys_unique_debug_assertion_catches_violation(spark, tmp_path):
+    """keys_unique=True skips duplicate-key validation on the caller's
+    word; under the debug flag the validation job runs anyway so a
+    broken uniqueness assumption fails loudly instead of silently
+    committing duplicate-key rows."""
+    lake = _mk(spark, tmp_path, n=20)
+    dupes = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 0, 2.0)], "id long, grp long, val double"
+    )
+    # flag off (default): the fast path trusts the caller — the bad
+    # batch goes through (this is exactly the hazard the flag guards)
+    lake.upsert(dupes, ["id"], keys_unique=True)
+    assert lake.read().where(F.col("id") == 1).count() == 2
+    spark.conf.set("spark.clickbom.debug.validateAssumptions", "true")
+    try:
+        with pytest.raises(ValueError, match="keys_unique"):
+            lake.upsert(dupes, ["id"], keys_unique=True)
+        # unique change sets still pass under the flag
+        ok = spark.createDataFrame(
+            [(2, 0, 9.0)], "id long, grp long, val double"
+        )
+        lake.upsert(ok, ["id"], keys_unique=True)
+    finally:
+        spark.conf.set(
+            "spark.clickbom.debug.validateAssumptions", "false"
+        )
+
+
+def test_merge_cdc_unknown_op_check_is_distributed(spark, tmp_path):
+    """The unknown-op validation must reject bad ops (and allow good
+    ones) through the exploded distributed aggregate — no single
+    collect_list buffer of every key's op set."""
+    lake = _mk(spark, tmp_path, n=20)
+    bad = spark.createDataFrame(
+        [(1, 0, 1.0, "X"), (2, 0, 2.0, "U")],
+        "id long, grp long, val double, op string",
+    )
+    with pytest.raises(ValueError, match="unknown ops"):
+        lake.merge_cdc(bad, ["id"])
+    dup = spark.createDataFrame(
+        [(1, 0, 1.0, "U"), (1, 0, 2.0, "D")],
+        "id long, grp long, val double, op string",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        lake.merge_cdc(dup, ["id"])
+    good = spark.createDataFrame(
+        [(1, 0, 99.0, "U"), (5, 0, 5.0, "D"), (999, 1, 7.0, "I")],
+        "id long, grp long, val double, op string",
+    )
+    lake.merge_cdc(good, ["id"])
+    got = {r["id"]: r["val"] for r in lake.read().collect()}
+    assert got[1] == 99.0 and 5 not in got and got[999] == 7.0
