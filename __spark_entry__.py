@@ -55,6 +55,16 @@ def _status_rank() -> dict[str, int]:
         has_oracle = REGISTRY[name].oracle is not None
         if e is None:
             ranks[name] = (1, 0)  # never checked
+        elif name in _REVERIFY_TOUCHED:
+            # Queries whose implementation was REWRITTEN in the last
+            # two optimization rounds (r14/r15) but whose oracle row
+            # predates the rewrite: the staleness rotation would not
+            # reach them for several rounds (they were recently green),
+            # so their semantic-equivalence arguments would stay
+            # uncertified.  Rank them right behind true failures /
+            # never-checked so this round's budget certifies the
+            # rewrites (VERDICT r14 item 2).
+            ranks[name] = (1, 1)
         elif e.get("err") == "no_oracle" and not has_oracle:
             # Deliberately oracle-less (pytest-law-pinned, not broken):
             # park BEHIND the green tier so these don't eat a budget
@@ -87,6 +97,26 @@ def _status_rank() -> dict[str, int]:
 # REGISTRY.update(staged_rN.STAGED_RN) in queries/__init__.py,
 # newest-last; the disjointness guard in each parity file flags any
 # collision.
+
+# Queries rewritten by the r14/r15 optimization rounds whose driver
+# oracle row predates the rewrite (VERDICT r14 "Next round" item 2):
+# ranked just behind never-checked so the r15 budget re-greens every
+# semantic rewrite.  Grows as round 15 touches more queries.
+_REVERIFY_TOUCHED = {
+    # r14 semantic rewrites (minimum set named by the judge)
+    "q_window_rank_orders", "q_theta_join_event_pairs",
+    "q_triangle_count", "q_pagerank_parts", "q_minhash_lsh_dedup",
+    "q_lake_stream_serving",
+    # remaining r14-touched bench queries
+    "q_ngram_redundancy", "q_hll_distinct", "q_curation_pipeline",
+    "q_quantiles_weighted_by_group", "q_weighted_quantiles",
+    "q_bootstrap_ci", "q_cosine_topk",
+    # r15-touched (ADVICE fixes + non-bench hot-path sweep)
+    "q_cdc_apply", "q_shingle_novelty", "q_token_pmi",
+    "q_event_markov_matrix", "q_association_rules",
+    "q_edit_distance_join", "q_setsim_prefix_join",
+    "q_containment_join",
+}
 
 # Among never-checked queries, verify the highest-value operators
 # first (the budget may cut the tail): multimodal + layout (flagged in

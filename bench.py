@@ -229,7 +229,13 @@ def main() -> None:
         out["errors"] = {n: e.strip().splitlines()[-1] for n, e in errors.items()}
         print("\n".join(f"BENCH ERROR {n}:\n{e}" for n, e in errors.items()),
               file=sys.stderr)
-    print(json.dumps(out))
+    # The JSON must be the ONLY stdout line and must be flushed: the
+    # r13 driver artifact lost its numbers because the stdout tail it
+    # captured started mid-JSON (PERF_r14 prev_bench_ok=false).  Flush
+    # stderr first so interleaved JVM/log writes cannot land after the
+    # JSON in a combined capture, then write the one line and flush.
+    sys.stderr.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
