@@ -274,6 +274,14 @@ def verify_jaccard_pairs(
         .select("gid", shingles(F.col(text_col), n).alias("grams"))
         .withColumn("sz", F.size("grams"))
     )
+    # g is consumed twice (the id_a and id_b sides of the pair join)
+    # and each side plans as an INDEPENDENT subtree — without a
+    # materialization barrier the corpus scan, the candidate semi-join
+    # and the shingle pass all run twice (the r14 after-plan shows two
+    # full copies, operators (2)-(18) and (21)-(37)).  g is candidates
+    # only — O(candidate docs) shingle arrays — so the checkpoint
+    # working set is small by construction at every scale.
+    g = g.localCheckpoint(eager=False)
     ga = g.select(
         F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"), F.col("sz").alias("sz_a")
     )
@@ -604,29 +612,58 @@ def setsim_join_prefix(
     from pyspark.sql import functions as F
 
     ranked = _rarity_ranked(docs, id_col, tokens_col)
+    # Guide §8: the posting join only DECIDES which pairs are
+    # candidates — shipping each doc's full ordered token array on
+    # every posting row made the prefix shuffle O(postings × doc_len)
+    # bytes.  Postings now carry (id, n, ptok) only; the arrays are
+    # re-attached to the deduped candidate pairs by two id-keyed
+    # joins against the materialized ranked frame (consumed 3×:
+    # postings + both attach sides).
+    ranked = ranked.localCheckpoint(eager=False)
     plen = _prefix_len(threshold)
+    # positions ride the postings (PPJoin, Xiao et al. 2008): both
+    # arrays are ordered by the SAME global rarity order, so the
+    # FIRST common token of a qualifying pair sits at positions
+    # (i, j) with overlap ≤ 1 + min(n_a − i, n_b − j); Jaccard ≥ t
+    # needs overlap ≥ t/(1+t)·(n_a+n_b), so posting matches that
+    # cannot reach that bound are dropped BEFORE the candidate dedup
+    # shuffle — lossless (the first-common match of every qualifying
+    # pair always survives), and it subsumes the length filter.
     prefixes = ranked.select(
-        "_id", "w", "n", F.explode(F.slice("w", 1, plen)).alias("ptok")
+        "_id",
+        "n",
+        F.posexplode(F.slice("w", 1, plen)).alias("_p0", "ptok"),
     )
     a = prefixes.select(
-        F.col("_id").alias("id_a"), F.col("w").alias("w_a"),
-        F.col("n").alias("n_a"), "ptok",
+        F.col("_id").alias("id_a"), F.col("n").alias("n_a"),
+        (F.col("_p0") + 1).alias("_ia"), "ptok",
     )
     b = prefixes.select(
-        F.col("_id").alias("id_b"), F.col("w").alias("w_b"),
-        F.col("n").alias("n_b"), "ptok",
+        F.col("_id").alias("id_b"), F.col("n").alias("n_b"),
+        (F.col("_p0") + 1).alias("_jb"), "ptok",
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("n_a") + F.col("n_b")).cast("double")
+        - F.lit(1e-9)
+    )
+    bound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("_ia"), F.col("n_b") - F.col("_jb")
     )
     cands = (
         a.join(b, "ptok")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "w_a", "w_b", "n_a", "n_b")
+        .where((F.col("id_a") < F.col("id_b")) & (bound >= alpha))
+        .select("id_a", "id_b", "n_a", "n_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    wa = ranked.select(F.col("_id").alias("id_a"), F.col("w").alias("w_a"))
+    wb = ranked.select(F.col("_id").alias("id_b"), F.col("w").alias("w_b"))
+    verify = cands.join(wa, "id_a").join(wb, "id_b")
     inter = F.size(F.array_intersect("w_a", "w_b")).cast("double")
     union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     j = inter / union
     return (
-        cands.select("id_a", "id_b", j.alias("jaccard"))
+        verify.select("id_a", "id_b", j.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -655,27 +692,51 @@ def containment_join_prefix(
     from pyspark.sql import functions as F
 
     ranked = _rarity_ranked(docs, id_col, tokens_col)
+    # Same §8 payload/proxy split as setsim_join_prefix: the index
+    # side posts EVERY token, so carrying w_b on each posting row
+    # shipped each doc's array once per token — O(total_tokens ×
+    # doc_len) shuffle bytes (the r15 before-plan's dominant cost).
+    # Postings carry ids + n_a only; arrays re-attach after the
+    # candidate dedup.
+    ranked = ranked.localCheckpoint(eager=False)
     plen = _prefix_len(threshold)
+    # Positional filter (same PPJoin bound as setsim_join_prefix,
+    # specialized to containment): both arrays share the global
+    # rarity order, so the first common token at positions (i, j)
+    # bounds the overlap by 1 + min(n_a − i, n_b − j), and
+    # c(a→b) ≥ t needs overlap ≥ ceil(t·n_a).  Posting matches that
+    # cannot reach the bound drop before the candidate dedup —
+    # lossless, and it prunes most of the index side's deep
+    # positions (the index posts ALL tokens, so this is where the
+    # join volume lives).
     probe = ranked.select(
-        F.col("_id").alias("id_a"), F.col("w").alias("w_a"),
-        F.col("n").alias("n_a"),
-        F.explode(F.slice("w", 1, plen)).alias("tok"),
+        F.col("_id").alias("id_a"), F.col("n").alias("n_a"),
+        F.posexplode(F.slice("w", 1, plen)).alias("_ia0", "tok"),
     )
     index = ranked.select(
-        F.col("_id").alias("id_b"), F.col("w").alias("w_b"),
-        F.explode("w").alias("tok"),
+        F.col("_id").alias("id_b"), F.col("n").alias("n_b"),
+        F.posexplode("w").alias("_jb0", "tok"),
+    )
+    alpha = F.ceil(
+        F.col("n_a").cast("double") * F.lit(threshold) - F.lit(1e-9)
+    )
+    bound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("_ia0") - 1, F.col("n_b") - F.col("_jb0") - 1
     )
     cands = (
         probe.join(index, "tok")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", "w_a", "w_b", "n_a")
+        .where((F.col("id_a") != F.col("id_b")) & (bound >= alpha))
+        .select("id_a", "id_b", "n_a")
         .dropDuplicates(["id_a", "id_b"])
     )
+    wa = ranked.select(F.col("_id").alias("id_a"), F.col("w").alias("w_a"))
+    wb = ranked.select(F.col("_id").alias("id_b"), F.col("w").alias("w_b"))
+    verify = cands.join(wa, "id_a").join(wb, "id_b")
     c = F.size(F.array_intersect("w_a", "w_b")).cast("double") / F.col(
         "n_a"
     ).cast("double")
     return (
-        cands.select("id_a", "id_b", c.alias("containment"))
+        verify.select("id_a", "id_b", c.alias("containment"))
         .where(F.col("containment") >= threshold)
     )
 
@@ -785,6 +846,12 @@ def edit_distance_pairs(
         .where(F.col("s").isNotNull())
         .distinct()
     )
+    # s is consumed FOUR times (both sides of the gram join, the short
+    # side, and the short branch's probe side) and each consumer plans
+    # its own scan + distinct pipeline (the r15 before-plan shows four
+    # full copies).  Materialize the distinct-name frame once — its
+    # working set is O(distinct values), the algorithm's own size.
+    s = s.localCheckpoint(eager=False)
     min_len = q * (max_d + 1)
     grams = s.where(F.length("s") >= min_len).select(
         "s",

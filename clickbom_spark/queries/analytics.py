@@ -815,19 +815,58 @@ def q_association_rules(spark, sf_dir):
         .agg(F.collect_set("l_partkey").alias("_ps"))
         .where(F.size("_ps") <= 1024)
     )
+    # baskets feeds FOUR consumers (n_orders, items×2 via ia/ic, the
+    # pair triangle) and three of them sit under broadcast exchanges,
+    # which AQE's shuffle-stage reuse does not bridge — the r15
+    # before-plan shows the scan + collect_set aggregate planned four
+    # times.  Materialize the basket arrays once; the working set is
+    # the per-order distinct part sets, the algorithm's own size.
+    baskets = baskets.localCheckpoint(eager=False)
     n_orders = baskets.agg(
         F.count(F.lit(1)).cast("double").alias("n_orders")
     )
     items = baskets.select(F.explode("_ps").alias("p")).groupBy("p").agg(
         F.count(F.lit(1)).alias("n_item")
     )
-    pairs = (
-        baskets.select(F.explode("_ps").alias("antecedent"), "_ps")
-        .select("antecedent", F.explode("_ps").alias("consequent"))
-        .where(F.col("antecedent") != F.col("consequent"))
-        .groupBy("antecedent", "consequent")
+    # n_both is SYMMETRIC — both directions of an unordered pair count
+    # the same orders — so generate each unordered pair ONCE as the
+    # upper triangle of the sorted basket (cap²/2 structs per order
+    # instead of the cap² double-explode), aggregate, and emit both
+    # directions map-side after the aggregate.  Halves the pair
+    # fan-out AND the (antecedent, consequent) shuffle bytes.
+    sp = F.col("_sp")
+    tri = F.flatten(
+        F.transform(
+            sp,
+            lambda x, i: F.transform(
+                F.slice(sp, i + F.lit(2), F.size(sp)),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
+        )
+    )
+    half = (
+        baskets.select(F.array_sort("_ps").alias("_sp"))
+        .select(F.explode(tri).alias("pr"))
+        .groupBy(F.col("pr.lo").alias("lo"), F.col("pr.hi").alias("hi"))
         .agg(F.count(F.lit(1)).alias("n_both"))
         .where(F.col("n_both") >= _AR_MIN_PAIR)
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lo").alias("a"), F.col("hi").alias("c")
+                ),
+                F.struct(
+                    F.col("hi").alias("a"), F.col("lo").alias("c")
+                ),
+            )
+        ).alias("pr"),
+        "n_both",
+    ).select(
+        F.col("pr.a").alias("antecedent"),
+        F.col("pr.c").alias("consequent"),
+        "n_both",
     )
     ia = items.select(
         F.col("p").alias("antecedent"), F.col("n_item").alias("n_a")

@@ -848,16 +848,16 @@ def q_event_markov_matrix(spark, sf_dir):
     trans = seq.groupBy(
         "prev", F.col("event_type").alias("cur")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = trans.groupBy("prev").agg(
-        F.sum("n").cast("long").alias("row_n")
-    )
+    # row totals as a window over the TINY transition frame: the old
+    # trans⋈tot join made trans (and its events-wide lag-window
+    # lineage) a two-consumer subtree — the whole per-user window ran
+    # twice.  sum(n) over (partition by prev) is the same exact long
+    # total on one lineage; the window frame is ≤ |event_type|² rows.
+    row_n = F.sum("n").over(Window.partitionBy("prev")).cast("long")
     return (
-        trans.join(tot, "prev")
-        .select(
+        trans.select(
             "prev", "cur", "n",
-            F.round(
-                F.col("n").cast("double") / F.col("row_n"), 6
-            ).alias("p"),
+            F.round(F.col("n").cast("double") / row_n, 6).alias("p"),
         )
         .orderBy("prev", "cur")
     )
@@ -901,41 +901,58 @@ GROUP BY s.doc_id ORDER BY s.doc_id
     "integer counts, one division round(6).",
 )
 def q_shingle_novelty(spark, sf_dir):
+    # SELECT DISTINCT (doc_id, g) ≡ per-doc array_distinct of the
+    # shingle array (shingles of different docs are distinct rows by
+    # the doc_id key alone), so the corpus-wide distinct EXCHANGE is a
+    # map-side dedup.  With that, n_shingles is size(gs) per doc (no
+    # aggregate at all) and n_novel per doc is a count over the TINY
+    # (g, first_doc) frame grouped by first_doc — every shingle is
+    # counted toward exactly the doc that owns its corpus-wide min,
+    # and that doc always contains the shingle, so the counts equal
+    # the old postings-join-back.  The fat sh⋈firsts join (a second
+    # full shuffle of the posting list) disappears; what is left is
+    # one partial-aggregated exchange on g, two narrow per-doc frames
+    # and a doc-keyed join.
     (docs,) = load(spark, sf_dir, "documents")
-    sh = (
-        docs.where(F.col("text").isNotNull())
-        .select("doc_id", F.split("text", " ").alias("l"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.size("l") >= 3,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("l") - 2),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at("l", i),
-                            F.element_at("l", i + 1),
-                            F.element_at("l", i + 2),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("g"),
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    gs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("l", i),
+                F.element_at("l", i + 1),
+                F.element_at("l", i + 2),
+            ),
         )
-        .distinct()
+    )
+    # only docs with ≥3 tokens shingle at all; filtering on size(l)
+    # BEFORE computing gs keeps the pushed-down filter from
+    # re-evaluating the whole gram pipeline as its predicate
+    # (n_shingles > 0 ⟺ size(l) ≥ 3: a len-k doc has k−2 ≥ 1 grams
+    # and array_distinct keeps at least one)
+    shingled = toks.where(F.size("l") >= 3)
+    sh = shingled.select(
+        "doc_id", F.explode(gs).alias("g")
     )
     firsts = sh.groupBy("g").agg(
         F.min("doc_id").cast("long").alias("first_doc")
     )
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    ).cast("long")
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    counts = shingled.select(
+        "doc_id", F.size(gs).cast("long").alias("n_shingles")
+    )
     return (
-        sh.join(firsts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            novel.alias("n_novel"),
+        counts.join(novel, "doc_id", "left")
+        .select(
+            "doc_id", "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
         )
         .select(
             "doc_id", "n_shingles", "n_novel",
@@ -989,40 +1006,64 @@ ORDER BY n_xy DESC, w1, w2 LIMIT {_PMI_TOP_PAIRS}
     "tie-break.",
 )
 def q_token_pmi(spark, sf_dir):
+    # SELECT DISTINCT (doc_id, w) ≡ per-doc array_distinct (same
+    # map-side-dedup argument as q_shingle_novelty): the corpus-wide
+    # distinct exchange disappears and the document-frequency
+    # aggregate runs straight off the exploded per-doc-distinct
+    # words.  With the top-k vocabulary pinned driver-side, the pair
+    # counts need NO postings self-join at all — each doc's top-word
+    # set is intersected with the (40-word) literal vocabulary and
+    # its sorted upper triangle is generated in the same map stage
+    # (exactly the oracle's a.w < b.w per-doc pair set), leaving one
+    # tiny (w1, w2) aggregate where the old plan shuffled the
+    # postings twice through an equi-join.
     (docs,) = load(spark, sf_dir, "documents")
-    dw = (
-        docs.where(F.col("text").isNotNull())
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .distinct()
+    words = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
     )
-    nd = dw.agg(
+    dw = words.select("doc_id", F.explode("ws").alias("w"))
+    # every non-null-text doc yields ≥1 word (split of '' is ['']),
+    # so distinct-doc count over the exploded frame == distinct-doc
+    # count over words — no explode needed for N
+    nd = words.agg(
         F.countDistinct("doc_id").cast("long").alias("N")
     )
     wf = dw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # the top-k vocabulary is BOUNDED (k rows) by construction — pin
-    # it driver-side once so the three downstream joins broadcast a
-    # literal frame instead of re-deriving the postings scan each
-    # (the k-row-collect rule the sketch operators follow)
+    # it driver-side once so the downstream joins broadcast a literal
+    # frame instead of re-deriving the postings scan each (the
+    # k-row-collect rule the sketch operators follow)
     top_rows = (
         wf.orderBy(F.col("df").desc(), "w").limit(_PMI_TOP_WORDS).collect()
     )
     top = spark.createDataFrame(
         [(r.w, r.df) for r in top_rows], "w string, df long"
     )
-    tw = (
-        dw.join(F.broadcast(top.select("w")), "w")
-        .select("doc_id", "w")
-    )
+    top_lit = F.array(*[F.lit(r.w) for r in top_rows])
     pairs = (
-        tw.alias("a")
-        .join(
-            tw.select(
-                F.col("doc_id").alias("doc_id2"), F.col("w").alias("w2")
-            ),
-            (F.col("doc_id") == F.col("doc_id2"))
-            & (F.col("w") < F.col("w2")),
+        words.select(
+            F.array_sort(F.array_intersect("ws", top_lit)).alias("tw")
         )
-        .groupBy(F.col("w").alias("w1"), "w2")
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("tw"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("tw"), i + F.lit(2), F.size("tw")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("w1"), y.alias("w2")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .groupBy(
+            F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
     )
     return (
