@@ -7,12 +7,14 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import functions as F
+import pytest
 
 
 def _empty(spark, schema: str):
     return spark.createDataFrame([], schema)
 
 
+@pytest.mark.slow
 def test_heavy_hitters_empty(spark):
     from clickbom_spark.ext.sketches import (
         heavy_hitters,
@@ -114,6 +116,7 @@ def test_gd_training_empty_raises_cleanly(spark):
         logreg_train_gd(e, ["x0"], "y", epochs=1)
 
 
+@pytest.mark.slow
 def test_round6_ops_empty(spark, tmp_path):
     """Round-6 operators on empty inputs: edit-distance join,
     incremental minhash with an empty batch, CDC merge with an empty

@@ -17,8 +17,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
 import exec_probe  # noqa: E402
+import pytest
 
 
+@pytest.mark.slow
 def test_exec_battery_runs_clean(spark):
     res = exec_probe.run_exec_battery(spark)
     assert not res["FAILED"], res["FAILED"]

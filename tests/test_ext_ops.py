@@ -227,6 +227,7 @@ def test_brute_force_topk_excludes_self_and_ranks(spark, embeddings):
         assert cosines == sorted(cosines, reverse=True)
 
 
+@pytest.mark.slow
 def test_similarity_ops_survive_degenerate_vectors(spark):
     """Null and zero-norm vectors must yield NULL cosine (excluded by
     thresholds/ranks), not an ANSI divide-by-zero error."""
@@ -239,6 +240,7 @@ def test_similarity_ops_survive_degenerate_vectors(spark):
     assert S.ivf_topk(emb, emb, k=2, n_lists=2, n_probe=2).count() > 0
 
 
+@pytest.mark.slow
 def test_text_ops_survive_degenerate_text(spark):
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "   "), (4, "one")],

@@ -171,6 +171,7 @@ def test_resume_after_vacuum_past_offset_raises_data_loss(
     assert len(got) == 32
 
 
+@pytest.mark.slow
 def test_backfill_scale_per_file_partitions_and_restart(
     spark, tmp_path
 ):

@@ -411,6 +411,7 @@ def test_streaming_epoch_sink_end_to_end_with_real_stream(spark, tmp_path):
     assert {r["id"]: r["val"] for r in lake.read().collect()} == state
 
 
+@pytest.mark.slow
 def test_lake_model_based_random_mutation_sequence(spark, tmp_path):
     """Model-based check: a random sequence of update/delete/upsert/
     compact ops applied to both the lake and an in-memory dict model;

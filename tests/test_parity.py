@@ -57,7 +57,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+# Streaming-replay parity members take 15-25s each (three sequential
+# micro-batch epochs per side); their replay laws are also covered by
+# tests/test_streaming_dedup.py and the driver's own oracle rotation.
+# They run in the slow lane so the fast lane fits the driver's window.
+_SLOW_PARITY = {"q_stream_neardup_filter", "q_stream_scd2_incremental"}
+
+ORACLE_QUERIES = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+    for n in sorted(n for n, s in REGISTRY.items() if s.oracle)
+]
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 

@@ -4,6 +4,8 @@ law over a real availableNow file stream, and replay idempotence."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyspark.sql.functions as F
@@ -38,6 +40,7 @@ def _mk_docs():
     return batch1, batch2
 
 
+@pytest.mark.slow
 def test_admission_rule_hand_derived(spark, tmp_path):
     batch1, batch2 = _mk_docs()
     template = spark.createDataFrame(batch1, _SCHEMA)
@@ -70,6 +73,7 @@ def test_admission_rule_hand_derived(spark, tmp_path):
     assert {r["doc_id"] for r in again.collect()} == {5, 6}
 
 
+@pytest.mark.slow
 def test_stream_equals_sequential_batches_and_replay(spark, tmp_path):
     """availableNow stream over ordered batch files == folding the same
     batches through apply_neardup_batch; a fresh-checkpoint replay
@@ -189,6 +193,7 @@ def test_streaming_matview_handles_updates_retractions_and_replay(
     assert data_lake.current_version() == dv
     assert view_lake.current_version() == vv
 
+@pytest.mark.slow
 def test_admit_batch_keeps_ids_off_the_driver(spark, tmp_path, monkeypatch):
     """The backfill path replays arbitrarily large batches through
     admit_batch, so the surviving-id set must stay distributed: no
