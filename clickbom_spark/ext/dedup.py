@@ -263,13 +263,19 @@ def verify_jaccard_pairs(
         .union(cands.select(F.col("id_b").alias("_cid")))
         .distinct()
     )
+    # No fan_out here (unlike the full-corpus signature pass): the
+    # semi-joined frame is candidates only — small by construction —
+    # and at real scale it inherits the corpus scan's file-split
+    # parallelism anyway (fan_out would no-op).  fan_out's
+    # getNumPartitions probe also converts a broadcast-lineage plan
+    # to an RDD, which under AQE eagerly runs the candidate pipeline
+    # at query-BUILD time — measured ~0.3s per bench pass at sf0.1.
     g = (
-        fan_out(
-            df.select(F.col(id_col).alias("gid"), F.col(text_col)).join(
-                F.broadcast(ids),
-                F.col("gid") == F.col("_cid"),
-                "left_semi",
-            )
+        df.select(F.col(id_col).alias("gid"), F.col(text_col))
+        .join(
+            F.broadcast(ids),
+            F.col("gid") == F.col("_cid"),
+            "left_semi",
         )
         .select("gid", shingles(F.col(text_col), n).alias("grams"))
         .withColumn("sz", F.size("grams"))

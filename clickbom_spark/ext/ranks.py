@@ -42,6 +42,32 @@ from pyspark.sql import functions as F
 # values — ties and ordering are exact regardless of bucketing.
 _MAX_BUCKETS = 256
 
+#: Target input bytes per value bucket when the caller does not pin a
+#: count.  One bucket per ~32 MB keeps per-bucket window state small;
+#: the 256-bucket cap saturates at ~8 GB of input.
+_BUCKET_TARGET_BYTES = 32 * 1024 * 1024
+
+
+def _default_buckets(df: DataFrame) -> int:
+    """Scale-ADAPTIVE bucket count: derived from the input's plan-stat
+    size estimate (no job), not from the local core count.
+
+    defaultParallelism was the wrong default on both ends: at bench
+    scale it forced 31 boundary quantiles + a 32-leaf bucket tree over
+    megabytes of input (pure overhead, and it made the 8-core and
+    32-core plans differ, muddying the driver's scaling measurement);
+    on a big cluster it under-bucketed relative to data volume.  Bucket
+    count is a balance knob only — results are exact at any value.
+    """
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return min(df.sparkSession.sparkContext.defaultParallelism,
+                   _MAX_BUCKETS)
+    return max(1, min(-(-size // _BUCKET_TARGET_BYTES), _MAX_BUCKETS))
+
 
 def _temp_names(df: DataFrame, bases: Sequence[str]) -> list[str]:
     """Collision-proof working-column names: each base gets underscores
@@ -64,6 +90,9 @@ def _bucket_boundaries(
     """Interior quantile cut points of ``order_col``, deduplicated
     ascending (skewed data may collapse cut points — buckets then merge,
     which costs balance, never correctness)."""
+    if num_buckets <= 1:
+        # single bucket — no cut points, and no boundary job at all
+        return []
     probs = [i / num_buckets for i in range(1, num_buckets)]
     vals = df.select(F.col(order_col).cast("double").alias("_ord")).stat.approxQuantile(
         "_ord", probs, rel_err
@@ -117,7 +146,7 @@ def _bucketed_with_offsets(
     """
     lead = order_cols[0]
     if num_buckets is None:
-        num_buckets = df.sparkSession.sparkContext.defaultParallelism
+        num_buckets = _default_buckets(df)
     num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
     c_bkt, c_val, c_off, c_total = _temp_names(
         df, ["_bkt", "_val", "_off", "_total"]
@@ -302,7 +331,7 @@ def exact_weighted_quantiles(
         F.col(value_col).isNotNull() & w.isNotNull() & (w > 0)
     ).select(F.col(value_col), w.alias("_w"))
     if num_buckets is None:
-        num_buckets = src.sparkSession.sparkContext.defaultParallelism
+        num_buckets = _default_buckets(src)
     num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
     c_bkt, c_val, c_off, c_total = _temp_names(
         src, ["_bkt", "_val", "_off", "_total"]
@@ -372,7 +401,7 @@ def ks_2sample(
         F.when(flag, 0).otherwise(1).alias("_b"),
     )
     if num_buckets is None:
-        num_buckets = src.sparkSession.sparkContext.defaultParallelism
+        num_buckets = _default_buckets(src)
     num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
     c_bkt, c_offa, c_offb = _temp_names(src, ["_bkt", "_offa", "_offb"])
     bounds = _bucket_boundaries(src, "_v", num_buckets)
@@ -454,7 +483,7 @@ def mann_whitney_u(
         F.when(flag, 0).otherwise(1).alias("_b"),
     )
     if num_buckets is None:
-        num_buckets = src.sparkSession.sparkContext.defaultParallelism
+        num_buckets = _default_buckets(src)
     num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
     c_bkt, c_off = _temp_names(src, ["_bkt", "_off"])
     bounds = _bucket_boundaries(src, "_v", num_buckets)
@@ -555,7 +584,7 @@ def exact_weighted_quantiles_by_group(
         & (w > 0)
     ).select(F.col(group_col), F.col(value_col), w.alias("_w"))
     if num_buckets is None:
-        num_buckets = src.sparkSession.sparkContext.defaultParallelism
+        num_buckets = _default_buckets(src)
     num_buckets = max(1, min(num_buckets, _MAX_BUCKETS))
     c_bkt, c_val, c_off, c_total = _temp_names(
         src, ["_bkt", "_val", "_off", "_total"]
