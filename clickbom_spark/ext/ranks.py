@@ -47,6 +47,13 @@ _MAX_BUCKETS = 256
 #: the 256-bucket cap saturates at ~8 GB of input.
 _BUCKET_TARGET_BYTES = 32 * 1024 * 1024
 
+#: Floor on the derived count: small inputs keep a handful of REAL
+#: buckets so the bucketed shape (and the plan guards that pin it)
+#: stays intact — a single constant bucket would constant-fold the
+#: _bkt attribute out of the window spec and degenerate the
+#: partition-local window into a global one.
+_MIN_BUCKETS = 8
+
 
 def _default_buckets(df: DataFrame) -> int:
     """Scale-ADAPTIVE bucket count: derived from the input's plan-stat
@@ -66,7 +73,9 @@ def _default_buckets(df: DataFrame) -> int:
     except Exception:
         return min(df.sparkSession.sparkContext.defaultParallelism,
                    _MAX_BUCKETS)
-    return max(1, min(-(-size // _BUCKET_TARGET_BYTES), _MAX_BUCKETS))
+    return max(
+        _MIN_BUCKETS, min(-(-size // _BUCKET_TARGET_BYTES), _MAX_BUCKETS)
+    )
 
 
 def _temp_names(df: DataFrame, bases: Sequence[str]) -> list[str]:

@@ -1165,13 +1165,14 @@ def test_ewma_scatter_bounds_scans(spark):
 
 
 def test_shingle_novelty_is_postings_join(spark):
-    """Novelty flows through (shingle → first_doc) postings — one
-    generator, hash aggregates, an equi-join back; never a document
-    pair product."""
+    """Novelty flows through (shingle → first_doc) postings — ONE
+    generator (the per-doc-distinct explode feeding the first-seen
+    aggregate; per-doc shingle counts are a map-side size()), hash
+    aggregates, and a doc-keyed join of two narrow per-doc frames;
+    never a document pair product and never a second explode of the
+    posting list."""
     plan = _staged_r13_plan(spark, "q_shingle_novelty")
-    # the distinct postings feed BOTH the first-seen aggregate and
-    # the join back, so the generator appears twice — never more
-    assert plan.count("Generate") == 2, plan
+    assert plan.count("Generate") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
@@ -1211,10 +1212,19 @@ def test_markov_window_is_user_partitioned(spark):
     # user_id must be a PARTITION column (followed by a comma in the
     # spec), not merely an ORDER column (followed by ASC/DESC) — a
     # substring check alone is vacuous (the r10 plan-guard lesson)
-    for ln in win_lines:
+    lag_lines = [ln for ln in win_lines if "lag(" in ln]
+    assert lag_lines, plan
+    for ln in lag_lines:
         assert re.search(
             r"windowspecdefinition\(user_id#\d+L?,", ln
         ), ln
+    # the only other window is the row-total sum over the transition
+    # AGGREGATE (≤ |event_type|² rows), partitioned by prev — never a
+    # window over raw event rows
+    for ln in win_lines:
+        if ln in lag_lines:
+            continue
+        assert re.search(r"windowspecdefinition\(prev#\d+", ln), ln
 
 
 def test_embedding_norms_jvm_only_single_scan(spark):
