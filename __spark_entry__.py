@@ -115,7 +115,7 @@ _REVERIFY_TOUCHED = {
     "q_cdc_apply", "q_shingle_novelty", "q_token_pmi",
     "q_event_markov_matrix", "q_association_rules",
     "q_edit_distance_join", "q_setsim_prefix_join",
-    "q_containment_join",
+    "q_containment_join", "q_rfm_segments",
 }
 
 # Among never-checked queries, verify the highest-value operators

@@ -748,18 +748,28 @@ def q_rfm_segments(spark, sf_dir):
         .cast("long")
         .alias("m_cents"),
     )
-    out = base
+    # The three quintiles were CHAINED (each with_global_rank consumed
+    # the previous one's output), so every pass re-planned the whole
+    # prior rank machinery and the orders aggregate — the before-plan
+    # shows 8 parquet scans / 30 exchanges.  Each metric's tile depends
+    # only on base, so: materialize base once (one row per customer),
+    # rank the three metrics INDEPENDENTLY over it, and assemble by
+    # customer key.
+    base = base.localCheckpoint(eager=False)
+    out = base.select("c")
     for metric, alias in (
         ("r_days", "r_q"),
         ("n_orders", "f_q"),
         ("m_cents", "m_q"),
     ):
-        out = with_global_rank(
-            out, [metric, "c"], rank_col="_rk", total_col="_tt"
+        ranked = with_global_rank(
+            base.select("c", metric), [metric, "c"],
+            rank_col="_rk", total_col="_tt",
         )
-        out = out.withColumn(
-            alias, ntile_expr(F.col("_rk"), F.col("_tt"), 5)
-        ).drop("_rk", "_tt")
+        tile = ranked.select(
+            "c", ntile_expr(F.col("_rk"), F.col("_tt"), 5).alias(alias)
+        )
+        out = out.join(tile, "c")
     return (
         out.groupBy("r_q", "f_q", "m_q")
         .agg(F.count(F.lit(1)).alias("n_customers"))
